@@ -1,13 +1,773 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SignalFunctions
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Trilateration}
+import graft.sources.Tables
+
+/** Driver contract (SURVEY.md §7): one named query per implemented
+  * operator row of SURVEY.md §2, each with a DuckDB-runnable ANSI-SQL
+  * twin in [[oracleSql]] over the same parquet tables.
+  *
+  * Determinism rules (SURVEY.md §7.5): every query totally ordered,
+  * float aggregates rounded, timestamps rendered as strings at the edge,
+  * computed integers widened to BIGINT on both sides, UTC session tz.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** Flagship (TPC-H Q1 shape — scan, pushed filter, partial+final hash
+    * agg, sort; SURVEY.md §7.3) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ================================================================
+  // queries — name -> (spark, sfDir) => DataFrame
+  // ================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- flagship: scan → filter → hash agg → sort (§7.3) ----
+    "q1_agg" -> ((s, d) => li(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- P6: range predicate pushed to the parquet scan ----
+    "p6_range_filter" -> ((s, d) => li(s, d)
+      .filter(col("l_quantity") <= 5 && col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- J1: equi inner join, small dims broadcast ----
+    "j1_broadcast_join" -> ((s, d) => Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("n_name")),
+
+    // ---- J2: self-join on (key, time-bucket) — trilateration prereq ----
+    "j2_self_join" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_id"),
+        date_trunc("hour", col("ts")).as("hb"))
+      e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.hb") === col("b.hb") &&
+          col("a.event_id") < col("b.event_id"))
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // ---- J4: left anti (never-seen detection) ----
+    "j4_anti_join" -> ((s, d) => Tables.part(s, d)
+      .join(li(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy("p_partkey")),
+
+    // ---- J5: interval (as-of tolerance) join ----
+    "j5_interval_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("puser"), col("ts").as("pts"))
+      p.join(e,
+          col("user_id") === col("puser") &&
+          col("ts") >= col("pts") - expr("INTERVAL 1 MINUTE") &&
+          col("ts") <= col("pts") && col("event_id") =!= col("pid"), "left_outer")
+        .groupBy("pid").agg(count(col("event_id")).as("n_prior"))
+        .orderBy("pid")
+    }),
+
+    // ---- J6: outer joins (network-tree completeness) ----
+    "j6_left_outer" -> ((s, d) => Tables.nation(s, d)
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"), "left_outer")
+      .groupBy("n_name").agg(count(col("c_custkey")).as("n_customers"))
+      .orderBy("n_name")),
+
+    "j6_full_outer" -> ((s, d) => {
+      val e = ev(s, d)
+      val c = e.filter(col("event_type") === "click").groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"))
+      val p = e.filter(col("event_type") === "purchase").groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"))
+      c.join(p, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("user_id")
+    }),
+
+    // ---- A1: group-count per device ----
+    "a1_count_by_key" -> ((s, d) => ev(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).orderBy("user_id")),
+
+    // ---- A2: distinct sets per key ----
+    "a2_distinct_sets" -> ((s, d) => ev(s, d)
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("n_types"),
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"))
+      .orderBy("user_id")),
+
+    // A2 at fleet scale: HLL++ sketch (no oracle — approximate by design;
+    // rows-only check + ScalaTest bounds it against the exact count).
+    "a2b_approx_distinct" -> ((s, d) => ev(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type")),
+
+    // ---- A3: min/max/avg measures ----
+    "a3_stats" -> ((s, d) => li(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(min("l_quantity").as("min_qty"),
+        max("l_extendedprice").as("max_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- A4: per-key ordered timestamp list (the ref's "CSV field") ----
+    "a4_ts_lists" -> ((s, d) => ev(s, d)
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_list(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS")))).as("ts_csv"))
+      .orderBy("user_id")),
+
+    // ---- A5: time-bucketed activity histogram ----
+    "a5_active_hours" -> ((s, d) => ev(s, d)
+      .groupBy(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("hr", "event_type")),
+
+    // ---- A6: rollup (multi-granularity census) ----
+    "a6_rollup" -> ((s, d) => li(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("rflag", "lstatus")),
+
+    // ---- A7: trilateration (ssidentity.c:35) — least-squares in sums ----
+    "a7_trilateration" -> ((s, d) => {
+      val obs = li(s, d).select(
+        (col("l_orderkey") % 50).as("mac"),
+        (col("l_suppkey") % 10).cast("double").as("x"),
+        floor((col("l_suppkey") % 100) / 10).cast("double").as("y"),
+        (col("l_suppkey") % 100).as("sensor"))
+        .withColumn("d", sqrt(
+          pow(col("x") - (col("mac") % 10).cast("double"), 2) +
+          pow(col("y") - ((col("mac") * 7) % 10).cast("double"), 2)))
+      Trilateration.estimate(obs, Seq("mac"), col("x"), col("y"), col("d"))
+        .orderBy("mac")
+    }),
+
+    // ---- W1: ranking — latest sighting per key ----
+    "w1_latest_per_key" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // ---- W2: lag — inter-arrival gaps ----
+    "w2_lag_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("gap_ms", unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_ms").isNotNull)
+        .select(col("user_id"), col("event_id"), col("gap_ms"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- W3: frame-spec rolling aggregate ----
+    "w3_rolling_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-5, 0)
+      ev(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(avg(col("value")).over(w), 4).as("roll_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- W4: global sequence (the obs.ID AUTOINCREMENT) ----
+    "w4_global_seq" -> ((s, d) => ev(s, d)
+      .select(row_number().over(Window.orderBy(col("ts"), col("event_id")))
+        .cast("long").as("seq"), col("event_id"))
+      .orderBy("seq")),
+
+    // ---- O1: global sort (+ pushdown-friendly projection) ----
+    "o1_sort" -> ((s, d) => li(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+      .limit(1000)),
+
+    // ---- O2: top-k (TakeOrderedAndProject, no full sort) ----
+    "o2_topk" -> ((s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)),
+
+    // ---- O3: per-group top-k ("Interests", README.md:18) ----
+    "o3_group_topk" -> ((s, d) => {
+      val counts = ev(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_type"), col("n"))
+        .orderBy(col("user_id"), col("n").desc, col("event_type"))
+    }),
+
+    // ---- T1: union (sensor-fleet merge S5) ----
+    "t1_union" -> ((s, d) => {
+      val e = ev(s, d)
+      e.filter(col("value") > 450).select("event_type")
+        .unionByName(e.filter(col("value") < 5).select("event_type"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---- T2: intersect (co-location) ----
+    "t2_intersect" -> ((s, d) => {
+      val e = ev(s, d)
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), hour(col("ts")).cast("long").as("hr"))
+        .intersect(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), hour(col("ts")).cast("long").as("hr")))
+        .orderBy("user_id", "hr")
+    }),
+
+    // ---- T3: except (arrived/departed diff) ----
+    "t3_except" -> ((s, d) => {
+      val e = ev(s, d)
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), hour(col("ts")).cast("long").as("hr"))
+        .except(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), hour(col("ts")).cast("long").as("hr")))
+        .orderBy("user_id", "hr")
+    }),
+
+    // ---- T4: dedup (duplicate frames, fixture rows 3-4) ----
+    "t4_dedup" -> ((s, d) => ev(s, d)
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+      .orderBy("user_id", "event_type")),
+
+    // ---- F4: MAC format (%012lX, ssidentity.c:181) ----
+    "f4_mac_format" -> ((s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"), SignalFunctions.formatMac(col("o_orderkey")).as("mac"))
+      .orderBy("o_orderkey").limit(1000)),
+
+    // ---- F5: printable check / non-printable census (sanitize flag) ----
+    "f5_printable" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        SignalFunctions.isPrintable(col("text")).as("is_printable"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[\\x20-\\x7E]", ""))).cast("long")
+          .as("n_printable"))
+      .orderBy("doc_id")),
+
+    // ---- F6: display timestamp (strftime "%x - %I:%M%p") ----
+    "f6_ts_render" -> ((s, d) => ev(s, d)
+      .select(col("event_id"), SignalFunctions.renderTs(col("ts")).as("ts_fmt"))
+      .orderBy("event_id").limit(2000)),
+
+    // ---- F8: FSPL distance (signalToDistance, ssidentity.c:283-286) ----
+    "f8_fspl" -> ((s, d) => ev(s, d)
+      .select(col("event_id"),
+        (-(col("event_id") % 60 + 30)).as("rssi"),
+        (lit(2412) + (col("event_id") % 13) * 5).as("freq"))
+      .withColumn("dist_m", SignalFunctions.fsplDistance2dp(col("rssi"), col("freq")))
+      .orderBy("event_id")),
+
+    // ---- F10: console row render (printf, ssidentity.c:89-95) ----
+    "f10_render" -> ((s, d) => ev(s, d)
+      .select(col("event_id"), SignalFunctions.renderRow(
+        col("ts"), SignalFunctions.formatMac(col("user_id")), col("event_type"),
+        (-(col("event_id") % 60 + 30)).cast("int"),
+        (lit(2412) + (col("event_id") % 13) * 5).cast("int"),
+        SignalFunctions.fsplDistance(-(col("event_id") % 60 + 30),
+          lit(2412) + (col("event_id") % 13) * 5)).as("line"))
+      .orderBy("event_id").limit(2000)),
+
+    // ---- F11: JSON extraction (events.props) ----
+    "f11_json" -> ((s, d) => ev(s, d)
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")),
+
+    // ---- F12: array ops over embeddings ----
+    "f12_array_ops" -> ((s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(VectorFunctions.norm(col("embedding")), 4).as("l2"),
+        round(aggregate(VectorFunctions.asDouble(col("embedding")),
+          lit(0.0), (a, x) => a + x), 4).as("sum_e"))
+      .orderBy("vec_id")),
+
+    // ---- ST2 (batch twin): tumbling event-time window ----
+    "st2_tumbling_window" -> ((s, d) => ev(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")),
+
+    // ---- ST4 (batch twin): session windows (dwell segmentation) ----
+    "st4_session_window" -> ((s, d) => ev(s, d)
+      .groupBy(session_window(col("ts"), "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSS").as("session_start"),
+        col("n"))
+      .orderBy("user_id", "session_start")),
+
+    // ---- domain: MAC↔SSID network tree (ssidentity.c:36) ----
+    "net_tree_edges" -> ((s, d) => ev(s, d)
+      .groupBy(col("user_id").as("mac"), col("event_type").as("ssid"))
+      .agg(count(lit(1)).as("weight"))
+      .orderBy("mac", "ssid")),
+
+    // ---- L1: exact dedup ----
+    "l1_exact_dedup" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d)).orderBy("fp")),
+
+    // ---- L2: MinHash signatures (oracle-checked hash pipeline) ----
+    "l2_minhash_sig" -> ((s, d) => {
+      val sig = Dedup.minHashSignatures(Tables.documents(s, d))
+      sig.select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // L2: banded-LSH candidate pairs + exact-jaccard verify (scale path;
+    // rows-only — pair enumeration itself is checked by l2c's oracle).
+    "l2b_minhash_pairs" -> ((s, d) =>
+      Dedup.minHashNearDups(Tables.documents(s, d), threshold = 0.3)
+        .orderBy("a_id", "b_id")),
+
+    // ---- L2c: exact n-gram Jaccard near-dups (oracle) ----
+    "l2c_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "source", n = 3, threshold = 0.2)
+        .orderBy("a_id", "b_id")),
+
+    // ---- L2d: SimHash sketches (oracle) + near-dup pairs (rows-only) ----
+    "l2d_simhash" -> ((s, d) =>
+      Dedup.simHashSketches(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "l2e_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashNearDups(Tables.documents(s, d), maxHamming = 8)
+        .orderBy("a_id", "b_id")),
+
+    // ---- L2f: embedding-cosine near-dups (exact, oracle) ----
+    "l2f_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.4)
+        .orderBy("a_id", "b_id")),
+
+    // ---- L3: exact brute-force cosine top-k (oracle) ----
+    "l3_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") >= 5), k = 3)
+        .orderBy(col("qid"), col("sim").desc, col("cid"))
+    }),
+
+    // L3: LSH-bucketed ANN (scale path; approximate → rows-only +
+    // recall-vs-brute-force ScalaTest).
+    "l3b_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") >= 5), k = 3)
+        .orderBy(col("qid"), col("sim").desc, col("cid"))
+    }),
+
+    // ---- L4: token statistics ----
+    "l4_token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy("doc_id")),
+
+    "l4b_term_freq" -> ((s, d) =>
+      TextAnalysis.termFrequencies(Tables.documents(s, d), 50)),
+
+    // ---- text: language-ID heuristic ----
+    "lang_id" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // ---- text: quality scoring ----
+    "quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScores(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // ---- text: fingerprints (rolling hash + content hash) ----
+    "fingerprints" -> ((s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // ---- L5: multimodal binary plumbing (stub codec → rows-only) ----
+    "mm_media_features" -> ((s, d) =>
+      Multimodal.mediaFeatures(s, Tables.documents(s, d)))
+  )
+
+  // ================================================================
+  // oracleSql — DuckDB twins (ANSI SQL over the same parquet tables)
+  // ================================================================
+
+  /** DuckDB expr: whitespace tokens of lowercased trimmed text. */
+  private val ToksSql = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** DuckDB expr: the engine's md5Hash60 (TextFunctions.md5Hash60). */
+  private def h60(seedExpr: String, arg: String) =
+    s"('0x' || substr(md5($seedExpr || ':' || $arg), 1, 15))::BIGINT"
+
+  /** DuckDB expr: distinct char-5 shingles of lowercased text. */
+  private val Shingles5Sql =
+    "list_distinct(list_transform(generate_series(1, greatest(length(lower(text))-4, 0)), i -> (lower(text))[i:i+4]))"
+
+  /** DuckDB expr: distinct word-3-grams. */
+  private val Ngrams3Sql =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($ToksSql)-2, 0)), i -> array_to_string(($ToksSql)[i:i+2], ' ')))"
+
+  private val StopEn = TextFunctions.StopwordsByLang("en").map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "p6_range_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity <= 5 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "j1_broadcast_join" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "j2_self_join" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('hour', ts) AS hb FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.hb = b.hb AND a.event_id < b.event_id
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "j4_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "j5_interval_join" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.pid, count(e.event_id) AS n_prior
+        |FROM p LEFT JOIN events e ON e.user_id = p.user_id
+        |  AND e.ts >= p.ts - INTERVAL 1 MINUTE AND e.ts <= p.ts AND e.event_id <> p.pid
+        |GROUP BY p.pid ORDER BY p.pid""".stripMargin,
+
+    "j6_left_outer" ->
+      """SELECT n_name, count(c_custkey) AS n_customers
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "j6_full_outer" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |     p AS (SELECT user_id, count(*) AS n_purchases FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        |  coalesce(n_clicks, 0) AS n_clicks, coalesce(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id ORDER BY user_id""".stripMargin,
+
+    "a1_count_by_key" ->
+      "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
+
+    "a2_distinct_sets" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types,
+        | array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a3_stats" ->
+      """SELECT l_returnflag, l_linestatus, min(l_quantity) AS min_qty,
+        | max(l_extendedprice) AS max_price, round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a4_ts_lists" ->
+      """SELECT user_id, array_to_string(list_sort(list(strftime(ts, '%Y-%m-%d %H:%M:%S.%g'))), ',') AS ts_csv
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a5_active_hours" ->
+      """SELECT hour(ts) AS hr, event_type, count(*) AS n FROM events
+        |GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+
+    "a6_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag, coalesce(l_linestatus, 'ALL') AS lstatus,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "a7_trilateration" ->
+      """WITH obs AS (
+        |  SELECT l_orderkey % 50 AS mac,
+        |         (l_suppkey % 10)::DOUBLE AS x,
+        |         floor((l_suppkey % 100) / 10)::DOUBLE AS y,
+        |         l_suppkey % 100 AS sensor,
+        |         sqrt(pow((l_suppkey % 10)::DOUBLE - ((l_orderkey % 50) % 10)::DOUBLE, 2)
+        |            + pow(floor((l_suppkey % 100) / 10)::DOUBLE - (((l_orderkey % 50) * 7) % 10)::DOUBLE, 2)) AS d
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT mac, count(DISTINCT (x, y)) AS n_sensors,
+        |    sum((x * -2.0) * (x * -2.0)) AS m11, sum((x * -2.0) * (y * -2.0)) AS m12,
+        |    sum(x * -2.0) AS m13, sum((y * -2.0) * (y * -2.0)) AS m22,
+        |    sum(y * -2.0) AS m23, count(*)::DOUBLE AS m33,
+        |    sum((x * -2.0) * (d*d - x*x - y*y)) AS v1,
+        |    sum((y * -2.0) * (d*d - x*x - y*y)) AS v2,
+        |    sum(d*d - x*x - y*y) AS v3
+        |  FROM obs GROUP BY mac)
+        |SELECT mac, n_sensors,
+        |  round((v1 * (m22*m33 - m23*m23) - m12 * (v2*m33 - m23*v3) + m13 * (v2*m23 - m22*v3))
+        |    / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)), 3) AS est_x,
+        |  round((m11 * (v2*m33 - m23*v3) - v1 * (m12*m33 - m23*m13) + m13 * (m12*v3 - v2*m13))
+        |    / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)), 3) AS est_y
+        |FROM a
+        |WHERE n_sensors >= 3 AND abs(m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)) > 1e-9
+        |ORDER BY mac""".stripMargin,
+
+    "w1_latest_per_key" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "w2_lag_gaps" ->
+      """SELECT user_id, event_id, gap_ms FROM (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        |  FROM events) WHERE gap_ms IS NOT NULL ORDER BY user_id, event_id""".stripMargin,
+
+    "w3_rolling_avg" ->
+      """SELECT user_id, event_id,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "w4_global_seq" ->
+      """SELECT row_number() OVER (ORDER BY ts, event_id) AS seq, event_id
+        |FROM events ORDER BY seq""".stripMargin,
+
+    "o1_sort" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem ORDER BY ship_date, l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "o2_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "o3_group_topk" ->
+      """SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type) WHERE rn <= 3
+        |ORDER BY user_id, n DESC, event_type""".stripMargin,
+
+    "t1_union" ->
+      """SELECT event_type, count(*) AS n FROM (
+        |  SELECT event_type FROM events WHERE value > 450
+        |  UNION ALL SELECT event_type FROM events WHERE value < 5)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "t2_intersect" ->
+      """SELECT user_id, hour(ts) AS hr FROM events WHERE event_type = 'click'
+        |INTERSECT SELECT user_id, hour(ts) FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, hr""".stripMargin,
+
+    "t3_except" ->
+      """SELECT user_id, hour(ts) AS hr FROM events WHERE event_type = 'click'
+        |EXCEPT SELECT user_id, hour(ts) FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, hr""".stripMargin,
+
+    "t4_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "f4_mac_format" ->
+      """SELECT o_orderkey, printf('%012X', o_orderkey) AS mac FROM orders
+        |ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "f5_printable" ->
+      """SELECT doc_id, regexp_matches(text, '^[ -~]*$') AS is_printable,
+        | (length(text) - length(regexp_replace(text, '[ -~]', '', 'g')))::BIGINT AS n_printable
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f6_ts_render" ->
+      """SELECT event_id, strftime(ts, '%m/%d/%y - %I:%M%p') AS ts_fmt
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin,
+
+    "f8_fspl" ->
+      """SELECT event_id, -(event_id % 60 + 30) AS rssi,
+        | 2412 + (event_id % 13) * 5 AS freq,
+        | round(pow(10.0, (27.55 - 20.0 * log10((2412 + (event_id % 13) * 5)::DOUBLE)
+        |   + abs(-(event_id % 60 + 30))) / 20.0), 2) AS dist_m
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f10_render" ->
+      "SELECT event_id, printf('%s  %s  \"%s\"\t%ddBm %dmHz  Dist: %.2fm', " +
+        "strftime(ts, '%m/%d/%y - %I:%M%p'), printf('%012X', user_id), event_type, " +
+        "(-(event_id % 60 + 30))::INT, (2412 + (event_id % 13) * 5)::INT, " +
+        "pow(10.0, (27.55 - 20.0 * log10((2412 + (event_id % 13) * 5)::DOUBLE) " +
+        "+ abs(-(event_id % 60 + 30))) / 20.0)) AS line " +
+        "FROM events ORDER BY event_id LIMIT 2000",
+
+    "f11_json" ->
+      """SELECT event_type, sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "f12_array_ops" ->
+      """SELECT vec_id, len(embedding)::BIGINT AS dim,
+        | round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 4) AS l2,
+        | round(list_aggregate(embedding::DOUBLE[], 'sum'), 4) AS sum_e
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "st2_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n
+        |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+
+    "st4_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start, count(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "net_tree_edges" ->
+      """SELECT user_id AS mac, event_type AS ssid, count(*) AS weight
+        |FROM events GROUP BY mac, ssid ORDER BY mac, ssid""".stripMargin,
+
+    "l1_exact_dedup" ->
+      s"""SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_id FROM (
+         |  SELECT doc_id, sha256(array_to_string($ToksSql, ' ')) AS fp FROM documents)
+         |GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "l2_minhash_sig" -> {
+      val sigs = (0 until 8).map(i =>
+        s"list_min(list_transform(sh, x -> ${h60(s"'$i'", "x")})) AS s$i").mkString(",\n  ")
+      s"""WITH s AS (SELECT doc_id, $Shingles5Sql AS sh FROM documents)
+         |SELECT doc_id,
+         |  $sigs
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "l2c_ngram_jaccard" ->
+      s"""WITH g AS (SELECT doc_id, source, $Ngrams3Sql AS ng FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(CASE WHEN len(list_distinct(list_concat(a.ng, b.ng))) = 0 THEN 0.0
+         |        ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.ng, b.ng)))::DOUBLE END, 4) AS jaccard
+         |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CASE WHEN len(list_distinct(list_concat(a.ng, b.ng))) = 0 THEN 0.0
+         |      ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.ng, b.ng)))::DOUBLE END >= 0.2
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "l2d_simhash" -> {
+      val bitSums = (0 until 32).map(i =>
+        s"list_aggregate(list_transform(th, h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END), 'sum')").toSeq
+      val acc = bitSums.zipWithIndex
+        .map { case (s, i) => s"CASE WHEN ($s) > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END" }
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, list_transform($ToksSql, w -> ${h60("'0'", "w")}) AS th FROM documents)
+         |SELECT doc_id, ($acc) AS simhash FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "l2f_embedding_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3999
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "l3_cosine_topk" ->
+      """SELECT qid, cid, sim FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5)
+        |WHERE rn <= 3 ORDER BY qid, sim DESC, cid""".stripMargin,
+
+    "l4_token_stats" ->
+      s"""SELECT doc_id,
+         | CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT ELSE len($ToksSql)::BIGINT END AS n_tokens,
+         | round(CASE WHEN len($ToksSql) = 0 THEN 0.0
+         |   ELSE list_aggregate(list_transform($ToksSql, t -> length(t)::BIGINT), 'sum')::DOUBLE / len($ToksSql)::DOUBLE END, 4) AS mean_tok_len,
+         | round(CASE WHEN length(text) = 0 THEN 0.0
+         |   ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / length(text)::DOUBLE END, 4) AS punct_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l4b_term_freq" ->
+      s"""SELECT tok, count(*) AS n FROM (SELECT unnest($ToksSql) AS tok FROM documents)
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "lang_id" -> {
+      def hits(lang: String) = {
+        val words = TextFunctions.StopwordsByLang(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_intersect($ToksSql, $words))"
+      }
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  ${hits("de")} AS h_de, ${hits("en")} AS h_en, ${hits("es")} AS h_es, ${hits("fr")} AS h_fr
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+         |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS guess,
+         |  lang AS labeled
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "quality_score" ->
+      s"""WITH q AS (SELECT doc_id, n_chars, text, $ToksSql AS toks FROM documents)
+         |SELECT doc_id, round(
+         |  least(1.0, n_chars::DOUBLE / 500.0) * 0.4
+         |  + (1.0 - least(1.0, (CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / length(text)::DOUBLE END) * 5.0)) * 0.3
+         |  + least(1.0, (CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE len(list_filter(toks, t -> list_contains($StopEn, t)))::DOUBLE / len(toks)::DOUBLE END) * 4.0) * 0.3,
+         |  4) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "fingerprints" ->
+      s"""SELECT doc_id,
+         | list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+         |   (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp,
+         | sha256(array_to_string($ToksSql, ' ')) AS content_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

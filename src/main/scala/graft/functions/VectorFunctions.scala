@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector expression library (SURVEY.md §2.10 L3): dot product,
+  * norms, cosine — as array-lambda expressions over `array<float>`
+  * columns, cast element-wise to double FIRST so accumulation order and
+  * precision are identical to the DuckDB oracle (strict left-to-right
+  * fold in both engines).
+  */
+object VectorFunctions {
+
+  /** Element-wise double cast (float embeddings → stable double math). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product via zip_with + left-to-right aggregate. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def normSq(v: Column): Column =
+    aggregate(asDouble(v), lit(0.0), (acc, x) => acc + x * x)
+
+  /** L2 norm. */
+  def norm(v: Column): Column = sqrt(normSq(v))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign-bit signature of the vector
+    * against `bits` fixed pseudo-random hyperplanes. The hyperplanes are
+    * a deterministic function of (bit, dim) via a splitmix-style integer
+    * mix, so executors need no broadcast and the oracle can reproduce it.
+    */
+  def rhpBucket(v: Column, bits: Int, dim: Int): Column = {
+    // hyperplane component h(b,d) in [-1,1): derived from a fixed LCG
+    def comp(b: Int, d: Int): Double = {
+      var x = (b.toLong * 1315423911L + d.toLong * 2654435761L + 104729L)
+      x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
+      (x % 1000003L).toDouble / 1000003.0
+    }
+    (0 until bits).foldLeft(lit(0)) { (acc, b) =>
+      val proj = (0 until dim).foldLeft(lit(0.0)) { (s, d) =>
+        s + element_at(v, d + 1).cast("double") * lit(comp(b, d))
+      }
+      acc + when(proj > 0.0, lit(1 << b)).otherwise(lit(0))
+    }
+  }
+
+  /** IVF-style coarse bucket: argmin centroid by a cheap deterministic
+    * projection — here, sign pattern of the first `bits` dimensions.
+    * Cheap partitioner for candidate pruning at scale. */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(element_at(v, i + 1) > lit(0.0f), lit(1 << i)).otherwise(lit(0))
+    }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** L3 — similarity search over an embedding column (SURVEY.md §2.10).
+  *
+  * Baseline: exact brute-force top-k — broadcast the (small) query set
+  * against the (huge) corpus, so the corpus is scanned ONCE and its
+  * embedding column never shuffles; the only exchange carries slim
+  * (query_id, cand_id, sim) triples into the per-query rank.
+  *
+  * Scale path: random-hyperplane LSH bucketing — corpus bucketed once at
+  * write time, queries probe only their own bucket (equi-join on bucket
+  * id), turning O(|Q|·|C|) into O(|Q|·|C|/2^bits) with recall traded by
+  * `bits`. IVF-style coarse quantization is the same plan shape with a
+  * learned centroid argmin as the bucket function.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k: every query vs every candidate.
+    * `queries` must be broadcast-small (the usual ANN-serving shape). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(q))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Approximate top-k via random-hyperplane LSH with multiprobe:
+    * candidates bucketed by `bits`-bit signature; each query probes its
+    * own bucket plus all 1-bit-flip neighbors (recall boost without
+    * touching the corpus layout). Only bucket-matched pairs are scored. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      rhpBucket(col("embedding"), bits, dim).as("bucket"))
+    val qb = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      rhpBucket(col("embedding"), bits, dim).as("b0"))
+    // multiprobe: home bucket + 1-bit flips
+    val probes = qb.select(col("qid"), col("qv"), explode(array(
+      (col("b0") +: (0 until bits).map(i =>
+        col("b0").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
+    val scored = c.join(probes, "bucket")
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+      .groupBy("qid", "cid").agg(max("sim").as("sim"))   // dedup multiprobe hits
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

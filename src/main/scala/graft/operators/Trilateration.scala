@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A7 — trilateration estimation ("Add Triangulation (Trilateration
+  * Estimation)", ssidentity.c:35): per key, estimate a 2-D position from
+  * ≥3 (sensor_x, sensor_y, distance) observations.
+  *
+  * Spark-first formulation (SURVEY.md §4.2): linearized least squares
+  * kept entirely in built-in `sum` expressions + a final algebraic
+  * `select` — a single partial+final HashAggregate, no UDAF, no Catalyst
+  * internals, fully codegen'd and SQL-expressible (so the DuckDB oracle
+  * can replay it verbatim).
+  *
+  * Linearization: each range equation (x−xi)² + (y−yi)² = di² expands to
+  *   −2·xi·x − 2·yi·y + s = di² − xi² − yi²     with s = x²+y²
+  * an overdetermined linear system A·[x y s]ᵀ = b. Normal equations AᵀA
+  * and Aᵀb are 3×3 / 3×1 sums of per-row products → solve by Cramer.
+  */
+object Trilateration {
+
+  /** obs(keyCols..., x, y, d) → (keyCols..., n_sensors, est_x, est_y).
+    * Groups with <3 distinct sensor positions or a near-singular system
+    * are dropped (no unique solution exists). */
+  def estimate(obs: DataFrame, keyCols: Seq[String],
+      x: Column, y: Column, d: Column, roundTo: Int = 3): DataFrame = {
+    val a1 = x * -2.0
+    val a2 = y * -2.0
+    val b = d * d - x * x - y * y
+
+    val agg = obs.groupBy(keyCols.map(col): _*).agg(
+      countDistinct(x, y).as("n_sensors"),
+      sum(a1 * a1).as("m11"), sum(a1 * a2).as("m12"), sum(a1).as("m13"),
+      sum(a2 * a2).as("m22"), sum(a2).as("m23"),
+      count(lit(1)).cast("double").as("m33"),
+      sum(a1 * b).as("v1"), sum(a2 * b).as("v2"), sum(b).as("v3"))
+
+    // Cramer's rule on the symmetric normal matrix
+    val det =
+      col("m11") * (col("m22") * col("m33") - col("m23") * col("m23")) -
+      col("m12") * (col("m12") * col("m33") - col("m23") * col("m13")) +
+      col("m13") * (col("m12") * col("m23") - col("m22") * col("m13"))
+    val detX =
+      col("v1") * (col("m22") * col("m33") - col("m23") * col("m23")) -
+      col("m12") * (col("v2") * col("m33") - col("m23") * col("v3")) +
+      col("m13") * (col("v2") * col("m23") - col("m22") * col("v3"))
+    val detY =
+      col("m11") * (col("v2") * col("m33") - col("m23") * col("v3")) -
+      col("v1") * (col("m12") * col("m33") - col("m23") * col("m13")) +
+      col("m13") * (col("m12") * col("v3") - col("v2") * col("m13"))
+
+    agg
+      .filter(col("n_sensors") >= 3 && abs(det) > 1e-9)
+      .select(keyCols.map(col) ++ Seq(
+        col("n_sensors"),
+        round(detX / det, roundTo).as("est_x"),
+        round(detY / det, roundTo).as("est_y")): _*)
+  }
+}
