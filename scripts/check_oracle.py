@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB
+with views over <sfDir>/*.parquet, load the Spark parquet result, sort
+columns by name, and compare row count / schema / value hash.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df
+
+def cell(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def frame_repr(df):
+    return [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+
+results = {}
+for name in sorted(oracle):
+    sql = oracle[name]
+    spark_path = os.path.join(out_dir, name)
+    entry = {}
+    try:
+        ddf = canon(con.execute(sql).df())
+        sdf_files = glob.glob(os.path.join(spark_path, "*.parquet"))
+        sdf = canon(pd.concat([pd.read_parquet(f) for f in sdf_files]) if sdf_files else pd.DataFrame())
+        entry["rows"] = (len(ddf), len(sdf), len(ddf) == len(sdf))
+        entry["schema"] = (list(ddf.columns), list(sdf.columns), list(ddf.columns) == list(sdf.columns))
+        if entry["rows"][2] and entry["schema"][2]:
+            a, b = frame_repr(ddf), frame_repr(sdf)
+            match = a == b
+            entry["hash"] = match
+            if not match:
+                diffs = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+                entry["first_diffs"] = diffs
+        else:
+            entry["hash"] = False
+    except Exception as e:
+        entry["error"] = f"{type(e).__name__}: {e}"[:500]
+        entry["hash"] = False
+    results[name] = entry
+
+n_ok = sum(1 for e in results.values() if e.get("hash"))
+print(f"=== {n_ok}/{len(results)} MATCH ===")
+for name, e in results.items():
+    if e.get("hash"):
+        print(f"  OK   {name}  rows={e['rows'][0]}")
+for name, e in results.items():
+    if not e.get("hash"):
+        print(f"  FAIL {name}")
+        if "error" in e:
+            print(f"       error: {e['error']}")
+        else:
+            if not e["rows"][2]:
+                print(f"       rows: duck={e['rows'][0]} spark={e['rows'][1]}")
+            if not e["schema"][2]:
+                print(f"       cols: duck={e['schema'][0]} spark={e['schema'][1]}")
+            for d in e.get("first_diffs", []):
+                print(f"       row {d[0]}: duck={d[1]} spark={d[2]}")

@@ -546,9 +546,9 @@ object SparkEntry {
         |  FROM obs GROUP BY mac)
         |SELECT mac, n_sensors,
         |  round((v1 * (m22*m33 - m23*m23) - m12 * (v2*m33 - m23*v3) + m13 * (v2*m23 - m22*v3))
-        |    / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)), 3) AS est_x,
+        |    / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)), 3) + 0.0 AS est_x,
         |  round((m11 * (v2*m33 - m23*v3) - v1 * (m12*m33 - m23*m13) + m13 * (m12*v3 - v2*m13))
-        |    / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)), 3) AS est_y
+        |    / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)), 3) + 0.0 AS est_y
         |FROM a
         |WHERE n_sensors >= 3 AND abs(m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)) > 1e-9
         |ORDER BY mac""".stripMargin,
@@ -630,13 +630,13 @@ object SparkEntry {
         |   + abs(-(event_id % 60 + 30))) / 20.0), 2) AS dist_m
         |FROM events ORDER BY event_id""".stripMargin,
 
-    "f10_render" ->
+    "f10_render" -> (
       "SELECT event_id, printf('%s  %s  \"%s\"\t%ddBm %dmHz  Dist: %.2fm', " +
         "strftime(ts, '%m/%d/%y - %I:%M%p'), printf('%012X', user_id), event_type, " +
         "(-(event_id % 60 + 30))::INT, (2412 + (event_id % 13) * 5)::INT, " +
         "pow(10.0, (27.55 - 20.0 * log10((2412 + (event_id % 13) * 5)::DOUBLE) " +
         "+ abs(-(event_id % 60 + 30))) / 20.0)) AS line " +
-        "FROM events ORDER BY event_id LIMIT 2000",
+        "FROM events ORDER BY event_id LIMIT 2000"),
 
     "f11_json" ->
       """SELECT event_type, sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,

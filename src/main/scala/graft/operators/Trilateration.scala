@@ -54,7 +54,9 @@ object Trilateration {
       .filter(col("n_sensors") >= 3 && abs(det) > 1e-9)
       .select(keyCols.map(col) ++ Seq(
         col("n_sensors"),
-        round(detX / det, roundTo).as("est_x"),
-        round(detY / det, roundTo).as("est_y")): _*)
+        // + 0.0 normalizes IEEE −0.0 → +0.0 so rounded near-zero
+        // estimates hash identically across engines
+        (round(detX / det, roundTo) + 0.0).as("est_x"),
+        (round(detY / det, roundTo) + 0.0).as("est_y")): _*)
   }
 }
