@@ -359,7 +359,7 @@ object SparkEntry {
     // L2: banded-LSH candidate pairs + exact-jaccard verify (scale path;
     // rows-only — pair enumeration itself is checked by l2c's oracle).
     "l2b_minhash_pairs" -> ((s, d) =>
-      Dedup.minHashNearDups(Tables.documents(s, d), threshold = 0.3)
+      Dedup.minHashNearDups(Tables.documents(s, d), threshold = 0.5)
         .orderBy("a_id", "b_id")),
 
     // ---- L2c: exact n-gram Jaccard near-dups (oracle) ----
@@ -372,7 +372,7 @@ object SparkEntry {
       Dedup.simHashSketches(Tables.documents(s, d)).orderBy("doc_id")),
 
     "l2e_simhash_pairs" -> ((s, d) =>
-      Dedup.simHashNearDups(Tables.documents(s, d), maxHamming = 8)
+      Dedup.simHashNearDups(Tables.documents(s, d), maxHamming = 3)
         .orderBy("a_id", "b_id")),
 
     // ---- L2f: embedding-cosine near-dups (exact, oracle) ----
@@ -696,7 +696,7 @@ object SparkEntry {
          |ORDER BY a_id, b_id""".stripMargin,
 
     "l2d_simhash" -> {
-      val bitSums = (0 until 32).map(i =>
+      val bitSums = (0 until 60).map(i =>
         s"list_aggregate(list_transform(th, h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END), 'sum')").toSeq
       val acc = bitSums.zipWithIndex
         .map { case (s, i) => s"CASE WHEN ($s) > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END" }

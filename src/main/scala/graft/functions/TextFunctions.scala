@@ -30,25 +30,34 @@ object TextFunctions {
     * when the text is shorter than k (Spark `sequence` descends when
     * start > stop, so guard explicitly — the DuckDB twin's
     * generate_series(1,0) is empty). */
-  def charShingles(text: Column, k: Int): Column = {
-    val t = lower(text)
+  def charShingles(text: Column, k: Int): Column =
+    shinglesOfLowered(lower(text), k)
+
+  /** charShingles over an ALREADY-LOWERED column. Callers on hot paths
+    * materialize `lower(text)` as its own projection first: a lambda
+    * body re-evaluates every non-lambda subexpression per array element,
+    * so an inline `lower(text)` would run once per shingle position
+    * (~n_chars times per row) instead of once per row. */
+  def shinglesOfLowered(t: Column, k: Int): Column =
     array_distinct(
       when(length(t) >= k,
         transform(sequence(lit(1), length(t) - (k - 1)),
           i => substring(t, i, lit(k))))
         .otherwise(array().cast("array<string>")))
-  }
 
   /** Word n-grams as joined strings (token-level shingles). Distinct
     * set; empty when fewer than n tokens (same guard as charShingles). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsOfTokens(tokens(text), n)
+
+  /** wordNgrams over an already-tokenized column (same hot-path
+    * rationale as shinglesOfLowered — materialize `tokens(text)` first). */
+  def ngramsOfTokens(ts: Column, n: Int): Column =
     array_distinct(
       when(size(ts) >= n,
         transform(sequence(lit(1), size(ts) - (n - 1)),
           i => array_join(slice(ts, i, lit(n)), " ")))
         .otherwise(array().cast("array<string>")))
-  }
 
   /** Deterministic 60-bit hash of a string with a seed, built from md5 so
     * the DuckDB oracle can reproduce it bit-for-bit:
@@ -58,33 +67,70 @@ object TextFunctions {
     conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10).cast("long")
 
   /** MinHash signature: for each of `numHashes` seeds, the min md5Hash60
-    * over the shingle set. Empty shingle set → nulls. */
+    * over the shingle set. Empty shingle set → nulls. Native one-pass
+    * expression (MinHashSigExpr) — value-identical to the per-seed
+    * `array_min(transform(...))` formulation the DuckDB oracle replays,
+    * without k array passes and md5→hex→conv string round-trips. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(seed =>
-      array_min(transform(shingles, s => md5Hash60(s, seed)))): _*)
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.MinHashSigExpr(
+        org.apache.spark.sql.graft.Bridge.expression(shingles), numHashes))
 
-  /** SimHash over tokens: 32-bit fingerprint where bit i is the sign of
-    * the sum over tokens of (+1 if token-hash bit i set else -1).
-    * Expressed as pure array algebra (no UDF). */
-  def simHash32(toks: Column): Column = {
-    // per-token 60-bit hash, reused across all 32 bit tests
-    val th = transform(toks, t => md5Hash60(t, 0))
-    val bitSums = (0 until 32).map { i =>
-      aggregate(th, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-    }
-    bitSums.zipWithIndex.foldLeft(lit(0L)) { case (acc, (s, i)) =>
-      acc + when(s > 0, lit(1L << i)).otherwise(lit(0L))
-    }
+  /** Fast MinHash family for the LSH scale path: one 32-bit content hash
+    * per shingle + `numHashes` splitmix64 remixes (XxMinHashSigExpr).
+    * Not oracle-checked (LSH banding only needs self-consistency); the
+    * md5 family above stays the oracle-facing signature. */
+  def xxMinHashSignature(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.XxMinHashSigExpr(
+        org.apache.spark.sql.graft.Bridge.expression(shingles), numHashes))
+
+  /** SimHash over tokens: 60-bit fingerprint where bit i is the sign of
+    * the sum over tokens of (+1 if md5Hash60-bit i set else −1).
+    *
+    * Native single-pass Catalyst expression (SimHash60Expr): one md5 per
+    * token. The pure-Column formulation (an `aggregate` per bit) inlined
+    * the token-hash array into every branch — 60 md5 passes per row —
+    * and ran interpreted; measured 60× slower at sf0.1. 60 bits (not 64)
+    * because the oracle twin rebuilds the sketch from md5Hash60, whose
+    * range is 15 hex chars, and a signed BIGINT holds it without
+    * overflow. */
+  def simHash60(toks: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.SimHash60Expr(
+        org.apache.spark.sql.graft.Bridge.expression(toks)))
+
+  /** Hashed distinct-set representation for fast pair verification:
+    * xxhash64 each element, sort. Set relations are preserved modulo
+    * 64-bit collisions (P ≈ n²/2⁶⁴ per pair — negligible); intersection
+    * then runs as a native merge-count (sortedIntersectCount). */
+  def hashedSortedSet(arr: Column): Column =
+    sort_array(transform(arr, e => xxhash64(e)))
+
+  /** |A∩B| of two sorted long arrays — native merge loop. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.SortedLongIntersectCountExpr(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
+  /** Jaccard of two hashedSortedSet columns: i / (|A|+|B|−i). */
+  def hashedJaccard(a: Column, b: Column): Column = {
+    val i = sortedIntersectCount(a, b).cast("double")
+    val u = size(a).cast("double") + size(b).cast("double") - i
+    when(u === 0.0, lit(0.0)).otherwise(i / u)
   }
 
   /** Hamming distance between two simhash fingerprints (bit_count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Jaccard similarity of two string arrays (distinct-set semantics). */
+  /** Jaccard similarity of two distinct-element arrays. Inputs MUST be
+    * duplicate-free (charShingles/wordNgrams are): |A∪B| is then
+    * |A|+|B|−|A∩B|, so only ONE hash-set pass (array_intersect) runs per
+    * pair instead of intersect + union. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
+    val uni = size(a).cast("double") + size(b).cast("double") - inter
     when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
   }
 

@@ -14,7 +14,7 @@ import graft.functions.VectorFunctions._
   *   - minhash: signatures are computed scan-side (map-only), candidate
   *     pairs come from an equi-groupBy on band keys — never a crossJoin.
   *     Bucket-internal pairing is quadratic only in bucket size.
-  *   - simhash: same banding idea over 8-bit chunks of a 32-bit sketch.
+  *   - simhash: same banding idea over 15-bit chunks of a 60-bit sketch.
   *   - ngram-jaccard: exact verify, restricted to an equi-partitionable
   *     block key (e.g. source) so the join stays co-partitioned.
   *   - embedding: exact cosine over block-bounded pairs; the scale path
@@ -38,27 +38,47 @@ object Dedup {
       Seq("doc_id"), "left_semi")
 
   /** L2 — per-doc MinHash signature (k-char shingles, `numHashes` md5
-    * seeds). Map-only; the signature is the only thing that shuffles. */
+    * seeds). Map-only; the signature is the only thing that shuffles.
+    *
+    * The shingle set is materialized as its own projection first: each
+    * of the `numHashes` min-hash branches references the SAME `sh`
+    * column instead of inlining (and re-evaluating) the shingling
+    * subtree per branch — Catalyst's CollapseProject deliberately keeps
+    * non-cheap aliases referenced more than once un-inlined. */
   def minHashSignatures(docs: DataFrame, k: Int = 5, numHashes: Int = 8): DataFrame =
-    docs.select(col("doc_id"),
-      minHashSignature(charShingles(col("text"), k), numHashes).as("sig"))
+    docs.select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), shinglesOfLowered(col("lt"), k).as("sh"))
+      .select(col("doc_id"), minHashSignature(col("sh"), numHashes).as("sig"))
 
   /** L2 — LSH candidate pairs: split the signature into `bands` bands of
     * `numHashes/bands` rows; docs sharing any full band land in one
     * bucket (equi-shuffle on the band key), pairs are enumerated inside
-    * buckets only. Returns distinct (a_id, b_id), a<b. */
+    * buckets only. Returns distinct (a_id, b_id), a<b.
+    *
+    * Tuning: the S-curve threshold is ≈ (1/bands)^(bands/numHashes);
+    * the 32/8 default puts it at 0.59 — sharp enough that corpora of
+    * short same-language docs (background jaccard ~0.1) generate ~0
+    * false candidates, while true near-dups (≥0.9) are caught w.p.
+    * 1 − 3e-8. Round-1's 8/4 (r=2, t≈0.5 but fat-tailed) admitted 8.8%
+    * of ALL pairs as candidates at sf0.1 — the verify join, not the
+    * banding, became the engine.
+    *
+    * Scale notes: the band key is one xxhash64 long (band index folded
+    * in as the hash seed), so the shuffle carries (long, id) pairs only;
+    * both self-join sides are the identical plan → Spark's
+    * ReuseExchange materializes the banded shuffle once. */
   def minHashCandidatePairs(docs: DataFrame, k: Int = 5,
-      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minHashSignatures(docs, k, numHashes)
-    val banded = sigs.select(col("doc_id"), posexplode(
+    val sigs = docs.select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), shinglesOfLowered(col("lt"), k).as("sh"))
+      .select(col("doc_id"), xxMinHashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sigs.select(col("doc_id"), explode(
       array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))): _*)))
-      .select(col("doc_id"), col("col.band").as("band"), col("col.key").as("key"))
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+      .as("bk"))
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.key") === col("b.key") &&
+        col("a.bk") === col("b.bk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
@@ -66,33 +86,43 @@ object Dedup {
 
   /** L2 — MinHash near-dup pairs, LSH candidates verified with the exact
     * shingle-set Jaccard (candidates only — the exact check never sees a
-    * non-colliding pair). */
-  def minHashNearDups(docs: DataFrame, k: Int = 5, numHashes: Int = 8,
-      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"), charShingles(col("text"), k).as("sh"))
+    * non-colliding pair). Verification runs on hashed sorted shingle
+    * sets: the join shuffles slim array<long>s and each pair costs one
+    * native merge-count instead of a string hash-set build. */
+  def minHashNearDups(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), shinglesOfLowered(col("lt"), k).as("shs"))
+      .select(col("doc_id"), hashedSortedSet(col("shs")).as("sh"))
     minHashCandidatePairs(docs, k, numHashes, bands)
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))
+        round(hashedJaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** L2 — per-doc 32-bit SimHash sketch over tokens. */
+  /** L2 — per-doc 60-bit SimHash sketch over tokens (native single-pass
+    * expression; see TextFunctions.simHash60). */
   def simHashSketches(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simHash32(tokens(col("text"))).as("simhash"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), simHash60(col("toks")).as("simhash"))
 
-  /** L2 — SimHash near-dups: band the 32-bit sketch into four 8-bit
-    * chunks (pigeonhole: hamming ≤3 ⇒ some chunk equal), bucket-join on
-    * chunks, verify with exact hamming distance. */
+  /** L2 — SimHash near-dups: band the 60-bit sketch into four 15-bit
+    * chunks (pigeonhole: hamming ≤3 ⇒ some chunk equal — the banding is
+    * exact-recall for the default maxHamming=3), bucket-join on chunks
+    * (band index folded into the key), verify with exact hamming.
+    * 15-bit chunks give 32768 buckets per band — round-1's 8-bit chunks
+    * (256 buckets) let topic-biased sketch bytes collide into 4.5M
+    * candidate pairs at sf0.1. */
   def simHashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sk = simHashSketches(docs)
-    val banded = sk.select(col("doc_id"), col("simhash"), posexplode(
+    val banded = sk.select(col("doc_id"), col("simhash"), explode(
         array((0 until 4).map(i =>
-          shiftright(col("simhash"), i * 8).bitwiseAND(lit(0xffL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+          shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7fffL)) +
+            lit(i.toLong << 32)): _*)).as("chunk"))
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         hammingDist(col("a.simhash"), col("b.simhash")).as("hamming"))
@@ -106,24 +136,30 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, n: Int = 3,
       threshold: Double = 0.2): DataFrame = {
     val g = docs.select(col("doc_id"), col(blockCol).as("blk"),
-      wordNgrams(col("text"), n).as("ng"))
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("blk"), ngramsOfTokens(col("toks"), n).as("ngs"))
+      .select(col("doc_id"), col("blk"), hashedSortedSet(col("ngs")).as("ng"))
     g.as("a").join(g.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        round(jaccard(col("a.ng"), col("b.ng")), 4).as("jaccard"))
+        round(hashedJaccard(col("a.ng"), col("b.ng")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** L2 — embedding-cosine near-dups, exact within blocks. `blockExpr`
-    * bounds the pair space (lit(1) = brute force for small/oracle runs;
-    * an LSH bucket for scale). */
-  def embeddingNearDups(emb: DataFrame, threshold: Double,
-      blockExpr: Column = lit(1)): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"), blockExpr.as("blk"))
-    e.as("a").join(e.as("b"),
-        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+  /** L2 — embedding-cosine near-dups, exact all-pairs via a broadcast
+    * nested-loop: the probe side stays partitioned (full parallelism)
+    * and each task streams the broadcast corpus — an equi-join on a
+    * constant block key would instead hash every row to ONE shuffle
+    * partition and serialize the whole O(n²) scan onto a single task.
+    * Fits when one side's embeddings fit executor memory; beyond that,
+    * swap the broadcast for LSH-bucket blocking (Similarity.rhpBucket)
+    * or grid-blocked pair enumeration. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+        round(graft.functions.expressions.VectorExpressions.cosineSim(
+          col("a.embedding"), col("b.embedding")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -28,7 +28,7 @@ object Similarity {
     val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val scored = c.join(broadcast(q))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(graft.functions.expressions.VectorExpressions.cosineSim(col("qv"), col("cv")), 4).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -51,7 +51,7 @@ object Similarity {
         col("b0").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
     val scored = c.join(probes, "bucket")
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(graft.functions.expressions.VectorExpressions.cosineSim(col("qv"), col("cv")), 4).as("sim"))
       .groupBy("qid", "cid").agg(max("sim").as("sim"))   // dedup multiprobe hits
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w))

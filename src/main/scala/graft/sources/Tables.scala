@@ -28,6 +28,18 @@ object Tables {
     apply(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  /** documents/embeddings feed CPU-bound pipelines (shingling, MinHash,
+    * SimHash, cosine). The testdata files are single-row-group parquet —
+    * one input split — so without a repartition every map-side hash
+    * would run on ONE core of local[32]. At fleet scale the scan has
+    * thousands of natural splits and this exchange (a few MB here)
+    * would be dropped; locally it is what buys 32× on the hash-heavy
+    * operators. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, apply(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, apply(spark, dir, "embeddings"))
 }

@@ -1,0 +1,261 @@
+package org.apache.spark.sql.graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text-sketch expressions (public Column API + rationale in
+  * graft.functions.TextFunctions). In the sql package namespace because
+  * ExpectsInputTypes/AbstractDataType are private[sql] in Spark 4.
+  */
+object TextExprs {
+
+  /** Identical value semantics to TextFunctions.md5Hash60(s, seed):
+    * first 15 hex chars of md5("seed:" + s) parsed base-16 → 60-bit long.
+    * The DuckDB oracle replays it as
+    * ('0x' || substr(md5(seed||':'||s), 1, 15))::BIGINT. */
+  private val localMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def md5Hash60(seed: Int, s: UTF8String): Long = {
+    val md = localMd5.get()
+    md.reset()
+    md.update((seed.toString + ":").getBytes("UTF-8"))
+    val digest = md.digest(s.getBytes)
+    // first 15 hex chars = 60 bits: 7.5 bytes
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    (v << 4) | ((digest(7) & 0xf0L) >> 4)
+  }
+}
+
+/** 60-bit SimHash over a token array, single pass, native.
+  *
+  * Per token: md5Hash60(0, token); per bit i∈[0,60): +1 if set else −1;
+  * sketch bit i = sign of the sum. One md5 per token (the pure-Column
+  * formulation re-evaluated the token-hash array once per bit — 60×).
+  */
+case class SimHash60Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash60"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Int](60)
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = TextExprs.md5Hash60(0, arr.getUTF8String(t))
+        var i = 0
+        while (i < 60) {
+          if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var sk = 0L
+    var i = 0
+    while (i < 60) { if (sums(i) > 0) sk |= (1L << i); i += 1 }
+    sk
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SimHash60Expr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60Expr {
+  /** Static entry for generated code — same body as nullSafeEval. */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val sums = new Array[Int](60)
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = TextExprs.md5Hash60(0, arr.getUTF8String(t))
+        var i = 0
+        while (i < 60) {
+          if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var sk = 0L
+    var i = 0
+    while (i < 60) { if (sums(i) > 0) sk |= (1L << i); i += 1 }
+    sk
+  }
+}
+
+/** |A ∩ B| for two SORTED long arrays (merge count, no hashing, no
+  * allocation beyond the primitive copies). Jaccard over hashed shingle
+  * or n-gram sets is i / (|A| + |B| − i) — one of these per pair instead
+  * of an array_intersect hash-set build. */
+case class SortedLongIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongIntersectCountExpr.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.SortedLongIntersectCountExpr.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersectCountExpr {
+  def compute(ad: ArrayData, bd: ArrayData): Long = {
+    val a = ad.toLongArray()
+    val b = bd.toLongArray()
+    var i = 0; var j = 0; var c = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+}
+
+/** One-pass MinHash signature, md5 family — value-identical to
+  * `array((0 until k).map(seed => array_min(transform(sh, s =>
+  * md5Hash60(s, seed)))))` but with ONE expression-tree evaluation of
+  * the shingle array and no per-seed intermediate arrays. The Column
+  * formulation paid ~80µs per hash in md5→hex→substr→conv string
+  * round-trips; this computes the 60-bit value straight from the digest
+  * bytes. Empty input → all-null signature (array_min-of-empty parity).
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_md5"
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.MinHashSigExpr.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigExpr {
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        any = true
+        val s = arr.getUTF8String(t)
+        var j = 0
+        while (j < numHashes) {
+          val h = TextExprs.md5Hash60(j, s)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      t += 1
+    }
+    if (!any)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](numHashes)(null))
+    else
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        mins.map(Long.box(_): Any))
+  }
+}
+
+/** One-pass MinHash signature, xxhash family — the LSH scale path (no
+  * oracle twin; self-consistent hashing is all LSH needs). Per shingle:
+  * one xxhash64 of the bytes, then `numHashes` splitmix64 remixes — vs
+  * the Column formulation's k full string hashes and k array passes.
+  */
+case class XxMinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_xx"
+
+  protected override def nullSafeEval(input: Any): Any =
+    XxMinHashSigExpr.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.XxMinHashSigExpr.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object XxMinHashSigExpr {
+  @inline private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        any = true
+        val s = arr.getUTF8String(t)
+        val base = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+        val base64 = (base.toLong << 32) ^ (s.numBytes.toLong * 0x9e3779b97f4a7c15L)
+        var j = 0
+        while (j < numHashes) {
+          val h = splitmix64(base64 ^ (j.toLong * 0xc2b2ae3d27d4eb4fL))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      t += 1
+    }
+    if (!any)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](numHashes)(null))
+    else
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        mins.map(Long.box(_): Any))
+  }
+}
