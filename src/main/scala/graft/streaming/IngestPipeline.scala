@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.FrameParser
+
+/** ST1/ST8 — the reference's ingest loop (ssidentity.c:81-114) as a
+  * Structured Streaming pipeline: source → parse/filter/enrich → sinks.
+  *
+  * The C client is a single blocking `while(TRUE){recvfrom; parse;
+  * printf; INSERT}` with at-least-once delivery (insert errors swallowed,
+  * ssidentity.c:108-111). Here the SAME declarative transform
+  * (FrameParser.parse — identical plan batch or streaming) runs
+  * micro-batched with checkpointed exactly-once sinks; Catalyst
+  * incrementalizes it, nothing is hand-scheduled.
+  *
+  * At fleet scale (S5, README.md:12-13): one query per sensor region or
+  * one source with a `sensorId` column; the parquet sink partitions by
+  * (date, sensorId) so downstream per-device analytics prune partitions.
+  */
+object IngestPipeline {
+
+  /** The transform shared by batch backfills and live streams (P1-P7 +
+    * F1-F8 from SURVEY §2). Input: RawFrame schema (ts, sensorId,
+    * bytes); output: Observation columns. */
+  def parse(frames: DataFrame): DataFrame = FrameParser.parse(frames)
+
+  /** S3 — console sink (the reference's printf, ssidentity.c:89-95). */
+  def toConsole(obs: DataFrame): DataStreamWriter[Row] =
+    obs.writeStream.format("console").outputMode(OutputMode.Append())
+
+  /** S4 — table append sink, exactly-once via checkpoint (upgrades the
+    * reference's swallowed-error at-least-once, ssidentity.c:108-111).
+    * Partitioned by observation date so a 100 TB fact table prunes. */
+  def toParquet(obs: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    obs.withColumn("obs_date", to_date(col("ts")))
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("obs_date", "sensorId")
+      .outputMode(OutputMode.Append())
+
+  /** ST8 — fan-out: one source feeding both console and table sinks in a
+    * single exactly-once commit per micro-batch (foreachBatch). The
+    * batch df is persisted so the two sinks share one computation of the
+    * parse pipeline rather than re-reading the source. */
+  def fanOut(obs: DataFrame, path: String, checkpoint: String,
+      alsoConsole: Boolean = false): DataStreamWriter[Row] =
+    obs.withColumn("obs_date", to_date(col("ts")))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode("append")
+            .partitionBy("obs_date", "sensorId").parquet(path)
+          if (alsoConsole) batch.show(20, false)
+        } finally { batch.unpersist(); () }
+      }
+
+  /** Start helper with a processing-time trigger (the micro-batch
+    * replacement for the reference's busy loop). */
+  def start(w: DataStreamWriter[Row], intervalMs: Long = 0L): StreamingQuery =
+    (if (intervalMs > 0) w.trigger(Trigger.ProcessingTime(intervalMs)) else w).start()
+}

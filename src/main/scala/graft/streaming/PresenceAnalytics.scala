@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ST2–ST6, J3, A8 — event-time presence analytics over the observation
+  * stream (README.md:17-19: "Active hours", "Habitual movements",
+  * "Tracking / Arrival alerts").
+  *
+  * Every builder takes a DataFrame and returns a DataFrame: the SAME
+  * plan works on a batch read (backfill / oracle check) and a streaming
+  * read (live) — Structured Streaming's core property. Watermarks only
+  * restrict state retention; they don't change batch semantics.
+  */
+object PresenceAnalytics {
+
+  /** ST5 — event-time watermark (sensor uploads arrive late once the
+    * fleet merge lands, ssidentity.c:30; clock skew makes lateness real).
+    * On batch inputs this is a no-op, so oracle checks still apply. */
+  def watermarked(obs: DataFrame, delay: String = "1 hour"): DataFrame =
+    obs.withWatermark("ts", delay)
+
+  /** ST2 — tumbling activity histogram per device ("Active hours"). */
+  def tumblingCounts(obs: DataFrame, width: String = "1 hour"): DataFrame =
+    obs.groupBy(window(col("ts"), width), col("mac"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("mac"), col("n"))
+
+  /** ST3 — sliding presence ("Tracking": is the device around now?). */
+  def slidingCounts(obs: DataFrame, width: String = "10 minutes",
+      slide: String = "1 minute"): DataFrame =
+    obs.groupBy(window(col("ts"), width, slide), col("mac"))
+      .agg(count(lit(1)).as("n"), max(col("rssi")).as("peak_rssi"))
+      .select(col("window.start").as("window_start"), col("mac"),
+        col("n"), col("peak_rssi"))
+
+  /** ST4 — gap-based dwell sessions ("Habitual movements": visits). */
+  def dwellSessions(obs: DataFrame, gap: String = "15 minutes"): DataFrame =
+    obs.groupBy(session_window(col("ts"), gap), col("mac"))
+      .agg(count(lit(1)).as("n_obs"), min(col("dist")).as("nearest_m"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("mac"),
+        col("n_obs"), col("nearest_m"))
+
+  /** ST6 — stateful dedup of re-heard frames (fixture rows 3-4 of
+    * observations.db are the same frame twice). Streaming: bounded state
+    * via watermark; batch: plain dropDuplicates. */
+  def dedupWithinWatermark(obs: DataFrame, delay: String = "10 minutes",
+      keys: Seq[String] = Seq("mac", "ts", "sensorId")): DataFrame =
+    if (obs.isStreaming)
+      obs.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys.toSeq)
+    else obs.dropDuplicates(keys)
+
+  /** J3 — watchlist tracking: stream ⋈ broadcast static watchlist
+    * (left_semi keeps only watched devices; the dimension never
+    * shuffles). */
+  def watchlistHits(obs: DataFrame, watchlist: DataFrame): DataFrame =
+    obs.join(broadcast(watchlist), Seq("mac"), "left_semi")
+
+  /** A8 — incremental per-device counters (run under
+    * outputMode("update"); same plan aggregates a batch backfill). */
+  def liveCounts(obs: DataFrame): DataFrame =
+    obs.groupBy(col("mac"))
+      .agg(count(lit(1)).as("n_obs"), max(col("ts")).as("last_seen"),
+        min(col("dist")).as("nearest_m"))
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Planted-duplicate corpus tests for the dedup family (L1/L2) and
+  * similarity search (L3): LSH candidate recall is checked against the
+  * exact brute-force answer on the same data. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = Seq(
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "machine learning pipelines shuffle massive corpora across worker nodes",
+    "a completely different sentence about cooking pasta with fresh tomatoes",
+    "weather report says heavy rain and strong winds expected tomorrow night",
+    "financial markets rallied after the announcement of new trade policies")
+
+  /** 5 clusters x 4 near-identical variants + 5 unrelated singletons. */
+  private lazy val docs = {
+    val dups = base.zipWithIndex.flatMap { case (t, c) =>
+      Seq(
+        (c * 10L, t),
+        (c * 10L + 1, t),                       // exact dup
+        (c * 10L + 2, t + " extra"),            // near dup
+        (c * 10L + 3, "zz " + t))               // near dup
+    }
+    val singles = Seq(
+      (100L, "solar panels convert sunlight into electricity efficiently"),
+      (101L, "ancient rome built aqueducts spanning hundreds of miles"),
+      (102L, "deep sea creatures glow with bioluminescent light patterns"),
+      (103L, "marathon runners train for months before race day arrives"),
+      (104L, "jazz musicians improvise melodies over walking bass lines"))
+    (dups ++ singles).toDF("doc_id", "text")
+  }
+
+  test("L1 exact dedup groups duplicates by normalized content") {
+    val groups = Dedup.exactGroups(docs).collect()
+    // 5 pairs of exact dups -> 5 groups of 2; everything else singleton
+    assert(groups.count(_.getAs[Long]("n_dups") == 2) == 5)
+    assert(groups.map(_.getAs[Long]("n_dups")).sum == 25)
+    val kept = Dedup.dropExactDuplicates(docs)
+    assert(kept.count() == 20)
+  }
+
+  test("L2 minhash near-dups find every planted cluster pair and nothing else") {
+    val found = Dedup.minHashNearDups(docs, threshold = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within each cluster all 6 pairs have high shingle overlap
+    base.indices.foreach { c =>
+      val ids = (0 until 4).map(i => c * 10L + i)
+      val clusterPairs = for {
+        a <- ids; b <- ids if a < b
+      } yield (a, b)
+      clusterPairs.foreach(p => assert(found.contains(p), s"missing $p"))
+    }
+    // no cross-cluster or singleton pairs
+    found.foreach { case (a, b) => assert(a / 10 == b / 10 && a < 100) }
+  }
+
+  test("L2 simhash pairs: exact dups hit hamming 0; unrelated docs don't pair") {
+    val pairs = Dedup.simHashNearDups(docs, maxHamming = 3).collect()
+    val exactPairs = pairs.filter(_.getAs[Int]("hamming") == 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.indices.foreach { c =>
+      assert(exactPairs.contains((c * 10L, c * 10L + 1)), s"cluster $c")
+    }
+    pairs.foreach { r =>
+      assert(r.getLong(0) / 10 == r.getLong(1) / 10,
+        s"cross-cluster pair ${r.getLong(0)},${r.getLong(1)}")
+    }
+  }
+
+  test("L2 ngram jaccard (blocked) matches unblocked brute force") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val got = Dedup.ngramJaccardPairs(blocked, "blk", n = 3, threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // model: exact jaccard over word-3-gram sets
+    def ngrams(t: String) =
+      t.trim.toLowerCase.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      na = ngrams(ta); nb = ngrams(tb)
+      u = na.union(nb).size if u > 0
+      j = na.intersect(nb).size.toDouble / u if j >= 0.2
+    } yield ((ia, ib), math.round(j * 10000) / 10000.0)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, k) }
+  }
+
+  test("L3 LSH top-k recall vs brute force") {
+    val emb = (0 until 40).map { i =>
+      val angle = (i % 8) * 0.7 + i * 0.001
+      (i.toLong, Seq.tabulate(16)(d =>
+        (math.cos(angle * (d + 1)) + (if (i == d) 0.5 else 0.0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val brute = Similarity.bruteForceTopK(q, c, 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val lsh = Similarity.lshTopK(q, c, 3, bits = 4, dim = 16).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(brute.size == 15)
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.model.RawFrame
+import graft.streaming.{ArrivalAlerts, IngestPipeline, PresenceAnalytics}
+
+/** ST1–ST7 — Structured Streaming semantics under deterministic
+  * MemoryStream schedules (SURVEY.md §5.2: no oracle; asserted against
+  * hand-computed expected state). */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+  import ArrivalAlerts.{Alert, Sighting}
+
+  private implicit def sqlCtx = spark.sqlContext
+  private implicit val sparkImplicit: org.apache.spark.sql.SparkSession = spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Frame builder matching FrameParserSpec's layout. */
+  private def probeFrame(srcByte: Byte, rssiRaw: Int = 165): Array[Byte] = {
+    val b = new Array[Byte](128)
+    b(19) = 0x09; b(20) = 0xa0.toByte          // 2464 MHz
+    b(22) = rssiRaw.toByte
+    b(26) = 0x40                               // probe request
+    (30 until 36).foreach(i => b(i) = 0xff.toByte)
+    (36 until 42).foreach(i => b(i) = srcByte)
+    b(61) = 4
+    "ssid".getBytes("US-ASCII").copyToArray(b, 62)
+    b
+  }
+
+  test("ST1 ingest: raw frames stream -> parsed observation stream") {
+    val in = MemoryStream[(Long, Long, Array[Byte])]
+    val frames = in.toDF()
+      .selectExpr("timestamp_millis(_1) as ts", "_2 as sensorId", "_3 as bytes")
+    val q = IngestPipeline.parse(frames)
+      .writeStream.format("memory").queryName("st1_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1700000000000L, 1L, probeFrame(0x11)),
+        (1700000001000L, 1L, new Array[Byte](128)),        // rejected
+        (1700000002000L, 2L, probeFrame(0x22, rssiRaw = 167)))
+      q.processAllAvailable()
+      val rows = spark.table("st1_out").orderBy("ts").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("mac") == "111111111111")
+      assert(rows(0).getAs[Double]("dist") == 306.1)
+      assert(rows(1).getAs[String]("mac") == "222222222222")
+      assert(rows(1).getAs[Int]("rssi") == -88)
+    } finally q.stop()
+  }
+
+  test("ST2 tumbling window counts under incremental arrival") {
+    val in = MemoryStream[(Timestamp, String)]
+    val obs = in.toDF().toDF("ts", "mac")
+    val q = PresenceAnalytics.tumblingCounts(
+        PresenceAnalytics.watermarked(obs, "10 minutes"), "1 hour")
+      .writeStream.format("memory").queryName("st2_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((ts("2026-01-01 10:05:00"), "A"), (ts("2026-01-01 10:55:00"), "A"),
+        (ts("2026-01-01 11:05:00"), "A"), (ts("2026-01-01 10:30:00"), "B"))
+      q.processAllAvailable()
+      in.addData((ts("2026-01-01 11:20:00"), "A"))
+      q.processAllAvailable()
+      val rows = spark.table("st2_out")
+        .groupBy("window_start", "mac")
+        .agg(org.apache.spark.sql.functions.max("n").as("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(rows((ts("2026-01-01 10:00:00"), "A")) == 2)
+      assert(rows((ts("2026-01-01 10:00:00"), "B")) == 1)
+      assert(rows((ts("2026-01-01 11:00:00"), "A")) == 2)
+    } finally q.stop()
+  }
+
+  test("ST4 session windows: batch plan == hand-computed dwell sessions") {
+    // batch/stream share the plan; assert the batch semantics precisely
+    val obs = Seq(
+      (ts("2026-01-01 09:00:00"), "A", 10.0),
+      (ts("2026-01-01 09:10:00"), "A", 8.0),   // same visit (gap 10m < 15m)
+      (ts("2026-01-01 09:40:00"), "A", 12.0),  // new visit (gap 30m)
+      (ts("2026-01-01 09:00:00"), "B", 5.0))
+      .toDF("ts", "mac", "dist")
+    val got = PresenceAnalytics.dwellSessions(obs, "15 minutes")
+      .orderBy("mac", "session_start").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n_obs") == 2)
+    assert(got(0).getAs[Double]("nearest_m") == 8.0)
+    assert(got(0).getAs[Timestamp]("session_end") == ts("2026-01-01 09:25:00"))
+    assert(got(1).getAs[Long]("n_obs") == 1)
+  }
+
+  test("ST5 watermark drops late rows in streaming aggregation") {
+    val in = MemoryStream[(Timestamp, String)]
+    val obs = in.toDF().toDF("ts", "mac")
+    val q = PresenceAnalytics.tumblingCounts(
+        PresenceAnalytics.watermarked(obs, "5 minutes"), "10 minutes")
+      .writeStream.format("memory").queryName("st5_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts("2026-01-01 10:00:00"), "A"))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      in.addData((ts("2026-01-01 12:00:00"), "A"))
+      q.processAllAvailable()
+      // hours late -> dropped by the watermark
+      in.addData((ts("2026-01-01 10:01:00"), "A"))
+      q.processAllAvailable()
+      in.addData((ts("2026-01-01 13:00:00"), "A"))
+      q.processAllAvailable()
+      val first = spark.table("st5_out")
+        .filter($"window_start" === ts("2026-01-01 10:00:00")).collect()
+      assert(first.length == 1 && first(0).getAs[Long]("n") == 1)
+    } finally q.stop()
+  }
+
+  test("ST6 dedup within watermark: re-heard frames collapse") {
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val obs = in.toDF().toDF("ts", "mac", "sensorId")
+    val q = PresenceAnalytics.dedupWithinWatermark(obs, "10 minutes")
+      .writeStream.format("memory").queryName("st6_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2026-01-01 10:00:00"), "A", 1L),
+        (ts("2026-01-01 10:00:00"), "A", 1L),   // same frame twice (fixture rows 3-4)
+        (ts("2026-01-01 10:00:00"), "A", 2L))   // different sensor -> kept
+      q.processAllAvailable()
+      in.addData((ts("2026-01-01 10:00:30"), "A", 1L),
+        (ts("2026-01-01 10:00:00"), "A", 1L))   // replay in later batch
+      q.processAllAvailable()
+      assert(spark.table("st6_out").count() == 3)
+    } finally q.stop()
+  }
+
+  test("ST7 arrival alerts: first_seen then reappeared after gap") {
+    val in = MemoryStream[Sighting]
+    val q = ArrivalAlerts.alerts(in.toDS(), gapSec = 3600L)
+      .writeStream.format("memory").queryName("st7_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Sighting("A", ts("2026-01-01 10:00:00")),
+        Sighting("A", ts("2026-01-01 10:10:00")),
+        Sighting("B", ts("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      in.addData(Sighting("A", ts("2026-01-01 10:30:00")))  // within gap: silent
+      q.processAllAvailable()
+      in.addData(Sighting("A", ts("2026-01-01 12:00:00")))  // 90 min gap: alert
+      q.processAllAvailable()
+      val alerts = spark.table("st7_out").as[Alert].collect()
+      val aAlerts = alerts.filter(_.mac == "A").sortBy(_.ts.getTime)
+      assert(aAlerts.map(_.kind).toSeq == Seq("first_seen", "reappeared"))
+      assert(aAlerts(1).gapSec == 5400L)
+      assert(alerts.count(_.mac == "B") == 1)
+    } finally q.stop()
+  }
+
+  test("ST7 transition function is order-insensitive within a batch") {
+    val (alerts, state) = ArrivalAlerts.transition("A",
+      Iterator(Sighting("A", ts("2026-01-01 12:00:00")),
+        Sighting("A", ts("2026-01-01 10:00:00"))),
+      None, gapSec = 3600L)
+    assert(alerts.map(_.kind) == List("first_seen", "reappeared"))
+    assert(state.lastSeen == ts("2026-01-01 12:00:00").getTime)
+  }
+
+  test("J3 watchlist: stream x broadcast static semi join") {
+    val in = MemoryStream[(Timestamp, String)]
+    val obs = in.toDF().toDF("ts", "mac")
+    val watchlist = Seq("BAD1", "BAD2").toDF("mac")
+    val q = PresenceAnalytics.watchlistHits(obs, watchlist)
+      .writeStream.format("memory").queryName("j3_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts("2026-01-01 10:00:00"), "GOOD"),
+        (ts("2026-01-01 10:01:00"), "BAD1"),
+        (ts("2026-01-01 10:02:00"), "BAD2"),
+        (ts("2026-01-01 10:03:00"), "GOOD2"))
+      q.processAllAvailable()
+      val rows = spark.table("j3_out").orderBy("ts").collect()
+      assert(rows.map(_.getAs[String]("mac")).toSeq == Seq("BAD1", "BAD2"))
+    } finally q.stop()
+  }
+}

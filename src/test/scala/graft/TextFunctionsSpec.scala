@@ -1,0 +1,149 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFunctions._
+
+/** Property tests (SURVEY.md §5.2) for the text/sketch library — the
+  * native expressions are checked against independent Scala models over
+  * scalacheck-generated corpora (deterministic seed; no scalatestplus in
+  * the offline cache, so sampling is driven directly). */
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  /** Deterministic sample list from a Gen. */
+  private def samples[A](gen: Gen[A], n: Int): List[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(42L))(_.next)
+      .map(s => gen.apply(params, s))
+      .collect { case Some(v) => v }
+      .take(n).toList
+  }
+
+  /** Scala model of md5Hash60 (first 15 hex chars of md5("seed:"+s)). */
+  private def modelMd5H60(seed: Int, s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest((s"$seed:" + s).getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("native MinHashSigExpr == per-seed min of md5Hash60 model") {
+    val texts = samples(text, 40)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), shinglesOfLowered(col("lt"), 3).as("sh"))
+      .select(col("doc_id"), col("sh"), minHashSignature(col("sh"), 4).as("sig"))
+      .orderBy("doc_id").collect()
+    assert(got.length == texts.length)
+    got.foreach { r =>
+      val sh = r.getSeq[String](1)
+      val sig = r.getSeq[Any](2)
+      (0 until 4).foreach { seed =>
+        val want = if (sh.isEmpty) null else Long.box(sh.map(modelMd5H60(seed, _)).min)
+        assert(sig(seed) == want, s"doc ${r.getLong(0)} seed $seed")
+      }
+    }
+  }
+
+  test("simHash60 == bitwise-majority model") {
+    val texts = samples(text, 40)
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), simHash60(col("toks")).as("s"))
+      .orderBy("doc_id").collect()
+    got.zip(texts).foreach { case (r, t) =>
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      val hashes = toks.map(modelMd5H60(0, _))
+      val want = (0 until 60).foldLeft(0L) { (acc, i) =>
+        val sum = hashes.map(h => if (((h >>> i) & 1L) == 1L) 1 else -1).sum
+        if (sum > 0) acc | (1L << i) else acc
+      }
+      assert(r.getLong(1) == want, s"text '$t'")
+    }
+  }
+
+  test("sortedIntersectCount == Set intersection size") {
+    val pairGen = for {
+      a <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+      b <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val pairs = samples(pairGen, 60)
+    val got = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("id", "a", "b")
+      .select(col("id"), sortedIntersectCount(col("a"), col("b")).as("c"))
+      .orderBy("id").collect()
+    got.zip(pairs).foreach { case (r, (a, b)) =>
+      assert(r.getLong(1) == a.toSet.intersect(b.toSet).size.toLong)
+    }
+  }
+
+  test("hashedJaccard == exact set jaccard (collision-free at this size)") {
+    val pairGen = for {
+      a <- Gen.listOf(word)
+      b <- Gen.listOf(word)
+    } yield (a.distinct, b.distinct)
+    val pairs = samples(pairGen, 60)
+    val got = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("id", "a", "b")
+      .select(col("id"), hashedJaccard(hashedSortedSet(col("a")),
+        hashedSortedSet(col("b"))).as("j"))
+      .orderBy("id").collect()
+    got.zip(pairs).foreach { case (r, (a, b)) =>
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      val uni = a.toSet.union(b.toSet).size.toDouble
+      val want = if (uni == 0) 0.0 else inter / uni
+      assert(math.abs(r.getDouble(1) - want) < 1e-12, s"$a vs $b")
+    }
+  }
+
+  test("charShingles: distinct length-k substrings in first-seen order") {
+    val texts = samples(text, 40)
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), charShingles(col("text"), 5).as("sh"))
+      .orderBy("id").collect()
+    got.zip(texts).foreach { case (r, t) =>
+      val want = t.toLowerCase.sliding(5).filter(_.length == 5).toSeq.distinct
+      assert(r.getSeq[String](1) == want, s"'$t'")
+    }
+  }
+
+  test("wordNgrams: distinct joined n-grams in first-seen order") {
+    val texts = samples(text, 40)
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), wordNgrams(col("text"), 2).as("ng"))
+      .orderBy("id").collect()
+    got.zip(texts).foreach { case (r, t) =>
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val want =
+        if (t.trim.isEmpty || toks.size < 2) Seq.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSeq.distinct
+      assert(r.getSeq[String](1) == want, s"'$t'")
+    }
+  }
+
+  test("langGuess picks the stopword-dominant language") {
+    val cases = Seq(
+      "the cat sat on the mat and it is that" -> "en",
+      "el perro y la casa de los gatos en un dia" -> "es",
+      "der hund und die katze ist von den zu ein" -> "de",
+      "zzz qqq xxx" -> "und")
+    cases.foreach { case (t, want) =>
+      val got = Seq(Tuple1(t)).toDF("text")
+        .select(langGuess(tokens(col("text")))).collect()(0).getString(0)
+      assert(got == want, t)
+    }
+  }
+}
