@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.SignalFunctions
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Trilateration}
+import graft.operators.{Dedup, LivingArea, Multimodal, Similarity, TextAnalysis, Trilateration}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7): one named query per implemented
@@ -72,9 +72,10 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // ---- J4: left anti (never-seen detection) ----
+    // ---- J4: left anti (never-seen detection: parts never bulk-ordered) ----
     "j4_anti_join" -> ((s, d) => Tables.part(s, d)
-      .join(li(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+      .join(li(s, d).filter(col("l_quantity") >= 45),
+        col("p_partkey") === col("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_name"))
       .orderBy("p_partkey")),
 
@@ -172,6 +173,47 @@ object SparkEntry {
           pow(col("y") - ((col("mac") * 7) % 10).cast("double"), 2)))
       Trilateration.estimate(obs, Seq("mac"), col("x"), col("y"), col("d"))
         .orderBy("mac")
+    }),
+
+    // ---- §3.3: living-area pipeline (bucket → trilaterate → modal cell) ----
+    "living_area" -> ((s, d) => {
+      val obs = li(s, d).select(
+        (col("l_orderkey") % 50).as("mac"),
+        month(col("l_shipdate")).as("bucket"),
+        (col("l_suppkey") % 10).cast("double").as("x"),
+        floor((col("l_suppkey") % 100) / 10).cast("double").as("y"))
+        .withColumn("d", sqrt(
+          pow(col("x") - (col("mac") % 10).cast("double"), 2) +
+          pow(col("y") - ((col("mac") * 7) % 10).cast("double"), 2)))
+      LivingArea.modalLocation(obs).orderBy("mac")
+    }),
+
+    // ---- S2/P2/F1-F8 end-to-end: binary 802.11 frames built from events,
+    //      parsed by the schema-on-read frame parser; the oracle predicts
+    //      every decoded field directly from the event columns ----
+    "s2_frame_parse" -> ((s, d) => {
+      val e = ev(s, d)
+      val hexFrame = concat(
+        lit("00" * 19),                                        // bytes 0-18
+        format_string("%04X", lit(2412) + (col("event_id") % 13) * 5), // 19-20 freq BE
+        lit("00"),                                             // 21
+        format_string("%02X", lit(165) + (col("event_id") % 30)),      // 22 rssi raw
+        lit("00"),                                             // 23 proto (none)
+        lit("0000"),                                           // 24-25
+        lit("40"),                                             // 26 subtype probe-req
+        lit("00" * 3),                                         // 27-29
+        lit("FF" * 6),                                         // 30-35 dest broadcast
+        format_string("%012X", col("user_id")),                // 36-41 src MAC
+        lit("00" * 19),                                        // 42-60
+        format_string("%02X", length(col("event_type"))),      // 61 ssid len
+        upper(hex(encode(col("event_type"), "US-ASCII"))))     // 62.. ssid
+      val frames = e.select(col("ts"), col("event_id").as("sensorId"),
+        unhex(hexFrame).as("bytes"))
+      graft.operators.FrameParser.parse(frames)
+        .select(col("sensorId").as("event_id"), col("mac"), col("ssid"),
+          col("rssi").cast("long").as("rssi"), col("freq").cast("long").as("freq"),
+          col("dist"), col("valid"))
+        .orderBy("event_id")
     }),
 
     // ---- W1: ranking — latest sighting per key ----
@@ -475,7 +517,8 @@ object SparkEntry {
 
     "j4_anti_join" ->
       """SELECT p_partkey, p_name FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity >= 45)
         |ORDER BY p_partkey""".stripMargin,
 
     "j5_interval_join" ->
@@ -552,6 +595,50 @@ object SparkEntry {
         |FROM a
         |WHERE n_sensors >= 3 AND abs(m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)) > 1e-9
         |ORDER BY mac""".stripMargin,
+
+    "living_area" -> {
+      val det = "m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)"
+      val detX = "v1 * (m22*m33 - m23*m23) - m12 * (v2*m33 - m23*v3) + m13 * (v2*m23 - m22*v3)"
+      val detY = "m11 * (v2*m33 - m23*v3) - v1 * (m12*m33 - m23*m13) + m13 * (m12*v3 - v2*m13)"
+      s"""WITH obs AS (
+         |  SELECT l_orderkey % 50 AS mac, month(l_shipdate) AS bucket,
+         |         (l_suppkey % 10)::DOUBLE AS x,
+         |         floor((l_suppkey % 100) / 10)::DOUBLE AS y,
+         |         sqrt(pow((l_suppkey % 10)::DOUBLE - ((l_orderkey % 50) % 10)::DOUBLE, 2)
+         |            + pow(floor((l_suppkey % 100) / 10)::DOUBLE - (((l_orderkey % 50) * 7) % 10)::DOUBLE, 2)) AS d
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT mac, bucket, count(DISTINCT (x, y)) AS n_sensors,
+         |    sum((x * -2.0) * (x * -2.0)) AS m11, sum((x * -2.0) * (y * -2.0)) AS m12,
+         |    sum(x * -2.0) AS m13, sum((y * -2.0) * (y * -2.0)) AS m22,
+         |    sum(y * -2.0) AS m23, count(*)::DOUBLE AS m33,
+         |    sum((x * -2.0) * (d*d - x*x - y*y)) AS v1,
+         |    sum((y * -2.0) * (d*d - x*x - y*y)) AS v2,
+         |    sum(d*d - x*x - y*y) AS v3
+         |  FROM obs GROUP BY mac, bucket),
+         |e AS (
+         |  SELECT mac, round(($detX) / ($det), 3) + 0.0 AS est_x,
+         |         round(($detY) / ($det), 3) + 0.0 AS est_y
+         |  FROM a WHERE n_sensors >= 3 AND abs($det) > 1e-9),
+         |c AS (SELECT mac, round(est_x, 0) + 0.0 AS cx, round(est_y, 0) + 0.0 AS cy,
+         |             count(*) AS n_buckets
+         |      FROM e GROUP BY 1, 2, 3),
+         |r AS (SELECT mac, cx, cy, n_buckets,
+         |        row_number() OVER (PARTITION BY mac ORDER BY n_buckets DESC, cx, cy) AS rn
+         |      FROM c)
+         |SELECT mac, cx AS home_x, cy AS home_y, n_buckets FROM r WHERE rn = 1 ORDER BY mac""".stripMargin
+    },
+
+    "s2_frame_parse" ->
+      """SELECT event_id,
+        | printf('%012X', user_id) AS mac,
+        | event_type AS ssid,
+        | (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        | (2412 + (event_id % 13) * 5)::BIGINT AS freq,
+        | round(pow(10.0, (27.55 - 20.0 * log10((2412 + (event_id % 13) * 5)::DOUBLE)
+        |   + abs(165 + event_id % 30 - 255)) / 20.0), 2) AS dist,
+        | TRUE AS valid
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "w1_latest_per_key" ->
       """SELECT user_id, event_id, event_type FROM (
