@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-quality regression tests (SURVEY.md §4): the physical plans the
+  * engine relies on at scale — pushdown reaching the parquet scan,
+  * column pruning, map-side partial aggregation, broadcast join
+  * selection, top-k without a full sort — asserted structurally so a
+  * refactor can't silently regress them. */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q1: filter pushed to scan, columns pruned, partial agg map-side") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "scan should prune unused columns")
+    assert(p.contains("partial_sum"), "aggregation must have a map-side partial phase")
+  }
+
+  test("p6: range predicates pushed into the parquet scan") {
+    val p = plan("p6_range_filter")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(p.contains("LessThanOrEqual(l_quantity,5"))
+  }
+
+  test("j1: small dimensions broadcast, never shuffled") {
+    val p = plan("j1_broadcast_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("o2: top-k runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan("o2_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "limit+orderBy must not range-shuffle the whole table")
+  }
+
+  test("l2f: all-pairs cosine = broadcast nested loop with partitioned probe") {
+    val p = plan("l2f_embedding_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("l3: query side broadcast against the corpus scan") {
+    val p = plan("l3_cosine_topk")
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("no query plan ever degenerates to a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"), name)
+    }
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    // the sketch projection must sit in a codegen'd stage (an expression
+    // without doGenCode would force the stage out of codegen entirely)
+    val p = plan("l2d_simhash")
+    assert(p.contains("graft_simhash60"))
+    // AQE wraps the plan and reports 0 subtrees before execution, so
+    // inspect the codegen output with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val gen =
+      try SparkEntry.queries("l2d_simhash")(spark, sf)
+        .queryExecution.explainString(ExplainMode.fromString("codegen"))
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!gen.contains("Found 0 WholeStageCodegen"), "no codegen stages found")
+    assert(gen.contains("SimHash60Expr.compute"),
+      "generated code must inline the native sketch call")
+  }
+}
