@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Testdata/table access layer. Every reader is a plain parquet scan so
   * Catalyst predicate pushdown, column pruning, and partition pruning
   * apply unchanged. At fleet scale the fact table would be written
-  * partitioned by (date, sensor) — see `graft.operators.ObsPipeline`.
+  * partitioned by (date, sensor) — see `graft.streaming.IngestPipeline`.
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =

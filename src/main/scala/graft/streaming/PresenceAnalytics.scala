@@ -63,4 +63,14 @@ object PresenceAnalytics {
     obs.groupBy(col("mac"))
       .agg(count(lit(1)).as("n_obs"), max(col("ts")).as("last_seen"),
         min(col("dist")).as("nearest_m"))
+
+  /** S6/P6 — settings-driven distance filter ("Add distance filtering
+    * based on settings" + remote-admin settings channel,
+    * ssidentity.c:29-31): per-sensor max-range settings enter as a
+    * broadcast stream-static join; re-reading the settings table per
+    * micro-batch picks up remote edits without restarting the query. */
+  def distanceFiltered(obs: DataFrame, settings: DataFrame): DataFrame =
+    obs.join(broadcast(settings), Seq("sensorId"))
+      .filter(col("dist") <= col("max_dist_m"))
+      .select(obs.columns.map(col).toSeq: _*)
 }

@@ -168,6 +168,25 @@ class StreamingSpec extends SparkTestBase {
     assert(state.lastSeen == ts("2026-01-01 12:00:00").getTime)
   }
 
+  test("S6 settings-driven distance filter re-reads per micro-batch") {
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val obs = in.toDF().toDF("ts", "sensorId", "dist")
+    val settings = Seq((1L, 100.0), (2L, 300.0)).toDF("sensorId", "max_dist_m")
+    val q = PresenceAnalytics.distanceFiltered(obs, settings)
+      .writeStream.format("memory").queryName("s6_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts("2026-01-01 10:00:00"), 1L, 50.0),    // kept (<=100)
+        (ts("2026-01-01 10:01:00"), 1L, 150.0),            // dropped
+        (ts("2026-01-01 10:02:00"), 2L, 150.0),            // kept (<=300)
+        (ts("2026-01-01 10:03:00"), 3L, 1.0))              // no settings row -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("s6_out").orderBy("ts").collect()
+      assert(rows.map(_.getAs[Double]("dist")).toSeq == Seq(50.0, 150.0))
+      assert(rows.map(r => r.getAs[Long]("sensorId")).toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("J3 watchlist: stream x broadcast static semi join") {
     val in = MemoryStream[(Timestamp, String)]
     val obs = in.toDF().toDF("ts", "mac")
