@@ -193,20 +193,18 @@ object SparkEntry {
     //      every decoded field directly from the event columns ----
     "s2_frame_parse" -> ((s, d) => {
       val e = ev(s, d)
-      val hexFrame = concat(
-        lit("00" * 19),                                        // bytes 0-18
-        format_string("%04X", lit(2412) + (col("event_id") % 13) * 5), // 19-20 freq BE
-        lit("00"),                                             // 21
-        format_string("%02X", lit(165) + (col("event_id") % 30)),      // 22 rssi raw
-        lit("00"),                                             // 23 proto (none)
-        lit("0000"),                                           // 24-25
-        lit("40"),                                             // 26 subtype probe-req
-        lit("00" * 3),                                         // 27-29
-        lit("FF" * 6),                                         // 30-35 dest broadcast
-        format_string("%012X", col("user_id")),                // 36-41 src MAC
-        lit("00" * 19),                                        // 42-60
-        format_string("%02X", length(col("event_type"))),      // 61 ssid len
-        upper(hex(encode(col("event_type"), "US-ASCII"))))     // 62.. ssid
+      // layout per ssidentity.h:36-42 (0-based bytes): zeros 0-18,
+      // freq BE 19-20, zero 21, rssi raw 22, proto 23, zeros 24-25,
+      // subtype 0x40 at 26, zeros 27-29, broadcast dest 30-35,
+      // src MAC 36-41, zeros 42-60, ssid len 61, ssid bytes 62+
+      val hexFrame = format_string(
+        ("0" * 38) + "%04X" + "00" + "%02X" + "00" + "0000" + "40" +
+          "000000" + "FFFFFFFFFFFF" + "%012X" + ("0" * 38) + "%02X" + "%s",
+        lit(2412) + (col("event_id") % 13) * 5,
+        lit(165) + (col("event_id") % 30),
+        col("user_id"),
+        length(col("event_type")),
+        upper(hex(encode(col("event_type"), "US-ASCII"))))
       val frames = e.select(col("ts"), col("event_id").as("sensorId"),
         unhex(hexFrame).as("bytes"))
       graft.operators.FrameParser.parse(frames)

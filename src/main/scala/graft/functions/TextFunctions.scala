@@ -19,11 +19,16 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
-  /** A BPE-ish subword count estimate: words + punctuation runs counted
+  /** Count of ASCII-punctuation characters — ONE regex pass (the
+    * split-per-char + per-char rlike formulation ran a regex per
+    * character). Class matches the DuckDB twin's '[!-/:-@\[-`{-~]'. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  /** A BPE-ish subword count estimate: words + punctuation chars counted
     * separately (a cheap stand-in for a real tokenizer's fertility). */
   def subwordCountEstimate(text: Column): Column =
-    tokenCount(text) +
-      size(filter(split(text, ""), c => c.rlike("^[\\p{Punct}]$")))
+    tokenCount(text) + punctCount(text)
 
   /** Character k-shingles of the lowercased text (overlapping substrings
     * of length k) — the MinHash/Jaccard unit. Distinct set; empty array
@@ -164,8 +169,7 @@ object TextFunctions {
   /** Ratio of punctuation chars to total chars (0 for empty). */
   def punctRatio(text: Column): Column = {
     val n = length(text).cast("double")
-    when(n === 0.0, lit(0.0)).otherwise(
-      size(filter(split(text, ""), c => c.rlike("^[\\p{Punct}]$"))).cast("double") / n)
+    when(n === 0.0, lit(0.0)).otherwise(punctCount(text).cast("double") / n)
   }
 
   /** Mean token length in characters (0 for empty). */

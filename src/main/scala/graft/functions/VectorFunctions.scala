@@ -36,23 +36,14 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH bucket id: sign-bit signature of the vector
     * against `bits` fixed pseudo-random hyperplanes. The hyperplanes are
-    * a deterministic function of (bit, dim) via a splitmix-style integer
-    * mix, so executors need no broadcast and the oracle can reproduce it.
+    * a deterministic xorshift mix of (bit, dim), so executors need no
+    * broadcast. Native expression: the Column fold built a bits×dim
+    * (~512-node) tree that cost seconds of Janino compile time per plan.
     */
-  def rhpBucket(v: Column, bits: Int, dim: Int): Column = {
-    // hyperplane component h(b,d) in [-1,1): derived from a fixed LCG
-    def comp(b: Int, d: Int): Double = {
-      var x = (b.toLong * 1315423911L + d.toLong * 2654435761L + 104729L)
-      x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
-      (x % 1000003L).toDouble / 1000003.0
-    }
-    (0 until bits).foldLeft(lit(0)) { (acc, b) =>
-      val proj = (0 until dim).foldLeft(lit(0.0)) { (s, d) =>
-        s + element_at(v, d + 1).cast("double") * lit(comp(b, d))
-      }
-      acc + when(proj > 0.0, lit(1 << b)).otherwise(lit(0))
-    }
-  }
+  def rhpBucket(v: Column, bits: Int, dim: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.RhpBucketExpr(
+        org.apache.spark.sql.graft.Bridge.expression(v), bits, dim))
 
   /** IVF-style coarse bucket: argmin centroid by a cheap deterministic
     * projection — here, sign pattern of the first `bits` dimensions.

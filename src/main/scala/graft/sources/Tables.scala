@@ -25,7 +25,9 @@ object Tables {
     * comparisons stay exact. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
+    // spread BEFORE the ts conversion so the per-row work parallelizes
+    // (the single-row-group scan itself is irreducibly one task)
+    spread(spark, apply(spark, dir, "events"))
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }
   /** documents/embeddings feed CPU-bound pipelines (shingling, MinHash,

@@ -3,7 +3,6 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratch probe — not part of the library surface. */
 object Probe {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
@@ -20,24 +19,24 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val docs = graft.sources.Tables.documents(spark, sf)
-    import graft.functions.TextFunctions._
-    import graft.operators.Dedup
-
     def force(df: org.apache.spark.sql.DataFrame): String = {
       df.write.format("noop").mode("overwrite").save(); "forced"
     }
-    val sk = Dedup.simHashSketches(docs)
-    time("simhash sketches")(force(sk))
-    time("simhash pairs")(Dedup.simHashNearDups(docs, maxHamming = 3).count())
-    time("ngram jaccard pairs")(Dedup.ngramJaccardPairs(docs, "source", 3, 0.2).count())
-    time("minhash near dups")(Dedup.minHashNearDups(docs, threshold = 0.5).count())
-    val emb = graft.sources.Tables.embeddings(spark, sf)
-    time("embedding near dups")(Dedup.embeddingNearDups(emb, 0.4).count())
-    time("l3 brute topk")(graft.operators.Similarity.bruteForceTopK(
-      emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 3).count())
-    time("l3 lsh topk")(graft.operators.Similarity.lshTopK(
-      emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 3).count())
+    val e = graft.sources.Tables.events(spark, sf)
+    val hexFrame = format_string(
+      ("0" * 38) + "%04X" + "00" + "%02X" + "00" + "0000" + "40" +
+        "000000" + "FFFFFFFFFFFF" + "%012X" + ("0" * 38) + "%02X" + "%s",
+      lit(2412) + (col("event_id") % 13) * 5,
+      lit(165) + (col("event_id") % 30),
+      col("user_id"),
+      length(col("event_type")),
+      upper(hex(encode(col("event_type"), "US-ASCII"))))
+    val frames = e.select(col("ts"), col("event_id").as("sensorId"), unhex(hexFrame).as("bytes"))
+    time("events scan")(force(e.select("ts", "event_id", "user_id", "event_type")))
+    time("frame build")(force(frames))
+    val parsed = graft.operators.FrameParser.parse(frames)
+    time("build+parse")(force(parsed))
+    time("full query with sort")(force(graft.SparkEntry.queries("s2_frame_parse")(spark, sf)))
     spark.stop()
   }
 }

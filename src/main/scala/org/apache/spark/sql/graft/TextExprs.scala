@@ -259,3 +259,57 @@ object XxMinHashSigExpr {
         mins.map(Long.box(_): Any))
   }
 }
+
+/** Random-hyperplane LSH bucket id over array<float> — native loop.
+  * The Column formulation folded bits×dim element_at/when nodes into one
+  * ~512-node expression tree: Janino spends seconds compiling it and the
+  * result overflows inlining budgets. Hyperplane component (b,d) is a
+  * fixed xorshift mix of the indices — deterministic everywhere, no
+  * broadcast needed (identical to VectorFunctions.rhpBucket's original
+  * definition).
+  */
+case class RhpBucketExpr(child: Expression, bits: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_rhp_bucket"
+
+  protected override def nullSafeEval(input: Any): Any =
+    RhpBucketExpr.compute(input.asInstanceOf[ArrayData], bits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.RhpBucketExpr.compute($c, $bits, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RhpBucketExpr {
+  /** Hyperplane component in [-1, 1): xorshift mix of (bit, dim). */
+  def comp(b: Int, d: Int): Double = {
+    var x = b.toLong * 1315423911L + d.toLong * 2654435761L + 104729L
+    x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
+    (x % 1000003L).toDouble / 1000003.0
+  }
+
+  def compute(arr: ArrayData, bits: Int, dim: Int): Int = {
+    val n = math.min(arr.numElements(), dim)
+    var bucket = 0
+    var b = 0
+    while (b < bits) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        if (!arr.isNullAt(d)) proj += arr.getFloat(d).toDouble * comp(b, d)
+        d += 1
+      }
+      if (proj > 0.0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+}
