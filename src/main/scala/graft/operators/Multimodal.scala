@@ -62,4 +62,43 @@ object Multimodal {
   def mediaFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(spark, asMediaTable(docs)).toDF()
       .orderBy("doc_id")
+
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+      width: Int, height: Int, payload: Array[Byte])
+  final case class FrameSample(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Resize stub: real impl would decode + scale; the stub downsamples
+    * the payload bytes to the target "pixel" budget deterministically.
+    * Map-only batched-per-partition, like every codec step — payload
+    * bytes never shuffle. */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val budget = math.max(1, w * h)
+        val step = math.max(1, r.payload.length / budget)
+        val out = r.payload.indices.by(step).take(budget)
+          .map(r.payload).toArray
+        ResizedMedia(r.doc_id, r.media_type, w, h, out)
+      })
+  }
+
+  /** Frame-sample stub for video payloads: every `stride`-th fixed-size
+    * chunk of the payload stands in for a decoded frame. One input row
+    * fans out to ≤ maxFrames slim rows — the explode happens AFTER the
+    * (stubbed) decode so only sampled frames ever materialize. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 64, stride: Int = 4, maxFrames: Int = 8): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .filter(_.media_type == "video")
+      .mapPartitions(_.flatMap { r =>
+        val nChunks = math.max(1, r.payload.length / math.max(1, frameBytes))
+        (0 until nChunks by stride).take(maxFrames).iterator.map { i =>
+          val from = i * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          FrameSample(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      })
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** L5 — multimodal plumbing: schema, batch shape, fan-out. The codec is
+  * a documented stub; what's tested is the Spark-side contract. */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "an image document with some payload text"),
+    (1L, "an audio document"),
+    (2L, "a video document whose bytes get frame-sampled into chunks " * 4),
+    (3L, "another image"),
+    (5L, "one more video document with a long enough payload body " * 6))
+    .toDF("doc_id", "text")
+
+  test("media table: binary payload + typed metadata, type from id") {
+    val m = Multimodal.asMediaTable(docs)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val types = m.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("media_type")).toMap
+    assert(types(0L) == "image" && types(1L) == "audio" && types(2L) == "video")
+  }
+
+  test("feature extraction is deterministic, map-only, full coverage") {
+    val f = Multimodal.mediaFeatures(spark, docs).collect()
+    assert(f.length == 5)
+    val byId = f.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Int]("n_bytes") == "an audio document".length)
+    assert(byId.values.forall(r => r.getAs[Double]("mean_luma") > 0))
+    // deterministic: same input -> identical features
+    val again = Multimodal.mediaFeatures(spark, docs).collect()
+    assert(f.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("resize: payload shrunk to the pixel budget, metadata carried") {
+    val r = Multimodal.resize(spark, Multimodal.asMediaTable(docs), 4, 4).collect()
+    assert(r.length == 5)
+    r.foreach { m =>
+      assert(m.width == 4 && m.height == 4)
+      assert(m.payload.length <= 16)
+    }
+  }
+
+  test("frame sampling: video-only fan-out, bounded frames, slim rows") {
+    val fs = Multimodal.sampleFrames(spark, Multimodal.asMediaTable(docs),
+      frameBytes = 16, stride = 2, maxFrames = 4).collect()
+    assert(fs.nonEmpty)
+    assert(fs.map(_.doc_id).toSet == Set(2L, 5L))
+    fs.groupBy(_.doc_id).foreach { case (_, frames) =>
+      assert(frames.length <= 4)
+      assert(frames.forall(_.payload.length <= 16))
+      assert(frames.map(_.frame_idx).distinct.length == frames.length)
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.SignalFunctions
+
+/** S4/ST8 file sinks (exactly-once parquet, partitioned fact table) and
+  * the remaining SURVEY §5.2 property checks (F3/F4 MAC bijection, A2
+  * HLL sketch bounds). */
+class SinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private implicit def sqlCtx = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("S4: streaming parquet sink appends a (obs_date, sensorId)-partitioned table") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val obs = in.toDF().toDF("ts", "mac", "sensorId")
+    val q = graft.streaming.IngestPipeline.toParquet(
+      obs, s"$dir/obs", s"$dir/ckpt").start()
+    try {
+      in.addData((ts("2026-01-01 10:00:00"), "A", 1L),
+        (ts("2026-01-02 11:00:00"), "B", 2L))
+      q.processAllAvailable()
+      in.addData((ts("2026-01-01 12:00:00"), "C", 1L))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/obs")
+      assert(back.count() == 3)
+      // partition pruning: reading one (date, sensor) touches one dir
+      val pruned = back.filter(col("obs_date") === "2026-01-01" && col("sensorId") === 1)
+      assert(pruned.count() == 2)
+      val dirs = new java.io.File(s"$dir/obs").listFiles().filter(_.isDirectory)
+        .map(_.getName).filterNot(_ == "_spark_metadata")  // the sink's commit log
+      assert(dirs.toSet == Set("obs_date=2026-01-01", "obs_date=2026-01-02"))
+    } finally q.stop()
+  }
+
+  test("ST8: foreachBatch fan-out writes the table exactly once per batch") {
+    val dir = Files.createTempDirectory("graft_fanout").toString
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val obs = in.toDF().toDF("ts", "mac", "sensorId")
+    val q = graft.streaming.IngestPipeline.fanOut(
+      obs, s"$dir/obs", s"$dir/ckpt").start()
+    try {
+      in.addData((ts("2026-01-01 10:00:00"), "A", 1L))
+      q.processAllAvailable()
+      in.addData((ts("2026-01-01 10:01:00"), "A", 1L),
+        (ts("2026-01-01 10:02:00"), "B", 1L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/obs").count() == 3)
+    } finally q.stop()
+  }
+
+  test("F3/F4: MAC pack -> format -> parse is a bijection on 48-bit values") {
+    val macs = {
+      val params = Gen.Parameters.default
+      Iterator.iterate(Seed(99L))(_.next)
+        .map(s => Gen.chooseNum(0L, (1L << 48) - 1).apply(params, s))
+        .collect { case Some(v) => v }.take(60).toList
+    }
+    val rows = macs.toDF("mac_u64")
+      .select(col("mac_u64"), SignalFunctions.formatMac(col("mac_u64")).as("hex"))
+      .withColumn("rt", conv(col("hex"), 16, 10).cast("long"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("hex").length == 12)
+      assert(r.getAs[String]("hex").toUpperCase == r.getAs[String]("hex"))
+      assert(r.getAs[Long]("rt") == r.getAs[Long]("mac_u64"))
+    }
+  }
+
+  test("A2: approx_count_distinct stays within its error bound vs exact") {
+    val df = (1 to 20000).map(i => ("k" + (i % 7), i % 2000)).toDF("k", "v")
+    val rows = df.groupBy("k")
+      .agg(countDistinct("v").as("exact"),
+        approx_count_distinct("v", 0.05).as("approx"))
+      .collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact").toDouble
+      val approx = r.getAs[Long]("approx").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"approx $approx vs exact $exact")
+    }
+  }
+}
