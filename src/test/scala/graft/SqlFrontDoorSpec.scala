@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SURVEY §3.2 — SQL text and the DataFrame DSL hit the same engine:
+  * a session with GraftExtensions resolves the native functions from
+  * plain SQL and returns values identical to the Column API. */
+class SqlFrontDoorSpec extends SparkTestBase {
+
+  private lazy val sqlSpark: SparkSession = {
+    // getOrCreate would silently return the suite's shared session and
+    // drop the extensions; clearing active/default forces a NEW session
+    // (reusing the JVM's SparkContext) with GraftExtensions applied
+    SparkTestBase.session  // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-sql-front-door")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("native expressions resolve from SQL text with identical values") {
+    val s = sqlSpark
+    import s.implicits._
+    Seq((Seq(1f, 2f, 3f), Seq(2f, 4f, 6f), Seq("a", "b"), Seq(1L, 2L, 5L), Seq(2L, 5L, 9L)))
+      .toDF("va", "vb", "toks", "sa", "sb")
+      .createOrReplaceTempView("t")
+    val r = s.sql(
+      """SELECT graft_cosine(va, vb) AS cos, graft_dot(va, vb) AS dot,
+        |  graft_simhash60(toks) AS sh,
+        |  graft_sorted_intersect_count(sa, sb) AS ic,
+        |  graft_minhash_md5(toks, 4) AS mh,
+        |  graft_rhp_bucket(va, 4, 3) AS bk
+        |FROM t""".stripMargin).collect()(0)
+    assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("dot") == 28.0)
+    assert(r.getAs[Long]("ic") == 2L)  // {2, 5}
+    // values agree with the Column API on the same session
+    import graft.functions.TextFunctions
+    import graft.functions.expressions.VectorExpressions
+    val viaDsl = s.table("t").select(
+      VectorExpressions.dotProduct($"va", $"vb"),
+      TextFunctions.simHash60($"toks"),
+      TextFunctions.minHashSignature($"toks", 4)).collect()(0)
+    assert(viaDsl.getDouble(0) == r.getAs[Double]("dot"))
+    assert(viaDsl.getLong(1) == r.getAs[Long]("sh"))
+    assert(viaDsl.getSeq[Long](2) == r.getSeq[Long](4))
+  }
+}
