@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (SURVEY §4 / 100 TB posture). Probe-request data is
+  * power-law by nature — a mall sensor hears 1000× the devices of a
+  * lamppost, one chatty MAC floods its key — so the wide shuffles behind
+  * A1/A2/J1-style operators need a plan for hot keys. AQE's skew-join
+  * handling covers sort-merge joins at runtime; these utilities cover
+  * the aggregation side and broadcast-averse joins deterministically.
+  */
+object Skew {
+
+  /** Two-phase (salted) aggregation: count per key without any single
+    * reducer owning a hot key. Phase 1 groups on (key, salt) — the hot
+    * key's rows spread over `buckets` reducers and partial-aggregate
+    * map-side; phase 2 sums the per-salt partials. Result is exactly
+    * groupBy(key).count(). */
+  def saltedCount(df: DataFrame, key: String, buckets: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as("n"))
+
+  /** Salted distinct-count: exact countDistinct(valueCol) per key under
+    * skew. Phase 1 dedups (key, value) pairs spread by value hash —
+    * a hot KEY no longer serializes on one reducer because the shuffle
+    * key is (key, value-hash-salt); phase 2 counts survivors. */
+  def saltedCountDistinct(df: DataFrame, key: String, valueCol: String,
+      buckets: Int = 16): DataFrame =
+    df.select(col(key), col(valueCol))
+      .withColumn("_salt", pmod(xxhash64(col(valueCol)), lit(buckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(collect_set(col(valueCol)).as("_vals"))
+      .groupBy(col(key))
+      .agg(sum(size(col("_vals"))).cast("long").as("n_distinct"))
+
+  /** Salted join for a skewed LEFT side against a small-ish right side
+    * that is still too big (or unwanted) to broadcast: left rows get a
+    * random salt in [0, buckets), the right side is replicated once per
+    * salt value, and the join key becomes (key, salt) — a hot left key
+    * now spreads across `buckets` reducers. Row-for-row identical to
+    * the unsalted inner join. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int = 8): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val replicatedRight = right.crossJoin(
+      spark_range(right.sparkSession, buckets).toDF("_salt"))
+    saltedLeft.join(replicatedRight,
+        saltedLeft(key) === replicatedRight(key) &&
+          saltedLeft("_salt") === replicatedRight("_salt"))
+      .drop(replicatedRight(key))
+      .drop(saltedLeft("_salt")).drop(replicatedRight("_salt"))
+  }
+
+  private def spark_range(spark: org.apache.spark.sql.SparkSession, n: Int) =
+    spark.range(n)
+}

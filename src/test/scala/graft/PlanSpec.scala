@@ -36,7 +36,7 @@ class PlanSpec extends SparkTestBase {
   test("o2: top-k runs as TakeOrderedAndProject, not a global sort") {
     val p = plan("o2_topk")
     assert(p.contains("TakeOrderedAndProject"))
-    assert(!p.contains("Exchange rangepartitioning"),
+    assert(!p.contains("rangepartitioning"),
       "limit+orderBy must not range-shuffle the whole table")
   }
 

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Skew utilities: results must be EXACTLY those of the plain
+  * formulations on a power-law keyed dataset (one key owning ~90% of
+  * rows), while the salted plans spread the hot key over many reducers. */
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // hot key "whale" ~ 9000 rows; 50 cold keys share 1000
+  private lazy val skewed = ((1 to 9000).map(i => ("whale", i % 400)) ++
+    (1 to 1000).map(i => ("k" + (i % 50), i % 37)))
+    .toDF("mac", "ssid_id")
+
+  test("saltedCount == plain groupBy count") {
+    val plain = skewed.groupBy("mac").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(skewed, "mac")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(plain("whale") == 9000L)
+  }
+
+  test("saltedCountDistinct == plain countDistinct") {
+    val plain = skewed.groupBy("mac").agg(countDistinct("ssid_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCountDistinct(skewed, "mac", "ssid_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(plain("whale") == 400L)
+  }
+
+  test("saltedJoin == plain inner join, row for row") {
+    val dim = (Seq("whale") ++ (0 until 50).map("k" + _)).zipWithIndex
+      .map { case (m, i) => (m, s"label$i") }.toDF("mac", "label")
+    val plain = skewed.join(dim, "mac")
+      .groupBy("mac", "label").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val salted = Skew.saltedJoin(skewed, dim, "mac")
+      .groupBy("mac", "label").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted aggregation really spreads the hot key across reducers") {
+    // phase-1 output must contain multiple (whale, salt) groups
+    val phase1Groups = skewed.withColumn("_salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(16)))
+      .groupBy("mac", "_salt").count()
+      .filter($"mac" === "whale").count()
+    assert(phase1Groups > 4, s"hot key only hit $phase1Groups salt buckets")
+  }
+}
