@@ -437,6 +437,15 @@ object SparkEntry {
         .orderBy(col("qid"), col("sim").desc, col("cid"))
     }),
 
+    // L3: IVF (learned coarse quantizer) ANN — approximate → rows-only +
+    // recall-vs-brute-force ScalaTest.
+    "l3c_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.SimilarityIvf.ivfTopK(e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") >= 5), k = 3)
+        .orderBy(col("qid"), col("sim").desc, col("cid"))
+    }),
+
     // ---- L4: token statistics ----
     "l4_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d))

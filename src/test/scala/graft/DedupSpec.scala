@@ -107,4 +107,20 @@ class DedupSpec extends SparkTestBase {
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
+
+  test("L3 IVF top-k recall vs brute force") {
+    val emb = (0 until 60).map { i =>
+      val angle = (i % 6) * 1.1 + i * 0.002
+      (i.toLong, Seq.tabulate(16)(d => math.cos(angle * (d + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 6)
+    val c = emb.filter(col("vec_id") >= 6)
+    val brute = Similarity.bruteForceTopK(q, c, 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val ivf = graft.operators.SimilarityIvf.ivfTopK(q, c, 3, nlist = 6, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(brute.size == 18)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
 }
