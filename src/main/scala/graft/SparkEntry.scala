@@ -379,10 +379,18 @@ object SparkEntry {
       .orderBy("user_id", "session_start")),
 
     // ---- domain: MAC↔SSID network tree (ssidentity.c:36) ----
-    "net_tree_edges" -> ((s, d) => ev(s, d)
-      .groupBy(col("user_id").as("mac"), col("event_type").as("ssid"))
-      .agg(count(lit(1)).as("weight"))
-      .orderBy("mac", "ssid")),
+    "net_tree_edges" -> ((s, d) =>
+      graft.operators.NetworkTree.edges(
+          ev(s, d).select(col("user_id").as("mac"), col("event_type").as("ssid")))
+        .orderBy("mac", "ssid")),
+
+    // ---- domain: device adjacency ("Interests" top SSIDs per device) ----
+    "net_tree_adjacency" -> ((s, d) =>
+      graft.operators.NetworkTree.deviceAdjacency(
+          ev(s, d).select(col("user_id").as("mac"), col("event_type").as("ssid")))
+        .select(col("mac"), col("degree"),
+          concat_ws(",", col("ssids")).as("ssids_csv"))
+        .orderBy("mac")),
 
     // ---- L1: exact dedup ----
     "l1_exact_dedup" -> ((s, d) =>
@@ -764,6 +772,17 @@ object SparkEntry {
     "net_tree_edges" ->
       """SELECT user_id AS mac, event_type AS ssid, count(*) AS weight
         |FROM events GROUP BY mac, ssid ORDER BY mac, ssid""".stripMargin,
+
+    "net_tree_adjacency" ->
+      """WITH e AS (SELECT user_id AS mac, event_type AS ssid, count(*) AS weight
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT mac, ssid,
+        |        row_number() OVER (PARTITION BY mac ORDER BY weight DESC, ssid) AS rn,
+        |        count(*) OVER (PARTITION BY mac) AS deg
+        |      FROM e)
+        |SELECT mac, deg::BIGINT AS degree,
+        |  array_to_string(list(ssid ORDER BY rn), ',') AS ssids_csv
+        |FROM r WHERE rn <= 32 GROUP BY mac, deg ORDER BY mac""".stripMargin,
 
     "l1_exact_dedup" ->
       s"""SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_id FROM (

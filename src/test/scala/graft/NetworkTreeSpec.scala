@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.NetworkTree
+
+/** The bipartite device↔SSID graph views over a hand-built topology. */
+class NetworkTreeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // household: A,B share "home"; workplace: B,C share "office";
+  // "hub" is probed by everyone (captive-portal noise)
+  private lazy val obs = Seq(
+    ("A", "home"), ("A", "home"), ("A", "hub"),
+    ("B", "home"), ("B", "office"), ("B", "hub"),
+    ("C", "office"), ("C", "office"), ("C", "office"), ("C", "hub"))
+    .toDF("mac", "ssid")
+
+  test("edges carry sighting weights") {
+    val e = NetworkTree.edges(obs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(e(("A", "home")) == 2 && e(("C", "office")) == 3 && e(("B", "hub")) == 1)
+  }
+
+  test("device adjacency ranks SSIDs by weight, ties lexically, capped") {
+    val adj = NetworkTree.deviceAdjacency(obs, maxDegree = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](2))).toMap
+    assert(adj("A") == ((2L, Seq("home", "hub"))))
+    assert(adj("B") == ((3L, Seq("home", "hub"))))   // all weight 1 -> lexical, capped at 2
+    assert(adj("C") == ((2L, Seq("office", "hub"))))
+  }
+
+  test("ssid adjacency is the transposed view") {
+    val adj = NetworkTree.ssidAdjacency(obs).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(adj("home") == Seq("A", "B"))
+    assert(adj("hub") == Seq("A", "B", "C"))
+  }
+
+  test("co-probe projection links devices via shared SSIDs, hubs excluded") {
+    val pairs = NetworkTree.coProbePairs(obs, maxSsidDegree = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // hub (degree 3) excluded -> A-B via home, B-C via office, no A-C
+    assert(pairs == Map(("A", "B") -> 1L, ("B", "C") -> 1L))
+  }
+}

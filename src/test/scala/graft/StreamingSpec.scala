@@ -77,6 +77,19 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST3 sliding windows: each event lands in width/slide windows") {
+    val obs = Seq((ts("2026-01-01 10:05:00"), "A", -60),
+      (ts("2026-01-01 10:06:00"), "A", -50)).toDF("ts", "mac", "rssi")
+    val got = PresenceAnalytics.slidingCounts(obs, "10 minutes", "1 minute")
+      .orderBy("window_start").collect()
+    // event at 10:05 is in windows starting 09:56..10:05 (10 of them);
+    // both events share 09:57..10:05 (9 windows)
+    assert(got.length == 11)
+    val both = got.filter(_.getAs[Long]("n") == 2)
+    assert(both.length == 9)
+    assert(both.forall(_.getAs[Int]("peak_rssi") == -50))
+  }
+
   test("ST4 session windows: batch plan == hand-computed dwell sessions") {
     // batch/stream share the plan; assert the batch semantics precisely
     val obs = Seq(
