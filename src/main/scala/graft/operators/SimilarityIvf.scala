@@ -1,8 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,40 +13,87 @@ import graft.functions.expressions.VectorExpressions
   * (Similarity.lshTopK): IVF adapts to the data distribution (learned
   * centroids) where RHP-LSH is oblivious and needs no training pass.
   *
+  * Training runs Lloyd's algorithm on a bounded driver-side sample —
+  * the FAISS-style recipe: a coarse quantizer needs thousands of
+  * points, not the corpus, and the model is nlist×dim floats
+  * (kilobytes). Per-iteration Spark jobs (the MLlib route) cost more
+  * in scheduling than this entire training does. Assignment is a
+  * codegen'd nearest-centroid expression — map-only over the corpus,
+  * no shuffle of embeddings.
+  *
   * Plan shape at scale: train once on a sample, write the corpus
   * partitioned/bucketed by `cell` (one-time shuffle), then every query
-  * batch is a broadcast of (query, probe-cell) pairs against a
-  * cell-pruned scan — the corpus embeddings never move. Centroids are
-  * a tiny local model (nlist × dim floats) broadcast by Spark ML.
+  * batch broadcasts (query, probe-cell) pairs against a cell-pruned
+  * scan — corpus embeddings never move at query time.
   */
 object SimilarityIvf {
 
-  /** Assign every row of `emb(vec_id, embedding)` to its coarse cell. */
-  def assignCells(emb: DataFrame, nlist: Int, seed: Long = 42L): (DataFrame, Array[Vector]) = {
-    val withVec = emb.withColumn("_v", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("_v").setPredictionCol("cell")
-      .fit(withVec)
-    (model.transform(withVec).drop("_v"), model.clusterCenters)
+  /** Deterministic Lloyd's k-means over a sample of the corpus. */
+  def trainCentroids(emb: DataFrame, nlist: Int, sampleSize: Int = 10000,
+      iters: Int = 10, seed: Long = 42L): Array[Array[Float]] = {
+    val sample = emb.select("embedding").limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    // k-means++-lite init: first centroid random, rest = farthest-point
+    var centroids = Array(sample(rnd.nextInt(sample.length)).clone())
+    while (centroids.length < math.min(nlist, sample.length)) {
+      val far = sample.maxBy(p => centroids.map(c => dist2(p, c)).min)
+      centroids :+= far.clone()
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { p =>
+        val cell = nearest(p, centroids)
+        counts(cell) += 1
+        var i = 0
+        while (i < dim) { sums(cell)(i) += p(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    centroids
   }
 
+  private def dist2(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val x = a(i).toDouble - b(i).toDouble; d += x * x; i += 1 }
+    d
+  }
+
+  private def nearest(p: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < cs.length) { val d = dist2(p, cs(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+    best
+  }
+
+  /** Corpus rows with their coarse cell (map-only, codegen'd). */
+  def assignCells(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    emb.withColumn("cell", org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.CellAssignExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("embedding")), centroids)))
+
   /** Approximate cosine top-k: probe the `nprobe` nearest cells per
-    * query (by centroid euclidean distance — the standard IVF coarse
-    * metric), exact-score only those cells' members. */
+    * query, exact-score only those cells' members. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val (cells, centers) = assignCells(candidates, nlist, seed)
+    val centroids = trainCentroids(candidates, nlist, seed = seed)
+    val cells = assignCells(candidates, centroids)
     val spark = candidates.sparkSession
 
-    // tiny centroid table: (cell, center) — crossJoin'd with the query
-    // set (both broadcast-small) to rank probe cells per query
     import spark.implicits._
-    val centroids = centers.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cell", "center")
+    val centroidDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "center")
 
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val probes = q.crossJoin(broadcast(centroids))
+    val probes = q.crossJoin(broadcast(centroidDf))
       .withColumn("_dist",
         VectorExpressions.dotProduct(col("qv"), col("qv")) -
           lit(2.0) * VectorExpressions.dotProduct(col("qv"), col("center")) +

@@ -313,3 +313,53 @@ object RhpBucketExpr {
     bucket
   }
 }
+
+/** Nearest-centroid cell assignment over array<float> — the IVF coarse
+  * quantizer's map side. Centroids are embedded in the expression (a
+  * coarse quantizer is nlist×dim floats — kilobytes), so assignment is
+  * a codegen'd primitive loop with no broadcast machinery or per-row
+  * allocation. */
+case class CellAssignExpr(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_ivf_cell"
+
+  protected override def nullSafeEval(input: Any): Any =
+    CellAssignExpr.compute(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CellAssignExpr.compute($c, $cRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CellAssignExpr {
+  def compute(arr: ArrayData, centroids: Array[Array[Float]]): Int = {
+    val v = arr.toFloatArray()
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      val n = math.min(v.length, ct.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v(i).toDouble - ct(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestDist) { bestDist = d; best = c }
+      c += 1
+    }
+    best
+  }
+}
