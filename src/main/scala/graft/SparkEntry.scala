@@ -92,6 +92,22 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ---- J7: as-of join (custom LogicalPlan+Strategy+SparkPlan —
+    //      sort-merge scan; latest purchase at-or-before each click) ----
+    "j7_asof_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("r_user"), col("ts").as("pts"))
+        .agg(max("event_id").as("purchase_id"))
+      graft.operators.AsOf.join2(clicks, purchases,
+          Seq("user_id"), Seq("r_user"), "ts", "pts", toleranceUs = -1L)
+        .select(col("click_id"), col("purchase_id"),
+          (unix_millis(col("ts")) - unix_millis(col("pts"))).as("gap_ms"))
+        .orderBy("click_id")
+    }),
+
     // ---- J6: outer joins (network-tree completeness) ----
     "j6_left_outer" -> ((s, d) => Tables.nation(s, d)
       .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"), "left_outer")
@@ -542,6 +558,16 @@ object SparkEntry {
         |FROM p LEFT JOIN events e ON e.user_id = p.user_id
         |  AND e.ts >= p.ts - INTERVAL 1 MINUTE AND e.ts <= p.ts AND e.event_id <> p.pid
         |GROUP BY p.pid ORDER BY p.pid""".stripMargin,
+
+    "j7_asof_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS r_user, ts AS pts, max(event_id) AS purchase_id
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.click_id, p.purchase_id,
+        |  epoch_ms(c.ts) - epoch_ms(p.pts) AS gap_ms
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.r_user AND c.ts >= p.pts
+        |ORDER BY c.click_id""".stripMargin,
 
     "j6_left_outer" ->
       """SELECT n_name, count(c_custkey) AS n_customers

@@ -1,26 +1,23 @@
 package graft.tools
+import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
 object Probe {
-  def time[A](label: String)(f: => A): A = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r"); r
-  }
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[1]")
+      .config("spark.sql.shuffle.partitions", "1")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.1"
-    val e = graft.sources.Tables.embeddings(spark, sf)
-    time("warmup count")(e.count())
-    time("train centroids")(graft.operators.SimilarityIvf.trainCentroids(e, 16).length)
-    time("train 2nd")(graft.operators.SimilarityIvf.trainCentroids(e, 16).length)
-    time("full ivfTopK")(graft.operators.SimilarityIvf.ivfTopK(
-      e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 3).count())
-    time("full ivfTopK 2nd")(graft.operators.SimilarityIvf.ivfTopK(
-      e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 3).count())
+    import spark.implicits._
+    def ts(ms: Long) = new Timestamp(1700000000000L + ms)
+    val lDf = Seq((0L, "a", ts(100)), (1L, "a", ts(300)), (2L, "b", ts(200))).toDF("lid", "k", "t")
+    val rDf = Seq((10L, "a", ts(50)), (11L, "a", ts(250)), (12L, "b", ts(150)), (13L, "b", ts(220))).toDF("rv", "rk", "rt")
+    val out = graft.operators.AsOf.join2(lDf, rDf, Seq("k"), Seq("rk"), "t", "rt", -1L)
+    out.show(false)
+    out.explain()
     spark.stop()
   }
 }

@@ -1,0 +1,175 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.classic.Strategy
+
+/** As-of join (J5's general form — "latest right row at or before each
+  * left row's time, per key"): the one operator where composing
+  * built-ins is asymptotically wrong. The compose path (range join +
+  * top-1 window) materializes EVERY (left, right) pair inside the
+  * tolerance before ranking — O(pairs) work and shuffle; on dense
+  * telemetry that is quadratic per key. This operator is the textbook
+  * custom-operator ladder rung (c): logical node + strategy + physical
+  * sort-merge scan, O(n+m) per partition with a single buffered row.
+  *
+  * Semantics: LEFT OUTER; for each left row, the single right row with
+  * equal key, right.time <= left.time, and left.time − right.time <=
+  * tolerance (when tolerance >= 0); latest right row wins, ties broken
+  * by arrival order. NULL keys never match (SQL join semantics).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Long) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Long) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition both sides on the key, like a sort-merge join
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // and sort each partition by (key, time)
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val tol = toleranceUs
+    val nRightCols = right.output.size
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTimeBound = org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(leftTime, org.apache.spark.sql.catalyst.expressions.AttributeSeq(left.output))
+      val rTimeBound = org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(rightTime, org.apache.spark.sql.catalyst.expressions.AttributeSeq(right.output))
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      // bind against NULLABLE right attrs: the projection must emit real
+      // nulls for unmatched rows (binding against the child's
+      // non-nullable attrs would codegen away the null checks and read
+      // 0/garbage from the all-null filler row)
+      val outProj = UnsafeProjection.create(output,
+        left.output ++ right.output.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRightCols)
+
+      new Iterator[InternalRow] {
+        // rRow/rKey are live only until the next advanceRight() (sort
+        // iterators reuse row buffers) — copied only on candidate
+        // assignment, so the merge allocates per MATCH, not per row.
+        // CRITICAL: hasNext is only ever called immediately before
+        // next() — a whole-stage-codegen BufferedRowIterator's hasNext
+        // eagerly computes the following row INTO THE SAME BUFFER, so
+        // calling it while rRow is still live would corrupt the row.
+        private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
+        private var rTime: Long = 0L
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rRow = rIter.next()
+            rKey = rKeyProj(rRow)
+            rTime = rTimeBound.eval(rRow).asInstanceOf[Long]
+          } else { rRow = null }
+
+        // latest qualifying right row for the current key
+        private var candRow: InternalRow = _
+        private var candKey: InternalRow = _
+        private var candTime: Long = 0L
+
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTime = lTimeBound.eval(l).asInstanceOf[Long]
+          // drop the candidate when the key moves on
+          if (candRow != null && keyOrd.compare(candKey, lKey) != 0) {
+            candRow = null
+          }
+          // consume right rows up to (key, time) <= (lKey, lTime)
+          var advancing = true
+          while (advancing && rRow != null) {
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0 || (c == 0 && rTime <= lTime)) {
+              if (c == 0) {
+                candRow = rRow.copy(); candKey = rKey.copy(); candTime = rTime
+              }
+              advanceRight()
+            } else advancing = false
+          }
+          val keyHasNull = (0 until lKey.numFields).exists(lKey.isNullAt)
+          val matched = candRow != null && !keyHasNull &&
+            (tol < 0 || lTime - candTime <= tol)
+          outProj(joined(l, if (matched) candRow else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dataset-level entry (package-internal; public API in graft.operators.AsOf). */
+object AsOfJoinApi {
+  import org.apache.spark.sql.{DataFrame, Column}
+  import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSession}
+
+  def join(left: DataFrame, right: DataFrame,
+      leftKeyCols: Seq[String], rightKeyCols: Seq[String],
+      leftTimeCol: String, rightTimeCol: String, toleranceUs: Long): DataFrame = {
+    val spark = left.sparkSession.asInstanceOf[CSession]
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val node = AsOfJoinPlan(lPlan, rPlan,
+      leftKeyCols.map(attr(lPlan, _)), rightKeyCols.map(attr(rPlan, _)),
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceUs)
+    CDataset.ofRows(spark, node)
+  }
+}
