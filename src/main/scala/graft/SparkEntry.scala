@@ -177,6 +177,15 @@ object SparkEntry {
         col("n"), col("sum_qty"))
       .orderBy("rflag", "lstatus")),
 
+    // ---- A6b: cube (all granularity combinations) ----
+    "a6b_cube" -> ((s, d) => ev(s, d)
+      .cube(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("dow").cast("long"), lit(-1L)).as("dow"),
+        col("n"), col("sum_v"))
+      .orderBy("etype", "dow")),
+
     // ---- A7: trilateration (ssidentity.c:35) — least-squares in sums ----
     "a7_trilateration" -> ((s, d) => {
       val obs = li(s, d).select(
@@ -609,6 +618,13 @@ object SparkEntry {
         | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+
+    "a6b_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        | coalesce(dayofweek(ts) + 1, -1)::BIGINT AS dow,
+        | count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY CUBE(event_type, dayofweek(ts))
+        |ORDER BY etype, dow""".stripMargin,
 
     "a7_trilateration" ->
       """WITH obs AS (
