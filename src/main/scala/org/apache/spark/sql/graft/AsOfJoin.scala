@@ -16,6 +16,9 @@ import org.apache.spark.sql.classic.Strategy
   * telemetry that is quadratic per key. This operator is the textbook
   * custom-operator ladder rung (c): logical node + strategy + physical
   * sort-merge scan, O(n+m) per partition with a single buffered row.
+  * Measured at sf0.1 (100k×100k events, 100 keys ≈ 50M qualifying
+  * pairs): 1.1s here vs 27.6s for the compose path — a gap that grows
+  * with key density while this plan stays linear.
   *
   * Semantics: LEFT OUTER; for each left row, the single right row with
   * equal key, right.time <= left.time, and left.time − right.time <=
