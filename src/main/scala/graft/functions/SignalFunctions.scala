@@ -14,14 +14,18 @@ object SignalFunctions {
 
   // ---- binary frame decoding (S2 parser, ssidentity.c:134-204) ----
 
-  /** Big-endian byte read at 1-based offset: returns 0..255 as int. */
+  /** Unsigned byte read at 1-based offset: 0..255 as int, −1 when the
+    * frame is shorter (native expression — the conv(hex(substring))
+    * form round-trips every byte through two strings + a radix parse). */
   def u8(bin: Column, off: Int): Column =
-    conv(hex(substring(bin, off, 1)), 16, 10).cast("int")
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.ByteAtExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin), off))
 
   /** F2 — big-endian u16 at 1-based offset ((b[n]<<8)|b[n+1],
     * ssidentity.c:187-188). */
   def beU16(bin: Column, off: Int): Column =
-    conv(hex(substring(bin, off, 2)), 16, 10).cast("int")
+    shiftleft(u8(bin, off), 8).bitwiseOR(u8(bin, off + 1))
 
   /** F1 — 802.11 frame subtype: high nibble of the frame-control byte
     * ((b & 0xF0) >> 4, ssidentity.c:136). */

@@ -363,3 +363,33 @@ object CellAssignExpr {
     best
   }
 }
+
+/** Unsigned byte read at a 1-based offset of a binary column — the
+  * frame parser's field-extraction primitive (S2). The pure-Column
+  * form conv(hex(substring(bin, off, 1)), 16, 10) round-trips every
+  * byte through TWO string materializations and a base-16 parse; this
+  * is one bounds-checked array read. Returns -1 when the frame is
+  * shorter than the offset (callers' range predicates then reject the
+  * row, matching the reference's treatment of truncated frames). */
+case class ByteAtExpr(child: Expression, offset1: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_byte_at"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val i = offset1 - 1
+    if (i < 0 || i >= b.length) -1 else b(i) & 0xff
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(($offset1 - 1 < 0 || $offset1 - 1 >= $c.length) ? -1 : ($c[$offset1 - 1] & 0xff))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -172,6 +172,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST7 on transformWithState (Spark 4 API) matches flatMapGroupsWithState") {
+    // transformWithState needs the RocksDB state store; use a dedicated
+    // session config scope via a fresh query against the shared context
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Sighting]
+      val q = graft.streaming.ArrivalAlertsTws.alerts(in.toDS(), gapSec = 3600L)
+        .writeStream.format("memory").queryName("st7b_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(Sighting("A", ts("2026-01-01 10:00:00")),
+          Sighting("B", ts("2026-01-01 10:00:00")))
+        q.processAllAvailable()
+        in.addData(Sighting("A", ts("2026-01-01 12:00:00")))
+        q.processAllAvailable()
+        val alerts = spark.table("st7b_out").as[Alert].collect()
+        val aAlerts = alerts.filter(_.mac == "A").sortBy(_.ts.getTime)
+        assert(aAlerts.map(_.kind).toSeq == Seq("first_seen", "reappeared"))
+        assert(aAlerts(1).gapSec == 7200L)
+        assert(alerts.count(_.mac == "B") == 1)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("ST7 transition function is order-insensitive within a batch") {
     val (alerts, state) = ArrivalAlerts.transition("A",
       Iterator(Sighting("A", ts("2026-01-01 12:00:00")),
