@@ -394,6 +394,14 @@ object SparkEntry {
         col("event_type"), col("n"))
       .orderBy("window_start", "event_type")),
 
+    // ---- ST3 (batch twin): sliding event-time window ----
+    "st3_sliding_window" -> ((s, d) => ev(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")),
+
     // ---- ST4 (batch twin): session windows (dwell segmentation) ----
     "st4_session_window" -> ((s, d) => ev(s, d)
       .groupBy(session_window(col("ts"), "15 minutes"), col("user_id"))
@@ -797,6 +805,15 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n
         |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+
+    "st3_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    make_timestamp(((epoch_us(ts) // 300000000) - i.i) * 300000000) AS ws
+        |  FROM events CROSS JOIN (SELECT unnest(range(2)) AS i) i)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "st4_session_window" ->
       """WITH g AS (
