@@ -24,21 +24,23 @@ object Bench {
     // setup otherwise lands on whichever query runs first).
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // Two passes, per-query min: the host overcommits vCPUs and steal
-    // bursts randomly inflate single measurements 5-15x; the min of two
-    // full passes is a stable steady-state number.
-    def pass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
-    val p1 = pass()
-    val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    // Per-query min over a second measurement of the slow-looking
+    // queries: the host overcommits vCPUs and steal bursts randomly
+    // inflate single measurements 5-15x. Re-timing only the queries
+    // above the threshold bounds the extra wall time on small-CPU runs.
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val p1 = qs0.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    val results = qs0.map { case (name, fn) =>
+      name -> (if (p1(name) > 2.0) math.min(p1(name), timeOne(name, fn)) else p1(name))
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
