@@ -1,0 +1,37 @@
+package graft
+
+/** Driver-contract guards: the oracle map and query map must stay in
+  * lockstep (a dangling oracle key or an unintentionally oracle-less
+  * query silently weakens the correctness gate). */
+class ContractSpec extends SparkTestBase {
+
+  test("every oracle key has a query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle keys without queries: $dangling")
+  }
+
+  test("rows-only queries are exactly the documented approximate ops") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set(
+      "a2b_approx_distinct",  // HLL sketch — approximate by design
+      "l2b_minhash_pairs",    // LSH candidates (xx hash family)
+      "l2e_simhash_pairs",    // simhash banding
+      "l3b_ann_lsh",          // approximate NN
+      "l3c_ann_ivf",          // approximate NN
+      "mm_media_features")    // stubbed codec
+    assert(rowsOnly == documented,
+      s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
+        s"stale documentation: ${documented -- rowsOnly}")
+  }
+
+  test("every query builds a plan against sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, "/root/testdata/sf0.001")
+      assert(df.schema.nonEmpty, name)
+    }
+  }
+
+  test("entry smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
