@@ -1,8 +1,9 @@
 package graft
 
+import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft._
 
 /** SQL front door for the native expression library (SURVEY §3.2: the
@@ -20,13 +21,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
+  private def checkArity(name: String, args: Seq[Expression], arity: Int): Unit =
+    if (args.length != arity)
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+        "functionName" -> s"`$name`", "expectedNum" -> arity.toString,
+        "actualNum" -> args.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"))
+
   private def one(name: String)(f: Expression => Expression) =
     (FunctionIdentifier(name), info(name, s"$name(arr)"),
-      (args: Seq[Expression]) => f(args.head))
+      (args: Seq[Expression]) => { checkArity(name, args, 1); f(args.head) })
 
   private def two(name: String)(f: (Expression, Expression) => Expression) =
     (FunctionIdentifier(name), info(name, s"$name(a, b)"),
-      (args: Seq[Expression]) => f(args(0), args(1)))
+      (args: Seq[Expression]) => { checkArity(name, args, 2); f(args(0), args(1)) })
+
+  /** Extracts argument `pos` of `name` as a foldable INT/BIGINT value,
+    * failing analysis (not execution) with a standard-error-class
+    * AnalysisException on wrong arity, a non-foldable expression, a
+    * NULL, or a non-integral type — `graft_minhash_md5(sh, 8L)` and
+    * `CAST(8 AS BIGINT)` both work. */
+  private def intLit(name: String, args: Seq[Expression], pos: Int,
+      arity: Int): Int = {
+    checkArity(name, args, arity)
+    val e = args(pos)
+    val param = s"arg${pos + 1}"
+    if (!e.foldable)
+      throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> s"`$name`", "paramName" -> s"`$param`",
+        "paramType" -> "\"INT\""))
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case null =>
+        throw new AnalysisException("INVALID_PARAMETER_VALUE.NULL", Map(
+          "parameter" -> s"`$param`", "functionName" -> s"`$name`"))
+      case other =>
+        throw new AnalysisException("INVALID_PARAMETER_VALUE.INTEGER", Map(
+          "parameter" -> s"`$param`", "functionName" -> s"`$name`",
+          "invalidValue" -> s"${e.dataType.sql}: $other"))
+    }
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(two("graft_cosine")(CosineSimExpr(_, _)))
@@ -36,14 +70,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_md5"),
       info("graft_minhash_md5", "graft_minhash_md5(shingles, numHashes)"),
       (args: Seq[Expression]) => MinHashSigExpr(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        intLit("graft_minhash_md5", args, 1, 2))))
     ext.injectFunction((FunctionIdentifier("graft_minhash_xx"),
       info("graft_minhash_xx", "graft_minhash_xx(shingles, numHashes)"),
       (args: Seq[Expression]) => XxMinHashSigExpr(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        intLit("graft_minhash_xx", args, 1, 2))))
     ext.injectFunction((FunctionIdentifier("graft_rhp_bucket"),
       info("graft_rhp_bucket", "graft_rhp_bucket(vec, bits, dim)"),
       (args: Seq[Expression]) => RhpBucketExpr(args(0),
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+        intLit("graft_rhp_bucket", args, 1, 3),
+        intLit("graft_rhp_bucket", args, 2, 3))))
   }
 }

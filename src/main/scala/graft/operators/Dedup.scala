@@ -108,19 +108,30 @@ object Dedup {
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), simHash60(col("toks")).as("simhash"))
 
-  /** L2 — SimHash near-dups: band the 60-bit sketch into four 15-bit
-    * chunks (pigeonhole: hamming ≤3 ⇒ some chunk equal — the banding is
-    * exact-recall for the default maxHamming=3), bucket-join on chunks
-    * (band index folded into the key), verify with exact hamming.
-    * 15-bit chunks give 32768 buckets per band — round-1's 8-bit chunks
-    * (256 buckets) let topic-biased sketch bytes collide into 4.5M
-    * candidate pairs at sf0.1. */
+  /** L2 — SimHash near-dups: band the 60-bit sketch into maxHamming+1
+    * chunks (pigeonhole: hamming ≤ maxHamming ⇒ at least one chunk
+    * equal, so the banding is exact-recall for ANY accepted
+    * maxHamming), bucket-join on (band, chunk), verify with exact
+    * hamming. Default maxHamming=3 → four 15-bit chunks = 32768
+    * buckets per band — round-1's 8-bit chunks (256 buckets) let
+    * topic-biased sketch bytes collide into 4.5M candidate pairs at
+    * sf0.1. Larger maxHamming narrows the chunks, so candidate volume
+    * grows; 59 is the structural ceiling (1-bit chunks). */
   def simHashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 59] (got $maxHamming): the 60-bit " +
+        "sketch can only be banded into at most 60 chunks")
+    val bandCount = maxHamming + 1
     val sk = simHashSketches(docs)
+    // chunk i covers bits [60i/B, 60(i+1)/B) — evenly spread, never empty
     val banded = sk.select(col("doc_id"), col("simhash"), explode(
-        array((0 until 4).map(i =>
-          shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7fffL)) +
-            lit(i.toLong << 32)): _*)).as("chunk"))
+        array((0 until bandCount).map { i =>
+          val lo = 60 * i / bandCount
+          val hi = 60 * (i + 1) / bandCount
+          struct(lit(i).as("band"),
+            shiftright(col("simhash"), lo)
+              .bitwiseAND(lit((1L << (hi - lo)) - 1L)).as("bits"))
+        }: _*)).as("chunk"))
     banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -12,13 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic row-content salt. spark_partition_id/
+    * monotonically_increasing_id would be cheaper but are NOT stable
+    * under recomputation: a fetch-failure retry (SPARK-23207 class)
+    * could re-salt rows some reducers already consumed, double-counting
+    * or dropping them. Hashing the row's own columns re-derives the
+    * identical salt on every replay. Fully duplicate rows share a salt
+    * — still correct, just slightly less spread on degenerate data. */
+  private def rowSalt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets))
+
   /** Two-phase (salted) aggregation: count per key without any single
     * reducer owning a hot key. Phase 1 groups on (key, salt) — the hot
     * key's rows spread over `buckets` reducers and partial-aggregate
     * map-side; phase 2 sums the per-salt partials. Result is exactly
     * groupBy(key).count(). */
   def saltedCount(df: DataFrame, key: String, buckets: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    df.withColumn("_salt", rowSalt(df, buckets))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
@@ -39,14 +49,13 @@ object Skew {
 
   /** Salted join for a skewed LEFT side against a small-ish right side
     * that is still too big (or unwanted) to broadcast: left rows get a
-    * random salt in [0, buckets), the right side is replicated once per
-    * salt value, and the join key becomes (key, salt) — a hot left key
-    * now spreads across `buckets` reducers. Row-for-row identical to
-    * the unsalted inner join. */
+    * deterministic row-content salt in [0, buckets), the right side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot left key now spreads across `buckets`
+    * reducers. Row-for-row identical to the unsalted inner join. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int = 8): DataFrame = {
-    val saltedLeft = left.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val saltedLeft = left.withColumn("_salt", rowSalt(left, buckets))
     val replicatedRight = right.crossJoin(
       spark_range(right.sparkSession, buckets).toDF("_salt"))
     saltedLeft.join(replicatedRight,

@@ -43,20 +43,29 @@ object IngestPipeline {
       .partitionBy("obs_date", "sensorId")
       .outputMode(OutputMode.Append())
 
-  /** ST8 — fan-out: one source feeding both console and table sinks in a
-    * single exactly-once commit per micro-batch (foreachBatch). The
-    * batch df is persisted so the two sinks share one computation of the
+  /** ST8 — fan-out: one source feeding both console and table sinks via
+    * foreachBatch. foreachBatch itself is only at-least-once (a crash
+    * between the table write and the checkpoint commit replays the
+    * batch), so the table write is made idempotent: each micro-batch
+    * lands in a `_batch_id=<id>` partition written with DYNAMIC
+    * partition overwrite — a replay of batch N overwrites exactly the
+    * files its failed attempt left, never duplicating rows. Net effect
+    * is exactly-once for the table; the console echo stays best-effort
+    * (it may repeat on replay, like the reference's printf). The batch
+    * df is persisted so the two sinks share one computation of the
     * parse pipeline rather than re-reading the source. */
   def fanOut(obs: DataFrame, path: String, checkpoint: String,
       alsoConsole: Boolean = false): DataStreamWriter[Row] =
     obs.withColumn("obs_date", to_date(col("ts")))
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          batch.write.mode("append")
-            .partitionBy("obs_date", "sensorId").parquet(path)
+          batch.withColumn("_batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("obs_date", "sensorId", "_batch_id").parquet(path)
           if (alsoConsole) batch.show(20, false)
         } finally { batch.unpersist(); () }
       }

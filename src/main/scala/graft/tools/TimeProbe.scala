@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Times named SparkEntry queries (args) at sf0.1 under the same
+  * local[32]/noop-sink setup as Bench — for isolating bench outliers. */
+object TimeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try graft.SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    for (name <- args; rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[time] $name%-24s run$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

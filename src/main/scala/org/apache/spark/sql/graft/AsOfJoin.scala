@@ -103,12 +103,22 @@ case class AsOfJoinExec(
         private var rRow: InternalRow = _
         private var rKey: InternalRow = _
         private var rTime: Long = 0L
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rRow = rIter.next()
-            rKey = rKeyProj(rRow)
-            rTime = rTimeBound.eval(rRow).asInstanceOf[Long]
-          } else { rRow = null }
+        // right rows with NULL time are skipped outright: a null
+        // timestamp cannot satisfy `right.time <= left.time` under SQL
+        // comparison semantics (it would otherwise unbox to 0L = epoch
+        // and match as if timestamped 1970)
+        private def advanceRight(): Unit = {
+          rRow = null
+          while (rRow == null && rIter.hasNext) {
+            val r = rIter.next()
+            val t = rTimeBound.eval(r)
+            if (t != null) {
+              rRow = r
+              rKey = rKeyProj(r)
+              rTime = t.asInstanceOf[Long]
+            }
+          }
+        }
 
         // latest qualifying right row for the current key
         private var candRow: InternalRow = _
@@ -122,26 +132,35 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
-          val lTime = lTimeBound.eval(l).asInstanceOf[Long]
+          val lTimeVal = lTimeBound.eval(l)
           // drop the candidate when the key moves on
           if (candRow != null && keyOrd.compare(candKey, lKey) != 0) {
             candRow = null
           }
-          // consume right rows up to (key, time) <= (lKey, lTime)
-          var advancing = true
-          while (advancing && rRow != null) {
-            val c = keyOrd.compare(rKey, lKey)
-            if (c < 0 || (c == 0 && rTime <= lTime)) {
-              if (c == 0) {
-                candRow = rRow.copy(); candKey = rKey.copy(); candTime = rTime
-              }
-              advanceRight()
-            } else advancing = false
+          // a NULL left time matches nothing (SQL comparison semantics);
+          // emit the left-outer null row without moving the right cursor
+          // (null times sort first within the key, so no qualifying
+          // right row is skipped for later rows of this key)
+          if (lTimeVal == null) {
+            outProj(joined(l, nullRight))
+          } else {
+            val lTime = lTimeVal.asInstanceOf[Long]
+            // consume right rows up to (key, time) <= (lKey, lTime)
+            var advancing = true
+            while (advancing && rRow != null) {
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0 || (c == 0 && rTime <= lTime)) {
+                if (c == 0) {
+                  candRow = rRow.copy(); candKey = rKey.copy(); candTime = rTime
+                }
+                advanceRight()
+              } else advancing = false
+            }
+            val keyHasNull = (0 until lKey.numFields).exists(lKey.isNullAt)
+            val matched = candRow != null && !keyHasNull &&
+              (tol < 0 || lTime - candTime <= tol)
+            outProj(joined(l, if (matched) candRow else nullRight))
           }
-          val keyHasNull = (0 until lKey.numFields).exists(lKey.isNullAt)
-          val matched = candRow != null && !keyHasNull &&
-            (tol < 0 || lTime - candTime <= tol)
-          outProj(joined(l, if (matched) candRow else nullRight))
         }
       }
     }
@@ -170,9 +189,24 @@ object AsOfJoinApi {
     def attr(p: LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
-    val node = AsOfJoinPlan(lPlan, rPlan,
-      leftKeyCols.map(attr(lPlan, _)), rightKeyCols.map(attr(rPlan, _)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceUs)
+    // the physical merge evals time as a raw Long, so only long-backed
+    // types are legal; anything else (INT, DATE, STRING…) would fail at
+    // runtime with an opaque ClassCastException — reject at plan time
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    def checkTime(side: String, a: Attribute): Unit = a.dataType match {
+      case TimestampType | TimestampNTZType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"as-of $side time column ${a.name} must be TIMESTAMP or BIGINT, got ${dt.sql}")
+    }
+    val lt = attr(lPlan, leftTimeCol); val rt = attr(rPlan, rightTimeCol)
+    checkTime("left", lt); checkTime("right", rt)
+    val lk = leftKeyCols.map(attr(lPlan, _))
+    val rk = rightKeyCols.map(attr(rPlan, _))
+    lk.zip(rk).foreach { case (a, b) =>
+      if (a.dataType != b.dataType) throw new IllegalArgumentException(
+        s"as-of key type mismatch: ${a.name} ${a.dataType.sql} vs ${b.name} ${b.dataType.sql}")
+    }
+    val node = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, toleranceUs)
     CDataset.ofRows(spark, node)
   }
 }

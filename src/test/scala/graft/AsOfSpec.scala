@@ -82,6 +82,32 @@ class AsOfSpec extends SparkTestBase {
     assert(got(3L) == -1L)   // null key never matches
   }
 
+  test("null times: left null-time rows match nothing, right null-time rows are skipped") {
+    val l = Seq((1L, "a", ts(1000)), (2L, "a", null.asInstanceOf[Timestamp]))
+      .toDF("lid", "k", "t")
+    val r = Seq((10L, "a", ts(900)), (11L, "a", null.asInstanceOf[Timestamp]))
+      .toDF("rv", "rk", "rt")
+    val got = AsOf.join2(l, r, Seq("k"), Seq("rk"), "t", "rt", -1L)
+      .select("lid", "rv").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(got(1L) == 10L)   // the null-time right row is never a candidate
+    assert(got(2L) == -1L)   // a null left time matches nothing, row still kept
+  }
+
+  test("non-long-backed time columns are rejected at plan time, not runtime") {
+    val l = Seq((1L, "a", 5)).toDF("lid", "k", "t")       // INT time
+    val r = Seq((9L, "a", ts(0))).toDF("rv", "rk", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join2(l, r, Seq("k"), Seq("rk"), "t", "rt", -1L)
+    }
+    assert(e.getMessage.contains("TIMESTAMP or BIGINT"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join2(l.withColumn("t", col("t").cast("timestamp")),
+        r.withColumn("rk", col("rk").cast("binary")), Seq("k"), Seq("rk"), "t", "rt", -1L)
+    }
+    assert(e2.getMessage.contains("key type mismatch"))
+  }
+
   test("physical plan is the custom sort-merge exec, not a pair join") {
     val l = Seq((1L, "a", ts(0))).toDF("lid", "k", "t")
     val r = Seq((9L, "a", ts(0))).toDF("rv", "rk", "rt")

@@ -73,6 +73,18 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("L2 simhash banding derives bands from maxHamming and rejects the unsound range") {
+    // maxHamming=5 → six 10-bit chunks; recall must still be exact:
+    // every pair found at the wider radius includes the hamming<=3 set
+    val at3 = Dedup.simHashNearDups(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at5 = Dedup.simHashNearDups(docs, maxHamming = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at3.subsetOf(at5))
+    intercept[IllegalArgumentException](Dedup.simHashNearDups(docs, maxHamming = 60))
+    intercept[IllegalArgumentException](Dedup.simHashNearDups(docs, maxHamming = -1))
+  }
+
   test("L2 ngram jaccard (blocked) matches unblocked brute force") {
     val blocked = docs.withColumn("blk", lit(1))
     val got = Dedup.ngramJaccardPairs(blocked, "blk", n = 3, threshold = 0.2)

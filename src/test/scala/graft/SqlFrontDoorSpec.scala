@@ -53,4 +53,28 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(viaDsl.getLong(1) == r.getAs[Long]("sh"))
     assert(viaDsl.getSeq[Long](2) == r.getSeq[Long](4))
   }
+
+  test("SQL builders validate arity and constness with clear analysis errors") {
+    val s = sqlSpark
+    import s.implicits._
+    import org.apache.spark.sql.AnalysisException
+    Seq((Seq("a", "b"), 4L)).toDF("toks", "n").createOrReplaceTempView("targs")
+    // BIGINT literal and CAST both fold to an int — no ClassCastException
+    assert(s.sql("SELECT graft_minhash_md5(toks, 4L) AS m FROM targs")
+      .collect()(0).getSeq[Long](0).length == 4)
+    assert(s.sql("SELECT graft_minhash_xx(toks, CAST(4 AS BIGINT)) AS m FROM targs")
+      .collect()(0).getSeq[Long](0).length == 4)
+    val wrongArity = intercept[AnalysisException](
+      s.sql("SELECT graft_minhash_md5(toks) FROM targs").collect())
+    assert(wrongArity.getMessage.contains("requires 2 parameters"))
+    val nonFoldable = intercept[AnalysisException](
+      s.sql("SELECT graft_minhash_md5(toks, CAST(n AS INT)) FROM targs").collect())
+    assert(nonFoldable.getMessage.contains("foldable"))
+    val wrongType = intercept[AnalysisException](
+      s.sql("SELECT graft_rhp_bucket(array(1.0f), 'x', 1) FROM targs").collect())
+    assert(wrongType.getMessage.toLowerCase.contains("integer"))
+    val oneArgArity = intercept[AnalysisException](
+      s.sql("SELECT graft_simhash60(toks, 1) FROM targs").collect())
+    assert(oneArgArity.getMessage.contains("requires 1 parameters"))
+  }
 }
