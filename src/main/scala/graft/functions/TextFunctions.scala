@@ -105,6 +105,27 @@ object TextFunctions {
       org.apache.spark.sql.graft.SimHash60Expr(
         org.apache.spark.sql.graft.Bridge.expression(toks)))
 
+  /** Sorted distinct xx-hashed char k-shingles straight from the
+    * (already-lowered) text — the string-free equivalent of
+    * hashedSortedSet(shinglesOfLowered(t, k)): one byte walk, zero
+    * per-shingle string allocation (HashedShinglesExpr). Jaccard over
+    * these sets equals Jaccard over the string shingle sets modulo
+    * 64-bit collisions; pair with longMinHashSignature for an
+    * end-to-end string-free LSH path. */
+  def hashedShingles(lowered: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.HashedShinglesExpr(
+        org.apache.spark.sql.graft.Bridge.expression(lowered), k))
+
+  /** MinHash signature over an already-hashed shingle set (array<long>,
+    * e.g. hashedShingles output): numHashes splitmix64 remixes per
+    * element, no strings (LongMinHashSigExpr). Same empty→nulls
+    * contract as the string families. */
+  def longMinHashSignature(hashedSet: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.LongMinHashSigExpr(
+        org.apache.spark.sql.graft.Bridge.expression(hashedSet), numHashes))
+
   /** Hashed distinct-set representation for fast pair verification:
     * xxhash64 each element, sort. Set relations are preserved modulo
     * 64-bit collisions (P ≈ n²/2⁶⁴ per pair — negligible); intersection

@@ -70,9 +70,8 @@ object Dedup {
   def minHashCandidatePairs(docs: DataFrame, k: Int = 5,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = docs.select(col("doc_id"), lower(col("text")).as("lt"))
-      .select(col("doc_id"), shinglesOfLowered(col("lt"), k).as("sh"))
-      .select(col("doc_id"), xxMinHashSignature(col("sh"), numHashes).as("sig"))
+    val sigs = hashedShingleSets(docs, k)
+      .select(col("doc_id"), longMinHashSignature(col("sh"), numHashes).as("sig"))
     val banded = sigs.select(col("doc_id"), explode(
       array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
@@ -89,11 +88,17 @@ object Dedup {
     * non-colliding pair). Verification runs on hashed sorted shingle
     * sets: the join shuffles slim array<long>s and each pair costs one
     * native merge-count instead of a string hash-set build. */
+  /** Shared string-free shingle-set projection: the signature path and
+    * the verification join both consume THIS plan, so the shingle walk
+    * is one subtree (and the verification sides are identical plans →
+    * ReuseExchange applies). */
+  private def hashedShingleSets(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), hashedShingles(col("lt"), k).as("sh"))
+
   def minHashNearDups(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"), lower(col("text")).as("lt"))
-      .select(col("doc_id"), shinglesOfLowered(col("lt"), k).as("shs"))
-      .select(col("doc_id"), hashedSortedSet(col("shs")).as("sh"))
+    val sh = hashedShingleSets(docs, k)
     minHashCandidatePairs(docs, k, numHashes, bands)
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")

@@ -393,3 +393,138 @@ case class ByteAtExpr(child: Expression, offset1: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Sorted distinct xx-hashed char k-shingles of an (already-lowered)
+  * string — the string-free shingle path for LSH/verification
+  * (SURVEY §2.10 L2). The Column formulation
+  * (array_distinct(transform(sequence…, substring…))) materializes one
+  * UTF8String PER CHARACTER POSITION (~n_chars heap strings per doc)
+  * before hashing them; this walks the UTF-8 bytes once, hashing each
+  * k-char window in place (char-boundary ring buffer — multibyte
+  * safe), and returns the sorted distinct 64-bit hashes. Jaccard over
+  * these sets equals Jaccard over the string sets (any injective-ish
+  * hash preserves intersections; 64-bit collisions ≈ n²/2⁶⁴), and a
+  * MinHash signature derives from them via LongMinHashSigExpr without
+  * touching strings again. */
+case class HashedShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"shingle size must be >= 1 (got $k)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hashed_shingles"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashedShinglesExpr.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashedShinglesExpr.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedShinglesExpr {
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val numBytes = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // ring of the last k+1 char-start byte offsets; shingle c-k+1..c
+    // spans [ring((c-k+1) % (k+1)), nextPos)
+    val ring = new Array[Int](k + 1)
+    var out = new Array[Long](math.max(16, math.min(numBytes, 1 << 12)))
+    var outN = 0
+    var pos = 0
+    var c = 0
+    while (pos < numBytes) {
+      ring(c % (k + 1)) = pos
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + pos)
+      pos += UTF8String.numBytesForFirstByte(b)
+      if (pos > numBytes) pos = numBytes // clamp malformed trailing char
+      if (c >= k - 1) {
+        val start = ring((c - k + 1) % (k + 1))
+        val len = pos - start
+        // IDENTICAL per-shingle base hash to XxMinHashSigExpr, so
+        // LongMinHashSigExpr(sig) over these equals XxMinHashSigExpr
+        // over the string shingles — same LSH banding behavior
+        val m32 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(base, off + start, len, 42)
+        val base64 = (m32.toLong << 32) ^ (len.toLong * 0x9e3779b97f4a7c15L)
+        if (outN == out.length) out = java.util.Arrays.copyOf(out, outN * 2)
+        out(outN) = base64
+        outN += 1
+      }
+      c += 1
+    }
+    java.util.Arrays.sort(out, 0, outN)
+    var w = 0
+    var i = 0
+    while (i < outN) {
+      if (w == 0 || out(w - 1) != out(i)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOfRange(out, 0, w))
+  }
+}
+
+/** MinHash signature over an ALREADY-HASHED shingle set (array<long>,
+  * e.g. HashedShinglesExpr output): `numHashes` splitmix64 remixes per
+  * element, no string hashing at all. Same empty-input contract as the
+  * string variants (all-null signature). Self-consistent hashing is all
+  * LSH banding needs — no oracle twin. */
+case class LongMinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_long"
+
+  protected override def nullSafeEval(input: Any): Any =
+    LongMinHashSigExpr.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.LongMinHashSigExpr.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LongMinHashSigExpr {
+  @inline private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        any = true
+        val e = arr.getLong(t)
+        var j = 0
+        while (j < numHashes) {
+          val h = splitmix64(e ^ (j.toLong * 0xc2b2ae3d27d4eb4fL))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      t += 1
+    }
+    if (!any)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](numHashes)(null))
+    else
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        mins.map(Long.box(_): Any))
+  }
+}

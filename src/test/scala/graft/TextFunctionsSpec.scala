@@ -119,6 +119,57 @@ class TextFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("hashedShingles: set size and pairwise jaccard match the string shingle path") {
+    // include multibyte text — the byte walk must respect char boundaries
+    val texts = samples(text, 30) ++ Seq("héllo wörld héllo", "日本語のテキストです日本語",
+      "mix étude 漢字 mix étude", "", "abcd", "ababababab")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), lower(col("text")).as("lt"))
+      .select(col("id"),
+        hashedShingles(col("lt"), 5).as("hs"),
+        charShingles(col("lt"), 5).as("ss"))
+    val rows = df.orderBy("id").collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](1).size == r.getSeq[String](2).distinct.size, s"'$t'")
+      assert(r.getSeq[Long](1) == r.getSeq[Long](1).sorted, s"'$t' not sorted")
+    }
+    // pairwise jaccard equal between the hashed-long and string paths
+    val pairs = texts.indices.combinations(2).take(60).map { case Seq(a, b) => (a, b) }.toSeq
+    val byId = rows.map(r => r.getLong(0) -> (r.getSeq[Long](1).toSet, r.getSeq[String](2).toSet)).toMap
+    pairs.foreach { case (a, b) =>
+      val (ha, sa) = byId(a.toLong); val (hb, sb) = byId(b.toLong)
+      val hj = if (ha.isEmpty && hb.isEmpty) 0.0
+        else ha.intersect(hb).size.toDouble / ha.union(hb).size
+      val sj = if (sa.isEmpty && sb.isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(hj - sj) < 1e-12, s"pair ($a,$b)")
+    }
+  }
+
+  test("string-free LSH path: signatures equal the string-shingle xx family on ASCII") {
+    val texts = samples(text, 30).filter(_.nonEmpty)
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), lower(col("text")).as("lt"))
+      .select(col("id"),
+        longMinHashSignature(hashedShingles(col("lt"), 5), 16).as("a"),
+        xxMinHashSignature(shinglesOfLowered(col("lt"), 5), 16).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Any](1) == r.getSeq[Any](2)))
+  }
+
+  test("longMinHashSignature: sensitive to set content, null-filled on empty") {
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L)), (2L, Seq(1L, 2L, 3L)), (3L, Seq(4L, 5L)),
+      (4L, Seq.empty[Long]))
+      .toDF("id", "s")
+      .select(col("id"), longMinHashSignature(col("s"), 8).as("sig"))
+      .orderBy("id").collect()
+    assert(df(0).getSeq[Any](1) == df(1).getSeq[Any](1))       // deterministic
+    assert(df(0).getSeq[Any](1) != df(2).getSeq[Any](1))       // content-sensitive
+    assert(df(3).getSeq[Any](1).forall(_ == null))             // empty → nulls
+  }
+
   test("wordNgrams: distinct joined n-grams in first-seen order") {
     val texts = samples(text, 40)
     val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
