@@ -510,7 +510,79 @@ object SparkEntry {
 
     // ---- L5: multimodal binary plumbing (stub codec → rows-only) ----
     "mm_media_features" -> ((s, d) =>
-      Multimodal.mediaFeatures(s, Tables.documents(s, d)))
+      Multimodal.mediaFeatures(s, Tables.documents(s, d))),
+
+    // ---- A8: exact percentiles (interpolated) per group. Weights are
+    //      powers of two over INTEGER-VALUED quantities, so every
+    //      interpolation step is exact in binary — the result is
+    //      bit-identical across engines regardless of formula order ----
+    "a8_percentiles" -> ((s, d) => li(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"))
+      .orderBy("l_returnflag")),
+
+    // A8 at fleet scale: KLL/GK-style sketch via approx_percentile —
+    // approximate by design, rows-only check (the exact twin above is
+    // the oracle-facing form).
+    "a8b_approx_percentiles" -> ((s, d) => li(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
+      .orderBy("l_returnflag")),
+
+    // ---- A9: histogram via width_bucket (fixed [0,50) in 10 buckets) ----
+    "a9_histogram" -> ((s, d) => li(s, d)
+      .groupBy(width_bucket(col("l_quantity"), lit(0), lit(50), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")),
+
+    // ---- W5: distribution ranking family (ntile / percent_rank / cume_dist) ----
+    "w5_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- W6: batch sessionization (gap-based; batch twin of ST4) ----
+    "w6_sessionize" -> ((s, d) =>
+      graft.operators.Sessionize
+        .sessions(ev(s, d), "user_id", "ts", col("event_id"), gapSeconds = 1800L)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSS").as("session_start"),
+          col("duration_s").cast("long").as("duration_s"))
+        .orderBy("user_id", "session_id")),
+
+    // ---- T5: pivot (conditional aggregation over a fixed column set) ----
+    "t5_pivot" -> ((s, d) => ev(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")),
+
+    // ---- A6c: explicit GROUPING SETS with grouping_id ----
+    "a6c_grouping_sets" -> ((s, d) => li(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("rflag", "lstatus", "gid")),
+
+    // ---- L4c: TF-IDF top terms per doc ----
+    "l4c_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), 3)
+        .orderBy("doc_id", "rnk"))
   )
 
   // ================================================================
@@ -940,6 +1012,77 @@ object SparkEntry {
          | list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
          |   (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp,
          | sha256(array_to_string($ToksSql, ' ')) AS content_fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "a8_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        | round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DuckDB has no width_bucket; [0,50) in 10 buckets over integer-
+    // valued quantities reduces to exact integer arithmetic
+    "a9_histogram" ->
+      """SELECT CASE WHEN l_quantity < 0 THEN 0::BIGINT
+        |            WHEN l_quantity >= 50 THEN 11::BIGINT
+        |            ELSE floor(l_quantity / 5)::BIGINT + 1 END AS bucket,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "w5_rank_family" ->
+      """SELECT user_id, event_id,
+        | ntile(4) OVER w::BIGINT AS quartile,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "w6_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start,
+        | ((epoch_ms(max(ts)) - epoch_ms(min(ts))) // 1000)::BIGINT AS duration_s
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "t5_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a6c_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rflag, lstatus, gid""".stripMargin,
+
+    "l4c_tfidf" ->
+      s"""WITH dt AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM dt GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, tok FROM dt) GROUP BY tok),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |       round((tf.tf * n.n)::DOUBLE / df.df, 4) AS score
+         |       FROM tf JOIN df USING (tok) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM sc)
+         |SELECT doc_id, tok, tf, df, score, rnk FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin
   )
 }

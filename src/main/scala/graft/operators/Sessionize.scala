@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization — the batch twin of Structured Streaming's
+  * `session_window` (ST4): segment each key's event sequence into
+  * gap-bounded sessions ("visit/dwell" segmentation, README.md:17
+  * "Habitual movements") over the at-rest fact table.
+  *
+  * Classic two-window formulation: a lag() marks session starts (gap
+  * from the previous event > `gapSeconds`), a running sum of the marks
+  * numbers the sessions per key. Both windows share ONE partitioning
+  * (key) and ordering (time, tiebreak), so Spark plans a single sort +
+  * a single Window exec — per-key-partition work, no extra shuffle. At
+  * 100 TB the fact table is date/sensor-partitioned and clustered by
+  * mac (SURVEY §4.2), so the window's hash exchange is the only data
+  * movement and each device's timeline fits a task.
+  */
+object Sessionize {
+
+  /** Adds `session_id` (1-based per key, in time order). `tiebreak`
+    * makes the ordering total when timestamps collide. */
+  def assign(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreak: Column, gapSeconds: Long): DataFrame = {
+    val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol), tiebreak)
+    val gapMs = unix_millis(col(tsCol)) -
+      unix_millis(lag(col(tsCol), 1).over(byTime))
+    events
+      .withColumn("_new_session",
+        when(gapMs.isNull || gapMs > gapSeconds * 1000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new_session")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new_session")
+  }
+
+  /** One row per (key, session): event count, start/end, duration. */
+  def sessions(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreak: Column, gapSeconds: Long): DataFrame =
+    assign(events, keyCol, tsCol, tiebreak, gapSeconds)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        ((unix_millis(max(col(tsCol))) - unix_millis(min(col(tsCol)))) / 1000L)
+          .as("duration_s"))
+}

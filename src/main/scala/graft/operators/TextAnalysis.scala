@@ -44,4 +44,34 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       rollingFingerprint(col("text")).as("rolling_fp"),
       contentFingerprint(col("text")).as("content_fp"))
+
+  /** Top-`k` TF-IDF terms per doc. Two aggregations and a join, all on
+    * the token key: (doc, tok) term counts; doc frequency per token; a
+    * broadcast-able df table joined back; per-doc top-k by score.
+    *
+    * The score is the division-free rational `tf * N / df` (a monotone
+    * transform of tf·(N/df); log-free so the DuckDB twin reproduces the
+    * exact double bit pattern — ln() may differ by 1 ulp across libm
+    * implementations and flip a rounding boundary). At 100 TB the df
+    * table is |vocabulary|-sized (≪ corpus, broadcastable) and both
+    * groupBys partial-aggregate map-side; the window runs per doc_id
+    * partition — no global shuffle beyond the token groupBys. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count() // driver-side scalar: corpus size (one cheap count job)
+    val docToks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = docToks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = docToks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .withColumn("score",
+        round((col("tf") * lit(n)).cast("double") / col("df"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rnk").cast("long").as("rnk"))
+  }
 }
