@@ -582,7 +582,36 @@ object SparkEntry {
     // ---- L4c: TF-IDF top terms per doc ----
     "l4c_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), 3)
-        .orderBy("doc_id", "rnk"))
+        .orderBy("doc_id", "rnk")),
+
+    // ---- SAMP: deterministic hash-gate sample (reproducible splits) ----
+    "samp_hash" -> ((s, d) =>
+      graft.operators.Sampling
+        .hashSample(Tables.documents(s, d), col("doc_id"), 0.25, "s1")
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // ---- SAMP: stratified mixture weights (per-language rates) ----
+    "samp_stratified" -> ((s, d) =>
+      graft.operators.Sampling
+        .stratifiedHashSample(Tables.documents(s, d), col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1),
+          defaultFraction = 0.05, salt = "mix")
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+
+    // ---- CURATE: composed training-data pipeline — exact dedup →
+    //      language filter → quality gates → deterministic 50% sample ----
+    "curated_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = Dedup.dropExactDuplicates(docs)
+      val filtered = kept.filter(col("lang") === "en")
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+        .withColumn("punct_ratio", round(TextFunctions.punctRatio(col("text")), 4))
+        .filter(col("n_tokens") >= 50 && col("punct_ratio") <= 0.10)
+      graft.operators.Sampling.hashSample(filtered, col("doc_id"), 0.5, "cur")
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"))
+        .orderBy("doc_id")
+    })
   )
 
   // ================================================================
@@ -1083,6 +1112,37 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER
          |        (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM sc)
          |SELECT doc_id, tok, tf, df, score, rnk FROM r WHERE rnk <= 3
-         |ORDER BY doc_id, rnk""".stripMargin
+         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "samp_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${SampGate("'s1'")} < ${SampThr(0.25)} ORDER BY doc_id""".stripMargin,
+
+    "samp_stratified" ->
+      s"""SELECT lang, count(*) AS n_sampled FROM documents
+         |WHERE ${SampGate("'mix'")} <
+         |  CASE lang WHEN 'en' THEN ${SampThr(0.5)} WHEN 'de' THEN ${SampThr(0.25)}
+         |            WHEN 'fr' THEN ${SampThr(0.1)} ELSE ${SampThr(0.05)} END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "curated_corpus" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, sha256(array_to_string($ToksSql, ' ')) AS fp FROM documents)
+         |  GROUP BY fp),
+         |f AS (SELECT d.doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT ELSE len($ToksSql)::BIGINT END AS n_tokens,
+         |    round(CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / length(text)::DOUBLE END, 4) AS punct_ratio
+         |  FROM documents d JOIN keep USING (doc_id) WHERE lang = 'en')
+         |SELECT doc_id, n_tokens, punct_ratio FROM f
+         |WHERE n_tokens >= 50 AND punct_ratio <= 0.10
+         |  AND ${SampGate("'cur'")} < ${SampThr(0.5)}
+         |ORDER BY doc_id""".stripMargin
   )
+
+  /** DuckDB replay of Sampling.hashGate: uint32 of md5(doc_id‖salt)[0:8]. */
+  private def SampGate(saltLit: String) =
+    s"('0x' || substr(md5(doc_id::VARCHAR || $saltLit), 1, 8))::BIGINT"
+  /** Same arithmetic as Sampling.threshold — keep the two in lockstep. */
+  private def SampThr(f: Double): Long = (f * 4294967296L).toLong
 }

@@ -57,7 +57,10 @@ object TextAnalysis {
     * groupBys partial-aggregate map-side; the window runs per doc_id
     * partition — no global shuffle beyond the token groupBys. */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val n = docs.count() // driver-side scalar: corpus size (one cheap count job)
+    // corpus size as a broadcast 1-row join, NOT a driver-side count():
+    // keeps the whole computation one lazy plan (no extra action) and
+    // stays distributed at any scale
+    val n = docs.groupBy().agg(count(lit(1)).as("_n"))
     val docToks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = docToks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -67,8 +70,9 @@ object TextAnalysis {
       .partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok"))
     tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
       .withColumn("score",
-        round((col("tf") * lit(n)).cast("double") / col("df"), 4))
+        round((col("tf") * col("_n")).cast("double") / col("df"), 4))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),

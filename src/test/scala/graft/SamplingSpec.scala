@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic hash-gate sampling: reproducibility, rate accuracy,
+  * salt independence, stratified mixture weights. */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val pop = (0L until 4000L).map(i => (i, s"lang${i % 4}"))
+    .toDF("id", "lang")
+
+  test("same key+salt selects the same rows on every run") {
+    val a = Sampling.hashSample(pop, col("id"), 0.3, "x")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(pop, col("id"), 0.3, "x")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size - 1200) < 150, s"rate off: ${a.size}/4000 vs 0.3")
+  }
+
+  test("different salts draw (nearly) independent samples") {
+    val a = Sampling.hashSample(pop, col("id"), 0.3, "x")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val c = Sampling.hashSample(pop, col("id"), 0.3, "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a != c)
+    // independence: |A∩C| ≈ 0.09 * 4000 = 360
+    val inter = a.intersect(c).size
+    assert(inter > 180 && inter < 560, s"overlap $inter not ~360")
+  }
+
+  test("nested samples: a smaller fraction with the same salt is a subset") {
+    // gate < t1 implies gate < t2 for t1 < t2 — shrinking a sample
+    // keeps it nested (critical for reproducible train/val splits)
+    val small = Sampling.hashSample(pop, col("id"), 0.1, "x")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(pop, col("id"), 0.4, "x")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified rates hold per stratum; default applies to absent strata") {
+    val got = Sampling.stratifiedHashSample(pop, col("lang"), col("id"),
+        Map("lang0" -> 0.5, "lang1" -> 0.1), defaultFraction = 0.02, salt = "m")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(got("lang0") - 500) < 80, got.toString)   // 1000 * 0.5
+    assert(math.abs(got("lang1") - 100) < 50, got.toString)   // 1000 * 0.1
+    val rest = got.getOrElse("lang2", 0L) + got.getOrElse("lang3", 0L)
+    assert(rest < 90, s"default-rate strata too big: $rest")  // 2000 * 0.02
+  }
+
+  test("edge fractions: 0.0 keeps nothing, 1.0 keeps everything") {
+    assert(Sampling.hashSample(pop, col("id"), 0.0).count() == 0L)
+    assert(Sampling.hashSample(pop, col("id"), 1.0).count() == 4000L)
+    intercept[IllegalArgumentException](Sampling.hashSample(pop, col("id"), 1.5))
+  }
+}
