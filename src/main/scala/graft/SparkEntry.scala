@@ -599,6 +599,31 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
 
+    // ---- T5b: unpivot (wide measures → long (measure, value) rows) ----
+    "t5b_unpivot" -> ((s, d) => li(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")),
+
+    // ---- L3d: per-label embedding centroids (array-column aggregate).
+    //      Means via floor-scaled integer sums: long addition is
+    //      order-free, so the distributed partial-sum order can't
+    //      perturb the result (float summation order would) ----
+    "l3d_centroids" -> ((s, d) => {
+      def dim(i: Int) =
+        round(sum(floor(element_at(col("embedding"), i + 1).cast("double") * 1000.0)
+          .cast("long")).cast("double") / (count(lit(1)) * 1000.0), 4) + lit(0.0)
+      Tables.embeddings(s, d)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          dim(0).as("c0"), dim(1).as("c1"), dim(2).as("c2"), dim(3).as("c3"))
+        .orderBy("label")
+    }),
+
     // ---- CURATE: composed training-data pipeline — exact dedup →
     //      language filter → quality gates → deterministic 50% sample ----
     "curated_corpus" -> ((s, d) => {
@@ -1113,6 +1138,23 @@ object SparkEntry {
          |        (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM sc)
          |SELECT doc_id, tok, tf, df, score, rnk FROM r WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin,
+
+    "t5b_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "l3d_centroids" -> {
+      def dim(i: Int) =
+        s"round(sum(floor(embedding[${i + 1}]::DOUBLE * 1000.0)::BIGINT)::DOUBLE / (count(*) * 1000.0), 4) + 0.0"
+      s"""SELECT label::BIGINT AS label, count(*) AS n_vecs,
+         | ${dim(0)} AS c0, ${dim(1)} AS c1, ${dim(2)} AS c2, ${dim(3)} AS c3
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+    },
 
     "samp_hash" ->
       s"""SELECT doc_id, lang FROM documents

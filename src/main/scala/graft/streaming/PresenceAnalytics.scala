@@ -73,4 +73,28 @@ object PresenceAnalytics {
     obs.join(broadcast(settings), Seq("sensorId"))
       .filter(col("dist") <= col("max_dist_m"))
       .select(obs.columns.map(col).toSeq: _*)
+
+  /** ST9 — stream-stream co-observation join: the LIVE form of J2's
+    * trilateration prerequisite (ssidentity.c:35 needs the same MAC
+    * heard by different sensors at ~the same time). Both sides carry
+    * event-time watermarks and the join predicate bounds the time
+    * skew, so Spark can evict join state older than
+    * watermark + tolerance — state stays O(tolerance · rate), not
+    * unbounded. Inner join: matches emit as soon as both sides arrive.
+    * The same plan is J2 when both inputs are batch reads. */
+  def coObservations(left: DataFrame, right: DataFrame,
+      toleranceSec: Long = 60, delay: String = "2 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", delay)
+      .select(col("mac"), col("ts").as("l_ts"), col("sensorId").as("l_sensor"))
+    val r = right.withWatermark("ts", delay)
+      .select(col("mac").as("r_mac"), col("ts").as("r_ts"),
+        col("sensorId").as("r_sensor"))
+    l.join(r,
+        col("mac") === col("r_mac") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $toleranceSec SECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $toleranceSec SECONDS") &&
+        col("l_sensor") =!= col("r_sensor"))
+      .select(col("mac"), col("l_ts"), col("l_sensor"),
+        col("r_ts"), col("r_sensor"))
+  }
 }

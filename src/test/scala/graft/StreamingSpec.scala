@@ -243,4 +243,36 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.map(_.getAs[String]("mac")).toSeq == Seq("BAD1", "BAD2"))
     } finally q.stop()
   }
+
+  test("ST9 stream-stream join: co-observations within tolerance, across sensors") {
+    val inA = MemoryStream[(Timestamp, String, Long)]
+    val inB = MemoryStream[(Timestamp, String, Long)]
+    val a = inA.toDF().toDF("ts", "mac", "sensorId")
+    val b = inB.toDF().toDF("ts", "mac", "sensorId")
+    val q = PresenceAnalytics.coObservations(a, b, toleranceSec = 60)
+      .writeStream.format("memory").queryName("st9_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inA.addData(
+        (ts("2026-01-01 10:00:00"), "AA", 1L),
+        (ts("2026-01-01 10:05:00"), "BB", 1L))
+      inB.addData(
+        (ts("2026-01-01 10:00:30"), "AA", 2L),   // within 60s → pair
+        (ts("2026-01-01 10:02:00"), "AA", 2L),   // 120s off → no pair
+        (ts("2026-01-01 10:05:10"), "BB", 1L),   // same sensor → no pair
+        (ts("2026-01-01 10:05:20"), "CC", 3L))   // different mac → no pair
+      q.processAllAvailable()
+      val rows = spark.table("st9_out").collect()
+        .map(r => (r.getAs[String]("mac"), r.getAs[Long]("l_sensor"), r.getAs[Long]("r_sensor")))
+      assert(rows.toSeq == Seq(("AA", 1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("ST9 plan on batch inputs is J2's interval self-join semantics") {
+    val a = Seq((ts("2026-01-01 10:00:00"), "AA", 1L)).toDF("ts", "mac", "sensorId")
+    val b = Seq((ts("2026-01-01 10:00:30"), "AA", 2L),
+      (ts("2026-01-01 10:03:00"), "AA", 2L)).toDF("ts", "mac", "sensorId")
+    val got = PresenceAnalytics.coObservations(a, b, toleranceSec = 60).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("r_sensor") == 2L)
+  }
 }
