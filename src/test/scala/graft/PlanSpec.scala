@@ -57,6 +57,38 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("l4c tf-idf: df table and corpus-size row broadcast, never shuffled to the fact side") {
+    val p = plan("l4c_tfidf")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("samp: the hash gate evaluates directly over the scan, before any exchange") {
+    val p = plan("samp_hash")
+    // Catalyst must push the gate Filter below the spread repartition
+    // so sampling happens map-side on the scan output
+    assert("\\+- Filter \\(\\d+\\)\\s*\\n\\s*\\+- Scan parquet".r
+      .findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("a8 percentiles: exact percentile aggregates with a map-side partial phase") {
+    val p = plan("a8_percentiles")
+    assert(p.contains("partial_percentile"), p.take(2000))
+  }
+
+  test("w5 rank family: all three window functions share ONE window exec and exchange") {
+    val p = plan("w5_rank_family")
+    assert("Window \\(\\d+\\)".r.findAllIn(p).size == 1, p.take(2000))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
+  }
+
+  test("t5 pivot: single scan, map-side partial count AND partial pivot") {
+    val p = plan("t5_pivot")
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("partial_pivotfirst") && p.contains("partial_count"),
+      "pivot must partial-aggregate map-side")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the sketch projection must sit in a codegen'd stage (an expression
     // without doGenCode would force the stage out of codegen entirely)
