@@ -43,6 +43,25 @@ class SinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("S4 interchange: the obs table round-trips through csv and json sources") {
+    // the reference's query surface is "any SQL over the obs table"
+    // (ssidentity.c:17-18); interchange formats must round-trip so a
+    // fleet can upload in whatever its sensors emit
+    val dir = Files.createTempDirectory("graft_io").toString
+    val obs = Seq(
+      (ts("2026-01-01 10:00:00"), "28B2BDD02FC8", "cafe-wifi", -90, 2464, 306.1, 1L),
+      (ts("2026-01-01 10:01:00"), "AABBCCDDEEFF", "home net", -84, 2412, 153.41, 2L))
+      .toDF("ts", "mac", "ssid", "rssi", "freq", "dist", "sensorId")
+    obs.write.option("header", "true").csv(s"$dir/csv")
+    obs.write.json(s"$dir/json")
+    val schema = obs.schema
+    val fromCsv = spark.read.option("header", "true").schema(schema).csv(s"$dir/csv")
+    val fromJson = spark.read.schema(schema).json(s"$dir/json")
+    val want = obs.orderBy("sensorId").collect().map(_.toString).toSeq
+    assert(fromCsv.orderBy("sensorId").collect().map(_.toString).toSeq == want)
+    assert(fromJson.orderBy("sensorId").collect().map(_.toString).toSeq == want)
+  }
+
   test("ST8: foreachBatch fan-out writes the table exactly once per batch") {
     val dir = Files.createTempDirectory("graft_fanout").toString
     val in = MemoryStream[(Timestamp, String, Long)]
