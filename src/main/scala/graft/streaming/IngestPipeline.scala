@@ -28,6 +28,23 @@ object IngestPipeline {
     * bytes); output: Observation columns. */
   def parse(frames: DataFrame): DataFrame = FrameParser.parse(frames)
 
+  /** S1 — production TCP source (the reference's raw socket,
+    * ssidentity.c:74-84, minus the kernel-capture privilege): sensors
+    * write one `sensorId:base64(frame)` line per captured frame; the
+    * stream decodes to the same RawFrame columns the parser consumes.
+    * `ts` is ingestion wall-clock — exactly the reference's semantics
+    * (it stamps at parse time, ssidentity.c:183; event time only exists
+    * once the epoch TODO lands). Tests drive it with a real
+    * ServerSocket; production would swap the socket format for Kafka
+    * with the SAME downstream plan. */
+  def fromSocket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .select(
+        current_timestamp().as("ts"),
+        substring_index(col("value"), ":", 1).cast("long").as("sensorId"),
+        unbase64(substring_index(col("value"), ":", -1)).as("bytes"))
+
   /** S3 — console sink (the reference's printf, ssidentity.c:89-95). */
   def toConsole(obs: DataFrame): DataStreamWriter[Row] =
     obs.writeStream.format("console").outputMode(OutputMode.Append())

@@ -96,6 +96,19 @@ class SinkSpec extends SparkTestBase {
     }
   }
 
+  test("A8: approx_percentile lands within the exact interquartile range") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("a8_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    val approx = SparkEntry.queries("a8b_approx_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    approx.foreach { case (flag, p50) =>
+      val (p25, p75) = exact(flag)
+      assert(p50 >= p25 && p50 <= p75,
+        s"$flag: approx median $p50 outside exact IQR [$p25, $p75]")
+    }
+  }
+
   test("A2: approx_count_distinct stays within its error bound vs exact") {
     val df = (1 to 20000).map(i => ("k" + (i % 7), i % 2000)).toDF("k", "v")
     val rows = df.groupBy("k")

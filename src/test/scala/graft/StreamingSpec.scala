@@ -54,6 +54,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("S1 production source: frames over a real TCP socket parse end-to-end") {
+    val server = new java.net.ServerSocket(0)
+    val payload = java.util.Base64.getEncoder.encodeToString(probeFrame(0x33))
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println(s"7:$payload")
+      out.println(s"8:$payload")
+      // keep the connection open until the test finishes reading
+      Thread.sleep(30000)
+      sock.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val frames = graft.streaming.IngestPipeline
+      .fromSocket(spark, "localhost", server.getLocalPort)
+    val q = IngestPipeline.parse(frames)
+      .writeStream.format("memory").queryName("s1_socket_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.length < 2 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("s1_socket_out").collect()
+        if (rows.length < 2) Thread.sleep(100)
+      }
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("sensorId")).sorted.toSeq == Seq(7L, 8L))
+      assert(rows.forall(_.getAs[String]("mac") == "333333333333"))
+      assert(rows.forall(_.getAs[Double]("dist") == 306.1))
+    } finally { q.stop(); server.close() }
+  }
+
   test("ST2 tumbling window counts under incremental arrival") {
     val in = MemoryStream[(Timestamp, String)]
     val obs = in.toDF().toDF("ts", "mac")
