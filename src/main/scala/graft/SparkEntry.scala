@@ -624,6 +624,15 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // ---- PACK: fixed-token-budget sequence packing per language ----
+    "pack_bins" -> ((s, d) =>
+      graft.operators.Packing.packBins(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+          "lang", "doc_id", TextFunctions.tokenCount(col("text")), budget = 2048L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("bin"), col("bin_offset"))
+        .orderBy("lang", "doc_id")),
+
     // ---- CURATE: composed training-data pipeline — exact dedup →
     //      language filter → quality gates → deterministic 50% sample ----
     "curated_corpus" -> ((s, d) => {
@@ -1166,6 +1175,17 @@ object SparkEntry {
          |  CASE lang WHEN 'en' THEN ${SampThr(0.5)} WHEN 'de' THEN ${SampThr(0.25)}
          |            WHEN 'fr' THEN ${SampThr(0.1)} ELSE ${SampThr(0.05)} END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pack_bins" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT ELSE len($ToksSql)::BIGINT END AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER
+         |    (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         | (strt // 2048)::BIGINT AS bin, (strt % 2048)::BIGINT AS bin_offset
+         |FROM c ORDER BY lang, doc_id""".stripMargin,
 
     "curated_corpus" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM (

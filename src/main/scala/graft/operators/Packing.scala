@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — assigning documents to fixed token-budget bins,
+  * the shape of concat-and-chunk training-sequence construction: docs
+  * are laid out in a deterministic order per group (e.g. language),
+  * token counts accumulate, and each doc's bin is the budget-window its
+  * first token lands in. Deterministic by construction (no RNG, no
+  * partition-order dependence: the cumulative sum runs over an explicit
+  * total order), so the same corpus always packs identically — shards
+  * can be built independently per group and re-verified. One window
+  * exchange per group column; integer arithmetic end to end.
+  */
+object Packing {
+
+  /** Adds `bin` (0-based budget window) and `bin_offset` (token offset
+    * of the doc's start within its bin) per `groupCol`, ordering docs
+    * by `orderCol`. Docs longer than `budget` keep advancing the
+    * cursor — they span bins, exactly like concatenated token streams
+    * chunked at budget boundaries. */
+  def packBins(docs: DataFrame, groupCol: String, orderCol: String,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive (got $budget)")
+    val w = Window.partitionBy(groupCol).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("_n_tokens", tokens.cast("long"))
+      .withColumn("_start", sum(col("_n_tokens")).over(w) - col("_n_tokens"))
+      .withColumn("bin", (col("_start") / budget).cast("long"))
+      .withColumn("bin_offset", (col("_start") % budget).cast("long"))
+      .drop("_start")
+      .withColumnRenamed("_n_tokens", "n_tokens")
+  }
+}

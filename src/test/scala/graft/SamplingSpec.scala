@@ -53,6 +53,27 @@ class SamplingSpec extends SparkTestBase {
     assert(rest < 90, s"default-rate strata too big: $rest")  // 2000 * 0.02
   }
 
+  test("packing: bins and offsets follow the cumulative token layout") {
+    val docs = Seq(
+      (1L, "g", 1000L), (2L, "g", 1000L), (3L, "g", 100L), (4L, "g", 3000L),
+      (5L, "h", 2048L), (6L, "h", 1L))
+      .toDF("doc_id", "lang", "n")
+    val got = graft.operators.Packing
+      .packBins(docs, "lang", "doc_id", col("n"), 2048L)
+      .orderBy("lang", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bin"), r.getAs[Long]("bin_offset")))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L),     // starts at 0
+      (2L, 0L, 1000L),  // starts at 1000, spans into bin 1
+      (3L, 0L, 2000L),  // starts at 2000
+      (4L, 1L, 52L),    // starts at 2100 → bin 1, offset 52
+      (5L, 0L, 0L),     // group h restarts
+      (6L, 1L, 0L)))    // starts exactly at the budget boundary
+    intercept[IllegalArgumentException](
+      graft.operators.Packing.packBins(docs, "lang", "doc_id", col("n"), 0L))
+  }
+
   test("edge fractions: 0.0 keeps nothing, 1.0 keeps everything") {
     assert(Sampling.hashSample(pop, col("id"), 0.0).count() == 0L)
     assert(Sampling.hashSample(pop, col("id"), 1.0).count() == 4000L)
