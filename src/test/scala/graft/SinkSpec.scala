@@ -43,6 +43,41 @@ class SinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST8: fan-out table is idempotent under batch replay (crash before commit)") {
+    // simulate a crash between the parquet write and the checkpoint
+    // commit: run batch 0, then delete its commit marker so the
+    // restarted query replays it — the batchId-keyed dynamic overwrite
+    // must leave the table without duplicates
+    val dir = Files.createTempDirectory("graft_replay").toString
+    val srcDir = new java.io.File(s"$dir/in"); srcDir.mkdirs()
+    Files.write(new java.io.File(srcDir, "a.csv").toPath,
+      "2026-01-01 10:00:00,A,1\n2026-01-01 10:01:00,B,2\n".getBytes)
+    def query() = spark.readStream
+      .schema("ts timestamp, mac string, sensorId long")
+      .csv(s"$dir/in")
+    val q1 = graft.streaming.IngestPipeline.fanOut(
+      query(), s"$dir/obs", s"$dir/ckpt").start()
+    try { q1.processAllAvailable() } finally { q1.stop(); q1.awaitTermination() }
+    assert(spark.read.parquet(s"$dir/obs").count() == 2)
+    // reconstruct the crash state in a fresh checkpoint dir (same JVM
+    // cannot reopen the original path — Spark's concurrent-use guard):
+    // offsets/0 present, commits/0 missing = write landed, commit didn't
+    val ckpt2 = new java.io.File(s"$dir/ckpt2")
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(s"$dir/ckpt"), ckpt2)
+    val commit0 = new java.io.File(s"$dir/ckpt2/commits/0")
+    assert(commit0.exists, "expected commit marker for batch 0")
+    assert(commit0.delete())
+    new java.io.File(s"$dir/ckpt2/commits/.0.crc").delete() // stale checksum
+
+    val q2 = graft.streaming.IngestPipeline.fanOut(
+      query(), s"$dir/obs", s"$dir/ckpt2").start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val back = spark.read.parquet(s"$dir/obs")
+    assert(back.count() == 2, "replayed batch must overwrite, not append")
+    assert(back.select("mac").orderBy("mac").collect().map(_.getString(0)).toSeq
+      == Seq("A", "B"))
+  }
+
   test("S4 interchange: the obs table round-trips through csv and json sources") {
     // the reference's query surface is "any SQL over the obs table"
     // (ssidentity.c:17-18); interchange formats must round-trip so a
