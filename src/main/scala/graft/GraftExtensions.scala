@@ -80,5 +80,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => RhpBucketExpr(args(0),
         intLit("graft_rhp_bucket", args, 1, 3),
         intLit("graft_rhp_bucket", args, 2, 3))))
+    ext.injectFunction((FunctionIdentifier("graft_hashed_shingles"),
+      info("graft_hashed_shingles", "graft_hashed_shingles(loweredText, k)"),
+      (args: Seq[Expression]) => HashedShinglesExpr(args(0),
+        intLit("graft_hashed_shingles", args, 1, 2))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_long"),
+      info("graft_minhash_long", "graft_minhash_long(hashedSet, numHashes)"),
+      (args: Seq[Expression]) => LongMinHashSigExpr(args(0),
+        intLit("graft_minhash_long", args, 1, 2))))
+    ext.injectFunction((FunctionIdentifier("graft_byte_at"),
+      info("graft_byte_at", "graft_byte_at(bin, offset1)"),
+      (args: Seq[Expression]) => ByteAtExpr(args(0),
+        intLit("graft_byte_at", args, 1, 2))))
   }
 }

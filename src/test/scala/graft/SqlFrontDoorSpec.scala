@@ -54,6 +54,27 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(viaDsl.getSeq[Long](2) == r.getSeq[Long](4))
   }
 
+  test("string-free shingle family and byte access resolve from SQL") {
+    val s = sqlSpark
+    import s.implicits._
+    Seq(("hello world hello", Array[Byte](0x41, 0x42, 0x43)))
+      .toDF("txt", "bin").createOrReplaceTempView("t2")
+    val r = s.sql(
+      """SELECT graft_hashed_shingles(txt, 5) AS hs,
+        |  graft_minhash_long(graft_hashed_shingles(txt, 5), 4) AS sig,
+        |  graft_byte_at(bin, 2) AS b2, graft_byte_at(bin, 9) AS b9
+        |FROM t2""".stripMargin).collect()(0)
+    import graft.functions.TextFunctions
+    val dsl = s.table("t2").select(
+      TextFunctions.hashedShingles($"txt", 5),
+      TextFunctions.longMinHashSignature(TextFunctions.hashedShingles($"txt", 5), 4))
+      .collect()(0)
+    assert(r.getSeq[Long](0) == dsl.getSeq[Long](0))
+    assert(r.getSeq[Long](1) == dsl.getSeq[Long](1))
+    assert(r.getAs[Int]("b2") == 0x42)
+    assert(r.getAs[Int]("b9") == -1)    // out of range → -1 sentinel
+  }
+
   test("SQL builders validate arity and constness with clear analysis errors") {
     val s = sqlSpark
     import s.implicits._
