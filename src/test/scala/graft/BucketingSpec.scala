@@ -48,4 +48,36 @@ class BucketingSpec extends SparkTestBase {
     val p = plan(spark.table(table).groupBy("rssi").count())
     assert(p.contains("hashpartitioning"))
   }
+
+  test("dynamic partition pruning fires on the date-partitioned fact table") {
+    // the 100 TB layout partitions by obs_date; a selective dim join
+    // must prune fact partitions at RUNTIME (DPP), not scan all dates
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    (0 until 2000).map(i => (s"2026-01-${"%02d".format(i % 20 + 1)}", i.toLong, i % 100))
+      .toDF("obs_date", "seq", "metric")
+      .write.partitionBy("obs_date").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // the dim must be file-backed: a local relation's filter constant-
+    // folds away before the DPP rule can see a selective predicate
+    (1 to 20).map(i => (s"2026-01-${"%02d".format(i)}", i % 4))
+      .toDF("d_date", "d_class").write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val q = fact.join(dim.filter(col("d_class") === 1),
+      col("obs_date") === col("d_date"))
+    val p = plan(q)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n${p.take(3000)}")
+  }
+
+  test("AQE coalesces the fixed shuffle-partition count on small stages") {
+    // spark.sql.shuffle.partitions is a static guess; at runtime AQE
+    // must size post-shuffle partitions to the data (so the same job
+    // spec scales from sf0.001 to 100 TB without retuning)
+    val df = (1 to 1000).map(i => (i % 7, i)).toDF("k", "v")
+      .groupBy("k").count()
+    df.collect() // materialize THIS QueryExecution so AQE finalizes it
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("AQEShuffleRead coalesced"),
+      s"expected AQE coalesced read in:\n${executed.take(3000)}")
+  }
 }
