@@ -269,10 +269,14 @@ object SparkEntry {
     }),
 
     // ---- W4: global sequence (the obs.ID AUTOINCREMENT) ----
-    "w4_global_seq" -> ((s, d) => ev(s, d)
-      .select(row_number().over(Window.orderBy(col("ts"), col("event_id")))
-        .cast("long").as("seq"), col("event_id"))
-      .orderBy("seq")),
+    // ---- W4: dense global sequence — sort + zipWithIndex, NOT a
+    //      partitionless window (which would single-task every row) ----
+    "w4_global_seq" -> ((s, d) =>
+      graft.operators.DenseSequence
+        .withSeq(ev(s, d).select(col("ts"), col("event_id")),
+          Seq(col("ts"), col("event_id")))
+        .select(col("seq"), col("event_id"))
+        .orderBy("seq")),
 
     // ---- O1: global sort (+ pushdown-friendly projection) ----
     "o1_sort" -> ((s, d) => li(s, d)

@@ -89,6 +89,23 @@ class PlanSpec extends SparkTestBase {
       "pivot must partial-aggregate map-side")
   }
 
+  test("w4 dense sequence: no partitionless Window (the single-task plan shape)") {
+    val p = plan("w4_global_seq")
+    assert(!p.contains("Window"), p.take(2000))
+    // values must still equal the row_number formulation
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id"))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val want = e.select(row_number().over(Window.orderBy(col("ts"), col("event_id")))
+        .cast("long").as("seq"), col("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("w4_global_seq")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the sketch projection must sit in a codegen'd stage (an expression
     // without doGenCode would force the stage out of codegen entirely)
