@@ -133,6 +133,25 @@ class TextFunctionsSpec extends SparkTestBase {
       assert(r.getSeq[Long](1).size == r.getSeq[String](2).distinct.size, s"'$t'")
       assert(r.getSeq[Long](1) == r.getSeq[Long](1).sorted, s"'$t' not sorted")
     }
+    // random unicode mixing 1-4 byte chars (incl. surrogate-pair emoji):
+    // the byte walk must agree with substring semantics everywhere
+    val uniChar = Gen.oneOf(
+      Gen.alphaLowerChar.map(_.toString), Gen.const("é"), Gen.const("語"),
+      Gen.const("😀"), Gen.const(" "))  // 😀 = 4-byte UTF-8
+    val uniText = Gen.listOfN(40, uniChar).map(_.mkString)
+    val uniTexts = samples(uniText, 25)
+    val uniRows = uniTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), lower(col("text")).as("lt"))
+      .select(col("id"),
+        hashedShingles(col("lt"), 5).as("hs"),
+        charShingles(col("lt"), 5).as("ss"))
+      .orderBy("id").collect()
+    uniRows.zip(uniTexts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](1).size == r.getSeq[String](2).distinct.size,
+        s"unicode '$t'")
+    }
+
     // pairwise jaccard equal between the hashed-long and string paths
     val pairs = texts.indices.combinations(2).take(60).map { case Seq(a, b) => (a, b) }.toSeq
     val byId = rows.map(r => r.getLong(0) -> (r.getSeq[Long](1).toSet, r.getSeq[String](2).toSet)).toMap
