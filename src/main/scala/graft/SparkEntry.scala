@@ -127,6 +127,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- J8: correlated EXISTS + scalar subquery (Catalyst
+    //      decorrelates both into joins — §4.2; SQL front door) ----
+    "j8_subqueries" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_sq")
+      li(s, d).createOrReplaceTempView("lineitem_sq")
+      s.sql("""
+        SELECT p_partkey, p_name
+        FROM part_sq
+        WHERE EXISTS (SELECT 1 FROM lineitem_sq
+                      WHERE l_partkey = p_partkey AND l_quantity >= 48)
+          AND p_retailprice > (SELECT avg(p_retailprice) FROM part_sq)
+        ORDER BY p_partkey""")
+    }),
+
     // ---- A1: group-count per device ----
     "a1_count_by_key" -> ((s, d) => ev(s, d)
       .groupBy("user_id").agg(count(lit(1)).as("n")).orderBy("user_id")),
@@ -736,6 +750,13 @@ object SparkEntry {
         |SELECT coalesce(c.user_id, p.user_id) AS user_id,
         |  coalesce(n_clicks, 0) AS n_clicks, coalesce(n_purchases, 0) AS n_purchases
         |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id ORDER BY user_id""".stripMargin,
+
+    "j8_subqueries" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_quantity >= 48)
+        |  AND p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
 
     "a1_count_by_key" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
