@@ -81,6 +81,30 @@ class FrameParserSpec extends SparkTestBase {
     assert(!rows(0).getAs[Boolean]("valid"))
   }
 
+  test("parser is total: arbitrary byte garbage never throws, only drops or flags") {
+    // the reference's posture (any protocol may arrive on the raw
+    // socket, ssidentity.c:83) — random frames of random lengths,
+    // including empty and truncated-below-every-offset, must parse to
+    // zero-or-more rows without an exception
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    def sample[A](g: Gen[A], s: Long): A =
+      Iterator.iterate(Seed(s))(_.next).map(g.apply(params, _))
+        .collect { case Some(v) => v }.next()
+    val frames = (0 until 200).map { i =>
+      val len = sample(Gen.chooseNum(0, 200), 1000L + i)
+      Array.tabulate(len)(j => sample(Gen.chooseNum(-128, 127), i * 251L + j).toByte)
+    }
+    // craft a near-valid frame truncated mid-SSID as an extra edge
+    val truncated = frame().take(64)
+    val rows = parse(frames :+ truncated: _*)
+    rows.foreach { r =>
+      assert(r.getAs[String]("mac").length == 12)
+      assert(r.getAs[Int]("freq") >= 0)
+    }
+  }
+
   test("mixed stream: only valid probe requests survive") {
     val rows = parse(frame(), frame(subtype = 8), frame(proto = 1),
       frame(ssidLen = Some(0)), frame(src = Array.fill(6)(0x11.toByte)))
