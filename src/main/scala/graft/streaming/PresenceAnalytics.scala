@@ -83,17 +83,22 @@ object PresenceAnalytics {
     * unbounded. Inner join: matches emit as soon as both sides arrive.
     * The same plan is J2 when both inputs are batch reads. */
   def coObservations(left: DataFrame, right: DataFrame,
-      toleranceSec: Long = 60, delay: String = "2 minutes"): DataFrame = {
+      toleranceSec: Long = 60, delay: String = "2 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", delay)
       .select(col("mac"), col("ts").as("l_ts"), col("sensorId").as("l_sensor"))
     val r = right.withWatermark("ts", delay)
       .select(col("mac").as("r_mac"), col("ts").as("r_ts"),
         col("sensorId").as("r_sensor"))
+    // left_outer: unmatched left rows emit (with null right columns)
+    // only once the right watermark passes l_ts + tolerance — the
+    // engine can then prove no match can still arrive
     l.join(r,
         col("mac") === col("r_mac") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $toleranceSec SECONDS") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $toleranceSec SECONDS") &&
-        col("l_sensor") =!= col("r_sensor"))
+        col("l_sensor") =!= col("r_sensor"),
+        joinType)
       .select(col("mac"), col("l_ts"), col("l_sensor"),
         col("r_ts"), col("r_sensor"))
   }

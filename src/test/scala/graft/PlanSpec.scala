@@ -106,6 +106,20 @@ class PlanSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("join hints are respected (SHUFFLE_HASH, MERGE override broadcast)") {
+    // tiny tables would default to broadcast; hints must force the
+    // requested physical strategy — the operator a tuner reaches for
+    // when the optimizer's size estimates are wrong at 100 TB
+    val n = graft.sources.Tables.nation(spark, sf)
+    val c = graft.sources.Tables.customer(spark, sf)
+    val hashed = c.join(n.hint("shuffle_hash"),
+      c("c_nationkey") === n("n_nationkey"))
+    assert(hashed.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    val merged = c.join(n.hint("merge"),
+      c("c_nationkey") === n("n_nationkey"))
+    assert(merged.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the sketch projection must sit in a codegen'd stage (an expression
     // without doGenCode would force the stage out of codegen entirely)

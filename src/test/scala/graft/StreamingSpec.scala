@@ -302,6 +302,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST9 left outer: unmatched rows emit with nulls once the watermark passes") {
+    val inA = MemoryStream[(Timestamp, String, Long)]
+    val inB = MemoryStream[(Timestamp, String, Long)]
+    val a = inA.toDF().toDF("ts", "mac", "sensorId")
+    val b = inB.toDF().toDF("ts", "mac", "sensorId")
+    val q = PresenceAnalytics.coObservations(a, b,
+        toleranceSec = 60, delay = "1 minute", joinType = "left_outer")
+      .writeStream.format("memory").queryName("st9o_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inA.addData((ts("2026-01-01 10:00:00"), "AA", 1L))   // will match
+      inA.addData((ts("2026-01-01 10:00:05"), "XX", 1L))   // never matches
+      inB.addData((ts("2026-01-01 10:00:30"), "AA", 2L))
+      q.processAllAvailable()
+      // advance both watermarks far past 10:00 + tolerance + delay so
+      // the engine can emit the unmatched XX row with null right side
+      inA.addData((ts("2026-01-01 12:00:00"), "W1", 9L))
+      inB.addData((ts("2026-01-01 12:00:00"), "W2", 9L))
+      q.processAllAvailable()
+      inA.addData((ts("2026-01-01 13:00:00"), "W3", 9L))
+      inB.addData((ts("2026-01-01 13:00:00"), "W4", 9L))
+      q.processAllAvailable()
+      val rows = spark.table("st9o_out").collect()
+        .map(r => (r.getAs[String]("mac"), r.isNullAt(3)))
+        .toSet
+      assert(rows.contains(("AA", false)), rows.toString)   // matched pair
+      assert(rows.contains(("XX", true)), rows.toString)    // null-emitted
+    } finally q.stop()
+  }
+
   test("ST9 plan on batch inputs is J2's interval self-join semantics") {
     val a = Seq((ts("2026-01-01 10:00:00"), "AA", 1L)).toDF("ts", "mac", "sensorId")
     val b = Seq((ts("2026-01-01 10:00:30"), "AA", 2L),
