@@ -52,6 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.eval() match {
       case i: Int => i
       case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
       case null =>
         throw new AnalysisException("INVALID_PARAMETER_VALUE.NULL", Map(
           "parameter" -> s"`$param`", "functionName" -> s"`$name`"))

@@ -1230,6 +1230,6 @@ object SparkEntry {
   /** DuckDB replay of Sampling.hashGate: uint32 of md5(doc_id‖salt)[0:8]. */
   private def SampGate(saltLit: String) =
     s"('0x' || substr(md5(doc_id::VARCHAR || $saltLit), 1, 8))::BIGINT"
-  /** Same arithmetic as Sampling.threshold — keep the two in lockstep. */
-  private def SampThr(f: Double): Long = (f * 4294967296L).toLong
+  /** Delegates to the engine's own gate arithmetic — no drift possible. */
+  private def SampThr(f: Double): Long = graft.operators.Sampling.threshold(f)
 }

@@ -17,7 +17,14 @@ import org.apache.spark.sql.types.LongType
 object DenseSequence {
 
   /** Appends a dense 1-based `seqCol` in the total order given by
-    * `order` (which must be a total order for determinism). */
+    * `order` (which must be a total order for determinism).
+    *
+    * Cost note: zipWithIndex launches its per-partition-count job
+    * EAGERLY (at call time), and the uncached sorted RDD's reduce-side
+    * sort re-runs when the result is consumed — inherent to the
+    * pattern. Dense ids are a bulk-assignment operation; call it where
+    * the result is materialized once, not inside a lazily-reused
+    * plan. */
   def withSeq(df: DataFrame, order: Seq[Column], seqCol: String = "seq"): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy(order: _*)

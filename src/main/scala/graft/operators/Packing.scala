@@ -24,12 +24,17 @@ object Packing {
   def packBins(docs: DataFrame, groupCol: String, orderCol: String,
       tokens: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive (got $budget)")
+    Seq("n_tokens", "bin", "bin_offset").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"input already has a '$c' column — packBins would shadow it"))
     val w = Window.partitionBy(groupCol).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("_n_tokens", tokens.cast("long"))
       .withColumn("_start", sum(col("_n_tokens")).over(w) - col("_n_tokens"))
-      .withColumn("bin", (col("_start") / budget).cast("long"))
+      // integral DIV, not double `/`: a long→double round-trip could
+      // misplace a bin once cumulative counts pass 2^53
+      .withColumn("bin", expr(s"_start DIV ${budget}L"))
       .withColumn("bin_offset", (col("_start") % budget).cast("long"))
       .drop("_start")
       .withColumnRenamed("_n_tokens", "n_tokens")

@@ -21,7 +21,9 @@ object Sampling {
     conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long")
 
-  private def threshold(fraction: Double): Long = {
+  /** The gate threshold `fraction · 2³²` — public so the DuckDB oracle
+    * builder reuses THIS arithmetic instead of re-implementing it. */
+  def threshold(fraction: Double): Long = {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"fraction must be in [0, 1] (got $fraction)")
     (fraction * 4294967296L).toLong

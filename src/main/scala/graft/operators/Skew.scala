@@ -18,9 +18,21 @@ object Skew {
     * could re-salt rows some reducers already consumed, double-counting
     * or dropping them. Hashing the row's own columns re-derives the
     * identical salt on every replay. Fully duplicate rows share a salt
-    * — still correct, just slightly less spread on degenerate data. */
-  private def rowSalt(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets))
+    * — still correct, just slightly less spread on degenerate data.
+    * Map-typed columns are excluded (xxhash64 rejects MapType at
+    * analysis); a schema with ONLY map columns degrades to one salt —
+    * correct, just unspread. */
+  private def rowSalt(df: DataFrame, buckets: Int): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val cols = df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    if (cols.isEmpty) lit(0L) else pmod(xxhash64(cols.toIndexedSeq: _*), lit(buckets))
+  }
 
   /** Two-phase (salted) aggregation: count per key without any single
     * reducer owning a hot key. Phase 1 groups on (key, salt) — the hot

@@ -64,10 +64,14 @@ object IngestPipeline {
     * foreachBatch. foreachBatch itself is only at-least-once (a crash
     * between the table write and the checkpoint commit replays the
     * batch), so the table write is made idempotent: each micro-batch
-    * lands in a `_batch_id=<id>` partition written with DYNAMIC
-    * partition overwrite — a replay of batch N overwrites exactly the
-    * files its failed attempt left, never duplicating rows. Net effect
-    * is exactly-once for the table; the console echo stays best-effort
+    * fully overwrites its own `_batch_id=<id>` directory. A replay of
+    * batch N replaces EVERYTHING its failed attempt wrote — including
+    * files under partition values that changed between attempts (e.g.
+    * an obs_date shifted by a midnight-straddling wall-clock stamp),
+    * which a dynamic partition overwrite keyed on leaf partitions would
+    * leave behind. Net effect is exactly-once for the table even when
+    * batch content is nondeterministic; readers see `_batch_id` as a
+    * discovered partition column. The console echo stays best-effort
     * (it may repeat on replay, like the reference's printf). The batch
     * df is persisted so the two sinks share one computation of the
     * parse pipeline rather than re-reading the source. */
@@ -79,10 +83,9 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          batch.withColumn("_batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("obs_date", "sensorId", "_batch_id").parquet(path)
+          batch.write.mode("overwrite")
+            .partitionBy("obs_date", "sensorId")
+            .parquet(s"$path/_batch_id=$batchId")
           if (alsoConsole) batch.show(20, false)
         } finally { batch.unpersist(); () }
       }

@@ -44,7 +44,7 @@ object ExplainDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline physical plans\n\n")
     sb.append("Formatted plans for the plan shapes `PlanSpec` pins structurally\n")

@@ -45,6 +45,16 @@ class SkewSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("salt derivation tolerates map-typed columns (excluded from the hash)") {
+    import org.apache.spark.sql.functions.{col, map, lit}
+    val df = spark.range(1000)
+      .select((col("id") % 3).as("k"), col("id").as("v"),
+        map(lit("a"), col("id")).as("props"))
+    val got = graft.operators.Skew.saltedCount(df, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 334L, 1L -> 333L, 2L -> 333L))
+  }
+
   test("salted aggregation really spreads the hot key across reducers") {
     // phase-1 output must contain multiple (whale, salt) groups
     val phase1Groups = skewed.withColumn("_salt",

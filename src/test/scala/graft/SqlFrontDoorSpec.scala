@@ -85,6 +85,8 @@ class SqlFrontDoorSpec extends SparkTestBase {
       .collect()(0).getSeq[Long](0).length == 4)
     assert(s.sql("SELECT graft_minhash_xx(toks, CAST(4 AS BIGINT)) AS m FROM targs")
       .collect()(0).getSeq[Long](0).length == 4)
+    assert(s.sql("SELECT graft_minhash_xx(toks, CAST(4 AS SMALLINT)) AS m FROM targs")
+      .collect()(0).getSeq[Long](0).length == 4)
     val wrongArity = intercept[AnalysisException](
       s.sql("SELECT graft_minhash_md5(toks) FROM targs").collect())
     assert(wrongArity.getMessage.contains("requires 2 parameters"))
