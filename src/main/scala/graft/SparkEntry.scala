@@ -642,6 +642,38 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // ---- PROFILE: capstone composed report (README.md:15-19 — the
+    //      per-device server profile: census + active hour + top
+    //      interest + dwell sessions, one multi-join report) ----
+    "device_profile" -> ((s, d) => {
+      val e = ev(s, d)
+      val census = e.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("event_type").as("n_types"))
+      val hourW = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("hr"))
+      val modalHour = e.groupBy(col("user_id"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(hourW)).filter(col("rn") === 1)
+        .select(col("user_id"), col("hr").cast("long").as("modal_hour"))
+      val typeW = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type"))
+      val topType = e.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(typeW)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"))
+      val sess = graft.operators.Sessionize
+        .sessions(e, "user_id", "ts", col("event_id"), gapSeconds = 1800L)
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_sessions"),
+          // long sum (order-free) then ONE division — deterministic
+          round(sum(col("duration_s").cast("long")).cast("double")
+            / count(lit(1)), 2).as("avg_session_s"))
+      census.join(modalHour, "user_id").join(topType, "user_id")
+        .join(sess, "user_id")
+        .orderBy("user_id")
+    }),
+
     // ---- PACK: fixed-token-budget sequence packing per language ----
     "pack_bins" -> ((s, d) =>
       graft.operators.Packing.packBins(
@@ -1200,6 +1232,36 @@ object SparkEntry {
          |  CASE lang WHEN 'en' THEN ${SampThr(0.5)} WHEN 'de' THEN ${SampThr(0.25)}
          |            WHEN 'fr' THEN ${SampThr(0.1)} ELSE ${SampThr(0.05)} END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "device_profile" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |sess0 AS (SELECT user_id, session_id,
+        |    ((epoch_ms(max(ts)) - epoch_ms(min(ts))) // 1000)::BIGINT AS dur
+        |  FROM sid GROUP BY 1, 2),
+        |sess AS (SELECT user_id, count(*) AS n_sessions,
+        |    round(sum(dur)::DOUBLE / count(*), 2) AS avg_session_s
+        |  FROM sess0 GROUP BY user_id),
+        |census AS (SELECT user_id, count(*) AS n_events,
+        |    count(DISTINCT event_type) AS n_types FROM events GROUP BY user_id),
+        |mh AS (SELECT user_id, hr::BIGINT AS modal_hour FROM (
+        |    SELECT user_id, hour(ts) AS hr, count(*) AS n,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, hour(ts)) AS rn
+        |    FROM events GROUP BY user_id, hour(ts)) WHERE rn = 1),
+        |tt AS (SELECT user_id, event_type AS top_type FROM (
+        |    SELECT user_id, event_type, count(*) AS n,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+        |    FROM events GROUP BY user_id, event_type) WHERE rn = 1)
+        |SELECT census.user_id, n_events, n_types, modal_hour, top_type,
+        |  n_sessions, avg_session_s
+        |FROM census JOIN mh USING (user_id) JOIN tt USING (user_id)
+        |  JOIN sess USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "pack_bins" ->
       s"""WITH t AS (SELECT doc_id, lang,
