@@ -36,7 +36,11 @@ object ExplainDump {
       + "sets. No crossJoin anywhere."),
     "w4_global_seq" -> ("Dense global sequence WITHOUT a partitionless window "
       + "(which would single-task all rows): range-partitioned sort, then "
-      + "zipWithIndex assigns contiguous per-partition offsets."))
+      + "zipWithIndex assigns contiguous per-partition offsets."),
+    "device_profile" -> ("Capstone composed report (census ⋈ modal hour ⋈ top "
+      + "interest ⋈ session stats). All four branches aggregate the same "
+      + "events scan independently; the final joins run on the user_id key "
+      + "with each branch already reduced to one row per device."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
