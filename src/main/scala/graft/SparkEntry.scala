@@ -678,7 +678,7 @@ object SparkEntry {
     "pack_bins" -> ((s, d) =>
       graft.operators.Packing.packBins(
           Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
-          "lang", "doc_id", TextFunctions.tokenCount(col("text")), budget = 2048L)
+          "lang", Seq(col("doc_id")), TextFunctions.tokenCount(col("text")), budget = 2048L)
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("bin"), col("bin_offset"))
         .orderBy("lang", "doc_id")),
@@ -1162,7 +1162,7 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS brk
+        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
@@ -1236,7 +1236,7 @@ object SparkEntry {
     "device_profile" ->
       """WITH g AS (SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS brk
+        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sid AS (SELECT user_id, ts,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
@@ -1289,9 +1289,10 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
   )
 
-  /** DuckDB replay of Sampling.hashGate: uint32 of md5(doc_id‖salt)[0:8]. */
+  /** DuckDB replay of Sampling.hashGate: uint32 of md5(key‖salt)[0:8],
+    * concat_ws mirroring the engine's null-key handling. */
   private def SampGate(saltLit: String) =
-    s"('0x' || substr(md5(doc_id::VARCHAR || $saltLit), 1, 8))::BIGINT"
+    s"('0x' || substr(md5(concat_ws('', doc_id::VARCHAR, $saltLit)), 1, 8))::BIGINT"
   /** Delegates to the engine's own gate arithmetic — no drift possible. */
   private def SampThr(f: Double): Long = graft.operators.Sampling.threshold(f)
 }

@@ -26,6 +26,8 @@ object DenseSequence {
     * the result is materialized once, not inside a lazily-reused
     * plan. */
   def withSeq(df: DataFrame, order: Seq[Column], seqCol: String = "seq"): DataFrame = {
+    require(!df.columns.contains(seqCol),
+      s"input already has a '$seqCol' column — pass a different seqCol")
     val spark = df.sparkSession
     val sorted = df.orderBy(order: _*)
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>

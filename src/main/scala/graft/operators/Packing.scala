@@ -18,16 +18,20 @@ object Packing {
 
   /** Adds `bin` (0-based budget window) and `bin_offset` (token offset
     * of the doc's start within its bin) per `groupCol`, ordering docs
-    * by `orderCol`. Docs longer than `budget` keep advancing the
-    * cursor — they span bins, exactly like concatenated token streams
-    * chunked at budget boundaries. */
-  def packBins(docs: DataFrame, groupCol: String, orderCol: String,
+    * by `order` — which MUST be a total order within each group (pass
+    * a unique id as the last column): a running sum over duplicate
+    * order keys is partition-order dependent, exactly the drift this
+    * operator exists to prevent. Docs longer than `budget` keep
+    * advancing the cursor — they span bins, exactly like concatenated
+    * token streams chunked at budget boundaries. */
+  def packBins(docs: DataFrame, groupCol: String, order: Seq[Column],
       tokens: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive (got $budget)")
-    Seq("n_tokens", "bin", "bin_offset").foreach(c =>
+    require(order.nonEmpty, "order columns must be non-empty")
+    Seq("n_tokens", "bin", "bin_offset", "_n_tokens", "_start").foreach(c =>
       require(!docs.columns.contains(c),
         s"input already has a '$c' column — packBins would shadow it"))
-    val w = Window.partitionBy(groupCol).orderBy(col(orderCol))
+    val w = Window.partitionBy(groupCol).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("_n_tokens", tokens.cast("long"))

@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** The gate value in [0, 2³²): first 8 hex chars of md5(key‖salt). */
+  /** The gate value in [0, 2³²): first 8 hex chars of md5(key‖salt).
+    * concat_ws (not concat) so a NULL key hashes as the empty string
+    * rather than poisoning the gate to NULL — null-keyed rows form one
+    * deterministic group (all kept or all dropped together, since they
+    * share a gate value) instead of being silently dropped at every
+    * fraction. */
   def hashGate(key: Column, salt: String): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+    conv(substring(md5(concat_ws("", key.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long")
 
   /** The gate threshold `fraction · 2³²` — public so the DuckDB oracle
@@ -43,6 +48,9 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, stratum: Column, key: Column,
       rates: Map[String, Double], defaultFraction: Double = 0.0,
       salt: String = ""): DataFrame = {
+    Seq("_stratum", "_thresh").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — it would collide with the rate join"))
     val spark = df.sparkSession
     import spark.implicits._
     val rateDf = rates.toSeq.map { case (s, f) => (s, threshold(f)) }

@@ -21,15 +21,23 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Adds `session_id` (1-based per key, in time order). `tiebreak`
-    * makes the ordering total when timestamps collide. */
+    * makes the ordering total when timestamps collide.
+    *
+    * Boundary semantics match `session_window` exactly: a session spans
+    * [first, last + gap) with an EXCLUSIVE end, so an event arriving
+    * exactly `gapSeconds` after its predecessor starts a NEW session
+    * (`>=`, not `>`). */
   def assign(events: DataFrame, keyCol: String, tsCol: String,
       tiebreak: Column, gapSeconds: Long): DataFrame = {
+    Seq("_new_session", "session_id").foreach(c =>
+      require(!events.columns.contains(c),
+        s"input already has a '$c' column — sessionize would shadow it"))
     val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol), tiebreak)
     val gapMs = unix_millis(col(tsCol)) -
       unix_millis(lag(col(tsCol), 1).over(byTime))
     events
       .withColumn("_new_session",
-        when(gapMs.isNull || gapMs > gapSeconds * 1000L, 1L).otherwise(0L))
+        when(gapMs.isNull || gapMs >= gapSeconds * 1000L, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("_new_session")).over(
         byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("_new_session")
@@ -44,6 +52,8 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
+        // integral seconds (matching the name and the BIGINT oracle) —
+        // Column `/` is double division, so truncate explicitly
         ((unix_millis(max(col(tsCol))) - unix_millis(min(col(tsCol)))) / 1000L)
-          .as("duration_s"))
+          .cast("long").as("duration_s"))
 }

@@ -33,6 +33,17 @@ object TextExprs {
     while (i < 7) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
     (v << 4) | ((digest(7) & 0xf0L) >> 4)
   }
+
+  /** Shared finalizer mix for the xx/long MinHash families. The two
+    * families MUST stay bit-identical (LongMinHashSigExpr over
+    * HashedShinglesExpr equals XxMinHashSigExpr over string shingles)
+    * — one definition makes divergence impossible. */
+  @inline def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
 }
 
 /** 60-bit SimHash over a token array, single pass, native.
@@ -49,27 +60,8 @@ case class SimHash60Expr(child: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_simhash60"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val sums = new Array[Int](60)
-    var t = 0
-    while (t < n) {
-      if (!arr.isNullAt(t)) {
-        val h = TextExprs.md5Hash60(0, arr.getUTF8String(t))
-        var i = 0
-        while (i < 60) {
-          if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
-          i += 1
-        }
-      }
-      t += 1
-    }
-    var sk = 0L
-    var i = 0
-    while (i < 60) { if (sums(i) > 0) sk |= (1L << i); i += 1 }
-    sk
-  }
+  protected override def nullSafeEval(input: Any): Any =
+    SimHash60Expr.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
@@ -80,7 +72,7 @@ case class SimHash60Expr(child: Expression)
 }
 
 object SimHash60Expr {
-  /** Static entry for generated code — same body as nullSafeEval. */
+  /** Single implementation — interpreted eval and codegen both call it. */
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val sums = new Array[Int](60)
@@ -223,13 +215,6 @@ case class XxMinHashSigExpr(child: Expression, numHashes: Int)
 }
 
 object XxMinHashSigExpr {
-  @inline private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
   def compute(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -244,7 +229,7 @@ object XxMinHashSigExpr {
         val base64 = (base.toLong << 32) ^ (s.numBytes.toLong * 0x9e3779b97f4a7c15L)
         var j = 0
         while (j < numHashes) {
-          val h = splitmix64(base64 ^ (j.toLong * 0xc2b2ae3d27d4eb4fL))
+          val h = TextExprs.splitmix64(base64 ^ (j.toLong * 0xc2b2ae3d27d4eb4fL))
           if (h < mins(j)) mins(j) = h
           j += 1
         }
@@ -277,12 +262,20 @@ case class RhpBucketExpr(child: Expression, bits: Int, dim: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_rhp_bucket"
 
-  protected override def nullSafeEval(input: Any): Any =
-    RhpBucketExpr.compute(input.asInstanceOf[ArrayData], bits, dim)
+  // hyperplane table precomputed ONCE per expression instance: comp()
+  // is ~8 long ops + a modulo + a division — recomputing it bits*dim
+  // times per row wasted ~10^13 mixes on a 10^9-row corpus
+  @transient private lazy val table: Array[Array[Double]] =
+    Array.tabulate(bits, dim)(RhpBucketExpr.comp)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  protected override def nullSafeEval(input: Any): Any =
+    RhpBucketExpr.compute(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("rhpTable", table, "double[][]")
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.RhpBucketExpr.compute($c, $bits, $dim)")
+      s"org.apache.spark.sql.graft.RhpBucketExpr.compute($c, $tRef)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -296,15 +289,16 @@ object RhpBucketExpr {
     (x % 1000003L).toDouble / 1000003.0
   }
 
-  def compute(arr: ArrayData, bits: Int, dim: Int): Int = {
-    val n = math.min(arr.numElements(), dim)
+  def compute(arr: ArrayData, table: Array[Array[Double]]): Int = {
     var bucket = 0
     var b = 0
-    while (b < bits) {
+    while (b < table.length) {
+      val row = table(b)
+      val n = math.min(arr.numElements(), row.length)
       var proj = 0.0
       var d = 0
       while (d < n) {
-        if (!arr.isNullAt(d)) proj += arr.getFloat(d).toDouble * comp(b, d)
+        if (!arr.isNullAt(d)) proj += arr.getFloat(d).toDouble * row(d)
         d += 1
       }
       if (proj > 0.0) bucket |= (1 << b)
@@ -343,18 +337,21 @@ case class CellAssignExpr(child: Expression, centroids: Array[Array[Float]])
 
 object CellAssignExpr {
   def compute(arr: ArrayData, centroids: Array[Array[Float]]): Int = {
-    val v = arr.toFloatArray()
     var best = 0
     var bestDist = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
       val ct = centroids(c)
-      val n = math.min(v.length, ct.length)
+      val n = math.min(arr.numElements(), ct.length)
       var d = 0.0
       var i = 0
       while (i < n) {
-        val diff = v(i).toDouble - ct(i).toDouble
-        d += diff * diff
+        // skip null elements (same semantics as RhpBucketExpr) rather
+        // than toFloatArray's silent null-as-0.0 read
+        if (!arr.isNullAt(i)) {
+          val diff = arr.getFloat(i).toDouble - ct(i).toDouble
+          d += diff * diff
+        }
         i += 1
       }
       if (d < bestDist) { bestDist = d; best = c }
@@ -495,13 +492,6 @@ case class LongMinHashSigExpr(child: Expression, numHashes: Int)
 }
 
 object LongMinHashSigExpr {
-  @inline private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
   def compute(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -513,7 +503,7 @@ object LongMinHashSigExpr {
         val e = arr.getLong(t)
         var j = 0
         while (j < numHashes) {
-          val h = splitmix64(e ^ (j.toLong * 0xc2b2ae3d27d4eb4fL))
+          val h = TextExprs.splitmix64(e ^ (j.toLong * 0xc2b2ae3d27d4eb4fL))
           if (h < mins(j)) mins(j) = h
           j += 1
         }

@@ -59,7 +59,7 @@ class SamplingSpec extends SparkTestBase {
       (5L, "h", 2048L), (6L, "h", 1L))
       .toDF("doc_id", "lang", "n")
     val got = graft.operators.Packing
-      .packBins(docs, "lang", "doc_id", col("n"), 2048L)
+      .packBins(docs, "lang", Seq(col("doc_id")), col("n"), 2048L)
       .orderBy("lang", "doc_id")
       .collect().map(r => (r.getAs[Long]("doc_id"),
         r.getAs[Long]("bin"), r.getAs[Long]("bin_offset")))
@@ -71,12 +71,24 @@ class SamplingSpec extends SparkTestBase {
       (5L, 0L, 0L),     // group h restarts
       (6L, 1L, 0L)))    // starts exactly at the budget boundary
     intercept[IllegalArgumentException](
-      graft.operators.Packing.packBins(docs, "lang", "doc_id", col("n"), 0L))
+      graft.operators.Packing.packBins(docs, "lang", Seq(col("doc_id")), col("n"), 0L))
   }
 
   test("edge fractions: 0.0 keeps nothing, 1.0 keeps everything") {
     assert(Sampling.hashSample(pop, col("id"), 0.0).count() == 0L)
     assert(Sampling.hashSample(pop, col("id"), 1.0).count() == 4000L)
     intercept[IllegalArgumentException](Sampling.hashSample(pop, col("id"), 1.5))
+  }
+
+  test("null keys are a deterministic group, not silently dropped") {
+    val withNulls = Seq((Some(1L), "a"), (None, "b"), (None, "c"), (Some(2L), "d"))
+      .toDF("k", "v")
+    // fraction 1.0 must keep the null-keyed rows too
+    assert(Sampling.hashSample(withNulls, col("k"), 1.0).count() == 4L)
+    assert(Sampling.hashSample(withNulls, col("k"), 0.0).count() == 0L)
+    // null keys share one gate value → kept or dropped together
+    val kept = Sampling.hashSample(withNulls, col("k"), 0.5, "s")
+      .filter(col("k").isNull).count()
+    assert(kept == 0L || kept == 2L)
   }
 }

@@ -14,22 +14,24 @@ class SessionizeSpec extends SparkTestBase {
   private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
 
   test("gap-based sessions split exactly at the threshold boundary") {
-    // user A: events at 0, 10, 20 (one session), 60 (gap 40 > 30), 70
-    // user B: events at 0, 31 (gap 31 > 30 → split), 61 (gap 30 → SAME session)
+    // session_window parity: the session end is EXCLUSIVE, so a gap of
+    // exactly 30 min starts a new session (>=, like ST4's oracle).
+    // user A: events at 0, 10, 20 (one session), 60 (gap 40 >= 30), 70
+    // user B: events at 0, 29 (gap 29 < 30 → same), 59 (gap 30 → SPLIT)
     val df = Seq(
       ("A", ts(0), 1L), ("A", ts(10), 2L), ("A", ts(20), 3L),
       ("A", ts(60), 4L), ("A", ts(70), 5L),
-      ("B", ts(0), 6L), ("B", ts(31), 7L), ("B", ts(61), 8L))
+      ("B", ts(0), 6L), ("B", ts(29), 7L), ("B", ts(59), 8L))
       .toDF("user_id", "t", "event_id")
     val got = Sessionize.sessions(df, "user_id", "t", col("event_id"), 1800L)
       .orderBy("user_id", "session_id")
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getAs[Double]("duration_s").toLong))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getAs[Long]("duration_s")))
     assert(got.toSeq == Seq(
       ("A", 1L, 3L, 1200L),   // 0..20 min
       ("A", 2L, 2L, 600L),    // 60..70
-      ("B", 1L, 1L, 0L),      // 0
-      ("B", 2L, 2L, 1800L)))  // 31..61 — gap exactly 30 min stays joined
+      ("B", 1L, 2L, 1740L),   // 0..29 — gap 29 < 30 stays joined
+      ("B", 2L, 1L, 0L)))     // 59 — gap exactly 30 min SPLITS
   }
 
   test("sessionize plans ONE window exchange (shared partitioning/order)") {
