@@ -44,10 +44,16 @@ object ArrivalAlerts {
     (alerts.result(), DeviceState(last.getOrElse(0L)))
   }
 
-  /** Wire the transition into flatMapGroupsWithState. Works on a
-    * streaming Dataset (update mode) and on a batch Dataset (single
-    * "batch" per group, no prior state) — the batch path doubles as the
-    * deterministic spec for the streaming one. */
+  /** Wire the transition into flatMapGroupsWithState (append output
+    * mode — alerts are emit-once facts, never updated). Works on a
+    * streaming Dataset and on a batch Dataset (single "batch" per
+    * group, no prior state) — the batch path doubles as the
+    * deterministic spec for the streaming one.
+    *
+    * State-growth caveat: probe-request MACs are randomized by modern
+    * devices, so per-MAC state here grows with the number of DISTINCT
+    * MACs ever heard (NoTimeout). For unbounded deployments prefer
+    * [[ArrivalAlertsTws]], whose state TTL expires silent keys. */
   def alerts(sightings: Dataset[Sighting], gapSec: Long = 3600L)
       (implicit spark: SparkSession): Dataset[Alert] = {
     import spark.implicits._

@@ -30,20 +30,25 @@ object IngestPipeline {
 
   /** S1 — production TCP source (the reference's raw socket,
     * ssidentity.c:74-84, minus the kernel-capture privilege): sensors
-    * write one `sensorId:base64(frame)` line per captured frame; the
-    * stream decodes to the same RawFrame columns the parser consumes.
-    * `ts` is ingestion wall-clock — exactly the reference's semantics
-    * (it stamps at parse time, ssidentity.c:183; event time only exists
-    * once the epoch TODO lands). Tests drive it with a real
-    * ServerSocket; production would swap the socket format for Kafka
-    * with the SAME downstream plan. */
+    * write one `sensorId:epochMillis:base64(frame)` line per captured
+    * frame. The SENSOR stamps the time at capture — the reference's own
+    * semantics (it stamps at parse on the sensor, ssidentity.c:183) and
+    * the only way to get per-frame time here: current_timestamp() in a
+    * streaming query is the per-MICRO-BATCH constant, which would
+    * collapse same-batch frames onto one ts and break dedup/gap
+    * analytics. Malformed lines (non-numeric fields, broken base64) are
+    * dropped, not poison pills: try_cast instead of ANSI cast, so one
+    * stray TCP client cannot kill the query into a checkpoint-replay
+    * loop. Tests drive it with a real ServerSocket; production would
+    * swap the socket format for Kafka with the SAME downstream plan. */
   def fromSocket(spark: SparkSession, host: String, port: Int): DataFrame =
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
       .select(
-        current_timestamp().as("ts"),
-        substring_index(col("value"), ":", 1).cast("long").as("sensorId"),
+        expr("timestamp_millis(try_cast(split_part(value, ':', 2) AS LONG))").as("ts"),
+        expr("try_cast(split_part(value, ':', 1) AS LONG)").as("sensorId"),
         unbase64(substring_index(col("value"), ":", -1)).as("bytes"))
+      .filter(col("ts").isNotNull && col("sensorId").isNotNull && col("bytes").isNotNull)
 
   /** S3 — console sink (the reference's printf, ssidentity.c:89-95). */
   def toConsole(obs: DataFrame): DataStreamWriter[Row] =
@@ -76,19 +81,33 @@ object IngestPipeline {
     * df is persisted so the two sinks share one computation of the
     * parse pipeline rather than re-reading the source. */
   def fanOut(obs: DataFrame, path: String, checkpoint: String,
-      alsoConsole: Boolean = false): DataStreamWriter[Row] =
+      alsoConsole: Boolean = false): DataStreamWriter[Row] = {
+    // a FRESH checkpoint restarts batch ids at 0, and batch-0's
+    // overwrite would silently destroy a previous run's _batch_id=0
+    // data — refuse the foot-gun up front
+    val hconf = obs.sparkSession.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(path)
+    val offsetsPath = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val fs = outPath.getFileSystem(hconf)
+    require(fs.exists(offsetsPath) || !fs.exists(outPath) ||
+        fs.listStatus(outPath).isEmpty,
+      s"output $path already has data but checkpoint $checkpoint is fresh: " +
+        "batch ids would restart at 0 and overwrite prior batches — use the " +
+        "original checkpoint or a new output path")
     obs.withColumn("obs_date", to_date(col("ts")))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.persist()
+        // persist only when two sinks actually share the computation
+        if (alsoConsole) batch.persist()
         try {
           batch.write.mode("overwrite")
             .partitionBy("obs_date", "sensorId")
             .parquet(s"$path/_batch_id=$batchId")
           if (alsoConsole) batch.show(20, false)
-        } finally { batch.unpersist(); () }
+        } finally { if (alsoConsole) batch.unpersist(); () }
       }
+  }
 
   /** Start helper with a processing-time trigger (the micro-batch
     * replacement for the reference's busy loop). */

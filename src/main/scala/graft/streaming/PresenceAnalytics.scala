@@ -48,7 +48,7 @@ object PresenceAnalytics {
   def dedupWithinWatermark(obs: DataFrame, delay: String = "10 minutes",
       keys: Seq[String] = Seq("mac", "ts", "sensorId")): DataFrame =
     if (obs.isStreaming)
-      obs.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys.toSeq)
+      obs.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
     else obs.dropDuplicates(keys)
 
   /** J3 — watchlist tracking: stream ⋈ broadcast static watchlist
@@ -82,14 +82,22 @@ object PresenceAnalytics {
     * watermark + tolerance — state stays O(tolerance · rate), not
     * unbounded. Inner join: matches emit as soon as both sides arrive.
     * The same plan is J2 when both inputs are batch reads. */
+  /** `pairDedup = true` emits each unordered sensor pair ONCE
+    * (l_sensor < r_sensor) — required when both inputs are the SAME
+    * feed (J2 parity: the self-join would otherwise emit (s1,s2) and
+    * (s2,s1)). Leave false for two heterogeneous streams, where the
+    * sensor ids carry side-specific meaning. */
   def coObservations(left: DataFrame, right: DataFrame,
       toleranceSec: Long = 60, delay: String = "2 minutes",
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner", pairDedup: Boolean = false): DataFrame = {
     val l = left.withWatermark("ts", delay)
       .select(col("mac"), col("ts").as("l_ts"), col("sensorId").as("l_sensor"))
     val r = right.withWatermark("ts", delay)
       .select(col("mac").as("r_mac"), col("ts").as("r_ts"),
         col("sensorId").as("r_sensor"))
+    val sensorCond =
+      if (pairDedup) col("l_sensor") < col("r_sensor")
+      else col("l_sensor") =!= col("r_sensor")
     // left_outer: unmatched left rows emit (with null right columns)
     // only once the right watermark passes l_ts + tolerance — the
     // engine can then prove no match can still arrive
@@ -97,7 +105,7 @@ object PresenceAnalytics {
         col("mac") === col("r_mac") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $toleranceSec SECONDS") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $toleranceSec SECONDS") &&
-        col("l_sensor") =!= col("r_sensor"),
+        sensorCond,
         joinType)
       .select(col("mac"), col("l_ts"), col("l_sensor"),
         col("r_ts"), col("r_sensor"))

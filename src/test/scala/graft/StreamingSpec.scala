@@ -60,8 +60,10 @@ class StreamingSpec extends SparkTestBase {
     val writer = new Thread(() => {
       val sock = server.accept()
       val out = new java.io.PrintWriter(sock.getOutputStream, true)
-      out.println(s"7:$payload")
-      out.println(s"8:$payload")
+      out.println(s"7:1700000000000:$payload")
+      out.println("not a frame at all")          // malformed: dropped, not fatal
+      out.println(s"oops:9999:$payload")         // non-numeric sensor: dropped
+      out.println(s"8:1700000001000:$payload")
       // keep the connection open until the test finishes reading
       Thread.sleep(30000)
       sock.close()
@@ -85,6 +87,9 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.map(_.getAs[Long]("sensorId")).sorted.toSeq == Seq(7L, 8L))
       assert(rows.forall(_.getAs[String]("mac") == "333333333333"))
       assert(rows.forall(_.getAs[Double]("dist") == 306.1))
+      // sensor-stamped event time survives (not the batch timestamp)
+      assert(rows.map(_.getAs[Timestamp]("ts").getTime).sorted.toSeq ==
+        Seq(1700000000000L, 1700000001000L))
     } finally { q.stop(); server.close() }
   }
 
@@ -338,5 +343,14 @@ class StreamingSpec extends SparkTestBase {
       (ts("2026-01-01 10:03:00"), "AA", 2L)).toDF("ts", "mac", "sensorId")
     val got = PresenceAnalytics.coObservations(a, b, toleranceSec = 60).collect()
     assert(got.length == 1 && got(0).getAs[Long]("r_sensor") == 2L)
+    // self-join parity: pairDedup emits each unordered pair ONCE
+    val obs = Seq((ts("2026-01-01 10:00:00"), "AA", 1L),
+      (ts("2026-01-01 10:00:30"), "AA", 2L)).toDF("ts", "mac", "sensorId")
+    val both = PresenceAnalytics.coObservations(obs, obs, toleranceSec = 60)
+    assert(both.count() == 2)   // (1,2) and (2,1)
+    val once = PresenceAnalytics.coObservations(obs, obs, toleranceSec = 60,
+      pairDedup = true).collect()
+    assert(once.length == 1 &&
+      once(0).getAs[Long]("l_sensor") == 1L && once(0).getAs[Long]("r_sensor") == 2L)
   }
 }
