@@ -850,7 +850,7 @@ object SparkEntry {
         |  round((m11 * (v2*m33 - m23*v3) - v1 * (m12*m33 - m23*m13) + m13 * (m12*v3 - v2*m13))
         |    / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)), 3) + 0.0 AS est_y
         |FROM a
-        |WHERE n_sensors >= 3 AND abs(m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)) > 1e-9
+        |WHERE n_sensors >= 3 AND abs(m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)) > 1e-9 * pow(greatest(abs(m11), abs(m12), abs(m13), abs(m22), abs(m23), abs(m33)), 3)
         |ORDER BY mac""".stripMargin,
 
     "living_area" -> {
@@ -876,7 +876,7 @@ object SparkEntry {
          |e AS (
          |  SELECT mac, round(($detX) / ($det), 3) + 0.0 AS est_x,
          |         round(($detY) / ($det), 3) + 0.0 AS est_y
-         |  FROM a WHERE n_sensors >= 3 AND abs($det) > 1e-9),
+         |  FROM a WHERE n_sensors >= 3 AND abs($det) > 1e-9 * pow(greatest(abs(m11), abs(m12), abs(m13), abs(m22), abs(m23), abs(m33)), 3)),
          |c AS (SELECT mac, round(est_x, 0) + 0.0 AS cx, round(est_y, 0) + 0.0 AS cy,
          |             count(*) AS n_buckets
          |      FROM e GROUP BY 1, 2, 3),

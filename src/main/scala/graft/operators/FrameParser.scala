@@ -47,16 +47,19 @@ object FrameParser {
       // P5: 0 < ssid_len <= 32 (ssidentity.c:155-156)
       .withColumn("ssid_len", ssidLen)
       .filter(col("ssid_len") > 0 && col("ssid_len") <= 32)
-      .select(
-        col("ts"),
-        macHex(b, SrcMacOff).as("mac"),                              // F3+F4
-        sanitizeSsidBytes(substring(b, SsidOff, 32)                  // F5
-          .substr(lit(1), col("ssid_len"))).as("ssid"),
-        decodeRssi(u8(b, RssiOff)).as("rssi"),                       // F7
-        beU16(b, FreqOff).as("freq"),                                // F2
-        col("sensorId"),
-        isPrintable(decode(substring(b, SsidOff, 32)
-          .substr(lit(1), col("ssid_len")), "ISO-8859-1")).as("valid"))
+      .select({
+        // ssid byte slice bound once (the P5 filter already guarantees
+        // ssid_len <= 32, so no extra 32-byte cap is needed)
+        val ssidBytes = substring(b, SsidOff, 32).substr(lit(1), col("ssid_len"))
+        Seq(
+          col("ts"),
+          macHex(b, SrcMacOff).as("mac"),                            // F3+F4
+          sanitizeSsidBytes(ssidBytes).as("ssid"),                   // F5
+          decodeRssi(u8(b, RssiOff)).as("rssi"),                     // F7
+          beU16(b, FreqOff).as("freq"),                              // F2
+          col("sensorId"),
+          isPrintable(decode(ssidBytes, "ISO-8859-1")).as("valid"))
+      }: _*)
       .withColumn("dist", fsplDistance2dp(col("rssi"), col("freq"))) // F8
   }
 }

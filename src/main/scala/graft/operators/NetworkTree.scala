@@ -1,13 +1,17 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The declared "Network Tree (AP - Known clients)" correlation
   * (ssidentity.c:36, README.md:16): the bipartite device↔SSID graph,
   * plain relational — an edge list with weights plus per-node adjacency
-  * views. No graph engine: one hash aggregation each, and the adjacency
-  * arrays are bounded by slice() so a hub SSID can't blow up a row.
+  * views. No graph engine; the adjacency arrays are rank-filtered to
+  * `maxDegree` BEFORE collect_list, so a hub node (a city-wide captive
+  * portal with millions of clients) never materializes its full
+  * neighbor set in an aggregation buffer — the cap bounds state, not
+  * just the output.
   */
 object NetworkTree {
 
@@ -16,28 +20,31 @@ object NetworkTree {
     obs.groupBy(col(mac).as("mac"), col(ssid).as("ssid"))
       .agg(count(lit(1)).as("weight"))
 
+  /** Shared bounded-adjacency shape: total degree per key + the top
+    * `maxDegree` neighbors by weight desc (ties lexical). */
+  private def adjacency(e: DataFrame, key: String, value: String,
+      maxDegree: Int, outCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("weight").desc, col(value))
+    val top = e.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxDegree)
+      .groupBy(key)
+      .agg(transform(
+        array_sort(collect_list(struct(col("_rn").as("rn"), col(value).as("v")))),
+        s => s.getField("v")).as(outCol))
+    val totals = e.groupBy(key).agg(count(lit(1)).cast("long").as("degree"))
+    totals.join(top, Seq(key)).select(col(key), col("degree"), col(outCol))
+  }
+
   /** Device → probed-SSID adjacency ("Interests", README.md:18): SSIDs
     * sorted by weight desc (ties lexical), capped at `maxDegree`. */
   def deviceAdjacency(obs: DataFrame, maxDegree: Int = 32,
       mac: String = "mac", ssid: String = "ssid"): DataFrame =
-    edges(obs, mac, ssid)
-      .groupBy("mac")
-      .agg(
-        count(lit(1)).cast("long").as("degree"),
-        slice(transform(
-          array_sort(collect_list(struct(-col("weight") as "nw", col("ssid")))),
-          s => s.getField("ssid")), 1, maxDegree).as("ssids"))
+    adjacency(edges(obs, mac, ssid), "mac", "ssid", maxDegree, "ssids")
 
   /** SSID → devices-that-probed-it adjacency (the AP side of the tree). */
   def ssidAdjacency(obs: DataFrame, maxDegree: Int = 32,
       mac: String = "mac", ssid: String = "ssid"): DataFrame =
-    edges(obs, mac, ssid)
-      .groupBy("ssid")
-      .agg(
-        count(lit(1)).cast("long").as("degree"),
-        slice(transform(
-          array_sort(collect_list(struct(-col("weight") as "nw", col("mac")))),
-          s => s.getField("mac")), 1, maxDegree).as("macs"))
+    adjacency(edges(obs, mac, ssid), "ssid", "mac", maxDegree, "macs")
 
   /** Co-probe projection: devices linked by a shared SSID — the
     * one-mode projection of the bipartite graph, the "same household /

@@ -45,14 +45,18 @@ object Similarity {
       rhpBucket(col("embedding"), bits, dim).as("bucket"))
     val qb = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       rhpBucket(col("embedding"), bits, dim).as("b0"))
-    // multiprobe: home bucket + 1-bit flips
+    // multiprobe: home bucket + 1-bit flips. The probe values of one
+    // query are all DISTINCT and each candidate has exactly one bucket,
+    // so a (qid,cid) pair can match at most once — no dedup aggregate
+    // needed (an agg here would add a full wide shuffle for nothing).
+    // broadcast(probes): the query side is small; without the hint the
+    // planner may shuffle the corpus WITH its embedding column.
     val probes = qb.select(col("qid"), col("qv"), explode(array(
       (col("b0") +: (0 until bits).map(i =>
         col("b0").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
-    val scored = c.join(probes, "bucket")
+    val scored = c.join(broadcast(probes), "bucket")
       .select(col("qid"), col("cid"),
         round(graft.functions.expressions.VectorExpressions.cosineSim(col("qv"), col("cv")), 4).as("sim"))
-      .groupBy("qid", "cid").agg(max("sim").as("sim"))   // dedup multiprobe hits
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -28,10 +28,22 @@ import graft.functions.expressions.VectorExpressions
   */
 object SimilarityIvf {
 
-  /** Deterministic Lloyd's k-means over a sample of the corpus. */
+  /** Deterministic Lloyd's k-means over a sample of the corpus.
+    *
+    * The sample orders by a content hash before the limit: a bare
+    * limit() takes the FIRST partitions' rows, so a corpus written
+    * sorted/clustered (by category, time…) would train centroids on
+    * one region and collapse recall everywhere else. Hash order is a
+    * deterministic pseudo-random draw — same sample every run. NULL
+    * embeddings and null elements are excluded (they would NPE the
+    * driver-side collect). */
   def trainCentroids(emb: DataFrame, nlist: Int, sampleSize: Int = 10000,
       iters: Int = 10, seed: Long = 42L): Array[Array[Float]] = {
-    val sample = emb.select("embedding").limit(sampleSize)
+    import org.apache.spark.sql.functions.{col, exists, xxhash64}
+    val sample = emb.select("embedding")
+      .filter(col("embedding").isNotNull && !exists(col("embedding"), _.isNull))
+      .orderBy(xxhash64(col("embedding")))
+      .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length

@@ -22,14 +22,18 @@ object Trilateration {
 
   /** obs(keyCols..., x, y, d) → (keyCols..., n_sensors, est_x, est_y).
     * Groups with <3 distinct sensor positions or a near-singular system
-    * are dropped (no unique solution exists). */
+    * are dropped (no unique solution exists). Rows with a NULL
+    * coordinate or distance are excluded up front — SQL sums skip NULL
+    * while count(*) does not, so keeping them would build M from more
+    * rows than v and silently solve an inconsistent system. */
   def estimate(obs: DataFrame, keyCols: Seq[String],
       x: Column, y: Column, d: Column, roundTo: Int = 3): DataFrame = {
     val a1 = x * -2.0
     val a2 = y * -2.0
     val b = d * d - x * x - y * y
 
-    val agg = obs.groupBy(keyCols.map(col): _*).agg(
+    val clean = obs.filter(x.isNotNull && y.isNotNull && d.isNotNull)
+    val agg = clean.groupBy(keyCols.map(col): _*).agg(
       countDistinct(x, y).as("n_sensors"),
       sum(a1 * a1).as("m11"), sum(a1 * a2).as("m12"), sum(a1).as("m13"),
       sum(a2 * a2).as("m22"), sum(a2).as("m23"),
@@ -50,8 +54,13 @@ object Trilateration {
       col("v1") * (col("m12") * col("m33") - col("m23") * col("m13")) +
       col("m13") * (col("m12") * col("v3") - col("v2") * col("m13"))
 
+    // scale-invariant singularity test: det scales as entry³, so a
+    // fixed cutoff drops well-conditioned small-unit systems and
+    // passes garbage large-unit ones — normalize by the max |entry|³
+    val mnorm = greatest(abs(col("m11")), abs(col("m12")), abs(col("m13")),
+      abs(col("m22")), abs(col("m23")), abs(col("m33")))
     agg
-      .filter(col("n_sensors") >= 3 && abs(det) > 1e-9)
+      .filter(col("n_sensors") >= 3 && abs(det) > lit(1e-9) * pow(mnorm, 3))
       .select(keyCols.map(col) ++ Seq(
         col("n_sensors"),
         // + 0.0 normalizes IEEE −0.0 → +0.0 so rounded near-zero
