@@ -30,26 +30,42 @@ object Bench {
     // bound that for every query — pass 2 also reads warm codegen/JIT
     // so the min approximates steady-state cost — plus a third pass
     // for anything still slow, in case bursts hit the same query twice.
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a FAILED query must not masquerade as a fast timing: record None
+    // and report it in a separate "failed" list instead of folding the
+    // elapsed-to-exception time into the totals
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
+    def minOpt(a: Option[Double], b: Option[Double]): Option[Double] =
+      (a.toSeq ++ b.toSeq).reduceOption((x, y) => math.min(x, y))
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val p1 = qs0.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
     val p2 = qs0.map { case (name, fn) =>
-      name -> math.min(p1(name), timeOne(name, fn))
+      name -> minOpt(p1(name), timeOne(name, fn))
     }.toMap
     val results = qs0.map { case (name, fn) =>
-      name -> (if (p2(name) > 3.0) math.min(p2(name), timeOne(name, fn)) else p2(name))
+      name -> (if (p2(name).exists(_ > 3.0)) minOpt(p2(name), timeOne(name, fn))
+               else p2(name))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // JSON-escape strings (paths/names from the environment)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val qs = ok.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => jq(k) }.toSeq.sorted
+    val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":${jq(sfDir)}}""")
     spark.stop()
   }
 }

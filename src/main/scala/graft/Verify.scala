@@ -20,6 +20,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any previous round's output for this query — a stale
+        // parquet here would let the DuckDB compare score a broken
+        // query as passing
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name"))
+        ()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -95,16 +95,23 @@ object SignalFunctions {
   def isPrintable(s: Column): Column = s.rlike(PrintableRange)
 
   /** F5 — SSID sanitize over a string column, pure built-ins: printable
-    * chars verbatim, others as uppercase \xNN escapes. Deviation from the
-    * reference (documented, SURVEY.md §7.5): the C version can overrun its
-    * 32-byte buffer when escapes expand (ssidentity.c:164-175); we escape
-    * without truncation. */
+    * chars verbatim, bytes ≤ 0xFF as uppercase \xNN escapes, code
+    * points above 0xFF (reachable only via this general string API, not
+    * the frame-byte path) as width-4 \uNNNN — NOT truncated to two hex
+    * digits, which would collide with unrelated \xNN escapes. Empty
+    * input stays empty (split("", "") yields [""], whose ascii() is 0 —
+    * unguarded it would fabricate "\x00"). Deviation from the reference
+    * (documented, SURVEY.md §7.5): the C version can overrun its
+    * 32-byte buffer when escapes expand (ssidentity.c:164-175); we
+    * escape without truncation. */
   def sanitizeSsid(s: Column): Column =
-    array_join(
+    when(length(s) === 0, lit("")).otherwise(array_join(
       transform(split(s, ""), c =>
         when(c.rlike("^[\\x20-\\x7E]$"), c)
-          .otherwise(concat(lit("\\x"), lpad(upper(hex(ascii(c))), 2, "0")))),
-      "")
+          .when(ascii(c) <= 255,
+            concat(lit("\\x"), lpad(upper(hex(ascii(c))), 2, "0")))
+          .otherwise(concat(lit("\\u"), lpad(upper(hex(ascii(c))), 4, "0")))),
+      ""))
 
   /** F5 over raw bytes (frame parsing path): per-byte escape. Binary has
     * no builtin array view, so route through latin-1 decode which maps

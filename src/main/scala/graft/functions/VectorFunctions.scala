@@ -45,11 +45,7 @@ object VectorFunctions {
       org.apache.spark.sql.graft.RhpBucketExpr(
         org.apache.spark.sql.graft.Bridge.expression(v), bits, dim))
 
-  /** IVF-style coarse bucket: argmin centroid by a cheap deterministic
-    * projection — here, sign pattern of the first `bits` dimensions.
-    * Cheap partitioner for candidate pruning at scale. */
-  def signBucket(v: Column, bits: Int): Column =
-    (0 until bits).foldLeft(lit(0)) { (acc, i) =>
-      acc + when(element_at(v, i + 1) > lit(0.0f), lit(1 << i)).otherwise(lit(0))
-    }
+  // (A sign-pattern signBucket variant was removed: unused, and its
+  // ANSI element_at threw on vectors shorter than `bits` — rhpBucket
+  // above is the maintained bucketing primitive.)
 }

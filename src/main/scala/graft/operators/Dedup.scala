@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions._
 
 /** Deduplication operators (SURVEY.md §2.10 L1/L2 — north-star LLM
   * pipeline). Every variant is shuffle-architected for 100 TB:
@@ -69,8 +68,16 @@ object Dedup {
     * ReuseExchange materializes the banded shuffle once. */
   def minHashCandidatePairs(docs: DataFrame, k: Int = 5,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a zero-width " +
+        "band key would put EVERY doc in one bucket (O(n²) self-join)")
     val rowsPerBand = numHashes / bands
+    // docs shorter than k chars have an empty shingle set → all-null
+    // signature → ONE shared band key for every such doc: filter them
+    // out (they cannot be near-dups of anything by content anyway)
+    // before the self-join turns the shared bucket quadratic
     val sigs = hashedShingleSets(docs, k)
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), longMinHashSignature(col("sh"), numHashes).as("sig"))
     val banded = sigs.select(col("doc_id"), explode(
       array((0 until bands).map(b =>
