@@ -23,10 +23,12 @@ object Sessionize {
   /** Adds `session_id` (1-based per key, in time order). `tiebreak`
     * makes the ordering total when timestamps collide.
     *
-    * Boundary semantics match `session_window` exactly: a session spans
-    * [first, last + gap) with an EXCLUSIVE end, so an event arriving
-    * exactly `gapSeconds` after its predecessor starts a NEW session
-    * (`>=`, not `>`). */
+    * Boundary semantics match `session_window` exactly: Spark merges
+    * TOUCHING windows (next.start == current.end extends the session),
+    * so an event arriving exactly `gapSeconds` after its predecessor
+    * stays in the SAME session — strict `>` splits, verified against
+    * session_window itself on randomized boundary-heavy data in
+    * SessionizeSpec. */
   def assign(events: DataFrame, keyCol: String, tsCol: String,
       tiebreak: Column, gapSeconds: Long): DataFrame = {
     Seq("_new_session", "session_id").foreach(c =>
@@ -37,7 +39,7 @@ object Sessionize {
       unix_millis(lag(col(tsCol), 1).over(byTime))
     events
       .withColumn("_new_session",
-        when(gapMs.isNull || gapMs >= gapSeconds * 1000L, 1L).otherwise(0L))
+        when(gapMs.isNull || gapMs > gapSeconds * 1000L, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("_new_session")).over(
         byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("_new_session")

@@ -14,14 +14,15 @@ class SessionizeSpec extends SparkTestBase {
   private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
 
   test("gap-based sessions split exactly at the threshold boundary") {
-    // session_window parity: the session end is EXCLUSIVE, so a gap of
-    // exactly 30 min starts a new session (>=, like ST4's oracle).
-    // user A: events at 0, 10, 20 (one session), 60 (gap 40 >= 30), 70
-    // user B: events at 0, 29 (gap 29 < 30 → same), 59 (gap 30 → SPLIT)
+    // session_window parity: Spark merges TOUCHING windows, so a gap of
+    // exactly 30 min stays in one session; only a gap > 30 min splits
+    // (verified against session_window itself in the randomized test).
+    // user A: events at 0, 10, 20 (one session), 60 (gap 40 > 30), 70
+    // user B: events at 0, 31 (gap 31 > 30 → split), 61 (gap 30 → same)
     val df = Seq(
       ("A", ts(0), 1L), ("A", ts(10), 2L), ("A", ts(20), 3L),
       ("A", ts(60), 4L), ("A", ts(70), 5L),
-      ("B", ts(0), 6L), ("B", ts(29), 7L), ("B", ts(59), 8L))
+      ("B", ts(0), 6L), ("B", ts(31), 7L), ("B", ts(61), 8L))
       .toDF("user_id", "t", "event_id")
     val got = Sessionize.sessions(df, "user_id", "t", col("event_id"), 1800L)
       .orderBy("user_id", "session_id")
@@ -30,8 +31,31 @@ class SessionizeSpec extends SparkTestBase {
     assert(got.toSeq == Seq(
       ("A", 1L, 3L, 1200L),   // 0..20 min
       ("A", 2L, 2L, 600L),    // 60..70
-      ("B", 1L, 2L, 1740L),   // 0..29 — gap 29 < 30 stays joined
-      ("B", 2L, 1L, 0L)))     // 59 — gap exactly 30 min SPLITS
+      ("B", 1L, 1L, 0L),      // 0
+      ("B", 2L, 2L, 1800L)))  // 31..61 — gap exactly 30 min stays joined
+  }
+
+  test("sessionize == session_window on randomized data (true batch twin)") {
+    // seeded pseudo-random event times, several users, gaps straddling
+    // the threshold — both formulations must produce the SAME sessions
+    val rng = new scala.util.Random(7L)
+    val rows = for {
+      u <- 0 until 8
+      i <- 0 until 60
+    } yield (s"u$u", ts(rng.nextInt(600).toLong), (u * 100 + i).toLong)
+    val df = rows.toDF("user_id", "t", "event_id").dropDuplicates("user_id", "t")
+    val gapMin = 15
+    val viaOp = Sessionize
+      .sessions(df, "user_id", "t", col("event_id"), gapMin * 60L)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val viaSW = df
+      .groupBy(session_window(col("t"), s"$gapMin minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(viaOp == viaSW)
   }
 
   test("sessionize plans ONE window exchange (shared partitioning/order)") {
