@@ -37,6 +37,25 @@ class NetworkTreeSpec extends SparkTestBase {
     assert(adj("hub") == Seq("A", "B", "C"))
   }
 
+  test("bounded adjacency == unbounded collect-then-slice model on random graphs") {
+    // the rank-filter-before-collect formulation (bounded aggregation
+    // state) must equal the naive collect-everything-then-slice model
+    val rng = new scala.util.Random(11L)
+    val rand = (0 until 2000).map(_ =>
+      (s"m${rng.nextInt(40)}", s"s${rng.nextInt(25)}")).toDF("mac", "ssid")
+    val maxDeg = 5
+    val got = NetworkTree.deviceAdjacency(rand, maxDeg).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+    val e = NetworkTree.edges(rand)
+    val model = e.groupBy("mac").agg(
+        count(lit(1)).cast("long").as("degree"),
+        slice(transform(
+          array_sort(collect_list(struct(-col("weight") as "nw", col("ssid")))),
+          s => s.getField("ssid")), 1, maxDeg).as("ssids"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+    assert(got == model)
+  }
+
   test("co-probe projection links devices via shared SSIDs, hubs excluded") {
     val pairs = NetworkTree.coProbePairs(obs, maxSsidDegree = 2).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
