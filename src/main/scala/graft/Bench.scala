@@ -61,11 +61,19 @@ object Bench {
       case c => c.toString
     } + "\""
     val ok = results.collect { case (k, Some(v)) => k -> v }
-    val qs = ok.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 BYTES of output (minus sbt's
+    // ~74-byte [success] trailer) and must find the whole JSON line inside
+    // it: keep the line compact (2-decimal timings, sf basename, no
+    // spaces) or it gets truncated mid-line and fails to parse (round-3
+    // lesson: 75 full-precision doubles overflowed the tail).
+    def f3(v: Double): String = f"$v%.2f"
+    val qs = ok.toSeq.sortBy(_._1)
+      .map { case (k, v) => jq(k) + ":" + f3(v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => jq(k) }.toSeq.sorted
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":${jq(sfDir)}}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$failedJson,"sf":${jq(sfName)}}""")
     spark.stop()
   }
 }

@@ -1168,7 +1168,7 @@ object SparkEntry {
         |  SELECT user_id, ts,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM g)
-        |SELECT user_id, session_id, count(*) AS n_events,
+        |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start,
         | ((epoch_ms(max(ts)) - epoch_ms(min(ts))) // 1000)::BIGINT AS duration_s
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
