@@ -92,6 +92,27 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ---- J5b: KEYLESS interval join via binning (RangeJoin) — global
+    //      activity in the minute before each purchase. No equi key at
+    //      all, so the naive plan is BroadcastNestedLoopJoin (O(n·m),
+    //      memory-bound — dead at 100 TB); binning turns it into a
+    //      shuffled equi join on the time bin (PlanSpec proves it) ----
+    "j5b_binned_interval" -> ((s, d) => {
+      val e = ev(s, d).select(col("event_id"), col("ts"))
+      val p = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"),
+          (col("ts") - expr("INTERVAL 1 MINUTE")).as("w_start"),
+          col("ts").as("w_end"))
+      val pairs = graft.operators.RangeJoin.pointInInterval(
+          e, p, "ts", "w_start", "w_end", keys = Nil, binSeconds = 60L)
+        .filter(col("event_id") =!= col("pid"))
+      p.select(col("pid"))
+        .join(pairs.groupBy("pid").agg(count(lit(1)).as("n_win")),
+          Seq("pid"), "left")
+        .select(col("pid"), coalesce(col("n_win"), lit(0L)).as("n_win"))
+        .orderBy("pid")
+    }),
+
     // ---- J7: as-of join (custom LogicalPlan+Strategy+SparkPlan —
     //      sort-merge scan; latest purchase at-or-before each click) ----
     "j7_asof_join" -> ((s, d) => {
@@ -159,6 +180,16 @@ object SparkEntry {
       .agg(approx_count_distinct("user_id").as("approx_users"),
         countDistinct("user_id").as("exact_users"))
       .orderBy("event_type")),
+
+    // A2c — MERGEABILITY is the 100 TB story: per-day DataSketches HLL
+    // sketches union into the global cardinality without re-reading the
+    // days (incremental census over a partitioned fact table). Rows-only
+    // (approximate by design); SketchSpec pins union-estimate == direct
+    // whole-table estimate and bounds it against the exact count.
+    "a2c_hll_union" -> ((s, d) => ev(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))),
 
     // ---- A3: min/max/avg measures ----
     "a3_stats" -> ((s, d) => li(s, d)
@@ -479,6 +510,13 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.4)
         .orderBy("a_id", "b_id")),
 
+    // ---- L2g: near-dup pairs → transitive dedup CLUSTERS (hash-min
+    //      label propagation; oracle = DuckDB recursive CTE) ----
+    "l2g_dedup_clusters" -> ((s, d) =>
+      graft.operators.Components
+        .dedupClusters(Tables.documents(s, d), "source", n = 3, threshold = 0.2)
+        .orderBy("doc_id")),
+
     // ---- L3: exact brute-force cosine top-k (oracle) ----
     "l3_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -513,6 +551,11 @@ object SparkEntry {
 
     "l4b_term_freq" -> ((s, d) =>
       TextAnalysis.termFrequencies(Tables.documents(s, d), 50)),
+
+    // ---- L4d: repetition/boilerplate signals (integer counts only —
+    //      callers derive dup-line and top-bigram fractions) ----
+    "l4d_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
 
     // ---- text: language-ID heuristic ----
     "lang_id" -> ((s, d) =>
@@ -555,6 +598,18 @@ object SparkEntry {
       .groupBy(width_bucket(col("l_quantity"), lit(0), lit(50), lit(10)).as("bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")),
+
+    // ---- A10: mode (most frequent value) per key — deterministic
+    //      tiebreak (count desc, then value asc), unlike builtin mode() ----
+    "a10_mode_per_key" -> ((s, d) => {
+      val counts = ev(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"), col("n"))
+        .orderBy("user_id")
+    }),
 
     // ---- W5: distribution ranking family (ntile / percent_rank / cume_dist) ----
     "w5_rank_family" -> ((s, d) => {
@@ -759,6 +814,13 @@ object SparkEntry {
         |SELECT p.pid, count(e.event_id) AS n_prior
         |FROM p LEFT JOIN events e ON e.user_id = p.user_id
         |  AND e.ts >= p.ts - INTERVAL 1 MINUTE AND e.ts <= p.ts AND e.event_id <> p.pid
+        |GROUP BY p.pid ORDER BY p.pid""".stripMargin,
+
+    "j5b_binned_interval" ->
+      """WITH p AS (SELECT event_id AS pid, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.pid, count(e.event_id) AS n_win
+        |FROM p LEFT JOIN events e
+        |  ON e.ts >= p.ts - INTERVAL 1 MINUTE AND e.ts <= p.ts AND e.event_id <> p.pid
         |GROUP BY p.pid ORDER BY p.pid""".stripMargin,
 
     "j7_asof_join" ->
@@ -1059,6 +1121,26 @@ object SparkEntry {
          |      ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.ng, b.ng)))::DOUBLE END >= 0.2
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // connected components in SQL: transitive closure via recursive CTE
+    // (min reachable label per node == hash-min propagation's fixpoint)
+    "l2g_dedup_clusters" ->
+      s"""WITH RECURSIVE g AS (SELECT doc_id, source, $Ngrams3Sql AS ng FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE CASE WHEN len(list_distinct(list_concat(a.ng, b.ng))) = 0 THEN 0.0
+         |        ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.ng, b.ng)))::DOUBLE END >= 0.2),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.lab FROM edges e JOIN reach r ON r.node = e.s),
+         |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+         |FROM cc ORDER BY doc_id""".stripMargin,
+
     "l2d_simhash" -> {
       val bitSums = (0 until 60).map(i =>
         s"list_aggregate(list_transform(th, h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END), 'sum')").toSeq
@@ -1098,6 +1180,24 @@ object SparkEntry {
     "l4b_term_freq" ->
       s"""SELECT tok, count(*) AS n FROM (SELECT unnest($ToksSql) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "l4d_repetition" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+         |  $ToksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, len(lines)::BIGINT AS n_lines,
+         |  (len(lines) - len(list_distinct(lines)))::BIGINT AS n_dup_lines,
+         |  list_transform(generate_series(1, greatest(len(toks)-1, 0)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+         |  FROM t),
+         |c AS (SELECT doc_id, bg, count(*) AS c
+         |      FROM (SELECT doc_id, unnest(bgs) AS bg FROM base) GROUP BY 1, 2),
+         |m AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_bigram_n
+         |      FROM c GROUP BY 1)
+         |SELECT b.doc_id, b.n_lines, b.n_dup_lines,
+         |  coalesce(m.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  coalesce(m.top_bigram_n, 0)::BIGINT AS top_bigram_n
+         |FROM base b LEFT JOIN m ON b.doc_id = m.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "lang_id" -> {
       def hits(lang: String) = {
@@ -1140,6 +1240,15 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.5), 4) AS p50,
         | round(quantile_cont(l_quantity, 0.75), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a10_mode_per_key" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        |      FROM c)
+        |SELECT user_id, event_type AS top_type, n FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     // DuckDB has no width_bucket; [0,50) in 10 buckets over integer-
     // valued quantities reduces to exact integer arithmetic

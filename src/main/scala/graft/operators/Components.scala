@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a candidate-pair graph — the step that
+  * turns near-dup PAIRS (L2: MinHash/SimHash/Jaccard edges) into dedup
+  * CLUSTERS a curation pipeline can act on ("keep the min-id doc per
+  * cluster"). Pairs alone under-delete: near-duplication is transitive
+  * in practice (A≈B, B≈C ⇒ one cluster {A,B,C} even when A-C misses
+  * the threshold), so production dedup (e.g. the C4/Gopher/RefinedWeb
+  * pipelines) clusters candidates before choosing survivors.
+  *
+  * Algorithm: hash-min label propagation. Every node starts labeled
+  * with itself; each round every node takes the min label among itself
+  * and its neighbors; converged when no label changes. Each round is
+  * ONE shuffle of O(E) messages + a min-aggregate — no driver-side
+  * graph state, nothing collected. Round count is the graph diameter,
+  * which for near-dup clusters is small (tight clusters, not long
+  * chains). For adversarially long chains the large-star/small-star
+  * variant (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SOCC'14) halves path lengths per round; not needed for the
+  * dedup-cluster shape this serves.
+  *
+  * Lineage: each round's result is `localCheckpoint`ed — iterative
+  * DataFrame loops otherwise stack O(rounds) plan nodes and re-run
+  * every prior shuffle on each action. On a real cluster use reliable
+  * `checkpoint` (HDFS-backed) instead so a lost executor cannot drop a
+  * round's blocks.
+  */
+object Components {
+
+  /** (node, component) for every node, component = min node id
+    * reachable. `nodes`: one column; `edges`: two columns (src, dst),
+    * undirected, self-loops/duplicates fine. Edge endpoints absent
+    * from `nodes` still propagate labels but only `nodes` rows are
+    * returned. Throws if not converged within `maxRounds` (honest
+    * failure beats silently-wrong clusters). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    require(nodes.columns.length == 1, "nodes must have exactly one column")
+    require(edges.columns.length == 2, "edges must have exactly (src, dst)")
+    val Seq(srcC, dstC) = edges.columns.toSeq
+    val sym = edges.select(col(srcC).as("_n"), col(dstC).as("_m"))
+      .union(edges.select(col(dstC).as("_n"), col(srcC).as("_m")))
+    val nodeC = nodes.columns.head
+    var labels = nodes.select(col(nodeC).as("_n"), col(nodeC).as("_lab"))
+      .union(sym.select(col("_n"), col("_n").as("_lab"))).distinct()
+      .localCheckpoint()
+    // labels only ever decrease, so the (node, label) multiset changes on
+    // every non-converged round: a stable checksum IS convergence — one
+    // scalar aggregate per round instead of a change-counting join.
+    // bit_xor (not sum) is order-insensitive AND cannot overflow under
+    // ANSI mode; xxhash64 folds non-numeric node ids in.
+    def checksum(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(_n, _lab))")).head.getLong(0)
+    var prev = checksum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val msgs = sym.join(labels, "_n").select(col("_m").as("_n"), col("_lab"))
+      val next = labels.union(msgs).groupBy("_n").agg(min("_lab").as("_lab"))
+        .localCheckpoint()
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      labels = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "graph diameter exceeds the bound; raise maxRounds or switch to " +
+        "large-star/small-star")
+    nodes.join(labels, nodes(nodeC) === labels("_n"))
+      .select(col(nodeC), col("_lab").as("component"))
+  }
+
+  /** L2g — documents clustered by transitive n-gram-Jaccard near-dup
+    * candidacy: edges from `Dedup.ngramJaccardPairs` (blocked on
+    * `blockCol`), components over ALL docs (singletons keep their own
+    * id), plus the cluster size — the "what would dedup delete" report.
+    */
+  def dedupClusters(docs: DataFrame, blockCol: String, n: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    val edges = Dedup.ngramJaccardPairs(docs, blockCol, n, threshold)
+      .select(col("a_id"), col("b_id"))
+    val cc = connectedComponents(docs.select(col("doc_id")), edges)
+      .withColumnRenamed("component", "cluster_id")
+    cc.withColumn("cluster_size",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))).cast("long"))
+  }
+}

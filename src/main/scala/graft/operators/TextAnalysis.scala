@@ -45,6 +45,39 @@ object TextAnalysis {
       rollingFingerprint(col("text")).as("rolling_fp"),
       contentFingerprint(col("text")).as("content_fp"))
 
+  /** L4d — repetition/boilerplate signals (the Gopher/RefinedWeb-style
+    * quality gates: docs dominated by repeated lines or one n-gram are
+    * templates/spam, not prose). Integer counts only — numerator and
+    * denominator, never the ratio — so the DuckDB twin is float-free
+    * and callers pick their own thresholds:
+    * duplicate-line fraction = n_dup_lines / n_lines,
+    * top-bigram fraction    = top_bigram_n / n_bigrams.
+    * Shape at scale: the line stats are map-only; the bigram stats are
+    * one (doc_id, bigram) groupBy that partial-aggregates map-side and
+    * shuffles at most one row per DISTINCT bigram per doc. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val linesArr = filter(
+      transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
+    val base = docs.select(col("doc_id"),
+      size(linesArr).cast("long").as("n_lines"),
+      (size(linesArr) - size(array_distinct(linesArr)))
+        .cast("long").as("n_dup_lines"),
+      tokens(col("text")).as("_toks"))
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("_toks")) >= 2,
+        zip_with(
+          slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+          slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val counts = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").cast("long").as("n_bigrams"),
+        max("c").cast("long").as("top_bigram_n"))
+    base.drop("_toks").join(counts, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "top_bigram_n"))
+  }
+
   /** Top-`k` TF-IDF terms per doc. Two aggregations and a join, all on
     * the token key: (doc, tok) term counts; doc frequency per token; a
     * broadcast-able df table joined back; per-doc top-k by score.

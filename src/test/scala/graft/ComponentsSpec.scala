@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, RangeJoin}
+
+/** Connected components (hash-min propagation) and the binned interval
+  * join — round-4 scale operators. Both are checked against brute-force
+  * models on randomized inputs, plus plan-shape proofs that the binned
+  * join really is an equi join (no nested-loop fallback). */
+class ComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------- connected components ----------------
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(
+      nodes.toDF("node"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("components: two clusters, a chain, and singletons") {
+    // {1,2,3} triangle-ish, {10,11,12,13} a 4-chain, {99} alone
+    val got = cc(Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L, 99L),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 99L -> 99L))
+  }
+
+  test("components: duplicate/reversed/self-loop edges don't change the answer") {
+    val got = cc(Seq(1L, 2L, 3L),
+      Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("components == brute-force union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val nodes = (0L until n).toSeq
+    val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // driver-side union-find as the model
+    val parent = Array.tabulate(n.toInt)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val model = nodes.map { v =>
+      // component label = min member id
+      val root = find(v.toInt)
+      val minMember = nodes.filter(u => find(u.toInt) == root).min
+      v -> minMember
+    }.toMap
+    assert(cc(nodes, edges) == model)
+  }
+
+  test("components: non-convergence within maxRounds throws, not silently wrong") {
+    // a 6-chain needs ~5 propagation rounds; cap at 2
+    val nodes = (0L to 5L).toDF("node")
+    val edges = (0L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(nodes, edges, maxRounds = 2).collect()
+    }
+  }
+
+  // ---------------- binned interval join ----------------
+
+  test("binned interval join == naive range join, including bin-boundary points") {
+    val rnd = new scala.util.Random(7)
+    // points and intervals on a seconds timeline, many exactly on
+    // 60s bin edges to exercise the boundary
+    val pts = (1 to 300).map { i =>
+      val s = if (i % 3 == 0) (i % 20) * 60L else rnd.nextInt(1200).toLong
+      (i.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+    }.toDF("pid_pt", "pts")
+    val ivs = (1 to 80).map { i =>
+      val st = if (i % 4 == 0) (i % 15) * 60L else rnd.nextInt(1100).toLong
+      val len = rnd.nextInt(200).toLong - 20L // some negative → empty
+      (i.toLong,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(st)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(st + len)))
+    }.toDF("iid", "ws", "we")
+    val binned = RangeJoin.pointInInterval(pts, ivs, "pts", "ws", "we",
+        keys = Nil, binSeconds = 60L)
+      .select("pid_pt", "iid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = pts.join(ivs, col("pts") >= col("ws") && col("pts") <= col("we"))
+      .select("pid_pt", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(binned == naive && naive.nonEmpty)
+  }
+
+  test("binned interval join respects equi keys") {
+    val pts = Seq(
+      (1L, "a", ts(100)), (2L, "b", ts(100)), (3L, "a", ts(500))
+    ).toDF("pid_pt", "k", "pts")
+    val ivs = Seq((10L, "a", ts(50), ts(150))).toDF("iid", "ik", "ws", "we")
+    val got = RangeJoin.pointInInterval(pts, ivs, "pts", "ws", "we",
+        keys = Seq("k" -> "ik"), binSeconds = 60L)
+      .select("pid_pt", "iid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L))) // 2 fails the key, 3 fails the range
+  }
+
+  test("binned interval join plans an equi join, not a nested loop") {
+    val pts = (1 to 50).map(i => (i.toLong, ts(i * 10L))).toDF("pid_pt", "pts")
+    val ivs = (1 to 20).map(i => (i.toLong, ts(i * 25L), ts(i * 25L + 30)))
+      .toDF("iid", "ws", "we")
+    val plan = RangeJoin.pointInInterval(pts, ivs, "pts", "ws", "we")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"))
+  }
+
+  private def ts(s: Long) =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+}

@@ -14,6 +14,7 @@ class ContractSpec extends SparkTestBase {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set(
       "a2b_approx_distinct",  // HLL sketch — approximate by design
+      "a2c_hll_union",        // DataSketches HLL union — approximate
       "a8b_approx_percentiles", // KLL-style percentile sketch — approximate
       "l2b_minhash_pairs",    // LSH candidates (xx hash family)
       "l2e_simhash_pairs",    // simhash banding

@@ -204,6 +204,28 @@ class TextFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("repetition: hand-computed line and bigram counts") {
+    val docs = Seq(
+      // 4 non-empty lines, "spam spam" line repeated twice → 1 dup;
+      // tokens: spam spam buy now spam spam end → bigrams
+      // [spam spam, spam buy, buy now, now spam, spam spam, spam end]:
+      // 6 bigrams, top "spam spam" ×2
+      (1L, "spam spam\nbuy now\n\nspam spam\n  \nend"),
+      (2L, "one line only"), // 1 line, 0 dups, 2 bigrams all unique
+      (3L, ""),              // empty: all zeros
+      (4L, "x")              // 1 line, single token → 0 bigrams
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetition(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    //                 (doc, n_lines, n_dup_lines, n_bigrams, top_bigram_n)
+    assert(got == Seq((1L, 4L, 1L, 6L, 2L),
+                      (2L, 1L, 0L, 2L, 1L),
+                      (3L, 0L, 0L, 0L, 0L),
+                      (4L, 1L, 0L, 0L, 0L)))
+  }
+
   test("langGuess picks the stopword-dominant language") {
     val cases = Seq(
       "the cat sat on the mat and it is that" -> "en",
