@@ -410,6 +410,16 @@ object SparkEntry {
       .orderBy("event_id")),
 
     // ---- F10: console row render (printf, ssidentity.c:89-95) ----
+    // ---- F13: keyed pseudonymization — device MACs are PII; the fleet
+    //      design (S5, "deploy en masse") needs stable, irreversible
+    //      per-device tokens that survive cross-sensor joins. One
+    //      codegen'd sha2 pass, referential integrity preserved ----
+    "f13_pseudonymize" -> ((s, d) => ev(s, d)
+      .select(col("event_id"),
+        substring(sha2(concat(lit("pepper:"),
+          col("user_id").cast("string")), 256), 1, 16).as("pseudo_user"))
+      .orderBy("event_id")),
+
     "f10_render" -> ((s, d) => ev(s, d)
       .select(col("event_id"), SignalFunctions.renderRow(
         col("ts"), SignalFunctions.formatMac(col("user_id")), col("event_type"),
@@ -557,6 +567,14 @@ object SparkEntry {
     "l4d_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // ---- L4e: token budgets — whitespace words vs BPE-ish pre-token
+    //      units (the number a packing/costing pipeline charges) ----
+    "l4e_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
     // ---- text: language-ID heuristic ----
     "lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
@@ -630,6 +648,14 @@ object SparkEntry {
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSS").as("session_start"),
           col("duration_s").cast("long").as("duration_s"))
         .orderBy("user_id", "session_id")),
+
+    // ---- O4: z-order curve values (write-side layout key; ZOrderSpec
+    //      measures the 2-D file-pruning win, this pins the bit math) ----
+    "o4_zorder_curve" -> ((s, d) => li(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.zValue(
+          col("l_partkey") % 1024, col("l_suppkey") % 1024, bits = 10).as("z"))
+      .orderBy("l_orderkey", "l_linenumber")),
 
     // ---- T5: pivot (conditional aggregation over a fixed column set) ----
     "t5_pivot" -> ((s, d) => ev(s, d)
@@ -1036,6 +1062,10 @@ object SparkEntry {
         |   + abs(-(event_id % 60 + 30))) / 20.0), 2) AS dist_m
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "f13_pseudonymize" ->
+      """SELECT event_id, substr(sha256('pepper:' || user_id), 1, 16) AS pseudo_user
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "f10_render" -> (
       "SELECT event_id, printf('%s  %s  \"%s\"\t%ddBm %dmHz  Dist: %.2fm', " +
         "strftime(ts, '%m/%d/%y - %I:%M%p'), printf('%012X', user_id), event_type, " +
@@ -1181,6 +1211,12 @@ object SparkEntry {
       s"""SELECT tok, count(*) AS n FROM (SELECT unnest($ToksSql) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
 
+    "l4e_bpe_tokens" ->
+      s"""SELECT doc_id,
+         | CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT ELSE len($ToksSql)::BIGINT END AS n_ws_tokens,
+         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "l4d_repetition" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
@@ -1281,6 +1317,13 @@ object SparkEntry {
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start,
         | ((epoch_ms(max(ts)) - epoch_ms(min(ts))) // 1000)::BIGINT AS duration_s
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "o4_zorder_curve" ->
+      """SELECT l_orderkey, l_linenumber,
+        | list_aggregate(list_transform(generate_series(0, 9), i ->
+        |   ((((l_partkey % 1024) >> i) & 1) << (2*i)) + ((((l_suppkey % 1024) >> i) & 1) << (2*i+1))),
+        |   'sum')::BIGINT AS z
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "t5_pivot" ->
       """SELECT user_id,

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) layout — multidimensional clustering for the
+  * 100 TB fact table. A single-column sort prunes scans on ONE
+  * predicate dimension; interleaving the bits of two dimensions into
+  * one sort key gives every written file a tight bounding box in BOTH,
+  * so parquet footer min/max (and any file-skipping index over them)
+  * prunes 2-D box queries — the technique behind Delta/Iceberg
+  * `ZORDER BY`. Pure column arithmetic, codegen'd; no shuffle beyond
+  * the one range partition that any clustered write already pays.
+  */
+object ZOrder {
+
+  /** Interleaves the low `bits` bits of two non-negative integral
+    * columns: x occupies even bit positions, y odd. Inputs must fit in
+    * `bits` bits (mask-checked by the caller or pre-bucketed — values
+    * beyond the mask alias, they do not error, same as any hash/curve
+    * bucketing). */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31] (got $bits)")
+    val xl = x.cast("long"); val yl = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Range-partitions and sorts `df` along the z-curve of (x, y) —
+    * the write-side layout step. Each of the `numFiles` output splits
+    * covers a contiguous z-range = a small set of aligned squares in
+    * (x, y) space, so its per-file min/max are tight in both
+    * dimensions. ZOrderSpec measures the effect: a box predicate
+    * overlaps a fraction of z-clustered files where a 1-D sort
+    * overlaps all of them. */
+  def clusterByZ(df: DataFrame, x: Column, y: Column,
+      bits: Int = 16, numFiles: Int = 32): DataFrame = {
+    require(!df.columns.contains("_z"),
+      "input already has a '_z' column — clustering would shadow it")
+    df.withColumn("_z", zValue(x, y, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
+}

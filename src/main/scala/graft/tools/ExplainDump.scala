@@ -40,7 +40,16 @@ object ExplainDump {
     "device_profile" -> ("Capstone composed report (census ⋈ modal hour ⋈ top "
       + "interest ⋈ session stats). All four branches aggregate the same "
       + "events scan independently; the final joins run on the user_id key "
-      + "with each branch already reduced to one row per device."))
+      + "with each branch already reduced to one row per device."),
+    "j5b_binned_interval" -> ("KEYLESS interval join, binned: quantizing time "
+      + "into 60s bins and exploding each interval across its bins turns what "
+      + "would be a BroadcastNestedLoopJoin (O(n·m), broadcast-memory-bound) "
+      + "into a plain shuffled equi join on the bin id with a residual range "
+      + "filter — partition-parallel and AQE-sizable at any scale."),
+    "l2g_dedup_clusters" -> ("Near-dup pairs → transitive clusters: hash-min "
+      + "label propagation, one O(E) shuffle + min-aggregate per round, no "
+      + "driver-side graph state. The plan shown is the final labels join; "
+      + "iteration count = cluster diameter (small for near-dup clusters)."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
