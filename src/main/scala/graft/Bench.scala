@@ -63,10 +63,16 @@ object Bench {
     val ok = results.collect { case (k, Some(v)) => k -> v }
     // The driver captures only the LAST 2000 BYTES of output (minus sbt's
     // ~74-byte [success] trailer) and must find the whole JSON line inside
-    // it: keep the line compact (2-decimal timings, sf basename, no
-    // spaces) or it gets truncated mid-line and fails to parse (round-3
-    // lesson: 75 full-precision doubles overflowed the tail).
-    def f3(v: Double): String = f"$v%.2f"
+    // it: keep the line compact (2-decimal timings with trailing zeros
+    // trimmed, sf basename, no spaces) or it gets truncated mid-line and
+    // fails to parse (round-3 lesson: 75 full-precision doubles
+    // overflowed the tail). Locale.ROOT: a comma-decimal default locale
+    // would emit 1,23 and break the JSON.
+    def f3(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     val qs = ok.toSeq.sortBy(_._1)
       .map { case (k, v) => jq(k) + ":" + f3(v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => jq(k) }.toSeq.sorted

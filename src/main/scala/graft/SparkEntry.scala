@@ -410,6 +410,15 @@ object SparkEntry {
       .orderBy("event_id")),
 
     // ---- F10: console row render (printf, ssidentity.c:89-95) ----
+    "f10_render" -> ((s, d) => ev(s, d)
+      .select(col("event_id"), SignalFunctions.renderRow(
+        col("ts"), SignalFunctions.formatMac(col("user_id")), col("event_type"),
+        (-(col("event_id") % 60 + 30)).cast("int"),
+        (lit(2412) + (col("event_id") % 13) * 5).cast("int"),
+        SignalFunctions.fsplDistance(-(col("event_id") % 60 + 30),
+          lit(2412) + (col("event_id") % 13) * 5)).as("line"))
+      .orderBy("event_id").limit(2000)),
+
     // ---- F13: keyed pseudonymization — device MACs are PII; the fleet
     //      design (S5, "deploy en masse") needs stable, irreversible
     //      per-device tokens that survive cross-sensor joins. One
@@ -419,15 +428,6 @@ object SparkEntry {
         substring(sha2(concat(lit("pepper:"),
           col("user_id").cast("string")), 256), 1, 16).as("pseudo_user"))
       .orderBy("event_id")),
-
-    "f10_render" -> ((s, d) => ev(s, d)
-      .select(col("event_id"), SignalFunctions.renderRow(
-        col("ts"), SignalFunctions.formatMac(col("user_id")), col("event_type"),
-        (-(col("event_id") % 60 + 30)).cast("int"),
-        (lit(2412) + (col("event_id") % 13) * 5).cast("int"),
-        SignalFunctions.fsplDistance(-(col("event_id") % 60 + 30),
-          lit(2412) + (col("event_id") % 13) * 5)).as("line"))
-      .orderBy("event_id").limit(2000)),
 
     // ---- F11: JSON extraction (events.props) ----
     "f11_json" -> ((s, d) => ev(s, d)
@@ -1214,7 +1214,7 @@ object SparkEntry {
     "l4e_bpe_tokens" ->
       s"""SELECT doc_id,
          | CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT ELSE len($ToksSql)::BIGINT END AS n_ws_tokens,
-         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens
+         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]'))::BIGINT AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "l4d_repetition" ->

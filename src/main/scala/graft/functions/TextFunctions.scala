@@ -33,12 +33,13 @@ object TextFunctions {
   /** GPT-2-style pre-tokenizer unit count — letter runs, single digits,
     * single non-alnum glyphs (the units a byte-pair encoder would merge
     * FROM; an upper bound on BPE token count, the budget number a
-    * packing/costing pipeline needs). One codegen'd regex pass; the
-    * pattern is plain RE2-compatible syntax so the DuckDB twin matches
-    * glyph-for-glyph, including non-ASCII (both engines' \\s and
-    * alnum classes are ASCII-only here). */
+    * packing/costing pipeline needs). One codegen'd regex pass. The
+    * whitespace class is spelled out EXPLICITLY (incl. \\x0B) rather
+    * than \\s: Java's \\s contains vertical tab, RE2's does not, so \\s
+    * would silently diverge from the DuckDB twin on \\x0B glyphs. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0)))
 
   /** Character k-shingles of the lowercased text (overlapping substrings
     * of length k) — the MinHash/Jaccard unit. Distinct set; empty array

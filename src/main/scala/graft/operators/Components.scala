@@ -41,8 +41,13 @@ object Components {
     require(nodes.columns.length == 1, "nodes must have exactly one column")
     require(edges.columns.length == 2, "edges must have exactly (src, dst)")
     val Seq(srcC, dstC) = edges.columns.toSeq
+    // checkpoint the symmetrized edges too: they are re-joined EVERY
+    // round, and their lineage (e.g. dedupClusters' blocked O(n²)
+    // Jaccard self-join) is usually the most expensive stage of all —
+    // without this the pair generation re-executes once per round
     val sym = edges.select(col(srcC).as("_n"), col(dstC).as("_m"))
       .union(edges.select(col(dstC).as("_n"), col(srcC).as("_m")))
+      .localCheckpoint()
     val nodeC = nodes.columns.head
     var labels = nodes.select(col(nodeC).as("_n"), col(nodeC).as("_lab"))
       .union(sym.select(col("_n"), col("_n").as("_lab"))).distinct()
@@ -53,7 +58,8 @@ object Components {
     // bit_xor (not sum) is order-insensitive AND cannot overflow under
     // ANSI mode; xxhash64 folds non-numeric node ids in.
     def checksum(df: DataFrame): Long =
-      df.agg(expr("bit_xor(xxhash64(_n, _lab))")).head.getLong(0)
+      df.agg(coalesce(expr("bit_xor(xxhash64(_n, _lab))"), lit(0L)))
+        .head.getLong(0)
     var prev = checksum(labels)
     var converged = false
     var round = 0

@@ -42,18 +42,27 @@ object RangeJoin {
       pointTs: String, startCol: String, endCol: String,
       keys: Seq[(String, String)] = Nil, binSeconds: Long = 60L): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive (got $binSeconds)")
-    Seq("_bin").foreach { c =>
+    Seq("_bin", "_us", "_us_end").foreach { c =>
       require(!points.columns.contains(c) && !intervals.columns.contains(c),
         s"input already has a '$c' column — binning would shadow it")
     }
     val w = binSeconds * 1000000L
-    val pb = points.withColumn("_bin", floor(unix_micros(col(pointTs)) / w))
+    // `div` (integer truncating division), NOT `/`: Spark's long / long
+    // is DOUBLE division, which loses precision past 2^53 µs and could
+    // bin a boundary point and its containing interval differently —
+    // a silently dropped match. Truncating div by a positive width is
+    // monotone non-decreasing, so interval bin ranges still cover every
+    // contained point's bin exactly, for negative epochs too.
+    val pb = points.withColumn("_us", unix_micros(col(pointTs)))
+      .withColumn("_bin", expr(s"_us div ${w}L")).drop("_us")
     val ib = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(endCol) >= col(startCol))
+      .withColumn("_us", unix_micros(col(startCol)))
+      .withColumn("_us_end", unix_micros(col(endCol)))
       .withColumn("_bin", explode(sequence(
-        floor(unix_micros(col(startCol)) / w),
-        floor(unix_micros(col(endCol)) / w))))
+        expr(s"_us div ${w}L"), expr(s"_us_end div ${w}L"))))
+      .drop("_us", "_us_end")
     val keyCond = keys.map { case (l, r) => pb(l) === ib(r) }
     val cond = (keyCond :+ (pb("_bin") === ib("_bin"))).reduce(_ && _) &&
       col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol)

@@ -53,6 +53,12 @@ class ComponentsSpec extends SparkTestBase {
     assert(cc(nodes, edges) == model)
   }
 
+  test("components: empty graph yields an empty result, not an NPE") {
+    val got = Components.connectedComponents(
+      Seq.empty[Long].toDF("node"), Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(got.count() == 0)
+  }
+
   test("components: non-convergence within maxRounds throws, not silently wrong") {
     // a 6-chain needs ~5 propagation rounds; cap at 2
     val nodes = (0L to 5L).toDF("node")
