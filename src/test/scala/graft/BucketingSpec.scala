@@ -69,6 +69,37 @@ class BucketingSpec extends SparkTestBase {
       s"expected dynamic partition pruning in:\n${p.take(3000)}")
   }
 
+  test("runtime bloom filter prunes fact rows from a selective dim join") {
+    // DPP prunes whole PARTITIONS; the runtime bloom filter is its
+    // row-level sibling — a selective dim filter injects might_contain
+    // on the fact's join key so non-matching rows die at the scan
+    // instead of shuffling. At 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the matching slice.
+    // Thresholds: creation side must be under the creation threshold
+    // (it is), and the application side must look big enough to be
+    // worth protecting — 0 makes any scan eligible in a local test.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val d = "/root/testdata/sf0.01"
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+      val ord = spark.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a runtime bloom filter in:\n${p.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE coalesces the fixed shuffle-partition count on small stages") {
     // spark.sql.shuffle.partitions is a static guess; at runtime AQE
     // must size post-shuffle partitions to the data (so the same job
