@@ -520,6 +520,15 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.4)
         .orderBy("a_id", "b_id")),
 
+    // ---- L2h: eval-set decontamination (benchmark n-gram overlap;
+    //      eval grams broadcast — corpus text never shuffles) ----
+    "l2h_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 20 === 0),
+          n = 3, minHits = 5L)
+        .orderBy("doc_id")
+    }),
+
     // ---- L2g: near-dup pairs → transitive dedup CLUSTERS (hash-min
     //      label propagation; oracle = DuckDB recursive CTE) ----
     "l2g_dedup_clusters" -> ((s, d) =>
@@ -1150,6 +1159,17 @@ object SparkEntry {
          |WHERE CASE WHEN len(list_distinct(list_concat(a.ng, b.ng))) = 0 THEN 0.0
          |      ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.ng, b.ng)))::DOUBLE END >= 0.2
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "l2h_decontaminate" ->
+      s"""WITH ev AS (SELECT DISTINCT unnest($Ngrams3Sql) AS ng
+         |            FROM documents WHERE doc_id % 20 = 0),
+         |dg AS (SELECT doc_id, unnest($Ngrams3Sql) AS ng FROM documents),
+         |hits AS (SELECT dg.doc_id, count(*) AS n_overlap
+         |         FROM dg JOIN ev USING (ng) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+         |  coalesce(h.n_overlap, 0) >= 5 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // connected components in SQL: transitive closure via recursive CTE
     // (min reachable label per node == hash-min propagation's fixpoint)

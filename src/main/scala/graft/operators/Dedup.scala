@@ -185,4 +185,32 @@ object Dedup {
           col("a.embedding"), col("b.embedding")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** L2h — eval-set decontamination: flag corpus docs whose distinct
+    * word-n-grams collide with ANY eval/benchmark document (the
+    * GPT-3/PaLM-style overlap rule — training text that contains test
+    * n-grams leaks the benchmark). Per doc: how many of its distinct
+    * n-grams appear anywhere in the eval set, flagged at `minHits`.
+    *
+    * Shape at 100 TB: the eval set is benchmark-sized (thousands of
+    * docs), so its distinct-n-gram set BROADCASTS; the corpus side is a
+    * map-side explode + broadcast-hash semi-probe + one (doc_id)
+    * re-aggregation — the corpus never shuffles its text, and the only
+    * exchange carries (doc_id, hit-count) pairs. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 3,
+      minHits: Long = 5L): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), ngramsOfTokens(tokens(col("text")), n).as("ngs"))
+    val evalGrams = grams(evalSet)
+      .select(explode(col("ngs")).as("ng")).distinct()
+    val hits = grams(corpus)
+      .select(col("doc_id"), explode(col("ngs")).as("ng"))
+      .join(broadcast(evalGrams), "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minHits)
+  }
 }

@@ -135,4 +135,20 @@ class DedupSpec extends SparkTestBase {
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
+
+  test("L2h decontamination: planted eval overlap flags, fresh text doesn't") {
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains 6 of the eval doc's 3-grams verbatim → flagged at minHits=5
+      (1L, "prefix words the quick brown fox jumps over the lazy suffix"),
+      // shares a single 3-gram ("the quick brown") → counted, not flagged
+      (2L, "only the quick brown remains here today friends"),
+      (3L, "completely unrelated text with zero overlap whatsoever")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, evalSet, n = 3, minHits = 5L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((1L, 6L, true), (2L, 1L, false), (3L, 0L, false)))
+  }
 }
