@@ -57,6 +57,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("BroadcastNestedLoopJoin appears ONLY where it is the deliberate plan") {
+    // the brute-force similarity ops stream a broadcast corpus on
+    // purpose (partitioned probe side, see Dedup/Similarity docs);
+    // anywhere else a BNL means an equi key was lost — the plan shape
+    // that cannot scale
+    val deliberate = Set("l2f_embedding_neardup", "l3_cosine_topk",
+      "l3b_ann_lsh", "l3c_ann_ivf", "l2b_minhash_pairs", "l2e_simhash_pairs",
+      // a broadcast of ONE row (the corpus count) attached to every
+      // partition — the scalar-join idiom, O(n) work, not a pair blowup
+      "l4c_tfidf")
+    SparkEntry.queries.keys.foreach { name =>
+      if (!deliberate(name))
+        assert(!plan(name).contains("BroadcastNestedLoopJoin"), name)
+    }
+  }
+
   test("l4c tf-idf: df table and corpus-size row broadcast, never shuffled to the fact side") {
     val p = plan("l4c_tfidf")
     assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(2000))
