@@ -423,10 +423,14 @@ object SparkEntry {
     //      design (S5, "deploy en masse") needs stable, irreversible
     //      per-device tokens that survive cross-sensor joins. One
     //      codegen'd sha2 pass, referential integrity preserved ----
+    // md5 (not sha2): the driver's DuckDB version is unknown and
+    // sha256() only exists in duckdb >= 0.10; md5() is universal. The
+    // demo property (stable, keyed, irreversible-enough token) is
+    // identical — swap in sha2 for production strength.
     "f13_pseudonymize" -> ((s, d) => ev(s, d)
       .select(col("event_id"),
-        substring(sha2(concat(lit("pepper:"),
-          col("user_id").cast("string")), 256), 1, 16).as("pseudo_user"))
+        substring(md5(concat(lit("pepper:"),
+          col("user_id").cast("string"))), 1, 16).as("pseudo_user"))
       .orderBy("event_id")),
 
     // ---- F11: JSON extraction (events.props) ----
@@ -1072,7 +1076,7 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "f13_pseudonymize" ->
-      """SELECT event_id, substr(sha256('pepper:' || user_id), 1, 16) AS pseudo_user
+      """SELECT event_id, substr(md5('pepper:' || user_id), 1, 16) AS pseudo_user
         |FROM events ORDER BY event_id""".stripMargin,
 
     "f10_render" -> (
