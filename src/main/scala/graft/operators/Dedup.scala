@@ -199,12 +199,19 @@ object Dedup {
     * exchange carries (doc_id, hit-count) pairs. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 3,
       minHits: Long = 5L): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col("doc_id"), ngramsOfTokens(tokens(col("text")), n).as("ngs"))
-    val evalGrams = grams(evalSet)
-      .select(explode(col("ngs")).as("ng")).distinct()
-    val hits = grams(corpus)
-      .select(col("doc_id"), explode(col("ngs")).as("ng"))
+    // Stage the columns so nothing lands inside an interpreted HOF
+    // lambda: tokens materialize BEFORE ngramsOfTokens (its doc warns
+    // the lambda re-evaluates the token subtree per element), and the
+    // gram hash runs codegen'd on the exploded row, not inside a
+    // transform(). Probing on xxhash64 LONGS instead of strings keeps
+    // the broadcast set small and the probe cheap (string-free LSH
+    // rationale; ~2^-64 collision odds per gram pair, as hashedJaccard).
+    def gramRows(df: DataFrame) = df
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), explode(ngramsOfTokens(col("_toks"), n)).as("ng_s"))
+      .select(col("doc_id"), xxhash64(col("ng_s")).as("ng"))
+    val evalGrams = gramRows(evalSet).select("ng").distinct()
+    val hits = gramRows(corpus)
       .join(broadcast(evalGrams), "ng")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     corpus.select(col("doc_id"))
