@@ -422,7 +422,7 @@ object SparkEntry {
     // ---- F13: keyed pseudonymization — device MACs are PII; the fleet
     //      design (S5, "deploy en masse") needs stable, irreversible
     //      per-device tokens that survive cross-sensor joins. One
-    //      codegen'd sha2 pass, referential integrity preserved ----
+    //      codegen'd hash pass, referential integrity preserved ----
     // md5 (not sha2): the driver's DuckDB version is unknown and
     // sha256() only exists in duckdb >= 0.10; md5() is universal. The
     // demo property (stable, keyed, irreversible-enough token) is

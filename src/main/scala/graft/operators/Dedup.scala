@@ -195,8 +195,9 @@ object Dedup {
     * Shape at 100 TB: the eval set is benchmark-sized (thousands of
     * docs), so its distinct-n-gram set BROADCASTS; the corpus side is a
     * map-side explode + broadcast-hash semi-probe + one (doc_id)
-    * re-aggregation — the corpus never shuffles its text, and the only
-    * exchange carries (doc_id, hit-count) pairs. */
+    * re-aggregation. The corpus never shuffles its TEXT: the exchanges
+    * are the eval side's gram distinct (benchmark-sized) and the
+    * corpus's (doc_id, hit-count) partial aggregates. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 3,
       minHits: Long = 5L): DataFrame = {
     // Stage the columns so nothing lands inside an interpreted HOF

@@ -49,7 +49,16 @@ object ExplainDump {
     "l2g_dedup_clusters" -> ("Near-dup pairs → transitive clusters: hash-min "
       + "label propagation, one O(E) shuffle + min-aggregate per round, no "
       + "driver-side graph state. The plan shown is the final labels join; "
-      + "iteration count = cluster diameter (small for near-dup clusters)."))
+      + "iteration count = cluster diameter (small for near-dup clusters)."),
+    "l2h_decontaminate" -> ("Eval-set decontamination: the benchmark's distinct "
+      + "gram hashes BROADCAST (benchmark-sized, never the corpus); the corpus "
+      + "side is a map-side explode + broadcast-hash probe, so no exchange "
+      + "ever carries corpus TEXT on the probe path — the data-sized "
+      + "exchanges are the eval-side gram distinct and the (doc_id, "
+      + "hit-count) partial aggregates (the repartitions visible below are "
+      + "Tables.documents' local[32] single-row-group spread, dropped at "
+      + "fleet scale). Tokens materialize before the n-gram HOF and grams "
+      + "hash post-explode — both codegen'd, nothing interpreted per element."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

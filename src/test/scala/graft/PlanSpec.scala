@@ -51,25 +51,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"))
   }
 
-  test("no query plan ever degenerates to a CartesianProduct") {
-    SparkEntry.queries.keys.foreach { name =>
-      assert(!plan(name).contains("CartesianProduct"), name)
-    }
-  }
-
-  test("BroadcastNestedLoopJoin appears ONLY where it is the deliberate plan") {
+  test("no plan degenerates to a CartesianProduct or an undeliberate nested loop") {
     // the brute-force similarity ops stream a broadcast corpus on
     // purpose (partitioned probe side, see Dedup/Similarity docs);
     // anywhere else a BNL means an equi key was lost — the plan shape
-    // that cannot scale
-    val deliberate = Set("l2f_embedding_neardup", "l3_cosine_topk",
+    // that cannot scale. One planning pass per query covers both sweeps.
+    val deliberateBnl = Set("l2f_embedding_neardup", "l3_cosine_topk",
       "l3b_ann_lsh", "l3c_ann_ivf", "l2b_minhash_pairs", "l2e_simhash_pairs",
       // a broadcast of ONE row (the corpus count) attached to every
       // partition — the scalar-join idiom, O(n) work, not a pair blowup
       "l4c_tfidf")
     SparkEntry.queries.keys.foreach { name =>
-      if (!deliberate(name))
-        assert(!plan(name).contains("BroadcastNestedLoopJoin"), name)
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), name)
+      if (!deliberateBnl(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"), name)
     }
   }
 
