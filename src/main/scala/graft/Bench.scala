@@ -63,23 +63,24 @@ object Bench {
     val ok = results.collect { case (k, Some(v)) => k -> v }
     // The driver captures only the LAST 2000 BYTES of output (minus sbt's
     // ~74-byte [success] trailer) and must find the whole JSON line inside
-    // it: keep the line compact (2-decimal timings with trailing zeros
-    // trimmed, sf basename, no spaces) or it gets truncated mid-line and
-    // fails to parse (round-3 lesson: 75 full-precision doubles
-    // overflowed the tail). Locale.ROOT: a comma-decimal default locale
+    // it: keep the line compact or it gets truncated mid-line and fails
+    // to parse (round-3 lesson: 75 full-precision doubles overflowed the
+    // tail). Per-query timings carry 1 decimal (host steal noise swamps
+    // anything finer), the total keeps 2; trailing zeros trimmed, sf
+    // basename, no spaces. Locale.ROOT: a comma-decimal default locale
     // would emit 1,23 and break the JSON.
-    def f3(v: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def fmt(v: Double, decimals: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
     val qs = ok.toSeq.sortBy(_._1)
-      .map { case (k, v) => jq(k) + ":" + f3(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => jq(k) + ":" + fmt(v, 1) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => jq(k) }.toSeq.sorted
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$failedJson,"sf":${jq(sfName)}}""")
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$failedJson,"sf":${jq(sfName)}}""")
     spark.stop()
   }
 }

@@ -129,6 +129,27 @@ object SparkEntry {
         .orderBy("click_id")
     }),
 
+    // ---- J7b: FORWARD as-of (earliest purchase at-or-after each
+    //      click) — the same backward AsOfJoinExec run on negated
+    //      epoch-micros: "latest at-or-before" on the negated axis IS
+    //      "earliest at-or-after" on the real one. One operator, both
+    //      directions; oracle = DuckDB ASOF with the <= inequality ----
+    "j7b_asof_forward" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+        .withColumn("neg_ts", -unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("r_user"), col("ts").as("pts"))
+        .agg(max("event_id").as("purchase_id"))
+        .withColumn("neg_pts", -unix_micros(col("pts")))
+      graft.operators.AsOf.join2(clicks, purchases,
+          Seq("user_id"), Seq("r_user"), "neg_ts", "neg_pts", toleranceUs = -1L)
+        .select(col("click_id"), col("purchase_id"),
+          (unix_millis(col("pts")) - unix_millis(col("ts"))).as("gap_ms"))
+        .orderBy("click_id")
+    }),
+
     // ---- J6: outer joins (network-tree completeness) ----
     "j6_left_outer" -> ((s, d) => Tables.nation(s, d)
       .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"), "left_outer")
@@ -870,6 +891,16 @@ object SparkEntry {
         |SELECT c.click_id, p.purchase_id,
         |  epoch_ms(c.ts) - epoch_ms(p.pts) AS gap_ms
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.r_user AND c.ts >= p.pts
+        |ORDER BY c.click_id""".stripMargin,
+
+    "j7b_asof_forward" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS r_user, ts AS pts, max(event_id) AS purchase_id
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.click_id, p.purchase_id,
+        |  epoch_ms(p.pts) - epoch_ms(c.ts) AS gap_ms
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.r_user AND c.ts <= p.pts
         |ORDER BY c.click_id""".stripMargin,
 
     "j6_left_outer" ->

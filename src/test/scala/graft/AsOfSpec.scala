@@ -108,6 +108,24 @@ class AsOfSpec extends SparkTestBase {
     assert(e2.getMessage.contains("key type mismatch"))
   }
 
+  test("forward as-of via negated times picks the EARLIEST row at-or-after") {
+    val clicks = Seq(
+      (1L, "u1", ts(100)), // purchases at 150, 200 → 150 wins
+      (2L, "u1", ts(151)), // only 200 remains ahead
+      (3L, "u1", ts(300)), // nothing ahead → null
+      (4L, "u2", ts(100))  // other key, purchase at 100 (t equal counts)
+    ).toDF("cid", "k", "t").withColumn("nt", -unix_micros(col("t")))
+    val purchases = Seq(
+      (10L, "u1", ts(150)), (11L, "u1", ts(200)), (12L, "u2", ts(100))
+    ).toDF("pid", "rk", "pt").withColumn("npt", -unix_micros(col("pt")))
+    val got = AsOf.join2(clicks, purchases,
+        Seq("k"), Seq("rk"), "nt", "npt", toleranceUs = -1L)
+      .select(col("cid"), col("pid")).orderBy("cid")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(got == Seq((1L, Some(10L)), (2L, Some(11L)),
+      (3L, None), (4L, Some(12L))))
+  }
+
   test("physical plan is the custom sort-merge exec, not a pair join") {
     val l = Seq((1L, "a", ts(0))).toDF("lid", "k", "t")
     val r = Seq((9L, "a", ts(0))).toDF("rv", "rk", "rt")
