@@ -601,6 +601,10 @@ object SparkEntry {
     "l4d_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // ---- L4f: PII scrubbing (emails + long digit runs redacted) ----
+    "l4f_pii_scrub" -> ((s, d) =>
+      TextAnalysis.piiScrub(Tables.documents(s, d)).orderBy("doc_id")),
+
     // ---- L4e: token budgets — whitespace words vs BPE-ish pre-token
     //      units (the number a packing/costing pipeline charges) ----
     "l4e_bpe_tokens" -> ((s, d) =>
@@ -1265,6 +1269,13 @@ object SparkEntry {
     "l4b_term_freq" ->
       s"""SELECT tok, count(*) AS n FROM (SELECT unnest($ToksSql) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "l4f_pii_scrub" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        | len(regexp_extract_all(text, '[0-9]{9,}'))::BIGINT AS n_long_numbers,
+        | regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "l4e_bpe_tokens" ->
       s"""SELECT doc_id,

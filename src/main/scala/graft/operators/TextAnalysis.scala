@@ -78,6 +78,26 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_bigrams", "top_bigram_n"))
   }
 
+  /** L4f — PII scrubbing (the redaction stage of a curation pipeline):
+    * emails and long digit runs (phone/account numbers) are counted and
+    * replaced with placeholder tokens. Map-only, two codegen'd regex
+    * passes; email replacement runs FIRST so its local-part digits
+    * can't be half-eaten by the number rule. Patterns stick to
+    * ASCII-class RE2-compatible syntax so the DuckDB twin (with the
+    * 'g' flag — DuckDB replaces only the first match by default,
+    * Spark replaces all) matches glyph-for-glyph. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digits = "[0-9]{9,}"
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(digits), lit(0)))
+        .cast("long").as("n_long_numbers"),
+      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+        digits, "<NUM>").as("scrubbed"))
+  }
+
   /** Top-`k` TF-IDF terms per doc. Two aggregations and a join, all on
     * the token key: (doc, tok) term counts; doc frequency per token; a
     * broadcast-able df table joined back; per-doc top-k by score.

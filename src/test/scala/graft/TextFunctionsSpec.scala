@@ -226,6 +226,20 @@ class TextFunctionsSpec extends SparkTestBase {
                       (4L, 1L, 0L, 0L, 0L)))
   }
 
+  test("piiScrub: emails and long numbers redacted, counts match") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.com or call 0123456789 now"),
+      (2L, "short 12345678 stays; account 123456789012 goes"),
+      (3L, "no pii here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.piiScrub(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, "mail <EMAIL> or call <NUM> now"),
+      (2L, 0L, 1L, "short 12345678 stays; account <NUM> goes"),
+      (3L, 0L, 0L, "no pii here")))
+  }
+
   test("langGuess picks the stopword-dominant language") {
     val cases = Seq(
       "the cat sat on the mat and it is that" -> "en",
