@@ -94,5 +94,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_byte_at", "graft_byte_at(bin, offset1)"),
       (args: Seq[Expression]) => ByteAtExpr(args(0),
         intLit("graft_byte_at", args, 1, 2))))
+    // Composition ops built from catalyst nodes directly: wrapping the
+    // public Column API via Bridge.expression would leave an
+    // unresolvable ColumnNodeExpression inside the function builder
+    // (Spark 4 column-node architecture), so these mirror the DSL
+    // formulas node-for-node; SqlFrontDoorSpec pins SQL == DSL values.
+    ext.injectFunction((FunctionIdentifier("graft_zvalue"),
+      info("graft_zvalue", "graft_zvalue(x, y, bits)"),
+      (args: Seq[Expression]) => { checkArity("graft_zvalue", args, 3)
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, ShiftLeft, ShiftRight}
+        import org.apache.spark.sql.types.LongType
+        val bits = intLit("graft_zvalue", args, 2, 3)
+        if (bits < 1 || bits > 31)
+          throw new AnalysisException("INVALID_PARAMETER_VALUE.INTEGER", Map(
+            "parameter" -> "`arg3`", "functionName" -> "`graft_zvalue`",
+            "invalidValue" -> s"bits must be in [1, 31]: $bits"))
+        val xl = Cast(args(0), LongType); val yl = Cast(args(1), LongType)
+        (0 until bits).map { i =>
+          BitwiseOr(
+            ShiftLeft(BitwiseAnd(ShiftRight(xl, Literal(i)), Literal(1L)), Literal(2 * i)),
+            ShiftLeft(BitwiseAnd(ShiftRight(yl, Literal(i)), Literal(1L)), Literal(2 * i + 1)))
+        }.reduceLeft[Expression]((a, b) => BitwiseOr(a, b)) }))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_count"),
+      info("graft_bpe_count", "graft_bpe_count(text)"),
+      (args: Seq[Expression]) => { checkArity("graft_bpe_count", args, 1)
+        import org.apache.spark.sql.catalyst.expressions.{RegExpExtractAll, Size}
+        Size(RegExpExtractAll(args(0),
+          Literal(graft.functions.TextFunctions.BpePattern), Literal(0))) }))
   }
 }

@@ -37,9 +37,10 @@ object TextFunctions {
     * whitespace class is spelled out EXPLICITLY (incl. \\x0B) rather
     * than \\s: Java's \\s contains vertical tab, RE2's does not, so \\s
     * would silently diverge from the DuckDB twin on \\x0B glyphs. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"
+
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text,
-      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0)))
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
   /** Character k-shingles of the lowercased text (overlapping substrings
     * of length k) — the MinHash/Jaccard unit. Distinct set; empty array

@@ -54,6 +54,24 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(viaDsl.getSeq[Long](2) == r.getSeq[Long](4))
   }
 
+  test("column-composition ops (zvalue, bpe count) resolve from SQL") {
+    val s = sqlSpark
+    import s.implicits._
+    Seq((3L, 5L, "Hello, world 42!")).toDF("x", "y", "txt")
+      .createOrReplaceTempView("tz")
+    val r = s.sql(
+      "SELECT graft_zvalue(x, y, 10) AS z, graft_bpe_count(txt) AS n FROM tz")
+      .collect()(0)
+    assert(r.getAs[Long]("z") == 39L) // x=11b even bits, y=101b odd bits
+    // Hello , world 4 2 ! → 6 pre-token units
+    assert(r.getAs[Int]("n") == 6)
+    val viaDsl = s.table("tz").select(
+      graft.operators.ZOrder.zValue($"x", $"y", 10),
+      graft.functions.TextFunctions.bpeTokenCount($"txt")).collect()(0)
+    assert(viaDsl.getLong(0) == r.getAs[Long]("z") &&
+      viaDsl.getInt(1) == r.getAs[Int]("n"))
+  }
+
   test("string-free shingle family and byte access resolve from SQL") {
     val s = sqlSpark
     import s.implicits._

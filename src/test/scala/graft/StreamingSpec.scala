@@ -54,6 +54,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("L4/L5 curation transforms run UNCHANGED on a document stream") {
+    // the map-only curation stages (PII scrub, token budgets, lang gate)
+    // are plain declarative transforms, so the SAME code incrementalizes
+    // under Structured Streaming — batch backfill and live curation
+    // share one implementation (the engine's core design claim)
+    val in = MemoryStream[(Long, String, String)]
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.piiScrub(
+          df.filter(org.apache.spark.sql.functions.col("lang") === "en"))
+        .withColumn("n_bpe",
+          graft.functions.TextFunctions.bpeTokenCount(
+            org.apache.spark.sql.functions.col("scrubbed")).cast("long"))
+    val docs = in.toDF().selectExpr("_1 as doc_id", "_2 as lang", "_3 as text")
+    val q = curate(docs)
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val data = Seq(
+        (1L, "en", "contact me a@b.io thanks"),
+        (2L, "fr", "bonjour le monde"),          // gated out
+        (3L, "en", "card 1234567890 stolen"))
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_out")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val batch = curate(data.toDF("doc_id", "lang", "text"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch && streamed.length == 2)
+      assert(streamed(0).contains("contact me <EMAIL> thanks"))
+    } finally q.stop()
+  }
+
   test("S1 production source: frames over a real TCP socket parse end-to-end") {
     val server = new java.net.ServerSocket(0)
     val payload = java.util.Base64.getEncoder.encodeToString(probeFrame(0x33))
