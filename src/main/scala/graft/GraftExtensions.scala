@@ -101,7 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // formulas node-for-node; SqlFrontDoorSpec pins SQL == DSL values.
     ext.injectFunction((FunctionIdentifier("graft_zvalue"),
       info("graft_zvalue", "graft_zvalue(x, y, bits)"),
-      (args: Seq[Expression]) => { checkArity("graft_zvalue", args, 3)
+      (args: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, ShiftLeft, ShiftRight}
         import org.apache.spark.sql.types.LongType
         val bits = intLit("graft_zvalue", args, 2, 3)

@@ -1271,11 +1271,14 @@ object SparkEntry {
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
 
     "l4f_pii_scrub" ->
-      """SELECT doc_id,
+      """WITH es AS (SELECT doc_id, text,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS email_scrubbed
+        |  FROM documents)
+        |SELECT doc_id,
         | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-        | len(regexp_extract_all(text, '[0-9]{9,}'))::BIGINT AS n_long_numbers,
-        | regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        | len(regexp_extract_all(email_scrubbed, '[0-9]{9,}'))::BIGINT AS n_long_numbers,
+        | regexp_replace(email_scrubbed, '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
+        |FROM es ORDER BY doc_id""".stripMargin,
 
     "l4e_bpe_tokens" ->
       s"""SELECT doc_id,

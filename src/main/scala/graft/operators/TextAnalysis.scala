@@ -89,13 +89,17 @@ object TextAnalysis {
   def piiScrub(docs: DataFrame): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val digits = "[0-9]{9,}"
+    // count digit runs AFTER email redaction so n_long_numbers equals
+    // the <NUM> placeholders actually present in `scrubbed` (digits
+    // inside an email local-part are consumed by the email rule and
+    // must not be double-reported to a redaction audit)
+    val emailScrubbed = regexp_replace(col("text"), email, "<EMAIL>")
     docs.select(col("doc_id"),
       size(regexp_extract_all(col("text"), lit(email), lit(0)))
         .cast("long").as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(digits), lit(0)))
+      size(regexp_extract_all(emailScrubbed, lit(digits), lit(0)))
         .cast("long").as("n_long_numbers"),
-      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-        digits, "<NUM>").as("scrubbed"))
+      regexp_replace(emailScrubbed, digits, "<NUM>").as("scrubbed"))
   }
 
   /** Top-`k` TF-IDF terms per doc. Two aggregations and a join, all on

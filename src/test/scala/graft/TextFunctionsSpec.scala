@@ -230,14 +230,18 @@ class TextFunctionsSpec extends SparkTestBase {
     val docs = Seq(
       (1L, "mail bob.smith+x@corp.example.com or call 0123456789 now"),
       (2L, "short 12345678 stays; account 123456789012 goes"),
-      (3L, "no pii here")
+      (3L, "no pii here"),
+      // digits inside the email are consumed by the email rule and
+      // must NOT count as a long number (count == <NUM> placeholders)
+      (4L, "id 123456789@bank.example now")
     ).toDF("doc_id", "text")
     val got = graft.operators.TextAnalysis.piiScrub(docs).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
     assert(got == Seq(
       (1L, 1L, 1L, "mail <EMAIL> or call <NUM> now"),
       (2L, 0L, 1L, "short 12345678 stays; account <NUM> goes"),
-      (3L, 0L, 0L, "no pii here")))
+      (3L, 0L, 0L, "no pii here"),
+      (4L, 1L, 0L, "id <EMAIL> now")))
   }
 
   test("langGuess picks the stopword-dominant language") {
