@@ -695,6 +695,23 @@ object SparkEntry {
           col("l_partkey") % 1024, col("l_suppkey") % 1024, bits = 10).as("z"))
       .orderBy("l_orderkey", "l_linenumber")),
 
+    // ---- W7: running DISTINCT count per key ("how many different
+    //      SSIDs has this device probed so far") — windowed
+    //      count(DISTINCT) is illegal/O(n²); the first-seen flag
+    //      (rank 1 within (key, value)) + running sum is O(n) and
+    //      shares ONE (key)-partitioned sort pipeline ----
+    "w7_cumulative_distinct" -> ((s, d) => {
+      val byKV = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .withColumn("_first", when(row_number().over(byKV) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_so_far", sum(col("_first")).over(run))
+        .select(col("user_id"), col("event_id"), col("n_types_so_far"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- T5: pivot (conditional aggregation over a fixed column set) ----
     "t5_pivot" -> ((s, d) => ev(s, d)
       .groupBy("user_id")
@@ -1393,6 +1410,17 @@ object SparkEntry {
         |   ((((l_partkey % 1024) >> i) & 1) << (2*i)) + ((((l_suppkey % 1024) >> i) & 1) << (2*i+1))),
         |   'sum')::BIGINT AS z
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "w7_cumulative_distinct" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS n_types_so_far
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
 
     "t5_pivot" ->
       """SELECT user_id,
