@@ -93,6 +93,25 @@ class ComponentsSpec extends SparkTestBase {
     assert(binned == naive && naive.nonEmpty)
   }
 
+  test("binned interval join == naive across MANY bin widths (width is a perf knob, not a correctness knob)") {
+    val rnd = new scala.util.Random(19)
+    val pts = (1 to 120).map(i =>
+      (i.toLong, ts(rnd.nextInt(3000).toLong))).toDF("pid_pt", "pts")
+    val ivs = (1 to 40).map { i =>
+      val st = rnd.nextInt(2900).toLong
+      (i.toLong, ts(st), ts(st + rnd.nextInt(300).toLong))
+    }.toDF("iid", "ws", "we")
+    val naive = pts.join(ivs, col("pts") >= col("ws") && col("pts") <= col("we"))
+      .select("pid_pt", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(naive.nonEmpty)
+    Seq(1L, 7L, 60L, 299L, 3600L).foreach { w =>
+      val binned = RangeJoin.pointInInterval(pts, ivs, "pts", "ws", "we",
+          keys = Nil, binSeconds = w)
+        .select("pid_pt", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(binned == naive, s"width $w")
+    }
+  }
+
   test("binned interval join respects equi keys") {
     val pts = Seq(
       (1L, "a", ts(100)), (2L, "b", ts(100)), (3L, "a", ts(500))
