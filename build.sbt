@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked program's stdout RAW instead of through sbt's
+// logger: the logger prefixes every line with "[info] ", which breaks
+// any consumer that json-parses a program-emitted line (the driver
+// reads Bench's one-line JSON from the output tail — "[info] {...}"
+// is not valid JSON, and BENCH_r01–r03 all failed to parse for
+// exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
