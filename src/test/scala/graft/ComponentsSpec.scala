@@ -53,6 +53,26 @@ class ComponentsSpec extends SparkTestBase {
     assert(cc(nodes, edges) == model)
   }
 
+  test("components == union-find on larger graphs across seeds (multi-round convergence)") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 400
+      val nodes = (0L until n).toSeq
+      // sparse edges → long chains → several propagation rounds
+      val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val roots = nodes.groupBy(v => find(v.toInt))
+      val model = roots.flatMap { case (_, vs) => val m = vs.min; vs.map(_ -> m) }
+      assert(cc(nodes, edges) == model, s"seed $seed")
+    }
+  }
+
   test("components: empty graph yields an empty result, not an NPE") {
     val got = Components.connectedComponents(
       Seq.empty[Long].toDF("node"), Seq.empty[(Long, Long)].toDF("src", "dst"))
