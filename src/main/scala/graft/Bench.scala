@@ -74,13 +74,28 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    val qs = ok.toSeq.sortBy(_._1)
-      .map { case (k, v) => jq(k) + ":" + fmt(v, 1) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => jq(k) }.toSeq.sorted
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$failedJson,"sf":${jq(sfName)}}""")
+    def line(fmtQ: Double => String): String = {
+      val qs = ok.toSeq.sortBy(_._1)
+        .map { case (k, v) => jq(k) + ":" + fmtQ(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$failedJson,"sf":${jq(sfName)}}"""
+    }
+    // Hard byte budget: the line plus sbt's ~75-byte [success] trailer
+    // must fit the driver's 2000-byte output tail, or the line truncates
+    // mid-JSON and the whole round's bench fails to parse. Degrade
+    // gracefully: full 1-decimal timings; then integer timings for the
+    // >=10s outliers only (steal-noise width, where the decimal carries
+    // no signal anyway); then integers everywhere.
+    val out = Iterator[Double => String](
+        v => fmt(v, 1),
+        v => if (v >= 10) fmt(v, 0) else fmt(v, 1),
+        v => fmt(v, 0))
+      .map(line).find(_.length <= 1922)
+      .getOrElse(line(v => fmt(v, 0)))
+    println(out)
     spark.stop()
   }
 }

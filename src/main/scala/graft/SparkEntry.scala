@@ -72,6 +72,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- J3 (batch form): watchlist semi join — the stream-static
+    //      broadcast-semi shape (StreamingSpec drives the live form).
+    //      The watchlist derives small (users with a big purchase) and
+    //      BROADCASTS, so the fact side never shuffles: at 100 TB the
+    //      probe is a map-side bloom/hash check on the scan ----
+    "j3_semi_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val watch = e.filter(col("event_type") === "purchase" && col("value") >= 300)
+        .select("user_id").distinct()
+      e.join(broadcast(watch), Seq("user_id"), "left_semi")
+        .select(col("event_id"), col("user_id"))
+        .orderBy("event_id")
+    }),
+
     // ---- J4: left anti (never-seen detection: parts never bulk-ordered) ----
     "j4_anti_join" -> ((s, d) => Tables.part(s, d)
       .join(li(s, d).filter(col("l_quantity") >= 45),
@@ -211,6 +225,20 @@ object SparkEntry {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))),
+
+    // A11 — approximate heavy hitters (frequent-items sketch): the
+    // exact per-key count (A1) needs a full shuffle of every key; the
+    // sketch is fixed-size, map-combined, and MERGEABLE — per-partition
+    // sketches combine like A2c's HLL, so "top talkers" over 100 TB is
+    // one sketch per partition + a tiny final merge, no key shuffle.
+    // Rows-only (approximate by design); SketchSpec pins
+    // accumulate→combine→estimate == direct and == exact counts on a
+    // skewed corpus.
+    "a11_topk_sketch" -> ((s, d) => ev(s, d)
+      .agg(expr("approx_top_k(user_id, 10)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("user_id"), col("e.count").as("est"))
+      .orderBy(col("est").desc, col("user_id"))),
 
     // ---- A3: min/max/avg measures ----
     "a3_stats" -> ((s, d) => li(s, d)
@@ -554,6 +582,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- L2i: edit-distance fuzzy matching (typo'd SSIDs / vendor
+    //      name variants): Levenshtein over the DISTINCT vocabulary,
+    //      blocked + length-banded + thresholded DP (Dedup docs) ----
+    "l2i_editdist" -> ((s, d) =>
+      Dedup.editDistancePairs(Tables.part(s, d), "p_name", maxDist = 3)
+        .orderBy("a_val", "b_val")),
+
     // ---- L2g: near-dup pairs → transitive dedup CLUSTERS (hash-min
     //      label propagation; oracle = DuckDB recursive CTE) ----
     "l2g_dedup_clusters" -> ((s, d) =>
@@ -710,6 +745,19 @@ object SparkEntry {
         .withColumn("n_types_so_far", sum(col("_first")).over(run))
         .select(col("user_id"), col("event_id"), col("n_types_so_far"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // ---- W8: value family (first_value / last_value / nth_value over
+    //      an explicit full frame — the frame spec is the semantics:
+    //      default frames make last_value = current row) ----
+    "w8_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev(s, d).select(col("event_id"),
+          first("event_id").over(w).as("first_ev"),
+          last("event_id").over(w).as("last_ev"),
+          nth_value(col("event_id"), 2).over(w).as("second_ev"))
+        .orderBy("event_id")
     }),
 
     // ---- T5: pivot (conditional aggregation over a fixed column set) ----
@@ -883,6 +931,12 @@ object SparkEntry {
         |SELECT a.user_id, count(*) AS n_pairs
         |FROM e a JOIN e b ON a.user_id = b.user_id AND a.hb = b.hb AND a.event_id < b.event_id
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "j3_semi_join" ->
+      """SELECT event_id, user_id FROM events e
+        |WHERE EXISTS (SELECT 1 FROM events w WHERE w.user_id = e.user_id
+        |              AND w.event_type = 'purchase' AND w.value >= 300)
+        |ORDER BY event_id""".stripMargin,
 
     "j4_anti_join" ->
       """SELECT p_partkey, p_name FROM part
@@ -1421,6 +1475,26 @@ object SparkEntry {
         |  sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS n_types_so_far
         |FROM f ORDER BY user_id, event_id""".stripMargin,
+
+    "w8_first_last" ->
+      """SELECT event_id,
+        | first_value(event_id) OVER w AS first_ev,
+        | last_value(event_id) OVER w AS last_ev,
+        | nth_value(event_id, 2) OVER w AS second_ev
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "l2i_editdist" ->
+      """WITH v AS (SELECT p_name AS val, count(*) AS n,
+        |           split_part(p_name, ' ', 1) AS blk FROM part GROUP BY 1, 3)
+        |SELECT a.val AS a_val, b.val AS b_val,
+        |  levenshtein(a.val, b.val) AS d, a.n AS a_n, b.n AS b_n
+        |FROM v a JOIN v b ON a.blk = b.blk AND a.val < b.val
+        |  AND abs(length(a.val) - length(b.val)) <= 3
+        |  AND levenshtein(a.val, b.val) <= 3
+        |ORDER BY a_val, b_val""".stripMargin,
 
     "t5_pivot" ->
       """SELECT user_id,

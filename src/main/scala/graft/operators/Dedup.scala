@@ -221,4 +221,42 @@ object Dedup {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") >= minHits)
   }
+
+  /** L2i — edit-distance fuzzy matching over short strings (names,
+    * titles, SSIDs — the reference domain's typo'd/vendor-variant SSID
+    * problem, `FIXTURES.md` §1). Emits (a_val, b_val, d, a_n, b_n) for
+    * every DISTINCT value pair within a block whose Levenshtein
+    * distance is ≤ `maxDist`, with each value's row count.
+    *
+    * Scale shape, in order of importance at 100 TB:
+    *   1. distance runs on the DISTINCT-value vocabulary, never on rows
+    *      — a single map-combined groupBy collapses the corpus to its
+    *      vocabulary (names/SSIDs are heavy-tailed: billions of rows,
+    *      thousands-to-millions of distinct values) before any pairing;
+    *   2. pairs are enumerated inside an equi-join block (first token
+    *      here; a q-gram or phonetic key for denser vocabularies), so
+    *      the pair space is co-partitioned, never a crossJoin — the
+    *      standard blocking trade: typos in the FIRST token of a value
+    *      land in different blocks and are missed (documented recall
+    *      bound, exactly like simHashNearDups' banding);
+    *   3. a length band |len(a)−len(b)| ≤ maxDist rejects pairs before
+    *      the DP runs (distance ≥ length gap — cheap and exact);
+    *   4. the surviving pairs use the THRESHOLDED builtin
+    *      (`levenshtein(a, b, maxDist)`): its DP early-exits down a
+    *      banded diagonal at O(len·maxDist) instead of O(len²), and
+    *      codegens like any builtin. −1 (= over threshold) is filtered.
+    */
+  def editDistancePairs(df: DataFrame, valueCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    val vocab = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("n"))
+      .select(col("v"), col("n"), split(col("v"), " ").getItem(0).as("blk"))
+    vocab.as("a").join(vocab.as("b"),
+        col("a.blk") === col("b.blk") && col("a.v") < col("b.v") &&
+        abs(length(col("a.v")) - length(col("b.v"))) <= maxDist)
+      .select(col("a.v").as("a_val"), col("b.v").as("b_val"),
+        levenshtein(col("a.v"), col("b.v"), maxDist).cast("long").as("d"),
+        col("a.n").as("a_n"), col("b.n").as("b_n"))
+      .filter(col("d") >= 0)
+  }
 }

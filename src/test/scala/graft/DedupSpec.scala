@@ -151,4 +151,38 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(got == Seq((1L, 6L, true), (2L, 1L, false), (3L, 0L, false)))
   }
+
+  test("L2i edit-distance pairs: vocabulary pairing, counts, threshold, block bound") {
+    val rows = Seq(
+      "linksys home", "linksys home", "linksys hone",   // d=1 typo (dup row too)
+      "linksys office",                                 // d>3 from the others
+      "netgear 5g", "netgear 5ghz",                     // d=2 suffix variant
+      "lynksys home"                                    // first-token typo: other block
+    ).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "ssid")
+    val got = Dedup.editDistancePairs(rows, "ssid", maxDist = 3)
+      .orderBy("a_val", "b_val")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("linksys home", "linksys hone", 1L, 2L, 1L),
+      ("netgear 5g", "netgear 5ghz", 2L, 1L, 1L)))
+    // documented recall bound: "lynksys home" (d=1 of "linksys home")
+    // lands in another first-token block and is NOT paired — same
+    // class of miss as simhash banding past its hamming bound
+    assert(!got.exists(p => p._1.startsWith("lynksys") || p._2.startsWith("lynksys")))
+    // "linksys office" is within the block but beyond maxDist → absent
+    assert(!got.exists(p => p._2 == "linksys office"))
+  }
+
+  test("L2i thresholded distance equals the unthresholded builtin within range") {
+    val rows = Seq((1L, "alpha beta"), (2L, "alpha bexa"), (3L, "alpha b"))
+      .toDF("id", "v")
+    val pairs = Dedup.editDistancePairs(rows, "v", maxDist = 3)
+      .withColumn("d_full", levenshtein(col("a_val"), col("b_val")).cast("long"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("d") == r.getAs[Long]("d_full"))
+    }
+  }
 }

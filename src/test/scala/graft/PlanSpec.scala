@@ -33,6 +33,11 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
   }
 
+  test("j3: watchlist probes as a broadcast LEFT SEMI — the fact side never shuffles") {
+    val p = plan("j3_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("o2: top-k runs as TakeOrderedAndProject, not a global sort") {
     val p = plan("o2_topk")
     assert(p.contains("TakeOrderedAndProject"))
