@@ -16,6 +16,7 @@ class ContractSpec extends SparkTestBase {
       "a2b_approx_distinct",  // HLL sketch — approximate by design
       "a2c_hll_union",        // DataSketches HLL union — approximate
       "a8b_approx_percentiles", // KLL-style percentile sketch — approximate
+      "a11_topk_sketch",      // frequent-items sketch — approximate
       "l2b_minhash_pairs",    // LSH candidates (xx hash family)
       "l2e_simhash_pairs",    // simhash banding
       "l3b_ann_lsh",          // approximate NN
