@@ -622,6 +622,16 @@ object SparkEntry {
         .orderBy(col("qid"), col("sim").desc, col("cid"))
     }),
 
+    // L3: product-quantization ADC top-k (the memory scale path: codes
+    // are m bytes/vector, embeddings never move at query time) —
+    // approximate → rows-only + PqSpec ADC-identity and recall bound.
+    "l3e_pq_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.SimilarityPq.pqTopK(e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") >= 5), k = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- L4: token statistics ----
     "l4_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d))
@@ -648,6 +658,23 @@ object SparkEntry {
         TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
         .orderBy("doc_id")),
 
+    // ---- L4g: canonical text normalization (the stage-zero transform
+    //      of every curation pipeline). The input is deliberately
+    //      dirtied INSIDE the query (case noise, accents, tabs, runs of
+    //      spaces) so the oracle exercises every folding rule rather
+    //      than passing vacuously on pre-clean synthetic text ----
+    "l4g_normalize" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.normalizeText(
+          concat(lit("  \tÉL Ñiño — "), upper(substring(col("text"), 1, 40)),
+            lit("\t\t"), col("text"), lit("  "))).as("norm_text"))
+        .orderBy("doc_id")),
+
+    // ---- L4h: inverted-index postings (term → df + sorted doc list) ----
+    "l4h_postings" -> ((s, d) =>
+      TextAnalysis.postings(Tables.documents(s, d), minDf = 2L)
+        .orderBy("tok")),
+
     // ---- text: language-ID heuristic ----
     "lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
@@ -659,6 +686,15 @@ object SparkEntry {
     // ---- text: fingerprints (rolling hash + content hash) ----
     "fingerprints" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // ---- L5b: overlapping character-window chunks (context-window
+    //      prep: size 200, stride 150 → 50-char overlap). Map-only;
+    //      chunk rows inherit the scan's partitioning ----
+    "l5b_chunking" -> ((s, d) =>
+      graft.operators.Chunking
+        .charChunks(Tables.documents(s, d).select("doc_id", "text"),
+          "text", size = 200, stride = 150)
+        .orderBy("doc_id", "off")),
 
     // ---- L5: multimodal binary plumbing (stub codec → rows-only) ----
     "mm_media_features" -> ((s, d) =>
@@ -760,6 +796,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- W3b: TIME-range frame (RANGE BETWEEN interval) — the frame
+    //      is defined by the clock, not row counts: trailing 5-minute
+    //      activity per device regardless of how many rows landed in
+    //      it. Epoch-MICROS as the order key on both engines (integer,
+    //      exact at any timestamp precision); same single (key)-hash
+    //      exchange + sort pipeline as the rank family ----
+    "w3b_time_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-300000000L, 0L)
+      ev(s, d).select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_5m"),
+          round(sum("value").over(w), 2).as("val_5m"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- T5: pivot (conditional aggregation over a fixed column set) ----
     "t5_pivot" -> ((s, d) => ev(s, d)
       .groupBy("user_id")
@@ -800,6 +851,26 @@ object SparkEntry {
           defaultFraction = 0.05, salt = "mix")
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
+
+    // ---- MIX: temperature-flattened source mixing (T=0.5 — rare
+    //      languages upweighted; en is 4× fr in the corpus but samples
+    //      at ~half fr's rate). Rates + kept-count per stratum ----
+    "mix_temperature" -> ((s, d) =>
+      graft.operators.Mixing
+        .temperatureMix(Tables.documents(s, d), col("lang"), col("doc_id"),
+          targetRows = 200L, temperature = 0.5, salt = "mixT")
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+
+    // ---- MIX: reproducible global shuffle (training order as a pure
+    //      function of (key, salt); scale-safe dense sequence — no
+    //      partitionless window) ----
+    "mix_shuffle" -> ((s, d) =>
+      graft.operators.Mixing
+        .deterministicShuffle(Tables.documents(s, d).select("doc_id"),
+          col("doc_id"), salt = "ep0")
+        .select(col("doc_id"), col("pos"))
+        .orderBy("pos")),
 
     // ---- T5b: unpivot (wide measures → long (measure, value) rows) ----
     "t5b_unpivot" -> ((s, d) => li(s, d)
@@ -879,6 +950,34 @@ object SparkEntry {
       graft.operators.Sampling.hashSample(filtered, col("doc_id"), 0.5, "cur")
         .select(col("doc_id"), col("n_tokens"), col("punct_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // ---- CAPSTONE (curation): the end-to-end training-manifest
+    //      pipeline — normalize → exact-dedup on canonical content →
+    //      token gate → temperature-flattened language mix →
+    //      reproducible global shuffle → fixed-budget packing. Output
+    //      is the manifest a trainer consumes: every row knows its
+    //      epoch position and its (bin, offset) in the token stream,
+    //      and the whole thing is a pure function of (corpus, salts) ----
+    "training_manifest" -> ((s, d) => {
+      val dedupW = Window.partitionBy(md5(col("norm_text"))).orderBy(col("doc_id"))
+      val gated = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.normalizeText(col("text")).as("norm_text"))
+        .withColumn("toks", TextFunctions.tokenCount(col("norm_text")).cast("long"))
+        .withColumn("_rn", row_number().over(dedupW))
+        .filter(col("_rn") === 1 && col("toks") >= 20)
+        .select("doc_id", "lang", "toks")
+      val mixed = graft.operators.Mixing
+        .temperatureMix(gated, col("lang"), col("doc_id"),
+          targetRows = 150L, temperature = 0.5, salt = "tm")
+      val shuffled = graft.operators.Mixing
+        .deterministicShuffle(mixed, col("doc_id"), "tm-order", "pos")
+      graft.operators.Packing
+        .packBins(shuffled, "lang", Seq(col("pos")), col("toks"), budget = 256L)
+        .select(col("doc_id"), col("lang"), col("pos"), col("n_tokens"),
+          col("bin"), col("bin_offset"))
+        .orderBy("pos")
     })
   )
 
@@ -888,6 +987,13 @@ object SparkEntry {
 
   /** DuckDB expr: whitespace tokens of lowercased trimmed text. */
   private val ToksSql = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** DuckDB expr: TextFunctions.normalizeText over `arg` (lower →
+    * accent fold → control strip → whitespace collapse → trim). */
+  private def NormSql(arg: String) =
+    s"trim(regexp_replace(regexp_replace(translate(lower($arg), " +
+      s"'${TextFunctions.AccentedChars}', '${TextFunctions.AccentFolded}'), " +
+      "'[\\x00-\\x1F\\x7F]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** DuckDB expr: the engine's md5Hash60 (TextFunctions.md5Hash60). */
   private def h60(seedExpr: String, arg: String) =
@@ -1486,6 +1592,14 @@ object SparkEntry {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
 
+    "w3b_time_range" ->
+      """SELECT user_id, event_id,
+        | count(*) OVER w AS n_5m, round(sum(value) OVER w, 2) AS val_5m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "l2i_editdist" ->
       """WITH v AS (SELECT p_name AS val, count(*) AS n,
         |           split_part(p_name, ' ', 1) AS blk FROM part GROUP BY 1, 3)
@@ -1556,6 +1670,42 @@ object SparkEntry {
          |            WHEN 'fr' THEN ${SampThr(0.1)} ELSE ${SampThr(0.05)} END
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "mix_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n,
+         |  CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w
+         |  FROM documents GROUP BY lang),
+         |r AS (SELECT lang, least(1.0,
+         |        (200.0 * w) / CAST(n * (SELECT sum(w) FROM c) AS DOUBLE)) AS rate
+         |      FROM c)
+         |SELECT d.lang, count(*) AS n_sampled
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE ${SampGate("'mixT'")} < CAST(floor(rate * 4294967296) AS BIGINT)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "mix_shuffle" ->
+      """SELECT doc_id, row_number() OVER (
+        |  ORDER BY md5(concat_ws('', doc_id::VARCHAR, 'ep0')), doc_id) AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
+
+    "l5b_chunking" ->
+      """SELECT doc_id, off, substring(text, off::INT + 1, 200) AS chunk FROM (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS off
+        |  FROM documents)
+        |ORDER BY doc_id, off""".stripMargin,
+
+    "l4g_normalize" ->
+      s"""SELECT doc_id, ${NormSql(
+        "'  \tÉL Ñiño — ' || upper(substring(text, 1, 40)) || '\t\t' || text || '  '")} AS norm_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l4h_postings" ->
+      s"""SELECT tok, count(*) AS df,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS posting_csv
+         |FROM (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, unnest($ToksSql) AS tok FROM documents))
+         |GROUP BY tok HAVING count(*) >= 2 ORDER BY tok""".stripMargin,
+
     "device_profile" ->
       """WITH g AS (SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
@@ -1609,7 +1759,41 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, punct_ratio FROM f
          |WHERE n_tokens >= 50 AND punct_ratio <= 0.10
          |  AND ${SampGate("'cur'")} < ${SampThr(0.5)}
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "training_manifest" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, lang, ${NormSql("text")} AS norm_text FROM documents),
+         |tok AS (
+         |  SELECT doc_id, lang, norm_text,
+         |    CASE WHEN length(norm_text) = 0 THEN 0::BIGINT
+         |         ELSE len(string_split(norm_text, ' '))::BIGINT END AS toks
+         |  FROM norm),
+         |dedup AS (
+         |  SELECT doc_id, lang, toks FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn
+         |    FROM tok)
+         |  WHERE rn = 1 AND toks >= 20),
+         |c AS (SELECT lang, count(*) AS n,
+         |        CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w
+         |      FROM dedup GROUP BY lang),
+         |r AS (SELECT lang, least(1.0,
+         |        (150.0 * w) / CAST(n * (SELECT sum(w) FROM c) AS DOUBLE)) AS rate
+         |      FROM c),
+         |mixed AS (
+         |  SELECT d.* FROM dedup d JOIN r USING (lang)
+         |  WHERE ${SampGate("'tm'")} < CAST(floor(rate * 4294967296) AS BIGINT)),
+         |shuffled AS (
+         |  SELECT doc_id, lang, toks, row_number() OVER (
+         |    ORDER BY md5(concat_ws('', doc_id::VARCHAR, 'tm-order')), doc_id) AS pos
+         |  FROM mixed),
+         |packed AS (
+         |  SELECT *, sum(toks) OVER (PARTITION BY lang ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) - toks AS strt
+         |  FROM shuffled)
+         |SELECT doc_id, lang, pos, toks AS n_tokens,
+         |  (strt // 256)::BIGINT AS bin, (strt % 256)::BIGINT AS bin_offset
+         |FROM packed ORDER BY pos""".stripMargin
   )
 
   /** DuckDB replay of Sampling.hashGate: uint32 of md5(key‖salt)[0:8],

@@ -15,6 +15,27 @@ object TextFunctions {
     * trimmed first so no empty edge tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Accent-fold table for [[normalizeText]] — the common Latin-1/Latin
+    * Extended accented letters, folded to ASCII. `translate` is a
+    * codegen'd char-map (no regex) and exists verbatim in DuckDB, so the
+    * oracle replays the same fold. */
+  val AccentedChars = "áàâäãåéèêëíìîïóòôöõúùûüýÿñç"
+  val AccentFolded = "aaaaaaeeeeiiiiooooouuuuyync"
+
+  /** Canonical text normalization — the first stage of every curation
+    * pipeline (dedup keys, tokenizer input, language ID all want one
+    * canonical form): lowercase → fold accents → strip ASCII control
+    * chars → collapse whitespace runs → trim. One pass per step, all
+    * codegen'd; map-only (no shuffle) at any scale. The control-char
+    * class is spelled explicitly ([\x00-\x1F\x7F]) instead of \p{Cntrl}:
+    * RE2 (DuckDB) has no \p{Cntrl}, and the explicit class means both
+    * engines run the identical automaton. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(translate(lower(text), AccentedChars, AccentFolded),
+        "[\\x00-\\x1F\\x7F]", " "),
+      " +", " "))
+
   /** Token count — whitespace tokens of the raw text. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document chunking (SURVEY §2.10 EXT) — splitting long documents into
+  * bounded, overlapping windows for embedding/training pipelines (the
+  * context-window prep step: every chunk fits the model, the overlap
+  * preserves cross-boundary context).
+  *
+  * Map-only and shuffle-free: `sequence` + `explode` + `substr` run
+  * inside the scan's whole-stage codegen, so at 100 TB the chunker is
+  * pure scan bandwidth — no state, no exchange, and the output inherits
+  * the input partitioning (chunks of one document stay in its partition).
+  */
+object Chunking {
+
+  /** Character-window chunks: one row per (document, offset), offsets at
+    * `stride` spacing, each chunk `size` characters (the tail chunk may
+    * be shorter). `stride < size` gives overlapping chunks; `stride ==
+    * size` gives a partition. Offsets are 0-based and the chunk at
+    * offset o covers characters [o, o+size). Empty/short documents yield
+    * exactly one chunk at offset 0.
+    */
+  def charChunks(docs: DataFrame, textCol: String, size: Int, stride: Int): DataFrame = {
+    require(size > 0, s"size must be > 0 (got $size)")
+    require(stride > 0, s"stride must be > 0 (got $stride)")
+    val keep = docs.columns.filterNot(_ == textCol).map(col).toIndexedSeq
+    docs
+      .withColumn("off",
+        explode(sequence(lit(0L), greatest(length(col(textCol)).cast("long") - 1L, lit(0L)),
+          lit(stride.toLong))))
+      .select(keep :+ col("off") :+
+        col(textCol).substr((col("off") + 1L).cast("int"), lit(size)).as("chunk"): _*)
+  }
+}

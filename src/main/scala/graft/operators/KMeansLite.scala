@@ -1,0 +1,55 @@
+package graft.operators
+
+/** Deterministic driver-side Lloyd's k-means shared by the quantizer
+  * trainers ([[SimilarityIvf]] coarse cells, [[SimilarityPq]] sub-
+  * quantizers). The FAISS-style recipe: quantizers train on a bounded
+  * sample (thousands of points, not the corpus) and the model is
+  * kilobytes, so per-iteration Spark jobs would cost more in scheduling
+  * than the whole training. Init: seeded-random first centroid +
+  * farthest-point for the rest (k-means++-lite, fully deterministic).
+  */
+object KMeansLite {
+
+  def dist2(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val x = a(i).toDouble - b(i).toDouble; d += x * x; i += 1 }
+    d
+  }
+
+  def nearest(p: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < cs.length) { val d = dist2(p, cs(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+    best
+  }
+
+  /** `iters` Lloyd rounds over `sample`, at most `k` centroids (fewer
+    * when the sample is smaller). Empty cells keep their centroid. */
+  def lloyd(sample: Array[Array[Float]], k: Int, iters: Int, seed: Long): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids = Array(sample(rnd.nextInt(sample.length)).clone())
+    while (centroids.length < math.min(k, sample.length)) {
+      val far = sample.maxBy(p => centroids.map(c => dist2(p, c)).min)
+      centroids :+= far.clone()
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { p =>
+        val cell = nearest(p, centroids)
+        counts(cell) += 1
+        var i = 0
+        while (i < dim) { sums(cell)(i) += p(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus mixing (SURVEY §2.10 EXT) — composing a multi-source
+  * corpus into one training stream with controlled proportions and a
+  * reproducible global order. Both operators are deterministic by
+  * construction (content-addressed hashes, no RNG state), so a 100 TB
+  * mixing run can be resumed, sharded, or re-verified without drift —
+  * the same posture as [[Sampling]].
+  */
+object Mixing {
+
+  /** Temperature-flattened source mixing (the multilingual-corpus
+    * recipe: sample source s with probability ∝ n_s^T, T<1 upweighting
+    * rare sources so the head doesn't drown the tail). Emits ~`targetRows`
+    * rows with per-source keep rates
+    *
+    *   rate_s = min(1, targetRows · w_s / (n_s · Σ_t w_t)),  w_s = n_s^T
+    *
+    * applied through the deterministic md5 gate of [[Sampling.hashGate]].
+    *
+    * Fully distributed: source counts partial-aggregate map-side (the
+    * source dimension is small by definition), the (source → rate) table
+    * BROADCASTS back onto the fact side, and the gate filters inside the
+    * scan stage — the corpus itself never shuffles.
+    *
+    * Cross-engine replay: weights are floored to integer micro-units
+    * (`floor(n^T · 10⁶)`) so the normalizing sum is EXACT integer
+    * arithmetic — a float Σ would depend on engine summation order. At
+    * T = 0.5 the weight itself is also bit-exact everywhere (IEEE sqrt
+    * is correctly rounded; pow is not), which is why the oracle-checked
+    * query pins T = 0.5.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: Column, key: Column,
+      targetRows: Long, temperature: Double = 0.5, salt: String = ""): DataFrame = {
+    require(targetRows >= 0, s"targetRows must be >= 0 (got $targetRows)")
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature must be in (0, 1] (got $temperature)")
+    Seq("_mix_source", "_mix_rate").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — it would collide with the rate join"))
+    val w = if (temperature == 0.5) sqrt(col("_n")) else pow(col("_n"), temperature)
+    val counts = df.groupBy(sourceCol.as("_mix_source"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_w", floor(w * lit(1000000.0)).cast("long"))
+    val total = counts.agg(sum("_w").as("_w_total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col("_mix_source"),
+        least(lit(1.0), (lit(targetRows.toDouble) * col("_w")) /
+          (col("_n") * col("_w_total")).cast("double")).as("_mix_rate"))
+    df.join(broadcast(rates), sourceCol === col("_mix_source"), "inner")
+      .filter(Sampling.hashGate(key, salt) <
+        floor(col("_mix_rate") * lit(4294967296.0)).cast("long"))
+      .drop("_mix_source", "_mix_rate")
+  }
+
+  /** Reproducible global shuffle — the training-order pass: every epoch
+    * reads examples in a pseudo-random order that is a pure function of
+    * (key, salt), so two runs (or a resumed run) see the identical
+    * sequence; a new epoch is just a new salt. Built on the scale-safe
+    * dense sequence ([[DenseSequence]]: range-partitioned sort +
+    * per-partition offsets) — NOT a partitionless `row_number()` window,
+    * which would single-task the corpus. Ties (md5 collisions) break on
+    * the key itself, keeping the order total.
+    */
+  def deterministicShuffle(df: DataFrame, key: Column, salt: String = "",
+      seqCol: String = "pos"): DataFrame =
+    DenseSequence.withSeq(df,
+      Seq(md5(concat_ws("", key.cast("string"), lit(salt))), key), seqCol)
+}

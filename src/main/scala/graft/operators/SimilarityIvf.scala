@@ -38,52 +38,18 @@ object SimilarityIvf {
     * embeddings and null elements are excluded (they would NPE the
     * driver-side collect). */
   def trainCentroids(emb: DataFrame, nlist: Int, sampleSize: Int = 10000,
-      iters: Int = 10, seed: Long = 42L): Array[Array[Float]] = {
+      iters: Int = 10, seed: Long = 42L): Array[Array[Float]] =
+    KMeansLite.lloyd(trainingSample(emb, sampleSize), nlist, iters, seed)
+
+  /** Bounded hash-ordered training draw (shared with [[SimilarityPq]]). */
+  private[operators] def trainingSample(emb: DataFrame,
+      sampleSize: Int): Array[Array[Float]] = {
     import org.apache.spark.sql.functions.{col, exists, xxhash64}
-    val sample = emb.select("embedding")
+    emb.select("embedding")
       .filter(col("embedding").isNotNull && !exists(col("embedding"), _.isNull))
       .orderBy(xxhash64(col("embedding")))
       .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "empty training sample")
-    val dim = sample.head.length
-    val rnd = new scala.util.Random(seed)
-    // k-means++-lite init: first centroid random, rest = farthest-point
-    var centroids = Array(sample(rnd.nextInt(sample.length)).clone())
-    while (centroids.length < math.min(nlist, sample.length)) {
-      val far = sample.maxBy(p => centroids.map(c => dist2(p, c)).min)
-      centroids :+= far.clone()
-    }
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Int](centroids.length)
-      sample.foreach { p =>
-        val cell = nearest(p, centroids)
-        counts(cell) += 1
-        var i = 0
-        while (i < dim) { sums(cell)(i) += p(i); i += 1 }
-      }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(x => (x / counts(c)).toFloat)
-      }.toArray
-      it += 1
-    }
-    centroids
-  }
-
-  private def dist2(a: Array[Float], b: Array[Float]): Double = {
-    var d = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { val x = a(i).toDouble - b(i).toDouble; d += x * x; i += 1 }
-    d
-  }
-
-  private def nearest(p: Array[Float], cs: Array[Array[Float]]): Int = {
-    var best = 0; var bd = Double.MaxValue; var c = 0
-    while (c < cs.length) { val d = dist2(p, cs(c)); if (d < bd) { bd = d; best = c }; c += 1 }
-    best
   }
 
   /** Corpus rows with their coarse cell (map-only, codegen'd). */

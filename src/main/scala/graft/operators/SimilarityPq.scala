@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.{Bridge, L2NormalizeExpr, PqAdcExpr, PqEncodeExpr, PqLutExpr}
+
+/** L3 scale path #3 — product quantization (PQ, the FAISS IVFADC
+  * family's memory half): each unit-normalized vector is cut into `m`
+  * subvectors and each subvector quantized against its own `k`-centroid
+  * codebook, so a dim-float embedding (dim·4 bytes) stores as m small
+  * codes (m bytes at k ≤ 256) — 16× compression at dim=64, m=16. That is
+  * THE answer to "100 TB of embeddings don't fit": the coded corpus is
+  * TB→tens-of-GB and scans stay in memory/page cache. Recall at fixed
+  * memory rises with m·log₂k; the defaults (m=16, k=64) measure 0.6
+  * recall@10 on the synthetic near-RANDOM testdata embeddings —
+  * quantization's worst case, clustered real embeddings quantize far
+  * tighter — and 0.92 at m=32, k=128 (tools.PqProbe sweeps the grid).
+  *
+  * Query time is asymmetric distance computation (ADC): one m·k lookup
+  * table of exact query-to-centroid sub-distances per query (computed
+  * once, kilobytes), then every candidate scores with m table reads —
+  * no float math per candidate, no vector reconstruction. On unit
+  * vectors squared-L2 = 2 − 2·cos, so ascending ADC order ≈ descending
+  * cosine order and recall is measured against the exact brute-force
+  * top-k (PqSpec pins the bound; the ADC identity is tested exactly).
+  *
+  * Plan shape at scale: codebooks train driver-side on a bounded
+  * hash-ordered sample (KMeansLite — kilobyte model), encoding is a
+  * map-only codegen'd pass over the corpus (one-time, usually written
+  * next to the raw vectors), queries broadcast with their LUTs, and the
+  * scoring scan reads ONLY the code column — embeddings never move. The
+  * natural composition with the IVF path is FAISS's IVFADC: probe cells
+  * first (SimilarityIvf), ADC-score within them (this file).
+  */
+object SimilarityPq {
+
+  /** Train `m` subquantizers of `k` centroids each on a bounded sample
+    * of unit-normalized vectors. Subspace i covers dims
+    * [dim·i/m, dim·(i+1)/m) — evenly spread, never empty. */
+  def trainCodebooks(emb: DataFrame, m: Int, k: Int, sampleSize: Int = 10000,
+      iters: Int = 10, seed: Long = 42L): Array[Array[Array[Float]]] = {
+    require(m > 0, s"m must be > 0 (got $m)")
+    require(k > 1, s"k must be > 1 (got $k)")
+    val sample = SimilarityIvf.trainingSample(emb, sampleSize).map(unitNorm)
+    val dim = sample.head.length
+    require(m <= dim, s"m=$m subquantizers need at least m dims (got $dim)")
+    (0 until m).map { i =>
+      val lo = dim * i / m
+      val hi = dim * (i + 1) / m
+      KMeansLite.lloyd(sample.map(_.slice(lo, hi)), k, iters, seed + i)
+    }.toArray
+  }
+
+  private def unitNorm(v: Array[Float]): Array[Float] = {
+    var n2 = 0.0; var i = 0
+    while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+    if (n2 == 0.0) v
+    else { val inv = 1.0 / math.sqrt(n2); v.map(x => (x * inv).toFloat) }
+  }
+
+  /** Column forms of the codegen'd expressions. */
+  def l2Normalize(v: Column): Column =
+    Bridge.column(L2NormalizeExpr(Bridge.expression(v)))
+  def pqEncode(v: Column, cbs: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqEncodeExpr(Bridge.expression(v), cbs))
+  def pqLut(v: Column, cbs: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqLutExpr(Bridge.expression(v), cbs))
+  def pqAdc(lut: Column, codes: Column): Column =
+    Bridge.column(PqAdcExpr(Bridge.expression(lut), Bridge.expression(codes)))
+
+  /** The one-time encode pass: normalize + code assignment, map-only. */
+  def encode(emb: DataFrame, cbs: Array[Array[Array[Float]]],
+      vecCol: String = "embedding", codeCol: String = "codes"): DataFrame =
+    emb.withColumn(codeCol, pqEncode(l2Normalize(col(vecCol)), cbs))
+
+  /** Approximate cosine top-k via ADC over the coded corpus. Determinism:
+    * ADC distance is a fixed-order float sum — rounded for display, with
+    * the candidate id breaking ties. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      m: Int = 16, kCode: Int = 64, seed: Long = 42L): DataFrame = {
+    val cbs = trainCodebooks(candidates, m, kCode, seed = seed)
+    val coded = encode(candidates, cbs)
+      .select(col("vec_id").as("cid"), col("codes"))
+    val q = queries
+      .select(col("vec_id").as("qid"), pqLut(l2Normalize(col("embedding")), cbs).as("lut"))
+    val scored = coded.join(broadcast(q))
+      .select(col("qid"), col("cid"), round(pqAdc(col("lut"), col("codes")), 4).as("adc_dist"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("adc_dist"), col("rn").cast("long").as("rnk"))
+  }
+}

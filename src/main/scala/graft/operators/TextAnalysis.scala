@@ -102,6 +102,31 @@ object TextAnalysis {
       regexp_replace(emailScrubbed, digits, "<NUM>").as("scrubbed"))
   }
 
+  /** L4h — inverted-index postings: term → document frequency + the
+    * sorted posting list (the retrieval-side artifact of a corpus:
+    * search, contamination lookup, and hard-negative mining all read
+    * postings, not documents). One (term)-keyed groupBy that partial-
+    * aggregates map-side; per-doc tokens are deduplicated BEFORE the
+    * shuffle (array_distinct inside the scan), so at most one row per
+    * distinct (doc, term) moves. `minDf` drops the hapax tail (the
+    * vocabulary's long tail dominates row count, not value — the
+    * classic posting-list size bound); the list is rendered as a sorted
+    * CSV string, the engine-portable array form.
+    *
+    * At 100 TB the posting list of a stopword-grade term outgrows one
+    * row — the production layout shards postings by `pmod(doc_id, P)`
+    * into P rows per hot term (same groupBy, composite key) and
+    * readers concat; the single-row form here keeps the oracle exact. */
+  def postings(docs: DataFrame, minDf: Long = 2L): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(sort_array(collect_set(col("doc_id"))),
+            d => d.cast("string"))).as("posting_csv"))
+      .filter(col("df") >= minDf)
+
   /** Top-`k` TF-IDF terms per doc. Two aggregations and a join, all on
     * the token key: (doc, tok) term counts; doc frequency per token; a
     * broadcast-able df table joined back; per-doc top-k by score.

@@ -58,7 +58,18 @@ object ExplainDump {
       + "hit-count) partial aggregates (the repartitions visible below are "
       + "Tables.documents' local[32] single-row-group spread, dropped at "
       + "fleet scale). Tokens materialize before the n-gram HOF and grams "
-      + "hash post-explode — both codegen'd, nothing interpreted per element."))
+      + "hash post-explode — both codegen'd, nothing interpreted per element."),
+    "l3e_pq_ann" -> ("Product-quantization ANN: the corpus side carries only "
+      + "vec_id + the m-code array (the 16×-compressed representation — at "
+      + "fleet scale this column is persisted and the raw embedding column "
+      + "is never read); queries BROADCAST with their per-query lookup "
+      + "tables and every candidate scores with m table reads inside "
+      + "whole-stage codegen. The only exchange is the per-query top-k "
+      + "window's hashpartitioning(qid)."),
+    "mix_temperature" -> ("Temperature-flattened source mixing: per-source "
+      + "counts partial-aggregate map-side and the derived (source → rate) "
+      + "table BROADCASTS back onto the fact scan, where the md5 gate "
+      + "filters map-side — the corpus never shuffles to be sampled."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

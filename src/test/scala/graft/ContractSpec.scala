@@ -21,6 +21,7 @@ class ContractSpec extends SparkTestBase {
       "l2e_simhash_pairs",    // simhash banding
       "l3b_ann_lsh",          // approximate NN
       "l3c_ann_ivf",          // approximate NN
+      "l3e_pq_ann",           // approximate NN (product quantization)
       "mm_media_features")    // stubbed codec
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +

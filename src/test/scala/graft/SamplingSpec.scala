@@ -80,6 +80,57 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Sampling.hashSample(pop, col("id"), 1.5))
   }
 
+  test("temperature mix: T=1 reproduces proportional rates; T=0.5 flattens") {
+    // skewed population: 3200 'big', 400 'mid', 400 'tiny'
+    val skew = ((0L until 3200L).map(i => (i, "big")) ++
+      (3200L until 3600L).map(i => (i, "mid")) ++
+      (3600L until 4000L).map(i => (i, "tiny"))).toDF("id", "src")
+    val prop = graft.operators.Mixing
+      .temperatureMix(skew, col("src"), col("id"), targetRows = 1000L,
+        temperature = 1.0, salt = "t1")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T=1 → every source keeps the same rate (1000/4000 = 0.25)
+    assert(math.abs(prop("big") - 800) < 110, prop.toString)
+    assert(math.abs(prop("mid") - 100) < 50, prop.toString)
+    val flat = graft.operators.Mixing
+      .temperatureMix(skew, col("src"), col("id"), targetRows = 1000L,
+        temperature = 0.5, salt = "t1")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T=0.5: w_big = √3200 vs w_mid = √400 → big:mid rate ratio is
+    // (√3200/3200)/(√400/400) = √(400/3200) ≈ 0.354 — the tail rises
+    val bigShare = flat("big").toDouble / (flat("big") + flat("mid") + flat("tiny"))
+    assert(bigShare < 0.65, s"T=0.5 should flatten the head: $flat")
+    assert(flat("mid") > prop("mid") && flat("tiny") > prop("tiny"),
+      s"tail sources must gain under T<1: $flat vs $prop")
+    // expected totals stay ~targetRows under both temperatures
+    assert(math.abs(flat.values.sum - 1000L) < 150, flat.toString)
+  }
+
+  test("temperature mix is deterministic and rejects bad parameters") {
+    val a = graft.operators.Mixing.temperatureMix(pop, col("lang"), col("id"),
+      500L, 0.5, "s").select("id").collect().map(_.getLong(0)).toSet
+    val b = graft.operators.Mixing.temperatureMix(pop, col("lang"), col("id"),
+      500L, 0.5, "s").select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException](graft.operators.Mixing
+      .temperatureMix(pop, col("lang"), col("id"), -1L))
+    intercept[IllegalArgumentException](graft.operators.Mixing
+      .temperatureMix(pop, col("lang"), col("id"), 10L, temperature = 0.0))
+  }
+
+  test("deterministic shuffle: a total order, stable across runs, salt-varied") {
+    val a = graft.operators.Mixing.deterministicShuffle(pop, col("id"), "e0")
+      .orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
+    val b = graft.operators.Mixing.deterministicShuffle(pop, col("id"), "e0")
+      .orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same salt must give the same order")
+    assert(a.toSet.size == 4000, "a permutation, nothing lost")
+    val c = graft.operators.Mixing.deterministicShuffle(pop, col("id"), "e1")
+      .orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
+    assert(a != c, "a new salt is a new epoch order")
+    assert(a != (0L until 4000L).toSeq, "order must actually be shuffled")
+  }
+
   test("null keys are a deterministic group, not silently dropped") {
     val withNulls = Seq((Some(1L), "a"), (None, "b"), (None, "c"), (Some(2L), "d"))
       .toDF("k", "v")

@@ -244,6 +244,45 @@ class TextFunctionsSpec extends SparkTestBase {
       (4L, 1L, 0L, "id <EMAIL> now")))
   }
 
+  test("normalizeText: case, accents, control chars, whitespace runs") {
+    val cases = Seq(
+      "  Hello   WORLD  " -> "hello world",
+      "Él Ñiño çà" -> "el nino ca",
+      "a\t\tb\r\nc" -> "a b c",
+      "x\u0000y\u001fz" -> "x y z",
+      "" -> "",
+      "   \t  " -> "")
+    cases.foreach { case (in, want) =>
+      val got = Seq(Tuple1(in)).toDF("t")
+        .select(normalizeText(col("t"))).collect()(0).getString(0)
+      assert(got == want, s"normalizeText(${in.replace("\u0000", "<NUL>")})")
+    }
+  }
+
+  test("charChunks: offsets, overlap, tail chunk, short doc") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.operators.Chunking.charChunks(docs, "text", size = 4, stride = 3)
+      .orderBy("doc_id", "off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 0L, "abcd"), (1L, 3L, "defg"), (1L, 6L, "ghij"), (1L, 9L, "j"),
+      (2L, 0L, "xy"),
+      (3L, 0L, "")))
+    intercept[IllegalArgumentException](
+      graft.operators.Chunking.charChunks(docs, "text", size = 0, stride = 3))
+  }
+
+  test("postings: sorted lists, df bound, per-doc dedup before the count") {
+    val docs = Seq(
+      (3L, "b a b b"),   // 'b' repeats within the doc — df counts docs, not hits
+      (1L, "a c"),
+      (2L, "a b")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.postings(docs, minDf = 2L)
+      .orderBy("tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(("a", 3L, "1,2,3"), ("b", 2L, "2,3")))
+  }
+
   test("langGuess picks the stopword-dominant language") {
     val cases = Seq(
       "the cat sat on the mat and it is that" -> "en",
