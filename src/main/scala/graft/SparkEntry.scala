@@ -632,6 +632,17 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // L3: IVFADC — IVF cells prune, ADC scores the m-byte codes of the
+    // survivors (the FAISS-shaped composition of l3c + l3e; the layout
+    // that makes 100 TB of embeddings searchable). Approximate →
+    // rows-only + PqSpec recall bound.
+    "l3f_ivfadc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.SimilarityPq.ivfAdcTopK(e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") >= 5), k = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- L4: token statistics ----
     "l4_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d))
@@ -699,6 +710,18 @@ object SparkEntry {
     // ---- L5: multimodal binary plumbing (stub codec → rows-only) ----
     "mm_media_features" -> ((s, d) =>
       Multimodal.mediaFeatures(s, Tables.documents(s, d))),
+
+    // ---- L5c: time-based frame-sampling schedule (uniform stride,
+    //      per-asset frame budget — the decoder's work list; pure
+    //      integer column arithmetic, so it IS oracle-checkable even
+    //      though the decode behind it is a stub) ----
+    "mm_frame_schedule" -> ((s, d) =>
+      graft.operators.Multimodal.frameSchedule(
+          Tables.documents(s, d)
+            .select(col("doc_id"), (col("n_chars") * 100L).as("duration_ms")),
+          "doc_id", "duration_ms", strideMs = 2000L, maxFrames = 8)
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("ts_ms"))
+        .orderBy("doc_id", "frame_idx")),
 
     // ---- A8: exact percentiles (interpolated) per group. Weights are
     //      powers of two over INTEGER-VALUED quantities, so every
@@ -1760,6 +1783,15 @@ object SparkEntry {
          |WHERE n_tokens >= 50 AND punct_ratio <= 0.10
          |  AND ${SampGate("'cur'")} < ${SampThr(0.5)}
          |ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_schedule" ->
+      """SELECT doc_id, n_frames, frame_idx, frame_idx * 2000 AS ts_ms FROM (
+        |  SELECT doc_id, n_frames,
+        |    unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM (
+        |    SELECT doc_id, least((n_chars * 100 + 1999) // 2000, 8) AS n_frames
+        |    FROM documents)
+        |  WHERE n_frames > 0)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "training_manifest" ->
       s"""WITH norm AS (

@@ -83,6 +83,30 @@ object Multimodal {
       })
   }
 
+  /** Time-based frame-sampling SCHEDULE — the planning half of video
+    * curation, split from the decode: given per-asset duration, emit
+    * the (frame_idx, ts_ms) sample points at `strideMs` spacing capped
+    * at `maxFrames` per asset (uniform sampling with a budget — the
+    * standard video-training recipe). Pure integer column arithmetic
+    * (ceil-division via (d + s − 1) DIV s), map-only, codegen'd — so
+    * the schedule for 100 TB of video plans at scan speed and only the
+    * scheduled frames are ever handed to the (expensive) decoder,
+    * which consumes this as its work list. Non-positive durations
+    * yield no rows. */
+  def frameSchedule(assets: DataFrame, idCol: String, durationMsCol: String,
+      strideMs: Long, maxFrames: Int): DataFrame = {
+    require(strideMs > 0, s"strideMs must be > 0 (got $strideMs)")
+    require(maxFrames > 0, s"maxFrames must be > 0 (got $maxFrames)")
+    assets
+      .withColumn("n_frames",
+        least(expr(s"($durationMsCol + ${strideMs - 1}L) DIV ${strideMs}L"),
+          lit(maxFrames.toLong)))
+      .filter(col("n_frames") > 0)
+      .select(col(idCol), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L)).as("frame_idx"))
+      .withColumn("ts_ms", col("frame_idx") * lit(strideMs))
+  }
+
   /** Frame-sample stub for video payloads: every `stride`-th fixed-size
     * chunk of the payload stands in for a decoded frame. One input row
     * fans out to ≤ maxFrames slim rows — the explode happens AFTER the

@@ -75,6 +75,57 @@ object SimilarityPq {
       vecCol: String = "embedding", codeCol: String = "codes"): DataFrame =
     emb.withColumn(codeCol, pqEncode(l2Normalize(col(vecCol)), cbs))
 
+  /** IVFADC — the full FAISS-shaped composition: the IVF coarse
+    * quantizer ([[SimilarityIvf]]) prunes the corpus to `nprobe` of
+    * `nlist` cells per query, and ADC scores ONLY the survivors on
+    * their m-code representation. At fleet scale this is the layout
+    * that makes 100 TB of embeddings searchable: the corpus is written
+    * once partitioned by cell with the code column beside it; a query
+    * batch broadcasts (cell, lut) probe rows onto the cell-pruned scan,
+    * so per query the work is nprobe/nlist of the corpus × m table
+    * reads, and raw vectors are never touched. Everything (cells,
+    * codebooks, codes, probes) lives on UNIT-normalized vectors, so
+    * the L2 geometry is cosine geometry throughout. Non-residual
+    * variant: codes quantize the vector itself, not the cell residual
+    * — one shared codebook set, no per-cell training. */
+  def ivfAdcTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 16, kCode: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val nCand = candidates.select(col("vec_id"),
+      l2Normalize(col("embedding")).as("embedding"))
+    val centroids = SimilarityIvf.trainCentroids(nCand, nlist, seed = seed)
+    // codebooks train on the RAW candidates (trainCodebooks normalizes
+    // its sample itself) so the codes — and therefore the ranking —
+    // are IDENTICAL to pqTopK's: with nprobe == nlist this operator
+    // reduces to plain PQ exactly (PqSpec pins that reduction)
+    val cbs = trainCodebooks(candidates, m, kCode, seed = seed)
+    val coded = SimilarityIvf.assignCells(nCand, centroids)
+      .select(col("vec_id").as("cid"), col("cell"),
+        pqEncode(col("embedding"), cbs).as("codes"))
+    val centroidDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "center")
+    val nq = queries.select(col("vec_id").as("qid"),
+      l2Normalize(col("embedding")).as("qv"))
+    val probes = nq.crossJoin(broadcast(centroidDf))
+      .withColumn("_dist",
+        graft.functions.expressions.VectorExpressions.dotProduct(col("qv"), col("qv")) -
+          lit(2.0) * graft.functions.expressions.VectorExpressions.dotProduct(col("qv"), col("center")) +
+          graft.functions.expressions.VectorExpressions.dotProduct(col("center"), col("center")))
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_dist"), col("cell"))))
+      .filter(col("_rank") <= nprobe)
+      .select(col("qid"), col("cell"), pqLut(col("qv"), cbs).as("lut"))
+    val scored = coded.join(broadcast(probes), "cell")
+      .select(col("qid"), col("cid"),
+        round(pqAdc(col("lut"), col("codes")), 4).as("adc_dist"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("adc_dist"), col("rn").cast("long").as("rnk"))
+  }
+
   /** Approximate cosine top-k via ADC over the coded corpus. Determinism:
     * ADC distance is a fixed-order float sum — rounded for display, with
     * the candidate id breaking ties. */

@@ -22,6 +22,7 @@ class ContractSpec extends SparkTestBase {
       "l3b_ann_lsh",          // approximate NN
       "l3c_ann_ivf",          // approximate NN
       "l3e_pq_ann",           // approximate NN (product quantization)
+      "l3f_ivfadc",           // approximate NN (IVF pruning + ADC scoring)
       "mm_media_features")    // stubbed codec
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +

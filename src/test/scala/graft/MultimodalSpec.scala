@@ -42,6 +42,27 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("frame schedule: ceil-division frame counts, cap, stride, empty assets") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, 4500L),   // ceil(4500/2000) = 3 frames
+      (2L, 2000L),   // exactly one stride → 1 frame
+      (3L, 50000L),  // ceil = 25 → capped at 4
+      (4L, 0L),      // empty asset → no rows
+      (5L, -10L))    // negative duration → no rows
+      .toDF("asset_id", "duration_ms")
+    val got = graft.operators.Multimodal
+      .frameSchedule(assets, "asset_id", "duration_ms", strideMs = 2000L, maxFrames = 4)
+      .orderBy("asset_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0L, 0L), (1L, 3L, 1L, 2000L), (1L, 3L, 2L, 4000L),
+      (2L, 1L, 0L, 0L),
+      (3L, 4L, 0L, 0L), (3L, 4L, 1L, 2000L), (3L, 4L, 2L, 4000L), (3L, 4L, 3L, 6000L)))
+    intercept[IllegalArgumentException](graft.operators.Multimodal
+      .frameSchedule(assets, "asset_id", "duration_ms", 0L, 4))
+  }
+
   test("frame sampling: video-only fan-out, bounded frames, slim rows") {
     val fs = Multimodal.sampleFrames(spark, Multimodal.asMediaTable(docs),
       frameBytes = 16, stride = 2, maxFrames = 4).collect()

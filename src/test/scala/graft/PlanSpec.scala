@@ -62,7 +62,7 @@ class PlanSpec extends SparkTestBase {
     // anywhere else a BNL means an equi key was lost — the plan shape
     // that cannot scale. One planning pass per query covers both sweeps.
     val deliberateBnl = Set("l2f_embedding_neardup", "l3_cosine_topk",
-      "l3b_ann_lsh", "l3c_ann_ivf", "l3e_pq_ann",
+      "l3b_ann_lsh", "l3c_ann_ivf", "l3e_pq_ann", "l3f_ivfadc",
       "l2b_minhash_pairs", "l2e_simhash_pairs",
       // a broadcast of ONE row (the corpus count) attached to every
       // partition — the scalar-join idiom, O(n) work, not a pair blowup

@@ -114,6 +114,25 @@ class PqSpec extends SparkTestBase {
     assert(fineRecall >= recall - 0.1, "finer quantization must not lose recall")
   }
 
+  test("IVFADC: cell pruning costs bounded recall vs plain PQ; full probe == PQ order") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val cands = emb.filter(col("vec_id") >= 10)
+    val k = 10
+    val brute = Similarity.bruteForceTopK(queries, cands, k)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfadc = SimilarityPq.ivfAdcTopK(queries, cands, k, nlist = 16, nprobe = 8)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivfadc).size.toDouble / brute.size
+    assert(recall >= 0.35, s"IVFADC recall $recall too low")
+    // probing EVERY cell removes the pruning loss entirely: the result
+    // must equal plain PQ over the whole corpus (same codebooks/seed)
+    val full = SimilarityPq.ivfAdcTopK(queries, cands, k, nlist = 16, nprobe = 16)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityPq.pqTopK(queries, cands, k)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == pq, "nprobe == nlist must reduce IVFADC to plain PQ")
+  }
+
   test("compression contract: m codes per vector, every code < k") {
     val m = 8; val k = 16
     val cbs = SimilarityPq.trainCodebooks(emb, m, k)
