@@ -78,8 +78,8 @@ object Bench {
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    def line(fmtQ: Double => String): String = {
-      val qs = ok.toSeq.sortBy(_._1)
+    def line(fmtQ: Double => String, keep: Double => Boolean): String = {
+      val qs = ok.toSeq.filter(kv => keep(kv._2)).sortBy(_._1)
         .map { case (k, v) => jq(k) + ":" + fmtQ(v) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$failedJson,"sf":${jq(sfName)}}"""
     }
@@ -88,13 +88,19 @@ object Bench {
     // mid-JSON and the whole round's bench fails to parse. Degrade
     // gracefully: full 1-decimal timings; then integer timings for the
     // >=10s outliers only (steal-noise width, where the decimal carries
-    // no signal anyway); then integers everywhere.
-    val out = Iterator[Double => String](
-        v => fmt(v, 1),
-        v => if (v >= 10) fmt(v, 0) else fmt(v, 1),
-        v => fmt(v, 0))
-      .map(line).find(_.length <= 1922)
-      .getOrElse(line(v => fmt(v, 0)))
+    // no signal anyway); then integers everywhere; then drop the
+    // sub-0.5s entries (they'd print as 0 — a query absent from an
+    // integer-precision map is one that rounded to zero); last resort,
+    // totals only (an empty map still parses).
+    val all = (_: Double) => true
+    val out = Iterator[(Double => String, Double => Boolean)](
+        (v => fmt(v, 1), all),
+        (v => if (v >= 10) fmt(v, 0) else fmt(v, 1), all),
+        (v => fmt(v, 0), all),
+        (v => fmt(v, 0), v => v >= 0.5),
+        (v => fmt(v, 0), _ => false))
+      .map { case (f, keep) => line(f, keep) }.find(_.length <= 1922)
+      .getOrElse(line(v => fmt(v, 0), _ => false))
     println(out)
     spark.stop()
   }

@@ -121,5 +121,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.catalyst.expressions.{RegExpExtractAll, Size}
         Size(RegExpExtractAll(args(0),
           Literal(graft.functions.TextFunctions.BpePattern), Literal(0))) }))
+    ext.injectFunction((FunctionIdentifier("graft_normalize_text"),
+      info("graft_normalize_text", "graft_normalize_text(text)"),
+      (args: Seq[Expression]) => { checkArity("graft_normalize_text", args, 1)
+        import org.apache.spark.sql.catalyst.expressions.{Lower, RegExpReplace, StringTranslate, StringTrim}
+        import graft.functions.TextFunctions.{AccentFolded, AccentedChars}
+        StringTrim(RegExpReplace(
+          RegExpReplace(
+            StringTranslate(Lower(args(0)),
+              Literal(AccentedChars), Literal(AccentFolded)),
+            Literal("[\\x00-\\x1F\\x7F]"), Literal(" "), Literal(1)),
+          Literal(" +"), Literal(" "), Literal(1))) }))
   }
 }

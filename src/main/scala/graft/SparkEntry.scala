@@ -537,6 +537,21 @@ object SparkEntry {
           concat_ws(",", col("ssids")).as("ssids_csv"))
         .orderBy("mac")),
 
+    // ---- domain: triangle counts over the co-order graph (parts that
+    //      ship together in ≥2 orders; the clustering signal — same
+    //      shape as co-probe households on the MAC graph). Ordered
+    //      orientation (pa < pb) counts each triangle once and bounds
+    //      wedge fan-out under skew ----
+    "net_tree_triangles" -> ((s, d) => {
+      val items = li(s, d).select(col("l_orderkey").as("ord"), col("l_partkey").as("pk"))
+      val e = items.as("a").join(items.as("b"),
+          col("a.ord") === col("b.ord") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      graft.operators.NetworkTree.triangleCounts(e, "pa", "pb")
+        .orderBy("v")
+    }),
+
     // ---- L1: exact dedup ----
     "l1_exact_dedup" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d)).orderBy("fp")),
@@ -1363,6 +1378,22 @@ object SparkEntry {
     "net_tree_edges" ->
       """SELECT user_id AS mac, event_type AS ssid, count(*) AS weight
         |FROM events GROUP BY mac, ssid ORDER BY mac, ssid""".stripMargin,
+
+    "net_tree_triangles" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |SELECT v, count(*) AS n_triangles FROM (
+        |  SELECT a AS v FROM tri UNION ALL
+        |  SELECT b FROM tri UNION ALL
+        |  SELECT c FROM tri)
+        |GROUP BY v ORDER BY v""".stripMargin,
 
     "net_tree_adjacency" ->
       """WITH e AS (SELECT user_id AS mac, event_type AS ssid, count(*) AS weight

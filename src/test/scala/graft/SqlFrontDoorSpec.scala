@@ -72,6 +72,19 @@ class SqlFrontDoorSpec extends SparkTestBase {
       viaDsl.getInt(1) == r.getAs[Int]("n"))
   }
 
+  test("graft_normalize_text resolves from SQL and equals the Column API") {
+    val s = sqlSpark
+    import s.implicits._
+    Seq(("  ÉL Ñiño \t cà và  x  ")).toDF("txt")
+      .createOrReplaceTempView("tn")
+    val r = s.sql("SELECT graft_normalize_text(txt) AS n FROM tn").collect()(0)
+    assert(r.getAs[String]("n") == "el nino ca va x")
+    val dsl = s.table("tn")
+      .select(graft.functions.TextFunctions.normalizeText($"txt"))
+      .collect()(0).getString(0)
+    assert(dsl == r.getAs[String]("n"))
+  }
+
   test("string-free shingle family and byte access resolve from SQL") {
     val s = sqlSpark
     import s.implicits._

@@ -86,6 +86,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("normalize + chunking stream unchanged (batch backfill ≡ live curation)") {
+    // the round-5 curation stages are map-only too: the identical
+    // normalize → chunk plan incrementalizes under Structured Streaming
+    val in = MemoryStream[(Long, String)]
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Chunking.charChunks(
+        df.select(org.apache.spark.sql.functions.col("doc_id"),
+          graft.functions.TextFunctions.normalizeText(
+            org.apache.spark.sql.functions.col("text")).as("text")),
+        "text", size = 10, stride = 7)
+    val docs = in.toDF().selectExpr("_1 as doc_id", "_2 as text")
+    val q = stage(docs)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val data = Seq(
+        (1L, "  Hello   WORLD and   MORE text  "),
+        (2L, "Él Ñiño"))
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_out")
+        .orderBy("doc_id", "off").collect().map(_.toSeq).toSeq
+      val batch = stage(data.toDF("doc_id", "text"))
+        .orderBy("doc_id", "off").collect().map(_.toSeq).toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed.last == Seq(2L, 0L, "el nino"))
+    } finally q.stop()
+  }
+
   test("S1 production source: frames over a real TCP socket parse end-to-end") {
     val server = new java.net.ServerSocket(0)
     val payload = java.util.Base64.getEncoder.encodeToString(probeFrame(0x33))
