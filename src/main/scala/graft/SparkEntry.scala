@@ -701,6 +701,19 @@ object SparkEntry {
       TextAnalysis.postings(Tables.documents(s, d), minDf = 2L)
         .orderBy("tok")),
 
+    // ---- L4i: vocabulary construction (term → dense frequency-ranked
+    //      id; the tokenizer-prep pass) and corpus id-encoding ----
+    "l4i_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d))
+        .select(col("tok"), col("n"), col("id"))
+        .orderBy("id")),
+
+    "l4i_encode" -> ((s, d) =>
+      TextAnalysis.encodeIds(Tables.documents(s, d))
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("ids"), i => i.cast("string"))).as("ids_csv"))
+        .orderBy("doc_id")),
+
     // ---- text: language-ID heuristic ----
     "lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
@@ -1814,6 +1827,23 @@ object SparkEntry {
          |WHERE n_tokens >= 50 AND punct_ratio <= 0.10
          |  AND ${SampGate("'cur'")} < ${SampThr(0.5)}
          |ORDER BY doc_id""".stripMargin,
+
+    "l4i_vocab" ->
+      s"""WITH t AS (SELECT unnest($ToksSql) AS tok FROM documents),
+         |v AS (SELECT tok, count(*) AS n FROM t GROUP BY tok)
+         |SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS id
+         |FROM v ORDER BY id""".stripMargin,
+
+    "l4i_encode" ->
+      s"""WITH base AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |p AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM base),
+         |toks AS (SELECT doc_id, i, ts[i] AS tok FROM p),
+         |v AS (SELECT tok, count(*) AS n
+         |      FROM (SELECT unnest($ToksSql) AS tok FROM documents) GROUP BY tok),
+         |vid AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS id FROM v)
+         |SELECT doc_id, array_to_string(list(id ORDER BY i), ',') AS ids_csv
+         |FROM toks JOIN vid USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "mm_frame_schedule" ->
       """SELECT doc_id, n_frames, frame_idx, frame_idx * 2000 AS ts_ms FROM (

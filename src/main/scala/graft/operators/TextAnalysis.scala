@@ -127,6 +127,38 @@ object TextAnalysis {
             d => d.cast("string"))).as("posting_csv"))
       .filter(col("df") >= minDf)
 
+  /** L4i — vocabulary construction: the tokenizer-prep pass that turns
+    * a corpus into (term → dense id) with ids assigned by frequency
+    * rank (id 1 = most frequent; ties break lexically — fully
+    * deterministic, so two builds of the same corpus produce the same
+    * vocab). One token-keyed groupBy (map-combined) reduces the corpus
+    * to vocabulary size; the dense ranking then runs through
+    * [[DenseSequence]] — vocabulary-sized input, but the same
+    * no-partitionless-window discipline as every global ordering here
+    * (a web-scale vocab is 10⁷–10⁸ rows: still a single-task window if
+    * done naively). */
+  def vocabulary(docs: DataFrame): DataFrame =
+    DenseSequence.withSeq(
+      docs.select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n")),
+      Seq(col("n").desc, col("tok")), "id")
+
+  /** L4i — id-encode the corpus against [[vocabulary]]: docs become
+    * dense-id sequences (the exact shape a trainer memory-maps).
+    * posexplode keeps token order; the vocab table broadcasts (it is
+    * ≪ corpus by construction); per-doc sequences reassemble with ONE
+    * (doc_id)-keyed aggregate, order restored by the carried position
+    * (array_sort on (pos, id) structs — no second window). */
+  def encodeIds(docs: DataFrame): DataFrame = {
+    val vocab = vocabulary(docs)
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(broadcast(vocab.select(col("tok"), col("id"))), "tok")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("id")))),
+        s => s.getField("id")).as("ids"))
+  }
+
   /** Top-`k` TF-IDF terms per doc. Two aggregations and a join, all on
     * the token key: (doc, tok) term counts; doc frequency per token; a
     * broadcast-able df table joined back; per-doc top-k by score.
