@@ -142,6 +142,41 @@ class PlanSpec extends SparkTestBase {
     assert(merged.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
   }
 
+  test("l5b chunking is map-only: no wide shuffle from the operator") {
+    // the only exchange allowed is Tables.documents' local round-robin
+    // spread (dropped at fleet scale); chunking itself must add no
+    // hash/range partitioning — chunks inherit the scan's layout
+    val p = plan("l5b_chunking")
+    assert(!p.contains("hashpartitioning"), p.take(800))
+    // (the final orderBy is the oracle's total order; its range
+    // exchange sits above the chunker, which is Project+Generate only)
+    assert(p.contains("explode(sequence"), "sequence+explode expected")
+  }
+
+  test("w3b time-range window shares ONE key exchange") {
+    val p = plan("w3b_time_range")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      "both frame aggregates must share one (user_id) exchange")
+    assert(p.contains("RANGE BETWEEN") || p.contains("specifiedwindowframe"),
+      "range frame expected in the window spec")
+  }
+
+  test("l4h postings: per-doc dedup happens scan-side, one term exchange") {
+    val p = plan("l4h_postings")
+    assert(p.contains("array_distinct"), "tokens must dedup before the shuffle")
+    assert("hashpartitioning\\(tok".r.findAllIn(p).size == 1,
+      "exactly one term-keyed exchange")
+    assert(p.contains("partial_count") || p.contains("ObjectHashAggregate"),
+      "map-side partial aggregation expected")
+  }
+
+  test("l4i encode: the vocabulary broadcasts — corpus tokens never sort-merge") {
+    val p = plan("l4i_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "vocab join must broadcast, not shuffle the exploded corpus")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the sketch projection must sit in a codegen'd stage (an expression
     // without doGenCode would force the stage out of codegen entirely)
