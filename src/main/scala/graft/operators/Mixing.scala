@@ -50,7 +50,10 @@ object Mixing {
       .select(col("_mix_source"),
         least(lit(1.0), (lit(targetRows.toDouble) * col("_w")) /
           (col("_n") * col("_w_total")).cast("double")).as("_mix_rate"))
-    df.join(broadcast(rates), sourceCol === col("_mix_source"), "inner")
+    // null-safe equality: a NULL source is a legitimate stratum (it was
+    // counted above); plain === would silently drop those rows at the
+    // join instead of sampling them at their computed rate
+    df.join(broadcast(rates), sourceCol <=> col("_mix_source"), "inner")
       .filter(Sampling.hashGate(key, salt) <
         floor(col("_mix_rate") * lit(4294967296.0)).cast("long"))
       .drop("_mix_source", "_mix_rate")

@@ -118,6 +118,18 @@ class SamplingSpec extends SparkTestBase {
       .temperatureMix(pop, col("lang"), col("id"), 10L, temperature = 0.0))
   }
 
+  test("temperature mix: a NULL stratum is sampled at its rate, not dropped") {
+    val withNull = ((0L until 1000L).map(i => (i, Some("a"))) ++
+      (1000L until 2000L).map(i => (i, Option.empty[String])))
+      .toDF("id", "src")
+    val got = graft.operators.Mixing
+      .temperatureMix(withNull, col("src"), col("id"), targetRows = 1000L,
+        temperature = 1.0, salt = "n")
+    val nullKept = got.filter(col("src").isNull).count()
+    assert(math.abs(nullKept - 500L) < 80,
+      s"null-stratum rows must sample at their rate (~500): $nullKept")
+  }
+
   test("deterministic shuffle: a total order, stable across runs, salt-varied") {
     val a = graft.operators.Mixing.deterministicShuffle(pop, col("id"), "e0")
       .orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
