@@ -23,6 +23,20 @@ object SparkEntry {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
+  /** Synthetic multi-sensor geometry shared by living_area and
+    * geo_cell_census: 50 devices on a 10×10 grid, sensor positions and
+    * exact distances derived from lineitem keys (truth known, so the
+    * trilateration solve is verifiable). */
+  private def sensorGeometry(s: SparkSession, d: String) =
+    li(s, d).select(
+      (col("l_orderkey") % 50).as("mac"),
+      month(col("l_shipdate")).as("bucket"),
+      (col("l_suppkey") % 10).cast("double").as("x"),
+      floor((col("l_suppkey") % 100) / 10).cast("double").as("y"))
+      .withColumn("d", sqrt(
+        pow(col("x") - (col("mac") % 10).cast("double"), 2) +
+        pow(col("y") - ((col("mac") * 7) % 10).cast("double"), 2)))
+
   /** Flagship (TPC-H Q1 shape — scan, pushed filter, partial+final hash
     * agg, sort; SURVEY.md §7.3) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -295,17 +309,20 @@ object SparkEntry {
     }),
 
     // ---- §3.3: living-area pipeline (bucket → trilaterate → modal cell) ----
-    "living_area" -> ((s, d) => {
-      val obs = li(s, d).select(
-        (col("l_orderkey") % 50).as("mac"),
-        month(col("l_shipdate")).as("bucket"),
-        (col("l_suppkey") % 10).cast("double").as("x"),
-        floor((col("l_suppkey") % 100) / 10).cast("double").as("y"))
-        .withColumn("d", sqrt(
-          pow(col("x") - (col("mac") % 10).cast("double"), 2) +
-          pow(col("y") - ((col("mac") * 7) % 10).cast("double"), 2)))
-      LivingArea.modalLocation(obs).orderBy("mac")
-    }),
+    "living_area" -> ((s, d) =>
+      LivingArea.modalLocation(sensorGeometry(s, d)).orderBy("mac")),
+
+    // ---- domain: spatial cell census over trilaterated homes — the
+    //      z-value grid cell (O4's curve) as a geohash-style spatial
+    //      index key: devices per cell, the heat-map/partition key a
+    //      city-wide deployment reports and prunes by ----
+    "geo_cell_census" -> ((s, d) =>
+      LivingArea.modalLocation(sensorGeometry(s, d))
+        .select(graft.operators.ZOrder.zValue(
+          pmod(col("home_x").cast("long"), lit(16)),
+          pmod(col("home_y").cast("long"), lit(16)), bits = 4).as("zcell"))
+        .groupBy("zcell").agg(count(lit(1)).as("n_devices"))
+        .orderBy("zcell")),
 
     // ---- S2/P2/F1-F8 end-to-end: binary 802.11 frames built from events,
     //      parsed by the schema-on-read frame parser; the oracle predicts
@@ -1039,6 +1056,41 @@ object SparkEntry {
   /** DuckDB expr: whitespace tokens of lowercased trimmed text. */
   private val ToksSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** DuckDB CTE chain shared by living_area and geo_cell_census: the
+    * synthetic sensor geometry, the linearized least-squares normal
+    * equations (Cramer solve), and the per-device modal cell `r`. */
+  private val LivingAreaCteSql: String = {
+    val det = "m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)"
+    val detX = "v1 * (m22*m33 - m23*m23) - m12 * (v2*m33 - m23*v3) + m13 * (v2*m23 - m22*v3)"
+    val detY = "m11 * (v2*m33 - m23*v3) - v1 * (m12*m33 - m23*m13) + m13 * (m12*v3 - v2*m13)"
+    s"""WITH obs AS (
+       |  SELECT l_orderkey % 50 AS mac, month(l_shipdate) AS bucket,
+       |         (l_suppkey % 10)::DOUBLE AS x,
+       |         floor((l_suppkey % 100) / 10)::DOUBLE AS y,
+       |         sqrt(pow((l_suppkey % 10)::DOUBLE - ((l_orderkey % 50) % 10)::DOUBLE, 2)
+       |            + pow(floor((l_suppkey % 100) / 10)::DOUBLE - (((l_orderkey % 50) * 7) % 10)::DOUBLE, 2)) AS d
+       |  FROM lineitem),
+       |a AS (
+       |  SELECT mac, bucket, count(DISTINCT (x, y)) AS n_sensors,
+       |    sum((x * -2.0) * (x * -2.0)) AS m11, sum((x * -2.0) * (y * -2.0)) AS m12,
+       |    sum(x * -2.0) AS m13, sum((y * -2.0) * (y * -2.0)) AS m22,
+       |    sum(y * -2.0) AS m23, count(*)::DOUBLE AS m33,
+       |    sum((x * -2.0) * (d*d - x*x - y*y)) AS v1,
+       |    sum((y * -2.0) * (d*d - x*x - y*y)) AS v2,
+       |    sum(d*d - x*x - y*y) AS v3
+       |  FROM obs GROUP BY mac, bucket),
+       |e AS (
+       |  SELECT mac, round(($detX) / ($det), 3) + 0.0 AS est_x,
+       |         round(($detY) / ($det), 3) + 0.0 AS est_y
+       |  FROM a WHERE n_sensors >= 3 AND abs($det) > 1e-9 * pow(greatest(abs(m11), abs(m12), abs(m13), abs(m22), abs(m23), abs(m33)), 3)),
+       |c AS (SELECT mac, round(est_x, 0) + 0.0 AS cx, round(est_y, 0) + 0.0 AS cy,
+       |             count(*) AS n_buckets
+       |      FROM e GROUP BY 1, 2, 3),
+       |r AS (SELECT mac, cx, cy, n_buckets,
+       |        row_number() OVER (PARTITION BY mac ORDER BY n_buckets DESC, cx, cy) AS rn
+       |      FROM c)""".stripMargin
+  }
+
   /** DuckDB expr: TextFunctions.normalizeText over `arg` (lower →
     * accent fold → control strip → whitespace collapse → trim). */
   private def NormSql(arg: String) =
@@ -1217,38 +1269,19 @@ object SparkEntry {
         |WHERE n_sensors >= 3 AND abs(m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)) > 1e-9 * pow(greatest(abs(m11), abs(m12), abs(m13), abs(m22), abs(m23), abs(m33)), 3)
         |ORDER BY mac""".stripMargin,
 
-    "living_area" -> {
-      val det = "m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)"
-      val detX = "v1 * (m22*m33 - m23*m23) - m12 * (v2*m33 - m23*v3) + m13 * (v2*m23 - m22*v3)"
-      val detY = "m11 * (v2*m33 - m23*v3) - v1 * (m12*m33 - m23*m13) + m13 * (m12*v3 - v2*m13)"
-      s"""WITH obs AS (
-         |  SELECT l_orderkey % 50 AS mac, month(l_shipdate) AS bucket,
-         |         (l_suppkey % 10)::DOUBLE AS x,
-         |         floor((l_suppkey % 100) / 10)::DOUBLE AS y,
-         |         sqrt(pow((l_suppkey % 10)::DOUBLE - ((l_orderkey % 50) % 10)::DOUBLE, 2)
-         |            + pow(floor((l_suppkey % 100) / 10)::DOUBLE - (((l_orderkey % 50) * 7) % 10)::DOUBLE, 2)) AS d
-         |  FROM lineitem),
-         |a AS (
-         |  SELECT mac, bucket, count(DISTINCT (x, y)) AS n_sensors,
-         |    sum((x * -2.0) * (x * -2.0)) AS m11, sum((x * -2.0) * (y * -2.0)) AS m12,
-         |    sum(x * -2.0) AS m13, sum((y * -2.0) * (y * -2.0)) AS m22,
-         |    sum(y * -2.0) AS m23, count(*)::DOUBLE AS m33,
-         |    sum((x * -2.0) * (d*d - x*x - y*y)) AS v1,
-         |    sum((y * -2.0) * (d*d - x*x - y*y)) AS v2,
-         |    sum(d*d - x*x - y*y) AS v3
-         |  FROM obs GROUP BY mac, bucket),
-         |e AS (
-         |  SELECT mac, round(($detX) / ($det), 3) + 0.0 AS est_x,
-         |         round(($detY) / ($det), 3) + 0.0 AS est_y
-         |  FROM a WHERE n_sensors >= 3 AND abs($det) > 1e-9 * pow(greatest(abs(m11), abs(m12), abs(m13), abs(m22), abs(m23), abs(m33)), 3)),
-         |c AS (SELECT mac, round(est_x, 0) + 0.0 AS cx, round(est_y, 0) + 0.0 AS cy,
-         |             count(*) AS n_buckets
-         |      FROM e GROUP BY 1, 2, 3),
-         |r AS (SELECT mac, cx, cy, n_buckets,
-         |        row_number() OVER (PARTITION BY mac ORDER BY n_buckets DESC, cx, cy) AS rn
-         |      FROM c)
-         |SELECT mac, cx AS home_x, cy AS home_y, n_buckets FROM r WHERE rn = 1 ORDER BY mac""".stripMargin
-    },
+    "living_area" ->
+      s"""$LivingAreaCteSql
+         |SELECT mac, cx AS home_x, cy AS home_y, n_buckets FROM r WHERE rn = 1 ORDER BY mac""".stripMargin,
+
+    "geo_cell_census" ->
+      s"""$LivingAreaCteSql,
+         |h AS (SELECT mac, cx AS home_x, cy AS home_y FROM r WHERE rn = 1)
+         |SELECT zcell, count(*) AS n_devices FROM (
+         |  SELECT list_aggregate(list_transform(generate_series(0, 3), i ->
+         |    (((((CAST(home_x AS BIGINT) % 16) + 16) % 16 >> i) & 1) << (2*i))
+         |    + (((((CAST(home_y AS BIGINT) % 16) + 16) % 16 >> i) & 1) << (2*i+1))),
+         |   'sum')::BIGINT AS zcell FROM h)
+         |GROUP BY zcell ORDER BY zcell""".stripMargin,
 
     "s2_frame_parse" ->
       """SELECT event_id,
