@@ -121,6 +121,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.catalyst.expressions.{RegExpExtractAll, Size}
         Size(RegExpExtractAll(args(0),
           Literal(graft.functions.TextFunctions.BpePattern), Literal(0))) }))
+    ext.injectFunction((FunctionIdentifier("graft_cdc_chunks"),
+      info("graft_cdc_chunks", "graft_cdc_chunks(text, maskBits, minLen, maxLen)"),
+      (args: Seq[Expression]) => CdcChunksExpr(args(0),
+        intLit("graft_cdc_chunks", args, 1, 4),
+        intLit("graft_cdc_chunks", args, 2, 4),
+        intLit("graft_cdc_chunks", args, 3, 4))))
     ext.injectFunction((FunctionIdentifier("graft_normalize_text"),
       info("graft_normalize_text", "graft_normalize_text(text)"),
       (args: Seq[Expression]) => { checkArity("graft_normalize_text", args, 1)

@@ -752,6 +752,17 @@ object SparkEntry {
           "text", size = 200, stride = 150)
         .orderBy("doc_id", "off")),
 
+    // L5d: content-defined chunks (gear-hash boundaries follow content,
+    // so shared passages chunk identically anywhere — the dedup-friendly
+    // chunker). Sequential stateful fold → not SQL-expressible →
+    // rows-only; TextFunctionsSpec pins reassembly, bounds, and the
+    // edit-locality property.
+    "l5d_cdc_chunks" -> ((s, d) =>
+      graft.operators.Chunking
+        .cdcChunks(Tables.documents(s, d).select("doc_id", "text"), "text",
+          maskBits = 6, minLen = 16, maxLen = 256)
+        .orderBy("doc_id", "chunk_idx")),
+
     // ---- L5: multimodal binary plumbing (stub codec → rows-only) ----
     "mm_media_features" -> ((s, d) =>
       Multimodal.mediaFeatures(s, Tables.documents(s, d))),

@@ -33,4 +33,24 @@ object Chunking {
       .select(keep :+ col("off") :+
         col(textCol).substr((col("off") + 1L).cast("int"), lit(size)).as("chunk"): _*)
   }
+
+  /** Content-defined chunks (rolling gear hash — see
+    * [[org.apache.spark.sql.graft.CdcExprs]]): boundaries follow the
+    * CONTENT, so shared passages chunk identically wherever they sit
+    * and an edit disturbs only the chunks it touches — the
+    * dedup-friendly chunker (chunk-hash dedup over these catches
+    * cross-document boilerplate that document fingerprints miss).
+    * Expected chunk length ≈ 2^maskBits (bounded to [minLen, maxLen]).
+    * One codegen'd pass per row, map-only like [[charChunks]]. Output:
+    * one row per (doc, chunk_idx) with the chunk text. */
+  def cdcChunks(docs: DataFrame, textCol: String, maskBits: Int = 6,
+      minLen: Int = 16, maxLen: Int = 256): DataFrame = {
+    val keep = docs.columns.filterNot(_ == textCol).map(col).toIndexedSeq
+    val chunksCol = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.CdcChunksExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col(textCol)),
+        maskBits, minLen, maxLen))
+    docs
+      .select(keep :+ posexplode(chunksCol).as(Seq("chunk_idx", "chunk")): _*)
+  }
 }

@@ -23,6 +23,7 @@ class ContractSpec extends SparkTestBase {
       "l3c_ann_ivf",          // approximate NN
       "l3e_pq_ann",           // approximate NN (product quantization)
       "l3f_ivfadc",           // approximate NN (IVF pruning + ADC scoring)
+      "l5d_cdc_chunks",       // sequential gear-hash fold — not SQL-expressible
       "mm_media_features")    // stubbed codec
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +

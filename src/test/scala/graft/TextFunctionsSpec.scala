@@ -283,6 +283,56 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(got == Seq(("a", 3L, "1,2,3"), ("b", 2L, "2,3")))
   }
 
+  test("CDC chunks: lossless reassembly, length bounds, unicode-safe") {
+    val uniChar = Gen.oneOf(
+      Gen.alphaLowerChar.map(_.toString), Gen.const(" "), Gen.const("é"),
+      Gen.const("語"), Gen.const("😀"))
+    val texts = samples(Gen.listOfN(500, uniChar).map(_.mkString), 20) ++
+      Seq("", "x", "a" * 1000)
+    val (maskBits, minLen, maxLen) = (5, 8, 100)
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .transform(df => graft.operators.Chunking
+        .cdcChunks(df, "text", maskBits, minLen, maxLen))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val chunks = got(i.toLong)
+      assert(chunks.mkString == t, s"doc $i must reassemble losslessly")
+      // every chunk except the tail respects [minLen, maxLen]; the
+      // surrogate-pair deferral can stretch a cut by one unit
+      chunks.dropRight(1).foreach { c =>
+        assert(c.length >= minLen && c.length <= maxLen + 1, s"doc $i: ${c.length}")
+      }
+    }
+  }
+
+  test("CDC chunks: an edit only disturbs chunks near it (fixed-stride cannot)") {
+    val base = samples(Gen.listOfN(4000, Gen.alphaNumChar), 1).head.mkString
+    val editPos = 2000
+    val edited = base.updated(editPos, if (base(editPos) == 'q') 'z' else 'q')
+    def chunksOf(t: String): Seq[(Int, String)] = {
+      // offsets derived from cumulative lengths
+      val cs = Seq(Tuple1(t)).toDF("text")
+        .transform(df => graft.operators.Chunking.cdcChunks(df, "text", 5, 8, 100))
+        .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+      cs.scanLeft(0)(_ + _.length).zip(cs)
+    }
+    val a = chunksOf(base).toSet
+    val b = chunksOf(edited).toSet
+    // all chunks fully before the edit are untouched; chunks starting
+    // beyond the edit's maximum influence (maxLen + the gear window)
+    // realign to IDENTICAL (offset, content) pairs — the CDC property
+    val before = a.filter { case (off, c) => off + c.length <= editPos }
+    assert(before.subsetOf(b), "chunks before the edit must be identical")
+    val far = a.filter { case (off, _) => off > editPos + 100 + 64 }
+    assert(far.nonEmpty && far.subsetOf(b),
+      "chunks past the edit window must realign identically")
+    // and the edit did change SOMETHING
+    assert(a != b)
+  }
+
   test("langGuess picks the stopword-dominant language") {
     val cases = Seq(
       "the cat sat on the mat and it is that" -> "en",
