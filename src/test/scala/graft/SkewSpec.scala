@@ -55,6 +55,41 @@ class SkewSpec extends SparkTestBase {
     assert(got == Map(0L -> 334L, 1L -> 333L, 2L -> 333L))
   }
 
+  test("AQE converts a skewed sort-merge join at runtime (skew=true)") {
+    // the OTHER half of the skew story (§4.2): salting is the
+    // deterministic pre-plan defense, AQE's OptimizeSkewedJoin is the
+    // runtime one — a hot partition in a sort-merge join is split into
+    // sub-partitions after the map stage reports sizes. Thresholds are
+    // shrunk so testdata-scale partitions register as skewed.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // left: 100k rows, 95% on ONE key → one shuffle partition dwarfs the rest
+      val left = spark.range(0, 100000)
+        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS dataset's QueryExecution, so its adaptive
+      // plan finalizes in place (a write action would plan a fresh one)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${finalPlan.take(1200)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation really spreads the hot key across reducers") {
     // phase-1 output must contain multiple (whale, salt) groups
     val phase1Groups = skewed.withColumn("_salt",
