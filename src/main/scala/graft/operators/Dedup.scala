@@ -36,6 +36,24 @@ object Dedup {
       exactGroups(docs).select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** L1's LIVE form — exact content dedup on a document stream: the
+    * first arrival of a fingerprint passes, re-arrivals within the
+    * watermark drop, and state is bounded (fingerprints older than the
+    * watermark are evicted, so memory is O(rate · delay), not corpus
+    * size — a duplicate separated by more than `delay` re-emits, the
+    * documented trade of every watermarked dedup; the batch
+    * [[dropExactDuplicates]] is the exact full-corpus pass). */
+  def dropExactDuplicatesWithinWatermark(docs: DataFrame, tsCol: String,
+      delay: String): DataFrame = {
+    require(!docs.columns.contains("_fp"),
+      "input already has a '_fp' column — it would collide with the fingerprint")
+    docs
+      .withColumn("_fp", contentFingerprint(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+  }
+
   /** L2 — per-doc MinHash signature (k-char shingles, `numHashes` md5
     * seeds). Map-only; the signature is the only thing that shuffles.
     *

@@ -115,6 +115,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first arrival of a fingerprint wins, state bounded by watermark") {
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val docs = in.toDF().selectExpr("_1 as doc_id", "_2 as text", "_3 as ts")
+    val q = graft.operators.Dedup
+      .dropExactDuplicatesWithinWatermark(docs, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, "alpha beta", ts("2024-01-01 10:00:00")),
+        (2L, "ALPHA   beta", ts("2024-01-01 10:01:00")),  // same fingerprint (normalized)
+        (3L, "gamma", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      in.addData(
+        (4L, "alpha beta", ts("2024-01-01 10:03:00")),    // dup across batches: dropped
+        (5L, "delta", ts("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 5L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("S1 production source: frames over a real TCP socket parse end-to-end") {
     val server = new java.net.ServerSocket(0)
     val payload = java.util.Base64.getEncoder.encodeToString(probeFrame(0x33))
