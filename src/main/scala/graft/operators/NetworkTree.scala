@@ -58,9 +58,16 @@ object NetworkTree {
     * it is optimal: a hub's wedges land only on its few higher-degree
     * neighbors; id order is the deterministic, oracle-replayable
     * proxy). Both joins are equi joins — shuffled hash/SMJ at any
-    * scale, no broadcast of the edge list required. */
+    * scale, no broadcast of the edge list required.
+    *
+    * Input contract: one row per undirected edge. Rows violating the
+    * orientation (a >= b, incl. self-loops) are dropped by an explicit
+    * guard rather than silently double-counting; callers with raw
+    * symmetric edge lists should canonicalize ((least, greatest) +
+    * distinct) first. */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") < col("b"))
     val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
       .join(e.as("e3"),
