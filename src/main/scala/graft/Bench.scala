@@ -74,8 +74,16 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    val failed = results.collect { case (k, None) => jq(k) }.toSeq.sorted
-    val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    // the failed list must not itself blow the byte budget in a
+    // catastrophic round (imagine all ~100 queries failing): cap the
+    // names and carry the full count separately
+    val failedAll = results.collect { case (k, None) => k }.toSeq.sorted
+    val failedJson =
+      if (failedAll.isEmpty) ""
+      else {
+        val shown = failedAll.take(15).map(jq)
+        s""","n_failed":${failedAll.size},"failed":[${shown.mkString(",")}]"""
+      }
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
     def line(fmtQ: Double => String, keep: Double => Boolean): String = {
