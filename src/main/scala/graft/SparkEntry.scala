@@ -1786,10 +1786,10 @@ object SparkEntry {
          |  CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w
          |  FROM documents GROUP BY lang),
          |r AS (SELECT lang, least(1.0,
-         |        (200.0 * w) / CAST(n * (SELECT sum(w) FROM c) AS DOUBLE)) AS rate
+         |        (200.0 * w) / (n::DOUBLE * (SELECT sum(w) FROM c)::DOUBLE)) AS rate
          |      FROM c)
          |SELECT d.lang, count(*) AS n_sampled
-         |FROM documents d JOIN r ON d.lang = r.lang
+         |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
          |WHERE ${SampGate("'mixT'")} < CAST(floor(rate * 4294967296) AS BIGINT)
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
@@ -1915,10 +1915,10 @@ object SparkEntry {
          |        CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w
          |      FROM dedup GROUP BY lang),
          |r AS (SELECT lang, least(1.0,
-         |        (150.0 * w) / CAST(n * (SELECT sum(w) FROM c) AS DOUBLE)) AS rate
+         |        (150.0 * w) / (n::DOUBLE * (SELECT sum(w) FROM c)::DOUBLE)) AS rate
          |      FROM c),
          |mixed AS (
-         |  SELECT d.* FROM dedup d JOIN r USING (lang)
+         |  SELECT d.* FROM dedup d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
          |  WHERE ${SampGate("'tm'")} < CAST(floor(rate * 4294967296) AS BIGINT)),
          |shuffled AS (
          |  SELECT doc_id, lang, toks, row_number() OVER (

@@ -25,6 +25,8 @@ object Chunking {
   def charChunks(docs: DataFrame, textCol: String, size: Int, stride: Int): DataFrame = {
     require(size > 0, s"size must be > 0 (got $size)")
     require(stride > 0, s"stride must be > 0 (got $stride)")
+    Seq("off", "chunk").foreach(c => require(!docs.columns.contains(c),
+      s"input already has a '$c' column — it would collide with the chunker's output"))
     val keep = docs.columns.filterNot(_ == textCol).map(col).toIndexedSeq
     docs
       .withColumn("off",
@@ -45,6 +47,8 @@ object Chunking {
     * one row per (doc, chunk_idx) with the chunk text. */
   def cdcChunks(docs: DataFrame, textCol: String, maskBits: Int = 6,
       minLen: Int = 16, maxLen: Int = 256): DataFrame = {
+    Seq("chunk_idx", "chunk").foreach(c => require(!docs.columns.contains(c),
+      s"input already has a '$c' column — it would collide with the chunker's output"))
     val keep = docs.columns.filterNot(_ == textCol).map(col).toIndexedSeq
     val chunksCol = org.apache.spark.sql.graft.Bridge.column(
       org.apache.spark.sql.graft.CdcChunksExpr(

@@ -46,10 +46,14 @@ object Mixing {
       .agg(count(lit(1)).as("_n"))
       .withColumn("_w", floor(w * lit(1000000.0)).cast("long"))
     val total = counts.agg(sum("_w").as("_w_total"))
+    // n·Σw as a LONG product overflows exactly at the fleet scale this
+    // targets (2e9 rows at T=0.5 → 9e19 > 2^63: ANSI abort, or a wrapped
+    // negative rate that silently drops the stratum) — multiply as
+    // doubles, like the numerator; the DuckDB twin does the same
     val rates = counts.crossJoin(broadcast(total))
       .select(col("_mix_source"),
         least(lit(1.0), (lit(targetRows.toDouble) * col("_w")) /
-          (col("_n") * col("_w_total")).cast("double")).as("_mix_rate"))
+          (col("_n").cast("double") * col("_w_total").cast("double"))).as("_mix_rate"))
     // null-safe equality: a NULL source is a legitimate stratum (it was
     // counted above); plain === would silently drop those rows at the
     // join instead of sampling them at their computed rate

@@ -40,10 +40,19 @@ object SimilarityPq {
     * of unit-normalized vectors. Subspace i covers dims
     * [dim·i/m, dim·(i+1)/m) — evenly spread, never empty. */
   def trainCodebooks(emb: DataFrame, m: Int, k: Int, sampleSize: Int = 10000,
-      iters: Int = 10, seed: Long = 42L): Array[Array[Array[Float]]] = {
+      iters: Int = 10, seed: Long = 42L): Array[Array[Array[Float]]] =
+    trainCodebooksFromSample(SimilarityIvf.trainingSample(emb, sampleSize),
+      m, k, iters, seed)
+
+  /** Codebooks from an already-collected raw sample (normalized here) —
+    * lets a caller that also trains an IVF quantizer pay for ONE
+    * sampling job instead of two corpus scans. */
+  private[operators] def trainCodebooksFromSample(raw: Array[Array[Float]],
+      m: Int, k: Int, iters: Int = 10, seed: Long = 42L): Array[Array[Array[Float]]] = {
     require(m > 0, s"m must be > 0 (got $m)")
     require(k > 1, s"k must be > 1 (got $k)")
-    val sample = SimilarityIvf.trainingSample(emb, sampleSize).map(unitNorm)
+    require(raw.nonEmpty, "empty training sample")
+    val sample = raw.map(unitNorm)
     val dim = sample.head.length
     require(m <= dim, s"m=$m subquantizers need at least m dims (got $dim)")
     (0 until m).map { i =>
@@ -95,12 +104,16 @@ object SimilarityPq {
     import spark.implicits._
     val nCand = candidates.select(col("vec_id"),
       l2Normalize(col("embedding")).as("embedding"))
-    val centroids = SimilarityIvf.trainCentroids(nCand, nlist, seed = seed)
-    // codebooks train on the RAW candidates (trainCodebooks normalizes
-    // its sample itself) so the codes — and therefore the ranking —
+    // ONE sampling job feeds both quantizers (a second corpus-wide
+    // sample scan would double the driver-side training cost). The raw
+    // sample normalizes inside trainCodebooksFromSample exactly as
+    // trainCodebooks does, so the codes — and therefore the ranking —
     // are IDENTICAL to pqTopK's: with nprobe == nlist this operator
-    // reduces to plain PQ exactly (PqSpec pins that reduction)
-    val cbs = trainCodebooks(candidates, m, kCode, seed = seed)
+    // reduces to plain PQ exactly (PqSpec pins that reduction).
+    val rawSample = SimilarityIvf.trainingSample(candidates, 10000)
+    require(rawSample.nonEmpty, "empty training sample")
+    val centroids = KMeansLite.lloyd(rawSample.map(unitNorm), nlist, iters = 10, seed)
+    val cbs = trainCodebooksFromSample(rawSample, m, kCode, seed = seed)
     val coded = SimilarityIvf.assignCells(nCand, centroids)
       .select(col("vec_id").as("cid"), col("cell"),
         pqEncode(col("embedding"), cbs).as("codes"))
@@ -108,6 +121,8 @@ object SimilarityPq {
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "center")
     val nq = queries.select(col("vec_id").as("qid"),
       l2Normalize(col("embedding")).as("qv"))
+    // probes carry only (qid, cell); each query's m·k LUT materializes
+    // ONCE in its own broadcast rather than once per probe row
     val probes = nq.crossJoin(broadcast(centroidDf))
       .withColumn("_dist",
         graft.functions.expressions.VectorExpressions.dotProduct(col("qv"), col("qv")) -
@@ -116,8 +131,10 @@ object SimilarityPq {
       .withColumn("_rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("_dist"), col("cell"))))
       .filter(col("_rank") <= nprobe)
-      .select(col("qid"), col("cell"), pqLut(col("qv"), cbs).as("lut"))
+      .select(col("qid"), col("cell"))
+    val luts = nq.select(col("qid"), pqLut(col("qv"), cbs).as("lut"))
     val scored = coded.join(broadcast(probes), "cell")
+      .join(broadcast(luts), "qid")
       .select(col("qid"), col("cid"),
         round(pqAdc(col("lut"), col("codes")), 4).as("adc_dist"))
     val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("cid"))
