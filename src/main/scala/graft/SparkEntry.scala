@@ -621,6 +621,14 @@ object SparkEntry {
       Dedup.editDistancePairs(Tables.part(s, d), "p_name", maxDist = 3)
         .orderBy("a_val", "b_val")),
 
+    // ---- L2j: cross-corpus duplicate-SEGMENT removal (CCNet-style
+    //      line dedup): segments keyed by xxhash64, first occurrence
+    //      kept via a map-combinable min-aggregate (never a window
+    //      over the hot content key), docs reassembled in order ----
+    "l2j_segment_dedup" -> ((s, d) =>
+      Dedup.segmentDedup(Tables.documents(s, d), " value ", " | ")
+        .orderBy("doc_id")),
+
     // ---- L2g: near-dup pairs → transitive dedup CLUSTERS (hash-min
     //      label propagation; oracle = DuckDB recursive CTE) ----
     "l2g_dedup_clusters" -> ((s, d) =>
@@ -779,6 +787,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("ts_ms"))
         .orderBy("doc_id", "frame_idx")),
 
+    // ---- L5e: container-header parse — PNG headers synthesized as
+    //      real BINARY in-query (dims derived from doc_id, 1-in-17
+    //      rows given a corrupted magic), then parsed back with
+    //      substring-on-binary + conv(hex(..)) at fixed IHDR offsets.
+    //      The oracle recomputes the fields arithmetically, so any
+    //      error in the binary round-trip (endianness, offset, magic
+    //      check) hash-mismatches ----
+    "mm_header_parse" -> ((s, d) => {
+      val w = lit(16L) + pmod(col("doc_id") * 37L, lit(4080L))
+      val h = lit(16L) + pmod(col("doc_id") * 101L, lit(2160L))
+      val magic = when(col("doc_id") % 17 === 0, lit("00504E470D0A1A0A"))
+        .otherwise(lit(Multimodal.PngMagicHex))
+      val payload = unhex(concat(magic, lit("0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000")))
+      Multimodal.parsePngHeader(
+          Tables.documents(s, d).select(col("doc_id"), payload.as("payload")),
+          "payload")
+        .orderBy("doc_id")
+    }),
+
     // ---- A8: exact percentiles (interpolated) per group. Weights are
     //      powers of two over INTEGER-VALUED quantities, so every
     //      interpolation step is exact in binary — the result is
@@ -888,6 +916,19 @@ object SparkEntry {
           count(lit(1)).over(w).as("n_5m"),
           round(sum("value").over(w), 2).as("val_5m"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // ---- W9: interval coalescing (gaps-and-islands over INTERVALS:
+    //      each event holds its device "present" for 2 minutes;
+    //      overlapping/touching holds merge into maximal presence
+    //      spans — running-MAX island detection, one exchange) ----
+    "w9_interval_merge" -> ((s, d) => {
+      val iv = ev(s, d).select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("s_ms"),
+        (unix_millis(col("ts")) + 120000L).as("e_ms"))
+      graft.operators.Sessionize
+        .mergeIntervals(iv, "user_id", "s_ms", "e_ms", col("event_id"))
+        .orderBy("user_id", "interval_id")
     }),
 
     // ---- T5: pivot (conditional aggregation over a fixed column set) ----
@@ -1888,6 +1929,59 @@ object SparkEntry {
          |SELECT doc_id, array_to_string(list(id ORDER BY i), ',') AS ids_csv
          |FROM toks JOIN vid USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "w9_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS s_ms,
+        |         epoch_ms(ts) + 120000 AS e_ms
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, s_ms, e_ms,
+        |    CASE WHEN max(e_ms) OVER w IS NULL OR s_ms > max(e_ms) OVER w
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM iv
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY s_ms, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (
+        |  SELECT user_id, s_ms, e_ms,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+        |                   ROWS UNBOUNDED PRECEDING)::BIGINT AS interval_id
+        |  FROM m)
+        |SELECT user_id, interval_id,
+        |  min(s_ms) AS merged_start, max(e_ms) AS merged_end,
+        |  count(*) AS n_rows
+        |FROM i GROUP BY user_id, interval_id
+        |ORDER BY user_id, interval_id""".stripMargin,
+
+    "l2j_segment_dedup" ->
+      """WITH segs AS (
+        |  SELECT doc_id, u.pos, u.seg FROM (
+        |      SELECT doc_id, string_split(text, ' value ') AS parts
+        |      FROM documents),
+        |    LATERAL (SELECT unnest(parts) AS seg,
+        |             generate_subscripts(parts, 1) AS pos) u
+        |  WHERE length(trim(u.seg)) > 0),
+        |keep AS (
+        |  SELECT doc_id, pos, seg FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY seg
+        |      ORDER BY doc_id, pos) AS rn FROM segs)
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, string_agg(seg, ' | ' ORDER BY pos) AS text_kept
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text_kept, '') AS text_kept
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_header_parse" ->
+      """SELECT doc_id,
+        |  (doc_id % 17 <> 0) AS png_valid,
+        |  CASE WHEN doc_id % 17 <> 0
+        |       THEN (16 + (doc_id * 37) % 4080)::BIGINT END AS width,
+        |  CASE WHEN doc_id % 17 <> 0
+        |       THEN (16 + (doc_id * 101) % 2160)::BIGINT END AS height,
+        |  CASE WHEN doc_id % 17 <> 0 THEN 8::BIGINT END AS bit_depth
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_frame_schedule" ->
       """SELECT doc_id, n_frames, frame_idx, frame_idx * 2000 AS ts_ms FROM (

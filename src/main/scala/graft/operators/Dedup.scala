@@ -277,4 +277,49 @@ object Dedup {
         col("a.n").as("a_n"), col("b.n").as("b_n"))
       .filter(col("d") >= 0)
   }
+
+  /** L2j — cross-corpus duplicate-SEGMENT removal (CCNet-style line
+    * dedup): split every document on `delim`, drop each segment's
+    * re-occurrences corpus-wide (keeping the FIRST occurrence in
+    * (doc_id, position) order), and reassemble the surviving segments
+    * in their original order. Boilerplate — nav bars, license headers,
+    * quoted reply chains — repeats across documents at segment
+    * granularity that document-level dedup (L1/L2) cannot see.
+    *
+    * Scale shape: segments shuffle ONCE, keyed by xxhash64(segment)
+    * (the 8-byte hash is the exchange key; the segment text rides
+    * along only on the occurrence side). First-occurrence selection is
+    * a map-side-combinable min(struct(doc_id, pos)) AGGREGATE joined
+    * back on the hash — NOT row_number() over a window partitioned by
+    * content, whose hot key (the one segment repeated a billion times)
+    * would sort a billion rows in one task; min() reduces that key
+    * map-side. Reassembly groups by doc_id (the natural partitioning
+    * of the corpus). Empty/whitespace segments are dropped, and docs
+    * whose every segment was deduplicated survive with empty text
+    * (left join), so the output is row-for-row the input corpus.
+    *
+    * A 64-bit hash collision would merge two distinct segments (drop a
+    * non-duplicate): ~n²/2⁶⁵ expected collisions — at 10⁹ distinct
+    * segments that is ~0.03 spurious drops, acceptable for curation;
+    * use contentFingerprint (256-bit) as the key where it is not. */
+  def segmentDedup(docs: DataFrame, delim: String,
+      rejoin: String): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), delim)).as(Seq("pos", "seg")))
+      .filter(length(trim(col("seg"))) > 0)
+      .withColumn("h", xxhash64(col("seg")))
+    val firstSeen = segs.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val kept = segs.join(firstSeen, "h")
+      .filter(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")),
+        rejoin).as("text_kept"))
+    docs.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
 }

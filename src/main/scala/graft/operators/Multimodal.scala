@@ -107,6 +107,37 @@ object Multimodal {
       .withColumn("ts_ms", col("frame_idx") * lit(strideMs))
   }
 
+  /** L5e — media container-header parse, pure binary builtins: the S2
+    * fixed-offset pattern (ssidentity.h:36-42) applied to media bytes.
+    * Reads a PNG header from a BinaryType `payloadCol`: validates the
+    * 8-byte magic, then big-endian u32 width/height and the bit-depth
+    * byte from the IHDR chunk at their fixed offsets (PNG spec — IHDR
+    * is always first, so offsets 17/21/25 are structural, not a
+    * heuristic). Invalid magic → valid=false, null dims — never a
+    * thrown row.
+    *
+    * Everything is `substring`-on-binary + `conv(hex(...))` — codegen'd
+    * builtins inside one WholeStageCodegen span, no UDF: header
+    * triage of 100 TB of media runs at scan speed and only rows that
+    * pass (right codec, sane dims) are handed to the expensive decode
+    * stub ([[FakeDecoder]]). Column pruning keeps the payload out of
+    * any downstream shuffle: the emitted columns are slim scalars. */
+  val PngMagicHex = "89504E470D0A1A0A"
+  def parsePngHeader(media: DataFrame, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    def beU32(off: Int) = // 1-based offset, 4 bytes, big-endian
+      conv(hex(substring(p, off, 4)), 16, 10).cast("long")
+    val valid = hex(substring(p, 1, 8)) === lit(PngMagicHex) &&
+      length(p) >= 26
+    media
+      .withColumn("png_valid", valid)
+      .withColumn("width", when(valid, beU32(17)))
+      .withColumn("height", when(valid, beU32(21)))
+      .withColumn("bit_depth",
+        when(valid, conv(hex(substring(p, 25, 1)), 16, 10).cast("long")))
+      .drop(payloadCol)
+  }
+
   /** Frame-sample stub for video payloads: every `stride`-th fixed-size
     * chunk of the payload stands in for a decoded frame. One input row
     * fans out to ≤ maxFrames slim rows — the explode happens AFTER the

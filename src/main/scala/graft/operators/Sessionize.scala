@@ -58,4 +58,41 @@ object Sessionize {
         // Column `/` is double division, so truncate explicitly
         ((unix_millis(max(col(tsCol))) - unix_millis(min(col(tsCol)))) / 1000L)
           .cast("long").as("duration_s"))
+
+  /** W9 — interval coalescing (gaps-and-islands over [start, end)
+    * INTERVALS, where sessionize handles point events): merge each
+    * key's overlapping-or-touching intervals into maximal disjoint
+    * spans. The presence/visit primitive when observations carry a
+    * dwell — an AP association window, a sensor's hold-time — rather
+    * than an instant.
+    *
+    * Same single-exchange shape as [[assign]]: a running max of `end`
+    * over the start-ordered timeline marks island breaks (strict `>`,
+    * so touching intervals merge — matching session_window's
+    * touching-windows rule), a running sum numbers them, one groupBy
+    * collapses each island. The running MAX — not lag(end) — is what
+    * makes it correct when a long interval fully contains later ones.
+    * Both windows and the final agg share the key partitioning: one
+    * shuffle total. `tiebreak` totalizes the order when starts collide
+    * (island CONTENTS are order-insensitive; only deterministic
+    * numbering needs it). */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, tiebreak: Column): DataFrame = {
+    Seq("_new_island", "interval_id").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — mergeIntervals would shadow it"))
+    val byStart = Window.partitionBy(keyCol).orderBy(col(startCol), tiebreak)
+    val maxEndBefore = max(col(endCol)).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("_new_island",
+        when(maxEndBefore.isNull || col(startCol) > maxEndBefore, 1L)
+          .otherwise(0L))
+      .withColumn("interval_id", sum(col("_new_island")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("interval_id"))
+      .agg(
+        min(col(startCol)).as("merged_start"),
+        max(col(endCol)).as("merged_end"),
+        count(lit(1)).as("n_rows"))
+  }
 }

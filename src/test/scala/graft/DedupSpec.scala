@@ -174,6 +174,35 @@ class DedupSpec extends SparkTestBase {
     assert(!got.exists(p => p._2 == "linksys office"))
   }
 
+  test("L2j segment dedup: first occurrence survives, docs reassemble in order") {
+    import spark.implicits._
+    // "BOILER" repeats across docs 1/2/3 and within doc 3; doc 4 is
+    // ENTIRELY boilerplate (must survive as an empty row); doc 5 has
+    // no delimiter at all (whole text = one segment)
+    val docs = Seq(
+      (1L, "intro\nBOILER\nbody one"),
+      (2L, "BOILER\nbody two"),
+      (3L, "body three\nBOILER\nBOILER\ntail"),
+      (4L, "BOILER"),
+      (5L, "standalone text")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "\n", "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "intro\nBOILER\nbody one", // first occurrence keeps its line
+      2L -> "body two",
+      3L -> "body three\ntail",
+      4L -> "",                        // fully deduplicated, row kept
+      5L -> "standalone text"))
+  }
+
+  test("L2j segment dedup drops whitespace segments and keeps row count") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\n\n  \nb"), (2L, ""), (3L, "a")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "\n", " | ")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a | b", 2L -> "", 3L -> ""))
+  }
+
   test("L2i thresholded distance equals the unthresholded builtin within range") {
     val rows = Seq((1L, "alpha beta"), (2L, "alpha bexa"), (3L, "alpha b"))
       .toDF("id", "v")

@@ -63,6 +63,28 @@ class MultimodalSpec extends SparkTestBase {
       .frameSchedule(assets, "asset_id", "duration_ms", 0L, 4))
   }
 
+  test("L5e header parse: real PNG bytes round-trip; corrupt/short rows degrade to invalid") {
+    // a REAL 1×1 PNG header (magic + IHDR len/type + w=1, h=1, depth 8):
+    // the parser must agree with the spec, not just with our synthesizer
+    val realPng: Array[Byte] = Array(
+      0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // magic
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52, // len=13, "IHDR"
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x02, 0x80, // w=1, h=640
+      0x08, 0x06).map(_.toByte)
+    val corrupt = realPng.clone(); corrupt(0) = 0x00
+    val short = realPng.take(20)
+    val df = Seq((1L, realPng), (2L, corrupt), (3L, short))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.parsePngHeader(df, "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(1L) == ((true, Some(1L), Some(640L), Some(8L))))
+    assert(got(2L) == ((false, None, None, None)))
+    assert(got(3L) == ((false, None, None, None)))
+    // payload dropped: only slim scalars leave the operator
+    assert(!Multimodal.parsePngHeader(df, "payload").columns.contains("payload"))
+  }
+
   test("frame sampling: video-only fan-out, bounded frames, slim rows") {
     val fs = Multimodal.sampleFrames(spark, Multimodal.asMediaTable(docs),
       frameBytes = 16, stride = 2, maxFrames = 4).collect()

@@ -177,6 +177,41 @@ class PlanSpec extends SparkTestBase {
       "vocab join must broadcast, not shuffle the exploded corpus")
   }
 
+  test("runtime bloom-filter semi-join reduction fires on a selective shuffle join") {
+    // the 100 TB shape: a huge fact scan shuffle-joined to a filtered
+    // dimension too big to broadcast. Spark's InjectRuntimeFilter plants
+    // a bloom filter built from the dim's join keys as a PRE-SHUFFLE
+    // predicate on the fact side, so non-matching fact rows die at the
+    // scan instead of riding the exchange. Local data is tiny, so the
+    // size thresholds are pinned to make the optimizer see that shape.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        "expected an injected bloom filter in:\n" + opt.take(1500))
+      val withBloom = j.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(withBloom == j.count(),
+        "bloom reduction must not change the join result")
+    } finally restore()
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the sketch projection must sit in a codegen'd stage (an expression
     // without doGenCode would force the stage out of codegen entirely)

@@ -35,6 +35,53 @@ class SessionizeSpec extends SparkTestBase {
       ("B", 2L, 2L, 1800L)))  // 31..61 — gap exactly 30 min stays joined
   }
 
+  test("interval merge: containment, touching, and disjoint islands (W9)") {
+    // key A: [0,100) swallows [10,20) AND bridges to [90,150) (overlap),
+    //        [150,160) TOUCHES 150 → still merged (strict > splits),
+    //        [200,210) disjoint → new island.
+    // The containment case is exactly what a lag(end)-based merge gets
+    // wrong: after [10,20), lag(end)=20 would wrongly split [90,150).
+    // key B: single interval passes through.
+    val df = Seq(
+      ("A", 0L, 100L, 1L), ("A", 10L, 20L, 2L), ("A", 90L, 150L, 3L),
+      ("A", 150L, 160L, 4L), ("A", 200L, 210L, 5L),
+      ("B", 5L, 6L, 6L))
+      .toDF("k", "s", "e", "id")
+    val got = Sessionize.mergeIntervals(df, "k", "s", "e", col("id"))
+      .orderBy("k", "interval_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("A", 1L, 0L, 160L, 4L),
+      ("A", 2L, 200L, 210L, 1L),
+      ("B", 1L, 5L, 6L, 1L)))
+  }
+
+  test("interval merge output is disjoint and covers every input row") {
+    val rng = new scala.util.Random(11L)
+    val rows = for { k <- 0 until 6; i <- 0 until 80 } yield {
+      val s = rng.nextInt(2000).toLong
+      (s"k$k", s, s + 1 + rng.nextInt(60), (k * 1000 + i).toLong)
+    }
+    val df = rows.toDF("k", "s", "e", "id")
+    val merged = Sessionize.mergeIntervals(df, "k", "s", "e", col("id")).collect()
+    assert(merged.map(_.getLong(4)).sum == rows.length)
+    merged.groupBy(_.getString(0)).foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(_.getLong(2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) < b.getLong(2),
+            s"islands must be strictly separated: $a then $b")
+        case _ =>
+      }
+    }
+    // every input interval lands inside one merged span
+    val spans = merged.map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (k, s, e, _) =>
+      assert(spans.exists { case (mk, ms, me) => mk == k && ms <= s && e <= me })
+    }
+  }
+
   test("sessionize == session_window on randomized data (true batch twin)") {
     // seeded pseudo-random event times, several users, gaps straddling
     // the threshold — both formulations must produce the SAME sessions
