@@ -506,6 +506,20 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("event_type")),
 
+    // ---- F14: VARIANT semi-structured path (Spark 4) — parse once
+    //      into the binary-encoded VARIANT, then typed field reads:
+    //      no per-field JSON re-parse (f11's get_json_object re-walks
+    //      the string per extraction — the 100 TB telemetry table
+    //      wants the one-parse encoding). try_variant_get on a
+    //      missing path degrades to NULL, never a thrown row ----
+    "f14_variant" -> ((s, d) => ev(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+          .as("missing_path"),
+        expr("schema_of_variant(parse_json(props))").as("sch"))
+      .orderBy("event_id")),
+
     // ---- F12: array ops over embeddings ----
     "f12_array_ops" -> ((s, d) => Tables.embeddings(s, d)
       .select(col("vec_id"),
@@ -746,6 +760,16 @@ object SparkEntry {
     // ---- text: quality scoring ----
     "quality_score" -> ((s, d) =>
       TextAnalysis.qualityScores(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // ---- L4j: robust per-source outlier gate (median/MAD over doc
+    //      length — heavy-tail-safe, exact: integral values land the
+    //      medians on .0/.5). Two tiny grouped percentile aggs
+    //      broadcast back; the corpus never shuffles ----
+    "quality_outliers" -> ((s, d) =>
+      TextAnalysis.robustOutliers(Tables.documents(s, d), "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("med"), col("mad"), col("is_outlier"))
+        .orderBy("doc_id")),
 
     // ---- text: fingerprints (rolling hash + content hash) ----
     "fingerprints" -> ((s, d) =>
@@ -1929,6 +1953,28 @@ object SparkEntry {
          |SELECT doc_id, array_to_string(list(id ORDER BY i), ',') AS ids_csv
          |FROM toks JOIN vid USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "quality_outliers" ->
+      """WITH m AS (
+        |  SELECT source, median(n_chars) AS med
+        |  FROM documents GROUP BY source),
+        |d2 AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, m.med
+        |  FROM documents d JOIN m USING (source)),
+        |md AS (
+        |  SELECT source, median(abs(n_chars - med)) AS mad
+        |  FROM d2 GROUP BY source)
+        |SELECT doc_id, d2.source, n_chars, med, mad,
+        |  (abs(n_chars - med) > 3.0 * mad) AS is_outlier
+        |FROM d2 JOIN md USING (source)
+        |ORDER BY doc_id""".stripMargin,
+
+    "f14_variant" ->
+      """SELECT event_id, event_type,
+        |  json_extract(props, '$.k')::BIGINT AS k,
+        |  NULL::BIGINT AS missing_path,
+        |  'OBJECT<k: BIGINT>' AS sch
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "w9_interval_merge" ->
       """WITH iv AS (

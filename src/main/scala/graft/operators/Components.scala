@@ -81,6 +81,85 @@ object Components {
       .select(col(nodeC), col("_lab").as("component"))
   }
 
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SOCC'14) — the
+    * adversarial-diameter path [[connectedComponents]]'s docstring
+    * points at. Hash-min needs DIAMETER rounds (a 10⁶-node chain — a
+    * crawl frontier, a reply thread — needs 10⁶ shuffles); star
+    * contraction doubles the pointer-jump per round and converges in
+    * O(log n) rounds on ANY shape. Same per-round primitive cost — one
+    * min-aggregate + one join over O(E) rows, no collect_list (a hub's
+    * neighborhood never materializes as one array) — so it's strictly
+    * the safer default when the graph shape is unknown.
+    *
+    * Each round: large-star points every neighbor v > u at
+    * m = min(Γ(u) ∪ {u}); small-star re-points each node's
+    * smaller-or-equal neighbors (and itself) at m. Both preserve
+    * connectivity exactly (proof in the paper); the fixpoint is a
+    * forest of stars rooted at component minima. Edges stay in
+    * canonical (min, max) orientation; the bit_xor checksum over the
+    * canonical edge set detects the fixpoint in one scalar agg. */
+  def starContractionComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    require(nodes.columns.length == 1, "nodes must have exactly one column")
+    require(edges.columns.length == 2, "edges must have exactly (src, dst)")
+    val Seq(srcC, dstC) = edges.columns.toSeq
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("_a"), col("_b")).as("_a"),
+        greatest(col("_a"), col("_b")).as("_b"))
+      .filter(col("_a") =!= col("_b")).distinct()
+
+    var e = canon(edges.select(col(srcC).as("_a"), col(dstC).as("_b")))
+      .localCheckpoint()
+
+    def checksum(df: DataFrame): Long =
+      df.agg(coalesce(expr("bit_xor(xxhash64(_a, _b))"), lit(0L)))
+        .head.getLong(0)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.select(col("_a").as("_u"), col("_b").as("_v"))
+        .union(e.select(col("_b").as("_u"), col("_a").as("_v")))
+      val m = nbr.groupBy("_u")
+        .agg(min("_v").as("_mv"))
+        .select(col("_u"), least(col("_mv"), col("_u")).as("_m"))
+      canon(nbr.join(m, "_u").filter(col("_v") > col("_u"))
+        .select(col("_v").as("_a"), col("_m").as("_b")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical _a < _b ⇒ every edge is already (smaller, larger):
+      // direct it larger→smaller and re-point each node's small side
+      val dir = e.select(col("_b").as("_u"), col("_a").as("_v"))
+      val m = dir.groupBy("_u").agg(min("_v").as("_m")) // _m < _u always
+      canon(dir.join(m, "_u")
+        .select(col("_v").as("_a"), col("_m").as("_b"))
+        .union(m.select(col("_u").as("_a"), col("_m").as("_b"))))
+    }
+
+    var prev = checksum(e)
+    var converged = prev == 0L // empty edge set: nothing to contract
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      e = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"starContractionComponents did not converge in $maxRounds rounds " +
+        "— O(log n) expected; the edge set is likely growing from a bug " +
+        "upstream (non-integral ids? self-loop storm?)")
+    // fixpoint = stars: every non-root appears as _b exactly once with
+    // _a = its component root; roots and singletons label themselves
+    val lab = e.select(col("_b").as("_n"), col("_a").as("_lab"))
+      .groupBy("_n").agg(min("_lab").as("_lab"))
+    val nodeC = nodes.columns.head
+    nodes.join(lab, nodes(nodeC) === lab("_n"), "left")
+      .select(col(nodeC), coalesce(col("_lab"), col(nodeC)).as("component"))
+  }
+
   /** L2g — documents clustered by transitive n-gram-Jaccard near-dup
     * candidacy: edges from `Dedup.ngramJaccardPairs` (blocked on
     * `blockCol`), components over ALL docs (singletons keep their own

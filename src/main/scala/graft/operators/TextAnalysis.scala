@@ -39,6 +39,31 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       qualityScore(col("text"), col("n_chars")).as("quality"))
 
+  /** L4j — robust per-group outlier flagging via median/MAD (the
+    * Gopher/FineWeb-style length-distribution gate): a doc is an
+    * outlier when |x − median| > k·MAD of its group. Median + MAD,
+    * not mean + stddev, because web-scale length distributions are
+    * heavy-tailed — one 500 MB doc drags a mean-based gate into
+    * keeping every piece of boilerplate under it.
+    *
+    * Two grouped exact-percentile aggregates (group cardinality is
+    * tiny — sources/languages — so the non-partial percentile agg
+    * collapses map-side per group) and two broadcast joins back onto
+    * the corpus: the fact table never shuffles. Exactness: `value` is
+    * integral, so medians land on .0/.5 and every comparison is exact
+    * in binary across engines. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
+  }
+
   /** Rolling-hash + content fingerprints (dedup keys, doc identity). */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -333,6 +333,27 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(a != b)
   }
 
+  test("L4j robust outliers: median/MAD hand model, heavy tail ignored") {
+    // group A lengths: 10,10,10,12,1000 → med=10, |x-med|=0,0,0,2,990
+    // → mad=0 … a zero MAD flags ANY deviation: 12 and 1000 outliers.
+    // group B: 5,7,9,11,13 → med=9, devs 4,2,0,2,4 → mad=2, k=3 →
+    // threshold 6: nothing flagged (the mean/stddev version would let
+    // B's 13 look extreme if A's 1000 leaked into a global stat).
+    val docs = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 10L), (4L, "A", 12L),
+      (5L, "A", 1000L),
+      (6L, "B", 5L), (7L, "B", 7L), (8L, "B", 9L), (9L, "B", 11L),
+      (10L, "B", 13L)).toDF("doc_id", "src", "n")
+    val got = graft.operators.TextAnalysis.robustOutliers(docs, "src", "n")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Boolean]("is_outlier")))).toMap
+    assert(got(1L) == ((10.0, 0.0, false)))
+    assert(got(4L) == ((10.0, 0.0, true)))
+    assert(got(5L) == ((10.0, 0.0, true)))
+    (6L to 10L).foreach(id => assert(got(id) == ((9.0, 2.0, false)), id))
+  }
+
   test("langGuess picks the stopword-dominant language") {
     val cases = Seq(
       "the cat sat on the mat and it is that" -> "en",
