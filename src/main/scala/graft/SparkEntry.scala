@@ -1122,6 +1122,75 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("pos"), col("n_tokens"),
           col("bin"), col("bin_offset"))
         .orderBy("pos")
+    }),
+
+    // ---- SAMP: A-Res weighted sample — length-proportional draw
+    //      ("sample by tokens, not by documents"); map-only score +
+    //      TakeOrderedAndProject top-k, no full sort ----
+    "samp_weighted" -> ((s, d) =>
+      graft.operators.Sampling
+        .weightedSample(Tables.documents(s, d), col("doc_id"), col("n_chars"),
+          k = 40, salt = "w1")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    // ---- SAMP: per-stratum A-Res (k per language, weight-proportional
+    //      within the stratum) — one hash exchange + window, no global
+    //      ordering ----
+    "samp_weighted_group" -> ((s, d) =>
+      graft.operators.Sampling
+        .weightedSamplePerGroup(Tables.documents(s, d), col("lang"),
+          col("doc_id"), col("n_chars"), k = 5, salt = "w2")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "doc_id")),
+
+    // ---- L4g: BM25 keyword retrieval (log-free rational idf,
+    //      micro-unit integer scores — exact across engines) ----
+    "l4g_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopDocs(Tables.documents(s, d),
+        Seq("hash", "join", "filter"), k = 10)),
+
+    // ---- G4: fixed-iteration integer PageRank over the symmetrized
+    //      device↔SSID bipartite graph ("which APs anchor the
+    //      neighborhood") — 3 unrolled (join + map-combined sum)
+    //      rounds, BIGINT micro-units end to end ----
+    "g4_pagerank" -> ((s, d) => {
+      val obs = ev(s, d).select(
+        concat(lit("u:"), col("user_id")).as("mac"),
+        concat(lit("t:"), col("event_type")).as("ssid"))
+      val und = graft.operators.NetworkTree.edges(obs)
+      val dir = und.select(col("mac").as("src"), col("ssid").as("dst"), col("weight"))
+        .union(und.select(col("ssid").as("src"), col("mac").as("dst"), col("weight")))
+      graft.operators.PageRank.pageRankFixed(dir, "src", "dst", "weight", iters = 3)
+        .orderBy("node")
+    }),
+
+    // ---- J9: grid-bucketed radius self-join (all point pairs within
+    //      r=6) — the equi-join rewrite of an O(n²) spatial cross join.
+    //      Prime-moduli scatter (13s mod 97, 29s mod 89) spreads the
+    //      keys pseudo-uniformly over a true 2-D field (a shared
+    //      modulus would collapse the points onto a 1-D lattice) ----
+    "j9_radius_join" -> ((s, d) => {
+      val pts = Tables.supplier(s, d).select(col("s_suppkey").as("pid"),
+        ((col("s_suppkey") * 13) % 97).as("x"), ((col("s_suppkey") * 29) % 89).as("y"))
+      graft.operators.SpatialJoin.radiusPairs(pts, "pid", "x", "y", r = 6.0)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- A12: relational count-min sketch — fixed 4×1024 counter
+    //      matrix replayed exactly by the oracle; est ≥ exact always ----
+    "a12_cms_heavy" -> ((s, d) => {
+      val e = ev(s, d)
+      val cms = graft.operators.CountMin.build(e, col("user_id"),
+        depth = 4, width = 1024, salt = "cm")
+      val keys = e.select(col("user_id")).distinct()
+      val est = graft.operators.CountMin.estimate(cms, keys, "user_id",
+        depth = 4, width = 1024, salt = "cm")
+      val exact = e.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      est.join(exact, "user_id")
+        .filter(col("est") >= 60L)
+        .select(col("user_id"), col("exact_n"), col("est"))
+        .orderBy("user_id")
     })
   )
 
@@ -2070,8 +2139,127 @@ object SparkEntry {
          |  FROM shuffled)
          |SELECT doc_id, lang, pos, toks AS n_tokens,
          |  (strt // 256)::BIGINT AS bin, (strt % 256)::BIGINT AS bin_offset
-         |FROM packed ORDER BY pos""".stripMargin
+         |FROM packed ORDER BY pos""".stripMargin,
+
+    "samp_weighted" ->
+      s"""SELECT doc_id, n_chars FROM (
+         |  SELECT doc_id, n_chars FROM documents WHERE n_chars > 0
+         |  ORDER BY power((${SampGate("'w1'")} + 1)::DOUBLE / 4294967296.0,
+         |                 1.0 / n_chars::DOUBLE) DESC, doc_id
+         |  LIMIT 40)
+         |ORDER BY doc_id""".stripMargin,
+
+    "samp_weighted_group" ->
+      s"""SELECT lang, doc_id, n_chars FROM (
+         |  SELECT lang, doc_id, n_chars, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY power((${SampGate("'w2'")} + 1)::DOUBLE / 4294967296.0,
+         |                   1.0 / n_chars::DOUBLE) DESC, doc_id) AS rn
+         |  FROM documents WHERE n_chars > 0)
+         |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+
+    "l4g_bm25" -> Bm25Sql(Seq("hash", "join", "filter"), k = 10, k1 = 1.2, b = 0.75),
+
+    "g4_pagerank" -> PageRankSql(iters = 3, damping = 0.85),
+
+    "j9_radius_join" ->
+      """WITH p AS (
+        |  SELECT s_suppkey AS pid, ((s_suppkey * 13) % 97)::BIGINT AS x,
+        |         ((s_suppkey * 29) % 89)::BIGINT AS y
+        |  FROM supplier)
+        |SELECT a.pid AS id_a, b.pid AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |FROM p a JOIN p b
+        |  ON a.pid < b.pid
+        | AND b.x BETWEEN a.x - 6 AND a.x + 6
+        | AND b.y BETWEEN a.y - 6 AND a.y + 6
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 36
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "a12_cms_heavy" -> {
+      def bkt(iExpr: String) =
+        s"('0x' || substr(md5(concat_ws('', user_id::VARCHAR, 'cm', $iExpr)), 1, 8))::BIGINT % 1024"
+      s"""WITH cells AS (
+         |  SELECT i AS row, ${bkt("i::VARCHAR")} AS bucket
+         |  FROM events, unnest(generate_series(0, 3)) t(i)),
+         |cms AS (
+         |  SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT user_id, i AS row, ${bkt("i::VARCHAR")} AS bucket
+         |  FROM (SELECT DISTINCT user_id FROM events), unnest(generate_series(0, 3)) t(i)),
+         |est AS (
+         |  SELECT p.user_id, min(coalesce(c.cnt, 0))::BIGINT AS est
+         |  FROM probes p LEFT JOIN cms c USING (row, bucket)
+         |  GROUP BY p.user_id),
+         |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id)
+         |SELECT e.user_id, x.exact_n, e.est
+         |FROM est e JOIN exact x USING (user_id)
+         |WHERE e.est >= 60
+         |ORDER BY e.user_id""".stripMargin
+    }
   )
+
+  /** DuckDB twin of TextAnalysis.bm25TopDocs: same tokenizer, same
+    * log-free idf ratio, same micro-unit quantization. Float constants
+    * interpolate from the SAME Scala doubles the engine folds into its
+    * plan (Double.toString round-trips, so both engines evaluate with
+    * bit-identical constants). */
+  private def Bm25Sql(terms: Seq[String], k: Int, k1: Double, b: Double): String = {
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH dl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT
+       |         ELSE len($ToksSql)::BIGINT END AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+       |hits AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest($ToksSql) AS tok FROM documents)
+       |  WHERE tok IN $termList),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY 1, 2),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(((stats.n - dft.df + 0.5) / (dft.df + 0.5)) *
+       |      ((tf.tf * ${k1 + 1.0}) /
+       |        (tf.tf + $k1 * (${1.0 - b} + $b * (dl.dl / stats.avgdl)))) *
+       |      1000000.0) AS BIGINT) AS contrib_u
+       |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id, sum(contrib_u)::BIGINT AS score_u, count(*)::BIGINT AS n_terms
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score_u DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB twin of PageRank.pageRankFixed on the symmetrized
+    * device↔SSID graph: `iters` unrolled CTE rounds of the same
+    * integer-quantized update. */
+  private def PageRankSql(iters: Int, damping: Double): String = {
+    val baseU = math.floor((1.0 - damping) * 1000000.0).toLong
+    def round(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""m$i AS (
+         |  SELECT ew.dst AS node,
+         |    sum(CAST(floor(p.pr_u::DOUBLE * ew.w / ew.wout) AS BIGINT)) AS m
+         |  FROM ew JOIN $prev p ON ew.src = p.node GROUP BY 1),
+         |r$i AS (
+         |  SELECT n.node,
+         |    ($baseU + CAST(floor($damping * coalesce(m$i.m, 0)) AS BIGINT))::BIGINT AS pr_u
+         |  FROM nodes n LEFT JOIN m$i ON n.node = m$i.node)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT 'u:' || user_id::VARCHAR AS src, 't:' || event_type AS dst,
+       |         count(*) AS w
+       |  FROM events GROUP BY 1, 2),
+       |ed AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed
+       |          UNION SELECT DISTINCT dst FROM ed),
+       |ow AS (SELECT src, sum(w) AS wout FROM ed GROUP BY src),
+       |ew AS (SELECT ed.src, ed.dst, ed.w, ow.wout FROM ed JOIN ow USING (src)),
+       |r0 AS (SELECT node, 1000000::BIGINT AS pr_u FROM nodes),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT node, pr_u FROM r$iters ORDER BY node""".stripMargin
+  }
 
   /** DuckDB replay of Sampling.hashGate: uint32 of md5(key‖salt)[0:8],
     * concat_ws mirroring the engine's null-key handling. */

@@ -40,6 +40,55 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(hashGate(key, salt) < lit(threshold(fraction)))
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    * IPL 2006), deterministic: each row draws a reproducible uniform
+    * u ∈ (0, 1] from the md5 gate and scores `u^(1/w)`; the k largest
+    * scores are the sample. P(row selected) is proportional to its
+    * weight — the length/token-proportional draw a training-data
+    * pipeline needs ("sample 1B tokens", not "1M documents", from a
+    * 100 TB corpus). Content-addressed like [[hashSample]], so the
+    * sample is identical across retries, partitionings, and engines.
+    *
+    * Scale shape: the score is map-only (no shuffle, no state) and the
+    * global top-k compiles to TakeOrderedAndProject — per-partition
+    * heaps of k rows + one k-sized driver merge, never a full sort.
+    * Rows with weight ≤ 0 or NULL carry zero selection mass and are
+    * dropped, matching A-Res's w > 0 domain.
+    *
+    * Cross-engine note: pow() may differ by ulps across libm
+    * implementations, which could only flip the selection if two
+    * scores were within ~1 ulp — adjacent order statistics of 2³²
+    * distinct gate draws are ~2⁻ⁿ · rows apart, astronomically wider.
+    * Exact ties (identical key+weight) break on the key ordering. */
+  def aresScore(key: Column, weight: Column, salt: String): Column =
+    pow((hashGate(key, salt) + lit(1L)).cast("double") / lit(4294967296.0),
+      lit(1.0) / weight.cast("double"))
+
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"sample size k must be positive (got $k)")
+    df.filter(weight > lit(0))
+      .withColumn("_ares", aresScore(key, weight, salt))
+      .orderBy(col("_ares").desc, key)
+      .limit(k)
+      .drop("_ares")
+  }
+
+  /** Per-stratum A-Res: k rows per group, weight-proportional within
+    * the group (balanced per-source draws). One hash exchange on the
+    * group key, then a per-partition window — no global ordering. */
+  def weightedSamplePerGroup(df: DataFrame, group: Column, key: Column,
+      weight: Column, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"sample size k must be positive (got $k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(col("_ares").desc, key)
+    df.filter(weight > lit(0))
+      .withColumn("_ares", aresScore(key, weight, salt))
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_ares", "_rn")
+  }
+
   /** Stratified hash sample: per-stratum fractions (e.g. per-language
     * mixture weights for a training corpus), applied via a BROADCAST
     * join of the (stratum → threshold) table — no when-chain to

@@ -184,6 +184,56 @@ object TextAnalysis {
         s => s.getField("id")).as("ids"))
   }
 
+  /** L4k — BM25 retrieval: top-`k` documents for a bag-of-terms query
+    * (Robertson/Spärck Jones probabilistic ranking — the scoring half
+    * of keyword search over a curation corpus: "find every doc about
+    * X" before a filter/inspect pass). Per (doc, term):
+    *
+    *   idf  = (N − df + 0.5) / (df + 0.5)          [log-free ratio]
+    *   tfn  = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   score = Σ_terms floor(idf · tfn · 10⁶)       [BIGINT micro-units]
+    *
+    * The idf keeps Robertson's odds ratio but drops the ln() — a
+    * monotone per-term transform that keeps the score rational in
+    * (+,−,×,÷,floor), all correctly-rounded IEEE ops, so the DuckDB
+    * twin reproduces the exact bit pattern (ln may differ by 1 ulp
+    * across libm builds). Per-term contributions quantize to BIGINT
+    * micro-units BEFORE the per-doc sum, making the sum order-free —
+    * distributed partial-agg order cannot perturb the result.
+    *
+    * Scale shape: tokens filter to the query terms AT THE EXPLODE (the
+    * corpus-sized token stream dies immediately — only query-term hits
+    * survive); df is |terms|-sized and broadcasts; the doc-length table
+    * joins on doc_id (co-partitioned with tf); the global top-k is
+    * TakeOrderedAndProject, never a full sort. */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val dl = docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("dl"))
+    // N and avgdl as a broadcast 1-row join — one lazy plan, no action
+    val stats = dl.groupBy().agg(count(lit(1)).as("_n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("_avgdl"))
+    val hits = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val contrib =
+      ((col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      ((col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("_avgdl")))))
+    tf.join(broadcast(dft), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(contrib * lit(1000000.0)).cast("long").as("contrib_u"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib_u")).as("score_u"),
+        count(lit(1)).cast("long").as("n_terms"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Top-`k` TF-IDF terms per doc. Two aggregations and a join, all on
     * the token key: (doc, tok) term counts; doc frequency per token; a
     * broadcast-able df table joined back; per-doc top-k by score.

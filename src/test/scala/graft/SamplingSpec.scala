@@ -143,6 +143,38 @@ class SamplingSpec extends SparkTestBase {
     assert(a != (0L until 4000L).toSeq, "order must actually be shuffled")
   }
 
+  test("A-Res weighted sample: deterministic, k-sized, weight-biased") {
+    val wpop = ((0L until 500L).map(i => (i, 1L)) ++
+      (500L until 1000L).map(i => (i, 20L))).toDF("id", "w")
+    val a = Sampling.weightedSample(wpop, col("id"), col("w"), 100, "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(wpop.repartition(13), col("id"), col("w"), 100, "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same salt + same rows must select the same sample at any partitioning")
+    assert(a.size == 100)
+    // heavy rows hold 10000/10500 ≈ 95% of the mass; their expected
+    // share of a 100-draw WOR sample is ≥ ~90
+    val heavy = a.count(_ >= 500L)
+    assert(heavy > 80, s"weight-20 rows underrepresented: $heavy/100")
+  }
+
+  test("A-Res: non-positive and NULL weights carry no selection mass") {
+    val wpop = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, Some(-4L)),
+      (4L, Option.empty[Long]), (5L, Some(5L))).toDF("id", "w")
+    val got = Sampling.weightedSample(wpop, col("id"), col("w"), 10, "z")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 5L))
+  }
+
+  test("A-Res per group: k rows per stratum, fewer when the stratum is smaller") {
+    val wpop = ((0L until 90L).map(i => (i, "big", i + 1L)) ++
+      (90L until 92L).map(i => (i, "tiny", 1L))).toDF("id", "g", "w")
+    val got = Sampling.weightedSamplePerGroup(wpop, col("g"), col("id"), col("w"), 5, "s")
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("big" -> 5L, "tiny" -> 2L))
+  }
+
   test("null keys are a deterministic group, not silently dropped") {
     val withNulls = Seq((Some(1L), "a"), (None, "b"), (None, "c"), (Some(2L), "d"))
       .toDF("k", "v")
