@@ -86,29 +86,40 @@ object Bench {
       }
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    def line(fmtQ: Double => String, keep: Double => Boolean): String = {
-      val qs = ok.toSeq.filter(kv => keep(kv._2)).sortBy(_._1)
+    def line(fmtQ: Double => String, kept: Set[String]): String = {
+      val dropped = ok.size - kept.size
+      val droppedJson = if (dropped == 0) "" else s""","n_qdropped":$dropped"""
+      val qs = ok.toSeq.filter(kv => kept(kv._1)).sortBy(_._1)
         .map { case (k, v) => jq(k) + ":" + fmtQ(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$failedJson,"sf":${jq(sfName)}}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$droppedJson$failedJson,"sf":${jq(sfName)}}"""
     }
     // Hard byte budget: the line plus sbt's ~75-byte [success] trailer
     // must fit the driver's 2000-byte output tail, or the line truncates
     // mid-JSON and the whole round's bench fails to parse. Degrade
     // gracefully: full 1-decimal timings; then integer timings for the
     // >=10s outliers only (steal-noise width, where the decimal carries
-    // no signal anyway); then integers everywhere; then drop the
-    // sub-0.5s entries (they'd print as 0 — a query absent from an
-    // integer-precision map is one that rounded to zero); last resort,
-    // totals only (an empty map still parses).
-    val all = (_: Double) => true
-    val out = Iterator[(Double => String, Double => Boolean)](
-        (v => fmt(v, 1), all),
-        (v => if (v >= 10) fmt(v, 0) else fmt(v, 1), all),
-        (v => fmt(v, 0), all),
-        (v => fmt(v, 0), v => v >= 0.5),
-        (v => fmt(v, 0), _ => false))
-      .map { case (f, keep) => line(f, keep) }.find(_.length <= 1922)
-      .getOrElse(line(v => fmt(v, 0), _ => false))
+    // no signal anyway); then integers everywhere; then keep only the
+    // SLOWEST entries that fit (largest k by time — they carry the
+    // baseline-comparison signal; "n_qdropped" counts the fast tail so
+    // the omission is explicit, and every dropped entry is ≤ the
+    // smallest kept value); last resort, totals only (still parses).
+    val allKeys = ok.keySet
+    val budget = 1922
+    val fullPrec = Iterator[Double => String](
+        v => fmt(v, 1),
+        v => if (v >= 10) fmt(v, 0) else fmt(v, 1),
+        v => fmt(v, 0))
+      .map(f => line(f, allKeys)).find(_.length <= budget)
+    val out = fullPrec.getOrElse {
+      val intFmt = (v: Double) => fmt(v, 0)
+      val byTimeDesc = ok.toSeq.sortBy { case (k, v) => (-v, k) }.map(_._1)
+      // largest k whose line fits: line length is monotone in k, so
+      // scan down from the full set
+      (byTimeDesc.size to 0 by -1).iterator
+        .map(k => line(intFmt, byTimeDesc.take(k).toSet))
+        .find(_.length <= budget)
+        .getOrElse(line(intFmt, Set.empty))
+    }
     println(out)
     spark.stop()
   }
