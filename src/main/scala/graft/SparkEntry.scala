@@ -1191,7 +1191,34 @@ object SparkEntry {
         .filter(col("est") >= 60L)
         .select(col("user_id"), col("exact_n"), col("est"))
         .orderBy("user_id")
-    })
+    }),
+
+    // ---- A13: ordered funnel (view → click → purchase): chained
+    //      conditional min-aggregates co-partitioned on user_id — no
+    //      window over the log, no per-user arrays ----
+    "a13_funnel" -> ((s, d) =>
+      graft.operators.ProductAnalytics
+        .funnelTimes(ev(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          date_format(col("t1"), "yyyy-MM-dd HH:mm:ss.SSS").as("t1"),
+          date_format(col("t2"), "yyyy-MM-dd HH:mm:ss.SSS").as("t2"),
+          date_format(col("t3"), "yyyy-MM-dd HH:mm:ss.SSS").as("t3"))
+        .orderBy("user_id")),
+
+    // ---- A14: cohort retention triangle (first-seen day × offset) ----
+    "a14_retention" -> ((s, d) =>
+      graft.operators.ProductAnalytics.retention(ev(s, d), "user_id", "ts")
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")),
+
+    // ---- A15: first-order event-type transition matrix (Markov
+    //      structure of device behavior) ----
+    "a15_transitions" -> ((s, d) =>
+      graft.operators.ProductAnalytics
+        .transitions(ev(s, d), "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type"))
   )
 
   // ================================================================
@@ -2196,7 +2223,51 @@ object SparkEntry {
          |FROM est e JOIN exact x USING (user_id)
          |WHERE e.est >= 60
          |ORDER BY e.user_id""".stripMargin
-    }
+    },
+
+    "a13_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.user_id, min(s1.t1) AS t1,
+        |         min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |  GROUP BY s1.user_id),
+        |s3 AS (
+        |  SELECT s2.user_id, min(s2.t1) AS t1, min(s2.t2) AS t2,
+        |         min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |  GROUP BY s2.user_id)
+        |SELECT user_id,
+        |  strftime(t1, '%Y-%m-%d %H:%M:%S.%g') AS t1,
+        |  strftime(t2, '%Y-%m-%d %H:%M:%S.%g') AS t2,
+        |  strftime(t3, '%Y-%m-%d %H:%M:%S.%g') AS t3
+        |FROM s3 ORDER BY user_id""".stripMargin,
+
+    "a14_retention" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id)
+        |SELECT strftime(fd.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  date_diff('day', fd.cohort_day, e.ts::DATE)::BIGINT AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN fd ON e.user_id = fd.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "a15_transitions" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM b
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n)::BIGINT AS row_n FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(c.n::DOUBLE / t.row_n, 4) + 0.0 AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin
   )
 
   /** DuckDB twin of TextAnalysis.bm25TopDocs: same tokenizer, same

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProductAnalytics
+
+/** Event-sequence analytics: funnel ordering semantics, the retention
+  * triangle, and transition-matrix normalization — all against hand
+  * models. */
+class ProductAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // u1 completes view→click→purchase in order; u2 clicks BEFORE its
+  // first view (must not count) and never purchases; u3 views only;
+  // u4 never views (absent from the funnel even though it purchases)
+  private lazy val funnelEvents = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "view", 1L),
+    (1L, ts("2024-01-01 10:05:00"), "click", 2L),
+    (1L, ts("2024-01-01 10:30:00"), "purchase", 3L),
+    (2L, ts("2024-01-02 08:00:00"), "click", 4L),
+    (2L, ts("2024-01-02 09:00:00"), "view", 5L),
+    (3L, ts("2024-01-03 12:00:00"), "view", 6L),
+    (4L, ts("2024-01-04 12:00:00"), "purchase", 7L))
+    .toDF("user_id", "ts", "event_type", "event_id")
+
+  test("funnel: strictly-after chaining, NULL once the chain breaks") {
+    val got = ProductAnalytics
+      .funnelTimes(funnelEvents, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3)))
+    assert(got.length == 3, "only step-1 users appear")
+    assert(got(0) == ((1L, ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 10:05:00"), ts("2024-01-01 10:30:00"))))
+    // u2's click predates its view: t2 must be NULL, not the 08:00 click
+    assert(got(1) == ((2L, ts("2024-01-02 09:00:00"), null, null)))
+    assert(got(2) == ((3L, ts("2024-01-03 12:00:00"), null, null)))
+  }
+
+  test("funnel: a later same-type event after the previous step still counts") {
+    val e = Seq(
+      (9L, ts("2024-01-01 08:00:00"), "click", 1L), // too early
+      (9L, ts("2024-01-01 09:00:00"), "view", 2L),
+      (9L, ts("2024-01-01 09:30:00"), "click", 3L)) // counts
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = ProductAnalytics
+      .funnelTimes(e, "user_id", "ts", "event_type", Seq("view", "click"))
+      .collect().head
+    assert(got.getTimestamp(2) == ts("2024-01-01 09:30:00"))
+  }
+
+  test("retention: cohort day is the first-seen day; offsets count distinct users") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00")), (2L, ts("2024-01-02 11:00:00")),
+      (3L, ts("2024-01-02 09:00:00")))
+      .toDF("user_id", "ts")
+    val got = ProductAnalytics.retention(e, "user_id", "ts")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd"),
+        col("day_offset"), col("n_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L),  // u1+u2 on their own day (dup same-day rows collapse)
+      ("2024-01-01", 1L, 1L),  // u2 back next day
+      ("2024-01-01", 2L, 1L),  // u1 back on day 3
+      ("2024-01-02", 0L, 1L))) // u3's own cohort
+  }
+
+  test("transitions: bigrams follow (ts, tie) order and rows normalize to 1") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 10:01:00"), "b", 2L),
+      (1L, ts("2024-01-01 10:02:00"), "a", 3L),
+      (2L, ts("2024-01-01 10:00:00"), "a", 4L),
+      (2L, ts("2024-01-01 10:03:00"), "b", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = ProductAnalytics
+      .transitions(e, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // a→b twice (u1, u2), b→a once (u1); no cross-user bigram
+    assert(got == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))))
+    val byRow = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    byRow.foreach { case (row, p) => assert(math.abs(p - 1.0) < 1e-9, row) }
+  }
+
+  test("transitions: same-timestamp events break ties on the tiebreaker column") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "x", 2L),
+      (1L, ts("2024-01-01 10:00:00"), "y", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = ProductAnalytics
+      .transitions(e, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("y", "x")), "event_id order decides the bigram direction")
+  }
+}
