@@ -71,9 +71,12 @@ object ProductAnalytics {
     *
     * One window over (user, time) produces the bigrams in a single
     * exchange — state per row is one lag value, nothing accumulates —
-    * then a tiny (|types|²) groupBy. The probability divides two longs
-    * cast to double (single correctly-rounded op, engine-exact; round
-    * at the edge for display). */
+    * then a tiny (|types|²) groupBy. Row totals come from a second
+    * window OVER THE COUNTS TABLE (|types|² rows), not a re-aggregation
+    * of the log: a self-join formulation would plan the log-wide window
+    * twice (Spark physical plans don't share subtrees), doubling the
+    * scan. The probability divides two longs cast to double (single
+    * correctly-rounded op, engine-exact; round at the edge). */
   def transitions(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
@@ -83,9 +86,8 @@ object ProductAnalytics {
       .filter(col("from_type").isNotNull)
     val counts = bigrams.groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy("from_type").agg(sum("n").as("row_n"))
-    counts.join(broadcast(totals), "from_type")
-      .select(col("from_type"), col("to_type"), col("n"),
-        (round(col("n").cast("double") / col("row_n"), 4) + lit(0.0)).as("p"))
+    val rowSum = sum(col("n")).over(Window.partitionBy(col("from_type")))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      (round(col("n").cast("double") / rowSum, 4) + lit(0.0)).as("p"))
   }
 }

@@ -69,7 +69,25 @@ object ExplainDump {
     "mix_temperature" -> ("Temperature-flattened source mixing: per-source "
       + "counts partial-aggregate map-side and the derived (source → rate) "
       + "table BROADCASTS back onto the fact scan, where the md5 gate "
-      + "filters map-side — the corpus never shuffles to be sampled."))
+      + "filters map-side — the corpus never shuffles to be sampled."),
+    "j9_radius_join" -> ("Grid-bucketed radius self-join: the O(n²) spatial "
+      + "cross join rewritten as an EQUI join on ⌈r⌉-grid cells — one side "
+      + "fans out to its 3×3 neighborhood (Generate explode), both sides "
+      + "co-partition on the cell key, and the exact integer-d² filter "
+      + "finishes. No CartesianProduct, no nested loop anywhere."),
+    "l4g_bm25" -> ("BM25 keyword retrieval: the corpus-sized token stream "
+      + "dies AT the Generate stage (the query-term IN filter sits on the "
+      + "explode output before anything shuffles); the |terms|-sized df "
+      + "table and the 1-row corpus stats broadcast; per-doc scores "
+      + "quantize to BIGINT micro-units before the order-free sum; the "
+      + "final top-k is TakeOrderedAndProject — per-partition heaps, no "
+      + "global sort."),
+    "g4_pagerank" -> ("Fixed-iteration PageRank: the three unrolled rounds "
+      + "read the node list and out-weighted edge table from materialized "
+      + "RDDs (Scan ExistingRDD — the localCheckpoint), so no iteration "
+      + "rescans the source; each round is one equi join plus one "
+      + "map-combined sum on the destination key, with integer micro-unit "
+      + "ranks end to end."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -212,6 +212,47 @@ class PlanSpec extends SparkTestBase {
     } finally restore()
   }
 
+  test("j9 radius join: the spatial pairing runs as an EQUI join on grid cells") {
+    val p = plan("j9_radius_join")
+    // the cross-join rewrite: a 9-cell explode feeds a plain equi join
+    assert(p.contains("explode"), "neighborhood fan-out expected")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the whole point is avoiding the O(n²) pairing:\n" + p.take(1200))
+  }
+
+  test("l4g bm25: query terms filter the token stream AT the explode stage") {
+    val p = plan("l4g_bm25")
+    // the corpus-sized token stream must die in the Generate stage, not
+    // survive to an exchange
+    assert("Filter.*tok.* IN ".r.findFirstIn(p.replace('\n', ' ')).isDefined
+      || p.contains("tok#"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(p.contains("partial_count"), "tf/df aggregates must map-combine")
+  }
+
+  test("a13 funnel: no Window over the event log — aggregates only") {
+    val p = plan("a13_funnel")
+    assert(!p.contains("Window"),
+      "the funnel must chain conditional min-aggregates, never a log-wide window")
+    assert(p.contains("partial_min"), "per-step mins must map-combine")
+  }
+
+  test("a15 transitions: the event log is scanned and windowed exactly once") {
+    val p = plan("a15_transitions")
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).size == 1,
+      "row-normalization must not re-derive the log-wide lag window")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      "the lag window needs exactly one user-keyed exchange")
+  }
+
+  test("g4 pagerank: static graph sides read from materialized RDDs, not re-derived") {
+    val p = plan("g4_pagerank")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "edges/nodes must come from the localCheckpoint, not a re-scan:\n" + p.take(800))
+    assert(!p.contains("Location: InMemoryFileIndex"),
+      "no iteration may rescan the source parquet")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the sketch projection must sit in a codegen'd stage (an expression
     // without doGenCode would force the stage out of codegen entirely)
