@@ -1218,7 +1218,19 @@ object SparkEntry {
     "a15_transitions" -> ((s, d) =>
       graft.operators.ProductAnalytics
         .transitions(ev(s, d), "user_id", "ts", "event_type", "event_id")
-        .orderBy("from_type", "to_type"))
+        .orderBy("from_type", "to_type")),
+
+    // ---- O5: 2-D Pareto frontier (skyline) via the two-level bucketed
+    //      running min — never a partitionless data-wide window. The
+    //      oracle replays the QUADRATIC dominance definition (a
+    //      different algorithm agreeing is the stronger check) ----
+    "o5_skyline" -> ((s, d) => {
+      val pts = Tables.part(s, d).select(col("p_retailprice").as("x"),
+        pmod(conv(substring(md5(col("p_partkey").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100000L)).as("y"))
+      graft.operators.Skyline.paretoFrontier2D(pts, "x", "y", bucketWidth = 10.0)
+        .orderBy("x", "y")
+    })
   )
 
   // ================================================================
@@ -2267,7 +2279,18 @@ object SparkEntry {
         |SELECT c.from_type, c.to_type, c.n,
         |  round(c.n::DOUBLE / t.row_n, 4) + 0.0 AS p
         |FROM c JOIN t USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "o5_skyline" ->
+      """WITH d AS (
+        |  SELECT DISTINCT p_retailprice AS x,
+        |    (('0x' || substr(md5(p_partkey::VARCHAR), 1, 8))::BIGINT % 100000) AS y
+        |  FROM part)
+        |SELECT x, y FROM d p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d q
+        |  WHERE q.x <= p.x AND q.y <= p.y AND (q.x <> p.x OR q.y <> p.y))
+        |ORDER BY x, y""".stripMargin
   )
 
   /** DuckDB twin of TextAnalysis.bm25TopDocs: same tokenizer, same
