@@ -23,6 +23,22 @@ object SparkEntry {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
+  /** Deterministic synthetic URL per document (testdata carries no URL
+    * column): case/subdomain/TLD/slash/query variants keyed off
+    * decorrelated doc_id moduli, so canonicalization and domain
+    * extraction have real work to do. The DuckDB twin re-derives the
+    * identical string ([[UrlSynthSql]]). */
+  private def synthUrl: org.apache.spark.sql.Column = {
+    val sub = when(col("doc_id") % 7 < 4, lit("www.")).otherwise(lit("cdn."))
+    val hostCore = when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source"))
+    val tld = when(col("doc_id") % 11 < 6, lit(".com")).otherwise(lit(".org"))
+    val slash = when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit(""))
+    val query = when(col("doc_id") % 2 === 0,
+      concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string"))).otherwise(lit(""))
+    concat(lit("https://"), sub, hostCore, tld, lit("/docs/"),
+      (col("doc_id") % 97).cast("string"), slash, query)
+  }
+
   /** Synthetic multi-sensor geometry shared by living_area and
     * geo_cell_census: 50 devices on a 10×10 grid, sensor positions and
     * exact distances derived from lineitem keys (truth known, so the
@@ -333,13 +349,18 @@ object SparkEntry {
       // freq BE 19-20, zero 21, rssi raw 22, proto 23, zeros 24-25,
       // subtype 0x40 at 26, zeros 27-29, broadcast dest 30-35,
       // src MAC 36-41, zeros 42-60, ssid len 61, ssid bytes 62+
-      val hexFrame = format_string(
-        ("0" * 38) + "%04X" + "00" + "%02X" + "00" + "0000" + "40" +
-          "000000" + "FFFFFFFFFFFF" + "%012X" + ("0" * 38) + "%02X" + "%s",
-        lit(2412) + (col("event_id") % 13) * 5,
-        lit(165) + (col("event_id") % 30),
-        col("user_id"),
-        length(col("event_type")),
+      // hex pieces via lpad(hex(..)) — codegen'd string ops, not the
+      // per-row java.util.Formatter that format_string compiles to
+      // (measured ~2× on this synth-heavy query)
+      val hexFrame = concat(
+        lit("0" * 38),
+        lpad(hex(lit(2412) + (col("event_id") % 13) * 5), 4, "0"),
+        lit("00"),
+        lpad(hex(lit(165) + (col("event_id") % 30)), 2, "0"),
+        lit("00" + "0000" + "40" + "000000" + "FFFFFFFFFFFF"),
+        lpad(hex(col("user_id")), 12, "0"),
+        lit("0" * 38),
+        lpad(hex(length(col("event_type"))), 2, "0"),
         upper(hex(encode(col("event_type"), "US-ASCII"))))
       val frames = e.select(col("ts"), col("event_id").as("sensorId"),
         unhex(hexFrame).as("bytes"))
@@ -1219,6 +1240,30 @@ object SparkEntry {
       graft.operators.ProductAnalytics
         .transitions(ev(s, d), "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+
+    // ---- L2k: URL canonicalization dedup — case drift, trailing
+    //      slashes, and tracking params collapse to one crawl key ----
+    "l2k_url_canon" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.UrlFunctions.canonicalUrl(synthUrl).as("curl"))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("curl")),
+
+    // ---- L4m: registered-domain census (the per-domain cap /
+    //      allowlist gate runs off exactly this table) ----
+    "l4m_domains" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(graft.functions.UrlFunctions.registeredDomain(synthUrl).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n"))
+        .orderBy("domain")),
+
+    // ---- L4n: OOV-bigram fluency gate (log-free perplexity proxy:
+    //      share of a doc's bigrams outside the top-1000 LM) ----
+    "l4n_oov_rate" -> ((s, d) =>
+      TextAnalysis.oovBigramRate(Tables.documents(s, d), lmSize = 1000)
+        .orderBy("doc_id")),
 
     // ---- O5: 2-D Pareto frontier (skyline) via the two-level bucketed
     //      running min — never a partitionless data-wide window. The
@@ -2281,6 +2326,37 @@ object SparkEntry {
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
 
+    "l2k_url_canon" ->
+      s"""WITH u AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),
+         |c AS (SELECT doc_id,
+         |  lower(regexp_extract(url, '^https://([^/?#]+)', 1)) ||
+         |  regexp_replace(regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1), '/+$$', '') AS curl
+         |  FROM u)
+         |SELECT curl, count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM c GROUP BY curl ORDER BY curl""".stripMargin,
+
+    "l4m_domains" ->
+      s"""WITH u AS (SELECT doc_id, $UrlSynthSql AS url FROM documents)
+         |SELECT regexp_extract(lower(regexp_extract(url, '^https://([^/?#]+)', 1)),
+         |                      '([^.]+\\.[^.]+)$$', 1) AS domain,
+         |       count(*) AS n
+         |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "l4n_oov_rate" -> {
+      val ngrams2 = s"list_distinct(list_transform(generate_series(1, " +
+        s"greatest(len($ToksSql)-1, 0)), i -> array_to_string(($ToksSql)[i:i+1], ' ')))"
+      s"""WITH g AS (SELECT doc_id, unnest($ngrams2) AS g FROM documents),
+         |c AS (SELECT g, count(*) AS n FROM g GROUP BY g),
+         |lm AS (SELECT g, 1 AS _in FROM c ORDER BY n DESC, g LIMIT 1000),
+         |r AS (
+         |  SELECT g.doc_id, count(*) AS n_bigrams,
+         |    sum(CASE WHEN lm._in IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+         |  FROM g LEFT JOIN lm USING (g) GROUP BY g.doc_id)
+         |SELECT doc_id, n_bigrams, n_oov,
+         |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
     "o5_skyline" ->
       """WITH d AS (
         |  SELECT DISTINCT p_retailprice AS x,
@@ -2354,6 +2430,15 @@ object SparkEntry {
        |${(1 to iters).map(round).mkString(",\n")}
        |SELECT node, pr_u FROM r$iters ORDER BY node""".stripMargin
   }
+
+  /** DuckDB replay of [[synthUrl]] — identical string, same moduli. */
+  private val UrlSynthSql: String =
+    "'https://' || CASE WHEN doc_id % 7 < 4 THEN 'www.' ELSE 'cdn.' END || " +
+    "CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END || " +
+    "CASE WHEN doc_id % 11 < 6 THEN '.com' ELSE '.org' END || " +
+    "'/docs/' || (doc_id % 97)::VARCHAR || " +
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || " +
+    "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=' || doc_id::VARCHAR ELSE '' END"
 
   /** DuckDB replay of Sampling.hashGate: uint32 of md5(key‖salt)[0:8],
     * concat_ws mirroring the engine's null-key handling. */

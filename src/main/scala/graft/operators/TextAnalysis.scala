@@ -234,6 +234,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** L4n — OOV-bigram fluency gate: the share of a document's distinct
+    * word bigrams NOT found in a reference language model built from
+    * the corpus's `lmSize` highest-support bigrams. A log-free fluency
+    * proxy (perplexity without the ln(): gibberish and boilerplate both
+    * sit far from the high-support bigram mass) — rational arithmetic
+    * end to end, so the DuckDB twin is bit-exact.
+    *
+    * Scale shape: the LM is top-k by (support, gram) — a
+    * TakeOrderedAndProject over the map-combined gram counts, never a
+    * global sort — and broadcasts (`lmSize` rows) onto the gram stream;
+    * the only corpus-wide exchanges are the gram-count groupBy and the
+    * per-doc aggregate. */
+  def oovBigramRate(docs: DataFrame, lmSize: Int = 1000): DataFrame = {
+    require(lmSize > 0, s"lmSize must be positive (got $lmSize)")
+    val grams = docs.select(col("doc_id"),
+      explode(wordNgrams(col("text"), 2)).as("g"))
+    val support = grams.groupBy("g").agg(count(lit(1)).as("n"))
+    val lm = support.orderBy(col("n").desc, col("g")).limit(lmSize)
+      .select(col("g"), lit(1).as("_in"))
+    grams.join(broadcast(lm), Seq("g"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("_in").isNull, 1).otherwise(0)).cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_bigrams"), 4) + lit(0.0))
+  }
+
   /** Top-`k` TF-IDF terms per doc. Two aggregations and a join, all on
     * the token key: (doc, tok) term counts; doc frequency per token; a
     * broadcast-able df table joined back; per-doc top-k by score.
