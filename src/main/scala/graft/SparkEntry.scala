@@ -463,6 +463,25 @@ object SparkEntry {
         .orderBy("user_id", "hr")
     }),
 
+    // ---- T2b/T3b: MULTISET set ops (bag semantics — multiplicities
+    //      survive, unlike the distinct-set t2/t3 forms). Output
+    //      re-aggregated to (key, multiplicity) for a stable order ----
+    "t2b_intersect_all" -> ((s, d) => {
+      val e = ev(s, d)
+      e.filter(col("event_type") === "view").select("user_id")
+        .intersectAll(e.filter(col("event_type") === "click").select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("multiplicity"))
+        .orderBy("user_id")
+    }),
+
+    "t3b_except_all" -> ((s, d) => {
+      val e = ev(s, d)
+      e.filter(col("event_type") === "view").select("user_id")
+        .exceptAll(e.filter(col("event_type") === "click").select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("multiplicity"))
+        .orderBy("user_id")
+    }),
+
     // ---- T4: dedup (duplicate frames, fixture rows 3-4) ----
     "t4_dedup" -> ((s, d) => ev(s, d)
       .dropDuplicates("user_id", "event_type")
@@ -1575,6 +1594,20 @@ object SparkEntry {
       """SELECT user_id, hour(ts) AS hr FROM events WHERE event_type = 'click'
         |EXCEPT SELECT user_id, hour(ts) FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, hr""".stripMargin,
+
+    "t2b_intersect_all" ->
+      """SELECT user_id, count(*) AS multiplicity FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'click')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "t3b_except_all" ->
+      """SELECT user_id, count(*) AS multiplicity FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'click')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "t4_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
