@@ -113,9 +113,12 @@ object Bench {
     val out = fullPrec.getOrElse {
       val intFmt = (v: Double) => fmt(v, 0)
       val byTimeDesc = ok.toSeq.sortBy { case (k, v) => (-v, k) }.map(_._1)
-      // largest k whose line fits: line length is monotone in k, so
-      // scan down from the full set
-      (byTimeDesc.size to 0 by -1).iterator
+      // NOT monotone in k at the top boundary (dropping the first entry
+      // ADDS the n_qdropped field, which can outweigh a short entry), so
+      // every k is tested rather than binary-searched. k = |ok| was
+      // already proven too long by fullPrec's integer attempt — start
+      // below it.
+      ((byTimeDesc.size - 1) to 0 by -1).iterator
         .map(k => line(intFmt, byTimeDesc.take(k).toSet))
         .find(_.length <= budget)
         .getOrElse(line(intFmt, Set.empty))

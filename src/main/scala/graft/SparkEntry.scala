@@ -351,7 +351,11 @@ object SparkEntry {
       // src MAC 36-41, zeros 42-60, ssid len 61, ssid bytes 62+
       // hex pieces via lpad(hex(..)) — codegen'd string ops, not the
       // per-row java.util.Formatter that format_string compiles to
-      // (measured ~2× on this synth-heavy query)
+      // (measured ~2× on this synth-heavy query). Domain bound: the
+      // src-MAC field is 48-bit by definition, so user_id must stay
+      // below 2^48 — lpad would TRUNCATE longer hex (and the oracle's
+      // printf would not), but a 13-hex-digit "MAC" is already outside
+      // the frame format
       val hexFrame = concat(
         lit("0" * 38),
         lpad(hex(lit(2412) + (col("event_id") % 13) * 5), 4, "0"),
@@ -1354,9 +1358,13 @@ object SparkEntry {
   private val Shingles5Sql =
     "list_distinct(list_transform(generate_series(1, greatest(length(lower(text))-4, 0)), i -> (lower(text))[i:i+4]))"
 
-  /** DuckDB expr: distinct word-3-grams. */
-  private val Ngrams3Sql =
-    s"list_distinct(list_transform(generate_series(1, greatest(len($ToksSql)-2, 0)), i -> array_to_string(($ToksSql)[i:i+2], ' ')))"
+  /** DuckDB expr: distinct word n-grams (mirror of TextFunctions
+    * .wordNgrams — DuckDB list slices are INCLUSIVE, so [i:i+n-1] is n
+    * elements). One definition for every gram width. */
+  private def NgramsSql(n: Int) =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($ToksSql)-${n - 1}, 0)), " +
+      s"i -> array_to_string(($ToksSql)[i:i+${n - 1}], ' ')))"
+  private val Ngrams3Sql = NgramsSql(3)
 
   private val StopEn = TextFunctions.StopwordsByLang("en").map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -2376,9 +2384,7 @@ object SparkEntry {
          |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
 
     "l4n_oov_rate" -> {
-      val ngrams2 = s"list_distinct(list_transform(generate_series(1, " +
-        s"greatest(len($ToksSql)-1, 0)), i -> array_to_string(($ToksSql)[i:i+1], ' ')))"
-      s"""WITH g AS (SELECT doc_id, unnest($ngrams2) AS g FROM documents),
+      s"""WITH g AS (SELECT doc_id, unnest(${NgramsSql(2)}) AS g FROM documents),
          |c AS (SELECT g, count(*) AS n FROM g GROUP BY g),
          |lm AS (SELECT g, 1 AS _in FROM c ORDER BY n DESC, g LIMIT 1000),
          |r AS (

@@ -24,12 +24,13 @@ import org.apache.spark.sql.functions._
 object CountMin {
 
   /** Bucket of `key` in hash row `row`: first 8 hex chars of
-    * md5(key ‖ salt ‖ row) mod `width` — the same uint32 gate
-    * arithmetic as [[Sampling.hashGate]], replayable anywhere. */
+    * md5(key ‖ salt ‖ row) mod `width`. Delegates to
+    * [[Sampling.hashGate]] — ONE definition of the uint32 gate
+    * arithmetic, so a fix there (null handling, hex width) propagates
+    * here; concat_ws("", key, salt+row) produces the identical string
+    * to the oracle's concat_ws('', key, salt, row). */
   def bucket(key: Column, row: Int, width: Int, salt: String): Column =
-    pmod(conv(substring(md5(concat_ws("",
-      key.cast("string"), lit(salt), lit(row.toString))), 1, 8), 16, 10)
-      .cast("long"), lit(width.toLong))
+    pmod(Sampling.hashGate(key, salt + row.toString), lit(width.toLong))
 
   /** Build the sketch matrix: one (row, bucket, cnt) cell per occupied
     * counter (absent cells are zero). */

@@ -223,9 +223,12 @@ class PlanSpec extends SparkTestBase {
   test("l4g bm25: query terms filter the token stream AT the explode stage") {
     val p = plan("l4g_bm25")
     // the corpus-sized token stream must die in the Generate stage, not
-    // survive to an exchange
-    assert("Filter.*tok.* IN ".r.findFirstIn(p.replace('\n', ' ')).isDefined
-      || p.contains("tok#"), p.take(1500))
+    // survive to an exchange: the IN filter must be the Generate's
+    // direct parent in the tree
+    assert("tok#\\d+ IN \\(hash,join,filter\\)".r.findFirstIn(p).isDefined,
+      "query-term IN filter missing:\n" + p.take(1500))
+    assert("Filter \\(\\d+\\)\\s*\\n[\\s:]*\\+- Generate".r.findFirstIn(p).isDefined,
+      "the term filter must sit directly on the explode output:\n" + p.take(1500))
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
     assert(p.contains("partial_count"), "tf/df aggregates must map-combine")
   }
