@@ -1288,6 +1288,15 @@ object SparkEntry {
       TextAnalysis.oovBigramRate(Tables.documents(s, d), lmSize = 1000)
         .orderBy("doc_id")),
 
+    // ---- W10: dense hourly resample + forward fill (telemetry
+    //      densification; sequence() bounded per key, one key window) ----
+    "w10_gap_fill" -> ((s, d) =>
+      graft.operators.Resample.hourlyForwardFill(ev(s, d), "user_id", "ts")
+        .select(col("user_id"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("n_obs"), col("n_filled"))
+        .orderBy("user_id", "hr")),
+
     // ---- O5: 2-D Pareto frontier (skyline) via the two-level bucketed
     //      running min — never a partitionless data-wide window. The
     //      oracle replays the QUADRATIC dominance definition (a
@@ -2395,6 +2404,23 @@ object SparkEntry {
          |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "w10_gap_fill" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+        |j AS (
+        |  SELECT g.user_id, g.hr, h.n
+        |  FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr)
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr,
+        |  coalesce(n, 0)::BIGINT AS n_obs,
+        |  (last_value(n IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hr
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS n_filled
+        |FROM j ORDER BY user_id, hr""".stripMargin,
 
     "o5_skyline" ->
       """WITH d AS (
