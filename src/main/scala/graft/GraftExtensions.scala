@@ -138,5 +138,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               Literal(AccentedChars), Literal(AccentFolded)),
             Literal("[\\x00-\\x1F\\x7F]"), Literal(" "), Literal(1)),
           Literal(" +"), Literal(" "), Literal(1))) }))
+    // URL family (L2k/L4m): resolved catalyst trees mirroring
+    // UrlFunctions (the Bridge round-trip would leave unresolved
+    // column nodes inside injectFunction, which never re-analyze)
+    def urlHostExpr(u: Expression): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.{Lower, ParseUrl}
+      Lower(ParseUrl(Seq(u, Literal("HOST")), failOnError = false))
+    }
+    ext.injectFunction(one("graft_url_host")(urlHostExpr))
+    ext.injectFunction(one("graft_registered_domain")(u => {
+      import org.apache.spark.sql.catalyst.expressions.RegExpExtract
+      RegExpExtract(urlHostExpr(u), Literal("([^.]+\\.[^.]+)$"), Literal(1))
+    }))
+    ext.injectFunction(one("graft_canonical_url")(u => {
+      import org.apache.spark.sql.catalyst.expressions.{Coalesce, Concat, ParseUrl, RegExpReplace}
+      Concat(Seq(urlHostExpr(u),
+        RegExpReplace(
+          Coalesce(Seq(ParseUrl(Seq(u, Literal("PATH")), failOnError = false),
+            Literal(""))),
+          Literal("/+$"), Literal(""), Literal(1))))
+    }))
   }
 }

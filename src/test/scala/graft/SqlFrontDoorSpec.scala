@@ -85,6 +85,25 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(dsl == r.getAs[String]("n"))
   }
 
+  test("URL family resolves from SQL and equals the Column API") {
+    val s = sqlSpark
+    import s.implicits._
+    Seq("https://CDN.Site.COM/Docs/5/?utm=x#frag", "not a url")
+      .toDF("u").createOrReplaceTempView("tu")
+    val r = s.sql(
+      """SELECT graft_canonical_url(u) AS c, graft_url_host(u) AS h,
+        |  graft_registered_domain(u) AS d FROM tu ORDER BY u""".stripMargin)
+      .collect()
+    assert(r(0).getString(0) == "cdn.site.com/Docs/5")
+    assert(r(0).getString(1) == "cdn.site.com")
+    assert(r(0).getString(2) == "site.com")
+    assert(r(1).isNullAt(1), "malformed URL must degrade to NULL host")
+    val dsl = s.table("tu").orderBy($"u")
+      .select(graft.functions.UrlFunctions.canonicalUrl($"u"))
+      .collect().map(x => Option(x.getString(0)))
+    assert(dsl.head.contains(r(0).getString(0)), "SQL and DSL must agree")
+  }
+
   test("string-free shingle family and byte access resolve from SQL") {
     val s = sqlSpark
     import s.implicits._

@@ -138,6 +138,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming URL dedup: recrawl variants collapse on the canonical key") {
+    // the L2k canonical key is a plain map-only column, so ST6's
+    // dropDuplicatesWithinWatermark runs on it unchanged — a live
+    // crawl frontier dedups ?utm/case/slash recrawls with bounded state
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val docs = in.toDF().selectExpr("_1 as doc_id", "_2 as url", "_3 as ts")
+      .withColumn("curl",
+        graft.functions.UrlFunctions.canonicalUrl(
+          org.apache.spark.sql.functions.col("url")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("curl")
+    val q = docs.writeStream.format("memory").queryName("surl_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, "https://www.site.com/a", ts("2024-01-01 10:00:00")),
+        (2L, "https://WWW.Site.COM/a/", ts("2024-01-01 10:01:00")),   // variant: dropped
+        (3L, "https://www.site.com/b", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      in.addData(
+        (4L, "http://www.site.com/a?utm_source=x", ts("2024-01-01 10:03:00")), // recrawl: dropped
+        (5L, "https://cdn.site.com/a", ts("2024-01-01 10:04:00")))    // new host: kept
+      q.processAllAvailable()
+      val kept = spark.table("surl_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 5L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("S1 production source: frames over a real TCP socket parse end-to-end") {
     val server = new java.net.ServerSocket(0)
     val payload = java.util.Base64.getEncoder.encodeToString(probeFrame(0x33))
