@@ -1288,6 +1288,37 @@ object SparkEntry {
       TextAnalysis.oovBigramRate(Tables.documents(s, d), lmSize = 1000)
         .orderBy("doc_id")),
 
+    // ---- T6: keyed snapshot diff (fleet re-upload reconciliation /
+    //      corpus-version CDC): added/removed/changed/unchanged per key,
+    //      content reduced to a digest BEFORE the full outer join ----
+    "t6_snapshot_diff" -> ((s, d) => {
+      // two fleet uploads of per-device profiles: the old upload is
+      // missing some devices (added), the new one dropped others
+      // (removed), and a slice of devices kept recording past the old
+      // cutoff (changed); the rest match bit-for-bit (unchanged)
+      val e = ev(s, d)
+      val cut = lit("2024-01-25").cast("timestamp")
+      def profile(df: org.apache.spark.sql.DataFrame) = df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("t"))
+      val old = profile(e.filter(col("ts") < cut))
+        .filter(col("user_id") % 13 =!= 0)
+      val neu = profile(e.filter(col("ts") < cut || col("user_id") % 3 === 0))
+        .filter(col("user_id") % 11 =!= 0)
+      graft.operators.Snapshot.diff(old, neu, "user_id", Seq("n", "t"))
+        .orderBy("user_id")
+    }),
+
+    // ---- W11: SCD2 history build — consecutive same-state runs
+    //      collapse to validity intervals; both event-wide windows
+    //      share one (key)-ordered exchange ----
+    "w11_scd2" -> ((s, d) =>
+      graft.operators.Snapshot.scd2(ev(s, d), "user_id", "ts", "event_type", "event_id")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSS").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSS").as("valid_to"),
+          col("n_events"))
+        .orderBy("user_id", "valid_from")),
+
     // ---- W10: dense hourly resample + forward fill (telemetry
     //      densification; sequence() bounded per key, one key window) ----
     "w10_gap_fill" -> ((s, d) =>
@@ -2404,6 +2435,50 @@ object SparkEntry {
          |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "t6_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT user_id, md5(concat_ws(chr(31), coalesce(count(*)::VARCHAR, chr(0)),
+        |    coalesce(count(DISTINCT event_type)::VARCHAR, chr(0)))) AS oh
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+        |  GROUP BY user_id HAVING user_id % 13 <> 0),
+        |n AS (
+        |  SELECT user_id, md5(concat_ws(chr(31), coalesce(count(*)::VARCHAR, chr(0)),
+        |    coalesce(count(DISTINCT event_type)::VARCHAR, chr(0)))) AS nh
+        |  FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-25 00:00:00' OR user_id % 3 = 0
+        |  GROUP BY user_id HAVING user_id % 11 <> 0)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  CASE WHEN o.oh IS NULL THEN 'added'
+        |       WHEN n.nh IS NULL THEN 'removed'
+        |       WHEN o.oh <> n.nh THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "w11_scd2" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, run, min(event_type) AS event_type,
+        |    min(ts) AS vf, count(*) AS n_events
+        |  FROM r GROUP BY 1, 2),
+        |f AS (
+        |  SELECT user_id, event_type, vf,
+        |    lead(vf) OVER (PARTITION BY user_id ORDER BY run) AS vt, n_events
+        |  FROM g)
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S.%g') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S.%g') AS valid_to, n_events
+        |FROM f ORDER BY user_id, valid_from""".stripMargin,
 
     "w10_gap_fill" ->
       """WITH h AS (

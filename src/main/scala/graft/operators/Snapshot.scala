@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** T6/W11 — dataset-version operators: what changed between two
+  * snapshots, and the full validity-interval history of a changing
+  * attribute. The reference's fleet design re-uploads sensor databases
+  * wholesale (`ssidentity.c:30`); reconciling a re-upload against the
+  * central store IS a snapshot diff, and "what SSID was this device
+  * probing during June" is the SCD2 question. The same two operators
+  * version 100 TB training corpora (corpus v2 vs v1; when each document
+  * entered/left the mix).
+  */
+object Snapshot {
+
+  /** T6 — keyed diff of two snapshots: one row per key present in
+    * either side, with status `added` / `removed` / `changed` /
+    * `unchanged`. Content compares via an md5 digest with an explicit
+    * field frame: columns join on the 0x1F unit separator (a bare
+    * concat would alias ("ab","c") with ("a","bc")) and NULL encodes
+    * as 0x00 — distinct from the empty string, and NULL == NULL on
+    * both sides compares unchanged instead of poisoning the digest.
+    *
+    * One full outer join co-partitioned on the key; both sides carry
+    * only (key, content-hash) through the exchange — value columns are
+    * reduced to a fixed-width digest scan-side, so a wide table diffs
+    * at key-column shuffle cost. */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "diff needs at least one value column")
+    def digest(df: DataFrame, as: String) = df.select(col(key),
+      md5(concat_ws("\u001f",
+        valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as))
+    digest(oldSnap, "_oh").join(digest(newSnap, "_nh"), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("_oh").isNull, lit("added"))
+          .when(col("_nh").isNull, lit("removed"))
+          .when(col("_oh") =!= col("_nh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** W11 — SCD2 history: collapse a per-key change log into validity
+    * intervals [valid_from, valid_to) per observed state, consecutive
+    * repeats merged (type-2 slowly-changing-dimension build). valid_to
+    * is NULL on each key's current (open) interval.
+    *
+    * Two window passes: the change-mark lag and the run-id running sum
+    * share ONE (key)-ordered exchange (same partitioning and ordering,
+    * one Window exec); the lead() for valid_to runs over the already
+    * run-collapsed table — interval-count rows, not event-count. */
+  def scd2(events: DataFrame, key: String, ts: String, state: String,
+      tie: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val marked = events
+      .withColumn("_chg",
+        when(lag(col(state), 1).over(w).isNull ||
+          !(lag(col(state), 1).over(w) <=> col(state)), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val runs = marked.groupBy(col(key), col("_run"))
+      .agg(min(col(state)).as(state), min(col(ts)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy(col(key)).orderBy(col("_run"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .select(col(key), col(state), col("valid_from"), col("valid_to"),
+        col("n_events"))
+  }
+}

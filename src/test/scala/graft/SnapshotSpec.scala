@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Snapshot
+
+/** Snapshot diff and SCD2 history: hand models for every status /
+  * interval shape, NULL-safety of the content digest, and run-collapse
+  * semantics. */
+class SnapshotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("diff: all four statuses, NULL values compare safely") {
+    val old = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, Option.empty[String], 30L), (4L, Some("d"), 40L))
+      .toDF("k", "v1", "v2")
+    val neu = Seq((1L, Some("a"), 10L),                 // unchanged
+      (2L, Some("B"), 20L),                             // changed
+      (3L, Option.empty[String], 30L),                  // unchanged (null == null)
+      (5L, Some("e"), 50L))                             // added; 4 removed
+      .toDF("k", "v1", "v2")
+    val got = Snapshot.diff(old, neu, "k", Seq("v1", "v2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("diff digest frames fields: shifted boundaries and NULL-vs-empty are CHANGED") {
+    val old = Seq((1L, "ab", "c"), (2L, "", "x")).toDF("k", "v1", "v2")
+    val neu = Seq((1L, "a", "bc"), (2L, null.asInstanceOf[String], "x"))
+      .toDF("k", "v1", "v2")
+    val got = Snapshot.diff(old, neu, "k", Seq("v1", "v2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // an unframed concat would hash ("ab","c") == ("a","bc") and "" == NULL
+    assert(got == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  test("scd2: consecutive repeats collapse; the current interval stays open") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "home", 1L),
+      (1L, ts("2024-01-01 11:00:00"), "home", 2L),  // same run
+      (1L, ts("2024-01-01 12:00:00"), "work", 3L),
+      (1L, ts("2024-01-01 13:00:00"), "home", 4L),  // home AGAIN = new run
+      (2L, ts("2024-01-02 09:00:00"), "cafe", 5L))
+      .toDF("user_id", "ts", "state", "event_id")
+    val got = Snapshot.scd2(e, "user_id", "ts", "state", "event_id")
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "home", ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 12:00:00")), 2L),
+      (1L, "work", ts("2024-01-01 12:00:00"), Some(ts("2024-01-01 13:00:00")), 1L),
+      (1L, "home", ts("2024-01-01 13:00:00"), None, 1L), // re-entry = NEW interval
+      (2L, "cafe", ts("2024-01-02 09:00:00"), None, 1L)))
+  }
+
+  test("scd2 intervals tile each key's timeline: from(next) == to(prev), no overlap") {
+    val e = (0L until 300L).map(i =>
+      (i % 5, ts(f"2024-01-${(i % 28) + 1}%02d 0${(i % 9)}:00:00"),
+        s"s${(i * 7) % 3}", i)).toDF("user_id", "ts", "state", "event_id")
+    val rows = Snapshot.scd2(e, "user_id", "ts", "state", "event_id")
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), Option(r.getTimestamp(3))))
+    rows.groupBy(_._1).foreach { case (_, iv) =>
+      iv.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from, _)) => assert(to == from)
+        case _ => ()
+      }
+      assert(iv.init.forall(_._3.isDefined) && iv.last._3.isEmpty,
+        "only the last interval is open")
+    }
+  }
+}
