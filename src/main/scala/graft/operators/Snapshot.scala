@@ -22,6 +22,13 @@ object Snapshot {
     * concat would alias ("ab","c") with ("a","bc")) and NULL encodes
     * as 0x00 — distinct from the empty string, and NULL == NULL on
     * both sides compares unchanged instead of poisoning the digest.
+    * Contract: values must not CONTAIN the 0x00/0x1F control bytes —
+    * a value string equal to the 0x00 character digests like NULL, and an
+    * embedded 0x1F shifts field boundaries. True for any textual or
+    * numeric-rendered column; callers with raw-binary values should
+    * hex them first (escaping inside the digest would cost a regex
+    * pass per column per side at 100 TB for a case that sane schemas
+    * never hit).
     *
     * One full outer join co-partitioned on the key; both sides carry
     * only (key, content-hash) through the exchange — value columns are
@@ -52,11 +59,21 @@ object Snapshot {
     * run-collapsed table — interval-count rows, not event-count. */
   def scd2(events: DataFrame, key: String, ts: String, state: String,
       tie: String): DataFrame = {
+    Seq("_chg", "_run").foreach(c =>
+      require(!events.columns.contains(c),
+        s"input already has a '$c' column — it would collide with the run marks"))
+    Seq("valid_from", "valid_to", "n_events").foreach(c =>
+      require(!Seq(key, state).contains(c),
+        s"'$c' is an output column — rename the input '$c' first"))
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    // run boundary = state IS DISTINCT FROM its predecessor. The first
+    // row of an all-NULL run intentionally does NOT mark (NULL is not
+    // distinct from NULL — consecutive NULL states are ONE interval,
+    // matching the oracle's IS DISTINCT FROM); the first non-null row
+    // marks via !(NULL <=> state)
     val marked = events
       .withColumn("_chg",
-        when(lag(col(state), 1).over(w).isNull ||
-          !(lag(col(state), 1).over(w) <=> col(state)), 1L).otherwise(0L))
+        when(!(lag(col(state), 1).over(w) <=> col(state)), 1L).otherwise(0L))
       .withColumn("_run", sum(col("_chg")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
     val runs = marked.groupBy(col(key), col("_run"))

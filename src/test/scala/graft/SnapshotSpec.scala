@@ -58,6 +58,28 @@ class SnapshotSpec extends SparkTestBase {
       (2L, "cafe", ts("2024-01-02 09:00:00"), None, 1L)))
   }
 
+  test("scd2: consecutive NULL states form ONE interval (IS DISTINCT FROM semantics)") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option.empty[String], 1L),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[String], 2L), // same NULL run
+      (1L, ts("2024-01-01 12:00:00"), Some("home"), 3L),
+      (1L, ts("2024-01-01 13:00:00"), Option.empty[String], 4L)) // NULL again = new run
+      .toDF("user_id", "ts", "state", "event_id")
+    val got = Snapshot.scd2(e, "user_id", "ts", "state", "event_id")
+      .orderBy("valid_from")
+      .collect().map(r => (Option(r.getString(1)), r.getLong(4)))
+    assert(got.toSeq == Seq((None, 2L), (Some("home"), 1L), (None, 1L)))
+  }
+
+  test("scd2 rejects colliding column names with a clear message") {
+    val e = Seq((1L, ts("2024-01-01 10:00:00"), "a", 1L, 9L))
+      .toDF("user_id", "ts", "state", "event_id", "_run")
+    val err = intercept[IllegalArgumentException] {
+      Snapshot.scd2(e, "user_id", "ts", "state", "event_id")
+    }
+    assert(err.getMessage.contains("_run"))
+  }
+
   test("scd2 intervals tile each key's timeline: from(next) == to(prev), no overlap") {
     val e = (0L until 300L).map(i =>
       (i % 5, ts(f"2024-01-${(i % 28) + 1}%02d 0${(i % 9)}:00:00"),

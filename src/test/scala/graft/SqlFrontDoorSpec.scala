@@ -98,10 +98,15 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(r(0).getString(1) == "cdn.site.com")
     assert(r(0).getString(2) == "site.com")
     assert(r(1).isNullAt(1), "malformed URL must degrade to NULL host")
+    // SQL == DSL for ALL THREE functions on both rows (the hand-built
+    // catalyst trees must not drift from UrlFunctions)
+    import graft.functions.UrlFunctions
     val dsl = s.table("tu").orderBy($"u")
-      .select(graft.functions.UrlFunctions.canonicalUrl($"u"))
-      .collect().map(x => Option(x.getString(0)))
-    assert(dsl.head.contains(r(0).getString(0)), "SQL and DSL must agree")
+      .select(UrlFunctions.canonicalUrl($"u"), UrlFunctions.urlHost($"u"),
+        UrlFunctions.registeredDomain($"u"))
+      .collect().map(x => (0 to 2).map(i => Option(x.getString(i))).toSeq)
+    val sqlRows = r.map(x => (0 to 2).map(i => Option(x.getString(i))).toSeq).toSeq
+    assert(dsl.toSeq == sqlRows, "SQL and DSL must agree on every function")
   }
 
   test("string-free shingle family and byte access resolve from SQL") {
