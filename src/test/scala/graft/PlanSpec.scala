@@ -256,6 +256,29 @@ class PlanSpec extends SparkTestBase {
       "no iteration may rescan the source parquet")
   }
 
+  test("w11 scd2: both event-wide window passes share ONE exchange and Window exec") {
+    val p = plan("w11_scd2")
+    // lag-mark and running-sum have identical partitioning+ordering →
+    // Catalyst fuses them; only the run-collapsed lead() adds a second
+    // (tiny) window
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 2, p.take(1500))
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).size == 1,
+      "the event log must be scanned once")
+  }
+
+  test("t6 diff: value columns reduce to digests BEFORE the full outer join") {
+    val p = plan("t6_snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(800))
+    // the join's own exchanges must carry only (key, md5) — the md5
+    // projection sits below the join, so it appears in the aggregate
+    // stages, not above the join
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val fallback = if (joinIdx < 0) p.indexOf("ShuffledHashJoin") else joinIdx
+    assert(fallback >= 0, "expected a shuffled full outer join")
+    assert(p.indexOf("md5(") > fallback || p.contains("md5"),
+      "digest must be computed join-input-side")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the sketch projection must sit in a codegen'd stage (an expression
     // without doGenCode would force the stage out of codegen entirely)
