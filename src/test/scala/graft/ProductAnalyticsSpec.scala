@@ -88,6 +88,41 @@ class ProductAnalyticsSpec extends SparkTestBase {
     byRow.foreach { case (row, p) => assert(math.abs(p - 1.0) < 1e-9, row) }
   }
 
+  test("funnel matches a single-threaded reference on seeded random schedules") {
+    // reference: t1 = min ts of step-1 events; t_i = min ts of step-i
+    // events STRICTLY after t_{i-1}, None once the chain breaks
+    def reference(events: Seq[(Long, Long, String)], steps: Seq[String])
+        : Map[Long, Seq[Option[Long]]] =
+      events.groupBy(_._1).flatMap { case (u, es) =>
+        val byStep = es.groupBy(_._3).map { case (k, v) => k -> v.map(_._2) }
+        byStep.getOrElse(steps.head, Nil).minOption.map { t1 =>
+          u -> steps.tail.foldLeft(Seq[Option[Long]](Some(t1))) { (acc, step) =>
+            acc :+ acc.last.flatMap(p =>
+              byStep.getOrElse(step, Nil).filter(_ > p).minOption)
+          }
+        }
+      }
+    var s = 7L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+    val types = Seq("view", "click", "purchase", "noise")
+    val events = (0 until 2000).map { _ =>
+      (math.floorMod(next(), 40L),                  // user
+        math.floorMod(next(), 100000L),             // epoch-second
+        types(math.floorMod(next(), 4L).toInt))
+    }
+    val df = events.map { case (u, t, ty) =>
+      (u, new java.sql.Timestamp(t * 1000L), ty) }.toDF("user_id", "ts", "event_type")
+    val got = graft.operators.ProductAnalytics
+      .funnelTimes(df, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> (1 to 3).map(i =>
+        Option(r.getTimestamp(i)).map(_.getTime / 1000L)).toSeq).toMap
+    // duplicate (user, ts) pairs make min() well-defined either way;
+    // the reference uses the same min-by-time semantics
+    val want = reference(events, Seq("view", "click", "purchase"))
+    assert(got.keySet == want.keySet)
+    got.foreach { case (u, seq) => assert(seq == want(u), s"user $u") }
+  }
+
   test("transitions: same-timestamp events break ties on the tiebreaker column") {
     val e = Seq(
       (1L, ts("2024-01-01 10:00:00"), "x", 2L),
