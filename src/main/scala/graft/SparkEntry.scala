@@ -1288,6 +1288,28 @@ object SparkEntry {
       TextAnalysis.oovBigramRate(Tables.documents(s, d), lmSize = 1000)
         .orderBy("doc_id")),
 
+    // ---- Q2: declarative expectation report — every rule in ONE
+    //      aggregate over ONE scan; adding a rule adds a column,
+    //      not a pass over the corpus ----
+    "q2_quality_checks" -> ((s, d) =>
+      graft.operators.Quality.validate(Tables.documents(s, d), Seq(
+        "text_null" -> col("text").isNull,
+        "n_chars_negative" -> (col("n_chars") < 0),
+        "n_chars_mismatch" -> (col("n_chars") =!= length(col("text"))),
+        "lang_unknown" -> !col("lang").isin("en", "de", "fr", "ja"),
+        "text_too_short" -> (length(col("text")) < 10)))
+        .orderBy("rule")),
+
+    // ---- A16: distribution drift (total-variation distance) between
+    //      two fleet windows — log-free, rational, no smoothing ----
+    "a16_drift_tvd" -> ((s, d) => {
+      val e = ev(s, d)
+      val cut = lit("2024-01-16").cast("timestamp")
+      graft.operators.Quality.driftTvd(
+          e.filter(col("ts") < cut), e.filter(col("ts") >= cut), "event_type")
+        .orderBy("cat")
+    }),
+
     // ---- T6: keyed snapshot diff (fleet re-upload reconciliation /
     //      corpus-version CDC): added/removed/changed/unchanged per key,
     //      content reduced to a digest BEFORE the full outer join ----
@@ -2435,6 +2457,46 @@ object SparkEntry {
          |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "q2_quality_checks" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_text_null,
+        |    sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END)::BIGINT AS v_n_chars_negative,
+        |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT AS v_n_chars_mismatch,
+        |    sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'ja') THEN 1 ELSE 0 END)::BIGINT AS v_lang_unknown,
+        |    sum(CASE WHEN length(text) < 10 THEN 1 ELSE 0 END)::BIGINT AS v_text_too_short
+        |  FROM documents)
+        |SELECT r.rule, a.n AS n_rows, r.v AS n_violations, r.v = 0 AS pass
+        |FROM a, (
+        |  SELECT 'text_null' AS rule, v_text_null AS v FROM a UNION ALL
+        |  SELECT 'n_chars_negative', v_n_chars_negative FROM a UNION ALL
+        |  SELECT 'n_chars_mismatch', v_n_chars_mismatch FROM a UNION ALL
+        |  SELECT 'lang_unknown', v_lang_unknown FROM a UNION ALL
+        |  SELECT 'text_too_short', v_text_too_short FROM a) r
+        |ORDER BY rule""".stripMargin,
+
+    "a16_drift_tvd" ->
+      """WITH o AS (SELECT event_type AS cat, count(*) AS n_old FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+        |nw AS (SELECT event_type AS cat, count(*) AS n_new FROM events
+        |       WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(o.cat, nw.cat) AS cat,
+        |    coalesce(o.n_old, 0)::BIGINT AS n_old,
+        |    coalesce(nw.n_new, 0)::BIGINT AS n_new
+        |  FROM o FULL OUTER JOIN nw ON o.cat IS NOT DISTINCT FROM nw.cat),
+        |t AS (SELECT sum(n_old)::BIGINT AS v_to, sum(n_new)::BIGINT AS v_tn FROM j),
+        |p AS (
+        |  SELECT j.cat, j.n_old, j.n_new,
+        |    CAST(floor(abs(j.n_old::DOUBLE / t.v_to - j.n_new::DOUBLE / t.v_tn)
+        |      * 1000000000.0) AS BIGINT) AS absdiff_u
+        |  FROM j CROSS JOIN t)
+        |SELECT cat, n_old, n_new, absdiff_u FROM p
+        |UNION ALL
+        |SELECT 'ALL', sum(n_old)::BIGINT, sum(n_new)::BIGINT,
+        |  CAST(floor(sum(absdiff_u)::DOUBLE / 2.0) AS BIGINT) FROM p
+        |ORDER BY cat""".stripMargin,
 
     "t6_snapshot_diff" ->
       """WITH o AS (

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Q2/A16 — dataset health operators: declarative expectation checks
+  * (the Deequ-style contract gate that runs before a corpus version
+  * ships) and distribution drift between two snapshots (did the
+  * event-type / source / length mix move?).
+  */
+object Quality {
+
+  /** Q2 — expectation report: each rule is a named VIOLATION predicate;
+    * the report is one row per rule with row/violation counts and a
+    * pass flag. ALL rules evaluate in ONE aggregate over ONE scan
+    * (conditional counts map-combine; adding a rule adds a column to
+    * the agg, not a pass over 100 TB). The single agg row unpivots to
+    * per-rule rows — report-sized, not data-sized. */
+  def validate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "validate needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    val aggs = count(lit(1)).as("_n") +:
+      rules.map { case (name, violation) =>
+        sum(when(violation, 1L).otherwise(0L)).as(s"_v_$name") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(col("_n"), explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(s"_v_$name").as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("_n").as("n_rows"),
+        col("r.n_violations").as("n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+  }
+
+  /** A16 — total-variation distance between the categorical
+    * distributions of two snapshots: TVD = ½ Σ |p_c − q_c| over the
+    * union of categories. A log-free drift score (unlike PSI/KL it
+    * needs no epsilon smoothing and stays rational, so the oracle is
+    * bit-exact): 0 = identical mix, 1 = disjoint.
+    *
+    * Per-category |p−q| quantizes to 1e-9 units (BIGINT) BEFORE the
+    * sum — associative-exact, with a downward floor bias bounded by
+    * |categories| nano-units (irrelevant at drift-alerting precision,
+    * and the price of an engine-replayable exact integer) — and the
+    * category table is
+    * |categories|-sized, so everything after the two map-combined
+    * count aggregates is report-sized. Output: one row per category
+    * plus the 'ALL' total row (the TVD itself, in nano-units). */
+  def driftTvd(oldSnap: DataFrame, newSnap: DataFrame, category: String): DataFrame = {
+    def dist(df: DataFrame, catAs: String, n: String) =
+      df.groupBy(col(category).as(catAs)).agg(count(lit(1)).as(n))
+    // null-SAFE full outer join: a NULL category is one category, not
+    // two unmatched rows
+    val joined = dist(oldSnap, "_co", "n_old")
+      .join(dist(newSnap, "_cn", "n_new"), col("_co") <=> col("_cn"), "full_outer")
+      .select(coalesce(col("_co"), col("_cn")).as("cat"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum("n_old").as("_to"), sum("n_new").as("_tn"))
+    val perCat = joined.crossJoin(broadcast(totals))
+      .select(col("cat"), col("n_old"), col("n_new"),
+        floor(abs(col("n_old").cast("double") / col("_to") -
+          col("n_new").cast("double") / col("_tn")) * lit(1000000000.0))
+          .cast("long").as("absdiff_u"))
+    perCat.unionByName(perCat
+      .agg(sum("n_old").as("n_old"), sum("n_new").as("n_new"),
+        floor(sum("absdiff_u").cast("double") / lit(2.0)).cast("long").as("absdiff_u"))
+      .select(lit("ALL").as("cat"), col("n_old"), col("n_new"), col("absdiff_u")))
+  }
+}

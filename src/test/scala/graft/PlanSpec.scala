@@ -66,7 +66,7 @@ class PlanSpec extends SparkTestBase {
       "l2b_minhash_pairs", "l2e_simhash_pairs",
       // a broadcast of ONE row (the corpus count) attached to every
       // partition — the scalar-join idiom, O(n) work, not a pair blowup
-      "l4c_tfidf", "l4g_bm25",
+      "l4c_tfidf", "l4g_bm25", "a16_drift_tvd",
       // same scalar-join idiom: the 1-row weight total crosses onto the
       // source-count table (source-dimension-sized, tiny) before the
       // rate table broadcasts back to the fact scan
