@@ -344,7 +344,7 @@ object SparkEntry {
     //      parsed by the schema-on-read frame parser; the oracle predicts
     //      every decoded field directly from the event columns ----
     "s2_frame_parse" -> ((s, d) => {
-      val e = ev(s, d)
+      val e = Tables.spread(ev(s, d))  // per-row binary synth+parse is CPU-bound
       // layout per ssidentity.h:36-42 (0-based bytes): zeros 0-18,
       // freq BE 19-20, zero 21, rssi raw 22, proto 23, zeros 24-25,
       // subtype 0x40 at 26, zeros 27-29, broadcast dest 30-35,
@@ -633,7 +633,7 @@ object SparkEntry {
 
     // ---- L2: MinHash signatures (oracle-checked hash pipeline) ----
     "l2_minhash_sig" -> ((s, d) => {
-      val sig = Dedup.minHashSignatures(Tables.documents(s, d))
+      val sig = Dedup.minHashSignatures(Tables.spread(Tables.documents(s, d)))
       sig.select(col("doc_id") +:
         (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
         .orderBy("doc_id")
@@ -642,12 +642,12 @@ object SparkEntry {
     // L2: banded-LSH candidate pairs + exact-jaccard verify (scale path;
     // rows-only — pair enumeration itself is checked by l2c's oracle).
     "l2b_minhash_pairs" -> ((s, d) =>
-      Dedup.minHashNearDups(Tables.documents(s, d), threshold = 0.5)
+      Dedup.minHashNearDups(Tables.spread(Tables.documents(s, d)), threshold = 0.5)
         .orderBy("a_id", "b_id")),
 
     // ---- L2c: exact n-gram Jaccard near-dups (oracle) ----
     "l2c_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "source", n = 3, threshold = 0.2)
+      Dedup.ngramJaccardPairs(Tables.spread(Tables.documents(s, d)), "source", n = 3, threshold = 0.2)
         .orderBy("a_id", "b_id")),
 
     // ---- L2d: SimHash sketches (oracle) + near-dup pairs (rows-only) ----
@@ -660,13 +660,13 @@ object SparkEntry {
 
     // ---- L2f: embedding-cosine near-dups (exact, oracle) ----
     "l2f_embedding_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.4)
+      Dedup.embeddingNearDups(Tables.spread(Tables.embeddings(s, d)), threshold = 0.4)
         .orderBy("a_id", "b_id")),
 
     // ---- L2h: eval-set decontamination (benchmark n-gram overlap;
     //      eval grams broadcast — corpus text never shuffles) ----
     "l2h_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.spread(Tables.documents(s, d))
       Dedup.decontaminate(docs, docs.filter(col("doc_id") % 20 === 0),
           n = 3, minHits = 5L)
         .orderBy("doc_id")
@@ -691,7 +691,7 @@ object SparkEntry {
     //      label propagation; oracle = DuckDB recursive CTE) ----
     "l2g_dedup_clusters" -> ((s, d) =>
       graft.operators.Components
-        .dedupClusters(Tables.documents(s, d), "source", n = 3, threshold = 0.2)
+        .dedupClusters(Tables.spread(Tables.documents(s, d)), "source", n = 3, threshold = 0.2)
         .orderBy("doc_id")),
 
     // ---- L3: exact brute-force cosine top-k (oracle) ----
@@ -705,7 +705,7 @@ object SparkEntry {
     // L3: LSH-bucketed ANN (scale path; approximate → rows-only +
     // recall-vs-brute-force ScalaTest).
     "l3b_ann_lsh" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = Tables.spread(Tables.embeddings(s, d))
       Similarity.lshTopK(e.filter(col("vec_id") < 5),
           e.filter(col("vec_id") >= 5), k = 3)
         .orderBy(col("qid"), col("sim").desc, col("cid"))
@@ -714,7 +714,7 @@ object SparkEntry {
     // L3: IVF (learned coarse quantizer) ANN — approximate → rows-only +
     // recall-vs-brute-force ScalaTest.
     "l3c_ann_ivf" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = Tables.spread(Tables.embeddings(s, d))
       graft.operators.SimilarityIvf.ivfTopK(e.filter(col("vec_id") < 5),
           e.filter(col("vec_id") >= 5), k = 3)
         .orderBy(col("qid"), col("sim").desc, col("cid"))
@@ -724,7 +724,7 @@ object SparkEntry {
     // are m bytes/vector, embeddings never move at query time) —
     // approximate → rows-only + PqSpec ADC-identity and recall bound.
     "l3e_pq_ann" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = Tables.spread(Tables.embeddings(s, d))
       graft.operators.SimilarityPq.pqTopK(e.filter(col("vec_id") < 5),
           e.filter(col("vec_id") >= 5), k = 3)
         .orderBy(col("qid"), col("rnk"))
@@ -735,7 +735,7 @@ object SparkEntry {
     // that makes 100 TB of embeddings searchable). Approximate →
     // rows-only + PqSpec recall bound.
     "l3f_ivfadc" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = Tables.spread(Tables.embeddings(s, d))
       graft.operators.SimilarityPq.ivfAdcTopK(e.filter(col("vec_id") < 5),
           e.filter(col("vec_id") >= 5), k = 3)
         .orderBy(col("qid"), col("rnk"))
@@ -1285,7 +1285,7 @@ object SparkEntry {
     // ---- L4n: OOV-bigram fluency gate (log-free perplexity proxy:
     //      share of a doc's bigrams outside the top-1000 LM) ----
     "l4n_oov_rate" -> ((s, d) =>
-      TextAnalysis.oovBigramRate(Tables.documents(s, d), lmSize = 1000)
+      TextAnalysis.oovBigramRate(Tables.spread(Tables.documents(s, d)), lmSize = 1000)
         .orderBy("doc_id")),
 
     // ---- Q2: declarative expectation report — every rule in ONE
@@ -2225,6 +2225,12 @@ object SparkEntry {
         |FROM d2 JOIN md USING (source)
         |ORDER BY doc_id""".stripMargin,
 
+    // NOTE: only `k` is independently re-derived by DuckDB here.
+    // `missing_path` (a nonexistent JSON path → NULL for every row) and
+    // `sch` (Spark's schema_of_json render, which DuckDB has no
+    // counterpart for) are EXPECTATION LITERALS asserted into the
+    // oracle, not an independent replay — they pin the contract that
+    // the path truly misses and the inferred schema string is stable.
     "f14_variant" ->
       """SELECT event_id, event_type,
         |  json_extract(props, '$.k')::BIGINT AS k,

@@ -19,9 +19,11 @@ object Quality {
   def validate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "validate needs at least one rule")
     require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    // coalesce: sum over ZERO rows is NULL — an empty-but-healthy table
+    // must read as 0 violations / pass=true, not NULL/NULL
     val aggs = count(lit(1)).as("_n") +:
       rules.map { case (name, violation) =>
-        sum(when(violation, 1L).otherwise(0L)).as(s"_v_$name") }
+        coalesce(sum(when(violation, 1L).otherwise(0L)), lit(0L)).as(s"_v_$name") }
     val one = df.agg(aggs.head, aggs.tail: _*)
     one.select(col("_n"), explode(array(rules.map { case (name, _) =>
         struct(lit(name).as("rule"), col(s"_v_$name").as("n_violations"))
@@ -56,14 +58,26 @@ object Quality {
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
     val totals = joined.agg(sum("n_old").as("_to"), sum("n_new").as("_tn"))
+    // An EMPTY side has total 0 — ANSI-safe try_divide yields NULL
+    // there, coalesced to 0 (the zero measure) so per-category rows
+    // stay defined instead of failing or going NULL.
     val perCat = joined.crossJoin(broadcast(totals))
       .select(col("cat"), col("n_old"), col("n_new"),
-        floor(abs(col("n_old").cast("double") / col("_to") -
-          col("n_new").cast("double") / col("_tn")) * lit(1000000000.0))
+        floor(abs(coalesce(try_divide(col("n_old").cast("double"), col("_to")), lit(0.0)) -
+          coalesce(try_divide(col("n_new").cast("double"), col("_tn")), lit(0.0))) * lit(1000000000.0))
           .cast("long").as("absdiff_u"))
+    // ALL row: definitional TVD=1 when exactly one snapshot is empty
+    // (disjoint distributions — maximum drift, which is the alert a
+    // monitor wants); 0 when both are empty (identical emptiness).
+    // Otherwise ½ Σ |p−q| as usual; coalesce guards the both-empty
+    // case where perCat has zero rows and the sums are NULL.
     perCat.unionByName(perCat
-      .agg(sum("n_old").as("n_old"), sum("n_new").as("n_new"),
-        floor(sum("absdiff_u").cast("double") / lit(2.0)).cast("long").as("absdiff_u"))
-      .select(lit("ALL").as("cat"), col("n_old"), col("n_new"), col("absdiff_u")))
+      .agg(coalesce(sum("n_old"), lit(0L)).as("n_old"),
+        coalesce(sum("n_new"), lit(0L)).as("n_new"),
+        coalesce(floor(sum("absdiff_u").cast("double") / lit(2.0)).cast("long"), lit(0L))
+          .as("_half"))
+      .select(lit("ALL").as("cat"), col("n_old"), col("n_new"),
+        when((col("n_old") === 0L) =!= (col("n_new") === 0L), lit(1000000000L))
+          .otherwise(col("_half")).as("absdiff_u")))
   }
 }

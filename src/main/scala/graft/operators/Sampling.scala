@@ -67,6 +67,8 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
       salt: String = ""): DataFrame = {
     require(k > 0, s"sample size k must be positive (got $k)")
+    require(!df.columns.contains("_ares"),
+      "input already has an '_ares' column — it would be overwritten and dropped")
     df.filter(weight > lit(0))
       .withColumn("_ares", aresScore(key, weight, salt))
       .orderBy(col("_ares").desc, key)
@@ -80,6 +82,9 @@ object Sampling {
   def weightedSamplePerGroup(df: DataFrame, group: Column, key: Column,
       weight: Column, k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"sample size k must be positive (got $k)")
+    Seq("_ares", "_rn").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — it would be overwritten and dropped"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(group).orderBy(col("_ares").desc, key)
     df.filter(weight > lit(0))

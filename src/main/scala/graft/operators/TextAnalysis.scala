@@ -54,6 +54,9 @@ object TextAnalysis {
     * in binary across engines. */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {
+    Seq("med", "mad", "is_outlier").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — it would collide with the stat joins"))
     val med = df.groupBy(col(groupCol))
       .agg(percentile(col(valueCol), lit(0.5)).as("med"))
     val withMed = df.join(broadcast(med), groupCol)

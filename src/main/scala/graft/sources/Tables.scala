@@ -25,23 +25,26 @@ object Tables {
     * comparisons stay exact. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // spread BEFORE the ts conversion so the per-row work parallelizes
-    // (the single-row-group scan itself is irreducibly one task)
-    spread(spark, apply(spark, dir, "events"))
+    apply(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }
-  /** documents/embeddings feed CPU-bound pipelines (shingling, MinHash,
-    * SimHash, cosine). The testdata files are single-row-group parquet —
-    * one input split — so without a repartition every map-side hash
-    * would run on ONE core of local[32]. At fleet scale the scan has
-    * thousands of natural splits and this exchange (a few MB here)
-    * would be dropped; locally it is what buys 32× on the hash-heavy
-    * operators. */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
-
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, apply(spark, dir, "documents"))
+    apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, apply(spark, dir, "embeddings"))
+    apply(spark, dir, "embeddings")
+
+  /** Explicit parallelism hint for CPU-bound per-row pipelines reading a
+    * sub-split local input. The testdata files are single-row-group
+    * parquet — ONE input split — so a pipeline whose first stage does
+    * heavy per-row work (shingling → MinHash, PQ encode) would run that
+    * stage on one core of local[32]; this exchange (a few MB) buys ~8×
+    * there (measured: minhash signatures 8.2 s → 0.8 s at sf0.1).
+    * It is deliberately NOT applied inside the library operators or the
+    * default readers: at fleet scale the scan has thousands of natural
+    * splits and an unconditional round-robin exchange is a pure tax —
+    * round-5 bench showed it costing 2-4× on map-light queries
+    * (f11/f12/f13). Call it only from a driver program that knows its
+    * input is under-split relative to the per-row CPU cost. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -52,6 +52,29 @@ class QualitySpec extends SparkTestBase {
     assert((nullRow.getLong(1), nullRow.getLong(2)) == ((2L, 1L)))
   }
 
+  test("validate: an empty-but-healthy table reads 0 violations / pass, not NULLs") {
+    val df = Seq((1L, "x")).toDF("id", "v").filter(col("id") < 0)
+    val got = Quality.validate(df, Seq("v_null" -> col("v").isNull)).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(!r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3))
+    assert((r.getLong(1), r.getLong(2), r.getBoolean(3)) == ((0L, 0L, true)))
+  }
+
+  test("drift: one empty snapshot is maximal drift (10^9), both empty is 0 — never NULL") {
+    val a = Seq("x", "y").toDF("c")
+    val empty = a.filter(col("c") === "zzz")
+    for (df <- Seq(Quality.driftTvd(a, empty, "c"), Quality.driftTvd(empty, a, "c"))) {
+      val rows = df.collect()
+      assert(rows.forall(r => !r.isNullAt(3)), "per-category absdiff_u defined")
+      assert(rows.filter(_.getString(0) == "ALL").head.getLong(3) == 1000000000L)
+    }
+    val bothEmpty = Quality.driftTvd(empty, empty, "c")
+      .filter(col("cat") === "ALL").collect().head
+    assert((bothEmpty.getLong(1), bothEmpty.getLong(2), bothEmpty.getLong(3)) ==
+      ((0L, 0L, 0L)))
+  }
+
   test("drift: hand-computed mix shift") {
     // old: x=3/4, y=1/4; new: x=1/4, y=3/4 → TVD = ½(|½|+|−½|) = 0.5
     val a = Seq("x", "x", "x", "y").toDF("c")

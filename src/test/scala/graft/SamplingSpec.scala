@@ -175,6 +175,17 @@ class SamplingSpec extends SparkTestBase {
     assert(got == Map("big" -> 5L, "tiny" -> 2L))
   }
 
+  test("A-Res rejects inputs whose '_ares'/'_rn' columns would be clobbered") {
+    val clash1 = Seq((1L, 2L, 0.5)).toDF("id", "w", "_ares")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(clash1, col("id"), col("w"), 1, "s")
+    }
+    val clash2 = Seq((1L, "g", 2L, 7)).toDF("id", "g", "w", "_rn")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSamplePerGroup(clash2, col("g"), col("id"), col("w"), 1, "s")
+    }
+  }
+
   test("null keys are a deterministic group, not silently dropped") {
     val withNulls = Seq((Some(1L), "a"), (None, "b"), (None, "c"), (Some(2L), "d"))
       .toDF("k", "v")

@@ -354,6 +354,13 @@ class TextFunctionsSpec extends SparkTestBase {
     (6L to 10L).foreach(id => assert(got(id) == ((9.0, 2.0, false)), id))
   }
 
+  test("L4j robust outliers rejects inputs with colliding med/mad/is_outlier columns") {
+    val clash = Seq((1L, "A", 10L, 0.0)).toDF("doc_id", "src", "n", "mad")
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.robustOutliers(clash, "src", "n")
+    }
+  }
+
   test("langGuess picks the stopword-dominant language") {
     val cases = Seq(
       "the cat sat on the mat and it is that" -> "en",
