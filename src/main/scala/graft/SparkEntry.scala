@@ -639,10 +639,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // L2: banded-LSH candidate pairs + exact-jaccard verify (scale path;
-    // rows-only — pair enumeration itself is checked by l2c's oracle).
+    // L2: banded-LSH candidate pairs + exact-jaccard verify. md5
+    // signature family → the banding itself (which pairs become
+    // candidates, not just the verified survivors) replays in DuckDB;
+    // the xx family (md5Family=false) is the string-free scale default
+    // for library callers, spec-equivalence-tested in DedupSpec.
     "l2b_minhash_pairs" -> ((s, d) =>
-      Dedup.minHashNearDups(Tables.spread(Tables.documents(s, d)), threshold = 0.5)
+      Dedup.minHashNearDups(Tables.spread(Tables.documents(s, d)), threshold = 0.5,
+          md5Family = true)
         .orderBy("a_id", "b_id")),
 
     // ---- L2c: exact n-gram Jaccard near-dups (oracle) ----
@@ -1420,6 +1424,18 @@ object SparkEntry {
   private val Shingles5Sql =
     "list_distinct(list_transform(generate_series(1, greatest(length(lower(text))-4, 0)), i -> (lower(text))[i:i+4]))"
 
+  /** DuckDB expr: the 60-bit simhash sketch rebuilt from a column `th`
+    * of per-token md5Hash60 values (mirror of SimHash60Expr: bit i =
+    * sign of Σ±1 over tokens). Shared by l2d (sketches) and l2e
+    * (banded near-dup pairs). */
+  private val SimhashAccSql: String = {
+    val bitSums = (0 until 60).map(i =>
+      s"list_aggregate(list_transform(th, h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END), 'sum')")
+    bitSums.zipWithIndex
+      .map { case (e, i) => s"CASE WHEN ($e) > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END" }
+      .mkString(" + ")
+  }
+
   /** DuckDB expr: distinct word n-grams (mirror of TextFunctions
     * .wordNgrams — DuckDB list slices are INCLUSIVE, so [i:i+n-1] is n
     * elements). One definition for every gram width. */
@@ -1839,14 +1855,57 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
          |FROM cc ORDER BY doc_id""".stripMargin,
 
-    "l2d_simhash" -> {
-      val bitSums = (0 until 60).map(i =>
-        s"list_aggregate(list_transform(th, h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END), 'sum')").toSeq
-      val acc = bitSums.zipWithIndex
-        .map { case (s, i) => s"CASE WHEN ($s) > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END" }
-        .mkString(" + ")
+    "l2d_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_transform($ToksSql, w -> ${h60("'0'", "w")}) AS th FROM documents)
-         |SELECT doc_id, ($acc) AS simhash FROM t ORDER BY doc_id""".stripMargin
+         |SELECT doc_id, ($SimhashAccSql) AS simhash FROM t ORDER BY doc_id""".stripMargin,
+
+    // Banded simhash near-dups, replayed end to end: sketch (as l2d) →
+    // pigeonhole banding into four 15-bit chunks compared BY VALUE →
+    // exact hamming verify. Spark bands the same chunk values, so band
+    // membership — not just the verified output — is oracle-checked.
+    "l2e_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, list_transform($ToksSql, w -> ${h60("'0'", "w")}) AS th FROM documents),
+         |sk AS (SELECT doc_id, ($SimhashAccSql) AS simhash FROM t),
+         |banded AS (
+         |  SELECT doc_id, simhash, i, (simhash >> (15 * i)) & 32767 AS bits
+         |  FROM sk CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.i = b.i AND a.bits = b.bits AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Banded MinHash near-dups, replayed end to end: 32 paired-digest
+    // md5 min-signatures (hash 2d / 2d+1 = hex 1-15 / 16-30 of
+    // md5(d':'shingle)) → 8 bands of 4 compared BY VALUE (Spark's
+    // xxhash64 band key preserves tuple equality modulo ~2^-64
+    // collisions) → exact shingle-set jaccard on the candidates (same
+    // string-set formulation the l2c oracle proves value-equal to the
+    // engine's hashed sets).
+    "l2b_minhash_pairs" -> {
+      val sig = (0 until 32).map(j =>
+        s"list_min(list_transform(sh, x -> ('0x' || substr(md5('${j / 2}' || ':' || x), ${if (j % 2 == 0) 1 else 16}, 15))::BIGINT))")
+      val bandList = (0 until 8).map(b =>
+        (4 * b until 4 * b + 4).map(sig).mkString("[", ", ", "]"))
+        .mkString("[", ",\n    ", "]")
+      s"""WITH s AS (SELECT doc_id, $Shingles5Sql AS sh FROM documents),
+         |sg AS (SELECT doc_id, $bandList AS bands FROM s WHERE len(sh) > 0),
+         |banded AS (
+         |  SELECT doc_id, i, bands[i] AS bk
+         |  FROM sg CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.i = b.i AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |jac AS (
+         |  SELECT a_id, b_id,
+         |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+         |         ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+         |              / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE END AS j
+         |  FROM cand JOIN s sa ON sa.doc_id = cand.a_id JOIN s sb ON sb.doc_id = cand.b_id)
+         |SELECT a_id, b_id, round(j, 4) AS jaccard FROM jac
+         |WHERE round(j, 4) >= 0.5 ORDER BY a_id, b_id""".stripMargin
     },
 
     "l2f_embedding_neardup" ->

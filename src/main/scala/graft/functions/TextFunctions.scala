@@ -114,6 +114,15 @@ object TextFunctions {
       org.apache.spark.sql.graft.MinHashSigExpr(
         org.apache.spark.sql.graft.Bridge.expression(shingles), numHashes))
 
+  /** md5 paired-digest MinHash: numHashes replayable hashes from
+    * ceil(numHashes/2) digests — hash 2d/2d+1 are hex chars 1-15 /
+    * 16-30 of md5(d":"+shingle) (MinHashSigPairedExpr). The banded
+    * near-dup oracle replays both substrings. */
+  def pairedMinHashSignature(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.MinHashSigPairedExpr(
+        org.apache.spark.sql.graft.Bridge.expression(shingles), numHashes))
+
   /** Fast MinHash family for the LSH scale path: one 32-bit content hash
     * per shingle + `numHashes` splitmix64 remixes (XxMinHashSigExpr).
     * Not oracle-checked (LSH banding only needs self-consistency); the

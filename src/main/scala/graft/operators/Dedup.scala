@@ -81,11 +81,13 @@ object Dedup {
     * banding, became the engine.
     *
     * Scale notes: the band key is one xxhash64 long (band index folded
-    * in as the hash seed), so the shuffle carries (long, id) pairs only;
-    * both self-join sides are the identical plan → Spark's
-    * ReuseExchange materializes the banded shuffle once. */
+    * in as the hash seed), so the shuffle carries (long, id) pairs only,
+    * and the signature pass runs ONCE (see the enumeration comment
+    * below — a self-join formulation would clone the plan and hash
+    * every shingle twice). */
   def minHashCandidatePairs(docs: DataFrame, k: Int = 5,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8,
+      md5Family: Boolean = false): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes): a zero-width " +
         "band key would put EVERY doc in one bucket (O(n²) self-join)")
@@ -94,17 +96,47 @@ object Dedup {
     // signature → ONE shared band key for every such doc: filter them
     // out (they cannot be near-dups of anything by content anyway)
     // before the self-join turns the shared bucket quadratic
-    val sigs = hashedShingleSets(docs, k)
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), longMinHashSignature(col("sh"), numHashes).as("sig"))
+    //
+    // Two signature families, bit-identical banding semantics:
+    //   xx (default)  — one content hash per shingle + splitmix64
+    //     remixes, zero per-shingle string allocation: the scale path.
+    //   md5           — paired-digest md5 minima over the string
+    //     shingles (hashes 2d/2d+1 from ONE digest — half the md5
+    //     cost): pricier than xx, but every value is replayable by
+    //     another engine (min over substr(md5(d||':'||sh), 1|16, 15)
+    //     in DuckDB), so the WHOLE banded pipeline — signature, band
+    //     membership, candidate set — is oracle-checkable, not just
+    //     the verified output.
+    val sigs =
+      if (md5Family)
+        docs.select(col("doc_id"), lower(col("text")).as("lt"))
+          .select(col("doc_id"), shinglesOfLowered(col("lt"), k).as("shs"))
+          .filter(size(col("shs")) > 0)
+          .select(col("doc_id"), pairedMinHashSignature(col("shs"), numHashes).as("sig"))
+      else hashedShingleSets(docs, k)
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), longMinHashSignature(col("sh"), numHashes).as("sig"))
     val banded = sigs.select(col("doc_id"), explode(
       array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
       .as("bk"))
-    banded.as("a").join(banded.as("b"),
-        col("a.bk") === col("b.bk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // Bucket-internal pair enumeration via ONE aggregate, not a
+    // banded.as(a)⋈banded.as(b) self-join: a DataFrame self-join clones
+    // the plan, so the signature pass ran TWICE (ReuseExchange does not
+    // fire across the join's duplicated branches, measured on the final
+    // adaptive plan). One groupBy computes signatures once and shuffles
+    // the (bk, doc_id) pairs once; pairs explode inside each bucket —
+    // quadratic only in bucket size, as before. Degenerate buckets
+    // (millions of byte-identical docs sharing every band) would bloat
+    // the collected id list — run L1 exact dedup first, which collapses
+    // them; that ordering is the standard pipeline anyway.
+    banded.groupBy("bk")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+          struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
   }
 
@@ -122,9 +154,10 @@ object Dedup {
       .select(col("doc_id"), hashedShingles(col("lt"), k).as("sh"))
 
   def minHashNearDups(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 8, threshold: Double = 0.5,
+      md5Family: Boolean = false): DataFrame = {
     val sh = hashedShingleSets(docs, k)
-    minHashCandidatePairs(docs, k, numHashes, bands)
+    minHashCandidatePairs(docs, k, numHashes, bands, md5Family)
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"),
@@ -166,7 +199,9 @@ object Dedup {
         col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        hammingDist(col("a.simhash"), col("b.simhash")).as("hamming"))
+        // long, not int: the sketch itself is BIGINT-shaped and the
+        // engine-replay oracle compares bit_count(xor(...))::BIGINT
+        hammingDist(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

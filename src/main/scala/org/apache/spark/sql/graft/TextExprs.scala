@@ -22,16 +22,43 @@ object TextExprs {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Seed prefixes ("0:", "1:", …) cached as bytes: the multi-seed
+    * MinHash loop calls md5Hash60 numHashes times per shingle, and the
+    * per-call `(seed + ":").getBytes` alloc dominated the digest cost. */
+  private val seedPrefixCache: Array[Array[Byte]] =
+    Array.tabulate(64)(j => (j.toString + ":").getBytes("UTF-8"))
+  def seedPrefix(seed: Int): Array[Byte] =
+    if (seed < 64) seedPrefixCache(seed) else (seed.toString + ":").getBytes("UTF-8")
+
+  /** First 60 bits (15 hex chars) of the digest in `buf`. */
+  @inline private def first60(buf: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (buf(i) & 0xffL); i += 1 }
+    (v << 4) | ((buf(7) & 0xf0L) >> 4)
+  }
+
+  /** Allocation-free core: digest(prefix ++ s) into the caller's 16-byte
+    * buffer. Value-identical to md5Hash60(seed, s) when prefix =
+    * seedPrefix(seed) and sBytes = s.getBytes. */
+  def md5Hash60Into(md: MessageDigest, prefix: Array[Byte],
+      sBytes: Array[Byte], out: Array[Byte]): Long = {
+    md.reset()
+    md.update(prefix)
+    md.update(sBytes)
+    md.digest(out, 0, 16)
+    first60(out)
+  }
+
+  def md5Digest: MessageDigest = localMd5.get()
+
   def md5Hash60(seed: Int, s: UTF8String): Long = {
     val md = localMd5.get()
     md.reset()
-    md.update((seed.toString + ":").getBytes("UTF-8"))
+    md.update(seedPrefix(seed))
     val digest = md.digest(s.getBytes)
     // first 15 hex chars = 60 bits: 7.5 bytes
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
-    (v << 4) | ((digest(7) & 0xf0L) >> 4)
+    first60(digest)
   }
 
   /** Shared finalizer mix for the xx/long MinHash families. The two
@@ -76,10 +103,14 @@ object SimHash60Expr {
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val sums = new Array[Int](60)
+    val md = TextExprs.md5Digest
+    val buf = new Array[Byte](16)
+    val prefix = TextExprs.seedPrefix(0)
     var t = 0
     while (t < n) {
       if (!arr.isNullAt(t)) {
-        val h = TextExprs.md5Hash60(0, arr.getUTF8String(t))
+        val h = TextExprs.md5Hash60Into(md, prefix,
+          arr.getUTF8String(t).getBytes, buf)
         var i = 0
         while (i < 60) {
           if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
@@ -166,17 +197,100 @@ object MinHashSigExpr {
   def compute(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    // hoisted per-row state: one digest buffer, one byte copy per
+    // shingle, cached seed prefixes — the naive per-(shingle, seed)
+    // md5Hash60 call paid 3 allocations per hash, ~2× the digest itself
+    val md = TextExprs.md5Digest
+    val out = new Array[Byte](16)
     var any = false
     var t = 0
     while (t < n) {
       if (!arr.isNullAt(t)) {
         any = true
-        val s = arr.getUTF8String(t)
+        val sBytes = arr.getUTF8String(t).getBytes
         var j = 0
         while (j < numHashes) {
-          val h = TextExprs.md5Hash60(j, s)
+          val h = TextExprs.md5Hash60Into(md, TextExprs.seedPrefix(j), sBytes, out)
           if (h < mins(j)) mins(j) = h
           j += 1
+        }
+      }
+      t += 1
+    }
+    if (!any)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](numHashes)(null))
+    else
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        mins.map(Long.box(_): Any))
+  }
+}
+
+/** MinHash signature, md5 PAIRED-digest family: one md5 digest yields
+  * TWO independent 60-bit hashes (hex chars 1-15 and 16-30), so
+  * `numHashes` hashes cost ceil(numHashes/2) digests — the md5 family's
+  * replayability at half its compute. Hash 2d   = first60 of
+  * md5(d ":" s); hash 2d+1 = next60 of the SAME digest. DuckDB replay:
+  *   even j: ('0x' || substr(md5((j/2)||':'||s),  1, 15))::BIGINT
+  *   odd  j: ('0x' || substr(md5((j/2)||':'||s), 16, 15))::BIGINT
+  * Same empty→nulls contract as MinHashSigExpr.
+  */
+case class MinHashSigPairedExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_md5_paired"
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSigPairedExpr.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.MinHashSigPairedExpr.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigPairedExpr {
+  /** Hex chars 16-30 of the digest: low nibble of byte 7, bytes 8-14. */
+  @inline private def next60(buf: Array[Byte]): Long = {
+    var v = (buf(7) & 0x0fL)
+    var i = 8
+    while (i < 15) { v = (v << 8) | (buf(i) & 0xffL); i += 1 }
+    v
+  }
+
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val digests = (numHashes + 1) / 2
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = TextExprs.md5Digest
+    val out = new Array[Byte](16)
+    var any = false
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        any = true
+        val sBytes = arr.getUTF8String(t).getBytes
+        var d = 0
+        while (d < digests) {
+          md.reset()
+          md.update(TextExprs.seedPrefix(d))
+          md.update(sBytes)
+          md.digest(out, 0, 16)
+          var v = 0L
+          var i = 0
+          while (i < 7) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+          val h0 = (v << 4) | ((out(7) & 0xf0L) >> 4)
+          if (h0 < mins(2 * d)) mins(2 * d) = h0
+          if (2 * d + 1 < numHashes) {
+            val h1 = next60(out)
+            if (h1 < mins(2 * d + 1)) mins(2 * d + 1) = h1
+          }
+          d += 1
         }
       }
       t += 1

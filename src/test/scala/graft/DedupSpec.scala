@@ -60,9 +60,20 @@ class DedupSpec extends SparkTestBase {
     found.foreach { case (a, b) => assert(a / 10 == b / 10 && a < 100) }
   }
 
+  test("L2 minhash md5 family (oracle-replayable) matches the xx family on planted clusters") {
+    // different hash families band differently, but both verify with the
+    // exact jaccard, so on well-separated clusters (within ≥ 0.3,
+    // across ≈ 0) the OUTPUT pair sets must coincide
+    val md5 = Dedup.minHashNearDups(docs, threshold = 0.3, md5Family = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xx = Dedup.minHashNearDups(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(md5 == xx, s"families disagree: md5-only=${md5 -- xx}, xx-only=${xx -- md5}")
+  }
+
   test("L2 simhash pairs: exact dups hit hamming 0; unrelated docs don't pair") {
     val pairs = Dedup.simHashNearDups(docs, maxHamming = 3).collect()
-    val exactPairs = pairs.filter(_.getAs[Int]("hamming") == 0)
+    val exactPairs = pairs.filter(_.getAs[Long]("hamming") == 0L)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     base.indices.foreach { c =>
       assert(exactPairs.contains((c * 10L, c * 10L + 1)), s"cluster $c")
