@@ -598,6 +598,51 @@ object SparkEntry {
         col("n"))
       .orderBy("user_id", "session_start")),
 
+    // ---- ST5 (batch twin): watermark late-drop — the watermark is
+    //      max(event time) − delay; rows older than it are the ones a
+    //      24h-watermark streaming agg would have dropped. The cutoff
+    //      is a 1-row broadcast, then the same tumbling agg as ST2 ----
+    "st5_late_drop" -> ((s, d) => {
+      val e = ev(s, d)
+      val wm = e.agg(max(col("ts")).as("_max_ts"))
+      e.crossJoin(broadcast(wm))
+        .filter(col("ts") >= col("_max_ts") - expr("INTERVAL 24 HOURS"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // ---- ST6 (batch twin): dedup-within-watermark — first occurrence
+    //      per (key, 1h window), a bounded-state dedup's batch replay:
+    //      one map-combinable min/count aggregate, never a window over
+    //      the hot content key (same shape as L2j) ----
+    "st6_dedup_first" -> ((s, d) => ev(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"), col("event_type"))
+      .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n_heard"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("user_id"), col("event_type"), col("first_event_id"), col("n_heard"))
+      .orderBy("window_start", "user_id", "event_type")),
+
+    // ---- ST7 (batch twin): arrival/reappearance alerts (README.md:19)
+    //      — the REAL flatMapGroupsWithState operator run in batch mode
+    //      (one "micro-batch" per key, no prior state), oracle-replayed
+    //      as a per-key lag-gap query. first_seen on a key's first
+    //      sighting; reappeared when the gap exceeds 3600 s ----
+    "st7_arrival_alerts" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val sightings = ev(s, d)
+        .select(col("user_id").cast("string").as("mac"), col("ts"))
+        .as[graft.streaming.ArrivalAlerts.Sighting]
+      graft.streaming.ArrivalAlerts.alerts(sightings, gapSec = 3600L)
+        .toDF()
+        .select(col("mac"), col("kind"), unix_micros(col("ts")).as("ts_us"),
+          col("gapSec").as("gap_sec"))
+        .orderBy("mac", "ts_us")
+    }),
+
     // ---- domain: MAC↔SSID network tree (ssidentity.c:36) ----
     "net_tree_edges" -> ((s, d) =>
       graft.operators.NetworkTree.edges(
@@ -1768,6 +1813,34 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start, count(*) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "st5_late_drop" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOUR FROM events)
+        |GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+
+    "st6_dedup_first" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_heard
+        |FROM events GROUP BY window_start, user_id, event_type
+        |ORDER BY window_start, user_id, event_type""".stripMargin,
+
+    // lag-gap replay of ArrivalAlerts.transition: sightings per key in
+    // ts order; ms arithmetic matches java.sql.Timestamp#getTime
+    // truncation, strict > matches the transition's gap test
+    "st7_arrival_alerts" ->
+      """WITH s AS (
+        |  SELECT user_id::VARCHAR AS mac, ts, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+        |  FROM events)
+        |SELECT mac,
+        |  CASE WHEN prev_ms IS NULL THEN 'first_seen' ELSE 'reappeared' END AS kind,
+        |  epoch_us(ts) AS ts_us,
+        |  (CASE WHEN prev_ms IS NULL THEN -1 ELSE (ms - prev_ms) // 1000 END)::BIGINT AS gap_sec
+        |FROM s WHERE prev_ms IS NULL OR ms - prev_ms > 3600000
+        |ORDER BY mac, ts_us""".stripMargin,
 
     "net_tree_edges" ->
       """SELECT user_id AS mac, event_type AS ssid, count(*) AS weight
