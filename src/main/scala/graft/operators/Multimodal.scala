@@ -9,14 +9,19 @@ import org.apache.spark.sql.functions._
   * ssidentity.h:36-42).
   *
   * The Spark-side plumbing — schema, per-partition batch iteration,
-  * output shape — is real and tested; the codec itself is a STUB (the
-  * container ships no image/audio libraries): `FakeDecoder` derives
-  * deterministic pseudo-features from the payload bytes. Swapping in a
-  * real decoder changes only the body of [[FakeDecoder.decode]].
+  * output shape — is real and tested. The IMAGE codec is real too:
+  * PNG payloads decode through javax.imageio (ships with the JDK —
+  * no invented dependency), yielding true dimensions and mean
+  * luminance. Audio/video codecs are still deterministic pseudo-
+  * feature stubs (the container carries no such libraries); swapping
+  * one in changes only [[Decoder.pseudoFeatures]]'s branch.
   *
   * At 100 TB: payloads stay in parquet binary columns (never shuffled —
   * feature extraction is map-only `mapPartitions`), features are slim
-  * numeric columns that downstream joins/aggs shuffle instead.
+  * numeric columns that downstream joins/aggs shuffle instead. The
+  * magic-byte triage in [[Decoder.decode]] is the same planning/decode
+  * split as [[parsePngHeader]]: only plausibly-decodable payloads reach
+  * the codec.
   */
 object Multimodal {
 
@@ -24,11 +29,43 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, media_type: String,
       n_bytes: Int, width: Int, height: Int, mean_luma: Double)
 
-  /** STUB decoder — deterministic fake in place of a real codec. */
-  object FakeDecoder {
-    /** "Decode" a payload: byte-derived pseudo dimensions + mean
-      * luminance. Real impl would call an image/audio library here. */
-    def decode(doc_id: Long, mediaType: String, payload: Array[Byte]): MediaFeatures = {
+  object Decoder {
+    private val PngMagic: Array[Byte] =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def hasPngMagic(payload: Array[Byte]): Boolean =
+      payload.length >= 8 && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(payload, 0, 8), PngMagic)
+
+    /** Real image decode (JDK ImageIO): true width/height and mean
+      * luminance (band-averaged for multi-band rasters). None when the
+      * bytes do not decode — corrupt payloads degrade, never throw. */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+      try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))).map { img =>
+        val r = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val bands = math.min(r.getNumBands, 3)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var s = 0; var b = 0
+            while (b < bands) { s += r.getSample(x, y, b); b += 1 }
+            sum += s.toDouble / bands
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sum / (w.toLong * h).toDouble)
+      } catch { case _: Throwable => None }
+
+    /** Deterministic pseudo-features for media types whose codec the
+      * container does not ship (audio/video): byte-derived dimensions +
+      * mean byte value. A real codec swap changes only this branch. */
+    def pseudoFeatures(doc_id: Long, mediaType: String,
+        payload: Array[Byte]): MediaFeatures = {
       val n = payload.length
       val w = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
       val h = 16 + (n % 64)
@@ -37,16 +74,63 @@ object Multimodal {
       MediaFeatures(doc_id, mediaType, n, w, h,
         math.round(luma * 10000).toDouble / 10000)
     }
+
+    /** Magic-byte triage, then the real codec; anything else (or a
+      * payload that fails to decode) gets pseudo-features. */
+    def decode(doc_id: Long, mediaType: String, payload: Array[Byte]): MediaFeatures =
+      (if (hasPngMagic(payload)) decodeImage(payload) else None) match {
+        case Some((w, h, luma)) =>
+          MediaFeatures(doc_id, mediaType, payload.length, w, h,
+            math.round(luma * 10000).toDouble / 10000)
+        case None => pseudoFeatures(doc_id, mediaType, payload)
+      }
+
+    /** Encode a gray8 PNG (JDK ImageIO) — the test-harness side of the
+      * codec: `pix` fills the raster row-major, cycled. Gray8 PNG is
+      * lossless, so decodeImage returns exactly these samples back. */
+    def encodePngGray(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0, s"dims must be positive (got $w x $h)")
+      val src = if (pix.isEmpty) Array[Byte](0) else pix
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, src(i % src.length) & 0xff)
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
   }
 
-  /** Wrap the documents table as a fake media table: utf-8 text bytes
-    * stand in for encoded payloads (binary column + metadata columns). */
-  def asMediaTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      (when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video")).as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"))
+  /** Wrap the documents table as a media table: image rows carry a REAL
+    * gray8 PNG (dims and pixels derived from the doc — so the decode
+    * path downstream exercises an actual codec); audio/video rows keep
+    * utf-8 text bytes as stand-in payloads for their stubbed codecs. */
+  def asMediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val mediaType = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val payload =
+          if (mediaType == "image")
+            Decoder.encodePngGray(
+              4 + (id % 13).toInt, 4 + (text.length % 11),
+              text.getBytes("UTF-8"))
+          else text.getBytes("UTF-8")
+        MediaRow(id, mediaType, payload)
+      }).toDF()
+  }
 
   /** Feature extraction: map-only, batched per partition (the plan shape
     * a vectorized/Pandas-style UDF would have — one iterator pass per
@@ -54,7 +138,7 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("doc_id", "media_type", "payload").as[MediaRow]
-      .mapPartitions(_.map(r => FakeDecoder.decode(r.doc_id, r.media_type, r.payload)))
+      .mapPartitions(_.map(r => Decoder.decode(r.doc_id, r.media_type, r.payload)))
   }
 
   /** End-to-end: documents → media table → features, as a DataFrame for
@@ -120,7 +204,7 @@ object Multimodal {
     * builtins inside one WholeStageCodegen span, no UDF: header
     * triage of 100 TB of media runs at scan speed and only rows that
     * pass (right codec, sane dims) are handed to the expensive decode
-    * stub ([[FakeDecoder]]). Column pruning keeps the payload out of
+    * path ([[Decoder]]). Column pruning keeps the payload out of
     * any downstream shuffle: the emitted columns are slim scalars. */
   val PngMagicHex = "89504E470D0A1A0A"
   def parsePngHeader(media: DataFrame, payloadCol: String): DataFrame = {

@@ -2,8 +2,9 @@ package graft
 
 import graft.operators.Multimodal
 
-/** L5 — multimodal plumbing: schema, batch shape, fan-out. The codec is
-  * a documented stub; what's tested is the Spark-side contract. */
+/** L5 — multimodal plumbing (schema, batch shape, fan-out) plus the
+  * REAL image codec: PNG payloads round-trip through javax.imageio.
+  * Audio/video codecs remain documented stubs. */
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -28,9 +29,34 @@ class MultimodalSpec extends SparkTestBase {
     val byId = f.map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(byId(1L).getAs[Int]("n_bytes") == "an audio document".length)
     assert(byId.values.forall(r => r.getAs[Double]("mean_luma") > 0))
+    // image rows went through the REAL codec: dims are the encoder's
+    // (4 + id%13, 4 + len%11), not the pseudo-feature shape
+    val text0 = "an image document with some payload text"
+    assert(byId(0L).getAs[Int]("width") == 4 &&
+      byId(0L).getAs[Int]("height") == 4 + (text0.length % 11))
     // deterministic: same input -> identical features
     val again = Multimodal.mediaFeatures(spark, docs).collect()
     assert(f.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("PNG codec round-trip: gray8 encode → ImageIO decode is exact; corrupt degrades") {
+    // 3×2 gray image, known pixels → mean luma is their exact mean
+    val pix = Array[Byte](10, 20, 30, 40, 50, 60)
+    val png = Multimodal.Decoder.encodePngGray(3, 2, pix)
+    val Some((w, h, luma)) = Multimodal.Decoder.decodeImage(png)
+    assert((w, h) == ((3, 2)))
+    assert(math.abs(luma - 35.0) < 1e-9, s"exact mean of the 6 samples: $luma")
+    // decode() routes via magic triage and rounds to 4 dp
+    val feats = Multimodal.Decoder.decode(7L, "image", png)
+    assert((feats.width, feats.height, feats.mean_luma) == ((3, 2, 35.0)))
+    // corrupt body (magic intact): falls back to pseudo-features, no throw
+    val corrupt = png.clone()
+    corrupt(png.length / 2) = (corrupt(png.length / 2) ^ 0x5a).toByte
+    val fb = Multimodal.Decoder.decode(8L, "image", corrupt)
+    assert(fb.n_bytes == corrupt.length)
+    // non-PNG payload never reaches ImageIO
+    val txt = Multimodal.Decoder.decode(9L, "audio", "not a png".getBytes)
+    assert(txt.n_bytes == 9)
   }
 
   test("resize: payload shrunk to the pixel budget, metadata carried") {
