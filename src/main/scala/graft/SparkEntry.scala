@@ -672,6 +672,21 @@ object SparkEntry {
         .orderBy("v")
     }),
 
+    // ---- domain: the same triangle counts under the DEGREE-ordered
+    //      orientation — identical output (the oracle is the same
+    //      enumeration), skew-optimal wedge fan-out (hub wedges land
+    //      only on equal-or-higher-degree neighbors; NetworkTreeSpec
+    //      proves the bound on a star graph) ----
+    "net_tree_triangles_deg" -> ((s, d) => {
+      val items = li(s, d).select(col("l_orderkey").as("ord"), col("l_partkey").as("pk"))
+      val e = items.as("a").join(items.as("b"),
+          col("a.ord") === col("b.ord") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      graft.operators.NetworkTree.triangleCountsDegreeOrdered(e, "pa", "pb")
+        .orderBy("v")
+    }),
+
     // ---- L1: exact dedup ----
     "l1_exact_dedup" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d)).orderBy("fp")),
@@ -813,7 +828,8 @@ object SparkEntry {
     "l4e_bpe_tokens" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
-        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        TextFunctions.bpeMergedTokenCount(col("text")).as("n_bpe_merged"))
         .orderBy("doc_id")),
 
     // ---- L4g: canonical text normalization (the stage-zero transform
@@ -889,8 +905,8 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")),
 
     // ---- L5: multimodal binary plumbing (stub codec → rows-only) ----
-    "mm_media_features" -> ((s, d) =>
-      Multimodal.mediaFeatures(s, Tables.documents(s, d))),
+    "mm_media_features" -> ((s, d) =>  // spread: per-row PNG encode+decode is CPU-bound
+      Multimodal.mediaFeatures(s, Tables.spread(Tables.documents(s, d)))),
 
     // ---- L5c: time-based frame-sampling schedule (uniform stride,
     //      per-asset frame budget — the decoder's work list; pure
@@ -1171,6 +1187,20 @@ object SparkEntry {
       graft.operators.Packing.packBins(
           Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
           "lang", Seq(col("doc_id")), TextFunctions.tokenCount(col("text")), budget = 2048L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("bin"), col("bin_offset"))
+        .orderBy("lang", "doc_id")),
+
+    // ---- PACK (BPE budget): same packer, but the budget counts
+    //      MERGED BPE tokens (the unit a trainer actually pays for),
+    //      not whitespace words — the l4e merge table applied by the
+    //      native tokenizer, replayed in the oracle via the same
+    //      recursive CTE ----
+    "pack_bins_bpe" -> ((s, d) =>
+      graft.operators.Packing.packBins(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+          "lang", Seq(col("doc_id")),
+          TextFunctions.bpeMergedTokenCount(col("text")), budget = 2048L)
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("bin"), col("bin_offset"))
         .orderBy("lang", "doc_id")),
@@ -1468,6 +1498,39 @@ object SparkEntry {
   /** DuckDB expr: distinct char-5 shingles of lowercased text. */
   private val Shingles5Sql =
     "list_distinct(list_transform(generate_series(1, greatest(length(lower(text))-4, 0)), i -> (lower(text))[i:i+4]))"
+
+  /** DuckDB RE2 literal of TextFunctions.BpePattern (raw string — the
+    * escapes must reach RE2 as backslash sequences). */
+  private val BpePatSql = """[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\x0B]"""
+
+  /** Recursive-CTE replay of the merged-BPE tokenizer: the literal
+    * merge table (rank, ' a b ', ' ab '), distinct pre-tokenizer units,
+    * and per-rank iterated replace on the space-joined symbol sequence
+    * — exactly BpeExprs' semantics (one increasing rank sweep; iterated
+    * replace reaches each rank's fixpoint, confluent because merge
+    * symbols are distinct). Yields `bpe(doc_id, n_bpe_merged)`; vocab-
+    * sized recursion, corpus-sized only in the final unit join. */
+  private val BpeCountsCte: String = {
+    val merges = TextFunctions.DefaultBpeMerges
+    val mv = merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, ' $a $b ', ' $a$b ')" }.mkString(", ")
+    s"""m(r, pat, rep) AS (VALUES $mv),
+       |bunits AS (SELECT doc_id, unnest(regexp_extract_all(text, '$BpePatSql')) AS u FROM documents),
+       |bvocab AS (SELECT DISTINCT u FROM bunits),
+       |benc(u, seq, r) AS (
+       |  SELECT u, ' ' || array_to_string(list_transform(generate_series(1, length(u)), i -> u[i:i]), ' ') || ' ', 0 FROM bvocab
+       |  UNION ALL
+       |  SELECT e.u,
+       |    CASE WHEN position(m.pat IN e.seq) > 0 THEN replace(e.seq, m.pat, m.rep) ELSE e.seq END,
+       |    CASE WHEN position(m.pat IN e.seq) > 0 THEN e.r ELSE e.r + 1 END
+       |  FROM benc e JOIN m ON m.r = e.r),
+       |bfinal AS (SELECT u, len(string_split(trim(seq), ' ')) AS n FROM benc WHERE r = ${merges.size}),
+       |bpe AS (
+       |  SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_bpe_merged
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, sum(n)::BIGINT AS n FROM bunits JOIN bfinal USING (u) GROUP BY doc_id) c
+       |  USING (doc_id))""".stripMargin
+  }
 
   /** DuckDB expr: the 60-bit simhash sketch rebuilt from a column `th`
     * of per-token md5Hash60 values (mirror of SimHash60Expr: bit i =
@@ -1862,6 +1925,25 @@ object SparkEntry {
         |  SELECT c FROM tri)
         |GROUP BY v ORDER BY v""".stripMargin,
 
+    // identical enumeration to net_tree_triangles: the degree-ordered
+    // variant must produce the SAME per-vertex counts (orientation only
+    // changes the join plan, never the triangle set)
+    "net_tree_triangles_deg" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |SELECT v, count(*) AS n_triangles FROM (
+        |  SELECT a AS v FROM tri UNION ALL
+        |  SELECT b FROM tri UNION ALL
+        |  SELECT c FROM tri)
+        |GROUP BY v ORDER BY v""".stripMargin,
+
     "net_tree_adjacency" ->
       """WITH e AS (SELECT user_id AS mac, event_type AS ssid, count(*) AS weight
         |           FROM events GROUP BY 1, 2),
@@ -2022,10 +2104,23 @@ object SparkEntry {
         |FROM es ORDER BY doc_id""".stripMargin,
 
     "l4e_bpe_tokens" ->
-      s"""SELECT doc_id,
+      s"""WITH RECURSIVE $BpeCountsCte
+         |SELECT d.doc_id,
          | CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT ELSE len($ToksSql)::BIGINT END AS n_ws_tokens,
-         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]'))::BIGINT AS n_bpe_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         | len(regexp_extract_all(text, '$BpePatSql'))::BIGINT AS n_bpe_tokens,
+         | bpe.n_bpe_merged
+         |FROM documents d JOIN bpe USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pack_bins_bpe" ->
+      s"""WITH RECURSIVE $BpeCountsCte,
+         |c AS (SELECT d.doc_id, d.lang, bpe.n_bpe_merged AS n_tokens,
+         |    sum(bpe.n_bpe_merged) OVER
+         |    (PARTITION BY d.lang ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) - bpe.n_bpe_merged AS strt
+         |  FROM documents d JOIN bpe USING (doc_id))
+         |SELECT doc_id, lang, n_tokens,
+         | (strt // 2048)::BIGINT AS bin, (strt % 2048)::BIGINT AS bin_offset
+         |FROM c ORDER BY lang, doc_id""".stripMargin,
 
     "l4d_repetition" ->
       s"""WITH t AS (SELECT doc_id,

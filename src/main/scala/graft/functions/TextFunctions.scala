@@ -63,6 +63,38 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
+  /** Learned BPE merge table — LITERAL data (provenance: BpeTrain over
+    * the sf0.01 documents corpus, 48 merges, self-pairs excluded so the
+    * rewrite is confluent and replayable; see BpeExprs for the exact
+    * semantics). Being literal keeps the tokenizer — and the DuckDB
+    * recursive-CTE oracle that interpolates these pairs — a pure
+    * function of the code. */
+  val DefaultBpeMerges: Vector[(String, String)] = Vector(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"), ("s", "mall"),
+    ("g", "e"), ("l", "ow"), ("mer", "ge"), ("s", "low"), ("c", "t"),
+    ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
+    ("v", "ector"))
+
+  /** Merged-BPE token count: pre-tokenize with [[BpePattern]], then
+    * apply the ranked merge table within each unit (one-pass-per-rank —
+    * exact BPE for a learned table; BpeExprs documents the proof) and
+    * count the surviving symbols. The REAL token budget for packing /
+    * manifest costing; [[bpeTokenCount]] stays as the merge-free upper
+    * bound. Native expression, per-thread LRU over distinct units. */
+  def bpeMergedTokenCount(text: Column,
+      merges: Seq[(String, String)] = DefaultBpeMerges): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.BpeMergedCountExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text),
+        merges.map(_._1), merges.map(_._2), BpePattern))
+
   /** Character k-shingles of the lowercased text (overlapping substrings
     * of length k) — the MinHash/Jaccard unit. Distinct set; empty array
     * when the text is shorter than k (Spark `sequence` descends when

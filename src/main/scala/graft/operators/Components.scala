@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   * Beyond", SOCC'14) halves path lengths per round; not needed for the
   * dedup-cluster shape this serves.
   *
-  * Lineage: each round's result is `localCheckpoint`ed — iterative
+  * Lineage: each round's result is materialized via [[Checkpoint]] — iterative
   * DataFrame loops otherwise stack O(rounds) plan nodes and re-run
-  * every prior shuffle on each action. On a real cluster use reliable
-  * `checkpoint` (HDFS-backed) instead so a lost executor cannot drop a
-  * round's blocks.
+  * every prior shuffle on each action. Strategy is session-selected
+  * (graft.checkpoint.reliable): executor-local blocks by default,
+  * HDFS-backed reliable checkpoint at fleet scale so a lost executor
+  * cannot drop a round's blocks.
   */
 object Components {
 
@@ -47,11 +48,11 @@ object Components {
     // without this the pair generation re-executes once per round
     val sym = edges.select(col(srcC).as("_n"), col(dstC).as("_m"))
       .union(edges.select(col(dstC).as("_n"), col(srcC).as("_m")))
-      .localCheckpoint()
+      .transform(Checkpoint.apply)
     val nodeC = nodes.columns.head
     var labels = nodes.select(col(nodeC).as("_n"), col(nodeC).as("_lab"))
       .union(sym.select(col("_n"), col("_n").as("_lab"))).distinct()
-      .localCheckpoint()
+      .transform(Checkpoint.apply)
     // labels only ever decrease, so the (node, label) multiset changes on
     // every non-converged round: a stable checksum IS convergence — one
     // scalar aggregate per round instead of a change-counting join.
@@ -66,7 +67,7 @@ object Components {
     while (!converged && round < maxRounds) {
       val msgs = sym.join(labels, "_n").select(col("_m").as("_n"), col("_lab"))
       val next = labels.union(msgs).groupBy("_n").agg(min("_lab").as("_lab"))
-        .localCheckpoint()
+        .transform(Checkpoint.apply)
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
@@ -110,7 +111,7 @@ object Components {
       .filter(col("_a") =!= col("_b")).distinct()
 
     var e = canon(edges.select(col(srcC).as("_a"), col(dstC).as("_b")))
-      .localCheckpoint()
+      .transform(Checkpoint.apply)
 
     def checksum(df: DataFrame): Long =
       df.agg(coalesce(expr("bit_xor(xxhash64(_a, _b))"), lit(0L)))
@@ -140,7 +141,7 @@ object Components {
     var converged = prev == 0L // empty edge set: nothing to contract
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).transform(Checkpoint.apply)
       val cur = checksum(next)
       converged = cur == prev
       prev = cur

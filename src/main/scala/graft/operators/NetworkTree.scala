@@ -54,11 +54,12 @@ object NetworkTree {
     * (a<b ⋈ b<c) then a semi join closing (a, c). The ordered
     * orientation counts every triangle exactly once AND bounds the
     * wedge fan-out of a vertex by its out-degree in the ordering — the
-    * standard skew defense (with degree ordering instead of id order
-    * it is optimal: a hub's wedges land only on its few higher-degree
-    * neighbors; id order is the deterministic, oracle-replayable
-    * proxy). Both joins are equi joins — shuffled hash/SMJ at any
-    * scale, no broadcast of the edge list required.
+    * standard skew defense. Id order is the simplest deterministic
+    * orientation; [[triangleCountsDegreeOrdered]] is the skew-OPTIMAL
+    * variant (hub wedges land only on equal-or-higher-degree
+    * neighbors) with identical output. Both joins are equi joins —
+    * shuffled hash/SMJ at any scale, no broadcast of the edge list
+    * required.
     *
     * Input contract: one row per undirected edge. Rows violating the
     * orientation (a >= b, incl. self-loops) are dropped by an explicit
@@ -73,6 +74,50 @@ object NetworkTree {
       .join(e.as("e3"),
         col("ta") === col("e3.a") && col("tc") === col("e3.b"), "left_semi")
     tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Degree-ordered orientation of an undirected edge list (input in
+    * the canonical a<b form): each edge points from its lower-(degree,
+    * id) endpoint to the higher one, as (lo, hi) structs of (d, v).
+    * This is the orientation that makes ordered triangle enumeration
+    * optimal under skew: a hub's wedges land only on its FEW
+    * neighbors of equal-or-higher degree, so wedge fan-out per vertex
+    * is bounded by its out-degree in this order — O(m^{3/2}) total
+    * wedges in the worst case, vs a hub of degree k generating C(k,2)
+    * wedges under id order. The (degree, id) tuple is a total order
+    * (id breaks degree ties), so every triangle still counts exactly
+    * once. */
+  def degreeOrientedEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") < col("b"))
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val ra = struct(col("da").as("d"), col("a").as("v"))
+    val rb = struct(col("db").as("d"), col("b").as("v"))
+    e0
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(ra < rb, struct(ra.as("lo"), rb.as("hi")))
+        .otherwise(struct(rb.as("lo"), ra.as("hi"))).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+  }
+
+  /** Triangle counts under the DEGREE-ordered orientation — identical
+    * output to [[triangleCounts]] (both count each triangle once; the
+    * spec asserts equality), but with the skew-optimal wedge bound
+    * above: this is the variant to run when the co-occurrence graph
+    * has hubs, which at 100 TB it always does. Same two equi joins —
+    * no broadcast, no cartesian; the only additions are the degree
+    * aggregate and two key-side joins of the (v, deg) table. */
+  def triangleCountsDegreeOrdered(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = degreeOrientedEdges(pairs, aCol, bCol)
+    val tri = e.as("e1").join(e.as("e2"), col("e1.hi") === col("e2.lo"))
+      .select(col("e1.lo").as("ta"), col("e1.hi").as("tb"), col("e2.hi").as("tc"))
+      .join(e.as("e3"),
+        col("ta") === col("e3.lo") && col("tc") === col("e3.hi"), "left_semi")
+    tri.select(explode(array(col("ta.v"), col("tb.v"), col("tc.v"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
   }
 

@@ -39,13 +39,13 @@ object PageRank {
     * if they occur as src or dst of any edge.
     *
     * The static sides — node list and out-weighted edges — are
-    * materialized ONCE via localCheckpoint before the loop unrolls:
+    * materialized ONCE via [[Checkpoint]] before the loop unrolls:
     * without it every iteration's plan re-derives them from the raw
     * input (an iters-deep DAG rescans the source ~3·iters times; the
-    * iterative-algorithm discipline GraphX/ALS apply). On a real
-    * cluster substitute a reliable checkpoint / persisted table for
-    * the edge side — localCheckpoint trades fault-tolerance for speed,
-    * which is the right trade only below the fleet scale. */
+    * iterative-algorithm discipline GraphX/ALS apply). The strategy is
+    * session-selected: localCheckpoint locally, reliable checkpoint at
+    * fleet scale (set graft.checkpoint.reliable=true + a checkpoint
+    * dir) so executor loss cannot forfeit the materialized rounds. */
   def pageRankFixed(edges: DataFrame, src: String, dst: String,
       weight: String, iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
@@ -55,7 +55,7 @@ object PageRank {
       col(weight).cast("long").as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .transform(Checkpoint.apply)
     // out-weight per source, attached to the edge once (reused verbatim
     // by every unrolled iteration)
     val outW = e.groupBy("src").agg(sum("w").as("wout"))
@@ -63,7 +63,7 @@ object PageRank {
     // checkpoint (localCheckpoint preserves partitioning metadata):
     // every unrolled iteration then shuffles only the |V|-sized rank
     // table into place — the big side never re-exchanges
-    val ew = e.join(outW, "src").repartition(col("src")).localCheckpoint()
+    val ew = e.join(outW, "src").repartition(col("src")).transform(Checkpoint.apply)
     val baseU = math.floor((1.0 - damping) * 1000000.0).toLong
 
     var ranks = nodes.withColumn("pr_u", lit(1000000L))

@@ -73,6 +73,19 @@ class ComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("reliable-checkpoint strategy produces identical components (fleet posture)") {
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val local = cc(nodes, edges)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.operators.Checkpoint.ReliableConfKey, "true")
+    try {
+      assert(cc(nodes, edges) == local,
+        "reliable checkpoint must not change the fixpoint")
+    } finally spark.conf.unset(graft.operators.Checkpoint.ReliableConfKey)
+  }
+
   test("components: empty graph yields an empty result, not an NPE") {
     val got = Components.connectedComponents(
       Seq.empty[Long].toDF("node"), Seq.empty[(Long, Long)].toDF("src", "dst"))

@@ -76,4 +76,47 @@ class NetworkTreeSpec extends SparkTestBase {
     // triangles: (1,2,3) and (1,2,4) — vertices 1,2 in both; 3,4 in one
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("degree-ordered triangles equal id-ordered on fixed and random graphs") {
+    val fixed = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L), (9L, 10L)).toDF("pa", "pb")
+    def counts(df: org.apache.spark.sql.DataFrame, deg: Boolean) =
+      (if (deg) NetworkTree.triangleCountsDegreeOrdered(df, "pa", "pb")
+       else NetworkTree.triangleCounts(df, "pa", "pb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(fixed, deg = true) == counts(fixed, deg = false))
+    // deterministic pseudo-random graph on 60 vertices (md5 scatter)
+    val rnd = (0 until 600).map { i =>
+      val a = math.abs((i * 2654435761L) % 60)
+      val b = math.abs((i * 40503L + 17) % 60)
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("pa", "pb")
+    assert(counts(rnd, deg = true) == counts(rnd, deg = false))
+  }
+
+  test("degree order bounds hub wedge fan-out where id order is quadratic") {
+    // The wedge join enumerates PATHS lo→mid→hi, so the blow-up vertex
+    // is a hub in the MIDDLE of the id order: hub 21 with 20 lower-id
+    // and 20 higher-id leaves contributes in(21)·out(21) = 400 id-order
+    // wedges. Degree order points every edge AT the hub (highest
+    // degree), so in·out = 40·0 = 0 there, and only leaf-side wedges
+    // remain. Edge (1, 22) closes the single triangle (1, 21, 22).
+    val star = ((1L to 20L).map(l => (l, 21L)) ++
+      (22L to 41L).map(l => (21L, l)) :+ (1L, 22L)).toDF("pa", "pb")
+    def wedges(e: org.apache.spark.sql.DataFrame): Long =
+      e.as("e1").join(e.as("e2"), col("e1.hi") === col("e2.lo")).count()
+    val idEdges = star.select(col("pa").as("lo"), col("pb").as("hi"))
+    val degEdges = NetworkTree.degreeOrientedEdges(star, "pa", "pb")
+    val idW = wedges(idEdges)
+    val degW = wedges(degEdges)
+    assert(idW >= 400L, s"id order must be hub-quadratic here: $idW")
+    assert(degW <= 41L, s"degree order must bound hub fan-out: $degW")
+    // and the counts still agree: exactly one triangle (1, 21, 22)
+    val got = NetworkTree.triangleCountsDegreeOrdered(star, "pa", "pb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 21L -> 1L, 22L -> 1L))
+    assert(got == NetworkTree.triangleCounts(star, "pa", "pb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
 }

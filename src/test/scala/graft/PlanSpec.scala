@@ -63,14 +63,17 @@ class PlanSpec extends SparkTestBase {
     // that cannot scale. One planning pass per query covers both sweeps.
     val deliberateBnl = Set("l2f_embedding_neardup", "l3_cosine_topk",
       "l3b_ann_lsh", "l3c_ann_ivf", "l3e_pq_ann", "l3f_ivfadc",
-      "l2b_minhash_pairs", "l2e_simhash_pairs",
+      "l2e_simhash_pairs",
       // a broadcast of ONE row (the corpus count) attached to every
       // partition — the scalar-join idiom, O(n) work, not a pair blowup
       "l4c_tfidf", "l4g_bm25", "a16_drift_tvd",
       // same scalar-join idiom: the 1-row weight total crosses onto the
       // source-count table (source-dimension-sized, tiny) before the
       // rate table broadcasts back to the fact scan
-      "mix_temperature", "training_manifest")
+      "mix_temperature", "training_manifest",
+      // the 1-row global watermark (max event time) broadcast onto the
+      // event scan — ST5's cutoff filter, same scalar-join idiom
+      "st5_late_drop")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
