@@ -29,11 +29,23 @@ object ExplainDump {
     "t5_pivot" -> ("Pivot over a fixed column set: ONE scan, partial_count then "
       + "partial_pivotfirst — both aggregation phases combine map-side before "
       + "their exchanges."),
-    "l2b_minhash_pairs" -> ("MinHash LSH near-dups: signatures compute scan-side; "
-      + "the banded self-join shuffles only (band-key, doc_id) longs and Spark "
-      + "reuses the banded exchange for both sides (ReusedExchange); candidate "
-      + "pairs are verified by a native sorted-merge intersect on hashed shingle "
-      + "sets. No crossJoin anywhere."),
+    "l2b_minhash_pairs" -> ("MinHash LSH near-dups (paired-digest md5 family — "
+      + "oracle-replayable end to end): signatures compute scan-side ONCE; "
+      + "candidate pairs enumerate inside band buckets via one groupBy + "
+      + "in-bucket explode (a banded self-join would CLONE the plan and hash "
+      + "every shingle twice — ReuseExchange does not fire across self-join "
+      + "branches, verified on the final adaptive plan); candidates verify by "
+      + "a native sorted-merge intersect on hashed shingle sets. No crossJoin "
+      + "anywhere."),
+    "net_tree_triangles_deg" -> ("Degree-ordered triangle counting: edges point "
+      + "at their higher-(degree, id) endpoint, so a hub's in·out path-wedge "
+      + "product collapses to zero — O(m^1.5) wedges under any skew. Two equi "
+      + "joins (wedge + closing semi), the degree table joined key-side; no "
+      + "broadcast of the edge list, no cartesian."),
+    "st5_late_drop" -> ("Batch twin of the streaming watermark: the 1-row "
+      + "max-event-time aggregate broadcasts onto the event scan (scalar "
+      + "cross-join idiom — O(n) work, not a pair blowup), the cutoff filters "
+      + "map-side, and the surviving rows run the ST2 tumbling aggregation."),
     "w4_global_seq" -> ("Dense global sequence WITHOUT a partitionless window "
       + "(which would single-task all rows): range-partitioned sort, then "
       + "zipWithIndex assigns contiguous per-partition offsets."),
