@@ -751,6 +751,13 @@ object SparkEntry {
       Dedup.segmentDedup(Tables.documents(s, d), " value ", " | ")
         .orderBy("doc_id")),
 
+    // ---- L2l: exact duplicate-SPAN detection (substring-level dedup
+    //      signal — repeated 8-token windows merged into regions with
+    //      integer coverage; Lee et al. 2022's gate) ----
+    "l2l_dup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(Tables.spread(Tables.documents(s, d)), k = 8)
+        .orderBy("doc_id")),
+
     // ---- L2g: near-dup pairs → transitive dedup CLUSTERS (hash-min
     //      label propagation; oracle = DuckDB recursive CTE) ----
     "l2g_dedup_clusters" -> ((s, d) =>
@@ -2009,6 +2016,39 @@ object SparkEntry {
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
          |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // w9-style island merge over flagged span positions; all-integer
+    "l2l_dup_spans" -> {
+      val k = 8
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT ELSE len($ToksSql)::BIGINT END AS n_tokens
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i AS pos,
+         |    ${h60("'0'", s"array_to_string(toks[i:i+${k - 1}], ' ')")} AS h
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${k - 1})) AS i
+         |        FROM t WHERE n_tokens >= $k)),
+         |dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+         |fl AS (SELECT doc_id, pos FROM sp JOIN dup USING (h)),
+         |mk AS (SELECT doc_id, pos AS s, pos + ${k - 1} AS e,
+         |    CASE WHEN max(pos + ${k - 1}) OVER w IS NULL OR pos > max(pos + ${k - 1}) OVER w
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |iv AS (SELECT doc_id, s, e,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS iid
+         |  FROM mk),
+         |reg AS (SELECT doc_id, min(s) AS ms, max(e) AS me FROM iv GROUP BY doc_id, iid),
+         |p1 AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans FROM fl GROUP BY doc_id),
+         |p2 AS (SELECT doc_id, count(*)::BIGINT AS n_dup_regions,
+         |         sum(me - ms + 1)::BIGINT AS dup_tokens FROM reg GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_tokens,
+         |  coalesce(p1.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+         |  coalesce(p2.n_dup_regions, 0)::BIGINT AS n_dup_regions,
+         |  coalesce(p2.dup_tokens, 0)::BIGINT AS dup_tokens
+         |FROM t LEFT JOIN p1 USING (doc_id) LEFT JOIN p2 USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    },
 
     "l2d_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_transform($ToksSql, w -> ${h60("'0'", "w")}) AS th FROM documents)

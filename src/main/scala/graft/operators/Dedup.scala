@@ -313,6 +313,66 @@ object Dedup {
       .filter(col("d") >= 0)
   }
 
+  /** L2l — exact duplicate-SPAN detection (the Lee et al. 2022
+    * "Deduplicating Training Data" signal): flag every k-token window
+    * whose exact content recurs in at least one OTHER position
+    * (cross- or within-document boilerplate: licenses, navboxes,
+    * templated sentences that document-level dedup cannot see), then
+    * merge each doc's flagged positions into maximal duplicated
+    * REGIONS and report integer coverage — the curation gate is
+    * typically "drop docs with dup_tokens/n_tokens above X".
+    *
+    * Shape at 100 TB: windows hash map-side to a 60-bit md5 key (the
+    * engine-replayable family), so the only data-sized shuffle carries
+    * (hash, doc_id) pairs — never window text; the recurring-hash set
+    * comes from one map-combinable aggregate; region merging reuses
+    * [[Sessionize.mergeIntervals]], whose window is keyed by doc_id
+    * (the corpus's natural partitioning — no global window). Output is
+    * all-integer, so the DuckDB twin is float-free.
+    *
+    * A 60-bit hash collision can flag a unique span as duplicated
+    * (~positions²/2⁶¹ expected false flags); acceptable for a gating
+    * signal — swap in contentFingerprint (256-bit) where it is not. */
+  def duplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"span width k must be >= 1 (got $k)")
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    // hash every window BEFORE exploding (one transform over the token
+    // array): exploding first would copy the whole token array into
+    // every per-position row — O(n_tokens²) bytes per doc
+    val spans = toks
+      .filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), (col("n_tokens") - (k - 1)).cast("int")),
+          i => md5Hash60(array_join(slice(col("toks"), i, lit(k)), " "), 0))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    // a span is duplicated when its content occurs at 2+ positions
+    // ANYWHERE (self-repetition inside one doc counts — boilerplate is
+    // boilerplate); one map-combinable count per hash
+    val dupHashes = spans.groupBy("h").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2).select("h")
+    val flagged = spans.join(dupHashes, Seq("h"), "left_semi")
+    val regions = Sessionize.mergeIntervals(
+      flagged.select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (k - 1)).as("e")),
+      "doc_id", "s", "e", col("e"))
+    val perDoc = flagged.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+      .join(regions.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_regions"),
+          sum(col("merged_end") - col("merged_start") + 1).as("dup_tokens")),
+        Seq("doc_id"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_regions"), lit(0L)).as("n_dup_regions"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** L2j — cross-corpus duplicate-SEGMENT removal (CCNet-style line
     * dedup): split every document on `delim`, drop each segment's
     * re-occurrences corpus-wide (keeping the FIRST occurrence in

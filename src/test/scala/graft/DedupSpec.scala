@@ -71,6 +71,32 @@ class DedupSpec extends SparkTestBase {
     assert(md5 == xx, s"families disagree: md5-only=${md5 -- xx}, xx-only=${xx -- md5}")
   }
 
+  test("L2l duplicate spans: planted boilerplate flagged, coverage merged, unique docs zero") {
+    // docs 1 and 2 share an 8-token license header; doc 3 is unique;
+    // doc 4 repeats a sentence INSIDE itself (self-boilerplate counts)
+    val header = "this work is licensed under the creative commons"   // 8 tokens
+    val d = Seq(
+      (1L, header + " attribution license for all uses"),
+      (2L, header + " share alike variant with extra words here"),
+      (3L, "completely original prose with no repeats against anything else"),
+      (4L, "alpha beta gamma delta one two three four padding " * 2)) // self-repeat
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(d, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // docs 1/2: exactly the one shared window at position 1 → one
+    // region of 8 tokens
+    assert(got(1L)._2 == 1L && got(1L)._3 == 1L && got(1L)._4 == 8L, got(1L).toString)
+    assert(got(2L)._2 == 1L && got(2L)._3 == 1L && got(2L)._4 == 8L)
+    assert(got(3L) == ((9L, 0L, 0L, 0L)))
+    // doc 4: 18 tokens, repetition "alpha..padding alpha..padding"
+    // (9-token unit ×2) — windows 1..3 match windows 10..(11,12 clipped)
+    // → self-duplicated spans exist and merge into regions
+    assert(got(4L)._2 > 0L && got(4L)._4 > 0L)
+    // coverage never exceeds the doc's token count
+    got.values.foreach { case (n, _, _, dup) => assert(dup <= n) }
+  }
+
   test("L2 simhash pairs: exact dups hit hamming 0; unrelated docs don't pair") {
     val pairs = Dedup.simHashNearDups(docs, maxHamming = 3).collect()
     val exactPairs = pairs.filter(_.getAs[Long]("hamming") == 0L)
