@@ -765,6 +765,14 @@ object SparkEntry {
         .dedupClusters(Tables.spread(Tables.documents(s, d)), "source", n = 3, threshold = 0.2)
         .orderBy("doc_id")),
 
+    // ---- L2g applied: one representative per near-dup cluster
+    //      (longest doc, ties min id) — the APPLY step of dedup ----
+    "l2g_cluster_reps" -> ((s, d) =>
+      graft.operators.Components.clusterRepresentatives(
+          Tables.spread(Tables.documents(s, d)), "source", col("n_chars"),
+          n = 3, threshold = 0.2)
+        .orderBy("cluster_id")),
+
     // ---- L3: exact brute-force cosine top-k (oracle) ----
     "l3_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1517,7 +1525,7 @@ object SparkEntry {
     * replace reaches each rank's fixpoint, confluent because merge
     * symbols are distinct). Yields `bpe(doc_id, n_bpe_merged)`; vocab-
     * sized recursion, corpus-sized only in the final unit join. */
-  private val BpeCountsCte: String = {
+  private lazy val BpeCountsCte: String = {
     val merges = TextFunctions.DefaultBpeMerges
     val mv = merges.zipWithIndex
       .map { case ((a, b), r) => s"($r, ' $a $b ', ' $a$b ')" }.mkString(", ")
@@ -1539,11 +1547,30 @@ object SparkEntry {
        |  USING (doc_id))""".stripMargin
   }
 
+  /** DuckDB CTE chain: near-dup n-gram-jaccard clusters via recursive
+    * transitive closure (min reachable label == hash-min fixpoint).
+    * Yields `cc(doc_id, cluster_id)`; shared by l2g_dedup_clusters and
+    * l2g_cluster_reps. */
+  private lazy val ClustersCteSql: String =
+    s"""g AS (SELECT doc_id, source, $Ngrams3Sql AS ng FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE CASE WHEN len(list_distinct(list_concat(a.ng, b.ng))) = 0 THEN 0.0
+       |        ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.ng, b.ng)))::DOUBLE END >= 0.2),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d, r.lab FROM edges e JOIN reach r ON r.node = e.s),
+       |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
   /** DuckDB expr: the 60-bit simhash sketch rebuilt from a column `th`
     * of per-token md5Hash60 values (mirror of SimHash60Expr: bit i =
     * sign of Σ±1 over tokens). Shared by l2d (sketches) and l2e
     * (banded near-dup pairs). */
-  private val SimhashAccSql: String = {
+  private lazy val SimhashAccSql: String = {
     val bitSums = (0 until 60).map(i =>
       s"list_aggregate(list_transform(th, h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END), 'sum')")
     bitSums.zipWithIndex
@@ -2000,22 +2027,22 @@ object SparkEntry {
     // connected components in SQL: transitive closure via recursive CTE
     // (min reachable label per node == hash-min propagation's fixpoint)
     "l2g_dedup_clusters" ->
-      s"""WITH RECURSIVE g AS (SELECT doc_id, source, $Ngrams3Sql AS ng FROM documents),
-         |pairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-         |  WHERE CASE WHEN len(list_distinct(list_concat(a.ng, b.ng))) = 0 THEN 0.0
-         |        ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.ng, b.ng)))::DOUBLE END >= 0.2),
-         |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
-         |          UNION ALL SELECT b_id, a_id FROM pairs),
-         |reach(node, lab) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.d, r.lab FROM edges e JOIN reach r ON r.node = e.s),
-         |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $ClustersCteSql
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
          |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // representative = longest doc per cluster, ties toward min doc_id
+    "l2g_cluster_reps" ->
+      s"""WITH RECURSIVE $ClustersCteSql
+         |SELECT cluster_id, rep_doc_id, rep_quality, n_members FROM (
+         |  SELECT cc.cluster_id, d.doc_id AS rep_doc_id,
+         |    d.n_chars::BIGINT AS rep_quality,
+         |    count(*) OVER (PARTITION BY cc.cluster_id)::BIGINT AS n_members,
+         |    row_number() OVER (PARTITION BY cc.cluster_id
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM cc JOIN documents d USING (doc_id))
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // w9-style island merge over flagged span positions; all-integer
     "l2l_dup_spans" -> {

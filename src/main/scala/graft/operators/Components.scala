@@ -176,4 +176,27 @@ object Components {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("cluster_id"))).cast("long"))
   }
+
+  /** The APPLY step of near-dup dedup: one representative per cluster —
+    * highest `quality` (caller-supplied, higher is better: length,
+    * quality score, recency…), ties broken toward the smallest doc_id
+    * so the choice is deterministic. One map-combinable max-struct
+    * aggregate per cluster (never a window over the corpus): the
+    * shuffle carries (cluster_id, quality, doc_id) triples only.
+    * Returns (cluster_id, rep_doc_id, rep_quality, n_members); join
+    * the corpus on rep_doc_id (left-semi) to materialize the deduped
+    * corpus itself. */
+  def clusterRepresentatives(docs: DataFrame, blockCol: String,
+      quality: org.apache.spark.sql.Column, n: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    val clusters = dedupClusters(docs, blockCol, n, threshold)
+      .select("doc_id", "cluster_id")
+    clusters
+      .join(docs.select(col("doc_id"), quality.cast("long").as("_q")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("_q"), (-col("doc_id")).as("_nid"))).as("_m"))
+      .select(col("cluster_id"), (-col("_m._nid")).as("rep_doc_id"),
+        col("_m._q").as("rep_quality"), col("n_members"))
+  }
 }

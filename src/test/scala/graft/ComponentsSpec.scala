@@ -86,6 +86,26 @@ class ComponentsSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.operators.Checkpoint.ReliableConfKey)
   }
 
+  test("cluster representatives: best quality wins, ties to min id, singletons kept") {
+    // docs 1/2 near-identical (same source, shared trigrams), 2 longer
+    // → rep of the {1,2} cluster; 3 unique → its own rep; 4/5 identical
+    // quality → tie breaks to the smaller id
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta", 30L),
+      (2L, "s1", "alpha beta gamma delta epsilon zeta eta theta", 40L),
+      (3L, "s1", "totally different content with no shared trigrams here", 99L),
+      (4L, "s2", "one two three four five six seven", 25L),
+      (5L, "s2", "one two three four five six seven eight", 25L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val got = Components
+      .clusterRepresentatives(docs, "source", col("n_chars"), n = 3, threshold = 0.2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 40L, 2L)), s"cluster 1: ${got.get(1L)}")   // rep = longer doc 2
+    assert(got(3L) == ((3L, 99L, 1L)))                                 // singleton keeps itself
+    assert(got(4L) == ((4L, 25L, 2L)), s"tie to min id: ${got.get(4L)}")
+  }
+
   test("components: empty graph yields an empty result, not an NPE") {
     val got = Components.connectedComponents(
       Seq.empty[Long].toDF("node"), Seq.empty[(Long, Long)].toDF("src", "dst"))
