@@ -90,6 +90,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash_long", "graft_minhash_long(hashedSet, numHashes)"),
       (args: Seq[Expression]) => LongMinHashSigExpr(args(0),
         intLit("graft_minhash_long", args, 1, 2))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_md5_paired"),
+      info("graft_minhash_md5_paired", "graft_minhash_md5_paired(shingles, numHashes)"),
+      (args: Seq[Expression]) => MinHashSigPairedExpr(args(0),
+        intLit("graft_minhash_md5_paired", args, 1, 2))))
+    // the DEFAULT merge table (literal data in TextFunctions) — a SQL
+    // user gets the same tokenizer the curation queries budget with
+    ext.injectFunction((FunctionIdentifier("graft_bpe_merged_count"),
+      info("graft_bpe_merged_count", "graft_bpe_merged_count(text)"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_bpe_merged_count", args, 1)
+        BpeMergedCountExpr(args.head,
+          graft.functions.TextFunctions.DefaultBpeMerges.map(_._1),
+          graft.functions.TextFunctions.DefaultBpeMerges.map(_._2),
+          graft.functions.TextFunctions.BpePattern)
+      }))
     ext.injectFunction((FunctionIdentifier("graft_byte_at"),
       info("graft_byte_at", "graft_byte_at(bin, offset1)"),
       (args: Seq[Expression]) => ByteAtExpr(args(0),

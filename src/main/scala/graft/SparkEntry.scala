@@ -1262,6 +1262,14 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // ---- SAMP: deterministic disjoint train/val/test assignment —
+    //      one gate draw, half-open cumulative intervals; map-only ----
+    "samp_splits" -> ((s, d) =>
+      graft.operators.Sampling.assignSplits(Tables.documents(s, d),
+          col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), "sp")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
     // ---- SAMP: A-Res weighted sample — length-proportional draw
     //      ("sample by tokens, not by documents"); map-only score +
     //      TakeOrderedAndProject top-k, no full sort ----
@@ -2384,6 +2392,13 @@ object SparkEntry {
          | ${dim(0)} AS c0, ${dim(1)} AS c1, ${dim(2)} AS c2, ${dim(3)} AS c3
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
     },
+
+    "samp_splits" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${SampGate("'sp'")} < ${SampThr(0.9)} THEN 'train'
+         |       WHEN ${SampGate("'sp'")} < ${SampThr(0.95)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "samp_hash" ->
       s"""SELECT doc_id, lang FROM documents

@@ -40,6 +40,39 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(hashGate(key, salt) < lit(threshold(fraction)))
 
+  /** Deterministic disjoint SPLIT assignment (train/val/test): one gate
+    * draw partitions the key space by cumulative fraction — every row
+    * gets exactly one label, splits are disjoint and exhaustive BY
+    * CONSTRUCTION (half-open gate intervals), and membership is a pure
+    * function of (key, salt): stable across runs, retries,
+    * partitionings, and engines, so a 100 TB corpus can be re-split
+    * identically forever. Fractions must sum to 1 (±1e-9); the last
+    * split absorbs the 2³² rounding remainder. Map-only — a codegen'd
+    * CASE over the scan, no shuffle. */
+  def assignSplits(df: DataFrame, key: Column,
+      fractions: Seq[(String, Double)], salt: String = "",
+      outCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "assignSplits needs at least one split")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      "split names must be unique")
+    require(fractions.forall(_._2 >= 0.0), "fractions must be >= 0")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1 (got ${fractions.map(_._2).sum})")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column")
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val gate = hashGate(key, salt)
+    // upper bounds in gate units; the final bound is 2³² exactly so the
+    // otherwise() is unreachable (gate < 2³² always) — label every row
+    val label = fractions.init.zip(cum.init).foldRight(
+      lit(fractions.last._1)) { case (((name, _), ub), elseCol) =>
+      when(gate < lit(threshold(ub)), lit(name)).otherwise(elseCol)
+    }
+    // nested when() evaluates in order, so each row takes the FIRST
+    // bound it clears — the half-open interval of its split
+    df.withColumn(outCol, label)
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
     * IPL 2006), deterministic: each row draws a reproducible uniform
     * u ∈ (0, 1] from the md5 gate and scores `u^(1/w)`; the k largest

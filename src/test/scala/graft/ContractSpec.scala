@@ -17,14 +17,14 @@ class ContractSpec extends SparkTestBase {
       "a2c_hll_union",        // DataSketches HLL union — approximate
       "a8b_approx_percentiles", // KLL-style percentile sketch — approximate
       "a11_topk_sketch",      // frequent-items sketch — approximate
-      "l2b_minhash_pairs",    // LSH candidates (xx hash family)
-      "l2e_simhash_pairs",    // simhash banding
+      // l2b_minhash_pairs / l2e_simhash_pairs were promoted to
+      // hash-checked in round 6 (md5-family banding replays in SQL)
       "l3b_ann_lsh",          // approximate NN
       "l3c_ann_ivf",          // approximate NN
       "l3e_pq_ann",           // approximate NN (product quantization)
       "l3f_ivfadc",           // approximate NN (IVF pruning + ADC scoring)
       "l5d_cdc_chunks",       // sequential gear-hash fold — not SQL-expressible
-      "mm_media_features")    // stubbed codec
+      "mm_media_features")    // real PNG codec (ImageIO) — not SQL-expressible
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale documentation: ${documented -- rowsOnly}")

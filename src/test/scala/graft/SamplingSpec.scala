@@ -175,6 +175,40 @@ class SamplingSpec extends SparkTestBase {
     assert(got == Map("big" -> 5L, "tiny" -> 2L))
   }
 
+  test("split assignment: disjoint+exhaustive, deterministic, proportional, guarded") {
+    val pop = (0L until 4000L).toDF("id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.assignSplits(pop, col("id"), fr, "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exhaustive: every row labeled with a declared split
+    assert(a.size == 4000 && a.values.toSet == Set("train", "val", "test"))
+    // proportions within a loose binomial band
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(n("train") - 3200) < 150, n.toString)
+    assert(math.abs(n("val") - 400) < 100 && math.abs(n("test") - 400) < 100)
+    // deterministic at any partitioning; a new salt is a new split
+    val b = Sampling.assignSplits(pop.repartition(13), col("id"), fr, "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val c = Sampling.assignSplits(pop, col("id"), fr, "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c)
+    // nested-subset affinity with hashSample: same salt's 10% sample is
+    // exactly the rows whose gate is lowest — i.e. a train PREFIX
+    val keep = Sampling.hashSample(pop, col("id"), 0.8, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(keep == a.filter(_._2 == "train").keySet,
+      "hashSample(f) must equal the first cumulative split at the same salt")
+    // guards
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(pop, col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(pop, col("id"), Seq("a" -> 0.5, "a" -> 0.5)))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(pop.withColumn("split", lit("x")), col("id"),
+        Seq("a" -> 1.0)))
+  }
+
   test("A-Res rejects inputs whose '_ares'/'_rn' columns would be clobbered") {
     val clash1 = Seq((1L, 2L, 0.5)).toDF("id", "w", "_ares")
     intercept[IllegalArgumentException] {

@@ -130,6 +130,25 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(r.getAs[Int]("b9") == -1)    // out of range → -1 sentinel
   }
 
+  test("paired minhash and merged-BPE count resolve from SQL with DSL-identical values") {
+    val s = sqlSpark
+    import s.implicits._
+    Seq(("alpha beta vector order customer", Seq("alpha", "beta", "alph")))
+      .toDF("txt", "sh").createOrReplaceTempView("t3")
+    val r = s.sql(
+      """SELECT graft_minhash_md5_paired(sh, 6) AS sig,
+        |  graft_bpe_merged_count(txt) AS n FROM t3""".stripMargin).collect()(0)
+    import graft.functions.TextFunctions
+    val dsl = s.table("t3").select(
+      TextFunctions.pairedMinHashSignature($"sh", 6),
+      TextFunctions.bpeMergedTokenCount($"txt")).collect()(0)
+    assert(r.getSeq[Long](0) == dsl.getSeq[Long](0))
+    assert(r.getAs[Long]("n") == dsl.getLong(1))
+    // "vector", "order", "customer" are single learned tokens; alpha →
+    // al|p|h|a? (al from rank 35) — just pin the DSL equality + a bound
+    assert(r.getAs[Long]("n") < 20L && r.getAs[Long]("n") >= 5L)
+  }
+
   test("SQL builders validate arity and constness with clear analysis errors") {
     val s = sqlSpark
     import s.implicits._
