@@ -736,6 +736,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- L2m: Bloom-prefiltered decontamination (the contamination-
+    //      SOURCE-scale variant of l2h: eval grams become broadcast
+    //      BITS, not an exact set; survivors exact-verify). numBits is
+    //      deliberately undersized here so the bloom saturates and the
+    //      verify join provably removes real false positives — the
+    //      answer must still be bit-identical to exact overlap ----
+    "l2m_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      Dedup.decontaminateBloom(docs, docs.filter(col("doc_id") % 17 === 0),
+          n = 2, minHits = 3L, expectedItems = 1L << 14, numBits = 1L << 14)
+        .orderBy("doc_id")
+    }),
+
     // ---- L2i: edit-distance fuzzy matching (typo'd SSIDs / vendor
     //      name variants): Levenshtein over the DISTINCT vocabulary,
     //      blocked + length-banded + thresholded DP (Dedup docs) ----
@@ -2029,6 +2042,20 @@ object SparkEntry {
          |         FROM dg JOIN ev USING (ng) GROUP BY 1)
          |SELECT d.doc_id, coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
          |  coalesce(h.n_overlap, 0) >= 5 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // bloom is a pure pre-filter (zero false negatives + exact verify),
+    // so the oracle is the same exact n-gram-overlap replay as l2h —
+    // the bloom changes WHERE the work happens, never the answer
+    "l2m_bloom_decontaminate" ->
+      s"""WITH ev AS (SELECT DISTINCT unnest(${NgramsSql(2)}) AS ng
+         |            FROM documents WHERE doc_id % 17 = 0),
+         |dg AS (SELECT doc_id, unnest(${NgramsSql(2)}) AS ng FROM documents),
+         |hits AS (SELECT dg.doc_id, count(*) AS n_overlap
+         |         FROM dg JOIN ev USING (ng) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+         |  coalesce(h.n_overlap, 0) >= 3 AS contaminated
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 

@@ -253,26 +253,72 @@ object Dedup {
     * corpus's (doc_id, hit-count) partial aggregates. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 3,
       minHits: Long = 5L): DataFrame = {
-    // Stage the columns so nothing lands inside an interpreted HOF
-    // lambda: tokens materialize BEFORE ngramsOfTokens (its doc warns
-    // the lambda re-evaluates the token subtree per element), and the
-    // gram hash runs codegen'd on the exploded row, not inside a
-    // transform(). Probing on xxhash64 LONGS instead of strings keeps
-    // the broadcast set small and the probe cheap (string-free LSH
-    // rationale; ~2^-64 collision odds per gram pair, as hashedJaccard).
-    def gramRows(df: DataFrame) = df
-      .select(col("doc_id"), tokens(col("text")).as("_toks"))
-      .select(col("doc_id"), explode(ngramsOfTokens(col("_toks"), n)).as("ng_s"))
-      .select(col("doc_id"), xxhash64(col("ng_s")).as("ng"))
-    val evalGrams = gramRows(evalSet).select("ng").distinct()
-    val hits = gramRows(corpus)
+    val evalGrams = gramRows(evalSet, n).select("ng").distinct()
+    val hits = gramRows(corpus, n)
       .join(broadcast(evalGrams), "ng")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    overlapReport(corpus, hits, minHits)
+  }
+
+  /** Per-doc distinct word-n-gram rows, hashed to LONG keys.
+    *
+    * Staged so nothing lands inside an interpreted HOF lambda: tokens
+    * materialize BEFORE ngramsOfTokens (its doc warns the lambda
+    * re-evaluates the token subtree per element), and the gram hash runs
+    * codegen'd on the exploded row, not inside a transform(). Probing on
+    * xxhash64 LONGS instead of strings keeps the probe set small and the
+    * probe cheap (string-free LSH rationale; ~2^-64 collision odds per
+    * gram pair, as hashedJaccard). */
+  private def gramRows(df: DataFrame, n: Int): DataFrame = df
+    .select(col("doc_id"), tokens(col("text")).as("_toks"))
+    .select(col("doc_id"), explode(ngramsOfTokens(col("_toks"), n)).as("ng_s"))
+    .select(col("doc_id"), xxhash64(col("ng_s")).as("ng"))
+
+  /** Shared tail: per-doc overlap counts → full-corpus report (docs with
+    * zero overlap survive the left join with n_overlap = 0). */
+  private def overlapReport(corpus: DataFrame, hits: DataFrame,
+      minHits: Long): DataFrame =
     corpus.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") >= minHits)
+
+  /** L2h at contamination-SOURCE scale — same contract and the same
+    * exact answer as [[decontaminate]], different shuffle geometry: the
+    * eval/reference side's distinct grams feed a Bloom filter (built
+    * distributively — map-side partial blooms OR-merge in one
+    * bitset-sized exchange) instead of an exact broadcast set, corpus
+    * grams reject map-side against the bloom bits, and only the
+    * survivors (true overlaps + the fpp-rate false positives) reach an
+    * exact verify join that removes the false positives.
+    *
+    * When to pick which: [[decontaminate]] broadcasts ~8 bytes per
+    * distinct eval gram — right while the eval side is benchmark-sized.
+    * Deduping against another CORPUS (billions of distinct grams) that
+    * broadcast is tens of GB, but the bloom at the same recall is
+    * numBits/8 bytes regardless of cardinality, and the verify join
+    * shuffles only the survivor set — at 1% fpp that is ~1% of corpus
+    * grams plus the true overlap, hash-joined on 8-byte keys. False
+    * negatives are structurally impossible, so the verify join sees
+    * every true overlap and the result is bit-identical to the exact
+    * operator (spec-pinned even with a deliberately saturated bloom). */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, n: Int = 3,
+      minHits: Long = 5L, expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    val evalGrams = gramRows(evalSet, n).select("ng").distinct()
+    val bloom = org.apache.spark.sql.graft.BloomSemiJoin
+      .bloomOf(evalGrams, col("ng"), expectedItems, numBits)
+    val survivors = gramRows(corpus, n)
+      .filter(org.apache.spark.sql.graft.BloomSemiJoin
+        .mightContain(bloom, col("ng")))
+    // exact verify on the survivor set: deliberately NOT broadcast-hinted
+    // — the scale premise is that evalGrams exceeds broadcast budget, so
+    // the join must be free to shuffle on the 8-byte gram key (locally
+    // AQE still picks broadcast when the side is actually small)
+    val hits = survivors.join(evalGrams, "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    overlapReport(corpus, hits, minHits)
   }
 
   /** L2i — edit-distance fuzzy matching over short strings (names,

@@ -189,6 +189,36 @@ class DedupSpec extends SparkTestBase {
     assert(got == Seq((1L, 6L, true), (2L, 1L, false), (3L, 0L, false)))
   }
 
+  test("L2m bloom decontamination == exact, even with a saturated bloom") {
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy suffix"),
+      (2L, "only the quick brown remains here today friends"),
+      (3L, "completely unrelated text with zero overlap whatsoever")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, evalSet, n = 3, minHits = 5L)
+      .orderBy("doc_id").collect().toSeq
+    // an 8-bit bloom over ~8 eval grams is saturated: nearly every corpus
+    // gram survives as a false positive — the exact verify join must
+    // strip them all, so the report is still bit-identical to exact
+    val sat = Dedup.decontaminateBloom(corpus, evalSet, n = 3, minHits = 5L,
+        expectedItems = 8L, numBits = 8L)
+      .orderBy("doc_id").collect().toSeq
+    assert(sat == exact)
+    // and a well-sized bloom agrees too (the normal operating point)
+    val ok = Dedup.decontaminateBloom(corpus, evalSet, n = 3, minHits = 5L,
+        expectedItems = 1L << 10, numBits = 1L << 13)
+      .orderBy("doc_id").collect().toSeq
+    assert(ok == exact)
+    // the probe is planned as a bloom might_contain, not an exact join:
+    // the pre-filter genuinely runs in the plan
+    val plan = Dedup.decontaminateBloom(corpus, evalSet, n = 3, minHits = 5L)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a bloom might_contain probe in the plan:\n$plan")
+  }
+
   test("L2i edit-distance pairs: vocabulary pairing, counts, threshold, block bound") {
     val rows = Seq(
       "linksys home", "linksys home", "linksys hone",   // d=1 typo (dup row too)
