@@ -860,6 +860,15 @@ object SparkEntry {
         TextFunctions.bpeMergedTokenCount(col("text")).as("n_bpe_merged"))
         .orderBy("doc_id")),
 
+    // ---- L4o: merged-BPE ENCODE — the tokenizer's apply step (l4e
+    //      counts are this sequence's length). The sequence itself is
+    //      what id-mapping / packing consume downstream ----
+    "l4o_bpe_encode" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.bpeEncode(col("text")).as("bpe_text"),
+        TextFunctions.bpeMergedTokenCount(col("text")).as("n_bpe_merged"))
+        .orderBy("doc_id")),
+
     // ---- L4g: canonical text normalization (the stage-zero transform
     //      of every curation pipeline). The input is deliberately
     //      dirtied INSIDE the query (case noise, accents, tabs, runs of
@@ -1546,12 +1555,13 @@ object SparkEntry {
     * replace reaches each rank's fixpoint, confluent because merge
     * symbols are distinct). Yields `bpe(doc_id, n_bpe_merged)`; vocab-
     * sized recursion, corpus-sized only in the final unit join. */
-  private lazy val BpeCountsCte: String = {
+  private lazy val BpeCorePrefix: String = {
     val merges = TextFunctions.DefaultBpeMerges
     val mv = merges.zipWithIndex
       .map { case ((a, b), r) => s"($r, ' $a $b ', ' $a$b ')" }.mkString(", ")
     s"""m(r, pat, rep) AS (VALUES $mv),
-       |bunits AS (SELECT doc_id, unnest(regexp_extract_all(text, '$BpePatSql')) AS u FROM documents),
+       |bdocs AS (SELECT doc_id, regexp_extract_all(text, '$BpePatSql') AS us FROM documents),
+       |bunits AS (SELECT doc_id, unnest(us) AS u FROM bdocs),
        |bvocab AS (SELECT DISTINCT u FROM bunits),
        |benc(u, seq, r) AS (
        |  SELECT u, ' ' || array_to_string(list_transform(generate_series(1, length(u)), i -> u[i:i]), ' ') || ' ', 0 FROM bvocab
@@ -1560,13 +1570,31 @@ object SparkEntry {
        |    CASE WHEN position(m.pat IN e.seq) > 0 THEN replace(e.seq, m.pat, m.rep) ELSE e.seq END,
        |    CASE WHEN position(m.pat IN e.seq) > 0 THEN e.r ELSE e.r + 1 END
        |  FROM benc e JOIN m ON m.r = e.r),
-       |bfinal AS (SELECT u, len(string_split(trim(seq), ' ')) AS n FROM benc WHERE r = ${merges.size}),
+       |bseq AS (SELECT u, trim(seq) AS seq FROM benc WHERE r = ${merges.size})""".stripMargin
+  }
+
+  private lazy val BpeCountsCte: String =
+    s"""$BpeCorePrefix,
+       |bfinal AS (SELECT u, len(string_split(seq, ' ')) AS n FROM bseq),
        |bpe AS (
        |  SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_bpe_merged
        |  FROM documents d LEFT JOIN (
        |    SELECT doc_id, sum(n)::BIGINT AS n FROM bunits JOIN bfinal USING (u) GROUP BY doc_id) c
        |  USING (doc_id))""".stripMargin
-  }
+
+  /** The encode twin of [[BpeCountsCte]]: positions zip with units
+    * (parallel unnest), each unit joins its vocab-level merge fixpoint
+    * `seq`, and the doc's token sequence is the position-ordered join of
+    * those — `bpetext(doc_id, bpe_text)`. */
+  private lazy val BpeEncodeCte: String =
+    s"""$BpeCorePrefix,
+       |bpos AS (SELECT doc_id, unnest(generate_series(1, len(us))) AS pos, unnest(us) AS u FROM bdocs),
+       |bpetext AS (
+       |  SELECT d.doc_id, coalesce(e.t, '') AS bpe_text
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, string_agg(s.seq, ' ' ORDER BY pos) AS t
+       |    FROM bpos JOIN bseq s USING (u) GROUP BY doc_id) e
+       |  USING (doc_id))""".stripMargin
 
   /** DuckDB CTE chain: near-dup n-gram-jaccard clusters via recursive
     * transitive closure (min reachable label == hash-min fixpoint).
@@ -2213,6 +2241,16 @@ object SparkEntry {
          | bpe.n_bpe_merged
          |FROM documents d JOIN bpe USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // n_bpe_merged re-derived from the REPLAYED sequence itself (token
+    // count = sequence length), so the count column cross-checks the
+    // two Spark expressions against one independent oracle value
+    "l4o_bpe_encode" ->
+      s"""WITH RECURSIVE $BpeEncodeCte
+         |SELECT doc_id, bpe_text,
+         | CASE WHEN bpe_text = '' THEN 0::BIGINT
+         |      ELSE len(string_split(bpe_text, ' '))::BIGINT END AS n_bpe_merged
+         |FROM bpetext ORDER BY doc_id""".stripMargin,
 
     "pack_bins_bpe" ->
       s"""WITH RECURSIVE $BpeCountsCte,

@@ -95,6 +95,17 @@ object TextFunctions {
         org.apache.spark.sql.graft.Bridge.expression(text),
         merges.map(_._1), merges.map(_._2), BpePattern))
 
+  /** Merged-BPE token SEQUENCE, space-joined — the tokenizer's apply
+    * step ([[bpeMergedTokenCount]] is its length). Same merge table,
+    * same native one-pass-per-rank semantics, so the same recursive-CTE
+    * oracle replays the full sequence, not just the count. */
+  def bpeEncode(text: Column,
+      merges: Seq[(String, String)] = DefaultBpeMerges): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.BpeEncodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text),
+        merges.map(_._1), merges.map(_._2), BpePattern))
+
   /** Character k-shingles of the lowercased text (overlapping substrings
     * of length k) — the MinHash/Jaccard unit. Distinct set; empty array
     * when the text is shorter than k (Spark `sequence` descends when

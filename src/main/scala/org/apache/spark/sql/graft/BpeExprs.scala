@@ -81,6 +81,59 @@ final class BpeState(val mergesA: Array[String], val mergesB: Array[String],
     while (m.find()) total += unitLen(m.group())
     total
   }
+
+  @transient private lazy val seqCache =
+    new ThreadLocal[java.util.LinkedHashMap[String, String]] {
+      override def initialValue(): java.util.LinkedHashMap[String, String] =
+        new java.util.LinkedHashMap[String, String](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, String]): Boolean = size() > 16384
+        }
+    }
+
+  /** Space-joined merged symbol sequence of one unit (cached per
+    * distinct unit, like [[unitLen]] — same heavy-tail rationale). */
+  private def unitSeq(u: String): String = {
+    val c = seqCache.get()
+    val hit = c.get(u)
+    if (hit != null) return hit
+    val syms = new Array[String](u.length)
+    var i = 0
+    while (i < u.length) { syms(i) = String.valueOf(u.charAt(i)); i += 1 }
+    var len = u.length
+    var r = 0
+    while (r < mergesA.length && len > 1) {
+      val a = mergesA(r); val b = mergesB(r)
+      var read = 0; var write = 0
+      while (read < len) {
+        if (read < len - 1 && syms(read) == a && syms(read + 1) == b) {
+          syms(write) = a + b; read += 2
+        } else { syms(write) = syms(read); read += 1 }
+        write += 1
+      }
+      len = write
+      r += 1
+    }
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i < len) { if (i > 0) sb.append(' '); sb.append(syms(i)); i += 1 }
+    val s = sb.toString
+    c.put(u, s)
+    s
+  }
+
+  /** Merged-BPE token SEQUENCE of a whole text, space-joined (the
+    * tokenizer's apply step — [[count]] is its length). Empty/unit-free
+    * text encodes to the empty string. */
+  def encode(s: UTF8String): UTF8String = {
+    val m = pattern.matcher(s.toString)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      if (sb.length > 0) sb.append(' ')
+      sb.append(unitSeq(m.group()))
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** Merged-BPE token count over a text column — LongType, codegen'd via a
@@ -104,6 +157,36 @@ case class BpeMergedCountExpr(child: Expression, mergesA: Seq[String],
     val ref = ctx.addReferenceObj("bpeState", state,
       classOf[BpeState].getName)
     defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Merged-BPE token sequence over a text column, space-joined —
+  * StringType, codegen'd; the tokenizer's APPLY step where
+  * [[BpeMergedCountExpr]] is its cardinality. Shares [[BpeState]]'s
+  * semantics, so the same recursive-CTE oracle replays it (the CTE's
+  * per-unit fixpoint `seq` IS this value, unit-concatenated). */
+case class BpeEncodeExpr(child: Expression, mergesA: Seq[String],
+    mergesB: Seq[String], patternStr: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_encode"
+
+  @transient private lazy val state =
+    new BpeState(mergesA.toArray, mergesB.toArray, patternStr)
+
+  protected override def nullSafeEval(input: Any): Any =
+    state.encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeState", state,
+      classOf[BpeState].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

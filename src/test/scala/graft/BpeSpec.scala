@@ -83,6 +83,39 @@ class BpeSpec extends SparkTestBase {
     assert(bad == 0L, "merged count must stay within sane bounds of the unit count")
   }
 
+  test("encode emits the reference sequence; count == sequence length") {
+    // reference sequence: the same iterated-replace fixpoint, kept as
+    // the space-joined string instead of its length
+    def refEncode(text: String): String =
+      unitRe.findAllIn(text).map { u =>
+        var seq = u.toCharArray.mkString(" ", " ", " ")
+        TextFunctions.DefaultBpeMerges.foreach { case (a, b) =>
+          val pat = s" $a $b "
+          val rep = s" $a$b "
+          while (seq.contains(pat)) seq = seq.replace(pat, rep)
+        }
+        seq.trim
+      }.mkString(" ")
+    val texts = Seq(
+      "the customer filter merges vectors in order",
+      "", "   ", "a", "123 456",
+      "batch batch batch", "scan, merge; join!",
+      "vector vectorvector", "naïve café ü",
+      "mixed CASE Words keep Case sensitivity")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.bpeEncode(col("text")).as("enc"),
+        TextFunctions.bpeMergedTokenCount(col("text")).as("n"))
+      .orderBy("id").collect()
+    got.zip(texts).foreach { case (r, t) =>
+      val enc = r.getString(1)
+      assert(enc == refEncode(t), s"encode mismatch on '$t'")
+      val lenFromEnc = if (enc.isEmpty) 0L else enc.split(" ").length.toLong
+      assert(r.getLong(2) == lenFromEnc,
+        s"count != encode length on '$t': ${r.getLong(2)} vs $lenFromEnc")
+    }
+  }
+
   test("self-pair merge rules are rejected (confluence guard)") {
     intercept[IllegalArgumentException] {
       val df = Seq((1L, "aaaa")).toDF("id", "text")
