@@ -860,6 +860,17 @@ object SparkEntry {
         TextFunctions.bpeMergedTokenCount(col("text")).as("n_bpe_merged"))
         .orderBy("doc_id")),
 
+    // ---- L4p: model-based quality gate — linear classifier with
+    //      literal micro-unit weights; input dirtied in-query (the
+    //      l4g_normalize precedent) so the punct/digit/upper features
+    //      fire on the punctuation-free synthetic corpus ----
+    "l4p_quality_model" -> ((s, d) =>
+      TextAnalysis.linearQualityGate(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(upper(substring(col("text"), 1, 20)), lit(" 12345!!! "),
+            col("text")).as("text")))
+        .orderBy("doc_id")),
+
     // ---- L4o: merged-BPE ENCODE — the tokenizer's apply step (l4e
     //      counts are this sequence's length). The sequence itself is
     //      what id-mapping / packing consume downstream ----
@@ -2241,6 +2252,22 @@ object SparkEntry {
          | bpe.n_bpe_merged
          |FROM documents d JOIN bpe USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // integer features × integer micro-weights → BIGINT margin: the
+    // decision boundary replays bit-identically (no floats, no libm)
+    "l4p_quality_model" ->
+      s"""WITH q AS (SELECT doc_id, upper(text[1:20]) || ' 12345!!! ' || text AS text FROM documents),
+         |f AS (SELECT doc_id,
+         |  least(length(text), 500)::BIGINT AS f_chars,
+         |  len(list_filter($ToksSql, t -> list_contains($StopEn, t)))::BIGINT AS f_stop,
+         |  (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::BIGINT AS f_punct,
+         |  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS f_digit,
+         |  (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::BIGINT AS f_upper
+         | FROM q)
+         |SELECT doc_id, f_chars, f_stop, f_punct, f_digit, f_upper,
+         | (-520000 + 2000*f_chars + 40000*f_stop - 30000*f_punct - 15000*f_digit - 8000*f_upper)::BIGINT AS margin_micro,
+         | (-520000 + 2000*f_chars + 40000*f_stop - 30000*f_punct - 15000*f_digit - 8000*f_upper) >= 0 AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     // n_bpe_merged re-derived from the REPLAYED sequence itself (token
     // count = sequence length), so the count column cross-checks the

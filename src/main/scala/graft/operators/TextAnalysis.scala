@@ -39,6 +39,46 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       qualityScore(col("text"), col("n_chars")).as("quality"))
 
+  /** L4p — model-based quality gate: a linear classifier over cheap
+    * lexical features (the fasttext-style quality filter of
+    * CCNet/C4-era curation, with the learned weights carried as
+    * LITERAL data — the same stance as the BPE merge table: training
+    * happens offline, the ENGINE's job is applying the model at corpus
+    * scale). Emits each doc's feature vector, the decision margin, and
+    * the pass flag.
+    *
+    * Exactness: features are integer counts, weights are integer
+    * MICRO-units, and the margin is their BIGINT dot product — no
+    * floats anywhere, so the decision boundary replays bit-identically
+    * in any engine (the sigmoid is monotone, so margin ≥ 0 IS the
+    * class test; nobody needs the probability).
+    *
+    * Scale shape: map-only — one codegen'd projection over the scan,
+    * no shuffle, no broadcast; the model rides into the plan as
+    * literals. Swapping in retrained weights is a parameter change. */
+  def linearQualityGate(docs: DataFrame,
+      wChars: Long = 2000L, wStop: Long = 40000L, wPunct: Long = -30000L,
+      wDigit: Long = -15000L, wUpper: Long = -8000L,
+      biasMicro: Long = -520000L): DataFrame = {
+    val toks = tokens(col("text"))
+    def charClassCount(re: String) =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), re, ""))).cast("long")
+    docs.select(col("doc_id"),
+        least(length(col("text")), lit(500)).cast("long").as("f_chars"),
+        size(filter(toks, t =>
+          t.isin(graft.functions.TextFunctions.StopwordsByLang("en"): _*)))
+          .cast("long").as("f_stop"),
+        charClassCount("[!-/:-@\\[-`{-~]").as("f_punct"),
+        charClassCount("[0-9]").as("f_digit"),
+        charClassCount("[A-Z]").as("f_upper"))
+      .withColumn("margin_micro",
+        lit(biasMicro) + lit(wChars) * col("f_chars")
+          + lit(wStop) * col("f_stop") + lit(wPunct) * col("f_punct")
+          + lit(wDigit) * col("f_digit") + lit(wUpper) * col("f_upper"))
+      .withColumn("pass", col("margin_micro") >= 0L)
+  }
+
   /** L4j — robust per-group outlier flagging via median/MAD (the
     * Gopher/FineWeb-style length-distribution gate): a doc is an
     * outlier when |x − median| > k·MAD of its group. Median + MAD,

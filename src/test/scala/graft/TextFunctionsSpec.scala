@@ -361,6 +361,33 @@ class TextFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("L4p linear quality gate: hand-computed features, margin, and boundary") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // "the" ×2 are stopword hits; "The" is not (case-sensitive match
+      // on the lowercased token stream — "the," with punct is not a hit)
+      (1L, "the cat sat on the mat"),
+      (2L, "A1! B2? C3."),   // punct+digit+upper heavy -> negative margin
+      (3L, "")               // empty: all features 0 -> margin == bias
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.linearQualityGate(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    // doc 1: chars=22 stop=2 punct=0 digit=0 upper=0
+    //   margin = -520000 + 2000*22 + 40000*2 = -396000 -> fail
+    assert(got(0) == (1L, 22L, 2L, 0L, 0L, 0L, -396000L, false))
+    // doc 2: chars=11 stop=0 punct=3 digit=3 upper=3
+    //   margin = -520000 + 22000 - 90000 - 45000 - 24000 = -657000 -> fail
+    assert(got(1) == (2L, 11L, 0L, 3L, 3L, 3L, -657000L, false))
+    // doc 3: margin == bias
+    assert(got(2) == (3L, 0L, 0L, 0L, 0L, 0L, -520000L, false))
+    // a long fluent doc clears the boundary
+    val long = Seq((9L, ("the quick brown fox is near the old barn and " * 10))).toDF("doc_id", "text")
+    val r = TextAnalysis.linearQualityGate(long).collect().head
+    assert(r.getAs[Boolean]("pass"),
+      s"long fluent doc should pass, margin=${r.getAs[Long]("margin_micro")}")
+  }
+
   test("langGuess picks the stopword-dominant language") {
     val cases = Seq(
       "the cat sat on the mat and it is that" -> "en",
