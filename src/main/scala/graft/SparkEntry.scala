@@ -941,6 +941,22 @@ object SparkEntry {
           "text", size = 200, stride = 150)
         .orderBy("doc_id", "off")),
 
+    // ---- L5f: sentence-window chunks (RAG-ingest chunker: boundaries
+    //      between sentences, stride<perChunk overlap). The corpus is
+    //      punctuation-free, so terminators are injected in-query
+    //      (l4g_normalize precedent) — three common words become
+    //      './!/?' ends and the tail stays unterminated, so every
+    //      branch of the split regex fires ----
+    "l5f_sentence_chunks" -> ((s, d) =>
+      graft.operators.Chunking.sentenceChunks(
+        Tables.documents(s, d).select(col("doc_id"),
+          replace(replace(replace(col("text"),
+            lit(" value "), lit(". ")),
+            lit(" table "), lit("! ")),
+            lit(" query "), lit("? ")).as("text")),
+        "text", perChunk = 4, stride = 3)
+        .orderBy("doc_id", "chunk_id")),
+
     // L5d: content-defined chunks (gear-hash boundaries follow content,
     // so shared passages chunk identically anywhere — the dedup-friendly
     // chunker). Sequential stateful fold → not SQL-expressible →
@@ -2526,6 +2542,24 @@ object SparkEntry {
         |    unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS off
         |  FROM documents)
         |ORDER BY doc_id, off""".stripMargin,
+
+    // window enumeration is integer index arithmetic; DuckDB list
+    // slices are INCLUSIVE so [first:last] is exactly the window
+    "l5f_sentence_chunks" ->
+      """WITH q AS (SELECT doc_id,
+        |  replace(replace(replace(text, ' value ', '. '), ' table ', '! '), ' query ', '? ') AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'), x -> trim(x)), x -> x <> '') AS sents
+        |  FROM q),
+        |n AS (SELECT doc_id, sents, len(sents)::BIGINT AS n_sents FROM s WHERE len(sents) > 0),
+        |c AS (SELECT doc_id, sents, n_sents,
+        |  unnest(generate_series(0, (greatest(n_sents - 4, 0) + 2) // 3)) AS chunk_id FROM n)
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |  (chunk_id * 3 + 1)::BIGINT AS first_sent,
+        |  least(chunk_id * 3 + 4, n_sents)::BIGINT AS last_sent,
+        |  array_to_string(sents[(chunk_id*3+1)::INT:least(chunk_id*3+4, n_sents)::INT], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "l4g_normalize" ->
       s"""SELECT doc_id, ${NormSql(

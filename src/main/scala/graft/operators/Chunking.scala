@@ -36,6 +36,54 @@ object Chunking {
         col(textCol).substr((col("off") + 1L).cast("int"), lit(size)).as("chunk"): _*)
   }
 
+  /** Sentence-window chunks (the RAG-ingest chunker): split the text
+    * into SENTENCES, then emit overlapping windows of `perChunk`
+    * sentences at `stride` spacing — boundaries land between sentences,
+    * never mid-clause, and `stride < perChunk` carries cross-boundary
+    * context exactly like [[charChunks]]'s character overlap.
+    *
+    * Sentence split is one extraction regex (terminator-run sentences
+    * plus an unterminated tail; no lookbehind — RE2-safe, so the same
+    * automaton runs in any engine), trimmed and de-blanked. Window
+    * enumeration is pure integer arithmetic on the sentence index:
+    * window c covers sentences [c·stride+1, min(c·stride+perChunk, n)],
+    * c ∈ [0, ceil((n−perChunk)⁺/stride)] — the last window ends at n
+    * and no window is a suffix of its predecessor. Docs with zero
+    * sentences yield no chunks.
+    *
+    * Map-only like the other chunkers: regex + sequence + explode +
+    * slice in one codegen'd pass, chunks inherit the input partitioning. */
+  def sentenceChunks(docs: DataFrame, textCol: String, perChunk: Int = 4,
+      stride: Int = 3): DataFrame = {
+    require(perChunk > 0, s"perChunk must be > 0 (got $perChunk)")
+    require(stride > 0 && stride <= perChunk,
+      s"stride ($stride) must be in [1, perChunk=$perChunk]: stride 0 " +
+        "never advances; stride > perChunk drops sentences between windows")
+    Seq("sents", "n_sents", "chunk_id", "first_sent", "last_sent", "chunk")
+      .foreach(c => require(!docs.columns.contains(c),
+        s"input already has a '$c' column — it would collide with the chunker's output"))
+    val keep = docs.columns.filterNot(_ == textCol).map(col).toIndexedSeq
+    val sents = filter(
+      transform(regexp_extract_all(col(textCol),
+        lit("[^.!?]*[.!?]+|[^.!?]+$"), lit(0)), s => trim(s)),
+      s => s =!= "")
+    // ceil((n - perChunk)+ / stride) via exact small-int floor division
+    val lastC = floor((greatest(col("n_sents") - perChunk, lit(0L))
+      + (stride - 1)) / stride).cast("long")
+    docs
+      .select(keep :+ sents.as("sents"): _*)
+      .withColumn("n_sents", size(col("sents")).cast("long"))
+      .filter(col("n_sents") > 0L)
+      .withColumn("chunk_id", explode(sequence(lit(0L), lastC)))
+      .withColumn("first_sent", col("chunk_id") * stride + 1L)
+      .withColumn("last_sent",
+        least(col("chunk_id") * stride + perChunk, col("n_sents")))
+      .select(keep ++ Seq(col("chunk_id"), col("first_sent"), col("last_sent"),
+        array_join(slice(col("sents"), col("first_sent").cast("int"),
+          (col("last_sent") - col("first_sent") + 1L).cast("int")), " ")
+          .as("chunk")): _*)
+  }
+
   /** Content-defined chunks (rolling gear hash — see
     * [[org.apache.spark.sql.graft.CdcExprs]]): boundaries follow the
     * CONTENT, so shared passages chunk identically wherever they sit

@@ -333,6 +333,34 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(a != b)
   }
 
+  test("L5f sentence chunks: split, windowing, overlap, tail clamp") {
+    import graft.operators.Chunking
+    val docs = Seq(
+      (1L, "A b. C d! E f? G h. Tail no end"),
+      (2L, ""),                      // no sentences -> no chunks
+      (3L, "just one sentence"),     // unterminated tail alone
+      (4L, "Wow!!! Right?")          // terminator runs stay attached
+    ).toDF("doc_id", "text")
+    val got = Chunking.sentenceChunks(docs, "text", perChunk = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      // doc 1: 5 sentences -> window 0 = 1..4, window 1 = 4..5 (ends at
+      // n, overlaps 1 sentence back — never a pure suffix repeat)
+      (1L, 0L, 1L, 4L, "A b. C d! E f? G h."),
+      (1L, 1L, 4L, 5L, "G h. Tail no end"),
+      (3L, 0L, 1L, 1L, "just one sentence"),
+      (4L, 0L, 1L, 2L, "Wow!!! Right?")))
+    // guards: stride > perChunk would silently drop sentences
+    intercept[IllegalArgumentException] {
+      Chunking.sentenceChunks(docs, "text", perChunk = 2, stride = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.sentenceChunks(docs.withColumn("chunk", lit(1)), "text")
+    }
+  }
+
   test("L4j robust outliers: median/MAD hand model, heavy tail ignored") {
     // group A lengths: 10,10,10,12,1000 → med=10, |x-med|=0,0,0,2,990
     // → mad=0 … a zero MAD flags ANY deviation: 12 and 1000 outliers.
