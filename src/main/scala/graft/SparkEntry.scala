@@ -771,6 +771,15 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.spread(Tables.documents(s, d)), k = 8)
         .orderBy("doc_id")),
 
+    // ---- L2n: winnowing fingerprints (Schleimer et al. 2003 / MOSS):
+    //      the min-hash gram of every w-gram window, deduplicated —
+    //      the sparse deterministic substring index (density 2/(w+1),
+    //      guaranteed hit for any shared w+k-1-token run) ----
+    "l2n_winnowing" -> ((s, d) =>
+      Dedup.winnowingFingerprints(Tables.spread(Tables.documents(s, d)),
+          k = 5, w = 4)
+        .orderBy("doc_id", "fp_pos")),
+
     // ---- L2g: near-dup pairs → transitive dedup CLUSTERS (hash-min
     //      label propagation; oracle = DuckDB recursive CTE) ----
     "l2g_dedup_clusters" -> ((s, d) =>
@@ -2099,6 +2108,31 @@ object SparkEntry {
          |  coalesce(h.n_overlap, 0) >= 5 AS contaminated
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the (hash,pos) argmin rides as a fixed-width hex string so the
+    // window min is a plain varchar MIN in both engines; full windows
+    // only (short docs: the one all-gram window)
+    "l2n_winnowing" -> {
+      val (k, w) = (5, 4)
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT ELSE len($ToksSql)::BIGINT END AS n_tokens
+         |  FROM documents),
+         |g AS (SELECT doc_id, (n_tokens - ${k - 1})::BIGINT AS n_grams,
+         |    unnest(generate_series(1, greatest(len(toks) - ${k - 1}, 0))) AS pos,
+         |    unnest(list_transform(generate_series(1, greatest(len(toks) - ${k - 1}, 0)),
+         |      i -> ${h60("'0'", s"array_to_string(toks[i:i+${k - 1}], ' ')")})) AS h
+         |  FROM t WHERE n_tokens >= $k),
+         |p AS (SELECT doc_id, n_grams, pos,
+         |    printf('%015x', h) || '-' || lpad(pos::VARCHAR, 7, '0') AS pri FROM g),
+         |w AS (SELECT doc_id, n_grams, pos,
+         |    min(pri) OVER (PARTITION BY doc_id ORDER BY pos
+         |                   ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS sel
+         |  FROM p),
+         |sels AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos >= least($w, n_grams))
+         |SELECT doc_id, substr(sel, 17, 7)::BIGINT AS fp_pos,
+         |  ('0x' || substr(sel, 1, 15))::BIGINT AS fp_hash
+         |FROM sels ORDER BY doc_id, fp_pos""".stripMargin
+    },
 
     // bloom is a pure pre-filter (zero false negatives + exact verify),
     // so the oracle is the same exact n-gram-overlap replay as l2h —

@@ -419,6 +419,63 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** L2n — winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm): from each document's k-token-gram hash stream, select
+    * the minimum-hash gram of every w-gram sliding window (ties broken
+    * by LEFTMOST position — deterministic; the guarantee needs any
+    * fixed rule). Consecutive windows overlap in w−1 grams, so the
+    * same gram wins repeatedly and the DISTINCT selected set is sparse
+    * — expected density 2/(w+1) — yet any shared run of w+k−1 tokens
+    * between two documents is GUARANTEED to contribute at least one
+    * common fingerprint. The standard index for substring-level
+    * near-dup/plagiarism detection: [[duplicateSpans]] flags every
+    * recurring window (a per-doc gating signal); winnowing selects the
+    * bounded subset you can afford to invert corpus-wide.
+    *
+    * Shape at 100 TB: gram hashes are map-side (one transform before
+    * the explode, as duplicateSpans); min-selection is one window
+    * keyed by doc_id — the corpus's natural partitioning, no hot key,
+    * no data-wide window; the only exchange after it is the DISTINCT
+    * on (doc, selection), which the 2/(w+1) density has already
+    * shrunk ~w/2-fold. Output (doc_id, fp_pos, fp_hash) rows feed a
+    * (fp_hash → postings) inverted index exactly like [[segmentDedup]]'s
+    * hash key.
+    *
+    * The (hash, pos) argmin rides as a fixed-width hex string —
+    * '%015x' hash then zero-padded position — so lexicographic MIN is
+    * exactly the lexicographic (hash, pos) pair order in ANY engine:
+    * the window min stays a plain builtin aggregate, no struct-order
+    * or argmin semantics to align across engines. */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 5,
+      w: Int = 4): DataFrame = {
+    require(k >= 1, s"gram width k must be >= 1 (got $k)")
+    require(w >= 1, s"window width w must be >= 1 (got $w)")
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val grams = toks
+      .filter(col("n_tokens") >= k)
+      .select(col("doc_id"), (col("n_tokens") - (k - 1)).as("n_grams"),
+        posexplode(transform(
+          sequence(lit(1), (col("n_tokens") - (k - 1)).cast("int")),
+          i => md5Hash60(array_join(slice(col("toks"), i, lit(k)), " "), 0))))
+      .select(col("doc_id"), col("n_grams"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val pri = concat(format_string("%015x", col("h")), lit("-"),
+      lpad(col("pos").cast("string"), 7, "0"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("sel", min(pri).over(win))
+      // only FULL windows select (short docs: the one all-gram window)
+      .filter(col("pos") >= least(lit(w.toLong), col("n_grams")))
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"),
+        substring(col("sel"), 17, 7).cast("long").as("fp_pos"),
+        conv(substring(col("sel"), 1, 15), 16, 10).cast("long").as("fp_hash"))
+  }
+
   /** L2j — cross-corpus duplicate-SEGMENT removal (CCNet-style line
     * dedup): split every document on `delim`, drop each segment's
     * re-occurrences corpus-wide (keeping the FIRST occurrence in

@@ -241,6 +241,50 @@ class DedupSpec extends SparkTestBase {
     assert(!got.exists(p => p._2 == "linksys office"))
   }
 
+  test("L2n winnowing: reference equality, shared-run guarantee, density, short docs") {
+    // reference: literal Schleimer et al. — per window of w gram
+    // hashes, select the (hash, pos)-lexicographic min; distinct
+    def refWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length < k) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (0 to toks.length - k).map { i =>
+        val hex = md.digest(s"0:${toks.slice(i, i + k).mkString(" ")}"
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      val full = math.min(w, hs.length)
+      (full to hs.length).map { end =>
+        val win = ((end - full) until end).map(j => (hs(j), (j + 1).toLong))
+        win.min  // (hash, pos) lexicographic — leftmost pos on hash ties
+      }.toSet.map((p: (Long, Long)) => (p._2, p._1))
+    }
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "short doc here"),                         // < k tokens -> none
+      (3L, "one two three four five six"),            // n_grams=2 < w -> 1 window
+      (4L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"))
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.winnowingFingerprints(df, k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    texts.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) == refWinnow(t, 5, 4),
+        s"winnowing mismatch on doc $id")
+    }
+    // guarantee: docs sharing a w+k-1-token run share a fingerprint HASH
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"  // 8 = w+k-1
+    val pair = Seq((10L, s"intro words here then $shared"),
+      (11L, s"$shared and a completely different tail part")).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(pair, k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    assert(fps(10L).map(_._2).toSet.intersect(fps(11L).map(_._2).toSet).nonEmpty,
+      "shared w+k-1 run must contribute at least one common fingerprint")
+    // density: selections are a strict subset of gram positions
+    val n4 = texts.find(_._1 == 4L).get._2.split(" ").length - 4
+    assert(got(4L).size < n4, "winnowing must be sparser than the gram stream")
+  }
+
   test("L2j segment dedup: first occurrence survives, docs reassemble in order") {
     import spark.implicits._
     // "BOILER" repeats across docs 1/2/3 and within doc 3; doc 4 is
