@@ -780,6 +780,14 @@ object SparkEntry {
           k = 5, w = 4)
         .orderBy("doc_id", "fp_pos")),
 
+    // ---- L2o: winnowing match pairs — invert the l2n index, count
+    //      shared fingerprints per doc pair (the MOSS match step;
+    //      posting cap = stop-fingerprint removal) ----
+    "l2o_winnow_matches" -> ((s, d) =>
+      Dedup.winnowingMatches(Tables.spread(Tables.documents(s, d)),
+          k = 5, w = 4, minShared = 2L, maxPostings = 50)
+        .orderBy("a_id", "b_id")),
+
     // ---- L2g: near-dup pairs → transitive dedup CLUSTERS (hash-min
     //      label propagation; oracle = DuckDB recursive CTE) ----
     "l2g_dedup_clusters" -> ((s, d) =>
@@ -1576,6 +1584,30 @@ object SparkEntry {
   private def h60(seedExpr: String, arg: String) =
     s"('0x' || substr(md5($seedExpr || ':' || $arg), 1, 15))::BIGINT"
 
+  /** DuckDB CTE chain replaying Dedup.winnowingFingerprints (k=5, w=4):
+    * token-5-gram md5Hash60 stream → fixed-width (hash, pos) priority
+    * string → per-doc w-window varchar MIN → distinct selections.
+    * Yields `sels(doc_id, sel)`; shared by l2n (decode to fingerprint
+    * rows) and l2o (invert to cross-doc match pairs). */
+  private lazy val WinnowCte: String = {
+    val (k, w) = (5, 4)
+    s"""t AS (SELECT doc_id, $ToksSql AS toks,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT ELSE len($ToksSql)::BIGINT END AS n_tokens
+       |  FROM documents),
+       |g AS (SELECT doc_id, (n_tokens - ${k - 1})::BIGINT AS n_grams,
+       |    unnest(generate_series(1, greatest(len(toks) - ${k - 1}, 0))) AS pos,
+       |    unnest(list_transform(generate_series(1, greatest(len(toks) - ${k - 1}, 0)),
+       |      i -> ${h60("'0'", s"array_to_string(toks[i:i+${k - 1}], ' ')")})) AS h
+       |  FROM t WHERE n_tokens >= $k),
+       |p AS (SELECT doc_id, n_grams, pos,
+       |    printf('%015x', h) || '-' || lpad(pos::VARCHAR, 7, '0') AS pri FROM g),
+       |w AS (SELECT doc_id, n_grams, pos,
+       |    min(pri) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS sel
+       |  FROM p),
+       |sels AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos >= least($w, n_grams))""".stripMargin
+  }
+
   /** DuckDB expr: distinct char-5 shingles of lowercased text. */
   private val Shingles5Sql =
     "list_distinct(list_transform(generate_series(1, greatest(length(lower(text))-4, 0)), i -> (lower(text))[i:i+4]))"
@@ -2112,27 +2144,24 @@ object SparkEntry {
     // the (hash,pos) argmin rides as a fixed-width hex string so the
     // window min is a plain varchar MIN in both engines; full windows
     // only (short docs: the one all-gram window)
-    "l2n_winnowing" -> {
-      val (k, w) = (5, 4)
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT ELSE len($ToksSql)::BIGINT END AS n_tokens
-         |  FROM documents),
-         |g AS (SELECT doc_id, (n_tokens - ${k - 1})::BIGINT AS n_grams,
-         |    unnest(generate_series(1, greatest(len(toks) - ${k - 1}, 0))) AS pos,
-         |    unnest(list_transform(generate_series(1, greatest(len(toks) - ${k - 1}, 0)),
-         |      i -> ${h60("'0'", s"array_to_string(toks[i:i+${k - 1}], ' ')")})) AS h
-         |  FROM t WHERE n_tokens >= $k),
-         |p AS (SELECT doc_id, n_grams, pos,
-         |    printf('%015x', h) || '-' || lpad(pos::VARCHAR, 7, '0') AS pri FROM g),
-         |w AS (SELECT doc_id, n_grams, pos,
-         |    min(pri) OVER (PARTITION BY doc_id ORDER BY pos
-         |                   ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS sel
-         |  FROM p),
-         |sels AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos >= least($w, n_grams))
+    "l2n_winnowing" ->
+      s"""WITH $WinnowCte
          |SELECT doc_id, substr(sel, 17, 7)::BIGINT AS fp_pos,
          |  ('0x' || substr(sel, 1, 15))::BIGINT AS fp_hash
-         |FROM sels ORDER BY doc_id, fp_pos""".stripMargin
-    },
+         |FROM sels ORDER BY doc_id, fp_pos""".stripMargin,
+
+    // the oracle enumerates pairs as a plain self-join (the engine side
+    // uses the bucketed explode for scale; the answer is the same set)
+    "l2o_winnow_matches" ->
+      s"""WITH $WinnowCte,
+         |fp AS (SELECT DISTINCT doc_id, ('0x' || substr(sel, 1, 15))::BIGINT AS h FROM sels),
+         |buck AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+         |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |       FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       WHERE a.h IN (SELECT h FROM buck))
+         |SELECT a_id, b_id, count(*)::BIGINT AS n_shared
+         |FROM pr GROUP BY a_id, b_id HAVING count(*) >= 2
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // bloom is a pure pre-filter (zero false negatives + exact verify),
     // so the oracle is the same exact n-gram-overlap replay as l2h —

@@ -476,6 +476,39 @@ object Dedup {
         conv(substring(col("sel"), 1, 15), 16, 10).cast("long").as("fp_hash"))
   }
 
+  /** L2o — cross-document matches from the winnowing index: invert
+    * [[winnowingFingerprints]] (fp_hash → posting list), enumerate
+    * pairs inside each posting bucket, and keep pairs sharing at least
+    * `minShared` distinct fingerprint hashes — the match step of the
+    * MOSS pipeline (select → invert → match), reporting each pair's
+    * shared-fingerprint count as the overlap strength.
+    *
+    * `maxPostings` drops fingerprints whose posting list exceeds the
+    * cap BEFORE pair enumeration — the index analogue of stopword
+    * removal: a license-header fingerprint shared by millions of docs
+    * carries no match signal but would make its bucket quadratic.
+    * Same bucketed shape as [[minHashCandidatePairs]]: one groupBy on
+    * the hash, in-bucket pair explode, quadratic only in (capped)
+    * bucket size, never a corpus self-join. */
+  def winnowingMatches(docs: DataFrame, k: Int = 5, w: Int = 4,
+      minShared: Long = 2L, maxPostings: Int = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
+    require(maxPostings >= 2, s"maxPostings must be >= 2 (got $maxPostings)")
+    // a hash can be selected at several positions within one doc — the
+    // posting list is doc-distinct (collect_set), and the pair count
+    // below is therefore a count of distinct shared HASHES
+    winnowingFingerprints(docs, k, w)
+      .groupBy("fp_hash")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxPostings))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+          struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** L2j — cross-corpus duplicate-SEGMENT removal (CCNet-style line
     * dedup): split every document on `delim`, drop each segment's
     * re-occurrences corpus-wide (keeping the FIRST occurrence in

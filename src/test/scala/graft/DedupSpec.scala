@@ -285,6 +285,29 @@ class DedupSpec extends SparkTestBase {
     assert(got(4L).size < n4, "winnowing must be sparser than the gram stream")
   }
 
+  test("L2o winnowing matches: planted overlap found, posting cap silences boilerplate") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"intro one two three then $shared closing words here now"),
+      (2L, s"$shared with a completely different ending part here"),
+      (3L, "unrelated content about nothing shared with the others at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowingMatches(docs, k = 5, w = 4, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // only the planted pair matches, with >= 2 shared fingerprints
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L)))
+    assert(got.head._3 >= 2L)
+    // a boilerplate fingerprint shared by EVERY doc is capped out of the
+    // index: with maxPostings = 2 on a 3-doc corpus where all three share
+    // the same long run, no bucket survives and no pairs emit
+    val boiler = Seq.tabulate(3)(i => (i.toLong, s"doc $i reads $shared"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowingMatches(boiler, k = 5, w = 4,
+      minShared = 1L, maxPostings = 2)
+    assert(capped.count() == 0L,
+      "fingerprints above the posting cap must not generate pairs")
+  }
+
   test("L2j segment dedup: first occurrence survives, docs reassemble in order") {
     import spark.implicits._
     // "BOILER" repeats across docs 1/2/3 and within doc 3; doc 4 is
