@@ -727,6 +727,14 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.spread(Tables.embeddings(s, d)), threshold = 0.4)
         .orderBy("a_id", "b_id")),
 
+    // ---- L2p: LSH-bucketed embedding near-dup (l2f's documented scale
+    //      path made oracle-checkable: literal hyperplanes → bit-exact
+    //      cells in both engines; exact cosine within cells only) ----
+    "l2p_embedding_neardup_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupsBucketed(
+          Tables.spread(Tables.embeddings(s, d)), threshold = 0.4)
+        .orderBy("a_id", "b_id")),
+
     // ---- L2h: eval-set decontamination (benchmark n-gram overlap;
     //      eval grams broadcast — corpus text never shuffles) ----
     "l2h_decontaminate" -> ((s, d) => {
@@ -2149,6 +2157,26 @@ object SparkEntry {
          |SELECT doc_id, substr(sel, 17, 7)::BIGINT AS fp_pos,
          |  ('0x' || substr(sel, 1, 15))::BIGINT AS fp_hash
          |FROM sels ORDER BY doc_id, fp_pos""".stripMargin,
+
+    // cell = sign pattern vs the SAME literal hyperplanes (left-to-right
+    // double chains are bit-identical, so signs and cells agree exactly);
+    // cosine uses the l2f guard-band idiom around the round boundary
+    "l2p_embedding_neardup_lsh" -> {
+      val cellSql = graft.operators.Dedup.SemanticHyperplanes.zipWithIndex
+        .map { case (h, i) =>
+          val dot = h.zipWithIndex
+            .map { case (c, j) => s"embedding[${j + 1}]::DOUBLE * ($c)" }
+            .mkString(" + ")
+          s"(CASE WHEN $dot >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH c AS (SELECT vec_id, embedding, ($cellSql)::BIGINT AS cell FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell,
+         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+         |FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3999
+         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     // the oracle enumerates pairs as a plain self-join (the engine side
     // uses the bucketed explode for scale; the answer is the same set)

@@ -239,6 +239,48 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Literal hyperplane table for [[embeddingNearDupsBucketed]] —
+    * coefficients from a fixed integer formula (((i·64+j) mod 7) − 3 ∈
+    * [−3, 3]), carried as DATA like the BPE merge table: both engines
+    * interpolate the same literals, the per-plane dot product is the
+    * same left-to-right double chain, so the SIGN (and hence the cell)
+    * is bit-exact across engines — no seeded RNG to replay. */
+  val SemanticHyperplanes: IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(3, 64)((i, j) => (((i * 64 + j) % 7) - 3).toDouble)
+
+  /** L2f at corpus scale — the LSH-bucket blocking [[embeddingNearDups]]
+    * documents as its scale path: vectors land in a cell keyed by their
+    * sign pattern against `hyperplanes`, and exact cosine runs on
+    * within-cell pairs only. The broadcast all-pairs scan becomes a
+    * co-partitioned equi self-join on the cell key — pair volume drops
+    * from n²/2 to Σ|cell|²/2, and nothing broadcasts.
+    *
+    * Recall trade (the standard RHP bound): a pair at angle θ survives
+    * one hyperplane with probability 1 − θ/π, all `b` planes with
+    * (1 − θ/π)^b — near-dups (small θ) almost always share a cell,
+    * and `b` tunes cell count against recall exactly like the MinHash
+    * band count. At 100 TB, grow `b` so cells stay task-sized (every
+    * doubling halves expected cell size). */
+  def embeddingNearDupsBucketed(emb: DataFrame, threshold: Double,
+      hyperplanes: Seq[Seq[Double]] = SemanticHyperplanes): DataFrame = {
+    require(hyperplanes.nonEmpty && hyperplanes.size <= 62,
+      s"need 1..62 hyperplanes (got ${hyperplanes.size}) — the cell key is a BIGINT bit pattern")
+    val cell = hyperplanes.zipWithIndex.map { case (h, i) =>
+      val dot = h.zipWithIndex.map { case (c, j) =>
+        element_at(col("embedding"), j + 1).cast("double") * lit(c)
+      }.reduceLeft(_ + _)
+      when(dot >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+    val e = emb.select(col("vec_id"), col("embedding"), cell.as("cell"))
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.cell").as("cell"),
+        round(graft.functions.expressions.VectorExpressions.cosineSim(
+          col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** L2h — eval-set decontamination: flag corpus docs whose distinct
     * word-n-grams collide with ANY eval/benchmark document (the
     * GPT-3/PaLM-style overlap rule — training text that contains test

@@ -173,6 +173,27 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("L2p bucketed embedding near-dup: subset of exact, planted dups co-cell") {
+    val rng = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(64)(rng.nextFloat() * 2f - 1f)
+    val base = Seq.fill(20)(vec())
+    // planted near-dups: tiny perturbations of base vectors (angle ~0)
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 2L, v), (i * 2L + 1, v.map(x => x + 0.001f)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.embeddingNearDupsBucketed(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucketing only ever DROPS pairs (cell split), never invents them
+    assert(bucketed.subsetOf(exact))
+    // every planted perturbation pair is near-angle-0: all survive
+    val planted = (0 until 20).map(i => (i * 2L, i * 2L + 1)).toSet
+    assert(planted.subsetOf(bucketed),
+      s"missing planted pairs: ${planted.diff(bucketed)}")
+  }
+
   test("L2h decontamination: planted eval overlap flags, fresh text doesn't") {
     val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
