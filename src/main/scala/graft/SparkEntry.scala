@@ -727,6 +727,18 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.spread(Tables.embeddings(s, d)), threshold = 0.4)
         .orderBy("a_id", "b_id")),
 
+    // ---- L1b: incremental ingest dedup — a "new batch" (doc_id%10<3)
+    //      admitted against the remaining corpus's fingerprint table:
+    //      only content absent from the corpus AND first-in-batch
+    //      survives (the daily-crawl update path) ----
+    "l1b_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 10 < 3),
+          Dedup.exactGroups(docs.filter(col("doc_id") % 10 >= 3)))
+        .orderBy("doc_id")
+    }),
+
     // ---- L2p: LSH-bucketed embedding near-dup (l2f's documented scale
     //      path made oracle-checkable: literal hyperplanes → bit-exact
     //      cells in both engines; exact cosine within cells only) ----
@@ -2157,6 +2169,15 @@ object SparkEntry {
          |SELECT doc_id, substr(sel, 17, 7)::BIGINT AS fp_pos,
          |  ('0x' || substr(sel, 1, 15))::BIGINT AS fp_hash
          |FROM sels ORDER BY doc_id, fp_pos""".stripMargin,
+
+    "l1b_incremental_dedup" ->
+      s"""WITH fp AS (SELECT doc_id, sha256(array_to_string($ToksSql, ' ')) AS fp
+         |           FROM documents),
+         |batch AS (SELECT * FROM fp WHERE doc_id % 10 < 3),
+         |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 >= 3)
+         |SELECT min(doc_id) AS doc_id, fp, count(*) AS n_in_batch
+         |FROM batch WHERE fp NOT IN (SELECT fp FROM corpus)
+         |GROUP BY fp ORDER BY doc_id""".stripMargin,
 
     // cell = sign pattern vs the SAME literal hyperplanes (left-to-right
     // double chains are bit-identical, so signs and cells agree exactly);

@@ -36,6 +36,35 @@ object Dedup {
       exactGroups(docs).select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** L1b — INCREMENTAL exact dedup: admit only the new batch's docs
+    * whose content is (a) absent from the existing corpus fingerprint
+    * table and (b) the batch's own first occurrence (min doc_id) of
+    * that content — the daily-ingest form of [[dropExactDuplicates]],
+    * where the corpus itself never rescans: the state that persists
+    * between ingests is the fingerprint table ([[exactGroups]] output,
+    * 32 bytes + counts per distinct content), not the corpus.
+    *
+    * Shape at 100 TB: the batch is day-sized, the fingerprint table is
+    * corpus-sized — so the anti join shuffles on the 256-bit fp with
+    * the BATCH as the streamed side (locally AQE broadcasts the small
+    * batch side; at fleet scale both sides hash-partition on fp, and a
+    * fp-bucketed fingerprint table makes the corpus side exchange-free).
+    * Admitted rows fold into the fingerprint table for the next batch
+    * by construction (same fp key), so ingest is resumable state, not
+    * a recomputation. */
+  def incrementalDedup(batch: DataFrame, corpusFps: DataFrame): DataFrame = {
+    require(corpusFps.columns.contains("fp"),
+      "corpusFps must be an exactGroups()-shaped table with an 'fp' column")
+    val withFp = batch
+      .select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
+    val newContent = withFp
+      .join(corpusFps.select("fp"), Seq("fp"), "left_anti")
+    newContent
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+      .select(col("doc_id"), col("fp"), col("n_in_batch"))
+  }
+
   /** L1's LIVE form — exact content dedup on a document stream: the
     * first arrival of a fingerprint passes, re-arrivals within the
     * watermark drop, and state is bounded (fingerprints older than the

@@ -173,6 +173,24 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("L1b incremental dedup: corpus content rejected, batch-first kept once") {
+    val corpus = Seq((1L, "existing corpus document one"),
+      (2L, "existing corpus document two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "existing corpus document one"),   // already in corpus -> dropped
+      (11L, "a genuinely new document"),       // new -> admitted
+      (12L, "a genuinely new document"),       // batch dup -> folded into 11
+      (13L, "another new one")                 // new -> admitted
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, Dedup.exactGroups(corpus))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((11L, 2L), (13L, 1L)))
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(batch, corpus)  // not an exactGroups table
+    }
+  }
+
   test("L2p bucketed embedding near-dup: subset of exact, planted dups co-cell") {
     val rng = new scala.util.Random(7)
     def vec(): Seq[Float] = Seq.fill(64)(rng.nextFloat() * 2f - 1f)
