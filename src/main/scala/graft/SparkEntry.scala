@@ -1041,6 +1041,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- L5e audio twin: WAV/RIFF headers synthesized as real BINARY
+    //      in-query (PCM fields derived from doc_id, little-endian
+    //      bytes built with shift/pmod arithmetic; 1-in-17 corrupt
+    //      magic), parsed back at fixed offsets. The oracle recomputes
+    //      the fields arithmetically, so any endianness/offset error
+    //      in the binary round-trip hash-mismatches ----
+    "mm_wav_header" -> ((s, d) => {
+      def leHex(v: org.apache.spark.sql.Column, n: Int) = concat((0 until n).map(k =>
+        lpad(hex(pmod(shiftright(v, 8 * k), lit(256L))), 2, "0")): _*)
+      val ch = lit(1L) + pmod(col("doc_id"), lit(2L))
+      val sr = lit(8000L) + pmod(col("doc_id") * 13L, lit(32000L))
+      val bits = lit(8L) * (lit(1L) + pmod(col("doc_id"), lit(3L)))
+      val ba = ch * shiftright(bits, 3)
+      val br = sr * ba
+      val ds = (lit(100L) + pmod(col("doc_id"), lit(900L))) * ba
+      val magic = when(col("doc_id") % 17 === 0, lit("52494647"))
+        .otherwise(lit("52494646"))
+      val payload = unhex(concat(magic, leHex(lit(36L) + ds, 4),
+        lit("57415645666D7420"), leHex(lit(16L), 4), leHex(lit(1L), 2),
+        leHex(ch, 2), leHex(sr, 4), leHex(br, 4), leHex(ba, 2),
+        leHex(bits, 2), lit("64617461"), leHex(ds, 4)))
+      Multimodal.parseWavHeader(
+          Tables.documents(s, d).select(col("doc_id"), payload.as("payload")),
+          "payload")
+        .orderBy("doc_id")
+    }),
+
     // ---- A8: exact percentiles (interpolated) per group. Weights are
     //      powers of two over INTEGER-VALUED quantities, so every
     //      interpolation step is exact in binary — the result is
@@ -2837,6 +2864,26 @@ object SparkEntry {
         |       THEN (16 + (doc_id * 101) % 2160)::BIGINT END AS height,
         |  CASE WHEN doc_id % 17 <> 0 THEN 8::BIGINT END AS bit_depth
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_wav_header" ->
+      """WITH f AS (SELECT doc_id,
+        |  (doc_id % 17 <> 0) AS v,
+        |  (1 + doc_id % 2)::BIGINT AS ch,
+        |  (8000 + (doc_id * 13) % 32000)::BIGINT AS sr,
+        |  (8 * (1 + doc_id % 3))::BIGINT AS bits
+        |  FROM documents),
+        |g AS (SELECT doc_id, v, ch, sr, bits,
+        |  ch * (bits // 8) AS ba FROM f)
+        |SELECT doc_id, v AS wav_valid,
+        |  CASE WHEN v THEN 1::BIGINT END AS audio_format,
+        |  CASE WHEN v THEN ch END AS channels,
+        |  CASE WHEN v THEN sr END AS sample_rate,
+        |  CASE WHEN v THEN sr * ba END AS byte_rate,
+        |  CASE WHEN v THEN ba END AS block_align,
+        |  CASE WHEN v THEN bits END AS bits_per_sample,
+        |  CASE WHEN v THEN (100 + doc_id % 900) * ba END AS data_size,
+        |  CASE WHEN v THEN true END AS rate_consistent
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "mm_frame_schedule" ->
       """SELECT doc_id, n_frames, frame_idx, frame_idx * 2000 AS ts_ms FROM (

@@ -222,6 +222,44 @@ object Multimodal {
       .drop(payloadCol)
   }
 
+  /** L5e's audio twin — WAV/RIFF header parse over an opaque BINARY
+    * column: validate the RIFF/WAVE/fmt/data framing at fixed offsets
+    * and read the PCM format fields. RIFF is LITTLE-endian where PNG is
+    * big-endian, so the reads compose per-byte `conv(hex(byte))` shifts
+    * in ascending significance — the other half of the binary-parsing
+    * surface, still pure codegen'd builtins (substring-on-binary + hex
+    * + conv + shifts), map-only over the scan like [[parsePngHeader]].
+    * Corrupt/short payloads yield wav_valid=false with NULL fields.
+    * `rate_consistent` cross-checks the parsed byte_rate/block_align
+    * against their PCM definitions (byte_rate = sample_rate·block_align;
+    * block_align = channels·bits/8) — a malformed-but-well-framed
+    * header surfaces as a consistency failure, not a crash. */
+  def parseWavHeader(media: DataFrame, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    def byteAt(off: Int) = conv(hex(substring(p, off, 1)), 16, 10).cast("long")
+    def leU(off: Int, n: Int) = (0 until n)
+      .map(k => shiftleft(byteAt(off + k), 8 * k))
+      .reduceLeft(_ + _)
+    val valid = hex(substring(p, 1, 4)) === lit("52494646") &&      // "RIFF"
+      hex(substring(p, 9, 8)) === lit("57415645666D7420") &&        // "WAVEfmt "
+      hex(substring(p, 37, 4)) === lit("64617461") &&               // "data"
+      length(p) >= 44
+    media
+      .withColumn("wav_valid", valid)
+      .withColumn("audio_format", when(valid, leU(21, 2)))
+      .withColumn("channels", when(valid, leU(23, 2)))
+      .withColumn("sample_rate", when(valid, leU(25, 4)))
+      .withColumn("byte_rate", when(valid, leU(29, 4)))
+      .withColumn("block_align", when(valid, leU(33, 2)))
+      .withColumn("bits_per_sample", when(valid, leU(35, 2)))
+      .withColumn("data_size", when(valid, leU(41, 4)))
+      .withColumn("rate_consistent", when(valid,
+        col("byte_rate") === col("sample_rate") * col("block_align") &&
+          col("block_align") ===
+            col("channels") * shiftright(col("bits_per_sample"), 3)))
+      .drop(payloadCol)
+  }
+
   /** Frame-sample stub for video payloads: every `stride`-th fixed-size
     * chunk of the payload stands in for a decoded frame. One input row
     * fans out to ≤ maxFrames slim rows — the explode happens AFTER the

@@ -111,6 +111,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(!Multimodal.parsePngHeader(df, "payload").columns.contains("payload"))
   }
 
+  test("WAV header parse: hand-built RIFF bytes read back; corrupt/short invalid") {
+    import org.apache.spark.sql.functions.col
+    // 44-byte PCM WAV header: 2ch, 44100 Hz, 16-bit -> block 4, rate 176400
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((v >> (8 * k)) & 0xff).toByte)
+    val wav = "RIFF".getBytes ++ le(36 + 800, 4) ++ "WAVEfmt ".getBytes ++
+      le(16, 4) ++ le(1, 2) ++ le(2, 2) ++ le(44100, 4) ++ le(176400, 4) ++
+      le(4, 2) ++ le(16, 2) ++ "data".getBytes ++ le(800, 4)
+    val corrupt = wav.clone(); corrupt(0) = 'X'.toByte
+    val rows = Seq((1L, wav), (2L, corrupt), (3L, wav.take(20)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.parseWavHeader(rows, "payload").orderBy("doc_id").collect()
+    val ok = got(0)
+    assert(ok.getAs[Boolean]("wav_valid"))
+    assert(ok.getAs[Long]("audio_format") == 1L)
+    assert(ok.getAs[Long]("channels") == 2L)
+    assert(ok.getAs[Long]("sample_rate") == 44100L)
+    assert(ok.getAs[Long]("byte_rate") == 176400L)
+    assert(ok.getAs[Long]("block_align") == 4L)
+    assert(ok.getAs[Long]("bits_per_sample") == 16L)
+    assert(ok.getAs[Long]("data_size") == 800L)
+    assert(ok.getAs[Boolean]("rate_consistent"))
+    got.drop(1).foreach { r =>
+      assert(!r.getAs[Boolean]("wav_valid"))
+      assert(r.isNullAt(r.fieldIndex("sample_rate")))
+    }
+    // a well-framed header with a LYING byte_rate parses but fails the
+    // consistency cross-check instead of passing silently
+    val lying = wav.clone()
+    System.arraycopy(le(999999, 4), 0, lying, 28, 4)
+    val bad = Multimodal.parseWavHeader(
+      Seq((9L, lying)).toDF("doc_id", "payload"), "payload").collect().head
+    assert(bad.getAs[Boolean]("wav_valid") && !bad.getAs[Boolean]("rate_consistent"))
+  }
+
   test("frame sampling: video-only fan-out, bounded frames, slim rows") {
     val fs = Multimodal.sampleFrames(spark, Multimodal.asMediaTable(docs),
       frameBytes = 16, stride = 2, maxFrames = 4).collect()
