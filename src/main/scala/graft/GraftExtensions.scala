@@ -105,6 +105,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.TextFunctions.DefaultBpeMerges.map(_._2),
           graft.functions.TextFunctions.BpePattern)
       }))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode", "graft_bpe_encode(text)"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_bpe_encode", args, 1)
+        BpeEncodeExpr(args.head,
+          graft.functions.TextFunctions.DefaultBpeMerges.map(_._1),
+          graft.functions.TextFunctions.DefaultBpeMerges.map(_._2),
+          graft.functions.TextFunctions.BpePattern)
+      }))
     ext.injectFunction((FunctionIdentifier("graft_byte_at"),
       info("graft_byte_at", "graft_byte_at(bin, offset1)"),
       (args: Seq[Expression]) => ByteAtExpr(args(0),

@@ -1354,6 +1354,34 @@ object SparkEntry {
     //      is the manifest a trainer consumes: every row knows its
     //      epoch position and its (bin, offset) in the token stream,
     //      and the whole thing is a pure function of (corpus, salts) ----
+    // ---- CAPSTONE: corpus ADMISSION — the daily-ingest decision
+    //      pipeline composed from this round's primitives: a new batch
+    //      dedupes against the existing corpus's fingerprint STATE
+    //      (l1b), survivors pass the learned quality gate on raw text
+    //      (l4p), decontaminate against the eval set (l2h), and land
+    //      in deterministic train/val/test splits (samp_splits). Every
+    //      stage is exact/integer, so one DuckDB query replays the
+    //      whole admission decision ----
+    "corpus_admission" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 10 < 3)
+      val admitted = Dedup.incrementalDedup(batch,
+        Dedup.exactGroups(docs.filter(col("doc_id") % 10 >= 3)))
+      val quality = TextAnalysis.linearQualityGate(batch)
+        .select(col("doc_id"), col("margin_micro"), col("pass"))
+      val clean = Dedup.decontaminate(batch,
+          docs.filter(col("doc_id") % 20 === 0), n = 3, minHits = 5L)
+        .filter(!col("contaminated")).select("doc_id")
+      val out = admitted
+        .join(quality, "doc_id").filter(col("pass")).drop("pass")
+        .join(clean, "doc_id")
+      graft.operators.Sampling.assignSplits(out, col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "adm")
+        .select(col("doc_id"), col("fp"), col("n_in_batch"),
+          col("margin_micro"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "training_manifest" -> ((s, d) => {
       val dedupW = Window.partitionBy(md5(col("norm_text"))).orderBy(col("doc_id"))
       val gated = Tables.documents(s, d)
@@ -2893,6 +2921,35 @@ object SparkEntry {
         |    FROM documents)
         |  WHERE n_frames > 0)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // one replay of the full admission decision: fingerprint anti join,
+    // integer quality margin on raw text, n-gram decontamination, and
+    // the md5 split gate — all established per-stage idioms composed
+    "corpus_admission" ->
+      s"""WITH fp AS (SELECT doc_id, sha256(array_to_string($ToksSql, ' ')) AS fp FROM documents),
+         |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 >= 3),
+         |adm AS (SELECT min(doc_id) AS doc_id, fp, count(*) AS n_in_batch
+         |        FROM fp WHERE doc_id % 10 < 3 AND fp NOT IN (SELECT fp FROM corpus)
+         |        GROUP BY fp),
+         |q AS (SELECT doc_id,
+         |  (-520000 + 2000 * least(length(text), 500)
+         |   + 40000 * len(list_filter($ToksSql, t -> list_contains($StopEn, t)))
+         |   - 30000 * (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))
+         |   - 15000 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |   - 8000 * (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))))::BIGINT AS margin_micro
+         |  FROM documents WHERE doc_id % 10 < 3),
+         |ev AS (SELECT DISTINCT unnest($Ngrams3Sql) AS ng FROM documents WHERE doc_id % 20 = 0),
+         |dg AS (SELECT doc_id, unnest($Ngrams3Sql) AS ng FROM documents WHERE doc_id % 10 < 3),
+         |hits AS (SELECT dg.doc_id, count(*) AS n_overlap FROM dg JOIN ev USING (ng) GROUP BY 1),
+         |clean AS (SELECT d.doc_id FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |          WHERE d.doc_id % 10 < 3 AND coalesce(h.n_overlap, 0) < 5)
+         |SELECT a.doc_id, a.fp, a.n_in_batch, q.margin_micro,
+         |  CASE WHEN ${SampGate("'adm'")} < ${SampThr(0.9)} THEN 'train'
+         |       WHEN ${SampGate("'adm'")} < ${SampThr(0.95)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM adm a JOIN q USING (doc_id) JOIN clean USING (doc_id)
+         |WHERE q.margin_micro >= 0
+         |ORDER BY a.doc_id""".stripMargin,
 
     "training_manifest" ->
       s"""WITH norm AS (

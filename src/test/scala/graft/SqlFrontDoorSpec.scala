@@ -137,16 +137,21 @@ class SqlFrontDoorSpec extends SparkTestBase {
       .toDF("txt", "sh").createOrReplaceTempView("t3")
     val r = s.sql(
       """SELECT graft_minhash_md5_paired(sh, 6) AS sig,
-        |  graft_bpe_merged_count(txt) AS n FROM t3""".stripMargin).collect()(0)
+        |  graft_bpe_merged_count(txt) AS n,
+        |  graft_bpe_encode(txt) AS enc FROM t3""".stripMargin).collect()(0)
     import graft.functions.TextFunctions
     val dsl = s.table("t3").select(
       TextFunctions.pairedMinHashSignature($"sh", 6),
-      TextFunctions.bpeMergedTokenCount($"txt")).collect()(0)
+      TextFunctions.bpeMergedTokenCount($"txt"),
+      TextFunctions.bpeEncode($"txt")).collect()(0)
     assert(r.getSeq[Long](0) == dsl.getSeq[Long](0))
     assert(r.getAs[Long]("n") == dsl.getLong(1))
     // "vector", "order", "customer" are single learned tokens; alpha →
     // al|p|h|a? (al from rank 35) — just pin the DSL equality + a bound
     assert(r.getAs[Long]("n") < 20L && r.getAs[Long]("n") >= 5L)
+    // encode agrees with the DSL and its length IS the count
+    assert(r.getAs[String]("enc") == dsl.getString(2))
+    assert(r.getAs[String]("enc").split(" ").length.toLong == r.getAs[Long]("n"))
   }
 
   test("SQL builders validate arity and constness with clear analysis errors") {
