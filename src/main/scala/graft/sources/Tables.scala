@@ -18,15 +18,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * by default. Read it as a long and truncate ns → µs with integer
-    * division (NOT double division — ns epochs exceed double's 53-bit
-    * mantissa). Truncation matches DuckDB's ns→µs read, so oracle
-    * comparisons stay exact. */
+  /** `events.ts` has shipped as two different physical types across
+    * testdata generations: INT64 TIMESTAMP(NANOS) (which Spark 4 rejects
+    * unless read as a long via the legacy conf, then truncated ns → µs
+    * with integer division — NOT double division, ns epochs exceed
+    * double's 53-bit mantissa) and plain TIMESTAMP(MICROS) without a
+    * timezone (read as TIMESTAMP_NTZ). Normalize both to session-zone
+    * TIMESTAMP: the session timezone is UTC everywhere (Verify, Bench,
+    * specs), so the NTZ→LTZ cast is wall-value-identical to DuckDB's
+    * naive read and every downstream query sees one ts type. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val df = apply(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "documents")
