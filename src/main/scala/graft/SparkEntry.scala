@@ -808,6 +808,15 @@ object SparkEntry {
           k = 5, w = 4, minShared = 2L, maxPostings = 50)
         .orderBy("a_id", "b_id")),
 
+    // ---- L2q: EXACT set-similarity self-join (PPJoin prefix filter):
+    //      every pair with 3-gram-set Jaccard >= 1/2, zero recall loss —
+    //      the exact counterpart to the MinHash candidates; candidates
+    //      come only from each doc's RAREST grams ----
+    "l2q_setsim_join" -> ((s, d) =>
+      Dedup.setSimJoin(Tables.spread(Tables.documents(s, d)),
+          n = 3, tNum = 1, tDen = 2)
+        .orderBy("a_id", "b_id")),
+
     // ---- L2g: near-dup pairs → transitive dedup CLUSTERS (hash-min
     //      label propagation; oracle = DuckDB recursive CTE) ----
     "l2g_dedup_clusters" -> ((s, d) =>
@@ -2265,6 +2274,24 @@ object SparkEntry {
          |       WHERE a.h IN (SELECT h FROM buck))
          |SELECT a_id, b_id, count(*)::BIGINT AS n_shared
          |FROM pr GROUP BY a_id, b_id HAVING count(*) >= 2
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the oracle enumerates ALL gram-sharing pairs (exact intersection
+    // counts) — the engine's prefix filter is a pruning theorem, not an
+    // approximation, so the answer sets are identical
+    "l2q_setsim_join" ->
+      s"""WITH dg AS (SELECT DISTINCT doc_id, ng
+         |            FROM (SELECT doc_id, unnest($Ngrams3Sql) AS ng FROM documents)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM dg GROUP BY 1),
+         |i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |      FROM dg a JOIN dg b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni
+         |      FROM i JOIN sz sa ON sa.doc_id = a_id
+         |             JOIN sz sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id, inter, uni,
+         |  round(inter::DOUBLE / uni, 4) AS jacc
+         |FROM j WHERE inter * 2 >= 1 * uni
          |ORDER BY a_id, b_id""".stripMargin,
 
     // bloom is a pure pre-filter (zero false negatives + exact verify),

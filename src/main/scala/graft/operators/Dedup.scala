@@ -624,4 +624,69 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
+
+  /** L2q — EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin family: Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08).
+    * Emits every pair of docs whose distinct word-`n`-gram sets have
+    * Jaccard >= tNum/tDen — with NO approximation. This is the exact
+    * counterpart to the MinHash path ([[minHashCandidatePairs]]): where
+    * MinHash trades recall for a fixed candidate budget, prefix
+    * filtering keeps 100% recall and prunes with a theorem instead of
+    * a sketch: order the universe totally by (doc-frequency, gram) —
+    * rarest first — and take each set's first |s| − ceil(t·|s|) + 1
+    * grams as its PREFIX; any pair with Jaccard >= t must share at
+    * least one prefix gram, so the candidate join runs ONLY on prefix
+    * postings.
+    *
+    * Shape at 100 TB: the candidate join's key distribution is the
+    * best possible one — each doc exposes only its RAREST grams, so
+    * hot grams (stopword runs shared by millions of docs) sit in
+    * suffixes and never generate candidates; candidate volume tracks
+    * true-pair density, not corpus size. Verification joins the gram
+    * lists of candidate pairs keyed by doc_id (the corpus's natural
+    * partitioning) and never broadcasts or crosses. Grams travel as
+    * xxhash64 LONGS end to end (equality-only use; ~2⁻⁶⁴ collision
+    * odds per gram pair) — the 8-byte key is the exchange, the text
+    * stays at the scan. The size filter tNum·|a| <= tDen·|b| (and
+    * symmetric) is applied in exact integer arithmetic — float ceil()
+    * of t·|s| can round the prefix SHORT and silently lose recall,
+    * so the prefix bound uses integer ceil-division too. */
+  def setSimJoin(docs: DataFrame, n: Int = 3, tNum: Int = 1,
+      tDen: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1] (got $tNum/$tDen)")
+    val dg = gramRows(docs, n) // distinct by construction (ngramsOfTokens)
+    val sz = dg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfT = dg.groupBy("ng").agg(count(lit(1)).as("df"))
+    // prefix: first sz − ceil(t·sz) + 1 grams in global (df, ng) order;
+    // ceil(tNum·sz/tDen) = (tNum·sz + tDen − 1) DIV tDen — exact.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("ng"))
+    val prefix = dg.join(dfT, "ng").join(sz, "doc_id")
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <=
+        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("doc_id"), col("ng"), col("sz"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.ng") === col("b.ng") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(tNum) * col("a.sz") <= lit(tDen) * col("b.sz") &&
+          lit(tNum) * col("b.sz") <= lit(tDen) * col("a.sz"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val inter = cand
+      .join(dg.as("x"), col("x.doc_id") === col("a_id"))
+      .join(dg.as("y"),
+        col("y.doc_id") === col("b_id") && col("y.ng") === col("x.ng"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("sa"), col("sa.doc_id") === col("a_id"))
+      .join(sz.as("sb"), col("sb.doc_id") === col("b_id"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("sa.sz") + col("sb.sz") - col("inter")).as("uni"))
+      .filter(col("inter") * tDen >= lit(tNum) * col("uni"))
+      .withColumn("jacc",
+        round(col("inter").cast("double") / col("uni"), 4))
+  }
 }

@@ -387,4 +387,48 @@ class DedupSpec extends SparkTestBase {
       assert(r.getAs[Long]("d") == r.getAs[Long]("d_full"))
     }
   }
+
+  test("L2q set-similarity join: equality vs all-pairs brute force at awkward thresholds") {
+    import graft.functions.TextFunctions
+    // brute force: EVERY gram (not just prefixes) generates candidates
+    def brute(tn: Int, td: Int, n: Int) = {
+      val dg = docs.select(col("doc_id"),
+          explode(TextFunctions.ngramsOfTokens(
+            TextFunctions.tokens(col("text")), n)).as("g"))
+        .distinct()
+      val sz = dg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      dg.as("a").join(dg.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sz.as("sa"), col("sa.doc_id") === col("a_id"))
+        .join(sz.as("sb"), col("sb.doc_id") === col("b_id"))
+        .select(col("a_id"), col("b_id"), col("inter"),
+          (col("sa.sz") + col("sb.sz") - col("inter")).as("uni"))
+        .filter(col("inter") * td >= lit(tn) * col("uni"))
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "inter", "uni").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    // 3/5 and 9/10 have no exact double representation of t*|s| — the
+    // integer ceil-division prefix bound must not lose pairs there
+    for ((tn, td) <- Seq((1, 2), (3, 5), (9, 10)))
+      assert(key(Dedup.setSimJoin(docs, n = 2, tNum = tn, tDen = td)) ==
+        key(brute(tn, td, 2)), s"t=$tn/$td")
+  }
+
+  test("L2q set-similarity join: planted dups found, cross-cluster pairs absent") {
+    val got = Dedup.setSimJoin(docs, n = 2, tNum = 1, tDen = 2).collect()
+    val pairs = got.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // exact dup pair in every cluster, at jacc exactly 1.0
+    for (c <- 0 until 5) assert(pairs.contains((c * 10L, c * 10L + 1)))
+    got.filter(r => r.getAs[Long]("a_id") % 10 == 0 &&
+        r.getAs[Long]("b_id") == r.getAs[Long]("a_id") + 1)
+      .foreach(r => assert(r.getAs[Double]("jacc") == 1.0))
+    // no pair spans two clusters or touches a singleton
+    pairs.foreach { case (a, b) =>
+      assert(a < 100 && b < 100 && a / 10 == b / 10, s"spurious pair ($a,$b)")
+    }
+  }
 }
