@@ -1562,6 +1562,41 @@ object SparkEntry {
         .orderBy("cat")
     }),
 
+    // ---- A17: EXACT distinct via mergeable word bitmaps (roaring-ish):
+    //      dup occurrences vanish map-side in bit_or partials, the
+    //      exchange carries one long per (group, 64-key word); oracle is
+    //      an INDEPENDENT count(DISTINCT) derivation ----
+    "a17_bitmap_distinct" -> ((s, d) =>
+      graft.operators.BitmapDistinct.distinctCount(
+          Tables.events(s, d), Seq("event_type"), col("user_id"))
+        .orderBy("event_type")),
+
+    // ---- A17b: the merge story — split the log at a date, persist two
+    //      bitmap tables, merge WITHOUT the raw rows; equals a17 over
+    //      the union by construction, and the oracle proves it ----
+    "a17b_bitmap_merge" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val cut = lit("2024-01-16").cast("timestamp")
+      val bd = graft.operators.BitmapDistinct
+      val merged = bd.mergeBitmaps(
+        bd.bitmaps(e.filter(col("ts") < cut), Seq("event_type"), col("user_id")),
+        bd.bitmaps(e.filter(col("ts") >= cut), Seq("event_type"), col("user_id")),
+        Seq("event_type"))
+      merged.groupBy("event_type")
+        .agg(sum(bit_count(col("bits"))).as("n_distinct"))
+        .orderBy("event_type")
+    }),
+
+    // ---- A18: per-key OLS trend (slope/intercept/R² of value on
+    //      hour-of-day) — five exact integer moments per group are the
+    //      ONLY exchange; closed forms on the reduced row ----
+    "a18_regression" -> ((s, d) =>
+      graft.operators.Regression.ols(
+          Tables.events(s, d), Seq("event_type"),
+          hour(col("ts")),
+          round(col("value") * 100).cast("long"), yScale = 100L)
+        .orderBy("event_type")),
+
     // ---- T6: keyed snapshot diff (fleet re-upload reconciliation /
     //      corpus-version CDC): added/removed/changed/unchanged per key,
     //      content reduced to a digest BEFORE the full outer join ----
@@ -3159,6 +3194,35 @@ object SparkEntry {
         |  SELECT 'lang_unknown', v_lang_unknown FROM a UNION ALL
         |  SELECT 'text_too_short', v_text_too_short FROM a) r
         |ORDER BY rule""".stripMargin,
+
+    // INDEPENDENT derivation — the engine counts via word bitmaps, the
+    // oracle via plain DISTINCT; equality proves the bitmap path exact
+    "a17_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the two halves partition the log (every ts on exactly one side of
+    // the cut), so merged bitmaps must equal DISTINCT over the whole log
+    "a17b_bitmap_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a18_regression" ->
+      """WITH pts AS (SELECT event_type, hour(ts)::BIGINT AS x,
+        |                    CAST(round(value * 100) AS BIGINT) AS y
+        |             FROM events),
+        |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |      FROM pts GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy)::DOUBLE
+        |        / ((n * sxx - sx * sx) * 100)::DOUBLE, 6) + 0.0 AS slope,
+        |  round((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx)::DOUBLE
+        |        / (n * (n * sxx - sx * sx) * 100)::DOUBLE, 6) + 0.0 AS intercept,
+        |  round((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+        |        / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+        |    + 0.0 AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "a16_drift_tvd" ->
       """WITH o AS (SELECT event_type AS cat, count(*) AS n_old FROM events

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordinary least squares as a single distributed aggregate
+  * (SURVEY.md §2.11) — the same sums-first discipline as
+  * [[Trilateration]]: the ONLY thing that crosses the wire per group
+  * is the five-moment tuple (n, Σx, Σy, Σxy, Σx², Σy²), folded
+  * map-side like any algebraic aggregate; slope/intercept/R² are
+  * derived from the closed form on the reduced row. One scan, one
+  * exchange of group-cardinality rows, nothing iterative — the shape
+  * that survives 100 TB is exactly "fit a trend per key" as a groupBy.
+  *
+  * Determinism contract (the reason this is not `regr_slope`): x and y
+  * enter as INTEGER columns (callers pre-quantize, e.g. ×100 for 2-dp
+  * measurements), so every moment is an exact long — float summation
+  * order across partitions can never perturb the result, and a DuckDB
+  * oracle replaying the same integer sums reproduces it bit-for-bit.
+  * The closed forms divide two exactly-agreed longs at the end:
+  *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+  *   intercept = (Σy·D − N·Σx) / (n·D)      (N, D = slope num/den)
+  *   R² = N² / (D · (nΣy² − (Σy)²))          (computed in doubles —
+  * both engines convert the SAME longs, so the rounding agrees).
+  * Degenerate groups (constant x → D = 0, or constant y) yield NULL
+  * via try_divide rather than a division error. */
+object Regression {
+
+  /** Per-group OLS fit of integer `y` on integer `x`. `yScale` divides
+    * the reported slope/intercept back into caller units (e.g. 100 when
+    * y was quantized from a 2-dp double). */
+  def ols(df: DataFrame, group: Seq[String], x: Column, y: Column,
+      yScale: Long = 1L, digits: Int = 6): DataFrame = {
+    require(yScale > 0, s"yScale must be positive (got $yScale)")
+    val m = df
+      .select(group.map(col) :+ x.cast("long").as("_x") :+ y.cast("long").as("_y"): _*)
+      .groupBy(group.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum("_x").as("sx"), sum("_y").as("sy"),
+        sum(col("_x") * col("_y")).as("sxy"),
+        sum(col("_x") * col("_x")).as("sxx"),
+        sum(col("_y") * col("_y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    // + 0.0 normalizes IEEE −0.0 → +0.0 so rounded near-zero slopes
+    // hash identically across engines
+    m.select(group.map(col) :+ col("n") :+
+      (round(try_divide(num.cast("double"),
+        (den * yScale).cast("double")), digits) + 0.0).as("slope") :+
+      (round(try_divide((col("sy") * den - num * col("sx")).cast("double"),
+        (col("n") * den * yScale).cast("double")), digits) + 0.0).as("intercept") :+
+      (round(try_divide(num.cast("double") * num.cast("double"),
+        den.cast("double") * deny.cast("double")), digits) + 0.0).as("r2"): _*)
+  }
+}
