@@ -1637,6 +1637,46 @@ object SparkEntry {
           col("n_obs"), col("n_filled"))
         .orderBy("user_id", "hr")),
 
+    // ---- W12: linear interpolation at query instants via the UNION
+    //      trick — one key window carries both bracketing samples past
+    //      every query row; estimates each user's 'click' value at
+    //      their 'view' times ----
+    "w12_interpolate" -> ((s, d) => {
+      val e = ev(s, d)
+      graft.operators.Resample.interpolateAt(
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), round(col("value") * 100).cast("long").as("y")),
+          e.filter(col("event_type") === "view"),
+          "user_id", "ts", col("y"), yScale = 100L)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS").as("ts"),
+          col("interp"))
+        .orderBy("user_id", "ts")
+    }),
+
+    // ---- W13: fixed-span EWMA (α = 1/2, newest heaviest) — exact
+    //      integer numerator/denominator, one shared window ----
+    "w13_ewma" -> ((s, d) =>
+      graft.operators.Trend.ewma(
+          ev(s, d).select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("y")),
+          Seq("user_id"), Seq(col("ts"), col("event_id")), col("y"),
+          span = 4, yScale = 100L)
+        .select("user_id", "event_id", "ewma")
+        .orderBy("user_id", "event_id")),
+
+    // ---- W14: rolling z-score anomaly flag — the flag decided in
+    //      integer arithmetic (no float boundary flips), score is the
+    //      one final float ----
+    "w14_anomaly" -> ((s, d) =>
+      graft.operators.Trend.rollingAnomaly(
+          ev(s, d).select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("y")),
+          Seq("user_id"), Seq(col("ts"), col("event_id")), col("y"),
+          n = 16, z = 2, minRows = 4)
+        .select("user_id", "event_id", "zscore", "is_anomaly")
+        .orderBy("user_id", "event_id")),
+
     // ---- O5: 2-D Pareto frontier (skyline) via the two-level bucketed
     //      running min — never a partitionless data-wide window. The
     //      oracle replays the QUADRATIC dominance definition (a
@@ -3306,6 +3346,64 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY hr
         |    ROWS UNBOUNDED PRECEDING))::BIGINT AS n_filled
         |FROM j ORDER BY user_id, hr""".stripMargin,
+
+    "w12_interpolate" ->
+      """WITH s AS (SELECT user_id, ts, max(CAST(round(value * 100) AS BIGINT)) AS y
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |q AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view'),
+        |u AS (SELECT user_id, ts, 0 AS is_q, y FROM s
+        |      UNION ALL SELECT user_id, ts, 1, NULL FROM q),
+        |m AS (SELECT *,
+        |  last_value(y IGNORE NULLS) OVER w0 AS y0,
+        |  last_value(CASE WHEN is_q = 0 THEN epoch_us(ts) END IGNORE NULLS)
+        |    OVER w0 AS t0,
+        |  first_value(y IGNORE NULLS) OVER w1 AS y1,
+        |  first_value(CASE WHEN is_q = 0 THEN epoch_us(ts) END IGNORE NULLS)
+        |    OVER w1 AS t1
+        |  FROM u
+        |  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, is_q
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         w1 AS (PARTITION BY user_id ORDER BY ts, is_q
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts,
+        |  round(CASE WHEN y0 IS NOT NULL AND y1 IS NOT NULL
+        |    THEN y0::DOUBLE + (y1 - y0)::DOUBLE * (epoch_us(ts) - t0)::DOUBLE
+        |           / (t1 - t0)::DOUBLE
+        |    ELSE coalesce(y0, y1)::DOUBLE END / 100, 4) + 0.0 AS interp
+        |FROM m WHERE is_q = 1 ORDER BY user_id, ts""".stripMargin,
+
+    "w13_ewma" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS y,
+        |    lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS y1,
+        |    lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS y2,
+        |    lag(CAST(round(value * 100) AS BIGINT), 3) OVER w AS y3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  round((8 * y + coalesce(4 * y1, 0) + coalesce(2 * y2, 0)
+        |         + coalesce(y3, 0))::DOUBLE
+        |    / ((8 + CASE WHEN y1 IS NULL THEN 0 ELSE 4 END
+        |          + CASE WHEN y2 IS NULL THEN 0 ELSE 2 END
+        |          + CASE WHEN y3 IS NULL THEN 0 ELSE 1 END) * 100)::DOUBLE, 4)
+        |    + 0.0 AS ewma
+        |FROM b ORDER BY user_id, event_id""".stripMargin,
+
+    "w14_anomaly" ->
+      """WITH p AS (SELECT user_id, event_id, ts,
+        |             CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |b AS (SELECT user_id, event_id, y,
+        |  count(y) OVER w AS c, sum(y) OVER w AS s1, sum(y * y) OVER w AS s2
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  CASE WHEN c * s2 - s1 * s1 = 0 THEN NULL
+        |    ELSE round((c * y - s1)::DOUBLE
+        |           / sqrt((c * s2 - s1 * s1)::DOUBLE), 4) + 0.0 END AS zscore,
+        |  (c >= 4 AND (c * y - s1) * (c * y - s1) > 4 * (c * s2 - s1 * s1))
+        |    AS is_anomaly
+        |FROM b ORDER BY user_id, event_id""".stripMargin,
 
     "o5_skyline" ->
       """WITH d AS (

@@ -36,4 +36,58 @@ object Resample {
         coalesce(col("n"), lit(0L)).as("n_obs"),
         last(col("n"), ignoreNulls = true).over(w).as("n_filled"))
   }
+
+  /** W12 — linear interpolation of an irregular series at arbitrary
+    * query times ("what was the sensor reading at THIS moment?" — the
+    * lerp upgrade of an as-of join, which only holds the last value).
+    *
+    * Built on the UNION trick, not a join: samples and query points
+    * merge into ONE per-key ordered stream, a single window pass
+    * carries (last sample before, first sample after) past every query
+    * row, and the lerp is arithmetic on the carried columns. An as-of
+    * join formulation would need TWO range joins (backward + forward);
+    * here both directions fall out of one key-partitioned sort — one
+    * exchange, one window exec, state = two carried (ts, y) pairs.
+    *
+    * Ties: a sample AT the query instant sorts before the query row
+    * (is_q breaks the tie), lands on the backward side with t0 = t,
+    * and the lerp degenerates to exactly y0. Duplicate sample
+    * timestamps are pre-reduced with max() so the carried value is
+    * deterministic. Query times outside the observed span hold the
+    * nearest endpoint. `y` must be an integer column (callers quantize,
+    * e.g. ×100); `yScale` converts the reported value back. */
+  def interpolateAt(samples: DataFrame, queries: DataFrame, keyCol: String,
+      tsCol: String, y: org.apache.spark.sql.Column,
+      yScale: Long = 1L, digits: Int = 4): DataFrame = {
+    val s = samples
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(y.cast("long")).as("_y"))
+      .select(col(keyCol), col(tsCol), lit(0).as("_is_q"), col("_y"))
+    val q = queries
+      .select(col(keyCol), col(tsCol)).distinct()
+      .select(col(keyCol), col(tsCol), lit(1).as("_is_q"), lit(null).cast("long").as("_y"))
+    val ord = Seq(col(tsCol), col("_is_q"))
+    val back = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val t = unix_micros(col(tsCol))
+    val st = when(col("_is_q") === 0, t)
+    val merged = s.unionByName(q)
+      .withColumn("_y0", last(col("_y"), ignoreNulls = true).over(back))
+      .withColumn("_t0", last(st, ignoreNulls = true).over(back))
+      .withColumn("_y1", first(col("_y"), ignoreNulls = true).over(fwd))
+      .withColumn("_t1", first(st, ignoreNulls = true).over(fwd))
+      .filter(col("_is_q") === 1)
+    // exact-long inputs → identical doubles in every engine; t1 > t ≥ t0
+    // whenever both sides exist, so the divisor is never zero
+    val lerp = col("_y0").cast("double") +
+      (col("_y1") - col("_y0")).cast("double") * (t - col("_t0")).cast("double") /
+        (col("_t1") - col("_t0")).cast("double")
+    merged.select(col(keyCol), col(tsCol),
+      (round(
+        when(col("_y0").isNotNull && col("_y1").isNotNull, lerp)
+          .otherwise(coalesce(col("_y0"), col("_y1")).cast("double"))
+          / yScale, digits) + 0.0).as("interp"))
+  }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W13/W14 — per-key trend smoothing and anomaly flagging over ordered
+  * event series, in the same exact-integer discipline as [[Regression]]:
+  * inputs are quantized longs, every sum is exact, and flags come from
+  * integer inequalities — so the result is independent of partition
+  * count and replayable by another engine, while floats appear only in
+  * the final reported score.
+  *
+  * Both operators are ONE key-partitioned window pass (all columns
+  * share the same WindowSpec, so Catalyst plans a single sort + single
+  * WindowExec): the 100 TB cost is one shuffle on the key — the minimum
+  * for any per-key ordered semantics — and O(span) state per row. */
+object Trend {
+
+  /** W13 — fixed-span EWMA with α = 1/2: the last `span` observations
+    * weighted 2^(span−1) … 1 (newest heaviest), normalized by the
+    * weights actually present so series heads are averages of what
+    * exists, not biased toward zero. Integer numerator/denominator;
+    * one rounded division at the end. */
+  def ewma(df: DataFrame, key: Seq[String], order: Seq[Column], y: Column,
+      span: Int = 4, yScale: Long = 1L, digits: Int = 4): DataFrame = {
+    require(span >= 1 && span <= 62, s"span must be in [1, 62] (got $span)")
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    val yl = y.cast("long")
+    val terms = (0 until span).map { k =>
+      (1L << (span - 1 - k), if (k == 0) yl else lag(yl, k).over(w))
+    }
+    val num = terms.map { case (wt, c) =>
+      when(c.isNotNull, c * wt).otherwise(lit(0L)) }.reduce(_ + _)
+    val den = terms.map { case (wt, c) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    df.withColumn("ewma",
+      round(num.cast("double") / (den * yScale).cast("double"), digits) + 0.0)
+  }
+
+  /** W14 — rolling z-score anomaly flag over the trailing `n` rows.
+    * The flag is decided in EXACT integer arithmetic — |x − μ| > z·σ
+    * rewritten denominator-free as (c·x − S₁)² > z²·(c·S₂ − S₁²) with
+    * c = rows present — so boundary cases never flip on float
+    * rounding; the reported z-score is the one final float. Warm-up
+    * rows (fewer than `minRows` in the window) are never flagged. */
+  def rollingAnomaly(df: DataFrame, key: Seq[String], order: Seq[Column],
+      y: Column, n: Int = 16, z: Int = 2, minRows: Int = 4,
+      digits: Int = 4): DataFrame = {
+    require(n >= 2 && z >= 1 && minRows >= 2 && minRows <= n,
+      s"need n >= 2, z >= 1, 2 <= minRows <= n (got n=$n z=$z minRows=$minRows)")
+    Seq("_c", "_s1", "_s2").foreach(cn =>
+      require(!df.columns.contains(cn),
+        s"input already has a '$cn' column — it would be overwritten and dropped"))
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(n - 1), 0)
+    val yl = y.cast("long")
+    // materialize the three window aggregates in ONE projection — window
+    // exprs split across withColumn layers extract into TWO Window execs
+    val base = df.select(col("*"), count(yl).over(w).as("_c"),
+      sum(yl).over(w).as("_s1"), sum(yl * yl).over(w).as("_s2"))
+    val dev = col("_c") * yl - col("_s1")             // c·(x − μ)
+    val varc = col("_c") * col("_s2") - col("_s1") * col("_s1") // c²·σ²
+    base.withColumn("zscore",
+        round(try_divide(dev.cast("double"),
+          sqrt(varc.cast("double"))), digits) + 0.0)
+      .withColumn("is_anomaly",
+        col("_c") >= minRows && dev * dev > lit(z.toLong * z) * varc)
+      .drop("_c", "_s1", "_s2")
+  }
+}

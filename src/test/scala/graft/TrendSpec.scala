@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Resample, Trend}
+
+/** W12 interpolation, W13 EWMA, W14 rolling anomaly — hand-computed
+  * series plus single-window plan proofs. */
+class TrendSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("W12 interpolation: lerp, exact-hit, endpoint holds, duplicate-ts determinism") {
+    val samples = Seq(
+      ("u", ts(0), 100L), ("u", ts(10), 200L),
+      ("u", ts(10), 150L),                       // dup ts -> max wins (200)
+      ("v", ts(5), 40L)).toDF("k", "t", "y")
+    val queries = Seq(
+      ("u", ts(5)),    // strictly between  -> 150
+      ("u", ts(0)),    // exactly at sample -> 100
+      ("u", ts(-5)),   // before the span   -> hold 100
+      ("u", ts(15)),   // after the span    -> hold 200
+      ("v", ts(99))).toDF("k", "t")
+    val got = Resample.interpolateAt(samples, queries, "k", "t", col("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getDouble(2)))
+      .toSet
+    assert(got == Set(
+      ("u", 5L, 150.0), ("u", 0L, 100.0), ("u", -5L, 100.0),
+      ("u", 15L, 200.0), ("v", 99L, 40.0)))
+  }
+
+  test("W13 EWMA: hand weights over a short head, exact thirds") {
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 4L))
+      .toDF("k", "i", "y")
+    val got = Trend.ewma(df, Seq("k"), Seq(col("i")), col("y"), span = 2)
+      .orderBy("i").select("ewma").as[Double].collect()
+    // weights (2, 1): 2/2, (4+1)/3, (6+2)/3, (8+3)/3
+    assert(got.toSeq == Seq(1.0, 1.6667, 2.6667, 3.6667))
+  }
+
+  test("W14 anomaly: planted spike flagged, constant series silent, warm-up suppressed") {
+    val flat = (1 to 10).map(i => ("c", i.toLong, 50L))
+    val spike = (1 to 10).map(i => ("s", i.toLong, if (i == 8) 500L else 50L))
+    val df = (flat ++ spike).toDF("k", "i", "y")
+    val got = Trend.rollingAnomaly(df, Seq("k"), Seq(col("i")), col("y"),
+        n = 8, z = 2, minRows = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Boolean]("is_anomaly"))
+      .toMap
+    assert(got.values.count(identity) == 1)
+    assert(got(("s", 8L)))
+    // constant series: dev = 0, varc = 0 -> strict inequality never fires
+    assert(flat.forall { case (k, i, _) => !got((k, i)) })
+  }
+
+  test("W13/W14 plan: all trailing aggregates share ONE window exec and exchange") {
+    val df = Seq(("g", 1L, 1L)).toDF("k", "i", "y")
+    for (q <- Seq(
+        Trend.ewma(df, Seq("k"), Seq(col("i")), col("y"), span = 4),
+        Trend.rollingAnomaly(df, Seq("k"), Seq(col("i")), col("y")))) {
+      val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert("Window \\(\\d+\\)".r.findAllIn(p).size == 1, p.take(2000))
+      assert("hashpartitioning\\(k".r.findAllIn(p).size == 1, p.take(2000))
+    }
+  }
+}
