@@ -1287,6 +1287,14 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // ---- ER: entity-resolution capstone — blocked edit-distance link
+    //      → vocabulary-graph components → canonical election (most
+    //      frequent variant). Oracle replays with a recursive CTE ----
+    "entity_resolution" -> ((s, d) =>
+      graft.operators.Components.resolveEntities(
+          Tables.part(s, d), "p_name", maxDist = 2)
+        .orderBy("variant")),
+
     // ---- PROFILE: capstone composed report (README.md:15-19 — the
     //      per-device server profile: census + active hour + top
     //      interest + dwell sessions, one multi-join report) ----
@@ -2710,6 +2718,33 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "entity_resolution" ->
+      """WITH RECURSIVE
+        |v AS (SELECT p_name AS variant, count(*) AS n,
+        |      split_part(p_name, ' ', 1) AS blk FROM part GROUP BY 1, 3),
+        |e AS (SELECT a.variant AS a_val, b.variant AS b_val
+        |      FROM v a JOIN v b ON a.blk = b.blk AND a.variant < b.variant
+        |        AND abs(length(a.variant) - length(b.variant)) <= 2
+        |        AND levenshtein(a.variant, b.variant) <= 2),
+        |edges AS (SELECT a_val AS s, b_val AS d FROM e
+        |          UNION ALL SELECT b_val, a_val FROM e),
+        |reach(node, lab) AS (
+        |  SELECT variant, variant FROM v
+        |  UNION
+        |  SELECT edges.d, reach.lab FROM edges JOIN reach ON reach.node = edges.s),
+        |cc AS (SELECT node AS variant, min(lab) AS entity_id FROM reach GROUP BY node),
+        |lv AS (SELECT v.variant, v.n, cc.entity_id FROM v JOIN cc USING (variant)),
+        |ent AS (SELECT entity_id, count(*) AS n_variants, sum(n) AS entity_n
+        |        FROM lv GROUP BY 1),
+        |canon AS (SELECT entity_id, variant AS canonical FROM (
+        |  SELECT entity_id, variant,
+        |    row_number() OVER (PARTITION BY entity_id ORDER BY n DESC, variant) AS rn
+        |  FROM lv) WHERE rn = 1)
+        |SELECT lv.variant, lv.n, lv.entity_id, canon.canonical,
+        |  ent.n_variants, ent.entity_n
+        |FROM lv JOIN ent USING (entity_id) JOIN canon USING (entity_id)
+        |ORDER BY variant""".stripMargin,
 
     "l2i_editdist" ->
       """WITH v AS (SELECT p_name AS val, count(*) AS n,

@@ -177,6 +177,44 @@ object Components {
         .partitionBy(col("cluster_id"))).cast("long"))
   }
 
+  /** Capstone — ENTITY RESOLUTION over a free-text name column: the
+    * classic record-linkage pipeline composed from this library's own
+    * parts. Variants of one real-world entity (typo'd SSIDs, vendor
+    * name spellings) are linked by blocked edit distance
+    * ([[Dedup.editDistancePairs]]: first-token block + length band +
+    * thresholded DP — never all-pairs), made transitive by
+    * [[connectedComponents]] over the VOCABULARY graph (nodes =
+    * distinct strings, corpus-size-independent), and each entity gets
+    * a deterministic canonical form — its most frequent variant, ties
+    * toward the lexicographic minimum — via one map-combinable
+    * min-struct aggregate.
+    *
+    * Shape at 100 TB: everything after the first groupBy is
+    * vocabulary-sized. The corpus contributes one exchange (variant →
+    * count); linking, clustering, and canonical election never touch
+    * corpus rows again, and applying the resolution back IS a
+    * broadcast join of the (variant → canonical) table. Returns one
+    * row per variant: (variant, n, entity_id, canonical, n_variants,
+    * entity_n). */
+  def resolveEntities(df: DataFrame, valueCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val vocab = df.groupBy(col(valueCol).as("variant"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = Dedup.editDistancePairs(df, valueCol, maxDist)
+      .select(col("a_val"), col("b_val"))
+    val cc = connectedComponents(vocab.select("variant"), pairs)
+      .withColumnRenamed("component", "entity_id")
+    val labeled = vocab.join(cc, "variant")
+    val entities = labeled.groupBy("entity_id")
+      .agg(count(lit(1)).as("n_variants"), sum("n").as("entity_n"),
+        min(struct((-col("n")).as("_neg"), col("variant").as("_v"))).as("_c"))
+      .select(col("entity_id"), col("_c._v").as("canonical"),
+        col("n_variants"), col("entity_n"))
+    labeled.join(entities, "entity_id")
+      .select(col("variant"), col("n"), col("entity_id"), col("canonical"),
+        col("n_variants"), col("entity_n"))
+  }
+
   /** The APPLY step of near-dup dedup: one representative per cluster —
     * highest `quality` (caller-supplied, higher is better: length,
     * quality score, recency…), ties broken toward the smallest doc_id

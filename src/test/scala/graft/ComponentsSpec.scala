@@ -229,6 +229,30 @@ class ComponentsSpec extends SparkTestBase {
       || plan.contains("BroadcastHashJoin"))
   }
 
+  test("entity resolution: typo chains collapse, canonical = most frequent variant") {
+    import spark.implicits._
+    // 'acme corp' appears 5x, one-edit variants 2x/1x; a transitive
+    // chain (acme corp -> acme corp. -> acme corpx) must share one
+    // entity; 'zenith labs' is an unrelated singleton entity
+    val rows = (Seq.fill(5)("acme corp") ++ Seq.fill(2)("acme corp.") ++
+      Seq("acme corpx", "zenith labs", "zenith labz"))
+      .toDF("name")
+    val got = graft.operators.Components.resolveEntities(rows, "name", maxDist = 1)
+      .collect()
+      .map(r => r.getAs[String]("variant") ->
+        ((r.getAs[String]("entity_id"), r.getAs[String]("canonical"),
+          r.getAs[Long]("n_variants"), r.getAs[Long]("entity_n"))))
+      .toMap
+    assert(got.keySet == Set("acme corp", "acme corp.", "acme corpx",
+      "zenith labs", "zenith labz"))
+    // one entity for the acme chain, labeled by its min variant,
+    // canonicalized to the most frequent one
+    for (v <- Seq("acme corp", "acme corp.", "acme corpx"))
+      assert(got(v) == (("acme corp", "acme corp", 3L, 8L)), v)
+    for (v <- Seq("zenith labs", "zenith labz"))
+      assert(got(v) == (("zenith labs", "zenith labs", 2L, 2L)), v)
+  }
+
   private def ts(s: Long) =
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
 }
