@@ -1548,6 +1548,13 @@ object SparkEntry {
       TextAnalysis.oovBigramRate(Tables.spread(Tables.documents(s, d)), lmSize = 1000)
         .orderBy("doc_id")),
 
+    // ---- Q3: one-pass table profile (the first query against an
+    //      unknown 100 TB drop): per-column nulls, EXACT distincts,
+    //      typed min/max — one aggregate, one scan ----
+    "q3_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(Tables.events(s, d))
+        .orderBy("col_name")),
+
     // ---- Q2: declarative expectation report — every rule in ONE
     //      aggregate over ONE scan; adding a rule adds a column,
     //      not a pass over the corpus ----
@@ -3251,6 +3258,38 @@ object SparkEntry {
          |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "q3_profile" ->
+      """WITH t AS (SELECT count(*) AS total FROM events)
+        |SELECT * FROM (
+        |  SELECT 'event_id' AS col_name, (SELECT total FROM t) AS n_rows,
+        |    (SELECT total FROM t) - count(event_id) AS n_null,
+        |    count(DISTINCT event_id) AS n_distinct,
+        |    min(event_id)::VARCHAR AS min_val, max(event_id)::VARCHAR AS max_val
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'ts', (SELECT total FROM t), (SELECT total FROM t) - count(ts),
+        |    count(DISTINCT ts),
+        |    strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g'),
+        |    strftime(max(ts), '%Y-%m-%d %H:%M:%S.%g')
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', (SELECT total FROM t), (SELECT total FROM t) - count(user_id),
+        |    count(DISTINCT user_id), min(user_id)::VARCHAR, max(user_id)::VARCHAR
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', (SELECT total FROM t), (SELECT total FROM t) - count(event_type),
+        |    count(DISTINCT event_type), min(event_type), max(event_type)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', (SELECT total FROM t), (SELECT total FROM t) - count(value),
+        |    count(DISTINCT value), min(value)::VARCHAR, max(value)::VARCHAR
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'props', (SELECT total FROM t), (SELECT total FROM t) - count(props),
+        |    count(DISTINCT props), min(props), max(props)
+        |  FROM events)
+        |ORDER BY col_name""".stripMargin,
 
     "q2_quality_checks" ->
       """WITH a AS (

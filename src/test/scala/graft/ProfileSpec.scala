@@ -1,0 +1,27 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Profile
+
+/** Q3 one-pass table profile. */
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("profile: nulls, exact distincts, typed min/max, column subset") {
+    val df = Seq(
+      (1L, Some("a"), Some(Timestamp.valueOf("2024-01-01 00:00:00.25"))),
+      (2L, Some("b"), None),
+      (3L, None, Some(Timestamp.valueOf("2024-02-03 04:05:06.007"))),
+      (4L, Some("a"), None)).toDF("id", "s", "t")
+    val got = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(got("t") == ((4L, 2L, 2L,
+      "2024-01-01 00:00:00.250", "2024-02-03 04:05:06.007")))
+    assert(Profile.profile(df, Seq("s")).count() == 1)
+    intercept[IllegalArgumentException](Profile.profile(df, Seq("nope")))
+  }
+}
