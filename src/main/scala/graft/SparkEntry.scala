@@ -1287,6 +1287,18 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // ---- A19: per-group equal-frequency binning — exact-percentile
+    //      boundaries (one aggregate) + broadcast-join + map-side
+    //      assignment; NEVER ntile's partitionless corpus sort ----
+    "a19_eqfreq_bins" -> ((s, d) =>
+      graft.operators.Binning.equalFreqBins(
+          Tables.events(s, d).select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("y")),
+          Seq("event_type"), col("y"), nBins = 4)
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("event_type", "bin")),
+
     // ---- ER: entity-resolution capstone — blocked edit-distance link
     //      → vocabulary-graph components → canonical election (most
     //      frequent variant). Oracle replays with a recursive CTE ----
@@ -2725,6 +2737,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "a19_eqfreq_bins" ->
+      """WITH p AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y
+        |           FROM events),
+        |b AS (SELECT event_type, quantile_cont(y, 0.25) AS q1,
+        |        quantile_cont(y, 0.5) AS q2, quantile_cont(y, 0.75) AS q3
+        |      FROM p GROUP BY 1),
+        |a AS (SELECT p.event_type, p.y,
+        |        1 + (CASE WHEN y > q1 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN y > q2 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN y > q3 THEN 1 ELSE 0 END) AS bin
+        |      FROM p JOIN b USING (event_type))
+        |SELECT event_type, bin, count(*) AS n, min(y) AS y_min, max(y) AS y_max
+        |FROM a GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
 
     "entity_resolution" ->
       """WITH RECURSIVE
