@@ -1567,6 +1567,34 @@ object SparkEntry {
       graft.operators.Profile.profile(Tables.events(s, d))
         .orderBy("col_name")),
 
+    // ---- Q4: cross-table referential integrity — per FK edge, child
+    //      rows pointing at a missing parent key (the check before any
+    //      inner join silently drops rows); events→customer is the
+    //      deliberately non-vacuous edge ----
+    "q4_ref_integrity" -> ((s, d) =>
+      graft.operators.Quality.referentialIntegrity(Seq(
+        ("customer.nationkey->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        ("events.user_id->customer", Tables.events(s, d), "user_id",
+          Tables.customer(s, d), "c_custkey"),
+        ("lineitem.orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("lineitem.partkey->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        ("lineitem.suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        ("nation.regionkey->region", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey"),
+        ("orders.custkey->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        // deliberately broken edge — most custkeys have no event user,
+        // proving the detector fires (every real edge is clean here)
+        ("orders.custkey->event_users", Tables.orders(s, d), "o_custkey",
+          Tables.events(s, d), "user_id"),
+        ("supplier.nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey")))
+        .orderBy("fk")),
+
     // ---- Q2: declarative expectation report — every rule in ONE
     //      aggregate over ONE scan; adding a rule adds a column,
     //      not a pass over the corpus ----
@@ -3283,6 +3311,28 @@ object SparkEntry {
          |SELECT doc_id, n_bigrams, n_oov,
          |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
          |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q4_ref_integrity" -> {
+      val edges = Seq(
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("orders.custkey->event_users", "orders", "o_custkey", "events", "user_id"),
+        ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      edges.map { case (name, c, ck, p, pk) =>
+        s"""SELECT '$name' AS fk, count(*) AS n_rows,
+           |  count(CASE WHEN $ck IS NULL THEN 1 END) AS n_null_keys,
+           |  count(CASE WHEN $ck IS NOT NULL AND NOT EXISTS
+           |    (SELECT 1 FROM $p WHERE $pk = $c.$ck) THEN 1 END) AS n_orphans,
+           |  count(CASE WHEN $ck IS NOT NULL AND NOT EXISTS
+           |    (SELECT 1 FROM $p WHERE $pk = $c.$ck) THEN 1 END) = 0 AS pass
+           |FROM $c""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk")
     },
 
     "q3_profile" ->

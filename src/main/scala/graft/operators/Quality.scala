@@ -80,4 +80,34 @@ object Quality {
         when((col("n_old") === 0L) =!= (col("n_new") === 0L), lit(1000000000L))
           .otherwise(col("_half")).as("absdiff_u")))
   }
+
+  /** Q4 — cross-table referential integrity: for each declared FK edge
+    * (name, child, childKey, parent, parentKey), how many child rows
+    * point at a parent key that does not exist. The join-health check a
+    * pipeline runs before fanning a new table into downstream joins —
+    * an orphaned key silently DROPS rows from every inner join later.
+    *
+    * Per edge: the child contributes only its key column, the parent
+    * side is its DISTINCT key (dimension-sized → broadcast where small;
+    * both sides hash-partition on the key otherwise), and one left
+    * outer + conditional count reduces to a single report row. SQL FK
+    * semantics: NULL child keys are counted separately, never as
+    * orphans. The report is edges-sized. */
+  def referentialIntegrity(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "need at least one FK edge")
+    require(edges.map(_._1).distinct.size == edges.size,
+      "edge names must be unique")
+    edges.map { case (name, child, childKey, parent, parentKey) =>
+      child.select(col(childKey).as("_k"))
+        .join(parent.select(col(parentKey).as("_k"), lit(1).as("_hit"))
+          .distinct(), Seq("_k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("_k").isNull, 1)).as("n_null_keys"),
+          count(when(col("_k").isNotNull && col("_hit").isNull, 1))
+            .as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_null_keys"),
+          col("n_orphans"), (col("n_orphans") === 0L).as("pass"))
+    }.reduce(_.unionByName(_))
+  }
 }

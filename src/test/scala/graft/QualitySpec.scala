@@ -83,4 +83,19 @@ class QualitySpec extends SparkTestBase {
       .filter(col("cat") === "ALL").collect().head.getLong(3)
     assert(total == 500000000L)
   }
+
+  test("referential integrity: orphans counted, NULL keys separate, clean edge passes") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(3L))
+      .toDF("ck")
+    val got = Quality.referentialIntegrity(Seq(
+        ("bad", child, "ck", parent, "pk"),
+        ("self", parent, "pk", parent, "pk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("bad") == ((5L, 1L, 1L, false)))   // 9 orphaned, NULL not
+    assert(got("self") == ((3L, 0L, 0L, true)))
+    intercept[IllegalArgumentException](
+      Quality.referentialIntegrity(Seq.empty))
+  }
 }
