@@ -332,6 +332,21 @@ object SparkEntry {
     //      z-value grid cell (O4's curve) as a geohash-style spatial
     //      index key: devices per cell, the heat-map/partition key a
     //      city-wide deployment reports and prunes by ----
+    // ---- GEO: grid hotspots — 3×3 neighborhood sums via a 9-key
+    //      map-side explode + one equi groupBy (never a distance
+    //      join); hot flag in exact integer arithmetic. Oracle replays
+    //      the neighborhood as a range self-join — a different
+    //      algorithm agreeing is the stronger check. Input: the
+    //      customer population on a (balance-band × nation) grid —
+    //      occupancy varies, so both flag values occur ----
+    "geo_hotspots" -> ((s, d) =>
+      graft.operators.Hotspot.gridHotspots(
+          Tables.customer(s, d).select(
+            floor(col("c_acctbal") / 1000).as("cx"),
+            col("c_nationkey").as("cy")),
+          "cx", "cy", hotFactor = 1)
+        .orderBy("cx", "cy")),
+
     "geo_cell_census" -> ((s, d) =>
       LivingArea.modalLocation(sensorGeometry(s, d))
         .select(graft.operators.ZOrder.zValue(
@@ -2079,6 +2094,23 @@ object SparkEntry {
     "living_area" ->
       s"""$LivingAreaCteSql
          |SELECT mac, cx AS home_x, cy AS home_y, n_buckets FROM r WHERE rn = 1 ORDER BY mac""".stripMargin,
+
+    "geo_hotspots" ->
+      s"""WITH hh AS (SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS cx,
+         |                   c_nationkey::BIGINT AS cy
+         |            FROM customer),
+         |cel AS (SELECT cx, cy, count(*) AS n FROM hh GROUP BY 1, 2),
+         |nb AS (SELECT a.cx, a.cy, sum(b.n) AS nbr_sum,
+         |         count(*) AS nbr_cells
+         |       FROM cel a JOIN cel b
+         |         ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         |        AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         |       GROUP BY 1, 2),
+         |tt AS (SELECT sum(n) AS total, count(*) AS ncells FROM cel)
+         |SELECT cel.cx, cel.cy, cel.n, nb.nbr_sum, nb.nbr_cells,
+         |  nb.nbr_sum * (SELECT ncells FROM tt)
+         |    >= nb.nbr_cells * (SELECT total FROM tt) AS hot
+         |FROM cel JOIN nb USING (cx, cy) ORDER BY cx, cy""".stripMargin,
 
     "geo_cell_census" ->
       s"""$LivingAreaCteSql,
