@@ -73,7 +73,10 @@ class PlanSpec extends SparkTestBase {
       "mix_temperature", "training_manifest",
       // the 1-row global watermark (max event time) broadcast onto the
       // event scan — ST5's cutoff filter, same scalar-join idiom
-      "st5_late_drop")
+      "st5_late_drop",
+      // the 1-row (total, n_cells) density stats broadcast onto the
+      // occupied-cell table (cell-count-sized) — scalar-join idiom
+      "geo_hotspots")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
