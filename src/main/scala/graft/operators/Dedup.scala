@@ -656,7 +656,10 @@ object Dedup {
     require(n >= 1, s"n must be >= 1 (got $n)")
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0, 1] (got $tNum/$tDen)")
-    val dg = gramRows(docs, n) // distinct by construction (ngramsOfTokens)
+    // the gram table feeds FIVE plan branches (sizes, df, prefix, and
+    // both verify sides) — cut the lineage once so the tokenize+hash
+    // subtree does not re-execute per branch
+    val dg = Checkpoint(gramRows(docs, n)) // distinct by construction
     val sz = dg.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfT = dg.groupBy("ng").agg(count(lit(1)).as("df"))
     // prefix: first sz − ceil(t·sz) + 1 grams in global (df, ng) order;

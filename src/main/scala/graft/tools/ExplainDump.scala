@@ -99,7 +99,31 @@ object ExplainDump {
       + "RDDs (Scan ExistingRDD — the localCheckpoint), so no iteration "
       + "rescans the source; each round is one equi join plus one "
       + "map-combined sum on the destination key, with integer micro-unit "
-      + "ranks end to end."))
+      + "ranks end to end."),
+    "l2q_setsim_join" -> ("EXACT set-similarity join via prefix filtering: "
+      + "candidates come from a self-join on each doc's PREFIX postings "
+      + "only — its |s|−⌈t·|s|⌉+1 rarest grams under the global (df, gram) "
+      + "order — so hot grams never generate candidates; verification "
+      + "re-joins the full gram lists keyed by doc_id. Grams travel as "
+      + "xxhash64 longs; every join is a shuffled/broadcast EQUI join, no "
+      + "nested loop anywhere, and recall is 100% by theorem."),
+    "w12_interpolate" -> ("Linear interpolation at query instants: samples "
+      + "and query points UNION into one per-key ordered stream, and ONE "
+      + "Window exec (two frames over the same sort) carries both "
+      + "bracketing samples past every query row — versus two range joins "
+      + "for the as-of-compose formulation. One exchange, one sort."),
+    "a17_bitmap_distinct" -> ("Exact distinct via word bitmaps: rows fold "
+      + "map-side into (group, key DIV 64) bit_or partials — duplicate "
+      + "keys vanish BEFORE the exchange, which carries one long per "
+      + "64-key word; the final count is sum(bit_count(bits)). Both "
+      + "aggregates partial+final; the bitmap table itself is mergeable "
+      + "ingest state."),
+    "geo_hotspots" -> ("Grid hotspot census: each occupied cell explodes "
+      + "its count to its 9 neighbor keys map-side (Generate over the "
+      + "CELL table, not the observation table) and one equi groupBy "
+      + "re-aggregates neighborhoods; the 1-row (total, n_cells) stats "
+      + "broadcast back (scalar cross-join idiom). No distance join, no "
+      + "cell-pair blowup."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
