@@ -1302,6 +1302,14 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // ---- A20: key-skew diagnosis (run BEFORE the big join): exact
+    //      integer top-share and Gini ppm per group; one count exchange
+    //      + a rank window over the KEY table, never data rows ----
+    "a20_skew_report" -> ((s, d) =>
+      graft.operators.Skew.skewReport(
+          Tables.events(s, d), Seq("event_type"), col("user_id"))
+        .orderBy("event_type")),
+
     // ---- A19: per-group equal-frequency binning — exact-percentile
     //      boundaries (one aggregate) + broadcast-join + map-side
     //      assignment; NEVER ntile's partitionless corpus sort ----
@@ -2797,6 +2805,21 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "a20_skew_report" ->
+      """WITH c AS (SELECT event_type, user_id AS k, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY n, k)::BIGINT AS i
+        |      FROM c),
+        |g AS (SELECT event_type, count(*) AS n_keys, sum(n)::BIGINT AS n_rows,
+        |        max(n) AS max_key_rows, sum(i * n)::BIGINT AS sin
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n_keys, n_rows, max_key_rows,
+        |  ((1000000 * max_key_rows) // n_rows)::BIGINT AS top_share_ppm,
+        |  ((1000000 * (2 * sin - (n_keys + 1) * n_rows)) // (n_keys * n_rows))::BIGINT
+        |    AS gini_ppm
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "a19_eqfreq_bins" ->
       """WITH p AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y

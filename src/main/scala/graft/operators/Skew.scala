@@ -79,4 +79,37 @@ object Skew {
 
   private def spark_range(spark: org.apache.spark.sql.SparkSession, n: Int) =
     spark.range(n)
+
+  /** A20 — the skew DIAGNOSIS next to the mitigations above: per group,
+    * how concentrated is the key distribution that a join or groupBy on
+    * `key` would shuffle? Reports exact integer ppm figures — top-key
+    * share and the Gini coefficient via the sorted-rank closed form
+    *   G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx),   i = ascending rank —
+    * which is tie-order-invariant (equal x contribute the same Σ i·x
+    * under any rank order), so the result is deterministic and
+    * engine-replayable with no floats until nothing is left to round.
+    *
+    * Cost: one map-combined (group, key) count — the same exchange the
+    * diagnosed operation would pay — then a rank window over the KEY
+    * table (key-cardinality rows, not data rows) and a final
+    * group-sized aggregate. Run it BEFORE the 100 TB join; read
+    * gini_ppm ≳ 600k or top_share_ppm ≳ 10k as "salt this key"
+    * (see saltedJoin/saltedCount above). */
+  def skewReport(df: DataFrame, group: Seq[String], key: Column): DataFrame = {
+    val counts = df.groupBy(group.map(col) :+ key.as("_k"): _*)
+      .agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group.map(col): _*).orderBy(col("_n"), col("_k"))
+    counts
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(group.map(col): _*)
+      .agg(count(lit(1)).as("n_keys"), sum("_n").as("n_rows"),
+        max("_n").as("max_key_rows"),
+        sum(col("_i") * col("_n")).as("_sin"))
+      .select(group.map(col) :+ col("n_keys") :+ col("n_rows") :+
+        col("max_key_rows") :+
+        expr("(1000000 * max_key_rows) DIV n_rows").as("top_share_ppm") :+
+        expr("(1000000 * (2 * _sin - (n_keys + 1) * n_rows)) DIV (n_keys * n_rows)")
+          .as("gini_ppm"): _*)
+  }
 }

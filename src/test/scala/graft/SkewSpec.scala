@@ -98,4 +98,18 @@ class SkewSpec extends SparkTestBase {
       .filter($"mac" === "whale").count()
     assert(phase1Groups > 4, s"hot key only hit $phase1Groups salt buckets")
   }
+
+  test("skew report: uniform keys read gini 0, concentration reads hand-computed ppm") {
+    // uniform: 4 keys x 3 rows -> gini exactly 0, top share 1/4
+    val uniform = (for { k <- 1 to 4; _ <- 1 to 3 } yield ("u", k.toLong))
+      .toDF("g", "k")
+    // skewed: counts (1,1,1,5) -> gini = 12/32 = 0.375, top 5/8
+    val skew = (Seq(1L, 2L, 3L) ++ Seq.fill(5)(4L)).map(("s", _)).toDF("g", "k")
+    val got = Skew.skewReport(uniform.unionByName(skew), Seq("g"), col("k"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got("u") == ((4L, 12L, 3L, 250000L, 0L)))
+    assert(got("s") == ((4L, 8L, 5L, 625000L, 375000L)))
+  }
 }
