@@ -38,6 +38,28 @@ object Trend {
       round(num.cast("double") / (den * yScale).cast("double"), digits) + 0.0)
   }
 
+  /** The pure per-row decision [[rollingAnomaly]] computes
+    * relationally, extracted so the STREAMING twin
+    * ([[graft.streaming.AnomalyStream]]) provably runs the same
+    * arithmetic: trailing window = `prior :+ x`, the same integer flag
+    * inequality, and the same HALF_UP-rounded score
+    * (java BigDecimal.valueOf mirrors Catalyst's Round on doubles). */
+  def anomalyDecision(prior: Seq[Long], x: Long, z: Int, minRows: Int,
+      digits: Int = 4): (Option[Double], Boolean) = {
+    val win = prior :+ x
+    val c = win.length.toLong
+    val s1 = win.sum
+    val s2 = win.iterator.map(v => v * v).sum
+    val dev = c * x - s1
+    val varc = c * s2 - s1 * s1
+    val zscore =
+      if (varc == 0L) None
+      else Some(java.math.BigDecimal
+        .valueOf(dev.toDouble / math.sqrt(varc.toDouble))
+        .setScale(digits, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0)
+    (zscore, c >= minRows && dev * dev > z.toLong * z * varc)
+  }
+
   /** W14 — rolling z-score anomaly flag over the trailing `n` rows.
     * The flag is decided in EXACT integer arithmetic — |x − μ| > z·σ
     * rewritten denominator-free as (c·x − S₁)² > z²·(c·S₂ − S₁²) with

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues}
+
+import graft.operators.Trend
+
+/** W14's LIVE form — rolling z-score anomaly flags on an event stream
+  * via transformWithState (Spark 4 stateful API, RocksDB state store):
+  * the monitoring twin of the batch [[Trend.rollingAnomaly]], for
+  * "flag the sensor reading that jumped" while the data is arriving.
+  *
+  * State per key is the trailing n−1 quantized values — O(n) longs in
+  * the state store, nothing unbounded — and every decision calls the
+  * SAME pure [[Trend.anomalyDecision]] the batch operator evaluates
+  * relationally, so batch backfill and live stream provably agree row
+  * for row (cross-checked in StreamingSpec). Rows carry an explicit
+  * `seq` and are sorted per (key, micro-batch): within-batch arrival
+  * order never changes the answer, the same order-insensitivity
+  * contract as [[ArrivalAlerts]].
+  */
+object AnomalyStream {
+
+  case class Obs(key: String, seq: Long, y: Long)
+  case class AnomalyFlag(key: String, seq: Long, zscore: Option[Double],
+      isAnomaly: Boolean)
+  case class Ring(vals: Seq[Long])   // public: Catalyst codegen must reach vals()
+
+  class AnomalyProcessor(n: Int, z: Int, minRows: Int)
+      extends StatefulProcessor[String, Obs, AnomalyFlag] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Ring] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Ring]("ring", Encoders.product[Ring],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Obs],
+        timers: TimerValues): Iterator[AnomalyFlag] = {
+      var prior = Option(state.get()).map(_.vals.toVector)
+        .getOrElse(Vector.empty[Long])
+      val out = rows.toSeq.sortBy(_.seq).map { o =>
+        val (zs, flag) = Trend.anomalyDecision(prior, o.y, z, minRows)
+        prior = (prior :+ o.y).takeRight(n - 1)
+        AnomalyFlag(o.key, o.seq, zs, flag)
+      }
+      state.update(Ring(prior))
+      out.iterator
+    }
+  }
+
+  def flags(obs: Dataset[Obs], n: Int = 16, z: Int = 2, minRows: Int = 4)
+      (implicit spark: SparkSession): Dataset[AnomalyFlag] = {
+    import spark.implicits._
+    require(n >= 2 && z >= 1 && minRows >= 2 && minRows <= n,
+      s"need n >= 2, z >= 1, 2 <= minRows <= n (got n=$n z=$z minRows=$minRows)")
+    obs.groupByKey(_.key)
+      .transformWithState(new AnomalyProcessor(n, z, minRows),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -466,4 +466,44 @@ class StreamingSpec extends SparkTestBase {
     assert(once.length == 1 &&
       once(0).getAs[Long]("l_sensor") == 1L && once(0).getAs[Long]("r_sensor") == 2L)
   }
+
+  test("W14 live anomaly flags == batch rollingAnomaly, row for row") {
+    import graft.streaming.AnomalyStream
+    import graft.streaming.AnomalyStream.{AnomalyFlag, Obs}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two keys; s spikes at seq 8; feed split across micro-batches so
+      // state persists across batch boundaries (and one batch arrives
+      // out of order to exercise the within-batch sort)
+      val rows = (1 to 12).map(i =>
+          Obs("s", i.toLong, if (i == 8) 500L else 50L + (i % 3))) ++
+        (1 to 12).map(i => Obs("c", i.toLong, 50L))
+      val in = MemoryStream[Obs]
+      val q = AnomalyStream.flags(in.toDS(), n = 8, z = 2, minRows = 4)
+        .writeStream.format("memory").queryName("w14_live")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val (head, tail) = rows.partition(_.seq <= 6)
+        in.addData(head: _*)
+        q.processAllAvailable()
+        in.addData(tail.reverse: _*)   // out of order within the batch
+        q.processAllAvailable()
+        val live = spark.table("w14_live").as[AnomalyFlag].collect()
+          .map(f => (f.key, f.seq) -> ((f.zscore, f.isAnomaly))).toMap
+        val batch = graft.operators.Trend.rollingAnomaly(
+            rows.toDF("key", "seq", "y"), Seq("key"),
+            Seq(org.apache.spark.sql.functions.col("seq")),
+            org.apache.spark.sql.functions.col("y"),
+            n = 8, z = 2, minRows = 4)
+          .collect()
+          .map(r => (r.getAs[String]("key"), r.getAs[Long]("seq")) ->
+            ((Option(r.getAs[java.lang.Double]("zscore")).map(_.doubleValue()),
+              r.getAs[Boolean]("is_anomaly")))).toMap
+        assert(live.size == 24 && live == batch)
+        assert(live(("s", 8L))._2 && !live(("c", 8L))._2)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
