@@ -1590,6 +1590,24 @@ object SparkEntry {
       graft.operators.Profile.profile(Tables.events(s, d))
         .orderBy("col_name")),
 
+    // ---- L4r: the BPE TRAINER's distributed step (tools.BpeTrain's
+    //      iteration 1): adjacent char-pair counts over the unit
+    //      VOCABULARY (pairs weighted by unit frequency — the corpus
+    //      reduces to word counts first, the classic trainer shape) ----
+    "l4r_bpe_pairs" -> ((s, d) => {
+      val units = Tables.spread(Tables.documents(s, d))
+        .select(explode(regexp_extract_all(col("text"),
+          lit(TextFunctions.BpePattern), lit(0))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("nu"))
+        .filter(length(col("u")) >= 2)
+      units
+        .select(explode(expr(
+            "transform(sequence(1, length(u) - 1), i -> substring(u, i, 2))"))
+          .as("pair"), col("nu"))
+        .groupBy("pair").agg(sum("nu").as("n"))
+        .orderBy(desc("n"), col("pair")).limit(20)
+    }),
+
     // ---- Q4: cross-table referential integrity — per FK edge, child
     //      rows pointing at a missing parent key (the check before any
     //      inner join silently drops rows); events→customer is the
@@ -3367,6 +3385,16 @@ object SparkEntry {
          |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "l4r_bpe_pairs" ->
+      s"""WITH un AS (SELECT unnest(regexp_extract_all(text, '$BpePatSql')) AS u
+         |            FROM documents),
+         |v AS (SELECT u, count(*) AS nu FROM un GROUP BY 1),
+         |p AS (SELECT u[i:i+1] AS pair, nu
+         |      FROM (SELECT u, nu, unnest(generate_series(1, length(u) - 1)) AS i
+         |            FROM v WHERE length(u) >= 2))
+         |SELECT pair, sum(nu)::BIGINT AS n FROM p GROUP BY 1
+         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "q4_ref_integrity" -> {
       val edges = Seq(
