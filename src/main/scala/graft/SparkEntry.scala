@@ -1590,6 +1590,15 @@ object SparkEntry {
       graft.operators.Profile.profile(Tables.events(s, d))
         .orderBy("col_name")),
 
+    // ---- MIX: deterministic negative sampling (contrastive pairs):
+    //      k content-addressed negatives per anchor via dense positions
+    //      + modular offsets — ONE equi join, never a cross join with
+    //      random filters; a pure function of (ids, salt, k) ----
+    "mix_negatives" -> ((s, d) =>
+      graft.operators.Mixing.negativePairs(
+          Tables.documents(s, d), "doc_id", k = 3, salt = "r6")
+        .orderBy("doc_id", "j")),
+
     // ---- L4r: the BPE TRAINER's distributed step (tools.BpeTrain's
     //      iteration 1): adjacent char-pair counts over the unit
     //      VOCABULARY (pairs weighted by unit frequency — the corpus
@@ -3385,6 +3394,23 @@ object SparkEntry {
          |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "mix_negatives" ->
+      s"""WITH p AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id)::BIGINT AS pos
+         |           FROM (SELECT DISTINCT doc_id FROM documents)),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM p),
+         |a AS (SELECT doc_id, pos, unnest([1, 2, 3]) AS j
+         |      FROM p WHERE (SELECT n FROM nn) > 1),
+         |o AS (SELECT doc_id, pos, j,
+         |        1 + (${h60("'0'", "'r6' || ':' || doc_id || ':' || j")}
+         |             % ((SELECT n FROM nn) - 1)) AS off
+         |      FROM a),
+         |g AS (SELECT doc_id, j,
+         |        ((pos - 1 + off) % (SELECT n FROM nn)) + 1 AS negpos
+         |      FROM o)
+         |SELECT g.doc_id, g.j, p.doc_id AS negative_id
+         |FROM g JOIN p ON p.pos = g.negpos
+         |ORDER BY g.doc_id, g.j""".stripMargin,
 
     "l4r_bpe_pairs" ->
       s"""WITH un AS (SELECT unnest(regexp_extract_all(text, '$BpePatSql')) AS u

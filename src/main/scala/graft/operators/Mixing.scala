@@ -72,6 +72,45 @@ object Mixing {
     * which would single-task the corpus. Ties (md5 collisions) break on
     * the key itself, keeping the order total.
     */
+  /** MIX — deterministic negative sampling for contrastive training:
+    * k pseudo-random OTHER rows per anchor ("for every query, pick
+    * negatives that are not its positive"). The naive draw is a
+    * cross join + per-anchor random filter; this is the scale shape:
+    * anchors get a dense position ([[DenseSequence]] — no partitionless
+    * window), each (anchor, j) derives a content-addressed offset
+    * off ∈ [1, N−1] from md5(salt:id:j), and the negative is the row
+    * at (pos − 1 + off) mod N + 1 — ONE equi join on the position key.
+    * off never hits 0 mod N, so an anchor can never draw itself; the
+    * pairing is a pure function of (ids, salt, k): resumable, sharded,
+    * re-verifiable, engine-replayable — no RNG state anywhere.
+    *
+    * Draws are uniform over the other N−1 rows (60-bit hash mod N−1;
+    * bias ≤ 2⁻⁴⁰ for any corpus below a trillion rows) and sampled
+    * WITH replacement across j — dedup downstream if k approaches N.
+    * Needs N ≥ 2 (a 1-row corpus has no negatives — emits nothing). */
+  def negativePairs(df: DataFrame, idCol: String, k: Int = 3,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    // the position table feeds both the anchor side and the join-back:
+    // checkpoint so zipWithIndex's sort doesn't re-run per consumer
+    val pos = Checkpoint(DenseSequence.withSeq(
+      df.select(col(idCol)).distinct(), Seq(col(idCol)), "_pos"))
+    val n = pos.agg(count(lit(1)).as("_n"))
+    val anchors = pos.crossJoin(broadcast(n))
+      .filter(col("_n") > 1L)
+      .select(col(idCol), col("_pos"), col("_n"),
+        explode(array((1 to k).map(lit): _*)).as("j"))
+      .withColumn("_off", lit(1L) + pmod(
+        graft.functions.TextFunctions.md5Hash60(
+          concat_ws(":", lit(salt), col(idCol), col("j")), 0),
+        col("_n") - 1L))
+      .withColumn("_negpos",
+        pmod(col("_pos") - 1L + col("_off"), col("_n")) + 1L)
+    anchors.join(pos.select(col(idCol).as("negative_id"),
+        col("_pos").as("_negpos")), Seq("_negpos"))
+      .select(col(idCol), col("j"), col("negative_id"))
+  }
+
   def deterministicShuffle(df: DataFrame, key: Column, salt: String = "",
       seqCol: String = "pos"): DataFrame =
     DenseSequence.withSeq(df,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Sampling
+import graft.operators.{Mixing, Sampling}
 
 /** Deterministic hash-gate sampling: reproducibility, rate accuracy,
   * salt independence, stratified mixture weights. */
@@ -230,5 +230,24 @@ class SamplingSpec extends SparkTestBase {
     val kept = Sampling.hashSample(withNulls, col("k"), 0.5, "s")
       .filter(col("k").isNull).count()
     assert(kept == 0L || kept == 2L)
+  }
+
+  test("negative sampling: k per anchor, never self, deterministic, degenerate-safe") {
+    val docs = (1L to 20L).toDF("id")
+    val pairs = Mixing.negativePairs(docs, "id", k = 4, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(pairs.length == 80)                            // 20 anchors x 4
+    assert(pairs.forall { case (a, _, n) => a != n })     // never itself
+    assert(pairs.map { case (a, j, _) => (a, j) }.distinct.length == 80)
+    // pure function of (ids, salt, k): a second run is identical
+    val again = Mixing.negativePairs(docs, "id", k = 4, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(pairs.sorted.toSeq == again.sorted.toSeq)
+    // different salt draws a different pairing
+    val other = Mixing.negativePairs(docs, "id", k = 4, salt = "u")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(pairs.sorted.toSeq != other.sorted.toSeq)
+    // a 1-row corpus has no negatives: empty, not an error
+    assert(Mixing.negativePairs(Seq(9L).toDF("id"), "id", k = 2).count() == 0L)
   }
 }
