@@ -1590,6 +1590,14 @@ object SparkEntry {
       graft.operators.Profile.profile(Tables.events(s, d))
         .orderBy("col_name")),
 
+    // ---- T7: content fingerprints — the "did this input change?"
+    //      resume gate: order-free summed row digests per source +
+    //      rollup ALL, mergeable across shards by construction ----
+    "t7_table_digest" -> ((s, d) =>
+      graft.operators.Snapshot.contentDigests(Tables.documents(s, d),
+          Seq("source"), Seq("doc_id", "text", "lang", "n_chars"))
+        .orderBy("source")),
+
     // ---- MIX: deterministic negative sampling (contrastive pairs):
     //      k content-addressed negatives per anchor via dense positions
     //      + modular offsets — ONE equi join, never a cross join with
@@ -3394,6 +3402,18 @@ object SparkEntry {
          |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "t7_table_digest" ->
+      """WITH h AS (SELECT source,
+        |  ('0x' || substr(md5(
+        |     coalesce(doc_id::VARCHAR, chr(0)) || chr(31) ||
+        |     coalesce(text, chr(0)) || chr(31) ||
+        |     coalesce(lang, chr(0)) || chr(31) ||
+        |     coalesce(n_chars::VARCHAR, chr(0))), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT coalesce(source, 'ALL') AS source, count(*) AS n_rows,
+        |  (sum(h)::HUGEINT % 1152921504606846976)::BIGINT AS digest
+        |FROM h GROUP BY ROLLUP(source) ORDER BY source""".stripMargin,
 
     "mix_negatives" ->
       s"""WITH p AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id)::BIGINT AS pos

@@ -48,6 +48,36 @@ object Snapshot {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** T7 — content fingerprints: one (group, n_rows, digest) row per
+    * rollup group identifying the rows as a MULTISET — the "did this
+    * input change since the last run?" gate that makes a 100 TB
+    * pipeline resumable without diffing data (compare two digests, not
+    * two tables), and the shard-merge identity that lets per-partition
+    * digests combine into the table digest without a second scan.
+    *
+    * digest = Σ over rows of the 60-bit md5 of the framed row rendering
+    * (same 0x1F/0x00 frame contract as [[diff]]), carried in
+    * DECIMAL(38) and reduced mod 2⁶⁰. SUM, not bit_xor: xor cancels
+    * duplicate rows in pairs (a table gaining two copies of one row
+    * would digest unchanged), while the sum tracks multiplicity.
+    * Addition is commutative/associative → partition-order-free,
+    * map-combined, and mergeable: the rollup's ALL row equals the sum
+    * of its group digests mod 2⁶⁰ by construction. */
+  def contentDigests(df: DataFrame, group: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "contentDigests needs at least one value column")
+    val h = conv(substring(md5(concat_ws("\u001f",
+      valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)),
+      1, 15), 16, 10).cast("long")
+    df.select(group.map(col) :+ h.as("_h"): _*)
+      .rollup(group.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(_h AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
+          .as("digest"))
+      .select(group.map(c => coalesce(col(c), lit("ALL")).as(c)) :+
+        col("n_rows") :+ col("digest"): _*)
+  }
+
   /** W11 — SCD2 history: collapse a per-key change log into validity
     * intervals [valid_from, valid_to) per observed state, consecutive
     * repeats merged (type-2 slowly-changing-dimension build). valid_to

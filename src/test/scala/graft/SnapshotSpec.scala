@@ -96,4 +96,33 @@ class SnapshotSpec extends SparkTestBase {
         "only the last interval is open")
     }
   }
+
+  test("T7 digests: shard-mergeable, multiplicity-sensitive, NULL != empty") {
+    import graft.operators.Snapshot
+    val rows = Seq(("a", Some("x")), ("a", Some("y")), ("b", Some("x")),
+      ("b", None), ("b", Some(""))).toDF("g", "v")
+    val got = Snapshot.contentDigests(rows, Seq("g"), Seq("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val M = 1152921504606846976L
+    // the ALL row merges the group digests without rescanning
+    assert(got("ALL")._1 == 5L)
+    assert(got("ALL")._2 == (got("a")._2 + got("b")._2) % M)
+    // adding a DUPLICATE of an existing row must change the digest
+    // (the xor formulation would cancel it)
+    val dup = Snapshot.contentDigests(
+        rows.unionByName(Seq(("a", Some("x"))).toDF("g", "v")), Seq("g"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(dup("a") != got("a")._2)
+    assert(dup("a") == (got("a")._2 * 2 - // a held exactly {x, y}; x doubled
+      Snapshot.contentDigests(Seq(("a", "y")).toDF("g", "v"), Seq("g"), Seq("v"))
+        .filter(col("g") === "a").head.getLong(2) + M) % M)
+    // NULL and empty string digest differently (0x00 frame marker)
+    val nullRow = Snapshot.contentDigests(
+      Seq(("z", Option.empty[String])).toDF("g", "v"), Seq("g"), Seq("v"))
+      .filter(col("g") === "z").head.getLong(2)
+    val emptyRow = Snapshot.contentDigests(
+      Seq(("z", Option(""))).toDF("g", "v"), Seq("g"), Seq("v"))
+      .filter(col("g") === "z").head.getLong(2)
+    assert(nullRow != emptyRow)
+  }
 }
