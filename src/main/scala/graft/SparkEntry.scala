@@ -1302,6 +1302,17 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // ---- A21: winsorization — clamp into the per-group [p2, p98]
+    //      percentile band; one percentile agg + broadcast + map-side
+    //      least/greatest, corpus never shuffles ----
+    "a21_winsorize" -> ((s, d) =>
+      graft.operators.Binning.winsorize(
+          Tables.events(s, d).select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("y")),
+          Seq("event_type"), col("y"), pLowPct = 2, pHighPct = 98)
+        .select("event_type", "event_id", "y", "y_w")
+        .orderBy("event_type", "event_id")),
+
     // ---- A20: key-skew diagnosis (run BEFORE the big join): exact
     //      integer top-share and Gini ppm per group; one count exchange
     //      + a rank window over the KEY table, never data rows ----
@@ -2840,6 +2851,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "a21_winsorize" ->
+      """WITH p AS (SELECT event_type, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |b AS (SELECT event_type, quantile_cont(y, 0.02) AS lo,
+        |        quantile_cont(y, 0.98) AS hi
+        |      FROM p GROUP BY 1)
+        |SELECT p.event_type, p.event_id, p.y,
+        |  round(least(greatest(p.y::DOUBLE, b.lo), b.hi), 4) + 0.0 AS y_w
+        |FROM p JOIN b USING (event_type)
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "a20_skew_report" ->
       """WITH c AS (SELECT event_type, user_id AS k, count(*) AS n

@@ -45,4 +45,30 @@ object Binning {
       .withColumn("bin", bin)
       .drop("_y", "_bounds")
   }
+
+  /** A21 — winsorization: clamp each value into its group's
+    * [pLow, pHigh] percentile band — the robust-preprocessing step
+    * before moment-based statistics (an OLS fit or z-score over raw
+    * heavy-tailed data is one fat-finger reading away from garbage;
+    * see [[TextAnalysis.robustOutliers]] for the flag-only variant).
+    * Same shape as [[equalFreqBins]]: one exact-percentile aggregate,
+    * broadcast joinback, map-side least/greatest — the corpus never
+    * shuffles. Adds `y_w` (clamped, interpolated bounds → double). */
+  def winsorize(df: DataFrame, group: Seq[String], y: Column,
+      pLowPct: Int = 1, pHighPct: Int = 99, digits: Int = 4): DataFrame = {
+    require(0 <= pLowPct && pLowPct < pHighPct && pHighPct <= 100,
+      s"need 0 <= pLow < pHigh <= 100 (got $pLowPct/$pHighPct)")
+    Seq("_y", "_lo", "_hi").foreach(cn =>
+      require(!df.columns.contains(cn),
+        s"input already has a '$cn' column — it would be overwritten and dropped"))
+    val base = df.withColumn("_y", y.cast("long"))
+    val bounds = base.groupBy(group.map(col): _*)
+      .agg(expr(s"percentile(_y, ${pLowPct / 100.0})").as("_lo"),
+        expr(s"percentile(_y, ${pHighPct / 100.0})").as("_hi"))
+    base.join(broadcast(bounds), group)
+      .withColumn("y_w",
+        round(least(greatest(col("_y").cast("double"), col("_lo")), col("_hi")),
+          digits) + 0.0)
+      .drop("_y", "_lo", "_hi")
+  }
 }

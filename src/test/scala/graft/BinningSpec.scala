@@ -34,4 +34,16 @@ class BinningSpec extends SparkTestBase {
     val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("Window"), p.take(2000))
   }
+
+  test("winsorize: tails clamp to interpolated bounds, interior passes through") {
+    val df = (1L to 100L).map(("g", _)).toDF("g", "y")
+    val got = Binning.winsorize(df, Seq("g"), col("y"), pLowPct = 10, pHighPct = 90)
+      .collect().map(r => r.getAs[Long]("y") -> r.getAs[Double]("y_w")).toMap
+    // p10 of 1..100 interpolates to 1 + 0.1*99 = 10.9; p90 to 90.1
+    assert(got(1L) == 10.9 && got(5L) == 10.9)
+    assert(got(100L) == 90.1 && got(95L) == 90.1)
+    assert(got(50L) == 50.0 && got(11L) == 11.0 && got(90L) == 90.0)
+    intercept[IllegalArgumentException](
+      Binning.winsorize(df, Seq("g"), col("y"), pLowPct = 50, pHighPct = 50))
+  }
 }
