@@ -1601,6 +1601,28 @@ object SparkEntry {
       graft.operators.Profile.profile(Tables.events(s, d))
         .orderBy("col_name")),
 
+    // ---- CAPSTONE: contrastive training manifest — positives = exact
+    //      near-dup pairs (l2q), negatives = deterministic draws
+    //      (mix_negatives) anti-joined against the positives, split
+    //      assignment on the pair key; label-balanced, leak-free by
+    //      construction, a pure function of (corpus, salts) ----
+    "contrastive_manifest" -> ((s, d) => {
+      val pos = Dedup.setSimJoin(Tables.spread(Tables.documents(s, d)),
+          n = 3, tNum = 1, tDen = 2)
+        .select(col("a_id"), col("b_id"), lit(1).as("label"))
+      val negs = graft.operators.Mixing.negativePairs(
+          Tables.documents(s, d), "doc_id", k = 1, salt = "cm")
+        .select(least(col("doc_id"), col("negative_id")).as("a_id"),
+          greatest(col("doc_id"), col("negative_id")).as("b_id"))
+        .distinct()
+        .join(pos.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+        .select(col("a_id"), col("b_id"), lit(0).as("label"))
+      graft.operators.Sampling.assignSplits(pos.unionByName(negs),
+          concat_ws(":", col("a_id"), col("b_id")),
+          Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), salt = "cm")
+        .orderBy("a_id", "b_id")
+    }),
+
     // ---- T7: content fingerprints — the "did this input change?"
     //      resume gate: order-free summed row digests per source +
     //      rollup ALL, mergeable across shards by construction ----
@@ -3424,6 +3446,43 @@ object SparkEntry {
          |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "contrastive_manifest" ->
+      s"""WITH dg AS (SELECT DISTINCT doc_id, ng
+         |            FROM (SELECT doc_id, unnest($Ngrams3Sql) AS ng FROM documents)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM dg GROUP BY 1),
+         |i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |      FROM dg a JOIN dg b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |pos AS (SELECT a_id, b_id
+         |        FROM (SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni
+         |              FROM i JOIN sz sa ON sa.doc_id = a_id
+         |                     JOIN sz sb ON sb.doc_id = b_id)
+         |        WHERE inter * 2 >= uni),
+         |p AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id)::BIGINT AS pos
+         |      FROM (SELECT DISTINCT doc_id FROM documents)),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM p),
+         |o AS (SELECT doc_id, pos,
+         |        1 + (${h60("'0'", "'cm' || ':' || doc_id || ':1'")}
+         |             % ((SELECT n FROM nn) - 1)) AS off
+         |      FROM p WHERE (SELECT n FROM nn) > 1),
+         |g AS (SELECT doc_id, ((pos - 1 + off) % (SELECT n FROM nn)) + 1 AS negpos
+         |      FROM o),
+         |negs AS (SELECT DISTINCT least(g.doc_id, p2.doc_id) AS a_id,
+         |                greatest(g.doc_id, p2.doc_id) AS b_id
+         |         FROM g JOIN p p2 ON p2.pos = g.negpos),
+         |pairs AS (SELECT a_id, b_id, 1 AS label FROM pos
+         |          UNION ALL
+         |          SELECT n.a_id, n.b_id, 0 FROM negs n
+         |          WHERE NOT EXISTS (SELECT 1 FROM pos
+         |                            WHERE pos.a_id = n.a_id AND pos.b_id = n.b_id))
+         |SELECT a_id, b_id, label,
+         |  CASE WHEN ('0x' || substr(md5(a_id::VARCHAR || ':' || b_id::VARCHAR
+         |                || 'cm'), 1, 8))::BIGINT < ${SampThr(0.9)} THEN 'train'
+         |       WHEN ('0x' || substr(md5(a_id::VARCHAR || ':' || b_id::VARCHAR
+         |                || 'cm'), 1, 8))::BIGINT < ${SampThr(0.95)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM pairs ORDER BY a_id, b_id""".stripMargin,
 
     "t7_table_digest" ->
       """WITH h AS (SELECT source,
