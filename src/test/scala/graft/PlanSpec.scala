@@ -76,7 +76,10 @@ class PlanSpec extends SparkTestBase {
       "st5_late_drop",
       // the 1-row (total, n_cells) density stats broadcast onto the
       // occupied-cell table (cell-count-sized) — scalar-join idiom
-      "geo_hotspots")
+      "geo_hotspots",
+      // the 1-row corpus count broadcast onto the position table for
+      // the modular negative-draw arithmetic — scalar-join idiom
+      "mix_negatives", "contrastive_manifest")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
