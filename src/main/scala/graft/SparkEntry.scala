@@ -1607,9 +1607,12 @@ object SparkEntry {
     //      assignment on the pair key; label-balanced, leak-free by
     //      construction, a pure function of (corpus, salts) ----
     "contrastive_manifest" -> ((s, d) => {
-      val pos = Dedup.setSimJoin(Tables.spread(Tables.documents(s, d)),
-          n = 3, tNum = 1, tDen = 2)
-        .select(col("a_id"), col("b_id"), lit(1).as("label"))
+      // the positive set feeds the union AND the negatives' anti join —
+      // checkpoint so the whole set-similarity subtree runs once
+      val pos = graft.operators.Checkpoint(
+        Dedup.setSimJoin(Tables.spread(Tables.documents(s, d)),
+            n = 3, tNum = 1, tDen = 2)
+          .select(col("a_id"), col("b_id"), lit(1).as("label")))
       val negs = graft.operators.Mixing.negativePairs(
           Tables.documents(s, d), "doc_id", k = 1, salt = "cm")
         .select(least(col("doc_id"), col("negative_id")).as("a_id"),
