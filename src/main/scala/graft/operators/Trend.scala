@@ -38,6 +38,22 @@ object Trend {
       round(num.cast("double") / (den * yScale).cast("double"), digits) + 0.0)
   }
 
+  /** The pure per-row value [[ewma]] computes relationally, extracted
+    * for the streaming twin: `prior` is the trailing window (oldest
+    * first, at most span−1 values), weights are 2^k newest-heaviest,
+    * normalized by the weights actually present — identical to the
+    * lag-column formulation at series heads. */
+  def ewmaValue(prior: Seq[Long], x: Long, span: Int, yScale: Long = 1L,
+      digits: Int = 4): Double = {
+    val win = (prior :+ x).takeRight(span)
+    // newest element has lag 0 → weight 2^(span−1)
+    val terms = win.reverse.zipWithIndex
+    val num = terms.map { case (v, k) => v * (1L << (span - 1 - k)) }.sum
+    val den = terms.map { case (_, k) => 1L << (span - 1 - k) }.sum
+    java.math.BigDecimal.valueOf(num.toDouble / (den * yScale).toDouble)
+      .setScale(digits, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+  }
+
   /** The pure per-row decision [[rollingAnomaly]] computes
     * relationally, extracted so the STREAMING twin
     * ([[graft.streaming.AnomalyStream]]) provably runs the same

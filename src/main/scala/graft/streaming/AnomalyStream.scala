@@ -58,4 +58,40 @@ object AnomalyStream {
       .transformWithState(new AnomalyProcessor(n, z, minRows),
         TimeMode.None(), OutputMode.Append())
   }
+
+  case class EwmaOut(key: String, seq: Long, ewma: Double)
+
+  /** W13's LIVE form — same state/ordering discipline as the anomaly
+    * processor, value from the same pure [[Trend.ewmaValue]]. */
+  class EwmaProcessor(span: Int, yScale: Long)
+      extends StatefulProcessor[String, Obs, EwmaOut] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Ring] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Ring]("ring", Encoders.product[Ring],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Obs],
+        timers: TimerValues): Iterator[EwmaOut] = {
+      var prior = Option(state.get()).map(_.vals.toVector)
+        .getOrElse(Vector.empty[Long])
+      val out = rows.toSeq.sortBy(_.seq).map { o =>
+        val v = Trend.ewmaValue(prior, o.y, span, yScale)
+        prior = (prior :+ o.y).takeRight(span - 1)
+        EwmaOut(o.key, o.seq, v)
+      }
+      state.update(Ring(prior))
+      out.iterator
+    }
+  }
+
+  def ewma(obs: Dataset[Obs], span: Int = 4, yScale: Long = 1L)
+      (implicit spark: SparkSession): Dataset[EwmaOut] = {
+    import spark.implicits._
+    require(span >= 2 && span <= 62, s"span must be in [2, 62] (got $span)")
+    obs.groupByKey(_.key)
+      .transformWithState(new EwmaProcessor(span, yScale),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

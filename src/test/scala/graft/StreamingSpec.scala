@@ -506,4 +506,34 @@ class StreamingSpec extends SparkTestBase {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("W13 live EWMA == batch ewma, row for row") {
+    import graft.streaming.AnomalyStream
+    import graft.streaming.AnomalyStream.{EwmaOut, Obs}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = (1 to 10).map(i => Obs("k", i.toLong, (i * i * 7 % 23).toLong))
+      val in = MemoryStream[Obs]
+      val q = AnomalyStream.ewma(in.toDS(), span = 4)
+        .writeStream.format("memory").queryName("w13_live")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(rows.take(5): _*)
+        q.processAllAvailable()
+        in.addData(rows.drop(5).reverse: _*)
+        q.processAllAvailable()
+        val live = spark.table("w13_live").as[EwmaOut].collect()
+          .map(e => e.seq -> e.ewma).toMap
+        val batch = graft.operators.Trend.ewma(
+            rows.toDF("key", "seq", "y"), Seq("key"),
+            Seq(org.apache.spark.sql.functions.col("seq")),
+            org.apache.spark.sql.functions.col("y"), span = 4)
+          .collect().map(r => r.getAs[Long]("seq") -> r.getAs[Double]("ewma"))
+          .toMap
+        assert(live.size == 10 && live == batch)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
