@@ -81,4 +81,60 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank: identical integer-quantized power iteration,
+    * but the restart mass lands ONLY on the `seeds` node set —
+    *
+    *   pr₀(v)   = 10⁶ · [v ∈ S]
+    *   prᵢ₊₁(v) = [v ∈ S]·floor((1−d)·10⁶) + floor(d · Σᵤ c(u→v))
+    *
+    * so ranks measure proximity to the seeds (the "devices like these" /
+    * "networks around this watchlist" query — README.md:16-19's
+    * interest correlation, seeded). Nodes a seed's mass never reaches
+    * in `iters` hops rank exactly 0 — a reachability proof, not an
+    * artifact. Ranks are comparative (floors and dangling nodes sink
+    * mass), as in [[pageRankFixed]].
+    *
+    * Scale shape: `seeds` is a node subset (watchlist-sized) —
+    * broadcast into the flag join; everything else is the same
+    * unrolled equi-join/aggregate plan with the static edge side
+    * hash-partitioned once. */
+  def personalizedPageRankFixed(edges: DataFrame, src: String, dst: String,
+      weight: String, seeds: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1) (got $damping)")
+    require(seeds.columns.contains("node"),
+      "seeds must have a 'node' column (the restart set)")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"),
+      col(weight).cast("long").as("w"))
+    val sd = seeds.select(col("node")).distinct()
+      .withColumn("_seed", lit(true))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(sd), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("_seed"), lit(false)).as("is_seed"))
+      .transform(Checkpoint.apply)
+    val outW = e.groupBy("src").agg(sum("w").as("wout"))
+    val ew = e.join(outW, "src").repartition(col("src")).transform(Checkpoint.apply)
+    val baseU = math.floor((1.0 - damping) * 1000000.0).toLong
+
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)).as("pr_u"))
+    for (_ <- 1 to iters) {
+      val inMass = ew
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          floor(col("pr_u").cast("double") * col("w") / col("wout"))
+            .cast("long").as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      ranks = nodes.join(inMass, Seq("node"), "left_outer")
+        .select(col("node"),
+          (when(col("is_seed"), lit(baseU)).otherwise(lit(0L))
+            + floor(lit(damping) * coalesce(col("m"), lit(0L)))
+              .cast("long")).as("pr_u"))
+    }
+    ranks
+  }
 }

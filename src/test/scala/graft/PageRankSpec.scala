@@ -59,6 +59,60 @@ class PageRankSpec extends SparkTestBase {
     assert(got.keySet == Set("a", "b", "c", "d"))
   }
 
+  /** Single-threaded reference of the personalized update: restart mass
+    * only on seeds, pr0 = 10^6·[v∈S]. */
+  private def referencePpr(edges: Seq[(String, String, Long)],
+      seeds: Set[String], iters: Int, damping: Double = 0.85): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val baseU = math.floor((1.0 - damping) * 1000000.0).toLong
+    var pr = nodes.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) =>
+          math.floor(pr(s).toDouble * w / outW(s)).toLong
+        }.sum
+      }
+      pr = nodes.map(n =>
+        n -> ((if (seeds(n)) baseU else 0L)
+          + math.floor(damping * in.getOrElse(n, 0L)).toLong)).toMap
+    }
+    pr
+  }
+
+  private def runPpr(edges: Seq[(String, String, Long)], seeds: Seq[String],
+      iters: Int) =
+    PageRank.personalizedPageRankFixed(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", seeds.toDF("node"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("PPR matches the seeded reference; unreachable nodes rank exactly 0") {
+    // two components: a→b→c chain (seeded at a) and an isolated x↔y pair
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L),
+      ("x", "y", 1L), ("y", "x", 1L))
+    val got = runPpr(edges, Seq("a"), 3)
+    assert(got == referencePpr(edges, Set("a"), 3))
+    assert(got("x") == 0L && got("y") == 0L,
+      "nodes the seed mass cannot reach must rank exactly 0")
+    assert(got("a") > got("b") && got("b") > got("c"),
+      "proximity to the seed must order the chain")
+  }
+
+  test("PPR with every node seeded equals plain PageRank") {
+    val edges = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L),
+      ("b", "a", 1L))
+    val all = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    assert(runPpr(edges, all, 3) == run(edges, 3))
+  }
+
+  test("PPR rejects a seeds frame without a node column") {
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedPageRankFixed(
+        Seq(("a", "b", 1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", Seq("a").toDF("wrong"), 2)
+    }
+  }
+
   test("result is identical at any input partitioning") {
     val edges = (0L until 200L).map(i =>
       (s"n${i % 29}", s"n${(i * 7 + 3) % 29}", i % 5 + 1))
