@@ -117,10 +117,6 @@ object Dedup {
   def minHashCandidatePairs(docs: DataFrame, k: Int = 5,
       numHashes: Int = 32, bands: Int = 8,
       md5Family: Boolean = false): DataFrame = {
-    require(bands >= 1 && numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes): a zero-width " +
-        "band key would put EVERY doc in one bucket (O(n²) self-join)")
-    val rowsPerBand = numHashes / bands
     // docs shorter than k chars have an empty shingle set → all-null
     // signature → ONE shared band key for every such doc: filter them
     // out (they cannot be near-dups of anything by content anyway)
@@ -136,19 +132,7 @@ object Dedup {
     //     in DuckDB), so the WHOLE banded pipeline — signature, band
     //     membership, candidate set — is oracle-checkable, not just
     //     the verified output.
-    val sigs =
-      if (md5Family)
-        docs.select(col("doc_id"), lower(col("text")).as("lt"))
-          .select(col("doc_id"), shinglesOfLowered(col("lt"), k).as("shs"))
-          .filter(size(col("shs")) > 0)
-          .select(col("doc_id"), pairedMinHashSignature(col("shs"), numHashes).as("sig"))
-      else hashedShingleSets(docs, k)
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), longMinHashSignature(col("sh"), numHashes).as("sig"))
-    val banded = sigs.select(col("doc_id"), explode(
-      array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
-      .as("bk"))
+    val banded = minHashBandIndex(docs, k, numHashes, bands, md5Family)
     // Bucket-internal pair enumeration via ONE aggregate, not a
     // banded.as(a)⋈banded.as(b) self-join: a DataFrame self-join clones
     // the plan, so the signature pass ran TWICE (ReuseExchange does not
@@ -181,6 +165,99 @@ object Dedup {
   private def hashedShingleSets(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), lower(col("text")).as("lt"))
       .select(col("doc_id"), hashedShingles(col("lt"), k).as("sh"))
+
+  /** The persistable banded-LSH index: (doc_id, bk) rows, `bands` per
+    * doc (docs too short to shingle produce none). `bk` is one
+    * xxhash64 long with the band number folded in as the seed, so the
+    * whole index is 16 bytes/row. This is the STATE an incremental
+    * dedup pipeline keeps between ingests ([[incrementalNearDups]]):
+    * write it bucketed by bk once and every future batch probes it
+    * without re-signing a single old document. */
+  def minHashBandIndex(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
+      bands: Int = 8, md5Family: Boolean = false): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a zero-width " +
+        "band key would put EVERY doc in one bucket (O(n²) self-join)")
+    val rowsPerBand = numHashes / bands
+    val sigs =
+      if (md5Family)
+        docs.select(col("doc_id"), lower(col("text")).as("lt"))
+          .select(col("doc_id"), shinglesOfLowered(col("lt"), k).as("shs"))
+          .filter(size(col("shs")) > 0)
+          .select(col("doc_id"), pairedMinHashSignature(col("shs"), numHashes).as("sig"))
+      else hashedShingleSets(docs, k)
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), longMinHashSignature(col("sh"), numHashes).as("sig"))
+    sigs.select(col("doc_id"), explode(
+      array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+      .as("bk"))
+  }
+
+  /** L2 — INCREMENTAL near-dup detection: a new `batch` of documents
+    * probes the persisted band index of the existing corpus
+    * ([[minHashBandIndex]] output — pass it as `corpusIndex` when it is
+    * already on disk; derived from `corpus` here otherwise). Emits
+    * verified near-dup pairs where AT LEAST ONE side is new —
+    * new×old ("this document already exists in the corpus") and
+    * new×new (duplicates inside the batch) — and never enumerates an
+    * old×old pair: the filter sits INSIDE the bucket-pair lambda, so
+    * settled corpus pairs don't even materialize as rows.
+    *
+    * Shape at 100 TB: the corpus contributes (a) its 16-byte/row band
+    * index — bk-bucketed on disk, so the candidate shuffle is
+    * batch-sized — and (b) raw text fetched BY KEY for the candidate
+    * old docs only (a semi join on candidate ids, bounded by candidate
+    * volume, not corpus size). A daily batch therefore costs
+    * O(batch + candidates), independent of corpus row count; admitted
+    * docs' index rows append for the next batch by construction.
+    * Returns (a_id, b_id, jaccard, pair_kind ∈ {new_new, new_old}),
+    * a_id < b_id. */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, md5Family: Boolean = false,
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
+    val oldIdx = corpusIndex
+      .getOrElse(minHashBandIndex(corpus, k, numHashes, bands, md5Family))
+      .select(col("doc_id"), col("bk"), lit(false).as("is_new"))
+    val newIdx = minHashBandIndex(batch, k, numHashes, bands, md5Family)
+      .select(col("doc_id"), col("bk"), lit(true).as("is_new"))
+    // one union + one groupBy (same single-shuffle discipline as
+    // minHashCandidatePairs); members sort by doc_id so a<b falls out
+    val cand = oldIdx.union(newIdx)
+      .groupBy("bk")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("is_new"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(
+          filter(slice(col("ms"), i + lit(2), size(col("ms"))),
+            b => a.getField("is_new") || b.getField("is_new")),
+          b => struct(a.getField("doc_id").as("a_id"),
+            b.getField("doc_id").as("b_id"),
+            (a.getField("is_new") && b.getField("is_new")).as("both_new")))
+      ))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.both_new").as("both_new"))
+      .distinct()
+    // verify on exact hashed-shingle jaccard; old-side text fetched by
+    // key (semi join on candidate ids), never a corpus-wide pass
+    val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val needed = corpus.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+      .union(batch.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text")))
+    val sh = hashedShingleSets(needed, k)
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(hashedJaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"),
+        when(col("both_new"), lit("new_new")).otherwise(lit("new_old"))
+          .as("pair_kind"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   def minHashNearDups(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5,

@@ -71,6 +71,32 @@ class DedupSpec extends SparkTestBase {
     assert(md5 == xx, s"families disagree: md5-only=${md5 -- xx}, xx-only=${xx -- md5}")
   }
 
+  test("L2r incremental near-dup: batch-touching pairs only, old x old never emitted") {
+    import org.apache.spark.sql.functions.col
+    // batch = ids ≡ 0 (mod 10): one doc per cluster + singleton 100
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = Dedup.incrementalNearDups(batch, corpus, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    val full = Dedup.minHashNearDups(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly the full-run pairs that touch the batch, no old x old
+    val wantIds = full.filter { case (a, b) => a % 10 == 0 || b % 10 == 0 }
+    assert(inc.map(p => (p._1, p._2)) == wantIds)
+    assert(inc.nonEmpty, "planted clusters must produce batch-touching pairs")
+    inc.foreach { case (a, b, kind) =>
+      val bothNew = a % 10 == 0 && b % 10 == 0
+      assert(kind == (if (bothNew) "new_new" else "new_old"),
+        s"pair ($a,$b) kind $kind")
+    }
+    // a precomputed persisted index gives the identical answer
+    val idx = Dedup.minHashBandIndex(corpus)
+    val viaIdx = Dedup.incrementalNearDups(batch, corpus, threshold = 0.3,
+        corpusIndex = Some(idx))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(viaIdx == inc)
+  }
+
   test("L2l duplicate spans: planted boilerplate flagged, coverage merged, unique docs zero") {
     // docs 1 and 2 share an 8-token license header; doc 3 is unique;
     // doc 4 repeats a sentence INSIDE itself (self-boilerplate counts)
