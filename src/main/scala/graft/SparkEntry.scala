@@ -724,6 +724,20 @@ object SparkEntry {
           md5Family = true)
         .orderBy("a_id", "b_id")),
 
+    // ---- L2r: incremental near-dup — the day's batch (doc_id%10=0
+    //      simulates it) probes the settled corpus's persisted band
+    //      index: new×old and new×new pairs verify; old×old never
+    //      materializes, so a daily ingest costs O(batch+candidates),
+    //      not O(corpus) ----
+    "l2r_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          threshold = 0.5, md5Family = true)
+        .orderBy("a_id", "b_id")
+    }),
+
     // ---- L2c: exact n-gram Jaccard near-dups (oracle) ----
     "l2c_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.spread(Tables.documents(s, d)), "source", n = 3, threshold = 0.2)
@@ -1341,6 +1355,31 @@ object SparkEntry {
           Tables.part(s, d), "p_name", maxDist = 2)
         .orderBy("variant")),
 
+    // ---- ER2: field-level survivorship — each entity cluster merges
+    //      into ONE golden record with per-field election rules (max
+    //      price, freshest brand, modal size/type): the MDM merge step
+    //      downstream of entity_resolution. Every rule is a
+    //      map-combinable aggregate (arg-max struct for Latest, a
+    //      grouped-count election for Mode) — no window over records ----
+    "er_golden_record" -> ((s, d) => {
+      import graft.operators.Survivorship
+      val parts = Tables.part(s, d)
+      val ents = graft.operators.Components
+        .resolveEntities(parts, "p_name", maxDist = 2)
+        .select(col("variant"), col("entity_id"), col("canonical"))
+      val recs = parts.join(ents, parts("p_name") === ents("variant"))
+      Survivorship.goldenRecord(recs, "entity_id", Seq(
+          "canonical" -> Survivorship.MinOf("canonical"),
+          "price_max" -> Survivorship.MaxOf("p_retailprice"),
+          "brand_latest" -> Survivorship.LatestOf("p_brand", "p_partkey", "p_partkey"),
+          "size_mode" -> Survivorship.ModeOf("p_size"),
+          "type_mode" -> Survivorship.ModeOf("p_type")))
+        .select(col("entity_id"), col("canonical"), col("n_records"),
+          round(col("price_max"), 2).as("price_max"), col("brand_latest"),
+          col("size_mode").cast("long").as("size_mode"), col("type_mode"))
+        .orderBy("entity_id")
+    }),
+
     // ---- PROFILE: capstone composed report (README.md:15-19 — the
     //      per-device server profile: census + active hour + top
     //      interest + dwell sessions, one multi-join report) ----
@@ -1512,6 +1551,25 @@ object SparkEntry {
       val dir = und.select(col("mac").as("src"), col("ssid").as("dst"), col("weight"))
         .union(und.select(col("ssid").as("src"), col("mac").as("dst"), col("weight")))
       graft.operators.PageRank.pageRankFixed(dir, "src", "dst", "weight", iters = 3)
+        .orderBy("node")
+    }),
+
+    // ---- G5: personalized PageRank — restart mass pinned to a seed
+    //      set (the "what surrounds this watchlist" form of G4:
+    //      proximity to the seeds, exact 0 for nodes their mass cannot
+    //      reach in `iters` hops). Same integer-quantized unrolled
+    //      plan; the seed set is watchlist-sized and broadcast ----
+    "g5_ppr" -> ((s, d) => {
+      import s.implicits._
+      val obs = ev(s, d).select(
+        concat(lit("u:"), col("user_id")).as("mac"),
+        concat(lit("t:"), col("event_type")).as("ssid"))
+      val und = graft.operators.NetworkTree.edges(obs)
+      val dir = und.select(col("mac").as("src"), col("ssid").as("dst"), col("weight"))
+        .union(und.select(col("ssid").as("src"), col("mac").as("dst"), col("weight")))
+      val seeds = Seq("t:purchase", "t:signup").toDF("node")
+      graft.operators.PageRank
+        .personalizedPageRankFixed(dir, "src", "dst", "weight", seeds, iters = 3)
         .orderBy("node")
     }),
 
@@ -2630,17 +2688,8 @@ object SparkEntry {
     // collisions) → exact shingle-set jaccard on the candidates (same
     // string-set formulation the l2c oracle proves value-equal to the
     // engine's hashed sets).
-    "l2b_minhash_pairs" -> {
-      val sig = (0 until 32).map(j =>
-        s"list_min(list_transform(sh, x -> ('0x' || substr(md5('${j / 2}' || ':' || x), ${if (j % 2 == 0) 1 else 16}, 15))::BIGINT))")
-      val bandList = (0 until 8).map(b =>
-        (4 * b until 4 * b + 4).map(sig).mkString("[", ", ", "]"))
-        .mkString("[", ",\n    ", "]")
-      s"""WITH s AS (SELECT doc_id, $Shingles5Sql AS sh FROM documents),
-         |sg AS (SELECT doc_id, $bandList AS bands FROM s WHERE len(sh) > 0),
-         |banded AS (
-         |  SELECT doc_id, i, bands[i] AS bk
-         |  FROM sg CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)),
+    "l2b_minhash_pairs" ->
+      s"""$MinhashBandCteSql,
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM banded a JOIN banded b
@@ -2652,8 +2701,27 @@ object SparkEntry {
          |              / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE END AS j
          |  FROM cand JOIN s sa ON sa.doc_id = cand.a_id JOIN s sb ON sb.doc_id = cand.b_id)
          |SELECT a_id, b_id, round(j, 4) AS jaccard FROM jac
-         |WHERE round(j, 4) >= 0.5 ORDER BY a_id, b_id""".stripMargin
-    },
+         |WHERE round(j, 4) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    // Incremental twin: identical banding; candidates restricted to
+    // pairs with a NEW side (doc_id%10=0 simulates the day's batch).
+    "l2r_incremental_neardup" ->
+      s"""$MinhashBandCteSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.i = b.i AND a.bk = b.bk AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id % 10 = 0) OR (b.doc_id % 10 = 0)),
+         |jac AS (
+         |  SELECT a_id, b_id,
+         |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+         |         ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+         |              / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE END AS j
+         |  FROM cand JOIN s sa ON sa.doc_id = cand.a_id JOIN s sb ON sb.doc_id = cand.b_id)
+         |SELECT a_id, b_id, round(j, 4) AS jaccard,
+         |  CASE WHEN a_id % 10 = 0 AND b_id % 10 = 0 THEN 'new_new'
+         |       ELSE 'new_old' END AS pair_kind
+         |FROM jac WHERE round(j, 4) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
 
     "l2f_embedding_neardup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -2917,32 +2985,38 @@ object SparkEntry {
         |SELECT event_type, bin, count(*) AS n, min(y) AS y_min, max(y) AS y_max
         |FROM a GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
 
-    "entity_resolution" ->
-      """WITH RECURSIVE
-        |v AS (SELECT p_name AS variant, count(*) AS n,
-        |      split_part(p_name, ' ', 1) AS blk FROM part GROUP BY 1, 3),
-        |e AS (SELECT a.variant AS a_val, b.variant AS b_val
-        |      FROM v a JOIN v b ON a.blk = b.blk AND a.variant < b.variant
-        |        AND abs(length(a.variant) - length(b.variant)) <= 2
-        |        AND levenshtein(a.variant, b.variant) <= 2),
-        |edges AS (SELECT a_val AS s, b_val AS d FROM e
-        |          UNION ALL SELECT b_val, a_val FROM e),
-        |reach(node, lab) AS (
-        |  SELECT variant, variant FROM v
-        |  UNION
-        |  SELECT edges.d, reach.lab FROM edges JOIN reach ON reach.node = edges.s),
-        |cc AS (SELECT node AS variant, min(lab) AS entity_id FROM reach GROUP BY node),
-        |lv AS (SELECT v.variant, v.n, cc.entity_id FROM v JOIN cc USING (variant)),
-        |ent AS (SELECT entity_id, count(*) AS n_variants, sum(n) AS entity_n
-        |        FROM lv GROUP BY 1),
-        |canon AS (SELECT entity_id, variant AS canonical FROM (
-        |  SELECT entity_id, variant,
-        |    row_number() OVER (PARTITION BY entity_id ORDER BY n DESC, variant) AS rn
-        |  FROM lv) WHERE rn = 1)
+    "entity_resolution" -> (ErCteSql +
+      """
         |SELECT lv.variant, lv.n, lv.entity_id, canon.canonical,
         |  ent.n_variants, ent.entity_n
         |FROM lv JOIN ent USING (entity_id) JOIN canon USING (entity_id)
-        |ORDER BY variant""".stripMargin,
+        |ORDER BY variant""".stripMargin),
+
+    // Survivorship downstream of the same ER clusters: the recursive
+    // CTE replays the link+components step, then each field's election
+    // re-derives independently (arg-max window / grouped-count mode).
+    "er_golden_record" -> (ErCteSql +
+      """,
+        |pr AS (SELECT cc.entity_id, p.* FROM part p JOIN cc ON p.p_name = cc.variant),
+        |base AS (SELECT entity_id, count(*) AS n_records,
+        |         round(max(p_retailprice), 2) AS price_max FROM pr GROUP BY 1),
+        |lt AS (SELECT entity_id, p_brand AS brand_latest FROM (
+        |  SELECT entity_id, p_brand,
+        |    row_number() OVER (PARTITION BY entity_id ORDER BY p_partkey DESC) AS rn
+        |  FROM pr) WHERE rn = 1),
+        |szm AS (SELECT entity_id, p_size::BIGINT AS size_mode FROM (
+        |  SELECT entity_id, p_size,
+        |    row_number() OVER (PARTITION BY entity_id ORDER BY count(*) DESC, p_size) AS rn
+        |  FROM pr GROUP BY entity_id, p_size) WHERE rn = 1),
+        |tpm AS (SELECT entity_id, p_type AS type_mode FROM (
+        |  SELECT entity_id, p_type,
+        |    row_number() OVER (PARTITION BY entity_id ORDER BY count(*) DESC, p_type) AS rn
+        |  FROM pr GROUP BY entity_id, p_type) WHERE rn = 1)
+        |SELECT base.entity_id, canon.canonical, base.n_records, base.price_max,
+        |  lt.brand_latest, szm.size_mode, tpm.type_mode
+        |FROM base JOIN canon USING (entity_id) JOIN lt USING (entity_id)
+        |  JOIN szm USING (entity_id) JOIN tpm USING (entity_id)
+        |ORDER BY entity_id""".stripMargin),
 
     "l2i_editdist" ->
       """WITH v AS (SELECT p_name AS val, count(*) AS n,
@@ -3340,6 +3414,7 @@ object SparkEntry {
     "l4g_bm25" -> Bm25Sql(Seq("hash", "join", "filter"), k = 10, k1 = 1.2, b = 0.75),
 
     "g4_pagerank" -> PageRankSql(iters = 3, damping = 0.85),
+    "g5_ppr" -> PprSql(Seq("t:purchase", "t:signup"), iters = 3, damping = 0.85),
 
     "j9_radius_join" ->
       """WITH p AS (
@@ -3815,6 +3890,34 @@ object SparkEntry {
   /** DuckDB twin of PageRank.pageRankFixed on the symmetrized
     * device↔SSID graph: `iters` unrolled CTE rounds of the same
     * integer-quantized update. */
+  /** Shared DuckDB replay of `Components.resolveEntities` on part
+    * p_name: blocked edit-distance link → recursive-CTE components →
+    * per-entity stats + canonical election. Consumers append either a
+    * final SELECT or further CTEs (the string ends inside the WITH
+    * list, after `canon`). */
+  private val ErCteSql: String =
+    """WITH RECURSIVE
+      |v AS (SELECT p_name AS variant, count(*) AS n,
+      |      split_part(p_name, ' ', 1) AS blk FROM part GROUP BY 1, 3),
+      |e AS (SELECT a.variant AS a_val, b.variant AS b_val
+      |      FROM v a JOIN v b ON a.blk = b.blk AND a.variant < b.variant
+      |        AND abs(length(a.variant) - length(b.variant)) <= 2
+      |        AND levenshtein(a.variant, b.variant) <= 2),
+      |edges AS (SELECT a_val AS s, b_val AS d FROM e
+      |          UNION ALL SELECT b_val, a_val FROM e),
+      |reach(node, lab) AS (
+      |  SELECT variant, variant FROM v
+      |  UNION
+      |  SELECT edges.d, reach.lab FROM edges JOIN reach ON reach.node = edges.s),
+      |cc AS (SELECT node AS variant, min(lab) AS entity_id FROM reach GROUP BY node),
+      |lv AS (SELECT v.variant, v.n, cc.entity_id FROM v JOIN cc USING (variant)),
+      |ent AS (SELECT entity_id, count(*) AS n_variants, sum(n) AS entity_n
+      |        FROM lv GROUP BY 1),
+      |canon AS (SELECT entity_id, variant AS canonical FROM (
+      |  SELECT entity_id, variant,
+      |    row_number() OVER (PARTITION BY entity_id ORDER BY n DESC, variant) AS rn
+      |  FROM lv) WHERE rn = 1)""".stripMargin
+
   private def PageRankSql(iters: Int, damping: Double): String = {
     val baseU = math.floor((1.0 - damping) * 1000000.0).toLong
     def round(i: Int): String = {
@@ -3838,6 +3941,60 @@ object SparkEntry {
        |ow AS (SELECT src, sum(w) AS wout FROM ed GROUP BY src),
        |ew AS (SELECT ed.src, ed.dst, ed.w, ow.wout FROM ed JOIN ow USING (src)),
        |r0 AS (SELECT node, 1000000::BIGINT AS pr_u FROM nodes),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT node, pr_u FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Shared DuckDB replay of the md5-family MinHash banding (32 hashes
+    * / 8 bands, k=5 shingles): CTEs `s` (doc_id, shingle list), `sg`
+    * (band lists), `banded` (doc_id, band i, band key). Band-key
+    * equality on the raw 4-hash lists ⟺ the engine's seeded-xxhash64
+    * band key equality (same slices compared). Consumers append their
+    * candidate restriction + verify. */
+  private lazy val MinhashBandCteSql: String = {
+    val sig = (0 until 32).map(j =>
+      s"list_min(list_transform(sh, x -> ('0x' || substr(md5('${j / 2}' || ':' || x), ${if (j % 2 == 0) 1 else 16}, 15))::BIGINT))")
+    val bandList = (0 until 8).map(b =>
+      (4 * b until 4 * b + 4).map(sig).mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    s"""WITH s AS (SELECT doc_id, $Shingles5Sql AS sh FROM documents),
+       |sg AS (SELECT doc_id, $bandList AS bands FROM s WHERE len(sh) > 0),
+       |banded AS (
+       |  SELECT doc_id, i, bands[i] AS bk
+       |  FROM sg CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i))""".stripMargin
+  }
+
+  /** [[PageRankSql]]'s personalized twin: restart mass only on the
+    * literal seed nodes; same integer quantization per round. */
+  private def PprSql(seeds: Seq[String], iters: Int, damping: Double): String = {
+    val baseU = math.floor((1.0 - damping) * 1000000.0).toLong
+    val seedList = seeds.map(s => s"'$s'").mkString("[", ", ", "]")
+    def round(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""m$i AS (
+         |  SELECT ew.dst AS node,
+         |    sum(CAST(floor(p.pr_u::DOUBLE * ew.w / ew.wout) AS BIGINT)) AS m
+         |  FROM ew JOIN $prev p ON ew.src = p.node GROUP BY 1),
+         |r$i AS (
+         |  SELECT n.node,
+         |    ((CASE WHEN n.is_seed THEN $baseU ELSE 0 END)
+         |      + CAST(floor($damping * coalesce(m$i.m, 0)) AS BIGINT))::BIGINT AS pr_u
+         |  FROM ns n LEFT JOIN m$i ON n.node = m$i.node)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT 'u:' || user_id::VARCHAR AS src, 't:' || event_type AS dst,
+       |         count(*) AS w
+       |  FROM events GROUP BY 1, 2),
+       |ed AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed
+       |          UNION SELECT DISTINCT dst FROM ed),
+       |sd AS (SELECT unnest($seedList) AS node),
+       |ns AS (SELECT nodes.node, (sd.node IS NOT NULL) AS is_seed
+       |       FROM nodes LEFT JOIN sd ON nodes.node = sd.node),
+       |ow AS (SELECT src, sum(w) AS wout FROM ed GROUP BY src),
+       |ew AS (SELECT ed.src, ed.dst, ed.w, ow.wout FROM ed JOIN ow USING (src)),
+       |r0 AS (SELECT node,
+       |       (CASE WHEN is_seed THEN 1000000 ELSE 0 END)::BIGINT AS pr_u FROM ns),
        |${(1 to iters).map(round).mkString(",\n")}
        |SELECT node, pr_u FROM r$iters ORDER BY node""".stripMargin
   }
