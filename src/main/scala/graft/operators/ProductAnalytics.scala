@@ -77,6 +77,39 @@ object ProductAnalytics {
     * twice (Spark physical plans don't share subtrees), doubling the
     * scan. The probability divides two longs cast to double (single
     * correctly-rounded op, engine-exact; round at the edge). */
+  /** A22 — frequent sequential patterns: every run of `n` CONSECUTIVE
+    * same-user events (ordered by ts, tie) becomes an n-gram of event
+    * types; the top `k` patterns by global occurrence count, with the
+    * distinct-user support alongside (how many devices exhibit the
+    * habit — the "habitual movements" report generalized past bigrams,
+    * README.md:17). Consecutive-only is the deliberate semantics: gap
+    * patterns (skip-grams) explode combinatorially at 100 TB; run the
+    * operator at n=2..4 instead.
+    *
+    * Shape: ONE key-partitioned window produces all n−1 leads in a
+    * single exchange (per-row state is n−1 strings, nothing
+    * accumulates), the pattern groupBy map-combines to a ≤|types|ⁿ
+    * table, and top-k is an orderBy+limit (TakeOrderedAndProject —
+    * never a partitionless rank window). Ties at the k boundary break
+    * on the pattern string, so the cut is total and engine-replayable. */
+  def sequencePatterns(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2, s"pattern length n must be >= 2 (got $n)")
+    require(k >= 1, s"top-k must be >= 1 (got $k)")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val leads = (1 until n).map(i => lead(col(typeCol), i).over(w).as(s"_e$i"))
+    events
+      .select(col(userCol) +: col(typeCol).as("_e0") +: leads: _*)
+      .filter((1 until n).map(i => col(s"_e$i").isNotNull).reduce(_ && _))
+      .select(col(userCol),
+        concat_ws(">", (0 until n).map(i => col(s"_e$i")): _*).as("pattern"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(userCol)).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("pattern"))
+      .limit(k)
+  }
+
   def transitions(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))

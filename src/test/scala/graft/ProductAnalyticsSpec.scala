@@ -88,6 +88,55 @@ class ProductAnalyticsSpec extends SparkTestBase {
     byRow.foreach { case (row, p) => assert(math.abs(p - 1.0) < 1e-9, row) }
   }
 
+  test("sequence patterns: consecutive same-user trigrams, counts + support") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 10:01:00"), "b", 2L),
+      (1L, ts("2024-01-01 10:02:00"), "c", 3L),
+      (1L, ts("2024-01-01 10:03:00"), "b", 4L),
+      (1L, ts("2024-01-01 10:04:00"), "c", 5L),
+      (2L, ts("2024-01-02 10:00:00"), "a", 6L),
+      (2L, ts("2024-01-02 10:01:00"), "b", 7L),
+      (2L, ts("2024-01-02 10:02:00"), "c", 8L),
+      (3L, ts("2024-01-03 10:00:00"), "x", 9L),   // 2 events: no trigram
+      (3L, ts("2024-01-03 10:01:00"), "y", 10L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = ProductAnalytics
+      .sequencePatterns(e, "user_id", "ts", "event_type", "event_id", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a>b>c twice (u1, u2) support 2; u1 alone adds b>c>b and c>b>c
+    assert(got.toSet == Set(("a>b>c", 2L, 2L), ("b>c>b", 1L, 1L),
+      ("c>b>c", 1L, 1L)), got.mkString(", "))
+    // ordered by count desc then pattern — the k cut is deterministic
+    assert(got.head == (("a>b>c", 2L, 2L)))
+    assert(got(1)._1 == "b>c>b" && got(2)._1 == "c>b>c")
+    val top1 = ProductAnalytics
+      .sequencePatterns(e, "user_id", "ts", "event_type", "event_id", n = 3, k = 1)
+      .collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "a>b>c")
+  }
+
+  test("sequence patterns at n=2 agree with the transition-matrix counts") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 10:01:00"), "b", 2L),
+      (1L, ts("2024-01-01 10:02:00"), "a", 3L),
+      (2L, ts("2024-01-01 11:00:00"), "a", 4L),
+      (2L, ts("2024-01-01 11:01:00"), "b", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val pat = ProductAnalytics
+      .sequencePatterns(e, "user_id", "ts", "event_type", "event_id", n = 2, k = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trans = ProductAnalytics
+      .transitions(e, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => s"${r.getString(0)}>${r.getString(1)}" -> r.getLong(2)).toMap
+    assert(pat == trans)
+    intercept[IllegalArgumentException](ProductAnalytics
+      .sequencePatterns(e, "user_id", "ts", "event_type", "event_id", n = 1))
+    intercept[IllegalArgumentException](ProductAnalytics
+      .sequencePatterns(e, "user_id", "ts", "event_type", "event_id", k = 0))
+  }
+
   test("funnel matches a single-threaded reference on seeded random schedules") {
     // reference: t1 = min ts of step-1 events; t_i = min ts of step-i
     // events STRICTLY after t_{i-1}, None once the chain breaks
