@@ -115,4 +115,61 @@ object Mixing {
       seqCol: String = "pos"): DataFrame =
     DenseSequence.withSeq(df,
       Seq(md5(concat_ws("", key.cast("string"), lit(salt))), key), seqCol)
+
+  /** MIX — token-budget allocation by water-filling: split a global
+    * token budget across sources proportionally to temperature-
+    * flattened weights (w_s = ⌊√n_s·10⁶⌋, the T=0.5 recipe — bit-exact
+    * in every IEEE engine, unlike pow), with the surplus of sources too
+    * SMALL to absorb their share redistributed among the rest. Each of
+    * the `rounds` unrolled rounds gives every unsaturated source
+    * min(capacity left, ⌊R·w_s/W_unsat⌋) of the remaining budget R —
+    * after a few rounds the allocation is within floor-loss of the
+    * fixed point (the leftover stays unallocated, never over-granted:
+    * Σ alloc ≤ budget ALWAYS, and alloc_s ≤ n_s always).
+    *
+    * This is the planning half of [[temperatureMix]]: temperatureMix
+    * decides keep-rates by ROW COUNT and caps at rate 1 without
+    * redistributing the surplus; budgetAllocation plans by TOKENS and
+    * re-grants what saturated sources can't take — the difference is
+    * exactly what a "fill a 10 T-token training budget from 40
+    * sources" pipeline needs. Feed `rate_ppm` into a
+    * [[Sampling.hashGate]]-style per-source gate to materialize the
+    * sampled corpus.
+    *
+    * Shape at 100 TB: one map-combined token sum per source (the only
+    * pass over data), then all rounds run on the |sources|-row table
+    * with two broadcast scalars (R, W) per round — the corpus is never
+    * touched again. Zero-token sources are dropped (nothing to
+    * allocate). All state is integer; the one float step per round
+    * (R·w/W, two correctly-rounded IEEE ops) replays exactly in DuckDB. */
+  def budgetAllocation(df: DataFrame, sourceCol: Column, tokenCol: Column,
+      budget: Long, rounds: Int = 3): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0 (got $budget)")
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    var t = df.groupBy(sourceCol.as("source"))
+      .agg(sum(tokenCol).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("_w", floor(sqrt(col("n_tokens")) * lit(1000000.0)).cast("long"))
+      .withColumn("alloc", lit(0L))
+    for (_ <- 1 to rounds) {
+      val scalars = t.agg(
+        (lit(budget) - sum("alloc")).as("_r"),
+        sum(when(col("alloc") < col("n_tokens"), col("_w")).otherwise(lit(0L)))
+          .as("_wu"))
+      t = t.crossJoin(broadcast(scalars))
+        .withColumn("_give",
+          when(col("alloc") < col("n_tokens") && col("_wu") > 0L && col("_r") > 0L,
+            least(col("n_tokens") - col("alloc"),
+              floor(col("_r").cast("double") * col("_w").cast("double")
+                / col("_wu").cast("double")).cast("long")))
+            .otherwise(lit(0L)))
+        .withColumn("alloc", col("alloc") + col("_give"))
+        .drop("_r", "_wu", "_give")
+    }
+    t.select(col("source"), col("n_tokens"), col("_w").as("weight_u"),
+      col("alloc").as("alloc_tokens"),
+      floor(col("alloc").cast("double") * lit(1000000.0)
+        / col("n_tokens").cast("double")).cast("long").as("rate_ppm"),
+      (col("alloc") >= col("n_tokens")).as("saturated"))
+  }
 }

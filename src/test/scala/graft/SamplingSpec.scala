@@ -130,6 +130,51 @@ class SamplingSpec extends SparkTestBase {
       s"null-stratum rows must sample at their rate (~500): $nullKept")
   }
 
+  test("budget water-filling: caps, conservation, and surplus redistribution") {
+    // tiny (100 tokens) saturates immediately; its unused share must
+    // flow to big/mid across rounds
+    val toks = Seq(("big", 100000L), ("mid", 25000L), ("tiny", 100L))
+      .flatMap { case (s, n) => Seq((s, n / 2), (s, n - n / 2)) }
+      .toDF("src", "n_tok")
+    val got = graft.operators.Mixing
+      .budgetAllocation(toks, col("src"), col("n_tok"), budget = 50000L, rounds = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getBoolean(5))).toMap
+    val allocs = got.view.mapValues(_._2)
+    assert(allocs.values.sum <= 50000L, s"over-granted: $got")
+    got.foreach { case (s, (n, a, sat)) =>
+      assert(a <= n, s"$s allocated past capacity")
+      assert(sat == (a >= n), s"$s saturation flag wrong")
+    }
+    assert(got("tiny")._3, "the 100-token source must saturate")
+    // weights: w_big = 2·w_mid (√100000/√25000) → unsaturated allocs ~2:1
+    val ratio = allocs("big").toDouble / allocs("mid")
+    assert(math.abs(ratio - 2.0) < 0.01, s"√-weight proportionality: $allocs")
+    // redistribution actually happened: 3 rounds allocate more than 1
+    val oneRound = graft.operators.Mixing
+      .budgetAllocation(toks, col("src"), col("n_tok"), budget = 50000L, rounds = 1)
+      .collect().map(_.getLong(3)).sum
+    assert(allocs.values.sum > oneRound,
+      s"rounds must re-grant the saturated surplus ($oneRound -> ${allocs.values.sum})")
+    // within floor-loss of the full budget once nobody else saturates
+    assert(50000L - allocs.values.sum < 10L, s"residual too large: $allocs")
+  }
+
+  test("budget water-filling: an ample budget saturates everything exactly") {
+    val toks = Seq(("a", 100L), ("b", 900L), ("c", 0L)).toDF("src", "n_tok")
+    val got = graft.operators.Mixing
+      .budgetAllocation(toks, col("src"), col("n_tok"), budget = 10000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == Map("a" -> ((100L, 1000000L, true)),
+      "b" -> ((900L, 1000000L, true))), s"got $got")
+    assert(!got.contains("c"), "zero-token sources have nothing to allocate")
+    intercept[IllegalArgumentException](graft.operators.Mixing
+      .budgetAllocation(toks, col("src"), col("n_tok"), budget = -1L))
+    intercept[IllegalArgumentException](graft.operators.Mixing
+      .budgetAllocation(toks, col("src"), col("n_tok"), budget = 1L, rounds = 0))
+  }
+
   test("deterministic shuffle: a total order, stable across runs, salt-varied") {
     val a = graft.operators.Mixing.deterministicShuffle(pop, col("id"), "e0")
       .orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
