@@ -1281,6 +1281,17 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
 
+    // ---- MIX: token-budget water-filling — split a 200k-token budget
+    //      across sources by √-flattened weights, redistributing the
+    //      surplus of sources too small to absorb their share; the
+    //      corpus contributes ONE map-combined token sum, all rounds
+    //      run on the |sources|-row table ----
+    "mix_budget" -> ((s, d) =>
+      graft.operators.Mixing
+        .budgetAllocation(Tables.documents(s, d), col("source"), col("n_chars"),
+          budget = 200000L, rounds = 3)
+        .orderBy("source")),
+
     // ---- MIX: reproducible global shuffle (training order as a pure
     //      function of (key, salt); scale-safe dense sequence — no
     //      partitionless window) ----
@@ -1627,6 +1638,15 @@ object SparkEntry {
       graft.operators.ProductAnalytics
         .transitions(ev(s, d), "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+
+    // ---- A22: frequent sequential patterns — top consecutive
+    //      event-type trigrams (occurrences + distinct-device support):
+    //      transitions generalized past bigrams; one key-partitioned
+    //      window, map-combined groupBy, TakeOrderedAndProject top-k ----
+    "a22_seq_patterns" -> ((s, d) =>
+      graft.operators.ProductAnalytics
+        .sequencePatterns(ev(s, d), "user_id", "ts", "event_type", "event_id",
+          n = 3, k = 20)),
 
     // ---- L2k: URL canonicalization dedup — case drift, trailing
     //      slashes, and tracking params collapse to one crawl key ----
@@ -3495,6 +3515,43 @@ object SparkEntry {
         |  round(c.n::DOUBLE / t.row_n, 4) + 0.0 AS p
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "a22_seq_patterns" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type AS e0,
+        |    lead(event_type, 1) OVER w AS e1,
+        |    lead(event_type, 2) OVER w AS e2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e0 || '>' || e1 || '>' || e2 AS pattern,
+        |  count(*) AS n_occurrences, count(DISTINCT user_id) AS n_users
+        |FROM g WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_occurrences DESC, pattern LIMIT 20""".stripMargin,
+
+    // Budget + round count are literals mirroring the engine call
+    // (budget=200000, rounds=3); each round's one float step
+    // (r·w/wu, two correctly-rounded IEEE ops) replays exactly.
+    "mix_budget" -> {
+      def round(i: Int): String =
+        s"""s$i AS (SELECT 200000 - sum(alloc) AS r,
+           |  sum(CASE WHEN alloc < n THEN w ELSE 0 END) AS wu FROM t${i - 1}),
+           |t$i AS (SELECT source, n, w,
+           |  alloc + CASE WHEN alloc < n AND wu > 0 AND r > 0
+           |    THEN least(n - alloc,
+           |      CAST(floor(r::DOUBLE * w::DOUBLE / wu::DOUBLE) AS BIGINT))
+           |    ELSE 0 END AS alloc
+           |  FROM t${i - 1} CROSS JOIN s$i)""".stripMargin
+      s"""WITH t0 AS (
+         |  SELECT source, sum(n_chars)::BIGINT AS n,
+         |    CAST(floor(sqrt(sum(n_chars)::BIGINT) * 1000000.0) AS BIGINT) AS w,
+         |    0::BIGINT AS alloc
+         |  FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT source, n AS n_tokens, w AS weight_u, alloc AS alloc_tokens,
+         |  CAST(floor(alloc::DOUBLE * 1000000.0 / n::DOUBLE) AS BIGINT) AS rate_ppm,
+         |  (alloc >= n) AS saturated
+         |FROM t3 ORDER BY source""".stripMargin
+    },
 
     "l2k_url_canon" ->
       s"""WITH u AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),
