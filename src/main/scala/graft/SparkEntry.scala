@@ -1584,6 +1584,22 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- G6: bounded-hop BFS from the same seed set — the blast-
+    //      radius audit pairing G5's seeded-zero ranks: every node
+    //      within 3 hops with its min distance; unreachable absent ----
+    "g6_bfs_hops" -> ((s, d) => {
+      import s.implicits._
+      val obs = ev(s, d).select(
+        concat(lit("u:"), col("user_id")).as("mac"),
+        concat(lit("t:"), col("event_type")).as("ssid"))
+      val und = graft.operators.NetworkTree.edges(obs)
+      val dir = und.select(col("mac").as("src"), col("ssid").as("dst"))
+        .union(und.select(col("ssid").as("src"), col("mac").as("dst")))
+      val seeds = Seq("t:purchase", "t:signup").toDF("node")
+      graft.operators.Components.bfsHops(dir, "src", "dst", seeds, maxHops = 3)
+        .orderBy("node")
+    }),
+
     // ---- J9: grid-bucketed radius self-join (all point pairs within
     //      r=6) — the equi-join rewrite of an O(n²) spatial cross join.
     //      Prime-moduli scatter (13s mod 97, 29s mod 89) spreads the
@@ -3435,6 +3451,22 @@ object SparkEntry {
 
     "g4_pagerank" -> PageRankSql(iters = 3, damping = 0.85),
     "g5_ppr" -> PprSql(Seq("t:purchase", "t:signup"), iters = 3, damping = 0.85),
+
+    // Bounded-depth BFS as a recursive CTE: UNION dedups (node, d)
+    // pairs and d < 3 bounds the recursion; min(d) per node = hops.
+    "g6_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'u:' || user_id::VARCHAR AS src, 't:' || event_type AS dst
+        |  FROM events GROUP BY 1, 2),
+        |ed AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |sd AS (SELECT unnest(['t:purchase', 't:signup']) AS node),
+        |walk(node, d) AS (
+        |  SELECT node, 0 FROM sd
+        |  UNION
+        |  SELECT ed.dst, walk.d + 1 FROM ed JOIN walk ON ed.src = walk.node
+        |  WHERE walk.d < 3)
+        |SELECT node, min(d)::BIGINT AS hops FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "j9_radius_join" ->
       """WITH p AS (

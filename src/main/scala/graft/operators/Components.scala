@@ -82,6 +82,44 @@ object Components {
       .select(col(nodeC), col("_lab").as("component"))
   }
 
+  /** G6 — bounded-hop BFS from a seed set: (node, hops) where hops is
+    * the length of the shortest DIRECTED path from any seed (0 for the
+    * seeds themselves), for every node within `maxHops`. Unreachable
+    * nodes are ABSENT from the result — the set complement of
+    * [[PageRank.personalizedPageRankFixed]]'s seeded-zero ranks, and
+    * the graph form of a watchlist blast-radius audit ("everything
+    * within 3 hops of these devices", README.md:16-18). Symmetrize the
+    * edge list first for undirected reach.
+    *
+    * Shape: `maxHops` unrolled rounds; each is ONE equi join of the
+    * FRONTIER (nodes first reached last round — the BFS wavefront, not
+    * |V|) against the static edge table, hash-partitioned on src once
+    * and checkpointed, plus an anti join against the settled set so a
+    * node's hop count is min-distance by construction. No collect, no
+    * driver-side graph state; per-round state is (node, hops) rows. */
+  def bfsHops(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0 (got $maxHops)")
+    require(seeds.columns.contains("node"),
+      "seeds must have a 'node' column (hop-0 set)")
+    val e = edges.select(col(src).as("_s"), col(dst).as("_d")).distinct()
+      .repartition(col("_s")).transform(Checkpoint.apply)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0L)).transform(Checkpoint.apply)
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val reached = e
+        .join(frontier.withColumnRenamed("node", "_s").select("_s"), "_s")
+        .select(col("_d").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .transform(Checkpoint.apply)
+      dist = dist.union(reached)
+      frontier = reached
+    }
+    dist
+  }
+
   /** Large-star/small-star connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SOCC'14) — the
     * adversarial-diameter path [[connectedComponents]]'s docstring

@@ -106,6 +106,61 @@ class ComponentsSpec extends SparkTestBase {
     assert(got(4L) == ((4L, 25L, 2L)), s"tie to min id: ${got.get(4L)}")
   }
 
+  test("bfs hops: chain distances, min over multiple paths, bound respected") {
+    import org.apache.spark.sql.functions.col
+    // chain a→b→c→d→e plus shortcut a→c; x↔y unreachable
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("a", "c"), ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val got = graft.operators.Components
+      .bfsHops(edges, "src", "dst", Seq("a").toDF("node"), maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c is 1 via the shortcut (min distance, not path order), which
+    // pulls d to 2 and e to 3; x/y stay unreachable → absent
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 3L))
+    val tight = graft.operators.Components
+      .bfsHops(edges, "src", "dst", Seq("a").toDF("node"), maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L),
+      "maxHops must cut the frontier, not round up")
+    // maxHops=0 returns exactly the seed set; isolated seeds still rank 0
+    val seedsOnly = graft.operators.Components
+      .bfsHops(edges, "src", "dst", Seq("a", "zzz").toDF("node"), maxHops = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seedsOnly == Map("a" -> 0L, "zzz" -> 0L))
+    // direction matters: seeding the sink reaches nothing
+    val fromSink = graft.operators.Components
+      .bfsHops(edges, "src", "dst", Seq("e").toDF("node"), maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromSink == Map("e" -> 0L))
+    intercept[IllegalArgumentException](graft.operators.Components
+      .bfsHops(edges, "src", "dst", Seq("a").toDF("wrong"), 2))
+  }
+
+  test("bfs hops == single-threaded BFS on a random graph") {
+    var s = 7L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+    val edges = (0 until 300).map(_ =>
+      (s"n${math.floorMod(next(), 40L)}", s"n${math.floorMod(next(), 40L)}"))
+    val seeds = Seq("n0", "n17")
+    def reference(maxHops: Int): Map[String, Long] = {
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var dist = seeds.map(_ -> 0L).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to maxHops) {
+        val nxt = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(dist.keySet)
+        dist = dist ++ nxt.map(_ -> h.toLong)
+        frontier = nxt
+      }
+      dist
+    }
+    val got = graft.operators.Components
+      .bfsHops(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("node"), maxHops = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == reference(4))
+  }
+
   test("components: empty graph yields an empty result, not an NPE") {
     val got = Components.connectedComponents(
       Seq.empty[Long].toDF("node"), Seq.empty[(Long, Long)].toDF("src", "dst"))
