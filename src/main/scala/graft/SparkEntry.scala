@@ -1132,6 +1132,35 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")),
 
+    // ---- A8c: mergeable histogram quantiles — p50/p90/p99 per event
+    //      type from an equi-width integer-count state; estimate within
+    //      one bin width of exact, STRUCTURALLY (not probabilistically),
+    //      and engine-replayable unlike sketch quantiles ----
+    "a8c_hist_quantiles" -> ((s, d) => {
+      import graft.operators.QuantileHistogram
+      val base = ev(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+      val st = QuantileHistogram.histogramState(base, Seq("event_type"),
+        col("v"), lo = 0L, hi = 64000L, nBins = 64)
+      QuantileHistogram.quantiles(st, Seq("event_type"),
+          Seq(0.5, 0.9, 0.99), lo = 0L, hi = 64000L, nBins = 64)
+        .orderBy("event_type", "q")
+    }),
+
+    // ---- A8d: the merge identity as driver-visible rows — two shard
+    //      states (event_id parity) summed reproduce the full-corpus
+    //      histogram exactly (the a17b pattern for quantile state) ----
+    "a8d_hist_merge" -> ((s, d) => {
+      import graft.operators.QuantileHistogram
+      val base = ev(s, d).select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v"))
+      def shard(p: Int) = QuantileHistogram.histogramState(
+        base.filter(col("event_id") % 2 === p), Seq("event_type"),
+        col("v"), lo = 0L, hi = 64000L, nBins = 64)
+      QuantileHistogram.mergeStates(Seq(shard(0), shard(1)), Seq("event_type"))
+        .orderBy("event_type", "bin")
+    }),
+
     // ---- A10: mode (most frequent value) per key — deterministic
     //      tiebreak (count desc, then value asc), unlike builtin mode() ----
     "a10_mode_per_key" -> ((s, d) => {
@@ -2915,6 +2944,38 @@ object SparkEntry {
 
     // DuckDB has no width_bucket; [0,50) in 10 buckets over integer-
     // valued quantities reduces to exact integer arithmetic
+    // Histogram state + estimator replayed end to end; q literals cast
+    // to DOUBLE (DuckDB parses 0.99 as DECIMAL by default, which would
+    // change the ceil(q*N) arithmetic and the output schema).
+    "a8c_hist_quantiles" ->
+      """WITH p AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events),
+        |st AS (SELECT event_type,
+        |         least(63, greatest(0, floor(v / 1000)::BIGINT)) AS bin,
+        |         count(*) AS n
+        |       FROM p GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, n,
+        |        sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |      FROM st),
+        |t AS (SELECT event_type, sum(n) AS n_total FROM st GROUP BY 1),
+        |q AS (SELECT event_type, n_total,
+        |        unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q FROM t),
+        |r AS (SELECT event_type, n_total, q,
+        |        greatest(1, ceil(q * n_total)::BIGINT) AS r FROM q)
+        |SELECT r.event_type, r.q, r.n_total,
+        |  (c.bin * 1000 + floor((r.r - (c.cum - c.n)) * 1000 / c.n)::BIGINT)
+        |    AS est
+        |FROM r JOIN c ON r.event_type = c.event_type
+        |  AND (c.cum - c.n) < r.r AND r.r <= c.cum
+        |ORDER BY r.event_type, r.q""".stripMargin,
+
+    "a8d_hist_merge" ->
+      """SELECT event_type,
+        |  least(63, greatest(0,
+        |    floor(CAST(round(value * 100) AS BIGINT) / 1000)::BIGINT)) AS bin,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
     "a9_histogram" ->
       """SELECT CASE WHEN l_quantity < 0 THEN 0::BIGINT
         |            WHEN l_quantity >= 50 THEN 11::BIGINT
