@@ -194,6 +194,27 @@ object Dedup {
       .as("bk"))
   }
 
+  /** [[minHashBandIndex]]'s probe-side projection with the hashed
+    * shingle set kept alongside: (…input columns…, sh, bk) — band keys
+    * to meet the index, shingles to verify on the spot. Entirely
+    * map-only (withColumn + explode, no aggregate), so it
+    * incrementalizes unchanged under Structured Streaming — the
+    * building block of [[graft.streaming.NearDupStream]]. xx family
+    * only (the scale default; streaming probes have no oracle to
+    * replay). */
+  def minHashProbeRows(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    docs.withColumn("sh", hashedShingles(lower(col("text")), k))
+      .filter(size(col("sh")) > 0)
+      .withColumn("_sig", longMinHashSignature(col("sh"), numHashes))
+      .withColumn("bk", explode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .drop("_sig")
+  }
+
   /** L2 — INCREMENTAL near-dup detection: a new `batch` of documents
     * probes the persisted band index of the existing corpus
     * ([[minHashBandIndex]] output — pass it as `corpusIndex` when it is

@@ -167,6 +167,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("L2r live: document stream probes the static band index, matches batch") {
+    import org.apache.spark.sql.functions.col
+    val corpusRows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about jazz musicians and bass lines"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.minHashBandIndex(corpus)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val docs = in.toDF().selectExpr("_1 as doc_id", "_2 as text", "_3 as ts")
+    val out = graft.streaming.NearDupStream.probe(
+      docs, "ts", "10 minutes", corpus, Some(idx), threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      val batchRows = Seq(
+        (100L, "the quick brown fox jumps over the lazy dogs near the river bank", t),
+        (101L, "unrelated text about deep sea creatures and their glowing light", t))
+      in.addData(batchRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_out")
+        .select("doc_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((100L, 1L)), s"got $streamed")
+      // identical verdicts to the batch incremental probe (new x old side)
+      val batch = graft.operators.Dedup.incrementalNearDups(
+          batchRows.map(r => (r._1, r._2)).toDF("doc_id", "text"), corpus,
+          threshold = 0.5)
+        .filter(col("pair_kind") === "new_old")
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+      assert(batch == streamed, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("S1 production source: frames over a real TCP socket parse end-to-end") {
     val server = new java.net.ServerSocket(0)
     val payload = java.util.Base64.getEncoder.encodeToString(probeFrame(0x33))
