@@ -53,4 +53,44 @@ object Regression {
       (round(try_divide(num.cast("double") * num.cast("double"),
         den.cast("double") * deny.cast("double")), digits) + 0.0).as("r2"): _*)
   }
+
+  /** A23 — pairwise Pearson correlation matrix over integer columns in
+    * ONE aggregate pass: the feature-selection / drift-sanity report
+    * ("which metrics move together") at corpus scale. Every moment —
+    * per-variable Σx and Σx², per-pair Σxy — folds map-side into a
+    * SINGLE reduced row; the |vars|·(|vars|−1)/2 output rows are
+    * reshaped from that row driver-free (explode of a literal struct
+    * array). The only floats are the final covariance/variance ratio
+    * (exact longs → double, one sqrt, one divide — engine-agreed).
+    *
+    * Same determinism contract as [[ols]]: callers pre-quantize to
+    * integers, and keep n·Σxy below 2⁶³ (quantize coarsely for huge
+    * tables — correlation is scale-invariant, so dividing a column's
+    * unit out first never changes the answer). Constant columns yield
+    * NULL correlation via try_divide. */
+  def correlationMatrix(df: DataFrame, vars: Seq[(String, Column)],
+      digits: Int = 6): DataFrame = {
+    require(vars.size >= 2, s"need at least 2 variables (got ${vars.size})")
+    require(vars.map(_._1).distinct.size == vars.size,
+      "variable names must be unique")
+    val names = vars.map(_._1)
+    val pairs = for { i <- names.indices; j <- i + 1 until names.size }
+      yield (names(i), names(j))
+    val base = df.select(vars.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val aggs = names.flatMap(n => Seq(sum(col(n)).as(s"_s_$n"),
+        sum(col(n) * col(n)).as(s"_q_$n"))) ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"_p_${a}_$b") } :+
+      count(lit(1)).as("_n")
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    val pairStructs = pairs.map { case (a, b) =>
+      val cov = col("_n") * col(s"_p_${a}_$b") - col(s"_s_$a") * col(s"_s_$b")
+      val vx = col("_n") * col(s"_q_$a") - col(s"_s_$a") * col(s"_s_$a")
+      val vy = col("_n") * col(s"_q_$b") - col(s"_s_$b") * col(s"_s_$b")
+      struct(lit(a).as("x_name"), lit(b).as("y_name"), col("_n").as("n"),
+        (round(try_divide(cov.cast("double"),
+          sqrt(vx.cast("double") * vy.cast("double"))), digits) + 0.0)
+          .as("corr"))
+    }
+    row.select(explode(array(pairStructs: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -52,6 +52,32 @@ class RegressionBitmapSpec extends SparkTestBase {
     assert(math.abs(ours.getAs[Double]("intercept") - ref.getDouble(1)) < 1e-5)
   }
 
+  test("A23 correlation matrix: exact +/-1, builtin agreement, constant-column NULL") {
+    val df = Seq.tabulate(40) { i =>
+      (i.toLong, 2L * i + 5, 100L - 3 * i, (i * i * 7 % 13).toLong, 9L)
+    }.toDF("a", "b", "c", "d", "k")
+    val vars = Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c"),
+      "d" -> col("d"), "k" -> col("k"))
+    val got = Regression.correlationMatrix(df, vars)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // 5 vars -> 10 pairs, upper triangle in declaration order
+    assert(got.size == 10)
+    assert(got(("a", "b")).contains(1.0), "perfect linear -> exactly 1")
+    assert(got(("a", "c")).contains(-1.0), "perfect inverse -> exactly -1")
+    assert(got(("a", "k")).isEmpty && got(("d", "k")).isEmpty,
+      "constant column correlates with nothing (NULL, not error)")
+    // noisy pair agrees with Spark's builtin corr to the rounding digit
+    val ref = df.agg(corr(col("a").cast("double"), col("d").cast("double")))
+      .collect().head.getDouble(0)
+    assert(math.abs(got(("a", "d")).get - ref) < 1e-5,
+      s"ours=${got(("a", "d"))} builtin=$ref")
+    intercept[IllegalArgumentException](
+      Regression.correlationMatrix(df, Seq("a" -> col("a"))))
+    intercept[IllegalArgumentException](
+      Regression.correlationMatrix(df, Seq("a" -> col("a"), "a" -> col("b"))))
+  }
+
   test("A18 degenerate groups yield NULL fits, not errors") {
     val flat = Seq(("cx", 5L, 1L), ("cx", 5L, 9L), ("cy", 1L, 4L), ("cy", 2L, 4L))
       .toDF("g", "x", "y")
