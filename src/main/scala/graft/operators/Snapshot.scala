@@ -63,6 +63,35 @@ object Snapshot {
     * Addition is commutative/associative → partition-order-free,
     * map-combined, and mergeable: the rollup's ALL row equals the sum
     * of its group digests mod 2⁶⁰ by construction. */
+  /** T8 — APPLY a CDC changeset to a base snapshot (the MERGE step
+    * downstream of [[diff]]): upserts replace or insert, deletes
+    * remove, and multiple changes to one key inside a batch settle by
+    * the greatest (version, op) — at equal version 'upsert' outranks
+    * 'delete' lexically, so the tie is deterministic (give real
+    * changelogs monotone versions and the tie never fires). Deleting
+    * an absent key is a no-op, not an error.
+    *
+    * Shape at 100 TB: the changeset first reduces to ONE winner per
+    * key via a map-combined max-struct (a day's changelog collapses
+    * before it meets the store), then a single co-partitioned full
+    * outer join on the key the base is bucketed by — the base is never
+    * windowed, never broadcast, never rewritten outside the touched
+    * partitions when the writer is partition-aware. */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String,
+      opCol: String, verCol: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "applyChanges needs at least one value column")
+    val winners = changes.select(col(key).as("_k"),
+        struct(col(verCol).as("_v"), col(opCol).as("_op"),
+          struct(valueCols.map(col): _*).as("_vals")).as("_c"))
+      .groupBy("_k").agg(max("_c").as("_c"))
+      .select(col("_k"), col("_c._op").as("_op"), col("_c._vals").as("_vals"))
+    base.join(winners, base(key) === winners("_k"), "full_outer")
+      .filter(col("_op").isNull || col("_op") === "upsert")
+      .select(coalesce(base(key), col("_k")).as(key) +:
+        valueCols.map(c => when(col("_op") === "upsert",
+          col(s"_vals.$c")).otherwise(base(c)).as(c)): _*)
+  }
+
   def contentDigests(df: DataFrame, group: Seq[String],
       valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "contentDigests needs at least one value column")

@@ -39,6 +39,37 @@ class SnapshotSpec extends SparkTestBase {
     assert(got == Map(1L -> "changed", 2L -> "changed"))
   }
 
+  test("T8 apply: upsert/insert/delete, version winners, deterministic ties") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "upsert", 1L, "B2", 22L),   // replace key 2
+      (9L, "upsert", 1L, "new", 90L),  // insert key 9
+      (3L, "delete", 1L, null, 0L),    // remove key 3
+      (7L, "delete", 1L, null, 0L),    // delete of absent key: no-op
+      (1L, "upsert", 1L, "old", 11L),  // superseded by the v2 delete…
+      (1L, "delete", 2L, null, 0L),    // …which wins on version
+      (9L, "upsert", 0L, "stale", 91L) // older upsert loses to v1
+    ).toDF("k", "op", "ver", "name", "v")
+    val got = Snapshot.applyChanges(base, changes, "k", "op", "ver",
+        Seq("name", "v"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(2L -> (("B2", 22L)), 9L -> (("new", 90L))), got.toString)
+    // equal-version tie: upsert outranks delete (documented contract)
+    val tie = Seq((2L, "delete", 5L, null.asInstanceOf[String], 0L),
+      (2L, "upsert", 5L, "kept", 99L)).toDF("k", "op", "ver", "name", "v")
+    val tied = Snapshot.applyChanges(base, tie, "k", "op", "ver",
+        Seq("name", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tied(2L) == "kept")
+    assert(tied.keySet == Set(1L, 2L, 3L))
+    // empty changeset: the base passes through untouched
+    val noop = Snapshot.applyChanges(base, changes.filter($"ver" < 0L),
+        "k", "op", "ver", Seq("name", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(noop == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+  }
+
   test("scd2: consecutive repeats collapse; the current interval stays open") {
     val e = Seq(
       (1L, ts("2024-01-01 10:00:00"), "home", 1L),
