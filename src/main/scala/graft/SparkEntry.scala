@@ -1869,6 +1869,36 @@ object SparkEntry {
           round(col("value") * 100).cast("long"), yScale = 100L)
         .orderBy("event_type")),
 
+    // ---- T8: CDC apply (MERGE) — a changeset of upserts + deletes
+    //      settles to one winner per key (map-combined max-struct),
+    //      then ONE co-partitioned full outer join applies it; a
+    //      same-key delete at higher version beats the upsert ----
+    "t8_cdc_apply" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val base = p.filter(col("p_partkey") % 7 =!= 0)
+        .select(col("p_partkey"), round(col("p_retailprice"), 2).as("price"))
+      val upserts = p.filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey"), lit("upsert").as("op"), lit(1L).as("ver"),
+          round(col("p_retailprice") + 100, 2).as("price"))
+      val deletes = p.filter(col("p_partkey") % 6 === 0)
+        .select(col("p_partkey"), lit("delete").as("op"), lit(2L).as("ver"),
+          lit(null).cast("double").as("price"))
+      graft.operators.Snapshot.applyChanges(base,
+          upserts.unionByName(deletes), "p_partkey", "op", "ver", Seq("price"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- A23: pairwise correlation matrix in ONE aggregate pass —
+    //      every moment folds map-side into a single reduced row; the
+    //      pair rows are reshaped from that row driver-free ----
+    "a23_corr_matrix" -> ((s, d) =>
+      graft.operators.Regression.correlationMatrix(
+          li(s, d), Seq(
+            "quantity" -> col("l_quantity").cast("long"),
+            "discount_c" -> round(col("l_discount") * 100).cast("long"),
+            "tax_c" -> round(col("l_tax") * 100).cast("long")))
+        .orderBy("x_name", "y_name")),
+
     // ---- T6: keyed snapshot diff (fleet re-upload reconciliation /
     //      corpus-version CDC): added/removed/changed/unchanged per key,
     //      content reduced to a digest BEFORE the full outer join ----
@@ -3834,6 +3864,52 @@ object SparkEntry {
     "a17b_bitmap_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t8_cdc_apply" ->
+      """WITH base AS (SELECT p_partkey, round(p_retailprice, 2) AS price
+        |              FROM part WHERE p_partkey % 7 <> 0),
+        |ch AS (
+        |  SELECT p_partkey, 'upsert' AS op, 1::BIGINT AS ver,
+        |         round(p_retailprice + 100, 2) AS price
+        |  FROM part WHERE p_partkey % 4 = 0
+        |  UNION ALL
+        |  SELECT p_partkey, 'delete', 2::BIGINT, NULL::DOUBLE
+        |  FROM part WHERE p_partkey % 6 = 0),
+        |w AS (SELECT p_partkey, op, price FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY p_partkey ORDER BY ver DESC, op DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT coalesce(b.p_partkey, w.p_partkey) AS p_partkey,
+        |  CASE WHEN w.op = 'upsert' THEN w.price ELSE b.price END AS price
+        |FROM base b FULL OUTER JOIN w ON b.p_partkey = w.p_partkey
+        |WHERE w.op IS NULL OR w.op = 'upsert'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "a23_corr_matrix" ->
+      """WITH p AS (SELECT l_quantity::BIGINT AS quantity,
+        |             CAST(round(l_discount * 100) AS BIGINT) AS discount_c,
+        |             CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+        |           FROM lineitem),
+        |m AS (SELECT count(*) AS n,
+        |  sum(quantity) AS s_q, sum(quantity * quantity) AS q_q,
+        |  sum(discount_c) AS s_d, sum(discount_c * discount_c) AS q_d,
+        |  sum(tax_c) AS s_t, sum(tax_c * tax_c) AS q_t,
+        |  sum(quantity * discount_c) AS p_qd,
+        |  sum(quantity * tax_c) AS p_qt,
+        |  sum(discount_c * tax_c) AS p_dt
+        |  FROM p)
+        |SELECT x_name, y_name, n,
+        |  round((n * pxy - sx * sy)::DOUBLE
+        |        / sqrt((n * qx - sx * sx)::DOUBLE * (n * qy - sy * sy)::DOUBLE),
+        |        6) + 0.0 AS corr
+        |FROM (
+        |  SELECT 'quantity' AS x_name, 'discount_c' AS y_name, n,
+        |    s_q AS sx, q_q AS qx, s_d AS sy, q_d AS qy, p_qd AS pxy FROM m
+        |  UNION ALL
+        |  SELECT 'quantity', 'tax_c', n, s_q, q_q, s_t, q_t, p_qt FROM m
+        |  UNION ALL
+        |  SELECT 'discount_c', 'tax_c', n, s_d, q_d, s_t, q_t, p_dt FROM m)
+        |ORDER BY x_name, y_name""".stripMargin,
 
     "a18_regression" ->
       """WITH pts AS (SELECT event_type, hour(ts)::BIGINT AS x,

@@ -79,7 +79,10 @@ class PlanSpec extends SparkTestBase {
       "geo_hotspots",
       // the 1-row corpus count broadcast onto the position table for
       // the modular negative-draw arithmetic — scalar-join idiom
-      "mix_negatives", "contrastive_manifest")
+      "mix_negatives", "contrastive_manifest",
+      // each water-filling round broadcasts the 1-row (R, W_unsat)
+      // scalar pair onto the |sources|-row table — scalar-join idiom
+      "mix_budget")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
