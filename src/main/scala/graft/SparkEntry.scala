@@ -687,6 +687,19 @@ object SparkEntry {
         .orderBy("v")
     }),
 
+    // ---- G7: local clustering coefficient — the per-node form of the
+    //      triangle signal (inside-a-household vs thoroughfare);
+    //      degree<2 nodes report NULL (no neighbor pairs to close) ----
+    "g7_clustering" -> ((s, d) => {
+      val items = li(s, d).select(col("l_orderkey").as("ord"), col("l_partkey").as("pk"))
+      val e = items.as("a").join(items.as("b"),
+          col("a.ord") === col("b.ord") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      graft.operators.NetworkTree.clusteringCoefficient(e, "pa", "pb")
+        .orderBy("v")
+    }),
+
     // ---- domain: the same triangle counts under the DEGREE-ordered
     //      orientation — identical output (the oracle is the same
     //      enumeration), skew-optimal wedge fan-out (hub wedges land
@@ -2553,6 +2566,30 @@ object SparkEntry {
         |  SELECT b FROM tri UNION ALL
         |  SELECT c FROM tri)
         |GROUP BY v ORDER BY v""".stripMargin,
+
+    "g7_clustering" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) AS degree FROM (
+        |  SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY v),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |tc AS (SELECT v, count(*) AS n_triangles FROM (
+        |  SELECT a AS v FROM tri UNION ALL
+        |  SELECT b FROM tri UNION ALL
+        |  SELECT c FROM tri) GROUP BY v)
+        |SELECT deg.v, deg.degree, coalesce(tc.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.degree >= 2 THEN
+        |    floor(2000000 * coalesce(tc.n_triangles, 0)
+        |          / (deg.degree * (deg.degree - 1)))::BIGINT
+        |  ELSE NULL END AS coeff_ppm
+        |FROM deg LEFT JOIN tc ON deg.v = tc.v
+        |ORDER BY deg.v""".stripMargin,
 
     // identical enumeration to net_tree_triangles: the degree-ordered
     // variant must produce the SAME per-vertex counts (orientation only

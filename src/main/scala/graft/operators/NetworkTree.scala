@@ -121,6 +121,34 @@ object NetworkTree {
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** G7 — local clustering coefficient: per vertex, the fraction of
+    * its neighbor pairs that are themselves connected,
+    * 2·T(v) / (deg(v)·(deg(v)−1)), quantized to ppm so the division is
+    * one engine-agreed float step. The per-node form of the triangle
+    * signal: a device whose neighbors interconnect sits INSIDE a
+    * household/workplace; a hub with coefficient ≈ 0 is a thoroughfare
+    * (captive portal, transit AP). Vertices of degree < 2 have no
+    * neighbor pairs — coefficient NULL, not 0 (unknowable ≠ open).
+    *
+    * Cost shape: [[triangleCountsDegreeOrdered]] (the skew-optimal
+    * enumeration) plus one degree aggregate and a key join — nothing
+    * beyond the triangle pass itself. */
+  def clusteringCoefficient(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") < col("b"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    val tri = triangleCountsDegreeOrdered(pairs, aCol, bCol)
+    deg.join(tri, Seq("v"), "left_outer")
+      .select(col("v"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          floor(lit(2000000L) * coalesce(col("n_triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1))).cast("long"))
+          .as("coeff_ppm"))
+  }
+
   /** Co-probe projection: devices linked by a shared SSID — the
     * one-mode projection of the bipartite graph, the "same household /
     * workplace" signal. Hub SSIDs are excluded above `maxSsidDegree`

@@ -95,6 +95,30 @@ class NetworkTreeSpec extends SparkTestBase {
     assert(counts(rnd, deg = true) == counts(rnd, deg = false))
   }
 
+  test("clustering coefficient: clique 1.0, path middle 0, degree<2 NULL") {
+    // K4 on 1..4 (coeff 1.0 everywhere), plus a pendant 5 hanging off 4
+    // (4's coeff drops: 3 closed pairs of its C(4,2)=6), plus a 6-7
+    // isolated edge (degree 1 -> NULL)
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val e = (k4 ++ Seq((4L, 5L), (6L, 7L))).toDF("pa", "pb")
+    val got = NetworkTree.clusteringCoefficient(e, "pa", "pb")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got(1L) == ((3L, 3L, Some(1000000L))))
+    assert(got(2L) == ((3L, 3L, Some(1000000L))))
+    assert(got(3L) == ((3L, 3L, Some(1000000L))))
+    // 4: degree 4, still in 3 triangles -> 2*3/(4*3) = 0.5
+    assert(got(4L) == ((4L, 3L, Some(500000L))))
+    assert(got(5L) == ((1L, 0L, None)), "pendant: no neighbor pairs")
+    assert(got(6L) == ((1L, 0L, None)) && got(7L) == ((1L, 0L, None)))
+    // path a-b-c: middle vertex has 2 neighbors that are NOT connected
+    val path = Seq((10L, 11L), (11L, 12L)).toDF("pa", "pb")
+    val mid = NetworkTree.clusteringCoefficient(path, "pa", "pb")
+      .filter($"v" === 11L).collect().head
+    assert(mid.getLong(1) == 2L && mid.getLong(2) == 0L && mid.getLong(3) == 0L)
+  }
+
   test("degree order bounds hub wedge fan-out where id order is quadratic") {
     // The wedge join enumerates PATHS lo→mid→hi, so the blow-up vertex
     // is a hub in the MIDDLE of the id order: hub 21 with 20 lower-id
