@@ -43,6 +43,44 @@ class SinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST10: streaming MERGE sink keeps a current keyed store, replay-idempotent") {
+    val dir = Files.createTempDirectory("graft_merge").toString
+    val in = MemoryStream[(Long, String, Long, String, Long)]
+    val changes = in.toDF().toDF("k", "op", "ver", "name", "v")
+    val q = graft.streaming.MergeSink.mergeSink(changes,
+      s"$dir/store", s"$dir/ckpt", "k", "op", "ver", Seq("name", "v")).start()
+    try {
+      in.addData((1L, "upsert", 1L, "a", 10L), (2L, "upsert", 1L, "b", 20L))
+      q.processAllAvailable()
+      in.addData((1L, "upsert", 2L, "a2", 11L), (2L, "delete", 2L, null, 0L),
+        (3L, "upsert", 2L, "c", 30L))
+      q.processAllAvailable()
+      def store = graft.streaming.MergeSink
+        .currentSnapshot(spark, s"$dir/store", "k", Seq("name", "v")).get
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(store == Set((1L, "a2", 11L), (3L, "c", 30L)))
+      // crash-replay interleaving 1: _latest already swapped — replaying
+      // the batch is a pure no-op (version dirs are immutable once the
+      // pointer has passed them)
+      val batch1 = Seq((1L, "upsert", 2L, "a2", 11L),
+        (2L, "delete", 2L, null.asInstanceOf[String], 0L),
+        (3L, "upsert", 2L, "c", 30L)).toDF("k", "op", "ver", "name", "v")
+      graft.streaming.MergeSink.applyBatch(batch1, 1L, s"$dir/store",
+        "k", "op", "ver", Seq("name", "v"))
+      assert(store == Set((1L, "a2", 11L), (3L, "c", 30L)),
+        "replaying a committed batch must be a no-op")
+      // crash-replay interleaving 2: crash BEFORE the swap — pointer
+      // still at v0, v1 partially/fully written; the replay re-derives
+      // v1 from v0 and swaps, converging to the same store
+      Files.write(java.nio.file.Paths.get(s"$dir/store", "_latest"),
+        "0".getBytes)
+      graft.streaming.MergeSink.applyBatch(batch1, 1L, s"$dir/store",
+        "k", "op", "ver", Seq("name", "v"))
+      assert(store == Set((1L, "a2", 11L), (3L, "c", 30L)),
+        "replay from the pre-swap state must converge to the same store")
+    } finally q.stop()
+  }
+
   test("ST8: fan-out table is idempotent under batch replay (crash before commit)") {
     // simulate a crash between the parquet write and the checkpoint
     // commit: run batch 0, then delete its commit marker so the
