@@ -882,6 +882,29 @@ object SparkEntry {
         .orderBy(col("qid"), col("sim").desc, col("cid"))
     }),
 
+    // ---- L3g: retrieval evaluation — recall@k + first-relevant rank
+    //      of a DOT-product ranking against the cosine truth (metric-
+    //      choice drift made measurable; the same harness gates every
+    //      ANN rung). Rational-only metrics → fully replayable ----
+    "l3g_rank_metrics" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val VE = graft.functions.expressions.VectorExpressions
+      def ranked(score: org.apache.spark.sql.Column) = {
+        val w = Window.partitionBy("qid").orderBy(col("s").desc, col("cid"))
+        c.join(broadcast(q)).select(col("qid"), col("cid"), score.as("s"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10).select("qid", "cid", "rank")
+      }
+      val truth = ranked(round(VE.cosineSim(col("qv"), col("cv")), 4))
+      val cand = ranked(round(VE.dotProduct(col("qv"), col("cv")), 4))
+      graft.operators.Similarity.rankingMetrics(truth, cand, k = 10)
+        .orderBy("qid")
+    }),
+
     // L3: LSH-bucketed ANN (scale path; approximate → rows-only +
     // recall-vs-brute-force ScalaTest).
     "l3b_ann_lsh" -> ((s, d) => {
@@ -2871,6 +2894,30 @@ object SparkEntry {
         |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC, c.vec_id) AS rn
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5)
         |WHERE rn <= 3 ORDER BY qid, sim DESC, cid""".stripMargin,
+
+    "l3g_rank_metrics" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id >= 5),
+        |cs AS (SELECT qid, cid,
+        |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS s
+        |  FROM q CROSS JOIN c),
+        |ds AS (SELECT qid, cid,
+        |  round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS s
+        |  FROM q CROSS JOIN c),
+        |t AS (SELECT qid, cid, rank FROM (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rank FROM cs)
+        |  WHERE rank <= 10),
+        |d AS (SELECT qid, cid, rank FROM (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rank FROM ds)
+        |  WHERE rank <= 10),
+        |hits AS (SELECT t.qid, count(*) AS n_hits, min(d.rank) AS first_hit_rank
+        |  FROM t JOIN d ON t.qid = d.qid AND t.cid = d.cid GROUP BY 1),
+        |tt AS (SELECT qid, count(*) AS n_truth FROM t GROUP BY 1)
+        |SELECT tt.qid, tt.n_truth, coalesce(hits.n_hits, 0) AS n_hits,
+        |  round(coalesce(hits.n_hits, 0) / tt.n_truth, 4) + 0.0 AS recall,
+        |  hits.first_hit_rank,
+        |  round(1.0::DOUBLE / hits.first_hit_rank, 4) + 0.0 AS rr
+        |FROM tt LEFT JOIN hits USING (qid) ORDER BY tt.qid""".stripMargin,
 
     "l4_token_stats" ->
       s"""SELECT doc_id,

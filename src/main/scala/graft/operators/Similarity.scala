@@ -35,6 +35,39 @@ object Similarity {
       .drop("rn")
   }
 
+  /** L3g — retrieval evaluation: score a CANDIDATE ranking against a
+    * TRUTH ranking (both (qid, cid, rank), ranks 1..k; deeper rows are
+    * ignored). Per query: n_truth, n_hits, recall@k, the candidate
+    * rank of the first relevant item, and its reciprocal (MRR's
+    * per-query term; NULL when nothing relevant surfaced — unknowable,
+    * not zero). The offline-eval harness for every ANN/ranking ladder:
+    * exact-vs-approximate recall, metric-choice drift (dot vs cosine),
+    * index-regression gates. Deliberately rational-only (counts and
+    * single divisions — no nDCG log-sums whose float accumulation
+    * order differs across engines), so the whole report is
+    * engine-replayable.
+    *
+    * Shape: one equi join on (qid, cid) + two key-sized aggregates —
+    * the eval costs less than either ranking did. */
+  def rankingMetrics(truth: DataFrame, candidate: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val t = truth.filter(col("rank") <= k).select(col("qid"), col("cid"))
+    val c = candidate.filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").as("_crank"))
+    val hits = t.join(c, Seq("qid", "cid"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"), min("_crank").as("first_hit_rank"))
+    t.groupBy("qid").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_truth"), 4) + 0.0).as("recall"),
+        col("first_hit_rank"),
+        (round(try_divide(lit(1.0), col("first_hit_rank").cast("double")), 4)
+          + 0.0).as("rr"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with multiprobe:
     * candidates bucketed by `bits`-bit signature; each query probes its
     * own bucket plus all 1-bit-flip neighbors (recall boost without

@@ -166,6 +166,28 @@ class DedupSpec extends SparkTestBase {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, k) }
   }
 
+  test("L3g ranking metrics: hits, recall, first-relevant rank, no-hit NULLs") {
+    import org.apache.spark.sql.functions.col
+    val truth = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+      (2L, "a", 1L),
+      (1L, "deep", 11L) // beyond k: ignored
+    ).toDF("qid", "cid", "rank")
+    val cand = Seq((1L, "b", 1L), (1L, "x", 2L), (1L, "a", 3L),
+      (2L, "y", 1L),
+      (2L, "a", 12L) // relevant but beyond k: doesn't count
+    ).toDF("qid", "cid", "rank")
+    val got = graft.operators.Similarity.rankingMetrics(truth, cand, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(got(1L) == ((3L, 2L, 0.6667, Some(1L), Some(1.0))))
+    assert(got(2L) == ((1L, 0L, 0.0, None, None)),
+      "zero hits: recall 0, rank/rr NULL (unknowable, not zero)")
+    intercept[IllegalArgumentException](
+      graft.operators.Similarity.rankingMetrics(truth, cand, k = 0))
+  }
+
   test("L3 LSH top-k recall vs brute force") {
     val emb = (0 until 40).map { i =>
       val angle = (i % 8) * 0.7 + i * 0.001
