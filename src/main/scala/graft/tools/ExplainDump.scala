@@ -123,7 +123,20 @@ object ExplainDump {
       + "CELL table, not the observation table) and one equi groupBy "
       + "re-aggregates neighborhoods; the 1-row (total, n_cells) stats "
       + "broadcast back (scalar cross-join idiom). No distance join, no "
-      + "cell-pair blowup."))
+      + "cell-pair blowup."),
+    "l2r_incremental_neardup" -> ("Incremental near-dup probe: the batch "
+      + "and the corpus band index union into ONE groupBy on the band "
+      + "key — a single exchange of (bk, id, is_new) slivers; old×old "
+      + "pairs are filtered INSIDE the bucket-pair lambda and never "
+      + "materialize as rows; verification fetches old text BY KEY "
+      + "(left-semi on candidate ids), so a daily ingest costs "
+      + "O(batch + candidates), independent of corpus row count."),
+    "t8_cdc_apply" -> ("CDC apply (MERGE): the changeset reduces to one "
+      + "winner per key via a map-combined max-struct BEFORE meeting "
+      + "the store, then a single co-partitioned full outer join "
+      + "applies upserts/deletes — the base is never windowed, never "
+      + "broadcast, and at fleet scale only touched partitions "
+      + "rewrite."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
