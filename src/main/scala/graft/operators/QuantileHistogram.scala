@@ -57,6 +57,36 @@ object QuantileHistogram {
       .agg(sum("n").as("n"))
   }
 
+  /** Pure single-threaded twins of the bin function and the estimator —
+    * the single source of truth the relational forms mirror and the
+    * LIVE processor ([[graft.streaming.HistogramStream]]) calls per
+    * row, so batch backfill and stream provably agree (cross-checked
+    * in StreamingSpec, same discipline as Trend.anomalyDecision). */
+  def binOf(v: Long, lo: Long, binWidth: Long, nBins: Int): Int =
+    math.min(nBins - 1L,
+      math.max(0L, math.floor((v - lo).toDouble / binWidth).toLong)).toInt
+
+  /** Estimate over a dense bin-count vector; None while empty. */
+  def estimate(bins: IndexedSeq[Long], q: Double, lo: Long,
+      binWidth: Long): Option[Long] = {
+    val n = bins.sum
+    if (n == 0L) None
+    else {
+      val r = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L
+      var i = 0
+      while (i < bins.length) {
+        val c = bins(i)
+        if (c > 0 && cum < r && r <= cum + c)
+          return Some(lo + i.toLong * binWidth +
+            math.floor((r - cum).toDouble * binWidth / c).toLong)
+        cum += c
+        i += 1
+      }
+      None
+    }
+  }
+
   /** Quantile estimates from a (merged) state: one row per (group, q).
     * Rank r = max(1, ⌈q·N⌉); the estimate places r uniformly inside
     * its containing bin, biased to the lower edge by integer division:

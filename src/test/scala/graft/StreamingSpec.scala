@@ -541,6 +541,51 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("A8c live running quantile == batch histogram estimate at every prefix") {
+    import graft.streaming.HistogramStream
+    import graft.streaming.HistogramStream.{Estimate, Obs}
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (lo, hi, bins) = (0L, 1000L, 10)
+      var s = 11L
+      def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+      val rows = (1 to 20).map(i => Obs("a", i.toLong, math.floorMod(next(), 1000L))) ++
+        (1 to 9).map(i => Obs("b", i.toLong, 100L * i))
+      val in = MemoryStream[Obs]
+      val q = HistogramStream.quantile(in.toDS(), q = 0.9, lo, hi, bins)
+        .writeStream.format("memory").queryName("a8c_live")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val (head, tail) = rows.partition(_.seq <= 10)
+        in.addData(head: _*)
+        q.processAllAvailable()
+        in.addData(tail.reverse: _*)   // out of order within the batch
+        q.processAllAvailable()
+        val live = spark.table("a8c_live").as[Estimate].collect()
+          .map(e => (e.key, e.seq) -> ((e.nTotal, e.est))).toMap
+        assert(live.size == rows.size)
+        // every prefix's live estimate equals the batch estimator on
+        // exactly that prefix (state crosses the micro-batch boundary)
+        for (k <- Seq("a", "b"); upTo <- Seq(3L, 9L, 10L, 14L)
+             if live.contains((k, upTo))) {
+          val prefix = rows.filter(r => r.key == k && r.seq <= upTo)
+          if (prefix.nonEmpty) {
+            val st = graft.operators.QuantileHistogram.histogramState(
+              prefix.toDF("key", "seq", "v"), Seq("key"), col("v"), lo, hi, bins)
+            val batch = graft.operators.QuantileHistogram
+              .quantiles(st, Seq("key"), Seq(0.9), lo, hi, bins)
+              .collect().head
+            assert(live((k, upTo)) == ((batch.getAs[Long]("n_total"),
+              batch.getAs[Long]("est"))), s"key=$k upTo=$upTo")
+          }
+        }
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("W13 live EWMA == batch ewma, row for row") {
     import graft.streaming.AnomalyStream
     import graft.streaming.AnomalyStream.{EwmaOut, Obs}
