@@ -1025,6 +1025,14 @@ object SparkEntry {
     "lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // ---- text: the classifier-eval view of the same prediction —
+    //      labeled×guess confusion counts (per-class precision/recall
+    //      fall out of this table); one map-combined groupBy ----
+    "lang_confusion" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d))
+        .groupBy("labeled", "guess").agg(count(lit(1)).as("n"))
+        .orderBy("labeled", "guess")),
+
     // ---- text: quality scoring ----
     "quality_score" -> ((s, d) =>
       TextAnalysis.qualityScores(Tables.documents(s, d)).orderBy("doc_id")),
@@ -3005,22 +3013,14 @@ object SparkEntry {
          |FROM base b LEFT JOIN m ON b.doc_id = m.doc_id
          |ORDER BY b.doc_id""".stripMargin,
 
-    "lang_id" -> {
-      def hits(lang: String) = {
-        val words = TextFunctions.StopwordsByLang(lang).map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_intersect($ToksSql, $words))"
-      }
-      s"""WITH h AS (SELECT doc_id, lang,
-         |  ${hits("de")} AS h_de, ${hits("en")} AS h_en, ${hits("es")} AS h_es, ${hits("fr")} AS h_fr
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
-         |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
-         |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
-         |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS guess,
-         |  lang AS labeled
-         |FROM h ORDER BY doc_id""".stripMargin
-    },
+    "lang_id" -> (LangIdCoreSql +
+      "\nSELECT doc_id, guess, labeled FROM g ORDER BY doc_id"),
+
+    // the classifier-eval view of the same prediction: confusion counts
+    "lang_confusion" -> (LangIdCoreSql +
+      """
+        |SELECT labeled, guess, count(*) AS n FROM g
+        |GROUP BY 1, 2 ORDER BY labeled, guess""".stripMargin),
 
     "quality_score" ->
       s"""WITH q AS (SELECT doc_id, n_chars, text, $ToksSql AS toks FROM documents)
@@ -4253,6 +4253,26 @@ object SparkEntry {
        |r0 AS (SELECT node, 1000000::BIGINT AS pr_u FROM nodes),
        |${(1 to iters).map(round).mkString(",\n")}
        |SELECT node, pr_u FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Shared DuckDB replay of the stopword-hit language-ID heuristic:
+    * CTE `g` = (doc_id, guess, labeled). lang_id reads it per doc;
+    * lang_confusion aggregates it into the confusion matrix. */
+  private lazy val LangIdCoreSql: String = {
+    def hits(lang: String) = {
+      val words = TextFunctions.StopwordsByLang(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect($ToksSql, $words))"
+    }
+    s"""WITH h AS (SELECT doc_id, lang,
+       |  ${hits("de")} AS h_de, ${hits("en")} AS h_en, ${hits("es")} AS h_es, ${hits("fr")} AS h_fr
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+       |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS guess,
+       |  lang AS labeled
+       |FROM h)""".stripMargin
   }
 
   /** Shared DuckDB replay of the md5-family MinHash banding (32 hashes
