@@ -1129,6 +1129,17 @@ object SparkEntry {
     //      magic), parsed back at fixed offsets. The oracle recomputes
     //      the fields arithmetically, so any endianness/offset error
     //      in the binary round-trip hash-mismatches ----
+    // ---- mm: REAL PCM decode, oracle-CHECKED — synthesized square-
+    //      wave WAVs whose decoded features (n, peak, Σs², rms) are
+    //      arithmetically predictable from (doc_id, n_chars): the
+    //      oracle validates the actual sample decoder without ever
+    //      touching a byte (the s2_frame_parse discipline for audio) ----
+    "mm_wav_features" -> ((s, d) =>
+      graft.operators.Multimodal.wavPcmFeatures(s,
+          graft.operators.Multimodal.asAudioTable(
+            Tables.spread(Tables.documents(s, d))))
+        .toDF().orderBy("doc_id")),
+
     "mm_wav_header" -> ((s, d) => {
       def leHex(v: org.apache.spark.sql.Column, n: Int) = concat((0 until n).map(k =>
         lpad(hex(pmod(shiftright(v, 8 * k), lit(256L))), 2, "0")): _*)
@@ -3511,6 +3522,17 @@ object SparkEntry {
         |  CASE WHEN doc_id % 17 <> 0
         |       THEN (16 + (doc_id * 101) % 2160)::BIGINT END AS height,
         |  CASE WHEN doc_id % 17 <> 0 THEN 8::BIGINT END AS bit_depth
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The decoded-feature predictions: amp = 500 + doc_id % 7000,
+    // n = 40 + n_chars % 100; a full-swing square wave has
+    // peak = rms = amp and sumsq = n·amp² — no byte replay needed.
+    "mm_wav_features" ->
+      """SELECT doc_id, true AS wav_ok,
+        |  (40 + n_chars % 100)::BIGINT AS n_samples,
+        |  (500 + doc_id % 7000)::BIGINT AS peak_abs,
+        |  ((40 + n_chars % 100) * (500 + doc_id % 7000) * (500 + doc_id % 7000))::BIGINT AS sumsq,
+        |  (500 + doc_id % 7000)::BIGINT AS rms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_wav_header" ->

@@ -260,6 +260,96 @@ object Multimodal {
       .drop(payloadCol)
   }
 
+  case class WavFeatures(doc_id: Long, wav_ok: Boolean, n_samples: Long,
+      peak_abs: Long, sumsq: Long, rms: Long)
+
+  /** Canonical 44-byte mono 16-bit PCM WAV around a full-swing square
+    * wave (+A, −A alternating): rms == amplitude EXACTLY, so decoded
+    * features are arithmetically predictable from (amplitude, n) —
+    * the property that lets an oracle check the REAL decoder without
+    * replaying it. */
+  def synthPcmWav(amplitude: Int, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(amplitude >= 0 && amplitude <= 32767,
+      s"amplitude must fit int16 (got $amplitude)")
+    require(nSamples >= 0, s"nSamples must be >= 0 (got $nSamples)")
+    val dataSize = 2 * nSamples
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      out.putShort((if (i % 2 == 0) amplitude else -amplitude).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Audio twin of [[asMediaTable]]'s PNG side: every doc becomes a
+    * REAL PCM WAV whose amplitude/sample count derive arithmetically
+    * from (doc_id, n_chars) — so the decoded features hash-check
+    * against an oracle that never touches the bytes. */
+  def asAudioTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        MediaRow(id, "audio",
+          synthPcmWav((500 + id % 7000).toInt, (40 + nChars % 100).toInt))
+      }).toDF()
+  }
+
+  /** L5e's REAL audio decode — 16-bit PCM samples out of the WAV data
+    * chunk (pure JVM byte arithmetic, no codec library): per payload,
+    * the interleaved sample count, peak |amplitude|, EXACT integer
+    * sum of squares, and rms = ⌊√(sumsq/n)⌋. The same codec-boundary
+    * split as the PNG path: [[parseWavHeader]] (relational, oracle-
+    * checked) validates framing and schedules; THIS decodes — a
+    * `mapPartitions` at the boundary where no Catalyst expression
+    * fits, emitting slim integer features, never raw samples.
+    * Non-WAV / non-16-bit / truncated payloads yield wav_ok=false
+    * zero-rows — degrade, never throw. */
+  def wavPcmFeatures(spark: SparkSession, media: DataFrame): Dataset[WavFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val p = r.payload
+        def leU(off: Int, n: Int): Long = {
+          var v = 0L; var k = 0
+          while (k < n) { v |= (p(off + k) & 0xffL) << (8 * k); k += 1 }
+          v
+        }
+        val framed = p.length >= 44 &&
+          p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E' &&
+          p(36) == 'd' && p(37) == 'a' && p(38) == 't' && p(39) == 'a'
+        if (!framed || leU(34, 2) != 16L)
+          WavFeatures(r.doc_id, wav_ok = false, 0L, 0L, 0L, 0L)
+        else {
+          val dataSize = math.min(leU(40, 4), (p.length - 44).toLong)
+          val n = dataSize / 2
+          var i = 0L
+          var peak = 0L
+          var sumsq = 0L
+          while (i < n) {
+            val off = 44 + 2 * i
+            val s = ((p(off.toInt) & 0xff) |
+              (p(off.toInt + 1).toInt << 8)).toShort.toLong
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumsq += s * s
+            i += 1
+          }
+          val rms = if (n == 0) 0L
+            else math.floor(math.sqrt(sumsq.toDouble / n)).toLong
+          WavFeatures(r.doc_id, wav_ok = true, n, peak, sumsq, rms)
+        }
+      })
+  }
+
   /** Frame-sample stub for video payloads: every `stride`-th fixed-size
     * chunk of the payload stands in for a decoded frame. One input row
     * fans out to ≤ maxFrames slim rows — the explode happens AFTER the

@@ -146,6 +146,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad.getAs[Boolean]("wav_valid") && !bad.getAs[Boolean]("rate_consistent"))
   }
 
+  test("WAV PCM decode: exact sample arithmetic, square-wave identity, degrade paths") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRow
+    // square wave: rms == peak == amplitude exactly, sumsq = n*amp^2
+    val sq = Multimodal.synthPcmWav(amplitude = 100, nSamples = 4)
+    // hand samples [3, -5]: peak 5, sumsq 34, rms floor(sqrt(17)) = 4
+    val hand = {
+      val b = Multimodal.synthPcmWav(amplitude = 0, nSamples = 2)
+      b(44) = 3; b(45) = 0          // 3 LE
+      b(46) = (-5 & 0xff).toByte; b(47) = (-1).toByte // -5 LE
+      b
+    }
+    val rows = Seq(
+      MediaRow(1L, "audio", sq),
+      MediaRow(2L, "audio", hand),
+      MediaRow(3L, "audio", Multimodal.synthPcmWav(7, 0)),  // empty data
+      MediaRow(4L, "audio", "not a wav at all".getBytes),
+      MediaRow(5L, "audio", sq.take(30))                    // truncated
+    ).toDF("doc_id", "media_type", "payload")
+    val got = Multimodal.wavPcmFeatures(spark, rows)
+      .collect().map(f => f.doc_id ->
+        ((f.wav_ok, f.n_samples, f.peak_abs, f.sumsq, f.rms))).toMap
+    assert(got(1L) == ((true, 4L, 100L, 40000L, 100L)))
+    assert(got(2L) == ((true, 2L, 5L, 34L, 4L)))
+    assert(got(3L) == ((true, 0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((false, 0L, 0L, 0L, 0L)))
+    assert(got(5L) == ((false, 0L, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException](Multimodal.synthPcmWav(40000, 1))
+  }
+
   test("frame sampling: video-only fan-out, bounded frames, slim rows") {
     val fs = Multimodal.sampleFrames(spark, Multimodal.asMediaTable(docs),
       frameBytes = 16, stride = 2, maxFrames = 4).collect()
