@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.sources.TextSources
+
+/** JSONL/CSV quarantine ingestion: malformed lines route to the
+  * quarantine frame with raw text intact; well-formed rows parse; no
+  * line is lost or doubled. */
+class TextSourcesSpec extends SparkTestBase {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  test("jsonl: good rows parse, corrupt lines quarantine with raw bytes") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.jsonl"),
+      ("""{"doc_id": 1, "text": "hello"}""" + "\n" +
+        """{"doc_id": 2, "text": "world"}""" + "\n" +
+        """{"doc_id": 3 "text": "missing comma"}""" + "\n" +
+        """not json at all""" + "\n").getBytes("UTF-8"))
+    val (good, quarantine) = TextSources.jsonl(spark, dir, docSchema)
+    assert(good.columns.toSeq == Seq("doc_id", "text"))
+    val g = good.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g == Set((1L, "hello"), (2L, "world")))
+    val q = quarantine.select("raw_line").collect()
+      .map(_.getString(0)).toSet
+    assert(q == Set("""{"doc_id": 3 "text": "missing comma"}""",
+      "not json at all"), q.toString)
+  }
+
+  test("csv: arity and cast failures quarantine whole rows") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.csv"),
+      ("doc_id,text\n" +
+        "1,hello\n" +
+        "not_a_number,world\n" +   // uncastable doc_id
+        "2,ok\n").getBytes("UTF-8"))
+    val (good, quarantine) = TextSources.csv(spark, dir, docSchema)
+    val g = good.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g == Set((1L, "hello"), (2L, "ok")))
+    val q = quarantine.select("raw_line").collect()
+      .map(_.getString(0)).toSet
+    assert(q == Set("not_a_number,world"))
+  }
+
+  test("schema colliding with the corrupt column is rejected up front") {
+    val bad = StructType(Seq(StructField(TextSources.CorruptCol, StringType)))
+    intercept[IllegalArgumentException](
+      TextSources.jsonl(spark, "/tmp/nope", bad))
+  }
+}
