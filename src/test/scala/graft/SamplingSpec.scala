@@ -160,6 +160,37 @@ class SamplingSpec extends SparkTestBase {
     assert(50000L - allocs.values.sum < 10L, s"residual too large: $allocs")
   }
 
+  test("budget water-filling invariants hold on seeded random inputs") {
+    var s = 23L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+    def rnd(n: Long): Long = math.floorMod(next(), n)
+    for (trial <- 1 to 4) {
+      val nSrc = 3 + rnd(6).toInt
+      val toks = (0 until nSrc).map(i => (s"s$i", 1L + rnd(100000L)))
+        .toDF("src", "n_tok")
+      val budget = 1L + rnd(300000L)
+      val got = graft.operators.Mixing
+        .budgetAllocation(toks, col("src"), col("n_tok"), budget, rounds = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))
+      val total = got.map(_._3).sum
+      assert(total <= budget, s"trial $trial over-granted: $total > $budget")
+      got.foreach { case (src, n, alloc, ppm, sat) =>
+        assert(alloc >= 0 && alloc <= n, s"trial $trial $src capacity")
+        assert(sat == (alloc == n), s"trial $trial $src saturation flag")
+        assert(ppm == math.floor(alloc.toDouble * 1e6 / n).toLong,
+          s"trial $trial $src rate")
+      }
+      // the budget is exhausted up to floor losses unless EVERY source
+      // saturated (nothing left to give it to)
+      val capacity = got.map(_._2).sum
+      if (budget <= capacity)
+        assert(budget - total <= got.length.toLong * 4,
+          s"trial $trial left ${budget - total} unallocated with headroom")
+      else assert(got.forall(_._5), s"trial $trial ample budget must saturate all")
+    }
+  }
+
   test("budget water-filling: an ample budget saturates everything exactly") {
     val toks = Seq(("a", 100L), ("b", 900L), ("c", 0L)).toDF("src", "n_tok")
     val got = graft.operators.Mixing

@@ -70,6 +70,40 @@ class SnapshotSpec extends SparkTestBase {
     assert(noop == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
   }
 
+  test("T8 apply == single-threaded reference fold on seeded random changesets") {
+    var s = 17L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+    def rnd(n: Long): Long = math.floorMod(next(), n)
+    for (trial <- 1 to 5) {
+      val base = (0L until 30L).filter(_ => rnd(2) == 0)
+        .map(k => (k, s"v$k", rnd(100)))
+      val changes = (0 until 40).map { _ =>
+        val k = rnd(35)
+        val op = if (rnd(3) == 0) "delete" else "upsert"
+        (k, op, rnd(5), s"c$k-${rnd(9)}", rnd(100))
+      }
+      // reference: per key, winner = max (ver, op, values) with the
+      // same struct order the operator declares; then apply
+      val winners = changes.groupBy(_._1).map { case (k, cs) =>
+        k -> cs.maxBy(c => (c._3, c._2, c._4, c._5))
+      }
+      val want = (base.map(r => r._1 -> ((r._2, r._3))).toMap.keySet ++ winners.keySet)
+        .flatMap { k =>
+          winners.get(k) match {
+            case Some((_, "delete", _, _, _)) => None
+            case Some((_, "upsert", _, nm, v)) => Some(k -> ((nm, v)))
+            case _ => base.find(_._1 == k).map(r => k -> ((r._2, r._3)))
+          }
+        }.toMap
+      val got = Snapshot.applyChanges(
+          base.toDF("k", "name", "v"),
+          changes.toDF("k", "op", "ver", "name", "v"),
+          "k", "op", "ver", Seq("name", "v"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("scd2: consecutive repeats collapse; the current interval stays open") {
     val e = Seq(
       (1L, ts("2024-01-01 10:00:00"), "home", 1L),
