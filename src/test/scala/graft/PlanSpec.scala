@@ -64,6 +64,9 @@ class PlanSpec extends SparkTestBase {
     val deliberateBnl = Set("l2f_embedding_neardup", "l3_cosine_topk",
       "l3b_ann_lsh", "l3c_ann_ivf", "l3e_pq_ann", "l3f_ivfadc",
       "l2e_simhash_pairs",
+      // both rankings score every (query, candidate) pair via the
+      // broadcast-queries idiom — the l3 shape, twice
+      "l3g_rank_metrics",
       // a broadcast of ONE row (the corpus count) attached to every
       // partition — the scalar-join idiom, O(n) work, not a pair blowup
       "l4c_tfidf", "l4g_bm25", "a16_drift_tvd",
