@@ -737,6 +737,22 @@ object SparkEntry {
           md5Family = true)
         .orderBy("a_id", "b_id")),
 
+    // ---- CAP: corpus refresh — the day's batch adjudicated against
+    //      the settled corpus: exact fingerprint (corpus + earlier
+    //      batch twin), then the incremental near-dup probe (corpus
+    //      side, then earlier batch doc), then admission. The daily-
+    //      ingest capstone: every stage is the incremental-state form
+    //      (fingerprint table + band index), so the corpus is never
+    //      re-scanned beyond by-key verify fetches ----
+    "corpus_refresh" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      Dedup.corpusRefreshDecisions(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          threshold = 0.5, md5Family = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- L2r: incremental near-dup — the day's batch (doc_id%10=0
     //      simulates it) probes the settled corpus's persisted band
     //      index: new×old and new×new pairs verify; old×old never
@@ -2876,6 +2892,53 @@ object SparkEntry {
          |  FROM cand JOIN s sa ON sa.doc_id = cand.a_id JOIN s sb ON sb.doc_id = cand.b_id)
          |SELECT a_id, b_id, round(j, 4) AS jaccard FROM jac
          |WHERE round(j, 4) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    // Capstone replay: the same banded CTE feeds the near-dup stages;
+    // exact stages replay the l1 fingerprint; the decision chain is
+    // the same priority order as the engine's when-cascade.
+    "corpus_refresh" ->
+      s"""$MinhashBandCteSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.i = b.i AND a.bk = b.bk AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id % 10 = 0) OR (b.doc_id % 10 = 0)),
+         |np AS (
+         |  SELECT a_id, b_id,
+         |    CASE WHEN a_id % 10 = 0 AND b_id % 10 = 0 THEN 'new_new'
+         |         ELSE 'new_old' END AS pair_kind
+         |  FROM (
+         |    SELECT a_id, b_id,
+         |      CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+         |           ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+         |                / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE END AS j
+         |    FROM cand JOIN s sa ON sa.doc_id = cand.a_id
+         |              JOIN s sb ON sb.doc_id = cand.b_id)
+         |  WHERE round(j, 4) >= 0.5),
+         |bf AS (SELECT doc_id, sha256(array_to_string($ToksSql, ' ')) AS fp
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |cfp AS (SELECT DISTINCT sha256(array_to_string($ToksSql, ' ')) AS fp
+         |        FROM documents WHERE doc_id % 10 <> 0),
+         |e1 AS (SELECT DISTINCT bf.doc_id FROM bf JOIN cfp USING (fp)),
+         |e2 AS (SELECT doc_id FROM (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep FROM bf)
+         |  WHERE doc_id <> keep),
+         |n1 AS (SELECT DISTINCT
+         |    CASE WHEN a_id % 10 = 0 THEN a_id ELSE b_id END AS doc_id
+         |  FROM np WHERE pair_kind = 'new_old'),
+         |n2 AS (SELECT DISTINCT b_id AS doc_id FROM np WHERE pair_kind = 'new_new')
+         |SELECT b.doc_id,
+         |  CASE WHEN e1.doc_id IS NOT NULL THEN 'dup_exact_corpus'
+         |       WHEN e2.doc_id IS NOT NULL THEN 'dup_exact_batch'
+         |       WHEN n1.doc_id IS NOT NULL THEN 'dup_near_corpus'
+         |       WHEN n2.doc_id IS NOT NULL THEN 'dup_near_batch'
+         |       ELSE 'admitted' END AS decision
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
+         |LEFT JOIN e1 ON b.doc_id = e1.doc_id
+         |LEFT JOIN e2 ON b.doc_id = e2.doc_id
+         |LEFT JOIN n1 ON b.doc_id = n1.doc_id
+         |LEFT JOIN n2 ON b.doc_id = n2.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     // Incremental twin: identical banding; candidates restricted to
     // pairs with a NEW side (doc_id%10=0 simulates the day's batch).

@@ -215,6 +215,58 @@ object Dedup {
       .drop("_sig")
   }
 
+  /** CAP — daily corpus-refresh adjudication: one decision per batch
+    * document, in priority order
+    *   dup_exact_corpus > dup_exact_batch > dup_near_corpus >
+    *   dup_near_batch > admitted
+    * — exact twins (content fingerprint vs the corpus, then vs the
+    * lowest-id batch twin), then [[incrementalNearDups]]'s verified
+    * pairs (the corpus side of new×old rejects the NEW doc; a
+    * new×new pair rejects the LARGER id, keeping first arrivals).
+    * Batch-id disjointness from the corpus is the caller's contract,
+    * as in [[incrementalNearDups]].
+    *
+    * Shape: the exact stages are fingerprint semi/equi joins (32-byte
+    * keys); the near stages reuse the incremental probe (band-index
+    * priced); the decision merge is four left joins on doc_id against
+    * reject lists bounded by duplicate volume — the corpus is never
+    * scanned beyond the fingerprint table and by-key verify fetches. */
+  def corpusRefreshDecisions(batch: DataFrame, corpus: DataFrame,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, md5Family: Boolean = false,
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
+    val bf = batch.select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
+    val corpusFps = corpus.select(contentFingerprint(col("text")).as("fp")).distinct()
+    val exactCorpus = bf.join(corpusFps, Seq("fp"), "left_semi").select("doc_id")
+    val exactBatch = bf
+      .join(bf.groupBy("fp").agg(min("doc_id").as("_keep")), "fp")
+      .filter(col("doc_id") =!= col("_keep")).select("doc_id")
+    val pairs = incrementalNearDups(batch, corpus, k, numHashes, bands,
+      threshold, md5Family, corpusIndex)
+    val batchIds = batch.select("doc_id")
+    val nearCorpus = pairs.filter(col("pair_kind") === "new_old")
+      .select(col("a_id").as("doc_id"))
+      .join(batchIds, Seq("doc_id"), "left_semi")
+      .union(pairs.filter(col("pair_kind") === "new_old")
+        .select(col("b_id").as("doc_id"))
+        .join(batchIds, Seq("doc_id"), "left_semi"))
+    val nearBatch = pairs.filter(col("pair_kind") === "new_new")
+      .select(col("b_id").as("doc_id"))
+    def flag(df: DataFrame, name: String) =
+      df.distinct().withColumn(name, lit(true))
+    batchIds
+      .join(flag(exactCorpus, "_e1"), Seq("doc_id"), "left_outer")
+      .join(flag(exactBatch, "_e2"), Seq("doc_id"), "left_outer")
+      .join(flag(nearCorpus, "_n1"), Seq("doc_id"), "left_outer")
+      .join(flag(nearBatch, "_n2"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("_e1"), "dup_exact_corpus")
+          .when(col("_e2"), "dup_exact_batch")
+          .when(col("_n1"), "dup_near_corpus")
+          .when(col("_n2"), "dup_near_batch")
+          .otherwise("admitted").as("decision"))
+  }
+
   /** L2 — INCREMENTAL near-dup detection: a new `batch` of documents
     * probes the persisted band index of the existing corpus
     * ([[minHashBandIndex]] output — pass it as `corpusIndex` when it is

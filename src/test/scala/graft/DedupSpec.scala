@@ -97,6 +97,41 @@ class DedupSpec extends SparkTestBase {
     assert(viaIdx == inc)
   }
 
+  test("corpus refresh: every decision class fires, priority order respected") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "jazz musicians improvise melodies over walking bass lines nightly"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // exact twin of corpus doc 1 (same normalized tokens)
+      (100L, "the quick brown fox jumps over the lazy dog near the river"),
+      // near-dup of corpus doc 2
+      (101L, "jazz musicians improvise melodies over walking bass lines tonight"),
+      // fresh content, admitted — and its exact batch twin at a higher id
+      (102L, "ancient rome built aqueducts spanning hundreds of miles easily"),
+      (103L, "ancient rome built aqueducts spanning hundreds of miles easily"),
+      // near-dup of admitted batch doc 102 (not of the corpus)
+      (104L, "zz ancient rome built aqueducts spanning hundreds of miles easily"),
+      // unrelated, admitted
+      (105L, "deep sea creatures glow with bioluminescent light patterns below"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusRefreshDecisions(batch, corpus, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      100L -> "dup_exact_corpus",
+      101L -> "dup_near_corpus",
+      102L -> "admitted",
+      103L -> "dup_exact_batch",   // exact beats its near-batch status
+      104L -> "dup_near_batch",
+      105L -> "admitted"), got.toString)
+    // decisions are insensitive to batch row order/partitioning
+    val shuffled = Dedup.corpusRefreshDecisions(
+        batch.orderBy(col("text")).repartition(7), corpus, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(shuffled == got)
+  }
+
   test("L2l duplicate spans: planted boilerplate flagged, coverage merged, unique docs zero") {
     // docs 1 and 2 share an 8-token license header; doc 3 is unique;
     // doc 4 repeats a sentence INSIDE itself (self-boilerplate counts)
