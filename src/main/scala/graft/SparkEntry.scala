@@ -785,6 +785,17 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.spread(Tables.embeddings(s, d)), threshold = 0.4)
         .orderBy("a_id", "b_id")),
 
+    // ---- L2s: SemDeDup — semantic near-dup pruning scoped within a
+    //      precomputed cluster column (the paper's k-means role played
+    //      by `label`): within-cluster cosine edges → components →
+    //      one deterministic keeper per semantic group ----
+    "l2s_semdedup" -> ((s, d) =>
+      Dedup.semDedup(Tables.spread(Tables.embeddings(s, d)), "label",
+          threshold = 0.4)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("sem_group"), col("is_kept"))
+        .orderBy("vec_id")),
+
     // ---- L1b: incremental ingest dedup — a "new batch" (doc_id%10<3)
     //      admitted against the remaining corpus's fingerprint table:
     //      only content absent from the corpus AND first-in-batch
@@ -889,6 +900,23 @@ object SparkEntry {
           Tables.spread(Tables.documents(s, d)), "source", col("n_chars"),
           n = 3, threshold = 0.2)
         .orderBy("cluster_id")),
+
+    // ---- MIX4: leakage-guarded splits — train/val/test assignment
+    //      keyed on the near-dup CLUSTER id, not the doc id, so a
+    //      cluster of near-duplicates can never straddle splits (the
+    //      eval-contamination channel plain per-doc splitting leaves
+    //      open). Composition of l2g's components and samp_splits'
+    //      deterministic gate: membership is a pure function of
+    //      (cluster, salt) — resumable, shard-stable ----
+    "mix_split_guard" -> ((s, d) => {
+      val clusters = graft.operators.Components
+        .dedupClusters(Tables.spread(Tables.documents(s, d)), "source",
+          n = 3, threshold = 0.2)
+      graft.operators.Sampling.assignSplits(clusters, col("cluster_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "leak")
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    }),
 
     // ---- L3: exact brute-force cosine top-k (oracle) ----
     "l3_cosine_topk" -> ((s, d) => {
@@ -1048,6 +1076,34 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, d))
         .groupBy("labeled", "guess").agg(count(lit(1)).as("n"))
         .orderBy("labeled", "guess")),
+
+    // ---- E1: exact per-group ROC-AUC (Mann-Whitney with tie
+    //      correction) — grades a scorer against a binary label before
+    //      it gates the corpus. Window runs over the DISTINCT
+    //      (group, score) histogram, never the raw rows; integer until
+    //      the one nano-quantized division ----
+    "eval_auc" -> ((s, d) =>
+      graft.operators.Eval.rocAuc(Tables.documents(s, d), "source",
+          col("lang") === "en", (col("n_chars") % 97).cast("long"))
+        .orderBy("source")),
+
+    // ---- E2: calibration (ECE, 10 fixed bins) — probabilities enter
+    //      as exact milli-units (a deterministic doc_id-keyed synthetic
+    //      confidence; the corpus carries no model column), so per-bin
+    //      confidence sums are integral and the oracle replays exactly.
+    //      ALL row (bin = -1) carries the ECE in conf_nano ----
+    "eval_ece" -> ((s, d) =>
+      graft.operators.Eval.calibrationEce(Tables.documents(s, d),
+          col("lang") === "en", (col("doc_id") * 37) % 1001, nBins = 10)
+        .orderBy("bin")),
+
+    // ---- E3: Cohen's kappa — chance-corrected agreement of the
+    //      language-ID guess vs the labeled language (the scalar
+    //      summary of lang_confusion's table); contingency counts only,
+    //      corpus read once ----
+    "eval_kappa" -> ((s, d) =>
+      graft.operators.Eval.cohenKappa(
+        TextAnalysis.languageId(Tables.documents(s, d)), "labeled", "guess")),
 
     // ---- text: quality scoring ----
     "quality_score" -> ((s, d) =>
@@ -1380,6 +1436,21 @@ object SparkEntry {
           targetRows = 200L, temperature = 0.5, salt = "mixT")
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
+
+    // ---- MIX: DSIR importance selection (Xie et al. 2023) — score
+    //      every doc by hashed-bigram log-likelihood ratio vs the
+    //      target domain (lang='en' sample); the fitted 64-bucket
+    //      model collects once (bounded) and re-enters as a literal,
+    //      so the scoring pass is map-only. Micro-quantized per-bucket
+    //      log-ratios make doc scores exact integers ----
+    "mix_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Mixing
+        .dsirSelect(docs, docs.filter(col("lang") === "en"), "text",
+          nBuckets = 64, minScoreMicro = 0L)
+        .select("doc_id", "lang", "n_bigrams", "score_micro", "keep")
+        .orderBy("doc_id")
+    }),
 
     // ---- MIX: token-budget water-filling — split a 200k-token budget
     //      across sources by √-flattened weights, redistributing the
@@ -1882,6 +1953,38 @@ object SparkEntry {
         ("supplier.nationkey->nation", Tables.supplier(s, d), "s_nationkey",
           Tables.nation(s, d), "n_nationkey")))
         .orderBy("fk")),
+
+    // ---- Q5: k-anonymity audit — every quasi-identifier equivalence
+    //      class with its population and a sub-k risk flag; one
+    //      map-combined groupBy, class-sized output. QIs chosen so the
+    //      sf tables produce both safe and at-risk classes ----
+    "q5_k_anonymity" -> ((s, d) =>
+      graft.operators.Governance.kAnonymity(
+        ev(s, d).select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("obs_date"),
+          (col("user_id") % 25).as("cohort")),
+        Seq("event_type", "obs_date", "cohort"), k = 5L)
+        .orderBy("event_type", "obs_date", "cohort")),
+
+    // ---- Q5b: the release-gate scalar — achieved k, class counts,
+    //      rows in sub-k classes ----
+    "q5b_k_anon_summary" -> ((s, d) =>
+      graft.operators.Governance.kAnonymitySummary(
+        ev(s, d).select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("obs_date"),
+          (col("user_id") % 25).as("cohort")),
+        Seq("event_type", "obs_date", "cohort"), k = 5L)),
+
+    // ---- Q6: erasure propagation — a broadcast deletion batch probed
+    //      map-side against every subject-keyed table; per-table
+    //      erase/survive counts, no fact-side shuffle ----
+    "q6_erasure" -> ((s, d) =>
+      graft.operators.Governance.erasureReport(
+        Tables.customer(s, d).filter(col("c_custkey") % 97 === 0), "c_custkey",
+        Seq(("customer", Tables.customer(s, d), "c_custkey"),
+          ("orders", Tables.orders(s, d), "o_custkey"),
+          ("events", ev(s, d), "user_id")))
+        .orderBy("table_name")),
 
     // ---- Q2: declarative expectation report — every rule in ONE
     //      aggregate over ONE scan; adding a rule adds a column,
@@ -2805,6 +2908,16 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
          |FROM cc ORDER BY doc_id""".stripMargin,
 
+    // split gate keyed on the CLUSTER id — same components CTE as l2g,
+    // same md5 gate arithmetic as samp_splits
+    "mix_split_guard" ->
+      s"""WITH RECURSIVE $ClustersCteSql
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ('0x' || substr(md5(concat_ws('', cluster_id::VARCHAR, 'leak')), 1, 8))::BIGINT < ${SampThr(0.8)} THEN 'train'
+         |       WHEN ('0x' || substr(md5(concat_ws('', cluster_id::VARCHAR, 'leak')), 1, 8))::BIGINT < ${SampThr(0.9)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cc ORDER BY doc_id""".stripMargin,
+
     // representative = longest doc per cluster, ties toward min doc_id
     "l2g_cluster_reps" ->
       s"""WITH RECURSIVE $ClustersCteSql
@@ -2968,6 +3081,26 @@ object SparkEntry {
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // within-label cosine edges -> recursive min-label closure (the
+    // l2g pattern over the embedding table); keeper = min vec_id
+    "l2s_semdedup" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4),
+        |e AS (SELECT a_id AS s, b_id AS d FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |reach(node, lab) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.d, r.lab FROM e JOIN reach r ON r.node = e.s),
+        |cc AS (SELECT node AS vec_id, min(lab) AS sem_group FROM reach GROUP BY node)
+        |SELECT emb.vec_id, emb.label::BIGINT AS cluster, cc.sem_group,
+        |  emb.vec_id = cc.sem_group AS is_kept
+        |FROM embeddings emb JOIN cc USING (vec_id)
+        |ORDER BY emb.vec_id""".stripMargin,
+
     "l3_cosine_topk" ->
       """SELECT qid, cid, sim FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -3095,6 +3228,69 @@ object SparkEntry {
       """
         |SELECT labeled, guess, count(*) AS n FROM g
         |GROUP BY 1, 2 ORDER BY labeled, guess""".stripMargin),
+
+    // Mann-Whitney replay: same distinct-(group,score) histogram, same
+    // doubled-pair integer, same nano floor-division
+    "eval_auc" ->
+      """WITH h AS (SELECT source, (n_chars % 97)::BIGINT AS s,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS np,
+        |  sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS nn
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, np, nn,
+        |  coalesce(sum(nn) OVER (PARTITION BY source ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cnb
+        |  FROM h),
+        |u AS (SELECT source, sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+        |  sum(np * (2 * cnb + nn))::BIGINT AS u2 FROM c GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    floor((u2 * 1000000000)::DOUBLE / (2 * n_pos * n_neg)::DOUBLE)::BIGINT
+        |  END AS auc_nano
+        |FROM u ORDER BY source""".stripMargin,
+
+    // milli-unit probabilities keep every per-bin sum integral; the
+    // ALL row (bin = -1) carries the ECE in conf_nano
+    "eval_ece" ->
+      """WITH p AS (SELECT
+        |  least(((doc_id * 37) % 1001) * 10 // 1000, 9)::BIGINT AS bin,
+        |  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y,
+        |  ((doc_id * 37) % 1001)::BIGINT AS pm FROM documents),
+        |b AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |  sum(pm)::BIGINT AS psum FROM p GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  floor((psum * 1000000)::DOUBLE / n::DOUBLE)::BIGINT AS conf_nano,
+        |  floor((n_pos * 1000000000)::DOUBLE / n::DOUBLE)::BIGINT AS acc_nano
+        |FROM b
+        |UNION ALL
+        |SELECT -1::BIGINT, sum(n)::BIGINT, sum(n_pos)::BIGINT,
+        |  floor((sum(abs(1000 * n_pos - psum)) * 1000000)::DOUBLE
+        |    / sum(n)::DOUBLE)::BIGINT,
+        |  NULL::BIGINT
+        |FROM b
+        |ORDER BY bin""".stripMargin,
+
+    // kappa from the same g CTE as lang_id/lang_confusion: contingency
+    // counts -> marginals -> one nano floor-division per statistic
+    "eval_kappa" -> (LangIdCoreSql +
+      """,
+        |ct AS (SELECT labeled AS a, guess AS b, count(*)::BIGINT AS n
+        |  FROM g GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(n)::BIGINT AS rt FROM ct GROUP BY 1),
+        |cl AS (SELECT b, sum(n)::BIGINT AS ct FROM ct GROUP BY 1),
+        |pe AS (SELECT coalesce(sum(rt.rt * cl.ct), 0)::BIGINT AS pe_num
+        |  FROM rt JOIN cl ON rt.a IS NOT DISTINCT FROM cl.b),
+        |t AS (SELECT coalesce(sum(n), 0)::BIGINT AS n,
+        |  coalesce(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN n END), 0)::BIGINT AS diag
+        |  FROM ct)
+        |SELECT t.n AS n,
+        |  CASE WHEN t.n > 0 THEN
+        |    floor((diag * 1000000000)::DOUBLE / t.n::DOUBLE)::BIGINT END AS po_nano,
+        |  CASE WHEN t.n > 0 THEN
+        |    floor((pe_num * 1000000000)::DOUBLE / (t.n * t.n)::DOUBLE)::BIGINT END AS pe_nano,
+        |  CASE WHEN t.n * t.n - pe_num <> 0 THEN
+        |    floor(((diag * t.n - pe_num) * 1000000000)::DOUBLE
+        |      / (t.n * t.n - pe_num)::DOUBLE)::BIGINT END AS kappa_nano
+        |FROM t CROSS JOIN pe""".stripMargin),
 
     "quality_score" ->
       s"""WITH q AS (SELECT doc_id, n_chars, text, $ToksSql AS toks FROM documents)
@@ -3396,6 +3592,36 @@ object SparkEntry {
       """SELECT doc_id, row_number() OVER (
         |  ORDER BY md5(concat_ws('', doc_id::VARCHAR, 'ep0')), doc_id) AS pos
         |FROM documents ORDER BY pos""".stripMargin,
+
+    // full DSIR replay: same md5 bucketing, same add-1 smoothed
+    // micro-quantized log-ratios, same per-doc integer sum
+    "mix_dsir" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |  string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |  list_transform(
+        |    list_transform(generate_series(2, len(t)), i -> t[i-1] || ' ' || t[i]),
+        |    g -> ('0x' || substr(md5(g), 1, 8))::BIGINT % 64) AS bks FROM tk),
+        |tgt AS (SELECT b, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(bks) AS b FROM bg WHERE lang = 'en') GROUP BY 1),
+        |raw AS (SELECT b, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(bks) AS b FROM bg) GROUP BY 1),
+        |tot AS (SELECT (SELECT coalesce(sum(n), 0) FROM tgt)::BIGINT AS tt,
+        |  (SELECT coalesce(sum(n), 0) FROM raw)::BIGINT AS rt),
+        |lam AS (SELECT d.b,
+        |  floor(ln(((coalesce(tgt.n, 0) + 1)::DOUBLE * (tot.rt + 64)::DOUBLE) /
+        |    ((coalesce(raw.n, 0) + 1)::DOUBLE * (tot.tt + 64)::DOUBLE))
+        |    * 1000000.0)::BIGINT AS l
+        |  FROM (SELECT unnest(generate_series(0, 63))::BIGINT AS b) d
+        |  LEFT JOIN tgt ON d.b = tgt.b LEFT JOIN raw ON d.b = raw.b
+        |  CROSS JOIN tot),
+        |db AS (SELECT doc_id, unnest(bks) AS b FROM bg),
+        |sc AS (SELECT db.doc_id, sum(lam.l)::BIGINT AS s
+        |  FROM db JOIN lam ON db.b = lam.b GROUP BY 1)
+        |SELECT bg.doc_id, bg.lang, len(bks)::BIGINT AS n_bigrams,
+        |  coalesce(sc.s, 0)::BIGINT AS score_micro,
+        |  coalesce(sc.s, 0) >= 0 AS keep
+        |FROM bg LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "l5b_chunking" ->
       """SELECT doc_id, off, substring(text, off::INT + 1, 200) AS chunk FROM (
@@ -4021,6 +4247,43 @@ object SparkEntry {
         |  SELECT 'lang_unknown', v_lang_unknown FROM a UNION ALL
         |  SELECT 'text_too_short', v_text_too_short FROM a) r
         |ORDER BY rule""".stripMargin,
+
+    "q5_k_anonymity" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS obs_date,
+        |  (user_id % 25)::BIGINT AS cohort, count(*)::BIGINT AS n,
+        |  count(*) < 5 AS at_risk
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY event_type, obs_date, cohort""".stripMargin,
+
+    "q5b_k_anon_summary" ->
+      """WITH c AS (
+        |  SELECT count(*)::BIGINT AS n FROM events
+        |  GROUP BY event_type, strftime(ts, '%Y-%m-%d'), user_id % 25)
+        |SELECT coalesce(min(n), 0)::BIGINT AS achieved_k,
+        |  count(*)::BIGINT AS n_classes,
+        |  coalesce(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END), 0)::BIGINT AS n_classes_at_risk,
+        |  coalesce(sum(CASE WHEN n < 5 THEN n ELSE 0 END), 0)::BIGINT AS n_rows_at_risk
+        |FROM c""".stripMargin,
+
+    "q6_erasure" ->
+      """WITH req AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |  WHERE c_custkey % 97 = 0 AND c_custkey IS NOT NULL)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS table_name, count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_to_erase,
+        |    (count(*) - sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END))::BIGINT AS n_after
+        |  FROM customer LEFT JOIN req ON c_custkey = k
+        |  UNION ALL
+        |  SELECT 'orders', count(*)::BIGINT,
+        |    sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    (count(*) - sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+        |  FROM orders LEFT JOIN req ON o_custkey = k
+        |  UNION ALL
+        |  SELECT 'events', count(*)::BIGINT,
+        |    sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    (count(*) - sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+        |  FROM events LEFT JOIN req ON user_id = k)
+        |ORDER BY table_name""".stripMargin,
 
     // INDEPENDENT derivation — the engine counts via word bitmaps, the
     // oracle via plain DISTINCT; equality proves the bitmap path exact

@@ -460,6 +460,37 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** L2s — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): semantic
+    * near-duplicate pruning scoped WITHIN a precomputed cluster
+    * assignment. Pairwise cosine runs only inside each cluster — the
+    * paper's core trick: k-means (or any partitioner: here the
+    * `clusterCol`, [[embeddingNearDupsBucketed]]'s RHP cells, or
+    * [[SimilarityIvf]]'s learned cells) bounds the O(n²) to
+    * Σ|cluster|², and the co-partitioned equi self-join on the cluster
+    * key shuffles each vector once. Pairs at cos ≥ threshold become
+    * edges; transitive closure via [[Components.connectedComponents]]
+    * (vertex set = vectors, cluster-bounded edge volume); each
+    * semantic group keeps exactly one representative — the min vec_id
+    * (deterministic; the paper's "random keeper" replaced by a
+    * replayable rule). Returns one row per vector:
+    * (vec_id, cluster, sem_group, is_kept). */
+  def semDedup(emb: DataFrame, clusterCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col(clusterCol).as("_cell"),
+      col("embedding"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a._cell") === col("b._cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(graft.functions.expressions.VectorExpressions.cosineSim(
+        col("a.embedding"), col("b.embedding")), 4) >= threshold)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    Components.connectedComponents(emb.select(col("vec_id")), pairs)
+      .withColumnRenamed("component", "sem_group")
+      .join(emb.select(col("vec_id"), col(clusterCol).as("cluster")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("sem_group"),
+        (col("vec_id") === col("sem_group")).as("is_kept"))
+  }
+
   /** L2h — eval-set decontamination: flag corpus docs whose distinct
     * word-n-grams collide with ANY eval/benchmark document (the
     * GPT-3/PaLM-style overlap rule — training text that contains test

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Q5/Q6 — data-governance operators. The reference stores raw MAC
+  * addresses keyed to people and places (`ssidentity.c:26` makes MAC
+  * the primary key; README.md:16-19 declares habitual-movement
+  * profiling on top) — exactly the data a real deployment must audit
+  * for re-identification risk and honor deletion requests against.
+  * These run as engine operators so the audit and the erasure happen
+  * in the same plans that produced the tables.
+  */
+object Governance {
+
+  /** Q5 — k-anonymity audit over a quasi-identifier tuple: every
+    * equivalence class (distinct QI combination) with its population,
+    * flagging classes smaller than k (those rows are re-identifiable by
+    * joining the QIs against any outside table). One map-combined
+    * groupBy over the QI columns — the only pass over the data; the
+    * output is equivalence-class-sized. NULL QI values form their own
+    * class (groupBy's null-safe grouping), matching the attacker model:
+    * a missing value is still a matchable value. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
+
+  /** Q5 summary — the scalar view a release gate consumes: the
+    * dataset's achieved k (smallest class), class counts, and how many
+    * ROWS sit in sub-k classes. Derived from [[kAnonymity]]'s
+    * class-sized output, so the data is still read once. */
+  def kAnonymitySummary(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame =
+    kAnonymity(df, quasiIds, k)
+      .agg(coalesce(min("n"), lit(0L)).as("achieved_k"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("at_risk"), lit(1L)).otherwise(0L)), lit(0L))
+          .as("n_classes_at_risk"),
+        coalesce(sum(when(col("at_risk"), col("n")).otherwise(0L)), lit(0L))
+          .as("n_rows_at_risk"))
+
+  /** Q6 — erasure propagation (the right-to-be-forgotten sweep): given
+    * a request set of subject keys, report per table how many rows
+    * would be erased. The request set is broadcast (deletion batches
+    * are small by nature) and each fact table is scanned once with a
+    * map-side probe — no fact-side shuffle anywhere. NULL subject keys
+    * never match a request (SQL join semantics): an anonymous row is
+    * not erasable. Report is tables-sized. */
+  def erasureReport(requests: DataFrame, requestKey: String,
+      tables: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(tables.nonEmpty, "need at least one table to sweep")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "table names must be unique")
+    val req = broadcast(requests.select(col(requestKey).as("_req_k"))
+      .where(col("_req_k").isNotNull).distinct()
+      .withColumn("_hit", lit(1)))
+    tables.map { case (name, df, keyCol) =>
+      df.select(col(keyCol).as("_k"))
+        .join(req, col("_k") === col("_req_k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("_hit").isNotNull, 1)).as("n_to_erase"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_to_erase"),
+          (col("n_rows") - col("n_to_erase")).as("n_after"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Q6 apply — the erased view of one table: a broadcast left-anti
+    * join against the request keys. Same probe as [[erasureReport]], so
+    * report and apply cannot disagree. */
+  def erase(df: DataFrame, keyCol: String, requests: DataFrame,
+      requestKey: String): DataFrame =
+    df.join(broadcast(requests.select(col(requestKey).as(keyCol))
+        .where(col(keyCol).isNotNull).distinct()),
+      Seq(keyCol), "left_anti")
+}

@@ -172,4 +172,67 @@ object Mixing {
         / col("n_tokens").cast("double")).cast("long").as("rate_ppm"),
       (col("alloc") >= col("n_tokens")).as("saturated"))
   }
+
+  /** Hashed-bigram buckets of a text column: lowercase whitespace
+    * tokens → adjacent bigrams → md5-bucketed into [0, nBuckets).
+    * md5 (not xxhash64) so the DuckDB oracle replays the bucketing
+    * bit-for-bit — the [[Sampling.hashGate]] posture. */
+  def dsirBuckets(textCol: Column, nBuckets: Int): Column = {
+    val toks = split(trim(lower(textCol)), "\\s+")
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val grams = zip_with(
+      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    transform(grams, g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % nBuckets)
+  }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each corpus
+    * document by how much more likely its hashed-bigram bag is under
+    * the TARGET domain's bucket distribution than under the raw
+    * corpus's, with add-1 smoothing:
+    *
+    *   score(d) = Σ_g∈d  ln p_target(bucket(g)) − ln p_raw(bucket(g))
+    *
+    * Per-bucket log-ratios quantize to integer MICRO-units before the
+    * per-doc sum (the BM25 pre-sum idiom), so document scores are exact
+    * integers — order-free and engine-replayable.
+    *
+    * 100 TB shape: the two bucket histograms are nBuckets-sized
+    * map-combined aggregates; the fitted model (≤`nBuckets` ≤ 4096
+    * longs) is collected ONCE driver-side — the bounded-model-collect
+    * posture of [[SimilarityIvf]]'s codebook, not a data collect — and
+    * re-enters as a LITERAL array, so the scoring pass is map-only:
+    * codegen'd expressions inside the scan, zero shuffles, zero joins.
+    * Selection (`keep` = score ≥ minScoreMicro) composes with
+    * [[Sampling.hashGate]] for rate control downstream. */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, textCol: String,
+      nBuckets: Int = 64, minScoreMicro: Long = 0L): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 4096,
+      s"nBuckets must be in [2, 4096] (got $nBuckets)")
+    def histogram(df: DataFrame): Map[Long, Long] = df
+      .select(explode(dsirBuckets(col(textCol), nBuckets)).as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tgt = histogram(target)
+    val raw = histogram(corpus)
+    val tTot = tgt.values.sum
+    val rTot = raw.values.sum
+    // λ_b in micro-units; the double products stay exact below 2^53
+    // for corpora under ~9e15 bigrams per side
+    val lams = (0 until nBuckets).map { b =>
+      val ct = tgt.getOrElse(b.toLong, 0L)
+      val cr = raw.getOrElse(b.toLong, 0L)
+      math.floor(math.log(((ct + 1L).toDouble * (rTot + nBuckets).toDouble) /
+        ((cr + 1L).toDouble * (tTot + nBuckets).toDouble)) * 1000000.0).toLong
+    }
+    val lamArr = array(lams.map(lit): _*)
+    val buckets = dsirBuckets(col(textCol), nBuckets)
+    corpus.withColumn("n_bigrams", size(buckets).cast("long"))
+      .withColumn("score_micro",
+        aggregate(buckets, lit(0L),
+          (acc, b) => acc + element_at(lamArr, (b + 1).cast("int"))))
+      .withColumn("keep", col("score_micro") >= minScoreMicro)
+  }
 }

@@ -136,7 +136,22 @@ object ExplainDump {
       + "the store, then a single co-partitioned full outer join "
       + "applies upserts/deletes — the base is never windowed, never "
       + "broadcast, and at fleet scale only touched partitions "
-      + "rewrite."))
+      + "rewrite."),
+    "mix_dsir" -> ("DSIR importance selection: the fitted 64-bucket "
+      + "log-ratio model entered as a LITERAL array (bounded driver "
+      + "collect at build time, the IVF-codebook posture), so the "
+      + "scoring plan is scan -> project with zero joins and zero "
+      + "hash exchanges — a 100 TB corpus is scored in one map-only "
+      + "codegen'd pass."),
+    "eval_auc" -> ("Exact ROC-AUC: raw rows reduce to the DISTINCT "
+      + "(group, score) histogram in the partial+final aggregate "
+      + "BELOW the Window — the rank sort touches score-cardinality "
+      + "rows, never the corpus; one more group aggregate folds the "
+      + "Mann-Whitney sum."),
+    "q6_erasure" -> ("Erasure propagation: the deletion batch "
+      + "broadcasts once and every subject-keyed table is probed "
+      + "map-side (BroadcastHashJoin + conditional count) — no fact "
+      + "table shuffles to honor a right-to-be-forgotten sweep."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

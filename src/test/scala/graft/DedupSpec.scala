@@ -295,6 +295,28 @@ class DedupSpec extends SparkTestBase {
       s"missing planted pairs: ${planted.diff(bucketed)}")
   }
 
+  test("L2s semDedup: within-cluster semantic groups, one keeper each, no cross-cluster merge") {
+    // cluster 0: ids 0,1 near-identical; id 2 orthogonal-ish
+    // cluster 1: ids 3,4 near-identical COPIES of 0,1 — must NOT merge
+    //            with cluster 0 (pairing is cluster-scoped)
+    val a = Seq(1f, 0f, 0f, 0f)
+    val b = Seq(0.999f, 0.01f, 0f, 0f)
+    val c = Seq(0f, 1f, 0f, 0f)
+    val rows = Seq((0L, 0, a), (1L, 0, b), (2L, 0, c),
+      (3L, 1, a), (4L, 1, b))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Dedup.semDedup(df, "label", threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(0L) == ((0L, true)))
+    assert(got(1L) == ((0L, false)))   // pruned: near-dup of 0 in-cluster
+    assert(got(2L) == ((2L, true)))    // orthogonal: its own group
+    assert(got(3L) == ((3L, true)))    // same content, other cluster: kept
+    assert(got(4L) == ((3L, false)))
+    // exactly one keeper per semantic group
+    val perGroup = got.values.groupBy(_._1).view.mapValues(_.count(_._2))
+    assert(perGroup.values.forall(_ == 1))
+  }
+
   test("L2h decontamination: planted eval overlap flags, fresh text doesn't") {
     val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Governance
+
+/** k-anonymity and erasure propagation on hand-built tables: class
+  * formation (incl. NULL QIs), the summary scalars, and the
+  * report-vs-apply consistency contract. */
+class GovernanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def people = Seq(
+    ("a", 30, "x"), ("a", 30, "x"), ("a", 30, "x"),   // class of 3
+    ("b", 40, "y"), ("b", 40, "y"),                   // class of 2
+    ("c", 50, "z")).toDF("zip", "age", "sex")         // class of 1
+
+  test("kAnonymity: class sizes and the sub-k flag") {
+    val got = Governance.kAnonymity(people, Seq("zip", "age"), k = 3L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map("a" -> ((3L, false)), "b" -> ((2L, true)),
+      "c" -> ((1L, true))))
+  }
+
+  test("kAnonymity: NULL quasi-id values form one class, not many") {
+    val df = Seq((None: Option[String], 1), (None, 1), (Some("q"), 1))
+      .toDF("zip", "age")
+    val n = Governance.kAnonymity(df, Seq("zip"), k = 2L)
+      .filter(col("zip").isNull).collect()
+    assert(n.length == 1 && n.head.getLong(1) == 2L)
+  }
+
+  test("kAnonymitySummary: achieved k is the smallest class") {
+    val got = Governance.kAnonymitySummary(people, Seq("zip", "age"), k = 3L)
+      .collect().head
+    assert(got.getLong(0) == 1L)   // achieved_k
+    assert(got.getLong(1) == 3L)   // n_classes
+    assert(got.getLong(2) == 2L)   // classes at risk
+    assert(got.getLong(3) == 3L)   // rows at risk (2 + 1)
+  }
+
+  test("erasureReport counts match erase's surviving rows per table") {
+    val facts = Seq((1L, "a"), (2L, "b"), (3L, "c"), (2L, "d"))
+      .toDF("uid", "payload")
+    val reqs = Seq(2L, 9L).toDF("subject")
+    val rep = Governance.erasureReport(reqs, "subject",
+      Seq(("facts", facts, "uid"))).collect().head
+    assert(rep.getLong(1) == 4L && rep.getLong(2) == 2L && rep.getLong(3) == 2L)
+    val survivors = Governance.erase(facts, "uid", reqs, "subject")
+    assert(survivors.count() == rep.getLong(3))
+    assert(survivors.filter(col("uid") === 2L).count() == 0L)
+  }
+
+  test("erasure: NULL subject keys are never erased") {
+    val facts = Seq(Some(1L), None, None).toDF("uid")
+    val reqs = Seq(1L).toDF("subject")
+    val rep = Governance.erasureReport(reqs, "subject",
+      Seq(("facts", facts, "uid"))).collect().head
+    assert(rep.getLong(2) == 1L && rep.getLong(3) == 2L)
+    assert(Governance.erase(facts, "uid", reqs, "subject").count() == 2L)
+  }
+}

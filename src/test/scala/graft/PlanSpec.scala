@@ -85,7 +85,11 @@ class PlanSpec extends SparkTestBase {
       "mix_negatives", "contrastive_manifest",
       // each water-filling round broadcasts the 1-row (R, W_unsat)
       // scalar pair onto the |sources|-row table — scalar-join idiom
-      "mix_budget")
+      "mix_budget",
+      // the 1-row p_e numerator broadcast onto the 1-row (n, diag)
+      // totals — two scalars meeting; the data pass is the single
+      // contingency groupBy below them
+      "eval_kappa")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
@@ -309,5 +313,30 @@ class PlanSpec extends SparkTestBase {
     assert(!gen.contains("Found 0 WholeStageCodegen"), "no codegen stages found")
     assert(gen.contains("SimHash60Expr.compute"),
       "generated code must inline the native sketch call")
+  }
+
+  test("mix_dsir scoring pass is map-only: the fitted model enters as a literal") {
+    // the two histogram fits run eagerly at build time (bounded
+    // collects); the RETURNED scoring plan must be scan -> project
+    // (+ the oracle's total-order sort): no hash exchange, no join
+    val p = plan("mix_dsir")
+    assert(!p.contains("hashpartitioning"), p.take(800))
+    assert(!p.contains("Join"), "scoring must not join the model — it is a literal")
+  }
+
+  test("eval_auc: the rank window runs over the aggregated score histogram, not raw rows") {
+    val p = plan("eval_auc")
+    // partial+final aggregate BELOW the window: raw rows reduce first
+    val win = p.indexOf("Window")
+    val agg = p.indexOf("HashAggregate")
+    assert(win >= 0 && agg >= 0, p.take(400))
+    assert(p.substring(0, win).contains("HashAggregate"),
+      "expected the (group, score) histogram aggregate below the Window")
+  }
+
+  test("q6_erasure: the deletion batch broadcasts; fact tables never shuffle") {
+    val p = plan("q6_erasure")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), "request set must broadcast, not sort-merge")
   }
 }

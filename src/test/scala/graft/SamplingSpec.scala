@@ -326,4 +326,31 @@ class SamplingSpec extends SparkTestBase {
     // a 1-row corpus has no negatives: empty, not an error
     assert(Mixing.negativePairs(Seq(9L).toDF("id"), "id", k = 2).count() == 0L)
   }
+
+  test("mix_split_guard: no near-dup cluster straddles splits") {
+    val df = SparkEntry.queries("mix_split_guard")(spark, "/root/testdata/sf0.001")
+      .cache()
+    val straddling = df.groupBy("cluster_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddling == 0L, "a cluster was assigned to more than one split")
+    // the gate actually partitions (not everything in one split)
+    assert(df.select("split").distinct().count() >= 2L)
+    df.unpersist()
+  }
+
+  test("dsirSelect: target-domain docs score higher than off-domain") {
+    val target = Seq((1L, "the quick brown fox jumps the lazy dog"),
+      (2L, "the quick dog jumps the brown fox")).toDF("doc_id", "text")
+    val corpus = target.union(Seq(
+      (3L, "zzz qqq www eee rrr ttt yyy uuu"),
+      (4L, "the quick brown fox jumps the lazy dog")).toDF("doc_id", "text"))
+    val got = Mixing.dsirSelect(corpus, target, "text", nBuckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // the in-domain duplicate outscores the gibberish doc
+    assert(got(4L) > got(3L))
+    // deterministic: a second run is bit-identical
+    val again = Mixing.dsirSelect(corpus, target, "text", nBuckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == again)
+  }
 }
