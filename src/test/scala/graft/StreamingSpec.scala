@@ -615,4 +615,47 @@ class StreamingSpec extends SparkTestBase {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("SAMP live weighted reservoir == batch A-Res sample at every prefix") {
+    import graft.streaming.ReservoirStream
+    import graft.streaming.ReservoirStream.{Item, Res}
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // varied weights incl. a zero-weight row (no selection mass)
+      val rows = (1 to 14).map(i =>
+        Item("a", i.toLong, 100L + i, w = (i % 5 + (if (i % 5 == 0) 0 else 0)).toDouble)) ++
+        (1 to 6).map(i => Item("b", i.toLong, 200L + i, w = i.toDouble))
+      val in = MemoryStream[Item]
+      val q = ReservoirStream.sample(in.toDS(), k = 3, salt = "rs")(spark)
+        .writeStream.format("memory").queryName("samp_live")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val (head, tail) = rows.partition(_.seq <= 7)
+        in.addData(head: _*)
+        q.processAllAvailable()
+        in.addData(tail.reverse: _*)    // out of order within the batch
+        q.processAllAvailable()
+        val live = spark.table("samp_live").as[Res].collect()
+          .map(r => (r.group, r.seq) -> r.ids.toSet).toMap
+        assert(live.size == rows.size)
+        // at each checked prefix (incl. the micro-batch boundary), the
+        // live reservoir equals the batch sampler over that prefix
+        for (g <- Seq("a", "b"); upTo <- Seq(3L, 7L, 11L, 14L)
+             if live.contains((g, upTo))) {
+          val prefix = rows.filter(r => r.group == g && r.seq <= upTo)
+          val batch = graft.operators.Sampling.weightedSamplePerGroup(
+              prefix.toDF("group", "seq", "id", "w"),
+              col("group"), col("id"), col("w"), k = 3, salt = "rs")
+            .select("id").collect().map(_.getLong(0)).toSet
+          assert(live((g, upTo)) == batch, s"group=$g upTo=$upTo")
+        }
+        // zero-weight rows never enter a reservoir
+        val zeroIds = rows.filter(_.w <= 0.0).map(_.id).toSet
+        assert(live.values.forall(_.intersect(zeroIds).isEmpty))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
