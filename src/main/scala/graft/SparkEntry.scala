@@ -785,6 +785,15 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.spread(Tables.embeddings(s, d)), threshold = 0.4)
         .orderBy("a_id", "b_id")),
 
+    // ---- L2t: near-CONTAINMENT pairs — the asymmetric-duplication
+    //      detector (quote/excerpt/boilerplate-wrap) that Jaccard
+    //      structurally misses; same blocked hashed-set verification
+    //      as l2c ----
+    "l2t_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.spread(Tables.documents(s, d)), "source",
+          n = 3, threshold = 0.5)
+        .orderBy("a_id", "b_id")),
+
     // ---- L2s: SemDeDup — semantic near-dup pruning scoped within a
     //      precomputed cluster column (the paper's k-means role played
     //      by `label`): within-cluster cosine edges → components →
@@ -1326,6 +1335,17 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"),
         graft.operators.ZOrder.zValue(
           col("l_partkey") % 1024, col("l_suppkey") % 1024, bits = 10).as("z"))
+      .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- O4b: Hilbert-curve layout key — the locality upgrade over
+    //      the Morton curve (no power-of-two seam jumps; consecutive
+    //      positions always adjacent cells → tighter per-file bounding
+    //      boxes). Unrolled rotate-and-accumulate, branch-free column
+    //      arithmetic; oracle replays the identical 8-step walk ----
+    "o4b_hilbert" -> ((s, d) => li(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.hilbertIndex(
+          col("l_partkey") % 256, col("l_suppkey") % 256, bits = 8).as("h"))
       .orderBy("l_orderkey", "l_linenumber")),
 
     // ---- W7: running DISTINCT count per key ("how many different
@@ -1997,6 +2017,27 @@ object SparkEntry {
         "lang_unknown" -> !col("lang").isin("en", "de", "fr", "ja"),
         "text_too_short" -> (length(col("text")) < 10)))
         .orderBy("rule")),
+
+    // ---- T9: incremental aggregate maintenance (IVM) — the persisted
+    //      per-key (n, vsum) state updated from a signed changeset
+    //      (retract every 13th base row, insert the post-cut rows)
+    //      at O(changeset); the ORACLE recomputes from the effective
+    //      row set, proving merge ≡ recompute ----
+    "t9_delta_agg" -> ((s, d) => {
+      val e = ev(s, d)
+      val cut = lit("2024-01-16").cast("timestamp")
+      def vmilli = floor(col("value") * 1000).cast("long")
+      val base = e.filter(col("ts") < cut)
+      val baseState = base.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(vmilli).as("vsum"))
+      val changes = base.filter(col("event_id") % 13 === 0)
+        .select(col("event_type"), vmilli.as("v"), lit(-1L).as("sgn"))
+        .unionByName(e.filter(col("ts") >= cut)
+          .select(col("event_type"), vmilli.as("v"), lit(1L).as("sgn")))
+      graft.operators.Snapshot.incrementalAgg(baseState, changes,
+          Seq("event_type"), "v", "sgn")
+        .orderBy("event_type")
+    }),
 
     // ---- A16: distribution drift (total-variation distance) between
     //      two fleet windows — log-free, rational, no smoothing ----
@@ -2806,6 +2847,20 @@ object SparkEntry {
          |      ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.ng, b.ng)))::DOUBLE END >= 0.2
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // both directional containments from ONE intersect; filter on the
+    // unrounded max, exactly as the engine does
+    "l2t_containment" ->
+      s"""WITH g AS (SELECT doc_id, source, $Ngrams3Sql AS ng FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(a.ng)::BIGINT AS n_a, len(b.ng)::BIGINT AS n_b,
+         |  round(CASE WHEN len(a.ng) = 0 THEN 0.0 ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(a.ng)::DOUBLE END, 4) AS c_ab,
+         |  round(CASE WHEN len(b.ng) = 0 THEN 0.0 ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(b.ng)::DOUBLE END, 4) AS c_ba
+         |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE greatest(
+         |  CASE WHEN len(a.ng) = 0 THEN 0.0 ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(a.ng)::DOUBLE END,
+         |  CASE WHEN len(b.ng) = 0 THEN 0.0 ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(b.ng)::DOUBLE END) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "l2h_decontaminate" ->
       s"""WITH ev AS (SELECT DISTINCT unnest($Ngrams3Sql) AS ng
          |            FROM documents WHERE doc_id % 20 = 0),
@@ -3396,6 +3451,9 @@ object SparkEntry {
         |   ((((l_partkey % 1024) >> i) & 1) << (2*i)) + ((((l_suppkey % 1024) >> i) & 1) << (2*i+1))),
         |   'sum')::BIGINT AS z
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the identical 8-step rotate-and-accumulate walk, one CTE per bit
+    "o4b_hilbert" -> HilbertSql(8),
 
     "w7_cumulative_distinct" ->
       """WITH f AS (
@@ -4360,6 +4418,19 @@ object SparkEntry {
         |    + 0.0 AS r2
         |FROM m ORDER BY event_type""".stripMargin,
 
+    // INDEPENDENT derivation: the oracle recomputes from the effective
+    // row set (base minus retractions plus inserts) — equality proves
+    // the O(changeset) merge path exact
+    "t9_delta_agg" ->
+      """WITH eff AS (
+        |  SELECT event_type, floor(value * 1000)::BIGINT AS v FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND event_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT event_type, floor(value * 1000)::BIGINT FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+        |SELECT event_type, count(*)::BIGINT AS n, sum(v)::BIGINT AS vsum
+        |FROM eff GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "a16_drift_tvd" ->
       """WITH o AS (SELECT event_type AS cat, count(*) AS n_old FROM events
         |           WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
@@ -4688,6 +4759,30 @@ object SparkEntry {
 
   /** DuckDB replay of Sampling.hashGate: uint32 of md5(key‖salt)[0:8],
     * concat_ws mirroring the engine's null-key handling. */
+  /** Unrolled Hilbert xy→d walk as a CTE chain (one step per bit, top
+    * bit first) — mirrors [[graft.operators.ZOrder.hilbertIndex]]'s
+    * column arithmetic statement for statement: same rotate-flip-swap
+    * projection, same s²·(3rx⊕ry) accumulation, all BIGINT. */
+  private def HilbertSql(bits: Int): String = {
+    val seed = s"""h$bits AS (SELECT l_orderkey, l_linenumber,
+                  |  (l_partkey % ${1L << bits})::BIGINT AS x,
+                  |  (l_suppkey % ${1L << bits})::BIGINT AS y,
+                  |  0::BIGINT AS d FROM lineitem)""".stripMargin
+    val steps = ((bits - 1) to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = s"h${i + 1}"
+      s"""h$i AS (SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+         |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END) ELSE y END AS y,
+         |  (d + ${s * s} * xor(CASE WHEN (x & $s) > 0 THEN 3 ELSE 0 END,
+         |                      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END))::BIGINT AS d
+         |  FROM $prev)""".stripMargin
+    }
+    (seed +: steps).mkString("WITH ", ",\n", "") +
+      "\nSELECT l_orderkey, l_linenumber, d AS h FROM h0" +
+      "\nORDER BY l_orderkey, l_linenumber"
+  }
+
   private def SampGate(saltLit: String) =
     s"('0x' || substr(md5(concat_ws('', doc_id::VARCHAR, $saltLit)), 1, 8))::BIGINT"
   /** Delegates to the engine's own gate arithmetic — no drift possible. */

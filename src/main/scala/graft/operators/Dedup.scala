@@ -401,6 +401,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** L2t — near-CONTAINMENT pairs: C(A→B) = |grams(A) ∩ grams(B)| /
+    * |grams(A)|, both directions. Catches the asymmetric duplication
+    * Jaccard misses by construction: a quote, excerpt, or boilerplate-
+    * wrapped copy of A inside a much longer B has C(A→B) ≈ 1 while
+    * J(A,B) = |A∩B|/|A∪B| stays tiny (the denominator is the BIG doc).
+    * The dedup policy layer decides which side survives; this operator
+    * just measures. Same blocked-pair shape and hashed-sorted-set
+    * verification as [[ngramJaccardPairs]] — co-partitioned equi join
+    * on the block key, one native merge-count per pair. */
+  def containmentPairs(docs: DataFrame, blockCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val g = docs.select(col("doc_id"), col(blockCol).as("blk"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("blk"), ngramsOfTokens(col("toks"), n).as("ngs"))
+      .select(col("doc_id"), col("blk"), hashedSortedSet(col("ngs")).as("ng"))
+    val i = graft.functions.TextFunctions
+      .sortedIntersectCount(col("a.ng"), col("b.ng")).cast("double")
+    def c(side: String) = when(size(col(s"$side.ng")) === 0, lit(0.0))
+      .otherwise(i / size(col(s"$side.ng")).cast("double"))
+    g.as("a").join(g.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .filter(greatest(c("a"), c("b")) >= threshold)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        size(col("a.ng")).cast("long").as("n_a"),
+        size(col("b.ng")).cast("long").as("n_b"),
+        round(c("a"), 4).as("c_ab"), round(c("b"), 4).as("c_ba"))
+  }
+
   /** L2 — embedding-cosine near-dups, exact all-pairs via a broadcast
     * nested-loop: the probe side stays partitioned (full parallelism)
     * and each task streams the broadcast corpus — an equi-join on a

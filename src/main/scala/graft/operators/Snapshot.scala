@@ -143,4 +143,40 @@ object Snapshot {
       .select(col(key), col(state), col("valid_from"), col("valid_to"),
         col("n_events"))
   }
+
+  /** T9 — incremental aggregate maintenance (IVM for distributive
+    * aggregates): given the persisted per-key state (`n`, `vsum`) of a
+    * count/sum view and a signed changeset (+1 inserts, −1 retractions),
+    * produce the updated state WITHOUT revisiting base rows — the
+    * nightly "refresh the per-key rollup from today's CDC feed" that
+    * makes a 100 TB materialized aggregate maintainable at
+    * O(changeset), not O(history).
+    *
+    * The changeset collapses map-side to per-key deltas (one
+    * map-combined groupBy); one co-partitioned full outer join merges
+    * them into the state. Keys whose count reaches zero DROP from the
+    * state (full retraction ≡ the key never existed — recompute
+    * equivalence, asserted by the oracle's independent re-derivation).
+    * Values must be INTEGRAL units (quantize floats at the edge):
+    * integer sums commute, so merged state is bit-equal to recompute
+    * regardless of delta arrival order. A negative count throws at the
+    * spec level — it means a retraction for a row the base never had. */
+  def incrementalAgg(baseState: DataFrame, changes: DataFrame,
+      keys: Seq[String], valueCol: String, signCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one grouping key")
+    require(baseState.columns.contains("n") && baseState.columns.contains("vsum"),
+      "baseState must carry the ('n', 'vsum') state columns")
+    Seq("_dn", "_dv").foreach(c =>
+      require(!baseState.columns.contains(c),
+        s"baseState already has a '$c' column — it would collide with the delta join"))
+    val delta = changes.groupBy(keys.map(col): _*)
+      .agg(sum(col(signCol)).cast("long").as("_dn"),
+        sum(col(signCol) * col(valueCol)).cast("long").as("_dv"))
+    baseState.join(delta, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n"),
+        (coalesce(col("vsum"), lit(0L)) + coalesce(col("_dv"), lit(0L)))
+          .as("vsum")): _*)
+      .filter(col("n") > 0L)
+  }
 }

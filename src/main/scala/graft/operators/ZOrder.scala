@@ -28,6 +28,35 @@ object ZOrder {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Hilbert-curve index of (x, y) — the locality upgrade over
+    * [[zValue]]: the Hilbert curve never makes the Morton curve's
+    * long diagonal jumps (z's "seams" at power-of-two boundaries), so
+    * consecutive curve positions are ALWAYS adjacent cells and each
+    * written file's (x, y) bounding box is tighter — measurably fewer
+    * files overlap a box predicate (ZOrderSpec quantifies it). The
+    * standard iterative xy→d walk (one rotate-and-accumulate step per
+    * bit, top bit first) unrolled into pure column arithmetic:
+    * codegen'd, branch-free, no UDF. Inputs must fit in `bits` bits,
+    * same aliasing contract as [[zValue]]. */
+  def hilbertIndex(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31] (got $bits)")
+    var xc = x.cast("long"); var yc = y.cast("long"); var d = lit(0L)
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(xc.bitwiseAND(lit(s)) > 0L, lit(1L)).otherwise(lit(0L))
+      val ry = when(yc.bitwiseAND(lit(s)) > 0L, lit(1L)).otherwise(lit(0L))
+      d = d + lit(s) * lit(s) * ((lit(3L) * rx).bitwiseXOR(ry))
+      // rotate the quadrant: flip when rx=1, then swap — folded into
+      // one conditional projection per coordinate
+      val nx = when(ry === 0L,
+        when(rx === 1L, lit(s - 1L) - yc).otherwise(yc)).otherwise(xc)
+      val ny = when(ry === 0L,
+        when(rx === 1L, lit(s - 1L) - xc).otherwise(xc)).otherwise(yc)
+      xc = nx; yc = ny
+    }
+    d
+  }
+
   /** Range-partitions and sorts `df` along the z-curve of (x, y) —
     * the write-side layout step. Each of the `numFiles` output splits
     * covers a contiguous z-range = a small set of aligned squares in

@@ -317,6 +317,28 @@ class DedupSpec extends SparkTestBase {
     assert(perGroup.values.forall(_ == 1))
   }
 
+  test("L2t containment: an excerpt scores ~1 toward its host while jaccard stays low") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")     // host doc
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ")  // contained head
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, "s", long), (2L, "s", excerpt), (3L, "s", other))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.containmentPairs(df, "source", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(4), r.getDouble(5)))).toMap
+    // pair (1,2): excerpt's 10 trigrams all inside the host's 58
+    val (cab, cba) = got((1L, 2L))
+    assert(cba == 1.0, s"excerpt→host containment must be 1.0 (got $cba)")
+    assert(cab < 0.2, "host→excerpt containment is small by construction")
+    // jaccard for the same pair is tiny — the case this op exists for
+    val j = Dedup.ngramJaccardPairs(df, "source", n = 3, threshold = 0.0)
+      .filter(col("a_id") === 1L && col("b_id") === 2L)
+      .collect().head.getDouble(2)
+    assert(j < 0.2, s"jaccard stays low on asymmetric duplication (got $j)")
+    // unrelated docs never pair
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+  }
+
   test("L2h decontamination: planted eval overlap flags, fresh text doesn't") {
     val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")

@@ -190,4 +190,29 @@ class SnapshotSpec extends SparkTestBase {
       .filter(col("g") === "z").head.getLong(2)
     assert(nullRow != emptyRow)
   }
+
+  test("T9 incrementalAgg: merge equals recompute; full retraction drops the key") {
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L))
+      .toDF("k", "v")
+    val baseState = base.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("vsum"))
+    // retract one 'a' row and BOTH... all of 'c'; insert new 'b' and 'd'
+    val changes = Seq(("a", 20L, -1L), ("c", 7L, -1L),
+      ("b", 100L, 1L), ("d", 1L, 1L)).toDF("k", "v", "sgn")
+    val got = Snapshot.incrementalAgg(baseState, changes, Seq("k"), "v", "sgn")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent recompute over the effective row set
+    assert(got == Map("a" -> ((1L, 10L)), "b" -> ((2L, 105L)),
+      "d" -> ((1L, 1L))))
+    assert(!got.contains("c"), "a fully-retracted key must drop from the state")
+  }
+
+  test("T9 incrementalAgg: an empty changeset is the identity") {
+    val base = Seq(("a", 1L)).toDF("k", "v")
+    val st = base.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("vsum"))
+    val empty = Seq.empty[(String, Long, Long)].toDF("k", "v", "sgn")
+    val got = Snapshot.incrementalAgg(st, empty, Seq("k"), "v", "sgn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 1L, 1L)))
+  }
 }

@@ -59,4 +59,36 @@ class ZOrderSpec extends SparkTestBase {
     assert(zHit <= zTotal / 2,
       s"z-clustered layout should prune most files, read $zHit/$zTotal")
   }
+
+  test("hilbert: the bits=1 square and full 4x4 reference walk") {
+    val grid = (for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val d2 = grid.withColumn("h", ZOrder.hilbertIndex(col("x"), col("y"), bits = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the canonical order-2 Hilbert walk (Wikipedia's d2xy convention)
+    val walk = Seq((0L, 0L), (1L, 0L), (1L, 1L), (0L, 1L),
+      (0L, 2L), (0L, 3L), (1L, 3L), (1L, 2L),
+      (2L, 2L), (2L, 3L), (3L, 3L), (3L, 2L),
+      (3L, 1L), (2L, 1L), (2L, 0L), (3L, 0L))
+    walk.zipWithIndex.foreach { case (xy, d) =>
+      assert(d2(xy) == d.toLong, s"cell $xy expected d=$d got ${d2(xy)}")
+    }
+  }
+
+  test("hilbert: consecutive curve positions are ALWAYS adjacent cells (z is not)") {
+    val n = 16 // bits = 4
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def walkOf(c: org.apache.spark.sql.Column) = grid.withColumn("d", c)
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+      .sortBy(_._1).map(_._2)
+    def maxStep(w: Seq[(Long, Long)]): Long = w.sliding(2).map {
+      case Seq((x1, y1), (x2, y2)) => math.abs(x2 - x1) + math.abs(y2 - y1)
+    }.max
+    val hw = walkOf(ZOrder.hilbertIndex(col("x"), col("y"), bits = 4))
+    val zw = walkOf(ZOrder.zValue(col("x"), col("y"), bits = 4))
+    assert(hw.length == n * n && hw.distinct.length == n * n) // a bijection
+    assert(maxStep(hw) == 1L, "hilbert must never jump")
+    assert(maxStep(zw) > 1L, "morton's seam jumps are the point of contrast")
+  }
 }
