@@ -794,6 +794,13 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("a_id", "b_id")),
 
+    // ---- L2u: LSH banding planner — the s-curve table that picks
+    //      (bands, rows) for a target dedup threshold; pure parameter
+    //      math, no data input ----
+    "l2u_lsh_plan" -> ((s, _) =>
+      Dedup.lshPlan(s, numHashes = 32)
+        .orderBy("rows_per_band", "s_permille")),
+
     // ---- L2s: SemDeDup — semantic near-dup pruning scoped within a
     //      precomputed cluster column (the paper's k-means role played
     //      by `label`): within-cluster cosine edges → components →
@@ -1172,6 +1179,22 @@ object SparkEntry {
     "mm_media_features" -> ((s, d) =>  // spread: per-row PNG encode+decode is CPU-bound
       Multimodal.mediaFeatures(s, Tables.spread(Tables.documents(s, d)))),
 
+    // ---- L5h: image near-dup via dHash perceptual fingerprints —
+    //      REAL codec (ImageIO) behind a map-only hashing pass, then
+    //      banded 16-bit-chunk buckets (pigeonhole recall ≤ hamming 3)
+    //      so candidates are bucketed, never all-pairs. The corpus
+    //      includes deterministic darker-export re-encodes (the case
+    //      byte dedup can't catch) so the pair set is non-vacuous.
+    //      Rows-only: the codec is not SQL-expressible; MultimodalSpec
+    //      pins the invariances (re-encode, brightness, darken) ----
+    "mm_phash_pairs" -> ((s, d) => {
+      val media = Multimodal.asMediaTableWithReEncodes(
+        Tables.spread(Tables.documents(s, d)))
+      Multimodal.phashNearDups(
+          Multimodal.perceptualHashes(s, media).toDF(), maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // ---- L5c: time-based frame-sampling schedule (uniform stride,
     //      per-asset frame budget — the decoder's work list; pure
     //      integer column arithmetic, so it IS oracle-checkable even
@@ -1482,6 +1505,21 @@ object SparkEntry {
         .budgetAllocation(Tables.documents(s, d), col("source"), col("n_chars"),
           budget = 200000L, rounds = 3)
         .orderBy("source")),
+
+    // ---- MIX5: deterministic multinomial upsampling — fractional
+    //      epoch replication by language (mean copies = rate, realized
+    //      copies a pure function of (doc_id, salt)); map-only
+    //      explode, stable replica ids ----
+    "mix_upsample" -> ((s, d) =>
+      graft.operators.Mixing
+        .upsample(Tables.documents(s, d).select("doc_id", "lang"),
+          col("doc_id"),
+          when(col("lang") === "en", lit(0.4))
+            .when(col("lang") === "fr", lit(1.5))
+            .when(col("lang") === "de", lit(2.25))
+            .otherwise(lit(1.0)),
+          salt = "ep1")
+        .orderBy("doc_id", "copy_idx")),
 
     // ---- MIX: reproducible global shuffle (training order as a pure
     //      function of (key, salt); scale-safe dense sequence — no
@@ -1879,6 +1917,15 @@ object SparkEntry {
       TextAnalysis.oovBigramRate(Tables.spread(Tables.documents(s, d)), lmSize = 1000)
         .orderBy("doc_id")),
 
+    // ---- L4s: bigram-LM quality scoring (the CCNet filter) — model
+    //      trained on the English slice, every doc scored by avg
+    //      negative log-likelihood in exact integer micro-units ----
+    "l4s_lm_score" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      TextAnalysis.lmScore(docs, docs.filter(col("lang") === "en"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Q3: one-pass table profile (the first query against an
     //      unknown 100 TB drop): per-column nulls, EXACT distincts,
     //      typed min/max — one aggregate, one scan ----
@@ -1994,6 +2041,18 @@ object SparkEntry {
           date_format(col("ts"), "yyyy-MM-dd").as("obs_date"),
           (col("user_id") % 25).as("cohort")),
         Seq("event_type", "obs_date", "cohort"), k = 5L)),
+
+    // ---- Q5c: l-diversity — the homogeneity-attack audit k-anonymity
+    //      misses (same QI classes as q5; sensitive = the measured
+    //      value's decade band) ----
+    "q5c_l_diversity" -> ((s, d) =>
+      graft.operators.Governance.lDiversity(
+        ev(s, d).select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("obs_date"),
+          (col("user_id") % 25).as("cohort"),
+          floor(col("value") / 10.0).cast("long").as("value_band")),
+        Seq("event_type", "obs_date", "cohort"), "value_band", l = 3L)
+        .orderBy("event_type", "obs_date", "cohort")),
 
     // ---- Q6: erasure propagation — a broadcast deletion batch probed
     //      map-side against every subject-keyed table; per-table
@@ -2861,6 +2920,21 @@ object SparkEntry {
          |  CASE WHEN len(b.ng) = 0 THEN 0.0 ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(b.ng)::DOUBLE END) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // pure parameter math — pow() agrees bit-for-bit with Math.pow
+    // across the whole grid (verified point-by-point before adopting
+    // micro-unit floors)
+    "l2u_lsh_plan" ->
+      """SELECT (32 // f.r)::BIGINT AS bands, f.r::BIGINT AS rows_per_band,
+        |  s.sp::BIGINT AS s_permille,
+        |  floor((1.0 - pow(1.0 - pow(s.sp / 1000.0, f.r), 32 // f.r))
+        |    * 1000000.0)::BIGINT AS p_candidate_micro,
+        |  floor(pow(1.0 / (32 // f.r), 1.0 / f.r) * 1000000.0)::BIGINT
+        |    AS threshold_micro
+        |FROM (SELECT r FROM (SELECT unnest(generate_series(1, 32)) AS r)
+        |      WHERE 32 % r = 0) f,
+        |     (SELECT unnest(generate_series(50, 950, 50)) AS sp) s
+        |ORDER BY rows_per_band, s_permille""".stripMargin,
+
     "l2h_decontaminate" ->
       s"""WITH ev AS (SELECT DISTINCT unnest($Ngrams3Sql) AS ng
          |            FROM documents WHERE doc_id % 20 = 0),
@@ -3681,6 +3755,27 @@ object SparkEntry {
         |  coalesce(sc.s, 0) >= 0 AS keep
         |FROM bg LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // the upsample gate replays Sampling.hashGate; copies then fan out
+    // via generate_series (empty when n_copies = 0 — those rows drop,
+    // matching Spark's guarded sequence + explode)
+    "mix_upsample" ->
+      """WITH base AS (SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' THEN 0.4 WHEN lang = 'fr' THEN 1.5
+        |       WHEN lang = 'de' THEN 2.25 ELSE 1.0 END AS rate
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  (floor(rate)::BIGINT + CASE WHEN
+        |     ('0x' || substr(md5(concat_ws('', doc_id::VARCHAR, 'ep1')), 1, 8))::BIGINT
+        |     < floor((rate - floor(rate)) * 4294967296.0)::BIGINT
+        |   THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        |  FROM base)
+        |SELECT doc_id, lang, n_copies, copy_idx,
+        |  md5(doc_id::VARCHAR || '#' || copy_idx::VARCHAR) AS replica_id
+        |FROM (SELECT doc_id, lang, n_copies,
+        |        unnest(generate_series(1, n_copies)) AS copy_idx
+        |      FROM c WHERE n_copies > 0)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+
     "l5b_chunking" ->
       """SELECT doc_id, off, substring(text, off::INT + 1, 200) AS chunk FROM (
         |  SELECT doc_id, text,
@@ -4158,6 +4253,37 @@ object SparkEntry {
          |FROM r ORDER BY doc_id""".stripMargin
     },
 
+    // add-one bigram LM replay: NON-distinct grams (an LM needs
+    // multiplicity — deliberately not NgramsSql, which dedups);
+    // ln() micro-floors replay bit-for-bit (the mix_dsir precedent)
+    "l4s_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |  list_transform(generate_series(2, len(t)), i -> t[i-1] || ' ' || t[i]) AS gs
+         |  FROM tk),
+         |refg AS (SELECT unnest(gs) AS g FROM g WHERE lang = 'en'),
+         |big AS (SELECT g, count(*)::BIGINT AS cb FROM refg GROUP BY 1),
+         |uni AS (SELECT split_part(g, ' ', 1) AS w1, count(*)::BIGINT AS cu
+         |  FROM refg GROUP BY 1),
+         |voc AS (SELECT (count(DISTINCT tt) + 1)::BIGINT AS v
+         |  FROM (SELECT unnest(t) AS tt FROM tk WHERE lang = 'en')),
+         |dg AS (SELECT doc_id, g, count(*)::BIGINT AS k
+         |  FROM (SELECT doc_id, unnest(gs) AS g FROM g) GROUP BY 1, 2),
+         |sc AS (SELECT dg.doc_id, sum(dg.k)::BIGINT AS n_bigrams,
+         |  (-sum(floor(ln((coalesce(big.cb, 0) + 1)::DOUBLE
+         |     / (coalesce(uni.cu, 0) + voc.v)::DOUBLE) * 1000000.0)::BIGINT
+         |     * dg.k))::BIGINT AS nll_micro
+         |  FROM dg LEFT JOIN big USING (g)
+         |  LEFT JOIN uni ON split_part(dg.g, ' ', 1) = uni.w1
+         |  CROSS JOIN voc GROUP BY 1)
+         |SELECT g.doc_id, g.lang,
+         |  coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  coalesce(sc.nll_micro, 0)::BIGINT AS nll_micro,
+         |  CASE WHEN sc.n_bigrams > 0
+         |    THEN floor(sc.nll_micro::DOUBLE / sc.n_bigrams)::BIGINT END
+         |    AS avg_nll_micro
+         |FROM g LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "contrastive_manifest" ->
       s"""WITH dg AS (SELECT DISTINCT doc_id, ng
          |            FROM (SELECT doc_id, unnest($Ngrams3Sql) AS ng FROM documents)),
@@ -4310,6 +4436,15 @@ object SparkEntry {
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS obs_date,
         |  (user_id % 25)::BIGINT AS cohort, count(*)::BIGINT AS n,
         |  count(*) < 5 AS at_risk
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY event_type, obs_date, cohort""".stripMargin,
+
+    "q5c_l_diversity" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS obs_date,
+        |  (user_id % 25)::BIGINT AS cohort,
+        |  count(*)::BIGINT AS class_size,
+        |  count(DISTINCT floor(value / 10.0)::BIGINT)::BIGINT AS n_sensitive,
+        |  count(DISTINCT floor(value / 10.0)::BIGINT) >= 3 AS diverse
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY event_type, obs_date, cohort""".stripMargin,
 

@@ -901,4 +901,42 @@ object Dedup {
       .withColumn("jacc",
         round(col("inter").cast("double") / col("uni"), 4))
   }
+
+  /** L2u — LSH banding parameter planner: the s-curve table an engineer
+    * (or an auto-tuner) reads before running [[minHashNearDups]] at
+    * scale. For every (bands b, rows-per-band r) factorization of
+    * `numHashes` and a grid of Jaccard similarities s, the probability
+    * a pair becomes a candidate under banded MinHash:
+    *
+    *   P(candidate | jaccard = s) = 1 − (1 − s^r)^b
+    *
+    * plus each scheme's threshold estimate t ≈ (1/b)^(1/r), where the
+    * curve crosses ≈ ½ — pick the factorization whose t sits at the
+    * dedup threshold and the band count IS the shuffle fan-out. Pure
+    * codegen'd column math over a generated grid (divisors × 19 rows):
+    * the cross join is two broadcast literal arrays, the only "data"
+    * is the parameter space. Micro-unit floors replay exactly in
+    * DuckDB (pow agrees bit-for-bit across the whole grid — verified
+    * point-by-point). */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = 32): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 1024,
+      s"numHashes must be in [1, 1024] (got $numHashes)")
+    import spark.implicits._
+    val schemes = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r)).toDF("bands", "rows_per_band")
+    schemes
+      .withColumn("s_permille", explode(sequence(lit(50), lit(950), lit(50))))
+      .select(
+        col("bands").cast("long").as("bands"),
+        col("rows_per_band").cast("long").as("rows_per_band"),
+        col("s_permille").cast("long").as("s_permille"),
+        floor((lit(1.0) -
+          pow(lit(1.0) - pow(col("s_permille") / lit(1000.0),
+            col("rows_per_band").cast("double")), col("bands").cast("double")))
+          * lit(1000000.0)).cast("long").as("p_candidate_micro"),
+        floor(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")) * lit(1000000.0)).cast("long")
+          .as("threshold_micro"))
+  }
 }

@@ -67,6 +67,27 @@ object Governance {
     }.reduce(_.unionByName(_))
   }
 
+  /** Q5c — l-diversity audit (Machanavajjhala et al. 2007): k-anonymity's
+    * necessary complement. A class can be k-large yet leak everything —
+    * if all k rows share ONE sensitive value, matching the QIs reveals
+    * it (the homogeneity attack). Each equivalence class must therefore
+    * see at least `l` DISTINCT sensitive values. Same single
+    * map-combined groupBy shape as [[kAnonymity]]; count(DISTINCT)
+    * ignores NULL sensitive values in both engines (an absent sensitive
+    * value discloses nothing), and NULL QI values form their own class
+    * exactly as in the k audit. */
+  def lDiversity(df: DataFrame, quasiIds: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiIds.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l >= 1, s"l must be >= 1 (got $l)")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= lit(l))
+  }
+
   /** Q6 apply — the erased view of one table: a broadcast left-anti
     * join against the request keys. Same probe as [[erasureReport]], so
     * report and apply cannot disagree. */

@@ -235,4 +235,35 @@ object Mixing {
           (acc, b) => acc + element_at(lamArr, (b + 1).cast("int"))))
       .withColumn("keep", col("score_micro") >= minScoreMicro)
   }
+
+  /** MIX5 — deterministic multinomial UP-sampling (with replacement):
+    * epoch construction where a source is repeated fractionally —
+    * "2.3 epochs of high-quality, 0.4 of the rest". Every row emits
+    * floor(rate) copies plus one more iff its [[Sampling.hashGate]]
+    * draw lands under frac(rate)·2³², so realized copies have mean
+    * `rate` and are a pure function of (key, salt): stable across runs,
+    * retries, partitionings, and engines — a resumable 100 TB epoch
+    * plan. Rows whose copy count is 0 drop (rate < 1 downsamples with
+    * the same gate). Each replica gets `copy_idx` and a stable
+    * `replica_id` (md5 of key#idx) for downstream keying. Map-only:
+    * a codegen'd explode of a bounded per-row sequence — no shuffle, no
+    * state; compose with [[deterministicShuffle]] to interleave
+    * replicas. */
+  def upsample(df: DataFrame, key: Column, rate: Column,
+      salt: String = ""): DataFrame = {
+    Seq("n_copies", "copy_idx", "replica_id").foreach(c =>
+      require(!df.columns.contains(c), s"upsample emits $c — rename the input column"))
+    df.withColumn("n_copies",
+        floor(rate).cast("long") +
+          when(Sampling.hashGate(key, salt) <
+            floor((rate - floor(rate)) * lit(4294967296.0)).cast("long"),
+            lit(1L)).otherwise(lit(0L)))
+      // sequence(1,0) would COUNT DOWN in Spark — guard the empty case
+      .withColumn("copy_idx",
+        explode(when(col("n_copies") > 0,
+          sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<long>"))))
+      .withColumn("replica_id",
+        md5(concat_ws("#", key.cast("string"), col("copy_idx"))))
+  }
 }

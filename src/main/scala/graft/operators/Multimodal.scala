@@ -110,6 +110,106 @@ object Multimodal {
     }
   }
 
+  final case class PHashRow(doc_id: Long, media_type: String,
+      phash: Option[Long])
+
+  /** L5h — dHash perceptual image fingerprint: decode, block-mean
+    * downsample to a 9×8 luminance grid (pure INTEGER area sums — no
+    * float resize kernel, so the hash is bit-deterministic across
+    * runs and platforms), then 64 horizontal gradient comparisons
+    * (bit y·8+x set iff cell(x,y) > cell(x+1,y)). Robust to re-encoding
+    * and uniform brightness shifts (gradients survive both), which is
+    * exactly what byte-level dedup misses for images. None when the
+    * payload does not decode. */
+  def dHash64(payload: Array[Byte]): Option[Long] =
+    (try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+     catch { case _: Throwable => None }).map { img =>
+      val r = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      val bands = math.min(r.getNumBands, 3)
+      // block-mean 9x8 grid in scaled-integer luma (sum*cells kept
+      // exact; comparisons are on (sum, count) cross-products)
+      val gridSum = Array.ofDim[Long](8, 9)
+      val gridCnt = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val x0 = math.min(gx * w / 9, w - 1)
+          val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+          val y0 = math.min(gy * h / 8, h - 1)
+          val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+          var s = 0L; var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              var b = 0; var ps = 0
+              while (b < bands) { ps += r.getSample(x, y, b); b += 1 }
+              s += ps; x += 1
+            }
+            y += 1
+          }
+          gridSum(gy)(gx) = s
+          gridCnt(gy)(gx) = (x1 - x0).toLong * (y1 - y0)
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          // mean(x) > mean(x+1) ⟺ sum(x)·cnt(x+1) > sum(x+1)·cnt(x)
+          if (gridSum(yy)(xx) * gridCnt(yy)(xx + 1) >
+              gridSum(yy)(xx + 1) * gridCnt(yy)(xx))
+            hash |= 1L << (yy * 8 + xx)
+          xx += 1
+        }
+        yy += 1
+      }
+      hash
+    }
+
+  /** Per-image fingerprints over a media table — map-only batched per
+    * partition (the codec boundary shape); non-image / undecodable
+    * rows carry a NULL hash. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[PHashRow] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions(_.map(r => PHashRow(r.doc_id, r.media_type,
+        if (r.media_type == "image") dHash64(r.payload) else None)))
+  }
+
+  /** L5h pairs — near-duplicate images via banded pHash buckets: the
+    * 64-bit fingerprint splits into 4 sixteen-bit chunks; by
+    * pigeonhole any pair at hamming ≤ 3 shares at least one chunk
+    * VALUE, so candidate generation is an equi self-join on
+    * (chunk_idx, chunk_value) — bucketed, never all-pairs (the
+    * simhash banding argument, L2e) — and the exact popcount verify
+    * runs on candidates only. Payload bytes never reach this plan:
+    * only (doc_id, 8-byte hash) rows shuffle. */
+  def phashNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands prove recall only up to hamming 3 (got $maxHamming)")
+    val h = hashes.filter(col("phash").isNotNull)
+      .select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("ci"),
+            shiftright(col("phash"), 16 * i).bitwiseAND(lit(0xffffL))
+              .as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("phash"), col("c.ci"), col("c.cv"))
+    h.as("a").join(h.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Wrap the documents table as a media table: image rows carry a REAL
     * gray8 PNG (dims and pixels derived from the doc — so the decode
     * path downstream exercises an actual codec); audio/video rows keep
@@ -129,6 +229,37 @@ object Multimodal {
               text.getBytes("UTF-8"))
           else text.getBytes("UTF-8")
         MediaRow(id, mediaType, payload)
+      }).toDF()
+  }
+
+  /** Media table plus deterministic "darker export" re-encodes: every
+    * 10th image doc also yields a twin whose pixels are halved
+    * (id + 2^40, same dims) — the canonical perceptual-near-dup
+    * scenario (same photo, different export settings) that byte-level
+    * dedup CANNOT catch but dHash pairs at hamming ≤1 (a monotone
+    * luma map preserves almost every gradient comparison). Same single
+    * mapPartitions pass as [[asMediaTable]]; the twin offset 2^40 is
+    * far above any doc_id at any scale factor. */
+  def asMediaTableWithReEncodes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val mediaType = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val bytes = text.getBytes("UTF-8")
+        val (w, h) = (4 + (id % 13).toInt, 4 + (text.length % 11))
+        if (mediaType != "image")
+          Iterator(MediaRow(id, mediaType, bytes))
+        else {
+          val base = MediaRow(id, "image", Decoder.encodePngGray(w, h, bytes))
+          if (id % 30 == 0)
+            Iterator(base, MediaRow(id + (1L << 40), "image",
+              Decoder.encodePngGray(w, h,
+                bytes.map(b => ((b & 0xff) / 2).toByte))))
+          else Iterator(base)
+        }
       }).toDF()
   }
 

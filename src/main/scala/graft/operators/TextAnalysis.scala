@@ -337,4 +337,63 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         col("score"), col("rnk").cast("long").as("rnk"))
   }
+
+  /** L4s — bigram language-model quality scoring (the CCNet filter,
+    * Wenzek et al. 2020: score every document under an LM trained on a
+    * trusted reference slice; low average negative log-likelihood ≈
+    * fluent in the reference register). The model is add-one-smoothed
+    * bigram counts:
+    *
+    *   p(w2 | w1) = (C(w1 w2) + 1) / (C(w1 ·) + V),   V = |ref vocab| + 1
+    *
+    * Per-bigram log-probs quantize to integer MICRO-units before the
+    * per-doc sum (the BM25/DSIR pre-sum idiom) so document scores are
+    * exact integers — order-free and engine-replayable (mix_dsir proved
+    * ln() replays bit-for-bit against DuckDB).
+    *
+    * 100 TB shape: unlike DSIR's bounded hashed model (a broadcast
+    * literal), this model is vocabulary-sized — the honest shape is two
+    * map-combined count aggregates JOINED back on the gram key
+    * (sort-merge at scale, AQE-broadcast when small). The doc side
+    * pre-aggregates (doc, gram) multiplicity before the model join, so
+    * join input is distinct grams per doc, not raw token positions, and
+    * the vocab scalar enters as a 1-row broadcast, never an action. */
+  def lmScore(corpus: DataFrame, reference: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    // NON-distinct adjacent bigrams (an LM needs multiplicity;
+    // wordNgrams dedups for set semantics)
+    val grams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val refG = reference.select(explode(grams).as("g"))
+    val big = refG.groupBy("g").agg(count(lit(1)).as("cb"))
+    val uni = refG
+      .groupBy(element_at(split(col("g"), " ", 2), 1).as("w1"))
+      .agg(count(lit(1)).as("cu"))
+    val vocab = reference.select(explode(toks).as("t")).distinct()
+      .agg((count(lit(1)) + lit(1L)).as("v")) // +1 = the UNK type
+    val docG = corpus
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
+      .withColumn("w1", element_at(split(col("g"), " ", 2), 1))
+    val scored = docG
+      .join(big, Seq("g"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_micro",
+        floor(log((coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("v")).cast("double"))
+          * lit(1000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_bigrams"),
+        (-sum(col("lp_micro") * col("k"))).as("nll_micro"))
+    corpus.select("doc_id", "lang")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        when(col("n_bigrams") > 0,
+          floor(col("nll_micro").cast("double") / col("n_bigrams"))
+            .cast("long")).as("avg_nll_micro"))
+  }
 }

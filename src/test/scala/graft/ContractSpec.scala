@@ -24,7 +24,8 @@ class ContractSpec extends SparkTestBase {
       "l3e_pq_ann",           // approximate NN (product quantization)
       "l3f_ivfadc",           // approximate NN (IVF pruning + ADC scoring)
       "l5d_cdc_chunks",       // sequential gear-hash fold — not SQL-expressible
-      "mm_media_features")    // real PNG codec (ImageIO) — not SQL-expressible
+      "mm_media_features",    // real PNG codec (ImageIO) — not SQL-expressible
+      "mm_phash_pairs")       // dHash rides the same real codec — not SQL-expressible
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale documentation: ${documented -- rowsOnly}")

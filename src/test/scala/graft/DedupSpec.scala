@@ -558,4 +558,27 @@ class DedupSpec extends SparkTestBase {
       assert(a < 100 && b < 100 && a / 10 == b / 10, s"spurious pair ($a,$b)")
     }
   }
+
+  test("L2u lshPlan: exact s-curve values, monotone in s, thresholds order by r") {
+    val rows = Dedup.lshPlan(spark, numHashes = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // 6 factorizations × 19 similarity points
+    assert(rows.size == 6 * 19)
+    // every point matches the closed form computed here (same JVM libm)
+    rows.foreach { case ((b, r, sp), (pm, tm)) =>
+      val s = sp / 1000.0
+      assert(pm == math.floor((1.0 - math.pow(1.0 - math.pow(s, r.toDouble),
+        b.toDouble)) * 1e6).toLong, s"p mismatch at b=$b r=$r s=$sp")
+      assert(tm == math.floor(math.pow(1.0 / b, 1.0 / r) * 1e6).toLong)
+    }
+    // s-curve is non-decreasing in s for each scheme
+    for (r <- Seq(1L, 2L, 4L, 8L, 16L, 32L)) {
+      val curve = (50L to 950L by 50L).map(sp => rows((32L / r, r, sp))._1)
+      assert(curve == curve.sorted, s"curve not monotone for r=$r")
+    }
+    // more rows per band → higher threshold (the tuning knob)
+    val thresholds = Seq(1L, 2L, 4L, 8L, 16L, 32L).map(r => rows((32L / r, r, 50L))._2)
+    assert(thresholds == thresholds.sorted)
+  }
 }

@@ -51,6 +51,24 @@ class GovernanceSpec extends SparkTestBase {
     assert(survivors.filter(col("uid") === 2L).count() == 0L)
   }
 
+  test("lDiversity: a k-large but homogeneous class is flagged; NULL sensitive ignored") {
+    val rows = Seq(
+      // class (94110, 30): 3 rows but ONE sensitive value — k-safe, l-unsafe
+      ("94110", 30, Some("flu")), ("94110", 30, Some("flu")), ("94110", 30, Some("flu")),
+      // class (94110, 40): 2 distinct sensitive values + a NULL (ignored)
+      ("94110", 40, Some("flu")), ("94110", 40, Some("cold")), ("94110", 40, None)
+    ).toDF("zip", "age", "dx")
+    val got = Governance.lDiversity(rows, Seq("zip", "age"), "dx", l = 2L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("94110", 30)) == ((3L, 1L, false)),
+      "homogeneous class must fail l-diversity even at k=3")
+    assert(got(("94110", 40)) == ((3L, 2L, true)))
+    intercept[IllegalArgumentException] {
+      Governance.lDiversity(rows, Seq("zip", "dx"), "dx", l = 2L)
+    }
+  }
+
   test("erasure: NULL subject keys are never erased") {
     val facts = Seq(Some(1L), None, None).toDF("uid")
     val reqs = Seq(1L).toDF("subject")

@@ -187,4 +187,67 @@ class MultimodalSpec extends SparkTestBase {
       assert(frames.map(_.frame_idx).distinct.length == frames.length)
     }
   }
+
+  test("L5h dHash: re-encode identical, brightness-invariant, gradient-reversal far") {
+    // strictly increasing column gradient: every dHash bit is 0
+    def gradient(shift: Int, reversed: Boolean = false): Array[Byte] = {
+      val w = 18
+      (0 until w).map { x =>
+        val v = (if (reversed) (w - 1 - x) else x) * 13 + shift
+        v.toByte
+      }.toArray // row-major cycled by encodePngGray
+    }
+    val base = Multimodal.Decoder.encodePngGray(18, 16, gradient(0))
+    val again = Multimodal.Decoder.encodePngGray(18, 16, gradient(0))
+    val bright = Multimodal.Decoder.encodePngGray(18, 16, gradient(10))
+    val rev = Multimodal.Decoder.encodePngGray(18, 16,
+      gradient(0, reversed = true))
+    val Some(hBase) = Multimodal.dHash64(base)
+    assert(Multimodal.dHash64(again).contains(hBase), "re-encode must hash equal")
+    assert(Multimodal.dHash64(bright).contains(hBase),
+      "uniform brightness shift preserves every gradient comparison")
+    val Some(hRev) = Multimodal.dHash64(rev)
+    assert(java.lang.Long.bitCount(hBase ^ hRev) > 32,
+      "a reversed gradient must be far in hamming space")
+    assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("L5h phash pairs: dup images pair at hamming 0; far images never candidate") {
+    import spark.implicits._
+    def png(rev: Boolean) = Multimodal.Decoder.encodePngGray(18, 16,
+      (0 until 18).map(x => ((if (rev) 17 - x else x) * 13).toByte).toArray)
+    val media = Seq(
+      (1L, "image", png(false)), (2L, "image", png(false)), // exact dups
+      (3L, "image", png(true)),                              // far
+      (4L, "audio", "zz".getBytes)).toDF("doc_id", "media_type", "payload")
+    val hashes = Multimodal.perceptualHashes(spark, media).toDF()
+    val pairs = Multimodal.phashNearDups(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got $pairs")
+    assert(pairs((1L, 2L)) == 0L)
+    // audio rows carry NULL hashes and never enter the pair space
+    assert(hashes.filter(org.apache.spark.sql.functions.col("media_type") === "audio")
+      .filter(org.apache.spark.sql.functions.col("phash").isNotNull).count() == 0L)
+  }
+
+  test("L5h re-encode corpus: darker-export twins pair with their source at hamming ≤1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (30L, "The quick brown fox jumps over the lazy dog again and again"),
+      (33L, "short text no twin"),          // image, id % 30 != 0 → no twin
+      (31L, "an audio doc")                 // not an image
+    ).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTableWithReEncodes(docs)
+    // twin emitted only for the id%30==0 image doc, offset 2^40
+    val twinId = 30L + (1L << 40)
+    assert(media.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(30L, 31L, 33L, twinId))
+    val pairs = Multimodal.phashNearDups(
+        Multimodal.perceptualHashes(spark, media).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((30L, twinId)), s"got $pairs")
+    assert(pairs((30L, twinId)) <= 1L,
+      "halved luma is monotone — nearly every gradient comparison survives")
+  }
 }

@@ -46,4 +46,30 @@ class OovSpec extends SparkTestBase {
       .collect().head
     assert(got.getLong(1) == 2L, s"distinct bigrams expected: $got")
   }
+
+  test("lmScore: add-one bigram model matches the hand computation") {
+    def micro(p: Double): Long = math.floor(math.log(p) * 1e6).toLong
+    // reference = the one 'en' doc: grams {the cat, cat sat}, contexts
+    // {the→1, cat→1}, vocab = {the,cat,sat} + UNK = 4
+    val docs = Seq(
+      (1L, "en", "the cat sat"),   // in-model: both grams seen
+      (2L, "xx", "zz qq rr"),      // fully unseen: ln(1/4) per gram
+      (3L, "xx", "the dog"),       // seen context, unseen gram: ln(1/5)
+      (4L, "xx", "the")            // <2 tokens: no bigrams
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis
+      .lmScore(docs, docs.filter(org.apache.spark.sql.functions.col("lang") === "en"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+    val inLp = micro(2.0 / 5.0)       // (1+1)/(1+4)
+    val oovLp = micro(1.0 / 4.0)      // (0+1)/(0+4)
+    val mixLp = micro(1.0 / 5.0)      // (0+1)/(1+4)
+    assert(got(1L) == ((2L, -2 * inLp, Some(-inLp))))
+    assert(got(2L) == ((2L, -2 * oovLp, Some(-oovLp))))
+    assert(got(3L) == ((1L, -mixLp, Some(-mixLp))))
+    assert(got(4L) == ((0L, 0L, None)))
+    // the fluency ordering CCNet filters on: in-register < unseen
+    assert(got(1L)._3.get < got(2L)._3.get)
+  }
 }

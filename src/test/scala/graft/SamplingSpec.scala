@@ -353,4 +353,28 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got == again)
   }
+
+  test("upsample: integer rates exact, fractional rates mean-correct, replicas stable") {
+    val df = pop.toDF("id", "lang")
+    // integer rate: every row gets exactly 2 copies, idx 1..2
+    val twice = Mixing.upsample(df, col("id"), lit(2.0), salt = "s")
+    assert(twice.count() == 8000L)
+    assert(twice.groupBy("id").count().filter(col("count") =!= 2L).count() == 0L)
+    // fractional rate 1.3: every row ≥1 copy, realized mean within 3%
+    val frac = Mixing.upsample(df, col("id"), lit(1.3), salt = "s")
+    val n = frac.count()
+    assert(n >= 4000L && math.abs(n - 5200L) < 160L, s"got $n copies for rate 1.3")
+    // rate < 1 downsamples: some rows drop entirely, none get 2 copies
+    val down = Mixing.upsample(df, col("id"), lit(0.25), salt = "s")
+    assert(down.count() < 4000L * 0.28 && down.count() > 4000L * 0.22)
+    assert(down.groupBy("id").count().filter(col("count") > 1L).count() == 0L)
+    // determinism + distinct stable replica ids
+    assert(frac.collect().toSet ==
+      Mixing.upsample(df, col("id"), lit(1.3), salt = "s").collect().toSet)
+    assert(frac.select("replica_id").distinct().count() == n)
+    // collision guard
+    intercept[IllegalArgumentException] {
+      Mixing.upsample(df.withColumn("copy_idx", lit(1)), col("id"), lit(1.0))
+    }
+  }
 }
