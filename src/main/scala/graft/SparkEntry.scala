@@ -690,6 +690,23 @@ object SparkEntry {
     // ---- G7: local clustering coefficient — the per-node form of the
     //      triangle signal (inside-a-household vs thoroughfare);
     //      degree<2 nodes report NULL (no neighbor pairs to close) ----
+    // ---- G8: label-propagation communities over the user↔event-type
+    //      co-observation graph (synchronous, weight-argmax with
+    //      min-label tie-break — deterministic, 3 unrolled rounds) ----
+    "g8_lpa" -> ((s, d) => {
+      val obs = ev(s, d).select(
+        concat(lit("u:"), col("user_id")).as("mac"),
+        concat(lit("t:"), col("event_type")).as("ssid"))
+      val und = graft.operators.NetworkTree.edges(obs)
+      val dir = und.select(col("mac").as("src"), col("ssid").as("dst"), col("weight"))
+        .union(und.select(col("ssid").as("src"), col("mac").as("dst"), col("weight")))
+      val lab = graft.operators.LabelPropagation
+        .labelPropagationFixed(dir, "src", "dst", "weight", iters = 3)
+      val sizes = lab.groupBy("lab").agg(count(lit(1)).as("n_members"))
+      lab.join(sizes, "lab").select("node", "lab", "n_members")
+        .orderBy("node")
+    }),
+
     "g7_clustering" -> ((s, d) => {
       val items = li(s, d).select(col("l_orderkey").as("ord"), col("l_partkey").as("pk"))
       val e = items.as("a").join(items.as("b"),
@@ -698,6 +715,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
       graft.operators.NetworkTree.clusteringCoefficient(e, "pa", "pb")
         .orderBy("v")
+    }),
+
+    // ---- G9: k-core peeling over the same co-purchase graph (the
+    //      dense-cluster extractor degree alone fakes; 4 unrolled
+    //      peels, `stable` reports fixpoint honestly; k=2 on the
+    //      w>=2 graph — the 3-core is empty at sf0.1) ----
+    "g9_kcore" -> ((s, d) => {
+      val items = li(s, d).select(col("l_orderkey").as("ord"), col("l_partkey").as("pk"))
+      val e = items.as("a").join(items.as("b"),
+          col("a.ord") === col("b.ord") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      val dir = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(e.select(col("pb").as("src"), col("pa").as("dst")))
+      graft.operators.KCore.kCoreFixed(dir, "src", "dst", k = 2, rounds = 4)
+        .orderBy("node")
     }),
 
     // ---- domain: the same triangle counts under the DEGREE-ordered
@@ -800,6 +833,17 @@ object SparkEntry {
     "l2u_lsh_plan" -> ((s, _) =>
       Dedup.lshPlan(s, numHashes = 32)
         .orderBy("rows_per_band", "s_permille")),
+
+    // ---- L2v: the DATA half of threshold planning — the exact
+    //      jaccard histogram over blocked pairs (where does THIS
+    //      corpus's similarity mass sit; read against l2u's s-curves
+    //      to place the dedup threshold) ----
+    "l2v_jaccard_hist" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.spread(Tables.documents(s, d)), "source",
+          n = 3, threshold = 0.0)
+        .groupBy(floor(col("jaccard") * 20).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("band")),
 
     // ---- L2s: SemDeDup — semantic near-dup pruning scoped within a
     //      precomputed cluster column (the paper's k-means role played
@@ -940,6 +984,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 5),
           e.filter(col("vec_id") >= 5), k = 3)
         .orderBy(col("qid"), col("sim").desc, col("cid"))
+    }),
+
+    // ---- L3h: matryoshka dim-ablation — how much of the full-dim
+    //      top-10 survives ranking on a 8/16/32-dim prefix (the
+    //      storage-vs-recall pricing table; dim=64 row ≡ k sanity) ----
+    "l3h_dim_ablation" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.dimAblation(e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") >= 5), dims = Seq(8, 16, 32, 64), k = 10)
+        .orderBy("dim", "qid")
     }),
 
     // ---- L3g: retrieval evaluation — recall@k + first-relevant rank
@@ -1360,6 +1414,25 @@ object SparkEntry {
           col("l_partkey") % 1024, col("l_suppkey") % 1024, bits = 10).as("z"))
       .orderBy("l_orderkey", "l_linenumber")),
 
+    // ---- O4c: zone-map effectiveness — the SAME table cut into 32
+    //      files under three write layouts (arrival order, z-order,
+    //      probe-clustered); per-file zones + skip flags for
+    //      user_id ∈ [100, 120]. The judge of every layout op above ----
+    "o4c_zonemap" -> ((s, d) => {
+      val e = ev(s, d).select(col("event_id"), col("user_id"),
+        (hour(col("ts")) + dayofmonth(col("ts")) * 24).as("hr"))
+      def rep(name: String, order: Seq[org.apache.spark.sql.Column]) =
+        graft.operators.ZOrder
+          .zoneMapReport(e, order, col("user_id"), nFiles = 32, lo = 100L, hi = 120L)
+          .withColumn("layout", lit(name))
+      rep("a_natural", Seq(col("event_id")))
+        .unionByName(rep("b_zorder", Seq(graft.operators.ZOrder.zValue(
+          col("user_id") % 1024, col("hr") % 1024, bits = 10), col("event_id"))))
+        .unionByName(rep("c_clustered", Seq(col("user_id"), col("event_id"))))
+        .select("layout", "file_id", "n_rows", "min_probe", "max_probe", "can_skip")
+        .orderBy("layout", "file_id")
+    }),
+
     // ---- O4b: Hilbert-curve layout key — the locality upgrade over
     //      the Morton curve (no power-of-two seam jumps; consecutive
     //      positions always adjacent cells → tighter per-file bounding
@@ -1520,6 +1593,29 @@ object SparkEntry {
             .otherwise(lit(1.0)),
           salt = "ep1")
         .orderBy("doc_id", "copy_idx")),
+
+    // ---- PACK2: token-level sequence packing — the concat-and-chunk
+    //      pretraining layout: docs concatenated in doc_id order, cut
+    //      at 512-token boundaries, boundary-crossing docs split with
+    //      exact in-sequence token ranges ----
+    "pack_sequences" -> ((s, d) =>
+      graft.operators.Packing.packSequences(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          Seq(col("doc_id")),
+          TextFunctions.tokenCount(col("text")).cast("long"),
+          seqLen = 512L, idCols = Seq("doc_id"))
+        .orderBy("seq_id", "doc_id")),
+
+    // ---- MIX6: curriculum order — length-banded difficulty ramp
+    //      (short docs first), deterministic shuffle within a band ----
+    "mix_curriculum" -> ((s, d) =>
+      graft.operators.Mixing
+        .curriculumOrder(
+          Tables.documents(s, d).select(col("doc_id"),
+            floor(col("n_chars") / 500.0).cast("long").as("band")),
+          col("band"), col("doc_id"), salt = "cur0")
+        .select("doc_id", "band", "pos")
+        .orderBy("pos")),
 
     // ---- MIX: reproducible global shuffle (training order as a pure
     //      function of (key, salt); scale-safe dense sequence — no
@@ -1841,6 +1937,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- J10: Bloom-pruned equi join — the probe side (lineitem)
+    //      drops definite non-matches inside its scan, BEFORE its
+    //      exchange; the exact join then kills false positives, so the
+    //      result is bit-identical to the plain join (the oracle IS the
+    //      plain join). PlanSpec proves the filter sits pre-shuffle ----
+    "j10_bloom_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.BloomJoin.bloomPrunedJoin(
+          li(s, d).select(col("l_orderkey").as("o_orderkey"),
+            col("l_linenumber"), col("l_quantity")),
+          urgent, "o_orderkey")
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+
     // ---- A12: relational count-min sketch — fixed 4×1024 counter
     //      matrix replayed exactly by the oracle; est ≥ exact always ----
     "a12_cms_heavy" -> ((s, d) => {
@@ -1917,6 +2029,13 @@ object SparkEntry {
       TextAnalysis.oovBigramRate(Tables.spread(Tables.documents(s, d)), lmSize = 1000)
         .orderBy("doc_id")),
 
+    // ---- L4t: per-source unigram KL vs the pooled corpus — which
+    //      sources pull the mix off-distribution (add-one smoothed,
+    //      exact integer micro-nats) ----
+    "l4t_unigram_kl" -> ((s, d) =>
+      TextAnalysis.unigramKl(Tables.spread(Tables.documents(s, d)))
+        .orderBy("source")),
+
     // ---- L4s: bigram-LM quality scoring (the CCNet filter) — model
     //      trained on the English slice, every doc scored by avg
     //      negative log-likelihood in exact integer micro-units ----
@@ -1932,6 +2051,22 @@ object SparkEntry {
     "q3_profile" -> ((s, d) =>
       graft.operators.Profile.profile(Tables.events(s, d))
         .orderBy("col_name")),
+
+    // ---- Q3b: profile drift between two snapshots (per-batch health
+    //      gate). Snapshots = event_id parity halves; the "after" side
+    //      is dirtied in-query (nulled event_types for one user cohort)
+    //      so the null-rate delta actually fires ----
+    "q3b_profile_drift" -> ((s, d) => {
+      val e = ev(s, d).select("event_type", "value", "user_id", "event_id")
+      val before = e.filter(col("event_id") % 2 === 0)
+      val after = e.filter(col("event_id") % 2 === 1)
+        .withColumn("event_type",
+          when(col("user_id") % 10 === 0, lit(null: String))
+            .otherwise(col("event_type")))
+      graft.operators.Profile
+        .profileDrift(before, after, Seq("event_type", "value", "user_id"))
+        .orderBy("col_name")
+    }),
 
     // ---- CAPSTONE: contrastive training manifest — positives = exact
     //      near-dup pairs (l2q), negatives = deterministic draws
@@ -2203,6 +2338,18 @@ object SparkEntry {
           date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSS").as("valid_to"),
           col("n_events"))
         .orderBy("user_id", "valid_from")),
+
+    // ---- W11b: time-travel read — every user's state AS OF a fixed
+    //      instant, one codegen'd filter over the SCD2 intervals ----
+    "w11b_asof_snapshot" -> ((s, d) =>
+      graft.operators.Snapshot.asOf(
+          graft.operators.Snapshot.scd2(ev(s, d), "user_id", "ts", "event_type", "event_id"),
+          to_timestamp(lit("2024-01-15 00:00:00")))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSS").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSS").as("valid_to"),
+          col("n_events"))
+        .orderBy("user_id")),
 
     // ---- W10: dense hourly resample + forward fill (telemetry
     //      densification; sequence() bounded per key, one key window) ----
@@ -2920,6 +3067,15 @@ object SparkEntry {
          |  CASE WHEN len(b.ng) = 0 THEN 0.0 ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(b.ng)::DOUBLE END) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
+    "l2v_jaccard_hist" ->
+      s"""WITH g AS (SELECT doc_id, source, $Ngrams3Sql AS ng FROM documents),
+         |p AS (SELECT
+         |  round(CASE WHEN len(list_distinct(list_concat(a.ng, b.ng))) = 0 THEN 0.0
+         |        ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.ng, b.ng)))::DOUBLE END, 4) AS jaccard
+         |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT floor(jaccard * 20)::BIGINT AS band, count(*)::BIGINT AS n_pairs
+         |FROM p GROUP BY 1 ORDER BY band""".stripMargin,
+
     // pure parameter math — pow() agrees bit-for-bit with Math.pow
     // across the whole grid (verified point-by-point before adopting
     // micro-unit floors)
@@ -3239,6 +3395,8 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5)
         |WHERE rn <= 3 ORDER BY qid, sim DESC, cid""".stripMargin,
 
+    "l3h_dim_ablation" -> DimAblationSql(Seq(8, 16, 32, 64), k = 10),
+
     "l3g_rank_metrics" ->
       """WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id >= 5),
@@ -3526,6 +3684,27 @@ object SparkEntry {
         |   'sum')::BIGINT AS z
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    "o4c_zonemap" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  (hour(ts) + day(ts) * 24)::BIGINT AS hr FROM events),
+        |z AS (SELECT e.*, list_aggregate(list_transform(generate_series(0, 9), i ->
+        |   ((((user_id % 1024) >> i) & 1) << (2*i)) + ((((hr % 1024) >> i) & 1) << (2*i+1))),
+        |   'sum')::BIGINT AS zv FROM e),
+        |n AS (SELECT count(*)::BIGINT AS n FROM e),
+        |pa AS (SELECT 'a_natural' AS layout, user_id,
+        |  row_number() OVER (ORDER BY event_id) AS pos FROM e),
+        |pb AS (SELECT 'b_zorder', user_id,
+        |  row_number() OVER (ORDER BY zv, event_id) FROM z),
+        |pc AS (SELECT 'c_clustered', user_id,
+        |  row_number() OVER (ORDER BY user_id, event_id) FROM e),
+        |u AS (SELECT * FROM pa UNION ALL SELECT * FROM pb UNION ALL SELECT * FROM pc),
+        |f AS (SELECT layout, ((pos - 1) * 32) // n.n AS file_id, user_id
+        |      FROM u CROSS JOIN n)
+        |SELECT layout, file_id::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
+        |  min(user_id)::BIGINT AS min_probe, max(user_id)::BIGINT AS max_probe,
+        |  (max(user_id) < 100 OR min(user_id) > 120) AS can_skip
+        |FROM f GROUP BY 1, 2 ORDER BY layout, file_id""".stripMargin,
+
     // the identical 8-step rotate-and-accumulate walk, one CTE per bit
     "o4b_hilbert" -> HilbertSql(8),
 
@@ -3724,6 +3903,30 @@ object SparkEntry {
       """SELECT doc_id, row_number() OVER (
         |  ORDER BY md5(concat_ws('', doc_id::VARCHAR, 'ep0')), doc_id) AS pos
         |FROM documents ORDER BY pos""".stripMargin,
+
+    "mix_curriculum" ->
+      """SELECT doc_id, floor(n_chars / 500.0)::BIGINT AS band,
+        |  row_number() OVER (ORDER BY floor(n_chars / 500.0),
+        |    md5(concat_ws('', doc_id::VARCHAR, 'cur0')), doc_id) AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
+
+    // the oracle's global window IS the partitionless formulation the
+    // engine avoids (withRunningTotal) — fine for DuckDB, fatal in Spark
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  (CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT
+         |        ELSE len($ToksSql)::BIGINT END) AS n FROM documents),
+         |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id)::BIGINT AS cend FROM t),
+         |s AS (SELECT doc_id, n, cend, (cend - n)::BIGINT AS cstart FROM c WHERE n > 0),
+         |x AS (SELECT doc_id, n, cstart, cend,
+         |  unnest(generate_series(cstart // 512, (cend - 1) // 512)) AS seq_id FROM s)
+         |SELECT doc_id, seq_id::BIGINT AS seq_id,
+         |  (least(cend, (seq_id + 1) * 512) - greatest(cstart, seq_id * 512))::BIGINT AS n_from_doc,
+         |  (greatest(cstart, seq_id * 512) - cstart)::BIGINT AS doc_tok_start,
+         |  (greatest(cstart, seq_id * 512) - seq_id * 512)::BIGINT AS seq_tok_start,
+         |  (cstart >= seq_id * 512) AS is_doc_head,
+         |  (cend <= (seq_id + 1) * 512) AS is_doc_tail
+         |FROM x ORDER BY seq_id, doc_id""".stripMargin,
 
     // full DSIR replay: same md5 bucketing, same add-1 smoothed
     // micro-quantized log-ratios, same per-doc integer sum
@@ -4090,6 +4293,8 @@ object SparkEntry {
 
     "g4_pagerank" -> PageRankSql(iters = 3, damping = 0.85),
     "g5_ppr" -> PprSql(Seq("t:purchase", "t:signup"), iters = 3, damping = 0.85),
+    "g8_lpa" -> LpaSql(iters = 3),
+    "g9_kcore" -> KCoreSql(k = 2, rounds = 4),
 
     // Bounded-depth BFS as a recursive CTE: UNION dedups (node, d)
     // pairs and d < 3 bounds the recursion; min(d) per node = hops.
@@ -4106,6 +4311,14 @@ object SparkEntry {
         |  WHERE walk.d < 3)
         |SELECT node, min(d)::BIGINT AS hops FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    // the Bloom is transparent to semantics: the oracle is the PLAIN join
+    "j10_bloom_join" ->
+      """SELECT l.l_orderkey AS o_orderkey, l.l_linenumber, l.l_quantity,
+        |  o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
 
     "j9_radius_join" ->
       """WITH p AS (
@@ -4252,6 +4465,25 @@ object SparkEntry {
          |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "l4t_unigram_kl" ->
+      s"""WITH tok AS (SELECT source AS src, unnest($ToksSql) AS t FROM documents),
+         |st AS (SELECT src, t, count(*)::BIGINT AS c_st FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT t, count(*)::BIGINT AS c_ct FROM tok GROUP BY 1),
+         |ns AS (SELECT src, sum(c_st)::BIGINT AS n_s,
+         |  count(*)::BIGINT AS n_distinct_toks FROM st GROUP BY 1),
+         |sc AS (SELECT sum(c_ct)::BIGINT AS n_c, count(*)::BIGINT AS v FROM ct),
+         |k AS (SELECT st.src, ns.n_s, ns.n_distinct_toks,
+         |  sum(st.c_st * floor(ln(
+         |    ((st.c_st + 1) * (sc.n_c + sc.v))::DOUBLE /
+         |    ((ct.c_ct + 1) * (ns.n_s + sc.v))::DOUBLE) * 1000000.0)::BIGINT
+         |  )::BIGINT AS kl_scaled_micro
+         |  FROM st JOIN ct USING (t) JOIN ns USING (src) CROSS JOIN sc
+         |  GROUP BY 1, 2, 3)
+         |SELECT src AS source, n_s AS n_tokens, n_distinct_toks,
+         |  kl_scaled_micro,
+         |  floor(kl_scaled_micro::DOUBLE / n_s::DOUBLE)::BIGINT AS kl_micro
+         |FROM k ORDER BY source""".stripMargin,
 
     // add-one bigram LM replay: NON-distinct grams (an LM needs
     // multiplicity — deliberately not NgramsSql, which dedups);
@@ -4413,6 +4645,45 @@ object SparkEntry {
         |    count(DISTINCT props), min(props), max(props)
         |  FROM events)
         |ORDER BY col_name""".stripMargin,
+
+    "q3b_profile_drift" ->
+      """WITH ea AS (SELECT event_type, value, user_id FROM events WHERE event_id % 2 = 0),
+        |eb AS (SELECT CASE WHEN user_id % 10 = 0 THEN NULL ELSE event_type END AS event_type,
+        |              value, user_id FROM events WHERE event_id % 2 = 1),
+        |pa AS (
+        |  SELECT 'event_type' AS col_name, count(*)::BIGINT AS n_rows,
+        |    (count(*) - count(event_type))::BIGINT AS n_null,
+        |    count(DISTINCT event_type)::BIGINT AS n_distinct,
+        |    min(event_type) AS min_val, max(event_type) AS max_val FROM ea
+        |  UNION ALL
+        |  SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value),
+        |    min(value)::VARCHAR, max(value)::VARCHAR FROM ea
+        |  UNION ALL
+        |  SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id),
+        |    min(user_id)::VARCHAR, max(user_id)::VARCHAR FROM ea),
+        |pb AS (
+        |  SELECT 'event_type' AS col_name, count(*)::BIGINT AS n_rows,
+        |    (count(*) - count(event_type))::BIGINT AS n_null,
+        |    count(DISTINCT event_type)::BIGINT AS n_distinct,
+        |    min(event_type) AS min_val, max(event_type) AS max_val FROM eb
+        |  UNION ALL
+        |  SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value),
+        |    min(value)::VARCHAR, max(value)::VARCHAR FROM eb
+        |  UNION ALL
+        |  SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id),
+        |    min(user_id)::VARCHAR, max(user_id)::VARCHAR FROM eb)
+        |SELECT pa.col_name,
+        |  pa.n_rows AS n_rows_before, pb.n_rows AS n_rows_after,
+        |  CASE WHEN pa.n_rows > 0
+        |    THEN floor(pa.n_null::DOUBLE * 1000000.0 / pa.n_rows::DOUBLE)::BIGINT END
+        |    AS null_ppm_before,
+        |  CASE WHEN pb.n_rows > 0
+        |    THEN floor(pb.n_null::DOUBLE * 1000000.0 / pb.n_rows::DOUBLE)::BIGINT END
+        |    AS null_ppm_after,
+        |  pa.n_distinct AS n_distinct_before, pb.n_distinct AS n_distinct_after,
+        |  (pa.min_val IS DISTINCT FROM pb.min_val) AS min_changed,
+        |  (pa.max_val IS DISTINCT FROM pb.max_val) AS max_changed
+        |FROM pa JOIN pb USING (col_name) ORDER BY col_name""".stripMargin,
 
     "q2_quality_checks" ->
       """WITH a AS (
@@ -4632,6 +4903,33 @@ object SparkEntry {
         |  strftime(vt, '%Y-%m-%d %H:%M:%S.%g') AS valid_to, n_events
         |FROM f ORDER BY user_id, valid_from""".stripMargin,
 
+    "w11b_asof_snapshot" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, run, min(event_type) AS event_type,
+        |    min(ts) AS vf, count(*) AS n_events
+        |  FROM r GROUP BY 1, 2),
+        |f AS (
+        |  SELECT user_id, event_type, vf,
+        |    lead(vf) OVER (PARTITION BY user_id ORDER BY run) AS vt, n_events
+        |  FROM g)
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S.%g') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S.%g') AS valid_to, n_events
+        |FROM f
+        |WHERE vf <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (vt IS NULL OR TIMESTAMP '2024-01-15 00:00:00' < vt)
+        |ORDER BY user_id""".stripMargin,
+
     "w10_gap_fill" ->
       """WITH h AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n
@@ -4807,6 +5105,87 @@ object SparkEntry {
        |r0 AS (SELECT node, 1000000::BIGINT AS pr_u FROM nodes),
        |${(1 to iters).map(round).mkString(",\n")}
        |SELECT node, pr_u FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Prefix-truncated re-rank vs full-dim top-k: one ranked CTE per
+    * prefix dim (list slicing on the DOUBLE[] cast), integer overlap
+    * counts against the full-dim truth. */
+  private def DimAblationSql(dims: Seq[Int], k: Int): String = {
+    def topk(d: Int) =
+      s"""SELECT $d::BIGINT AS dim, qid, cid FROM (
+         |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY round(list_cosine_similarity(
+         |      (q.embedding::DOUBLE[])[1:$d], (c.embedding::DOUBLE[])[1:$d]), 4)
+         |      DESC, c.cid) AS rn
+         |  FROM q CROSS JOIN c) WHERE rn <= $k""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id >= 5),
+       |ft AS (SELECT qid, cid FROM (
+       |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY round(list_cosine_similarity(
+       |      q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC, c.cid) AS rn
+       |  FROM q CROSS JOIN c) WHERE rn <= $k),
+       |tr AS (${dims.map(topk).mkString("\nUNION ALL\n")})
+       |SELECT tr.dim, tr.qid,
+       |  sum(CASE WHEN ft.cid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap
+       |FROM tr LEFT JOIN ft ON tr.qid = ft.qid AND tr.cid = ft.cid
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Unrolled k-core peel replay: per round, a degree count and two
+    * survivor joins — the same synchronous removal the engine runs. */
+  private def KCoreSql(k: Int, rounds: Int): String = {
+    def round(i: Int): String = {
+      val prev = s"e${i - 1}"
+      s"""d$i AS (SELECT src, count(*) AS n FROM $prev GROUP BY 1),
+         |k$i AS (SELECT src FROM d$i WHERE n >= $k),
+         |e$i AS (SELECT p.src, p.dst FROM $prev p
+         |  JOIN k$i a ON p.src = a.src JOIN k$i b ON p.dst = b.src)""".stripMargin
+    }
+    s"""WITH items AS (SELECT l_orderkey AS ord, l_partkey AS pk FROM lineitem),
+       |e AS (SELECT a.pk AS pa, b.pk AS pb
+       |  FROM items a JOIN items b ON a.ord = b.ord AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+       |${(1 to rounds).map(round).mkString(",\n")},
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS degree
+       |  FROM e$rounds GROUP BY 1),
+       |u AS (SELECT coalesce(max(CASE WHEN degree < $k THEN 1 ELSE 0 END), 0) AS u
+       |  FROM deg)
+       |SELECT deg.node, deg.degree, (u.u = 0) AS stable
+       |FROM deg CROSS JOIN u ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled synchronous LPA replay: per round, (node, label) weight
+    * sums then argmax-with-min-label-tie-break via row_number — the
+    * same (−w, lab) ordering the engine's min(struct) computes. */
+  private def LpaSql(iters: Int): String = {
+    def round(i: Int): String = {
+      val prev = s"l${i - 1}"
+      s"""b$i AS (
+         |  SELECT ed.dst AS node, p.lab, sum(ed.w) AS lw
+         |  FROM ed JOIN $prev p ON ed.src = p.node GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT n.node, coalesce(t.lab, p.lab) AS lab
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT node, lab FROM (
+         |      SELECT node, lab,
+         |        row_number() OVER (PARTITION BY node ORDER BY lw DESC, lab) AS rn
+         |      FROM b$i) WHERE rn = 1) t ON n.node = t.node
+         |  JOIN $prev p ON n.node = p.node)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT 'u:' || user_id::VARCHAR AS src, 't:' || event_type AS dst,
+       |         count(*) AS w
+       |  FROM events GROUP BY 1, 2),
+       |ed AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed
+       |          UNION SELECT DISTINCT dst FROM ed),
+       |l0 AS (SELECT node, node AS lab FROM nodes),
+       |${(1 to iters).map(round).mkString(",\n")},
+       |sz AS (SELECT lab, count(*)::BIGINT AS n_members FROM l$iters GROUP BY 1)
+       |SELECT l.node, l.lab, sz.n_members
+       |FROM l$iters l JOIN sz USING (lab) ORDER BY l.node""".stripMargin
   }
 
   /** Shared DuckDB replay of the stopword-hit language-ID heuristic:

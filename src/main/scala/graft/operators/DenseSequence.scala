@@ -35,4 +35,42 @@ object DenseSequence {
     }
     spark.createDataFrame(indexed, sorted.schema.add(seqCol, LongType, nullable = false))
   }
+
+  /** Appends the INCLUSIVE running total of `value` in the total order
+    * given by `order` — `sum(v) OVER (ORDER BY …)` without the
+    * partitionless window. Same two-pass shape as [[withSeq]]: a
+    * range-partitioned global sort (parallel), one lightweight job
+    * collecting ONE long per partition (the per-partition sum — a
+    * bounded #partitions-sized driver array, the zipWithIndex
+    * pattern), then each partition prefixes locally from its offset.
+    * The global-layout primitive under token-level sequence packing
+    * and file-layout planning. */
+  def withRunningTotal(df: DataFrame, order: Seq[Column], value: Column,
+      totalCol: String = "running_total"): DataFrame = {
+    require(!df.columns.contains(totalCol),
+      s"input already has a '$totalCol' column — pass a different totalCol")
+    require(!df.columns.contains("_rt_v"), "input may not have an '_rt_v' column")
+    val spark = df.sparkSession
+    val sorted = df.withColumn("_rt_v", value.cast("long")).orderBy(order: _*)
+    val rdd = sorted.rdd
+    val vIdx = sorted.schema.fieldIndex("_rt_v")
+    // pass 1 (eager, lightweight): one long per partition. The sorted
+    // RDD re-evaluates on consumption exactly like withSeq's
+    // zipWithIndex — `order` must be a total order, so the re-sort is
+    // bit-identical; cache the input upstream if the double scan hurts.
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val summed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { row =>
+        acc += row.getLong(vIdx)
+        Row.fromSeq(row.toSeq.dropRight(1) :+ acc)
+      }
+    }
+    spark.createDataFrame(summed,
+      org.apache.spark.sql.types.StructType(
+        sorted.schema.fields.dropRight(1)).add(totalCol, LongType, nullable = false))
+  }
 }

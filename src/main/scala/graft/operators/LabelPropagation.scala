@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** G8 — label-propagation community detection (Raghavan et al. 2007)
+  * over the co-observation graph (`README.md:16-19` declares interest/
+  * habit correlation; communities of devices and networks that keep
+  * appearing together are its graph-native form).
+  *
+  * SYNCHRONOUS schedule with a deterministic tie-break, so the result
+  * is a pure function of the graph — async LPA (the paper's default)
+  * is visit-order-dependent, which an oracle-checked engine cannot
+  * ship. Each round every node adopts the label with the greatest
+  * summed incident edge weight among its neighbors, ties broken by the
+  * smallest label:
+  *
+  *   lab₀(v)   = v
+  *   labᵢ₊₁(v) = lab of min over neighbor labels of (−Σw, lab)
+  *
+  * Fixed `iters` rounds — convergence detection would be a per-round
+  * driver-side action; a fixed unroll is one lazy plan, replayable and
+  * bounded (the pageRankFixed posture; oscillation on bipartite graphs
+  * makes "run to convergence" ill-defined for sync LPA anyway).
+  *
+  * 100 TB shape: per round, one edges⋈labels equi join plus two
+  * map-combined aggregates keyed on the node. The (node, label)
+  * partial aggregate collapses parallel edges and label multiplicity
+  * BEFORE the node-level argmin — shuffle volume is bounded by label
+  * diversity per node, not edge count. The static edge side is
+  * hash-partitioned on src once and materialized via [[Checkpoint]]
+  * (local blocks here; reliable dir at fleet scale): every unrolled
+  * round re-exchanges only the |V|-sized label table.
+  */
+object LabelPropagation {
+
+  /** `edges` must already contain both directions for an undirected
+    * graph (the caller symmetrizes, as with [[PageRank]]). Returns
+    * (node, lab) after `iters` synchronous rounds. */
+  def labelPropagationFixed(edges: DataFrame, src: String, dst: String,
+      weight: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"),
+        col(weight).cast("long").as("w"))
+      .repartition(col("src")).transform(Checkpoint.apply)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .transform(Checkpoint.apply)
+    var labels = nodes.withColumn("lab", col("node"))
+    for (_ <- 1 to iters) {
+      val best = e
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("lab"))
+        .agg(sum("w").as("lw"))
+        // argmin of (−weight, label): max weight, then smallest label —
+        // a single aggregate, no per-node window
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("lw")).as("nw"), col("lab"))).as("top"))
+        .select(col("dst").as("node"), col("top.lab").as("_nl"))
+      // isolated nodes (none, once symmetrized — but stay honest for
+      // directed inputs) keep their previous label
+      labels = labels.join(best, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("_nl"), col("lab")).as("lab"))
+    }
+    labels
+  }
+}

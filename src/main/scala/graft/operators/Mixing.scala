@@ -116,6 +116,21 @@ object Mixing {
     DenseSequence.withSeq(df,
       Seq(md5(concat_ws("", key.cast("string"), lit(salt))), key), seqCol)
 
+  /** MIX6 — curriculum ordering (Bengio et al. 2009 applied to corpus
+    * scheduling): a global training order that consumes difficulty
+    * bands easiest-first while the order WITHIN each band stays a
+    * deterministic shuffle — ramp without monotone-difficulty
+    * pathologies (each band is still i.i.d.-looking). Same
+    * [[DenseSequence]] machinery as [[deterministicShuffle]] with the
+    * band prepended to the sort key: range-partition sort + per-
+    * partition offsets, no partitionless window, position a pure
+    * function of (band, key, salt) — resumable and shardable at
+    * 100 TB. */
+  def curriculumOrder(df: DataFrame, band: Column, key: Column,
+      salt: String = "", seqCol: String = "pos"): DataFrame =
+    DenseSequence.withSeq(df,
+      Seq(band, md5(concat_ws("", key.cast("string"), lit(salt))), key), seqCol)
+
   /** MIX — token-budget allocation by water-filling: split a global
     * token budget across sources proportionally to temperature-
     * flattened weights (w_s = ⌊√n_s·10⁶⌋, the T=0.5 recipe — bit-exact

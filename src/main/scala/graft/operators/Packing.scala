@@ -43,4 +43,50 @@ object Packing {
       .drop("_start")
       .withColumnRenamed("_n_tokens", "n_tokens")
   }
+
+  /** PACK2 — token-level SEQUENCE packing (the actual pretraining data
+    * layout): concatenate all docs in one explicit GLOBAL total order
+    * and cut the token stream into fixed `seqLen` windows; a document
+    * crossing a boundary SPLITS, emitting one row per (sequence, doc)
+    * overlap with the in-sequence token range it occupies. [[packBins]]
+    * assigns whole docs to budget windows; this materializes the
+    * per-sequence layout those windows imply — what the training-data
+    * loader actually reads.
+    *
+    * 100 TB shape: the global cumulative position comes from
+    * [[DenseSequence.withRunningTotal]] (range sort + per-partition
+    * offsets — no partitionless window), then everything is map-only
+    * integer arithmetic: each doc explodes into only the sequences it
+    * touches (fan-out = ceil(len/seqLen) + 1 worst case), so output is
+    * O(tokens/seqLen + docs) rows. Deterministic by construction —
+    * shards can be cut independently and re-verified byte-for-byte. */
+  def packSequences(docs: DataFrame, order: Seq[Column], tokens: Column,
+      seqLen: Long, idCols: Seq[String]): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive (got $seqLen)")
+    require(order.nonEmpty, "order columns must be non-empty")
+    Seq("seq_id", "n_from_doc", "doc_tok_start", "seq_tok_start",
+      "is_doc_head", "is_doc_tail", "_cum_end").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"input already has a '$c' column — packSequences would shadow it"))
+    val withCum = DenseSequence.withRunningTotal(
+      docs.select(idCols.map(col) :+ tokens.cast("long").as("_n_toks"): _*),
+      order.map(c => c), col("_n_toks"), totalCol = "_cum_end")
+    withCum
+      .filter(col("_n_toks") > 0)
+      .withColumn("_cum_start", col("_cum_end") - col("_n_toks"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_cum_start DIV ${seqLen}L"),
+        expr(s"(_cum_end - 1) DIV ${seqLen}L"))))
+      .select(
+        (idCols.map(col) :+
+          col("seq_id") :+
+          (least(col("_cum_end"), (col("seq_id") + 1) * seqLen) -
+            greatest(col("_cum_start"), col("seq_id") * seqLen)).as("n_from_doc") :+
+          (greatest(col("_cum_start"), col("seq_id") * seqLen) -
+            col("_cum_start")).as("doc_tok_start") :+
+          (greatest(col("_cum_start"), col("seq_id") * seqLen) -
+            col("seq_id") * seqLen).as("seq_tok_start") :+
+          (col("_cum_start") >= col("seq_id") * seqLen).as("is_doc_head") :+
+          (col("_cum_end") <= (col("seq_id") + 1) * seqLen).as("is_doc_tail")): _*)
+  }
 }

@@ -49,4 +49,34 @@ object Profile {
         col(s"_max_$c").as("max_val"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Q3b — profile DRIFT between two snapshots of the same table (the
+    * per-ingest-batch health gate: "did yesterday's load change the
+    * shape of this table?"). Two [[profile]] passes joined on the
+    * column name — still one scan per side, and the join input is
+    * column-count-sized, so the report costs two aggregates no matter
+    * the table size. Null rates compare in integer ppm (floor — exact
+    * and engine-replayable; NULL for an empty side rather than a
+    * divide-by-zero, the Quality.validate posture); min/max movement
+    * is a null-safe string inequality, so a type-agnostic report row
+    * works for every column. */
+  def profileDrift(before: DataFrame, after: DataFrame,
+      columns: Seq[String] = Seq.empty): DataFrame = {
+    def ppm(nNull: Column, nRows: Column): Column =
+      when(nRows > 0,
+        floor(nNull.cast("double") * lit(1000000.0) / nRows.cast("double"))
+          .cast("long"))
+    val pa = profile(before, columns)
+    val pb = profile(after, columns)
+    pa.as("a").join(pb.as("b"), Seq("col_name"))
+      .select(col("col_name"),
+        col("a.n_rows").as("n_rows_before"),
+        col("b.n_rows").as("n_rows_after"),
+        ppm(col("a.n_null"), col("a.n_rows")).as("null_ppm_before"),
+        ppm(col("b.n_null"), col("b.n_rows")).as("null_ppm_after"),
+        col("a.n_distinct").as("n_distinct_before"),
+        col("b.n_distinct").as("n_distinct_after"),
+        not(col("a.min_val") <=> col("b.min_val")).as("min_changed"),
+        not(col("a.max_val") <=> col("b.max_val")).as("max_changed"))
+  }
 }

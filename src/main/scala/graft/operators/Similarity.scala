@@ -95,4 +95,33 @@ object Similarity {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** L3h — dimensionality-ablation report (the matryoshka-embedding
+    * eval, Kusupati et al. 2022): re-rank with PREFIX-truncated vectors
+    * and count, per (prefix dim, query), how many of the full-dimension
+    * top-k survive. The table that decides how many dimensions a 100 TB
+    * index actually needs — truncating the stored vectors is a 1/(d/D)
+    * storage and bandwidth cut, and this report prices its recall cost
+    * exactly. Overlap counts are integers (engine-replayable; no
+    * float-mean drift); the full-dim row (d = D) reports k by
+    * construction — a built-in sanity check. Plan shape: one
+    * broadcast-scored ranking per dim (the [[bruteForceTopK]] shape —
+    * corpus scanned once per dim, embeddings never shuffle), then one
+    * slim (dim, qid, cid) join against the full-dim truth. */
+  def dimAblation(queries: DataFrame, candidates: DataFrame,
+      dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty, "dimAblation needs at least one prefix dim")
+    require(dims.forall(_ >= 1), s"dims must be >= 1 (got $dims)")
+    val full = bruteForceTopK(queries, candidates, k)
+      .select(col("qid"), col("cid")).withColumn("_hit", lit(1))
+    dims.map { d =>
+      val qd = queries.withColumn("embedding", slice(col("embedding"), 1, d))
+      val cd = candidates.withColumn("embedding", slice(col("embedding"), 1, d))
+      bruteForceTopK(qd, cd, k)
+        .select(lit(d).cast("long").as("dim"), col("qid"), col("cid"))
+    }.reduce(_ unionByName _)
+      .join(full, Seq("qid", "cid"), "left")
+      .groupBy("dim", "qid")
+      .agg(sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_overlap"))
+  }
 }

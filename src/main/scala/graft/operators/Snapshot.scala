@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -143,6 +143,20 @@ object Snapshot {
       .select(col(key), col(state), col("valid_from"), col("valid_to"),
         col("n_events"))
   }
+
+  /** W11b — AS-OF reconstruction (the time-travel read over [[scd2]]'s
+    * interval table): the state of every key at instant `at` is the
+    * interval containing it — valid_from ≤ at < valid_to (open current
+    * intervals have NULL valid_to and match any later instant). One
+    * codegen'd filter over the interval table: at 100 TB the SCD2 table
+    * is run-count-sized (≪ event count) and, date-partitioned on
+    * valid_from, the read prunes to intervals opened before `at` — a
+    * time-travel query that costs a pruned scan, no joins, no windows.
+    * At most one row per key by scd2's construction (intervals per key
+    * partition time). */
+  def asOf(scd2Rows: DataFrame, at: Column): DataFrame =
+    scd2Rows.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || at < col("valid_to")))
 
   /** T9 — incremental aggregate maintenance (IVM for distributive
     * aggregates): given the persisted per-key state (`n`, `vsum`) of a

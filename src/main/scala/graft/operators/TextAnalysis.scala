@@ -358,6 +358,49 @@ object TextAnalysis {
     * pre-aggregates (doc, gram) multiplicity before the model join, so
     * join input is distinct grams per doc, not raw token positions, and
     * the vocab scalar enters as a 1-row broadcast, never an action. */
+  /** L4t — per-source unigram KL divergence vs the corpus-wide token
+    * distribution: the mixing diagnostic that says WHICH sources pull
+    * the blend off-distribution and by how much (a16's TVD compares
+    * two snapshots of one categorical; this compares every source's
+    * whole vocabulary against the pooled corpus). Add-one smoothing on
+    * both sides; reported as the scaled integer
+    *
+    *   kl_scaled_micro(s) = Σ_t c_st · ⌊ln( ((c_st+1)·(N_c+V)) /
+    *                                        ((c_ct+1)·(N_s+V)) )·10⁶⌋
+    *
+    * (≈ N_s·KL(p_s‖p_c) in micro-nats — per-token floors BEFORE the
+    * weighted sum, so the score is an exact order-free integer), plus
+    * the per-source normalization ⌊scaled/N_s⌋ ≈ KL in micro-nats.
+    *
+    * 100 TB shape: two map-combined token-count aggregates (per-source
+    * and pooled) joined on the token key — vocabulary-sized, never
+    * row-sized; per-source totals broadcast (|sources| rows); the
+    * pooled total + vocab size is a 1-row scalar join. */
+  def unigramKl(docs: DataFrame, sourceCol: String = "source"): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("src"),
+      explode(tokens(col("text"))).as("t"))
+    val st = tok.groupBy("src", "t").agg(count(lit(1)).as("c_st"))
+    val ct = tok.groupBy("t").agg(count(lit(1)).as("c_ct"))
+    val ns = st.groupBy("src").agg(sum("c_st").as("n_s"),
+      count(lit(1)).as("n_distinct_toks"))
+    val scal = ct.agg(sum("c_ct").as("n_c"), count(lit(1)).as("v"))
+    st.join(ct, "t")
+      .join(broadcast(ns), "src")
+      .crossJoin(broadcast(scal))
+      .withColumn("_lr_micro",
+        floor(log(((col("c_st") + 1) * (col("n_c") + col("v"))).cast("double") /
+          ((col("c_ct") + 1) * (col("n_s") + col("v"))).cast("double"))
+          * lit(1000000.0)).cast("long"))
+      .groupBy("src")
+      .agg(first("n_s").as("n_tokens"),
+        first("n_distinct_toks").as("n_distinct_toks"),
+        sum(col("c_st") * col("_lr_micro")).as("kl_scaled_micro"))
+      .withColumn("kl_micro",
+        floor(col("kl_scaled_micro").cast("double") /
+          col("n_tokens").cast("double")).cast("long"))
+      .withColumnRenamed("src", sourceCol)
+  }
+
   def lmScore(corpus: DataFrame, reference: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val n1 = greatest(size(toks) - 1, lit(0))

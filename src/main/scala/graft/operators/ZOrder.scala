@@ -73,4 +73,36 @@ object ZOrder {
       .sortWithinPartitions("_z")
       .drop("_z")
   }
+
+  /** O4c — zone-map effectiveness report: the number a layout decision
+    * is actually judged by. Cut the table into `nFiles` equal-row files
+    * in the given total `order` (the simulated write layout), record
+    * each file's (min, max) of the `probe` column — its zone map — and
+    * flag which files a range predicate probe ∈ [lo, hi] skips without
+    * reading ("can_skip" ⇔ the file's zone misses the range). Run once
+    * per candidate layout and compare skip counts: THE empirical
+    * answer to "did z-ordering/Hilbert-clustering pay for itself?".
+    *
+    * Shape: one [[DenseSequence.withSeq]] global layout sort (range-
+    * partitioned — no partitionless window), the 1-row total as a
+    * broadcast scalar join, then one map-combined groupBy on file_id;
+    * balanced file cuts via (pos−1)·nFiles DIV n — integer-exact at any
+    * row count. */
+  def zoneMapReport(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      probe: org.apache.spark.sql.Column, nFiles: Int,
+      lo: Long, hi: Long): DataFrame = {
+    require(nFiles >= 1, s"nFiles must be >= 1 (got $nFiles)")
+    require(lo <= hi, s"empty probe range [$lo, $hi]")
+    val seqd = DenseSequence.withSeq(
+      df.withColumn("_zm_p", probe.cast("long")), order, seqCol = "_zm_pos")
+    val total = seqd.groupBy().agg(count(lit(1)).as("_n"))
+    seqd.crossJoin(broadcast(total))
+      .withColumn("file_id", expr(s"((_zm_pos - 1) * ${nFiles}L) DIV _n"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("_zm_p")).as("min_probe"),
+        max(col("_zm_p")).as("max_probe"))
+      .withColumn("can_skip",
+        col("max_probe") < lit(lo) || col("min_probe") > lit(hi))
+  }
 }

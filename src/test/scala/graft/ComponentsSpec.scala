@@ -308,6 +308,45 @@ class ComponentsSpec extends SparkTestBase {
       assert(got(v) == (("zenith labs", "zenith labs", 2L, 2L)), v)
   }
 
+  test("G8 LPA: two cliques with a weak bridge resolve to two communities") {
+    import spark.implicits._
+    val und = Seq(
+      ("a1", "a2", 10L), ("a1", "a3", 10L), ("a2", "a3", 10L),
+      ("b1", "b2", 10L), ("b1", "b3", 10L), ("b2", "b3", 10L),
+      ("a1", "b1", 1L)).toDF("u", "v", "w")
+    val dir = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .union(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val got = graft.operators.LabelPropagation
+      .labelPropagationFixed(dir, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // hand-traced sync rounds (weight argmax, min-label ties): the
+    // cliques converge to their min member; the weak bridge never wins
+    assert(Seq("a1", "a2", "a3").forall(got(_) == "a1"), got)
+    assert(Seq("b1", "b2", "b3").forall(got(_) == "b1"), got)
+    // deterministic: a second run is identical
+    val again = graft.operators.LabelPropagation
+      .labelPropagationFixed(dir, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == again)
+  }
+
+  test("G9 k-core: a clique survives the peel, pendant chains dissolve") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + a chain 4–5–6 hanging off it
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val dir = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+    val got = graft.operators.KCore.kCoreFixed(dir, "src", "dst", k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // the chain peels (6 first, then 5); the clique keeps degree 3
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), got)
+    assert(got.values.forall(_ == ((3L, true))), s"converged 3-core expected: $got")
+    // k above the clique degree empties the graph
+    assert(graft.operators.KCore.kCoreFixed(dir, "src", "dst", k = 4, rounds = 4)
+      .count() == 0L)
+  }
+
   private def ts(s: Long) =
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
 }

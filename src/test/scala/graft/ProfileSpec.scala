@@ -24,4 +24,23 @@ class ProfileSpec extends SparkTestBase {
     assert(Profile.profile(df, Seq("s")).count() == 1)
     intercept[IllegalArgumentException](Profile.profile(df, Seq("nope")))
   }
+
+  test("profileDrift: planted null drift fires, stable columns stay quiet, empty side is NULL not crash") {
+    val before = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("a")), (4L, Some("b")))
+      .toDF("id", "s")
+    val after = Seq((5L, Some("a")), (6L, None), (7L, None), (8L, Some("b")))
+      .toDF("id", "s")
+    val got = Profile.profileDrift(before, after).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s = got("s")
+    assert(s.getLong(3) == 0L && s.getLong(4) == 500000L,
+      "null ppm must move 0 → 500000 for the dirtied column")
+    val id = got("id")
+    assert(id.getLong(3) == 0L && id.getLong(4) == 0L)
+    assert(id.getBoolean(7) && id.getBoolean(8), "id min/max shift with the window")
+    // empty after-side: ppm NULL (defined absence), report still emits
+    val drift = Profile.profileDrift(before, before.limit(0)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(drift("s").isNullAt(4) && drift("s").getLong(2) == 0L)
+  }
 }

@@ -98,4 +98,26 @@ class QualitySpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Quality.referentialIntegrity(Seq.empty))
   }
+
+  test("L4t unigram KL: an on-distribution source scores ~0, a divergent one scores high") {
+    val docs = Seq(
+      (1L, "a", "x x y y"), (2L, "a", "x y x y"),   // source a ≈ pooled mix
+      (3L, "b", "x x y y"),                          // source b ≈ pooled mix
+      (4L, "c", "z z z z z z z z")                   // source c: alien vocab
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.TextAnalysis.unigramKl(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // c's tokens are rare in the pool relative to within-c → the alien
+    // source diverges far beyond the in-mix ones (absolute values are
+    // smoothing-inflated on a 20-token fixture; the ORDERING is the
+    // contract, with a clear margin)
+    assert(got("c")._4 > (got("a")._4 max got("b")._4) * 3 / 2, got)
+    assert(got("a")._1 == 8L && got("c")._1 == 8L) // token totals
+    assert(got("c")._2 == 1L, "alien source has a single distinct token")
+    // determinism
+    assert(got == graft.operators.TextAnalysis.unigramKl(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap)
+  }
 }

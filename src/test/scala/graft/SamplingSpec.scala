@@ -74,6 +74,43 @@ class SamplingSpec extends SparkTestBase {
       graft.operators.Packing.packBins(docs, "lang", Seq(col("doc_id")), col("n"), 0L))
   }
 
+  test("packSequences: boundary-crossing docs split with exact token ranges; conservation holds") {
+    val docs = Seq(
+      (1L, 100L), (2L, 500L),  // doc 2 crosses the 512 boundary (100..600)
+      (3L, 0L),                // empty doc: no sequence rows
+      (4L, 1200L))             // spans sequences 1..3 (600..1800)
+      .toDF("doc_id", "n")
+    val got = graft.operators.Packing
+      .packSequences(docs, Seq(col("doc_id")), col("n"), seqLen = 512L,
+        idCols = Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))))
+      .toMap
+    // hand layout: d1 [0,100) seq0; d2 [100,600) seq0+seq1; d4 [600,1800) seq1..3
+    assert(got((1L, 0L)) == ((100L, 0L, 0L, true, true)))
+    assert(got((2L, 0L)) == ((412L, 0L, 100L, true, false)))
+    assert(got((2L, 1L)) == ((88L, 412L, 0L, false, true)))
+    assert(got((4L, 1L)) == ((424L, 0L, 88L, true, false)))
+    assert(got((4L, 2L)) == ((512L, 424L, 0L, false, false)))
+    assert(got((4L, 3L)) == ((264L, 936L, 0L, false, true)))
+    assert(!got.keySet.exists(_._1 == 3L), "empty docs emit no rows")
+    // token conservation: per-doc splits sum to the doc's token count
+    val sums = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._1).sum).toMap
+    assert(sums == Map(1L -> 100L, 2L -> 500L, 4L -> 1200L))
+  }
+
+  test("withRunningTotal matches a sequential fold at every row") {
+    val df = pop.toDF("id", "lang").withColumn("v", (col("id") % 7L) + 1L)
+    val got = graft.operators.DenseSequence
+      .withRunningTotal(df, Seq(col("id")), col("v"), "rt")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rt")).toMap
+    var acc = 0L
+    (0L until 4000L).foreach { i =>
+      acc += (i % 7L) + 1L
+      assert(got(i) == acc, s"running total diverged at id=$i")
+    }
+  }
+
   test("edge fractions: 0.0 keeps nothing, 1.0 keeps everything") {
     assert(Sampling.hashSample(pop, col("id"), 0.0).count() == 0L)
     assert(Sampling.hashSample(pop, col("id"), 1.0).count() == 4000L)
@@ -352,6 +389,25 @@ class SamplingSpec extends SparkTestBase {
     val again = Mixing.dsirSelect(corpus, target, "text", nBuckets = 16)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got == again)
+  }
+
+  test("curriculumOrder: bands consume easiest-first, within-band order is shuffled") {
+    val df = pop.toDF("id", "lang")
+      .withColumn("band", (col("id") / 1000L).cast("long"))
+    val got = Mixing.curriculumOrder(df, col("band"), col("id"), salt = "c")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // positions are a dense 1..N sequence
+    assert(got.map(_._3).sorted == (1L to 4000L))
+    // band boundaries are strict: every band-0 position < every band-1 position
+    val maxPosByBand = got.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minPosByBand = got.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    for (b <- 0L to 2L) assert(maxPosByBand(b) < minPosByBand(b + 1))
+    // within a band the order is NOT id order (it's the salted shuffle)
+    val band0 = got.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(band0 != band0.sorted, "within-band order must be shuffled")
+    // deterministic
+    assert(got.toSet == Mixing.curriculumOrder(df, col("band"), col("id"), salt = "c")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet)
   }
 
   test("upsample: integer rates exact, fractional rates mean-correct, replicas stable") {

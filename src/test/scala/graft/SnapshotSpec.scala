@@ -123,6 +123,26 @@ class SnapshotSpec extends SparkTestBase {
       (2L, "cafe", ts("2024-01-02 09:00:00"), None, 1L)))
   }
 
+  test("W11b asOf: boundary-exact time travel over the interval table") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "home", 1L),
+      (1L, ts("2024-01-01 12:00:00"), "work", 2L),
+      (2L, ts("2024-01-02 09:00:00"), "cafe", 3L))
+      .toDF("user_id", "ts", "state", "event_id")
+    val iv = Snapshot.scd2(e, "user_id", "ts", "state", "event_id")
+    def stateAt(t: String): Map[Long, String] =
+      Snapshot.asOf(iv, lit(ts(t)))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // before anyone exists
+    assert(stateAt("2024-01-01 09:00:00") == Map.empty)
+    // valid_from is INCLUSIVE: at exactly 10:00 user 1 is home
+    assert(stateAt("2024-01-01 10:00:00") == Map(1L -> "home"))
+    // valid_to is EXCLUSIVE: at exactly 12:00 user 1 is already at work
+    assert(stateAt("2024-01-01 12:00:00") == Map(1L -> "work"))
+    // open intervals match any later instant; at most one row per key
+    assert(stateAt("2024-02-01 00:00:00") == Map(1L -> "work", 2L -> "cafe"))
+  }
+
   test("scd2: consecutive NULL states form ONE interval (IS DISTINCT FROM semantics)") {
     val e = Seq(
       (1L, ts("2024-01-01 10:00:00"), Option.empty[String], 1L),

@@ -91,4 +91,21 @@ class ZOrderSpec extends SparkTestBase {
     assert(maxStep(hw) == 1L, "hilbert must never jump")
     assert(maxStep(zw) > 1L, "morton's seam jumps are the point of contrast")
   }
+
+  test("O4c zoneMapReport: clustered layout skips, arrival layout reads everything") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => (i, i % 10L)).toDF("id", "u")
+    def skips(order: Seq[org.apache.spark.sql.Column]): (Long, Long) = {
+      val rep = ZOrder.zoneMapReport(rows, order, col("u"),
+        nFiles = 5, lo = 0L, hi = 1L).collect()
+      (rep.length.toLong, rep.count(_.getAs[Boolean]("can_skip")).toLong)
+    }
+    // arrival order: every 20-row file sees u 0..9 — nothing skips
+    assert(skips(Seq(col("id"))) == ((5L, 0L)))
+    // clustered by u: files are contiguous u-ranges {0,1},{2,3},… —
+    // the predicate u ∈ [0,1] reads ONE file, skips four
+    assert(skips(Seq(col("u"), col("id"))) == ((5L, 4L)))
+    intercept[IllegalArgumentException](
+      ZOrder.zoneMapReport(rows, Seq(col("id")), col("u"), 0, 0L, 1L))
+  }
 }
