@@ -1345,6 +1345,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")),
 
+    // ---- A24: exact weighted median per group (weights = replication
+    //      factor; lower-median definition, tie-safe) ----
+    "a24_weighted_median" -> ((s, d) =>
+      graft.operators.WeightedStats.weightedMedian(
+        ev(s, d), "event_type", col("value"), (col("user_id") % 5) + 1)
+        .orderBy("event_type")),
+
+    // ---- A25: Benford first-digit audit over the measure column —
+    //      observed vs expected in integer micro-counts; digit from the
+    //      string rendering, no log on the data path ----
+    "a25_benford" -> ((s, d) =>
+      graft.operators.WeightedStats.benfordAudit(ev(s, d), col("value"))
+        .orderBy("digit")),
+
     // ---- A8c: mergeable histogram quantiles — p50/p90/p99 per event
     //      type from an equi-width integer-count state; estimate within
     //      one bin width of exact, STRUCTURALLY (not probabilistically),
@@ -2027,6 +2041,12 @@ object SparkEntry {
     //      share of a doc's bigrams outside the top-1000 LM) ----
     "l4n_oov_rate" -> ((s, d) =>
       TextAnalysis.oovBigramRate(Tables.spread(Tables.documents(s, d)), lmSize = 1000)
+        .orderBy("doc_id")),
+
+    // ---- L4w: Flesch readability (vowel-group syllable heuristic,
+    //      terminator-run sentences, integer milli floor) ----
+    "l4w_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.spread(Tables.documents(s, d)))
         .orderBy("doc_id")),
 
     // ---- L4t: per-source unigram KL vs the pooled corpus — which
@@ -3654,6 +3674,33 @@ object SparkEntry {
         | count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    "a24_weighted_median" ->
+      """WITH c AS (
+        |  SELECT event_type, value AS v, (user_id % 5 + 1)::BIGINT AS w,
+        |    sum((user_id % 5 + 1)::BIGINT) OVER
+        |      (PARTITION BY event_type ORDER BY value
+        |       ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum((user_id % 5 + 1)::BIGINT) OVER (PARTITION BY event_type) AS totw
+        |  FROM events)
+        |SELECT event_type, min(v) AS weighted_median,
+        |  min(totw)::BIGINT AS total_weight
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "a25_benford" ->
+      """WITH d AS (SELECT regexp_extract(value::VARCHAR, '[1-9]') AS digit
+        |  FROM events),
+        |c AS (SELECT digit, count(*)::BIGINT AS n_observed FROM d
+        |  WHERE digit <> '' GROUP BY 1),
+        |t AS (SELECT sum(n_observed)::BIGINT AS n FROM c)
+        |SELECT digit, n_observed,
+        |  floor(t.n::DOUBLE * (ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0))
+        |    * 1000000.0)::BIGINT AS n_expected_micro,
+        |  (n_observed * 1000000 - floor(t.n::DOUBLE *
+        |    (ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0)) * 1000000.0)::BIGINT)::BIGINT
+        |    AS deviation_micro
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+
     "w5_rank_family" ->
       """SELECT user_id, event_id,
         | ntile(4) OVER w::BIGINT AS quartile,
@@ -4465,6 +4512,21 @@ object SparkEntry {
          |  round(n_oov::DOUBLE / n_bigrams, 4) + 0.0 AS oov_rate
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "l4w_readability" ->
+      s"""SELECT doc_id,
+         |  (CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT
+         |        ELSE len($ToksSql)::BIGINT END) AS n_words,
+         |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+         |  len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables,
+         |  CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($ToksSql) END) > 0
+         |    THEN floor((206.835
+         |      - 1.015 * ((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($ToksSql) END)::DOUBLE
+         |          / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE)
+         |      - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+         |          / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($ToksSql) END)::DOUBLE))
+         |      * 1000.0)::BIGINT END AS flesch_milli
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "l4t_unigram_kl" ->
       s"""WITH tok AS (SELECT source AS src, unnest($ToksSql) AS t FROM documents),

@@ -358,6 +358,30 @@ object TextAnalysis {
     * pre-aggregates (doc, gram) multiplicity before the model join, so
     * join input is distinct grams per doc, not raw token positions, and
     * the vocab scalar enters as a 1-row broadcast, never an action. */
+  /** L4w — readability scoring (Flesch reading ease with the standard
+    * vowel-GROUP syllable heuristic): the grade-level quality feature
+    * every curation stack keeps next to length/punct ratios. Sentences
+    * count as terminator RUNS (one regexp_count — "?!" is one
+    * boundary), clamped to ≥1 so fragment docs score rather than
+    * divide by zero. The score lands as an integer milli-unit floor:
+    * two exact integer→double divisions and two multiplications, all
+    * correctly-rounded IEEE — engine-replayable. Map-only, codegen'd:
+    * three regex passes per row inside the scan, no shuffle. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = tokenCount(col("text")).cast("long")
+    val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val syllables = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    docs.select(col("doc_id"), words.as("n_words"), sentences.as("n_sentences"),
+      syllables.as("n_syllables"),
+      when(words > 0,
+        floor((lit(206.835)
+          - lit(1.015) * (words.cast("double") / sentences.cast("double"))
+          - lit(84.6) * (syllables.cast("double") / words.cast("double")))
+          * lit(1000.0)).cast("long"))
+        .as("flesch_milli"))
+  }
+
   /** L4t — per-source unigram KL divergence vs the corpus-wide token
     * distribution: the mixing diagnostic that says WHICH sources pull
     * the blend off-distribution and by how much (a16's TVD compares

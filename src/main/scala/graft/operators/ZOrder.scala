@@ -40,21 +40,14 @@ object ZOrder {
     * same aliasing contract as [[zValue]]. */
   def hilbertIndex(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31] (got $bits)")
-    var xc = x.cast("long"); var yc = y.cast("long"); var d = lit(0L)
-    for (i <- (bits - 1) to 0 by -1) {
-      val s = 1L << i
-      val rx = when(xc.bitwiseAND(lit(s)) > 0L, lit(1L)).otherwise(lit(0L))
-      val ry = when(yc.bitwiseAND(lit(s)) > 0L, lit(1L)).otherwise(lit(0L))
-      d = d + lit(s) * lit(s) * ((lit(3L) * rx).bitwiseXOR(ry))
-      // rotate the quadrant: flip when rx=1, then swap — folded into
-      // one conditional projection per coordinate
-      val nx = when(ry === 0L,
-        when(rx === 1L, lit(s - 1L) - yc).otherwise(yc)).otherwise(xc)
-      val ny = when(ry === 0L,
-        when(rx === 1L, lit(s - 1L) - xc).otherwise(xc)).otherwise(yc)
-      xc = nx; yc = ny
-    }
-    d
+    // NOT a Column-tree unroll: each level's rotated coordinate
+    // references BOTH prior coordinates, so an unrolled tree doubles
+    // per level (2^bits nested whens — measured 214 s on 60 k rows and
+    // an sf0.1 executor OOM before this was made a native expression).
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.HilbertIndexExpr(
+        org.apache.spark.sql.graft.Bridge.expression(x.cast("long")),
+        org.apache.spark.sql.graft.Bridge.expression(y.cast("long")), bits))
   }
 
   /** Range-partitions and sorts `df` along the z-curve of (x, y) —

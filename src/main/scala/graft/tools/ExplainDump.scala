@@ -151,7 +151,35 @@ object ExplainDump {
     "q6_erasure" -> ("Erasure propagation: the deletion batch "
       + "broadcasts once and every subject-keyed table is probed "
       + "map-side (BroadcastHashJoin + conditional count) — no fact "
-      + "table shuffles to honor a right-to-be-forgotten sweep."))
+      + "table shuffles to honor a right-to-be-forgotten sweep."),
+    "j10_bloom_join" -> ("Explicit Bloom-pruned join: the build side "
+      + "collapses distributively into one serialized bloom "
+      + "(ObjectHashAggregate of bloom_filter_agg), which reaches the "
+      + "probe side as a scalar-subquery literal; the might_contain "
+      + "Filter sits directly on the lineitem scan, BEFORE its "
+      + "exchange — non-matching rows never ride the shuffle."),
+    "g8_lpa" -> ("Synchronous label propagation, 3 unrolled rounds: "
+      + "the static edge side is hash-partitioned and checkpointed "
+      + "once (Scan ExistingRDD); each round re-exchanges only the "
+      + "|V|-sized label table into the join, then two map-combined "
+      + "aggregates — the (dst, lab) partial sum and the min(struct) "
+      + "argmin — with no per-node window anywhere."),
+    "pack_sequences" -> ("Token-level sequence packing: the global "
+      + "cumulative position comes from a range-sorted RDD with "
+      + "per-partition offsets (Scan ExistingRDD — no partitionless "
+      + "window), and everything after is codegen'd integer "
+      + "arithmetic: a bounded sequence-explode into only the "
+      + "sequences each doc touches."),
+    "o4c_zonemap" -> ("Zone-map effectiveness: three layout sorts "
+      + "(each a range partitioning), each followed by the 1-row "
+      + "total as a broadcast scalar join and ONE map-combined "
+      + "groupBy on file_id — the report costs three sorts, not "
+      + "three shuffled joins."),
+    "l4s_lm_score" -> ("Bigram-LM scoring: the vocabulary-sized "
+      + "model joins on the gram key (AQE picks broadcast locally; "
+      + "sort-merge at scale), the doc side pre-aggregates (doc, "
+      + "gram) multiplicity BEFORE the model join, and the 1-row "
+      + "vocab scalar enters as a broadcast nested loop of one row."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Codegen'd vector expressions (see graft.functions.expressions
   * .VectorExpressions for the public Column API and rationale). Lives in
@@ -97,4 +97,54 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Hilbert curve index d(x, y) — the classic xy→d rotate-and-walk, as
+  * ONE imperative loop instead of a Column-tree unroll. The Column
+  * formulation doubles its expression tree every bit level (each
+  * round's rotated x references BOTH prior coordinates, so 8 levels ≈
+  * 2⁸ nested whens): codegen blows past JIT limits and evaluation
+  * re-walks exponential subtrees — measured 214 s on 60 k rows and an
+  * executor OOM at sf0.1. This expression is the same math at a few
+  * ns/row, inside whole-stage codegen. */
+case class HilbertIndexExpr(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1, 31] (got $bits)")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hilbert"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertIndexExpr.compute(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"org.apache.spark.sql.graft.HilbertIndexExpr.compute($x, $y, $bits)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object HilbertIndexExpr {
+  /** Identical per-level rotation to the (retired) Column unroll:
+    * ry=0 ∧ rx=1 → (x,y) ← (s−1−y, s−1−x); ry=0 ∧ rx=0 → swap. */
+  def compute(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1L - x; y = s - 1L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

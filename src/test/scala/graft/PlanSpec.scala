@@ -85,6 +85,9 @@ class PlanSpec extends SparkTestBase {
       // the 1-row fixpoint-stability flag broadcast onto the node-sized
       // degree table — scalar-join idiom
       "g9_kcore",
+      // the 1-row grand total broadcast onto the 9-row digit table —
+      // scalar-join idiom
+      "a25_benford",
       // same scalar-join idiom: the 1-row weight total crosses onto the
       // source-count table (source-dimension-sized, tiny) before the
       // rate table broadcasts back to the fact scan

@@ -99,6 +99,26 @@ class QualitySpec extends SparkTestBase {
       Quality.referentialIntegrity(Seq.empty))
   }
 
+  test("L4w readability: hand-computed Flesch, terminator runs, fragment clamp") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences, 6 syllables
+      (2L, "no terminator here"),          // fragment: sentences clamp to 1
+      (3L, "")                             // empty: zero words, NULL score
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readability(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val f1 = math.floor((206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)) * 1000.0).toLong
+    assert(got(1L) == ((6L, 2L, 6L, Some(f1))), got)
+    assert(got(2L)._2 == 1L, "fragments clamp to one sentence")
+    assert(got(3L) == ((0L, 1L, 0L, None)), "empty doc: no words, no score")
+    // "?!" is ONE boundary (a terminator RUN), not two sentences
+    val runs = Seq((1L, "What?! Really?!")).toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.readability(runs)
+      .collect().head.getLong(2) == 2L)
+  }
+
   test("L4t unigram KL: an on-distribution source scores ~0, a divergent one scores high") {
     val docs = Seq(
       (1L, "a", "x x y y"), (2L, "a", "x y x y"),   // source a ≈ pooled mix
