@@ -834,6 +834,14 @@ object SparkEntry {
       Dedup.lshPlan(s, numHashes = 32)
         .orderBy("rows_per_band", "s_permille")),
 
+    // ---- L2w: dedup-adjudication feature table — one blocked pass,
+    //      every similarity feature per candidate pair (jaccard,
+    //      containment ×2, length ratio, simhash hamming, exact flag);
+    //      what a learned dedup adjudicator trains and serves on ----
+    "l2w_pair_features" -> ((s, d) =>
+      Dedup.pairFeatures(Tables.spread(Tables.documents(s, d)), "source", n = 3)
+        .orderBy("a_id", "b_id")),
+
     // ---- L2v: the DATA half of threshold planning — the exact
     //      jaccard histogram over blocked pairs (where does THIS
     //      corpus's similarity mass sit; read against l2u's s-curves
@@ -1345,6 +1353,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")),
 
+    // ---- A26: Freedman–Diaconis bin planning — the histogram-width
+    //      rule (2·IQR/∛n) from exact quartiles; what a19/a9 binning
+    //      should be configured WITH rather than guessed ----
+    "a26_fd_binwidth" -> ((s, d) => {
+      val agg = ev(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.25)"), 4).as("q1"),
+        round(expr("percentile(value, 0.75)"), 4).as("q3"),
+        round(min("value"), 4).as("vmin"),
+        round(max("value"), 4).as("vmax"))
+      agg.withColumn("width_milli",
+          floor((col("q3") - col("q1")) * 2.0
+            / pow(col("n").cast("double"), 1.0 / 3.0) * 1000.0).cast("long"))
+        .withColumn("n_bins",
+          when(col("width_milli") > 0,
+            ceil((col("vmax") - col("vmin")) * 1000.0
+              / col("width_milli").cast("double")).cast("long")))
+        .orderBy("event_type")
+    }),
+
     // ---- A24: exact weighted median per group (weights = replication
     //      factor; lower-median definition, tie-safe) ----
     "a24_weighted_median" -> ((s, d) =>
@@ -1855,6 +1883,36 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // ---- CAPSTONE: epoch manifest — the round-6 additions composed
+    //      end-to-end into the artifact a training job actually reads:
+    //      fractional per-language upsampling (MIX5) → curriculum
+    //      order over the REPLICAS (MIX6, band = length decade) →
+    //      token-level 512-sequence packing (PACK2). Every stage
+    //      deterministic, the whole chain replayed in one oracle ----
+    "epoch_manifest" -> ((s, d) => {
+      val reps = graft.operators.Mixing
+        .upsample(Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("text"), col("n_chars")),
+          col("doc_id"),
+          when(col("lang") === "en", lit(0.4))
+            .when(col("lang") === "fr", lit(1.5))
+            .when(col("lang") === "de", lit(2.25))
+            .otherwise(lit(1.0)),
+          salt = "em")
+        .withColumn("band", floor(col("n_chars") / 500.0).cast("long"))
+      val ordered = graft.operators.Mixing
+        .curriculumOrder(reps, col("band"), col("replica_id"), salt = "em-order")
+      graft.operators.Packing.packSequences(
+          ordered.withColumn("toks",
+            TextFunctions.tokenCount(col("text")).cast("long")),
+          Seq(col("pos")), col("toks"), seqLen = 512L,
+          idCols = Seq("replica_id", "doc_id", "copy_idx", "band", "pos", "toks"))
+        .select(col("seq_id"), col("doc_id"), col("copy_idx"), col("band"),
+          col("pos"), col("n_from_doc"), col("seq_tok_start"),
+          col("is_doc_head"), col("is_doc_tail"))
+        .orderBy("seq_id", "pos")
+    }),
+
     // ---- SAMP: deterministic disjoint train/val/test assignment —
     //      one gate draw, half-open cumulative intervals; map-only ----
     "samp_splits" -> ((s, d) =>
@@ -1949,6 +2007,17 @@ object SparkEntry {
         ((col("s_suppkey") * 13) % 97).as("x"), ((col("s_suppkey") * 29) % 89).as("y"))
       graft.operators.SpatialJoin.radiusPairs(pts, "pid", "x", "y", r = 6.0)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- J11: Allen interval algebra — every within-user pair of
+    //      per-event-type activity spans named with its temporal
+    //      relation (the habit-analysis layer over interval ops) ----
+    "j11_allen_relations" -> ((s, d) => {
+      val iv = ev(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      graft.operators.Sessionize
+        .allenRelations(iv, "user_id", "event_type", "s", "e")
+        .orderBy("user_id", "a_id", "b_id")
     }),
 
     // ---- J10: Bloom-pruned equi join — the probe side (lineitem)
@@ -3087,6 +3156,31 @@ object SparkEntry {
          |  CASE WHEN len(b.ng) = 0 THEN 0.0 ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(b.ng)::DOUBLE END) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // per-doc artifact CTE (fp, len, simhash, grams) then ONE blocked
+    // pair join — replaying the single-pass shape, not five pipelines
+    "l2w_pair_features" ->
+      s"""WITH base AS (SELECT doc_id, source, sha256(text) AS fp,
+         |  length(text)::BIGINT AS len, $Ngrams3Sql AS ng,
+         |  list_transform($ToksSql, w -> ${h60("'0'", "w")}) AS th
+         |  FROM documents),
+         |s AS (SELECT doc_id, source, fp, len, ng,
+         |  ($SimhashAccSql) AS sh FROM base)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(CASE WHEN len(list_distinct(list_concat(a.ng, b.ng))) = 0 THEN 0.0
+         |    ELSE len(list_intersect(a.ng, b.ng))::DOUBLE
+         |      / len(list_distinct(list_concat(a.ng, b.ng)))::DOUBLE END, 4) AS jaccard,
+         |  round(CASE WHEN len(a.ng) = 0 THEN 0.0
+         |    ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(a.ng)::DOUBLE END, 4) AS c_ab,
+         |  round(CASE WHEN len(b.ng) = 0 THEN 0.0
+         |    ELSE len(list_intersect(a.ng, b.ng))::DOUBLE / len(b.ng)::DOUBLE END, 4) AS c_ba,
+         |  (CASE WHEN greatest(a.len, b.len) = 0 THEN 1000
+         |    ELSE floor(least(a.len, b.len)::DOUBLE * 1000.0
+         |      / greatest(a.len, b.len)::DOUBLE) END)::BIGINT AS len_ratio_milli,
+         |  bit_count(xor(a.sh, b.sh))::BIGINT AS sh_hamming,
+         |  (a.fp = b.fp) AS exact_dup
+         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "l2v_jaccard_hist" ->
       s"""WITH g AS (SELECT doc_id, source, $Ngrams3Sql AS ng FROM documents),
          |p AS (SELECT
@@ -3673,6 +3767,21 @@ object SparkEntry {
         |            ELSE floor(l_quantity / 5)::BIGINT + 1 END AS bucket,
         | count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "a26_fd_binwidth" ->
+      """WITH a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |  round(quantile_cont(value, 0.25), 4) AS q1,
+        |  round(quantile_cont(value, 0.75), 4) AS q3,
+        |  round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, q1, q3, vmin, vmax,
+        |  floor((q3 - q1) * 2.0 / pow(n::DOUBLE, 1.0 / 3.0) * 1000.0)::BIGINT
+        |    AS width_milli,
+        |  CASE WHEN floor((q3 - q1) * 2.0 / pow(n::DOUBLE, 1.0 / 3.0) * 1000.0) > 0
+        |    THEN ceil((vmax - vmin) * 1000.0
+        |      / floor((q3 - q1) * 2.0 / pow(n::DOUBLE, 1.0 / 3.0) * 1000.0))::BIGINT
+        |  END AS n_bins
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "a24_weighted_median" ->
       """WITH c AS (
@@ -4285,6 +4394,42 @@ object SparkEntry {
          |WHERE q.margin_micro >= 0
          |ORDER BY a.doc_id""".stripMargin,
 
+    // the full MIX5 → MIX6 → PACK2 chain replayed in one statement:
+    // gate + generate_series replication, the curriculum window, the
+    // global token cumsum, and the sequence explode
+    "epoch_manifest" ->
+      s"""WITH base AS (SELECT doc_id, lang, text, n_chars,
+         |  CASE WHEN lang = 'en' THEN 0.4 WHEN lang = 'fr' THEN 1.5
+         |       WHEN lang = 'de' THEN 2.25 ELSE 1.0 END AS rate
+         |  FROM documents),
+         |cc AS (SELECT doc_id, text, n_chars,
+         |  (floor(rate)::BIGINT + CASE WHEN
+         |     ('0x' || substr(md5(concat_ws('', doc_id::VARCHAR, 'em')), 1, 8))::BIGINT
+         |     < floor((rate - floor(rate)) * 4294967296.0)::BIGINT
+         |   THEN 1 ELSE 0 END)::BIGINT AS n_copies
+         |  FROM base),
+         |r AS (SELECT doc_id, text, n_chars, copy_idx,
+         |    md5(doc_id::VARCHAR || '#' || copy_idx::VARCHAR) AS replica_id
+         |  FROM (SELECT doc_id, text, n_chars,
+         |          unnest(generate_series(1, n_copies)) AS copy_idx
+         |        FROM cc WHERE n_copies > 0)),
+         |o AS (SELECT *, floor(n_chars / 500.0)::BIGINT AS band,
+         |    row_number() OVER (ORDER BY floor(n_chars / 500.0),
+         |      md5(concat_ws('', replica_id, 'em-order')), replica_id) AS pos
+         |  FROM r),
+         |t AS (SELECT *, (CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT
+         |    ELSE len($ToksSql)::BIGINT END) AS toks FROM o),
+         |cum AS (SELECT *, sum(toks) OVER (ORDER BY pos)::BIGINT AS cend FROM t),
+         |st AS (SELECT *, (cend - toks)::BIGINT AS cstart FROM cum WHERE toks > 0),
+         |x AS (SELECT *, unnest(generate_series(cstart // 512, (cend - 1) // 512)) AS seq_id
+         |  FROM st)
+         |SELECT seq_id::BIGINT AS seq_id, doc_id, copy_idx, band, pos,
+         |  (least(cend, (seq_id + 1) * 512) - greatest(cstart, seq_id * 512))::BIGINT AS n_from_doc,
+         |  (greatest(cstart, seq_id * 512) - seq_id * 512)::BIGINT AS seq_tok_start,
+         |  (cstart >= seq_id * 512) AS is_doc_head,
+         |  (cend <= (seq_id + 1) * 512) AS is_doc_tail
+         |FROM x ORDER BY seq_id, pos""".stripMargin,
+
     "training_manifest" ->
       s"""WITH norm AS (
          |  SELECT doc_id, lang, ${NormSql("text")} AS norm_text FROM documents),
@@ -4358,6 +4503,28 @@ object SparkEntry {
         |  WHERE walk.d < 3)
         |SELECT node, min(d)::BIGINT AS hops FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    // the SAME case ladder as the engine, arm for arm
+    "j11_allen_relations" ->
+      """WITH iv AS (SELECT user_id, event_type, min(ts) AS s, max(ts) AS e
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.user_id, a.event_type AS a_id, b.event_type AS b_id,
+        |  CASE WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+        |       WHEN a.e < b.s THEN 'precedes'
+        |       WHEN a.e = b.s THEN 'meets'
+        |       WHEN b.e < a.s THEN 'preceded_by'
+        |       WHEN b.e = a.s THEN 'met_by'
+        |       WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+        |       WHEN a.s = b.s THEN 'started_by'
+        |       WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+        |       WHEN a.e = b.e THEN 'finished_by'
+        |       WHEN a.s > b.s AND a.e < b.e THEN 'during'
+        |       WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+        |       WHEN a.s < b.s THEN 'overlaps'
+        |       ELSE 'overlapped_by' END AS relation
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin,
 
     // the Bloom is transparent to semantics: the oracle is the PLAIN join
     "j10_bloom_join" ->

@@ -902,6 +902,42 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 4))
   }
 
+  /** L2w — dedup-ADJUDICATION feature table: every blocked candidate
+    * pair with the similarity features a downstream adjudicator (a
+    * threshold rule, or an l4p-style linear model trained on labeled
+    * pairs) consumes in one place: 3-gram jaccard, containment in both
+    * directions, length ratio, simhash hamming, and the exact-dup
+    * flag. The table de-siloes the dedup family — instead of running
+    * five pair pipelines and joining their verdicts, the per-doc
+    * artifacts (sha-256 fingerprint, length, simhash, hashed gram set)
+    * compute ONCE inside the scan and every feature derives from the
+    * single blocked self-join. Blocked, never all-pairs (the l2c
+    * shape); slim artifacts join, text never does. */
+  def pairFeatures(docs: DataFrame, blockCol: String, n: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    val g = docs.select(col("doc_id"), col(blockCol).as("blk"),
+      sha2(col("text"), 256).as("fp"),
+      length(col("text")).cast("long").as("len"),
+      simHash60(toks).as("sh"),
+      hashedSortedSet(ngramsOfTokens(toks, n)).as("ng"))
+    val i = graft.functions.TextFunctions
+      .sortedIntersectCount(col("a.ng"), col("b.ng")).cast("double")
+    def c(side: String) = when(size(col(s"$side.ng")) === 0, lit(0.0))
+      .otherwise(i / size(col(s"$side.ng")).cast("double"))
+    g.as("a").join(g.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        round(hashedJaccard(col("a.ng"), col("b.ng")), 4).as("jaccard"),
+        round(c("a"), 4).as("c_ab"), round(c("b"), 4).as("c_ba"),
+        when(greatest(col("a.len"), col("b.len")) === 0, lit(1000L))
+          .otherwise(floor(least(col("a.len"), col("b.len")).cast("double")
+            * 1000.0 / greatest(col("a.len"), col("b.len")).cast("double"))
+            .cast("long")).as("len_ratio_milli"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+          .as("sh_hamming"),
+        (col("a.fp") === col("b.fp")).as("exact_dup"))
+  }
+
   /** L2u — LSH banding parameter planner: the s-curve table an engineer
     * (or an auto-tuner) reads before running [[minHashNearDups]] at
     * scale. For every (bands b, rows-per-band r) factorization of

@@ -95,4 +95,41 @@ object Sessionize {
         max(col(endCol)).as("merged_end"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** J11 — Allen interval-algebra classification (Allen 1983): every
+    * within-key interval pair labeled with its one of the 13 temporal
+    * relations. The temporal-reasoning layer over the interval ops —
+    * [[mergeIntervals]] collapses overlap, the interval join finds it;
+    * this NAMES it (precedes/meets/overlaps/during/starts/finishes/
+    * equals + inverses), which is what habit analysis consumes ("work
+    * Wi-Fi CONTAINS lunch café"). Closed intervals; the CASE ladder is
+    * ordered so each pair matches exactly one arm, and the oracle
+    * replays the SAME ladder — classification can't drift.
+    *
+    * Shape: one co-partitioned equi self-join on the key; pair count is
+    * quadratic only in the per-key interval count (bounded — interval
+    * sets per subject are small), never across keys. */
+  def allenRelations(intervals: DataFrame, keyCol: String, idCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val a = intervals.select(col(keyCol).as("_k"), col(idCol).as("a_id"),
+      col(startCol).as("a_s"), col(endCol).as("a_e"))
+    val b = intervals.select(col(keyCol).as("_k"), col(idCol).as("b_id"),
+      col(startCol).as("b_s"), col(endCol).as("b_e"))
+    a.join(b, Seq("_k")).filter(col("a_id") < col("b_id"))
+      .withColumn("relation",
+        when(col("a_s") === col("b_s") && col("a_e") === col("b_e"), "equals")
+          .when(col("a_e") < col("b_s"), "precedes")
+          .when(col("a_e") === col("b_s"), "meets")
+          .when(col("b_e") < col("a_s"), "preceded_by")
+          .when(col("b_e") === col("a_s"), "met_by")
+          .when(col("a_s") === col("b_s") && col("a_e") < col("b_e"), "starts")
+          .when(col("a_s") === col("b_s"), "started_by")
+          .when(col("a_e") === col("b_e") && col("a_s") > col("b_s"), "finishes")
+          .when(col("a_e") === col("b_e"), "finished_by")
+          .when(col("a_s") > col("b_s") && col("a_e") < col("b_e"), "during")
+          .when(col("a_s") < col("b_s") && col("a_e") > col("b_e"), "contains")
+          .when(col("a_s") < col("b_s"), "overlaps")
+          .otherwise("overlapped_by"))
+      .select(col("_k").as(keyCol), col("a_id"), col("b_id"), col("relation"))
+  }
 }

@@ -579,6 +579,33 @@ class DedupSpec extends SparkTestBase {
       s"constant-prefix ranking cannot recover the full top-k (got ${got(2L)})")
   }
 
+  test("L2w pairFeatures: exact dup, excerpt, and unrelated pairs read correctly") {
+    import spark.implicits._
+    val big = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val docs = Seq(
+      (1L, "s", big), (2L, "s", big),                        // exact dups
+      (3L, "s", "the quick brown fox jumps over the lazy dog"), // excerpt of 1
+      (4L, "s", "completely different words entirely here now"),
+      (5L, "t", big))                                        // other block: never paired
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.pairFeatures(docs, "source", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7)))).toMap
+    // exact dup: every feature at its identity value
+    assert(got((1L, 2L)) == ((1.0, 1.0, 1.0, 1000L, 0L, true)), got((1L, 2L)))
+    // excerpt: containment 3→1 is 1.0 (all of 3's grams inside 1),
+    // jaccard much lower, not an exact dup
+    val (j13, cab13, cba13, _, _, ex13) = got((1L, 3L))
+    assert(cba13 == 1.0 && j13 < 0.6 && !ex13, got((1L, 3L)))
+    assert(cab13 < 1.0)
+    // unrelated: zero gram overlap, far simhash
+    val (j14, _, _, _, ham14, ex14) = got((1L, 4L))
+    assert(j14 == 0.0 && ham14 > 10L && !ex14, got((1L, 4L)))
+    // blocking: doc 5 (other source) pairs with nothing
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("L2u lshPlan: exact s-curve values, monotone in s, thresholds order by r") {
     val rows = Dedup.lshPlan(spark, numHashes = 32).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->

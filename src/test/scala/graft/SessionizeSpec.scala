@@ -135,4 +135,47 @@ class SessionizeSpec extends SparkTestBase {
       (2L, "banana", 1.5), (2L, "cherry", 1.5),
       (3L, "cherry", 3.0), (3L, "date", 3.0)))
   }
+
+  test("J11 Allen relations: all 13 arms classify correctly, keys never cross") {
+    import spark.implicits._
+    // reference interval per key is "a"; the partner encodes its case.
+    // ids chosen so the reference sorts FIRST (a_id < b_id) for the
+    // direct relations and SECOND for the inverse ones.
+    val iv = Seq(
+      ("k1", "a", 10L, 20L), ("k1", "b_precedes", 30L, 40L),
+      ("k2", "a", 10L, 20L), ("k2", "b_meets", 20L, 30L),
+      ("k3", "a", 10L, 20L), ("k3", "b_overlaps", 15L, 30L),
+      ("k4", "a", 10L, 20L), ("k4", "b_started", 10L, 30L),   // a starts b
+      ("k5", "a", 10L, 20L), ("k5", "b_around", 5L, 30L),     // a during b
+      ("k6", "a", 10L, 20L), ("k6", "b_fin", 5L, 20L),        // a finishes... a_s>b_s, a_e=b_e
+      ("k7", "a", 10L, 20L), ("k7", "b_equal", 10L, 20L),
+      // inverse arms: the "a" side of the pair is the longer/later one
+      ("i1", "z", 30L, 40L), ("i1", "a_first", 10L, 20L),   // (a_first, z): precedes
+      ("i2", "z", 10L, 20L), ("i2", "a_later", 30L, 40L),   // z ends before a starts
+      ("i3", "z", 10L, 20L), ("i3", "a_met", 20L, 30L),     // z ends where a starts
+      ("i4", "z", 10L, 20L), ("i4", "a_longer", 10L, 30L),  // share start, a longer
+      ("i5", "z", 10L, 20L), ("i5", "a_big", 5L, 30L),      // a strictly around z
+      ("i6", "z", 10L, 20L), ("i6", "a_long", 5L, 20L),     // share end, a longer
+      ("i7", "z", 15L, 30L), ("i7", "a_overby", 20L, 40L)   // a overlapped by z
+    ).toDF("k", "id", "s", "e")
+    val got = graft.operators.Sessionize.allenRelations(iv, "k", "id", "s", "e")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+    assert(got("k1")._3 == "precedes")
+    assert(got("k2")._3 == "meets")
+    assert(got("k3")._3 == "overlaps")
+    assert(got("k4")._3 == "starts")
+    assert(got("k5")._3 == "during")
+    assert(got("k6")._3 == "finishes")
+    assert(got("k7")._3 == "equals")
+    assert(got("i1")._3 == "precedes")      // (a_first, z)
+    assert(got("i2")._3 == "preceded_by")   // z before a_later
+    assert(got("i3")._3 == "met_by")        // z ends where a_met starts
+    assert(got("i4")._3 == "started_by")    // a_longer started by z
+    assert(got("i5")._3 == "contains")      // a_big contains z
+    assert(got("i6")._3 == "finished_by")   // a_long finished by z
+    assert(got("i7")._3 == "overlapped_by") // z overlaps into a_overby
+    // one pair per key, never across keys
+    assert(got.size == 14)
+  }
 }
