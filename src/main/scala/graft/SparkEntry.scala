@@ -2141,6 +2141,22 @@ object SparkEntry {
       graft.operators.Profile.profile(Tables.events(s, d))
         .orderBy("col_name")),
 
+    // ---- Q7: auto-generated expectation suite — bounds learned from
+    //      the even-id reference half gate the dirtied odd-id target
+    //      (event_type's planted nulls must FAIL, the rest pass) ----
+    "q7_auto_expectations" -> ((s, d) => {
+      val e = ev(s, d).select("event_type", "value", "user_id", "event_id")
+      val reference = e.filter(col("event_id") % 2 === 0)
+      val target = e.filter(col("event_id") % 2 === 1)
+        .withColumn("event_type",
+          when(col("user_id") % 10 === 0, lit(null: String))
+            .otherwise(col("event_type")))
+      graft.operators.Profile
+        .autoExpectations(reference, target,
+          Seq("event_type", "value", "user_id"), nullSlackPpm = 10000L)
+        .orderBy("col_name")
+    }),
+
     // ---- Q3b: profile drift between two snapshots (per-batch health
     //      gate). Snapshots = event_id parity halves; the "after" side
     //      is dirtied in-query (nulled event_types for one user cohort)
@@ -4874,6 +4890,47 @@ object SparkEntry {
         |    count(DISTINCT props), min(props), max(props)
         |  FROM events)
         |ORDER BY col_name""".stripMargin,
+
+    "q7_auto_expectations" ->
+      """WITH er AS (SELECT event_type, value, user_id FROM events WHERE event_id % 2 = 0),
+        |et AS (SELECT CASE WHEN user_id % 10 = 0 THEN NULL ELSE event_type END AS event_type,
+        |              value, user_id FROM events WHERE event_id % 2 = 1),
+        |pr AS (
+        |  SELECT 'event_type' AS col_name, count(*)::BIGINT AS n_rows,
+        |    (count(*) - count(event_type))::BIGINT AS n_null,
+        |    count(DISTINCT event_type)::BIGINT AS n_distinct FROM er
+        |  UNION ALL SELECT 'value', count(*), count(*) - count(value),
+        |    count(DISTINCT value) FROM er
+        |  UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+        |    count(DISTINCT user_id) FROM er),
+        |pt AS (
+        |  SELECT 'event_type' AS col_name, count(*)::BIGINT AS n_rows,
+        |    (count(*) - count(event_type))::BIGINT AS n_null,
+        |    count(DISTINCT event_type)::BIGINT AS n_distinct FROM et
+        |  UNION ALL SELECT 'value', count(*), count(*) - count(value),
+        |    count(DISTINCT value) FROM et
+        |  UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+        |    count(DISTINCT user_id) FROM et),
+        |j AS (SELECT pr.col_name,
+        |  CASE WHEN pr.n_rows > 0
+        |    THEN floor(pr.n_null::DOUBLE * 1000000.0 / pr.n_rows::DOUBLE)::BIGINT
+        |    ELSE 0 END AS null_ppm_ref,
+        |  CASE WHEN pt.n_rows > 0
+        |    THEN floor(pt.n_null::DOUBLE * 1000000.0 / pt.n_rows::DOUBLE)::BIGINT
+        |    ELSE 0 END AS null_ppm_tgt,
+        |  pr.n_distinct AS n_distinct_ref, pt.n_distinct AS n_distinct_tgt,
+        |  pt.n_rows AS t_rows
+        |  FROM pr JOIN pt USING (col_name))
+        |SELECT col_name, null_ppm_ref, null_ppm_tgt, n_distinct_ref, n_distinct_tgt,
+        |  (null_ppm_tgt <= null_ppm_ref + 10000) AS null_ok,
+        |  (n_distinct_tgt * 2 >= n_distinct_ref
+        |    AND n_distinct_tgt <= n_distinct_ref * 2) AS distinct_ok,
+        |  (t_rows > 0) AS rows_ok,
+        |  ((null_ppm_tgt <= null_ppm_ref + 10000)
+        |    AND (n_distinct_tgt * 2 >= n_distinct_ref
+        |         AND n_distinct_tgt <= n_distinct_ref * 2)
+        |    AND t_rows > 0) AS pass
+        |FROM j ORDER BY col_name""".stripMargin,
 
     "q3b_profile_drift" ->
       """WITH ea AS (SELECT event_type, value, user_id FROM events WHERE event_id % 2 = 0),

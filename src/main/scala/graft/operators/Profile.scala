@@ -60,6 +60,41 @@ object Profile {
     * divide-by-zero, the Quality.validate posture); min/max movement
     * is a null-safe string inequality, so a type-agnostic report row
     * works for every column. */
+  /** Q7 — AUTO-GENERATED expectation suite: learn per-column bounds
+    * from a trusted reference snapshot's profile and validate a target
+    * snapshot against them — the "yesterday profiles, today validates"
+    * gate (the auto-test idiom), with no hand-written rules. Checks
+    * are type-agnostic integers, so one suite covers every column:
+    *   null_ok     — target null-ppm ≤ reference + `nullSlackPpm`
+    *   distinct_ok — target distinct count within 2× either way of the
+    *                 reference (integer cross-products, no division)
+    *   rows_ok     — the target side is non-empty
+    * `pass` = all three. Same cost shape as [[profileDrift]]: two
+    * single-scan profiles and a column-count-sized join. */
+  def autoExpectations(reference: DataFrame, target: DataFrame,
+      columns: Seq[String] = Seq.empty, nullSlackPpm: Long = 10000L): DataFrame = {
+    require(nullSlackPpm >= 0, s"nullSlackPpm must be >= 0 (got $nullSlackPpm)")
+    def ppm(nNull: Column, nRows: Column): Column =
+      when(nRows > 0,
+        floor(nNull.cast("double") * lit(1000000.0) / nRows.cast("double"))
+          .cast("long")).otherwise(lit(0L))
+    val pr = profile(reference, columns)
+    val pt = profile(target, columns)
+    pr.as("r").join(pt.as("t"), Seq("col_name"))
+      .select(col("col_name"),
+        ppm(col("r.n_null"), col("r.n_rows")).as("null_ppm_ref"),
+        ppm(col("t.n_null"), col("t.n_rows")).as("null_ppm_tgt"),
+        col("r.n_distinct").as("n_distinct_ref"),
+        col("t.n_distinct").as("n_distinct_tgt"),
+        (ppm(col("t.n_null"), col("t.n_rows")) <=
+          ppm(col("r.n_null"), col("r.n_rows")) + lit(nullSlackPpm)).as("null_ok"),
+        (col("t.n_distinct") * 2 >= col("r.n_distinct") &&
+          col("t.n_distinct") <= col("r.n_distinct") * 2).as("distinct_ok"),
+        (col("t.n_rows") > 0).as("rows_ok"))
+      .withColumn("pass",
+        col("null_ok") && col("distinct_ok") && col("rows_ok"))
+  }
+
   def profileDrift(before: DataFrame, after: DataFrame,
       columns: Seq[String] = Seq.empty): DataFrame = {
     def ppm(nNull: Column, nRows: Column): Column =

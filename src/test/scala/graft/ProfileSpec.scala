@@ -25,6 +25,29 @@ class ProfileSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Profile.profile(df, Seq("nope")))
   }
 
+  test("autoExpectations: learned bounds pass a clean target, fail a dirtied one") {
+    val ref = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("a")), (4L, Some("b")))
+      .toDF("id", "s")
+    // clean target: same shape → every check passes
+    val clean = Seq((5L, Some("b")), (6L, Some("a"))).toDF("id", "s")
+    val ok = Profile.autoExpectations(ref, clean).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("pass")).toMap
+    assert(ok == Map("id" -> true, "s" -> true), ok)
+    // dirty target: half the s values null → null_ok fails for s only
+    val dirty = Seq((5L, Some("a")), (6L, None)).toDF("id", "s")
+    val bad = Profile.autoExpectations(ref, dirty).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Boolean]("null_ok"), r.getAs[Boolean]("pass")))).toMap
+    assert(bad("s") == ((false, false)), bad)
+    assert(bad("id") == ((true, true)))
+    // empty target: rows_ok fails, nothing divides by zero
+    val empty = Profile.autoExpectations(ref, ref.limit(0)).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("rows_ok")).toMap
+    assert(empty.values.forall(_ == false))
+    intercept[IllegalArgumentException](
+      Profile.autoExpectations(ref, clean, nullSlackPpm = -1L))
+  }
+
   test("profileDrift: planted null drift fires, stable columns stay quiet, empty side is NULL not crash") {
     val before = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("a")), (4L, Some("b")))
       .toDF("id", "s")
