@@ -339,12 +339,16 @@ object SparkEntry {
     //      algorithm agreeing is the stronger check. Input: the
     //      customer population on a (balance-band × nation) grid —
     //      occupancy varies, so both flag values occur ----
+    // hot emitted as 0/1 BIGINT (not BOOLEAN) so the driver hash never
+    // sees an engine-specific boolean rendering; DuckDB twin casts its
+    // HUGEINT sums to BIGINT for the same reason
     "geo_hotspots" -> ((s, d) =>
       graft.operators.Hotspot.gridHotspots(
           Tables.customer(s, d).select(
             floor(col("c_acctbal") / 1000).as("cx"),
             col("c_nationkey").as("cy")),
           "cx", "cy", hotFactor = 1)
+        .withColumn("hot", col("hot").cast("long"))
         .orderBy("cx", "cy")),
 
     "geo_cell_census" -> ((s, d) =>
@@ -656,6 +660,24 @@ object SparkEntry {
         .select(col("mac"), col("kind"), unix_micros(col("ts")).as("ts_us"),
           col("gapSec").as("gap_sec"))
         .orderBy("mac", "ts_us")
+    }),
+
+    // ---- ST9 (batch twin): stream-stream co-observation join — the
+    //      REAL coObservations operator (watermarks are no-ops on
+    //      batch inputs, the tolerance-join predicate is identical) on
+    //      a synthetic multi-sensor feed; pairDedup because both sides
+    //      are the same feed. The oracle replays the tolerance join in
+    //      SQL — VERDICT r6 #8: J2 covers only the equi case, this
+    //      pins the watermarked interval semantics ----
+    "st9_co_observation" -> ((s, d) => {
+      val obs = ev(s, d).select(col("user_id").as("mac"), col("ts"),
+        (col("event_id") % 5).as("sensorId"))
+      graft.streaming.PresenceAnalytics
+        .coObservations(obs, obs, toleranceSec = 60, pairDedup = true)
+        .select(col("mac"), unix_micros(col("l_ts")).as("l_us"),
+          col("l_sensor"), unix_micros(col("r_ts")).as("r_us"),
+          col("r_sensor"))
+        .orderBy("mac", "l_us", "l_sensor", "r_us", "r_sensor")
     }),
 
     // ---- domain: MAC↔SSID network tree (ssidentity.c:36) ----
@@ -1231,10 +1253,14 @@ object SparkEntry {
     // chunker). Sequential stateful fold → not SQL-expressible →
     // rows-only; TextFunctionsSpec pins reassembly, bounds, and the
     // edit-locality property.
+    // chunk_idx as BIGINT (posexplode yields INT) — the r7 oracle
+    // replays the gear walk in DuckDB (CdcChunksSql), so the column
+    // reaches the driver hash and follows the BIGINT discipline
     "l5d_cdc_chunks" -> ((s, d) =>
       graft.operators.Chunking
         .cdcChunks(Tables.documents(s, d).select("doc_id", "text"), "text",
           maskBits = 6, minLen = 16, maxLen = 256)
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))
         .orderBy("doc_id", "chunk_idx")),
 
     // ---- L5: multimodal binary plumbing (stub codec → rows-only) ----
@@ -1397,8 +1423,11 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("v"))
       val st = QuantileHistogram.histogramState(base, Seq("event_type"),
         col("v"), lo = 0L, hi = 64000L, nBins = 64)
+      // q emitted as milli-unit BIGINT (500/900/990) — a raw DOUBLE
+      // literal column is hash-fragile across engine float renderings
       QuantileHistogram.quantiles(st, Seq("event_type"),
           Seq(0.5, 0.9, 0.99), lo = 0L, hi = 64000L, nBins = 64)
+        .withColumn("q", round(col("q") * 1000).cast("long"))
         .orderBy("event_type", "q")
     }),
 
@@ -2692,6 +2721,20 @@ object SparkEntry {
 
   private val StopEn = TextFunctions.StopwordsByLang("en").map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Bench-only queries: timed by [[Bench]] (so bench_full.json tracks
+    * them round over round) but NOT part of the driver's correctness
+    * surface — no Verify dump, no oracle row. Used for production-path
+    * variants whose oracle twin runs a deliberately pricier family:
+    * the xxhash MinHash pipeline is the scale default for library
+    * callers (string-free signatures), while `l2b_minhash_pairs`
+    * times the md5 oracle-replayable family only — without this entry
+    * a regression in the xx path would go unseen (round-6 verdict #2). */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l2b_minhash_pairs_xx" -> ((s, d) =>
+      Dedup.minHashNearDups(Tables.spread(Tables.documents(s, d)), threshold = 0.5,
+          md5Family = false)
+        .orderBy("a_id", "b_id")))
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2858,16 +2901,17 @@ object SparkEntry {
          |                   c_nationkey::BIGINT AS cy
          |            FROM customer),
          |cel AS (SELECT cx, cy, count(*) AS n FROM hh GROUP BY 1, 2),
-         |nb AS (SELECT a.cx, a.cy, sum(b.n) AS nbr_sum,
+         |nb AS (SELECT a.cx, a.cy, sum(b.n)::BIGINT AS nbr_sum,
          |         count(*) AS nbr_cells
          |       FROM cel a JOIN cel b
          |         ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
          |        AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
          |       GROUP BY 1, 2),
-         |tt AS (SELECT sum(n) AS total, count(*) AS ncells FROM cel)
+         |tt AS (SELECT sum(n)::BIGINT AS total, count(*) AS ncells FROM cel)
          |SELECT cel.cx, cel.cy, cel.n, nb.nbr_sum, nb.nbr_cells,
-         |  nb.nbr_sum * (SELECT ncells FROM tt)
-         |    >= nb.nbr_cells * (SELECT total FROM tt) AS hot
+         |  CASE WHEN nb.nbr_sum * (SELECT ncells FROM tt)
+         |    >= nb.nbr_cells * (SELECT total FROM tt)
+         |    THEN 1 ELSE 0 END::BIGINT AS hot
          |FROM cel JOIN nb USING (cx, cy) ORDER BY cx, cy""".stripMargin,
 
     "geo_cell_census" ->
@@ -3059,6 +3103,17 @@ object SparkEntry {
         |  (CASE WHEN prev_ms IS NULL THEN -1 ELSE (ms - prev_ms) // 1000 END)::BIGINT AS gap_sec
         |FROM s WHERE prev_ms IS NULL OR ms - prev_ms > 3600000
         |ORDER BY mac, ts_us""".stripMargin,
+
+    "st9_co_observation" ->
+      """WITH o AS (SELECT user_id AS mac, ts, (event_id % 5)::BIGINT AS sensor
+        |           FROM events)
+        |SELECT a.mac, epoch_us(a.ts) AS l_us, a.sensor AS l_sensor,
+        |  epoch_us(b.ts) AS r_us, b.sensor AS r_sensor
+        |FROM o a JOIN o b ON a.mac = b.mac
+        |  AND b.ts >= a.ts - INTERVAL 60 SECOND
+        |  AND b.ts <= a.ts + INTERVAL 60 SECOND
+        |  AND a.sensor < b.sensor
+        |ORDER BY a.mac, l_us, l_sensor, r_us, r_sensor""".stripMargin,
 
     "net_tree_edges" ->
       """SELECT user_id AS mac, event_type AS ssid, count(*) AS weight
@@ -3599,6 +3654,13 @@ object SparkEntry {
          | (-520000 + 2000*f_chars + 40000*f_stop - 30000*f_punct - 15000*f_digit - 8000*f_upper) >= 0 AS pass
          |FROM f ORDER BY doc_id""".stripMargin,
 
+    // The gear walk replayed character-by-character (recursive CTE)
+    // with the PRE-MASKED gear table interpolated as a literal — see
+    // CdcChunksSql for why low-bit masking makes this exact without
+    // 64-bit wrapping arithmetic. Chunk reassembly (substr between
+    // boundary edges) proves concat(chunks) == text implicitly.
+    "l5d_cdc_chunks" -> CdcChunksSql(maskBits = 6, minLen = 16, maxLen = 256),
+
     // n_bpe_merged re-derived from the REPLAYED sequence itself (token
     // count = sequence length), so the count column cross-checks the
     // two Spark expressions against one independent oracle value
@@ -3758,12 +3820,12 @@ object SparkEntry {
         |c AS (SELECT event_type, bin, n,
         |        sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
         |      FROM st),
-        |t AS (SELECT event_type, sum(n) AS n_total FROM st GROUP BY 1),
+        |t AS (SELECT event_type, sum(n)::BIGINT AS n_total FROM st GROUP BY 1),
         |q AS (SELECT event_type, n_total,
         |        unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q FROM t),
         |r AS (SELECT event_type, n_total, q,
         |        greatest(1, ceil(q * n_total)::BIGINT) AS r FROM q)
-        |SELECT r.event_type, r.q, r.n_total,
+        |SELECT r.event_type, CAST(round(r.q * 1000) AS BIGINT) AS q, r.n_total,
         |  (c.bin * 1000 + floor((r.r - (c.cum - c.n)) * 1000 / c.n)::BIGINT)
         |    AS est
         |FROM r JOIN c ON r.event_type = c.event_type
@@ -5359,7 +5421,8 @@ object SparkEntry {
       |  SELECT edges.d, reach.lab FROM edges JOIN reach ON reach.node = edges.s),
       |cc AS (SELECT node AS variant, min(lab) AS entity_id FROM reach GROUP BY node),
       |lv AS (SELECT v.variant, v.n, cc.entity_id FROM v JOIN cc USING (variant)),
-      |ent AS (SELECT entity_id, count(*) AS n_variants, sum(n) AS entity_n
+      |ent AS (SELECT entity_id, count(*) AS n_variants,
+      |        sum(n)::BIGINT AS entity_n
       |        FROM lv GROUP BY 1),
       |canon AS (SELECT entity_id, variant AS canonical FROM (
       |  SELECT entity_id, variant,
@@ -5581,6 +5644,52 @@ object SparkEntry {
     (seed +: steps).mkString("WITH ", ",\n", "") +
       "\nSELECT l_orderkey, l_linenumber, d AS h FROM h0" +
       "\nORDER BY l_orderkey, l_linenumber"
+  }
+
+  /** Replays [[graft.operators.Chunking.cdcChunks]] in DuckDB (the
+    * l4e_bpe_tokens literal-table precedent): the boundary test only
+    * reads `h & mask`, and the low maskBits bits of the rolling gear
+    * fold are carry-free from above — (h<<1)+g mod 2^k depends only on
+    * h mod 2^k and g mod 2^k — so the replay needs NO wrapping 64-bit
+    * arithmetic: the gear table is interpolated PRE-MASKED and the walk
+    * runs in tiny ints. The per-character fold itself is a recursive
+    * CTE advancing every document one character per step (≤ max doc
+    * length steps, all docs in parallel). ASCII-exact: Spark folds
+    * UTF-16 code units & 0xFF, the replay folds code points % 256 —
+    * identical below U+0100 (the synth corpus is ASCII; the surrogate
+    * deferral never fires there either). */
+  private def CdcChunksSql(maskBits: Int, minLen: Int, maxLen: Int): String = {
+    val m = 1L << maskBits
+    val gearLit = org.apache.spark.sql.graft.CdcExprs.Gear
+      .map(g => (g & (m - 1)).toString).mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       |gl AS (SELECT $gearLit AS g),
+       |d AS (SELECT doc_id, text, length(text)::INT AS n FROM documents),
+       |w(doc_id, i, strt, h, bounds) AS (
+       |  SELECT doc_id, 0::INT, 0::INT, 0::INT, []::INT[] FROM d
+       |  UNION ALL
+       |  SELECT doc_id, i,
+       |    CASE WHEN cut THEN i ELSE strt END,
+       |    CASE WHEN cut THEN 0 ELSE h2 END,
+       |    CASE WHEN cut THEN list_append(bounds, i) ELSE bounds END
+       |  FROM (
+       |    SELECT s.*, (len >= $minLen AND h2 = 0) OR len >= $maxLen AS cut
+       |    FROM (
+       |      SELECT w.doc_id, w.i + 1 AS i, w.strt, w.bounds,
+       |        ((w.h * 2 + gl.g[(unicode(substr(d.text, w.i + 1, 1)) % 256) + 1]) % $m)::INT AS h2,
+       |        w.i + 1 - w.strt AS len
+       |      FROM w JOIN d USING (doc_id) CROSS JOIN gl
+       |      WHERE w.i < d.n) s)),
+       |fin AS (SELECT w.doc_id, w.bounds FROM w JOIN d USING (doc_id) WHERE w.i = d.n),
+       |e AS (SELECT fin.doc_id, d.text,
+       |        CASE WHEN d.n = 0 OR len(bounds) = 0 OR bounds[len(bounds)] < d.n
+       |             THEN list_concat(list_concat([0], bounds), [d.n])
+       |             ELSE list_concat([0], bounds) END AS edges
+       |      FROM fin JOIN d USING (doc_id))
+       |SELECT doc_id, (k - 1)::BIGINT AS chunk_idx,
+       |  substr(text, edges[k] + 1, edges[k + 1] - edges[k]) AS chunk
+       |FROM e, unnest(generate_series(1, len(edges) - 1)) AS t(k)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
   private def SampGate(saltLit: String) =

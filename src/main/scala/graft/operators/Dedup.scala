@@ -116,7 +116,8 @@ object Dedup {
     * every shingle twice). */
   def minHashCandidatePairs(docs: DataFrame, k: Int = 5,
       numHashes: Int = 32, bands: Int = 8,
-      md5Family: Boolean = false): DataFrame = {
+      md5Family: Boolean = false, maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2 (got $maxBucket)")
     // docs shorter than k chars have an empty shingle set → all-null
     // signature → ONE shared band key for every such doc: filter them
     // out (they cannot be near-dups of anything by content anyway)
@@ -140,12 +141,19 @@ object Dedup {
     // adaptive plan). One groupBy computes signatures once and shuffles
     // the (bk, doc_id) pairs once; pairs explode inside each bucket —
     // quadratic only in bucket size, as before. Degenerate buckets
-    // (millions of byte-identical docs sharing every band) would bloat
-    // the collected id list — run L1 exact dedup first, which collapses
-    // them; that ordering is the standard pipeline anyway.
+    // (millions of byte-identical docs sharing every band) would make
+    // a single bucket quadratic — run L1 exact dedup first, which
+    // collapses them; that ordering is the standard pipeline anyway.
+    // `maxBucket` ENFORCES the contract instead of trusting it: a
+    // bucket past the bound is overwhelmingly an identical-content
+    // flood whose pairs are L1's job (exact duplicates), so it is
+    // trimmed like winnowingMatches' maxPostings — the pipeline
+    // completes in bucket-bounded time instead of exploding. The
+    // default (4096 → ≤8.4M pairs/bucket worst case) is far above any
+    // honest near-dup bucket at banded-LSH's operating point.
     banded.groupBy("bk")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
           struct(a.as("a_id"), b.as("b_id")))))).as("p"))
@@ -334,9 +342,9 @@ object Dedup {
 
   def minHashNearDups(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5,
-      md5Family: Boolean = false): DataFrame = {
+      md5Family: Boolean = false, maxBucket: Int = 4096): DataFrame = {
     val sh = hashedShingleSets(docs, k)
-    minHashCandidatePairs(docs, k, numHashes, bands, md5Family)
+    minHashCandidatePairs(docs, k, numHashes, bands, md5Family, maxBucket)
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"),

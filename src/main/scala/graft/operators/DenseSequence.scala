@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.{lit, raise_error, when}
 import org.apache.spark.sql.types.LongType
 
 /** W4 — dense global sequence (the reference's AUTOINCREMENT id,
@@ -51,7 +52,17 @@ object DenseSequence {
       s"input already has a '$totalCol' column — pass a different totalCol")
     require(!df.columns.contains("_rt_v"), "input may not have an '_rt_v' column")
     val spark = df.sparkSession
-    val sorted = df.withColumn("_rt_v", value.cast("long")).orderBy(order: _*)
+    // the value column must be NON-NULL: a null would otherwise reach
+    // r.getLong in the partition fold below as an opaque executor NPE.
+    // Guard at plan level with a clear message (callers that want
+    // null ≡ 0 should coalesce upstream, explicitly).
+    val v = value.cast("long")
+    val guarded = when(v.isNull, raise_error(lit(
+        "withRunningTotal: NULL in the value column — running totals " +
+          "require non-null values (coalesce upstream if null means 0)"))
+        .cast("long"))
+      .otherwise(v)
+    val sorted = df.withColumn("_rt_v", guarded).orderBy(order: _*)
     val rdd = sorted.rdd
     val vIdx = sorted.schema.fieldIndex("_rt_v")
     // pass 1 (eager, lightweight): one long per partition. The sorted

@@ -173,8 +173,11 @@ object Snapshot {
     * equivalence, asserted by the oracle's independent re-derivation).
     * Values must be INTEGRAL units (quantize floats at the edge):
     * integer sums commute, so merged state is bit-equal to recompute
-    * regardless of delta arrival order. A negative count throws at the
-    * spec level — it means a retraction for a row the base never had. */
+    * regardless of delta arrival order. A merged count going NEGATIVE
+    * means the changeset retracted a row the base never had — an
+    * inconsistent feed, so the merge FAILS LOUDLY at runtime
+    * (raise_error on the filter path) instead of silently dropping the
+    * key and masking the corruption. */
   def incrementalAgg(baseState: DataFrame, changes: DataFrame,
       keys: Seq[String], valueCol: String, signCol: String): DataFrame = {
     require(keys.nonEmpty, "need at least one grouping key")
@@ -191,6 +194,15 @@ object Snapshot {
         (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n"),
         (coalesce(col("vsum"), lit(0L)) + coalesce(col("_dv"), lit(0L)))
           .as("vsum")): _*)
-      .filter(col("n") > 0L)
+      // the raise_error lives INSIDE the filter predicate (not a
+      // dropped projection column, which the optimizer would prune):
+      // n < 0 ⇒ the error branch evaluates and the job fails with the
+      // offending count; otherwise plain n > 0 keeps live keys
+      .filter(when(col("n") < 0L, raise_error(concat(
+          lit("incrementalAgg: merged count went negative (n="),
+          col("n").cast("string"),
+          lit(") — the changeset retracts rows the base never had")))
+          .cast("boolean"))
+        .otherwise(col("n") > 0L))
   }
 }

@@ -411,11 +411,20 @@ object TextAnalysis {
     st.join(ct, "t")
       .join(broadcast(ns), "src")
       .crossJoin(broadcast(scal))
+      // each factor cast to double BEFORE the product: a LONG product
+      // of (c_st+1)·(n_c+v) wraps silently past 2^63 under non-ANSI
+      // Spark at extreme corpus scale (pooled counts ~1e13 × large
+      // per-token counts); the log only needs the RATIO, so double
+      // rounding of the factors (exact below 2^53 anyway) is harmless
       .withColumn("_lr_micro",
-        floor(log(((col("c_st") + 1) * (col("n_c") + col("v"))).cast("double") /
-          ((col("c_ct") + 1) * (col("n_s") + col("v"))).cast("double"))
+        floor(log((col("c_st") + 1).cast("double") * (col("n_c") + col("v")).cast("double") /
+          ((col("c_ct") + 1).cast("double") * (col("n_s") + col("v")).cast("double")))
           * lit(1000000.0)).cast("long"))
       .groupBy("src")
+      // integer bound (the Eval.rocAuc discipline): |_lr_micro| ≤
+      // ln(max ratio)·1e6 ≲ 62e6, so Σ c_st·_lr_micro stays below 2^63
+      // while n_s < 1.5e11 tokens per source — beyond that, pre-scale
+      // _lr_micro down (the score is a floor-quantized estimate anyway)
       .agg(first("n_s").as("n_tokens"),
         first("n_distinct_toks").as("n_distinct_toks"),
         sum(col("c_st") * col("_lr_micro")).as("kl_scaled_micro"))

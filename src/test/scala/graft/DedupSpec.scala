@@ -71,6 +71,34 @@ class DedupSpec extends SparkTestBase {
     assert(md5 == xx, s"families disagree: md5-only=${md5 -- xx}, xx-only=${xx -- md5}")
   }
 
+  test("L2 maxBucket guard: an identical-content flood is trimmed, not quadratic") {
+    // 10k byte-identical docs violate the L1-before-L2 contract: every
+    // doc shares every band, so one bucket would hold all 10k ids and
+    // pair enumeration would explode to ~50M rows x 8 bands. The guard
+    // trims buckets past maxBucket instead — those pairs are exact
+    // duplicates, L1's job — and the pipeline completes with no
+    // candidates. A planted honest near-dup cluster alongside the
+    // flood must still come through untouched.
+    val flood = spark.range(10000).select(
+      (col("id") + 1000L).as("doc_id"),
+      lit(base.head).as("text"))
+    val cluster = Seq(
+      (1L, base(1)), (2L, base(1) + " extra"), (3L, "zz " + base(1)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashCandidatePairs(flood.union(cluster))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => a < 1000L && b < 1000L },
+      s"flood pairs leaked: ${pairs.filter(_._1 >= 1000L).take(5)}")
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"planted cluster pairs wrong: $pairs")
+    // with the guard widened past the flood, the same call WOULD emit
+    // flood pairs — proving the trim (not chance banding) is what saved it
+    val unguarded = Dedup.minHashCandidatePairs(
+        flood.limit(80).union(cluster), maxBucket = 4096)
+      .filter(col("a_id") >= 1000L).count()
+    assert(unguarded > 0L, "identical docs must collide without the guard")
+  }
+
   test("L2r incremental near-dup: batch-touching pairs only, old x old never emitted") {
     import org.apache.spark.sql.functions.col
     // batch = ids ≡ 0 (mod 10): one doc per cluster + singleton 100

@@ -81,6 +81,43 @@ class SinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST10: a second writer racing on _latest fails loudly, never clobbers") {
+    val dir = Files.createTempDirectory("graft_merge_race").toString
+    val store = s"$dir/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+    def snap = graft.streaming.MergeSink
+      .currentSnapshot(spark, store, "k", Seq("name", "v")).get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b0 = Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v")
+    graft.streaming.MergeSink.applyBatch(b0, 0L, store, "k", "op", "ver", Seq("name", "v"))
+    assert(snap == Set((1L, "a", 10L)))
+    // both writers read _latest = 0; writer A commits v1 first
+    val bA = Seq((2L, "upsert", 2L, "b", 20L)).toDF("k", "op", "ver", "name", "v")
+    graft.streaming.MergeSink.applyBatchFrom(Some(0L), bA, 1L, store,
+      "k", "op", "ver", Seq("name", "v"))
+    assert(snap == Set((1L, "a", 10L), (2L, "b", 20L)))
+    // writer B still holds the stale parent v0: its swap of v2 would
+    // silently drop A's key 2 — the CAS guard must refuse instead
+    val bB = Seq((3L, "upsert", 2L, "c", 30L)).toDF("k", "op", "ver", "name", "v")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      graft.streaming.MergeSink.applyBatchFrom(Some(0L), bB, 2L, store,
+        "k", "op", "ver", Seq("name", "v"))
+    }
+    assert(e.getMessage.contains("lost update"), e.getMessage)
+    // store unharmed: A's commit is intact, B's never became visible
+    assert(snap == Set((1L, "a", 10L), (2L, "b", 20L)))
+    // B retries from the CURRENT parent and succeeds (marker withdrawn)
+    graft.streaming.MergeSink.applyBatchFrom(Some(1L), bB, 2L, store,
+      "k", "op", "ver", Seq("name", "v"))
+    assert(snap == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    // crash-replay of an UNswapped commit still converges: same batch,
+    // same parent, marker already present with a matching parent
+    Files.write(java.nio.file.Paths.get(store, "_latest"), "1".getBytes)
+    graft.streaming.MergeSink.applyBatchFrom(Some(1L), bB, 2L, store,
+      "k", "op", "ver", Seq("name", "v"))
+    assert(snap == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+  }
+
   test("ST8: fan-out table is idempotent under batch replay (crash before commit)") {
     // simulate a crash between the parquet write and the checkpoint
     // commit: run batch 0, then delete its commit marker so the
