@@ -1283,6 +1283,27 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // ---- L5h oracle twin for the BANDING (r6 verdict #5): the codec
+    //      stays rows-only, but the scale claim — 16-bit-chunk bucket
+    //      candidate generation + exact popcount verify — is pinned by
+    //      feeding phashNearDups a DETERMINISTIC md5-derived 60-bit
+    //      hash family both engines can compute: doc groups (doc_id %
+    //      250) share a base hash, most members flip one bit, so
+    //      within-group pairs sit at hamming ≤ 2 (non-vacuous) and
+    //      cross-group md5 bases verify away ----
+    "mm_phash_band_pairs" -> ((s, d) => {
+      val base = conv(substring(md5(
+        concat(lit("ph:"), (col("doc_id") % 250).cast("string"))), 1, 15),
+        16, 10).cast("long")
+      val flip = when(col("doc_id") % 4 =!= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 60 AS INT))"))
+        .otherwise(lit(0L))
+      val hashes = Tables.documents(s, d)
+        .select(col("doc_id"), base.bitwiseXOR(flip).as("phash"))
+      Multimodal.phashNearDups(hashes, maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // ---- L5c: time-based frame-sampling schedule (uniform stride,
     //      per-asset frame budget — the decoder's work list; pure
     //      integer column arithmetic, so it IS oracle-checkable even
@@ -3653,6 +3674,25 @@ object SparkEntry {
          | (-520000 + 2000*f_chars + 40000*f_stop - 30000*f_punct - 15000*f_digit - 8000*f_upper)::BIGINT AS margin_micro,
          | (-520000 + 2000*f_chars + 40000*f_stop - 30000*f_punct - 15000*f_digit - 8000*f_upper) >= 0 AS pass
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Band-bucket pair generation + hamming verify replayed by value:
+    // the same md5-derived hash family on both engines, 4 sixteen-bit
+    // chunks, DISTINCT candidates, popcount ≤ 3 — the l2e pattern
+    "mm_phash_band_pairs" ->
+      """WITH h AS (SELECT doc_id,
+        |  xor(('0x' || substr(md5('ph:' || (doc_id % 250)::VARCHAR), 1, 15))::BIGINT,
+        |      CASE WHEN doc_id % 4 <> 0
+        |           THEN (1::BIGINT << ((doc_id * 7) % 60)::INT)
+        |           ELSE 0::BIGINT END) AS phash
+        |  FROM documents),
+        |bd AS (SELECT doc_id, phash, i, (phash >> (16 * i)) & 65535 AS cv
+        |       FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+        |FROM bd a JOIN bd b
+        |  ON a.i = b.i AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // The gear walk replayed character-by-character (recursive CTE)
     // with the PRE-MASKED gear table interpolated as a literal — see

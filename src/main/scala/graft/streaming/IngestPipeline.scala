@@ -42,13 +42,43 @@ object IngestPipeline {
     * loop. Tests drive it with a real ServerSocket; production would
     * swap the socket format for Kafka with the SAME downstream plan. */
   def fromSocket(spark: SparkSession, host: String, port: Int): DataFrame =
-    spark.readStream.format("socket")
-      .option("host", host).option("port", port).load()
-      .select(
+    parseFrameLines(spark.readStream.format("socket")
+      .option("host", host).option("port", port).load())
+
+  /** The `sensorId:epochMillis:base64(frame)` line contract shared by
+    * every transport (socket, file log, and a Kafka `value` column
+    * would decode identically): malformed lines drop via try_cast, one
+    * bad producer never poisons the checkpoint-replay loop. */
+  private def parseFrameLines(lines: DataFrame): DataFrame =
+    lines.select(
         expr("timestamp_millis(try_cast(split_part(value, ':', 2) AS LONG))").as("ts"),
         expr("try_cast(split_part(value, ':', 1) AS LONG)").as("sensorId"),
         unbase64(substring_index(col("value"), ":", -1)).as("bytes"))
       .filter(col("ts").isNotNull && col("sensorId").isNotNull && col("bytes").isNotNull)
+
+  /** S1 — REPLAYABLE upload channel (the fleet-scale form of
+    * `ssidentity.c:30`'s "Add DB upload to server based on settings"):
+    * sensors upload frame-line files into a landing directory; the
+    * server consumes them through Spark's file-stream source, which is
+    * the sandbox's Kafka-class source — per-micro-batch OFFSETS (the
+    * processed-file log) commit to the checkpoint, so a crashed or
+    * restarted query resumes EXACTLY where it stopped: files already
+    * committed never re-emit, files not yet committed replay in full,
+    * and with an exactly-once sink the pipeline is end-to-end
+    * exactly-once (StreamingSpec proves the restart interleaving).
+    * Same line contract and downstream plan as [[fromSocket]] — a real
+    * deployment swaps this for `format("kafka")` (partition offsets
+    * instead of file names; the connector jar is absent here) and
+    * nothing downstream changes.
+    *
+    * `maxFilesPerTrigger` bounds a micro-batch the way Kafka's
+    * `maxOffsetsPerTrigger` does — backlog drains in bounded batches
+    * instead of one giant catch-up batch after downtime. */
+  def fromFileLog(spark: SparkSession, landingDir: String,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    parseFrameLines(spark.readStream.format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(landingDir))
 
   /** S3 — console sink (the reference's printf, ssidentity.c:89-95). */
   def toConsole(obs: DataFrame): DataStreamWriter[Row] =

@@ -240,6 +240,58 @@ class StreamingSpec extends SparkTestBase {
     } finally { q.stop(); server.close() }
   }
 
+  test("S1 replayable file-log source: offsets commit, restart is exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_filelog").toString
+    val landing = s"$dir/landing"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    val payload = java.util.Base64.getEncoder.encodeToString(probeFrame(0x33))
+    // atomic publish (write + move): the source must never list a
+    // half-written upload — the producer-side half of the contract
+    def upload(name: String, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Paths.get(dir, s"$name.tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(landing, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def startQuery() = IngestPipeline.parse(
+        graft.streaming.IngestPipeline.fromFileLog(spark, landing, maxFilesPerTrigger = 1))
+      .select("ts", "sensorId", "mac")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    upload("u1.txt", Seq(s"7:1700000000000:$payload",
+      "not a frame at all", s"8:1700000001000:$payload"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // stop #1: clean shutdown
+    assert(spark.read.parquet(out).count() == 2)
+    // restart: the committed file must NOT re-emit; a new upload must
+    upload("u2.txt", Seq(s"9:1700000002000:$payload"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 3, "no loss, no duplicates across restart")
+    assert(rows.map(_.getAs[Long]("sensorId")).sorted.toSeq == Seq(7L, 8L, 9L))
+    // crash BETWEEN sink write and offset commit: drop the newest
+    // commit marker — the restart replays that micro-batch and the
+    // file sink's transactional log must absorb the duplicate
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty, "checkpoint must carry commit markers")
+    assert(new java.io.File(s"$ckpt/sources/0").listFiles().nonEmpty,
+      "checkpoint must carry the processed-file offset log")
+    val newest = commits.maxBy(_.getName.toLong)
+    // a real crash writes NEITHER the marker nor its Hadoop checksum
+    // sidecar — remove both, or the local ChecksumFs rejects the
+    // replay's rename against the stale .crc
+    val crc = new java.io.File(newest.getParentFile, s".${newest.getName}.crc")
+    assert(newest.delete(), "commit marker delete must succeed")
+    crc.delete()
+    val q3 = startQuery()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(out).count() == 3,
+      "a replayed micro-batch must be absorbed exactly-once by the sink")
+  }
+
   test("ST2 tumbling window counts under incremental arrival") {
     val in = MemoryStream[(Timestamp, String)]
     val obs = in.toDF().toDF("ts", "mac")
