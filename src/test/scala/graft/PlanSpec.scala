@@ -116,6 +116,32 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("catalog sweep: no partitionless window over data-sized inputs") {
+    // A Window with no PARTITION BY moves every row through ONE task —
+    // the single-task shape this codebase bans (cf. DenseSequence).
+    // The only tolerated instances run over MODEL-sized tables that
+    // are bounded by construction, never by data volume.
+    val deliberate = Set(
+      // Skyline level 1: prefix-min across the |buckets| table —
+      // bucketWidth sizes that table (hundreds of rows), not the data;
+      // level 2 (the data-sized pass) partitions by bucket
+      "o5_skyline")
+    // AQE's AdaptiveSparkPlanExec hides its subtree from collect();
+    // plan structure is independent of it, so audit with it off
+    val conf = spark.sessionState.conf
+    val before = conf.getConfString("spark.sql.adaptive.enabled", "true")
+    conf.setConfString("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.keys.foreach { name =>
+      val bad = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+      if (!deliberate(name))
+        assert(bad.isEmpty, s"$name has a partitionless window")
+    } finally conf.setConfString("spark.sql.adaptive.enabled", before)
+  }
+
   test("l4c tf-idf: df table and corpus-size row broadcast, never shuffled to the fact side") {
     val p = plan("l4c_tfidf")
     assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(2000))

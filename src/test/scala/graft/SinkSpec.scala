@@ -118,6 +118,59 @@ class SinkSpec extends SparkTestBase {
     assert(snap == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
   }
 
+  test("ST10 bucketed store: only touched buckets rewrite, untouched stay on their old version") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_bucketed").toString
+    val store = s"$dir/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    def snap = MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // batch 0 seeds 8 keys across the 4 buckets
+    val seed = (1L to 8L).map(k => (k, "upsert", 1L, s"n$k", k * 10L))
+    MergeSink.applyBucketedBatch(seed.toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(snap == (1L to 8L).map(k => (k, s"n$k", k * 10L)).toSet)
+    // batch 1 touches exactly the buckets of keys 1 (update) and 2 (delete)
+    val b1 = Seq((1L, "upsert", 2L, "n1b", 11L),
+      (2L, "delete", 2L, null.asInstanceOf[String], 0L))
+      .toDF("k", "op", "ver", "name", "v")
+    MergeSink.applyBucketedBatch(b1, 1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(snap == ((3L to 8L).map(k => (k, s"n$k", k * 10L)).toSet + ((1L, "n1b", 11L))))
+    // the v1 dir holds ONLY the touched buckets — the partial rewrite
+    val touched = Set(bucketOf(1L), bucketOf(2L)).map(b => s"_bucket=$b")
+    val v1Dirs = new java.io.File(s"$store/v1").listFiles()
+      .filter(_.getName.startsWith("_bucket=")).map(_.getName).toSet
+    assert(v1Dirs == touched, s"v1 rewrote $v1Dirs, expected $touched")
+    // untouched buckets still map to version 0 in the live manifest
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(store, "_manifests", "1")), "UTF-8")
+      .linesIterator.map { l => val a = l.split(' '); (a(0).toLong, a(1).toLong) }.toMap
+    val seedBuckets = (1L to 8L).map(bucketOf).toSet // a bucket may be unoccupied
+    seedBuckets.foreach { b =>
+      val expected = if (touched(s"_bucket=$b")) 1L else 0L
+      assert(manifest.get(b).contains(expected), s"bucket $b -> ${manifest.get(b)}")
+    }
+    // replay of a committed batch is a no-op; a stale-parent writer is refused
+    MergeSink.applyBucketedBatch(b1, 1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(snap == ((3L to 8L).map(k => (k, s"n$k", k * 10L)).toSet + ((1L, "n1b", 11L))))
+    // deleting a bucket's LAST key drops the bucket from the manifest
+    val allOfB0 = (1L to 8L).filter(k => bucketOf(k) == bucketOf(3L))
+    val b2 = allOfB0.map(k => (k, "delete", 3L, null.asInstanceOf[String], 0L))
+      .toDF("k", "op", "ver", "name", "v")
+    MergeSink.applyBucketedBatch(b2, 2L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    val manifest2 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(store, "_manifests", "2")), "UTF-8")
+      .linesIterator.map(_.split(' ')(0).toLong).toSet
+    assert(!manifest2.contains(bucketOf(3L)), "emptied bucket must leave the manifest")
+    val prev = (3L to 8L).map(k => (k, s"n$k", k * 10L)).toSet + ((1L, "n1b", 11L))
+    val want = prev.filterNot { case (k, _, _) => allOfB0.contains(k) }
+    assert(snap == want, s"got $snap")
+  }
+
   test("ST8: fan-out table is idempotent under batch replay (crash before commit)") {
     // simulate a crash between the parquet write and the checkpoint
     // commit: run batch 0, then delete its commit marker so the
