@@ -264,6 +264,42 @@ object MergeSink {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Vacuum: delete version dirs no LIVE bucket references (a table
+    * format's expire-snapshots). Only versions strictly BEFORE the
+    * current one are candidates — the current version dir stays even
+    * if every bucket has already moved past it, so a reader that
+    * resolved `_latest` just before the vacuum can still finish its
+    * scan. Manifests and commit markers are kept for every retained
+    * version and dropped with the dirs they describe. Returns the
+    * versions removed. Safe to run any time from the single writer
+    * (concurrent writers are already excluded by the CAS). */
+  def vacuumBucketedStore(storeDir: String): Seq[Long] = {
+    val p = latestPath(storeDir)
+    if (!Files.exists(p)) return Seq.empty
+    val latest = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    val live = readManifest(storeDir, latest).values.toSet + latest
+    val versions = {
+      val s = Files.list(Paths.get(storeDir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption).toList
+      finally s.close()
+    }
+    val dead = versions.filter(v => v < latest && !live.contains(v)).sorted
+    dead.foreach { v =>
+      def rm(path: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(path)) {
+          val s = Files.list(path)
+          try s.iterator().asScala.toList.foreach(rm) finally s.close()
+        }
+        Files.deleteIfExists(path)
+      }
+      rm(Paths.get(storeDir, s"v$v"))
+      Files.deleteIfExists(manifestsDir(storeDir).resolve(v.toString))
+      Files.deleteIfExists(commitsDir(storeDir).resolve(v.toString))
+    }
+    dead
+  }
+
   /** The bucketed sink: [[mergeSink]]'s wiring over
     * [[applyBucketedBatch]]. */
   def bucketedMergeSink(changes: DataFrame, storeDir: String,

@@ -179,7 +179,28 @@ object ExplainDump {
       + "model joins on the gram key (AQE picks broadcast locally; "
       + "sort-merge at scale), the doc side pre-aggregates (doc, "
       + "gram) multiplicity BEFORE the model join, and the 1-row "
-      + "vocab scalar enters as a broadcast nested loop of one row."))
+      + "vocab scalar enters as a broadcast nested loop of one row."),
+
+    "st9_co_observation" -> ("ST9's batch twin (r7): the watermarked "
+      + "stream-stream tolerance join run on batch inputs — one "
+      + "hashpartitioning(mac) exchange per side feeds a sort-merge "
+      + "join whose range predicates evaluate inside the merge; "
+      + "per-key pair density bounds the output, and no BNL/cartesian "
+      + "shape appears anywhere."),
+
+    "o5_skyline" -> ("2-D Pareto frontier without the textbook "
+      + "partitionless running-min window: level 1 prefix-mins over "
+      + "the |buckets|-sized table (the ONE tolerated empty-partition "
+      + "window — bounded by bucketWidth, not data), level 2 windows "
+      + "PARTITIONED BY bucket, and the bucket bound broadcasts back "
+      + "onto the distinct point set."),
+
+    "mm_phash_band_pairs" -> ("L5h banding pinned by oracle (r7): "
+      + "the 4x16-bit chunk explode is map-side, candidates come from "
+      + "an equi self-join on (chunk idx, chunk value) — never "
+      + "all-pairs — and the exact popcount verify runs on candidates "
+      + "only. The codec-fed twin (mm_phash_pairs) shares this exact "
+      + "plan downstream of the hash column."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -23,7 +23,8 @@ class ContractSpec extends SparkTestBase {
       "l3c_ann_ivf",          // approximate NN
       "l3e_pq_ann",           // approximate NN (product quantization)
       "l3f_ivfadc",           // approximate NN (IVF pruning + ADC scoring)
-      "l5d_cdc_chunks",       // sequential gear-hash fold — not SQL-expressible
+      // l5d_cdc_chunks promoted to hash-checked in round 7 (pre-masked
+      // gear table + recursive-CTE walk replays the fold in SQL)
       "mm_media_features",    // real PNG codec (ImageIO) — not SQL-expressible
       "mm_phash_pairs")       // dHash rides the same real codec — not SQL-expressible
     assert(rowsOnly == documented,

@@ -171,6 +171,37 @@ class SinkSpec extends SparkTestBase {
     assert(snap == want, s"got $snap")
   }
 
+  test("ST10 bucketed sink end-to-end: streaming CDC feed + vacuum retires dead versions") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_bstream").toString
+    val store = s"$dir/store"
+    val in = MemoryStream[(Long, String, Long, String, Long)]
+    val changes = in.toDF().toDF("k", "op", "ver", "name", "v")
+    val q = MergeSink.bucketedMergeSink(changes, store, s"$dir/ckpt",
+      "k", "op", "ver", Seq("name", "v"), nBuckets = 2).start()
+    def snap = MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    try {
+      in.addData((1L, "upsert", 1L, "a", 10L), (2L, "upsert", 1L, "b", 20L))
+      q.processAllAvailable()
+      assert(snap == Set((1L, "a", 10L), (2L, "b", 20L)))
+      // rewrite BOTH buckets so version 0 has no live bucket left
+      in.addData((1L, "upsert", 2L, "a2", 11L), (2L, "upsert", 2L, "b2", 21L),
+        (3L, "upsert", 2L, "c", 30L))
+      q.processAllAvailable()
+      assert(snap == Set((1L, "a2", 11L), (2L, "b2", 21L), (3L, "c", 30L)))
+      val dead = MergeSink.vacuumBucketedStore(store)
+      assert(dead == Seq(0L), s"expected v0 retired, got $dead")
+      assert(!new java.io.File(s"$store/v0").exists())
+      // the store still reads identically after the vacuum
+      assert(snap == Set((1L, "a2", 11L), (2L, "b2", 21L), (3L, "c", 30L)))
+      // vacuum is idempotent and never touches the live version
+      assert(MergeSink.vacuumBucketedStore(store).isEmpty)
+      assert(new java.io.File(s"$store/v1").exists())
+    } finally q.stop()
+  }
+
   test("ST8: fan-out table is idempotent under batch replay (crash before commit)") {
     // simulate a crash between the parquet write and the checkpoint
     // commit: run batch 0, then delete its commit marker so the
