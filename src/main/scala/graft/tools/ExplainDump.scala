@@ -182,11 +182,12 @@ object ExplainDump {
       + "vocab scalar enters as a broadcast nested loop of one row."),
 
     "st9_co_observation" -> ("ST9's batch twin (r7): the watermarked "
-      + "stream-stream tolerance join run on batch inputs — one "
-      + "hashpartitioning(mac) exchange per side feeds a sort-merge "
-      + "join whose range predicates evaluate inside the merge; "
-      + "per-key pair density bounds the output, and no BNL/cartesian "
-      + "shape appears anywhere."),
+      + "stream-stream tolerance join run on batch inputs — an EQUI "
+      + "join on mac carries the tolerance bounds as a join residual "
+      + "(never a BNL/cartesian shape), so the planner is free to "
+      + "broadcast the small side here and sort-merge on "
+      + "hashpartitioning(mac) at scale; per-key pair density bounds "
+      + "the output either way."),
 
     "o5_skyline" -> ("2-D Pareto frontier without the textbook "
       + "partitionless running-min window: level 1 prefix-mins over "
