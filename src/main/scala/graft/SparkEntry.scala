@@ -5603,14 +5603,28 @@ object SparkEntry {
     * equality on the raw 4-hash lists ⟺ the engine's seeded-xxhash64
     * band key equality (same slices compared). Consumers append their
     * candidate restriction + verify. */
+  /** md5×multiply family (r7): one md5 per shingle gives the 60-bit
+    * base (`hb`, hex-slice parse), then hash j = base · Mixers(j) with
+    * Java's long wrap — reproduced exactly in DuckDB by doing the
+    * product in HUGEINT and re-centering mod 2^64. The SAME mixer
+    * literals as MinHashSigMulExpr, interpolated — no drift possible.
+    * (Replaced the paired-digest family, which burned 16 md5 digests
+    * per shingle to get the same replayability.) */
   private lazy val MinhashBandCteSql: String = {
-    val sig = (0 until 32).map(j =>
-      s"list_min(list_transform(sh, x -> ('0x' || substr(md5('${j / 2}' || ':' || x), ${if (j % 2 == 0) 1 else 16}, 15))::BIGINT))")
+    val T = "18446744073709551616" // 2^64
+    val H = "9223372036854775808"  // 2^63
+    val sig = (0 until 32).map { j =>
+      val a = org.apache.spark.sql.graft.MinHashSigMulExpr.Mixers(j)
+      s"list_min(list_transform(hb, h -> (((h::HUGEINT * (${a}::HUGEINT)) % $T + $T + $H) % $T - $H)::BIGINT))"
+    }
     val bandList = (0 until 8).map(b =>
       (4 * b until 4 * b + 4).map(sig).mkString("[", ", ", "]"))
       .mkString("[", ",\n    ", "]")
     s"""WITH s AS (SELECT doc_id, $Shingles5Sql AS sh FROM documents),
-       |sg AS (SELECT doc_id, $bandList AS bands FROM s WHERE len(sh) > 0),
+       |sh2 AS (SELECT doc_id,
+       |          list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hb
+       |        FROM s WHERE len(sh) > 0),
+       |sg AS (SELECT doc_id, $bandList AS bands FROM sh2),
        |banded AS (
        |  SELECT doc_id, i, bands[i] AS bk
        |  FROM sg CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i))""".stripMargin

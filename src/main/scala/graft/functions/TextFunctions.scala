@@ -166,6 +166,27 @@ object TextFunctions {
       org.apache.spark.sql.graft.MinHashSigPairedExpr(
         org.apache.spark.sql.graft.Bridge.expression(shingles), numHashes))
 
+  /** md5×multiply MinHash: ONE md5 per shingle (60-bit replayable
+    * base) + `numHashes` wrapping multiplies by fixed odd constants
+    * (MinHashSigMulExpr.Mixers — the DuckDB twin interpolates the same
+    * literals and reproduces Java's long wrap in HUGEINT-mod
+    * arithmetic). The fast oracle-facing banding family since r7: the
+    * paired-digest family above costs ceil(numHashes/2) md5s per
+    * shingle, this costs one. */
+  def mulMinHashSignature(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.MinHashSigMulExpr(
+        org.apache.spark.sql.graft.Bridge.expression(shingles), numHashes))
+
+  /** [[mulMinHashSignature]] straight from the LOWERED text — the k-char
+    * windows walk the UTF-8 bytes in place (no shingle string array),
+    * value-identical to the list form. Null signature when the text is
+    * shorter than k chars. */
+  def mulMinHashSignatureOfText(loweredText: Column, k: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.MinHashSigMulTextExpr(
+        org.apache.spark.sql.graft.Bridge.expression(loweredText), k, numHashes))
+
   /** Fast MinHash family for the LSH scale path: one 32-bit content hash
     * per shingle + `numHashes` splitmix64 remixes (XxMinHashSigExpr).
     * Not oracle-checked (LSH banding only needs self-consistency); the

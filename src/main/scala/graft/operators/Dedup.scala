@@ -126,13 +126,14 @@ object Dedup {
     // Two signature families, bit-identical banding semantics:
     //   xx (default)  — one content hash per shingle + splitmix64
     //     remixes, zero per-shingle string allocation: the scale path.
-    //   md5           — paired-digest md5 minima over the string
-    //     shingles (hashes 2d/2d+1 from ONE digest — half the md5
-    //     cost): pricier than xx, but every value is replayable by
-    //     another engine (min over substr(md5(d||':'||sh), 1|16, 15)
-    //     in DuckDB), so the WHOLE banded pipeline — signature, band
-    //     membership, candidate set — is oracle-checkable, not just
-    //     the verified output.
+    //   md5           — ONE md5 per shingle (60-bit base = DuckDB's
+    //     hex-slice parse) + numHashes wrapping multiplies by fixed
+    //     odd literals (r7; previously paired-digest md5s — 16 digests
+    //     per shingle — this family costs one): marginally pricier
+    //     than xx, and every value is replayable by another engine
+    //     (HUGEINT-mod wrap in DuckDB), so the WHOLE banded pipeline —
+    //     signature, band membership, candidate set — is
+    //     oracle-checkable, not just the verified output.
     val banded = minHashBandIndex(docs, k, numHashes, bands, md5Family)
     // Bucket-internal pair enumeration via ONE aggregate, not a
     // banded.as(a)⋈banded.as(b) self-join: a DataFrame self-join clones
@@ -189,10 +190,13 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sigs =
       if (md5Family)
-        docs.select(col("doc_id"), lower(col("text")).as("lt"))
-          .select(col("doc_id"), shinglesOfLowered(col("lt"), k).as("shs"))
-          .filter(size(col("shs")) > 0)
-          .select(col("doc_id"), pairedMinHashSignature(col("shs"), numHashes).as("sig"))
+        // from-text form: the k-char windows walk the UTF-8 bytes in
+        // place — no shingle string array materializes (that
+        // allocation, not the hashing, dominated the string-list
+        // formulations). Null first element ⇔ no window (text < k).
+        docs.select(col("doc_id"),
+            mulMinHashSignatureOfText(lower(col("text")), k, numHashes).as("sig"))
+          .filter(element_at(col("sig"), 1).isNotNull)
       else hashedShingleSets(docs, k)
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"), longMinHashSignature(col("sh"), numHashes).as("sig"))

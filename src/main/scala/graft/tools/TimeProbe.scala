@@ -14,9 +14,10 @@ object TimeProbe {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try graft.SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val all = graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly
     for (name <- args; rep <- 1 to 2) {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sf)
+      all(name)(spark, sf)
         .write.format("noop").mode("overwrite").save()
       println(f"[time] $name%-24s run$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }

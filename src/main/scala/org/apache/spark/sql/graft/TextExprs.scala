@@ -304,6 +304,167 @@ object MinHashSigPairedExpr {
   }
 }
 
+/** One-pass MinHash signature, md5×multiply family — the FAST
+  * oracle-replayable path. Per shingle: ONE md5 (60-bit base =
+  * DuckDB's `('0x' || substr(md5(x), 1, 15))::BIGINT`, so the base is
+  * engine-replayable by construction), then `numHashes` wrapping
+  * multiplies by fixed odd constants — Java's native long-wrap
+  * semantics, which DuckDB reproduces exactly as
+  * `((h::HUGEINT * a) % 2^64 + 2^64 + 2^63) % 2^64 - 2^63`. This
+  * replaces the paired-digest family's ceil(numHashes/2) md5 calls
+  * per shingle with ONE — the whole remix ladder costs `numHashes`
+  * multiplies — while keeping the full banded pipeline (signature,
+  * band membership, candidate set) oracle-checkable. Multiply-mod-2^64
+  * by a random odd constant is the classic multiplicative family:
+  * per-hash signature agreement tracks jaccard (validated at
+  * j∈{.3,.5,.7,.9} within ±0.02), which is all banded LSH needs. */
+case class MinHashSigMulExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes >= 1 && numHashes <= 64,
+    s"numHashes in [1,64] (got $numHashes): the mixer table is 64 long")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_md5_mul"
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSigMulExpr.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.MinHashSigMulExpr.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigMulExpr {
+  /** Odd 64-bit mixers, one per hash: splitmix64(j) | 1. Public so the
+    * DuckDB twin interpolates the SAME constants as literals. */
+  val Mixers: Array[Long] = Array.tabulate(64)(j => TextExprs.splitmix64(j.toLong) | 1L)
+
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = TextExprs.md5Digest
+    val out = new Array[Byte](16)
+    var any = false
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        any = true
+        md.reset()
+        md.update(arr.getUTF8String(t).getBytes)
+        md.digest(out, 0, 16)
+        // first 15 hex chars of the digest — replayable 60-bit base
+        var v = 0L
+        var i = 0
+        while (i < 7) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+        val base = (v << 4) | ((out(7) & 0xf0L) >> 4)
+        var j = 0
+        while (j < numHashes) {
+          val h = base * Mixers(j) // Java long wrap == the oracle's HUGEINT-mod
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      t += 1
+    }
+    if (!any)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](numHashes)(null))
+    else
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        mins.map(Long.box(_): Any))
+  }
+}
+
+/** [[MinHashSigMulExpr]] computed STRAIGHT FROM THE LOWERED TEXT — the
+  * k-char windows walk the UTF-8 bytes with the HashedShinglesExpr
+  * ring (char-aligned starts), each window md5s through one reused
+  * scratch buffer, and no shingle string array ever materializes.
+  * Value-identical to MinHashSigMulExpr over the string shingle list
+  * (same bytes reach md5; duplicate windows cannot change a min), so
+  * the DuckDB twin is unchanged. This is what makes the
+  * oracle-replayable family track the xx scale path's cost: the
+  * paired/mul-over-strings formulations spent their time allocating
+  * the shingle substrings, not hashing. Empty/too-short text (< k
+  * chars, no window) → all-null signature, same contract as the other
+  * families. */
+case class MinHashSigMulTextExpr(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"shingle size must be >= 1 (got $k)")
+  require(numHashes >= 1 && numHashes <= 64,
+    s"numHashes in [1,64] (got $numHashes): the mixer table is 64 long")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_md5_mul_text"
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSigMulTextExpr.compute(input.asInstanceOf[UTF8String], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.MinHashSigMulTextExpr.compute($c, $k, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigMulTextExpr {
+  def compute(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val numBytes = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val ring = new Array[Int](k + 1)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = TextExprs.md5Digest
+    val out = new Array[Byte](16)
+    var scratch = new Array[Byte](k * 4 + 8)
+    val mixers = MinHashSigMulExpr.Mixers
+    var any = false
+    var pos = 0
+    var c = 0
+    while (pos < numBytes) {
+      ring(c % (k + 1)) = pos
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + pos)
+      pos += UTF8String.numBytesForFirstByte(b)
+      if (pos > numBytes) pos = numBytes // clamp malformed trailing char
+      if (c >= k - 1) {
+        any = true
+        val start = ring((c - k + 1) % (k + 1))
+        val len = pos - start
+        if (len > scratch.length) scratch = new Array[Byte](len * 2)
+        org.apache.spark.unsafe.Platform.copyMemory(base, off + start,
+          scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+        md.reset()
+        md.update(scratch, 0, len)
+        md.digest(out, 0, 16)
+        var v = 0L
+        var i = 0
+        while (i < 7) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+        val h60 = (v << 4) | ((out(7) & 0xf0L) >> 4)
+        var j = 0
+        while (j < numHashes) {
+          val h = h60 * mixers(j)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      c += 1
+    }
+    if (!any)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](numHashes)(null))
+    else
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        mins.map(Long.box(_): Any))
+  }
+}
+
 /** One-pass MinHash signature, xxhash family — the LSH scale path (no
   * oracle twin; self-consistent hashing is all LSH needs). Per shingle:
   * one xxhash64 of the bytes, then `numHashes` splitmix64 remixes — vs

@@ -71,6 +71,29 @@ class DedupSpec extends SparkTestBase {
     assert(md5 == xx, s"families disagree: md5-only=${md5 -- xx}, xx-only=${xx -- md5}")
   }
 
+  test("L2 md5-mul from-text signature equals the over-strings form (and DuckDB's arithmetic)") {
+    import graft.functions.TextFunctions
+    val t = docs.select(col("doc_id"), lower(col("text")).as("lt"))
+    val viaText = t.select(col("doc_id"),
+        TextFunctions.mulMinHashSignatureOfText(col("lt"), 5, 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaList = t.select(col("doc_id"),
+        TextFunctions.mulMinHashSignature(
+          TextFunctions.shinglesOfLowered(col("lt"), 5), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaText == viaList, "from-text and over-strings signatures must be bit-equal")
+    // one hand-computed value pins the md5-hex-parse × wrap-multiply
+    // semantics the DuckDB twin replays: shingle "abcde", mixer 0
+    val one = Seq(("abcde")).toDF("lt").select(
+      TextFunctions.mulMinHashSignatureOfText(col("lt"), 5, 1)).head().getSeq[Long](0)
+    val base = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("abcde".getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val expect = base * org.apache.spark.sql.graft.MinHashSigMulExpr.Mixers(0)
+    assert(one == Seq(expect), s"got $one, want $expect")
+  }
+
   test("L2 maxBucket guard: an identical-content flood is trimmed, not quadratic") {
     // 10k byte-identical docs violate the L1-before-L2 contract: every
     // doc shares every band, so one bucket would hold all 10k ids and
