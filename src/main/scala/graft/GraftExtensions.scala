@@ -94,6 +94,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash_md5_paired", "graft_minhash_md5_paired(shingles, numHashes)"),
       (args: Seq[Expression]) => MinHashSigPairedExpr(args(0),
         intLit("graft_minhash_md5_paired", args, 1, 2))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_md5_mul"),
+      info("graft_minhash_md5_mul", "graft_minhash_md5_mul(shingles, numHashes)"),
+      (args: Seq[Expression]) => MinHashSigMulExpr(args(0),
+        intLit("graft_minhash_md5_mul", args, 1, 2))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_md5_mul_text"),
+      info("graft_minhash_md5_mul_text",
+        "graft_minhash_md5_mul_text(loweredText, k, numHashes)"),
+      (args: Seq[Expression]) => MinHashSigMulTextExpr(args(0),
+        intLit("graft_minhash_md5_mul_text", args, 1, 3),
+        intLit("graft_minhash_md5_mul_text", args, 2, 3))))
     // the DEFAULT merge table (literal data in TextFunctions) — a SQL
     // user gets the same tokenizer the curation queries budget with
     ext.injectFunction((FunctionIdentifier("graft_bpe_merged_count"),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lower
 
 /** SURVEY §3.2 — SQL text and the DataFrame DSL hit the same engine:
   * a session with GraftExtensions resolves the native functions from
@@ -138,13 +139,20 @@ class SqlFrontDoorSpec extends SparkTestBase {
     val r = s.sql(
       """SELECT graft_minhash_md5_paired(sh, 6) AS sig,
         |  graft_bpe_merged_count(txt) AS n,
-        |  graft_bpe_encode(txt) AS enc FROM t3""".stripMargin).collect()(0)
+        |  graft_bpe_encode(txt) AS enc,
+        |  graft_minhash_md5_mul(sh, 6) AS sigm,
+        |  graft_minhash_md5_mul_text(lower(txt), 5, 6) AS sigt FROM t3""".stripMargin)
+      .collect()(0)
     import graft.functions.TextFunctions
     val dsl = s.table("t3").select(
       TextFunctions.pairedMinHashSignature($"sh", 6),
       TextFunctions.bpeMergedTokenCount($"txt"),
-      TextFunctions.bpeEncode($"txt")).collect()(0)
+      TextFunctions.bpeEncode($"txt"),
+      TextFunctions.mulMinHashSignature($"sh", 6),
+      TextFunctions.mulMinHashSignatureOfText(lower($"txt"), 5, 6)).collect()(0)
     assert(r.getSeq[Long](0) == dsl.getSeq[Long](0))
+    assert(r.getSeq[Long](3) == dsl.getSeq[Long](3))
+    assert(r.getSeq[Long](4) == dsl.getSeq[Long](4))
     assert(r.getAs[Long]("n") == dsl.getLong(1))
     // "vector", "order", "customer" are single learned tokens; alpha →
     // al|p|h|a? (al from rank 35) — just pin the DSL equality + a bound
