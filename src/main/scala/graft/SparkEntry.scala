@@ -1808,6 +1808,44 @@ object SparkEntry {
         .orderBy("entity_id")
     }),
 
+    // ---- ER3: Fellegi–Sunter calibration — learn per-field log-odds
+    //      match weights from the ER clusters as truth. Count-based:
+    //      every m/u cell is a Σ C(n,2) over group sizes (block,
+    //      block×entity, block×value, block×entity×value), so the
+    //      calibration never materializes a pair. `size_eq` is a
+    //      deliberately uninformative field: FS drives its weight to
+    //      ~0, which is the point of calibrating instead of hand-tuning ----
+    "er_fs_weights" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+      val ents = graft.operators.Components
+        .resolveEntities(parts, "p_name", maxDist = 2)
+        .select(col("variant"), col("entity_id"))
+      val recs = parts.join(ents, parts("p_name") === ents("variant"))
+      graft.operators.Linkage.fellegiSunterWeights(recs,
+        element_at(split(col("p_name"), " "), 1), col("entity_id"),
+        FsFields)
+    }),
+
+    // ---- ER3b: FS apply step — the match/non-match score-separation
+    //      histogram an MDM operator reads to pick link/review/reject
+    //      thresholds. Salted blocked pair stream reduces to agreement-
+    //      PATTERN counts (map-side combined, ≤2^(fields+1) rows)
+    //      before any weight arithmetic: shuffle O(patterns), not
+    //      O(pairs) ----
+    "er_fs_scores" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+      val ents = graft.operators.Components
+        .resolveEntities(parts, "p_name", maxDist = 2)
+        .select(col("variant"), col("entity_id"))
+      val recs = parts.join(ents, parts("p_name") === ents("variant"))
+      val blk = element_at(split(col("p_name"), " "), 1)
+      val w = graft.operators.Linkage.fellegiSunterWeights(
+        recs, blk, col("entity_id"), FsFields)
+      graft.operators.Linkage.scoreSeparation(recs,
+          blk, col("entity_id"), FsFields, w)
+        .orderBy("is_match", "score_unit")
+    }),
+
     // ---- PROFILE: capstone composed report (README.md:15-19 — the
     //      per-device server profile: census + active hour + top
     //      interest + dwell sessions, one multi-join report) ----
@@ -4084,6 +4122,53 @@ object SparkEntry {
         |  JOIN szm USING (entity_id) JOIN tpm USING (entity_id)
         |ORDER BY entity_id""".stripMargin),
 
+    // FS calibration replay: the same combinatorial-count shape the
+    // engine runs (Σ C(n,2) over group sizes — no pair join), truth
+    // from the shared recursive-CTE ER clusters, weights floor(ln·1e6)
+    // with every factor cast DOUBLE before the product in the SAME
+    // order as the engine expression (IEEE-identical doubles).
+    "er_fs_weights" -> (ErCteSql + FsRecsSql +
+      FsCountsSql +
+      """
+        |SELECT ag.field, mt.nm AS n_match, (bt.np - mt.nm)::BIGINT AS n_nonmatch,
+        |  am.nam AS n_agree_match, (ag.na - am.nam)::BIGINT AS n_agree_nonmatch,
+        |  CAST(floor(ln((am.nam + 1)::DOUBLE * (bt.np - mt.nm + 2)::DOUBLE
+        |    / ((mt.nm + 2)::DOUBLE * (ag.na - am.nam + 1)::DOUBLE)) * 1000000) AS BIGINT)
+        |    AS w_agree_micro,
+        |  CAST(floor(ln((mt.nm + 1 - am.nam)::DOUBLE * (bt.np - mt.nm + 2)::DOUBLE
+        |    / ((mt.nm + 2)::DOUBLE * (bt.np - mt.nm + 1 - (ag.na - am.nam))::DOUBLE)) * 1000000) AS BIGINT)
+        |    AS w_disagree_micro
+        |FROM ag JOIN am USING (field) CROSS JOIN bt CROSS JOIN mt
+        |ORDER BY field""".stripMargin),
+
+    // FS apply replay: blocked pair self-join + per-field CASE on the
+    // calibrated weight scalars; the separation histogram groups on
+    // (truth, whole log-odds unit) — floor over IEEE double division
+    // on both engines.
+    "er_fs_scores" -> (ErCteSql + FsRecsSql +
+      FsCountsSql +
+      """,
+        |wt AS (SELECT ag.field,
+        |  CAST(floor(ln((am.nam + 1)::DOUBLE * (bt.np - mt.nm + 2)::DOUBLE
+        |    / ((mt.nm + 2)::DOUBLE * (ag.na - am.nam + 1)::DOUBLE)) * 1000000) AS BIGINT) AS wa,
+        |  CAST(floor(ln((mt.nm + 1 - am.nam)::DOUBLE * (bt.np - mt.nm + 2)::DOUBLE
+        |    / ((mt.nm + 2)::DOUBLE * (bt.np - mt.nm + 1 - (ag.na - am.nam))::DOUBLE)) * 1000000) AS BIGINT) AS wd
+        |  FROM ag JOIN am USING (field) CROSS JOIN bt CROSS JOIN mt)
+        |SELECT is_match, CAST(floor(score_micro / 1000000) AS BIGINT) AS score_unit,
+        |  count(*)::BIGINT AS n
+        |FROM (
+        |  SELECT CASE WHEN a.ent = b.ent THEN 1 ELSE 0 END::BIGINT AS is_match,
+        |    ((CASE WHEN a.f_len = b.f_len THEN (SELECT wa FROM wt WHERE field = 'len_eq')
+        |           ELSE (SELECT wd FROM wt WHERE field = 'len_eq') END)
+        |   + (CASE WHEN a.f_suf3 = b.f_suf3 THEN (SELECT wa FROM wt WHERE field = 'suf3_eq')
+        |           ELSE (SELECT wd FROM wt WHERE field = 'suf3_eq') END)
+        |   + (CASE WHEN a.f_tok2 = b.f_tok2 THEN (SELECT wa FROM wt WHERE field = 'tok2_eq')
+        |           ELSE (SELECT wd FROM wt WHERE field = 'tok2_eq') END)
+        |   + (CASE WHEN a.f_size = b.f_size THEN (SELECT wa FROM wt WHERE field = 'size_eq')
+        |           ELSE (SELECT wd FROM wt WHERE field = 'size_eq') END)) AS score_micro
+        |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.pk < b.pk)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     "l2i_editdist" ->
       """WITH v AS (SELECT p_name AS val, count(*) AS n,
         |           split_part(p_name, ' ', 1) AS blk FROM part GROUP BY 1, 3)
@@ -5445,6 +5530,45 @@ object SparkEntry {
     * per-entity stats + canonical election. Consumers append either a
     * final SELECT or further CTEs (the string ends inside the WITH
     * list, after `canon`). */
+  /** FS record projection downstream of the ER clusters — the SQL
+    * twins of [[FsFields]], pk carried for the pair join. Appends to
+    * [[ErCteSql]]'s WITH list (consumes its `cc` truth). */
+  private val FsRecsSql: String =
+    """,
+      |recs AS (SELECT p.p_partkey AS pk, split_part(p.p_name, ' ', 1) AS blk,
+      |  cc.entity_id AS ent,
+      |  length(p.p_name)::VARCHAR AS f_len, right(p.p_name, 3) AS f_suf3,
+      |  split_part(p.p_name, ' ', 2) AS f_tok2, p.p_size::VARCHAR AS f_size
+      |  FROM part p JOIN cc ON p.p_name = cc.variant)""".stripMargin
+
+  /** The four FS combinatorial count CTEs: total in-block pairs,
+    * same-entity pairs, per-field agreeing pairs, agreeing∧matching
+    * pairs — each a Σ C(n,2) over group sizes, no pair join. */
+  private val FsCountsSql: String =
+    """,
+      |bt AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS np FROM (
+      |  SELECT count(*) AS n FROM recs GROUP BY blk)),
+      |mt AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS nm FROM (
+      |  SELECT count(*) AS n FROM recs GROUP BY blk, ent)),
+      |lf AS (SELECT 'len_eq' AS field, blk, ent, f_len AS v FROM recs
+      |  UNION ALL SELECT 'suf3_eq', blk, ent, f_suf3 FROM recs
+      |  UNION ALL SELECT 'tok2_eq', blk, ent, f_tok2 FROM recs
+      |  UNION ALL SELECT 'size_eq', blk, ent, f_size FROM recs),
+      |ag AS (SELECT field, sum(n * (n - 1) // 2)::BIGINT AS na FROM (
+      |  SELECT field, blk, v, count(*) AS n FROM lf GROUP BY 1, 2, 3) GROUP BY 1),
+      |am AS (SELECT field, sum(n * (n - 1) // 2)::BIGINT AS nam FROM (
+      |  SELECT field, blk, ent, v, count(*) AS n FROM lf GROUP BY 1, 2, 3, 4) GROUP BY 1)""".stripMargin
+
+  /** FS comparison fields shared by er_fs_weights / er_fs_scores:
+    * three name-derived evidence fields plus `size_eq`, which is
+    * independent of identity by construction — its learned weight
+    * lands near 0, demonstrating the calibration. */
+  private val FsFields: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "len_eq" -> length(col("p_name")),
+    "suf3_eq" -> substring(col("p_name"), -3, 3),
+    "tok2_eq" -> element_at(split(col("p_name"), " "), 2),
+    "size_eq" -> col("p_size"))
+
   private val ErCteSql: String =
     """WITH RECURSIVE
       |v AS (SELECT p_name AS variant, count(*) AS n,

@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage: Fellegi–Sunter match/unmatch weight
+  * calibration and pair scoring (Fellegi & Sunter 1969, "A Theory for
+  * Record Linkage", JASA 64(328)).
+  *
+  * The reference resolves identities by exact device key (the
+  * `manufacturers`/sightings join keyed on MAC, `ssidentity.c:239-261`)
+  * and the ER capstone ([[Components.resolveEntities]]) generalizes
+  * that to fuzzy string identity via edit-distance clusters. FS is the
+  * calibration layer on top: given a blocked candidate space and a
+  * truth signal, it LEARNS how much evidence each field-agreement
+  * carries (log-odds weights), so downstream linkage can rank pairs by
+  * total evidence instead of hand-tuned rules — the standard MDM /
+  * identity-stitching scorer.
+  *
+  * Scale design — calibration never materializes pairs:
+  *   - Every count FS needs is a sum of C(n,2) over GROUP SIZES:
+  *     in-block pairs = Σ_blk C(n_blk,2); same-entity (match) pairs =
+  *     Σ_{blk,ent} C(n,2); pairs agreeing on field f = Σ_{blk,v_f}
+  *     C(n,2); agreeing AND matching = Σ_{blk,ent,v_f} C(n,2). So the
+  *     whole calibration is four map-combinable count aggregates over
+  *     a slim projection — O(records), not O(pairs), where the naive
+  *     pair-enumeration calibration is quadratic in block size. At
+  *     100 TB the block self-join is the thing you cannot afford;
+  *     this shape never runs it.
+  *   - The per-field aggregates share ONE scan: fields unpivot through
+  *     a `stack` generator into (field, blk, ent, value) rows, then
+  *     two groupBys produce every field's agree counts together.
+  *   - Counts are exact longs; C(n,2) = n(n−1) div 2 is exact while
+  *     n < ~4.3e9 rows per group (then n(n−1) overflows 2^63 — far
+  *     beyond any honest block; enforce blocking upstream).
+  *
+  * Semantics notes:
+  *   - Agreement is VALUE-GROUP equality: two records agree on f iff
+  *     their (string-cast) values are identical; two NULLs agree
+  *     (they land in the same group). Mirrored by `<=>` in
+  *     [[scorePairs]].
+  *   - Weights are Laplace-smoothed (add-1 on numerators, add-2 on
+  *     denominators) so zero-count cells never divide by zero, and
+  *     floor-quantized to 1e-6 log-odds units (BIGINT micro-units) —
+  *     the repo-wide representation-proof discipline for anything an
+  *     oracle replays.
+  *   - FS assumes conditional independence across fields (the classic
+  *     naive-Bayes caveat); correlated fields (e.g. a suffix and the
+  *     token it ends) double-count evidence. Calibration output makes
+  *     that visible rather than hiding it.
+  */
+object Linkage {
+
+  private def choose2(n: Column): Column =
+    (n * (n - lit(1L))).divide(lit(2L)).cast("long")
+
+  /** FS calibration. `records`: one row per record. `block`: blocking
+    * key (pairs are only ever considered within a block — the FS
+    * candidate space). `entity`: truth label (same entity = match);
+    * in production this is a labeled sample or a high-precision rule,
+    * here the ER capstone's cluster id. `fields`: (name, value)
+    * comparison fields evaluated on each record.
+    *
+    * Returns one row per field, ordered by field name:
+    * (field, n_match, n_nonmatch, n_agree_match, n_agree_nonmatch,
+    *  w_agree_micro, w_disagree_micro) — all counts BIGINT, weights
+    * floor(ln(ratio)·1e6) BIGINT.
+    */
+  def fellegiSunterWeights(records: DataFrame, block: Column,
+      entity: Column, fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunterWeights needs at least one field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "field names must be unique")
+    val base = records.select(
+      block.cast("string").as("_blk") +:
+        entity.cast("string").as("_ent") +:
+        fields.map { case (n, c) => c.cast("string").as(s"_f_$n") }: _*)
+    // total in-block pairs and same-entity (match) pairs: two bounded
+    // aggregates (one row each) — broadcast onto the per-field rows
+    val totals = base.groupBy("_blk").agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(choose2(col("_n"))), lit(0L)).as("_np"))
+    val matches = base.groupBy("_blk", "_ent").agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(choose2(col("_n"))), lit(0L)).as("_nm"))
+    // unpivot the fields once; both agree-count aggregates read this
+    // single projection (one scan, two map-combinable exchanges)
+    val stackSql = fields
+      .map { case (n, _) => s"'$n', `_f_$n`" }.mkString(", ")
+    val long = base.select(col("_blk"), col("_ent"),
+      expr(s"stack(${fields.size}, $stackSql) AS (_field, _v)"))
+    val agree = long.groupBy("_field", "_blk", "_v")
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("_field").agg(sum(choose2(col("_n"))).as("_na"))
+    val agreeM = long.groupBy("_field", "_blk", "_ent", "_v")
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("_field").agg(sum(choose2(col("_n"))).as("_nam"))
+    // Laplace-smoothed log-odds; every factor cast to double BEFORE
+    // the product (a long product can wrap past 2^63 silently under
+    // non-ANSI Spark; the log only needs the ratio)
+    val mNum = (col("_nam") + lit(1L)).cast("double")
+    val mDen = (col("_nm") + lit(2L)).cast("double")
+    val uNum = (col("_na") - col("_nam") + lit(1L)).cast("double")
+    val uDen = (col("_np") - col("_nm") + lit(2L)).cast("double")
+    agree.join(agreeM, "_field")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(matches))
+      .select(
+        col("_field").as("field"),
+        col("_nm").as("n_match"),
+        (col("_np") - col("_nm")).as("n_nonmatch"),
+        col("_nam").as("n_agree_match"),
+        (col("_na") - col("_nam")).as("n_agree_nonmatch"),
+        floor(log(mNum * uDen / (mDen * uNum)) * lit(1000000.0))
+          .cast("long").as("w_agree_micro"),
+        floor(log((mDen - mNum) * uDen / (mDen * (uDen - uNum)))
+          * lit(1000000.0)).cast("long").as("w_disagree_micro"))
+      .orderBy("field")
+  }
+
+  /** FS apply step: enumerate in-block candidate pairs, compare the
+    * same fields, and score each pair with the calibrated weights
+    * (Σ over fields of w_agree if the pair agrees else w_disagree).
+    *
+    * This is the one inherently pairwise stage, so it is blocked,
+    * bounded, and SALTED:
+    *   - `maxBlock` trims degenerate blocks the way
+    *     minHashCandidatePairs' maxBucket does (a block past the bound
+    *     means the blocking key is not doing its job; fix the key,
+    *     don't melt the executor).
+    *   - A plain equi self-join on the block key puts each block's
+    *     whole quadratic pair space in ONE task — with few, large
+    *     blocks that is a handful of straggler tasks no matter how
+    *     many executors exist. So the join key is (block, salt):
+    *     the a-side gets salt = hash(id) mod `salt`, the b-side
+    *     replicates `salt`× (the standard skew treatment — ×salt
+    *     shuffle volume on one slim side buys block-size-independent
+    *     parallelism of |blocks|·salt).
+    *   - Both join branches read ONE materialized slim projection
+    *     ([[Checkpoint]]): a DataFrame self-join clones the plan, and
+    *     the upstream here (truth labels from an iterative CC +
+    *     calibration input) is far too expensive to run twice.
+    *   - The |fields|-row `weights` table folds to ONE broadcast row
+    *     of per-field scalar columns (no per-row map lookups), so
+    *     scoring is map-only arithmetic over the pair stream.
+    *
+    * `weights` is [[fellegiSunterWeights]] output (or any table with
+    * field/w_agree_micro/w_disagree_micro). Returns
+    * (a_id, b_id, is_match, score_micro) with a_id < b_id under the
+    * id column's native ordering; `is_match` is the truth label
+    * (BIGINT 0/1) carried for calibration-quality evaluation. Field
+    * agreement is string-cast equality with NULL ≡ NULL — exactly the
+    * value-group convention the calibration counts under.
+    */
+  /** The shared salted in-block pair stream: columns (_a, _b), each a
+    * struct of (id, ent, f_<field>…) with _a.id < _b.id. See
+    * [[scorePairs]] for the shape rationale. */
+  private def saltedPairs(records: DataFrame, id: Column, block: Column,
+      entity: Column, fields: Seq[(String, Column)],
+      maxBlock: Int, salt: Int): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2 (got $maxBlock)")
+    require(salt >= 1, s"salt must be >= 1 (got $salt)")
+    val rec = struct(
+      id.as("id") +: entity.cast("string").as("ent") +:
+        fields.map { case (n, c) => c.cast("string").as(s"f_$n") }: _*)
+    val base = records
+      .select(block.cast("string").as("_blk"), rec.as("_r"))
+    val sizes = base.groupBy("_blk").agg(count(lit(1)).as("_bn"))
+    val slim = Checkpoint(base.join(sizes, "_blk")
+      .filter(col("_bn").between(2L, maxBlock.toLong))
+      .select("_blk", "_r"))
+    val aS = slim.select(col("_blk"),
+      pmod(xxhash64(col("_r.id")), lit(salt.toLong)).as("_s"),
+      col("_r").as("_a"))
+    val bS = slim.select(col("_blk"), col("_r").as("_b"),
+      explode(sequence(lit(0L), lit(salt.toLong - 1))).as("_s"))
+    aS.join(bS, Seq("_blk", "_s"))
+      .filter(col("_a.id") < col("_b.id"))
+      .select("_a", "_b")
+  }
+
+  /** The |fields|-row weight table folded to ONE row of per-field
+    * scalar columns (_wa_<f>, _wd_<f>) for broadcast. */
+  private def weightRow(weights: DataFrame,
+      fields: Seq[(String, Column)]): DataFrame = {
+    val wAggs = fields.flatMap { case (n, _) => Seq(
+      max(when(col("field") === n, col("w_agree_micro")))
+        .as(s"_wa_$n"),
+      max(when(col("field") === n, col("w_disagree_micro")))
+        .as(s"_wd_$n")) }
+    weights.agg(wAggs.head, wAggs.tail: _*)
+  }
+
+  def scorePairs(records: DataFrame, id: Column, block: Column,
+      entity: Column, fields: Seq[(String, Column)], weights: DataFrame,
+      maxBlock: Int = 8192, salt: Int = 32): DataFrame = {
+    val pairs = saltedPairs(records, id, block, entity, fields,
+      maxBlock, salt)
+    val score = fields.map { case (n, _) =>
+      when(col(s"_a.f_$n") <=> col(s"_b.f_$n"), col(s"_wa_$n"))
+        .otherwise(col(s"_wd_$n"))
+    }.reduce(_ + _)
+    pairs.crossJoin(broadcast(weightRow(weights, fields)))
+      .select(col("_a.id").as("a_id"), col("_b.id").as("b_id"),
+        (col("_a.ent") <=> col("_b.ent")).cast("long").as("is_match"),
+        score.as("score_micro"))
+  }
+
+  /** Match/non-match score-separation histogram:
+    * (is_match, score_unit, n) where score_unit is the pair's total
+    * FS log-odds floor-bucketed to whole units — the distribution an
+    * MDM operator reads to place link/review/reject thresholds.
+    *
+    * Same candidate space and answer as histogramming [[scorePairs]],
+    * but computed PAIR-FREE. A pair's score depends only on its
+    * agreement PATTERN, and pattern counts are combinatorial, like the
+    * calibration counts, one inclusion–exclusion step further:
+    *   - pairs agreeing on AT LEAST field-subset S (optionally same
+    *     entity) = Σ over (block, [entity,] S-values) groups of
+    *     C(n,2) — every such group count for every S comes out of ONE
+    *     `cube` over (block, entity, fields…) (one shuffle; map-side
+    *     partials collapse the 2^(|fields|+2) per-row grouping combos
+    *     to distinct cells),
+    *   - exact pattern counts follow by Möbius inversion
+    *     (N_=(P) = Σ_{S⊇P} (−1)^{|S\P|} N_≥(S)) over a ONE-ROW pivot
+    *     of the per-grouping-set sums — 3^|fields| scalar terms of
+    *     driver-free column arithmetic,
+    *   - non-match = all-pairs − match, per pattern; weights and
+    *     bucketing then run on ≤2^(|fields|+1) pattern rows.
+    * So the whole histogram costs O(records·2^|fields|) map work and
+    * shuffles O(distinct cells) — no quadratic stage at any block
+    * size, which is why this (not the salted pair join) is the
+    * 100 TB-shape threshold-picker. `maxBlock` still trims degenerate
+    * blocks so the answer matches [[scorePairs]]' candidate space.
+    */
+  def scoreSeparation(records: DataFrame, block: Column,
+      entity: Column, fields: Seq[(String, Column)], weights: DataFrame,
+      maxBlock: Int = 8192): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2 (got $maxBlock)")
+    val k = fields.size
+    require(k >= 1 && k <= 8,
+      s"scoreSeparation scales 3^|fields| in plan terms and 2^|fields|" +
+        s" in cube combos — keep fields in [1,8] (got $k)")
+    val base = records.select(
+      block.cast("string").as("_blk") +:
+        entity.cast("string").as("_ent") +:
+        fields.map { case (n, c) => c.cast("string").as(s"_f_$n") }: _*)
+    val sizes = base.groupBy("_blk").agg(count(lit(1)).as("_bn"))
+    val kept = base.join(sizes, "_blk")
+      .filter(col("_bn").between(2L, maxBlock.toLong)).drop("_bn")
+    // one cube over (blk, ent, fields…): grouping_id bit j (LSB = last
+    // dim) tells which dims each cell aggregates away; keep blk-active
+    // cells and fold each grouping set's Σ C(n,2)
+    val dims = col("_blk") +: col("_ent") +:
+      fields.map { case (n, _) => col(s"_f_$n") }
+    val perGid = kept.cube(dims: _*)
+      .agg(count(lit(1)).as("_n"), grouping_id().as("_gid"))
+      .filter(col("_gid") < lit(1L << (k + 1)))
+      .groupBy("_gid")
+      .agg(sum(expr("_n * (_n - 1) div 2")).as("_c2"))
+    // gid of the grouping set keeping (blk, S[, ent]): ent contributes
+    // bit k when aggregated away, field i bit (k-1-i) likewise
+    def gidFor(withEnt: Boolean, s: Set[Int]): Long =
+      (if (withEnt) 0L else 1L << k) +
+        (0 until k).filterNot(s.contains).map(i => 1L << (k - 1 - i)).sum
+    val pivots = (0 until (1 << (k + 1))).map(g =>
+      coalesce(max(when(col("_gid") === g.toLong, col("_c2"))), lit(0L))
+        .as(s"_g$g"))
+    val row = perGid.agg(pivots.head, pivots.tail: _*)
+    // Möbius inversion: exact-pattern count from the at-least sums
+    def exact(withEnt: Boolean, p: Set[Int]): Column =
+      (0 until k).filterNot(p.contains).toSet.subsets()
+        .map { extra =>
+          val sign = if (extra.size % 2 == 0) 1L else -1L
+          lit(sign) * col(s"_g${gidFor(withEnt, p ++ extra)}")
+        }.reduce(_ + _)
+    val patRows = (0 until (1 << k)).flatMap { pm =>
+      val p = (0 until k).filter(i => (pm & (1 << i)) != 0).toSet
+      val eBits = fields.zipWithIndex.map { case ((n, _), i) =>
+        lit(p.contains(i)).as(s"_e_$n") }
+      Seq(
+        struct(lit(1L).as("is_match") +: eBits :+
+          exact(withEnt = true, p).as("_n"): _*),
+        struct(lit(0L).as("is_match") +: eBits :+
+          (exact(withEnt = false, p) - exact(withEnt = true, p))
+            .as("_n"): _*))
+    }
+    val patterns = row
+      .select(explode(array(patRows: _*)).as("_p"))
+      .select(col("_p.*"))
+      .filter(col("_n") > 0L)
+    val score = fields.map { case (n, _) =>
+      when(col(s"_e_$n"), col(s"_wa_$n")).otherwise(col(s"_wd_$n"))
+    }.reduce(_ + _)
+    patterns.crossJoin(broadcast(weightRow(weights, fields)))
+      .select(col("is_match"),
+        floor(score.cast("double") / lit(1000000.0)).cast("long")
+          .as("score_unit"),
+        col("_n"))
+      .groupBy("is_match", "score_unit")
+      .agg(sum(col("_n")).as("n"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Linkage
+
+/** Fellegi–Sunter calibration + scoring against hand-counted
+  * combinatorics on a tiny blocked record set. */
+class LinkageSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Block "x": entities A (3 records) and B (2); block "y": entity C
+  // (2 records) + a singleton D. Field `phone` tracks the entity
+  // almost perfectly (one dirty A record); field `noise` is
+  // uninformative (constant — every pair agrees, match or not).
+  private lazy val recs = Seq(
+    (1L, "x", "A", "p1", "k"),
+    (2L, "x", "A", "p1", "k"),
+    (3L, "x", "A", "p9", "k"), // dirty phone on an A record
+    (4L, "x", "B", "p2", "k"),
+    (5L, "x", "B", "p2", "k"),
+    (6L, "y", "C", "p3", "k"),
+    (7L, "y", "C", "p3", "k"),
+    (8L, "y", "D", "p4", "k"))
+    .toDF("id", "blk", "ent", "phone", "noise")
+
+  private val fields = Seq(
+    "phone_eq" -> col("phone"),
+    "noise_eq" -> col("noise"))
+
+  // Hand counts. Block x: C(5,2)=10 pairs; block y: C(3,2)=3 → 13.
+  // Matches: C(3,2)+C(2,2... C(2,2)? no — C(3,2)=3 (A) + C(2,2)=1 (B)
+  // + C(2,2)=1 (C) = 5; nonmatch = 8.
+  // phone agree: p1 C(2,2)=1, p2 1, p3 1 → 3, all of them matches.
+  // noise agree: all 13 (constant within each block), 5 match + 8 not.
+  private val nMatch = 5L
+  private val nNon = 8L
+
+  private def w(aM: Long, aU: Long): (Long, Long) = {
+    val m = (aM + 1).toDouble / (nMatch + 2)
+    val u = (aU + 1).toDouble / (nNon + 2)
+    (math.floor(math.log(m / u) * 1e6).toLong,
+      math.floor(math.log((1 - m) / (1 - u)) * 1e6).toLong)
+  }
+
+  test("FS calibration matches hand-computed combinatorial counts") {
+    val got = Linkage.fellegiSunterWeights(
+      recs, col("blk"), col("ent"), fields).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("noise_eq", "phone_eq"))
+    val byField = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    val (pa, pd) = w(3L, 0L)
+    assert(byField("phone_eq") == ((nMatch, nNon, 3L, 0L, pa, pd)))
+    val (na, nd) = w(5L, 8L)
+    assert(byField("noise_eq") == ((nMatch, nNon, 5L, 8L, na, nd)))
+    // the informative field earns a large positive agree weight, the
+    // constant field stays near zero — FS downweights non-evidence
+    assert(pa > 500000L, s"phone agree weight should be strongly positive: $pa")
+    assert(math.abs(na) < 500000L, s"noise agree weight should be ~0: $na")
+    assert(pd < 0L, "phone disagreement is evidence AGAINST a match")
+  }
+
+  test("FS scoring sums the calibrated weights and separates matches") {
+    val weights = Linkage.fellegiSunterWeights(
+      recs, col("blk"), col("ent"), fields)
+    val scored = Linkage.scorePairs(recs, col("id"), col("blk"),
+      col("ent"), fields, weights).collect()
+    assert(scored.length == 13, "13 in-block pairs")
+    assert(scored.forall(r => r.getLong(0) < r.getLong(1)), "a_id < b_id")
+    val (pa, pd) = w(3L, 0L)
+    val (na, _) = w(5L, 8L)
+    val byPair = scored.map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byPair((1L, 2L)) == ((1L, pa + na)), "clean match: both agree")
+    assert(byPair((1L, 3L)) == ((1L, pd + na)), "dirty match: phone disagrees")
+    assert(byPair((1L, 4L)) == ((0L, pd + na)), "cross-entity pair")
+    val matches = scored.filter(_.getLong(2) == 1L).map(_.getLong(3))
+    val nons = scored.filter(_.getLong(2) == 0L).map(_.getLong(3))
+    assert(matches.sum.toDouble / matches.length >
+      nons.sum.toDouble / nons.length,
+      "mean match score must exceed mean non-match score")
+  }
+
+  test("FS scoring never pairs across blocks and respects maxBlock") {
+    val weights = Linkage.fellegiSunterWeights(
+      recs, col("blk"), col("ent"), fields)
+    val scored = Linkage.scorePairs(recs, col("id"), col("blk"),
+      col("ent"), fields, weights)
+    val crossBlock = scored.filter(
+      (col("a_id") <= 5 && col("b_id") >= 6) ||
+        (col("a_id") >= 6 && col("b_id") <= 5)).count()
+    assert(crossBlock == 0L, "pairs never cross a block boundary")
+    // maxBlock=3 drops block x (5 records) entirely, keeps block y
+    val trimmed = Linkage.scorePairs(recs, col("id"), col("blk"),
+      col("ent"), fields, weights, maxBlock = 3).collect()
+    assert(trimmed.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((6L, 7L), (6L, 8L), (7L, 8L)))
+  }
+
+  test("pair-free separation histogram equals the scored-pair histogram") {
+    val weights = Linkage.fellegiSunterWeights(
+      recs, col("blk"), col("ent"), fields)
+    // truth: histogram the materialized pair scores
+    val expected = Linkage.scorePairs(recs, col("id"), col("blk"),
+        col("ent"), fields, weights)
+      .collect()
+      .groupBy(r => (r.getLong(2),
+        math.floor(r.getLong(3).toDouble / 1e6).toLong))
+      .view.mapValues(_.length.toLong).toMap
+    val got = Linkage.scoreSeparation(recs, col("blk"), col("ent"),
+        fields, weights)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"Möbius-inverted pattern counts must equal pair enumeration:\n" +
+        s"got $got\nexpected $expected")
+    // and the maxBlock trim applies identically on the pair-free path
+    val trimmed = Linkage.scoreSeparation(recs, col("blk"), col("ent"),
+      fields, weights, maxBlock = 3).collect()
+    assert(trimmed.map(_.getLong(2)).sum == 3L,
+      "only block y's 3 pairs survive maxBlock=3")
+  }
+
+  test("calibration handles empty input and a single block") {
+    val empty = Seq.empty[(Long, String, String, String, String)]
+      .toDF("id", "blk", "ent", "phone", "noise")
+    val w0 = Linkage.fellegiSunterWeights(
+      empty, col("blk"), col("ent"), fields).collect()
+    assert(w0.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+      "zero counts, no division by zero (Laplace smoothing)")
+  }
+}

@@ -107,7 +107,12 @@ class PlanSpec extends SparkTestBase {
       // the 1-row p_e numerator broadcast onto the 1-row (n, diag)
       // totals — two scalars meeting; the data pass is the single
       // contingency groupBy below them
-      "eval_kappa")
+      "eval_kappa",
+      // FS calibration: the 1-row total-pairs and match-pairs scalars
+      // broadcast onto the per-field (|fields|-row) count table;
+      // scoring folds the |fields|-row weight table into ONE broadcast
+      // row of maps crossed onto the pair stream — scalar-join idiom
+      "er_fs_weights", "er_fs_scores")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
