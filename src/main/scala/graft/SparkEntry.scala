@@ -1152,6 +1152,14 @@ object SparkEntry {
       TextAnalysis.postings(Tables.documents(s, d), minDf = 2L)
         .orderBy("tok")),
 
+    // ---- L4u: PMI collocations — co-occurrence bounded by a top-V
+    //      document-frequency vocabulary (broadcast semi filter), pairs
+    //      from per-doc in-array explode, never a doc self-join ----
+    "l4u_pmi" -> ((s, d) =>
+      TextAnalysis.pmiPairs(Tables.documents(s, d), topV = 24,
+          minPairCount = 5L)
+        .orderBy("a_tok", "b_tok")),
+
     // ---- L4i: vocabulary construction (term → dense frequency-ranked
     //      id; the tokenizer-prep pass) and corpus id-encoding ----
     "l4i_vocab" -> ((s, d) =>
@@ -4374,6 +4382,27 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id, tok FROM
          |  (SELECT doc_id, unnest($ToksSql) AS tok FROM documents))
          |GROUP BY tok HAVING count(*) >= 2 ORDER BY tok""".stripMargin,
+
+    // PMI replay: presence counts + the pair join DuckDB-side (the
+    // engine's in-array explode is equivalent on distinct sorted
+    // tokens); ln factors cast DOUBLE before multiplying, same order
+    // as the engine expression.
+    "l4u_pmi" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, unnest($ToksSql) AS tok FROM documents)),
+         |vocab AS (SELECT tok, count(*) AS n_t FROM dt GROUP BY 1
+         |  ORDER BY n_t DESC, tok LIMIT 24),
+         |kd AS (SELECT dt.doc_id, dt.tok FROM dt JOIN vocab USING (tok)),
+         |pr AS (SELECT a.tok AS a_tok, b.tok AS b_tok, count(*) AS n_ab
+         |  FROM kd a JOIN kd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT pr.a_tok, pr.b_tok, va.n_t AS n_a, vb.n_t AS n_b, pr.n_ab,
+         |  CAST(floor(ln(nd.n_docs::DOUBLE * pr.n_ab::DOUBLE
+         |    / (va.n_t::DOUBLE * vb.n_t::DOUBLE)) * 1000000) AS BIGINT) AS pmi_micro
+         |FROM pr JOIN vocab va ON pr.a_tok = va.tok
+         |  JOIN vocab vb ON pr.b_tok = vb.tok CROSS JOIN nd
+         |ORDER BY a_tok, b_tok""".stripMargin,
 
     "device_profile" ->
       """WITH g AS (SELECT user_id, ts, event_id,

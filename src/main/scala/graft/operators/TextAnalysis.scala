@@ -195,6 +195,59 @@ object TextAnalysis {
             d => d.cast("string"))).as("posting_csv"))
       .filter(col("df") >= minDf)
 
+  /** L4u — pointwise mutual information of token co-occurrence:
+    * which terms appear in the same document far more (or less) often
+    * than their document frequencies predict — collocation mining /
+    * embedding-free association scoring (Church & Hanks 1990, "Word
+    * Association Norms, Mutual Information, and Lexicography").
+    * pmi = ln(N · n_ab / (n_a · n_b)) over document-level presence
+    * counts, floor-quantized to micro-units.
+    *
+    * Scale shape: co-occurrence is quadratic in VOCABULARY, not in
+    * corpus, so the vocabulary is bounded first — `topV` terms by
+    * document frequency (TakeOrdered, deterministic ties) — and
+    * BROADCAST back onto the doc-token stream as a semi filter. Each
+    * doc then contributes pairs from its ≤ topV-term sorted distinct-
+    * token array (in-array explode, the minHashCandidatePairs
+    * pattern — no doc self-join), and the (a,b)-keyed count partial-
+    * aggregates map-side into at most C(topV,2) keys. `minPairCount`
+    * drops the noise tail exactly like postings' minDf. The corpus
+    * scan is the only data-sized pass.
+    */
+  def pmiPairs(docs: DataFrame, topV: Int = 64,
+      minPairCount: Long = 5L): DataFrame = {
+    require(topV >= 2, s"topV must be >= 2 (got $topV)")
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val vocab = dt.groupBy("tok").agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("tok")).limit(topV)
+    val perDoc = dt.join(broadcast(vocab.select("tok")), "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("tok"))).as("_ts"))
+      .filter(size(col("_ts")) >= 2)
+    val pairs = perDoc
+      .select(explode(flatten(transform(col("_ts"), (a, i) =>
+        transform(slice(col("_ts"), i + lit(2), size(col("_ts"))), b =>
+          struct(a.as("a_tok"), b.as("b_tok")))))).as("_p"))
+      .groupBy(col("_p.a_tok").as("a_tok"), col("_p.b_tok").as("b_tok"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
+    pairs
+      .join(broadcast(vocab.select(col("tok").as("a_tok"),
+        col("n_t").as("n_a"))), "a_tok")
+      .join(broadcast(vocab.select(col("tok").as("b_tok"),
+        col("n_t").as("n_b"))), "b_tok")
+      .crossJoin(broadcast(nDocs))
+      // factors cast to double BEFORE multiplying (long product wraps
+      // silently past 2^63 under non-ANSI Spark; ln needs the ratio)
+      .select(col("a_tok"), col("b_tok"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        floor(log(col("_n_docs").cast("double") * col("n_ab").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          * lit(1000000.0)).cast("long").as("pmi_micro"))
+  }
+
   /** L4i — vocabulary construction: the tokenizer-prep pass that turns
     * a corpus into (term → dense id) with ids assigned by frequency
     * rank (id 1 = most frequent; ties break lexically — fully

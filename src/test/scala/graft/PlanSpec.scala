@@ -112,7 +112,10 @@ class PlanSpec extends SparkTestBase {
       // broadcast onto the per-field (|fields|-row) count table;
       // scoring folds the |fields|-row weight table into ONE broadcast
       // row of maps crossed onto the pair stream — scalar-join idiom
-      "er_fs_weights", "er_fs_scores")
+      "er_fs_weights", "er_fs_scores",
+      // the 1-row corpus doc count broadcast onto the ≤C(topV,2)-row
+      // PMI pair table — scalar-join idiom
+      "l4u_pmi")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
