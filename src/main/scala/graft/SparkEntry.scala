@@ -983,6 +983,17 @@ object SparkEntry {
         .dedupClusters(Tables.spread(Tables.documents(s, d)), "source", n = 3, threshold = 0.2)
         .orderBy("doc_id")),
 
+    // ---- L2g via star contraction: the SAME clusters from the
+    //      O(log n)-round large-star/small-star kernel (Kiveris et al.
+    //      SOCC'14) — the adversarial-diameter path; the oracle is
+    //      byte-identical to l2g's, pinning kernel interchangeability
+    //      driver-side, not just in ComponentsSpec ----
+    "l2g_star_clusters" -> ((s, d) =>
+      graft.operators.Components
+        .dedupClusters(Tables.spread(Tables.documents(s, d)), "source",
+          n = 3, threshold = 0.2, star = true)
+        .orderBy("doc_id")),
+
     // ---- L2g applied: one representative per near-dup cluster
     //      (longest doc, ties min id) — the APPLY step of dedup ----
     "l2g_cluster_reps" -> ((s, d) =>
@@ -3440,6 +3451,15 @@ object SparkEntry {
     // connected components in SQL: transitive closure via recursive CTE
     // (min reachable label per node == hash-min propagation's fixpoint)
     "l2g_dedup_clusters" ->
+      s"""WITH RECURSIVE $ClustersCteSql
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+         |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // same truth as l2g_dedup_clusters: components are
+    // kernel-independent, so the star-contraction query replays
+    // against the identical recursive-CTE closure
+    "l2g_star_clusters" ->
       s"""WITH RECURSIVE $ClustersCteSql
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size

@@ -205,10 +205,16 @@ object Components {
     * id), plus the cluster size — the "what would dedup delete" report.
     */
   def dedupClusters(docs: DataFrame, blockCol: String, n: Int = 3,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = 0.2, star: Boolean = false): DataFrame = {
     val edges = Dedup.ngramJaccardPairs(docs, blockCol, n, threshold)
       .select(col("a_id"), col("b_id"))
-    val cc = connectedComponents(docs.select(col("doc_id")), edges)
+    // `star` swaps the label-propagation kernel for the O(log n)-round
+    // star contraction — value-identical (ComponentsSpec equivalence),
+    // preferred when cluster chains can be long
+    val ccFn: (DataFrame, DataFrame) => DataFrame =
+      if (star) starContractionComponents(_, _, 50)
+      else connectedComponents(_, _, 50)
+    val cc = ccFn(docs.select(col("doc_id")), edges)
       .withColumnRenamed("component", "cluster_id")
     cc.withColumn("cluster_size",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
