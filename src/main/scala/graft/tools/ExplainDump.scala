@@ -201,7 +201,30 @@ object ExplainDump {
       + "an equi self-join on (chunk idx, chunk value) — never "
       + "all-pairs — and the exact popcount verify runs on candidates "
       + "only. The codec-fed twin (mm_phash_pairs) shares this exact "
-      + "plan downstream of the hash column."))
+      + "plan downstream of the hash column."),
+
+    "er_fs_weights" -> ("Fellegi–Sunter calibration (r7), pair-FREE: "
+      + "every m/u cell is a sum of C(n,2) over group sizes, so the "
+      + "plan is four map-combinable count aggregates (block, "
+      + "block×entity, block×value, block×entity×value — the value "
+      + "aggregates share one stack-unpivoted scan) plus two 1-row "
+      + "scalar broadcasts. No join ever carries a record pair; the "
+      + "only data-sized pass is the scan feeding the counts."),
+
+    "er_fs_scores" -> ("FS score-separation histogram (r7), also "
+      + "pair-free: ONE cube over (block, entity, fields…) — the "
+      + "Expand node — yields every grouping set's ΣC(n,2) in a "
+      + "single exchange; Möbius inversion runs as scalar arithmetic "
+      + "on a one-row pivot, and weights/bucketing touch ≤2^(f+1) "
+      + "pattern rows. The quadratic candidate space is never "
+      + "materialized at any block size."),
+
+    "l4u_pmi" -> ("PMI collocations (r7): vocabulary bounded FIRST "
+      + "(top-V by doc frequency via TakeOrderedAndProject) and "
+      + "broadcast back as a semi filter; pairs explode inside each "
+      + "doc's ≤V-term sorted array (map-side), partial-aggregating "
+      + "into ≤C(V,2) keys before the one exchange. Co-occurrence is "
+      + "quadratic in vocabulary, never in corpus."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
