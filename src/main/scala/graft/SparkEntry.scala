@@ -1865,6 +1865,16 @@ object SparkEntry {
         .orderBy("is_match", "score_unit")
     }),
 
+    // ---- ER3c: UNSUPERVISED FS calibration — EM over the pair-free
+    //      agreement-pattern counts (Winkler's latent-class fit), no
+    //      truth label anywhere. Pattern statistic ≤2^4 rows (bounded-
+    //      model collect), every cross-pattern reduction an integer
+    //      sum so the unrolled DuckDB replay is bit-exact ----
+    "er_fs_em" -> ((s, d) =>
+      graft.operators.Linkage.fellegiSunterEmWeights(
+        Tables.part(s, d), element_at(split(col("p_name"), " "), 1),
+        FsFields)),
+
     // ---- PROFILE: capstone composed report (README.md:15-19 — the
     //      per-device server profile: census + active hour + top
     //      interest + dwell sessions, one multi-join report) ----
@@ -4169,6 +4179,8 @@ object SparkEntry {
         |FROM ag JOIN am USING (field) CROSS JOIN bt CROSS JOIN mt
         |ORDER BY field""".stripMargin),
 
+    "er_fs_em" -> FsEmSql(iters = 15),
+
     // FS apply replay: blocked pair self-join + per-field CASE on the
     // calibrated weight scalars; the separation histogram groups on
     // (truth, whole log-odds unit) — floor over IEEE double division
@@ -5607,6 +5619,63 @@ object SparkEntry {
       |  SELECT field, blk, v, count(*) AS n FROM lf GROUP BY 1, 2, 3) GROUP BY 1),
       |am AS (SELECT field, sum(n * (n - 1) // 2)::BIGINT AS nam FROM (
       |  SELECT field, blk, ent, v, count(*) AS n FROM lf GROUP BY 1, 2, 3, 4) GROUP BY 1)""".stripMargin
+
+  /** Unrolled-EM replay of the unsupervised FS calibration
+    * (`Linkage.fellegiSunterEmWeights`): DuckDB derives the same
+    * agreement-pattern counts from a pair join, then runs the SAME
+    * fixed `iters` EM updates operation-for-operation — per-pattern
+    * posteriors floor-quantized to micro BIGINTs before every sum
+    * (integer sums are order-free, so engine aggregation order cannot
+    * drift a bit), products in declared field order, clamps via
+    * greatest/least. Field index map: 0=len_eq 1=suf3_eq 2=tok2_eq
+    * 3=size_eq (FsFields order). */
+  private def FsEmSql(iters: Int): String = {
+    val fi = 0 until 4
+    def thetas(param: String) = fi.map(i =>
+      s"* (CASE WHEN e$i THEN $param$i ELSE 1000000 - $param$i END)::DOUBLE")
+      .mkString(" ")
+    def iter(i: Int): String = {
+      val prev = s"it${i - 1}"
+      s"""g$i AS (SELECT e0, e1, e2, e3, n,
+         |    CAST(floor(a * 1000000.0 / (a + b)) AS BIGINT) AS g
+         |  FROM (SELECT pat.*,
+         |    $prev.p::DOUBLE ${thetas("m")} AS a,
+         |    (1000000 - $prev.p)::DOUBLE ${thetas("u")} AS b
+         |  FROM pat CROSS JOIN $prev)),
+         |s$i AS (SELECT sum(n * g)::BIGINT AS dm,
+         |    sum(n * (1000000 - g))::BIGINT AS du,
+         |${fi.map(j => s"    sum(CASE WHEN e$j THEN n * g ELSE 0 END)::BIGINT AS nm$j,").mkString("\n")}
+         |${fi.map(j => s"    sum(CASE WHEN e$j THEN n * (1000000 - g) ELSE 0 END)::BIGINT AS nu$j").mkString(",\n")}
+         |  FROM g$i),
+         |it$i AS (SELECT
+         |    greatest(1, least(999999, CAST(floor(dm::DOUBLE / n_tot::DOUBLE) AS BIGINT)))::BIGINT AS p,
+         |${fi.map(j => s"    greatest(1, least(999999, CAST(floor(nm$j::DOUBLE * 1000000.0 / dm::DOUBLE) AS BIGINT)))::BIGINT AS m$j,").mkString("\n")}
+         |${fi.map(j => s"    greatest(1, least(999999, CAST(floor(nu$j::DOUBLE * 1000000.0 / du::DOUBLE) AS BIGINT)))::BIGINT AS u$j").mkString(",\n")}
+         |  FROM s$i CROSS JOIN nt)""".stripMargin
+    }
+    def outRow(name: String, j: Int) =
+      s"""  SELECT '$name' AS field, m$j AS m_micro, u$j AS u_micro,
+         |    CAST(floor(ln(m$j::DOUBLE / u$j::DOUBLE) * 1000000) AS BIGINT) AS w_agree_micro,
+         |    CAST(floor(ln((1000000 - m$j)::DOUBLE / (1000000 - u$j)::DOUBLE) * 1000000) AS BIGINT) AS w_disagree_micro
+         |  FROM it$iters""".stripMargin
+    s"""WITH recs AS (SELECT p.p_partkey AS pk, split_part(p.p_name, ' ', 1) AS blk,
+       |  length(p.p_name)::VARCHAR AS f0, right(p.p_name, 3) AS f1,
+       |  split_part(p.p_name, ' ', 2) AS f2, p.p_size::VARCHAR AS f3
+       |  FROM part p),
+       |pat AS (SELECT (a.f0 = b.f0) AS e0, (a.f1 = b.f1) AS e1,
+       |    (a.f2 = b.f2) AS e2, (a.f3 = b.f3) AS e3, count(*)::BIGINT AS n
+       |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.pk < b.pk
+       |  GROUP BY 1, 2, 3, 4),
+       |nt AS (SELECT sum(n)::BIGINT AS n_tot FROM pat),
+       |it0 AS (SELECT 100000::BIGINT AS p,
+       |${fi.map(j => s"  900000::BIGINT AS m$j,").mkString("\n")}
+       |${fi.map(j => s"  100000::BIGINT AS u$j").mkString(",\n")}),
+       |${(1 to iters).map(iter).mkString(",\n")}
+       |SELECT * FROM (
+       |${Seq("len_eq" -> 0, "suf3_eq" -> 1, "tok2_eq" -> 2, "size_eq" -> 3)
+        .map { case (n, j) => outRow(n, j) }.mkString("\n  UNION ALL\n")})
+       |ORDER BY field""".stripMargin
+  }
 
   /** FS comparison fields shared by er_fs_weights / er_fs_scores:
     * three name-derived evidence fields plus `size_eq`, which is

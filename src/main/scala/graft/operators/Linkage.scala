@@ -298,4 +298,139 @@ object Linkage {
       .groupBy("is_match", "score_unit")
       .agg(sum(col("_n")).as("n"))
   }
+
+  /** Exact agreement-pattern counts WITHOUT a truth label — the
+    * sufficient statistic for unsupervised calibration: (pattern, n)
+    * where pattern bit i = the pair agrees on fields(i). Same pair-free
+    * cube + Möbius machinery as [[scoreSeparation]] minus the entity
+    * dimension: one cube over (block, fields…), Σ C(n,2) per grouping
+    * set, inversion on a 1-row pivot. Only patterns with n > 0 return
+    * (≤ 2^|fields| rows). */
+  def agreementPatternCounts(records: DataFrame, block: Column,
+      fields: Seq[(String, Column)], maxBlock: Int = 8192): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2 (got $maxBlock)")
+    val k = fields.size
+    require(k >= 1 && k <= 8,
+      s"pattern counting scales 3^|fields| in plan terms — keep fields" +
+        s" in [1,8] (got $k)")
+    val base = records.select(
+      block.cast("string").as("_blk") +:
+        fields.map { case (n, c) => c.cast("string").as(s"_f_$n") }: _*)
+    val sizes = base.groupBy("_blk").agg(count(lit(1)).as("_bn"))
+    val kept = base.join(sizes, "_blk")
+      .filter(col("_bn").between(2L, maxBlock.toLong)).drop("_bn")
+    val dims = col("_blk") +: fields.map { case (n, _) => col(s"_f_$n") }
+    val perGid = kept.cube(dims: _*)
+      .agg(count(lit(1)).as("_n"), grouping_id().as("_gid"))
+      .filter(col("_gid") < lit(1L << k))
+      .groupBy("_gid")
+      .agg(sum(expr("_n * (_n - 1) div 2")).as("_c2"))
+    def gidFor(s: Set[Int]): Long =
+      (0 until k).filterNot(s.contains).map(i => 1L << (k - 1 - i)).sum
+    val pivots = (0 until (1 << k)).map(g =>
+      coalesce(max(when(col("_gid") === g.toLong, col("_c2"))), lit(0L))
+        .as(s"_g$g"))
+    val row = perGid.agg(pivots.head, pivots.tail: _*)
+    def exact(p: Set[Int]): Column =
+      (0 until k).filterNot(p.contains).toSet.subsets()
+        .map { extra =>
+          val sign = if (extra.size % 2 == 0) 1L else -1L
+          lit(sign) * col(s"_g${gidFor(p ++ extra)}")
+        }.reduce(_ + _)
+    val patRows = (0 until (1 << k)).map { pm =>
+      val p = (0 until k).filter(i => (pm & (1 << i)) != 0).toSet
+      struct(lit(pm.toLong).as("pattern"), exact(p).as("n"))
+    }
+    row.select(explode(array(patRows: _*)).as("_p"))
+      .select(col("_p.*")).filter(col("n") > 0L)
+  }
+
+  /** Micro-unit clamp to the open probability interval — keeps every
+    * EM parameter in [1e-6, 1−1e-6] so no log or complement ever
+    * degenerates; `greatest(1, least(999999, x))` in the oracle. */
+  private def clampMicro(x: Long): Long = math.max(1L, math.min(999999L, x))
+
+  /** Unsupervised Fellegi–Sunter calibration: EM over agreement-pattern
+    * counts (Winkler 1988's application of EM to the FS latent-class
+    * model) — no truth label anywhere. Pure driver-side function of the
+    * BOUNDED (≤2^k-row) pattern statistic.
+    *
+    * Cross-engine replay discipline: every cross-pattern reduction is
+    * an INTEGER sum (posterior g floor-quantized to micro-units per
+    * pattern BEFORE summing), so engine summation order cannot change
+    * a bit; per-pattern arithmetic is straight-line IEEE (products in
+    * declared field order, then one divide + floor), which DuckDB
+    * reproduces operation-for-operation in the unrolled oracle. All
+    * integer sums stay < 2^63 while Σn·1e6 does (pairs < 9.2e12).
+    *
+    * Returns (pMicro, per-field (mMicro, uMicro)). Iterations are
+    * FIXED (no convergence test) so the replay is a fixed-depth
+    * expression on both engines; the fixture fixpoint lands well
+    * inside the default 15. */
+  def emCalibrate(patterns: Seq[(Long, Long)], k: Int, iters: Int = 15,
+      initPMicro: Long = 100000L, initMMicro: Long = 900000L,
+      initUMicro: Long = 100000L): (Long, IndexedSeq[(Long, Long)]) = {
+    require(k >= 1 && k <= 8, s"fields in [1,8] (got $k)")
+    require(patterns.nonEmpty, "emCalibrate needs at least one pattern")
+    var p = initPMicro
+    var m = IndexedSeq.fill(k)(initMMicro)
+    var u = IndexedSeq.fill(k)(initUMicro)
+    val nTot = patterns.map(_._2).sum
+    for (_ <- 1 to iters) {
+      val gs = patterns.map { case (pm, n) =>
+        var a = p.toDouble
+        var b = (1000000L - p).toDouble
+        for (i <- 0 until k) {
+          val agree = (pm & (1L << i)) != 0L
+          a *= (if (agree) m(i) else 1000000L - m(i)).toDouble
+          b *= (if (agree) u(i) else 1000000L - u(i)).toDouble
+        }
+        (pm, n, math.floor(a * 1000000.0 / (a + b)).toLong)
+      }
+      val dm = gs.map { case (_, n, g) => n * g }.sum
+      val du = gs.map { case (_, n, g) => n * (1000000L - g) }.sum
+      require(dm > 0L && du > 0L,
+        "EM collapsed to a single class — the pattern counts carry no " +
+          "mixture signal (all-identical or single-pattern input)")
+      p = clampMicro(math.floor(dm.toDouble / nTot.toDouble).toLong)
+      m = (0 until k).map { i =>
+        val nm = gs.collect {
+          case (pm, n, g) if (pm & (1L << i)) != 0L => n * g }.sum
+        clampMicro(math.floor(nm.toDouble * 1000000.0 / dm.toDouble).toLong)
+      }
+      u = (0 until k).map { i =>
+        val nu = gs.collect {
+          case (pm, n, g) if (pm & (1L << i)) != 0L =>
+            n * (1000000L - g) }.sum
+        clampMicro(math.floor(nu.toDouble * 1000000.0 / du.toDouble).toLong)
+      }
+    }
+    (p, m.zip(u))
+  }
+
+  /** ER3c — the unsupervised calibration query shape: pattern counts
+    * (pair-free, one cube) → driver EM on the ≤2^k-row statistic (the
+    * bounded-model collect, like IVF codebooks / the DSIR λ table) →
+    * per-field (m, u, log-odds weights) in micro-units. The result is
+    * a pure function of (records, fields, inits, iters): resumable and
+    * shard-stable like every other calibration artifact here. */
+  def fellegiSunterEmWeights(records: DataFrame, block: Column,
+      fields: Seq[(String, Column)], maxBlock: Int = 8192,
+      iters: Int = 15): DataFrame = {
+    val spark = records.sparkSession
+    val pats = agreementPatternCounts(records, block, fields, maxBlock)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (_, mu) = emCalibrate(pats, fields.size, iters)
+    val rows = fields.zipWithIndex.map { case ((name, _), i) =>
+      val (mM, uM) = mu(i)
+      (name, mM, uM,
+        math.floor(math.log(mM.toDouble / uM.toDouble) * 1e6).toLong,
+        math.floor(math.log((1000000L - mM).toDouble
+          / (1000000L - uM).toDouble) * 1e6).toLong)
+    }
+    import spark.implicits._
+    rows.toDF("field", "m_micro", "u_micro",
+      "w_agree_micro", "w_disagree_micro")
+      .orderBy("field")
+  }
 }

@@ -122,6 +122,69 @@ class LinkageSpec extends SparkTestBase {
       "only block y's 3 pairs survive maxBlock=3")
   }
 
+  // 120 records, 4 blocks of 30 with NESTED latent groups of 6:
+  // `code` names the group exactly, `tag` is a dirty copy (every 6th
+  // record corrupted to a unique value), `junk` is an independent
+  // parity bit. Three binary indicators make the latent-class model
+  // identifiable (k=2 is not: 4 patterns < 5 parameters). No truth
+  // column is ever given to EM.
+  private def emRow(i: Int): (Long, String, String, String, String) =
+    (i.toLong, (i / 30).toString, s"g${i / 6}",
+      if (i % 6 != 5) s"g${i / 6}" else s"x$i", (i % 2).toString)
+  private lazy val emRecs = (0 until 120).map(emRow)
+    .toDF("id", "blk", "code", "tag", "junk")
+  private val emFields = Seq("code_eq" -> col("code"),
+    "tag_eq" -> col("tag"), "junk_eq" -> col("junk"))
+
+  test("agreement pattern counts equal brute-force pair enumeration") {
+    val got = Linkage.agreementPatternCounts(
+      emRecs, col("blk"), emFields).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = (0 until 120).map(emRow)
+    val expected = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for (i <- rows.indices; j <- rows.indices if i < j
+         if rows(i)._2 == rows(j)._2) {
+      val pm = (if (rows(i)._3 == rows(j)._3) 1L else 0L) |
+        (if (rows(i)._4 == rows(j)._4) 2L else 0L) |
+        (if (rows(i)._5 == rows(j)._5) 4L else 0L)
+      expected(pm) += 1L
+    }
+    assert(got == expected.toMap, s"got $got expected $expected")
+    assert(got.values.sum == 4L * 30 * 29 / 2, "total in-block pairs")
+  }
+
+  test("unsupervised EM recovers the informative fields without any truth label") {
+    val w = Linkage.fellegiSunterEmWeights(
+      emRecs, col("blk"), emFields).collect()
+    assert(w.map(_.getString(0)).toSeq ==
+      Seq("code_eq", "junk_eq", "tag_eq"))
+    val byField = w.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (cm, cu, cwa, _) = byField("code_eq")
+    val (_, _, twa, _) = byField("tag_eq")
+    val (_, _, jwa, jwd) = byField("junk_eq")
+    assert(cm > 900000L && cu < 100000L,
+      s"EM must anchor the match class to code agreement: m=$cm u=$cu")
+    assert(cwa > 2000000L, s"code agreement is strong evidence: $cwa")
+    assert(twa > 2000000L, s"the dirty copy still carries evidence: $twa")
+    assert(math.abs(jwa) < 500000L && math.abs(jwd) < 500000L,
+      s"the independent parity field carries ~no evidence: $jwa/$jwd")
+  }
+
+  test("EM is pure, order-free, and honest about empty input") {
+    val pats = Linkage.agreementPatternCounts(
+      emRecs, col("blk"), emFields).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = Linkage.emCalibrate(pats, 3, iters = 15)
+    assert(Linkage.emCalibrate(pats, 3, iters = 15) == a, "deterministic")
+    assert(Linkage.emCalibrate(pats.reverse, 3, iters = 15) == a,
+      "pattern order cannot matter (integer sums are order-free)")
+    intercept[IllegalArgumentException] {
+      Linkage.emCalibrate(Seq.empty, 3, iters = 5)
+    } // no pattern statistic at all -> honest failure
+  }
+
   test("calibration handles empty input and a single block") {
     val empty = Seq.empty[(Long, String, String, String, String)]
       .toDF("id", "blk", "ent", "phone", "noise")
