@@ -1875,6 +1875,40 @@ object SparkEntry {
         Tables.part(s, d), element_at(split(col("p_name"), " "), 1),
         FsFields)),
 
+    // ---- ER3d: UNSUPERVISED entity resolution end to end — the
+    //      linkage capstone with no truth label at any stage: EM
+    //      calibrates the weights (ER3c), the salted blocked scorer
+    //      ranks candidate pairs, positive total evidence links them,
+    //      and star contraction closes the link graph transitively.
+    //      Oracle replays the whole chain: unrolled EM → scored pair
+    //      join → recursive-CTE closure ----
+    "er_fs_link" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+      val blk = element_at(split(col("p_name"), " "), 1)
+      val w = graft.operators.Linkage.fellegiSunterEmWeights(
+        parts, blk, FsFields)
+      // only DISCRIMINATING fields link (w_agree ≥ w_disagree — a
+      // field whose agreement is not positive evidence relative to
+      // disagreement is excluded from the decision, the standard
+      // linkage practice; the oracle applies the same guard). Then
+      // links WITHOUT scoring a single pair: score is monotone in the
+      // agreement pattern, so minimal positive patterns generate the
+      // link graph as per-(block, values) group STARS — O(records)
+      val mono = w.collect()
+        .filter(r => r.getLong(3) >= r.getLong(4))
+        .map(_.getString(0)).toSet
+      val linkFields = FsFields.filter { case (n, _) => mono(n) }
+      val links = graft.operators.Linkage.positiveEvidenceLinks(
+        parts, col("p_partkey"), blk, linkFields, w)
+      graft.operators.Components.connectedComponents(
+          parts.select(col("p_partkey")), links)
+        .select(col("p_partkey").as("pk"),
+          col("component").as("entity_id"))
+        .withColumn("n_records", count(lit(1))
+          .over(Window.partitionBy("entity_id")).cast("long"))
+        .orderBy("pk")
+    }),
+
     // ---- PROFILE: capstone composed report (README.md:15-19 — the
     //      per-device server profile: census + active hour + top
     //      interest + dwell sessions, one multi-join report) ----
@@ -4181,6 +4215,8 @@ object SparkEntry {
 
     "er_fs_em" -> FsEmSql(iters = 15),
 
+    "er_fs_link" -> FsLinkSql(iters = 15),
+
     // FS apply replay: blocked pair self-join + per-field CASE on the
     // calibrated weight scalars; the separation histogram groups on
     // (truth, whole log-odds unit) — floor over IEEE double division
@@ -5629,36 +5665,83 @@ object SparkEntry {
     * drift a bit), products in declared field order, clamps via
     * greatest/least. Field index map: 0=len_eq 1=suf3_eq 2=tok2_eq
     * 3=size_eq (FsFields order). */
-  private def FsEmSql(iters: Int): String = {
+  /** One EM round: posterior g per pattern (micro-floored BEFORE the
+    * sums), integer sums, clamped parameter updates. */
+  private def FsEmIterSql(i: Int): String = {
     val fi = 0 until 4
-    def thetas(param: String) = fi.map(i =>
-      s"* (CASE WHEN e$i THEN $param$i ELSE 1000000 - $param$i END)::DOUBLE")
+    def thetas(param: String) = fi.map(j =>
+      s"* (CASE WHEN e$j THEN $param$j ELSE 1000000 - $param$j END)::DOUBLE")
       .mkString(" ")
-    def iter(i: Int): String = {
-      val prev = s"it${i - 1}"
-      s"""g$i AS (SELECT e0, e1, e2, e3, n,
-         |    CAST(floor(a * 1000000.0 / (a + b)) AS BIGINT) AS g
-         |  FROM (SELECT pat.*,
-         |    $prev.p::DOUBLE ${thetas("m")} AS a,
-         |    (1000000 - $prev.p)::DOUBLE ${thetas("u")} AS b
-         |  FROM pat CROSS JOIN $prev)),
-         |s$i AS (SELECT sum(n * g)::BIGINT AS dm,
-         |    sum(n * (1000000 - g))::BIGINT AS du,
-         |${fi.map(j => s"    sum(CASE WHEN e$j THEN n * g ELSE 0 END)::BIGINT AS nm$j,").mkString("\n")}
-         |${fi.map(j => s"    sum(CASE WHEN e$j THEN n * (1000000 - g) ELSE 0 END)::BIGINT AS nu$j").mkString(",\n")}
-         |  FROM g$i),
-         |it$i AS (SELECT
-         |    greatest(1, least(999999, CAST(floor(dm::DOUBLE / n_tot::DOUBLE) AS BIGINT)))::BIGINT AS p,
-         |${fi.map(j => s"    greatest(1, least(999999, CAST(floor(nm$j::DOUBLE * 1000000.0 / dm::DOUBLE) AS BIGINT)))::BIGINT AS m$j,").mkString("\n")}
-         |${fi.map(j => s"    greatest(1, least(999999, CAST(floor(nu$j::DOUBLE * 1000000.0 / du::DOUBLE) AS BIGINT)))::BIGINT AS u$j").mkString(",\n")}
-         |  FROM s$i CROSS JOIN nt)""".stripMargin
-    }
-    def outRow(name: String, j: Int) =
-      s"""  SELECT '$name' AS field, m$j AS m_micro, u$j AS u_micro,
-         |    CAST(floor(ln(m$j::DOUBLE / u$j::DOUBLE) * 1000000) AS BIGINT) AS w_agree_micro,
-         |    CAST(floor(ln((1000000 - m$j)::DOUBLE / (1000000 - u$j)::DOUBLE) * 1000000) AS BIGINT) AS w_disagree_micro
-         |  FROM it$iters""".stripMargin
-    s"""WITH recs AS (SELECT p.p_partkey AS pk, split_part(p.p_name, ' ', 1) AS blk,
+    val prev = s"it${i - 1}"
+    s"""g$i AS (SELECT e0, e1, e2, e3, n,
+       |    CAST(floor(a * 1000000.0 / (a + b)) AS BIGINT) AS g
+       |  FROM (SELECT pat.*,
+       |    $prev.p::DOUBLE ${thetas("m")} AS a,
+       |    (1000000 - $prev.p)::DOUBLE ${thetas("u")} AS b
+       |  FROM pat CROSS JOIN $prev)),
+       |s$i AS (SELECT sum(n * g)::BIGINT AS dm,
+       |    sum(n * (1000000 - g))::BIGINT AS du,
+       |${fi.map(j => s"    sum(CASE WHEN e$j THEN n * g ELSE 0 END)::BIGINT AS nm$j,").mkString("\n")}
+       |${fi.map(j => s"    sum(CASE WHEN e$j THEN n * (1000000 - g) ELSE 0 END)::BIGINT AS nu$j").mkString(",\n")}
+       |  FROM g$i),
+       |it$i AS (SELECT
+       |    greatest(1, least(999999, CAST(floor(dm::DOUBLE / n_tot::DOUBLE) AS BIGINT)))::BIGINT AS p,
+       |${fi.map(j => s"    greatest(1, least(999999, CAST(floor(nm$j::DOUBLE * 1000000.0 / dm::DOUBLE) AS BIGINT)))::BIGINT AS m$j,").mkString("\n")}
+       |${fi.map(j => s"    greatest(1, least(999999, CAST(floor(nu$j::DOUBLE * 1000000.0 / du::DOUBLE) AS BIGINT)))::BIGINT AS u$j").mkString(",\n")}
+       |  FROM s$i CROSS JOIN nt)""".stripMargin
+  }
+
+  /** Unsupervised end-to-end linkage replay: the unrolled-EM weights
+    * score the blocked pair join, positive evidence links, and a
+    * recursive CTE closes the link graph (same closure pattern as
+    * ErCteSql, over the SCORED graph instead of edit-distance). */
+  private def FsLinkSql(iters: Int): String = {
+    val fieldIdx = Seq("len_eq" -> 0, "suf3_eq" -> 1,
+      "tok2_eq" -> 2, "size_eq" -> 3)
+    // per-field contribution guarded by the SAME discriminating-field
+    // rule the engine applies: a field with w_agree < w_disagree is
+    // excluded from the link decision (contributes 0 either way)
+    val score = fieldIdx.map { case (n, j) =>
+      s"""(CASE WHEN (SELECT w_agree_micro FROM wt WHERE field = '$n')
+         |          >= (SELECT w_disagree_micro FROM wt WHERE field = '$n')
+         |     THEN (CASE WHEN a.f$j = b.f$j THEN (SELECT w_agree_micro FROM wt WHERE field = '$n')
+         |           ELSE (SELECT w_disagree_micro FROM wt WHERE field = '$n') END)
+         |     ELSE 0 END)""".stripMargin
+    }.mkString("\n   + ")
+    s"""WITH RECURSIVE ${FsEmCtesSql(iters, FsEmIterSql)},
+       |wt AS (SELECT * FROM (
+       |${fieldIdx.map { case (n, j) => FsEmOutRowSql(n, j, iters) }
+        .mkString("\n  UNION ALL\n")})),
+       |pw AS (SELECT a.pk AS a_pk, b.pk AS b_pk,
+       |  ($score) AS score
+       |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.pk < b.pk),
+       |links AS (SELECT a_pk AS s, b_pk AS d FROM pw WHERE score > 0
+       |          UNION ALL SELECT b_pk, a_pk FROM pw WHERE score > 0),
+       |reach(node, lab) AS (
+       |  SELECT pk, pk FROM recs
+       |  UNION
+       |  SELECT links.d, reach.lab FROM links JOIN reach ON reach.node = links.s),
+       |cc AS (SELECT node AS pk, min(lab) AS entity_id FROM reach GROUP BY node)
+       |SELECT pk, entity_id,
+       |  count(*) OVER (PARTITION BY entity_id)::BIGINT AS n_records
+       |FROM cc ORDER BY pk""".stripMargin
+  }
+
+  private def FsEmSql(iters: Int): String = {
+    s"""WITH ${FsEmCtesSql(iters, FsEmIterSql)}
+       |SELECT * FROM (
+       |${Seq("len_eq" -> 0, "suf3_eq" -> 1, "tok2_eq" -> 2, "size_eq" -> 3)
+        .map { case (n, j) => FsEmOutRowSql(n, j, iters) }
+        .mkString("\n  UNION ALL\n")})
+       |ORDER BY field""".stripMargin
+  }
+
+  /** The shared EM CTE chain (recs/pat/nt/it0…it{iters}) — the WITH
+    * body both FsEmSql and FsLinkSql build on. `iterSql` renders one
+    * EM round (closure over the field arity). */
+  private def FsEmCtesSql(iters: Int, iterSql: Int => String): String = {
+    val fi = 0 until 4
+    s"""recs AS (SELECT p.p_partkey AS pk, split_part(p.p_name, ' ', 1) AS blk,
        |  length(p.p_name)::VARCHAR AS f0, right(p.p_name, 3) AS f1,
        |  split_part(p.p_name, ' ', 2) AS f2, p.p_size::VARCHAR AS f3
        |  FROM part p),
@@ -5670,12 +5753,14 @@ object SparkEntry {
        |it0 AS (SELECT 100000::BIGINT AS p,
        |${fi.map(j => s"  900000::BIGINT AS m$j,").mkString("\n")}
        |${fi.map(j => s"  100000::BIGINT AS u$j").mkString(",\n")}),
-       |${(1 to iters).map(iter).mkString(",\n")}
-       |SELECT * FROM (
-       |${Seq("len_eq" -> 0, "suf3_eq" -> 1, "tok2_eq" -> 2, "size_eq" -> 3)
-        .map { case (n, j) => outRow(n, j) }.mkString("\n  UNION ALL\n")})
-       |ORDER BY field""".stripMargin
+       |${(1 to iters).map(iterSql).mkString(",\n")}""".stripMargin
   }
+
+  private def FsEmOutRowSql(name: String, j: Int, iters: Int): String =
+    s"""  SELECT '$name' AS field, m$j AS m_micro, u$j AS u_micro,
+       |    CAST(floor(ln(m$j::DOUBLE / u$j::DOUBLE) * 1000000) AS BIGINT) AS w_agree_micro,
+       |    CAST(floor(ln((1000000 - m$j)::DOUBLE / (1000000 - u$j)::DOUBLE) * 1000000) AS BIGINT) AS w_disagree_micro
+       |  FROM it$iters""".stripMargin
 
   /** FS comparison fields shared by er_fs_weights / er_fs_scores:
     * three name-derived evidence fields plus `size_eq`, which is

@@ -155,7 +155,8 @@ object Linkage {
     * [[scorePairs]] for the shape rationale. */
   private def saltedPairs(records: DataFrame, id: Column, block: Column,
       entity: Column, fields: Seq[(String, Column)],
-      maxBlock: Int, salt: Int): DataFrame = {
+      maxBlock: Int, salt: Int,
+      scalarRow: DataFrame = null): DataFrame = {
     require(maxBlock >= 2, s"maxBlock must be >= 2 (got $maxBlock)")
     require(salt >= 1, s"salt must be >= 1 (got $salt)")
     val rec = struct(
@@ -167,14 +168,20 @@ object Linkage {
     val slim = Checkpoint(base.join(sizes, "_blk")
       .filter(col("_bn").between(2L, maxBlock.toLong))
       .select("_blk", "_r"))
-    val aS = slim.select(col("_blk"),
+    val aS0 = slim.select(col("_blk"),
       pmod(xxhash64(col("_r.id")), lit(salt.toLong)).as("_s"),
       col("_r").as("_a"))
+    // optional 1-row scalar payload joins the record-sized side HERE,
+    // never the pair-sized output (see scorePairs)
+    val aS = if (scalarRow == null) aS0
+      else aS0.crossJoin(broadcast(scalarRow))
     val bS = slim.select(col("_blk"), col("_r").as("_b"),
       explode(sequence(lit(0L), lit(salt.toLong - 1))).as("_s"))
     aS.join(bS, Seq("_blk", "_s"))
       .filter(col("_a.id") < col("_b.id"))
-      .select("_a", "_b")
+      .select((col("_a") +: col("_b") +:
+        (if (scalarRow == null) Nil
+         else scalarRow.columns.toSeq.map(col))): _*)
   }
 
   /** The |fields|-row weight table folded to ONE row of per-field
@@ -192,13 +199,17 @@ object Linkage {
   def scorePairs(records: DataFrame, id: Column, block: Column,
       entity: Column, fields: Seq[(String, Column)], weights: DataFrame,
       maxBlock: Int = 8192, salt: Int = 32): DataFrame = {
+    // the 1-row weight scalars attach to the RECORD-sized a-side and
+    // ride through the pair join — a nested-loop join per OUTPUT pair
+    // row (O(pairs) rows through a BNLJ) measured ~5× slower than the
+    // whole SMJ pair stream; per-record it is noise
     val pairs = saltedPairs(records, id, block, entity, fields,
-      maxBlock, salt)
+      maxBlock, salt, weightRow(weights, fields))
     val score = fields.map { case (n, _) =>
       when(col(s"_a.f_$n") <=> col(s"_b.f_$n"), col(s"_wa_$n"))
         .otherwise(col(s"_wd_$n"))
     }.reduce(_ + _)
-    pairs.crossJoin(broadcast(weightRow(weights, fields)))
+    pairs
       .select(col("_a.id").as("a_id"), col("_b.id").as("b_id"),
         (col("_a.ent") <=> col("_b.ent")).cast("long").as("is_match"),
         score.as("score_micro"))
@@ -297,6 +308,73 @@ object Linkage {
         col("_n"))
       .groupBy("is_match", "score_unit")
       .agg(sum(col("_n")).as("n"))
+  }
+
+  /** The positive-evidence LINK GRAPH without materializing a single
+    * scored pair — connectivity-equivalent to
+    * `scorePairs(...).filter(score_micro > 0)`:
+    *
+    *   - Monotonicity: every honest calibration has w_agree ≥
+    *     w_disagree per field (m ≥ u), so a pair's score only grows as
+    *     its agreement pattern grows ⇒ the positive patterns form an
+    *     UP-SET, generated by its MINIMAL positive patterns (computed
+    *     driver-side from the |fields|-row weight table).
+    *   - Pairs agreeing on a field set S are exactly the cliques of
+    *     the (block, S-values) groups, and a clique's connectivity is
+    *     preserved by its per-group STAR (min id → each member). So
+    *     the union over minimal positive patterns of per-group star
+    *     edges has the SAME connected components as the full positive
+    *     pair graph — O(records · |minimal patterns|) edges instead of
+    *     O(pairs). (LinkageSpec pins the equivalence against the
+    *     materialized scored pairs.)
+    *
+    * Each pattern costs one map-combinable groupBy + one group-keyed
+    * join over the shared checkpointed projection. This is what makes
+    * fully-unsupervised ER (EM calibration → links → components) run
+    * with no quadratic stage anywhere. Throws if the weight table
+    * violates w_agree ≥ w_disagree on some field (a calibration whose
+    * agreement is evidence AGAINST matching breaks the up-set
+    * argument — fall back to [[scorePairs]] for such exotic weights).
+    * Returns (a_id, b_id) edges, a_id = the group minimum. */
+  def positiveEvidenceLinks(records: DataFrame, id: Column,
+      block: Column, fields: Seq[(String, Column)], weights: DataFrame,
+      maxBlock: Int = 8192): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2 (got $maxBlock)")
+    val k = fields.size
+    val byField = weights
+      .select(col("field"), col("w_agree_micro"), col("w_disagree_micro"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val wa = fields.map { case (n, _) => byField(n)._1 }
+    val wd = fields.map { case (n, _) => byField(n)._2 }
+    fields.zipWithIndex.foreach { case ((n, _), i) =>
+      require(wa(i) >= wd(i),
+        s"field '$n' has w_agree < w_disagree — score is not monotone " +
+          "in agreement; use scorePairs for non-monotone weights") }
+    def score(p: Int): Long =
+      (0 until k).map(i => if ((p & (1 << i)) != 0) wa(i) else wd(i)).sum
+    val positive = (0 until (1 << k)).filter(score(_) > 0L)
+    val minimal = positive.filter { p =>
+      !positive.exists(q => q != p && (q & p) == q) }
+    val base = records.select(
+      id.as("_id") +: block.cast("string").as("_blk") +:
+        fields.map { case (n, c) => c.cast("string").as(s"_f_$n") }: _*)
+    val sizes = base.groupBy("_blk").agg(count(lit(1)).as("_bn"))
+    val kept = Checkpoint(base.join(sizes, "_blk")
+      .filter(col("_bn").between(2L, maxBlock.toLong)).drop("_bn"))
+    val perPattern = minimal.map { p =>
+      val keys = "_blk" +: fields.zipWithIndex.collect {
+        case ((n, _), i) if (p & (1 << i)) != 0 => s"_f_$n" }
+      val grp = kept.groupBy(keys.map(col): _*)
+        .agg(min(col("_id")).as("_m"), count(lit(1)).as("_c"))
+        .filter(col("_c") >= 2L)
+      kept.join(grp, keys)
+        .filter(col("_id") =!= col("_m"))
+        .select(col("_m").as("a_id"), col("_id").as("b_id"))
+    }
+    if (perPattern.isEmpty)
+      base.select(col("_id").as("a_id"), col("_id").as("b_id")).limit(0)
+    else perPattern.reduce(_ union _).distinct()
   }
 
   /** Exact agreement-pattern counts WITHOUT a truth label — the

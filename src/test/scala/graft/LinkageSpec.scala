@@ -185,6 +185,54 @@ class LinkageSpec extends SparkTestBase {
     } // no pattern statistic at all -> honest failure
   }
 
+  test("positive-evidence links reach exactly the components of the scored-pair graph") {
+    import spark.implicits._
+    // crafted monotone weights with MULTI-field minimal patterns:
+    // {code} alone is positive; tag needs junk's help ({tag,junk}) —
+    // exercises both a singleton and a composite generator
+    val w = Seq(
+      ("code_eq", 0L, 0L, 5000000L, -1000000L),
+      ("tag_eq", 0L, 0L, 2000000L, -2000000L),
+      ("junk_eq", 0L, 0L, 100000L, -100000L))
+      .toDF("field", "m_micro", "u_micro",
+        "w_agree_micro", "w_disagree_micro")
+    val scored = Linkage.scorePairs(emRecs, col("id"), col("blk"),
+        col("id"), emFields, w)
+      .filter(col("score_micro") > 0L).select("a_id", "b_id")
+    val ids = emRecs.select(col("id"))
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      graft.operators.Components.connectedComponents(ids, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = comps(scored)
+    val links = Linkage.positiveEvidenceLinks(
+      emRecs, col("id"), col("blk"), emFields, w)
+    val viaStars = comps(links)
+    assert(viaStars == viaPairs,
+      "star-generated links must close to the same components")
+    assert(links.count() < scored.count(),
+      "the star generator must be strictly sparser than the pair graph")
+  }
+
+  test("positive-evidence links refuse non-monotone weights and handle no-positive-pattern") {
+    import spark.implicits._
+    val w = Seq(("code_eq", 5L, -1L, -100000L, 100000L),
+        ("tag_eq", 5L, 5L, -100000L, 100000L),
+        ("junk_eq", 5L, 5L, -100000L, 100000L))
+      .toDF("field", "m_micro", "u_micro",
+        "w_agree_micro", "w_disagree_micro")
+    intercept[IllegalArgumentException] {
+      Linkage.positiveEvidenceLinks(
+        emRecs, col("id"), col("blk"), emFields, w).collect()
+    }
+    // all-negative weights: no positive pattern, zero links
+    val neg = Seq(("code_eq", 1L, 1L, -5L, -9L),
+        ("tag_eq", 1L, 1L, -5L, -9L), ("junk_eq", 1L, 1L, -5L, -9L))
+      .toDF("field", "m_micro", "u_micro",
+        "w_agree_micro", "w_disagree_micro")
+    assert(Linkage.positiveEvidenceLinks(
+      emRecs, col("id"), col("blk"), emFields, neg).count() == 0L)
+  }
+
   test("calibration handles empty input and a single block") {
     val empty = Seq.empty[(Long, String, String, String, String)]
       .toDF("id", "blk", "ent", "phone", "noise")
