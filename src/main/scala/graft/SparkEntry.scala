@@ -4229,20 +4229,22 @@ object SparkEntry {
         |    / ((mt.nm + 2)::DOUBLE * (ag.na - am.nam + 1)::DOUBLE)) * 1000000) AS BIGINT) AS wa,
         |  CAST(floor(ln((mt.nm + 1 - am.nam)::DOUBLE * (bt.np - mt.nm + 2)::DOUBLE
         |    / ((mt.nm + 2)::DOUBLE * (bt.np - mt.nm + 1 - (ag.na - am.nam))::DOUBLE)) * 1000000) AS BIGINT) AS wd
-        |  FROM ag JOIN am USING (field) CROSS JOIN bt CROSS JOIN mt)
+        |  FROM ag JOIN am USING (field) CROSS JOIN bt CROSS JOIN mt),
+        |kb AS (SELECT blk FROM recs GROUP BY blk HAVING count(*) BETWEEN 2 AND 8192),
+        |krecs AS (SELECT recs.* FROM recs JOIN kb USING (blk))
         |SELECT is_match, CAST(floor(score_micro / 1000000) AS BIGINT) AS score_unit,
         |  count(*)::BIGINT AS n
         |FROM (
-        |  SELECT CASE WHEN a.ent = b.ent THEN 1 ELSE 0 END::BIGINT AS is_match,
-        |    ((CASE WHEN a.f_len = b.f_len THEN (SELECT wa FROM wt WHERE field = 'len_eq')
+        |  SELECT CASE WHEN a.ent IS NOT DISTINCT FROM b.ent THEN 1 ELSE 0 END::BIGINT AS is_match,
+        |    ((CASE WHEN a.f_len IS NOT DISTINCT FROM b.f_len THEN (SELECT wa FROM wt WHERE field = 'len_eq')
         |           ELSE (SELECT wd FROM wt WHERE field = 'len_eq') END)
-        |   + (CASE WHEN a.f_suf3 = b.f_suf3 THEN (SELECT wa FROM wt WHERE field = 'suf3_eq')
+        |   + (CASE WHEN a.f_suf3 IS NOT DISTINCT FROM b.f_suf3 THEN (SELECT wa FROM wt WHERE field = 'suf3_eq')
         |           ELSE (SELECT wd FROM wt WHERE field = 'suf3_eq') END)
-        |   + (CASE WHEN a.f_tok2 = b.f_tok2 THEN (SELECT wa FROM wt WHERE field = 'tok2_eq')
+        |   + (CASE WHEN a.f_tok2 IS NOT DISTINCT FROM b.f_tok2 THEN (SELECT wa FROM wt WHERE field = 'tok2_eq')
         |           ELSE (SELECT wd FROM wt WHERE field = 'tok2_eq') END)
-        |   + (CASE WHEN a.f_size = b.f_size THEN (SELECT wa FROM wt WHERE field = 'size_eq')
+        |   + (CASE WHEN a.f_size IS NOT DISTINCT FROM b.f_size THEN (SELECT wa FROM wt WHERE field = 'size_eq')
         |           ELSE (SELECT wd FROM wt WHERE field = 'size_eq') END)) AS score_micro
-        |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.pk < b.pk)
+        |  FROM krecs a JOIN krecs b ON a.blk = b.blk AND a.pk < b.pk)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "l2i_editdist" ->
@@ -5704,7 +5706,7 @@ object SparkEntry {
     val score = fieldIdx.map { case (n, j) =>
       s"""(CASE WHEN (SELECT w_agree_micro FROM wt WHERE field = '$n')
          |          >= (SELECT w_disagree_micro FROM wt WHERE field = '$n')
-         |     THEN (CASE WHEN a.f$j = b.f$j THEN (SELECT w_agree_micro FROM wt WHERE field = '$n')
+         |     THEN (CASE WHEN a.f$j IS NOT DISTINCT FROM b.f$j THEN (SELECT w_agree_micro FROM wt WHERE field = '$n')
          |           ELSE (SELECT w_disagree_micro FROM wt WHERE field = '$n') END)
          |     ELSE 0 END)""".stripMargin
     }.mkString("\n   + ")
@@ -5714,7 +5716,7 @@ object SparkEntry {
         .mkString("\n  UNION ALL\n")})),
        |pw AS (SELECT a.pk AS a_pk, b.pk AS b_pk,
        |  ($score) AS score
-       |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.pk < b.pk),
+       |  FROM krecs a JOIN krecs b ON a.blk = b.blk AND a.pk < b.pk),
        |links AS (SELECT a_pk AS s, b_pk AS d FROM pw WHERE score > 0
        |          UNION ALL SELECT b_pk, a_pk FROM pw WHERE score > 0),
        |reach(node, lab) AS (
@@ -5745,9 +5747,11 @@ object SparkEntry {
        |  length(p.p_name)::VARCHAR AS f0, right(p.p_name, 3) AS f1,
        |  split_part(p.p_name, ' ', 2) AS f2, p.p_size::VARCHAR AS f3
        |  FROM part p),
-       |pat AS (SELECT (a.f0 = b.f0) AS e0, (a.f1 = b.f1) AS e1,
-       |    (a.f2 = b.f2) AS e2, (a.f3 = b.f3) AS e3, count(*)::BIGINT AS n
-       |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.pk < b.pk
+       |kb AS (SELECT blk FROM recs GROUP BY blk HAVING count(*) BETWEEN 2 AND 8192),
+       |krecs AS (SELECT recs.* FROM recs JOIN kb USING (blk)),
+       |pat AS (SELECT (a.f0 IS NOT DISTINCT FROM b.f0) AS e0, (a.f1 IS NOT DISTINCT FROM b.f1) AS e1,
+       |    (a.f2 IS NOT DISTINCT FROM b.f2) AS e2, (a.f3 IS NOT DISTINCT FROM b.f3) AS e3, count(*)::BIGINT AS n
+       |  FROM krecs a JOIN krecs b ON a.blk = b.blk AND a.pk < b.pk
        |  GROUP BY 1, 2, 3, 4),
        |nt AS (SELECT sum(n)::BIGINT AS n_tot FROM pat),
        |it0 AS (SELECT 100000::BIGINT AS p,
@@ -5952,9 +5956,14 @@ object SparkEntry {
        |          list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hb
        |        FROM s WHERE len(sh) > 0),
        |sg AS (SELECT doc_id, $bandList AS bands FROM sh2),
-       |banded AS (
+       |banded0 AS (
        |  SELECT doc_id, i, bands[i] AS bk
-       |  FROM sg CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i))""".stripMargin
+       |  FROM sg CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)),
+       |banded AS (
+       |  SELECT doc_id, i, bk FROM (
+       |    SELECT doc_id, i, bk, count(*) OVER (PARTITION BY i, bk) AS bn
+       |    FROM banded0)
+       |  WHERE bn <= 4096)""".stripMargin
   }
 
   /** [[PageRankSql]]'s personalized twin: restart mass only on the

@@ -54,6 +54,17 @@ object Linkage {
   private def choose2(n: Column): Column =
     (n * (n - lit(1L))).divide(lit(2L)).cast("long")
 
+  /** Field names travel into generated SQL (`stack(...)`) and into
+    * backticked aliases — a quote or backtick in a name would break
+    * parsing or silently alter the generated expression. Restrict to
+    * plain identifiers, consistent with the uniqueness require. */
+  private def requireSafeNames(fields: Seq[(String, Column)]): Unit =
+    fields.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"field name '$n' must match [A-Za-z0-9_]+ — names are " +
+          "interpolated into generated SQL and column aliases")
+    }
+
   /** FS calibration. `records`: one row per record. `block`: blocking
     * key (pairs are only ever considered within a block — the FS
     * candidate space). `entity`: truth label (same entity = match);
@@ -71,6 +82,7 @@ object Linkage {
     require(fields.nonEmpty, "fellegiSunterWeights needs at least one field")
     require(fields.map(_._1).distinct.size == fields.size,
       "field names must be unique")
+    requireSafeNames(fields)
     val base = records.select(
       block.cast("string").as("_blk") +:
         entity.cast("string").as("_ent") +:
@@ -199,6 +211,7 @@ object Linkage {
   def scorePairs(records: DataFrame, id: Column, block: Column,
       entity: Column, fields: Seq[(String, Column)], weights: DataFrame,
       maxBlock: Int = 8192, salt: Int = 32): DataFrame = {
+    requireSafeNames(fields)
     // the 1-row weight scalars attach to the RECORD-sized a-side and
     // ride through the pair join — a nested-loop join per OUTPUT pair
     // row (O(pairs) rows through a BNLJ) measured ~5× slower than the
@@ -246,6 +259,7 @@ object Linkage {
       entity: Column, fields: Seq[(String, Column)], weights: DataFrame,
       maxBlock: Int = 8192): DataFrame = {
     require(maxBlock >= 2, s"maxBlock must be >= 2 (got $maxBlock)")
+    requireSafeNames(fields)
     val k = fields.size
     require(k >= 1 && k <= 8,
       s"scoreSeparation scales 3^|fields| in plan terms and 2^|fields|" +
@@ -340,6 +354,7 @@ object Linkage {
       block: Column, fields: Seq[(String, Column)], weights: DataFrame,
       maxBlock: Int = 8192): DataFrame = {
     require(maxBlock >= 2, s"maxBlock must be >= 2 (got $maxBlock)")
+    requireSafeNames(fields)
     val k = fields.size
     val byField = weights
       .select(col("field"), col("w_agree_micro"), col("w_disagree_micro"))
@@ -387,6 +402,7 @@ object Linkage {
   def agreementPatternCounts(records: DataFrame, block: Column,
       fields: Seq[(String, Column)], maxBlock: Int = 8192): DataFrame = {
     require(maxBlock >= 2, s"maxBlock must be >= 2 (got $maxBlock)")
+    requireSafeNames(fields)
     val k = fields.size
     require(k >= 1 && k <= 8,
       s"pattern counting scales 3^|fields| in plan terms — keep fields" +
@@ -495,6 +511,17 @@ object Linkage {
   def fellegiSunterEmWeights(records: DataFrame, block: Column,
       fields: Seq[(String, Column)], maxBlock: Int = 8192,
       iters: Int = 15): DataFrame = {
+    // a 2-binary-indicator latent-class mixture is NOT identifiable
+    // (4 patterns < 5 free parameters — EM latches onto noise;
+    // LinkageSpec documents the degeneracy). Three informative
+    // indicators is the established floor for this model family
+    // (cf. the three-indicator identifiability condition for
+    // latent-class models, Allman/Matias/Rhodes 2009).
+    require(fields.size >= 3,
+      s"fellegiSunterEmWeights needs >= 3 comparison fields for the " +
+        s"latent-class mixture to be identifiable (got ${fields.size}); " +
+        "with fewer fields, supply a truth label and use " +
+        "fellegiSunterWeights instead")
     val spark = records.sparkSession
     val pats = agreementPatternCounts(records, block, fields, maxBlock)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

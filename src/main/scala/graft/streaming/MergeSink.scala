@@ -1,13 +1,14 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
 
 import graft.operators.Snapshot
 
@@ -18,14 +19,28 @@ import graft.operators.Snapshot
   * a table format's MERGE INTO would, built from primitives.
   *
   * Durability protocol (exactly-once effect under replay): every batch
-  * writes a FULL new snapshot to `storeDir/v<batchId>` and then swaps
-  * the `_latest` pointer (atomic move of a one-line file). A crash
-  * between write and swap replays the batch against the OLD snapshot —
-  * same output; a crash between swap and the checkpoint commit replays
-  * it against the NEW one — and [[Snapshot.applyChanges]] is
+  * writes a FULL new snapshot to `storeDir/v<version>` and then swaps
+  * the `_latest` pointer (atomic move of a one-line file). Store
+  * versions are allocated as `parent + 1` from the `_latest` the
+  * writer derived from — they are the STORE's commit counter, not the
+  * stream's batchId (so maintenance commits — [[compactBucketedStore]],
+  * [[rebucketStore]] — share the same linear history). Whether a
+  * streaming batchId has already been applied is tracked separately in
+  * `_lastBatch` (written after the swap; batchIds from one checkpoint
+  * are monotone, so "max applied" decides replay). A crash between
+  * snapshot write and swap replays the batch against the OLD snapshot —
+  * same output; a crash between swap and the `_lastBatch` write
+  * replays it against the NEW one — and [[Snapshot.applyChanges]] is
   * IDEMPOTENT (re-upserting identical values and re-deleting absent
   * keys are both no-ops), so the store converges either way. SinkSpec
   * replays both interleavings.
+  *
+  * Schema evolution: each version records its snapshot schema in
+  * `_schemas/<version>`. A batch may ADD value columns (old versions
+  * read back NULL-filled); dropping a column or changing a column's
+  * type is refused with a clear error — rewrite the store (e.g. via
+  * [[compactBucketedStore]] after a manual migration) for destructive
+  * changes.
   *
   * Scale posture: snapshot-replace is the local-parquet stand-in for a
   * table format's transactional MERGE; the operator underneath (winner
@@ -36,35 +51,95 @@ import graft.operators.Snapshot
 object MergeSink {
 
   private def latestPath(storeDir: String) = Paths.get(storeDir, "_latest")
+  private def lastBatchPath(storeDir: String) = Paths.get(storeDir, "_lastBatch")
   private def commitsDir(storeDir: String) = Paths.get(storeDir, "_commits")
+  private def schemasDir(storeDir: String) = Paths.get(storeDir, "_schemas")
+  private def nBucketsPath(storeDir: String) = Paths.get(storeDir, "_nbuckets")
+
+  /** How many trailing `_commits` markers each commit retains; older
+    * markers fold into the `_commits/_horizon` watermark (see
+    * [[claimCommit]]) so marker count stays O(1) over an unbounded
+    * stream instead of one file per batch forever. */
+  private val RetainMarkers = 16
+
+  /** A missing pointer file is an absent state; an EXISTING but
+    * unparsable one is damage — fail loudly rather than read the store
+    * as empty (a truncated `_latest` must never look like "no store"). */
+  private def readLong(p: Path): Option[Long] =
+    if (Files.exists(p)) {
+      val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
+      Some(body.toLongOption.getOrElse(throw new IllegalStateException(
+        s"MergeSink: pointer file $p is corrupted (content: '$body') — " +
+          "restore it from the highest _commits marker / version dir " +
+          "before using this store")))
+    } else None
+
+  private def writeLongAtomic(p: Path, v: Long): Unit = {
+    val tmp = p.resolveSibling(s".${p.getFileName}.tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Concurrent-writer guard (CAS via exclusive marker creation): a
     * version is only allowed to swap `_latest` after durably claiming
-    * `_commits/<version>` (content = the parent version it derived
-    * from; `Files.write(CREATE_NEW)` is atomic-exclusive) and then
-    * verifying no OTHER writer committed a version past that parent.
-    * Linearize on marker-creation order: the later creator always sees
-    * the earlier marker and fails; the earlier creator either passes
-    * (winner) or — if its check ran after the later marker appeared —
-    * also fails (zero winners, both loud, retry-able). A silent lost
-    * update (two writers deriving from the same parent, the second
-    * swap clobbering the first's changes) is thereby impossible.
-    * Markers are immutable history; a marker matching our (version,
-    * parent) is OUR crash-replay and passes through. Throws
+    * `_commits/<version>` (content = "<parent> <batchId>"; `Files.write
+    * (CREATE_NEW)` is atomic-exclusive) and then verifying no OTHER
+    * writer committed a version past that parent. Linearize on
+    * marker-creation order: the later creator always sees the earlier
+    * marker and fails; the earlier creator either passes (winner) or —
+    * if its check ran after the later marker appeared — also fails
+    * (zero winners, both loud, retry-able). A silent lost update (two
+    * writers deriving from the same parent, the second swap clobbering
+    * the first's changes) is thereby impossible. Markers are immutable
+    * history; a marker matching our (version, parent, batchId) triple
+    * is OUR crash-replay and passes through. An EMPTY or unparsable
+    * marker (crash between CREATE_NEW and the bytes reaching disk) is
+    * treated as a detected race/corruption with a recovery hint, never
+    * a NumberFormatException. A parent older than the pruning horizon
+    * (`_commits/_horizon` = highest marker version ever pruned) is
+    * refused outright: some version ≤ horizon > parent certainly
+    * committed after that parent, the evidence just aged out.
+    * Maintenance commits carry batchId −1. Throws
     * [[java.util.ConcurrentModificationException]] on a detected race. */
-  private def claimCommit(storeDir: String, version: Long, parent: Long): Unit = {
+  private def claimCommit(storeDir: String, version: Long, parent: Long,
+      batchId: Long): Unit = {
     val dir = commitsDir(storeDir)
     Files.createDirectories(dir)
+    readLong(dir.resolve("_horizon")).foreach { h =>
+      if (parent < h)
+        throw new java.util.ConcurrentModificationException(
+          s"MergeSink: this writer derived v$version of $storeDir from " +
+            s"parent v$parent, but commit history up to v$h has been " +
+            "pruned — other writers committed long past that parent; " +
+            "re-read the store and retry")
+    }
     val marker = dir.resolve(version.toString)
-    try Files.write(marker, parent.toString.getBytes(StandardCharsets.UTF_8),
+    try Files.write(marker, s"$parent $batchId".getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
     catch { case _: FileAlreadyExistsException =>
-      val prev = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim.toLong
-      if (prev != parent)
-        throw new java.util.ConcurrentModificationException(
-          s"MergeSink: version $version of $storeDir was already committed " +
-            s"against parent v$prev, but this writer derived it from v$parent " +
-            "— a second writer is racing on this store")
+      val body = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim
+      val parsed = body.split("\\s+").toSeq match {
+        case Seq(p, b) => for { pv <- p.toLongOption; bv <- b.toLongOption } yield (pv, bv)
+        case Seq(p) => p.toLongOption.map(pv => (pv, batchId)) // legacy marker
+        case _ => None
+      }
+      parsed match {
+        case None =>
+          throw new java.util.ConcurrentModificationException(
+            s"MergeSink: commit marker $marker is empty or corrupted " +
+              s"(content: '$body') — a writer crashed mid-claim or the " +
+              "file was damaged; verify no other writer is live, delete " +
+              "the marker, and retry")
+        case Some((prevParent, prevBatch)) =>
+          if (prevParent != parent || prevBatch != batchId)
+            throw new java.util.ConcurrentModificationException(
+              s"MergeSink: version $version of $storeDir was already " +
+                s"committed against parent v$prevParent by batch $prevBatch, " +
+                s"but this writer derived it from v$parent as batch $batchId " +
+                "— a second writer is racing on this store; refusing the " +
+                "lost update; re-read the store and retry")
+      }
     }
     val others = {
       val s = Files.list(dir)
@@ -83,34 +158,107 @@ object MergeSink {
     }
   }
 
-  /** The store's current contents (empty-but-typed before any batch). */
-  def currentSnapshot(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, key: String, valueCols: Seq[String]): Option[DataFrame] = {
-    val p = latestPath(storeDir)
+  /** Fold markers older than the last [[RetainMarkers]] into the
+    * `_horizon` watermark. Run by the committed writer after its swap;
+    * keeps `_commits` O(1) for an unbounded stream (the plain sink
+    * previously accumulated one marker per batch forever). */
+  private def pruneCommitMarkers(storeDir: String): Unit = {
+    val dir = commitsDir(storeDir)
+    if (!Files.exists(dir)) return
+    val versions = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .flatMap(_.toLongOption).toList.sorted
+      finally s.close()
+    }
+    val prune = versions.dropRight(RetainMarkers)
+    if (prune.isEmpty) return
+    val horizon = math.max(prune.max, readLong(dir.resolve("_horizon")).getOrElse(Long.MinValue))
+    writeLongAtomic(dir.resolve("_horizon"), horizon)
+    prune.foreach(v => Files.deleteIfExists(dir.resolve(v.toString)))
+  }
+
+  // ------------------------------------------------------------------
+  // Per-version schema registry (evolution support)
+  // ------------------------------------------------------------------
+
+  private def writeSchema(storeDir: String, version: Long, schema: StructType): Unit = {
+    Files.createDirectories(schemasDir(storeDir))
+    val tmp = schemasDir(storeDir).resolve(s".$version.tmp")
+    Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, schemasDir(storeDir).resolve(version.toString),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readSchema(storeDir: String, version: Long): Option[StructType] = {
+    val p = schemasDir(storeDir).resolve(version.toString)
     if (Files.exists(p))
-      Some(spark.read.parquet(
-        s"$storeDir/v${new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim}"))
+      Some(org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).asInstanceOf[StructType])
     else None
   }
+
+  /** Evolution gate: every column of the parent snapshot must survive
+    * into the next one with an identical type — new columns may
+    * appear, nothing may vanish or mutate. Returns unit or throws an
+    * [[IllegalArgumentException]] naming every offending column. */
+  private def requireCompatible(parent: StructType, next: StructType,
+      storeDir: String): Unit = {
+    val nextByName = next.fields.map(f => f.name -> f.dataType).toMap
+    val dropped = parent.fields.filterNot(f => nextByName.contains(f.name)).map(_.name)
+    val retyped = parent.fields.flatMap { f =>
+      nextByName.get(f.name).filter(_ != f.dataType)
+        .map(t => s"${f.name}: ${f.dataType.simpleString} -> ${t.simpleString}")
+    }
+    if (dropped.nonEmpty || retyped.nonEmpty)
+      throw new IllegalArgumentException(
+        s"MergeSink: incompatible schema change on $storeDir — " +
+          (if (dropped.nonEmpty) s"dropped column(s) ${dropped.mkString(", ")}" else "") +
+          (if (dropped.nonEmpty && retyped.nonEmpty) "; " else "") +
+          (if (retyped.nonEmpty) s"changed type(s) ${retyped.mkString(", ")}" else "") +
+          ". Only ADDING value columns evolves in place; rewrite the " +
+          "store explicitly for destructive changes.")
+  }
+
+  /** NULL-fill any `target` columns a stored file predates (added by a
+    * later evolution step); types of shared columns are guaranteed
+    * identical by [[requireCompatible]] across the whole history. */
+  private def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** The store's current contents (empty-but-typed before any batch). */
+  def currentSnapshot(spark: SparkSession,
+      storeDir: String, key: String, valueCols: Seq[String]): Option[DataFrame] = {
+    readLong(latestPath(storeDir)).map { v =>
+      spark.read.parquet(s"$storeDir/v$v")
+    }
+  }
+
+  /** Replay guard: the store's own commit counter is `_latest`; the
+    * highest APPLIED streaming batch is `_lastBatch` (pre-evolution
+    * stores fall back to `_latest`, where versions were batchIds). */
+  private def alreadyApplied(storeDir: String, batchId: Long): Boolean =
+    readLong(lastBatchPath(storeDir))
+      .orElse(readLong(latestPath(storeDir)))
+      .exists(_ >= batchId)
 
   /** One batch of the protocol — public so replay interleavings are
     * directly testable. A version dir is IMMUTABLE once `_latest` has
     * passed it: a replay of an already-swapped batch is a pure no-op
     * (never a rewrite of the dir the store currently reads — no
     * read-overwrite-same-path hazard), and a replay after a crash
-    * BEFORE the swap re-derives v<batchId> from the old snapshot it
+    * BEFORE the swap re-derives `parent + 1` from the old snapshot it
     * was derived from the first time — same bytes, then the swap. */
   def applyBatch(batch: DataFrame, batchId: Long, storeDir: String,
       key: String, opCol: String, verCol: String,
       valueCols: Seq[String]): Unit = {
-    val spark = batch.sparkSession
-    val p = latestPath(storeDir)
-    val latest: Option[Long] =
-      if (Files.exists(p))
-        Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-      else None
-    if (latest.exists(_ >= batchId)) return // already applied and swapped
-    applyBatchFrom(latest, batch, batchId, storeDir, key, opCol, verCol, valueCols)
+    if (alreadyApplied(storeDir, batchId)) return
+    applyBatchFrom(readLong(latestPath(storeDir)), batch, batchId, storeDir,
+      key, opCol, verCol, valueCols)
   }
 
   /** The body of [[applyBatch]] with the parent-version read made
@@ -122,18 +270,26 @@ object MergeSink {
       batchId: Long, storeDir: String, key: String, opCol: String,
       verCol: String, valueCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    val base = parent.map(v => spark.read.parquet(s"$storeDir/v$v"))
+    val target = batch.select((key +: valueCols).map(col): _*).schema
+    parent.foreach { pv =>
+      readSchema(storeDir, pv).foreach(requireCompatible(_, target, storeDir))
+    }
+    val version = parent.getOrElse(-1L) + 1
+    // CAS guard BEFORE the write: versions are parent+1, so two writers
+    // racing from one parent would target the SAME v-dir — the loser
+    // must be refused before it can clobber the winner's files, not
+    // merely before the swap. A marker matching our (parent, batchId)
+    // is our own crash-replay and passes through to rewrite the same
+    // bytes.
+    claimCommit(storeDir, version, parent.getOrElse(-1L), batchId)
+    val base = parent.map(v => alignTo(spark.read.parquet(s"$storeDir/v$v"), target))
       .getOrElse(batch.select((key +: valueCols).map(col): _*).limit(0))
     val next = Snapshot.applyChanges(base, batch, key, opCol, verCol, valueCols)
-    next.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
-    // CAS guard BETWEEN durability and visibility: the snapshot is on
-    // disk, but _latest only advances if no other writer committed
-    // past our parent in the meantime
-    claimCommit(storeDir, batchId, parent.getOrElse(-1L))
-    val tmp = Paths.get(storeDir, s"_latest.tmp.$batchId")
-    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, latestPath(storeDir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    next.write.mode("overwrite").parquet(s"$storeDir/v$version")
+    writeSchema(storeDir, version, target)
+    writeLongAtomic(latestPath(storeDir), version)
+    writeLongAtomic(lastBatchPath(storeDir), batchId)
+    pruneCommitMarkers(storeDir)
   }
 
   /** The sink: wire to `.start()`. `changes` is the streaming CDC
@@ -163,8 +319,11 @@ object MergeSink {
   //
   // Layout:  storeDir/v<version>/_bucket=<b>/…parquet   (immutable)
   //          storeDir/_manifests/<version>              "b v" lines
+  //          storeDir/_schemas/<version>                snapshot schema
   //          storeDir/_commits/<version>                CAS markers
   //          storeDir/_latest                           current version
+  //          storeDir/_lastBatch                        replay guard
+  //          storeDir/_nbuckets                         bucket count
   //
   // The manifest maps every bucket to the VERSION whose v-dir holds
   // its current file; untouched buckets keep their old mapping, so old
@@ -197,40 +356,77 @@ object MergeSink {
   private def bucketOf(key: String, nBuckets: Int) =
     pmod(xxhash64(col(key)), lit(nBuckets.toLong))
 
+  /** The store's recorded bucket count. Persisted on the first batch;
+    * every later writer must agree (a mismatched writer would route
+    * keys to the wrong buckets and silently corrupt merges — refuse
+    * loudly instead). [[rebucketStore]] is the one sanctioned way to
+    * change it. */
+  private def requireNBuckets(storeDir: String, nBuckets: Int): Unit = {
+    readLong(nBucketsPath(storeDir)) match {
+      case Some(stored) if stored != nBuckets =>
+        throw new IllegalArgumentException(
+          s"MergeSink: $storeDir is bucketed into $stored buckets but this " +
+            s"writer was configured with nBuckets=$nBuckets — a mismatched " +
+            "writer would route keys to the wrong buckets; pass the stored " +
+            "count, or migrate with rebucketStore first")
+      case Some(_) => ()
+      case None => writeLongAtomic(nBucketsPath(storeDir), nBuckets.toLong)
+    }
+  }
+
   /** The store's current contents under the bucketed protocol. Buckets
     * are grouped by owning version, so the read costs one pruned scan
-    * per LIVE version (old versions age out as their buckets move). */
-  def currentBucketedSnapshot(spark: org.apache.spark.sql.SparkSession,
+    * per LIVE version (old versions age out as their buckets move).
+    * Older versions NULL-fill columns added after they were written;
+    * the internal `_bucket` partition column is dropped. An existing
+    * store whose every key has been deleted reads as an EMPTY frame
+    * typed by its recorded schema, not an error. */
+  def currentBucketedSnapshot(spark: SparkSession,
       storeDir: String): Option[DataFrame] = {
-    val p = latestPath(storeDir)
-    if (!Files.exists(p)) return None
-    val latest = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
-    val manifest = readManifest(storeDir, latest)
-    val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
-    Some(byVersion.toSeq.sortBy(_._1).map { case (v, buckets) =>
-      spark.read.parquet(s"$storeDir/v$v")
-        .filter(col("_bucket").isin(buckets: _*)) // partition-pruned
-    }.reduce(_ unionByName _))
+    readLong(latestPath(storeDir)).map { latest =>
+      val manifest = readManifest(storeDir, latest)
+      val target = readSchema(storeDir, latest).getOrElse {
+        // pre-schema-registry store: recover the shape from a live dir
+        require(manifest.nonEmpty,
+          s"MergeSink: $storeDir has no recorded schema and no live bucket " +
+            "— cannot type an empty snapshot")
+        StructType(spark.read.parquet(s"$storeDir/v${manifest.values.max}")
+          .schema.fields.filterNot(_.name == "_bucket"))
+      }
+      val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+      byVersion.toSeq.sortBy(_._1).map { case (v, buckets) =>
+        alignTo(spark.read.parquet(s"$storeDir/v$v")
+          .filter(col("_bucket").isin(buckets: _*)), target) // partition-pruned
+      }.foldLeft(spark.createDataFrame(
+        new java.util.ArrayList[Row](), target))(_ unionByName _)
+    }
   }
 
   /** One bucketed batch: read ONLY the touched buckets' current files,
-    * merge, write them under v<batchId>, publish the remapped manifest,
-    * CAS, swap. Touched-bucket discovery is a distinct-aggregate
-    * collect bounded by `nBuckets` (a model-sized collect, like the
-    * IVF codebooks), never by changeset or store size. */
+    * merge, write them under the next store version, publish the
+    * remapped manifest, CAS, swap. Touched-bucket discovery is a
+    * distinct-aggregate collect bounded by `nBuckets` (a model-sized
+    * collect, like the IVF codebooks), never by changeset or store
+    * size. */
   def applyBucketedBatch(batch: DataFrame, batchId: Long, storeDir: String,
       key: String, opCol: String, verCol: String, valueCols: Seq[String],
       nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    Files.createDirectories(Paths.get(storeDir))
+    requireNBuckets(storeDir, nBuckets)
+    if (alreadyApplied(storeDir, batchId)) return
     val spark = batch.sparkSession
-    val p = latestPath(storeDir)
-    val latest: Option[Long] =
-      if (Files.exists(p))
-        Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-      else None
-    if (latest.exists(_ >= batchId)) return // already applied and swapped
+    val latest = readLong(latestPath(storeDir))
     val parent = latest.getOrElse(-1L)
+    val version = parent + 1
     val manifest = latest.map(readManifest(storeDir, _)).getOrElse(Map.empty)
+    val target = batch.select((key +: valueCols).map(col): _*).schema
+    latest.foreach { pv =>
+      readSchema(storeDir, pv).foreach(requireCompatible(_, target, storeDir))
+    }
+    // claim-first, for the same same-parent-same-dir reason as
+    // applyBatchFrom: refuse a racing writer before any file moves
+    claimCommit(storeDir, version, parent, batchId)
     val touched = batch.select(bucketOf(key, nBuckets).as("_bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
     if (touched.nonEmpty) {
@@ -240,28 +436,103 @@ object MergeSink {
       val base = touched.flatMap(b => manifest.get(b).map(v => (v, b)))
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (v, bs) =>
-          spark.read.parquet(s"$storeDir/v$v")
-            .filter(col("_bucket").isin(bs.map(_._2): _*))
-            .select((key +: valueCols).map(col): _*)
+          alignTo(spark.read.parquet(s"$storeDir/v$v")
+            .filter(col("_bucket").isin(bs.map(_._2): _*)), target)
         }
         .foldLeft(emptyBase)(_ unionByName _)
       val next = Snapshot.applyChanges(base, batch, key, opCol, verCol, valueCols)
         .withColumn("_bucket", bucketOf(key, nBuckets))
       next.write.mode("overwrite").partitionBy("_bucket")
-        .parquet(s"$storeDir/v$batchId")
+        .parquet(s"$storeDir/v$version")
     }
     // untouched buckets keep their old version; a touched bucket whose
     // merged content is EMPTY (all keys deleted) leaves the manifest
     val merged = manifest -- touched ++
       touched.filter(b => Files.exists(
-          Paths.get(storeDir, s"v$batchId", s"_bucket=$b")))
-        .map(b => b -> batchId)
-    writeManifest(storeDir, batchId, merged)
-    claimCommit(storeDir, batchId, parent)
-    val tmp = Paths.get(storeDir, s"_latest.tmp.$batchId")
-    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, latestPath(storeDir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+          Paths.get(storeDir, s"v$version", s"_bucket=$b")))
+        .map(b => b -> version)
+    writeManifest(storeDir, version, merged)
+    writeSchema(storeDir, version, target)
+    writeLongAtomic(latestPath(storeDir), version)
+    writeLongAtomic(lastBatchPath(storeDir), batchId)
+    pruneCommitMarkers(storeDir)
+  }
+
+  /** Maintenance: rewrite every live bucket into ONE new version, so
+    * the read path goes back to a single pruned scan regardless of how
+    * many small batches fragmented the manifest (a table format's
+    * compaction / rewrite-data-files). Content is bit-identical; the
+    * old versions become dead and a following [[vacuumBucketedStore]]
+    * reclaims them. A no-op (returns None) when zero or one version is
+    * live. Runs from the single writer — the CAS refuses it if a batch
+    * lands concurrently, and refuses the batch if compaction wins. */
+  def compactBucketedStore(spark: SparkSession, storeDir: String): Option[Long] =
+    rewriteAll(spark, storeDir, None)
+
+  /** Maintenance: re-hash every key into `newNBuckets` buckets and
+    * rewrite the store as one new version — the sanctioned migration
+    * when a store outgrows its creation-time bucket count. Readers are
+    * oblivious (the manifest names whatever buckets exist); writers
+    * must switch to the new count (enforced by the `_nbuckets` check).
+    * Returns the new version, or None on an empty/missing store with
+    * nothing to move (the recorded count still updates so the next
+    * writer adopts it). */
+  def rebucketStore(spark: SparkSession, storeDir: String,
+      newNBuckets: Int): Option[Long] = {
+    require(newNBuckets >= 1, s"newNBuckets must be >= 1 (got $newNBuckets)")
+    rewriteAll(spark, storeDir, Some(newNBuckets))
+  }
+
+  /** Shared body of compaction and re-bucketing: one full-store read,
+    * one partitioned write, one commit. `newNBuckets = None` keeps the
+    * existing bucket assignment (pure compaction — no hashing, rows
+    * move dirs, not buckets); `Some(n)` re-derives `_bucket` from the
+    * key column recorded in the schema's FIRST field. */
+  private def rewriteAll(spark: SparkSession, storeDir: String,
+      newNBuckets: Option[Int]): Option[Long] = {
+    val latest = readLong(latestPath(storeDir)).getOrElse {
+      newNBuckets.foreach(n => writeLongAtomic(nBucketsPath(storeDir), n.toLong))
+      return None
+    }
+    val manifest = readManifest(storeDir, latest)
+    val liveVersions = manifest.values.toSet
+    if (newNBuckets.isEmpty && liveVersions.size <= 1) return None // already compact
+    val target = readSchema(storeDir, latest).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir has no recorded schema — only stores written " +
+          "by the schema-registry protocol can be compacted/rebucketed"))
+    val keyCol = target.fields.head.name
+    if (manifest.isEmpty) {
+      newNBuckets.foreach(n => writeLongAtomic(nBucketsPath(storeDir), n.toLong))
+      return None
+    }
+    val version = latest + 1
+    claimCommit(storeDir, version, latest, -1L) // maintenance commit
+    val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val current = byVersion.toSeq.sortBy(_._1).map { case (v, buckets) =>
+      val df = spark.read.parquet(s"$storeDir/v$v")
+        .filter(col("_bucket").isin(buckets: _*))
+      val have = df.columns.toSet
+      val bucket = newNBuckets.map(n => bucketOf(keyCol, n)).getOrElse(col("_bucket"))
+      df.select(target.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+      } :+ bucket.cast("long").as("_bucket"): _*)
+    }.reduce(_ unionByName _)
+    current.write.mode("overwrite").partitionBy("_bucket")
+      .parquet(s"$storeDir/v$version")
+    val buckets = {
+      val s = Files.list(Paths.get(storeDir, s"v$version"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toLong)
+        .toList.sorted
+      finally s.close()
+    }
+    writeManifest(storeDir, version, buckets.map(_ -> version).toMap)
+    writeSchema(storeDir, version, target)
+    newNBuckets.foreach(n => writeLongAtomic(nBucketsPath(storeDir), n.toLong))
+    writeLongAtomic(latestPath(storeDir), version)
+    pruneCommitMarkers(storeDir)
+    Some(version)
   }
 
   /** Vacuum: delete version dirs no LIVE bucket references (a table
@@ -269,14 +540,14 @@ object MergeSink {
     * current one are candidates — the current version dir stays even
     * if every bucket has already moved past it, so a reader that
     * resolved `_latest` just before the vacuum can still finish its
-    * scan. Manifests and commit markers are kept for every retained
-    * version and dropped with the dirs they describe. Returns the
-    * versions removed. Safe to run any time from the single writer
-    * (concurrent writers are already excluded by the CAS). */
+    * scan. Manifests, schemas and commit markers are kept for every
+    * retained version and dropped with the dirs they describe (pruned
+    * markers fold into the `_horizon` watermark so stale writers still
+    * fail loudly). Returns the versions removed. Safe to run any time
+    * from the single writer (concurrent writers are already excluded
+    * by the CAS). */
   def vacuumBucketedStore(storeDir: String): Seq[Long] = {
-    val p = latestPath(storeDir)
-    if (!Files.exists(p)) return Seq.empty
-    val latest = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    val latest = readLong(latestPath(storeDir)).getOrElse(return Seq.empty)
     val live = readManifest(storeDir, latest).values.toSet + latest
     val versions = {
       val s = Files.list(Paths.get(storeDir))
@@ -285,6 +556,13 @@ object MergeSink {
       finally s.close()
     }
     val dead = versions.filter(v => v < latest && !live.contains(v)).sorted
+    if (dead.nonEmpty) {
+      val cd = commitsDir(storeDir)
+      Files.createDirectories(cd)
+      val horizon = math.max(dead.max,
+        readLong(cd.resolve("_horizon")).getOrElse(Long.MinValue))
+      writeLongAtomic(cd.resolve("_horizon"), horizon)
+    }
     dead.foreach { v =>
       def rm(path: java.nio.file.Path): Unit = {
         if (Files.isDirectory(path)) {
@@ -295,6 +573,7 @@ object MergeSink {
       }
       rm(Paths.get(storeDir, s"v$v"))
       Files.deleteIfExists(manifestsDir(storeDir).resolve(v.toString))
+      Files.deleteIfExists(schemasDir(storeDir).resolve(v.toString))
       Files.deleteIfExists(commitsDir(storeDir).resolve(v.toString))
     }
     dead

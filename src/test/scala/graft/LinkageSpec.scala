@@ -233,6 +233,36 @@ class LinkageSpec extends SparkTestBase {
       emRecs, col("id"), col("blk"), emFields, neg).count() == 0L)
   }
 
+  test("field names are confined to safe identifiers (they travel into generated SQL)") {
+    // a backtick or quote in a field name would break the stack(...)
+    // SQL or silently alter the generated expression — refused up front
+    Seq("bad`tick", "bad'quote", "bad name", "bad,comma").foreach { n =>
+      val e = intercept[IllegalArgumentException] {
+        Linkage.fellegiSunterWeights(emRecs, col("blk"), col("id"),
+          Seq(n -> col("code")))
+      }
+      assert(e.getMessage.contains("[A-Za-z0-9_]+"), e.getMessage)
+      intercept[IllegalArgumentException] {
+        Linkage.agreementPatternCounts(emRecs, col("blk"),
+          Seq(n -> col("code")))
+      }
+    }
+  }
+
+  test("EM refuses an unidentifiable model (fewer than 3 comparison fields)") {
+    // 2 binary indicators give 4 observable patterns but 5 free
+    // parameters — EM latches onto noise; the operator refuses rather
+    // than calibrating garbage
+    val e = intercept[IllegalArgumentException] {
+      Linkage.fellegiSunterEmWeights(emRecs, col("blk"),
+        emFields.take(2))
+    }
+    assert(e.getMessage.contains("identifiable"), e.getMessage)
+    // the supervised path has no such floor (truth label provided)
+    assert(Linkage.fellegiSunterWeights(emRecs, col("blk"), col("code"),
+      emFields.take(2)).count() == 2L)
+  }
+
   test("calibration handles empty input and a single block") {
     val empty = Seq.empty[(Long, String, String, String, String)]
       .toDF("id", "blk", "ent", "phone", "noise")

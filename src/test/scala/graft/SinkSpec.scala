@@ -71,8 +71,11 @@ class SinkSpec extends SparkTestBase {
         "replaying a committed batch must be a no-op")
       // crash-replay interleaving 2: crash BEFORE the swap — pointer
       // still at v0, v1 partially/fully written; the replay re-derives
-      // v1 from v0 and swaps, converging to the same store
+      // v1 from v0 and swaps, converging to the same store. A pre-swap
+      // crash also means _lastBatch never advanced — reset both.
       Files.write(java.nio.file.Paths.get(s"$dir/store", "_latest"),
+        "0".getBytes)
+      Files.write(java.nio.file.Paths.get(s"$dir/store", "_lastBatch"),
         "0".getBytes)
       graft.streaming.MergeSink.applyBatch(batch1, 1L, s"$dir/store",
         "k", "op", "ver", Seq("name", "v"))
@@ -200,6 +203,184 @@ class SinkSpec extends SparkTestBase {
       assert(MergeSink.vacuumBucketedStore(store).isEmpty)
       assert(new java.io.File(s"$store/v1").exists())
     } finally q.stop()
+  }
+
+  test("ST10 bucketed: adding a value column evolves in place, old buckets NULL-fill; drops/retypes refuse") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_evolve").toString
+    val store = s"$dir/store"
+    val b0 = Seq((1L, "upsert", 1L, "a", 10L), (2L, "upsert", 1L, "b", 20L))
+      .toDF("k", "op", "ver", "name", "v")
+    MergeSink.applyBucketedBatch(b0, 0L, store, "k", "op", "ver",
+      Seq("name", "v"), nBuckets = 4)
+    // batch 1 ADDS a `score` column and touches only key 1's bucket;
+    // key 2 stays on version 0 (written before the column existed)
+    val b1 = Seq((1L, "upsert", 2L, "a2", 11L, 0.5))
+      .toDF("k", "op", "ver", "name", "v", "score")
+    MergeSink.applyBucketedBatch(b1, 1L, store, "k", "op", "ver",
+      Seq("name", "v", "score"), nBuckets = 4)
+    val snap = MergeSink.currentBucketedSnapshot(spark, store).get
+    assert(snap.columns.toSeq == Seq("k", "name", "v", "score"),
+      s"evolved snapshot must expose the new column (and no _bucket leak): ${snap.columns.toSeq}")
+    val rows = snap.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(rows == Set((1L, "a2", 11L, Some(0.5)), (2L, "b", 20L, None)),
+      s"pre-evolution rows must NULL-fill the added column: $rows")
+    // dropping a column is destructive — refused with a clear error
+    val drop = Seq((3L, "upsert", 3L, "c")).toDF("k", "op", "ver", "name")
+    val e1 = intercept[IllegalArgumentException] {
+      MergeSink.applyBucketedBatch(drop, 2L, store, "k", "op", "ver",
+        Seq("name"), nBuckets = 4)
+    }
+    assert(e1.getMessage.contains("dropped column"), e1.getMessage)
+    // changing a column's type is destructive — refused
+    val retype = Seq((3L, "upsert", 3L, "c", "oops", 0.1))
+      .toDF("k", "op", "ver", "name", "v", "score")
+    val e2 = intercept[IllegalArgumentException] {
+      MergeSink.applyBucketedBatch(retype, 2L, store, "k", "op", "ver",
+        Seq("name", "v", "score"), nBuckets = 4)
+    }
+    assert(e2.getMessage.contains("changed type"), e2.getMessage)
+    // the refused batches never became visible
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 2)
+  }
+
+  test("ST10 bucketed: compaction collapses a fragmented manifest to one live version, content-identical") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_compact").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    // many small single-key batches fragment the manifest across versions
+    (1L to 6L).foreach { k =>
+      val b = Seq((k, "upsert", k, s"n$k", k * 10L)).toDF("k", "op", "ver", "name", "v")
+      MergeSink.applyBucketedBatch(b, k - 1, store, "k", "op", "ver", vcols, nBuckets = 4)
+    }
+    def manifest(v: Long) = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(store, "_manifests", v.toString)), "UTF-8")
+      .linesIterator.map { l => val a = l.split(' '); (a(0).toLong, a(1).toLong) }.toMap
+    val before = MergeSink.currentBucketedSnapshot(spark, store).get
+      .collect().map(_.toString).toSet
+    val liveBefore = manifest(5L).values.toSet
+    assert(liveBefore.size > 1, s"fixture should fragment, got $liveBefore")
+    val compacted = MergeSink.compactBucketedStore(spark, store)
+    assert(compacted.contains(6L), s"expected maintenance version 6, got $compacted")
+    // read amplification drops to ONE live version; content identical
+    assert(manifest(6L).values.toSet == Set(6L))
+    val after = MergeSink.currentBucketedSnapshot(spark, store).get
+      .collect().map(_.toString).toSet
+    assert(after == before, "compaction must not change store content")
+    // old versions are now dead; vacuum reclaims them all
+    val dead = MergeSink.vacuumBucketedStore(store)
+    assert(dead.nonEmpty && dead.forall(_ < 6L), s"got $dead")
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get
+      .collect().map(_.toString).toSet == before)
+    // compacting an already-compact store is a no-op
+    assert(MergeSink.compactBucketedStore(spark, store).isEmpty)
+    // the stream keeps writing after maintenance: next batch derives
+    // from the compacted version
+    val b7 = Seq((7L, "upsert", 7L, "n7", 70L)).toDF("k", "op", "ver", "name", "v")
+    MergeSink.applyBucketedBatch(b7, 6L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 7)
+  }
+
+  test("ST10 bucketed: rebucketStore migrates the bucket count; mismatched writers refuse loudly") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_rebucket").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    val seed = (1L to 8L).map(k => (k, "upsert", 1L, s"n$k", k * 10L))
+    MergeSink.applyBucketedBatch(seed.toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 2)
+    val before = MergeSink.currentBucketedSnapshot(spark, store).get
+      .collect().map(_.toString).toSet
+    // a writer configured with the wrong count is refused before it can corrupt
+    val b = Seq((9L, "upsert", 2L, "n9", 90L)).toDF("k", "op", "ver", "name", "v")
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.applyBucketedBatch(b, 1L, store, "k", "op", "ver", vcols, nBuckets = 8)
+    }
+    assert(e.getMessage.contains("bucketed into 2"), e.getMessage)
+    // sanctioned migration: rewrite under the new count
+    val v = MergeSink.rebucketStore(spark, store, 8)
+    assert(v.contains(1L))
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get
+      .collect().map(_.toString).toSet == before, "rebucketing preserves content")
+    val bucketDirs = new java.io.File(s"$store/v1").listFiles()
+      .filter(_.getName.startsWith("_bucket=")).map(_.getName).toSet
+    assert(bucketDirs.size > 2, s"8-way hash of 8 keys should occupy >2 buckets: $bucketDirs")
+    // writers now must use the new count — and succeed with it
+    MergeSink.applyBucketedBatch(b, 1L, store, "k", "op", "ver", vcols, nBuckets = 8)
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 9)
+    val e2 = intercept[IllegalArgumentException] {
+      MergeSink.applyBucketedBatch(b, 2L, store, "k", "op", "ver", vcols, nBuckets = 2)
+    }
+    assert(e2.getMessage.contains("bucketed into 8"), e2.getMessage)
+  }
+
+  test("ST10 bucketed: deleting every key leaves an EMPTY typed store, not an error") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_empty").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    val b0 = Seq((1L, "upsert", 1L, "a", 10L), (2L, "upsert", 1L, "b", 20L))
+      .toDF("k", "op", "ver", "name", "v")
+    MergeSink.applyBucketedBatch(b0, 0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    val b1 = Seq((1L, "delete", 2L, null.asInstanceOf[String], 0L),
+      (2L, "delete", 2L, null.asInstanceOf[String], 0L))
+      .toDF("k", "op", "ver", "name", "v")
+    MergeSink.applyBucketedBatch(b1, 1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    val snap = MergeSink.currentBucketedSnapshot(spark, store)
+    assert(snap.isDefined, "an existing-but-emptied store must still read")
+    assert(snap.get.count() == 0)
+    assert(snap.get.columns.toSeq == Seq("k", "name", "v"),
+      s"empty snapshot keeps the recorded schema, no _bucket leak: ${snap.get.columns.toSeq}")
+    // and it comes back to life on the next upsert
+    val b2 = Seq((3L, "upsert", 3L, "c", 30L)).toDF("k", "op", "ver", "name", "v")
+    MergeSink.applyBucketedBatch(b2, 2L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 1)
+  }
+
+  test("ST10: a corrupted commit marker fails with a recovery hint, never NumberFormatException") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_corrupt").toString
+    val store = s"$dir/store"
+    val b0 = Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v")
+    MergeSink.applyBatch(b0, 0L, store, "k", "op", "ver", Seq("name", "v"))
+    // simulate a crash between CREATE_NEW and the content reaching disk:
+    // the NEXT version's marker exists but is empty
+    Files.write(java.nio.file.Paths.get(store, "_commits", "1"), Array.empty[Byte])
+    val b1 = Seq((2L, "upsert", 2L, "b", 20L)).toDF("k", "op", "ver", "name", "v")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      MergeSink.applyBatch(b1, 1L, store, "k", "op", "ver", Seq("name", "v"))
+    }
+    assert(e.getMessage.contains("corrupted"), e.getMessage)
+    assert(e.getMessage.contains("delete the marker"), e.getMessage)
+    // the documented recovery: remove the damaged marker, retry
+    Files.delete(java.nio.file.Paths.get(store, "_commits", "1"))
+    MergeSink.applyBatch(b1, 1L, store, "k", "op", "ver", Seq("name", "v"))
+    assert(MergeSink.currentSnapshot(spark, store, "k", Seq("name", "v"))
+      .get.count() == 2)
+  }
+
+  test("ST10: commit markers stay bounded over a long stream; a pre-horizon writer is refused") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_prune").toString
+    val store = s"$dir/store"
+    (0L until 24L).foreach { i =>
+      val b = Seq((i % 3, "upsert", i, s"n$i", i)).toDF("k", "op", "ver", "name", "v")
+      MergeSink.applyBatch(b, i, store, "k", "op", "ver", Seq("name", "v"))
+    }
+    val markers = new java.io.File(s"$store/_commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith("_")).map(_.toLong).sorted
+    assert(markers.length <= 16, s"markers must stay bounded, got ${markers.length}")
+    assert(markers.last == 23L)
+    // a writer whose parent predates the pruned horizon cannot silently
+    // pass the others-check (the evidence aged out) — it is refused
+    val stale = Seq((9L, "upsert", 99L, "x", 1L)).toDF("k", "op", "ver", "name", "v")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      MergeSink.applyBatchFrom(Some(2L), stale, 99L, store, "k", "op", "ver",
+        Seq("name", "v"))
+    }
+    assert(e.getMessage.contains("pruned"), e.getMessage)
   }
 
   test("ST8: fan-out table is idempotent under batch replay (crash before commit)") {
