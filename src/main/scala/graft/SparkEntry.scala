@@ -1099,6 +1099,39 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- L3c/e/f PINNED twins: the same SEARCH math on FrozenCodebooks'
+    //      literal quantizers, so the previously rows-only ANN ladder
+    //      becomes oracle-checkable — cell assignment, nprobe pruning,
+    //      PQ encode, LUT build and ADC scoring are deterministic
+    //      functions of (vectors, codebook) and replay bit-exactly in
+    //      DuckDB (AnnPinnedOracle); only k-means TRAINING stays
+    //      spec-verified, exactly as BpeExprs pins merges but not the
+    //      merge-training ----
+    "l3c_ivf_pinned" -> ((s, d) => {
+      val e = Tables.spread(Tables.embeddings(s, d))
+      graft.operators.SimilarityIvf.ivfTopKWith(e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") >= 5), k = 3,
+          graft.operators.FrozenCodebooks.IvfCentroids, nprobe = 4)
+        .orderBy(col("qid"), col("sim").desc, col("cid"))
+    }),
+
+    "l3e_pq_pinned" -> ((s, d) => {
+      val e = Tables.spread(Tables.embeddings(s, d))
+      graft.operators.SimilarityPq.pqTopKWith(e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") >= 5), k = 3,
+          graft.operators.FrozenCodebooks.PqCodebooks)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    "l3f_ivfadc_pinned" -> ((s, d) => {
+      val e = Tables.spread(Tables.embeddings(s, d))
+      graft.operators.SimilarityPq.ivfAdcTopKWith(e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") >= 5), k = 3,
+          graft.operators.FrozenCodebooks.IvfCentroids,
+          graft.operators.FrozenCodebooks.PqCodebooks, nprobe = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- L4: token statistics ----
     "l4_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d))
@@ -1843,6 +1876,25 @@ object SparkEntry {
       graft.operators.Linkage.fellegiSunterWeights(recs,
         element_at(split(col("p_name"), " "), 1), col("entity_id"),
         FsFields)
+    }),
+
+    // ---- ER3e: frequency-based (value-specific) agreement weights —
+    //      the classic FS refinement: agreement on a RARE value (few
+    //      in-block agreeing pairs) carries more log-odds evidence
+    //      than on a common one. Same pair-free Σ C(n,2) counts, one
+    //      grouping level deeper (per-(field, value)); the oracle
+    //      replays value-level counts + identical smoothing against
+    //      the same ER-cluster truth ----
+    "er_fs_value_weights" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+      val ents = graft.operators.Components
+        .resolveEntities(parts, "p_name", maxDist = 2)
+        .select(col("variant"), col("entity_id"))
+      val recs = parts.join(ents, parts("p_name") === ents("variant"))
+      graft.operators.Linkage.fellegiSunterValueWeights(recs,
+        element_at(split(col("p_name"), " "), 1), col("entity_id"),
+        Seq("suf3_eq" -> substring(col("p_name"), -3, 3),
+          "size_eq" -> col("p_size")))
     }),
 
     // ---- ER3b: FS apply step — the match/non-match score-separation
@@ -3711,6 +3763,12 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5)
         |WHERE rn <= 3 ORDER BY qid, sim DESC, cid""".stripMargin,
 
+    // the ANN ladder's pinned twins: full search-path replay on the
+    // frozen literal quantizers (argument in AnnPinnedOracle's scaladoc)
+    "l3c_ivf_pinned" -> AnnPinnedOracle.IvfPinnedSql,
+    "l3e_pq_pinned" -> AnnPinnedOracle.PqPinnedSql,
+    "l3f_ivfadc_pinned" -> AnnPinnedOracle.IvfAdcPinnedSql,
+
     "l3h_dim_ablation" -> DimAblationSql(Seq(8, 16, 32, 64), k = 10),
 
     "l3g_rank_metrics" ->
@@ -4212,6 +4270,31 @@ object SparkEntry {
         |    AS w_disagree_micro
         |FROM ag JOIN am USING (field) CROSS JOIN bt CROSS JOIN mt
         |ORDER BY field""".stripMargin),
+
+    // Value-specific weight replay: the same Σ C(n,2) group counts kept
+    // at (field, value) grain, identical add-1/add-2 smoothing against
+    // the shared match/non-match totals, ln argument in the engine's
+    // exact product-then-divide order.
+    "er_fs_value_weights" -> (ErCteSql + FsRecsSql +
+      """,
+        |bt AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS np FROM (
+        |  SELECT count(*) AS n FROM recs GROUP BY blk)),
+        |mt AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS nm FROM (
+        |  SELECT count(*) AS n FROM recs GROUP BY blk, ent)),
+        |lfv AS (SELECT 'suf3_eq' AS field, blk, ent, f_suf3 AS v FROM recs
+        |  UNION ALL SELECT 'size_eq', blk, ent, f_size FROM recs),
+        |agv AS (SELECT field, v, sum(n * (n - 1) // 2)::BIGINT AS na FROM (
+        |  SELECT field, blk, v, count(*) AS n FROM lfv GROUP BY 1, 2, 3) GROUP BY 1, 2
+        |  HAVING sum(n * (n - 1) // 2) > 0),
+        |amv AS (SELECT field, v, sum(n * (n - 1) // 2)::BIGINT AS nam FROM (
+        |  SELECT field, blk, ent, v, count(*) AS n FROM lfv GROUP BY 1, 2, 3, 4) GROUP BY 1, 2)
+        |SELECT agv.field, agv.v AS value, amv.nam AS n_agree_match,
+        |  (agv.na - amv.nam)::BIGINT AS n_agree_nonmatch,
+        |  CAST(floor(ln((amv.nam + 1)::DOUBLE * (bt.np - mt.nm + 2)::DOUBLE
+        |    / ((mt.nm + 2)::DOUBLE * (agv.na - amv.nam + 1)::DOUBLE)) * 1000000) AS BIGINT)
+        |    AS w_agree_micro
+        |FROM agv JOIN amv USING (field, v) CROSS JOIN bt CROSS JOIN mt
+        |ORDER BY field, value""".stripMargin),
 
     "er_fs_em" -> FsEmSql(iters = 15),
 

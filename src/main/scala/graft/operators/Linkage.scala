@@ -128,6 +128,75 @@ object Linkage {
       .orderBy("field")
   }
 
+  /** Frequency-based (VALUE-SPECIFIC) agreement weights — the classic
+    * FS refinement (Fellegi & Sunter 1969 §3.3; Winkler 1989):
+    * agreement on a RARE value is stronger evidence than on a common
+    * one ("Smith" vs "Zylberschtein"), so the u-probability (and m-)
+    * is estimated PER VALUE instead of per field. Same pair-free
+    * Σ C(n,2) machinery as [[fellegiSunterWeights]], one grouping
+    * level deeper — the per-(block, value) groups the calibration
+    * already counts simply keep their value key through the final
+    * aggregate, so the whole table still costs O(records) with no
+    * pair join anywhere; output is O(distinct values) rows (the
+    * standard frequency table a linkage run broadcasts beside its
+    * field weights).
+    *
+    * Smoothing matches the field-level calibration (add-1/add-2
+    * Laplace against the SAME match/non-match totals), so a value
+    * observed often among matches and rarely among non-matches gets a
+    * large positive w_agree_micro and a saturated common value decays
+    * toward (or below) the field-level weight. Disagreement carries no
+    * value (which value would it be?) — pairs that disagree score with
+    * the field-level w_disagree, the standard practice.
+    *
+    * Returns one row per (field, value) that generates at least one
+    * in-block agreeing pair: (field, value, n_agree_match,
+    * n_agree_nonmatch, w_agree_micro), ordered by (field, value). */
+  def fellegiSunterValueWeights(records: DataFrame, block: Column,
+      entity: Column, fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunterValueWeights needs at least one field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "field names must be unique")
+    requireSafeNames(fields)
+    val base = records.select(
+      block.cast("string").as("_blk") +:
+        entity.cast("string").as("_ent") +:
+        fields.map { case (n, c) => c.cast("string").as(s"_f_$n") }: _*)
+    val totals = base.groupBy("_blk").agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(choose2(col("_n"))), lit(0L)).as("_np"))
+    val matches = base.groupBy("_blk", "_ent").agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(choose2(col("_n"))), lit(0L)).as("_nm"))
+    val stackSql = fields
+      .map { case (n, _) => s"'$n', `_f_$n`" }.mkString(", ")
+    val long = base.select(col("_blk"), col("_ent"),
+      expr(s"stack(${fields.size}, $stackSql) AS (_field, _v)"))
+    // the same two agree-count aggregates as the field calibration,
+    // WITHOUT folding the value key away; only values that actually
+    // generate an in-block pair make the table
+    val agree = long.groupBy("_field", "_blk", "_v")
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("_field", "_v").agg(sum(choose2(col("_n"))).as("_na"))
+      .filter(col("_na") > 0L)
+    val agreeM = long.groupBy("_field", "_blk", "_ent", "_v")
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("_field", "_v").agg(sum(choose2(col("_n"))).as("_nam"))
+    val mNum = (col("_nam") + lit(1L)).cast("double")
+    val mDen = (col("_nm") + lit(2L)).cast("double")
+    val uNum = (col("_na") - col("_nam") + lit(1L)).cast("double")
+    val uDen = (col("_np") - col("_nm") + lit(2L)).cast("double")
+    agree.join(agreeM, Seq("_field", "_v"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(matches))
+      .select(
+        col("_field").as("field"),
+        col("_v").as("value"),
+        col("_nam").as("n_agree_match"),
+        (col("_na") - col("_nam")).as("n_agree_nonmatch"),
+        floor(log(mNum * uDen / (mDen * uNum)) * lit(1000000.0))
+          .cast("long").as("w_agree_micro"))
+      .orderBy("field", "value")
+  }
+
   /** FS apply step: enumerate in-block candidate pairs, compare the
     * same fields, and score each pair with the calibrated weights
     * (Σ over fields of w_agree if the pair agrees else w_disagree).

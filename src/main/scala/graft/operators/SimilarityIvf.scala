@@ -61,8 +61,17 @@ object SimilarityIvf {
   /** Approximate cosine top-k: probe the `nprobe` nearest cells per
     * query, exact-score only those cells' members. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val centroids = trainCentroids(candidates, nlist, seed = seed)
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfTopKWith(queries, candidates, k,
+      trainCentroids(candidates, nlist, seed = seed), nprobe)
+
+  /** [[ivfTopK]] with a CALLER-SUPPLIED coarse quantizer — the search
+    * half alone (assignment, nprobe pruning, exact in-cell scoring) is a
+    * deterministic function of (vectors, centroids), which is what lets
+    * the l3c_ivf_pinned oracle replay it on [[FrozenCodebooks]]'
+    * literal centroids while training stays spec-verified. */
+  def ivfTopKWith(queries: DataFrame, candidates: DataFrame, k: Int,
+      centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
     val cells = assignCells(candidates, centroids)
     val spark = candidates.sparkSession
 

@@ -100,10 +100,6 @@ object SimilarityPq {
   def ivfAdcTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 16, kCode: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val nCand = candidates.select(col("vec_id"),
-      l2Normalize(col("embedding")).as("embedding"))
     // ONE sampling job feeds both quantizers (a second corpus-wide
     // sample scan would double the driver-side training cost). The raw
     // sample normalizes inside trainCodebooksFromSample exactly as
@@ -114,6 +110,20 @@ object SimilarityPq {
     require(rawSample.nonEmpty, "empty training sample")
     val centroids = KMeansLite.lloyd(rawSample.map(unitNorm), nlist, iters = 10, seed)
     val cbs = trainCodebooksFromSample(rawSample, m, kCode, seed = seed)
+    ivfAdcTopKWith(queries, candidates, k, centroids, cbs, nprobe)
+  }
+
+  /** [[ivfAdcTopK]] with CALLER-SUPPLIED quantizers — the deterministic
+    * search half (unit-normalize, cell assignment, nprobe pruning, PQ
+    * encode, per-query LUT, ADC scoring), replayed bit-exactly by the
+    * l3f_ivfadc_pinned oracle on [[FrozenCodebooks]]' literals. */
+  def ivfAdcTopKWith(queries: DataFrame, candidates: DataFrame, k: Int,
+      centroids: Array[Array[Float]], cbs: Array[Array[Array[Float]]],
+      nprobe: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val nCand = candidates.select(col("vec_id"),
+      l2Normalize(col("embedding")).as("embedding"))
     val coded = SimilarityIvf.assignCells(nCand, centroids)
       .select(col("vec_id").as("cid"), col("cell"),
         pqEncode(col("embedding"), cbs).as("codes"))
@@ -147,8 +157,14 @@ object SimilarityPq {
     * ADC distance is a fixed-order float sum — rounded for display, with
     * the candidate id breaking ties. */
   def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      m: Int = 16, kCode: Int = 64, seed: Long = 42L): DataFrame = {
-    val cbs = trainCodebooks(candidates, m, kCode, seed = seed)
+      m: Int = 16, kCode: Int = 64, seed: Long = 42L): DataFrame =
+    pqTopKWith(queries, candidates, k, trainCodebooks(candidates, m, kCode, seed = seed))
+
+  /** [[pqTopK]] with CALLER-SUPPLIED codebooks — encode + LUT + ADC on a
+    * fixed model, the deterministic half the l3e_pq_pinned oracle
+    * replays on [[FrozenCodebooks]]' literals. */
+  def pqTopKWith(queries: DataFrame, candidates: DataFrame, k: Int,
+      cbs: Array[Array[Array[Float]]]): DataFrame = {
     val coded = encode(candidates, cbs)
       .select(col("vec_id").as("cid"), col("codes"))
     val q = queries

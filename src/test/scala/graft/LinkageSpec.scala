@@ -263,6 +263,37 @@ class LinkageSpec extends SparkTestBase {
       emFields.take(2)).count() == 2L)
   }
 
+  test("value-specific weights: a rare value outscores a common one") {
+    // block z: rare name "zyl" only inside entity E; common name
+    // "smith" shared across F (a real match pair) and singletons G, H.
+    // np = C(6,2) = 15, nm = C(2,2)+C(2,2) = 2; per value: zyl na=1
+    // nam=1, smith na=C(4,2)=6 nam=1 — same match evidence, 5 extra
+    // NON-match agreeing pairs for smith, so w(zyl) − w(smith) = ln 6.
+    val vrecs = Seq(
+      (1L, "z", "E", "zyl"), (2L, "z", "E", "zyl"),
+      (3L, "z", "F", "smith"), (4L, "z", "F", "smith"),
+      (5L, "z", "G", "smith"), (6L, "z", "H", "smith"))
+      .toDF("id", "blk", "ent", "name")
+    val got = Linkage.fellegiSunterValueWeights(vrecs, col("blk"),
+      col("ent"), Seq("name_eq" -> col("name"))).collect()
+    val byVal = got.map(r => r.getString(1) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byVal.keySet == Set("zyl", "smith"), byVal.toString)
+    def wv(nam: Long, na: Long): Long =
+      math.floor(math.log((nam + 1).toDouble * (15L - 2L + 2L).toDouble
+        / ((2L + 2L).toDouble * (na - nam + 1).toDouble)) * 1e6).toLong
+    assert(byVal("zyl") == ((1L, 0L, wv(1L, 1L))), byVal("zyl").toString)
+    assert(byVal("smith") == ((1L, 5L, wv(1L, 6L))), byVal("smith").toString)
+    assert(byVal("zyl")._3 > byVal("smith")._3,
+      "rare-value agreement must carry more evidence than common-value")
+    // values with no in-block agreeing pair produce no row (nothing to
+    // weight): a singleton-valued record set yields an empty table
+    val singles = Seq((1L, "z", "E", "a"), (2L, "z", "F", "b"))
+      .toDF("id", "blk", "ent", "name")
+    assert(Linkage.fellegiSunterValueWeights(singles, col("blk"),
+      col("ent"), Seq("name_eq" -> col("name"))).count() == 0L)
+  }
+
   test("calibration handles empty input and a single block") {
     val empty = Seq.empty[(Long, String, String, String, String)]
       .toDF("id", "blk", "ent", "phone", "noise")

