@@ -113,6 +113,14 @@ class PlanSpec extends SparkTestBase {
       // scoring folds the |fields|-row weight table into ONE broadcast
       // row of maps crossed onto the pair stream — scalar-join idiom
       "er_fs_weights", "er_fs_scores",
+      // value-conditional FS weights fold the same |fields|-row gate
+      // into one broadcast row crossed onto the value-count table —
+      // scalar-join idiom, O(distinct values) not O(pairs)
+      "er_fs_value_weights",
+      // the pinned-ANN twins of the already-allowlisted l3c/l3e/l3f:
+      // an 8-row frozen literal codebook broadcast-crossed onto the
+      // embedding scan — a bounded-model join, not a pair blowup
+      "l3c_ivf_pinned", "l3e_pq_pinned", "l3f_ivfadc_pinned",
       // the 1-row corpus doc count broadcast onto the ≤C(topV,2)-row
       // PMI pair table — scalar-join idiom
       "l4u_pmi")
