@@ -62,6 +62,13 @@ object MergeSink {
     * stream instead of one file per batch forever. */
   private val RetainMarkers = 16
 
+  /** How long an unswapped commit marker must sit before a later
+    * writer may treat it as abandoned and take it over (see
+    * [[claimCommit]]). Long enough that no live writer holds a claim
+    * open this long between CAS and swap; specs age markers with
+    * `Files.setLastModifiedTime` instead of waiting. */
+  private val TakeoverLeaseMs: Long = 10L * 60 * 1000
+
   /** A missing pointer file is an absent state; an EXISTING but
     * unparsable one is damage — fail loudly rather than read the store
     * as empty (a truncated `_latest` must never look like "no store"). */
@@ -132,13 +139,39 @@ object MergeSink {
               "file was damaged; verify no other writer is live, delete " +
               "the marker, and retry")
         case Some((prevParent, prevBatch)) =>
-          if (prevParent != parent || prevBatch != batchId)
-            throw new java.util.ConcurrentModificationException(
-              s"MergeSink: version $version of $storeDir was already " +
-                s"committed against parent v$prevParent by batch $prevBatch, " +
-                s"but this writer derived it from v$parent as batch $batchId " +
-                "— a second writer is racing on this store; refusing the " +
-                "lost update; re-read the store and retry")
+          if (prevParent != parent || prevBatch != batchId) {
+            // A claim whose writer died between claimCommit and the
+            // `_latest` swap would otherwise wedge the store forever:
+            // every later writer derives the SAME parent+1, hits this
+            // marker, and fails — while `_latest` never advances (a
+            // crashed compaction blocking the stream, or a crashed
+            // batch blocking a later compaction). Such a claim is
+            // recognizably ABANDONED when (a) it was derived from our
+            // parent, (b) `_latest` still points at that parent (the
+            // claimant never swapped), and (c) the marker has aged
+            // past the takeover lease — a LIVE racing writer's marker
+            // is fresh, so genuine two-writer races stay loud.
+            val stale = prevParent == parent &&
+              readLong(latestPath(storeDir)).getOrElse(-1L) == parent &&
+              (System.currentTimeMillis() -
+                Files.getLastModifiedTime(marker).toMillis) >= TakeoverLeaseMs
+            if (stale) {
+              val tmp = marker.resolveSibling(s".${marker.getFileName}.takeover")
+              Files.write(tmp, s"$parent $batchId".getBytes(StandardCharsets.UTF_8))
+              Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+            } else
+              throw new java.util.ConcurrentModificationException(
+                s"MergeSink: version $version of $storeDir was already " +
+                  s"committed against parent v$prevParent by batch $prevBatch, " +
+                  s"but this writer derived it from v$parent as batch $batchId " +
+                  "— a second writer is racing on this store; refusing the " +
+                  "lost update; re-read the store and retry. If that writer " +
+                  "is known dead (crashed between claim and swap), its claim " +
+                  s"expires ${TakeoverLeaseMs / 60000} min after the marker's " +
+                  s"mtime; to recover immediately, verify _latest still reads " +
+                  s"v$parent and delete _commits/$version")
+          }
       }
     }
     val others = {
@@ -239,12 +272,21 @@ object MergeSink {
   }
 
   /** Replay guard: the store's own commit counter is `_latest`; the
-    * highest APPLIED streaming batch is `_lastBatch` (pre-evolution
-    * stores fall back to `_latest`, where versions were batchIds). */
+    * highest APPLIED streaming batch is `_lastBatch`. Only
+    * pre-evolution stores (no `_schemas` registry) may fall back to
+    * `_latest` — there versions WERE batchIds by construction. On a
+    * registry store the counters diverge once maintenance commits
+    * exist, so a missing `_lastBatch` must read as "not applied":
+    * re-application is idempotent (the documented
+    * crash-between-swap-and-`_lastBatch` interleaving), silently
+    * SKIPPING a never-applied batch is not. */
   private def alreadyApplied(storeDir: String, batchId: Long): Boolean =
-    readLong(lastBatchPath(storeDir))
-      .orElse(readLong(latestPath(storeDir)))
-      .exists(_ >= batchId)
+    readLong(lastBatchPath(storeDir)) match {
+      case Some(last) => last >= batchId
+      case None =>
+        if (Files.exists(schemasDir(storeDir))) false
+        else readLong(latestPath(storeDir)).exists(_ >= batchId)
+    }
 
   /** One batch of the protocol — public so replay interleavings are
     * directly testable. A version dir is IMMUTABLE once `_latest` has

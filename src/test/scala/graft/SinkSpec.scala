@@ -245,6 +245,49 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 2)
   }
 
+  test("ST10 bucketed: rename refuses; compaction preserves an evolved schema and evolution continues after it") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_evolve_compact").toString
+    val store = s"$dir/store"
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    // a RENAME is a drop+add in schema terms — refused as a drop, the
+    // new name never sneaks in as a fresh column over lost data
+    val ren = Seq((1L, "upsert", 2L, "a", 10L)).toDF("k", "op", "ver", "label", "v")
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.applyBucketedBatch(ren, 1L, store, "k", "op", "ver",
+        Seq("label", "v"), nBuckets = 4)
+    }
+    assert(e.getMessage.contains("dropped column(s) name"), e.getMessage)
+    // evolve (add `score`, touching only k2's bucket), then COMPACT: the
+    // rewrite must read the registry schema, not a stale per-file one —
+    // the pre-evolution bucket comes out NULL-filled, not dropped
+    MergeSink.applyBucketedBatch(
+      Seq((k2, "upsert", 2L, "b", 20L, 0.7)).toDF("k", "op", "ver", "name", "v", "score"),
+      1L, store, "k", "op", "ver", Seq("name", "v", "score"), nBuckets = 4)
+    assert(MergeSink.compactBucketedStore(spark, store).contains(2L))
+    def rows = MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name", "v", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(rows == Set((1L, "a", 10L, None), (k2, "b", 20L, Some(0.7))),
+      s"compaction must carry the evolved schema with NULL-fill: $rows")
+    // and evolution keeps working on the compacted store (add `tag`)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 3L, "a3", 11L, 0.9, "x"))
+        .toDF("k", "op", "ver", "name", "v", "score", "tag"),
+      2L, store, "k", "op", "ver", Seq("name", "v", "score", "tag"), nBuckets = 4)
+    val snap = MergeSink.currentBucketedSnapshot(spark, store).get
+    assert(snap.columns.toSeq == Seq("k", "name", "v", "score", "tag"))
+    val got = snap.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(4)) None else Some(r.getString(4)))).toSet
+    assert(got == Set((1L, "a3", Some("x")), (k2, "b", None)), s"$got")
+  }
+
   test("ST10 bucketed: compaction collapses a fragmented manifest to one live version, content-identical") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_merge_compact").toString
@@ -381,6 +424,96 @@ class SinkSpec extends SparkTestBase {
         Seq("name", "v"))
     }
     assert(e.getMessage.contains("pruned"), e.getMessage)
+  }
+
+  test("ST10: an abandoned claim (crash between CAS and swap) expires; the stream un-wedges") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_wedge").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    val b0 = Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v")
+    MergeSink.applyBatch(b0, 0L, store, "k", "op", "ver", vcols)
+    // a maintenance writer claimed v1 (batchId -1) and died before the
+    // _latest swap — every later batch derives the SAME v1 from parent 0
+    val marker = java.nio.file.Paths.get(store, "_commits", "1")
+    Files.write(marker, "0 -1".getBytes)
+    val b1 = Seq((2L, "upsert", 2L, "b", 20L)).toDF("k", "op", "ver", "name", "v")
+    // while the lease is fresh the claim holds: refused loudly, with the
+    // expiry path named (a LIVE racing writer must never be taken over)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      MergeSink.applyBatch(b1, 1L, store, "k", "op", "ver", vcols)
+    }
+    assert(e.getMessage.contains("expires"), e.getMessage)
+    // _latest never advanced, so the claimant is provably unswapped; once
+    // the marker ages past the lease the next writer takes it over and
+    // the stream recovers WITHOUT manual marker surgery
+    Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(0L))
+    MergeSink.applyBatch(b1, 1L, store, "k", "op", "ver", vcols)
+    assert(MergeSink.currentSnapshot(spark, store, "k", vcols).get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      Set((1L, "a", 10L), (2L, "b", 20L)))
+  }
+
+  test("ST10 bucketed: a crashed batch claim expires symmetrically; compaction takes over") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_wedge_maint").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((k2, "upsert", 1L, "b", 20L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // a batch writer claimed v2 and died before its swap — compaction
+    // (batchId -1) targets the same v2 and would wedge identically
+    val marker = java.nio.file.Paths.get(store, "_commits", "2")
+    Files.write(marker, "1 7".getBytes)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      MergeSink.compactBucketedStore(spark, store)
+    }
+    assert(e.getMessage.contains("expires"), e.getMessage)
+    Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(0L))
+    assert(MergeSink.compactBucketedStore(spark, store).contains(2L))
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      Set((1L, "a", 10L), (k2, "b", 20L)))
+  }
+
+  test("ST10: replay guard never falls back to the version counter on a registry store") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_replayguard").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((k2, "upsert", 1L, "b", 20L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // a maintenance commit pushes the VERSION counter past the batch
+    // counter: _latest = 2 while the highest applied batch is 1
+    assert(MergeSink.compactBucketedStore(spark, store).contains(2L))
+    // lose the _lastBatch pointer: the old fallback compared batchIds
+    // against _latest and would silently SKIP never-applied batch 2
+    Files.delete(java.nio.file.Paths.get(store, "_lastBatch"))
+    MergeSink.applyBucketedBatch(
+      Seq((100L, "upsert", 2L, "c", 30L)).toDF("k", "op", "ver", "name", "v"),
+      2L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    val got = MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 10L), (k2, "b", 20L), (100L, "c", 30L)),
+      s"batch 2 must apply, not be skipped: $got")
   }
 
   test("ST8: fan-out table is idempotent under batch replay (crash before commit)") {
