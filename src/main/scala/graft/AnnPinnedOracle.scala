@@ -22,13 +22,17 @@ object AnnPinnedOracle {
   private val Dim = 64
   private val SubDim = 16 // Dim / m with m = 4 subquantizers
 
-  /** `cb(cell, ctr)` — the IVF centroid table as exact-double literals. */
-  private val IvfCte: String = {
-    val rows = FrozenCodebooks.IvfSqlLiterals.zipWithIndex.map { case (c, i) =>
+  /** `cb(cell, ctr)` — an IVF centroid table as exact-double literals:
+    * the raw-trained quantizer for l3c (cells over raw vectors), the
+    * unit-trained one for l3f (cells over l2-normalized vectors). */
+  private def ivfCte(lits: IndexedSeq[IndexedSeq[String]]): String = {
+    val rows = lits.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.mkString(", ")}])"
     }
     s"cb(cell, ctr) AS (VALUES ${rows.mkString(", ")})"
   }
+  private val IvfRawCte = ivfCte(FrozenCodebooks.IvfRawSqlLiterals)
+  private val IvfUnitCte = ivfCte(FrozenCodebooks.IvfUnitSqlLiterals)
 
   /** `pq(s, j, ctr)` — the PQ codebook table (m·k rows). */
   private val PqCte: String = {
@@ -76,7 +80,7 @@ object AnnPinnedOracle {
   /** l3c — IVF on RAW vectors: literal-centroid cell assignment, nprobe
     * pruning by the dot-form distance, exact cosine inside probed cells. */
   val IvfPinnedSql: String =
-    s"""WITH $IvfCte,
+    s"""WITH $IvfRawCte,
        |q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 5),
        |c AS (SELECT vec_id AS cid, embedding AS e FROM embeddings WHERE vec_id >= 5),
        |ad AS (SELECT cid, cell, (${assignDist("e", "ctr")}) AS dist FROM c CROSS JOIN cb),
@@ -129,7 +133,7 @@ object AnnPinnedOracle {
   /** l3f — IVFADC: cells and probes on UNIT vectors, ADC only on pairs
     * whose candidate cell survives the query's nprobe pruning. */
   val IvfAdcPinnedSql: String =
-    s"""WITH $IvfCte,
+    s"""WITH $IvfUnitCte,
        |$PqCte,
        |$NormCte,
        |ad AS (SELECT n.vec_id AS cid, cell, (${assignDist("v", "ctr")}) AS dist

@@ -19,7 +19,7 @@ package graft.operators
   */
 object FrozenCodebooks {
 
-  private val ivfQ: Array[Array[Int]] = Array(
+  private val ivfRawQ: Array[Array[Int]] = Array(
     Array(45, 14, 37, 11, 65, 42, -73, 47, 6, -64, 94, -6, -44, -21, 10, 20, -38, 12, -36, -39, 69, 31, 33, -4, -31, -10, 6, 21, 26, 44, -23, -44, 27, 50, 4, 8, 3, 110, 49, 6, -27, -63, -10, 27, -43, 3, 20, 2, 51, -15, 70, -5, -57, -4, 4, 9, 3, 11, -13, 27, 73, -15, -25, 19),
     Array(-16, -1, -40, 18, -3, -11, 6, -52, -12, -70, -11, -46, -74, 43, -36, -34, -46, 5, 31, 22, -21, -31, 23, 35, 37, 25, -21, 19, -9, 0, 33, -39, -28, 5, 21, -59, -58, -3, -46, 57, -8, 16, 77, -21, 9, 36, 0, -31, 17, 85, -4, -6, 6, -18, -34, -30, 70, -20, 29, 61, -8, 9, 38, -5),
     Array(82, -28, -20, -54, 21, 19, 1, 4, -7, -57, 37, -61, -6, 15, -32, 9, 15, 112, -18, 40, -30, 35, 21, -53, -56, -37, 21, 23, -14, 5, -28, 22, 12, -35, 14, 72, 6, -29, 7, 26, 12, -47, 21, -27, 36, 3, -8, -7, 35, 11, -21, -13, 62, -51, 35, -11, -33, 13, 9, -35, -14, -1, -31, -10),
@@ -28,6 +28,16 @@ object FrozenCodebooks {
     Array(-30, -3, -11, -28, -4, 2, -40, 20, 13, 12, -16, 41, 59, -53, 57, -24, -15, 19, 57, -21, 25, 46, -15, -7, 40, 74, -12, -49, -17, 24, -5, 23, 0, -16, -20, -9, -61, -23, 11, -100, 46, -64, -15, 1, 10, 31, -19, 13, -5, -104, -16, -2, -14, -17, -33, 33, 41, -14, 51, 2, -24, 38, -39, -36),
     Array(-13, -4, -7, 6, -13, -33, 51, 44, -23, 49, 0, 54, -24, 43, -49, 10, 25, -7, -33, -1, -34, 2, 8, -11, 19, 46, -22, 21, 11, 42, 34, 24, 46, 14, -41, 38, 42, -9, 38, 22, -55, 50, -63, 20, -19, 12, 72, 41, -18, -60, 40, -8, -6, 14, -3, -28, -18, -72, -9, -64, 19, 7, -3, -7),
     Array(43, -16, 22, -7, 51, 19, -100, -8, 50, 90, -34, -45, 44, 15, 24, 52, 21, -27, -7, -5, 2, -17, -1, -8, -33, 44, -27, -7, 3, -75, 13, -8, 9, 0, 83, -100, -5, 27, -6, 0, -69, -7, -14, -24, 2, -29, -48, 60, -21, -15, 19, -27, -14, 16, 28, -24, 3, 35, 60, -27, -56, -32, 37, -61))
+
+  /** The unit-vector coarse quantizer for the IVFADC path, which assigns
+    * cells AFTER l2-normalization. [[graft.tools.FreezeCodebooks]] emits
+    * `ivfRawQ` and `ivfUnitQ` as separate blocks; on the sf0.01
+    * embeddings they quantize IDENTICALLY because that corpus is already
+    * unit-norm (verified: the generator's two printed blocks coincide),
+    * so the unit table aliases the raw one rather than duplicating 512
+    * literals. If the training corpus ever stops being pre-normalized,
+    * paste the generator's `ivfUnitQ` block here as its own array. */
+  private val ivfUnitQ: Array[Array[Int]] = ivfRawQ
 
   private val pqQ: Array[Array[Array[Int]]] = Array(
     Array(
@@ -67,15 +77,20 @@ object FrozenCodebooks {
       Array(-55, -72, 21, 67, -55, -4, 89, -9, -18, -20, 54, 64, -35, -44, 113, -36),
       Array(-18, 87, 87, -8, 43, 13, 17, 33, 42, -67, -63, -2, 67, -64, -8, -90)))
 
-  /** The engine-side codebooks (exact dyadic floats). */
-  val IvfCentroids: Array[Array[Float]] = ivfQ.map(_.map(_ / 1024f))
+  /** The engine-side codebooks (exact dyadic floats): the raw-vector
+    * coarse quantizer feeds l3c's IVF over unnormalized embeddings, the
+    * unit-vector one feeds l3f's IVFADC (cells assigned post-l2norm). */
+  val IvfRawCentroids: Array[Array[Float]] = ivfRawQ.map(_.map(_ / 1024f))
+  val IvfUnitCentroids: Array[Array[Float]] = ivfUnitQ.map(_.map(_ / 1024f))
   val PqCodebooks: Array[Array[Array[Float]]] = pqQ.map(_.map(_.map(_ / 1024f)))
 
   /** The oracle-side literals: the SAME dyadic values as exact DuckDB
     * DOUBLE expressions (integer / 1024.0 is an exact binary operation,
     * never a decimal parse). */
-  val IvfSqlLiterals: IndexedSeq[IndexedSeq[String]] =
-    ivfQ.map(_.map(k => s"($k/1024.0)").toIndexedSeq).toIndexedSeq
+  private def sqlLits(q: Array[Array[Int]]): IndexedSeq[IndexedSeq[String]] =
+    q.map(_.map(k => s"($k/1024.0)").toIndexedSeq).toIndexedSeq
+  val IvfRawSqlLiterals: IndexedSeq[IndexedSeq[String]] = sqlLits(ivfRawQ)
+  val IvfUnitSqlLiterals: IndexedSeq[IndexedSeq[String]] = sqlLits(ivfUnitQ)
   val PqSqlLiterals: IndexedSeq[IndexedSeq[IndexedSeq[String]]] =
     pqQ.map(_.map(_.map(k => s"($k/1024.0)").toIndexedSeq).toIndexedSeq).toIndexedSeq
 }

@@ -175,14 +175,14 @@ class PqSpec extends SparkTestBase {
   test("frozen codebooks: dyadic-exact literals, *With ≡ trained-path reduction") {
     import graft.operators.{FrozenCodebooks, SimilarityIvf}
     // shape contract the pinned oracles (AnnPinnedOracle) assume
-    assert(FrozenCodebooks.IvfCentroids.length == 8 &&
-      FrozenCodebooks.IvfCentroids.forall(_.length == 64))
+    for (cb <- Seq(FrozenCodebooks.IvfRawCentroids, FrozenCodebooks.IvfUnitCentroids))
+      assert(cb.length == 8 && cb.forall(_.length == 64))
     assert(FrozenCodebooks.PqCodebooks.length == 4 &&
       FrozenCodebooks.PqCodebooks.forall(cb => cb.length == 8 && cb.forall(_.length == 16)))
     // every coordinate is exactly k/1024 in BOTH float and double — the
     // property that makes the SQL literal and the engine float denote
     // the same real number
-    FrozenCodebooks.IvfCentroids.flatten.foreach { f =>
+    (FrozenCodebooks.IvfRawCentroids ++ FrozenCodebooks.IvfUnitCentroids).flatten.foreach { f =>
       val k = math.round(f * 1024f)
       assert(f == k / 1024f && f.toDouble == k / 1024.0)
     }
@@ -204,7 +204,7 @@ class PqSpec extends SparkTestBase {
     val q = emb.filter(col("vec_id") < 5)
     val c = emb.filter(col("vec_id") >= 5)
     val out = SimilarityPq.ivfAdcTopKWith(q, c, k = 3,
-      FrozenCodebooks.IvfCentroids, FrozenCodebooks.PqCodebooks, nprobe = 4)
+      FrozenCodebooks.IvfUnitCentroids, FrozenCodebooks.PqCodebooks, nprobe = 4)
       .collect()
     assert(out.length == 15) // 5 queries × k=3
     assert(out.forall(_.getDouble(2) >= 0.0))
