@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -668,16 +670,104 @@ object SparkEntry {
     //      a synthetic multi-sensor feed; pairDedup because both sides
     //      are the same feed. The oracle replays the tolerance join in
     //      SQL — VERDICT r6 #8: J2 covers only the equi case, this
-    //      pins the watermarked interval semantics ----
+    //      pins the watermarked interval semantics. r9: routed through
+    //      the BOUNDED batch form (binned (mac, bin) equi key + the
+    //      per-(mac, bin) density cap, mirrored in the oracle CTE) so
+    //      one beacon-spamming mac can't go quadratic at scale ----
     "st9_co_observation" -> ((s, d) => {
       val obs = ev(s, d).select(col("user_id").as("mac"), col("ts"),
         (col("event_id") % 5).as("sensorId"))
       graft.streaming.PresenceAnalytics
-        .coObservations(obs, obs, toleranceSec = 60, pairDedup = true)
+        .boundedCoObservations(obs, obs, toleranceSec = 60,
+          maxPerBucket = 32, pairDedup = true)
         .select(col("mac"), unix_micros(col("l_ts")).as("l_us"),
           col("l_sensor"), unix_micros(col("r_ts")).as("r_us"),
           col("r_sensor"))
         .orderBy("mac", "l_us", "l_sensor", "r_us", "r_sensor")
+    }),
+
+    // ---- CAPSTONE (VERDICT r8 #2): the reference's ENTIRE
+    //      architecture end to end — sensor upload log → central
+    //      store → query (README.md:12-13, ssidentity.c:30) — as one
+    //      oracle-checkable row. The s2 frame-line contract
+    //      (sensorId:epochMillis:base64(frame)) lands as four
+    //      ver-ordered upload files; the REAL file-log streaming
+    //      source consumes them (one micro-batch per file, offsets
+    //      checkpointed), the REAL frame parser decodes them, and the
+    //      bucketed MERGE store applies each batch exactly-once (the
+    //      SinkSpec-hardened protocol). The returned snapshot replays
+    //      in DuckDB as a T8-style winner-per-key CDC apply over the
+    //      same log: batches are version-range ordered, so the store's
+    //      last-batch-winner semantics reduce to global argmax(ver)
+    //      per key, deletes dropping the key ----
+    "capstone_ingest_store" -> ((s, d) => {
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val e = ev(s, d)
+      // the s2 synthetic frame (layout per ssidentity.h:36-42)
+      val hexFrame = concat(
+        lit("0" * 38),
+        lpad(hex(lit(2412) + (col("event_id") % 13) * 5), 4, "0"),
+        lit("00"),
+        lpad(hex(lit(165) + (col("event_id") % 30)), 2, "0"),
+        lit("00" + "0000" + "40" + "000000" + "FFFFFFFFFFFF"),
+        lpad(hex(col("user_id")), 12, "0"),
+        lit("0" * 38),
+        lpad(hex(length(col("event_type"))), 2, "0"),
+        upper(hex(encode(col("event_type"), "US-ASCII"))))
+      val lines = e.select(
+        concat_ws(":", col("event_id"), unix_millis(col("ts")),
+          // Spark's base64 MIME-wraps at 76 chars — a wrapped payload
+          // would split one upload line across two text rows; strip
+          // the breaks (unbase64 decodes unwrapped input fine)
+          regexp_replace(base64(unhex(hexFrame)), "[\\r\\n]", "")).as("value"),
+        col("event_id").as("eid"))
+      val work = JFiles.createTempDirectory("graft_capstone")
+      val landing = work.resolve("landing")
+      JFiles.createDirectories(landing)
+      // four upload files over DISJOINT ascending event_id (= ver)
+      // ranges, mtime-ordered: the file source (oldest first,
+      // maxFilesPerTrigger = 1) then feeds version-ordered batches —
+      // and ANY consecutive regrouping of them converges to the same
+      // store, so batch assignment is not a correctness knob
+      val maxId = e.agg(max(col("event_id"))).head.getLong(0)
+      (0 until 4).foreach { i =>
+        val lo = (maxId + 1) * i / 4; val hi = (maxId + 1) * (i + 1) / 4
+        val stage = work.resolve(s"stage$i")
+        lines.filter(col("eid") >= lo && col("eid") < hi)
+          .select("value").coalesce(1).write.text(stage.toString)
+        val part = {
+          val st = JFiles.list(stage)
+          try st.iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-")).get
+          finally st.close()
+        }
+        val dst = landing.resolve(f"upload_$i%02d.txt")
+        JFiles.move(part, dst)
+        JFiles.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      val store = work.resolve("store").toString
+      val parsed = graft.operators.FrameParser.parse(
+        graft.streaming.IngestPipeline.fromFileLog(s, landing.toString,
+          maxFilesPerTrigger = 1))
+      val cdc = parsed.filter(col("valid"))
+        .select(col("mac"),
+          when(col("ssid") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("sensorId").as("ver"), col("ssid"),
+          col("rssi").cast("long").as("rssi"),
+          col("freq").cast("long").as("freq"))
+      val q = cdc.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.MergeSink.applyBucketedBatch(batch, batchId,
+            store, "mac", "op", "ver", Seq("ssid", "rssi", "freq"),
+            nBuckets = 16)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MergeSink.currentBucketedSnapshot(s, store).get
+        .select("mac", "ssid", "rssi", "freq")
+        .orderBy("mac")
     }),
 
     // ---- domain: MAC↔SSID network tree (ssidentity.c:36) ----
@@ -1111,7 +1201,7 @@ object SparkEntry {
       val e = Tables.spread(Tables.embeddings(s, d))
       graft.operators.SimilarityIvf.ivfTopKWith(e.filter(col("vec_id") < 5),
           e.filter(col("vec_id") >= 5), k = 3,
-          graft.operators.FrozenCodebooks.IvfCentroids, nprobe = 4)
+          graft.operators.FrozenCodebooks.IvfRawCentroids, nprobe = 4)
         .orderBy(col("qid"), col("sim").desc, col("cid"))
     }),
 
@@ -1127,7 +1217,7 @@ object SparkEntry {
       val e = Tables.spread(Tables.embeddings(s, d))
       graft.operators.SimilarityPq.ivfAdcTopKWith(e.filter(col("vec_id") < 5),
           e.filter(col("vec_id") >= 5), k = 3,
-          graft.operators.FrozenCodebooks.IvfCentroids,
+          graft.operators.FrozenCodebooks.IvfUnitCentroids,
           graft.operators.FrozenCodebooks.PqCodebooks, nprobe = 4)
         .orderBy(col("qid"), col("rnk"))
     }),
@@ -1959,6 +2049,32 @@ object SparkEntry {
         .withColumn("n_records", count(lit(1))
           .over(Window.partitionBy("entity_id")).cast("long"))
         .orderBy("pk")
+    }),
+
+    // ---- ER3f: value-specific weights IN the linkage decision
+    //      (VERDICT r8 #5): the supervised field calibration plus the
+    //      frequency table score every candidate pair — agreement on a
+    //      rare value outscores the same pattern on a common one —
+    //      and score ≥ 0 is the link decision. The O(values) weight
+    //      table joins the O(records) side pre-pair, so the pair
+    //      stream stays map-only; the star-link path keeps field-level
+    //      weights by design (monotonicity argument in
+    //      Linkage.scoreValuePairs' scaladoc) ----
+    "er_fs_value_link" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+      val ents = graft.operators.Components
+        .resolveEntities(parts, "p_name", maxDist = 2)
+        .select(col("variant"), col("entity_id"))
+      val recs = parts.join(ents, parts("p_name") === ents("variant"))
+      val blk = element_at(split(col("p_name"), " "), 1)
+      val w = graft.operators.Linkage.fellegiSunterWeights(
+        recs, blk, col("entity_id"), FsFields)
+      val vw = graft.operators.Linkage.fellegiSunterValueWeights(
+        recs, blk, col("entity_id"), FsFields)
+      graft.operators.Linkage.scoreValuePairs(recs, col("p_partkey"),
+          blk, col("entity_id"), FsFields, w, vw)
+        .filter(col("score_micro") >= 0L)
+        .orderBy("a_id", "b_id")
     }),
 
     // ---- PROFILE: capstone composed report (README.md:15-19 — the
@@ -3109,6 +3225,27 @@ object SparkEntry {
         | TRUE AS valid
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // The ingest→store→query capstone replay: the upload log derives
+    // from events exactly as s2_frame_parse's oracle does (same synth
+    // round-trip), and because the engine's micro-batches cover
+    // ascending disjoint ver ranges, the bucketed MERGE store's
+    // last-batch-winner semantics reduce to ONE winner-per-key pass —
+    // the T8 CDC-apply shape: argmax(ver) per mac, deletes dropping
+    // the key.
+    "capstone_ingest_store" ->
+      """WITH cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        |  (2412 + (event_id % 13) * 5)::BIGINT AS freq
+        |FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |      FROM cdc)
+        |SELECT mac, ssid, rssi, freq FROM w
+        |WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY mac""".stripMargin,
+
     "w1_latest_per_key" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
@@ -3278,9 +3415,19 @@ object SparkEntry {
         |FROM s WHERE prev_ms IS NULL OR ms - prev_ms > 3600000
         |ORDER BY mac, ts_us""".stripMargin,
 
+    // the engine's per-(mac, 60s-bin) density cap (maxPerBucket = 32)
+    // is mirrored here (the l2 banding precedent); the binned probe
+    // mechanics need no mirroring — on capped inputs the binned join
+    // equals the plain tolerance join (adjacent-bin argument in
+    // PresenceAnalytics.boundedCoObservations)
     "st9_co_observation" ->
-      """WITH o AS (SELECT user_id AS mac, ts, (event_id % 5)::BIGINT AS sensor
-        |           FROM events)
+      """WITH o0 AS (SELECT user_id AS mac, ts, (event_id % 5)::BIGINT AS sensor,
+        |             epoch_us(ts) // 60000000 AS bin
+        |           FROM events),
+        |o AS (SELECT mac, ts, sensor FROM (
+        |  SELECT mac, ts, sensor,
+        |    row_number() OVER (PARTITION BY mac, bin ORDER BY ts, sensor) AS rn
+        |  FROM o0) WHERE rn <= 32)
         |SELECT a.mac, epoch_us(a.ts) AS l_us, a.sensor AS l_sensor,
         |  epoch_us(b.ts) AS r_us, b.sensor AS r_sensor
         |FROM o a JOIN o b ON a.mac = b.mac
@@ -4329,6 +4476,60 @@ object SparkEntry {
         |           ELSE (SELECT wd FROM wt WHERE field = 'size_eq') END)) AS score_micro
         |  FROM krecs a JOIN krecs b ON a.blk = b.blk AND a.pk < b.pk)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Value-weighted link replay: field weights (wt) + the per-(field,
+    // value) frequency weights (wtv, over the SAME lf unpivot as the
+    // field counts), then the blocked pair join scores agreement with
+    // the shared value's weight — joined via the a-side, legitimate
+    // because agreement means both sides hold that value — and
+    // disagreement with the field-level wd. coalesce covers the
+    // (here unreachable) value-absent case exactly like the engine.
+    "er_fs_value_link" -> (ErCteSql + FsRecsSql +
+      FsCountsSql +
+      """,
+        |wt AS (SELECT ag.field,
+        |  CAST(floor(ln((am.nam + 1)::DOUBLE * (bt.np - mt.nm + 2)::DOUBLE
+        |    / ((mt.nm + 2)::DOUBLE * (ag.na - am.nam + 1)::DOUBLE)) * 1000000) AS BIGINT) AS wa,
+        |  CAST(floor(ln((mt.nm + 1 - am.nam)::DOUBLE * (bt.np - mt.nm + 2)::DOUBLE
+        |    / ((mt.nm + 2)::DOUBLE * (bt.np - mt.nm + 1 - (ag.na - am.nam))::DOUBLE)) * 1000000) AS BIGINT) AS wd
+        |  FROM ag JOIN am USING (field) CROSS JOIN bt CROSS JOIN mt),
+        |agv AS (SELECT field, v, sum(n * (n - 1) // 2)::BIGINT AS na FROM (
+        |  SELECT field, blk, v, count(*) AS n FROM lf GROUP BY 1, 2, 3) GROUP BY 1, 2
+        |  HAVING sum(n * (n - 1) // 2) > 0),
+        |amv AS (SELECT field, v, sum(n * (n - 1) // 2)::BIGINT AS nam FROM (
+        |  SELECT field, blk, ent, v, count(*) AS n FROM lf GROUP BY 1, 2, 3, 4) GROUP BY 1, 2),
+        |wtv AS (SELECT agv.field, agv.v,
+        |  CAST(floor(ln((amv.nam + 1)::DOUBLE * (bt.np - mt.nm + 2)::DOUBLE
+        |    / ((mt.nm + 2)::DOUBLE * (agv.na - amv.nam + 1)::DOUBLE)) * 1000000) AS BIGINT) AS wav
+        |  FROM agv JOIN amv USING (field, v) CROSS JOIN bt CROSS JOIN mt),
+        |kb AS (SELECT blk FROM recs GROUP BY blk HAVING count(*) BETWEEN 2 AND 8192),
+        |krecs AS (SELECT recs.* FROM recs JOIN kb USING (blk))
+        |SELECT a_id, b_id, is_match, score_micro FROM (
+        |  SELECT a.pk AS a_id, b.pk AS b_id,
+        |    CASE WHEN a.ent IS NOT DISTINCT FROM b.ent THEN 1 ELSE 0 END::BIGINT AS is_match,
+        |    ((CASE WHEN a.f_len IS NOT DISTINCT FROM b.f_len
+        |        THEN coalesce(v1.wav, (SELECT wa FROM wt WHERE field = 'len_eq'))
+        |        ELSE (SELECT wd FROM wt WHERE field = 'len_eq') END)
+        |   + (CASE WHEN a.f_suf3 IS NOT DISTINCT FROM b.f_suf3
+        |        THEN coalesce(v2.wav, (SELECT wa FROM wt WHERE field = 'suf3_eq'))
+        |        ELSE (SELECT wd FROM wt WHERE field = 'suf3_eq') END)
+        |   + (CASE WHEN a.f_tok2 IS NOT DISTINCT FROM b.f_tok2
+        |        THEN coalesce(v3.wav, (SELECT wa FROM wt WHERE field = 'tok2_eq'))
+        |        ELSE (SELECT wd FROM wt WHERE field = 'tok2_eq') END)
+        |   + (CASE WHEN a.f_size IS NOT DISTINCT FROM b.f_size
+        |        THEN coalesce(v4.wav, (SELECT wa FROM wt WHERE field = 'size_eq'))
+        |        ELSE (SELECT wd FROM wt WHERE field = 'size_eq') END)) AS score_micro
+        |  FROM krecs a JOIN krecs b ON a.blk = b.blk AND a.pk < b.pk
+        |  LEFT JOIN wtv v1 ON v1.field = 'len_eq'
+        |    AND v1.v IS NOT DISTINCT FROM a.f_len AND a.f_len IS NOT DISTINCT FROM b.f_len
+        |  LEFT JOIN wtv v2 ON v2.field = 'suf3_eq'
+        |    AND v2.v IS NOT DISTINCT FROM a.f_suf3 AND a.f_suf3 IS NOT DISTINCT FROM b.f_suf3
+        |  LEFT JOIN wtv v3 ON v3.field = 'tok2_eq'
+        |    AND v3.v IS NOT DISTINCT FROM a.f_tok2 AND a.f_tok2 IS NOT DISTINCT FROM b.f_tok2
+        |  LEFT JOIN wtv v4 ON v4.field = 'size_eq'
+        |    AND v4.v IS NOT DISTINCT FROM a.f_size AND a.f_size IS NOT DISTINCT FROM b.f_size)
+        |WHERE score_micro >= 0
+        |ORDER BY a_id, b_id""".stripMargin),
 
     "l2i_editdist" ->
       """WITH v AS (SELECT p_name AS val, count(*) AS n,

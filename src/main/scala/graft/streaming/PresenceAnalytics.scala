@@ -110,4 +110,59 @@ object PresenceAnalytics {
       .select(col("mac"), col("l_ts"), col("l_sensor"),
         col("r_ts"), col("r_sensor"))
   }
+
+  /** The BATCH/backfill form of [[coObservations]] with the hot-key
+    * flood bounded (VERDICT r8 #3): the streaming form's state is
+    * watermark-bounded, but its batch twin equi-joins on `mac` with
+    * the tolerance as residual — ONE beacon-spamming device makes that
+    * key quadratic at scale. Two structural fixes, both from this
+    * codebase's existing idioms:
+    *
+    *  1. '''Binning''' (the [[graft.operators.RangeJoin]] shape): time
+    *     quantizes into tolerance-width bins and the equi key becomes
+    *     `(mac, bin)` — a long-lived chatty mac spreads across bins
+    *     instead of concentrating on one shuffle key. `|Δts| ≤ tol`
+    *     implies the partner's bin is adjacent, so each left row
+    *     probes exactly bins `{b−1, b, b+1}` and every matching pair
+    *     meets on exactly ONE probe bin (no dedup pass needed).
+    *  2. '''Density cap''' (the Dedup `maxBucket` idiom): at most
+    *     `maxPerBucket` rows survive per `(mac, bin)`, kept in
+    *     deterministic `(ts, sensorId)` order — rows tied on BOTH are
+    *     full duplicates of the 3-column input, so the cut is
+    *     order-insensitive. Worst-case output per (mac, bin pair) is
+    *     `maxPerBucket²`, never O(n²) in one key; the cap must be
+    *     mirrored in any oracle replay (the l2 banding precedent).
+    *
+    * Inner join only (the batch twin's case); inputs carry
+    * `(mac, ts, sensorId)` like [[coObservations]]'s. */
+  def boundedCoObservations(left: DataFrame, right: DataFrame,
+      toleranceSec: Long = 60, maxPerBucket: Int = 32,
+      pairDedup: Boolean = false): DataFrame = {
+    require(toleranceSec > 0, s"toleranceSec must be positive (got $toleranceSec)")
+    require(maxPerBucket >= 1, s"maxPerBucket must be >= 1 (got $maxPerBucket)")
+    val w = toleranceSec * 1000000L
+    // `div` not `/`: truncating long division keeps boundary rows in
+    // the same bin on both engine and oracle (RangeJoin precedent)
+    def capped(df: DataFrame, mac: String, ts: String, sen: String) =
+      df.select(col("mac").as(mac), col("ts").as(ts), col("sensorId").as(sen))
+        .withColumn("_bin", expr(s"unix_micros($ts) div ${w}L"))
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(mac), col("_bin")).orderBy(col(ts), col(sen))))
+        .filter(col("_rn") <= maxPerBucket).drop("_rn")
+    val l = capped(left, "mac", "l_ts", "l_sensor")
+      .withColumn("_pbin", explode(array(col("_bin") - 1, col("_bin"), col("_bin") + 1)))
+      .drop("_bin")
+    val r = capped(right, "r_mac", "r_ts", "r_sensor")
+    val sensorCond =
+      if (pairDedup) col("l_sensor") < col("r_sensor")
+      else col("l_sensor") =!= col("r_sensor")
+    l.join(r,
+        col("mac") === col("r_mac") && l("_pbin") === r("_bin") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $toleranceSec SECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $toleranceSec SECONDS") &&
+        sensorCond)
+      .select(col("mac"), col("l_ts"), col("l_sensor"),
+        col("r_ts"), col("r_sensor"))
+  }
 }

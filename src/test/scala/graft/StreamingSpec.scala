@@ -553,6 +553,50 @@ class StreamingSpec extends SparkTestBase {
       once(0).getAs[Long]("l_sensor") == 1L && once(0).getAs[Long]("r_sensor") == 2L)
   }
 
+  test("ST9 bounded: parity with the plain tolerance join off-flood; a beacon spammer stays bounded") {
+    // quiet fixture: the binned+capped form must reproduce the plain
+    // tolerance join exactly (adjacent-bin + cap-not-binding argument)
+    val quiet = Seq(
+      (ts("2026-01-01 10:00:00"), "AA", 1L),
+      (ts("2026-01-01 10:00:30"), "AA", 2L),   // within 60s of the above
+      (ts("2026-01-01 10:00:59"), "AA", 3L),   // within 60s of both
+      (ts("2026-01-01 10:01:20"), "AA", 5L),   // ADJACENT-bin partner of 10:00:59
+      (ts("2026-01-01 10:03:00"), "AA", 4L),   // isolated
+      (ts("2026-01-01 10:00:10"), "BB", 1L),
+      (ts("2026-01-01 10:00:40"), "BB", 1L))   // same sensor → no pair
+      .toDF("ts", "mac", "sensorId")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getTimestamp(1),
+      r.getLong(2), r.getTimestamp(3), r.getLong(4))
+    val plain = PresenceAnalytics.coObservations(quiet, quiet,
+      toleranceSec = 60, pairDedup = true).collect().map(key).toSet
+    val bounded = PresenceAnalytics.boundedCoObservations(quiet, quiet,
+      toleranceSec = 60, maxPerBucket = 32, pairDedup = true).collect().map(key).toSet
+    assert(plain.nonEmpty && bounded == plain, s"bounded=$bounded plain=$plain")
+    // flood fixture: ONE mac beaconing 500 times inside a 50 s window —
+    // the plain self-join is ~C(500,2) pairs on a single key; the cap
+    // keeps ≤ maxPerBucket rows per (mac, 60 s bin), so with rows in at
+    // most 2 bins the output is ≤ C(2·cap, 2) — bounded, not quadratic
+    val base = ts("2026-01-01 10:00:00").getTime
+    val flood = (0 until 500).map(i =>
+        (new Timestamp(base + i * 100L), "EVIL", (i % 5).toLong))
+      .toDF("ts", "mac", "sensorId")
+    val cap = 8
+    val floodOut = PresenceAnalytics.boundedCoObservations(flood, flood,
+      toleranceSec = 60, maxPerBucket = cap, pairDedup = true)
+    val n = floodOut.count()
+    val bound = (2 * cap) * (2 * cap - 1) / 2
+    assert(n <= bound, s"flood output $n exceeds the C(2*cap,2)=$bound bound")
+    assert(n > 0, "the cap must keep SOME co-observations, not censor the key")
+    // the kept rows are the deterministic (ts, sensorId)-first per bin:
+    // survivors' l_ts all come from each bin's earliest rows
+    val lTs = floodOut.select("l_ts").collect().map(_.getTimestamp(0).getTime).toSet
+    val keptPerBin = (0 until 500).map(i => (base + i * 100L))
+      .groupBy(t => t / 60000L) // ms → the operator's 60 s bin
+    assert(lTs.subsetOf(
+      keptPerBin.values.flatMap(_.sorted.take(cap)).toSet),
+      "survivors must be each bin's deterministic first rows")
+  }
+
   test("W14 live anomaly flags == batch rollingAnomaly, row for row") {
     import graft.streaming.AnomalyStream
     import graft.streaming.AnomalyStream.{AnomalyFlag, Obs}
