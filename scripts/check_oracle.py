@@ -62,6 +62,22 @@ for name in sorted(oracle):
 
 n_ok = sum(1 for e in results.values() if e.get("hash"))
 print(f"=== {n_ok}/{len(results)} MATCH ===")
+
+# Optional 3rd arg: write a machine-readable per-query summary (the
+# round-close evidence artifact — VERDICT r8 flagged an empty
+# CORRECTNESS record as a round regression; the writer REFUSES an
+# empty result set so that failure mode is loud, never silent).
+if len(sys.argv) > 3:
+    summary = {name: {"rows": e.get("rows", (0, 0, False))[1],
+                      "match": bool(e.get("hash"))}
+               for name, e in results.items()}
+    if not summary:
+        print("REFUSING to write an empty correctness summary", file=sys.stderr)
+        sys.exit(2)
+    with open(sys.argv[3], "w") as f:
+        json.dump({"n_match": n_ok, "n_total": len(results),
+                   "queries": summary}, f, indent=0, sort_keys=True)
+    print(f"wrote {sys.argv[3]} ({n_ok}/{len(results)})")
 for name, e in results.items():
     if e.get("hash"):
         print(f"  OK   {name}  rows={e['rows'][0]}")

@@ -24,6 +24,31 @@ object Bench {
     // setup otherwise lands on whichever query runs first).
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Per-query shuffle/spill BYTES (VERDICT r8 #4): wall-clock on an
+    // overcommitted host can't see a plan regression that shuffles 10x
+    // more but stays CPU-cheap locally — bytes can. One listener
+    // accumulates task metrics; draining the async bus before/after a
+    // query makes the delta attributable to that query alone.
+    val mShufRead = new java.util.concurrent.atomic.AtomicLong
+    val mShufWrite = new java.util.concurrent.atomic.AtomicLong
+    val mSpillDisk = new java.util.concurrent.atomic.AtomicLong
+    val mSpillMem = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          mShufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          mShufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          mSpillDisk.addAndGet(m.diskBytesSpilled)
+          mSpillMem.addAndGet(m.memoryBytesSpilled)
+        }
+      }
+    })
+    def bytesSnap(): Array[Long] = {
+      try org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      catch { case _: Throwable => () } // a timeout degrades precision, not the run
+      Array(mShufRead.get, mShufWrite.get, mSpillDisk.get, mSpillMem.get)
+    }
     // Per-query min over repeated measurements: the host overcommits
     // vCPUs and steal bursts randomly inflate single measurements
     // 5-15x (a 1s query has been observed at 25s). Two full passes
@@ -48,7 +73,16 @@ object Bench {
     // benchOnly: production-path variants timed here but outside the
     // driver's correctness surface (e.g. the xxhash MinHash family)
     val qs0 = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
-    val p1 = qs0.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    // bytes are a deterministic property of the plan (unlike wall-clock
+    // under steal), so pass 1 alone attributes them
+    val bytesByQuery = scala.collection.mutable.LinkedHashMap[String, Array[Long]]()
+    val p1 = qs0.map { case (name, fn) =>
+      val before = bytesSnap()
+      val t = timeOne(name, fn)
+      val after = bytesSnap()
+      bytesByQuery(name) = after.lazyZip(before).map(_ - _)
+      name -> t
+    }.toMap
     val p2 = qs0.map { case (name, fn) =>
       name -> minOpt(p1(name), timeOne(name, fn))
     }.toMap
@@ -112,6 +146,10 @@ object Bench {
         v => if (v >= 10) fmt(v, 0) else fmt(v, 1),
         v => fmt(v, 0))
       .map(f => line(f, allKeys)).find(_.length <= budget)
+    // which names survived into the stdout line — bench_full.json lists
+    // the complement (VERDICT r8 #8: a query silently vanishing from
+    // the timed stdout set must be detectable by identity, not count)
+    var keptChosen: Set[String] = allKeys
     val out = fullPrec.getOrElse {
       val intFmt = (v: Double) => fmt(v, 0)
       val byTimeDesc = ok.toSeq.sortBy { case (k, v) => (-v, k) }.map(_._1)
@@ -121,9 +159,10 @@ object Bench {
       // already proven too long by fullPrec's integer attempt — start
       // below it.
       ((byTimeDesc.size - 1) to 0 by -1).iterator
-        .map(k => line(intFmt, byTimeDesc.take(k).toSet))
-        .find(_.length <= budget)
-        .getOrElse(line(intFmt, Set.empty))
+        .map(k => (byTimeDesc.take(k).toSet, line(intFmt, byTimeDesc.take(k).toSet)))
+        .find(_._2.length <= budget)
+        .map { case (kept, l) => keptChosen = kept; l }
+        .getOrElse { keptChosen = Set.empty; line(intFmt, Set.empty) }
     }
     // Full-resolution artifact: the stdout line above is tail-budgeted
     // (integer-rounded, slowest-k-only in bad rounds), which blunts
@@ -134,7 +173,14 @@ object Bench {
       val qs = ok.toSeq.sortBy(_._1)
         .map { case (k, v) => jq(k) + ":" + fmt(v, 2) }.mkString("{", ",", "}")
       val failed = failedAll.map(jq).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"failed":$failed,"sf":${jq(sfName)}}"""
+      // per-query [shuffle read, shuffle write, disk spill, mem spill]
+      // bytes from pass 1 — the scale signal wall-clock can't carry
+      val bytes = bytesByQuery.toSeq.sortBy(_._1)
+        .map { case (k, b) => jq(k) + ":[" + b.mkString(",") + "]" }
+        .mkString("{", ",", "}")
+      val dropped = ok.keySet.diff(keptChosen).toSeq.sorted
+        .map(jq).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"failed":$failed,"dropped":$dropped,"bytes":$bytes,"sf":${jq(sfName)}}"""
     }
     try {
       val w = new java.io.PrintWriter("bench_full.json", "UTF-8")

@@ -2062,9 +2062,12 @@ object SparkEntry {
     //      Linkage.scoreValuePairs' scaladoc) ----
     "er_fs_value_link" -> ((s, d) => {
       val parts = Tables.part(s, d)
-      val ents = graft.operators.Components
+      // three consumers (field weights, value weights, the scorer) read
+      // the ER truth — materialize the vocabulary-sized resolution once
+      // instead of re-running the iterative closure per branch
+      val ents = graft.operators.Checkpoint(graft.operators.Components
         .resolveEntities(parts, "p_name", maxDist = 2)
-        .select(col("variant"), col("entity_id"))
+        .select(col("variant"), col("entity_id")))
       val recs = parts.join(ents, parts("p_name") === ents("variant"))
       val blk = element_at(split(col("p_name"), " "), 1)
       val w = graft.operators.Linkage.fellegiSunterWeights(
