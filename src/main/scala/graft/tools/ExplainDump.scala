@@ -181,13 +181,14 @@ object ExplainDump {
       + "gram) multiplicity BEFORE the model join, and the 1-row "
       + "vocab scalar enters as a broadcast nested loop of one row."),
 
-    "st9_co_observation" -> ("ST9's batch twin (r7): the watermarked "
-      + "stream-stream tolerance join run on batch inputs — an EQUI "
-      + "join on mac carries the tolerance bounds as a join residual "
-      + "(never a BNL/cartesian shape), so the planner is free to "
-      + "broadcast the small side here and sort-merge on "
-      + "hashpartitioning(mac) at scale; per-key pair density bounds "
-      + "the output either way."),
+    "st9_co_observation" -> ("ST9's batch twin, BOUNDED (r9): the "
+      + "tolerance join's equi key widens from mac to (mac, 60s bin) "
+      + "— each left row probes bins {b−1, b, b+1}, so one chatty mac "
+      + "spreads across time instead of concentrating on one shuffle "
+      + "key — and a per-(mac, bin) row_number cap (the Dedup "
+      + "maxBucket idiom, mirrored in the oracle CTE) bounds the "
+      + "worst bin's pair fan-out at C(2·cap, 2). Still a plain "
+      + "shuffled equi join with residuals; no BNL shape anywhere."),
 
     "o5_skyline" -> ("2-D Pareto frontier without the textbook "
       + "partitionless running-min window: level 1 prefix-mins over "
@@ -224,7 +225,43 @@ object ExplainDump {
       + "broadcast back as a semi filter; pairs explode inside each "
       + "doc's ≤V-term sorted array (map-side), partial-aggregating "
       + "into ≤C(V,2) keys before the one exchange. Co-occurrence is "
-      + "quadratic in vocabulary, never in corpus."))
+      + "quadratic in vocabulary, never in corpus."),
+
+    "l3f_ivfadc_pinned" -> ("Pinned IVFADC (r8, for the whole pinned "
+      + "trio l3c/l3e/l3f): the 8-row FROZEN literal codebook enters "
+      + "as a BroadcastNestedLoopJoin — a bounded-model join (8 rows "
+      + "per probe), not a pair blowup — cells assign scan-side, each "
+      + "query's m·k LUT materializes once, and ADC scores only pairs "
+      + "surviving nprobe pruning. Every arithmetic step replays "
+      + "bit-exactly in DuckDB against the same dyadic literals."),
+
+    "er_fs_value_weights" -> ("Frequency-based FS weights (r8): the "
+      + "same pair-free ΣC(n,2) group counts as the field calibration "
+      + "kept one level deeper at (field, value) grain — one stack "
+      + "unpivot, two map-combined exchanges, and the 1-row totals "
+      + "broadcast (scalar-join idiom). Output is O(distinct values), "
+      + "computed without materializing a single pair."),
+
+    "er_fs_value_link" -> ("Value-weighted link decisions (r9): the "
+      + "O(values) weight table joins the O(records) side BEFORE "
+      + "pairing (null-safe equi joins — an agreeing pair shares its "
+      + "value, so either side's carried weight is the pair's), and "
+      + "the salted in-block pair stream scores with map-only "
+      + "arithmetic: per-field CASE over struct fields plus the 1-row "
+      + "field-weight broadcast. No O(pairs) join anywhere; the "
+      + "pair-free star-link path deliberately keeps field-level "
+      + "weights (monotonicity argument in Linkage.scoreValuePairs)."),
+
+    "capstone_ingest_store" -> ("Ingest→store→query capstone (r9): "
+      + "the plan shown is the final read — a partition-discovered "
+      + "scan of the bucketed MERGE store's current version dirs. The "
+      + "interesting structure runs BEFORE it: the file-log streaming "
+      + "source consumes four ver-ordered upload files exactly-once "
+      + "(offsets checkpointed), the frame parser decodes them "
+      + "scan-side, and applyBucketedBatch rewrites only touched "
+      + "buckets per micro-batch under the CAS commit protocol. The "
+      + "DuckDB oracle replays the whole log as one winner-per-key "
+      + "CDC apply."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
