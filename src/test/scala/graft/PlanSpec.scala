@@ -117,6 +117,10 @@ class PlanSpec extends SparkTestBase {
       // into one broadcast row crossed onto the value-count table —
       // scalar-join idiom, O(distinct values) not O(pairs)
       "er_fs_value_weights",
+      // the value-weighted scorer crosses the SAME 1-row field-weight
+      // scalars onto the record-sized a-side (the er_fs_scores idiom);
+      // the value-weight table itself joins null-safe EQUI pre-pair
+      "er_fs_value_link",
       // the pinned-ANN twins of the already-allowlisted l3c/l3e/l3f:
       // an 8-row frozen literal codebook broadcast-crossed onto the
       // embedding scan — a bounded-model join, not a pair blowup
