@@ -435,13 +435,156 @@ object MergeSink {
         StructType(spark.read.parquet(s"$storeDir/v${manifest.values.max}")
           .schema.fields.filterNot(_.name == "_bucket"))
       }
-      val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
-      byVersion.toSeq.sortBy(_._1).map { case (v, buckets) =>
-        alignTo(spark.read.parquet(s"$storeDir/v$v")
-          .filter(col("_bucket").isin(buckets: _*)), target) // partition-pruned
-      }.foldLeft(spark.createDataFrame(
-        new java.util.ArrayList[Row](), target))(_ unionByName _)
+      snapshotFromManifest(spark, storeDir, manifest, target)
     }
+  }
+
+  /** The manifest fold both snapshot readers share: buckets grouped by
+    * owning version → one partition-pruned scan per referenced dir. */
+  private def snapshotFromManifest(spark: SparkSession, storeDir: String,
+      manifest: Map[Long, Long], target: StructType): DataFrame = {
+    val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    byVersion.toSeq.sortBy(_._1).map { case (v, buckets) =>
+      alignTo(spark.read.parquet(s"$storeDir/v$v")
+        .filter(col("_bucket").isin(buckets: _*)), target) // partition-pruned
+    }.foldLeft(spark.createDataFrame(
+      new java.util.ArrayList[Row](), target))(_ unionByName _)
+  }
+
+  /** TIME TRAVEL — the store AS OF `version` (a table format's
+    * `VERSION AS OF`): every commit retains its manifest and schema, so
+    * any un-vacuumed history point reads back exactly as it was —
+    * including its THEN-current schema (columns added later don't
+    * exist at the old version, by design; evolution is part of the
+    * history). Retention is bounded by [[vacuumBucketedStore]]: a
+    * pruned read point (its manifest dropped with its dir) or a
+    * surviving manifest referencing a vacuumed dir both fail LOUDLY
+    * naming what aged out, never silently return a partial store. */
+  def bucketedSnapshotAt(spark: SparkSession, storeDir: String,
+      version: Long): DataFrame = {
+    val latest = readLong(latestPath(storeDir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir has no committed version to time-travel to"))
+    require(version >= 0 && version <= latest,
+      s"version $version outside this store's history [0, $latest]")
+    if (!Files.exists(manifestsDir(storeDir).resolve(version.toString)))
+      throw new IllegalStateException(
+        s"MergeSink: no manifest for v$version of $storeDir — the read " +
+          "point was pruned by vacuum (or the store predates the " +
+          "bucketed protocol); time travel is bounded by vacuum retention")
+    val manifest = readManifest(storeDir, version)
+    val target = readSchema(storeDir, version).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: no recorded schema for v$version of $storeDir"))
+    manifest.values.toSeq.distinct.sorted.foreach { v =>
+      if (!Files.exists(Paths.get(storeDir, s"v$v")))
+        throw new IllegalStateException(
+          s"MergeSink: v$version of $storeDir references data dir v$v, " +
+            "which vacuum has reclaimed — this read point is no longer " +
+            "materializable")
+    }
+    snapshotFromManifest(spark, storeDir, manifest, target)
+  }
+
+  /** The store's current commit counter — the newest version readers
+    * resolve and the upper bound of [[bucketedSnapshotAt]]'s history.
+    * None before the first commit. */
+  def latestVersion(storeDir: String): Option[Long] =
+    readLong(latestPath(storeDir))
+
+  /** ERASURE (right-to-be-forgotten) — physically remove every row of
+    * `keys` from EVERY version dir still on disk, current, historical
+    * and vacuum-dead alike: the one sanctioned breach of version-dir
+    * immutability, because retention law outranks time travel. After
+    * erasure, [[currentBucketedSnapshot]] AND [[bucketedSnapshotAt]]
+    * at every retained read point return the store WITHOUT the erased
+    * keys — history keeps its shape (versions, manifests, schemas,
+    * commit markers all survive) but not the subject's data.
+    *
+    * `keys` is one column, named and typed as the store's key column
+    * (the erasure request list — model-sized, broadcast into the
+    * per-bucket anti joins). Cost: the request's keys hash to a
+    * bounded set of buckets; only those buckets' files rewrite, in
+    * every version dir that has them — O(affected buckets × retained
+    * versions), never a full-store scan when the request is narrow.
+    *
+    * Protocol: the erasure claims the next version as a maintenance
+    * commit (batchId −1), so concurrent writers are excluded by the
+    * same CAS as batches and compaction, and the request itself lands
+    * in the version history as an auditable commit whose manifest
+    * equals its parent's. Per-bucket rewrites are crash-safe by
+    * RE-RUN: each follows write-tmp → backup-move → swap-in → drop
+    * backup, with `_SUCCESS` marking a complete tmp; a crashed run
+    * leaves a state this method detects and rolls forward or back on
+    * retry (and the abandoned claim expires via the takeover lease).
+    * Filtering is idempotent, so re-running an interrupted erasure
+    * always converges. Returns the audit version, or None on a store
+    * with no commits. */
+  def eraseKeys(spark: SparkSession, storeDir: String,
+      keys: DataFrame): Option[Long] = {
+    val latest = readLong(latestPath(storeDir)).getOrElse(return None)
+    val target = readSchema(storeDir, latest).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir has no recorded schema — only schema-registry " +
+          "stores support erasure"))
+    val keyField = target.fields.head
+    val nB = readLong(nBucketsPath(storeDir)).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir is not a bucketed store — erasure needs the " +
+          "bucketed layout to locate the subject's files"))
+    require(keys.columns.toSeq == Seq(keyField.name) &&
+      keys.schema.fields.head.dataType == keyField.dataType,
+      s"MergeSink: erasure keys must be a single column " +
+        s"'${keyField.name}: ${keyField.dataType.simpleString}' (got " +
+        s"${keys.schema.fields.map(f => s"${f.name}: ${f.dataType.simpleString}")
+          .mkString(", ")})")
+    val version = latest + 1
+    claimCommit(storeDir, version, latest, -1L) // maintenance commit
+    // the request's buckets: bounded by min(|request|, nBuckets)
+    val affected = keys.select(bucketOf(keyField.name, nB.toInt).as("_b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val versionDirs = {
+      val s0 = Files.list(Paths.get(storeDir))
+      try s0.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption).toList.sorted
+      finally s0.close()
+    }
+    def rmTree(path: Path): Unit = {
+      if (Files.isDirectory(path)) {
+        val s0 = Files.list(path)
+        try s0.iterator().asScala.toList.foreach(rmTree) finally s0.close()
+      }
+      Files.deleteIfExists(path)
+    }
+    val erased = org.apache.spark.sql.functions.broadcast(keys)
+    for (v <- versionDirs; b <- affected.toSeq.sorted) {
+      val bucketDir = Paths.get(storeDir, s"v$v", s"_bucket=$b")
+      val tmp = Paths.get(storeDir, s"v$v", s".erase_tmp_b$b")
+      val backup = Paths.get(storeDir, s"v$v", s".erase_old_b$b")
+      // crash recovery from a previous interrupted run of THIS step
+      if (Files.exists(tmp) && !Files.exists(tmp.resolve("_SUCCESS"))) rmTree(tmp)
+      if (!Files.exists(bucketDir) && Files.exists(backup))
+        Files.move(backup, bucketDir, StandardCopyOption.ATOMIC_MOVE)
+      else if (!Files.exists(bucketDir) && Files.exists(tmp))
+        Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(bucketDir)) {
+        if (Files.exists(backup)) rmTree(backup)
+        if (Files.exists(tmp)) rmTree(tmp)
+        val kept = spark.read.parquet(bucketDir.toString)
+          .join(erased, Seq(keyField.name), "left_anti")
+        kept.write.mode("overwrite").parquet(tmp.toString)
+        Files.move(bucketDir, backup, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
+        rmTree(backup)
+      }
+    }
+    // audit commit: same data layout as the parent (files rewrote in
+    // place), so the manifest carries over unchanged
+    writeManifest(storeDir, version, readManifest(storeDir, latest))
+    writeSchema(storeDir, version, target)
+    writeLongAtomic(latestPath(storeDir), version)
+    pruneCommitMarkers(storeDir)
+    Some(version)
   }
 
   /** One bucketed batch: read ONLY the touched buckets' current files,

@@ -486,6 +486,113 @@ class SinkSpec extends SparkTestBase {
       Set((1L, "a", 10L), (k2, "b", 20L)))
   }
 
+  test("ST10 bucketed: time travel reads any retained version; vacuumed history refuses loudly") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_timetravel").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    def at(v: Long) = MergeSink.bucketedSnapshotAt(spark, store, v)
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((k2, "upsert", 2L, "b", 20L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 3L, "a2", 11L), (k2, "delete", 3L, null.asInstanceOf[String], 0L))
+        .toDF("k", "op", "ver", "name", "v"),
+      2L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // each historical version reads back exactly as it was
+    assert(at(0L) == Set((1L, "a", 10L)))
+    assert(at(1L) == Set((1L, "a", 10L), (k2, "b", 20L)))
+    assert(at(2L) == Set((1L, "a2", 11L)))
+    // time travel sees the THEN-current schema: evolve with a new
+    // column, old versions still read their own shape
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 4L, "a3", 12L, 0.5))
+        .toDF("k", "op", "ver", "name", "v", "score"),
+      3L, store, "k", "op", "ver", Seq("name", "v", "score"), nBuckets = 4)
+    assert(MergeSink.bucketedSnapshotAt(spark, store, 1L).columns.toSeq ==
+      Seq("k", "name", "v"), "pre-evolution versions keep their own schema")
+    assert(MergeSink.bucketedSnapshotAt(spark, store, 3L).columns.toSeq ==
+      Seq("k", "name", "v", "score"))
+    // out-of-history and vacuumed read points refuse loudly
+    intercept[IllegalArgumentException] { at(9L) }
+    // a second live dir (fresh key in another bucket) so compaction
+    // has a fragmented manifest to collapse
+    val k3 = (2L to 64L).find(k => k != k2 && bucketOf(k) != bucketOf(1L)).get
+    MergeSink.applyBucketedBatch(
+      Seq((k3, "upsert", 5L, "c", 30L, 0.9))
+        .toDF("k", "op", "ver", "name", "v", "score"),
+      4L, store, "k", "op", "ver", Seq("name", "v", "score"), nBuckets = 4)
+    // compaction + vacuum reclaims dirs no live bucket references;
+    // the pruned read points now fail with the retention message
+    assert(MergeSink.compactBucketedStore(spark, store).contains(5L))
+    val dead = MergeSink.vacuumBucketedStore(store)
+    assert(dead.nonEmpty, "vacuum must reclaim at least one version")
+    val e = intercept[IllegalStateException] { at(dead.head) }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // the surviving current version still reads
+    assert(at(5L) == Set((1L, "a3", 12L), (k3, "c", 30L)))
+  }
+
+  test("ST10 bucketed: erasure removes a key from ALL retained history; store keeps serving") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_erase").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L), (k2, "upsert", 1L, "b", 20L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 2L, "a2", 11L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // pre-erasure: both read points hold key 1
+    assert(rows(MergeSink.bucketedSnapshotAt(spark, store, 0L)) ==
+      Set((1L, "a", 10L), (k2, "b", 20L)))
+    val audit = MergeSink.eraseKeys(spark, store, Seq(1L).toDF("k"))
+    assert(audit.contains(2L), s"audit version expected v2, got $audit")
+    // the subject is gone from the CURRENT snapshot...
+    assert(rows(MergeSink.currentBucketedSnapshot(spark, store).get) ==
+      Set((k2, "b", 20L)))
+    // ...and from EVERY historical read point — retention law outranks
+    // time travel; the other key's history is untouched
+    assert(rows(MergeSink.bucketedSnapshotAt(spark, store, 0L)) ==
+      Set((k2, "b", 20L)))
+    assert(rows(MergeSink.bucketedSnapshotAt(spark, store, 1L)) ==
+      Set((k2, "b", 20L)))
+    // the audit read point equals its parent post-erasure
+    assert(rows(MergeSink.bucketedSnapshotAt(spark, store, 2L)) ==
+      Set((k2, "b", 20L)))
+    // the store keeps serving writes after the maintenance commit
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 5L, "re", 99L)).toDF("k", "op", "ver", "name", "v"),
+      2L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(rows(MergeSink.currentBucketedSnapshot(spark, store).get) ==
+      Set((1L, "re", 99L), (k2, "b", 20L)),
+      "a re-registered subject is NEW data, not resurrected history")
+    // erasing an absent key is a clean auditable no-op
+    assert(MergeSink.eraseKeys(spark, store, Seq(999L).toDF("k")).contains(4L))
+    // a wrongly-shaped request refuses loudly
+    intercept[IllegalArgumentException] {
+      MergeSink.eraseKeys(spark, store, Seq("1").toDF("k"))
+    }
+    // an empty store has nothing to erase
+    assert(MergeSink.eraseKeys(spark, s"$dir/nostore", Seq(1L).toDF("k")).isEmpty)
+  }
+
   test("ST10: replay guard never falls back to the version counter on a registry store") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_merge_replayguard").toString
