@@ -700,71 +700,44 @@ object SparkEntry {
     //      same log: batches are version-range ordered, so the store's
     //      last-batch-winner semantics reduce to global argmax(ver)
     //      per key, deletes dropping the key ----
-    "capstone_ingest_store" -> ((s, d) => {
-      import java.nio.file.{Files => JFiles, Paths => JPaths}
-      val e = ev(s, d)
-      // the s2 synthetic frame (layout per ssidentity.h:36-42)
-      val hexFrame = concat(
-        lit("0" * 38),
-        lpad(hex(lit(2412) + (col("event_id") % 13) * 5), 4, "0"),
-        lit("00"),
-        lpad(hex(lit(165) + (col("event_id") % 30)), 2, "0"),
-        lit("00" + "0000" + "40" + "000000" + "FFFFFFFFFFFF"),
-        lpad(hex(col("user_id")), 12, "0"),
-        lit("0" * 38),
-        lpad(hex(length(col("event_type"))), 2, "0"),
-        upper(hex(encode(col("event_type"), "US-ASCII"))))
-      val lines = e.select(
-        concat_ws(":", col("event_id"), unix_millis(col("ts")),
-          // Spark's base64 MIME-wraps at 76 chars — a wrapped payload
-          // would split one upload line across two text rows; strip
-          // the breaks (unbase64 decodes unwrapped input fine)
-          regexp_replace(base64(unhex(hexFrame)), "[\\r\\n]", "")).as("value"),
-        col("event_id").as("eid"))
-      val work = JFiles.createTempDirectory("graft_capstone")
-      val landing = work.resolve("landing")
-      JFiles.createDirectories(landing)
-      // four upload files over DISJOINT ascending event_id (= ver)
-      // ranges, mtime-ordered: the file source (oldest first,
-      // maxFilesPerTrigger = 1) then feeds version-ordered batches —
-      // and ANY consecutive regrouping of them converges to the same
-      // store, so batch assignment is not a correctness knob
-      val maxId = e.agg(max(col("event_id"))).head.getLong(0)
-      (0 until 4).foreach { i =>
-        val lo = (maxId + 1) * i / 4; val hi = (maxId + 1) * (i + 1) / 4
-        val stage = work.resolve(s"stage$i")
-        lines.filter(col("eid") >= lo && col("eid") < hi)
-          .select("value").coalesce(1).write.text(stage.toString)
-        val part = {
-          val st = JFiles.list(stage)
-          try st.iterator().asScala
-            .find(_.getFileName.toString.startsWith("part-")).get
-          finally st.close()
-        }
-        val dst = landing.resolve(f"upload_$i%02d.txt")
-        JFiles.move(part, dst)
-        JFiles.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
-      val store = work.resolve("store").toString
-      val parsed = graft.operators.FrameParser.parse(
-        graft.streaming.IngestPipeline.fromFileLog(s, landing.toString,
-          maxFilesPerTrigger = 1))
-      val cdc = parsed.filter(col("valid"))
-        .select(col("mac"),
-          when(col("ssid") === "error", lit("delete"))
-            .otherwise(lit("upsert")).as("op"),
-          col("sensorId").as("ver"), col("ssid"),
-          col("rssi").cast("long").as("rssi"),
-          col("freq").cast("long").as("freq"))
-      val q = cdc.writeStream
-        .option("checkpointLocation", work.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.streaming.MergeSink.applyBucketedBatch(batch, batchId,
-            store, "mac", "op", "ver", Seq("ssid", "rssi", "freq"),
-            nBuckets = 16)
-        }.start()
-      try q.processAllAvailable() finally q.stop()
+    "capstone_ingest_store" -> ((s, d) =>
+      graft.streaming.MergeSink
+        .currentBucketedSnapshot(s, buildCapstoneStore(s, d, everyNth = 1L)).get
+        .select("mac", "ssid", "rssi", "freq")
+        .orderBy("mac")),
+
+    // ---- CAPSTONE (r9): TIME TRAVEL over the same ingest→store
+    //      pipeline — the store AS OF the second-to-last upload,
+    //      replayed in DuckDB as the winner-per-key CDC apply over the
+    //      matching PREFIX of the upload log (files split the ver
+    //      range into quarters, so the 3-batch read point is exactly
+    //      ver < (max+1)·3/4 — same integer arithmetic both sides).
+    //      Pins bucketedSnapshotAt's manifest/schema resolution with a
+    //      hard oracle, not just the SinkSpec fixture. Runs on the
+    //      every-3rd-event slice to keep the second store build
+    //      bench-honest ----
+    "capstone_store_timetravel" -> ((s, d) => {
+      val store = buildCapstoneStore(s, d, everyNth = 3L)
+      val latest = graft.streaming.MergeSink.latestVersion(store).get
+      require(latest == 3L,
+        s"capstone expects 4 one-file micro-batches (got ${latest + 1})")
+      graft.streaming.MergeSink.bucketedSnapshotAt(s, store, 2L)
+        .select("mac", "ssid", "rssi", "freq")
+        .orderBy("mac")
+    }),
+
+    // ---- CAPSTONE (r9): ERASURE (right-to-be-forgotten) over the
+    //      store — every user_id ≡ 0 (mod 7) is erased from ALL
+    //      retained history after ingest; the snapshot replays as the
+    //      CDC apply MINUS the erased subjects. The history-wide
+    //      removal itself (time travel no longer shows the subject)
+    //      is the SinkSpec erasure case; this row pins the end state
+    //      against DuckDB ----
+    "capstone_store_erasure" -> ((s, d) => {
+      val store = buildCapstoneStore(s, d, everyNth = 2L)
+      val victims = ev(s, d).filter(col("user_id") % 7 === 0)
+        .select(upper(lpad(hex(col("user_id")), 12, "0")).as("mac")).distinct()
+      graft.streaming.MergeSink.eraseKeys(s, store, victims)
       graft.streaming.MergeSink.currentBucketedSnapshot(s, store).get
         .select("mac", "ssid", "rssi", "freq")
         .orderBy("mac")
@@ -817,6 +790,27 @@ object SparkEntry {
       val sizes = lab.groupBy("lab").agg(count(lit(1)).as("n_members"))
       lab.join(sizes, "lab").select("node", "lab", "n_members")
         .orderBy("node")
+    }),
+
+    // ---- G10: Newman modularity of the G8 partition — the quality
+    //      score that says whether those communities MEAN anything
+    //      (Q ≈ 0 ⇒ no denser than a degree-preserving rewiring).
+    //      Exact integer numerators per community (q_num / 4W²), so
+    //      the score replays bit-identically in DuckDB on top of the
+    //      same unrolled-LPA CTE chain as g8 ----
+    "g10_modularity" -> ((s, d) => {
+      val obs = ev(s, d).select(
+        concat(lit("u:"), col("user_id")).as("mac"),
+        concat(lit("t:"), col("event_type")).as("ssid"))
+      val und = graft.operators.NetworkTree.edges(obs)
+      val dir = und.select(col("mac").as("src"), col("ssid").as("dst"), col("weight"))
+        .union(und.select(col("ssid").as("src"), col("mac").as("dst"), col("weight")))
+      val lab = graft.operators.LabelPropagation
+        .labelPropagationFixed(dir, "src", "dst", "weight", iters = 3)
+      graft.operators.LabelPropagation.modularity(
+          und.select(col("mac").as("src"), col("ssid").as("dst"), col("weight")),
+          "src", "dst", "weight", lab)
+        .orderBy("lab")
     }),
 
     "g7_clustering" -> ((s, d) => {
@@ -2479,6 +2473,17 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // ---- Q8: physical partition-skew probe — what each of the 32
+    //      reducer partitions of an exchange on user_id would carry
+    //      (rows, keys, heaviest key + share). The report you run
+    //      BEFORE the 100 TB shuffle: ragged n_rows → raise partition
+    //      count; top_share_ppm → 10⁶ → one hot key, salt it (a20 is
+    //      the key-level view, this is the partition-level one) ----
+    "q8_partition_skew" -> ((s, d) =>
+      graft.operators.Skew
+        .partitionProbe(ev(s, d), col("user_id"), nParts = 32)
+        .orderBy("bucket")),
+
     // ---- Q3b: profile drift between two snapshots (per-batch health
     //      gate). Snapshots = event_id parity halves; the "after" side
     //      is dirtied in-query (nulled event_types for one user cohort)
@@ -3247,6 +3252,45 @@ object SparkEntry {
         |      FROM cdc)
         |SELECT mac, ssid, rssi, freq FROM w
         |WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY mac""".stripMargin,
+
+    // Time travel: the 3-of-4-batch read point is exactly the CDC
+    // apply over the upload-log PREFIX ver < (max+1)·3/4 (the builder
+    // splits the sliced ver range into integer quarters — `//` is the
+    // same floor division as the Scala side's Long arithmetic).
+    "capstone_store_timetravel" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id % 3 = 0),
+        |cut AS (SELECT ((max(event_id) + 1) * 3) // 4 AS hi FROM src),
+        |cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        |  (2412 + (event_id % 13) * 5)::BIGINT AS freq
+        |FROM src WHERE event_id < (SELECT hi FROM cut)),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |      FROM cdc)
+        |SELECT mac, ssid, rssi, freq FROM w
+        |WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY mac""".stripMargin,
+
+    // Erasure: the CDC apply minus the erased subjects (user_id ≡ 0
+    // mod 7) — erasure of a key never in the store is a no-op, so the
+    // victim set needs no slice restriction.
+    "capstone_store_erasure" ->
+      """WITH cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        |  (2412 + (event_id % 13) * 5)::BIGINT AS freq
+        |FROM events WHERE event_id % 2 = 0),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |      FROM cdc)
+        |SELECT mac, ssid, rssi, freq FROM w
+        |WHERE rn = 1 AND op = 'upsert'
+        |  AND mac NOT IN (SELECT printf('%012X', user_id)
+        |                  FROM events WHERE user_id % 7 = 0)
         |ORDER BY mac""".stripMargin,
 
     "w1_latest_per_key" ->
@@ -5075,6 +5119,29 @@ object SparkEntry {
     "g4_pagerank" -> PageRankSql(iters = 3, damping = 0.85),
     "g5_ppr" -> PprSql(Seq("t:purchase", "t:signup"), iters = 3, damping = 0.85),
     "g8_lpa" -> LpaSql(iters = 3),
+
+    // Modularity replay: the SAME unrolled-LPA label chain as g8, then
+    // the exact integer decomposition Q = Σ_c q_num_c / (4W²) with
+    // q_num_c = 4·W·w_in_c − d_c² — all sums cast back to BIGINT
+    // (DuckDB sums promote to HUGEINT, whose hash rendering differs).
+    "g10_modularity" ->
+      s"""${LpaCoreSql(3)},
+         |lw AS (SELECT ls.lab, sum(e.w) AS w_in
+         |       FROM e JOIN l3 ls ON e.src = ls.node
+         |              JOIN l3 ld ON e.dst = ld.node
+         |       WHERE ls.lab = ld.lab GROUP BY 1),
+         |dg AS (SELECT l.lab, sum(ed.w) AS degw
+         |       FROM ed JOIN l3 l ON ed.src = l.node GROUP BY 1),
+         |sz AS (SELECT lab, count(*)::BIGINT AS n_nodes FROM l3 GROUP BY 1),
+         |tw AS (SELECT sum(w)::BIGINT AS w_total FROM e)
+         |SELECT sz.lab, sz.n_nodes,
+         |  coalesce(dg.degw, 0)::BIGINT AS degw,
+         |  coalesce(lw.w_in, 0)::BIGINT AS w_in,
+         |  (4 * tw.w_total * coalesce(lw.w_in, 0)
+         |     - coalesce(dg.degw, 0) * coalesce(dg.degw, 0))::BIGINT AS q_num,
+         |  tw.w_total
+         |FROM sz LEFT JOIN dg USING (lab) LEFT JOIN lw USING (lab) CROSS JOIN tw
+         |ORDER BY sz.lab""".stripMargin,
     "g9_kcore" -> KCoreSql(k = 2, rounds = 4),
 
     // Bounded-depth BFS as a recursive CTE: UNION dedups (node, d)
@@ -5504,6 +5571,23 @@ object SparkEntry {
         |         AND n_distinct_tgt <= n_distinct_ref * 2)
         |    AND t_rows > 0) AS pass
         |FROM j ORDER BY col_name""".stripMargin,
+
+    // The partition probe replays on the shared md5 gate (SampGate
+    // family): bucket = uint32(md5(key ‖ 'p0')) % 32, then per-bucket
+    // rows/keys and the deterministic heaviest key (max count, min key).
+    "q8_partition_skew" ->
+      """WITH c AS (
+        |  SELECT (('0x' || substr(md5(concat_ws('', user_id::VARCHAR, 'p0')), 1, 8))::BIGINT) % 32 AS bucket,
+        |         user_id::VARCHAR AS k, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT bucket, k, n,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY n DESC, k) AS rn
+        |      FROM c)
+        |SELECT bucket, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |  max(CASE WHEN rn = 1 THEN k END) AS top_key,
+        |  max(CASE WHEN rn = 1 THEN n END)::BIGINT AS top_key_rows,
+        |  ((1000000 * max(CASE WHEN rn = 1 THEN n END)) // sum(n))::BIGINT AS top_share_ppm
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q3b_profile_drift" ->
       """WITH ea AS (SELECT event_type, value, user_id FROM events WHERE event_id % 2 = 0),
@@ -6166,7 +6250,12 @@ object SparkEntry {
   /** Unrolled synchronous LPA replay: per round, (node, label) weight
     * sums then argmax-with-min-label-tie-break via row_number — the
     * same (−w, lab) ordering the engine's min(struct) computes. */
-  private def LpaSql(iters: Int): String = {
+  /** The WITH-chain of the unrolled synchronous LPA replay, shared by
+    * the g8 community listing and the g10 modularity score: CTEs `e`
+    * (undirected weighted edges), `ed` (both directions), `nodes`, and
+    * `l<iters>` (the final labels). No trailing comma — consumers
+    * append their own CTEs. */
+  private def LpaCoreSql(iters: Int): String = {
     def round(i: Int): String = {
       val prev = s"l${i - 1}"
       s"""b$i AS (
@@ -6189,11 +6278,14 @@ object SparkEntry {
        |nodes AS (SELECT DISTINCT src AS node FROM ed
        |          UNION SELECT DISTINCT dst FROM ed),
        |l0 AS (SELECT node, node AS lab FROM nodes),
-       |${(1 to iters).map(round).mkString(",\n")},
+       |${(1 to iters).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def LpaSql(iters: Int): String =
+    s"""${LpaCoreSql(iters)},
        |sz AS (SELECT lab, count(*)::BIGINT AS n_members FROM l$iters GROUP BY 1)
        |SELECT l.node, l.lab, sz.n_members
        |FROM l$iters l JOIN sz USING (lab) ORDER BY l.node""".stripMargin
-  }
 
   /** Shared DuckDB replay of the stopword-hit language-ID heuristic:
     * CTE `g` = (doc_id, guess, labeled). lang_id reads it per doc;
@@ -6367,6 +6459,84 @@ object SparkEntry {
        |  substr(text, edges[k] + 1, edges[k + 1] - edges[k]) AS chunk
        |FROM e, unnest(generate_series(1, len(edges) - 1)) AS t(k)
        |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Shared builder for the ingest→store capstones: synthesizes the s2
+    * upload log from `events` (optionally the deterministic
+    * `event_id % everyNth == 0` slice, so the extra capstones stay
+    * bench-honest), lands it as four ver-range-ordered upload files,
+    * and runs the REAL pipeline — file-log streaming source
+    * (`IngestPipeline.fromFileLog`, one micro-batch per file) → frame
+    * parser → bucketed MERGE sink — to a fresh store. Returns the
+    * store dir (4 committed versions, batch i ↦ version i). */
+  private def buildCapstoneStore(s: SparkSession, d: String,
+      everyNth: Long): String = {
+    import java.nio.file.{Files => JFiles}
+    val e0 = ev(s, d)
+    val e = if (everyNth > 1L) e0.filter(col("event_id") % everyNth === 0) else e0
+    // the s2 synthetic frame (layout per ssidentity.h:36-42)
+    val hexFrame = concat(
+      lit("0" * 38),
+      lpad(hex(lit(2412) + (col("event_id") % 13) * 5), 4, "0"),
+      lit("00"),
+      lpad(hex(lit(165) + (col("event_id") % 30)), 2, "0"),
+      lit("00" + "0000" + "40" + "000000" + "FFFFFFFFFFFF"),
+      lpad(hex(col("user_id")), 12, "0"),
+      lit("0" * 38),
+      lpad(hex(length(col("event_type"))), 2, "0"),
+      upper(hex(encode(col("event_type"), "US-ASCII"))))
+    val lines = e.select(
+      concat_ws(":", col("event_id"), unix_millis(col("ts")),
+        // Spark's base64 MIME-wraps at 76 chars — a wrapped payload
+        // would split one upload line across two text rows; strip
+        // the breaks (unbase64 decodes unwrapped input fine)
+        regexp_replace(base64(unhex(hexFrame)), "[\\r\\n]", "")).as("value"),
+      col("event_id").as("eid"))
+    val work = JFiles.createTempDirectory("graft_capstone")
+    val landing = work.resolve("landing")
+    JFiles.createDirectories(landing)
+    // four upload files over DISJOINT ascending event_id (= ver)
+    // ranges, mtime-ordered: the file source (oldest first,
+    // maxFilesPerTrigger = 1) then feeds version-ordered batches —
+    // and ANY consecutive regrouping of them converges to the same
+    // store, so batch assignment is not a correctness knob
+    val maxId = e.agg(max(col("event_id"))).head.getLong(0)
+    (0 until 4).foreach { i =>
+      val lo = (maxId + 1) * i / 4; val hi = (maxId + 1) * (i + 1) / 4
+      val stage = work.resolve(s"stage$i")
+      lines.filter(col("eid") >= lo && col("eid") < hi)
+        .select("value").coalesce(1).write.text(stage.toString)
+      val part = {
+        val st = JFiles.list(stage)
+        try st.iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        finally st.close()
+      }
+      val dst = landing.resolve(f"upload_$i%02d.txt")
+      JFiles.move(part, dst)
+      JFiles.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val store = work.resolve("store").toString
+    val parsed = graft.operators.FrameParser.parse(
+      graft.streaming.IngestPipeline.fromFileLog(s, landing.toString,
+        maxFilesPerTrigger = 1))
+    val cdc = parsed.filter(col("valid"))
+      .select(col("mac"),
+        when(col("ssid") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        col("sensorId").as("ver"), col("ssid"),
+        col("rssi").cast("long").as("rssi"),
+        col("freq").cast("long").as("freq"))
+    val q = cdc.writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.streaming.MergeSink.applyBucketedBatch(batch, batchId,
+          store, "mac", "op", "ver", Seq("ssid", "rssi", "freq"),
+          nBuckets = 16)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    store
   }
 
   private def SampGate(saltLit: String) =

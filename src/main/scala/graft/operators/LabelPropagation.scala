@@ -64,4 +64,52 @@ object LabelPropagation {
     }
     labels
   }
+
+  /** G10 — Newman modularity of a node partition (Newman & Girvan
+    * 2004): the standard quality score for the communities
+    * [[labelPropagationFixed]] emits — "how much denser inside the
+    * communities than a degree-preserving random rewiring". Per
+    * community c over the UNDIRECTED weighted graph (W = Σw total
+    * weight, d_c = summed weighted degree, w_in = internal weight):
+    *
+    *   Q = Σ_c [ w_in_c/W − (d_c/2W)² ] = Σ_c q_num_c / (4W²),
+    *   q_num_c = 4·W·w_in_c − d_c²
+    *
+    * The EXACT integer numerator `q_num` ships next to its root
+    * `w_total` instead of the float ratio, so the score replays
+    * bit-exact in any engine (Q itself is one division away;
+    * overflow-safe while 4W² fits a long — beyond that, pre-scale
+    * the weights).
+    *
+    * `und` carries each undirected edge ONCE (src, dst, weight);
+    * `labels` is (node, lab) covering both endpoints. Cost: one
+    * labels⋈edges equi join per endpoint + three map-combined
+    * aggregates keyed on community — output is O(communities). The
+    * label table is checkpointed once (it is usually an iterative
+    * LPA plan; four consumers must not replay it). */
+  def modularity(und: DataFrame, src: String, dst: String, weight: String,
+      labels: DataFrame): DataFrame = {
+    val e = und.select(col(src).as("src"), col(dst).as("dst"),
+      col(weight).cast("long").as("w"))
+    val lab = labels.select(col("node"), col("lab")).transform(Checkpoint.apply)
+    // 1-row bounded model collect (the DSIR-λ idiom): the total weight
+    val totalW = e.agg(coalesce(sum("w"), lit(0L)).as("tw")).head().getLong(0)
+    val win = e
+      .join(lab.select(col("node").as("src"), col("lab").as("sl")), "src")
+      .join(lab.select(col("node").as("dst"), col("lab").as("dl")), "dst")
+      .filter(col("sl") === col("dl"))
+      .groupBy(col("sl").as("lab")).agg(sum("w").as("w_in"))
+    val deg = e.select(col("src").as("node"), col("w"))
+      .union(e.select(col("dst").as("node"), col("w")))
+      .join(lab, "node").groupBy("lab").agg(sum("w").as("degw"))
+    val sizes = lab.groupBy("lab").agg(count(lit(1)).as("n_nodes"))
+    sizes.join(deg, Seq("lab"), "left_outer")
+      .join(win, Seq("lab"), "left_outer")
+      .select(col("lab"), col("n_nodes"),
+        coalesce(col("degw"), lit(0L)).as("degw"),
+        coalesce(col("w_in"), lit(0L)).as("w_in"))
+      .withColumn("q_num",
+        lit(4L) * lit(totalW) * col("w_in") - col("degw") * col("degw"))
+      .withColumn("w_total", lit(totalW))
+  }
 }

@@ -112,4 +112,39 @@ object Skew {
         expr("(1000000 * (2 * _sin - (n_keys + 1) * n_rows)) DIV (n_keys * n_rows)")
           .as("gini_ppm"): _*)
   }
+
+  /** Q8 — the PHYSICAL complement of [[skewReport]]: what each reducer
+    * partition of an `Exchange hashpartitioning(key, nParts)` would
+    * actually carry — rows, distinct keys, and the heaviest key with
+    * its share — so "will any one partition blow executor memory at
+    * 100 TB" is answered by a report, not an OOM. Reading it: ragged
+    * `n_rows` across buckets with `n_keys ≫ 1` means raise
+    * `spark.sql.shuffle.partitions`; a bucket whose `top_share_ppm`
+    * approaches 10⁶ is one hot KEY (no partition count fixes that —
+    * salt it, see [[saltedCount]]/[[saltedJoin]]).
+    *
+    * The partitioner proxy is the engine-replayable md5 gate
+    * ([[Sampling.hashGate]]) — same balance properties as the real
+    * Murmur3 exchange for a uniform family, but bit-replayable by any
+    * engine (Murmur3/xxhash64 are not portable oracle material).
+    * Cost: one map-combined (bucket, key) count — strictly cheaper
+    * than the exchange it predicts — then a window over the key table
+    * and a bucket-sized aggregate. Output is nParts rows. */
+  def partitionProbe(df: DataFrame, key: Column, nParts: Int = 32,
+      salt: String = "p0"): DataFrame = {
+    require(nParts >= 1, s"nParts must be >= 1 (got $nParts)")
+    val counts = df.groupBy(
+        pmod(Sampling.hashGate(key, salt), lit(nParts.toLong)).as("bucket"),
+        key.cast("string").as("_k"))
+      .agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("_n").desc, col("_k"))
+    counts.withColumn("_rn", row_number().over(w))
+      .groupBy("bucket")
+      .agg(sum("_n").as("n_rows"), count(lit(1)).as("n_keys"),
+        max(when(col("_rn") === 1, col("_k"))).as("top_key"),
+        max(when(col("_rn") === 1, col("_n"))).as("top_key_rows"))
+      .withColumn("top_share_ppm",
+        expr("(1000000 * top_key_rows) DIV n_rows"))
+  }
 }

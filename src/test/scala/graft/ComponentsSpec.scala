@@ -330,6 +330,37 @@ class ComponentsSpec extends SparkTestBase {
     assert(got == again)
   }
 
+  test("G10 modularity: hand-computed integer decomposition on cliques + a bridge") {
+    import spark.implicits._
+    // two 10-weight triangles bridged by a 1-weight edge, plus an
+    // isolated 5-weight pair (whose sync-LPA labels oscillate into two
+    // singleton communities with ZERO internal weight — exercising the
+    // w_in left join)
+    val und = Seq(
+      ("a1", "a2", 10L), ("a1", "a3", 10L), ("a2", "a3", 10L),
+      ("b1", "b2", 10L), ("b1", "b3", 10L), ("b2", "b3", 10L),
+      ("a1", "b1", 1L), ("c1", "c2", 5L)).toDF("u", "v", "w")
+    val dir = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .union(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val lab = graft.operators.LabelPropagation
+      .labelPropagationFixed(dir, "src", "dst", "w", iters = 3)
+    val got = graft.operators.LabelPropagation
+      .modularity(und.select(col("u").as("src"), col("v").as("dst"), col("w")),
+        "src", "dst", "w", lab)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // W = 66. Cliques: w_in = 30, degw = 21+20+20 = 61,
+    //   q_num = 4·66·30 − 61² = 7920 − 3721 = 4199.
+    // Oscillated singletons: w_in = 0, degw = 5, q_num = −25.
+    assert(got("a1") == ((3L, 61L, 30L, 4199L, 66L)), got)
+    assert(got("b1") == ((3L, 61L, 30L, 4199L, 66L)), got)
+    assert(got("c1") == ((1L, 5L, 0L, -25L, 66L)), got)
+    assert(got("c2") == ((1L, 5L, 0L, -25L, 66L)), got)
+    // global Q = Σ q_num / 4W² — positive, as two real cliques must be
+    assert(got.values.map(_._4).sum == 2 * 4199L - 50L)
+  }
+
   test("G9 k-core: a clique survives the peel, pendant chains dissolve") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + a chain 4–5–6 hanging off it

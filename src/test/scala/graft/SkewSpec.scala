@@ -112,4 +112,24 @@ class SkewSpec extends SparkTestBase {
     assert(got("u") == ((4L, 12L, 3L, 250000L, 0L)))
     assert(got("s") == ((4L, 8L, 5L, 625000L, 375000L)))
   }
+
+  test("partition probe: per-bucket totals and heaviest key match a hand reference") {
+    import graft.operators.Sampling
+    val counts = Map("w" -> 5, "x" -> 2, "y" -> 1, "z" -> 1)
+    val df = counts.toSeq.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+    def bucketOf(k: String): Long = spark.range(1)
+      .select(pmod(Sampling.hashGate(lit(k), "t"), lit(4L))).head().getLong(0)
+    val expected = counts.keys.toSeq.groupBy(bucketOf).map { case (b, ks) =>
+      val n = ks.map(counts).sum.toLong
+      // heaviest key: max count, min key on ties — the probe's contract
+      val top = ks.toSeq.sortBy(k => (-counts(k), k)).head
+      b -> ((n, ks.size.toLong, top, counts(top).toLong,
+        1000000L * counts(top) / n))
+    }
+    val got = Skew.partitionProbe(df, col("k"), nParts = 4, salt = "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"got $got, expected $expected")
+    assert(got.values.map(_._1).sum == 9L, "every row lands in exactly one bucket")
+  }
 }
