@@ -261,7 +261,30 @@ object ExplainDump {
       + "scan-side, and applyBucketedBatch rewrites only touched "
       + "buckets per micro-batch under the CAS commit protocol. The "
       + "DuckDB oracle replays the whole log as one winner-per-key "
-      + "CDC apply."))
+      + "CDC apply."),
+
+    "capstone_store_timetravel" -> ("Time travel (r9): the store AS OF "
+      + "the 3-of-4-batch version. The plan is the v2 manifest resolved "
+      + "to partition-pruned scans of exactly the version dirs owning "
+      + "each bucket at that commit — history reads cost the same as "
+      + "the current snapshot, never a log replay. DuckDB replays the "
+      + "read point as the CDC apply over the matching upload-log "
+      + "prefix (quarter-range integer arithmetic mirrored)."),
+
+    "g10_modularity" -> ("Modularity of the G8 LPA partition (r9): the "
+      + "iterative label table is checkpointed ONCE and feeds all four "
+      + "consumers (two endpoint joins, degree, sizes) as equi joins; "
+      + "per-community aggregates are map-combined, output is "
+      + "O(communities), and the exact integer numerators mean the "
+      + "score replays bit-identically in DuckDB on the same unrolled "
+      + "LPA chain as g8."),
+
+    "q8_partition_skew" -> ("Physical partition-skew probe (r9): the "
+      + "md5-gate bucket evaluates scan-side into a map-combined "
+      + "(bucket, key) count — strictly cheaper than the exchange it "
+      + "predicts — then one bucket-partitioned window picks each "
+      + "partition's heaviest key and a bucket-sized aggregate emits "
+      + "the 32-row report."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
