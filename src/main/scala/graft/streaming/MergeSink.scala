@@ -492,6 +492,45 @@ object MergeSink {
   def latestVersion(storeDir: String): Option[Long] =
     readLong(latestPath(storeDir))
 
+  /** DESCRIBE HISTORY — one row per commit still materializable (its
+    * manifest survives vacuum), newest first: the version, its kind
+    * (`batch` for streaming commits, `maintenance` for compaction /
+    * re-bucketing / erasure, `unknown` once the commit marker has
+    * aged past the retention horizon), the streaming batch id where
+    * known, live bucket count, and whether this version owns a data
+    * dir. The listing a [[bucketedSnapshotAt]] caller consults to
+    * pick a read point. Driver-side file metadata — rows are bounded
+    * by retained history, never by data. */
+  def storeHistory(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val latest = readLong(latestPath(storeDir)).getOrElse(-1L)
+    val versions =
+      if (!Files.exists(manifestsDir(storeDir))) Seq.empty[Long]
+      else {
+        val s0 = Files.list(manifestsDir(storeDir))
+        try s0.iterator().asScala.map(_.getFileName.toString)
+          .flatMap(_.toLongOption).toList.sorted
+        finally s0.close()
+      }
+    versions.map { v =>
+      val marker = commitsDir(storeDir).resolve(v.toString)
+      val (kind, batchId) =
+        if (!Files.exists(marker)) ("unknown", None)
+        else new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+          .trim.split("\\s+").toSeq match {
+            case Seq(_, b) => b.toLongOption match {
+              case Some(-1L) => ("maintenance", None)
+              case other     => ("batch", other)
+            }
+            case _ => ("unknown", None)
+          }
+      (v, kind, batchId, readManifest(storeDir, v).size.toLong,
+        Files.exists(Paths.get(storeDir, s"v$v")), v == latest)
+    }.sortBy(-_._1)
+      .toDF("version", "kind", "batch_id", "n_live_buckets",
+        "has_data_dir", "is_latest")
+  }
+
   /** ERASURE (right-to-be-forgotten) — physically remove every row of
     * `keys` from EVERY version dir still on disk, current, historical
     * and vacuum-dead alike: the one sanctioned breach of version-dir

@@ -593,6 +593,38 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.eraseKeys(spark, s"$dir/nostore", Seq(1L).toDF("k")).isEmpty)
   }
 
+  test("ST10 bucketed: storeHistory lists retained commits newest-first with kinds") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_history").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((k2, "upsert", 2L, "b", 20L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(MergeSink.compactBucketedStore(spark, store).contains(2L))
+    assert(MergeSink.eraseKeys(spark, store, Seq(1L).toDF("k")).contains(3L))
+    val h = MergeSink.storeHistory(spark, store).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(4),
+        r.getBoolean(5)))
+    assert(h.map(_._1).toSeq == Seq(3L, 2L, 1L, 0L), "newest first")
+    assert(h.map(_._2).toSeq == Seq("maintenance", "maintenance", "batch", "batch"))
+    assert(h.map(_._3).toSeq == Seq(None, None, Some(1L), Some(0L)))
+    // the erasure audit commit owns no data dir; the compaction does
+    assert(h.map(_._4).toSeq == Seq(false, true, true, true))
+    assert(h.map(_._5).toSeq == Seq(true, false, false, false))
+    // vacuum drops the pre-compaction read points from the listing
+    assert(MergeSink.vacuumBucketedStore(store).nonEmpty)
+    assert(MergeSink.storeHistory(spark, store).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 2L))
+  }
+
   test("ST10: replay guard never falls back to the version counter on a registry store") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_merge_replayguard").toString
