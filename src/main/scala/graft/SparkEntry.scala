@@ -2484,6 +2484,17 @@ object SparkEntry {
         .partitionProbe(ev(s, d), col("user_id"), nParts = 32)
         .orderBy("bucket")),
 
+    // ---- Q9: pre-join cardinality probe — the EXACT output size the
+    //      events⋈orders-by-customer join would produce, decomposed by
+    //      key, BEFORE paying for it; the salt-or-rethink advisor for
+    //      output explosions (strictly cheaper than the join: two
+    //      map-combined counts + a key-table join) ----
+    "q9_join_explosion" -> ((s, d) =>
+      graft.operators.Skew.joinCardinality(
+          ev(s, d), col("user_id"),
+          Tables.orders(s, d), col("o_custkey"), topK = 20)
+        .orderBy(col("out_rows").desc, col("key"))),
+
     // ---- Q3b: profile drift between two snapshots (per-batch health
     //      gate). Snapshots = event_id parity halves; the "after" side
     //      is dirtied in-query (nulled event_types for one user cohort)
@@ -5588,6 +5599,19 @@ object SparkEntry {
         |  max(CASE WHEN rn = 1 THEN n END)::BIGINT AS top_key_rows,
         |  ((1000000 * max(CASE WHEN rn = 1 THEN n END)) // sum(n))::BIGINT AS top_share_ppm
         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q9_join_explosion" ->
+      """WITH lc AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n_left
+        |            FROM events GROUP BY 1),
+        |rc AS (SELECT o_custkey::VARCHAR AS key, count(*)::BIGINT AS n_right
+        |       FROM orders GROUP BY 1),
+        |c AS (SELECT key, n_left, n_right, (n_left * n_right)::BIGINT AS out_rows
+        |      FROM lc JOIN rc USING (key)),
+        |t AS (SELECT sum(out_rows)::BIGINT AS total FROM c)
+        |SELECT key, n_left, n_right, out_rows,
+        |  ((1000000 * out_rows) // t.total)::BIGINT AS share_ppm,
+        |  t.total AS total_out_rows
+        |FROM c, t ORDER BY out_rows DESC, key LIMIT 20""".stripMargin,
 
     "q3b_profile_drift" ->
       """WITH ea AS (SELECT event_type, value, user_id FROM events WHERE event_id % 2 = 0),

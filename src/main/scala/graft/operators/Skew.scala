@@ -130,6 +130,40 @@ object Skew {
     * Cost: one map-combined (bucket, key) count — strictly cheaper
     * than the exchange it predicts — then a window over the key table
     * and a bucket-sized aggregate. Output is nParts rows. */
+  /** Q9 — pre-join cardinality probe: the EXACT output size an inner
+    * equi join would produce, decomposed by key — Σ_k n_left(k)·n_right(k)
+    * — plus each key's share, BEFORE paying for the join. The advisor
+    * for the two failure modes a 100 TB join hits: a few keys owning
+    * most of the output (salt them / AQE skew join) and an output
+    * orders of magnitude above either input (re-think the join).
+    * Cost: one map-combined count per side, then an equi join of the
+    * two KEY tables (key-cardinality rows, not data rows) and a rank —
+    * strictly cheaper than the join it predicts. Returns the top
+    * `topK` contributing keys (share in ppm of the exact total, which
+    * every row carries in `total_out_rows`); keys absent from either
+    * side contribute nothing and are omitted. */
+  def joinCardinality(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1 (got $topK)")
+    val lc = left.groupBy(leftKey.cast("string").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(rightKey.cast("string").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val contrib = lc.join(rc, "key")
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("out_rows"))
+    // the exact total: a 1-row bounded aggregate (the DSIR-λ idiom)
+    val total = contrib.agg(coalesce(sum("out_rows"), lit(0L)).as("t"))
+      .head().getLong(0)
+    contrib
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topK)
+      .withColumn("share_ppm",
+        if (total == 0L) lit(0L)
+        else expr(s"(1000000 * out_rows) DIV ${total}L"))
+      .withColumn("total_out_rows", lit(total))
+  }
+
   def partitionProbe(df: DataFrame, key: Column, nParts: Int = 32,
       salt: String = "p0"): DataFrame = {
     require(nParts >= 1, s"nParts must be >= 1 (got $nParts)")

@@ -132,4 +132,21 @@ class SkewSpec extends SparkTestBase {
     assert(got == expected, s"got $got, expected $expected")
     assert(got.values.map(_._1).sum == 9L, "every row lands in exactly one bucket")
   }
+
+  test("join cardinality probe: exact per-key output sizes, shares, and total") {
+    val left = (Seq.fill(2)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val right = (Seq.fill(4)("a") ++ Seq("b") ++ Seq.fill(5)("d")).toDF("j")
+    val got = Skew.joinCardinality(left, col("k"), right, col("j"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // only overlapping keys contribute: a -> 2·4 = 8, b -> 3·1 = 3
+    assert(got.toSeq == Seq(
+      ("a", 2L, 4L, 8L, 727272L, 11L),
+      ("b", 3L, 1L, 3L, 272727L, 11L)), got.toSeq)
+    // the probe's total equals the join it predicts
+    assert(left.join(right, col("k") === col("j")).count() == 11L)
+    // disjoint key spaces: empty report, not a division error
+    assert(Skew.joinCardinality(left, col("k"),
+      Seq("z").toDF("j"), col("j")).collect().isEmpty)
+  }
 }
