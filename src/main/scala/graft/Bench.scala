@@ -72,7 +72,16 @@ object Bench {
       (a.toSeq ++ b.toSeq).reduceOption((x, y) => math.min(x, y))
     // benchOnly: production-path variants timed here but outside the
     // driver's correctness surface (e.g. the xxhash MinHash family)
-    val qs0 = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
+    val qs0 = {
+      val all = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
+      // local iteration knob (same contract as Verify's): unset = full run
+      sys.env.get("SPARK_GRAFT_ONLY") match {
+        case Some(sel) =>
+          val want = sel.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          all.filter(q => want(q._1))
+        case None => all
+      }
+    }
     // bytes are a deterministic property of the plan (unlike wall-clock
     // under steal), so pass 1 alone attributes them
     val bytesByQuery = scala.collection.mutable.LinkedHashMap[String, Array[Long]]()

@@ -6516,6 +6516,22 @@ object SparkEntry {
         // the breaks (unbase64 decodes unwrapped input fine)
         regexp_replace(base64(unhex(hexFrame)), "[\\r\\n]", "")).as("value"),
       col("event_id").as("eid"))
+    // sweep PREVIOUS capstone work dirs first: the three capstone
+    // queries run (and materialize) sequentially, so any existing
+    // graft_capstone* tree is a finished query's leftovers — without
+    // the sweep a full bench/verify run leaks ~10 MB × builds × passes
+    // into the temp dir
+    locally {
+      val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val s0 = JFiles.list(tmpRoot)
+      try s0.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft_capstone"))
+        .foreach { p =>
+          JFiles.walk(p).iterator().asScala.toList.reverseIterator
+            .foreach(q => JFiles.deleteIfExists(q))
+        }
+      finally s0.close()
+    }
     val work = JFiles.createTempDirectory("graft_capstone")
     val landing = work.resolve("landing")
     JFiles.createDirectories(landing)

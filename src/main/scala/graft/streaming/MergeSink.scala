@@ -596,26 +596,42 @@ object MergeSink {
       Files.deleteIfExists(path)
     }
     val erased = org.apache.spark.sql.functions.broadcast(keys)
-    for (v <- versionDirs; b <- affected.toSeq.sorted) {
-      val bucketDir = Paths.get(storeDir, s"v$v", s"_bucket=$b")
-      val tmp = Paths.get(storeDir, s"v$v", s".erase_tmp_b$b")
-      val backup = Paths.get(storeDir, s"v$v", s".erase_old_b$b")
-      // crash recovery from a previous interrupted run of THIS step
-      if (Files.exists(tmp) && !Files.exists(tmp.resolve("_SUCCESS"))) rmTree(tmp)
-      if (!Files.exists(bucketDir) && Files.exists(backup))
-        Files.move(backup, bucketDir, StandardCopyOption.ATOMIC_MOVE)
-      else if (!Files.exists(bucketDir) && Files.exists(tmp))
-        Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
-      if (Files.exists(bucketDir)) {
-        if (Files.exists(backup)) rmTree(backup)
-        if (Files.exists(tmp)) rmTree(tmp)
-        val kept = spark.read.parquet(bucketDir.toString)
-          .join(erased, Seq(keyField.name), "left_anti")
-        kept.write.mode("overwrite").parquet(tmp.toString)
-        Files.move(bucketDir, backup, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
-        rmTree(backup)
-      }
+    // Every (version, bucket) rewrite owns a disjoint set of dirs and
+    // is crash-safe in isolation, so they run CONCURRENTLY from a
+    // bounded driver pool: on a cluster that is the standard
+    // maintenance-fleet shape (many small independent jobs in flight),
+    // and it collapses the per-job scheduling round trips that would
+    // otherwise serialize versions × buckets tiny rewrites.
+    val tasks = for (v <- versionDirs; b <- affected.toSeq.sorted) yield (v, b)
+    if (tasks.nonEmpty) {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(tasks.size, 8))
+      try tasks.map { case (v, b) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val bucketDir = Paths.get(storeDir, s"v$v", s"_bucket=$b")
+            val tmp = Paths.get(storeDir, s"v$v", s".erase_tmp_b$b")
+            val backup = Paths.get(storeDir, s"v$v", s".erase_old_b$b")
+            // crash recovery from a previous interrupted run of THIS step
+            if (Files.exists(tmp) && !Files.exists(tmp.resolve("_SUCCESS"))) rmTree(tmp)
+            if (!Files.exists(bucketDir) && Files.exists(backup))
+              Files.move(backup, bucketDir, StandardCopyOption.ATOMIC_MOVE)
+            else if (!Files.exists(bucketDir) && Files.exists(tmp))
+              Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
+            if (Files.exists(bucketDir)) {
+              if (Files.exists(backup)) rmTree(backup)
+              if (Files.exists(tmp)) rmTree(tmp)
+              val kept = spark.read.parquet(bucketDir.toString)
+                .join(erased, Seq(keyField.name), "left_anti")
+              kept.write.mode("overwrite").parquet(tmp.toString)
+              Files.move(bucketDir, backup, StandardCopyOption.ATOMIC_MOVE)
+              Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
+              rmTree(backup)
+            }
+          }
+        })
+      }.foreach(_.get()) // propagate the first failure
+      finally pool.shutdown()
     }
     // audit commit: same data layout as the parent (files rewrote in
     // place), so the manifest carries over unchanged
@@ -666,6 +682,14 @@ object MergeSink {
         .foldLeft(emptyBase)(_ unionByName _)
       val next = Snapshot.applyChanges(base, batch, key, opCol, verCol, valueCols)
         .withColumn("_bucket", bucketOf(key, nBuckets))
+      // applyChanges leaves the rows partitioned by JOIN key, which is
+      // uncorrelated with `_bucket` — but a dynamic-partition write is
+      // still safe unshuffled: FileFormatWriter sorts each task by the
+      // partition column, so writers open sequentially, and the
+      // residual files-per-bucket (≤ tasks holding that bucket) is what
+      // compactBucketedStore exists to collapse. Re-clustering here
+      // would bill every micro-batch an extra exchange to save the
+      // maintenance job its batched cleanup.
       next.write.mode("overwrite").partitionBy("_bucket")
         .parquet(s"$storeDir/v$version")
     }
@@ -742,7 +766,11 @@ object MergeSink {
         if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
       } :+ bucket.cast("long").as("_bucket"): _*)
     }.reduce(_ unionByName _)
-    current.write.mode("overwrite").partitionBy("_bucket")
+    // cluster by `_bucket` so the rewrite lands as ONE file per bucket
+    // — defragmenting is the point of compaction, and rebucketing's
+    // re-derived `_bucket` is uncorrelated with the input file layout
+    current.repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket")
       .parquet(s"$storeDir/v$version")
     val buckets = {
       val s = Files.list(Paths.get(storeDir, s"v$version"))
