@@ -2062,11 +2062,13 @@ object SparkEntry {
       val ents = graft.operators.Checkpoint(graft.operators.Components
         .resolveEntities(parts, "p_name", maxDist = 2)
         .select(col("variant"), col("entity_id")))
-      val recs = parts.join(ents, parts("p_name") === ents("variant"))
+      // the resolved record table ALSO feeds all three consumers —
+      // checkpoint it too, or each re-runs the parts⋈ents join
+      val recs = graft.operators.Checkpoint(
+        parts.join(ents, parts("p_name") === ents("variant")))
       val blk = element_at(split(col("p_name"), " "), 1)
-      val w = graft.operators.Linkage.fellegiSunterWeights(
-        recs, blk, col("entity_id"), FsFields)
-      val vw = graft.operators.Linkage.fellegiSunterValueWeights(
+      // one calibration pass yields BOTH tables (field = value folded)
+      val (w, vw) = graft.operators.Linkage.fellegiSunterBothWeights(
         recs, blk, col("entity_id"), FsFields)
       graft.operators.Linkage.scoreValuePairs(recs, col("p_partkey"),
           blk, col("entity_id"), FsFields, w, vw)

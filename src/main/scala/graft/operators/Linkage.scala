@@ -197,6 +197,77 @@ object Linkage {
       .orderBy("field", "value")
   }
 
+  /** Both calibrations in ONE pass over the records: the field-level
+    * agree counts are EXACTLY the value-level counts summed over
+    * values (field pairs agreeing = Σ_v pairs agreeing on v — the
+    * per-(block, value) groups partition the agreeing pairs), so a
+    * consumer that needs both tables (the value-weighted linkage
+    * decision scores agreements per value but falls back to field
+    * weights for disagreements) should not pay the stack + grouped
+    * Σ C(n,2) pipeline twice. Computes the shared per-(field, value)
+    * count table once ([[Checkpoint]]ed — it is O(distinct values)),
+    * then folds it two ways. Integer-exact: both outputs are
+    * bit-identical to [[fellegiSunterWeights]] /
+    * [[fellegiSunterValueWeights]] run separately.
+    * Returns (fieldWeights, valueWeights). */
+  def fellegiSunterBothWeights(records: DataFrame, block: Column,
+      entity: Column, fields: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    require(fields.nonEmpty, "fellegiSunterBothWeights needs at least one field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "field names must be unique")
+    requireSafeNames(fields)
+    val base = records.select(
+      block.cast("string").as("_blk") +:
+        entity.cast("string").as("_ent") +:
+        fields.map { case (n, c) => c.cast("string").as(s"_f_$n") }: _*)
+    val totals = base.groupBy("_blk").agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(choose2(col("_n"))), lit(0L)).as("_np"))
+    val matches = base.groupBy("_blk", "_ent").agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(choose2(col("_n"))), lit(0L)).as("_nm"))
+    val stackSql = fields
+      .map { case (n, _) => s"'$n', `_f_$n`" }.mkString(", ")
+    val long = base.select(col("_blk"), col("_ent"),
+      expr(s"stack(${fields.size}, $stackSql) AS (_field, _v)"))
+    val agree = long.groupBy("_field", "_blk", "_v")
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("_field", "_v").agg(sum(choose2(col("_n"))).as("_na"))
+    val agreeM = long.groupBy("_field", "_blk", "_ent", "_v")
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("_field", "_v").agg(sum(choose2(col("_n"))).as("_nam"))
+    val counts = Checkpoint(agree.join(agreeM, Seq("_field", "_v")))
+    val mNum = (col("_nam") + lit(1L)).cast("double")
+    val mDen = (col("_nm") + lit(2L)).cast("double")
+    val uNum = (col("_na") - col("_nam") + lit(1L)).cast("double")
+    val uDen = (col("_np") - col("_nm") + lit(2L)).cast("double")
+    val fieldW = counts.groupBy("_field")
+      .agg(sum("_na").as("_na"), sum("_nam").as("_nam"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(matches))
+      .select(
+        col("_field").as("field"),
+        col("_nm").as("n_match"),
+        (col("_np") - col("_nm")).as("n_nonmatch"),
+        col("_nam").as("n_agree_match"),
+        (col("_na") - col("_nam")).as("n_agree_nonmatch"),
+        floor(log(mNum * uDen / (mDen * uNum)) * lit(1000000.0))
+          .cast("long").as("w_agree_micro"),
+        floor(log((mDen - mNum) * uDen / (mDen * (uDen - uNum)))
+          * lit(1000000.0)).cast("long").as("w_disagree_micro"))
+      .orderBy("field")
+    val valueW = counts.filter(col("_na") > 0L)
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(matches))
+      .select(
+        col("_field").as("field"),
+        col("_v").as("value"),
+        col("_nam").as("n_agree_match"),
+        (col("_na") - col("_nam")).as("n_agree_nonmatch"),
+        floor(log(mNum * uDen / (mDen * uNum)) * lit(1000000.0))
+          .cast("long").as("w_agree_micro"))
+      .orderBy("field", "value")
+    (fieldW, valueW)
+  }
+
   /** FS apply step: enumerate in-block candidate pairs, compare the
     * same fields, and score each pair with the calibrated weights
     * (Σ over fields of w_agree if the pair agrees else w_disagree).

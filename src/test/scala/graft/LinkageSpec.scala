@@ -294,6 +294,21 @@ class LinkageSpec extends SparkTestBase {
       col("ent"), Seq("name_eq" -> col("name"))).count() == 0L)
   }
 
+  test("fused calibration equals the two separate calibrations bit-for-bit") {
+    // same machinery, one pass: both outputs must be IDENTICAL to the
+    // standalone functions on the same records (integer-exact fold)
+    val (fw, vw) = Linkage.fellegiSunterBothWeights(recs, col("blk"),
+      col("ent"), fields)
+    val fwRef = Linkage.fellegiSunterWeights(recs, col("blk"),
+      col("ent"), fields)
+    val vwRef = Linkage.fellegiSunterValueWeights(recs, col("blk"),
+      col("ent"), fields)
+    assert(fw.columns.toSeq == fwRef.columns.toSeq)
+    assert(vw.columns.toSeq == vwRef.columns.toSeq)
+    assert(fw.collect().toSeq == fwRef.collect().toSeq)
+    assert(vw.collect().toSeq == vwRef.collect().toSeq)
+  }
+
   test("calibration handles empty input and a single block") {
     val empty = Seq.empty[(Long, String, String, String, String)]
       .toDF("id", "blk", "ent", "phone", "noise")
