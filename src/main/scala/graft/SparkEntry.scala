@@ -726,6 +726,23 @@ object SparkEntry {
         .orderBy("mac")
     }),
 
+    // ---- CAPSTONE (r9): CHANGE DATA FEED over the same pipeline —
+    //      the typed row-level changes between two store versions
+    //      (table_changes v1→v3), computed with MANIFEST PRUNING:
+    //      only buckets whose owning version differs between the two
+    //      manifests are read (immutable version dirs make an
+    //      unchanged owner proof of unchanged bytes). Replayed in
+    //      DuckDB as the full-outer diff of the two winner-per-key
+    //      prefix states (version v ↦ upload-log prefix
+    //      ver < (max+1)·(v+1)/4 — the time-travel quarter
+    //      arithmetic). Runs on the every-5th-event slice to keep the
+    //      extra store build bench-honest ----
+    "capstone_store_cdf" -> ((s, d) => {
+      val store = buildCapstoneStore(s, d, everyNth = 5L)
+      graft.streaming.MergeSink.storeChangesBetween(s, store, 1L, 3L)
+        .orderBy("mac")
+    }),
+
     // ---- CAPSTONE (r9): ERASURE (right-to-be-forgotten) over the
     //      store — every user_id ≡ 0 (mod 7) is erased from ALL
     //      retained history after ingest; the snapshot replays as the
@@ -3285,6 +3302,42 @@ object SparkEntry {
         |      FROM cdc)
         |SELECT mac, ssid, rssi, freq FROM w
         |WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY mac""".stripMargin,
+
+    // Change data feed: version v of the 4-batch build is the CDC
+    // apply over prefix ver < (max+1)·(v+1)/4, so the v1→v3 feed is
+    // the full-outer diff of the two prefix states — insert where the
+    // old state lacks the key, delete where the new one does, update
+    // where any value differs (null-safe), no-op rows dropped.
+    "capstone_store_cdf" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id % 5 = 0),
+        |cut AS (SELECT ((max(event_id) + 1) * 2) // 4 AS hi FROM src),
+        |cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        |  (2412 + (event_id % 13) * 5)::BIGINT AS freq
+        |FROM src),
+        |s1 AS (SELECT mac, ssid, rssi, freq FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |  FROM cdc WHERE ver < (SELECT hi FROM cut))
+        |  WHERE rn = 1 AND op = 'upsert'),
+        |s2 AS (SELECT mac, ssid, rssi, freq FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |  FROM cdc)
+        |  WHERE rn = 1 AND op = 'upsert')
+        |SELECT coalesce(s1.mac, s2.mac) AS mac,
+        |  CASE WHEN s1.mac IS NULL THEN 'insert'
+        |       WHEN s2.mac IS NULL THEN 'delete' ELSE 'update' END AS change,
+        |  s1.ssid AS ssid_old, s2.ssid AS ssid_new,
+        |  s1.rssi AS rssi_old, s2.rssi AS rssi_new,
+        |  s1.freq AS freq_old, s2.freq AS freq_new
+        |FROM s1 FULL OUTER JOIN s2 ON s1.mac = s2.mac
+        |WHERE s1.mac IS NULL OR s2.mac IS NULL
+        |   OR s1.ssid IS DISTINCT FROM s2.ssid
+        |   OR s1.rssi IS DISTINCT FROM s2.rssi
+        |   OR s1.freq IS DISTINCT FROM s2.freq
         |ORDER BY mac""".stripMargin,
 
     // Erasure: the CDC apply minus the erased subjects (user_id ≡ 0
@@ -6542,7 +6595,11 @@ object SparkEntry {
     // maxFilesPerTrigger = 1) then feeds version-ordered batches —
     // and ANY consecutive regrouping of them converges to the same
     // store, so batch assignment is not a correctness knob
-    val maxId = e.agg(max(col("event_id"))).head.getLong(0)
+    // one pass builds the frame encoding; the four quarter writes and
+    // the max() read the cache instead of re-encoding the slice each
+    // time (5 passes → 1 + 4 cached scans)
+    lines.persist()
+    val maxId = lines.agg(max(col("eid"))).head.getLong(0)
     (0 until 4).foreach { i =>
       val lo = (maxId + 1) * i / 4; val hi = (maxId + 1) * (i + 1) / 4
       val stage = work.resolve(s"stage$i")
@@ -6559,6 +6616,7 @@ object SparkEntry {
       JFiles.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
     }
+    lines.unpersist()
     val store = work.resolve("store").toString
     val parsed = graft.operators.FrameParser.parse(
       graft.streaming.IngestPipeline.fromFileLog(s, landing.toString,

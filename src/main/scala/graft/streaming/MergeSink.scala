@@ -6,7 +6,7 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCo
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{coalesce, col, lit, pmod, when, xxhash64}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.StructType
 
@@ -484,6 +484,80 @@ object MergeSink {
             "materializable")
     }
     snapshotFromManifest(spark, storeDir, manifest, target)
+  }
+
+  /** CHANGE DATA FEED — the typed row-level changes between two
+    * retained read points (a table format's `table_changes(v1, v2)`),
+    * computed with MANIFEST PRUNING: version dirs are immutable behind
+    * the pointer, so a bucket whose owning version is the SAME in both
+    * manifests is bit-identical at both read points and is never read
+    * (the one sanctioned in-place rewrite, erasure, rewrites every
+    * retained dir at once, so identical owner ⇒ identical content
+    * survives it). Cost is O(buckets whose owner changed), never a
+    * full-store diff — on a 100 TB store where a day's batches touch a
+    * few hot buckets, the feed reads only those.
+    *
+    * Returns one row per key whose value changed between the two
+    * states: (key, change ∈ insert|update|delete, <c>_old, <c>_new per
+    * value column of `toVersion`'s schema — `fromVersion` rows
+    * NULL-fill columns added between the two, exactly as time travel
+    * types them). Keys living in rewritten buckets with UNchanged
+    * values are filtered out (a bucket rewrite is not a row change).
+    * Both read points must still be materializable (same vacuum bound
+    * as [[bucketedSnapshotAt]] — but only the CHANGED buckets' dirs
+    * are required, so a diff can outlive a vacuum that a full
+    * time-travel read would not). */
+  def storeChangesBetween(spark: SparkSession, storeDir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val latest = readLong(latestPath(storeDir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir has no committed version to diff"))
+    require(fromVersion >= 0 && fromVersion < toVersion && toVersion <= latest,
+      s"need 0 <= fromVersion < toVersion <= $latest " +
+        s"(got $fromVersion, $toVersion)")
+    Seq(fromVersion, toVersion).foreach { v =>
+      if (!Files.exists(manifestsDir(storeDir).resolve(v.toString)))
+        throw new IllegalStateException(
+          s"MergeSink: no manifest for v$v of $storeDir — the read point " +
+            "was pruned by vacuum (or the store predates the bucketed " +
+            "protocol); the change feed is bounded by vacuum retention")
+    }
+    val m1 = readManifest(storeDir, fromVersion)
+    val m2 = readManifest(storeDir, toVersion)
+    val target = readSchema(storeDir, toVersion).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: no recorded schema for v$toVersion of $storeDir"))
+    val keyName = target.fields.head.name
+    val valueCols = target.fields.tail.map(_.name).toSeq
+    // the prune: identical owner ⇒ identical bytes ⇒ no possible change
+    val changed = (m1.keySet ++ m2.keySet)
+      .filter(b => m1.get(b) != m2.get(b))
+    val p1 = m1.filter { case (b, _) => changed(b) }
+    val p2 = m2.filter { case (b, _) => changed(b) }
+    (p1.values.toSeq ++ p2.values.toSeq).distinct.sorted.foreach { v =>
+      if (!Files.exists(Paths.get(storeDir, s"v$v")))
+        throw new IllegalStateException(
+          s"MergeSink: the change feed v$fromVersion→v$toVersion of " +
+            s"$storeDir needs data dir v$v, which vacuum has reclaimed")
+    }
+    val s1 = snapshotFromManifest(spark, storeDir, p1, target)
+    val s2 = snapshotFromManifest(spark, storeDir, p2, target)
+    val o = s1.select(col(keyName).as("_k") +:
+      valueCols.map(c => col(c).as(s"_o_$c")): _*)
+    val n = s2.select(col(keyName).as("_k2") +:
+      valueCols.map(c => col(c).as(s"_n_$c")): _*)
+    val same = valueCols.map(c => col(s"_o_$c") <=> col(s"_n_$c"))
+      .reduce(_ && _)
+    o.join(n, col("_k") === col("_k2"), "full_outer")
+      .withColumn("change",
+        when(col("_k").isNull, lit("insert"))
+          .when(col("_k2").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      // a rewritten bucket's untouched keys are not changes
+      .filter(col("_k").isNull || col("_k2").isNull || !same)
+      .select(coalesce(col("_k"), col("_k2")).as(keyName) +: col("change") +:
+        valueCols.flatMap(c => Seq(
+          col(s"_o_$c").as(s"${c}_old"), col(s"_n_$c").as(s"${c}_new"))): _*)
   }
 
   /** The store's current commit counter — the newest version readers

@@ -593,6 +593,59 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.eraseKeys(spark, s"$dir/nostore", Seq(1L).toDF("k")).isEmpty)
   }
 
+  test("ST10 bucketed: change feed between versions is typed, exact, and manifest-pruned") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_cdf").toString
+    val store = s"$dir/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+    val vcols = Seq("name", "v")
+    def apply(rows: Seq[(Long, String, Long, String, Long)], id: Long): Unit =
+      MergeSink.applyBucketedBatch(rows.toDF("k", "op", "ver", "name", "v"),
+        id, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // v0: seed 8 keys; v1: update 1, delete 2, insert 9; v2: update 1 again
+    apply((1L to 8L).map(k => (k, "upsert", 1L, s"n$k", k * 10L)), 0L)
+    apply(Seq((1L, "upsert", 2L, "n1b", 11L),
+      (2L, "delete", 2L, null.asInstanceOf[String], 0L),
+      (9L, "upsert", 2L, "n9", 90L)), 1L)
+    apply(Seq((1L, "upsert", 3L, "n1c", 12L)), 2L)
+    def feed(a: Long, b: Long) =
+      MergeSink.storeChangesBetween(spark, store, a, b)
+    assert(feed(0L, 2L).columns.toSeq ==
+      Seq("k", "change", "name_old", "name_new", "v_old", "v_new"))
+    val d02 = feed(0L, 2L).collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getString(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4),
+      if (r.isNullAt(5)) -1L else r.getLong(5))).toSet
+    // exactly the three changed keys — a rewritten bucket's untouched
+    // keys are NOT changes, whatever bucket the changed keys hash to
+    assert(d02 == Set(
+      (1L, "update", "n1", "n1c", 10L, 12L),
+      (2L, "delete", "n2", null, 20L, -1L),
+      (9L, "insert", null, "n9", -1L, 90L)), d02.toString)
+    val d12 = feed(1L, 2L).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(3), r.getLong(5))).toSet
+    assert(d12 == Set((1L, "update", "n1c", 12L)), d12.toString)
+    // MANIFEST PRUNING proof: v1→v2 only needs the dirs owning the
+    // changed bucket (v1 and v2) — remove v0's data dir entirely and
+    // the feed still answers, while a full time-travel read cannot
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        new java.io.File(p.toString).listFiles().foreach(f => rm(f.toPath))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(store, "v0"))
+    val d12b = feed(1L, 2L).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(3), r.getLong(5))).toSet
+    assert(d12b == Set((1L, "update", "n1c", 12L)),
+      "the pruned feed must never read unchanged buckets' dirs")
+    intercept[IllegalStateException] {
+      MergeSink.bucketedSnapshotAt(spark, store, 2L).collect()
+    }
+    // and the feed's own bound: it refuses a dir it genuinely needs
+    intercept[IllegalStateException] { feed(0L, 2L).collect() }
+    intercept[IllegalArgumentException] { feed(2L, 2L) }
+  }
+
   test("ST10 bucketed: storeHistory lists retained commits newest-first with kinds") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_merge_history").toString
