@@ -743,6 +743,36 @@ object SparkEntry {
         .orderBy("mac")
     }),
 
+    // ---- CAPSTONE (r9): IVM driven by the change feed — the
+    //      materialized per-ssid (count, rssi-sum) view at v1 is
+    //      MAINTAINED to v3 by applying the typed feed as signed
+    //      deltas (update = retract old + assert new), never
+    //      rescanning the store; the oracle RECOMPUTES the v3 view
+    //      from scratch, so a feed that missed, duplicated or
+    //      misclassified any change would hash-mismatch. The
+    //      delta-maintenance contract a 100 TB rollup lives by:
+    //      O(changeset), not O(history). Every-7th-event slice ----
+    "capstone_store_ivm" -> ((s, d) => {
+      val store = buildCapstoneStore(s, d, everyNth = 7L)
+      val MS = graft.streaming.MergeSink
+      val baseState = MS.bucketedSnapshotAt(s, store, 1L)
+        .groupBy("ssid")
+        .agg(count(lit(1)).as("n"), sum("rssi").as("vsum"))
+      // the feed is read by BOTH delta branches (retract old / assert
+      // new) — materialize the changed-rows-sized table once
+      val feed = graft.operators.Checkpoint(
+        MS.storeChangesBetween(s, store, 1L, 3L))
+      val changes = feed.filter(col("change") =!= "insert")
+          .select(col("ssid_old").as("ssid"),
+            col("rssi_old").as("v"), lit(-1L).as("sgn"))
+        .unionByName(feed.filter(col("change") =!= "delete")
+          .select(col("ssid_new").as("ssid"),
+            col("rssi_new").as("v"), lit(1L).as("sgn")))
+      graft.operators.Snapshot.incrementalAgg(baseState, changes,
+          Seq("ssid"), "v", "sgn")
+        .orderBy("ssid")
+    }),
+
     // ---- CAPSTONE (r9): ERASURE (right-to-be-forgotten) over the
     //      store — every user_id ≡ 0 (mod 7) is erased from ALL
     //      retained history after ingest; the snapshot replays as the
@@ -3339,6 +3369,22 @@ object SparkEntry {
         |   OR s1.rssi IS DISTINCT FROM s2.rssi
         |   OR s1.freq IS DISTINCT FROM s2.freq
         |ORDER BY mac""".stripMargin,
+
+    // IVM: the engine maintains the v1 view with feed deltas; the
+    // oracle recomputes the v3 view directly from the end state of
+    // the CDC apply — recompute equivalence IS the check.
+    "capstone_store_ivm" ->
+      """WITH cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi
+        |FROM events WHERE event_id % 7 = 0),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |      FROM cdc),
+        |st AS (SELECT mac, ssid, rssi FROM w WHERE rn = 1 AND op = 'upsert')
+        |SELECT ssid, count(*)::BIGINT AS n, sum(rssi)::BIGINT AS vsum
+        |FROM st GROUP BY 1 ORDER BY ssid""".stripMargin,
 
     // Erasure: the CDC apply minus the erased subjects (user_id ≡ 0
     // mod 7) — erasure of a key never in the store is a no-op, so the
