@@ -33,6 +33,44 @@ object Quality {
         (col("r.n_violations") === 0L).as("pass"))
   }
 
+  /** Q2b — the same conditional-count rule metrics as [[validate]],
+    * but IN-FLIGHT: an `observe` node rides a query that is already
+    * running, so the gate costs ZERO extra scans (validate pays one
+    * pass — at 100 TB the check you can afford on every production
+    * job is the one that is free). Returns the instrumented frame,
+    * which computes exactly what `df` computes; the metrics
+    * (`n_rows`, one `v_<rule>` violation count per rule) surface as
+    * observed metrics after the frame's next action.
+    *
+    * Batch: pass an [[org.apache.spark.sql.Observation]] — its `get`
+    * blocks until the first action and yields the metric row.
+    * Streaming: use the name overload; each micro-batch's metrics
+    * arrive on `StreamingQueryProgress.observedMetrics(name)`
+    * (spec-verified for both arrival paths). Rules are the
+    * violation-predicate shapes [[validate]] takes — they compile to
+    * aggregate expressions, which is exactly observe's contract. */
+  def observedChecks(df: DataFrame, obs: org.apache.spark.sql.Observation,
+      rules: Seq[(String, Column)]): DataFrame = {
+    val ms = checkMetrics(rules)
+    df.observe(obs, ms.head, ms.tail: _*)
+  }
+
+  /** Streaming-capable overload (a named observation; per-micro-batch
+    * metrics on the query progress). */
+  def observedChecks(df: DataFrame, name: String,
+      rules: Seq[(String, Column)]): DataFrame = {
+    val ms = checkMetrics(rules)
+    df.observe(name, ms.head, ms.tail: _*)
+  }
+
+  private def checkMetrics(rules: Seq[(String, Column)]): Seq[Column] = {
+    require(rules.nonEmpty, "observedChecks needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    count(lit(1)).as("n_rows") +:
+      rules.map { case (n, violation) =>
+        coalesce(sum(when(violation, 1L).otherwise(0L)), lit(0L)).as(s"v_$n") }
+  }
+
   /** A16 — total-variation distance between the categorical
     * distributions of two snapshots: TVD = ½ Σ |p_c − q_c| over the
     * union of categories. A log-free drift score (unlike PSI/KL it

@@ -23,6 +23,40 @@ class QualitySpec extends SparkTestBase {
       "never" -> ((3L, 0L, true))))
   }
 
+  test("observedChecks: metrics ride the query's own action — batch Observation path") {
+    val df = Seq((1L, Some("ok"), 5L), (2L, None, -1L), (3L, Some("ok"), 5L))
+      .toDF("id", "v", "n")
+    val obs = new org.apache.spark.sql.Observation("gate")
+    val instrumented = Quality.observedChecks(df, obs, Seq(
+      "v_null" -> col("v").isNull,
+      "n_negative" -> (col("n") < 0)))
+    // the instrumented frame computes exactly what df computes
+    assert(instrumented.collect().toSet == df.collect().toSet)
+    val m = obs.get
+    assert(m("n_rows") == 3L, m.toString)
+    assert(m("v_v_null") == 1L && m("v_n_negative") == 1L, m.toString)
+  }
+
+  test("observedChecks: per-micro-batch metrics on the streaming progress") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val instrumented = Quality.observedChecks(
+      in.toDF().toDF("id", "n"), "gate", Seq("n_negative" -> (col("n") < 0)))
+    val q = instrumented.writeStream.format("noop").start()
+    try {
+      in.addData((1L, 5L), (2L, -1L), (3L, -2L))
+      q.processAllAvailable()
+      in.addData((4L, 7L))
+      q.processAllAvailable()
+      val perBatch = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("gate")))
+        .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("v_n_negative")))
+        .filter(_._1 > 0L)
+      assert(perBatch == Seq((3L, 2L), (1L, 0L)), perBatch.toString)
+    } finally q.stop()
+  }
+
   test("validate rejects duplicate rule names") {
     val df = Seq(1L).toDF("x")
     intercept[IllegalArgumentException] {
