@@ -560,6 +560,47 @@ object MergeSink {
           col(s"_o_$c").as(s"${c}_old"), col(s"_n_$c").as(s"${c}_new"))): _*)
   }
 
+  /** RESTORE — roll the store's head back to `version` (a table
+    * format's `RESTORE TABLE ... TO VERSION AS OF`): a new maintenance
+    * commit whose manifest and schema are COPIES of the restore
+    * point's, so no data moves at all — the old version dirs are
+    * simply referenced again, and the rolled-back-over history stays
+    * readable (the restore is itself a commit; time travel and the
+    * change feed see it like any other, so `storeChangesBetween(head,
+    * restored)` is exactly the rollback delta). Bounded by vacuum
+    * retention like every historical read; refuses a restore point
+    * whose manifest or referenced dirs are gone. Returns the new
+    * version. */
+  def restoreStore(spark: SparkSession, storeDir: String,
+      version: Long): Long = {
+    val latest = readLong(latestPath(storeDir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir has no committed version to restore"))
+    require(version >= 0 && version <= latest,
+      s"restore point $version outside this store's history [0, $latest]")
+    if (!Files.exists(manifestsDir(storeDir).resolve(version.toString)))
+      throw new IllegalStateException(
+        s"MergeSink: no manifest for v$version of $storeDir — the restore " +
+          "point was pruned by vacuum")
+    val manifest = readManifest(storeDir, version)
+    val target = readSchema(storeDir, version).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: no recorded schema for v$version of $storeDir"))
+    manifest.values.toSeq.distinct.sorted.foreach { v =>
+      if (!Files.exists(Paths.get(storeDir, s"v$v")))
+        throw new IllegalStateException(
+          s"MergeSink: restoring v$version of $storeDir needs data dir " +
+            s"v$v, which vacuum has reclaimed")
+    }
+    val newVersion = latest + 1
+    claimCommit(storeDir, newVersion, latest, -1L) // maintenance commit
+    writeManifest(storeDir, newVersion, manifest)
+    writeSchema(storeDir, newVersion, target)
+    writeLongAtomic(latestPath(storeDir), newVersion)
+    pruneCommitMarkers(storeDir)
+    newVersion
+  }
+
   /** The store's current commit counter — the newest version readers
     * resolve and the upper bound of [[bucketedSnapshotAt]]'s history.
     * None before the first commit. */

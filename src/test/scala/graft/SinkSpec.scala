@@ -646,6 +646,46 @@ class SinkSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { feed(2L, 2L) }
   }
 
+  test("ST10 bucketed: restore rolls the head back without moving data; history and feed see it") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_restore").toString
+    val store = s"$dir/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+    val vcols = Seq("name", "v")
+    def apply(rows: Seq[(Long, String, Long, String, Long)], id: Long): Unit =
+      MergeSink.applyBucketedBatch(rows.toDF("k", "op", "ver", "name", "v"),
+        id, store, "k", "op", "ver", vcols, nBuckets = 4)
+    def snap = MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    apply(Seq((1L, "upsert", 1L, "n1", 10L), (2L, "upsert", 1L, "n2", 20L)), 0L)
+    apply(Seq((1L, "upsert", 2L, "n1b", 11L)), 1L)
+    apply(Seq((2L, "delete", 3L, null.asInstanceOf[String], 0L),
+      (3L, "upsert", 3L, "n3", 30L)), 2L)
+    val atV1 = Set((1L, "n1b", 11L), (2L, "n2", 20L))
+    assert(snap == Set((1L, "n1b", 11L), (3L, "n3", 30L)))
+    // restore: a metadata-only commit — the head reads as v1 again
+    assert(MergeSink.restoreStore(spark, store, 1L) == 3L)
+    assert(snap == atV1, "restored head must read as the restore point")
+    // no data moved: v3 owns no data dir, only a manifest
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(store, "v3")))
+    // history shows the restore as a maintenance commit...
+    val hist = MergeSink.storeHistory(spark, store)
+      .select("version", "kind").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist(3L) == "maintenance", hist.toString)
+    // ...and the change feed across it is exactly the rollback delta
+    val feed = MergeSink.storeChangesBetween(spark, store, 2L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((2L, "insert"), (3L, "delete")), feed.toString)
+    // the store keeps taking batches after a restore
+    apply(Seq((4L, "upsert", 4L, "n4", 40L)), 3L)
+    assert(snap == atV1 + ((4L, "n4", 40L)))
+    intercept[IllegalArgumentException] {
+      MergeSink.restoreStore(spark, store, 99L)
+    }
+  }
+
   test("ST10 bucketed: storeHistory lists retained commits newest-first with kinds") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_merge_history").toString
