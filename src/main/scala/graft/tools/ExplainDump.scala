@@ -284,7 +284,32 @@ object ExplainDump {
       + "(bucket, key) count — strictly cheaper than the exchange it "
       + "predicts — then one bucket-partitioned window picks each "
       + "partition's heaviest key and a bucket-sized aggregate emits "
-      + "the 32-row report."))
+      + "the 32-row report."),
+
+    "q9_join_explosion" -> ("Pre-join cardinality probe (r9): two "
+      + "map-combined per-key counts (each HashAggregate pair shows "
+      + "the partial_count before its exchange), one KEY-table equi "
+      + "join — key-cardinality rows, never data rows — and a "
+      + "TakeOrderedAndProject for the top-k contributors. The exact "
+      + "total rides in from a separate 1-row bounded aggregate (the "
+      + "DSIR-λ idiom), so no plan node ever sees O(join output)."),
+
+    "capstone_store_cdf" -> ("Change data feed v1→v3 (r9): the plan "
+      + "reads ONLY the buckets whose manifest owner changed — the "
+      + "parquet scans under each side of the full-outer key join "
+      + "carry _bucket IN (...) partition filters resolved from the "
+      + "manifest diff, so unchanged buckets never reach an operator. "
+      + "The no-op filter (null-safe per-column equality) runs on the "
+      + "join output, which is changed-buckets-sized, not store-sized."),
+
+    "capstone_store_ivm" -> ("IVM over the feed (r9): the "
+      + "changed-rows-sized feed is checkpointed once (plan truncates "
+      + "at the scan of its materialization), the two signed delta "
+      + "branches union map-side, collapse in ONE map-combined "
+      + "groupBy, and a single full-outer merge joins them into the "
+      + "v1 state — no operator rescans the store; the raise_error "
+      + "negative-count guard sits inside the final filter predicate "
+      + "where the optimizer cannot prune it."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
