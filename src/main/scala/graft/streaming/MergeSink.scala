@@ -5,7 +5,7 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCo
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, pmod, when, xxhash64}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.StructType
@@ -846,20 +846,41 @@ object MergeSink {
     rewriteAll(spark, storeDir, Some(newNBuckets))
   }
 
+  /** Maintenance: OPTIMIZE ... ZORDER BY — compact the store AND sort
+    * each bucket's rows by `orderBy` (pass `ZOrder.zValue`/
+    * `hilbertIndex` of the hot filter columns for multi-dimensional
+    * locality, or plain columns for single-key clustering). Bucket
+    * membership is hash-determined and unchanged; the win is INSIDE
+    * each rewritten file: parquet writes column-chunk min/max over
+    * row groups, so a clustered file's statistics prune at row-group
+    * granularity and range scans touch contiguous bytes. Unlike
+    * [[compactBucketedStore]] this never no-ops on an already-compact
+    * store — re-sorting is the point. Content is bit-identical
+    * (sorting is a permutation); one new CAS-claimed maintenance
+    * commit, dead versions reclaimed by the next vacuum. */
+  def optimizeStore(spark: SparkSession, storeDir: String,
+      orderBy: Seq[Column]): Option[Long] = {
+    require(orderBy.nonEmpty, "optimizeStore needs at least one order column")
+    rewriteAll(spark, storeDir, None, orderBy)
+  }
+
   /** Shared body of compaction and re-bucketing: one full-store read,
     * one partitioned write, one commit. `newNBuckets = None` keeps the
     * existing bucket assignment (pure compaction — no hashing, rows
     * move dirs, not buckets); `Some(n)` re-derives `_bucket` from the
     * key column recorded in the schema's FIRST field. */
   private def rewriteAll(spark: SparkSession, storeDir: String,
-      newNBuckets: Option[Int]): Option[Long] = {
+      newNBuckets: Option[Int], sortCols: Seq[Column] = Nil): Option[Long] = {
     val latest = readLong(latestPath(storeDir)).getOrElse {
       newNBuckets.foreach(n => writeLongAtomic(nBucketsPath(storeDir), n.toLong))
       return None
     }
     val manifest = readManifest(storeDir, latest)
     val liveVersions = manifest.values.toSet
-    if (newNBuckets.isEmpty && liveVersions.size <= 1) return None // already compact
+    // plain compaction no-ops when already compact; an OPTIMIZE (sort)
+    // rewrite never does — re-clustering compact files is its job
+    if (newNBuckets.isEmpty && sortCols.isEmpty && liveVersions.size <= 1)
+      return None
     val target = readSchema(storeDir, latest).getOrElse(
       throw new IllegalStateException(
         s"MergeSink: $storeDir has no recorded schema — only stores written " +
@@ -884,8 +905,10 @@ object MergeSink {
     // cluster by `_bucket` so the rewrite lands as ONE file per bucket
     // — defragmenting is the point of compaction, and rebucketing's
     // re-derived `_bucket` is uncorrelated with the input file layout
-    current.repartition(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket")
+    val clustered = current.repartition(col("_bucket"))
+    val out = if (sortCols.isEmpty) clustered
+      else clustered.sortWithinPartitions(col("_bucket") +: sortCols: _*)
+    out.write.mode("overwrite").partitionBy("_bucket")
       .parquet(s"$storeDir/v$version")
     val buckets = {
       val s = Files.list(Paths.get(storeDir, s"v$version"))

@@ -686,6 +686,46 @@ class SinkSpec extends SparkTestBase {
     }
   }
 
+  test("ST10 bucketed: OPTIMIZE clusters rows inside each bucket, content-identical") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_optimize").toString
+    val store = s"$dir/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+    val vcols = Seq("name", "v")
+    def apply(rows: Seq[(Long, String, Long, String, Long)], id: Long): Unit =
+      MergeSink.applyBucketedBatch(rows.toDF("k", "op", "ver", "name", "v"),
+        id, store, "k", "op", "ver", vcols, nBuckets = 2)
+    // two batches seed 12 keys with DESCENDING v so no bucket file is
+    // accidentally pre-sorted by v
+    apply((1L to 6L).map(k => (k, "upsert", 1L, s"n$k", 100L - k)), 0L)
+    apply((7L to 12L).map(k => (k, "upsert", 2L, s"n$k", 100L - k)), 1L)
+    val before = MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name", "v").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val v = MergeSink.optimizeStore(spark, store, Seq(col("v")))
+    assert(v.contains(2L), v.toString)
+    // content is a permutation — the snapshot set is unchanged
+    val after = MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name", "v").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == before)
+    // and INSIDE each rewritten bucket file the rows are v-ascending
+    // (single file per bucket after the rewrite; single-file reads
+    // preserve row order)
+    val bucketDirs = new java.io.File(s"$store/v2").listFiles()
+      .filter(_.getName.startsWith("_bucket=")).map(_.getPath).toSeq
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { bd =>
+      assert(new java.io.File(bd).listFiles()
+        .count(_.getName.startsWith("part-")) == 1, s"$bd not defragmented")
+      val vs = spark.read.parquet(bd).select("v").collect().map(_.getLong(0)).toSeq
+      assert(vs == vs.sorted, s"$bd rows not clustered: $vs")
+    }
+    // unlike plain compaction, OPTIMIZE re-runs on a compact store
+    assert(MergeSink.compactBucketedStore(spark, store).isEmpty)
+    assert(MergeSink.optimizeStore(spark, store, Seq(col("v").desc)).contains(3L))
+  }
+
   test("ST10 bucketed: storeHistory lists retained commits newest-first with kinds") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_merge_history").toString
