@@ -2681,6 +2681,21 @@ object SparkEntry {
         Seq("event_type", "obs_date", "cohort"), "value_band", l = 3L)
         .orderBy("event_type", "obs_date", "cohort")),
 
+    // ---- Q5d: t-closeness — the distribution refinement completing
+    //      the k → l → t privacy ladder: each class's value-band
+    //      distribution must sit within ordered-EMD t of the global
+    //      one. Integer numerators, one exactly-representable double
+    //      division, micro-floored (identical IEEE result in DuckDB) ----
+    "q5d_t_closeness" -> ((s, d) =>
+      graft.operators.Governance.tCloseness(
+        ev(s, d).select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("obs_date"),
+          (col("user_id") % 25).as("cohort"),
+          floor(col("value") / 10.0).cast("long").as("value_band")),
+        Seq("event_type", "obs_date", "cohort"), "value_band",
+        tMicro = 200000L)
+        .orderBy("event_type", "obs_date", "cohort")),
+
     // ---- Q6: erasure propagation — a broadcast deletion batch probed
     //      map-side against every subject-keyed table; per-table
     //      erase/survive counts, no fact-side shuffle ----
@@ -5786,6 +5801,46 @@ object SparkEntry {
         |  count(DISTINCT floor(value / 10.0)::BIGINT) >= 3 AS diverse
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY event_type, obs_date, cohort""".stripMargin,
+
+    // t-closeness: ordered EMD of each class's value-band distribution
+    // vs the global one — integer cumulative numerators, ONE double
+    // division of exactly-representable integers (identical IEEE
+    // rounding in both engines), micro-floored. NULL sensitive rows
+    // leave both distributions; the final ×1e6 multiplies AFTER the
+    // division on both sides.
+    "q5d_t_closeness" ->
+      """WITH b AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS obs_date,
+        |  (user_id % 25)::BIGINT AS cohort, floor(value / 10.0)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT v, count(*)::BIGINT AS gn FROM b GROUP BY 1),
+        |gc AS (SELECT v, sum(gn) OVER (ORDER BY v)::BIGINT AS gcum FROM g),
+        |tot AS (SELECT coalesce(sum(gn), 0)::BIGINT AS n_total,
+        |               count(*)::BIGINT AS m FROM g),
+        |cls AS (SELECT event_type, obs_date, cohort, count(*)::BIGINT AS class_size
+        |        FROM b GROUP BY 1, 2, 3),
+        |cv AS (SELECT event_type, obs_date, cohort, v, count(*)::BIGINT AS c
+        |       FROM b GROUP BY 1, 2, 3, 4),
+        |cells AS (SELECT cls.event_type, cls.obs_date, cls.cohort,
+        |    cls.class_size, gc.v, gc.gcum, coalesce(cv.c, 0)::BIGINT AS c
+        |  FROM cls CROSS JOIN gc
+        |  LEFT JOIN cv ON cv.event_type IS NOT DISTINCT FROM cls.event_type
+        |    AND cv.obs_date IS NOT DISTINCT FROM cls.obs_date
+        |    AND cv.cohort IS NOT DISTINCT FROM cls.cohort AND cv.v = gc.v),
+        |cum AS (SELECT *, sum(c) OVER (PARTITION BY event_type, obs_date, cohort
+        |          ORDER BY v)::BIGINT AS ccum FROM cells),
+        |s AS (SELECT event_type, obs_date, cohort, class_size,
+        |    coalesce(sum(abs(tot.n_total * ccum - class_size * gcum)), 0)::BIGINT AS sn,
+        |    max(tot.n_total) AS n_total, max(tot.m) AS m
+        |  FROM cum, tot GROUP BY 1, 2, 3, 4),
+        |f AS (SELECT event_type, obs_date, cohort, class_size,
+        |    CASE WHEN m <= 1 THEN 0
+        |         ELSE floor(sn::DOUBLE / (class_size::DOUBLE * n_total::DOUBLE
+        |                * (m - 1)::DOUBLE) * 1000000.0)::BIGINT
+        |    END AS t_micro
+        |  FROM s)
+        |SELECT event_type, obs_date, cohort, class_size, t_micro,
+        |  t_micro <= 200000 AS close
+        |FROM f ORDER BY event_type, obs_date, cohort""".stripMargin,
 
     "q5b_k_anon_summary" ->
       """WITH c AS (

@@ -88,6 +88,75 @@ object Governance {
       .withColumn("diverse", col("n_sensitive") >= lit(l))
   }
 
+  /** Q5d — t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007):
+    * the distribution refinement completing the k → l → t ladder. An
+    * l-diverse class can still leak: if its sensitive-value
+    * DISTRIBUTION differs sharply from the table's (90% of one band
+    * vs 10% globally), matching the QIs alone shifts the adversary's
+    * posterior. Each class's distance to the global distribution must
+    * stay ≤ t, measured for an ORDINAL sensitive attribute by the
+    * ordered earth-mover's distance
+    *   t = (1/(m−1)) · Σ_i |CumP(i) − CumQ(i)|   (m ordered bins).
+    *
+    * Exact arithmetic: with per-class cumulative counts C_i (class
+    * size n) and global G_i (table size N), each term is
+    * |N·C_i − n·G_i| / (n·N); the numerators sum as plain longs
+    * (≤ m·n·N — inside 2^63 and, crucially, ≤ 2^53 at any audited
+    * scale so the ONE final double division is of exactly-represented
+    * integers: correctly rounded, hence identical in any IEEE engine),
+    * then micro-floored. m ≤ 1 means every class trivially matches
+    * the global distribution: t = 0.
+    *
+    * Scale shape: one map-combined (class, bin) count; the global
+    * distribution is a |bins|-row MODEL table (the caller bins the
+    * sensitive attribute — already the t-closeness methodology) that
+    * broadcasts onto the class table; per-class cums run under a
+    * window PARTITIONED by class. The one partitionless window and
+    * the two 1-/m-row broadcast cross joins are over model tables
+    * bounded by the binning, never by data (skyline / er_fs_weights
+    * precedents). NULL sensitive values disclose nothing and are
+    * excluded from BOTH distributions; NULL QIs form their own class
+    * exactly as in the k/l audits (null-safe joins throughout). */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String], sensitiveCol: String,
+      tMicro: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiIds.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(tMicro >= 0L, s"tMicro must be >= 0 (got $tMicro)")
+    val qs = quasiIds.map(col)
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select(qs :+ col(sensitiveCol).cast("long").as("_v"): _*)
+    val g0 = base.groupBy("_v").agg(count(lit(1)).as("_g"))
+    val gw = org.apache.spark.sql.expressions.Window.orderBy("_v")
+    val gcum = g0.select(col("_v"), sum("_g").over(gw).as("_gc"))
+    val totals = g0.agg(coalesce(sum("_g"), lit(0L)).as("_N"),
+      count(lit(1)).as("_m"))
+    val classes = base.groupBy(qs: _*).agg(count(lit(1)).as("class_size"))
+    val cv = base.groupBy(qs :+ col("_v"): _*).agg(count(lit(1)).as("_c"))
+      .select(quasiIds.map(q => col(q).as(s"_cv_$q")) :+
+        col("_v").as("_cv_v") :+ col("_c"): _*)
+    val cells = classes.crossJoin(broadcast(gcum))
+      .join(cv, quasiIds.map(q => col(q) <=> col(s"_cv_$q"))
+        .reduce(_ && _) && col("_v") === col("_cv_v"), "left")
+      .select(qs ++ Seq(col("class_size"), col("_v"), col("_gc"),
+        coalesce(col("_c"), lit(0L)).as("_c")): _*)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(qs: _*).orderBy("_v")
+    val terms = cells.withColumn("_cc", sum("_c").over(cw))
+      .crossJoin(broadcast(totals))
+      .groupBy(qs :+ col("class_size"): _*)
+      .agg(coalesce(sum(abs(col("_N") * col("_cc")
+          - col("class_size") * col("_gc"))), lit(0L)).as("_s"),
+        max("_N").as("_N"), max("_m").as("_m"))
+    terms.select(qs ++ Seq(col("class_size"),
+      when(col("_m") <= 1L, lit(0L)).otherwise(
+        floor(col("_s").cast("double")
+          / (col("class_size").cast("double") * col("_N").cast("double")
+            * (col("_m") - 1L).cast("double")) * lit(1000000.0))
+          .cast("long")).as("t_micro")): _*)
+      .withColumn("close", col("t_micro") <= lit(tMicro))
+  }
+
   /** Q6 apply — the erased view of one table: a broadcast left-anti
     * join against the request keys. Same probe as [[erasureReport]], so
     * report and apply cannot disagree. */

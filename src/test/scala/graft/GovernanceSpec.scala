@@ -69,6 +69,38 @@ class GovernanceSpec extends SparkTestBase {
     }
   }
 
+  test("tCloseness: ordered EMD vs the global distribution, hand-computed") {
+    // global over bins {0, 1}: 6/6, N = 12, m = 2. Classes A (all 0)
+    // and B (all 1) sit EMD 0.5 from global; class C (2/2) matches it.
+    val rows = (Seq.fill(4)(("A", Some(0L))) ++ Seq.fill(4)(("B", Some(1L)))
+      ++ Seq(("C", Some(0L)), ("C", Some(0L)), ("C", Some(1L)), ("C", Some(1L)),
+        ("C", None))) // NULL sensitive: excluded from BOTH distributions
+      .toDF("zip", "v")
+    val got = Governance.tCloseness(rows, Seq("zip"), "v", tMicro = 200000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // A: |12·4 − 4·6| / (4·12·1) = 24/48 = 0.5; B symmetric; C exact 0
+    assert(got("A") == ((4L, 500000L, false)), got.toString)
+    assert(got("B") == ((4L, 500000L, false)), got.toString)
+    assert(got("C") == ((4L, 0L, true)), got.toString)
+    // a NULL quasi-id forms its own class and its cells still join
+    // (null-safe): global 2/2, the null class holds both 0s -> t = 0.5
+    val nq = Seq((None: Option[String], 0L), (None, 0L),
+      (Some("a"), 1L), (Some("a"), 1L)).toDF("zip", "v")
+    val gotNq = Governance.tCloseness(nq, Seq("zip"), "v", 200000L)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotNq(None) == ((2L, 500000L)), gotNq.toString)
+    assert(gotNq(Some("a")) == ((2L, 500000L)), gotNq.toString)
+    // a single global bin (m = 1): every class trivially matches
+    val one = Seq(("x", 7L), ("y", 7L)).toDF("zip", "v")
+    assert(Governance.tCloseness(one, Seq("zip"), "v", 0L)
+      .collect().forall(r => r.getLong(2) == 0L && r.getBoolean(3)))
+    intercept[IllegalArgumentException] {
+      Governance.tCloseness(rows, Seq("v"), "v", 0L)
+    }
+  }
+
   test("erasure: NULL subject keys are never erased") {
     val facts = Seq(Some(1L), None, None).toDF("uid")
     val reqs = Seq(1L).toDF("subject")

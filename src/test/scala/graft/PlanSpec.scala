@@ -127,7 +127,11 @@ class PlanSpec extends SparkTestBase {
       "l3c_ivf_pinned", "l3e_pq_pinned", "l3f_ivfadc_pinned",
       // the 1-row corpus doc count broadcast onto the ≤C(topV,2)-row
       // PMI pair table — scalar-join idiom
-      "l4u_pmi")
+      "l4u_pmi",
+      // t-closeness: the |bins|-row global cumulative table and the
+      // 1-row (N, m) totals broadcast-crossed onto the class table —
+      // bounded by the caller's binning, not by data
+      "q5d_t_closeness")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
@@ -145,7 +149,11 @@ class PlanSpec extends SparkTestBase {
       // Skyline level 1: prefix-min across the |buckets| table —
       // bucketWidth sizes that table (hundreds of rows), not the data;
       // level 2 (the data-sized pass) partitions by bucket
-      "o5_skyline")
+      "o5_skyline",
+      // t-closeness: the global cumulative distribution is a
+      // |bins|-row model table (caller bins the sensitive attribute);
+      // the per-class cums partition by class
+      "q5d_t_closeness")
     // AQE's AdaptiveSparkPlanExec hides its subtree from collect();
     // plan structure is independent of it, so audit with it off
     val conf = spark.sessionState.conf
