@@ -33,6 +33,11 @@ object Bench {
     val mShufWrite = new java.util.concurrent.atomic.AtomicLong
     val mSpillDisk = new java.util.concurrent.atomic.AtomicLong
     val mSpillMem = new java.util.concurrent.atomic.AtomicLong
+    // CPU vs wall (the l2q lesson, one step past bytes): task CPU ns and
+    // task run ms separate a real plan regression (CPU grows) from host
+    // steal (wall grows, CPU flat) without re-running the round
+    val mCpuNs = new java.util.concurrent.atomic.AtomicLong
+    val mRunMs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
@@ -41,13 +46,16 @@ object Bench {
           mShufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           mSpillDisk.addAndGet(m.diskBytesSpilled)
           mSpillMem.addAndGet(m.memoryBytesSpilled)
+          mCpuNs.addAndGet(m.executorCpuTime)
+          mRunMs.addAndGet(m.executorRunTime)
         }
       }
     })
     def bytesSnap(): Array[Long] = {
       try org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       catch { case _: Throwable => () } // a timeout degrades precision, not the run
-      Array(mShufRead.get, mShufWrite.get, mSpillDisk.get, mSpillMem.get)
+      Array(mShufRead.get, mShufWrite.get, mSpillDisk.get, mSpillMem.get,
+        mCpuNs.get / 1000000L, mRunMs.get)
     }
     // Per-query min over repeated measurements: the host overcommits
     // vCPUs and steal bursts randomly inflate single measurements
@@ -185,11 +193,16 @@ object Bench {
       // per-query [shuffle read, shuffle write, disk spill, mem spill]
       // bytes from pass 1 — the scale signal wall-clock can't carry
       val bytes = bytesByQuery.toSeq.sortBy(_._1)
-        .map { case (k, b) => jq(k) + ":[" + b.mkString(",") + "]" }
+        .map { case (k, b) => jq(k) + ":[" + b.take(4).mkString(",") + "]" }
+        .mkString("{", ",", "}")
+      // per-query [task CPU ms, task run ms] from pass 1 — wall drift
+      // with flat CPU is host steal, not a plan change
+      val cpu = bytesByQuery.toSeq.sortBy(_._1)
+        .map { case (k, b) => jq(k) + ":[" + b.drop(4).mkString(",") + "]" }
         .mkString("{", ",", "}")
       val dropped = ok.keySet.diff(keptChosen).toSeq.sorted
         .map(jq).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"failed":$failed,"dropped":$dropped,"bytes":$bytes,"sf":${jq(sfName)}}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"failed":$failed,"dropped":$dropped,"bytes":$bytes,"cpu":$cpu,"sf":${jq(sfName)}}"""
     }
     try {
       val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
