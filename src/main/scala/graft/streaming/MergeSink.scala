@@ -88,29 +88,45 @@ object MergeSink {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** A held commit claim: the marker path plus the EXACT content this
+    * writer wrote (or adopted, for a streaming crash-replay). The
+    * content carries a per-claim nonce, so the pre-swap [[verifyClaim]]
+    * can tell OUR claim from a taken-over one even when the usurper
+    * wrote the same (parent, batchId) pair — two maintenance writers
+    * both carry batchId −1, content alone cannot distinguish them. */
+  private final case class Claim(marker: Path, content: String,
+      version: Long, storeDir: String)
+
   /** Concurrent-writer guard (CAS via exclusive marker creation): a
     * version is only allowed to swap `_latest` after durably claiming
-    * `_commits/<version>` (content = "<parent> <batchId>"; `Files.write
-    * (CREATE_NEW)` is atomic-exclusive) and then verifying no OTHER
-    * writer committed a version past that parent. Linearize on
+    * `_commits/<version>` (content = "<parent> <batchId> <nonce>";
+    * `Files.write(CREATE_NEW)` is atomic-exclusive) and then verifying
+    * no OTHER writer committed a version past that parent. Linearize on
     * marker-creation order: the later creator always sees the earlier
     * marker and fails; the earlier creator either passes (winner) or —
     * if its check ran after the later marker appeared — also fails
     * (zero winners, both loud, retry-able). A silent lost update (two
     * writers deriving from the same parent, the second swap clobbering
     * the first's changes) is thereby impossible. Markers are immutable
-    * history; a marker matching our (version, parent, batchId) triple
-    * is OUR crash-replay and passes through. An EMPTY or unparsable
-    * marker (crash between CREATE_NEW and the bytes reaching disk) is
-    * treated as a detected race/corruption with a recovery hint, never
-    * a NumberFormatException. A parent older than the pruning horizon
+    * history; a marker matching our (version, parent, batchId) with
+    * batchId ≥ 0 is OUR streaming crash-replay (the checkpoint
+    * guarantees one live writer per batchId) and passes through. A
+    * matching MAINTENANCE claim (batchId −1) is NOT assumed ours —
+    * an interrupted maintenance op re-runs as a new claim and must
+    * wait out the takeover lease like any recoverer (eraseKeys
+    * documents exactly this). An EMPTY or unparsable marker (crash
+    * between CREATE_NEW and the bytes reaching disk) is treated as a
+    * detected race/corruption with a recovery hint, never a
+    * NumberFormatException. A parent older than the pruning horizon
     * (`_commits/_horizon` = highest marker version ever pruned) is
     * refused outright: some version ≤ horizon > parent certainly
     * committed after that parent, the evidence just aged out.
     * Maintenance commits carry batchId −1. Throws
-    * [[java.util.ConcurrentModificationException]] on a detected race. */
+    * [[java.util.ConcurrentModificationException]] on a detected race.
+    * Returns the held [[Claim]] for [[withClaimHeartbeat]] /
+    * [[verifyClaim]]. */
   private def claimCommit(storeDir: String, version: Long, parent: Long,
-      batchId: Long): Unit = {
+      batchId: Long): Claim = {
     val dir = commitsDir(storeDir)
     Files.createDirectories(dir)
     readLong(dir.resolve("_horizon")).foreach { h =>
@@ -122,12 +138,19 @@ object MergeSink {
             "re-read the store and retry")
     }
     val marker = dir.resolve(version.toString)
-    try Files.write(marker, s"$parent $batchId".getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW)
-    catch { case _: FileAlreadyExistsException =>
+    val nonce =
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
+    val content = s"$parent $batchId $nonce"
+    def create(): Option[Claim] =
+      try {
+        Files.write(marker, content.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        Some(Claim(marker, content, version, storeDir))
+      } catch { case _: FileAlreadyExistsException => None }
+    val claim = create().getOrElse {
       val body = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim
       val parsed = body.split("\\s+").toSeq match {
-        case Seq(p, b) => for { pv <- p.toLongOption; bv <- b.toLongOption } yield (pv, bv)
+        case Seq(p, b, _*) => for { pv <- p.toLongOption; bv <- b.toLongOption } yield (pv, bv)
         case Seq(p) => p.toLongOption.map(pv => (pv, batchId)) // legacy marker
         case _ => None
       }
@@ -138,40 +161,57 @@ object MergeSink {
               s"(content: '$body') — a writer crashed mid-claim or the " +
               "file was damaged; verify no other writer is live, delete " +
               "the marker, and retry")
+        case Some((prevParent, prevBatch))
+            if prevParent == parent && prevBatch == batchId && batchId >= 0 =>
+          // our streaming crash-replay: adopt the existing marker as-is
+          // (its nonce, if any, is the one the pre-swap verify checks)
+          Claim(marker, body, version, storeDir)
         case Some((prevParent, prevBatch)) =>
-          if (prevParent != parent || prevBatch != batchId) {
-            // A claim whose writer died between claimCommit and the
-            // `_latest` swap would otherwise wedge the store forever:
-            // every later writer derives the SAME parent+1, hits this
-            // marker, and fails — while `_latest` never advances (a
-            // crashed compaction blocking the stream, or a crashed
-            // batch blocking a later compaction). Such a claim is
-            // recognizably ABANDONED when (a) it was derived from our
-            // parent, (b) `_latest` still points at that parent (the
-            // claimant never swapped), and (c) the marker has aged
-            // past the takeover lease — a LIVE racing writer's marker
-            // is fresh, so genuine two-writer races stay loud.
-            val stale = prevParent == parent &&
-              readLong(latestPath(storeDir)).getOrElse(-1L) == parent &&
-              (System.currentTimeMillis() -
-                Files.getLastModifiedTime(marker).toMillis) >= TakeoverLeaseMs
-            if (stale) {
-              val tmp = marker.resolveSibling(s".${marker.getFileName}.takeover")
-              Files.write(tmp, s"$parent $batchId".getBytes(StandardCharsets.UTF_8))
-              Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
-                StandardCopyOption.REPLACE_EXISTING)
-            } else
+          // A claim whose writer died between claimCommit and the
+          // `_latest` swap would otherwise wedge the store forever:
+          // every later writer derives the SAME parent+1, hits this
+          // marker, and fails — while `_latest` never advances (a
+          // crashed compaction blocking the stream, or a crashed
+          // batch blocking a later compaction). Such a claim is
+          // recognizably ABANDONED when (a) it was derived from our
+          // parent, (b) `_latest` still points at that parent (the
+          // claimant never swapped), and (c) the marker has aged
+          // past the takeover lease — a LIVE racing writer's marker
+          // is fresh (long rewrites heartbeat-refresh it, see
+          // [[withClaimHeartbeat]]), so genuine two-writer races
+          // stay loud.
+          val stale = prevParent == parent &&
+            readLong(latestPath(storeDir)).getOrElse(-1L) == parent &&
+            (System.currentTimeMillis() -
+              Files.getLastModifiedTime(marker).toMillis) >= TakeoverLeaseMs
+          if (stale) {
+            // CAS takeover: exactly one recoverer wins the atomic
+            // delete; the winner then re-enters the CREATE_NEW race
+            // (where a concurrent fresh claimant can still beat it —
+            // loudly). Two recoverers can never both hold the claim,
+            // the REPLACE_EXISTING hole the old move-based takeover
+            // had.
+            if (!Files.deleteIfExists(marker))
               throw new java.util.ConcurrentModificationException(
-                s"MergeSink: version $version of $storeDir was already " +
-                  s"committed against parent v$prevParent by batch $prevBatch, " +
-                  s"but this writer derived it from v$parent as batch $batchId " +
-                  "— a second writer is racing on this store; refusing the " +
-                  "lost update; re-read the store and retry. If that writer " +
-                  "is known dead (crashed between claim and swap), its claim " +
-                  s"expires ${TakeoverLeaseMs / 60000} min after the marker's " +
-                  s"mtime; to recover immediately, verify _latest still reads " +
-                  s"v$parent and delete _commits/$version")
-          }
+                s"MergeSink: another recoverer took over the abandoned " +
+                  s"claim on v$version of $storeDir first — re-read the " +
+                  "store and retry")
+            create().getOrElse(
+              throw new java.util.ConcurrentModificationException(
+                s"MergeSink: another writer re-claimed v$version of " +
+                  s"$storeDir during the takeover — re-read the store " +
+                  "and retry"))
+          } else
+            throw new java.util.ConcurrentModificationException(
+              s"MergeSink: version $version of $storeDir was already " +
+                s"committed against parent v$prevParent by batch $prevBatch, " +
+                s"but this writer derived it from v$parent as batch $batchId " +
+                "— a second writer is racing on this store; refusing the " +
+                "lost update; re-read the store and retry. If that writer " +
+                "is known dead (crashed between claim and swap), its claim " +
+                s"expires ${TakeoverLeaseMs / 60000} min after the marker's " +
+                s"mtime; to recover immediately, verify _latest still reads " +
+                s"v$parent and delete _commits/$version")
       }
     }
     val others = {
@@ -189,6 +229,48 @@ object MergeSink {
           s"writer read parent v$parent — refusing to swap v$version over " +
           "changes it never saw (lost update); re-read the store and retry")
     }
+    claim
+  }
+
+  /** Keep a held claim visibly ALIVE across a long rewrite: refresh
+    * the marker's mtime on a schedule (4× per lease) so compaction /
+    * optimize / erasure holding the claim for longer than the takeover
+    * lease — routine at the 100 TB scale the store targets — never
+    * looks abandoned to a concurrent writer's staleness check. */
+  private def withClaimHeartbeat[T](claim: Claim)(body: => T): T = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "mergesink-claim-heartbeat")
+        t.setDaemon(true); t
+      })
+    exec.scheduleAtFixedRate(new Runnable {
+      def run(): Unit =
+        try Files.setLastModifiedTime(claim.marker,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: Throwable => () } // marker gone → verifyClaim refuses the swap
+    }, TakeoverLeaseMs / 4, TakeoverLeaseMs / 4,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body finally exec.shutdownNow()
+  }
+
+  /** The last line of defense against a stalled writer resuming after
+    * its claim was taken over (GC pause / VM freeze past the lease
+    * despite the heartbeat): immediately before the `_latest` swap,
+    * re-read the marker and require it to still be EXACTLY ours (the
+    * nonce makes that decidable). On mismatch the swap is refused —
+    * the usurper's commit stands, our work is abandoned un-pointed-at,
+    * and no two writers ever publish the same version. */
+  private def verifyClaim(claim: Claim): Unit = {
+    val ok = Files.exists(claim.marker) &&
+      new String(Files.readAllBytes(claim.marker), StandardCharsets.UTF_8)
+        .trim == claim.content
+    if (!ok)
+      throw new java.util.ConcurrentModificationException(
+        s"MergeSink: the commit claim on v${claim.version} of " +
+          s"${claim.storeDir} was taken over before this writer's _latest " +
+          "swap (the writer stalled past the takeover lease); abandoning " +
+          "the swap — no pointer moved, the takeover's commit stands; " +
+          "re-read the store and retry")
   }
 
   /** Fold markers older than the last [[RetainMarkers]] into the
@@ -323,12 +405,15 @@ object MergeSink {
     // merely before the swap. A marker matching our (parent, batchId)
     // is our own crash-replay and passes through to rewrite the same
     // bytes.
-    claimCommit(storeDir, version, parent.getOrElse(-1L), batchId)
+    val claim = claimCommit(storeDir, version, parent.getOrElse(-1L), batchId)
     val base = parent.map(v => alignTo(spark.read.parquet(s"$storeDir/v$v"), target))
       .getOrElse(batch.select((key +: valueCols).map(col): _*).limit(0))
     val next = Snapshot.applyChanges(base, batch, key, opCol, verCol, valueCols)
-    next.write.mode("overwrite").parquet(s"$storeDir/v$version")
+    withClaimHeartbeat(claim) {
+      next.write.mode("overwrite").parquet(s"$storeDir/v$version")
+    }
     writeSchema(storeDir, version, target)
+    verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
     writeLongAtomic(lastBatchPath(storeDir), batchId)
     pruneCommitMarkers(storeDir)
@@ -439,13 +524,27 @@ object MergeSink {
     }
   }
 
+  /** Read one immutable BUCKETED version dir, with its RECORDED schema
+    * when the registry has it: spares a footer-inference pass per scan
+    * and — decisive after a full-bucket erasure — types a dir whose
+    * every part file was erased away, where inference would throw.
+    * `_bucket` rides along as the dir-derived partition column. */
+  private def readVersionDir(spark: SparkSession, storeDir: String,
+      v: Long): DataFrame =
+    readSchema(storeDir, v) match {
+      case Some(sc) => spark.read
+        .schema(sc.add("_bucket", org.apache.spark.sql.types.LongType))
+        .parquet(s"$storeDir/v$v")
+      case None => spark.read.parquet(s"$storeDir/v$v")
+    }
+
   /** The manifest fold both snapshot readers share: buckets grouped by
     * owning version → one partition-pruned scan per referenced dir. */
   private def snapshotFromManifest(spark: SparkSession, storeDir: String,
       manifest: Map[Long, Long], target: StructType): DataFrame = {
     val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
     byVersion.toSeq.sortBy(_._1).map { case (v, buckets) =>
-      alignTo(spark.read.parquet(s"$storeDir/v$v")
+      alignTo(readVersionDir(spark, storeDir, v)
         .filter(col("_bucket").isin(buckets: _*)), target) // partition-pruned
     }.foldLeft(spark.createDataFrame(
       new java.util.ArrayList[Row](), target))(_ unionByName _)
@@ -593,9 +692,10 @@ object MergeSink {
             s"v$v, which vacuum has reclaimed")
     }
     val newVersion = latest + 1
-    claimCommit(storeDir, newVersion, latest, -1L) // maintenance commit
+    val claim = claimCommit(storeDir, newVersion, latest, -1L) // maintenance commit
     writeManifest(storeDir, newVersion, manifest)
     writeSchema(storeDir, newVersion, target)
+    verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), newVersion)
     pruneCommitMarkers(storeDir)
     newVersion
@@ -633,9 +733,13 @@ object MergeSink {
         if (!Files.exists(marker)) ("unknown", None)
         else new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
           .trim.split("\\s+").toSeq match {
-            case Seq(_, b) => b.toLongOption match {
+            // markers are "parent batchId [nonce]"; a batch field that
+            // fails to parse is DAMAGE and must read as unknown, never
+            // masquerade as a legitimate batch commit with a null id
+            case Seq(_, b, _*) => b.toLongOption match {
               case Some(-1L) => ("maintenance", None)
-              case other     => ("batch", other)
+              case Some(x)   => ("batch", Some(x))
+              case None      => ("unknown", None)
             }
             case _ => ("unknown", None)
           }
@@ -693,7 +797,7 @@ object MergeSink {
         s"${keys.schema.fields.map(f => s"${f.name}: ${f.dataType.simpleString}")
           .mkString(", ")})")
     val version = latest + 1
-    claimCommit(storeDir, version, latest, -1L) // maintenance commit
+    val claim = claimCommit(storeDir, version, latest, -1L) // maintenance commit
     // the request's buckets: bounded by min(|request|, nBuckets)
     val affected = keys.select(bucketOf(keyField.name, nB.toInt).as("_b"))
       .distinct().collect().map(_.getLong(0)).toSet
@@ -711,6 +815,14 @@ object MergeSink {
       Files.deleteIfExists(path)
     }
     val erased = org.apache.spark.sql.functions.broadcast(keys)
+    // per-version RECORDED schemas, read once up front: a bucket whose
+    // every row was erased by a previous (possibly interrupted) run
+    // holds no part files, and schema INFERENCE on it would throw
+    // ("Unable to infer schema") instead of converging — the explicit
+    // schema types it as an empty frame. Pre-registry versions fall
+    // back to inference, guarded by the part-file check below.
+    val schemaByVersion: Map[Long, Option[StructType]] =
+      versionDirs.map(v => v -> readSchema(storeDir, v)).toMap
     // Every (version, bucket) rewrite owns a disjoint set of dirs and
     // is crash-safe in isolation, so they run CONCURRENTLY from a
     // bounded driver pool: on a cluster that is the standard
@@ -718,7 +830,7 @@ object MergeSink {
     // and it collapses the per-job scheduling round trips that would
     // otherwise serialize versions × buckets tiny rewrites.
     val tasks = for (v <- versionDirs; b <- affected.toSeq.sorted) yield (v, b)
-    if (tasks.nonEmpty) {
+    if (tasks.nonEmpty) withClaimHeartbeat(claim) {
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(math.min(tasks.size, 8))
       try tasks.map { case (v, b) =>
@@ -736,12 +848,26 @@ object MergeSink {
             if (Files.exists(bucketDir)) {
               if (Files.exists(backup)) rmTree(backup)
               if (Files.exists(tmp)) rmTree(tmp)
-              val kept = spark.read.parquet(bucketDir.toString)
-                .join(erased, Seq(keyField.name), "left_anti")
-              kept.write.mode("overwrite").parquet(tmp.toString)
-              Files.move(bucketDir, backup, StandardCopyOption.ATOMIC_MOVE)
-              Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
-              rmTree(backup)
+              // an already-empty bucket holds nothing of the subject's:
+              // skip the rewrite instead of re-writing emptiness (and,
+              // on a pre-registry version, instead of failing inference)
+              val hasParts = {
+                val s0 = Files.list(bucketDir)
+                try s0.iterator().asScala
+                  .exists(_.getFileName.toString.endsWith(".parquet"))
+                finally s0.close()
+              }
+              if (hasParts) {
+                val src = schemaByVersion(v) match {
+                  case Some(sc) => spark.read.schema(sc).parquet(bucketDir.toString)
+                  case None => spark.read.parquet(bucketDir.toString)
+                }
+                val kept = src.join(erased, Seq(keyField.name), "left_anti")
+                kept.write.mode("overwrite").parquet(tmp.toString)
+                Files.move(bucketDir, backup, StandardCopyOption.ATOMIC_MOVE)
+                Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
+                rmTree(backup)
+              }
             }
           }
         })
@@ -752,6 +878,7 @@ object MergeSink {
     // place), so the manifest carries over unchanged
     writeManifest(storeDir, version, readManifest(storeDir, latest))
     writeSchema(storeDir, version, target)
+    verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
     pruneCommitMarkers(storeDir)
     Some(version)
@@ -781,17 +908,17 @@ object MergeSink {
     }
     // claim-first, for the same same-parent-same-dir reason as
     // applyBatchFrom: refuse a racing writer before any file moves
-    claimCommit(storeDir, version, parent, batchId)
+    val claim = claimCommit(storeDir, version, parent, batchId)
     val touched = batch.select(bucketOf(key, nBuckets).as("_bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
-    if (touched.nonEmpty) {
+    if (touched.nonEmpty) withClaimHeartbeat(claim) {
       val emptyBase = batch.select((key +: valueCols).map(col): _*).limit(0)
       // the touched buckets' CURRENT rows, grouped by owning version
       // so each version dir is scanned once with partition pruning
       val base = touched.flatMap(b => manifest.get(b).map(v => (v, b)))
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (v, bs) =>
-          alignTo(spark.read.parquet(s"$storeDir/v$v")
+          alignTo(readVersionDir(spark, storeDir, v)
             .filter(col("_bucket").isin(bs.map(_._2): _*)), target)
         }
         .foldLeft(emptyBase)(_ unionByName _)
@@ -816,6 +943,7 @@ object MergeSink {
         .map(b => b -> version)
     writeManifest(storeDir, version, merged)
     writeSchema(storeDir, version, target)
+    verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
     writeLongAtomic(lastBatchPath(storeDir), batchId)
     pruneCommitMarkers(storeDir)
@@ -891,10 +1019,10 @@ object MergeSink {
       return None
     }
     val version = latest + 1
-    claimCommit(storeDir, version, latest, -1L) // maintenance commit
+    val claim = claimCommit(storeDir, version, latest, -1L) // maintenance commit
     val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
     val current = byVersion.toSeq.sortBy(_._1).map { case (v, buckets) =>
-      val df = spark.read.parquet(s"$storeDir/v$v")
+      val df = readVersionDir(spark, storeDir, v)
         .filter(col("_bucket").isin(buckets: _*))
       val have = df.columns.toSet
       val bucket = newNBuckets.map(n => bucketOf(keyCol, n)).getOrElse(col("_bucket"))
@@ -908,8 +1036,10 @@ object MergeSink {
     val clustered = current.repartition(col("_bucket"))
     val out = if (sortCols.isEmpty) clustered
       else clustered.sortWithinPartitions(col("_bucket") +: sortCols: _*)
-    out.write.mode("overwrite").partitionBy("_bucket")
-      .parquet(s"$storeDir/v$version")
+    withClaimHeartbeat(claim) {
+      out.write.mode("overwrite").partitionBy("_bucket")
+        .parquet(s"$storeDir/v$version")
+    }
     val buckets = {
       val s = Files.list(Paths.get(storeDir, s"v$version"))
       try s.iterator().asScala.map(_.getFileName.toString)
@@ -920,6 +1050,7 @@ object MergeSink {
     writeManifest(storeDir, version, buckets.map(_ -> version).toMap)
     writeSchema(storeDir, version, target)
     newNBuckets.foreach(n => writeLongAtomic(nBucketsPath(storeDir), n.toLong))
+    verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
     pruneCommitMarkers(storeDir)
     Some(version)
@@ -935,8 +1066,25 @@ object MergeSink {
     * markers fold into the `_horizon` watermark so stale writers still
     * fail loudly). Returns the versions removed. Safe to run any time
     * from the single writer (concurrent writers are already excluded
-    * by the CAS). */
-  def vacuumBucketedStore(storeDir: String): Seq[Long] = {
+    * by the CAS).
+    *
+    * RETENTION POLICY (what makes time travel, the change feed, and
+    * erasure auditing operationally usable — every table format ships
+    * one): `retainLast` = keep the newest N versions' read points
+    * materializable regardless of liveness (their dirs survive even
+    * when every bucket moved past them); `retainMillis` = keep any
+    * version whose COMMIT is younger than this (age = the manifest
+    * file's mtime, written at commit; falls back to the dir's own
+    * mtime for pre-manifest stores). A version inside either window is
+    * refused reclamation; outside both, liveness still rules — a dir
+    * a live bucket references is NEVER reclaimed no matter how old.
+    * Defaults (0, 0) are the original liveness-only behavior. Size the
+    * windows to the slowest time-travel reader / feed subscriber;
+    * reads past the horizon keep failing loudly, never partially. */
+  def vacuumBucketedStore(storeDir: String, retainLast: Int = 0,
+      retainMillis: Long = 0L): Seq[Long] = {
+    require(retainLast >= 0, s"retainLast must be >= 0 (got $retainLast)")
+    require(retainMillis >= 0, s"retainMillis must be >= 0 (got $retainMillis)")
     val latest = readLong(latestPath(storeDir)).getOrElse(return Seq.empty)
     val live = readManifest(storeDir, latest).values.toSet + latest
     val versions = {
@@ -945,7 +1093,15 @@ object MergeSink {
         .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption).toList
       finally s.close()
     }
-    val dead = versions.filter(v => v < latest && !live.contains(v)).sorted
+    val now = System.currentTimeMillis()
+    def youngerThanWindow(v: Long): Boolean = retainMillis > 0L && {
+      val manifest = manifestsDir(storeDir).resolve(v.toString)
+      val stamp = if (Files.exists(manifest)) manifest
+        else Paths.get(storeDir, s"v$v")
+      now - Files.getLastModifiedTime(stamp).toMillis < retainMillis
+    }
+    val dead = versions.filter(v => v < latest && !live.contains(v) &&
+      v <= latest - retainLast && !youngerThanWindow(v)).sorted
     if (dead.nonEmpty) {
       val cd = commitsDir(storeDir)
       Files.createDirectories(cd)
@@ -967,6 +1123,170 @@ object MergeSink {
       Files.deleteIfExists(commitsDir(storeDir).resolve(v.toString))
     }
     dead
+  }
+
+  // ------------------------------------------------------------------
+  // Store as a STREAMING SOURCE: the change-feed subscription
+  // ------------------------------------------------------------------
+  //
+  // The store can be written (MERGE sink), read (snapshots, time
+  // travel) and diffed (storeChangesBetween) — this section makes it
+  // SUBSCRIBABLE: the Delta-CDF `readStream` analogue the "Tracking /
+  // Arrival alerts" consumer (reference README.md:19) wants, a live
+  // feed of store changes instead of polled diffs. Per trigger the
+  // subscription delivers `storeChangesBetween(lastSeen, min(latest,
+  // lastSeen + versionsPerTrigger))` and then durably advances the
+  // subscriber's offset — Kafka-consumer-group style, one offset file
+  // per named subscriber under `storeDir/_subscribers/`.
+  //
+  // Delivery is AT-LEAST-ONCE (a crash between the handler and the
+  // offset write redelivers the range), upgraded to exactly-once
+  // effect by an idempotent handler — the standard foreachBatch
+  // contract, and [[maintainAggView]] below shows the pattern (its
+  // view store dedups on the delivered `to` version). The feed is a
+  // RANGE diff: net changes over (from, to], so a key that changed
+  // and changed back inside one trigger reports nothing — exactly the
+  // algebra delta-maintenance wants (deltas compose), and what keeps
+  // a lagging subscriber's catch-up O(changed buckets), not O(commits).
+  // Vacuum bounds the feed like every historical read: a subscriber
+  // whose `from` read point ages out fails LOUDLY on its next poll —
+  // size [[vacuumBucketedStore]]'s retention to the slowest subscriber.
+
+  private def subscribersDir(storeDir: String) = Paths.get(storeDir, "_subscribers")
+
+  /** A named subscriber's durable read position: the last store version
+    * whose changes it has fully processed. None before its first poll. */
+  def subscriberOffset(storeDir: String, subscriber: String): Option[Long] =
+    readLong(subscribersDir(storeDir).resolve(subscriber))
+
+  /** One poll of the change feed: deliver the typed changes
+    * `(from, min(latest, from + versionsPerTrigger)]` to `handler`
+    * (arguments: changes frame, fromVersion, toVersion), then durably
+    * advance the subscriber offset. A subscriber polling for the first
+    * time starts at `startAtVersion` (default: the CURRENT latest —
+    * future changes only; pass Some(0) to consume from the beginning);
+    * the start position is recorded without delivering. Returns true
+    * iff a range was delivered — false means caught-up (or an empty
+    * store). Public so tests and non-streaming consumers can drive the
+    * subscription deterministically; [[changeFeedStream]] wires it to
+    * a Structured Streaming trigger clock. */
+  def pollChanges(spark: SparkSession, storeDir: String, subscriber: String,
+      versionsPerTrigger: Int = 10, startAtVersion: Option[Long] = None)(
+      handler: (DataFrame, Long, Long) => Unit): Boolean = {
+    require(versionsPerTrigger >= 1,
+      s"versionsPerTrigger must be >= 1 (got $versionsPerTrigger)")
+    require(subscriber.nonEmpty && !subscriber.startsWith("_") &&
+      !subscriber.exists(c => c == '/' || c == '\\'),
+      s"subscriber must be a plain name (got '$subscriber')")
+    val latest = readLong(latestPath(storeDir)).getOrElse(return false)
+    val offsetPath = subscribersDir(storeDir).resolve(subscriber)
+    val from = readLong(offsetPath) match {
+      case Some(v) => v
+      case None =>
+        val init = math.min(startAtVersion.getOrElse(latest), latest)
+        Files.createDirectories(subscribersDir(storeDir))
+        writeLongAtomic(offsetPath, init)
+        init
+    }
+    if (latest <= from) false
+    else {
+      val to = math.min(latest, from + versionsPerTrigger)
+      handler(storeChangesBetween(spark, storeDir, from, to), from, to)
+      // advance AFTER the handler: at-least-once, the handler's
+      // idempotence (or its own `to`-keyed dedup) makes it exactly-once
+      writeLongAtomic(offsetPath, to)
+      true
+    }
+  }
+
+  /** The change feed as a LIVE Structured Streaming subscription: a
+    * trigger clock drives [[pollChanges]], so the subscription gets
+    * streaming's full lifecycle (start/stop/awaitTermination, trigger
+    * intervals, restart-from-checkpoint) while the REAL offsets live
+    * with the store (`_subscribers/<name>` — surviving checkpoint
+    * loss, shareable across drivers; the checkpoint only makes the
+    * clock restartable). `clock` defaults to the 1-row/s rate source;
+    * tests inject a MemoryStream-backed frame to fire triggers
+    * deterministically. Wire to `.start()`. */
+  def changeFeedStream(spark: SparkSession, storeDir: String,
+      subscriber: String, checkpoint: String, versionsPerTrigger: Int = 10,
+      startAtVersion: Option[Long] = None, clock: Option[DataFrame] = None)(
+      handler: (DataFrame, Long, Long) => Unit): DataStreamWriter[Row] = {
+    val ticks = clock.getOrElse(
+      spark.readStream.format("rate").option("rowsPerSecond", "1").load())
+    ticks.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        // drain the backlog inside the trigger, one rate-limited range
+        // at a time, so a lagging subscriber catches up at clock speed
+        // × versionsPerTrigger without unbounded single-range diffs
+        while (pollChanges(spark, storeDir, subscriber, versionsPerTrigger,
+          startAtVersion)(handler)) ()
+      }
+  }
+
+  /** LIVE IVM — the ST10 → T9 composition: maintain a materialized
+    * per-group (count, sum) view of the store from the change feed,
+    * never rescanning history. The view is itself a versioned store
+    * (plain snapshot protocol: `_latest` swap, CAS commit markers,
+    * `_lastBatch` replay guard keyed on the delivered `to` version —
+    * so a redelivered range is a no-op and the feed's at-least-once
+    * becomes exactly-once). The FIRST delivery bootstraps the view
+    * from the store snapshot at the subscription start, then every
+    * trigger applies the typed feed as signed deltas (update =
+    * retract old + assert new) — O(changeset), not O(history), the
+    * delta-maintenance contract a 100 TB rollup lives by. Read it
+    * back with [[currentViewState]]. */
+  def maintainAggView(spark: SparkSession, storeDir: String,
+      subscriber: String, viewDir: String, checkpoint: String,
+      groupCol: String, valueCol: String, versionsPerTrigger: Int = 10,
+      clock: Option[DataFrame] = None): DataStreamWriter[Row] =
+    changeFeedStream(spark, storeDir, subscriber, checkpoint,
+      versionsPerTrigger, startAtVersion = Some(0L), clock) { (feed, from, to) =>
+      applyFeedToView(spark, storeDir, feed, from, to, viewDir, groupCol, valueCol)
+    }
+
+  /** The maintained view's current contents (None before the first
+    * maintained trigger). */
+  def currentViewState(spark: SparkSession, viewDir: String): Option[DataFrame] =
+    readLong(latestPath(viewDir)).map(v => spark.read.parquet(s"$viewDir/v$v"))
+
+  /** One feed range applied to the view store — package-private so the
+    * spec can replay crash/redelivery interleavings directly. */
+  private[graft] def applyFeedToView(spark: SparkSession, storeDir: String,
+      feed0: DataFrame, from: Long, to: Long, viewDir: String,
+      groupCol: String, valueCol: String): Unit = {
+    if (alreadyApplied(viewDir, to)) return // redelivered range: no-op
+    Files.createDirectories(Paths.get(viewDir))
+    // the feed is read by BOTH delta branches — materialize the
+    // changed-rows-sized frame once
+    val feed = graft.operators.Checkpoint(feed0)
+    val deltas = feed.filter(col("change") =!= "insert")
+        .select(col(s"${groupCol}_old").as(groupCol),
+          col(s"${valueCol}_old").as("_v"), lit(-1L).as("_sgn"))
+      .unionByName(feed.filter(col("change") =!= "delete")
+        .select(col(s"${groupCol}_new").as(groupCol),
+          col(s"${valueCol}_new").as("_v"), lit(1L).as("_sgn")))
+    val base = readLong(latestPath(viewDir)) match {
+      case Some(v) => spark.read.parquet(s"$viewDir/v$v")
+      case None =>
+        // bootstrap: the view at the subscription's start snapshot
+        bucketedSnapshotAt(spark, storeDir, from)
+          .groupBy(col(groupCol))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+            coalesce(org.apache.spark.sql.functions.sum(col(valueCol)), lit(0L))
+              .cast("long").as("vsum"))
+    }
+    val next = Snapshot.incrementalAgg(base, deltas, Seq(groupCol), "_v", "_sgn")
+    val parent = readLong(latestPath(viewDir))
+    val version = parent.getOrElse(-1L) + 1
+    val claim = claimCommit(viewDir, version, parent.getOrElse(-1L), to)
+    next.write.mode("overwrite").parquet(s"$viewDir/v$version")
+    writeSchema(viewDir, version, next.schema)
+    verifyClaim(claim)
+    writeLongAtomic(latestPath(viewDir), version)
+    writeLongAtomic(lastBatchPath(viewDir), to)
+    pruneCommitMarkers(viewDir)
   }
 
   /** The bucketed sink: [[mergeSink]]'s wiring over

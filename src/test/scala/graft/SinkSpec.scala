@@ -876,6 +876,274 @@ class SinkSpec extends SparkTestBase {
     }
   }
 
+  test("ST10 bucketed: erasing a bucket's EVERY row converges on re-run; the store stays readable") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_erase_all").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // the one live bucket loses its every row: its dir now holds no
+    // part files, only _SUCCESS
+    assert(MergeSink.eraseKeys(spark, store, Seq(1L).toDF("k")).contains(1L))
+    // the fully-erased store still READS — as an empty frame typed by
+    // its recorded schema, at the head and at every retained point
+    // (schema inference over the part-less dirs would throw instead)
+    val cur = MergeSink.currentBucketedSnapshot(spark, store).get
+    assert(cur.columns.toSeq == Seq("k", "name", "v"))
+    assert(cur.count() == 0)
+    assert(MergeSink.bucketedSnapshotAt(spark, store, 0L).count() == 0)
+    // a SECOND erasure (the crash-retry path) converges idempotently
+    // instead of dying on the empty bucket dir it produced
+    assert(MergeSink.eraseKeys(spark, store, Seq(1L).toDF("k")).contains(2L))
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 0)
+    // and the store keeps serving writes
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 9L, "re", 99L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      Set((1L, "re", 99L)))
+  }
+
+  test("ST10: a LIVE maintenance claim is never silently adopted by a second maintenance writer") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_maint_live").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((k2, "upsert", 2L, "b", 20L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // another maintenance writer holds a FRESH claim on v2 with the
+    // identical (parent, batchId) = (1, -1) pair — content alone cannot
+    // distinguish it from a crash-replay of ourselves, which is exactly
+    // why the old pass-through was a two-writer hole; the nonce-aware
+    // protocol refuses until the lease expires
+    val marker = java.nio.file.Paths.get(store, "_commits", "2")
+    Files.write(marker, "1 -1 12345".getBytes)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      MergeSink.compactBucketedStore(spark, store)
+    }
+    assert(e.getMessage.contains("expires"), e.getMessage)
+    // once aged past the lease the takeover proceeds as usual
+    Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(0L))
+    assert(MergeSink.compactBucketedStore(spark, store).contains(2L))
+  }
+
+  test("ST10: two recoverers racing an abandoned claim — exactly one wins, the other is loud") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_race_takeover").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    val b0 = Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v")
+    MergeSink.applyBatch(b0, 0L, store, "k", "op", "ver", vcols)
+    // an abandoned, lease-expired claim on v1 from parent 0
+    val marker = java.nio.file.Paths.get(store, "_commits", "1")
+    Files.write(marker, "0 -1 777".getBytes)
+    Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(0L))
+    // two writers recover concurrently, both pinned to parent 0 (the
+    // deterministic shape of the race: even full serialization cannot
+    // let both pass — the second fails the committed-past-parent check)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 2).map { i =>
+      val t = new Thread(() => {
+        val b = Seq((10L + i, "upsert", 2L + i, s"w$i", 1L))
+          .toDF("k", "op", "ver", "name", "v")
+        try {
+          MergeSink.applyBatchFrom(Some(0L), b, 10L + i, store, "k", "op",
+            "ver", vcols)
+          outcomes.add("ok")
+        } catch {
+          case _: java.util.ConcurrentModificationException => outcomes.add("cme")
+          case e: Throwable => outcomes.add(s"other:${e.getClass.getSimpleName}")
+        }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(outcomes.asScala.toSeq.sorted == Seq("cme", "ok"),
+      s"exactly one recoverer must win (got $outcomes)")
+    // the winner's commit is intact and the store is consistent
+    val snap = MergeSink.currentSnapshot(spark, store, "k", vcols).get
+    assert(snap.count() == 2)
+  }
+
+  test("ST10 bucketed: storeHistory reports a DAMAGED marker as unknown, never as a batch commit") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_merge_hist_damage").toString
+    val store = s"$dir/store"
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    // corrupt the commit marker's batch field
+    Files.write(java.nio.file.Paths.get(store, "_commits", "0"),
+      "0 notanumber".getBytes)
+    val h = MergeSink.storeHistory(spark, store).collect()
+    assert(h.length == 1)
+    assert(h(0).getString(1) == "unknown",
+      s"damaged marker must be unknown, got ${h(0).getString(1)}")
+    assert(h(0).isNullAt(2))
+  }
+
+  test("ST10 source: pollChanges delivers rate-limited ranges whose replay equals every snapshot prefix") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_feed_poll").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L), (k2, "upsert", 1L, "b", 20L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 2L, "a2", 11L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((k2, "delete", 3L, null.asInstanceOf[String], 0L), (9L, "upsert", 3L, "c", 30L))
+        .toDF("k", "op", "ver", "name", "v"),
+      2L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    def snap(v: Long) = MergeSink.bucketedSnapshotAt(spark, store, v)
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // subscribe from the beginning, one version per poll: each delivered
+    // range, applied to the running state, reproduces that prefix's
+    // snapshot — the stream≡batch equivalence, at every prefix
+    var state = snap(0L)
+    var ranges = Seq.empty[(Long, Long)]
+    var delivered = true
+    while (delivered) {
+      delivered = MergeSink.pollChanges(spark, store, "s1",
+        versionsPerTrigger = 1, startAtVersion = Some(0L)) { (chg, from, to) =>
+        ranges :+= (from, to)
+        val rows = chg.collect()
+        rows.foreach { r =>
+          val k = r.getLong(r.fieldIndex("k"))
+          r.getString(r.fieldIndex("change")) match {
+            case "insert" =>
+              state += ((k, r.getString(r.fieldIndex("name_new")),
+                r.getLong(r.fieldIndex("v_new"))))
+            case "delete" =>
+              state = state.filterNot(_._1 == k)
+            case "update" =>
+              state = state.filterNot(_._1 == k) +
+                ((k, r.getString(r.fieldIndex("name_new")),
+                  r.getLong(r.fieldIndex("v_new"))))
+          }
+        }
+        assert(state == snap(to), s"replayed state at v$to diverged")
+      }
+    }
+    assert(ranges == Seq((0L, 1L), (1L, 2L)), s"got $ranges")
+    assert(MergeSink.subscriberOffset(store, "s1").contains(2L))
+    // a DEFAULT-start subscriber begins at the current head: nothing to
+    // deliver until the next commit, which then arrives exactly once
+    assert(!MergeSink.pollChanges(spark, store, "s2") { (_, _, _) => fail("no changes yet") })
+    assert(MergeSink.subscriberOffset(store, "s2").contains(2L))
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 9L, "a3", 12L)).toDF("k", "op", "ver", "name", "v"),
+      3L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    var got = Seq.empty[(Long, Long)]
+    assert(MergeSink.pollChanges(spark, store, "s2") { (_, f, t) => got :+= (f, t) })
+    assert(got == Seq((2L, 3L)))
+    assert(!MergeSink.pollChanges(spark, store, "s2") { (_, _, _) => fail("caught up") })
+  }
+
+  test("ST10 source: the LIVE IVM view equals a from-scratch recompute at every prefix; redelivery is a no-op") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_feed_ivm").toString
+    val store = s"$dir/store"
+    val viewDir = s"$dir/view"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    def recompute(v: Long): Set[(String, Long, Long)] =
+      MergeSink.bucketedSnapshotAt(spark, store, v)
+        .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("vsum"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def view(): Set[(String, Long, Long)] =
+      MergeSink.currentViewState(spark, viewDir).get
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "x", 10L), (k2, "upsert", 1L, "x", 20L), (9L, "upsert", 1L, "y", 5L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // the maintained view, driven by a test-controlled clock: one
+    // MemoryStream tick = one trigger of the real streaming query
+    val clock = MemoryStream[Int]
+    val q = MergeSink.maintainAggView(spark, store, "ivm", viewDir,
+      s"$dir/ckpt", "name", "v", clock = Some(clock.toDF())).start()
+    try {
+      // store evolves: update moves value mass, delete retracts a group
+      MergeSink.applyBucketedBatch(
+        Seq((1L, "upsert", 2L, "x", 11L)).toDF("k", "op", "ver", "name", "v"),
+        1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+      clock.addData(1); q.processAllAvailable()
+      assert(view() == recompute(1L), "view after v1")
+      MergeSink.applyBucketedBatch(
+        Seq((9L, "delete", 3L, null.asInstanceOf[String], 0L), (k2, "upsert", 3L, "z", 7L))
+          .toDF("k", "op", "ver", "name", "v"),
+        2L, store, "k", "op", "ver", vcols, nBuckets = 4)
+      clock.addData(2); q.processAllAvailable()
+      assert(view() == recompute(2L), "view after v2 (group y retracted, z born)")
+      assert(recompute(2L).map(_._1) == Set("x", "z"))
+    } finally q.stop()
+    // redelivery of an already-applied range (the at-least-once crash
+    // path) is a no-op: the view store dedups on the delivered `to`
+    val before = view()
+    val feed = MergeSink.storeChangesBetween(spark, store, 1L, 2L)
+    MergeSink.applyFeedToView(spark, store, feed, 1L, 2L, viewDir, "name", "v")
+    assert(view() == before, "redelivered range must not double-apply")
+  }
+
+  test("ST10 bucketed: vacuum retention windows hold read points; liveness still rules") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_vacuum_retain").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    // 4 commits rewriting the SAME key: every old version is dead by
+    // liveness the moment the next lands
+    (0 until 4).foreach { i =>
+      MergeSink.applyBucketedBatch(
+        Seq((1L, "upsert", i.toLong + 1, s"n$i", i.toLong))
+          .toDF("k", "op", "ver", "name", "v"),
+        i.toLong, store, "k", "op", "ver", vcols, nBuckets = 4)
+    }
+    // retainLast=3 keeps v1 and v2 materializable (plus the head v3)
+    assert(MergeSink.vacuumBucketedStore(store, retainLast = 3) == Seq(0L))
+    assert(MergeSink.bucketedSnapshotAt(spark, store, 1L).count() == 1)
+    assert(MergeSink.bucketedSnapshotAt(spark, store, 2L).count() == 1)
+    intercept[IllegalStateException] {
+      MergeSink.bucketedSnapshotAt(spark, store, 0L)
+    }
+    // a time window (1h) refuses every fresh commit…
+    assert(MergeSink.vacuumBucketedStore(store, retainMillis = 3600L * 1000).isEmpty)
+    // …and releases them once the commits age past it
+    Seq(1L, 2L).foreach { v =>
+      Files.setLastModifiedTime(
+        java.nio.file.Paths.get(store, "_manifests", v.toString),
+        java.nio.file.attribute.FileTime.fromMillis(0L))
+    }
+    assert(MergeSink.vacuumBucketedStore(store, retainMillis = 3600L * 1000) ==
+      Seq(1L, 2L))
+    // liveness always rules: the head's data dir survives any policy
+    assert(MergeSink.vacuumBucketedStore(store).isEmpty)
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 1)
+  }
+
   test("A8: approx_percentile lands within the exact interquartile range") {
     val sf = "/root/testdata/sf0.001"
     val exact = SparkEntry.queries("a8_percentiles")(spark, sf).collect()
