@@ -159,8 +159,14 @@ object Skew {
       .orderBy(col("out_rows").desc, col("key"))
       .limit(topK)
       .withColumn("share_ppm",
+        // through DECIMAL(38,0): out_rows can approach Long.MaxValue
+        // (this probe EXISTS to catch output explosions), and
+        // 1000000 * out_rows in long arithmetic silently wraps for
+        // exactly the hottest keys — 128-bit intermediate, then the
+        // exact integral divide back to a ≤10⁶ long
         if (total == 0L) lit(0L)
-        else expr(s"(1000000 * out_rows) DIV ${total}L"))
+        else expr("CAST((CAST(out_rows AS DECIMAL(38,0)) * 1000000) DIV " +
+          s"CAST(${total}L AS DECIMAL(38,0)) AS BIGINT)"))
       .withColumn("total_out_rows", lit(total))
   }
 
@@ -179,6 +185,9 @@ object Skew {
         max(when(col("_rn") === 1, col("_k"))).as("top_key"),
         max(when(col("_rn") === 1, col("_n"))).as("top_key_rows"))
       .withColumn("top_share_ppm",
-        expr("(1000000 * top_key_rows) DIV n_rows"))
+        // same 128-bit widening as joinCardinality's share_ppm: a
+        // single partition of a 100 TB exchange can carry >9.2e12 rows
+        expr("CAST((CAST(top_key_rows AS DECIMAL(38,0)) * 1000000) DIV " +
+          "CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)"))
   }
 }

@@ -76,6 +76,64 @@ object Trend {
     (zscore, c >= minRows && dev * dev > z.toLong * z * varc)
   }
 
+  /** W15 — Holt DOUBLE-exponential smoothing per key: level + trend,
+    * the two coupled recursive states that extrapolate a series where
+    * [[ewma]]'s single state only tracks it. The recursion cannot
+    * unroll into a bounded lag window (see
+    * [[org.apache.spark.sql.graft.HoltStatesExpr]]), so the plan is
+    * the irreducible shape of a per-key sequential fold: ONE shuffle
+    * on the key (`groupBy` + `sort_array(collect_list)`), the native
+    * fold expression over each packed series, and a map-side explode
+    * back to rows — O(series) state per key, series length the
+    * documented bound (the same bound any stateful per-key recursion
+    * carries; keys spread across the cluster). Emits the input's key /
+    * order / y columns plus `level`, `trend` and the one-step-ahead
+    * `forecast` = ℓ_t + b_t as RAW doubles in the input's units —
+    * display rounding is the caller's (the oracle-checked query
+    * quantizes to integer units, where the only rounding boundary is
+    * an exactly-representable .5 that both engines round identically;
+    * a fractional display round like round(x/100, 4) diverges between
+    * engines at decimal boundaries unrepresentable in binary).
+    *
+    * Engine-replay: states fold in IEEE doubles with an operation
+    * order the oracle's recursive CTE mirrors exactly — bit-identical
+    * doubles, then the caller's exact quantization. */
+  def holt(df: DataFrame, key: Seq[String], order: Seq[String], yCol: String,
+      alpha: Double = 0.5, beta: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1,
+      s"need 0 < alpha, beta <= 1 (got $alpha, $beta)")
+    require(order.nonEmpty, "need at least one order column")
+    val fields = order :+ yCol
+    val packed = df
+      .select((key ++ fields).distinct.map(col): _*)
+      .groupBy(key.map(col): _*)
+      .agg(sort_array(collect_list(struct(fields.map(col): _*))).as("_series"))
+    val series = transform(col("_series"), s => s.getField(yCol).cast("long"))
+    val states = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.HoltStatesExpr(
+        org.apache.spark.sql.graft.Bridge.expression(series), alpha, beta))
+    packed.withColumn("_states", states)
+      .select(key.map(col) :+
+        explode(arrays_zip(col("_series"), col("_states"))).as("_z"): _*)
+      .select(key.map(col) ++
+        order.map(o => col(s"_z._series.$o").as(o)) ++ Seq(
+        col(s"_z._series.$yCol").as(yCol),
+        (col("_z._states.level") + lit(0.0)).as("level"),
+        (col("_z._states.trend") + lit(0.0)).as("trend"),
+        (col("_z._states.level") + col("_z._states.trend") + lit(0.0))
+          .as("forecast")): _*)
+  }
+
+  /** The pure per-step transition [[holt]]'s native fold applies,
+    * extracted so specs (and a future streaming twin) provably run the
+    * same arithmetic. */
+  def holtStep(l: Double, b: Double, y: Double, alpha: Double,
+      beta: Double): (Double, Double) = {
+    val lNew = alpha * y + (1.0 - alpha) * (l + b)
+    val bNew = beta * (lNew - l) + (1.0 - beta) * b
+    (lNew, bNew)
+  }
+
   /** W14 — rolling z-score anomaly flag over the trailing `n` rows.
     * The flag is decided in EXACT integer arithmetic — |x − μ| > z·σ
     * rewritten denominator-free as (c·x − S₁)² > z²·(c·S₂ − S₁²) with

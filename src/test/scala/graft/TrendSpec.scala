@@ -68,4 +68,42 @@ class TrendSpec extends SparkTestBase {
       assert("hashpartitioning\\(k".r.findAllIn(p).size == 1, p.take(2000))
     }
   }
+
+  test("W15 Holt: engine fold equals the sequential holtStep reference; init and coupling exact") {
+    // interleaved keys prove per-key isolation; the ramp has nonzero
+    // trend so the coupled b-state actually matters
+    val df = Seq(
+      ("g", 1L, 10L), ("h", 1L, 5L), ("g", 2L, 20L), ("h", 2L, 5L),
+      ("g", 3L, 30L), ("g", 4L, 40L), ("h", 3L, 50L))
+      .toDF("k", "i", "y")
+    val got = Trend.holt(df, Seq("k"), Seq("i"), "y")
+      .orderBy("k", "i")
+      .select("k", "i", "level", "trend", "forecast")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    // sequential reference: the same holtStep arithmetic, per key
+    def ref(ys: Seq[Long]): Seq[(Double, Double)] =
+      ys.tail.scanLeft((ys.head.toDouble, 0.0)) { case ((l, b), y) =>
+        Trend.holtStep(l, b, y.toDouble, 0.5, 0.5)
+      }
+    val g = ref(Seq(10L, 20L, 30L, 40L))
+    val h = ref(Seq(5L, 5L, 50L))
+    val want = (g.zipWithIndex.map { case ((l, b), i) => ("g", i + 1L, l, b, l + b) } ++
+      h.zipWithIndex.map { case ((l, b), i) => ("h", i + 1L, l, b, l + b) })
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+    // hand-check the coupling on g's head: l2 = .5*20+.5*10 = 15,
+    // b2 = .5*(15-10) = 2.5, forecast2 = 17.5
+    assert(got(1) == ("g", 2L, 15.0, 2.5, 17.5))
+  }
+
+  test("W15 plan: one shuffle on the key, no window exec (groupBy fold + map-side explode)") {
+    val df = Seq(("g", 1L, 1L)).toDF("k", "i", "y")
+    val p = Trend.holt(df, Seq("k"), Seq("i"), "y")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("hashpartitioning\\(k".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Window ("), p.take(2000))
+    assert(p.contains("graft_holt_states"), p.take(2000))
+  }
 }
