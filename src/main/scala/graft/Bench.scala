@@ -90,6 +90,24 @@ object Bench {
         case None => all
       }
     }
+    // Pipeline construction is timed SEPARATELY from queries (VERDICT
+    // r9 #3: ~40 s of store building inside the timed windows drowned
+    // the plan-drift signal): the five capstone stores build ONCE here,
+    // populating SparkEntry's cache, so every timed capstone query
+    // below is a pure read. Skipped under SPARK_GRAFT_ONLY — a filtered
+    // capstone query just builds on demand inside its own timing, as
+    // any cold run would.
+    val pipeTimes: Seq[(String, Option[Double])] =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) Seq.empty
+      else SparkEntry.pipelines.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir); name -> Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] pipeline $name failed: ${e.getMessage}")
+          name -> None
+        }
+      }
+    val pipeTotal = pipeTimes.flatMap(_._2).sum
     // bytes are a deterministic property of the plan (unlike wall-clock
     // under steal), so pass 1 alone attributes them
     val bytesByQuery = scala.collection.mutable.LinkedHashMap[String, Array[Long]]()
@@ -139,12 +157,15 @@ object Bench {
       }
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
+    // `pipe` = store-construction seconds, kept OUT of the per-query
+    // timings and the total: queries time reads, pipelines time builds
+    val pipeJson = if (pipeTimes.isEmpty) "" else s""","pipe":${fmt(pipeTotal, 1)}"""
     def line(fmtQ: Double => String, kept: Set[String]): String = {
       val dropped = ok.size - kept.size
       val droppedJson = if (dropped == 0) "" else s""","n_qdropped":$dropped"""
       val qs = ok.toSeq.filter(kv => kept(kv._1)).sortBy(_._1)
         .map { case (k, v) => jq(k) + ":" + fmtQ(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$droppedJson$failedJson,"sf":${jq(sfName)}}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$droppedJson$failedJson$pipeJson,"sf":${jq(sfName)}}"""
     }
     // Hard byte budget: the line plus sbt's ~75-byte [success] trailer
     // must fit the driver's 2000-byte output tail, or the line truncates
@@ -202,9 +223,19 @@ object Bench {
         .mkString("{", ",", "}")
       val dropped = ok.keySet.diff(keptChosen).toSeq.sorted
         .map(jq).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"failed":$failed,"dropped":$dropped,"bytes":$bytes,"cpu":$cpu,"sf":${jq(sfName)}}"""
+      // store-construction cost, per pipeline — separate from queries
+      // so plan drift in the reads stays visible round-over-round
+      val pipes = pipeTimes.collect { case (k, Some(v)) => jq(k) + ":" + fmt(v, 2) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"failed":$failed,"dropped":$dropped,"bytes":$bytes,"cpu":$cpu,"pipelines":$pipes,"pipe_total":${fmt(pipeTotal, 2)},"sf":${jq(sfName)}}"""
     }
-    try {
+    // A filtered local run (SPARK_GRAFT_ONLY set) must never replace the
+    // full-surface evidence artifact with a partial one (the vanishing-
+    // query failure mode VERDICT r8 #8 flagged): skip the write entirely
+    // — the stdout line still carries the filtered timings for iteration.
+    if (sys.env.contains("SPARK_GRAFT_ONLY"))
+      System.err.println("[bench] SPARK_GRAFT_ONLY set — not overwriting bench_full.json")
+    else try {
       val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
       try w.println(fullJson) finally w.close()
     } catch { case e: Throwable =>

@@ -780,15 +780,13 @@ object SparkEntry {
     //      removal itself (time travel no longer shows the subject)
     //      is the SinkSpec erasure case; this row pins the end state
     //      against DuckDB ----
-    "capstone_store_erasure" -> ((s, d) => {
-      val store = buildCapstoneStore(s, d, everyNth = 2L)
-      val victims = ev(s, d).filter(col("user_id") % 7 === 0)
-        .select(upper(lpad(hex(col("user_id")), 12, "0")).as("mac")).distinct()
-      graft.streaming.MergeSink.eraseKeys(s, store, victims)
-      graft.streaming.MergeSink.currentBucketedSnapshot(s, store).get
+    "capstone_store_erasure" -> ((s, d) =>
+      // the build-and-erase is the PIPELINE (cached, timed by Bench's
+      // pipelines section); the query is the post-erasure read
+      graft.streaming.MergeSink
+        .currentBucketedSnapshot(s, erasedCapstoneStore(s, d)).get
         .select("mac", "ssid", "rssi", "freq")
-        .orderBy("mac")
-    }),
+        .orderBy("mac")),
 
     // ---- domain: MAC↔SSID network tree (ssidentity.c:36) ----
     "net_tree_edges" -> ((s, d) =>
@@ -2905,6 +2903,28 @@ object SparkEntry {
           Seq("user_id"), Seq(col("ts"), col("event_id")), col("y"),
           n = 16, z = 2, minRows = 4)
         .select("user_id", "event_id", "zscore", "is_anomaly")
+        .orderBy("user_id", "event_id")),
+
+    // ---- W15: Holt double-exponential smoothing — level + trend,
+    //      the two coupled recursive states single smoothing lacks.
+    //      Genuinely unbounded recursion (no fixed-lag unroll): the
+    //      engine runs a native per-key fold over the packed series;
+    //      the oracle replays it as a recursive CTE performing the
+    //      IDENTICAL IEEE double ops in the identical order — doubles
+    //      are bit-equal before the display rounding ----
+    "w15_holt" -> ((s, d) =>
+      graft.operators.Trend.holt(
+          ev(s, d).select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("y")),
+          Seq("user_id"), Seq("ts", "event_id"), "y")
+        // states quantized to integer centi-units: the doubles are
+        // bit-identical across engines, and integer rounding's only
+        // boundary (an exactly-representable .5) rounds the same both
+        // sides — no fractional-display divergence
+        .select(col("user_id"), col("event_id"),
+          round(col("level")).cast("long").as("level_c"),
+          round(col("trend")).cast("long").as("trend_c"),
+          round(col("forecast")).cast("long").as("forecast_c"))
         .orderBy("user_id", "event_id")),
 
     // ---- O5: 2-D Pareto frontier (skyline) via the two-level bucketed
@@ -5713,7 +5733,7 @@ object SparkEntry {
         |SELECT bucket, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
         |  max(CASE WHEN rn = 1 THEN k END) AS top_key,
         |  max(CASE WHEN rn = 1 THEN n END)::BIGINT AS top_key_rows,
-        |  ((1000000 * max(CASE WHEN rn = 1 THEN n END)) // sum(n))::BIGINT AS top_share_ppm
+        |  ((max(CASE WHEN rn = 1 THEN n END)::HUGEINT * 1000000) // sum(n))::BIGINT AS top_share_ppm
         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q9_join_explosion" ->
@@ -5725,7 +5745,7 @@ object SparkEntry {
         |      FROM lc JOIN rc USING (key)),
         |t AS (SELECT sum(out_rows)::BIGINT AS total FROM c)
         |SELECT key, n_left, n_right, out_rows,
-        |  ((1000000 * out_rows) // t.total)::BIGINT AS share_ppm,
+        |  ((out_rows::HUGEINT * 1000000) // t.total)::BIGINT AS share_ppm,
         |  t.total AS total_out_rows
         |FROM c, t ORDER BY out_rows DESC, key LIMIT 20""".stripMargin,
 
@@ -6127,6 +6147,29 @@ object SparkEntry {
         |  (c >= 4 AND (c * y - s1) * (c * y - s1) > 4 * (c * s2 - s1 * s1))
         |    AS is_anomaly
         |FROM b ORDER BY user_id, event_id""".stripMargin,
+
+    // Holt replayed as the recursive CTE running the engine fold's
+    // EXACT double ops in the exact order (ℓ recomputed inside b's
+    // formula, matching holtStep) — bit-identical states, then the
+    // same exact integer quantization on both sides.
+    "w15_holt" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, event_id, rn, y::DOUBLE AS l, 0.0::DOUBLE AS tr
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.rn,
+        |    0.5 * b.y + 0.5 * (r.l + r.tr),
+        |    0.5 * ((0.5 * b.y + 0.5 * (r.l + r.tr)) - r.l) + 0.5 * r.tr
+        |  FROM rec r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id,
+        |  CAST(round(l) AS BIGINT) AS level_c,
+        |  CAST(round(tr) AS BIGINT) AS trend_c,
+        |  CAST(round(l + tr) AS BIGINT) AS forecast_c
+        |FROM rec ORDER BY user_id, event_id""".stripMargin,
 
     "o5_skyline" ->
       """WITH d AS (
@@ -6641,6 +6684,52 @@ object SparkEntry {
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** Cache of built capstone stores, keyed (sfDir, everyNth, erased):
+    * the five capstones each need their own event slice (their oracles
+    * replay that slice), but within one JVM — a Verify dump, or
+    * Bench's repeated passes — each store builds ONCE; later calls are
+    * pure reads. Builds serialize under the map's monitor, which also
+    * makes the stale-workdir sweep race-free: only tmp dirs owned by
+    * no live cache entry are reclaimed. */
+  private val capstoneCache =
+    scala.collection.mutable.Map[(String, Long, Boolean), String]()
+
+  /** The store-building pipelines the capstone queries read from —
+    * exposed so Bench can time CONSTRUCTION separately from the reads
+    * (VERDICT r9 #3: ~40 s of fixture building inside the timed query
+    * window drowned the plan-drift signal the bench exists to carry).
+    * Each entry populates the capstone cache; the corresponding
+    * capstone query then costs only its read. */
+  def pipelines: Map[String, (SparkSession, String) => Unit] = Map(
+    "build_store_full"   -> ((s, d) => { buildCapstoneStore(s, d, 1L); () }),
+    "build_store_n3"     -> ((s, d) => { buildCapstoneStore(s, d, 3L); () }),
+    "build_store_n5"     -> ((s, d) => { buildCapstoneStore(s, d, 5L); () }),
+    "build_store_n7"     -> ((s, d) => { buildCapstoneStore(s, d, 7L); () }),
+    "build_store_erased" -> ((s, d) => { erasedCapstoneStore(s, d); () }))
+
+  private def buildCapstoneStore(s: SparkSession, d: String,
+      everyNth: Long): String = capstoneCache.synchronized {
+    capstoneCache.getOrElseUpdate((d, everyNth, false),
+      buildCapstoneStoreUncached(s, d, everyNth))
+  }
+
+  /** The erasure capstone's store: built on the every-2nd slice, then
+    * every user_id ≡ 0 (mod 7) erased from ALL retained history — the
+    * erasure is part of the PIPELINE (cached with the store), so the
+    * capstone query itself is a pure snapshot read and repeated bench
+    * passes don't re-pay the history rewrite. Erasure is idempotent,
+    * so a cold-cache re-run converges to the same state regardless. */
+  private def erasedCapstoneStore(s: SparkSession, d: String): String =
+    capstoneCache.synchronized {
+      capstoneCache.getOrElseUpdate((d, 2L, true), {
+        val store = buildCapstoneStoreUncached(s, d, 2L)
+        val victims = ev(s, d).filter(col("user_id") % 7 === 0)
+          .select(upper(lpad(hex(col("user_id")), 12, "0")).as("mac")).distinct()
+        graft.streaming.MergeSink.eraseKeys(s, store, victims)
+        store
+      })
+    }
+
   /** Shared builder for the ingest→store capstones: synthesizes the s2
     * upload log from `events` (optionally the deterministic
     * `event_id % everyNth == 0` slice, so the extra capstones stay
@@ -6649,7 +6738,7 @@ object SparkEntry {
     * (`IngestPipeline.fromFileLog`, one micro-batch per file) → frame
     * parser → bucketed MERGE sink — to a fresh store. Returns the
     * store dir (4 committed versions, batch i ↦ version i). */
-  private def buildCapstoneStore(s: SparkSession, d: String,
+  private def buildCapstoneStoreUncached(s: SparkSession, d: String,
       everyNth: Long): String = {
     import java.nio.file.{Files => JFiles}
     val e0 = ev(s, d)
@@ -6672,16 +6761,19 @@ object SparkEntry {
         // the breaks (unbase64 decodes unwrapped input fine)
         regexp_replace(base64(unhex(hexFrame)), "[\\r\\n]", "")).as("value"),
       col("event_id").as("eid"))
-    // sweep PREVIOUS capstone work dirs first: the three capstone
-    // queries run (and materialize) sequentially, so any existing
-    // graft_capstone* tree is a finished query's leftovers — without
-    // the sweep a full bench/verify run leaks ~10 MB × builds × passes
-    // into the temp dir
+    // sweep STALE capstone work dirs first (a previous JVM's leftovers
+    // — this JVM's builds are cached and reused, never rebuilt): any
+    // graft_capstone* tree owned by no live cache entry is a finished
+    // run's garbage; without the sweep repeated bench/verify runs leak
+    // ~10 MB × builds into the temp dir. Runs under the cache monitor
+    // (the only caller), so a cached store is never swept mid-read.
     locally {
+      val live = capstoneCache.values.toSet
       val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       val s0 = JFiles.list(tmpRoot)
       try s0.iterator().asScala
         .filter(_.getFileName.toString.startsWith("graft_capstone"))
+        .filterNot(p => live.exists(_.startsWith(p.toString + "/")))
         .foreach { p =>
           JFiles.walk(p).iterator().asScala.toList.reverseIterator
             .foreach(q => JFiles.deleteIfExists(q))

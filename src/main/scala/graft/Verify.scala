@@ -23,18 +23,37 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // remove any previous round's output for this query — a stale
-        // parquet here would let the DuckDB compare score a broken
-        // query as passing
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(s"$outDir/$name"))
-        ()
-      }
+    // Queries dump CONCURRENTLY (SPARK_GRAFT_VERIFY_PAR threads, default
+    // 3): Spark schedules jobs from multiple threads fine, each query's
+    // single-threaded planning overlaps another's execution, and the
+    // dump is what dominates the driver's ~40-min correctness gate
+    // (VERDICT r9 #2). Queries share no mutable state — the one shared
+    // fixture, the capstone store cache, serializes its builds under
+    // its own monitor — and each writes its own outDir subdir. Set
+    // SPARK_GRAFT_VERIFY_PAR=1 for the serial path.
+    val par = sys.env.get("SPARK_GRAFT_VERIFY_PAR").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
+    val dumpOne: ((String, (SparkSession, String) => org.apache.spark.sql.DataFrame)) => Unit = {
+      case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // remove any previous round's output for this query — a stale
+          // parquet here would let the DuckDB compare score a broken
+          // query as passing
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$outDir/$name"))
+          ()
+        }
+    }
+    if (par <= 1) selected.foreach(dumpOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try selected.toSeq.map { kv =>
+        pool.submit(new Runnable { def run(): Unit = dumpOne(kv) })
+      }.foreach(_.get())
+      finally pool.shutdown()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
