@@ -311,6 +311,43 @@ object ExplainDump {
       + "negative-count guard sits inside the final filter predicate "
       + "where the optimizer cannot prune it."))
 
+  /** Per-query measured cost pulled from the committed bench artifact
+    * (VERDICT r9 #6: a plan's SHAPE and its measured COST should sit
+    * together, so a plan whose bytes moved round-over-round is visible
+    * right where the plan is read). Returns the cost header line, or
+    * None when the artifact lacks the query. */
+  private def costHeader(name: String): Option[String] = {
+    val p = Paths.get("bench_full.json")
+    if (!Files.exists(p)) return None
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8"))
+      def num(v: JValue): Option[Double] = v match {
+        case JDouble(d) => Some(d)
+        case JInt(i) => Some(i.toDouble)
+        case JLong(l) => Some(l.toDouble)
+        case _ => None
+      }
+      def arr(section: String): Option[List[Double]] =
+        (j \ section \ name) match {
+          case JArray(xs) => Some(xs.flatMap(num))
+          case _ => None
+        }
+      val sf = (j \ "sf") match { case JString(s) => s; case _ => "?" }
+      val wall = num(j \ "queries" \ name)
+      def mb(b: Double) = f"${b / 1048576.0}%.1f MiB"
+      (wall, arr("bytes"), arr("cpu")) match {
+        case (Some(w), Some(List(sr, sw, sd, sm)), Some(List(cpuMs, runMs))) =>
+          val spill = if (sd + sm == 0) "no spill" else s"spill ${mb(sd + sm)}"
+          Some(f"Measured ($sf, bench_full.json): wall $w%.2f s, task-CPU " +
+            f"${cpuMs / 1000.0}%.1f s / task-run ${runMs / 1000.0}%.1f s, " +
+            s"shuffle ${mb(sr)} read / ${mb(sw)} written, $spill.")
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -322,11 +359,16 @@ object ExplainDump {
     sb.append("# EXPLAIN — headline physical plans\n\n")
     sb.append("Formatted plans for the plan shapes `PlanSpec` pins structurally\n")
     sb.append("(regenerate: `sbt \"runMain graft.tools.ExplainDump\"`; sf0.001,\n")
-    sb.append("local[4] — shapes, not sizes, are the point).\n")
+    sb.append("local[4] — shapes, not sizes, are the point). Each plan\n")
+    sb.append("carries its measured cost from the committed bench artifact\n")
+    sb.append("(sf0.1): shape and price side by side — compare the shuffle\n")
+    sb.append("bytes against the previous round's EXPLAIN.md to spot plan\n")
+    sb.append("drift (`scripts/bench_drift.py` automates the diff).\n")
     for ((name, note) <- annotated) {
       val p = graft.SparkEntry.queries(name)(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
-      sb.append(s"\n## $name\n\n$note\n\n```\n${p.trim}\n```\n")
+      val cost = costHeader(name).map(c => s"\n_${c}_\n").getOrElse("")
+      sb.append(s"\n## $name\n\n$note\n$cost\n```\n${p.trim}\n```\n")
     }
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes("UTF-8"))
     println(s"[explain] wrote EXPLAIN.md (${annotated.size} plans)")
