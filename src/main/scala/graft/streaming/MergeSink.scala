@@ -461,6 +461,43 @@ object MergeSink {
   // over a version it never saw.
 
   private def manifestsDir(storeDir: String) = Paths.get(storeDir, "_manifests")
+  private def originPath(storeDir: String) = Paths.get(storeDir, "_origin")
+  private def clonesDir(storeDir: String) = Paths.get(storeDir, "_clones")
+
+  /** Resolve version dir `v` for possibly-CLONED stores: the local dir
+    * when it exists, else up the `_origin` chain (a clone references
+    * its source's immutable dirs by number — zero copies; local dirs
+    * SHADOW origin ones, so post-clone commits and localizing rewrites
+    * win automatically). None when no link in the chain has it. */
+  private def resolveDataDir(storeDir: String, v: Long): Option[Path] = {
+    var dir = storeDir
+    var hops = 0
+    while (hops < 64) { // cycle guard; clone chains are shallow in practice
+      val p = Paths.get(dir, s"v$v")
+      if (Files.exists(p)) return Some(p)
+      val o = originPath(dir)
+      if (!Files.exists(o)) return None
+      dir = new String(Files.readAllBytes(o), StandardCharsets.UTF_8).trim
+      hops += 1
+    }
+    None
+  }
+
+  /** [[readSchema]] up the origin chain — pre-clone version dirs keep
+    * their recorded schemas in the SOURCE's registry. */
+  private def resolveSchema(storeDir: String, v: Long): Option[StructType] = {
+    var dir = storeDir
+    var hops = 0
+    while (hops < 64) {
+      val s = readSchema(dir, v)
+      if (s.isDefined) return s
+      val o = originPath(dir)
+      if (!Files.exists(o)) return None
+      dir = new String(Files.readAllBytes(o), StandardCharsets.UTF_8).trim
+      hops += 1
+    }
+    None
+  }
 
   private def readManifest(storeDir: String, version: Long): Map[Long, Long] = {
     val p = manifestsDir(storeDir).resolve(version.toString)
@@ -530,13 +567,15 @@ object MergeSink {
     * every part file was erased away, where inference would throw.
     * `_bucket` rides along as the dir-derived partition column. */
   private def readVersionDir(spark: SparkSession, storeDir: String,
-      v: Long): DataFrame =
-    readSchema(storeDir, v) match {
+      v: Long): DataFrame = {
+    val path = resolveDataDir(storeDir, v).getOrElse(Paths.get(storeDir, s"v$v"))
+    resolveSchema(storeDir, v) match {
       case Some(sc) => spark.read
         .schema(sc.add("_bucket", org.apache.spark.sql.types.LongType))
-        .parquet(s"$storeDir/v$v")
-      case None => spark.read.parquet(s"$storeDir/v$v")
+        .parquet(path.toString)
+      case None => spark.read.parquet(path.toString)
     }
+  }
 
   /** The manifest fold both snapshot readers share: buckets grouped by
     * owning version → one partition-pruned scan per referenced dir. */
@@ -576,7 +615,7 @@ object MergeSink {
       throw new IllegalStateException(
         s"MergeSink: no recorded schema for v$version of $storeDir"))
     manifest.values.toSeq.distinct.sorted.foreach { v =>
-      if (!Files.exists(Paths.get(storeDir, s"v$v")))
+      if (resolveDataDir(storeDir, v).isEmpty)
         throw new IllegalStateException(
           s"MergeSink: v$version of $storeDir references data dir v$v, " +
             "which vacuum has reclaimed — this read point is no longer " +
@@ -634,7 +673,7 @@ object MergeSink {
     val p1 = m1.filter { case (b, _) => changed(b) }
     val p2 = m2.filter { case (b, _) => changed(b) }
     (p1.values.toSeq ++ p2.values.toSeq).distinct.sorted.foreach { v =>
-      if (!Files.exists(Paths.get(storeDir, s"v$v")))
+      if (resolveDataDir(storeDir, v).isEmpty)
         throw new IllegalStateException(
           s"MergeSink: the change feed v$fromVersion→v$toVersion of " +
             s"$storeDir needs data dir v$v, which vacuum has reclaimed")
@@ -686,7 +725,7 @@ object MergeSink {
       throw new IllegalStateException(
         s"MergeSink: no recorded schema for v$version of $storeDir"))
     manifest.values.toSeq.distinct.sorted.foreach { v =>
-      if (!Files.exists(Paths.get(storeDir, s"v$v")))
+      if (resolveDataDir(storeDir, v).isEmpty)
         throw new IllegalStateException(
           s"MergeSink: restoring v$version of $storeDir needs data dir " +
             s"v$v, which vacuum has reclaimed")
@@ -706,6 +745,75 @@ object MergeSink {
     * None before the first commit. */
   def latestVersion(storeDir: String): Option[Long] =
     readLong(latestPath(storeDir))
+
+  /** SHALLOW CLONE — zero-copy branch of a bucketed store (a table
+    * format's `CREATE TABLE ... SHALLOW CLONE`): `dstDir` starts life
+    * as a new store whose head equals `srcDir`'s CURRENT snapshot,
+    * referencing the source's immutable version dirs by number through
+    * an `_origin` link — no data moves at all. Branch and source then
+    * evolve independently: the branch's post-clone commits write LOCAL
+    * dirs, which SHADOW same-numbered origin dirs in resolution order,
+    * and the source's later commits are invisible to the branch (its
+    * manifests never name them). Branch history starts at the clone
+    * point — earlier read points were deliberately not copied.
+    *
+    * The registration under the source's `_clones/` pins every dir the
+    * clone point references against the SOURCE's vacuum until
+    * [[releaseClone]] (the cross-store analogue of the liveness rule);
+    * the branch's own vacuum reclaims origin-referencing read points
+    * once outside retention, so compact-then-vacuum fully LOCALIZES a
+    * branch — which [[eraseKeys]] requires before erasing on one.
+    * Returns the branch head version (= the source's clone point). */
+  def cloneStore(spark: SparkSession, srcDir: String, dstDir: String): Long = {
+    val latest = readLong(latestPath(srcDir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"MergeSink: $srcDir has no committed version to clone"))
+    if (!Files.exists(manifestsDir(srcDir).resolve(latest.toString)))
+      throw new IllegalStateException(
+        s"MergeSink: $srcDir@v$latest has no manifest — only bucketed " +
+          "stores support shallow clones")
+    val dst = Paths.get(dstDir)
+    if (Files.exists(dst)) {
+      val s0 = Files.list(dst)
+      val nonEmpty = try s0.iterator().hasNext finally s0.close()
+      require(!nonEmpty, s"MergeSink: clone target $dstDir is not empty")
+    }
+    Files.createDirectories(dst)
+    val srcAbs = Paths.get(srcDir).toAbsolutePath.normalize.toString
+    Files.write(originPath(dstDir), srcAbs.getBytes(StandardCharsets.UTF_8))
+    writeManifest(dstDir, latest, readManifest(srcDir, latest))
+    readSchema(srcDir, latest).foreach(writeSchema(dstDir, latest, _))
+    readLong(nBucketsPath(srcDir)).foreach(writeLongAtomic(nBucketsPath(dstDir), _))
+    // the clone lands in the branch's own history as a maintenance
+    // commit, so storeHistory reads sensibly from the first moment
+    Files.createDirectories(commitsDir(dstDir))
+    val nonce =
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
+    Files.write(commitsDir(dstDir).resolve(latest.toString),
+      s"${latest - 1} -1 $nonce".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    writeLongAtomic(latestPath(dstDir), latest)
+    // register with the source so ITS vacuum retains what we reference
+    Files.createDirectories(clonesDir(srcDir))
+    writeLongAtomic(clonesDir(srcDir).resolve(cloneId(dstDir)), latest)
+    latest
+  }
+
+  /** Deterministic registration id for a clone target (md5 of its
+    * absolute path) — re-cloning the same target re-registers instead
+    * of leaking a second pin. */
+  def cloneId(dstDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(Paths.get(dstDir).toAbsolutePath.normalize.toString
+        .getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** Release a branch's pin on its source's vacuum — run once the
+    * branch is localized (compact + vacuum) or deleted. Returns
+    * whether a registration existed. */
+  def releaseClone(srcDir: String, dstDir: String): Boolean =
+    Files.deleteIfExists(clonesDir(srcDir).resolve(cloneId(dstDir)))
 
   /** DESCRIBE HISTORY — one row per commit still materializable (its
     * manifest survives vacuum), newest first: the version, its kind
@@ -796,6 +904,31 @@ object MergeSink {
         s"'${keyField.name}: ${keyField.dataType.simpleString}' (got " +
         s"${keys.schema.fields.map(f => s"${f.name}: ${f.dataType.simpleString}")
           .mkString(", ")})")
+    // A CLONE references its SOURCE's dirs by number; erasure must not
+    // rewrite another store's files, and silently skipping them would
+    // leave the subject's data readable through this store's history.
+    // Refuse until the clone is localized: optimizeStore/compact (one
+    // local rewrite) + vacuum (drops the origin-referencing manifests).
+    if (Files.exists(originPath(storeDir))) {
+      val foreign = {
+        val s0 = Files.list(manifestsDir(storeDir))
+        try s0.iterator().asScala.map(_.getFileName.toString)
+          .flatMap(_.toLongOption).toList.sorted
+          .flatMap(m => readManifest(storeDir, m).values.toSeq.distinct
+            .filterNot(v => Files.exists(Paths.get(storeDir, s"v$v")))
+            .map(v => s"v$m -> v$v"))
+        finally s0.close()
+      }
+      if (foreign.nonEmpty)
+        throw new IllegalStateException(
+          s"MergeSink: $storeDir is a shallow clone whose history still " +
+            s"references its origin's data (${foreign.take(4).mkString(", ")}" +
+            s"${if (foreign.size > 4) ", …" else ""}) — erasure cannot " +
+            "rewrite another store's files; localize first (optimizeStore " +
+            "or compactBucketedStore, then vacuumBucketedStore) and retry, " +
+            "and erase in the origin store as well if the subject predates " +
+            "the clone")
+    }
     val version = latest + 1
     val claim = claimCommit(storeDir, version, latest, -1L) // maintenance commit
     // the request's buckets: bounded by min(|request|, nBuckets)
@@ -1086,7 +1219,26 @@ object MergeSink {
     require(retainLast >= 0, s"retainLast must be >= 0 (got $retainLast)")
     require(retainMillis >= 0, s"retainMillis must be >= 0 (got $retainMillis)")
     val latest = readLong(latestPath(storeDir)).getOrElse(return Seq.empty)
-    val live = readManifest(storeDir, latest).values.toSet + latest
+    // SOURCE-side clone protection: a registered shallow clone
+    // references this store's dirs by number — retain every dir its
+    // clone-point manifest names (plus the manifest itself) until
+    // [[releaseClone]]; an unreadable clone point falls back to
+    // retaining everything at or below it (fail-safe, never partial)
+    val cloneKeep: Set[Long] = {
+      val cd = clonesDir(storeDir)
+      if (!Files.exists(cd)) Set.empty
+      else {
+        val s0 = Files.list(cd)
+        val points = try s0.iterator().asScala.toList.flatMap(p => readLong(p))
+          finally s0.close()
+        points.flatMap { k =>
+          if (Files.exists(manifestsDir(storeDir).resolve(k.toString)))
+            readManifest(storeDir, k).values.toSet + k
+          else (0L to k).toSet
+        }.toSet
+      }
+    }
+    val live = readManifest(storeDir, latest).values.toSet + latest ++ cloneKeep
     val versions = {
       val s = Files.list(Paths.get(storeDir))
       try s.iterator().asScala.map(_.getFileName.toString)
@@ -1102,6 +1254,29 @@ object MergeSink {
     }
     val dead = versions.filter(v => v < latest && !live.contains(v) &&
       v <= latest - retainLast && !youngerThanWindow(v)).sorted
+    // CLONE-side localization: a read point whose data resolves through
+    // the origin (no local dir for itself or a referenced version) pins
+    // this branch to its source; outside the retention windows it is
+    // reclaimed like a dead dir — after one compaction this leaves the
+    // branch fully LOCAL (erasure requires that, see eraseKeys)
+    if (Files.exists(originPath(storeDir)) && Files.exists(manifestsDir(storeDir))) {
+      val ms = {
+        val s0 = Files.list(manifestsDir(storeDir))
+        try s0.iterator().asScala.map(_.getFileName.toString)
+          .flatMap(_.toLongOption).toList.sorted
+        finally s0.close()
+      }
+      ms.filter(m => m < latest && m <= latest - retainLast &&
+          !youngerThanWindow(m) &&
+          !Files.exists(Paths.get(storeDir, s"v$m")) &&
+          readManifest(storeDir, m).values
+            .exists(v => !Files.exists(Paths.get(storeDir, s"v$v"))))
+        .foreach { m =>
+          Files.deleteIfExists(manifestsDir(storeDir).resolve(m.toString))
+          Files.deleteIfExists(schemasDir(storeDir).resolve(m.toString))
+          Files.deleteIfExists(commitsDir(storeDir).resolve(m.toString))
+        }
+    }
     if (dead.nonEmpty) {
       val cd = commitsDir(storeDir)
       Files.createDirectories(cd)

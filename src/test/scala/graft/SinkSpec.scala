@@ -1144,6 +1144,74 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 1)
   }
 
+  test("ST10 clone: zero-copy branch — independent evolution, source-vacuum pin, localization unlocks erasure") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_clone").toString
+    val src = s"$dir/src"
+    val br = s"$dir/branch"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L), (k2, "upsert", 1L, "b", 20L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, src, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 2L, "a2", 11L)).toDF("k", "op", "ver", "name", "v"),
+      1L, src, "k", "op", "ver", vcols, nBuckets = 4)
+    // the clone: head == source snapshot, and ZERO parquet moved
+    assert(MergeSink.cloneStore(spark, src, br) == 1L)
+    assert(rows(MergeSink.currentBucketedSnapshot(spark, br).get) ==
+      Set((1L, "a2", 11L), (k2, "b", 20L)))
+    assert(new java.io.File(br).listFiles().forall(f => !f.getName.startsWith("v")),
+      "a shallow clone must own no data dirs")
+    // independent evolution: branch writes shadow, source is untouched…
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 9L, "branch", 99L)).toDF("k", "op", "ver", "name", "v"),
+      0L, br, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(rows(MergeSink.currentBucketedSnapshot(spark, br).get) ==
+      Set((1L, "branch", 99L), (k2, "b", 20L)))
+    assert(rows(MergeSink.currentBucketedSnapshot(spark, src).get) ==
+      Set((1L, "a2", 11L), (k2, "b", 20L)))
+    // …and source writes are invisible to the branch
+    MergeSink.applyBucketedBatch(
+      Seq((k2, "upsert", 3L, "src3", 30L)).toDF("k", "op", "ver", "name", "v"),
+      2L, src, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(rows(MergeSink.currentBucketedSnapshot(spark, br).get) ==
+      Set((1L, "branch", 99L), (k2, "b", 20L)))
+    // branch time travel works at the clone point, refuses before it
+    assert(rows(MergeSink.bucketedSnapshotAt(spark, br, 1L)) ==
+      Set((1L, "a2", 11L), (k2, "b", 20L)))
+    intercept[IllegalStateException] {
+      MergeSink.bucketedSnapshotAt(spark, br, 0L)
+    }
+    // the registration pins the source's vacuum: src v0/v1 dirs stay
+    // even though src's own head no longer needs v0 for key 1
+    assert(MergeSink.vacuumBucketedStore(src).isEmpty,
+      "clone-referenced dirs must survive the source vacuum")
+    // erasure on a non-localized branch refuses loudly
+    val e = intercept[IllegalStateException] {
+      MergeSink.eraseKeys(spark, br, Seq(1L).toDF("k"))
+    }
+    assert(e.getMessage.contains("localize"), e.getMessage)
+    // localization: compact (one local rewrite) + vacuum (drops the
+    // origin-referencing read points) → erasure now proceeds
+    assert(MergeSink.compactBucketedStore(spark, br).contains(3L))
+    MergeSink.vacuumBucketedStore(br)
+    assert(MergeSink.eraseKeys(spark, br, Seq(1L).toDF("k")).contains(4L))
+    assert(rows(MergeSink.currentBucketedSnapshot(spark, br).get) ==
+      Set((k2, "b", 20L)))
+    // release the pin: the source may now reclaim its dead history
+    assert(MergeSink.releaseClone(src, br))
+    assert(MergeSink.vacuumBucketedStore(src).nonEmpty)
+    assert(rows(MergeSink.currentBucketedSnapshot(spark, src).get) ==
+      Set((1L, "a2", 11L), (k2, "src3", 30L)))
+  }
+
   test("A8: approx_percentile lands within the exact interquartile range") {
     val sf = "/root/testdata/sf0.001"
     val exact = SparkEntry.queries("a8_percentiles")(spark, sf).collect()
