@@ -6305,13 +6305,13 @@ object SparkEntry {
          |     ELSE 0 END)""".stripMargin
     }.mkString("\n   + ")
     s"""WITH RECURSIVE ${FsEmCtesSql(iters, FsEmIterSql)},
-       |wt AS (SELECT * FROM (
+       |wt AS MATERIALIZED (SELECT * FROM (
        |${fieldIdx.map { case (n, j) => FsEmOutRowSql(n, j, iters) }
         .mkString("\n  UNION ALL\n")})),
-       |pw AS (SELECT a.pk AS a_pk, b.pk AS b_pk,
+       |pw AS MATERIALIZED (SELECT a.pk AS a_pk, b.pk AS b_pk,
        |  ($score) AS score
        |  FROM krecs a JOIN krecs b ON a.blk = b.blk AND a.pk < b.pk),
-       |links AS (SELECT a_pk AS s, b_pk AS d FROM pw WHERE score > 0
+       |links AS MATERIALIZED (SELECT a_pk AS s, b_pk AS d FROM pw WHERE score > 0
        |          UNION ALL SELECT b_pk, a_pk FROM pw WHERE score > 0),
        |reach(node, lab) AS (
        |  SELECT pk, pk FROM recs
@@ -6337,13 +6337,19 @@ object SparkEntry {
     * EM round (closure over the field arity). */
   private def FsEmCtesSql(iters: Int, iterSql: Int => String): String = {
     val fi = 0 until 4
+    // krecs/pat AS MATERIALIZED: every iteration CTE (and, in the link
+    // query, 12 scalar weight subqueries) references this chain — left
+    // inlined, DuckDB re-ran the blocked PAIR JOIN once per reference,
+    // turning a ~10 s oracle into a ~15 MINUTE one (the round-9/10
+    // driver-gate heavy tail). Materialization pins it to ONE pass;
+    // values are unchanged.
     s"""recs AS (SELECT p.p_partkey AS pk, split_part(p.p_name, ' ', 1) AS blk,
        |  length(p.p_name)::VARCHAR AS f0, right(p.p_name, 3) AS f1,
        |  split_part(p.p_name, ' ', 2) AS f2, p.p_size::VARCHAR AS f3
        |  FROM part p),
        |kb AS (SELECT blk FROM recs GROUP BY blk HAVING count(*) BETWEEN 2 AND 8192),
-       |krecs AS (SELECT recs.* FROM recs JOIN kb USING (blk)),
-       |pat AS (SELECT (a.f0 IS NOT DISTINCT FROM b.f0) AS e0, (a.f1 IS NOT DISTINCT FROM b.f1) AS e1,
+       |krecs AS MATERIALIZED (SELECT recs.* FROM recs JOIN kb USING (blk)),
+       |pat AS MATERIALIZED (SELECT (a.f0 IS NOT DISTINCT FROM b.f0) AS e0, (a.f1 IS NOT DISTINCT FROM b.f1) AS e1,
        |    (a.f2 IS NOT DISTINCT FROM b.f2) AS e2, (a.f3 IS NOT DISTINCT FROM b.f3) AS e3, count(*)::BIGINT AS n
        |  FROM krecs a JOIN krecs b ON a.blk = b.blk AND a.pk < b.pk
        |  GROUP BY 1, 2, 3, 4),
