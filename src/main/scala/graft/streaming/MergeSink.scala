@@ -1338,18 +1338,25 @@ object MergeSink {
     * `(from, min(latest, from + versionsPerTrigger)]` to `handler`
     * (arguments: changes frame, fromVersion, toVersion), then durably
     * advance the subscriber offset. A subscriber polling for the first
-    * time starts at `startAtVersion` (default: the CURRENT latest —
-    * future changes only; pass Some(0) to consume from the beginning);
-    * the start position is recorded without delivering. Returns true
-    * iff a range was delivered — false means caught-up (or an empty
-    * store). Public so tests and non-streaming consumers can drive the
-    * subscription deterministically; [[changeFeedStream]] wires it to
-    * a Structured Streaming trigger clock. */
+    * time starts at `startAtVersion`: the default (CURRENT latest)
+    * subscribes to future changes only; Some(0) consumes changes SINCE
+    * v0 (v0's own content is the diff base, never delivered); Some(-1)
+    * consumes from BEFORE history — the first delivery is the store's
+    * full state at the range end, shaped as `insert` changes (a table
+    * format's `startingVersion = 0` CDF semantics), and every later
+    * delivery is a normal range diff. The start position is recorded
+    * without delivering. Returns true iff a range was delivered —
+    * false means caught-up (or an empty store). Public so tests and
+    * non-streaming consumers can drive the subscription
+    * deterministically; [[changeFeedStream]] wires it to a Structured
+    * Streaming trigger clock. */
   def pollChanges(spark: SparkSession, storeDir: String, subscriber: String,
       versionsPerTrigger: Int = 10, startAtVersion: Option[Long] = None)(
       handler: (DataFrame, Long, Long) => Unit): Boolean = {
     require(versionsPerTrigger >= 1,
       s"versionsPerTrigger must be >= 1 (got $versionsPerTrigger)")
+    require(startAtVersion.forall(_ >= -1L),
+      s"startAtVersion must be >= -1 (got ${startAtVersion.get})")
     require(subscriber.nonEmpty && !subscriber.startsWith("_") &&
       !subscriber.exists(c => c == '/' || c == '\\'),
       s"subscriber must be a plain name (got '$subscriber')")
@@ -1366,12 +1373,29 @@ object MergeSink {
     if (latest <= from) false
     else {
       val to = math.min(latest, from + versionsPerTrigger)
-      handler(storeChangesBetween(spark, storeDir, from, to), from, to)
+      val changes =
+        if (from >= 0) storeChangesBetween(spark, storeDir, from, to)
+        else insertShaped(spark, storeDir, to) // everything before v0 is empty
+      handler(changes, from, to)
       // advance AFTER the handler: at-least-once, the handler's
       // idempotence (or its own `to`-keyed dedup) makes it exactly-once
       writeLongAtomic(offsetPath, to)
       true
     }
+  }
+
+  /** The store's state at `version` in the change feed's own shape —
+    * one `insert` row per key, old values NULL: what a from-before-
+    * history subscription's first delivery carries. */
+  private def insertShaped(spark: SparkSession, storeDir: String,
+      version: Long): DataFrame = {
+    val snap = bucketedSnapshotAt(spark, storeDir, version)
+    val keyName = snap.columns.head
+    val valueCols = snap.columns.tail.toSeq
+    snap.select(col(keyName) +: lit("insert").as("change") +:
+      valueCols.flatMap(c => Seq(
+        lit(null).cast(snap.schema(c).dataType).as(s"${c}_old"),
+        col(c).as(s"${c}_new"))): _*)
   }
 
   /** The change feed as a LIVE Structured Streaming subscription: a
@@ -1411,13 +1435,15 @@ object MergeSink {
     * trigger applies the typed feed as signed deltas (update =
     * retract old + assert new) — O(changeset), not O(history), the
     * delta-maintenance contract a 100 TB rollup lives by. Read it
-    * back with [[currentViewState]]. */
+    * back with [[currentViewState]]. Subscribes from BEFORE history
+    * (startAtVersion −1), so the first delivery carries the store's
+    * full state as inserts and the empty view bootstraps from it. */
   def maintainAggView(spark: SparkSession, storeDir: String,
       subscriber: String, viewDir: String, checkpoint: String,
       groupCol: String, valueCol: String, versionsPerTrigger: Int = 10,
       clock: Option[DataFrame] = None): DataStreamWriter[Row] =
     changeFeedStream(spark, storeDir, subscriber, checkpoint,
-      versionsPerTrigger, startAtVersion = Some(0L), clock) { (feed, from, to) =>
+      versionsPerTrigger, startAtVersion = Some(-1L), clock) { (feed, from, to) =>
       applyFeedToView(spark, storeDir, feed, from, to, viewDir, groupCol, valueCol)
     }
 
@@ -1444,8 +1470,16 @@ object MergeSink {
           col(s"${valueCol}_new").as("_v"), lit(1L).as("_sgn")))
     val base = readLong(latestPath(viewDir)) match {
       case Some(v) => spark.read.parquet(s"$viewDir/v$v")
+      case None if from < 0 =>
+        // from-before-history subscription: the feed itself carries the
+        // bootstrap (full state as inserts) — the base is empty-typed
+        deltas.groupBy(col(groupCol))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+            coalesce(org.apache.spark.sql.functions.sum(col("_v")), lit(0L))
+              .cast("long").as("vsum"))
+          .limit(0)
       case None =>
-        // bootstrap: the view at the subscription's start snapshot
+        // mid-history subscription: bootstrap from the start snapshot
         bucketedSnapshotAt(spark, storeDir, from)
           .groupBy(col(groupCol))
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),

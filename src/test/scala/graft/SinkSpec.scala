@@ -1212,6 +1212,51 @@ class SinkSpec extends SparkTestBase {
       Set((1L, "a2", 11L), (k2, "src3", 30L)))
   }
 
+  test("ST10 alerts: store-driven arrival alerts — first_seen, gap silence, reappearance, delete resets") {
+    import graft.streaming.{MergeSink, StoreAlerts}
+    val dir = Files.createTempDirectory("graft_store_alerts").toString
+    val store = s"$dir/store"
+    val t0 = 1700000000000L
+    def batch(bid: Long, rows: Seq[(Long, String, Long, Long)]): Unit =
+      MergeSink.applyBucketedBatch(
+        rows.toDF("k", "op", "ver", "seen"),
+        bid, store, "k", "op", "ver", Seq("seen"), nBuckets = 4)
+    val heard = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, Long)]()
+    batch(0L, Seq((1L, "upsert", 1L, t0), (2L, "upsert", 1L, t0)))
+    val clock = MemoryStream[Int]
+    val q = StoreAlerts.alertsStream(spark, store, "alerts", s"$dir/state",
+      s"$dir/ckpt", "seen", gapSec = 3600L, clock = Some(clock.toDF())) {
+      (alerts, _, _) =>
+        alerts.collect().foreach(r => heard.add((r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))))
+    }.start()
+    try {
+      import scala.jdk.CollectionConverters._
+      def drain(): Set[(Long, String, Long, Long)] = {
+        val s = heard.asScala.toSet; heard.clear(); s
+      }
+      clock.addData(1); q.processAllAvailable()
+      assert(drain() == Set((1L, "first_seen", t0, -1L), (2L, "first_seen", t0, -1L)))
+      // a sighting inside the gap is silent, but advances the state
+      batch(1L, Seq((1L, "upsert", 2L, t0 + 10000L)))
+      clock.addData(2); q.processAllAvailable()
+      assert(drain() == Set.empty)
+      // a sighting past the gap reappears, with the gap measured from
+      // the ADVANCED state (t0+10s), not the first sighting
+      batch(2L, Seq((1L, "upsert", 3L, t0 + 8000000L)))
+      clock.addData(3); q.processAllAvailable()
+      assert(drain() == Set((1L, "reappeared", t0 + 8000000L, 7990L)))
+      // a deleted key (erasure/retention) resets: re-registration is a
+      // fresh first_seen, not a reappearance
+      batch(3L, Seq((2L, "delete", 4L, 0L)))
+      clock.addData(4); q.processAllAvailable()
+      assert(drain() == Set.empty)
+      batch(4L, Seq((2L, "upsert", 5L, t0 + 9000000L)))
+      clock.addData(5); q.processAllAvailable()
+      assert(drain() == Set((2L, "first_seen", t0 + 9000000L, -1L)))
+    } finally q.stop()
+  }
+
   test("A8: approx_percentile lands within the exact interquartile range") {
     val sf = "/root/testdata/sf0.001"
     val exact = SparkEntry.queries("a8_percentiles")(spark, sf).collect()
