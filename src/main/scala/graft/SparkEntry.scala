@@ -2927,6 +2927,21 @@ object SparkEntry {
           round(col("forecast")).cast("long").as("forecast_c"))
         .orderBy("user_id", "event_id")),
 
+    // ---- W15b: Holt-Winters additive triple smoothing — the seasonal
+    //      ring completes the ladder (single w13 → double w15 →
+    //      triple w15b); the oracle's recursive CTE carries the ring
+    //      as a LIST column, op order mirrored exactly ----
+    "w15b_holt_winters" -> ((s, d) =>
+      graft.operators.Trend.holtWinters(
+          ev(s, d).select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("y")),
+          Seq("user_id"), Seq("ts", "event_id"), "y", period = 4)
+        .select(col("user_id"), col("event_id"),
+          round(col("level")).cast("long").as("level_c"),
+          round(col("trend")).cast("long").as("trend_c"),
+          round(col("seasonal")).cast("long").as("seasonal_c"))
+        .orderBy("user_id", "event_id")),
+
     // ---- O5: 2-D Pareto frontier (skyline) via the two-level bucketed
     //      running min — never a partitionless data-wide window. The
     //      oracle replays the QUADRATIC dominance definition (a
@@ -6169,6 +6184,36 @@ object SparkEntry {
         |  CAST(round(l) AS BIGINT) AS level_c,
         |  CAST(round(tr) AS BIGINT) AS trend_c,
         |  CAST(round(l + tr) AS BIGINT) AS forecast_c
+        |FROM rec ORDER BY user_id, event_id""".stripMargin,
+
+    // Holt-Winters replayed with the seasonal ring as a LIST column in
+    // the recursive state (oldest first: ring[1] = the value written
+    // `period` steps ago; shift-append per step). ℓ_t recomputed inline
+    // inside b_t's and s_t's formulas, matching holtWintersStep — the
+    // doubles are bit-identical, then the same integer quantization.
+    "w15b_holt_winters" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, event_id, rn, y::DOUBLE AS l, 0.0::DOUBLE AS tr,
+        |    0.0::DOUBLE AS s, [0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS ring
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.rn,
+        |    0.5 * (b.y - r.ring[1]) + 0.5 * (r.l + r.tr),
+        |    0.5 * ((0.5 * (b.y - r.ring[1]) + 0.5 * (r.l + r.tr)) - r.l)
+        |      + 0.5 * r.tr,
+        |    0.5 * (b.y - (0.5 * (b.y - r.ring[1]) + 0.5 * (r.l + r.tr)))
+        |      + 0.5 * r.ring[1],
+        |    r.ring[2:] || [0.5 * (b.y - (0.5 * (b.y - r.ring[1])
+        |      + 0.5 * (r.l + r.tr))) + 0.5 * r.ring[1]]
+        |  FROM rec r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id,
+        |  CAST(round(l) AS BIGINT) AS level_c,
+        |  CAST(round(tr) AS BIGINT) AS trend_c,
+        |  CAST(round(s) AS BIGINT) AS seasonal_c
         |FROM rec ORDER BY user_id, event_id""".stripMargin,
 
     "o5_skyline" ->

@@ -134,6 +134,53 @@ object Trend {
     (lNew, bNew)
   }
 
+  /** W15b — Holt-Winters ADDITIVE triple smoothing: [[holt]] plus a
+    * `period`-slot seasonal component, completing the smoothing ladder
+    * (single w13 → double w15 → triple w15b). Identical plan shape to
+    * [[holt]] — one key shuffle, native O(series) fold (the ring adds
+    * O(period) state), map-side explode — and the same engine-replay
+    * discipline (the oracle's recursive CTE carries the seasonal ring
+    * as a LIST column, op order mirrored exactly). Emits raw-double
+    * `level`, `trend`, `seasonal`; display rounding is the caller's. */
+  def holtWinters(df: DataFrame, key: Seq[String], order: Seq[String],
+      yCol: String, period: Int, alpha: Double = 0.5, beta: Double = 0.5,
+      gamma: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1 &&
+      gamma > 0 && gamma <= 1,
+      s"need 0 < alpha, beta, gamma <= 1 (got $alpha, $beta, $gamma)")
+    require(period >= 1, s"period must be >= 1 (got $period)")
+    require(order.nonEmpty, "need at least one order column")
+    val fields = order :+ yCol
+    val packed = df
+      .select((key ++ fields).distinct.map(col): _*)
+      .groupBy(key.map(col): _*)
+      .agg(sort_array(collect_list(struct(fields.map(col): _*))).as("_series"))
+    val series = transform(col("_series"), s => s.getField(yCol).cast("long"))
+    val states = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.HoltWintersStatesExpr(
+        org.apache.spark.sql.graft.Bridge.expression(series),
+        alpha, beta, gamma, period))
+    packed.withColumn("_states", states)
+      .select(key.map(col) :+
+        explode(arrays_zip(col("_series"), col("_states"))).as("_z"): _*)
+      .select(key.map(col) ++
+        order.map(o => col(s"_z._series.$o").as(o)) ++ Seq(
+        col(s"_z._series.$yCol").as(yCol),
+        (col("_z._states.level") + lit(0.0)).as("level"),
+        (col("_z._states.trend") + lit(0.0)).as("trend"),
+        (col("_z._states.seasonal") + lit(0.0)).as("seasonal")): _*)
+  }
+
+  /** [[holtWinters]]' pure per-step transition, for specs and a
+    * future streaming twin. Returns (level, trend, seasonal). */
+  def holtWintersStep(l: Double, b: Double, sOld: Double, y: Double,
+      alpha: Double, beta: Double, gamma: Double): (Double, Double, Double) = {
+    val lNew = alpha * (y - sOld) + (1.0 - alpha) * (l + b)
+    val bNew = beta * (lNew - l) + (1.0 - beta) * b
+    val sNew = gamma * (y - lNew) + (1.0 - gamma) * sOld
+    (lNew, bNew, sNew)
+  }
+
   /** W14 — rolling z-score anomaly flag over the trailing `n` rows.
     * The flag is decided in EXACT integer arithmetic — |x − μ| > z·σ
     * rewritten denominator-free as (c·x − S₁)² > z²·(c·S₂ − S₁²) with

@@ -98,6 +98,34 @@ class TrendSpec extends SparkTestBase {
     assert(got(1) == ("g", 2L, 15.0, 2.5, 17.5))
   }
 
+  test("W15b Holt-Winters: engine fold equals the sequential reference; seasonal ring cycles exactly") {
+    // period 2 over a 2-cycle pattern: the seasonal state must pick up
+    // the alternation; 6 steps exercise the ring past two full seasons
+    val ys = Seq(10L, 20L, 12L, 22L, 14L, 24L)
+    val df = ys.zipWithIndex.map { case (y, i) => ("g", i + 1L, y) }
+      .toDF("k", "i", "y")
+    val got = Trend.holtWinters(df, Seq("k"), Seq("i"), "y", period = 2)
+      .orderBy("i").select("level", "trend", "seasonal").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // sequential reference over the same ring discipline
+    val ring = Array(0.0, 0.0)
+    var (l, b, s) = (0.0, 0.0, 0.0)
+    val want = ys.zipWithIndex.map { case (y, t) =>
+      val sOld = ring(t % 2)
+      if (t == 0) { l = y.toDouble; b = 0.0 }
+      else {
+        val (l2, b2, _) = Trend.holtWintersStep(l, b, sOld, y.toDouble, 0.5, 0.5, 0.5)
+        l = l2; b = b2
+      }
+      s = 0.5 * (y.toDouble - l) + 0.5 * sOld
+      ring(t % 2) = s
+      (l, b, s)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // the alternating series leaves a nonzero seasonal split
+    assert(math.abs(got.last._3) > 0.5, s"seasonal should be material: ${got.last}")
+  }
+
   test("W15 plan: one shuffle on the key, no window exec (groupBy fold + map-side explode)") {
     val df = Seq(("g", 1L, 1L)).toDF("k", "i", "y")
     val p = Trend.holt(df, Seq("k"), Seq("i"), "y")
