@@ -94,4 +94,51 @@ object AnomalyStream {
       .transformWithState(new EwmaProcessor(span, yScale),
         TimeMode.None(), OutputMode.Append())
   }
+
+  case class HoltOut(key: String, seq: Long, level: Double, trend: Double,
+      forecast: Double)
+  case class HoltState(l: Double, b: Double, seeded: Boolean)
+
+  /** W15's LIVE form — the Holt fold as keyed streaming state: TWO
+    * doubles per key (level + trend; contrast the EWMA ring's O(span)
+    * values — a recursion's state is its whole memory, which is
+    * exactly why it streams so cheaply), every transition through the
+    * SAME pure [[Trend.holtStep]] the batch fold expression applies,
+    * so live and backfill provably agree row for row. */
+  class HoltProcessor(alpha: Double, beta: Double)
+      extends StatefulProcessor[String, Obs, HoltOut] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[HoltState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[HoltState]("holt",
+        Encoders.product[HoltState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Obs],
+        timers: TimerValues): Iterator[HoltOut] = {
+      var st = Option(state.get()).getOrElse(HoltState(0.0, 0.0, seeded = false))
+      val out = rows.toSeq.sortBy(_.seq).map { o =>
+        st =
+          if (!st.seeded) HoltState(o.y.toDouble, 0.0, seeded = true)
+          else {
+            val (l2, b2) = Trend.holtStep(st.l, st.b, o.y.toDouble, alpha, beta)
+            HoltState(l2, b2, seeded = true)
+          }
+        HoltOut(o.key, o.seq, st.l, st.b, st.l + st.b)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  def holt(obs: Dataset[Obs], alpha: Double = 0.5, beta: Double = 0.5)
+      (implicit spark: SparkSession): Dataset[HoltOut] = {
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1,
+      s"need 0 < alpha, beta <= 1 (got $alpha, $beta)")
+    obs.groupByKey(_.key)
+      .transformWithState(new HoltProcessor(alpha, beta),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -712,6 +712,36 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("W15 live Holt == batch holt, row for row") {
+    import graft.streaming.AnomalyStream
+    import graft.streaming.AnomalyStream.{HoltOut, Obs}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = (1 to 10).map(i => Obs("k", i.toLong, (i * i * 7 % 23).toLong))
+      val in = MemoryStream[Obs]
+      val q = AnomalyStream.holt(in.toDS())
+        .writeStream.format("memory").queryName("w15_live")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(rows.take(5): _*)
+        q.processAllAvailable()
+        in.addData(rows.drop(5).reverse: _*)
+        q.processAllAvailable()
+        val live = spark.table("w15_live").as[HoltOut].collect()
+          .map(e => e.seq -> (e.level, e.trend, e.forecast)).toMap
+        val batch = graft.operators.Trend.holt(
+            rows.toDF("key", "seq", "y"), Seq("key"), Seq("seq"), "y")
+          .collect().map(r => r.getAs[Long]("seq") ->
+            (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+              r.getAs[Double]("forecast")))
+          .toMap
+        assert(live.size == 10 && live == batch)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("SAMP live weighted reservoir == batch A-Res sample at every prefix") {
     import graft.streaming.ReservoirStream
     import graft.streaming.ReservoirStream.{Item, Res}
