@@ -302,6 +302,14 @@ object ExplainDump {
       + "The no-op filter (null-safe per-column equality) runs on the "
       + "join output, which is changed-buckets-sized, not store-sized."),
 
+    "w15_holt" -> ("Holt double-exponential smoothing (r11): a 2-state "
+      + "COUPLED recursion has no bounded-lag unroll, so the plan is the "
+      + "irreducible shape of a per-key sequential fold — ONE exchange on "
+      + "the key into groupBy + sort_array(collect_list), the native "
+      + "graft_holt_states fold over each packed series, and a map-side "
+      + "explode back to rows. No Window exec, no per-row join; per-key "
+      + "state is O(series), the bound any stateful recursion carries."),
+
     "capstone_store_ivm" -> ("IVM over the feed (r9): the "
       + "changed-rows-sized feed is checkpointed once (plan truncates "
       + "at the scan of its materialization), the two signed delta "
