@@ -1061,6 +1061,50 @@ class SinkSpec extends SparkTestBase {
     assert(!MergeSink.pollChanges(spark, store, "s2") { (_, _, _) => fail("caught up") })
   }
 
+  test("ST10 source: a subscriber lagging past vacuum retention fails loudly, never partially") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_feed_lag").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    // 4 commits rewriting the same key — old read points die by liveness
+    (0 until 4).foreach { i =>
+      MergeSink.applyBucketedBatch(
+        Seq((1L, "upsert", i.toLong + 1, s"n$i", i.toLong))
+          .toDF("k", "op", "ver", "name", "v"),
+        i.toLong, store, "k", "op", "ver", vcols, nBuckets = 4)
+    }
+    // the subscriber parks at v0, then vacuum reclaims v0's read point
+    assert(MergeSink.pollChanges(spark, store, "slow", versionsPerTrigger = 1,
+      startAtVersion = Some(0L)) { (_, f, t) => assert((f, t) == (0L, 1L)) })
+    assert(MergeSink.vacuumBucketedStore(store).nonEmpty)
+    // retention outlived: the next poll refuses LOUDLY (offset intact,
+    // nothing partially delivered) — size retention to the slowest
+    // subscriber, or re-subscribe from a live read point
+    val e = intercept[IllegalStateException] {
+      MergeSink.pollChanges(spark, store, "slow", versionsPerTrigger = 1) {
+        (_, _, _) => fail("must not deliver")
+      }
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    assert(MergeSink.subscriberOffset(store, "slow").contains(1L))
+    // a retention window sized to the lag keeps the feed alive instead
+    val store2 = s"$dir/store2"
+    (0 until 4).foreach { i =>
+      MergeSink.applyBucketedBatch(
+        Seq((1L, "upsert", i.toLong + 1, s"n$i", i.toLong))
+          .toDF("k", "op", "ver", "name", "v"),
+        i.toLong, store2, "k", "op", "ver", vcols, nBuckets = 4)
+    }
+    assert(MergeSink.pollChanges(spark, store2, "slow", versionsPerTrigger = 1,
+      startAtVersion = Some(0L)) { (_, _, _) => () })
+    assert(MergeSink.vacuumBucketedStore(store2, retainLast = 3).length <= 1)
+    var drained = 0
+    while (MergeSink.pollChanges(spark, store2, "slow", versionsPerTrigger = 1) {
+      (_, _, _) => drained += 1
+    }) ()
+    assert(drained == 2 && MergeSink.subscriberOffset(store2, "slow").contains(3L))
+  }
+
   test("ST10 source: the LIVE IVM view equals a from-scratch recompute at every prefix; redelivery is a no-op") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_feed_ivm").toString
