@@ -19,8 +19,17 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
 def _connect():
-    import duckdb
+    import duckdb, tempfile
     con = duckdb.connect()
+    # Per-WORKER spill dir + bounded memory/threads: in-memory DuckDB
+    # spills to ./.tmp by default, which concurrent workers share — one
+    # worker's cleanup removed another's temp file mid-query at sf0.1
+    # (IOException -> BrokenProcessPool). Memory and thread caps keep
+    # 8 workers from oversubscribing the host when a heavy oracle
+    # builds a large hash table.
+    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_oracle_')}'")
+    con.execute("SET memory_limit='10GB'")
+    con.execute("SET threads=4")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
