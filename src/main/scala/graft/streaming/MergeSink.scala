@@ -858,6 +858,36 @@ object MergeSink {
         "has_data_dir", "is_latest")
   }
 
+  /** DESCRIBE DETAIL / maintenance advisor — one row per LIVE bucket
+    * of the current snapshot: its owning version, file count and bytes.
+    * The report a store operator consults BEFORE paying for
+    * maintenance (the q8/q9 discipline, applied to the store itself):
+    * many files per bucket → fragmentation, run
+    * [[compactBucketedStore]]; bytes skewed across buckets → one hot
+    * key range, consider [[rebucketStore]]; owner versions spread wide
+    * → read amplification (one pruned scan per distinct owner), also
+    * compaction's job. Pair with `vacuumBucketedStore(dryRun = true)`
+    * for the reclaimable-bytes side. Driver-side file metadata,
+    * O(live buckets), no data read. */
+  def storeStats(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val latest = readLong(latestPath(storeDir)).getOrElse(-1L)
+    val manifest = if (latest < 0) Map.empty[Long, Long]
+      else readManifest(storeDir, latest)
+    manifest.toSeq.sorted.map { case (b, v) =>
+      val dir = resolveDataDir(storeDir, v)
+        .map(_.resolve(s"_bucket=$b")).filter(Files.exists(_))
+      val parts = dir.map { d =>
+        val s0 = Files.list(d)
+        try s0.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => Files.size(p)).toList
+        finally s0.close()
+      }.getOrElse(Nil)
+      (b, v, parts.size.toLong, parts.sum)
+    }.toDF("bucket", "owner_version", "n_files", "bytes")
+  }
+
   /** ERASURE (right-to-be-forgotten) — physically remove every row of
     * `keys` from EVERY version dir still on disk, current, historical
     * and vacuum-dead alike: the one sanctioned breach of version-dir
@@ -1213,9 +1243,13 @@ object MergeSink {
     * a live bucket references is NEVER reclaimed no matter how old.
     * Defaults (0, 0) are the original liveness-only behavior. Size the
     * windows to the slowest time-travel reader / feed subscriber;
-    * reads past the horizon keep failing loudly, never partially. */
+    * reads past the horizon keep failing loudly, never partially.
+    *
+    * `dryRun = true` reports what WOULD be reclaimed (the vacuum-yield
+    * half of the [[storeStats]] advisor) without touching anything —
+    * no dirs, manifests, markers or horizon move. */
   def vacuumBucketedStore(storeDir: String, retainLast: Int = 0,
-      retainMillis: Long = 0L): Seq[Long] = {
+      retainMillis: Long = 0L, dryRun: Boolean = false): Seq[Long] = {
     require(retainLast >= 0, s"retainLast must be >= 0 (got $retainLast)")
     require(retainMillis >= 0, s"retainMillis must be >= 0 (got $retainMillis)")
     val latest = readLong(latestPath(storeDir)).getOrElse(return Seq.empty)
@@ -1254,6 +1288,7 @@ object MergeSink {
     }
     val dead = versions.filter(v => v < latest && !live.contains(v) &&
       v <= latest - retainLast && !youngerThanWindow(v)).sorted
+    if (dryRun) return dead
     // CLONE-side localization: a read point whose data resolves through
     // the origin (no local dir for itself or a referenced version) pins
     // this branch to its source; outside the retention windows it is

@@ -1301,6 +1301,48 @@ class SinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST10 bucketed: storeStats + vacuum dry-run advise maintenance without touching the store") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_store_stats").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L), (k2, "upsert", 1L, "b", 20L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 2L, "a2", 11L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // the advisor: two live buckets, owners spread over v0 and v1
+    // (read amplification = 2 pruned scans), real file sizes
+    val st = MergeSink.storeStats(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(st.length == 2)
+    assert(st.map(_._2).toSet == Set(0L, 1L), s"owner spread: ${st.toSeq}")
+    assert(st.forall(s => s._3 >= 1 && s._4 > 0), s"files/bytes: ${st.toSeq}")
+    // nothing dead yet: the dry run says so without moving anything
+    assert(MergeSink.vacuumBucketedStore(store, dryRun = true).isEmpty)
+    // a second rewrite of key 1 kills v1; the DRY run names it but the
+    // read point stays materializable — only the real vacuum reclaims
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 3L, "a3", 12L)).toDF("k", "op", "ver", "name", "v"),
+      2L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(MergeSink.vacuumBucketedStore(store, dryRun = true) == Seq(1L))
+    assert(MergeSink.bucketedSnapshotAt(spark, store, 1L).count() == 2)
+    assert(MergeSink.vacuumBucketedStore(store) == Seq(1L))
+    intercept[IllegalStateException] {
+      MergeSink.bucketedSnapshotAt(spark, store, 1L)
+    }
+    // compaction collapses the advisor's findings: one owner, one file
+    assert(MergeSink.compactBucketedStore(spark, store).contains(3L))
+    val post = MergeSink.storeStats(spark, store).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(post.forall(_ == (3L, 1L)), s"post-compaction: ${post.toSeq}")
+  }
+
   test("A8: approx_percentile lands within the exact interquartile range") {
     val sf = "/root/testdata/sf0.001"
     val exact = SparkEntry.queries("a8_percentiles")(spark, sf).collect()
