@@ -1343,6 +1343,43 @@ class SinkSpec extends SparkTestBase {
     assert(post.forall(_ == (3L, 1L)), s"post-compaction: ${post.toSeq}")
   }
 
+  test("ST10 dedup: commits to the document store are near-dup adjudicated against the pre-range corpus") {
+    import graft.streaming.{MergeSink, StoreDedup}
+    val dir = Files.createTempDirectory("graft_store_dedup").toString
+    val store = s"$dir/store"
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "colorless green ideas sleep furiously under a pale winter moon"
+    val tC = "the quick brown fox jumps over the lazy dog again and once" // ~A
+    val tD = "entirely unrelated prose about sorting networks and merge paths"
+    def batch(bid: Long, rows: Seq[(Long, String, Long, String)]): Unit =
+      MergeSink.applyBucketedBatch(
+        rows.toDF("k", "op", "ver", "body"),
+        bid, store, "k", "op", "ver", Seq("body"), nBuckets = 4)
+    batch(0L, Seq((1L, "upsert", 1L, tA), (2L, "upsert", 1L, tB)))
+    val heard = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, String, Double)]()
+    val clock = MemoryStream[Int]
+    val q = StoreDedup.dedupStream(spark, store, "dedup", s"$dir/ckpt",
+      "body", clock = Some(clock.toDF())) { (dups, from, to) =>
+      dups.collect().foreach(r => heard.add((from, to, r.getString(0),
+        r.getString(1), r.getDouble(2))))
+    }.start()
+    try {
+      import scala.jdk.CollectionConverters._
+      clock.addData(1); q.processAllAvailable()
+      // the initial population is distinct: nothing to report
+      assert(heard.asScala.isEmpty, heard.asScala.toSeq.toString)
+      // a commit lands a near-copy of doc 1 plus an unrelated doc: the
+      // range adjudicates against the v0 corpus and finds exactly the
+      // (1, 3) pair
+      batch(1L, Seq((3L, "upsert", 2L, tC), (4L, "upsert", 2L, tD)))
+      clock.addData(2); q.processAllAvailable()
+      val hits = heard.asScala.toSeq
+      assert(hits.map(h => (h._1, h._2, h._3, h._4)) == Seq((0L, 1L, "1", "3")),
+        hits.toString)
+      assert(hits.head._5 > 0.5, s"jaccard ${hits.head._5}")
+    } finally q.stop()
+  }
+
   test("A8: approx_percentile lands within the exact interquartile range") {
     val sf = "/root/testdata/sf0.001"
     val exact = SparkEntry.queries("a8_percentiles")(spark, sf).collect()
