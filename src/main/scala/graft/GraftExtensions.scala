@@ -64,6 +64,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
+  /** [[intLit]]'s DOUBLE counterpart (INT literals widen) — for the
+    * smoothing parameters of the trend folds. */
+  private def dblLit(name: String, args: Seq[Expression], pos: Int,
+      arity: Int): Double = {
+    checkArity(name, args, arity)
+    val e = args(pos)
+    val param = s"arg${pos + 1}"
+    if (!e.foldable)
+      throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> s"`$name`", "paramName" -> s"`$param`",
+        "paramType" -> "\"DOUBLE\""))
+    e.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case null =>
+        throw new AnalysisException("INVALID_PARAMETER_VALUE.NULL", Map(
+          "parameter" -> s"`$param`", "functionName" -> s"`$name`"))
+      case other =>
+        throw new AnalysisException("INVALID_PARAMETER_VALUE.DOUBLE", Map(
+          "parameter" -> s"`$param`", "functionName" -> s"`$name`",
+          "invalidValue" -> s"${e.dataType.sql}: $other"))
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(two("graft_cosine")(CosineSimExpr(_, _)))
     ext.injectFunction(two("graft_dot")(DotProductExpr(_, _)))
@@ -128,6 +155,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_byte_at", "graft_byte_at(bin, offset1)"),
       (args: Seq[Expression]) => ByteAtExpr(args(0),
         intLit("graft_byte_at", args, 1, 2))))
+    // the trend folds (w15/w15b) for SQL users: same native expressions
+    // the DSL operators wrap, parameters as foldable literals
+    ext.injectFunction((FunctionIdentifier("graft_holt_states"),
+      info("graft_holt_states", "graft_holt_states(series, alpha, beta)"),
+      (args: Seq[Expression]) => HoltStatesExpr(args(0),
+        dblLit("graft_holt_states", args, 1, 3),
+        dblLit("graft_holt_states", args, 2, 3))))
+    ext.injectFunction((FunctionIdentifier("graft_holt_winters_states"),
+      info("graft_holt_winters_states",
+        "graft_holt_winters_states(series, alpha, beta, gamma, period)"),
+      (args: Seq[Expression]) => HoltWintersStatesExpr(args(0),
+        dblLit("graft_holt_winters_states", args, 1, 5),
+        dblLit("graft_holt_winters_states", args, 2, 5),
+        dblLit("graft_holt_winters_states", args, 3, 5),
+        intLit("graft_holt_winters_states", args, 4, 5))))
     // Composition ops built from catalyst nodes directly: wrapping the
     // public Column API via Bridge.expression would leave an
     // unresolvable ColumnNodeExpression inside the function builder

@@ -162,6 +162,28 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(r.getAs[String]("enc").split(" ").length.toLong == r.getAs[Long]("n"))
   }
 
+  test("trend folds resolve from SQL with DSL-identical states") {
+    val s = sqlSpark
+    import s.implicits._
+    Seq((Seq(10L, 20L, 30L, 40L))).toDF("ys").createOrReplaceTempView("ts")
+    val sql = s.sql(
+      """SELECT graft_holt_states(ys, 0.5D, 0.5D) AS h,
+        |  graft_holt_winters_states(ys, 0.5D, 0.5D, 0.5D, 2) AS hw
+        |FROM ts""".stripMargin).collect()(0)
+    val h = sql.getSeq[org.apache.spark.sql.Row](0)
+    // matches the hand fold: l2 = .5*20+.5*10 = 15, b2 = 2.5
+    assert(h(1).getDouble(0) == 15.0 && h(1).getDouble(1) == 2.5)
+    // the DSL operator over the same series agrees state for state
+    val viaDsl = graft.operators.Trend.holt(
+        Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L), ("g", 4L, 40L))
+          .toDF("k", "i", "y"), Seq("k"), Seq("i"), "y")
+      .orderBy("i").select("level", "trend").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(h.map(r => (r.getDouble(0), r.getDouble(1))).toSeq == viaDsl.toSeq)
+    val hw = sql.getSeq[org.apache.spark.sql.Row](1)
+    assert(hw.length == 4 && hw(0).getDouble(0) == 10.0)
+  }
+
   test("SQL builders validate arity and constness with clear analysis errors") {
     val s = sqlSpark
     import s.implicits._
