@@ -71,9 +71,19 @@ object SimilarityIvf {
     * the l3c_ivf_pinned oracle replay it on [[FrozenCodebooks]]'
     * literal centroids while training stays spec-verified. */
   def ivfTopKWith(queries: DataFrame, candidates: DataFrame, k: Int,
+      centroids: Array[Array[Float]], nprobe: Int): DataFrame =
+    ivfTopKPreassigned(queries, assignCells(candidates, centroids), k,
+      centroids, nprobe)
+
+  /** The search half over ALREADY-ASSIGNED candidates (vec_id,
+    * embedding, cell) — what a PERSISTED cell-assigned index serves
+    * directly ([[graft.streaming.StoreAnn]] maintains one from a
+    * store's change feed, so query time pays no assignment pass over
+    * the corpus); [[ivfTopKWith]] is this after a scan-side
+    * assignment. */
+  def ivfTopKPreassigned(queries: DataFrame, cells: DataFrame, k: Int,
       centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
-    val cells = assignCells(candidates, centroids)
-    val spark = candidates.sparkSession
+    val spark = cells.sparkSession
 
     import spark.implicits._
     val centroidDf = centroids.zipWithIndex

@@ -1380,6 +1380,48 @@ class SinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST10 ann: the IVF index is maintained incrementally from the feed; search and time travel follow") {
+    import graft.streaming.{MergeSink, StoreAnn}
+    val dir = Files.createTempDirectory("graft_store_ann").toString
+    val store = s"$dir/emb"
+    val index = s"$dir/index"
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f))
+    def batch(bid: Long, rows: Seq[(Long, String, Long, Seq[Float])]): Unit =
+      MergeSink.applyBucketedBatch(
+        rows.toDF("vec_id", "op", "ver", "emb"),
+        bid, store, "vec_id", "op", "ver", Seq("emb"), nBuckets = 4)
+    // initial population: 1,2 near x-axis (cell 0), 3 near y-axis (cell 1)
+    batch(0L, Seq(
+      (1L, "upsert", 1L, Seq(1.0f, 0.1f)),
+      (2L, "upsert", 1L, Seq(0.9f, 0.2f)),
+      (3L, "upsert", 1L, Seq(0.1f, 1.0f))))
+    val clock = MemoryStream[Int]
+    val q = StoreAnn.maintainIndex(spark, store, "ann", index, s"$dir/ckpt",
+      "emb", centroids, nBuckets = 4, clock = Some(clock.toDF())).start()
+    try {
+      clock.addData(1); q.processAllAvailable()
+      val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      def hits(): Seq[Long] = StoreAnn
+        .search(spark, index, queries, centroids, k = 5, nprobe = 1)
+        .orderBy(col("sim").desc).select("cid").collect().map(_.getLong(0)).toSeq
+      // nprobe=1 probes only the x-axis cell: 1 and 2, never 3
+      assert(hits() == Seq(1L, 2L), hits().toString)
+      // vec 1 MOVES to the y-axis cell; vec 2 is erased — the range
+      // re-assigns one and drops the other, O(changeset)
+      batch(1L, Seq(
+        (1L, "upsert", 2L, Seq(0.0f, 1.0f)),
+        (2L, "delete", 2L, null.asInstanceOf[Seq[Float]])))
+      clock.addData(2); q.processAllAvailable()
+      assert(hits() == Seq.empty, s"x-cell should be empty now: ${hits()}")
+      // INDEX-AS-OF: the pre-move index still answers exactly
+      val v0 = MergeSink.bucketedSnapshotAt(spark, index, 0L)
+      assert(v0.filter(col("vec_id") === 1L).select("cell")
+        .head().getInt(0) == 0, "v0 must hold vec 1's old cell")
+      assert(MergeSink.currentBucketedSnapshot(spark, index).get
+        .filter(col("vec_id") === 1L).select("cell").head().getInt(0) == 1)
+    } finally q.stop()
+  }
+
   test("A8: approx_percentile lands within the exact interquartile range") {
     val sf = "/root/testdata/sf0.001"
     val exact = SparkEntry.queries("a8_percentiles")(spark, sf).collect()
