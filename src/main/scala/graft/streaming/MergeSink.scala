@@ -772,6 +772,20 @@ object MergeSink {
       throw new IllegalStateException(
         s"MergeSink: $srcDir@v$latest has no manifest — only bucketed " +
           "stores support shallow clones")
+    // A clone of a STILL-ORIGIN-BACKED clone would reference the
+    // grandparent's dirs through the chain while registering only with
+    // the immediate source — the grandparent's vacuum could then
+    // reclaim dirs the grandchild needs. Refuse until the source is
+    // localized (compact + vacuum), which both bounds chains to one
+    // hop and keeps every pin's reference set self-contained.
+    if (Files.exists(originPath(srcDir)) &&
+        readManifest(srcDir, latest).values.toSeq.distinct
+          .exists(v => !Files.exists(Paths.get(srcDir, s"v$v"))))
+      throw new IllegalStateException(
+        s"MergeSink: $srcDir is itself a shallow clone still reading " +
+          "through its origin — localize it first (compactBucketedStore " +
+          "+ vacuumBucketedStore) before cloning it again, so vacuum " +
+          "pins stay self-contained")
     val dst = Paths.get(dstDir)
     if (Files.exists(dst)) {
       val s0 = Files.list(dst)
@@ -1451,9 +1465,10 @@ object MergeSink {
     ticks.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        // drain the backlog inside the trigger, one rate-limited range
-        // at a time, so a lagging subscriber catches up at clock speed
-        // × versionsPerTrigger without unbounded single-range diffs
+        // drain the backlog range-by-range inside the trigger: each
+        // DIFF stays bounded by versionsPerTrigger (never one giant
+        // range), and each range's offset commits durably before the
+        // next, so interrupting a long catch-up loses nothing
         while (pollChanges(spark, storeDir, subscriber, versionsPerTrigger,
           startAtVersion)(handler)) ()
       }

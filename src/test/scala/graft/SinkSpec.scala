@@ -1249,6 +1249,19 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.eraseKeys(spark, br, Seq(1L).toDF("k")).contains(4L))
     assert(rows(MergeSink.currentBucketedSnapshot(spark, br).get) ==
       Set((k2, "b", 20L)))
+    // a clone of a still-origin-backed clone is refused (its vacuum
+    // pin would not reach the grandparent); after localization it works
+    val br0 = s"$dir/branch0"
+    assert(MergeSink.cloneStore(spark, src, br0) == 2L)
+    val e2 = intercept[IllegalStateException] {
+      MergeSink.cloneStore(spark, br0, s"$dir/grandchild")
+    }
+    assert(e2.getMessage.contains("localize"), e2.getMessage)
+    assert(MergeSink.releaseClone(src, br0))
+    // the localized branch, by contrast, clones fine (br was
+    // compacted + vacuumed above)
+    assert(MergeSink.cloneStore(spark, br, s"$dir/branch2") == 4L)
+    assert(MergeSink.releaseClone(br, s"$dir/branch2"))
     // release the pin: the source may now reclaim its dead history
     assert(MergeSink.releaseClone(src, br))
     assert(MergeSink.vacuumBucketedStore(src).nonEmpty)
