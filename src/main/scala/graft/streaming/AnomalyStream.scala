@@ -97,14 +97,26 @@ object AnomalyStream {
 
   case class HoltOut(key: String, seq: Long, level: Double, trend: Double,
       forecast: Double)
-  case class HoltState(l: Double, b: Double, seeded: Boolean)
+  case class HoltState(l: Double, b: Double, seeded: Boolean, lastSeq: Long)
 
   /** W15's LIVE form — the Holt fold as keyed streaming state: TWO
     * doubles per key (level + trend; contrast the EWMA ring's O(span)
     * values — a recursion's state is its whole memory, which is
     * exactly why it streams so cheaply), every transition through the
-    * SAME pure [[Trend.holtStep]] the batch fold expression applies,
-    * so live and backfill provably agree row for row. */
+    * SAME pure [[Trend.holtStep]] the batch fold expression applies.
+    *
+    * ORDERING CONTRACT: a recursion is order-sensitive, and a stream
+    * can only sort WITHIN a micro-batch — the "live agrees with the
+    * batch fold row for row" claim therefore holds when rows arrive
+    * seq-monotone ACROSS micro-batches (per key), which the ingest
+    * pipeline's per-sensor upload order provides. A LATE row (seq at
+    * or below the last folded seq for its key) cannot be folded at its
+    * true position without replaying the suffix, so it is DROPPED
+    * explicitly — no output row, state untouched — rather than folded
+    * out of order, which would silently diverge the level/trend from
+    * [[Trend.holt]]'s globally-ordered backfill for every subsequent
+    * row. Late rows needing inclusion are a backfill's job (re-run the
+    * batch fold), not a live fold's. */
   class HoltProcessor(alpha: Double, beta: Double)
       extends StatefulProcessor[String, Obs, HoltOut] {
     @transient private var state:
@@ -117,16 +129,22 @@ object AnomalyStream {
 
     override def handleInputRows(key: String, rows: Iterator[Obs],
         timers: TimerValues): Iterator[HoltOut] = {
-      var st = Option(state.get()).getOrElse(HoltState(0.0, 0.0, seeded = false))
-      val out = rows.toSeq.sortBy(_.seq).map { o =>
-        st =
-          if (!st.seeded) HoltState(o.y.toDouble, 0.0, seeded = true)
-          else {
-            val (l2, b2) = Trend.holtStep(st.l, st.b, o.y.toDouble, alpha, beta)
-            HoltState(l2, b2, seeded = true)
-          }
-        HoltOut(o.key, o.seq, st.l, st.b, st.l + st.b)
-      }
+      var st = Option(state.get())
+        .getOrElse(HoltState(0.0, 0.0, seeded = false, lastSeq = Long.MinValue))
+      // threshold fixed from the INCOMING state: lateness is relative
+      // to what previous micro-batches folded, not to this batch's rows
+      val floor = if (st.seeded) st.lastSeq else Long.MinValue
+      val out = rows.toSeq.sortBy(_.seq)
+        .filter(_.seq > floor)
+        .map { o =>
+          st =
+            if (!st.seeded) HoltState(o.y.toDouble, 0.0, seeded = true, o.seq)
+            else {
+              val (l2, b2) = Trend.holtStep(st.l, st.b, o.y.toDouble, alpha, beta)
+              HoltState(l2, b2, seeded = true, o.seq)
+            }
+          HoltOut(o.key, o.seq, st.l, st.b, st.l + st.b)
+        }
       state.update(st)
       out.iterator
     }

@@ -370,6 +370,19 @@ object MergeSink {
         else readLong(latestPath(storeDir)).exists(_ >= batchId)
     }
 
+  /** The batchId a version's commit marker records (markers are
+    * "<parent> <batchId> <nonce>"); None when the marker has been
+    * pruned or is unparsable. */
+  private def markerBatchId(storeDir: String, version: Long): Option[Long] = {
+    val marker = commitsDir(storeDir).resolve(version.toString)
+    if (!Files.exists(marker)) None
+    else new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+      .trim.split("\\s+").toSeq match {
+        case Seq(_, b, _*) => b.toLongOption
+        case _ => None
+      }
+  }
+
   /** One batch of the protocol — public so replay interleavings are
     * directly testable. A version dir is IMMUTABLE once `_latest` has
     * passed it: a replay of an already-swapped batch is a pure no-op
@@ -793,6 +806,24 @@ object MergeSink {
       require(!nonEmpty, s"MergeSink: clone target $dstDir is not empty")
     }
     Files.createDirectories(dst)
+    // Register the pin with the source BEFORE reading the clone-point
+    // manifest, then re-validate `_latest` is still the pinned version
+    // (TOCTOU guard). Any vacuum whose scan starts AFTER the pin is
+    // durable sees it in cloneKeep; any vacuum whose scan started
+    // BEFORE it must have read `_latest` = our clone point (the
+    // re-validation proves no newer commit existed yet), so every dir
+    // the clone point references was head-live to that vacuum. Either
+    // way nothing we reference is reclaimable. On a concurrent commit
+    // the pin is released and the caller retries against the new head.
+    Files.createDirectories(clonesDir(srcDir))
+    writeLongAtomic(clonesDir(srcDir).resolve(cloneId(dstDir)), latest)
+    if (!readLong(latestPath(srcDir)).contains(latest)) {
+      Files.deleteIfExists(clonesDir(srcDir).resolve(cloneId(dstDir)))
+      throw new java.util.ConcurrentModificationException(
+        s"MergeSink: $srcDir committed past v$latest while cloneStore was " +
+          "pinning the clone point; nothing was cloned — retry to branch " +
+          "from the new head")
+    }
     val srcAbs = Paths.get(srcDir).toAbsolutePath.normalize.toString
     Files.write(originPath(dstDir), srcAbs.getBytes(StandardCharsets.UTF_8))
     writeManifest(dstDir, latest, readManifest(srcDir, latest))
@@ -807,9 +838,6 @@ object MergeSink {
       s"${latest - 1} -1 $nonce".getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
     writeLongAtomic(latestPath(dstDir), latest)
-    // register with the source so ITS vacuum retains what we reference
-    Files.createDirectories(clonesDir(srcDir))
-    writeLongAtomic(clonesDir(srcDir).resolve(cloneId(dstDir)), latest)
     latest
   }
 
@@ -1270,23 +1298,25 @@ object MergeSink {
     // SOURCE-side clone protection: a registered shallow clone
     // references this store's dirs by number — retain every dir its
     // clone-point manifest names (plus the manifest itself) until
-    // [[releaseClone]]; an unreadable clone point falls back to
-    // retaining everything at or below it (fail-safe, never partial)
-    val cloneKeep: Set[Long] = {
+    // [[releaseClone]]. An UNREADABLE clone point falls back to
+    // retaining everything at or below it, carried as a PREDICATE
+    // (v <= cloneFloor) threaded into the dead-filter — never a
+    // materialized range: version numbers grow without bound and
+    // boxing (0..k) would OOM the driver on the path that is supposed
+    // to be the fail-safe.
+    val (cloneKeep: Set[Long], cloneFloor: Long) = {
       val cd = clonesDir(storeDir)
-      if (!Files.exists(cd)) Set.empty
+      if (!Files.exists(cd)) (Set.empty[Long], Long.MinValue)
       else {
         val s0 = Files.list(cd)
         val points = try s0.iterator().asScala.toList.flatMap(p => readLong(p))
           finally s0.close()
-        points.flatMap { k =>
-          if (Files.exists(manifestsDir(storeDir).resolve(k.toString)))
-            readManifest(storeDir, k).values.toSet + k
-          else (0L to k).toSet
-        }.toSet
+        val (readable, unreadable) = points.partition(k =>
+          Files.exists(manifestsDir(storeDir).resolve(k.toString)))
+        (readable.flatMap(k => readManifest(storeDir, k).values.toSet + k).toSet,
+          if (unreadable.isEmpty) Long.MinValue else unreadable.max)
       }
     }
-    val live = readManifest(storeDir, latest).values.toSet + latest ++ cloneKeep
     val versions = {
       val s = Files.list(Paths.get(storeDir))
       try s.iterator().asScala.map(_.getFileName.toString)
@@ -1300,7 +1330,39 @@ object MergeSink {
         else Paths.get(storeDir, s"v$v")
       now - Files.getLastModifiedTime(stamp).toMillis < retainMillis
     }
+    // A version inside either retention window is a PROTECTED read
+    // point and the contract says it stays MATERIALIZABLE — which means
+    // every dir its MANIFEST references survives, not merely its own
+    // dir: buckets untouched since that version keep older owner dirs
+    // that are dead by head-liveness and outside the window by their
+    // own number. Union the manifests of all protected versions into
+    // the live set (exactly what cloneKeep already does for clone
+    // points); exempting protected versions only by their own number
+    // would permanently break a retained read point — and any feed
+    // subscriber sized to the retention window — in any multi-bucket
+    // store. Cost: O(protected versions) manifest reads, all driver-
+    // side metadata.
+    val protectedKeep: Set[Long] =
+      if (retainLast == 0 && retainMillis == 0L) Set.empty
+      else {
+        val md = manifestsDir(storeDir)
+        val manifestVersions =
+          if (!Files.exists(md)) List.empty[Long]
+          else {
+            val s0 = Files.list(md)
+            try s0.iterator().asScala.map(_.getFileName.toString)
+              .flatMap(_.toLongOption).toList
+            finally s0.close()
+          }
+        manifestVersions
+          .filter(v => v < latest &&
+            (v > latest - retainLast || youngerThanWindow(v)))
+          .flatMap(v => readManifest(storeDir, v).values.toSet + v).toSet
+      }
+    val live = readManifest(storeDir, latest).values.toSet + latest ++
+      cloneKeep ++ protectedKeep
     val dead = versions.filter(v => v < latest && !live.contains(v) &&
+      v > cloneFloor &&
       v <= latest - retainLast && !youngerThanWindow(v)).sorted
     if (dryRun) return dead
     // CLONE-side localization: a read point whose data resolves through
@@ -1508,6 +1570,22 @@ object MergeSink {
       feed0: DataFrame, from: Long, to: Long, viewDir: String,
       groupCol: String, valueCol: String): Unit = {
     if (alreadyApplied(viewDir, to)) return // redelivered range: no-op
+    // Crash-consistent replay guard: applyBatch survives a crash
+    // between the `_latest` swap and the `_lastBatch` write only
+    // because applyChanges is IDEMPOTENT; incrementalAgg is NOT — a
+    // redelivered range re-applying SIGNED deltas to a base that
+    // already includes them would double counts/sums silently and
+    // forever. The commit marker of the current head is written BEFORE
+    // the swap and records the delivered `to` in its batchId field, so
+    // a head whose marker already covers `to` proves the range landed;
+    // heal `_lastBatch` forward and no-op. (Markers for the head are
+    // never pruned — pruneCommitMarkers keeps the newest RetainMarkers.)
+    val markerCovers = readLong(latestPath(viewDir))
+      .flatMap(v => markerBatchId(viewDir, v)).filter(_ >= to)
+    if (markerCovers.isDefined) {
+      writeLongAtomic(lastBatchPath(viewDir), markerCovers.get)
+      return
+    }
     Files.createDirectories(Paths.get(viewDir))
     // the feed is read by BOTH delta branches — materialize the
     // changed-rows-sized frame once

@@ -1188,6 +1188,80 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 1)
   }
 
+  test("ST10 bucketed: retention keeps protected read points MATERIALIZABLE in multi-bucket stores") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_vacuum_multibucket").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    def put(k: Long, ver: Long, name: String, batch: Long): Unit =
+      MergeSink.applyBucketedBatch(
+        Seq((k, "upsert", ver, name, ver * 10)).toDF("k", "op", "ver", "name", "v"),
+        batch, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // v0 writes BOTH buckets; v1 touches only k1's bucket, v2 only
+    // k2's, v3 and v4 only k1's. Head (v4) manifest = {b1→v4, b2→v2};
+    // v2's manifest = {b1→v1, b2→v2} — so v1's dir is dead by
+    // head-liveness AND outside retainLast=3 by its own number, yet a
+    // retained read point (v2) resolves k1 through it. The retention
+    // contract says v2..v4 stay materializable, so v1 must survive.
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a0", 10L), (k2, "upsert", 1L, "b0", 20L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    put(1L, 2L, "a1", 1L)
+    put(k2, 3L, "b2", 2L)
+    put(1L, 4L, "a3", 3L)
+    put(1L, 5L, "a4", 4L)
+    assert(MergeSink.vacuumBucketedStore(store, retainLast = 3, dryRun = true) ==
+      Seq(0L), "only v0 is reclaimable: v1 is referenced by v2's manifest")
+    assert(MergeSink.vacuumBucketedStore(store, retainLast = 3) == Seq(0L))
+    // every protected read point still materializes, with BOTH keys
+    def rows(v: Long) = MergeSink.bucketedSnapshotAt(spark, store, v)
+      .select("k", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(2L) == Set((1L, "a1"), (k2, "b2")), "v2 read point intact")
+    assert(rows(3L) == Set((1L, "a3"), (k2, "b2")), "v3 read point intact")
+    assert(rows(4L) == Set((1L, "a4"), (k2, "b2")), "head intact")
+    // outside the window, liveness takes over again: dropping the
+    // window reclaims v1 and v3 (dead by head-liveness), head survives
+    assert(MergeSink.vacuumBucketedStore(store).sorted == Seq(1L, 3L))
+    assert(rows(4L) == Set((1L, "a4"), (k2, "b2")))
+  }
+
+  test("ST10 view: crash between _latest swap and _lastBatch cannot double-apply signed deltas") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_view_crash").toString
+    val store = s"$dir/store"
+    val viewDir = s"$dir/view"
+    val vcols = Seq("name", "v")
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "x", 10L), (2L, "upsert", 1L, "x", 5L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 2L, "x", 11L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    val feed = MergeSink.storeChangesBetween(spark, store, 0L, 1L)
+    MergeSink.applyFeedToView(spark, store, feed, 0L, 1L, viewDir, "name", "v")
+    def view() = MergeSink.currentViewState(spark, viewDir).get
+      .select("name", "n", "vsum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val applied = view()
+    assert(applied == Set(("x", 2L, 16L)), "view after (0,1]")
+    // simulate the crash window: `_latest` swapped, `_lastBatch` never
+    // written. incrementalAgg is NOT idempotent — without the
+    // marker-based guard the redelivered range re-applies the signed
+    // deltas to a base that already includes them and the sums double
+    // silently, forever.
+    Files.delete(java.nio.file.Paths.get(viewDir, "_lastBatch"))
+    MergeSink.applyFeedToView(spark, store, feed, 0L, 1L, viewDir, "name", "v")
+    assert(view() == applied, "redelivery after the crash window must no-op")
+    // ...and the guard HEALS the offset so the normal path resumes
+    assert(Files.exists(java.nio.file.Paths.get(viewDir, "_lastBatch")))
+  }
+
   test("ST10 clone: zero-copy branch — independent evolution, source-vacuum pin, localization unlocks erasure") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_clone").toString

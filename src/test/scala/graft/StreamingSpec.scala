@@ -742,6 +742,43 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("W15 live Holt drops cross-batch late rows instead of folding out of order") {
+    import graft.streaming.AnomalyStream
+    import graft.streaming.AnomalyStream.{HoltOut, Obs}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // a recursion can only sort WITHIN a micro-batch: seq 2 arriving
+      // after seq 3 was already folded must be DROPPED (no output row,
+      // state untouched), never folded out of order — folding it would
+      // silently diverge level/trend from the batch fold for every
+      // subsequent row. The emitted rows must equal the batch fold over
+      // the rows that were actually folded (seq 1, 3, 5).
+      val in = MemoryStream[Obs]
+      val q = AnomalyStream.holt(in.toDS())
+        .writeStream.format("memory").queryName("w15_late")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(Obs("k", 1L, 10L), Obs("k", 3L, 20L))
+        q.processAllAvailable()
+        in.addData(Obs("k", 2L, 99L), Obs("k", 5L, 30L)) // seq 2 is LATE
+        q.processAllAvailable()
+        val live = spark.table("w15_late").as[HoltOut].collect()
+          .map(e => e.seq -> (e.level, e.trend, e.forecast)).toMap
+        val folded = Seq(("k", 1L, 10L), ("k", 3L, 20L), ("k", 5L, 30L))
+        val batch = graft.operators.Trend.holt(
+            folded.toDF("key", "seq", "y"), Seq("key"), Seq("seq"), "y")
+          .collect().map(r => r.getAs[Long]("seq") ->
+            (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+              r.getAs[Double]("forecast")))
+          .toMap
+        assert(!live.contains(2L), "the late row must not emit")
+        assert(live == batch, "emitted rows == batch fold over folded rows")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("SAMP live weighted reservoir == batch A-Res sample at every prefix") {
     import graft.streaming.ReservoirStream
     import graft.streaming.ReservoirStream.{Item, Res}
