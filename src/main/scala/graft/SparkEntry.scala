@@ -788,6 +788,32 @@ object SparkEntry {
         .select("mac", "ssid", "rssi", "freq")
         .orderBy("mac")),
 
+    // ---- CAPSTONE (r12, VERDICT r11 #1): the SQL FRONT DOOR — the
+    //      same ingest→store state read back through
+    //      spark.read.format("graft") (DSv2 TableProvider, V1Scan
+    //      body, graft.sources.GraftDataSource) and queried as AD-HOC
+    //      SQL over a registered view — the reference's declared query
+    //      interface (ssidentity.c:17-18). Oracle UNCHANGED from
+    //      capstone_ingest_store: the door must be a transparent
+    //      window onto the store. Reuses the cached everyNth=1 store —
+    //      zero extra pipeline cost ----
+    "capstone_store_sql_door" -> ((s, d) => {
+      val store = buildCapstoneStore(s, d, everyNth = 1L)
+      s.read.format("graft").load(store).createOrReplaceTempView("graft_obs")
+      s.sql("SELECT mac, ssid, rssi, freq FROM graft_obs ORDER BY mac")
+    }),
+
+    // ---- CAPSTONE (r12): TIME TRAVEL as a READ OPTION through the
+    //      door (a table format's VERSION AS OF) — versionAsOf=2 over
+    //      the cached everyNth=3 store; oracle UNCHANGED from
+    //      capstone_store_timetravel ----
+    "capstone_store_sql_asof" -> ((s, d) => {
+      val store = buildCapstoneStore(s, d, everyNth = 3L)
+      s.read.format("graft").option("versionAsOf", "2").load(store)
+        .select("mac", "ssid", "rssi", "freq")
+        .orderBy("mac")
+    }),
+
     // ---- domain: MAC↔SSID network tree (ssidentity.c:36) ----
     "net_tree_edges" -> ((s, d) =>
       graft.operators.NetworkTree.edges(
@@ -3369,6 +3395,40 @@ object SparkEntry {
     // splits the sliced ver range into integer quarters — `//` is the
     // same floor division as the Scala side's Long arithmetic).
     "capstone_store_timetravel" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id % 3 = 0),
+        |cut AS (SELECT ((max(event_id) + 1) * 3) // 4 AS hi FROM src),
+        |cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        |  (2412 + (event_id % 13) * 5)::BIGINT AS freq
+        |FROM src WHERE event_id < (SELECT hi FROM cut)),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |      FROM cdc)
+        |SELECT mac, ssid, rssi, freq FROM w
+        |WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY mac""".stripMargin,
+
+    // The SQL front door is a transparent window onto the store: the
+    // head read through format("graft") replays EXACTLY as
+    // capstone_ingest_store (oracle copied verbatim), and versionAsOf
+    // exactly as capstone_store_timetravel.
+    "capstone_store_sql_door" ->
+      """WITH cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        |  (2412 + (event_id % 13) * 5)::BIGINT AS freq
+        |FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |      FROM cdc)
+        |SELECT mac, ssid, rssi, freq FROM w
+        |WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY mac""".stripMargin,
+
+    "capstone_store_sql_asof" ->
       """WITH src AS (SELECT * FROM events WHERE event_id % 3 = 0),
         |cut AS (SELECT ((max(event_id) + 1) * 3) // 4 AS hi FROM src),
         |cdc AS (SELECT printf('%012X', user_id) AS mac,

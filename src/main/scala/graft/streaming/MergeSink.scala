@@ -612,29 +612,113 @@ object MergeSink {
     * surviving manifest referencing a vacuumed dir both fail LOUDLY
     * naming what aged out, never silently return a partial store. */
   def bucketedSnapshotAt(spark: SparkSession, storeDir: String,
-      version: Long): DataFrame = {
-    val latest = readLong(latestPath(storeDir)).getOrElse(
+      version: Long): DataFrame =
+    snapshotPruned(spark, storeDir, Some(version), None)
+
+  // ------------------------------------------------------------------
+  // SQL front door hooks — the store behind spark.read.format("graft")
+  // ------------------------------------------------------------------
+  // [[graft.sources.GraftDataSource]] exposes the store as a DSv2
+  // table; these package-private entry points are its scan body and
+  // metadata reads, kept here so the connector never touches store
+  // internals directly.
+
+  /** Head version, if any commit exists. */
+  private[graft] def headVersion(storeDir: String): Option[Long] =
+    readLong(latestPath(storeDir))
+
+  /** The store's recorded bucket count (None = plain-protocol store). */
+  private[graft] def storedNBuckets(storeDir: String): Option[Long] =
+    readLong(nBucketsPath(storeDir))
+
+  /** The snapshot schema at `version` (head when None) — what the
+    * table reports to the catalog. Key column = first field. */
+  private[graft] def snapshotSchemaAt(storeDir: String,
+      version: Option[Long]): StructType = {
+    val latest = headVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(
-        s"MergeSink: $storeDir has no committed version to time-travel to"))
-    require(version >= 0 && version <= latest,
-      s"version $version outside this store's history [0, $latest]")
-    if (!Files.exists(manifestsDir(storeDir).resolve(version.toString)))
-      throw new IllegalStateException(
-        s"MergeSink: no manifest for v$version of $storeDir — the read " +
-          "point was pruned by vacuum (or the store predates the " +
-          "bucketed protocol); time travel is bounded by vacuum retention")
-    val manifest = readManifest(storeDir, version)
-    val target = readSchema(storeDir, version).getOrElse(
-      throw new IllegalStateException(
-        s"MergeSink: no recorded schema for v$version of $storeDir"))
-    manifest.values.toSeq.distinct.sorted.foreach { v =>
-      if (resolveDataDir(storeDir, v).isEmpty)
+        s"MergeSink: $storeDir has no committed version to read"))
+    val v = version.getOrElse(latest)
+    require(v >= 0 && v <= latest,
+      s"version $v outside this store's history [0, $latest]")
+    resolveSchema(storeDir, v).getOrElse(throw new IllegalStateException(
+      s"MergeSink: no recorded schema for v$v of $storeDir — only " +
+        "schema-registry stores are readable through the SQL front door"))
+  }
+
+  /** The change feed's row shape for the store's CURRENT schema:
+    * (key, change, <c>_old, <c>_new per value column) — must stay in
+    * lockstep with [[storeChangesBetween]]'s select. */
+  private[graft] def changeFeedSchemaAt(storeDir: String): StructType = {
+    val sc = snapshotSchemaAt(storeDir, None)
+    val key = sc.fields.head
+    StructType(key.copy(nullable = true) +:
+      org.apache.spark.sql.types.StructField("change",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      sc.fields.tail.flatMap(f => Seq(
+        org.apache.spark.sql.types.StructField(
+          s"${f.name}_old", f.dataType, nullable = true),
+        org.apache.spark.sql.types.StructField(
+          s"${f.name}_new", f.dataType, nullable = true))))
+  }
+
+  /** Driver-side twin of [[bucketOf]] for ONE key literal: the bucket a
+    * pushed key-equality filter prunes to. Evaluates the same
+    * `pmod(xxhash64(key), nBuckets)` the writers route by (Catalyst's
+    * XxHash64 with its default seed), so pruning can never disagree
+    * with placement. `value` is an external-type literal from a pushed
+    * [[org.apache.spark.sql.sources.Filter]]. */
+  private[graft] def bucketForKeyLiteral(value: Any,
+      keyType: org.apache.spark.sql.types.DataType, nBuckets: Long): Long = {
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(value, keyType)))
+      .eval(null).asInstanceOf[Long]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  /** Snapshot read with OPTIONAL version pin and OPTIONAL bucket
+    * pruning — the SQL front door's scan body. With `buckets` given,
+    * only those buckets' manifest entries are resolved and scanned: a
+    * key-equality read costs one partition-pruned dir scan regardless
+    * of store size, and (like the change feed) only the SCANNED
+    * buckets' dirs must still be materializable. Plain-protocol stores
+    * (no manifest — every version dir is the full state) read their
+    * version dir directly; bucket pruning needs the bucketed layout. */
+  private[graft] def snapshotPruned(spark: SparkSession, storeDir: String,
+      version: Option[Long], buckets: Option[Set[Long]]): DataFrame = {
+    val latest = headVersion(storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir has no committed version to read"))
+    val v = version.getOrElse(latest)
+    require(v >= 0 && v <= latest,
+      s"version $v outside this store's history [0, $latest]")
+    if (Files.exists(manifestsDir(storeDir).resolve(v.toString))) {
+      val manifest0 = readManifest(storeDir, v)
+      val target = readSchema(storeDir, v).getOrElse(
         throw new IllegalStateException(
-          s"MergeSink: v$version of $storeDir references data dir v$v, " +
-            "which vacuum has reclaimed — this read point is no longer " +
-            "materializable")
-    }
-    snapshotFromManifest(spark, storeDir, manifest, target)
+          s"MergeSink: no recorded schema for v$v of $storeDir"))
+      val manifest = buckets match {
+        case Some(bs) => manifest0.view.filterKeys(bs).toMap
+        case None => manifest0
+      }
+      manifest.values.toSeq.distinct.sorted.foreach { dv =>
+        if (resolveDataDir(storeDir, dv).isEmpty)
+          throw new IllegalStateException(
+            s"MergeSink: v$v of $storeDir references data dir v$dv, " +
+              "which vacuum has reclaimed — this read point is no longer " +
+              "materializable")
+      }
+      snapshotFromManifest(spark, storeDir, manifest, target)
+    } else if (Files.exists(Paths.get(storeDir, s"v$v"))) {
+      // plain-protocol store: the version dir IS the full state
+      readSchema(storeDir, v) match {
+        case Some(sc) => spark.read.schema(sc).parquet(s"$storeDir/v$v")
+        case None => spark.read.parquet(s"$storeDir/v$v")
+      }
+    } else throw new IllegalStateException(
+      s"MergeSink: no manifest for v$v of $storeDir — the read " +
+        "point was pruned by vacuum (or the store predates the " +
+        "bucketed protocol); time travel is bounded by vacuum retention")
   }
 
   /** CHANGE DATA FEED — the typed row-level changes between two
@@ -1498,7 +1582,7 @@ object MergeSink {
   /** The store's state at `version` in the change feed's own shape —
     * one `insert` row per key, old values NULL: what a from-before-
     * history subscription's first delivery carries. */
-  private def insertShaped(spark: SparkSession, storeDir: String,
+  private[graft] def insertShaped(spark: SparkSession, storeDir: String,
       version: Long): DataFrame = {
     val snap = bucketedSnapshotAt(spark, storeDir, version)
     val keyName = snap.columns.head

@@ -13,4 +13,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-wrap a computed batch frame as a STREAMING DataFrame — what a
+    * V1 [[org.apache.spark.sql.execution.streaming.Source]]'s
+    * `getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming=true` on the plan it splices in). The standard
+    * connector hook (`internalCreateDataFrame`) is `private[sql]` in
+    * Spark 4, hence bridged here like the Column⇄Expression pair.
+    * Lazy: the wrapped RDD re-plans the frame only when the
+    * micro-batch actually runs. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
