@@ -814,6 +814,20 @@ object SparkEntry {
         .orderBy("mac")
     }),
 
+    // ---- CAPSTONE (r12, VERDICT r11 #2): SCHEMA EVOLUTION — ADD
+    //      COLUMNS as a metadata-only commit over the ingest→store
+    //      pipeline, then a write-NEW batch (supplies the new column)
+    //      and a write-OLD batch (predates it — full-row upsert,
+    //      column reads null). The oracle replays the null-backfill
+    //      algebra: base CDC apply, overridden by the two post-
+    //      evolution writer layers. Every-9th slice, steps cached as
+    //      pipeline ----
+    "capstone_store_evolution" -> ((s, d) =>
+      graft.streaming.MergeSink
+        .currentBucketedSnapshot(s, evolvedCapstoneStore(s, d)).get
+        .select("mac", "ssid", "rssi", "freq", "tag")
+        .orderBy("mac")),
+
     // ---- domain: MAC↔SSID network tree (ssidentity.c:36) ----
     "net_tree_edges" -> ((s, d) =>
       graft.operators.NetworkTree.edges(
@@ -3325,6 +3339,40 @@ object SparkEntry {
         |FROM a
         |WHERE n_sensors >= 3 AND abs(m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m23*m13) + m13 * (m12*m23 - m22*m13)) > 1e-9 * pow(greatest(abs(m11), abs(m12), abs(m13), abs(m22), abs(m23), abs(m33)), 3)
         |ORDER BY mac""".stripMargin,
+
+    // Evolution: head = base winner-per-key CDC apply (tag NULL via
+    // null-backfill), overridden by the write-NEW layer (tag = mac)
+    // then the write-OLD layer (later ver wins; full-row replace puts
+    // tag back to NULL).
+    "capstone_store_evolution" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id % 9 = 0),
+        |cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        |  (2412 + (event_id % 13) * 5)::BIGINT AS freq
+        |FROM src),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |      FROM cdc),
+        |base AS (SELECT mac, ssid, rssi, freq FROM w WHERE rn = 1 AND op = 'upsert'),
+        |e AS (SELECT DISTINCT printf('%012X', user_id) AS mac FROM src
+        |      WHERE user_id % 2 = 0),
+        |o AS (SELECT DISTINCT printf('%012X', user_id) AS mac FROM src
+        |      WHERE user_id % 5 = 0),
+        |allm AS (SELECT mac FROM base UNION SELECT mac FROM e UNION SELECT mac FROM o)
+        |SELECT a.mac,
+        |  CASE WHEN o.mac IS NOT NULL THEN 'old-writer'
+        |       WHEN e.mac IS NOT NULL THEN 'evolved' ELSE b.ssid END AS ssid,
+        |  (CASE WHEN o.mac IS NOT NULL THEN -2
+        |        WHEN e.mac IS NOT NULL THEN -1 ELSE b.rssi END)::BIGINT AS rssi,
+        |  (CASE WHEN o.mac IS NOT NULL THEN 0
+        |        WHEN e.mac IS NOT NULL THEN 0 ELSE b.freq END)::BIGINT AS freq,
+        |  (CASE WHEN o.mac IS NOT NULL THEN NULL
+        |        WHEN e.mac IS NOT NULL THEN e.mac ELSE NULL END)::VARCHAR AS tag
+        |FROM allm a LEFT JOIN base b ON a.mac = b.mac
+        |  LEFT JOIN e ON a.mac = e.mac LEFT JOIN o ON a.mac = o.mac
+        |ORDER BY a.mac""".stripMargin,
 
     "living_area" ->
       s"""$LivingAreaCteSql
@@ -6816,7 +6864,8 @@ object SparkEntry {
     "build_store_n3"     -> ((s, d) => { buildCapstoneStore(s, d, 3L); () }),
     "build_store_n5"     -> ((s, d) => { buildCapstoneStore(s, d, 5L); () }),
     "build_store_n7"     -> ((s, d) => { buildCapstoneStore(s, d, 7L); () }),
-    "build_store_erased" -> ((s, d) => { erasedCapstoneStore(s, d); () }))
+    "build_store_erased" -> ((s, d) => { erasedCapstoneStore(s, d); () }),
+    "build_store_evolved" -> ((s, d) => { evolvedCapstoneStore(s, d); () }))
 
   private def buildCapstoneStore(s: SparkSession, d: String,
       everyNth: Long): String = capstoneCache.synchronized {
@@ -6837,6 +6886,41 @@ object SparkEntry {
         val victims = ev(s, d).filter(col("user_id") % 7 === 0)
           .select(upper(lpad(hex(col("user_id")), 12, "0")).as("mac")).distinct()
         graft.streaming.MergeSink.eraseKeys(s, store, victims)
+        store
+      })
+    }
+
+  /** The evolution capstone's store: the every-9th slice store, then
+    * [[graft.streaming.MergeSink.addColumns]] (metadata-only `tag`
+    * column), then one WRITE-NEW batch (every even-user mac upserted
+    * WITH the tag) and one WRITE-OLD batch (every user≡0 (mod 5) mac
+    * upserted by a pre-evolution writer without it — full-row replace,
+    * tag back to null). All three evolution steps are PIPELINE (cached
+    * with the store); the capstone query is a pure head read. */
+  private def evolvedCapstoneStore(s: SparkSession, d: String): String =
+    capstoneCache.synchronized {
+      capstoneCache.getOrElseUpdate((d, 9L, false), {
+        val store = buildCapstoneStoreUncached(s, d, 9L)
+        val MS = graft.streaming.MergeSink
+        MS.addColumns(store, Seq(org.apache.spark.sql.types.StructField(
+          "tag", org.apache.spark.sql.types.StringType)))
+        val slice = ev(s, d).filter(col("event_id") % 9 === 0)
+        val maxVer = slice.agg(max("event_id")).head().getLong(0)
+        val macOf = upper(lpad(hex(col("user_id")), 12, "0"))
+        val writeNew = slice.filter(col("user_id") % 2 === 0)
+          .select(macOf.as("mac")).distinct()
+          .select(col("mac"), lit("upsert").as("op"),
+            lit(maxVer + 1).as("ver"), lit("evolved").as("ssid"),
+            lit(-1L).as("rssi"), lit(0L).as("freq"), col("mac").as("tag"))
+        MS.applyBucketedBatch(writeNew, 4L, store, "mac", "op", "ver",
+          Seq("ssid", "rssi", "freq", "tag"), nBuckets = 16)
+        val writeOld = slice.filter(col("user_id") % 5 === 0)
+          .select(macOf.as("mac")).distinct()
+          .select(col("mac"), lit("upsert").as("op"),
+            lit(maxVer + 2).as("ver"), lit("old-writer").as("ssid"),
+            lit(-2L).as("rssi"), lit(0L).as("freq"))
+        MS.applyBucketedBatch(writeOld, 5L, store, "mac", "op", "ver",
+          Seq("ssid", "rssi", "freq"), nBuckets = 16)
         store
       })
     }

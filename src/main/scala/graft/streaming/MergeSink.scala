@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, pmod, when, xxhash64}
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
 
 import graft.operators.Snapshot
 
@@ -51,6 +51,10 @@ import graft.operators.Snapshot
 object MergeSink {
 
   private def latestPath(storeDir: String) = Paths.get(storeDir, "_latest")
+  /** Registry metadata key marking a column ADDED by [[addColumns]]
+    * (optional in writes — see applyBucketedBatch's write-old path). */
+  private val EvolvedMark = "graft.evolved"
+
   private def lastBatchPath(storeDir: String) = Paths.get(storeDir, "_lastBatch")
   private def commitsDir(storeDir: String) = Paths.get(storeDir, "_commits")
   private def schemasDir(storeDir: String) = Paths.get(storeDir, "_schemas")
@@ -1191,51 +1195,413 @@ object MergeSink {
     val parent = latest.getOrElse(-1L)
     val version = parent + 1
     val manifest = latest.map(readManifest(storeDir, _)).getOrElse(Map.empty)
-    val target = batch.select((key +: valueCols).map(col): _*).schema
-    latest.foreach { pv =>
-      readSchema(storeDir, pv).foreach(requireCompatible(_, target, storeDir))
-    }
+    val (batchEff, effValueCols, target) =
+      evolutionPlan(batch, key, valueCols,
+        latest.flatMap(readSchema(storeDir, _)), storeDir)
     // claim-first, for the same same-parent-same-dir reason as
     // applyBatchFrom: refuse a racing writer before any file moves
     val claim = claimCommit(storeDir, version, parent, batchId)
     val touched = batch.select(bucketOf(key, nBuckets).as("_bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    if (touched.nonEmpty) withClaimHeartbeat(claim) {
-      val emptyBase = batch.select((key +: valueCols).map(col): _*).limit(0)
-      // the touched buckets' CURRENT rows, grouped by owning version
-      // so each version dir is scanned once with partition pruning
-      val base = touched.flatMap(b => manifest.get(b).map(v => (v, b)))
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (v, bs) =>
-          alignTo(readVersionDir(spark, storeDir, v)
-            .filter(col("_bucket").isin(bs.map(_._2): _*)), target)
-        }
-        .foldLeft(emptyBase)(_ unionByName _)
-      val next = Snapshot.applyChanges(base, batch, key, opCol, verCol, valueCols)
-        .withColumn("_bucket", bucketOf(key, nBuckets))
-      // applyChanges leaves the rows partitioned by JOIN key, which is
-      // uncorrelated with `_bucket` — but a dynamic-partition write is
-      // still safe unshuffled: FileFormatWriter sorts each task by the
-      // partition column, so writers open sequentially, and the
-      // residual files-per-bucket (≤ tasks holding that bucket) is what
-      // compactBucketedStore exists to collapse. Re-clustering here
-      // would bill every micro-batch an extra exchange to save the
-      // maintenance job its batched cleanup.
-      next.write.mode("overwrite").partitionBy("_bucket")
-        .parquet(s"$storeDir/v$version")
-    }
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val survivors =
+      if (touched.isEmpty) Seq.empty[Long]
+      else withClaimHeartbeat(claim) {
+        mergeTouched(spark, batchEff, key, opCol, verCol, effValueCols,
+          target, manifest, touched, nBuckets, storeDir, version)
+      }
     // untouched buckets keep their old version; a touched bucket whose
     // merged content is EMPTY (all keys deleted) leaves the manifest
-    val merged = manifest -- touched ++
-      touched.filter(b => Files.exists(
-          Paths.get(storeDir, s"v$version", s"_bucket=$b")))
-        .map(b => b -> version)
+    val merged = manifest -- touched ++ survivors.map(b => b -> version)
     writeManifest(storeDir, version, merged)
     writeSchema(storeDir, version, target)
     verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
     writeLongAtomic(lastBatchPath(storeDir), batchId)
     pruneCommitMarkers(storeDir)
+  }
+
+  /** The evolution-aware write plan shared by the serialized and OCC
+    * writers. WRITE-OLD under an evolved store: columns [[addColumns]]
+    * ADDED (stamped `graft.evolved` in the registry) are OPTIONAL in
+    * writes — a batch missing them null-fills (batch rows are FULL-ROW
+    * upserts, so an old writer replacing a key states the evolved
+    * columns are null). Original columns stay mandatory —
+    * requireCompatible still refuses their absence loudly. Returns
+    * (widened batch, effective value columns, target schema). */
+  private def evolutionPlan(batch: DataFrame, key: String,
+      valueCols: Seq[String], parentSchema: Option[StructType],
+      storeDir: String): (DataFrame, Seq[String], StructType) = {
+    val declared = batch.select((key +: valueCols).map(col): _*).schema
+    val evolvedMissing: Seq[StructField] =
+      parentSchema.toSeq.flatMap(_.fields.filter(f =>
+        !declared.fieldNames.contains(f.name) &&
+          f.metadata.contains(EvolvedMark)))
+    val target = parentSchema match {
+      case Some(ps) =>
+        // carry evolution marks (and widened nullability) through
+        // writers that DO supply the column, so the registry never
+        // forgets a column is optional
+        val pByName = ps.fields.map(f => f.name -> f).toMap
+        StructType(declared.fields.map(f => pByName.get(f.name)
+          .map(pf => f.copy(nullable = f.nullable || pf.nullable,
+            metadata = pf.metadata)).getOrElse(f)) ++ evolvedMissing)
+      case None => declared
+    }
+    parentSchema.foreach(requireCompatible(_, target, storeDir))
+    val effValueCols = valueCols ++ evolvedMissing.map(_.name)
+    val batchEff = evolvedMissing.foldLeft(batch)((b, f) =>
+      b.withColumn(f.name, lit(null).cast(f.dataType)))
+    (batchEff, effValueCols, target)
+  }
+
+  /** The touched-bucket merge job both writers share: read the touched
+    * buckets' CURRENT rows per `manifest` (grouped by owning version,
+    * one partition-pruned scan each), apply the batch, write
+    * `v<version>`. Returns the touched buckets that SURVIVED the merge
+    * (post-merge non-empty — a bucket whose every key was deleted
+    * leaves the manifest). */
+  private def mergeTouched(spark: SparkSession, batchEff: DataFrame,
+      key: String, opCol: String, verCol: String, effValueCols: Seq[String],
+      target: StructType, manifest: Map[Long, Long], touched: Seq[Long],
+      nBuckets: Int, storeDir: String, version: Long): Seq[Long] = {
+    val emptyBase = batchEff.select((key +: effValueCols).map(col): _*).limit(0)
+    val base = touched.flatMap(b => manifest.get(b).map(v => (v, b)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, bs) =>
+        alignTo(readVersionDir(spark, storeDir, v)
+          .filter(col("_bucket").isin(bs.map(_._2): _*)), target)
+      }
+      .foldLeft(emptyBase)(_ unionByName _)
+    val next = Snapshot.applyChanges(base, batchEff, key, opCol, verCol,
+        effValueCols)
+      .withColumn("_bucket", bucketOf(key, nBuckets))
+    // applyChanges leaves the rows partitioned by JOIN key, which is
+    // uncorrelated with `_bucket` — but a dynamic-partition write is
+    // still safe unshuffled: FileFormatWriter sorts each task by the
+    // partition column, so writers open sequentially, and the
+    // residual files-per-bucket (≤ tasks holding that bucket) is what
+    // compactBucketedStore exists to collapse. Re-clustering here
+    // would bill every micro-batch an extra exchange to save the
+    // maintenance job its batched cleanup.
+    next.write.mode("overwrite").partitionBy("_bucket")
+      .parquet(s"$storeDir/v$version")
+    touched.filter(b => Files.exists(
+      Paths.get(storeDir, s"v$version", s"_bucket=$b")))
+  }
+
+  // ------------------------------------------------------------------
+  // OCC: disjoint-bucket CONCURRENT writers (VERDICT r11 #3)
+  // ------------------------------------------------------------------
+  //
+  // [[applyBucketedBatch]] serializes every writer on one `_latest`
+  // CAS — at 100 TB with per-sensor upload streams that single claim
+  // is the first throughput wall. The OCC protocol removes it for
+  // commits whose TOUCHED-BUCKET sets are disjoint (Delta-style
+  // optimistic concurrency, bucket-granular):
+  //
+  //   1. CLAIM CARRIES THE BUCKET SET. An OCC commit marker records
+  //      `w=<writer>` and `b=<b1,b2,…>` alongside parent/batch/nonce.
+  //   2. VERSION SLOTS EXTEND PAST `_latest`. A writer lists all
+  //      markers beyond the committed head (in-flight claims), checks
+  //      its bucket set against each (a marker without `b=` — a
+  //      serialized or maintenance claim — conflicts with everything),
+  //      and claims the next free slot. Disjoint writers therefore
+  //      hold claims on v(n+1), v(n+2), … SIMULTANEOUSLY and run
+  //      their merge jobs — the expensive part — CONCURRENTLY.
+  //   3. PUBLICATION LINEARIZES. Manifests compose sequentially
+  //      (manifest(v) = manifest(v−1) minus touched plus survivors),
+  //      so each claimant waits for `_latest` to reach its parent,
+  //      re-validates that ITS buckets' owners are unchanged since its
+  //      read (the OCC read-set check — a takeover could have slipped
+  //      an overlapping commit in), then publishes and swaps. The wait
+  //      monitors the parent claim's heartbeat: a live parent is
+  //      waited out, a dead one (marker gone or lease-stale) aborts
+  //      this commit loudly for a clean retry.
+  //   4. REPLAY IS PER-WRITER. Each writer's exactly-once guard is its
+  //      own `_lastBatch.<writer>` file — two checkpoints' batchIds
+  //      never collide, and a marker is only adopted as "our crash
+  //      replay" when parent, batchId AND writer all match.
+  //
+  // Overlapping writers still both land — the loser's claim attempt
+  // sees the conflict, backs off, re-reads the new head and rebases —
+  // they just serialize, exactly as the single-claim protocol forced
+  // everyone to.
+
+  private def occLastBatchPath(storeDir: String, writer: String) =
+    Paths.get(storeDir, s"_lastBatch.$writer")
+
+  /** Parse an OCC-aware marker: (parent, batchId, writer, buckets).
+    * Markers written by the serialized protocol have no `w=`/`b=`
+    * tokens → (writer = None, buckets = None = "conflicts with all". */
+  private def markerClaimInfo(storeDir: String, version: Long)
+      : Option[(Long, Long, Option[String], Option[Set[Long]])] = {
+    val marker = commitsDir(storeDir).resolve(version.toString)
+    if (!Files.exists(marker)) return None
+    val toks = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+      .trim.split("\\s+").toSeq
+    toks match {
+      case Seq(p, b, rest @ _*) =>
+        for { pv <- p.toLongOption; bv <- b.toLongOption } yield {
+          val w = rest.collectFirst { case t if t.startsWith("w=") => t.drop(2) }
+          val bs = rest.collectFirst { case t if t.startsWith("b=") =>
+            t.drop(2).split(',').filter(_.nonEmpty).flatMap(_.toLongOption).toSet }
+          (pv, bv, w, bs)
+        }
+      case _ => None
+    }
+  }
+
+  /** CREATE_NEW claim for an OCC slot. Adopts an existing marker only
+    * on a FULL identity match (parent, batchId, writer) — two writers'
+    * batchIds can collide, the writer name disambiguates. Any other
+    * occupant throws; the caller's retry loop re-reads and rebases. */
+  private def claimOcc(storeDir: String, version: Long, parent: Long,
+      batchId: Long, writer: String, buckets: Seq[Long]): Claim = {
+    val dir = commitsDir(storeDir)
+    Files.createDirectories(dir)
+    readLong(dir.resolve("_horizon")).foreach { h =>
+      if (parent < h)
+        throw new java.util.ConcurrentModificationException(
+          s"MergeSink: OCC writer '$writer' derived v$version of $storeDir " +
+            s"from parent v$parent, but commit history up to v$h has been " +
+            "pruned — re-read the store and retry")
+    }
+    val marker = dir.resolve(version.toString)
+    val nonce =
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
+    val content =
+      s"$parent $batchId $nonce w=$writer b=${buckets.sorted.mkString(",")}"
+    try {
+      Files.write(marker, content.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW)
+      Claim(marker, content, version, storeDir)
+    } catch {
+      case _: FileAlreadyExistsException =>
+        markerClaimInfo(storeDir, version) match {
+          case Some((pv, bv, Some(w), _))
+              if pv == parent && bv == batchId && w == writer =>
+            // our own crash replay: adopt the surviving marker
+            val body = new String(Files.readAllBytes(marker),
+              StandardCharsets.UTF_8).trim
+            Claim(marker, body, version, storeDir)
+          case stale
+              if readLong(latestPath(storeDir)).getOrElse(-1L) < version &&
+                Files.exists(marker) &&
+                (System.currentTimeMillis() -
+                  Files.getLastModifiedTime(marker).toMillis) >= TakeoverLeaseMs =>
+            // abandoned in-flight claim (writer died; a live one
+            // heartbeats): CAS-takeover exactly as claimCommit does
+            if (!Files.deleteIfExists(marker))
+              throw new java.util.ConcurrentModificationException(
+                s"MergeSink: another recoverer took over the abandoned OCC " +
+                  s"claim on v$version of $storeDir first — retry")
+            claimOcc(storeDir, version, parent, batchId, writer, buckets)
+          case _ =>
+            throw new java.util.ConcurrentModificationException(
+              s"MergeSink: v$version of $storeDir is already claimed — " +
+                "another writer holds the slot; re-read and rebase")
+        }
+    }
+  }
+
+  /** [[applyBucketedBatch]] for CONCURRENT writers: same semantics,
+    * exactly-once per (writer, batchId), but commits whose touched
+    * buckets are disjoint proceed in parallel (see the OCC protocol
+    * notes above). `writer` names this writer's replay lineage — one
+    * per streaming checkpoint. Retries claim races and in-flight
+    * overlaps up to `maxRetries` with short backoff; a conflict that
+    * persists (a hot bucket contested by a live writer) eventually
+    * lands because every wait is bounded by the winner's commit or
+    * its lease expiry. */
+  def applyBucketedBatchOcc(batch: DataFrame, batchId: Long, storeDir: String,
+      key: String, opCol: String, verCol: String, valueCols: Seq[String],
+      nBuckets: Int = 64, writer: String = "w0",
+      maxRetries: Int = 32): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    require(writer.nonEmpty && !writer.startsWith("_") &&
+      !writer.exists(c => c == '/' || c == '\\' || c.isWhitespace),
+      s"writer must be a plain name (got '$writer')")
+    Files.createDirectories(Paths.get(storeDir))
+    requireNBuckets(storeDir, nBuckets)
+    if (readLong(occLastBatchPath(storeDir, writer)).exists(_ >= batchId)) return
+    val spark = batch.sparkSession
+    val touched = batch.select(bucketOf(key, nBuckets).as("_bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    var attempt = 0
+    var backoffMs = 20L
+    while (true) {
+      attempt += 1
+      val latest = readLong(latestPath(storeDir))
+      val baseManifest = latest.map(readManifest(storeDir, _)).getOrElse(Map.empty)
+      val (batchEff, effValueCols, target) =
+        evolutionPlan(batch, key, valueCols,
+          latest.flatMap(readSchema(storeDir, _)), storeDir)
+      // in-flight claims beyond the committed head; abandoned ones
+      // (writer died between claim and publish — live writers
+      // heartbeat) are lease-expired and CAS-swept here so the slot
+      // chain never wedges on a dead parent
+      val head = latest.getOrElse(-1L)
+      val inflight = {
+        val dir = commitsDir(storeDir)
+        if (!Files.exists(dir)) List.empty[Long]
+        else {
+          val s0 = Files.list(dir)
+          val all = try s0.iterator().asScala.map(_.getFileName.toString)
+            .flatMap(_.toLongOption).filter(_ > head).toList.sorted
+          finally s0.close()
+          all.filterNot { v =>
+            val m = commitsDir(storeDir).resolve(v.toString)
+            val stale = Files.exists(m) && (System.currentTimeMillis() -
+              Files.getLastModifiedTime(m).toMillis) >= TakeoverLeaseMs
+            if (stale) Files.deleteIfExists(m) else !Files.exists(m)
+          }
+        }
+      }
+      val conflicts = inflight.filter { v =>
+        markerClaimInfo(storeDir, v) match {
+          case Some((_, bv, Some(w), _)) if w == writer && bv == batchId =>
+            false // our own crash-replay slot: claimOcc will adopt it
+          case Some((_, _, _, Some(bs))) => bs.exists(touched.contains)
+          case _ => true // unparsable / serialized claim: assume overlap
+        }
+      }
+      if (conflicts.nonEmpty) {
+        if (attempt >= maxRetries)
+          throw new java.util.ConcurrentModificationException(
+            s"MergeSink: OCC writer '$writer' batch $batchId on $storeDir " +
+              s"kept conflicting with in-flight claims ${conflicts.mkString(", ")} " +
+              s"after $attempt attempts — a live writer contests these buckets")
+        Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 500L)
+      } else {
+        val version = (head :: inflight).max + 1
+        val parent = version - 1
+        val claim =
+          try claimOcc(storeDir, version, parent, batchId, writer, touched)
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              if (attempt >= maxRetries) throw e
+              Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 500L)
+              null
+          }
+        if (claim != null) {
+          try {
+            occPublish(spark, storeDir, claim, version, parent, batchId,
+              writer, batchEff, key, opCol, verCol, effValueCols, target,
+              baseManifest, touched, nBuckets)
+            return
+          } catch {
+            case _: OccRebase =>
+              // parent chain resolved differently than our read —
+              // clean up this slot and rebase from the new head
+              Files.deleteIfExists(claim.marker)
+              if (attempt >= maxRetries)
+                throw new java.util.ConcurrentModificationException(
+                  s"MergeSink: OCC writer '$writer' batch $batchId on " +
+                    s"$storeDir could not validate its read set after " +
+                    s"$attempt attempts")
+              Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 500L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Internal: a committed-chain shape forcing an OCC rebase (parent
+    * claim died, or our buckets' owners moved since our read). */
+  private final class OccRebase(msg: String) extends RuntimeException(msg)
+
+  /** The publish half of one OCC attempt: merge job (concurrent with
+    * other claimants), wait for the parent to commit, re-validate the
+    * read set, publish manifest+schema, swap. Throws [[OccRebase]]
+    * when the attempt must be redone from a fresh read. */
+  private def occPublish(spark: SparkSession, storeDir: String, claim: Claim,
+      version: Long, parent: Long, batchId: Long, writer: String,
+      batchEff: DataFrame, key: String, opCol: String, verCol: String,
+      effValueCols: Seq[String], target: StructType,
+      baseManifest: Map[Long, Long], touched: Seq[Long],
+      nBuckets: Int): Unit =
+    withClaimHeartbeat(claim) {
+      val survivors =
+        if (touched.isEmpty) Seq.empty[Long]
+        else mergeTouched(spark, batchEff, key, opCol, verCol, effValueCols,
+          target, baseManifest, touched, nBuckets, storeDir, version)
+      // wait for the parent slot to publish (it may still be merging —
+      // its heartbeat keeps its marker fresh; a stale or vanished
+      // parent claim means its writer died → rebase cleanly)
+      while (readLong(latestPath(storeDir)).getOrElse(-1L) < parent) {
+        val pm = commitsDir(storeDir).resolve(parent.toString)
+        val parentAlive = Files.exists(pm) &&
+          (System.currentTimeMillis() -
+            Files.getLastModifiedTime(pm).toMillis) < TakeoverLeaseMs
+        if (!parentAlive)
+          throw new OccRebase(s"parent claim v$parent of $storeDir died " +
+            "before publishing")
+        Thread.sleep(20L)
+      }
+      val parentManifest =
+        if (parent >= 0) readManifest(storeDir, parent) else Map.empty[Long, Long]
+      // OCC read-set validation: every bucket WE touched must still be
+      // owned by the version we read it from — an overlapping commit
+      // could only have slipped in through a takeover chain
+      val moved = touched.filter(b =>
+        parentManifest.get(b) != baseManifest.get(b))
+      if (moved.nonEmpty)
+        throw new OccRebase(s"buckets ${moved.mkString(", ")} of $storeDir " +
+          "changed owners since this writer's read")
+      val merged = parentManifest -- touched ++ survivors.map(b => b -> version)
+      writeManifest(storeDir, version, merged)
+      writeSchema(storeDir, version, target)
+      verifyClaim(claim)
+      writeLongAtomic(latestPath(storeDir), version)
+      writeLongAtomic(occLastBatchPath(storeDir, writer), batchId)
+      pruneCommitMarkers(storeDir)
+    }
+
+  /** SCHEMA EVOLUTION — ADD COLUMNS as a METADATA-ONLY maintenance
+    * commit (a table format's `ALTER TABLE ... ADD COLUMNS`; the
+    * reference's own TODO — migrating `obs` timestamps and re-keying
+    * by MAC, ssidentity.c:25-26 — is precisely such a migration): one
+    * CAS-claimed commit whose manifest is a COPY of the parent's, so
+    * NO data moves at any store size. Version dirs keep the schema
+    * they were written with; reads at or after the evolution
+    * null-backfill the new columns (alignTo), time travel before it
+    * shows the then-current schema (evolution is part of history), the
+    * change feed across the boundary carries the WIDENED schema with
+    * old values null-filled, and clones inherit their clone point's
+    * schema. Added columns are stamped OPTIONAL (`graft.evolved`):
+    * writers predating the evolution keep committing without them —
+    * their upserts null-fill (batch rows are full-row replacements).
+    * Dropping or retyping stays refused; destructive changes rewrite
+    * the store explicitly. Returns the evolution commit's version. */
+  def addColumns(storeDir: String, newFields: Seq[StructField]): Long = {
+    require(newFields.nonEmpty, "addColumns needs at least one new column")
+    val latest = readLong(latestPath(storeDir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir has no committed version to evolve"))
+    if (!Files.exists(manifestsDir(storeDir).resolve(latest.toString)))
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir@v$latest has no manifest — only bucketed " +
+          "stores support metadata-only evolution")
+    val parent = readSchema(storeDir, latest).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: no recorded schema for v$latest of $storeDir"))
+    val dup = newFields.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate new column(s): ${dup.mkString(", ")}")
+    val clash = newFields.map(_.name).filter(parent.fieldNames.contains)
+    require(clash.isEmpty,
+      s"column(s) already exist on $storeDir: ${clash.mkString(", ")}")
+    val marked = newFields.map(f => f.copy(nullable = true,
+      metadata = new MetadataBuilder()
+        .withMetadata(f.metadata).putBoolean(EvolvedMark, true).build()))
+    val next = StructType(parent.fields ++ marked)
+    val version = latest + 1
+    val claim = claimCommit(storeDir, version, latest, -1L)
+    writeManifest(storeDir, version, readManifest(storeDir, latest))
+    writeSchema(storeDir, version, next)
+    verifyClaim(claim)
+    writeLongAtomic(latestPath(storeDir), version)
+    pruneCommitMarkers(storeDir)
+    version
   }
 
   /** Maintenance: rewrite every live bucket into ONE new version, so

@@ -1188,6 +1188,177 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 1)
   }
 
+  test("ST10 OCC: disjoint-bucket writers commit concurrently; overlap serializes; replay is per-writer") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_occ").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    def rows() = MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // v0 seeds both buckets (serialized writer — the protocols coexist)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L), (k2, "upsert", 1L, "b", 20L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // TWO CONCURRENT writers on DISJOINT buckets: both must land, in
+    // either interleaving, each as its own linearized commit
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = MergeSink.applyBucketedBatchOcc(
+          Seq((1L, "upsert", 2L, "a2", 11L)).toDF("k", "op", "ver", "name", "v"),
+          0L, store, "k", "op", "ver", vcols, nBuckets = 4, writer = "wa")
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = MergeSink.applyBucketedBatchOcc(
+          Seq((k2, "upsert", 2L, "b2", 21L)).toDF("k", "op", "ver", "name", "v"),
+          0L, store, "k", "op", "ver", vcols, nBuckets = 4, writer = "wb")
+      })
+      fa.get(); fb.get() // neither may fail
+    } finally pool.shutdown()
+    assert(rows() == Set((1L, "a2", 11L), (k2, "b2", 21L)),
+      "both disjoint commits must land")
+    assert(MergeSink.latestVersion(store).contains(2L),
+      "two OCC commits = two linearized versions")
+    // per-writer replay: same (writer, batchId) no-ops; a DIFFERENT
+    // writer with the same batchId still applies
+    MergeSink.applyBucketedBatchOcc(
+      Seq((1L, "upsert", 9L, "SHOULD_NOT_APPLY", 0L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4, writer = "wa")
+    assert(rows().contains((1L, "a2", 11L)), "replayed batchId must no-op")
+    MergeSink.applyBucketedBatchOcc(
+      Seq((1L, "upsert", 3L, "a3", 12L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4, writer = "wc")
+    assert(rows().contains((1L, "a3", 12L)),
+      "a different writer's batchId 0 is distinct replay lineage")
+    // OVERLAPPING concurrent writers: both land (serialized by the
+    // conflict check), winner per key decided by ver as always
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool2.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = MergeSink.applyBucketedBatchOcc(
+          Seq((1L, "upsert", 10L, "over1", 1L)).toDF("k", "op", "ver", "name", "v"),
+          1L, store, "k", "op", "ver", vcols, nBuckets = 4, writer = "wa")
+      })
+      val f2 = pool2.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = MergeSink.applyBucketedBatchOcc(
+          Seq((1L, "upsert", 11L, "over2", 2L)).toDF("k", "op", "ver", "name", "v"),
+          1L, store, "k", "op", "ver", vcols, nBuckets = 4, writer = "wc")
+      })
+      f1.get(); f2.get()
+    } finally pool2.shutdown()
+    assert(rows().contains((1L, "over2", 2L)),
+      "overlapping writers serialize; the higher ver wins the key")
+    // an ABANDONED in-flight OCC claim (lease-expired) is swept, not a
+    // permanent wedge: fake a dead writer's marker beyond the head
+    val head = MergeSink.latestVersion(store).get
+    val deadMarker = java.nio.file.Paths.get(store, "_commits", (head + 1).toString)
+    Files.write(deadMarker,
+      s"$head 7 123 w=dead b=${bucketOf(1L)}".getBytes("UTF-8"))
+    Files.setLastModifiedTime(deadMarker,
+      java.nio.file.attribute.FileTime.fromMillis(0L))
+    MergeSink.applyBucketedBatchOcc(
+      Seq((k2, "upsert", 12L, "b3", 22L)).toDF("k", "op", "ver", "name", "v"),
+      2L, store, "k", "op", "ver", vcols, nBuckets = 4, writer = "wb")
+    assert(rows().contains((k2, "b3", 22L)))
+    // the slot was swept and re-claimed by the live writer: the dead
+    // writer's claim content is gone (the path persists as the live
+    // commit's marker — markers are retained history)
+    assert(!new String(Files.readAllBytes(deadMarker), "UTF-8").contains("w=dead"),
+      "the dead claim must be swept")
+    // the serialized writer still works after OCC commits (one store,
+    // two protocols, one linear history)
+    MergeSink.applyBucketedBatch(
+      Seq((k2, "upsert", 13L, "b4", 23L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(rows().contains((k2, "b4", 23L)))
+  }
+
+  test("ST10 evolution: ADD COLUMNS is metadata-only; write-old/read-new; history keeps its schema") {
+    import graft.streaming.MergeSink
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    // v0: two keys in different buckets
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L), (k2, "upsert", 1L, "b", 20L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // v1: METADATA-ONLY evolution — no data moves, no data dir appears
+    assert(MergeSink.addColumns(store,
+      Seq(StructField("score", LongType))) == 1L)
+    assert(!Files.exists(java.nio.file.Paths.get(store, "v1")),
+      "ADD COLUMNS must be metadata-only")
+    def snap(v: Option[Long]) = {
+      val df = v.map(MergeSink.bucketedSnapshotAt(spark, store, _))
+        .getOrElse(MergeSink.currentBucketedSnapshot(spark, store).get)
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (df.columns.contains("score"))
+          Option(r.get(df.columns.indexOf("score"))).map(_.asInstanceOf[Long])
+        else None)).toSet
+    }
+    // read-new at head: widened schema, old rows null-backfilled
+    val head1 = MergeSink.currentBucketedSnapshot(spark, store).get
+    assert(head1.columns.toSeq == Seq("k", "name", "v", "score"))
+    assert(snap(None) == Set((1L, "a", 10L, None), (k2, "b", 20L, None)))
+    // time travel BEFORE the boundary: the THEN-current schema
+    assert(MergeSink.bucketedSnapshotAt(spark, store, 0L).columns.toSeq ==
+      Seq("k", "name", "v"), "evolution is part of history")
+    // v2: write-NEW supplies the evolved column
+    MergeSink.applyBucketedBatch(
+      Seq((k2, "upsert", 2L, "b2", 21L, 5L))
+        .toDF("k", "op", "ver", "name", "v", "score"),
+      1L, store, "k", "op", "ver", Seq("name", "v", "score"), nBuckets = 4)
+    // v3: WRITE-OLD — a pre-evolution writer keeps committing without
+    // the column; its rows are full-row upserts (score reads null)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 3L, "a3", 11L)).toDF("k", "op", "ver", "name", "v"),
+      2L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(snap(None) == Set((1L, "a3", 11L, None), (k2, "b2", 21L, Some(5L))))
+    assert(snap(Some(2L)) == Set((1L, "a", 10L, None), (k2, "b2", 21L, Some(5L))))
+    // the change feed ACROSS the boundary carries the widened schema,
+    // old values null-filled
+    val feed = MergeSink.storeChangesBetween(spark, store, 0L, 3L)
+    assert(feed.columns.toSeq == Seq("k", "change", "name_old", "name_new",
+      "v_old", "v_new", "score_old", "score_new"))
+    val changes = feed.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.get(6)), Option(r.get(7)))).toSet
+    assert(changes == Set((1L, "update", None, None),
+      (k2, "update", None, Some(5L))))
+    // a write-old upsert REPLACES the whole row: the evolved column
+    // returns to null for that key
+    MergeSink.applyBucketedBatch(
+      Seq((k2, "upsert", 4L, "b4", 23L)).toDF("k", "op", "ver", "name", "v"),
+      3L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    assert(snap(None) == Set((1L, "a3", 11L, None), (k2, "b4", 23L, None)))
+    // clones inherit the clone point's (evolved) schema
+    val br = s"$dir/branch"
+    MergeSink.cloneStore(spark, store, br)
+    assert(MergeSink.currentBucketedSnapshot(spark, br).get.columns.toSeq ==
+      Seq("k", "name", "v", "score"))
+    MergeSink.releaseClone(store, br)
+    // erasure works across the evolution (per-version recorded schemas)
+    MergeSink.eraseKeys(spark, store, Seq(1L).toDF("k"))
+    assert(snap(None) == Set((k2, "b4", 23L, None)))
+    assert(snap(Some(0L)) == Set((k2, "b", 20L, None)).map(t => (t._1, t._2, t._3, Option.empty[Long])),
+      "the subject is gone from all retained history")
+    // destructive or clashing changes stay refused
+    intercept[IllegalArgumentException] {
+      MergeSink.addColumns(store, Seq(StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    }
+    intercept[IllegalArgumentException] { MergeSink.addColumns(store, Nil) }
+  }
+
   test("ST10 bucketed: retention keeps protected read points MATERIALIZABLE in multi-bucket stores") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_vacuum_multibucket").toString
