@@ -25,6 +25,9 @@ if [ "$n_match" != "$n_total" ] || [ "$n_total" = "0" ]; then
   exit 1
 fi
 echo "round-close gate green: $n_match/$n_total -> $SUMMARY"
+# regenerate SURVEY.md's query-surface counts from this run's artifacts
+# (VERDICT r11 #7: generated, not hand-maintained)
+python3 scripts/update_survey_counts.py "$OUT" || true
 # informational: flag plan drift (shuffle-byte movement) vs the committed
 # bench artifact — drift can be intentional, but it must be SEEN
 python3 scripts/bench_drift.py 2>/dev/null || true

@@ -19,6 +19,48 @@ import graft.operators.FrozenCodebooks
   */
 object AnnPinnedOracle {
 
+  /** l3b — the LSH rung's oracle (VERDICT r11 #4). The engine's
+    * "random" hyperplanes are a DETERMINISTIC xorshift mix
+    * (RhpBucketExpr.comp), so no freezing is needed: the 8×64 table is
+    * emitted as exact rational literals k/1000003.0 (the numerator
+    * < 2^21 widens exactly; the division is one correctly-rounded IEEE
+    * op in both engines), each projection replays as the engine's own
+    * left-to-right double chain, and sign-bit banding plus 1-bit
+    * multiprobe are pure integer arithmetic. Scoring reuses the
+    * l3_cosine_topk idiom (round 4). */
+  val LshPinnedSql: String = {
+    val bits = 8
+    val dim = 64
+    val hpRows = (0 until bits).map { b =>
+      val comps = (0 until dim).map { d =>
+        s"${org.apache.spark.sql.graft.RhpBucketExpr.compNumerator(b, d)}/1000003.0"
+      }
+      s"($b, [${comps.mkString(", ")}])"
+    }
+    val proj = (1 to dim).map(i => s"e[$i]::DOUBLE*plane[$i]").mkString(" + ")
+    s"""WITH hp(b, plane) AS (VALUES ${hpRows.mkString(", ")}),
+       |q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS cid, embedding AS e FROM embeddings WHERE vec_id >= 5),
+       |cbk AS (SELECT cid, e,
+       |  sum(CASE WHEN ($proj) > 0 THEN (1 << b) ELSE 0 END)::INT AS bucket
+       |  FROM c CROSS JOIN hp GROUP BY cid, e),
+       |qbk AS (SELECT qid, e,
+       |  sum(CASE WHEN ($proj) > 0 THEN (1 << b) ELSE 0 END)::INT AS b0
+       |  FROM q CROSS JOIN hp GROUP BY qid, e),
+       |probes AS (SELECT qid, e, b0 AS bucket FROM qbk
+       |  UNION ALL
+       |  SELECT qid, e, xor(b0::BIGINT, (1::BIGINT << i))::INT AS bucket
+       |  FROM qbk CROSS JOIN range(0, $bits) t(i)),
+       |scored AS (SELECT p.qid, k.cid,
+       |  round(list_cosine_similarity(p.e::DOUBLE[], k.e::DOUBLE[]), 4) AS sim
+       |  FROM probes p JOIN cbk k USING (bucket))
+       |SELECT qid, cid, sim FROM (SELECT qid, cid, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       |  FROM scored) WHERE rn <= 3
+       |ORDER BY qid, sim DESC, cid""".stripMargin
+  }
+
+
   private val Dim = 64
   private val SubDim = 16 // Dim / m with m = 4 subquantizers
 

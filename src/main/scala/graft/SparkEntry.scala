@@ -4228,7 +4228,11 @@ object SparkEntry {
         |WHERE rn <= 3 ORDER BY qid, sim DESC, cid""".stripMargin,
 
     // the ANN ladder's pinned twins: full search-path replay on the
-    // frozen literal quantizers (argument in AnnPinnedOracle's scaladoc)
+    // frozen literal quantizers (argument in AnnPinnedOracle's scaladoc).
+    // r12: the LSH rung needs no twin — its hyperplane mix is already
+    // deterministic, so l3b itself gains the generated-literal oracle
+    // (rows-only set shrinks by one).
+    "l3b_ann_lsh" -> AnnPinnedOracle.LshPinnedSql,
     "l3c_ivf_pinned" -> AnnPinnedOracle.IvfPinnedSql,
     "l3e_pq_pinned" -> AnnPinnedOracle.PqPinnedSql,
     "l3f_ivfadc_pinned" -> AnnPinnedOracle.IvfAdcPinnedSql,

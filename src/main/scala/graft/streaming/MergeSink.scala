@@ -1001,6 +1001,15 @@ object MergeSink {
     * O(live buckets), no data read. */
   def storeStats(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
+    bucketFileStats(storeDir)
+      .toDF("bucket", "owner_version", "n_files", "bytes")
+  }
+
+  /** Driver-side core of [[storeStats]]: per live bucket, its owner
+    * version, parquet part-file count and bytes. Shared with the
+    * [[maintainStore]] policy so the advisor and the actor can never
+    * disagree on the numbers. */
+  private def bucketFileStats(storeDir: String): Seq[(Long, Long, Long, Long)] = {
     val latest = readLong(latestPath(storeDir)).getOrElse(-1L)
     val manifest = if (latest < 0) Map.empty[Long, Long]
       else readManifest(storeDir, latest)
@@ -1015,7 +1024,88 @@ object MergeSink {
         finally s0.close()
       }.getOrElse(Nil)
       (b, v, parts.size.toLong, parts.sum)
-    }.toDF("bucket", "owner_version", "n_files", "bytes")
+    }
+  }
+
+  /** Declarative maintenance thresholds for [[maintainStore]] — the
+    * policy half of the [[storeStats]] advisor (VERDICT r11 #5). A
+    * store violating EITHER bound gets one compaction pass:
+    * `maxFilesPerBucket` bounds small-file accumulation inside a
+    * bucket (each unshuffled batch write can leave ≤ tasks files);
+    * `maxLiveVersions` bounds manifest fan-out (each snapshot read
+    * costs one pruned scan PER live version). `retainLast`/
+    * `retainMillis` pass through to [[vacuumBucketedStore]]. */
+  case class MaintenancePolicy(maxFilesPerBucket: Int = 8,
+      maxLiveVersions: Int = 8, retainLast: Int = 0, retainMillis: Long = 0L)
+
+  /** What one [[maintainStore]] pass did (and why). */
+  case class MaintenanceReport(triggered: Boolean, reason: String,
+      compactedVersion: Option[Long], vacuumed: Seq[Long])
+
+  /** AUTO-OPTIMIZE — one policy-driven maintenance pass: measure
+    * ([[bucketFileStats]]), compact if a threshold is violated
+    * (key-clustered rewrite when fragmentation is WITHIN one version —
+    * plain compaction would no-op there), then vacuum past the
+    * policy's retention. REFUSES under a live claim: an in-flight
+    * writer (lease-fresh commit marker beyond the head — heartbeats
+    * keep a long rewrite fresh) owns the store right now, and a
+    * maintenance job barging in would only lose the CAS after doing
+    * work; stale claims are left to the normal takeover paths. The
+    * scheduled-job face of the store: run it from cron against every
+    * store dir and fragmentation self-heals, history stays bounded. */
+  def maintainStore(spark: SparkSession, storeDir: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    require(policy.maxFilesPerBucket >= 1 && policy.maxLiveVersions >= 1,
+      "policy thresholds must be >= 1")
+    val latest = readLong(latestPath(storeDir)).getOrElse(
+      return MaintenanceReport(triggered = false, "empty store", None, Nil))
+    val liveClaims = {
+      val dir = commitsDir(storeDir)
+      if (!Files.exists(dir)) List.empty[Long]
+      else {
+        val s0 = Files.list(dir)
+        try s0.iterator().asScala.map(_.getFileName.toString)
+          .flatMap(_.toLongOption).filter(_ > latest).toList.sorted
+          .filter { v =>
+            val m = dir.resolve(v.toString)
+            Files.exists(m) && (System.currentTimeMillis() -
+              Files.getLastModifiedTime(m).toMillis) < TakeoverLeaseMs
+          }
+        finally s0.close()
+      }
+    }
+    if (liveClaims.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"MergeSink: maintainStore refused on $storeDir — live writer " +
+          s"claim(s) v${liveClaims.mkString(", v")} in flight (lease-fresh); " +
+          "re-run after they publish or expire")
+    val stats = bucketFileStats(storeDir)
+    val fragmented = stats.filter(_._3 > policy.maxFilesPerBucket)
+    val liveVersions = stats.map(_._2).distinct
+    val fanout = liveVersions.size > policy.maxLiveVersions
+    val triggered = fragmented.nonEmpty || fanout
+    val compacted =
+      if (!triggered) None
+      else if (liveVersions.size <= 1) {
+        // fragmentation inside ONE version: plain compaction would
+        // no-op; a key-clustered rewrite collapses the small files AND
+        // leaves row groups range-prunable on the key
+        val keyName = readSchema(storeDir, latest)
+          .map(_.fields.head.name).getOrElse(
+            throw new IllegalStateException(
+              s"MergeSink: no recorded schema for v$latest of $storeDir"))
+        optimizeStore(spark, storeDir, Seq(col(keyName)))
+      } else compactBucketedStore(spark, storeDir)
+    val vacuumed = vacuumBucketedStore(storeDir, policy.retainLast,
+      policy.retainMillis)
+    val reason =
+      if (!triggered) "within policy"
+      else if (fragmented.nonEmpty)
+        s"bucket(s) ${fragmented.map(_._1).mkString(", ")} over " +
+          s"${policy.maxFilesPerBucket} files" +
+          (if (fanout) s"; ${liveVersions.size} live versions" else "")
+      else s"${liveVersions.size} live versions over ${policy.maxLiveVersions}"
+    MaintenanceReport(triggered, reason, compacted, vacuumed)
   }
 
   /** ERASURE (right-to-be-forgotten) — physically remove every row of

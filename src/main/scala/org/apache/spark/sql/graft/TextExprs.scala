@@ -557,12 +557,18 @@ case class RhpBucketExpr(child: Expression, bits: Int, dim: Int)
 }
 
 object RhpBucketExpr {
-  /** Hyperplane component in [-1, 1): xorshift mix of (bit, dim). */
-  def comp(b: Int, d: Int): Double = {
+  /** The mix's RATIONAL numerator (|k| < 2^21): exposed so the DuckDB
+    * oracle (AnnPinnedOracle.LshPinnedSql) can emit the hyperplane
+    * table as exact `k/1000003.0` literals — the same correctly-rounded
+    * IEEE division both engines perform, zero decimal-parse drift. */
+  def compNumerator(b: Int, d: Int): Long = {
     var x = b.toLong * 1315423911L + d.toLong * 2654435761L + 104729L
     x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
-    (x % 1000003L).toDouble / 1000003.0
+    x % 1000003L
   }
+
+  /** Hyperplane component in (-1, 1): xorshift mix of (bit, dim). */
+  def comp(b: Int, d: Int): Double = compNumerator(b, d).toDouble / 1000003.0
 
   def compute(arr: ArrayData, table: Array[Array[Double]]): Int = {
     var bucket = 0

@@ -19,7 +19,9 @@ class ContractSpec extends SparkTestBase {
       "a11_topk_sketch",      // frequent-items sketch — approximate
       // l2b_minhash_pairs / l2e_simhash_pairs were promoted to
       // hash-checked in round 6 (md5-family banding replays in SQL)
-      "l3b_ann_lsh",          // approximate NN
+      // l3b_ann_lsh promoted to hash-checked in round 12: its
+      // hyperplane mix is deterministic, so the table replays as
+      // generated rational literals (AnnPinnedOracle.LshPinnedSql)
       "l3c_ann_ivf",          // approximate NN
       "l3e_pq_ann",           // approximate NN (product quantization)
       "l3f_ivfadc",           // approximate NN (IVF pruning + ADC scoring)

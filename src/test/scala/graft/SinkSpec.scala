@@ -1188,6 +1188,57 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 1)
   }
 
+  test("ST10 maintain: policy-driven auto-OPTIMIZE fires on fragmentation, no-ops within policy, refuses under a live claim") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_maintain").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    // 5 single-key commits fragment the manifest across 5 live-ish
+    // versions (same key → versions die as they are superseded, so use
+    // distinct keys to really fan out the manifest)
+    (0 until 5).foreach { i =>
+      MergeSink.applyBucketedBatch(
+        Seq((i.toLong * 7 + 1, "upsert", 1L, s"n$i", i.toLong))
+          .toDF("k", "op", "ver", "name", "v"),
+        i.toLong, store, "k", "op", "ver", vcols, nBuckets = 8)
+    }
+    val before = MergeSink.currentBucketedSnapshot(spark, store).get.collect()
+      .map(_.toString).toSet
+    // policy violated (manifest fans out past 2 live versions):
+    // compaction + vacuum in one pass
+    val r1 = MergeSink.maintainStore(spark, store,
+      MergeSink.MaintenancePolicy(maxLiveVersions = 2))
+    assert(r1.triggered && r1.compactedVersion.isDefined,
+      s"expected a compaction: $r1")
+    assert(r1.vacuumed.nonEmpty, "dead versions reclaimed in the same pass")
+    val after = MergeSink.currentBucketedSnapshot(spark, store).get.collect()
+      .map(_.toString).toSet
+    assert(after == before, "maintenance must not change content")
+    // now within policy: the next pass is a measured no-op
+    val r2 = MergeSink.maintainStore(spark, store,
+      MergeSink.MaintenancePolicy(maxLiveVersions = 2))
+    assert(!r2.triggered && r2.compactedVersion.isEmpty,
+      s"compact store must no-op: $r2")
+    // a LIVE in-flight claim (lease-fresh marker beyond head) refuses
+    // the maintenance pass outright
+    val head = MergeSink.latestVersion(store).get
+    val marker = java.nio.file.Paths.get(store, "_commits", (head + 1).toString)
+    Files.write(marker, s"$head 9 1 w=live b=0".getBytes("UTF-8"))
+    try intercept[java.util.ConcurrentModificationException] {
+      MergeSink.maintainStore(spark, store)
+    } finally Files.deleteIfExists(marker)
+    // retention windows pass through: a fresh re-fragmentation with a
+    // time window refuses reclamation of young read points
+    MergeSink.applyBucketedBatch(
+      Seq((99L, "upsert", 1L, "x", 9L)).toDF("k", "op", "ver", "name", "v"),
+      5L, store, "k", "op", "ver", vcols, nBuckets = 8)
+    val r3 = MergeSink.maintainStore(spark, store,
+      MergeSink.MaintenancePolicy(maxLiveVersions = 1,
+        retainMillis = 3600L * 1000))
+    assert(r3.triggered && r3.vacuumed.isEmpty,
+      s"young commits stay inside the retention window: $r3")
+  }
+
   test("ST10 OCC: disjoint-bucket writers commit concurrently; overlap serializes; replay is per-writer") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_occ").toString

@@ -821,4 +821,65 @@ class StreamingSpec extends SparkTestBase {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("ST10 feed source: commit-order delivery; DOWNSTREAM watermark owns event-time lateness") {
+    // The change feed delivers by COMMIT version (arrival order); rows
+    // inside a delivery carry no event-time ordering. The contract
+    // (SURVEY §2.9): a downstream event-time aggregation treats the
+    // feed like any unordered source — ITS watermark on an event-time
+    // column governs lateness. Here: an event-time window count over
+    // the feed; a commit carrying an event OLDER than the advanced
+    // watermark is dropped by the aggregation (the window already
+    // emitted), while in-order commits land — the store never
+    // re-orders or re-delivers on the subscriber's behalf.
+    import graft.streaming.MergeSink
+    import org.apache.spark.sql.functions.{col, window}
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed_et").toString
+    val store = s"$dir/store"
+    def put(k: Long, tsSec: Long, batch: Long): Unit =
+      MergeSink.applyBucketedBatch(
+        Seq((k, "upsert", k, new Timestamp(tsSec * 1000L)))
+          .toDF("k", "op", "ver", "ts"),
+        batch, store, "k", "op", "ver", Seq("ts"), nBuckets = 4)
+    val t0 = 1700000100L // multiple of 300 — aligned to the window grid
+    put(1L, t0 + 10, 0L)  // window [t0, t0+300)
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerTrigger", "1") // one commit per micro-batch
+      .load(store)
+      .filter(col("change") =!= "delete")
+      .withWatermark("ts_new", "0 seconds")
+      .groupBy(window(col("ts_new"), "300 seconds").as("w"))
+      .count()
+      .selectExpr("CAST(w.start AS LONG) AS ws", "count")
+      .writeStream.format("memory").queryName("feed_et")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // advance event time far past the first window: watermark moves,
+      // the [t0, t0+300) window closes and emits count=1
+      put(2L, t0 + 900, 1L)
+      q.processAllAvailable()
+      put(3L, t0 + 1000, 2L) // same late window as key 2, still open
+      q.processAllAvailable()
+      val afterAdvance = spark.table("feed_et").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(afterAdvance.get(t0) == Some(1L),
+        s"first window must close and emit once the watermark passes: $afterAdvance")
+      // a LATE commit: event time back inside the already-emitted
+      // window. Delivery happens (commit order), but the DOWNSTREAM
+      // watermark drops it — the emitted window count never changes.
+      put(4L, t0 + 20, 3L)
+      // and one in-order event that closes the second window
+      put(5L, t0 + 2000, 4L)
+      q.processAllAvailable()
+      val fin = spark.table("feed_et").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fin.get(t0) == Some(1L),
+        s"the late event must NOT reopen or grow the emitted window: $fin")
+      assert(fin.get(t0 + 900) == Some(2L),
+        s"in-order windows keep emitting: $fin")
+    } finally q.stop()
+  }
 }
