@@ -236,8 +236,21 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_ONLY"))
       System.err.println("[bench] SPARK_GRAFT_ONLY set — not overwriting bench_full.json")
     else try {
+      // preserve the sf1 stress section (graft.tools.StressSf1) across
+      // full-bench rewrites — it is measured on a different cadence
+      val sf1 = try {
+        val p = java.nio.file.Paths.get("bench_full.json")
+        if (java.nio.file.Files.exists(p))
+          graft.tools.BenchJson.extractSection(
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), "sf1")
+        else None
+      } catch { case _: Throwable => None }
+      val withSf1 = sf1 match {
+        case Some(sec) => fullJson.stripSuffix("}") + s""","sf1":$sec}"""
+        case None => fullJson
+      }
       val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
-      try w.println(fullJson) finally w.close()
+      try w.println(withSf1) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
     }

@@ -27,8 +27,9 @@ import graft.streaming.MergeSink
   * it:
   *
   *   - `spark.read.format("graft").load(dir)` — head snapshot;
-  *   - `.option("versionAsOf", v)` — time travel, mapped to
-  *     [[MergeSink.bucketedSnapshotAt]];
+  *   - `.option("versionAsOf", v)` / `.option("timestampAsOf", t)` —
+  *     time travel, mapped to [[MergeSink.bucketedSnapshotAt]] (the
+  *     timestamp form resolves via commit-time manifest mtimes);
   *   - `CREATE TABLE obs USING graft LOCATION dir` + plain SQL;
   *   - `spark.readStream.format("graft").load(dir)` — the change feed
   *     as a streaming source (see [[GraftChangeFeedSource]]).
@@ -73,14 +74,36 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     GraftDataSource.localPath(p)
   }
 
-  private def versionAsOf(options: JMap[String, String]): Option[Long] =
-    Option(options.get("versionasof")).map { v =>
-      v.toLongOption.getOrElse(throw new IllegalArgumentException(
-        s"graft: versionAsOf must be a version number (got '$v')"))
-    }
+  /** Resolve the AS-OF read options: `versionAsOf` (a store version) or
+    * `timestampAsOf` (epoch millis, ISO-8601 instant, or
+    * `yyyy-MM-dd HH:mm:ss` — resolved to the newest commit at or before
+    * it via manifest mtimes). Mutually exclusive. */
+  private def versionAsOf(options: JMap[String, String],
+      dir: => String): Option[Long] = {
+    val v = Option(options.get("versionasof"))
+    val t = Option(options.get("timestampasof"))
+    require(v.isEmpty || t.isEmpty,
+      "graft: versionAsOf and timestampAsOf are mutually exclusive")
+    v.map { s =>
+      s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft: versionAsOf must be a version number (got '$s')"))
+    }.orElse(t.map { s =>
+      val millis = s.toLongOption.orElse(
+        try Some(java.time.Instant.parse(s).toEpochMilli)
+        catch { case _: Exception =>
+          try Some(java.sql.Timestamp.valueOf(s).getTime)
+          catch { case _: Exception => None }
+        }).getOrElse(throw new IllegalArgumentException(
+          "graft: timestampAsOf must be epoch millis, an ISO-8601 " +
+            s"instant, or 'yyyy-MM-dd HH:mm:ss' (got '$s')"))
+      MergeSink.versionAtTimestamp(dir, millis)
+    })
+  }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MergeSink.snapshotSchemaAt(pathOf(options), versionAsOf(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = pathOf(options)
+    MergeSink.snapshotSchemaAt(dir, versionAsOf(options, dir))
+  }
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
     Array.empty
@@ -88,7 +111,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftTable(pathOf(opts), schema, versionAsOf(opts))
+    val dir = pathOf(opts)
+    new GraftTable(dir, schema, versionAsOf(opts, dir))
   }
 
   // ----- streaming: the change feed as a V1 Source -----
@@ -167,7 +191,11 @@ class GraftTable(dir: String, tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // read-time options override table-level ones (spark.read.option)
-    val v = Option(options.get("versionasof")).map(_.toLong).orElse(tableVersion)
+    val v = Option(options.get("versionasof")).map(_.toLong)
+      .orElse(Option(options.get("timestampasof")).map(t =>
+        MergeSink.versionAtTimestamp(dir,
+          t.toLongOption.getOrElse(java.sql.Timestamp.valueOf(t).getTime))))
+      .orElse(tableVersion)
     new GraftScanBuilder(dir, tableSchema, v)
   }
 }

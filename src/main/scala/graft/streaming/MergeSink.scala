@@ -680,6 +680,35 @@ object MergeSink {
     ((h % nBuckets) + nBuckets) % nBuckets
   }
 
+  /** TIMESTAMP AS OF resolution: the newest version committed at or
+    * before `millis` — commit time = the manifest file's mtime, the
+    * same clock [[vacuumBucketedStore]]'s retainMillis window reads.
+    * Bounded by retention like every historical read: a timestamp
+    * before the oldest RETAINED commit refuses loudly. */
+  private[graft] def versionAtTimestamp(storeDir: String, millis: Long): Long = {
+    val latest = headVersion(storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir has no committed version to time-travel to"))
+    val md = manifestsDir(storeDir)
+    if (!Files.exists(md))
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir has no manifests — timestamp time travel " +
+          "needs the bucketed protocol")
+    val s0 = Files.list(md)
+    val stamped = try s0.iterator().asScala.map(_.getFileName.toString)
+      .flatMap(_.toLongOption).filter(_ <= latest).toList.sorted
+      .map(v => v -> Files.getLastModifiedTime(md.resolve(v.toString)).toMillis)
+    finally s0.close()
+    val at = stamped.filter(_._2 <= millis)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"MergeSink: no retained commit of $storeDir at or before " +
+          s"timestamp $millis (oldest retained: " +
+          s"${stamped.headOption.map(_._2).getOrElse(-1L)}) — " +
+          "timestamp time travel is bounded by vacuum retention")
+    at.map(_._1).max
+  }
+
   /** Snapshot read with OPTIONAL version pin and OPTIONAL bucket
     * pruning — the SQL front door's scan body. With `buckets` given,
     * only those buckets' manifest entries are resolved and scanned: a
@@ -1523,9 +1552,9 @@ object MergeSink {
       attempt += 1
       val latest = readLong(latestPath(storeDir))
       val baseManifest = latest.map(readManifest(storeDir, _)).getOrElse(Map.empty)
+      val readParentSchema = latest.flatMap(readSchema(storeDir, _))
       val (batchEff, effValueCols, target) =
-        evolutionPlan(batch, key, valueCols,
-          latest.flatMap(readSchema(storeDir, _)), storeDir)
+        evolutionPlan(batch, key, valueCols, readParentSchema, storeDir)
       // in-flight claims beyond the committed head; abandoned ones
       // (writer died between claim and publish — live writers
       // heartbeat) are lease-expired and CAS-swept here so the slot
@@ -1577,7 +1606,7 @@ object MergeSink {
           try {
             occPublish(spark, storeDir, claim, version, parent, batchId,
               writer, batchEff, key, opCol, verCol, effValueCols, target,
-              baseManifest, touched, nBuckets)
+              baseManifest, readParentSchema, touched, nBuckets)
             return
           } catch {
             case _: OccRebase =>
@@ -1608,8 +1637,8 @@ object MergeSink {
       version: Long, parent: Long, batchId: Long, writer: String,
       batchEff: DataFrame, key: String, opCol: String, verCol: String,
       effValueCols: Seq[String], target: StructType,
-      baseManifest: Map[Long, Long], touched: Seq[Long],
-      nBuckets: Int): Unit =
+      baseManifest: Map[Long, Long], readParentSchema: Option[StructType],
+      touched: Seq[Long], nBuckets: Int): Unit =
     withClaimHeartbeat(claim) {
       val survivors =
         if (touched.isEmpty) Seq.empty[Long]
@@ -1638,6 +1667,18 @@ object MergeSink {
       if (moved.nonEmpty)
         throw new OccRebase(s"buckets ${moved.mkString(", ")} of $storeDir " +
           "changed owners since this writer's read")
+      // SCHEMA re-validation: a concurrent disjoint writer (or an
+      // addColumns that slipped past a takeover) may have WIDENED the
+      // schema since our read — publishing our narrower target would
+      // make the new column vanish from head reads. Rebase so
+      // evolutionPlan recomputes against the actual parent schema.
+      val parentSchemaNow =
+        if (parent >= 0) readSchema(storeDir, parent) else None
+      def shape(o: Option[StructType]) =
+        o.map(_.fields.map(f => (f.name, f.dataType)).toSeq)
+      if (shape(parentSchemaNow) != shape(readParentSchema))
+        throw new OccRebase(s"the schema of $storeDir evolved since this " +
+          "writer's read")
       val merged = parentManifest -- touched ++ survivors.map(b => b -> version)
       writeManifest(storeDir, version, merged)
       writeSchema(storeDir, version, target)

@@ -59,6 +59,32 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("timestampAsOf resolves to the newest commit at or before the timestamp") {
+    val dir = Files.createTempDirectory("graft_dsv2_tsof").toString
+    val store = s"$dir/store"
+    put(store, 1L, 1L, "a", 0L)   // v0
+    put(store, 1L, 2L, "a2", 1L)  // v1
+    // stamp commit times explicitly (manifest mtime = commit clock)
+    val t0 = 1700000000000L
+    Seq(0L -> t0, 1L -> (t0 + 60000L)).foreach { case (v, t) =>
+      Files.setLastModifiedTime(Paths.get(store, "_manifests", v.toString),
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    }
+    def at(ts: String) = rows(spark.read.format("graft")
+      .option("timestampAsOf", ts).load(store))
+    assert(at((t0 + 1000L).toString) == Set((1L, "a", 10L)),
+      "between the commits -> v0")
+    assert(at((t0 + 60000L).toString) == Set((1L, "a2", 20L)),
+      "at the second commit -> v1")
+    // before the first retained commit: loud refusal
+    intercept[Exception] { at((t0 - 1L).toString) }
+    // the two AS-OF options are mutually exclusive
+    intercept[Exception] {
+      spark.read.format("graft").option("versionAsOf", "0")
+        .option("timestampAsOf", t0.toString).load(store).collect()
+    }
+  }
+
   test("CREATE TABLE ... USING graft LOCATION: plain SQL over the store") {
     val dir = Files.createTempDirectory("graft_dsv2_sql").toString
     val store = s"$dir/store"
