@@ -814,6 +814,19 @@ object SparkEntry {
         .orderBy("mac")
     }),
 
+    // ---- CAPSTONE (r12): the SQL door's WRITE half — an ad-hoc
+    //      DataFrame append lands as a keyed MERGE upsert through the
+    //      OCC commit protocol, then the head reads back through
+    //      format("graft"): the full write→commit→read round trip,
+    //      oracle-replayed as the base CDC apply overridden by the
+    //      upsert layer. Every-11th slice, cached as pipeline ----
+    "capstone_store_sql_write" -> ((s, d) => {
+      val store = sqlWriteCapstoneStore(s, d)
+      s.read.format("graft").load(store)
+        .select("mac", "ssid", "rssi", "freq")
+        .orderBy("mac")
+    }),
+
     // ---- CAPSTONE (r12, VERDICT r11 #2): SCHEMA EVOLUTION — ADD
     //      COLUMNS as a metadata-only commit over the ingest→store
     //      pipeline, then a write-NEW batch (supplies the new column)
@@ -3372,6 +3385,31 @@ object SparkEntry {
         |        WHEN e.mac IS NOT NULL THEN e.mac ELSE NULL END)::VARCHAR AS tag
         |FROM allm a LEFT JOIN base b ON a.mac = b.mac
         |  LEFT JOIN e ON a.mac = e.mac LEFT JOIN o ON a.mac = o.mac
+        |ORDER BY a.mac""".stripMargin,
+
+    // SQL-door write: base winner-per-key CDC apply, overridden by the
+    // INSERT layer (each inserted key's row fully replaced).
+    "capstone_store_sql_write" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id % 11 = 0),
+        |cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        |  (2412 + (event_id % 13) * 5)::BIGINT AS freq
+        |FROM src),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |      FROM cdc),
+        |base AS (SELECT mac, ssid, rssi, freq FROM w WHERE rn = 1 AND op = 'upsert'),
+        |ins AS (SELECT DISTINCT printf('%012X', user_id) AS mac FROM src
+        |        WHERE user_id % 3 = 0),
+        |allm AS (SELECT mac FROM base UNION SELECT mac FROM ins)
+        |SELECT a.mac,
+        |  CASE WHEN i.mac IS NOT NULL THEN 'sql' ELSE b.ssid END AS ssid,
+        |  (CASE WHEN i.mac IS NOT NULL THEN -9 ELSE b.rssi END)::BIGINT AS rssi,
+        |  (CASE WHEN i.mac IS NOT NULL THEN 1 ELSE b.freq END)::BIGINT AS freq
+        |FROM allm a LEFT JOIN base b ON a.mac = b.mac
+        |  LEFT JOIN ins i ON a.mac = i.mac
         |ORDER BY a.mac""".stripMargin,
 
     "living_area" ->
@@ -6869,7 +6907,8 @@ object SparkEntry {
     "build_store_n5"     -> ((s, d) => { buildCapstoneStore(s, d, 5L); () }),
     "build_store_n7"     -> ((s, d) => { buildCapstoneStore(s, d, 7L); () }),
     "build_store_erased" -> ((s, d) => { erasedCapstoneStore(s, d); () }),
-    "build_store_evolved" -> ((s, d) => { evolvedCapstoneStore(s, d); () }))
+    "build_store_evolved" -> ((s, d) => { evolvedCapstoneStore(s, d); () }),
+    "build_store_sqlwrite" -> ((s, d) => { sqlWriteCapstoneStore(s, d); () }))
 
   private def buildCapstoneStore(s: SparkSession, d: String,
       everyNth: Long): String = capstoneCache.synchronized {
@@ -6925,6 +6964,27 @@ object SparkEntry {
             lit(-2L).as("rssi"), lit(0L).as("freq"))
         MS.applyBucketedBatch(writeOld, 5L, store, "mac", "op", "ver",
           Seq("ssid", "rssi", "freq"), nBuckets = 16)
+        store
+      })
+    }
+
+  /** The SQL-write capstone's store: the every-11th slice store, then
+    * one `df.write.format("graft").mode("append")` upsert batch landed
+    * THROUGH THE SQL DOOR (MergeSink.sqlInsert → OCC commit) — every
+    * user≡0 (mod 3) mac replaced with a marker row. Cached as pipeline;
+    * the capstone query is a pure SQL-door read, so the oracle checks
+    * the full write→commit→read round trip. */
+  private def sqlWriteCapstoneStore(s: SparkSession, d: String): String =
+    capstoneCache.synchronized {
+      capstoneCache.getOrElseUpdate((d, 11L, false), {
+        val store = buildCapstoneStoreUncached(s, d, 11L)
+        val slice = ev(s, d).filter(col("event_id") % 11 === 0)
+        val macOf = upper(lpad(hex(col("user_id")), 12, "0"))
+        slice.filter(col("user_id") % 3 === 0)
+          .select(macOf.as("mac")).distinct()
+          .select(col("mac"), lit("sql").as("ssid"),
+            lit(-9L).as("rssi"), lit(1L).as("freq"))
+          .write.format("graft").mode("append").save(store)
         store
       })
     }

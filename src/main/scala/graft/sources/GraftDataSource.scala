@@ -58,7 +58,29 @@ import graft.streaming.MergeSink
   * left to Spark as a residual, so pruning can only ever REDUCE the
   * scan, never change semantics. */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with CreatableRelationProvider {
+
+  /** `df.write.format("graft").mode("append").save(dir)` — the V1
+    * path-based write hook (path saves don't route through the DSv2
+    * table's WriteBuilder): same keyed MERGE upsert, same OCC commit.
+    * Only Append is meaningful against a keyed store; other modes are
+    * refused with the sanctioned alternative named. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val dir = GraftDataSource.localPath(
+      parameters.map { case (k, v) => k.toLowerCase -> v }
+        .getOrElse("path", throw new IllegalArgumentException(
+          "graft: a store path is required")))
+    if (mode != org.apache.spark.sql.SaveMode.Append)
+      throw new UnsupportedOperationException(
+        s"graft: save mode $mode is not supported — the store is a keyed " +
+          "MERGE table; use mode(\"append\") to upsert, restoreStore / " +
+          "eraseKeys for destructive changes")
+    MergeSink.sqlInsert(data, dir)
+    new GraftRelation(sqlContext, dir, None,
+      MergeSink.snapshotSchemaAt(dir, None), None, Array.empty)
+  }
 
   override def shortName(): String = "graft"
 
@@ -175,11 +197,16 @@ object GraftDataSource {
     else p
 }
 
-/** The DSv2 table: read-only (writes go through the MERGE sink's
-  * exactly-once protocol — an ad-hoc SQL INSERT would bypass the CAS
-  * commit and versioning, so it is deliberately not offered). */
+/** The DSv2 table. Reads: snapshot/time-travel scans with bucket
+  * pruning. Writes: `INSERT INTO` / `df.write.format("graft")
+  * .mode("append")` land as keyed MERGE UPSERTS through the OCC commit
+  * protocol ([[MergeSink.sqlInsert]] — CAS-claimed, versioned,
+  * coexisting with live streams), so the SQL door never bypasses the
+  * store's exactly-once machinery. INSERT OVERWRITE and time-travel
+  * writes are refused. */
 class GraftTable(dir: String, tableSchema: StructType,
-    tableVersion: Option[Long]) extends Table with SupportsRead {
+    tableVersion: Option[Long]) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     s"graft.`$dir`${tableVersion.map(v => s"@v$v").getOrElse("")}"
@@ -187,7 +214,30 @@ class GraftTable(dir: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(tableVersion.isEmpty,
+      s"graft: cannot write to a time-travel read of $dir")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation(): InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                if (overwrite) throw new UnsupportedOperationException(
+                  "graft: INSERT OVERWRITE is not supported — the store " +
+                    "is a keyed MERGE table; use RESTORE (restoreStore) " +
+                    "or erasure (eraseKeys) for destructive changes")
+                MergeSink.sqlInsert(data, dir)
+              }
+            }
+        }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // read-time options override table-level ones (spark.read.option)

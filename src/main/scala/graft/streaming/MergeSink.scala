@@ -1339,6 +1339,45 @@ object MergeSink {
     pruneCommitMarkers(storeDir)
   }
 
+  /** The SQL front door's WRITE half ([[graft.sources.GraftDataSource]]
+    * — `INSERT INTO obs …` / `df.write.format("graft").mode("append")`):
+    * an INSERT into a keyed store is a MERGE UPSERT — each row replaces
+    * its key's current row (the store is last-writer-wins full-row, the
+    * same contract every stream batch follows). Commits through the OCC
+    * protocol (writer "sql"), so ad-hoc inserts coexist with live
+    * streams and other SQL writers, serializing only on bucket overlap.
+    * Duplicate keys WITHIN one INSERT are refused loudly (the standard
+    * MERGE multiple-source-rows error — silently picking one would hide
+    * a user bug); INSERT OVERWRITE is refused (RESTORE and eraseKeys
+    * are the sanctioned destructive paths). The batch's `ver` is
+    * constant: winner-per-ver ordering only arbitrates WITHIN a batch,
+    * and the duplicate check already guarantees one row per key. */
+  private[graft] def sqlInsert(data: DataFrame, storeDir: String): Unit = {
+    val nB = storedNBuckets(storeDir).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir is not a bucketed store — only bucketed " +
+          "stores accept SQL writes")).toInt
+    val schema = snapshotSchemaAt(storeDir, None)
+    val keyName = schema.fields.head.name
+    val valueCols = schema.fields.tail.map(_.name).toSeq
+    val missing = (keyName +: valueCols).filterNot(data.columns.contains)
+    require(missing.isEmpty,
+      s"MergeSink: INSERT into $storeDir is missing column(s) " +
+        s"${missing.mkString(", ")}")
+    val dup = data.groupBy(col(keyName)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"MergeSink: INSERT into $storeDir carries key " +
+          s"'${dup.head.get(0)}' more than once — a keyed store upserts " +
+          "one row per key; deduplicate the source first")
+    val batch = data.select(col(keyName) +: lit("upsert").as("_op") +:
+      lit(0L).as("_ver") +: valueCols.map(col): _*)
+    applyBucketedBatchOcc(batch, batchId = 0L, storeDir, keyName,
+      "_op", "_ver", valueCols, nBuckets = nB, writer = "sql",
+      replayGuard = false)
+  }
+
   /** The evolution-aware write plan shared by the serialized and OCC
     * writers. WRITE-OLD under an evolved store: columns [[addColumns]]
     * ADDED (stamped `graft.evolved` in the registry) are OPTIONAL in
@@ -1535,14 +1574,18 @@ object MergeSink {
   def applyBucketedBatchOcc(batch: DataFrame, batchId: Long, storeDir: String,
       key: String, opCol: String, verCol: String, valueCols: Seq[String],
       nBuckets: Int = 64, writer: String = "w0",
-      maxRetries: Int = 32): Unit = {
+      maxRetries: Int = 32, replayGuard: Boolean = true): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     require(writer.nonEmpty && !writer.startsWith("_") &&
       !writer.exists(c => c == '/' || c == '\\' || c.isWhitespace),
       s"writer must be a plain name (got '$writer')")
     Files.createDirectories(Paths.get(storeDir))
     requireNBuckets(storeDir, nBuckets)
-    if (readLong(occLastBatchPath(storeDir, writer)).exists(_ >= batchId)) return
+    // replayGuard=false: one-shot callers with no replay lineage (the
+    // SQL INSERT path) — no checkpoint redelivers them, and a monotone-
+    // batchId assumption would make two ad-hoc INSERTs silently no-op
+    if (replayGuard &&
+      readLong(occLastBatchPath(storeDir, writer)).exists(_ >= batchId)) return
     val spark = batch.sparkSession
     val touched = batch.select(bucketOf(key, nBuckets).as("_bucket"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq

@@ -104,6 +104,39 @@ class GraftTableSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS obs")
   }
 
+  test("INSERT INTO / DataFrame append land as keyed MERGE upserts through the OCC protocol") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_insert").toString
+    val store = s"$dir/store"
+    put(store, 1L, 1L, "a", 0L)
+    spark.sql("DROP TABLE IF EXISTS obs_w")
+    spark.sql(s"CREATE TABLE obs_w USING graft LOCATION '$store'")
+    try {
+      // SQL INSERT: new key appends, existing key REPLACES (keyed upsert)
+      spark.sql("INSERT INTO obs_w VALUES (2, 'b', 20), (1, 'a2', 11)")
+      assert(rows(spark.table("obs_w")) == Set((1L, "a2", 11L), (2L, "b", 20L)))
+      // the write is a REAL commit: history advanced, time travel sees
+      // the pre-insert state
+      assert(rows(spark.read.format("graft").option("versionAsOf", "0")
+        .load(store)) == Set((1L, "a", 10L)))
+      // DataFrame append through the same door
+      Seq((3L, "c", 30L)).toDF("k", "name", "v")
+        .write.format("graft").mode("append").save(store)
+      assert(rows(spark.table("obs_w")).contains((3L, "c", 30L)))
+      // duplicate keys within one INSERT: refused loudly (MERGE rule)
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO obs_w VALUES (9, 'x', 1), (9, 'y', 2)")
+      }
+      assert(e.getMessage != null)
+      assert(!rows(spark.table("obs_w")).exists(_._1 == 9L),
+        "a refused INSERT must not partially apply")
+      // INSERT OVERWRITE: refused (RESTORE/erasure are the destructive paths)
+      intercept[Exception] {
+        spark.sql("INSERT OVERWRITE obs_w VALUES (9, 'x', 1)")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS obs_w")
+  }
+
   test("pushed key filter prunes to the owning bucket — physically proven") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dsv2_prune").toString

@@ -1287,8 +1287,12 @@ class SinkSpec extends SparkTestBase {
       0L, store, "k", "op", "ver", vcols, nBuckets = 4, writer = "wc")
     assert(rows().contains((1L, "a3", 12L)),
       "a different writer's batchId 0 is distinct replay lineage")
-    // OVERLAPPING concurrent writers: both land (serialized by the
-    // conflict check), winner per key decided by ver as always
+    // OVERLAPPING concurrent writers: BOTH land (serialized by the
+    // conflict check) as two linearized commits; the store is
+    // last-COMMIT-wins per key (ver arbitrates within a batch only),
+    // so whichever writer published second owns the head row — the
+    // invariant is that neither write is lost from HISTORY
+    val beforeOverlap = MergeSink.latestVersion(store).get
     val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
       val f1 = pool2.submit(new java.util.concurrent.Callable[Unit] {
@@ -1301,10 +1305,20 @@ class SinkSpec extends SparkTestBase {
           Seq((1L, "upsert", 11L, "over2", 2L)).toDF("k", "op", "ver", "name", "v"),
           1L, store, "k", "op", "ver", vcols, nBuckets = 4, writer = "wc")
       })
-      f1.get(); f2.get()
+      f1.get(); f2.get() // neither may fail: the loser rebases and lands
     } finally pool2.shutdown()
-    assert(rows().contains((1L, "over2", 2L)),
-      "overlapping writers serialize; the higher ver wins the key")
+    assert(MergeSink.latestVersion(store).contains(beforeOverlap + 2),
+      "both overlapping writers must commit (serialized, not lost)")
+    val headRow = rows().filter(_._1 == 1L)
+    assert(headRow == Set((1L, "over1", 1L)) || headRow == Set((1L, "over2", 2L)),
+      s"head = the later COMMIT's row: $headRow")
+    // and the earlier commit's row is retained history, not a lost
+    // update: the middle read point carries the OTHER writer's row
+    val mid = MergeSink.bucketedSnapshotAt(spark, store, beforeOverlap + 1)
+      .filter(col("k") === 1L).select("name").head().getString(0)
+    val headName = headRow.head._2
+    assert(Set("over1", "over2").contains(mid) && mid != headName,
+      s"history must retain the first commit (mid=$mid, head=$headName)")
     // an ABANDONED in-flight OCC claim (lease-expired) is swept, not a
     // permanent wedge: fake a dead writer's marker beyond the head
     val head = MergeSink.latestVersion(store).get
