@@ -134,7 +134,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val dir = pathOf(opts)
-    new GraftTable(dir, schema, versionAsOf(opts, dir))
+    val v = versionAsOf(opts, dir)
+    // prefer the store's LIVE schema over the catalog's stored copy:
+    // the registry is the store's own source of truth, so a table
+    // created before an addColumns evolution serves the widened shape
+    // without re-creating the catalog entry (the stored schema is the
+    // fallback when the store is momentarily unreadable)
+    val live =
+      try Some(MergeSink.snapshotSchemaAt(dir, v))
+      catch { case _: Exception => None }
+    new GraftTable(dir, live.getOrElse(schema), v)
   }
 
   // ----- streaming: the change feed as a V1 Source -----

@@ -252,6 +252,17 @@ object ExplainDump {
       + "pair-free star-link path deliberately keeps field-level "
       + "weights (monotonicity argument in Linkage.scoreValuePairs)."),
 
+    "capstone_store_sql_door" -> ("SQL front door (r12): the same "
+      + "store state read through spark.read.format(\"graft\") — a DSv2 "
+      + "table whose scan is a V1Scan wrapping the manifest-pruned "
+      + "snapshot plan, so the node below the RowDataSourceScan is the "
+      + "SAME vectorized parquet union every Scala-API read runs; "
+      + "registered as a temp view and queried as ad-hoc SQL "
+      + "(ssidentity.c:17-18's declared interface). Pushed key-equality "
+      + "filters prune driver-side to owning buckets (GraftTableSpec "
+      + "proves it physically); versionAsOf/timestampAsOf map to time "
+      + "travel; INSERT INTO upserts through the OCC commit."),
+
     "capstone_ingest_store" -> ("Ingest→store→query capstone (r9): "
       + "the plan shown is the final read — a partition-discovered "
       + "scan of the bucketed MERGE store's current version dirs. The "

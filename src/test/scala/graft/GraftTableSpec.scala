@@ -104,6 +104,26 @@ class GraftTableSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS obs")
   }
 
+  test("a catalog table follows the store's LIVE schema across an evolution") {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val dir = Files.createTempDirectory("graft_dsv2_catalog_evo").toString
+    val store = s"$dir/store"
+    put(store, 1L, 1L, "a", 0L)
+    spark.sql("DROP TABLE IF EXISTS obs_evo")
+    spark.sql(s"CREATE TABLE obs_evo USING graft LOCATION '$store'")
+    try {
+      assert(spark.table("obs_evo").columns.toSeq == Seq("k", "name", "v"))
+      // evolve AFTER the catalog entry exists: the registry is the
+      // source of truth, the catalog's stored schema is not consulted
+      MergeSink.addColumns(store, Seq(StructField("score", LongType)))
+      assert(spark.table("obs_evo").columns.toSeq ==
+        Seq("k", "name", "v", "score"),
+        "the table must serve the widened schema without re-creation")
+      assert(spark.sql("SELECT score FROM obs_evo").collect()
+        .forall(_.isNullAt(0)), "old rows null-backfill through the door")
+    } finally spark.sql("DROP TABLE IF EXISTS obs_evo")
+  }
+
   test("INSERT INTO / DataFrame append land as keyed MERGE upserts through the OCC protocol") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dsv2_insert").toString
