@@ -58,7 +58,55 @@ import graft.streaming.MergeSink
   * left to Spark as a residual, so pruning can only ever REDUCE the
   * scan, never change semantics. */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider with CreatableRelationProvider {
+    with StreamSourceProvider with CreatableRelationProvider
+    with StreamSinkProvider {
+
+  /** `changes.writeStream.format("graft")` — the MERGE sink as a named
+    * streaming SINK: each micro-batch of CDC rows applies through
+    * [[MergeSink.applyBucketedBatch]], whose (batchId, store) replay
+    * contract is exactly [[org.apache.spark.sql.execution.streaming.Sink]]'s
+    * `addBatch` contract — exactly-once lands for free. Options:
+    * `key`, `op` (default "op"), `ver` (default "ver"), `nBuckets`
+    * (default 64, must match an existing store); value columns =
+    * everything else in the batch schema. Complete mode is refused
+    * (the store IS the accumulated state); Append/Update both mean
+    * "apply the delivered CDC rows". */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = GraftDataSource.localPath(
+      params.getOrElse("path", throw new IllegalArgumentException(
+        "graft: a store path is required — writeStream.format(\"graft\")" +
+          ".start(<storeDir>)")))
+    val key = params.getOrElse("key", throw new IllegalArgumentException(
+      "graft: the sink needs .option(\"key\", <keyColumn>)"))
+    val opCol = params.getOrElse("op", "op")
+    val verCol = params.getOrElse("ver", "ver")
+    val nBuckets = params.get("nbuckets").map(_.toInt).getOrElse(64)
+    require(partitionColumns.isEmpty,
+      "graft: partitionBy is not supported — the store buckets by key")
+    if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
+      throw new UnsupportedOperationException(
+        "graft: Complete mode is not supported — the store IS the " +
+          "accumulated state; send CDC rows in Append/Update mode")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val valueCols = data.columns.toSeq
+          .filterNot(c => c == key || c == opCol || c == verCol)
+        require(valueCols.nonEmpty,
+          s"graft: the sink batch needs at least one value column " +
+            s"besides ($key, $opCol, $verCol)")
+        // the V1 addBatch frame wraps an IncrementalExecution and must
+        // not be re-planned — pin its planned RDD under a batch frame
+        MergeSink.applyBucketedBatch(Bridge.asBatch(data), batchId, dir,
+          key, opCol, verCol, valueCols, nBuckets)
+      }
+      override def name(): String = s"graft.`$dir`"
+      override def toString: String = name()
+    }
+  }
 
   /** `df.write.format("graft").mode("append").save(dir)` — the V1
     * path-based write hook (path saves don't route through the DSv2

@@ -22,6 +22,19 @@ object Bridge {
     * Spark 4, hence bridged here like the Column⇄Expression pair.
     * Lazy: the wrapped RDD re-plans the frame only when the
     * micro-batch actually runs. */
+  /** The inverse re-wrap for a V1 streaming SINK's `addBatch` frame:
+    * the incoming Dataset wraps an IncrementalExecution and cannot be
+    * re-planned (any transformation trips the streaming-source check);
+    * pinning its already-planned RDD under a fresh batch frame is the
+    * standard connector idiom for plan-consuming sinks. */
+  def asBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   def asStreaming(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val classic =

@@ -216,6 +216,52 @@ class GraftTableSpec extends SparkTestBase {
       .load(store)) == Set((1L, "a", 10L)))
   }
 
+  test("writeStream.format(\"graft\"): the MERGE sink as a named streaming sink, exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_dsv2_sink").toString
+    val store = s"$dir/store"
+    val in = MemoryStream[(Long, String, Long, String, Long)]
+    val q = in.toDF().toDF("k", "op", "ver", "name", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("key", "k").option("nBuckets", "4")
+      .start(store)
+    try {
+      in.addData((1L, "upsert", 1L, "a", 10L), (2L, "upsert", 1L, "b", 20L))
+      q.processAllAvailable()
+      in.addData((1L, "upsert", 2L, "a2", 11L), (2L, "delete", 2L, null, 0L))
+      q.processAllAvailable()
+      // the stream-built store reads back through the same door,
+      // last-writer-wins + deletes applied
+      assert(rows(spark.read.format("graft").load(store)) ==
+        Set((1L, "a2", 11L)))
+      // ...with full history: the door's time travel sees batch 0
+      assert(rows(spark.read.format("graft").option("versionAsOf", "0")
+        .load(store)) == Set((1L, "a", 10L), (2L, "b", 20L)))
+    } finally q.stop()
+    // a restarted stream from the same checkpoint replays nothing:
+    // the new MemoryStream's first two offsets sit BELOW the committed
+    // offset, so their poison rows must be skipped outright, and only
+    // the post-checkpoint offset applies (exactly-once end to end)
+    val in2 = MemoryStream[(Long, String, Long, String, Long)]
+    in2.addData((9L, "upsert", 9L, "POISON", 0L))
+    in2.addData((9L, "upsert", 9L, "POISON", 0L))
+    val q2 = in2.toDF().toDF("k", "op", "ver", "name", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("key", "k").option("nBuckets", "4")
+      .start(store)
+    try {
+      in2.addData((3L, "upsert", 3L, "c", 30L))
+      q2.processAllAvailable()
+      assert(rows(spark.read.format("graft").load(store)) ==
+        Set((1L, "a2", 11L), (3L, "c", 30L)),
+        "committed offsets skip; only the new offset applies")
+    } finally q2.stop()
+  }
+
   test("readStream.format(\"graft\"): the change feed as a streaming source") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dsv2_stream").toString
