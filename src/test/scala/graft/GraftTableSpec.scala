@@ -216,6 +216,46 @@ class GraftTableSpec extends SparkTestBase {
       .load(store)) == Set((1L, "a", 10L)))
   }
 
+  test("GraftCatalog: SQL-native VERSION AS OF / TIMESTAMP AS OF resolve through loadTable") {
+    val dir = Files.createTempDirectory("graft_catalog").toString
+    val store = s"$dir/obs"
+    put(store, 1L, 1L, "a", 0L)   // v0
+    put(store, 1L, 2L, "a2", 1L)  // v1
+    val t0 = 1700000000000L
+    Seq(0L -> t0, 1L -> (t0 + 60000L)).foreach { case (v, t) =>
+      Files.setLastModifiedTime(Paths.get(store, "_manifests", v.toString),
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    }
+    spark.conf.set("spark.sql.catalog.gstore", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gstore.warehouse", dir)
+    try {
+      assert(rows(spark.sql("SELECT * FROM gstore.obs")) ==
+        Set((1L, "a2", 20L)))
+      assert(rows(spark.sql("SELECT * FROM gstore.obs VERSION AS OF 0")) ==
+        Set((1L, "a", 10L)), "SQL-native VERSION AS OF")
+      val ts = new java.sql.Timestamp(t0 + 1000L)
+        .toInstant.toString.replace("T", " ").stripSuffix("Z")
+      assert(rows(spark.sql(
+        s"SELECT * FROM gstore.obs TIMESTAMP AS OF '$ts'")) ==
+        Set((1L, "a", 10L)), "SQL-native TIMESTAMP AS OF")
+      // INSERT through the catalog identifier
+      spark.sql("INSERT INTO gstore.obs VALUES (2, 'b', 20)")
+      assert(rows(spark.sql("SELECT * FROM gstore.obs")) ==
+        Set((1L, "a2", 20L), (2L, "b", 20L)))
+      assert(spark.sql("SHOW TABLES IN gstore").collect()
+        .map(_.getString(1)).toSet == Set("obs"))
+      // lifecycle stays with the store's own tools
+      intercept[Exception] { spark.sql("DROP TABLE gstore.obs") }
+      val missing = intercept[Exception] {
+        spark.sql("SELECT * FROM gstore.nope")
+      }
+      assert(missing.getMessage != null)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gstore")
+      spark.conf.unset("spark.sql.catalog.gstore.warehouse")
+    }
+  }
+
   test("writeStream.format(\"graft\"): the MERGE sink as a named streaming sink, exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
