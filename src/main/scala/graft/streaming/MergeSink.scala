@@ -73,6 +73,47 @@ object MergeSink {
     * `Files.setLastModifiedTime` instead of waiting. */
   private val TakeoverLeaseMs: Long = 10L * 60 * 1000
 
+  /** ATOMIC takeover of an abandoned commit marker. A bare
+    * `deleteIfExists` after a staleness read is a TOCTOU: the marker
+    * can be deleted-and-re-created by a FASTER recoverer between the
+    * read and the delete, so the delete kills the fresh claim and TWO
+    * claimants pass the gate — both then write the SAME version dir
+    * (the mid-write clobber the claim protocol exists to prevent).
+    * Instead: move the marker aside (ATOMIC_MOVE — exactly one mover
+    * wins), re-verify on the CAPTURED file that the claim really is
+    * lease-expired (move preserves mtime; a live writer's heartbeat
+    * keeps refreshing it), and only then free the slot. A captured
+    * claim that turns out fresh is moved back (or, if the slot was
+    * re-claimed meanwhile, dropped — its holder's pre-swap verify then
+    * aborts LOUDLY; a spurious abort, never a silent clobber).
+    * Returns true iff the slot was freed for the caller to re-claim. */
+  /** Lease check tolerant of the marker vanishing between the exists
+    * probe and the mtime read (a concurrent takeover/prune): a gone
+    * marker reads as NOT expired — the caller re-observes and retries. */
+  private def markerLeaseExpired(marker: Path): Boolean =
+    try Files.exists(marker) && (System.currentTimeMillis() -
+      Files.getLastModifiedTime(marker).toMillis) >= TakeoverLeaseMs
+    catch { case _: java.nio.file.NoSuchFileException => false }
+
+  private def captureStaleMarker(marker: Path): Boolean = {
+    val captured = marker.resolveSibling(
+      s".takeover_${marker.getFileName}_" +
+        (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+          & Long.MaxValue))
+    try Files.move(marker, captured, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.io.IOException => return false }
+    val fresh = (System.currentTimeMillis() -
+      Files.getLastModifiedTime(captured).toMillis) < TakeoverLeaseMs
+    if (fresh) {
+      try Files.move(captured, marker, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.io.IOException => Files.deleteIfExists(captured) }
+      false
+    } else {
+      Files.deleteIfExists(captured)
+      true
+    }
+  }
+
   /** A missing pointer file is an absent state; an EXISTING but
     * unparsable one is damage — fail loudly rather than read the store
     * as empty (a truncated `_latest` must never look like "no store"). */
@@ -151,8 +192,15 @@ object MergeSink {
           StandardOpenOption.CREATE_NEW)
         Some(Claim(marker, content, version, storeDir))
       } catch { case _: FileAlreadyExistsException => None }
+    def vanished(): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"MergeSink: the claim marker on v$version of $storeDir vanished " +
+          "while this writer inspected it — a takeover or prune is in " +
+          "progress; re-read the store and retry")
     val claim = create().getOrElse {
-      val body = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim
+      val body =
+        try new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim
+        catch { case _: java.nio.file.NoSuchFileException => vanished() }
       val parsed = body.split("\\s+").toSeq match {
         case Seq(p, b, _*) => for { pv <- p.toLongOption; bv <- b.toLongOption } yield (pv, bv)
         case Seq(p) => p.toLongOption.map(pv => (pv, batchId)) // legacy marker
@@ -187,19 +235,21 @@ object MergeSink {
           val stale = prevParent == parent &&
             readLong(latestPath(storeDir)).getOrElse(-1L) == parent &&
             (System.currentTimeMillis() -
-              Files.getLastModifiedTime(marker).toMillis) >= TakeoverLeaseMs
+              (try Files.getLastModifiedTime(marker).toMillis
+               catch { case _: java.nio.file.NoSuchFileException => vanished() })
+              ) >= TakeoverLeaseMs
           if (stale) {
-            // CAS takeover: exactly one recoverer wins the atomic
-            // delete; the winner then re-enters the CREATE_NEW race
-            // (where a concurrent fresh claimant can still beat it —
-            // loudly). Two recoverers can never both hold the claim,
-            // the REPLACE_EXISTING hole the old move-based takeover
-            // had.
-            if (!Files.deleteIfExists(marker))
+            // CAS takeover via ATOMIC capture (see captureStaleMarker:
+            // a bare delete here could kill a claim re-created between
+            // our staleness read and the delete, letting two claimants
+            // write the same v-dir). The winner then re-enters the
+            // CREATE_NEW race, where a concurrent fresh claimant can
+            // still beat it — loudly.
+            if (!captureStaleMarker(marker))
               throw new java.util.ConcurrentModificationException(
                 s"MergeSink: another recoverer took over the abandoned " +
-                  s"claim on v$version of $storeDir first — re-read the " +
-                  "store and retry")
+                  s"claim on v$version of $storeDir first (or its writer " +
+                  "is live again) — re-read the store and retry")
             create().getOrElse(
               throw new java.util.ConcurrentModificationException(
                 s"MergeSink: another writer re-claimed v$version of " +
@@ -284,6 +334,19 @@ object MergeSink {
   private def pruneCommitMarkers(storeDir: String): Unit = {
     val dir = commitsDir(storeDir)
     if (!Files.exists(dir)) return
+    // sweep orphaned takeover captures (a recoverer that crashed
+    // between capture and cleanup): past the lease they are garbage —
+    // their original claims were already stale when captured
+    locally {
+      val s0 = Files.list(dir)
+      try s0.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".takeover_"))
+        .filter(p => System.currentTimeMillis() -
+          Files.getLastModifiedTime(p).toMillis >= TakeoverLeaseMs)
+        .foreach(Files.deleteIfExists(_))
+      catch { case _: java.io.IOException => () }
+      finally s0.close()
+    }
     val versions = {
       val s = Files.list(dir)
       try s.iterator().asScala.map(_.getFileName.toString)
@@ -1097,8 +1160,9 @@ object MergeSink {
           .flatMap(_.toLongOption).filter(_ > latest).toList.sorted
           .filter { v =>
             val m = dir.resolve(v.toString)
-            Files.exists(m) && (System.currentTimeMillis() -
+            try Files.exists(m) && (System.currentTimeMillis() -
               Files.getLastModifiedTime(m).toMillis) < TakeoverLeaseMs
+            catch { case _: java.nio.file.NoSuchFileException => false }
           }
         finally s0.close()
       }
@@ -1495,8 +1559,10 @@ object MergeSink {
       : Option[(Long, Long, Option[String], Option[Set[Long]])] = {
     val marker = commitsDir(storeDir).resolve(version.toString)
     if (!Files.exists(marker)) return None
-    val toks = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
-      .trim.split("\\s+").toSeq
+    val toks =
+      try new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+        .trim.split("\\s+").toSeq
+      catch { case _: java.nio.file.NoSuchFileException => return None }
     toks match {
       case Seq(p, b, rest @ _*) =>
         for { pv <- p.toLongOption; bv <- b.toLongOption } yield {
@@ -1542,17 +1608,16 @@ object MergeSink {
             val body = new String(Files.readAllBytes(marker),
               StandardCharsets.UTF_8).trim
             Claim(marker, body, version, storeDir)
-          case stale
+          case _
               if readLong(latestPath(storeDir)).getOrElse(-1L) < version &&
-                Files.exists(marker) &&
-                (System.currentTimeMillis() -
-                  Files.getLastModifiedTime(marker).toMillis) >= TakeoverLeaseMs =>
+                markerLeaseExpired(marker) =>
             // abandoned in-flight claim (writer died; a live one
-            // heartbeats): CAS-takeover exactly as claimCommit does
-            if (!Files.deleteIfExists(marker))
+            // heartbeats): ATOMIC capture-takeover, as claimCommit
+            if (!captureStaleMarker(marker))
               throw new java.util.ConcurrentModificationException(
                 s"MergeSink: another recoverer took over the abandoned OCC " +
-                  s"claim on v$version of $storeDir first — retry")
+                  s"claim on v$version of $storeDir first (or its writer " +
+                  "is live again) — retry")
             claimOcc(storeDir, version, parent, batchId, writer, buckets)
           case _ =>
             throw new java.util.ConcurrentModificationException(
@@ -1613,9 +1678,12 @@ object MergeSink {
           finally s0.close()
           all.filterNot { v =>
             val m = commitsDir(storeDir).resolve(v.toString)
-            val stale = Files.exists(m) && (System.currentTimeMillis() -
-              Files.getLastModifiedTime(m).toMillis) >= TakeoverLeaseMs
-            if (stale) Files.deleteIfExists(m) else !Files.exists(m)
+            // atomic capture: a bare delete could kill a claim whose
+            // writer heartbeat-refreshed between our read and the
+            // delete — and freeing a LIVE slot would let us claim the
+            // version its writer is mid-writing
+            if (markerLeaseExpired(m)) captureStaleMarker(m)
+            else !Files.exists(m)
           }
         }
       }
@@ -1692,9 +1760,10 @@ object MergeSink {
       // parent claim means its writer died → rebase cleanly)
       while (readLong(latestPath(storeDir)).getOrElse(-1L) < parent) {
         val pm = commitsDir(storeDir).resolve(parent.toString)
-        val parentAlive = Files.exists(pm) &&
-          (System.currentTimeMillis() -
+        val parentAlive =
+          try Files.exists(pm) && (System.currentTimeMillis() -
             Files.getLastModifiedTime(pm).toMillis) < TakeoverLeaseMs
+          catch { case _: java.nio.file.NoSuchFileException => false }
         if (!parentAlive)
           throw new OccRebase(s"parent claim v$parent of $storeDir died " +
             "before publishing")
