@@ -100,8 +100,27 @@ class GraftDataSource extends TableProvider with DataSourceRegister
             s"besides ($key, $opCol, $verCol)")
         // the V1 addBatch frame wraps an IncrementalExecution and must
         // not be re-planned — pin its planned RDD under a batch frame
-        MergeSink.applyBucketedBatch(Bridge.asBatch(data), batchId, dir,
-          key, opCol, verCol, valueCols, nBuckets)
+        val batch = Bridge.asBatch(data)
+        // a racing ad-hoc writer (SQL INSERT commits through OCC) can
+        // cost this serialized batch its claim — that is a RETRYABLE
+        // condition (applyBucketedBatch re-derives from the new head
+        // per call, and replay dedup keys on batchId), not a reason to
+        // fail the whole stream
+        val deadline = System.currentTimeMillis() + 60000L
+        var backoff = 50L
+        var done = false
+        while (!done) {
+          try { MergeSink.applyBucketedBatch(batch, batchId, dir, key,
+            opCol, verCol, valueCols, nBuckets); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException
+                if System.currentTimeMillis() < deadline =>
+              // the racing commit holds the claim for the length of its
+              // write job — wait it out, re-derive, retry
+              Thread.sleep(backoff)
+              backoff = math.min(backoff * 2, 1000L)
+          }
+        }
       }
       override def name(): String = s"graft.`$dir`"
       override def toString: String = name()

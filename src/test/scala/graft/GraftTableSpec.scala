@@ -302,6 +302,51 @@ class GraftTableSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("a racing SQL INSERT cannot fail the streaming sink — both writers land") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_dsv2_mixed").toString
+    val store = s"$dir/store"
+    // seed through a DISTINCT writer lineage: the plain `_lastBatch`
+    // belongs to the streaming sink about to start at batchId 0 — a
+    // store has ONE serialized replay lineage (that is its contract)
+    MergeSink.applyBucketedBatchOcc(
+      Seq((1L, "upsert", 1L, "seed", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4,
+      writer = "seeder")
+    val in = MemoryStream[(Long, String, Long, String, Long)]
+    val q = in.toDF().toDF("k", "op", "ver", "name", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("key", "k").option("nBuckets", "4")
+      .start(store)
+    try {
+      // ad-hoc SQL writers fire while the stream commits its batches:
+      // the serialized sink retries lost claims, the OCC inserts yield
+      // to in-flight serialized claims — nobody fails, nothing is lost
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      val inserts = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (0 until 4).foreach { i =>
+          Seq((100L + i, s"sql$i", 1L)).toDF("k", "name", "v")
+            .write.format("graft").mode("append").save(store)
+        }
+      })
+      (0 until 4).foreach { i =>
+        in.addData((10L + i, "upsert", 1L, s"st$i", i.toLong))
+        q.processAllAvailable()
+      }
+      inserts.get()
+      pool.shutdown()
+      q.processAllAvailable()
+      val got = rows(spark.read.format("graft").load(store))
+      val want = Set((1L, "seed", 10L)) ++
+        (0 until 4).map(i => (10L + i, s"st$i", i.toLong)).toSet ++
+        (0 until 4).map(i => (100L + i, s"sql$i", 1L)).toSet
+      assert(got == want, s"every writer's rows must land: got $got")
+    } finally q.stop()
+  }
+
   test("readStream.format(\"graft\"): the change feed as a streaming source") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dsv2_stream").toString
