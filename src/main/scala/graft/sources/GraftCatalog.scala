@@ -53,8 +53,18 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private def dirOf(ident: Identifier): String =
-    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+  private def dirOf(ident: Identifier): String = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    // identifiers are DIRECTORY names under the warehouse, never path
+    // expressions: refuse separators and traversal outright (a
+    // backticked identifier can carry arbitrary characters)
+    val bad = parts.filter(p => p.isEmpty || p == "." || p == ".." ||
+      p.exists(c => c == '/' || c == '\\' || c == 0))
+    require(bad.isEmpty,
+      s"graft: invalid table identifier segment(s) ${bad.mkString(", ")} — " +
+        "identifiers name directories under the warehouse")
+    (warehouse +: parts).mkString("/")
+  }
 
   private def isStore(dir: String): Boolean =
     Files.exists(Paths.get(dir, "_latest"))

@@ -244,6 +244,9 @@ class GraftTableSpec extends SparkTestBase {
         Set((1L, "a2", 20L), (2L, "b", 20L)))
       assert(spark.sql("SHOW TABLES IN gstore").collect()
         .map(_.getString(1)).toSet == Set("obs"))
+      // identifiers are directory NAMES, never path expressions
+      intercept[Exception] { spark.sql("SELECT * FROM gstore.`../obs`") }
+      intercept[Exception] { spark.sql("SELECT * FROM gstore.`..`") }
       // lifecycle stays with the store's own tools
       intercept[Exception] { spark.sql("DROP TABLE gstore.obs") }
       val missing = intercept[Exception] {
