@@ -245,9 +245,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         throw new IllegalArgumentException(
           s"graft: maxVersionsPerTrigger must be a positive number (got '$v')"))
       ).getOrElse(Long.MaxValue)
-    val starting = params.get("startingversion").map(_.toLowerCase) match {
+    val requested = params.get("startingversion").map(_.toLowerCase) match {
       case None | Some("latest") =>
-        // future changes only: the floor is the head at stream start
+        // future changes only: the floor is the head at FIRST start
         MergeSink.headVersion(dir).getOrElse(
           throw new IllegalArgumentException(
             s"graft: $dir has no committed version to subscribe to"))
@@ -257,6 +257,23 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           "graft: startingVersion must be a version number, 'latest' or " +
             s"'earliest' (got '$v')"))
     }
+    // PIN the resolved start in the source's own checkpoint dir: a
+    // RESTARTED 'latest' stream must keep its ORIGINAL floor, not the
+    // head at restart time — recomputing would leave the committed-to-
+    // head gap undelivered until (unless!) a new commit arrives, since
+    // getOffset would report nothing available below the new floor.
+    val startFile = java.nio.file.Paths.get(metadataPath, "graft_start")
+    val starting =
+      if (java.nio.file.Files.exists(startFile))
+        new String(java.nio.file.Files.readAllBytes(startFile), "UTF-8")
+          .trim.toLong
+      else {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(metadataPath))
+        java.nio.file.Files.write(startFile,
+          requested.toString.getBytes("UTF-8"))
+        requested
+      }
     new GraftChangeFeedSource(sqlContext.sparkSession, dir, starting,
       maxVersions, MergeSink.changeFeedSchemaAt(dir))
   }

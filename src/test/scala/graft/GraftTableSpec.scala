@@ -385,6 +385,42 @@ class GraftTableSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a RESTARTED latest-mode feed catches up from its checkpoint, not from the restart-time head") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_feed_restart").toString
+    val store = s"$dir/store"
+    put(store, 1L, 1L, "a", 0L)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+    def startFeed() = spark.readStream.format("graft").load(store)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("k", "change").collect()
+          .foreach(r => seen.add((r.getLong(0), r.getString(1)))): Unit
+      }.start()
+    val q1 = startFeed()
+    try {
+      put(store, 2L, 2L, "b", 1L)
+      q1.processAllAvailable()
+      assert(seen.size == 1)
+    } finally q1.stop()
+    // the store moves on WHILE the stream is down...
+    put(store, 3L, 3L, "c", 2L)
+    put(store, 4L, 4L, "d", 3L)
+    // ...and the restarted stream must deliver that gap IMMEDIATELY
+    // (the original floor is pinned in the checkpoint; recomputing
+    // "latest" at restart would silently hold the gap hostage until a
+    // future commit — or forever, if writes stop)
+    val q2 = startFeed()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSet ==
+        Set((2L, "insert"), (3L, "insert"), (4L, "insert")),
+        s"the down-time gap must deliver on restart without new commits: $seen")
+    } finally q2.stop()
+  }
+
   test("readStream default startingVersion=latest delivers future changes only") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dsv2_stream_latest").toString
