@@ -299,7 +299,23 @@ object GraftDataSource {
   * writes are refused. */
 class GraftTable(dir: String, tableSchema: StructType,
     tableVersion: Option[Long]) extends Table
-    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** `DELETE FROM obs WHERE …` — a HEAD delete, not erasure: the
+    * matching keys are retracted by one CDC delete commit (time travel
+    * still shows them; `eraseKeys` is the history-destroying path).
+    * Any predicate works: the matching keys are computed by scanning
+    * the head snapshot with the filters, then retracted through the
+    * OCC protocol like any other batch. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    tableVersion.isEmpty && filters.forall(GraftFilters.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(tableVersion.isEmpty,
+      s"graft: cannot DELETE from a time-travel read of $dir")
+    MergeSink.sqlDelete(dir, filters.flatMap(GraftFilters.toColumn).toSeq)
+  }
 
   override def name(): String =
     s"graft.`$dir`${tableVersion.map(v => s"@v$v").getOrElse("")}"
@@ -375,8 +391,9 @@ class GraftScanBuilder(dir: String, tableSchema: StructType,
     def ofValues(vs: Seq[Any]): Option[Set[Long]] = {
       val nonNull = vs.filter(_ != null)
       if (nonNull.isEmpty) None // =NULL matches nothing; stay conservative
-      else Some(nonNull.map(v =>
+      else try Some(nonNull.map(v =>
         MergeSink.bucketForKeyLiteral(v, keyType, nBuckets)).toSet)
+      catch { case _: Exception => None } // unconvertible literal: no pruning
     }
     def walk(f: Filter): Option[Set[Long]] = f match {
       case EqualTo(a, v) if a == keyName => ofValues(Seq(v))

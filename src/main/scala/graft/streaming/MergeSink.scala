@@ -1442,6 +1442,35 @@ object MergeSink {
       replayGuard = false)
   }
 
+  /** The SQL door's DELETE half (`DELETE FROM obs WHERE …`): a HEAD
+    * delete — the matching keys are retracted by ONE CDC delete commit
+    * through the OCC protocol, so history keeps them (time travel and
+    * the change feed see the retraction as a normal change; the
+    * history-destroying path stays [[eraseKeys]]). The predicate
+    * evaluates against the head snapshot; only (key) columns shuffle.
+    * No-op (no commit) when nothing matches. */
+  private[graft] def sqlDelete(storeDir: String,
+      predicates: Seq[Column]): Unit = {
+    val spark = SparkSession.active
+    val nB = storedNBuckets(storeDir).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir is not a bucketed store — only bucketed " +
+          "stores accept SQL deletes")).toInt
+    val schema = snapshotSchemaAt(storeDir, None)
+    val keyName = schema.fields.head.name
+    val victims = predicates
+      .foldLeft(snapshotPruned(spark, storeDir, None, None))(_ filter _)
+      .select(col(keyName))
+    if (victims.limit(1).collect().isEmpty) return // nothing matches
+    val valueFields = schema.fields.tail.toSeq
+    val batch = victims.select(col(keyName) +: lit("delete").as("_op") +:
+      lit(0L).as("_ver") +:
+      valueFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    applyBucketedBatchOcc(batch, batchId = 0L, storeDir, keyName,
+      "_op", "_ver", valueFields.map(_.name), nBuckets = nB,
+      writer = "sql", replayGuard = false)
+  }
+
   /** The evolution-aware write plan shared by the serialized and OCC
     * writers. WRITE-OLD under an evolved store: columns [[addColumns]]
     * ADDED (stamped `graft.evolved` in the registry) are OPTIONAL in

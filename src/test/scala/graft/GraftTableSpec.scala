@@ -157,6 +157,32 @@ class GraftTableSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS obs_w")
   }
 
+  test("DELETE FROM retracts at head through one CDC commit; history keeps the rows") {
+    val dir = Files.createTempDirectory("graft_dsv2_delete").toString
+    val store = s"$dir/store"
+    put(store, 1L, 1L, "a", 0L)
+    put(store, 2L, 2L, "b", 1L)
+    put(store, 3L, 3L, "c", 2L)
+    spark.sql("DROP TABLE IF EXISTS obs_d")
+    spark.sql(s"CREATE TABLE obs_d USING graft LOCATION '$store'")
+    try {
+      val headBefore = MergeSink.latestVersion(store).get
+      // arbitrary predicate, not just key equality
+      spark.sql("DELETE FROM obs_d WHERE v >= 20")
+      assert(rows(spark.table("obs_d")) == Set((1L, "a", 10L)),
+        "matching rows retracted at head")
+      // ONE commit, and history retains the deleted rows (head delete,
+      // not erasure — eraseKeys is the history-destroying path)
+      assert(MergeSink.latestVersion(store).contains(headBefore + 1))
+      assert(rows(spark.read.format("graft")
+        .option("versionAsOf", headBefore.toString).load(store))
+        .map(_._1) == Set(1L, 2L, 3L))
+      // a DELETE matching nothing commits nothing
+      spark.sql("DELETE FROM obs_d WHERE v > 999")
+      assert(MergeSink.latestVersion(store).contains(headBefore + 1))
+    } finally spark.sql("DROP TABLE IF EXISTS obs_d")
+  }
+
   test("pushed key filter prunes to the owning bucket — physically proven") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dsv2_prune").toString
