@@ -827,6 +827,17 @@ object SparkEntry {
         .orderBy("mac")
     }),
 
+    // ---- CAPSTONE (r12): SQL DELETE through the door — an arbitrary
+    //      predicate retracts matching keys at HEAD in one OCC CDC
+    //      commit; the oracle replays base CDC apply WITH the
+    //      predicate excluded. History keeps the rows (erasure is the
+    //      separate, history-destroying verb). Every-13th slice ----
+    "capstone_store_sql_delete" -> ((s, d) =>
+      graft.streaming.MergeSink
+        .currentBucketedSnapshot(s, sqlDeleteCapstoneStore(s, d)).get
+        .select("mac", "ssid", "rssi", "freq")
+        .orderBy("mac")),
+
     // ---- CAPSTONE (r12, VERDICT r11 #2): SCHEMA EVOLUTION — ADD
     //      COLUMNS as a metadata-only commit over the ingest→store
     //      pipeline, then a write-NEW batch (supplies the new column)
@@ -3386,6 +3397,23 @@ object SparkEntry {
         |FROM allm a LEFT JOIN base b ON a.mac = b.mac
         |  LEFT JOIN e ON a.mac = e.mac LEFT JOIN o ON a.mac = o.mac
         |ORDER BY a.mac""".stripMargin,
+
+    // SQL-door delete: base winner-per-key CDC apply minus the
+    // predicate's matches (the head retraction).
+    "capstone_store_sql_delete" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id % 13 = 0),
+        |cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        |  (2412 + (event_id % 13) * 5)::BIGINT AS freq
+        |FROM src),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |      FROM cdc)
+        |SELECT mac, ssid, rssi, freq FROM w
+        |WHERE rn = 1 AND op = 'upsert' AND NOT (rssi < -120)
+        |ORDER BY mac""".stripMargin,
 
     // SQL-door write: base winner-per-key CDC apply, overridden by the
     // INSERT layer (each inserted key's row fully replaced).
@@ -6908,7 +6936,8 @@ object SparkEntry {
     "build_store_n7"     -> ((s, d) => { buildCapstoneStore(s, d, 7L); () }),
     "build_store_erased" -> ((s, d) => { erasedCapstoneStore(s, d); () }),
     "build_store_evolved" -> ((s, d) => { evolvedCapstoneStore(s, d); () }),
-    "build_store_sqlwrite" -> ((s, d) => { sqlWriteCapstoneStore(s, d); () }))
+    "build_store_sqlwrite" -> ((s, d) => { sqlWriteCapstoneStore(s, d); () }),
+    "build_store_sqldelete" -> ((s, d) => { sqlDeleteCapstoneStore(s, d); () }))
 
   private def buildCapstoneStore(s: SparkSession, d: String,
       everyNth: Long): String = capstoneCache.synchronized {
@@ -6985,6 +7014,23 @@ object SparkEntry {
           .select(col("mac"), lit("sql").as("ssid"),
             lit(-9L).as("rssi"), lit(1L).as("freq"))
           .write.format("graft").mode("append").save(store)
+        store
+      })
+    }
+
+  /** The SQL-delete capstone's store: the every-13th slice store, then
+    * one `DELETE FROM … WHERE rssi < -120` issued through the catalog
+    * door — a HEAD retraction in one OCC CDC commit. Cached as
+    * pipeline; the capstone query is a pure read, so the oracle checks
+    * the predicate→retraction round trip. */
+  private def sqlDeleteCapstoneStore(s: SparkSession, d: String): String =
+    capstoneCache.synchronized {
+      capstoneCache.getOrElseUpdate((d, 13L, false), {
+        val store = buildCapstoneStoreUncached(s, d, 13L)
+        s.sql("DROP TABLE IF EXISTS graft_del_capstone")
+        s.sql(s"CREATE TABLE graft_del_capstone USING graft LOCATION '$store'")
+        try s.sql("DELETE FROM graft_del_capstone WHERE rssi < -120")
+        finally s.sql("DROP TABLE IF EXISTS graft_del_capstone")
         store
       })
     }
