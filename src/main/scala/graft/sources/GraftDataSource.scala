@@ -275,7 +275,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         requested
       }
     new GraftChangeFeedSource(sqlContext.sparkSession, dir, starting,
-      maxVersions, MergeSink.changeFeedSchemaAt(dir))
+      maxVersions, MergeSink.changeFeedSchemaAt(dir), metadataPath)
   }
 }
 
@@ -499,12 +499,33 @@ private[sources] object GraftFilters {
   * point whose manifest aged out fails loudly on first resolution. */
 class GraftChangeFeedSource(spark: SparkSession, dir: String,
     startingVersion: Long, maxVersionsPerTrigger: Long,
-    override val schema: StructType) extends Source {
+    override val schema: StructType, metadataPath: String) extends Source {
 
-  // the highest version this source has HANDED OUT (not yet necessarily
-  // committed); rate limiting paces from here. Recovered getBatch calls
-  // after a restart advance it before the first getOffset.
-  private var lastEnd: Option[Long] = None
+  // The highest version this source has HANDED OUT (not yet necessarily
+  // committed); rate limiting paces from here. PERSISTED to the
+  // source's checkpoint dir: a restarted rate-limited stream pacing
+  // from the start floor again would hand out an `available` BELOW the
+  // committed offset — Spark would then re-run already-committed
+  // ranges (duplicate delivery) as the pacing re-climbed. Persist is
+  // after-hand-out, so a crash in between merely re-hands the same end.
+  private val paceFile = java.nio.file.Paths.get(metadataPath, "graft_pace")
+  private var lastEnd: Option[Long] =
+    if (java.nio.file.Files.exists(paceFile))
+      Some(new String(java.nio.file.Files.readAllBytes(paceFile), "UTF-8")
+        .trim.toLong)
+    else None
+
+  private def advanceLastEnd(to: Long): Unit =
+    if (lastEnd.forall(_ < to)) {
+      lastEnd = Some(to)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(metadataPath))
+      val tmp = paceFile.resolveSibling(".graft_pace.tmp")
+      java.nio.file.Files.write(tmp, to.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, paceFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 
   private def offsetValue(o: OffsetV1): Long = o match {
     case l: LongOffset => l.offset
@@ -522,14 +543,14 @@ class GraftChangeFeedSource(spark: SparkSession, dir: String,
       val end =
         if (maxVersionsPerTrigger >= latest - floor) latest
         else floor + math.max(1L, maxVersionsPerTrigger)
-      lastEnd = Some(end)
+      advanceLastEnd(end)
       Some(LongOffset(end))
     }
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val to = offsetValue(end)
-    if (lastEnd.forall(_ < to)) lastEnd = Some(to)
+    advanceLastEnd(to)
     val from = start.map(offsetValue).getOrElse(startingVersion)
     val batch =
       if (from >= to) // restart replay of an empty range

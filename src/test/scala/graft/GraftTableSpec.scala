@@ -447,6 +447,41 @@ class GraftTableSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("a rate-limited feed restart never re-delivers committed ranges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_feed_pace").toString
+    val store = s"$dir/store"
+    (0 until 5).foreach(i => put(store, i.toLong + 1, 1L, s"r$i", i.toLong))
+    // counts every delivered (k, change) INCLUDING duplicates — the
+    // point is at-most-once per range across the restart
+    val deliveries = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def startFeed() = spark.readStream.format("graft")
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerTrigger", "1")
+      .load(store)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("k").collect().foreach(r => deliveries.add(r.getLong(0))): Unit
+      }.start()
+    val q1 = startFeed()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = deliveries.size()
+    assert(afterFirst == 5, s"bootstrap + 4 diffs deliver 5 keys: $deliveries")
+    // restart with NOTHING new: pacing must resume at the persisted
+    // watermark — re-pacing from the start floor would hand Spark an
+    // available below the committed offset and re-run old ranges
+    val q2 = startFeed()
+    try {
+      q2.processAllAvailable()
+      assert(deliveries.size() == afterFirst,
+        s"restart with no new commits must deliver NOTHING: $deliveries")
+      // and new commits still flow
+      put(store, 99L, 1L, "new", 5L)
+      q2.processAllAvailable()
+      assert(deliveries.size() == afterFirst + 1)
+    } finally q2.stop()
+  }
+
   test("readStream default startingVersion=latest delivers future changes only") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dsv2_stream_latest").toString
