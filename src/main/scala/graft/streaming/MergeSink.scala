@@ -127,7 +127,15 @@ object MergeSink {
     } else None
 
   private def writeLongAtomic(p: Path, v: Long): Unit = {
-    val tmp = p.resolveSibling(s".${p.getFileName}.tmp")
+    // tmp name carries a nonce: CONCURRENT writers of the same pointer
+    // (e.g. two OCC first-writers both recording `_nbuckets`, or two
+    // publishers racing `_latest`) must not collide on one tmp path —
+    // a shared name let one writer move the file away mid-way through
+    // the other's write-then-move (NoSuchFileException). Each writer
+    // stages privately; the ATOMIC_MOVE linearizes the publishes.
+    val tmp = p.resolveSibling(s".${p.getFileName}.tmp." +
+      (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        & Long.MaxValue))
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -366,7 +374,9 @@ object MergeSink {
 
   private def writeSchema(storeDir: String, version: Long, schema: StructType): Unit = {
     Files.createDirectories(schemasDir(storeDir))
-    val tmp = schemasDir(storeDir).resolve(s".$version.tmp")
+    val tmp = schemasDir(storeDir).resolve(s".$version.tmp." +
+      (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        & Long.MaxValue))
     Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, schemasDir(storeDir).resolve(version.toString),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -591,7 +601,9 @@ object MergeSink {
       m: Map[Long, Long]): Unit = {
     Files.createDirectories(manifestsDir(storeDir))
     val body = m.toSeq.sorted.map { case (b, v) => s"$b $v" }.mkString("\n")
-    val tmp = manifestsDir(storeDir).resolve(s".$version.tmp")
+    val tmp = manifestsDir(storeDir).resolve(s".$version.tmp." +
+      (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        & Long.MaxValue))
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestsDir(storeDir).resolve(version.toString),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

@@ -1344,6 +1344,46 @@ class SinkSpec extends SparkTestBase {
     assert(rows().contains((k2, "b4", 23L)))
   }
 
+  test("ST10 OCC stress: four concurrent writers, three rounds — linear history, no lost updates") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_occ_stress").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    // 4 writers, each owning a fixed key (buckets may or may not
+    // collide — the protocol must be correct either way), 3 sequential
+    // batches per writer fired concurrently across writers
+    val keys = Seq(11L, 22L, 33L, 44L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      (0 until 3).foreach { round =>
+        val futures = keys.zipWithIndex.map { case (k, w) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = MergeSink.applyBucketedBatchOcc(
+              Seq((k, "upsert", round.toLong + 1, s"w${w}r$round", k + round))
+                .toDF("k", "op", "ver", "name", "v"),
+              round.toLong, store, "k", "op", "ver", vcols, nBuckets = 4,
+              writer = s"w$w")
+          })
+        }
+        futures.foreach(_.get()) // every commit must land, every round
+      }
+    } finally pool.shutdown()
+    // 12 commits, linear history v0..v11
+    assert(MergeSink.latestVersion(store).contains(11L))
+    // final state: every writer's LAST round survived (no lost update)
+    val got = MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = keys.zipWithIndex
+      .map { case (k, w) => (k, s"w${w}r2", k + 2) }.toSet
+    assert(got == want, s"expected $want, got $got")
+    // every intermediate read point still materializes (the manifest
+    // chain composed correctly under concurrency)
+    (0L to 11L).foreach { v =>
+      assert(MergeSink.bucketedSnapshotAt(spark, store, v).count() >= 1)
+    }
+  }
+
   test("ST10 evolution: ADD COLUMNS is metadata-only; write-old/read-new; history keeps its schema") {
     import graft.streaming.MergeSink
     import org.apache.spark.sql.types.{LongType, StructField}
