@@ -331,6 +331,48 @@ class GraftTableSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("the store as a STREAM HUB: writeStream in, readStream out, one table in the middle") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_dsv2_hub").toString
+    val store = s"$dir/store"
+    // upstream: CDC stream INTO the store through the named sink
+    val in = MemoryStream[(Long, String, Long, String, Long)]
+    val writer = in.toDF().toDF("k", "op", "ver", "name", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$dir/ckpt_in")
+      .option("key", "k").option("nBuckets", "4")
+      .start(store)
+    try {
+      in.addData((1L, "upsert", 1L, "a", 10L))
+      writer.processAllAvailable()
+      // downstream: the change feed OUT of the same store, aggregated
+      val seen = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Long, String)]()
+      val reader = spark.readStream.format("graft")
+        .option("startingVersion", "earliest").load(store)
+        .writeStream.option("checkpointLocation", s"$dir/ckpt_out")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("k", "change").collect()
+            .foreach(r => seen.add((r.getLong(0), r.getString(1)))): Unit
+        }.start()
+      try {
+        reader.processAllAvailable()
+        assert(seen.contains((1L, "insert")), s"bootstrap: $seen")
+        // live end-to-end: upstream event -> store commit -> feed row
+        in.addData((2L, "upsert", 2L, "b", 20L),
+          (1L, "delete", 3L, null, 0L))
+        writer.processAllAvailable()
+        reader.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(seen.asScala.toSet ==
+          Set((1L, "insert"), (2L, "insert"), (1L, "delete")),
+          s"the hub must relay every upstream change exactly once: $seen")
+      } finally reader.stop()
+    } finally writer.stop()
+  }
+
   test("a racing SQL INSERT cannot fail the streaming sink — both writers land") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
