@@ -70,7 +70,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     * (default 64, must match an existing store); value columns =
     * everything else in the batch schema. Complete mode is refused
     * (the store IS the accumulated state); Append/Update both mean
-    * "apply the delivered CDC rows". */
+    * "apply the delivered CDC rows".
+    *
+    * MULTI-STREAM: pass `.option("writer", <name>)` to commit through
+    * the OCC protocol with a per-writer replay lineage — N upload
+    * streams (one per sensor fleet, the reference's own shape) then
+    * write ONE store concurrently, serializing only on bucket
+    * overlap. Without `writer` the sink uses the store's single
+    * serialized lineage (exactly one such stream per store). */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
@@ -85,6 +92,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val opCol = params.getOrElse("op", "op")
     val verCol = params.getOrElse("ver", "ver")
     val nBuckets = params.get("nbuckets").map(_.toInt).getOrElse(64)
+    val occWriter = params.get("writer")
     require(partitionColumns.isEmpty,
       "graft: partitionBy is not supported — the store buckets by key")
     if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -101,25 +109,33 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         // the V1 addBatch frame wraps an IncrementalExecution and must
         // not be re-planned — pin its planned RDD under a batch frame
         val batch = Bridge.asBatch(data)
-        // a racing ad-hoc writer (SQL INSERT commits through OCC) can
-        // cost this serialized batch its claim — that is a RETRYABLE
-        // condition (applyBucketedBatch re-derives from the new head
-        // per call, and replay dedup keys on batchId), not a reason to
-        // fail the whole stream
-        val deadline = System.currentTimeMillis() + 60000L
-        var backoff = 50L
-        var done = false
-        while (!done) {
-          try { MergeSink.applyBucketedBatch(batch, batchId, dir, key,
-            opCol, verCol, valueCols, nBuckets); done = true }
-          catch {
-            case _: java.util.ConcurrentModificationException
-                if System.currentTimeMillis() < deadline =>
-              // the racing commit holds the claim for the length of its
-              // write job — wait it out, re-derive, retry
-              Thread.sleep(backoff)
-              backoff = math.min(backoff * 2, 1000L)
-          }
+        occWriter match {
+          case Some(w) =>
+            // OCC lineage: concurrent streams coexist natively — the
+            // protocol itself retries claim races and rebases
+            MergeSink.applyBucketedBatchOcc(batch, batchId, dir, key,
+              opCol, verCol, valueCols, nBuckets, writer = w)
+          case None =>
+            // a racing ad-hoc writer (SQL INSERT commits through OCC)
+            // can cost this serialized batch its claim — that is a
+            // RETRYABLE condition (applyBucketedBatch re-derives from
+            // the new head per call, and replay dedup keys on
+            // batchId), not a reason to fail the whole stream
+            val deadline = System.currentTimeMillis() + 60000L
+            var backoff = 50L
+            var done = false
+            while (!done) {
+              try { MergeSink.applyBucketedBatch(batch, batchId, dir, key,
+                opCol, verCol, valueCols, nBuckets); done = true }
+              catch {
+                case _: java.util.ConcurrentModificationException
+                    if System.currentTimeMillis() < deadline =>
+                  // the racing commit holds the claim for the length
+                  // of its write job — wait it out, re-derive, retry
+                  Thread.sleep(backoff)
+                  backoff = math.min(backoff * 2, 1000L)
+              }
+            }
         }
       }
       override def name(): String = s"graft.`$dir`"

@@ -331,6 +331,40 @@ class GraftTableSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("TWO concurrent streams write ONE store via option(\"writer\") — the per-sensor-fleet shape") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_dsv2_twostreams").toString
+    val store = s"$dir/store"
+    def startStream(name: String, in: MemoryStream[(Long, String, Long, String, Long)]) =
+      in.toDF().toDF("k", "op", "ver", "name", "v")
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$dir/ckpt_$name")
+        .option("key", "k").option("nBuckets", "4")
+        .option("writer", name) // OCC lineage per stream
+        .start(store)
+    val inA = MemoryStream[(Long, String, Long, String, Long)]
+    val inB = MemoryStream[(Long, String, Long, String, Long)]
+    val qA = startStream("fleetA", inA)
+    val qB = startStream("fleetB", inB)
+    try {
+      // both fleets report concurrently, batch after batch
+      (0 until 3).foreach { i =>
+        inA.addData((100L + i, "upsert", 1L, s"a$i", i.toLong))
+        inB.addData((200L + i, "upsert", 1L, s"b$i", i.toLong))
+        qA.processAllAvailable()
+        qB.processAllAvailable()
+      }
+      val got = rows(spark.read.format("graft").load(store))
+      val want = (0 until 3).flatMap(i => Seq(
+        (100L + i, s"a$i", i.toLong), (200L + i, s"b$i", i.toLong))).toSet
+      assert(got == want, s"both fleets' rows must land: $got")
+      // 6 commits, one linear history
+      assert(MergeSink.latestVersion(store).contains(5L))
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("the store as a STREAM HUB: writeStream in, readStream out, one table in the middle") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
