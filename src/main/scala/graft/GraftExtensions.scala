@@ -92,6 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // DML verbs over graft stores: UPDATE / MERGE INTO rewrite into
+    // CDC commits through the store's OCC protocol (GraftDml scaladoc)
+    ext.injectResolutionRule(org.apache.spark.sql.graft.GraftDml.GraftDmlRule)
     ext.injectFunction(two("graft_cosine")(CosineSimExpr(_, _)))
     ext.injectFunction(two("graft_dot")(DotProductExpr(_, _)))
     ext.injectFunction(one("graft_simhash60")(SimHash60Expr(_)))

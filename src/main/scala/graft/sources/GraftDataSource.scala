@@ -336,6 +336,11 @@ class GraftTable(dir: String, tableSchema: StructType,
   override def name(): String =
     s"graft.`$dir`${tableVersion.map(v => s"@v$v").getOrElse("")}"
 
+  /** Exposed for the DML extension rules (UPDATE / MERGE INTO rewrite,
+    * org.apache.spark.sql.graft.GraftDml). */
+  def storeDir: String = dir
+  def isTimeTravel: Boolean = tableVersion.isDefined
+
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =

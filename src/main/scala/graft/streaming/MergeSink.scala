@@ -706,8 +706,10 @@ object MergeSink {
   private[graft] def headVersion(storeDir: String): Option[Long] =
     readLong(latestPath(storeDir))
 
-  /** The store's recorded bucket count (None = plain-protocol store). */
-  private[graft] def storedNBuckets(storeDir: String): Option[Long] =
+  /** The store's recorded bucket count (None = plain-protocol store).
+    * Public: the DML extension rules (org.apache.spark.sql.graft —
+    * outside this package tree) commit through it. */
+  def storedNBuckets(storeDir: String): Option[Long] =
     readLong(nBucketsPath(storeDir))
 
   /** The snapshot schema at `version` (head when None) — what the

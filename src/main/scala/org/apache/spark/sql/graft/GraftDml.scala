@@ -1,0 +1,258 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{lit, when}
+
+import graft.sources.GraftTable
+import graft.streaming.MergeSink
+
+/** UPDATE / MERGE INTO for graft stores — the remaining SQL DML verbs,
+  * delivered the way Delta Lake's extensions historically did: a
+  * RESOLUTION RULE rewrites the analyzed [[UpdateTable]] /
+  * [[MergeIntoTable]] plans over a graft relation into driver-side
+  * commands that build one CDC batch and commit it through the store's
+  * OCC protocol. (The DSv2 delta-write alternative would demand
+  * per-executor row writers — re-implementing a parquet writer by hand
+  * and shipping row payloads through commit messages; the store's
+  * whole-batch commit is already the right shape, so the rewrite keeps
+  * all machinery on the proven path.)
+  *
+  * Register with the rest of the front door:
+  * `spark.sql.extensions = graft.GraftExtensions`. Semantics:
+  *
+  *   - UPDATE obs SET v = v + 1 WHERE k < 10 — the matching rows
+  *     re-upsert with assignments applied; updating the KEY column is
+  *     refused (a keyed store's identity is immutable; delete+insert
+  *     expresses re-keying intentionally).
+  *   - MERGE INTO obs USING src ON cond WHEN MATCHED [AND c] THEN
+  *     UPDATE SET … / DELETE, WHEN NOT MATCHED THEN INSERT …,
+  *     WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE — full three-arm
+  *     semantics, first-matching-action-wins within each arm, the
+  *     standard multiple-source-rows-per-target-row error, all arms
+  *     folded into ONE CDC batch = ONE commit (atomic MERGE).
+  *
+  * Both verbs commit like every other writer (OCC, writer "sql"), so
+  * they coexist with live streams; time travel sees the pre-DML state;
+  * the change feed carries the DML's net effect. */
+object GraftDml {
+
+  private def graftRelation(plan: LogicalPlan)
+      : Option[(DataSourceV2Relation, GraftTable)] = plan match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable =>
+        require(!t.isTimeTravel,
+          s"graft: cannot run DML against a time-travel read of ${t.storeDir}")
+        Some((r, t))
+      case _ => None
+    }
+    case SubqueryAlias(_, child) => graftRelation(child)
+    case _ => None
+  }
+
+  /** Flat attribute name of an assignment target; nested fields are
+    * refused (store columns are flat by construction). */
+  private def assignName(key: Expression): String = key match {
+    case a: Attribute => a.name
+    case other => throw new UnsupportedOperationException(
+      s"graft: only top-level columns can be assigned (got $other)")
+  }
+
+  case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperators {
+        case u @ UpdateTable(rel, assignments, condition) if u.resolved =>
+          graftRelation(rel)
+            .map { case (r, t) =>
+              GraftUpdateCommand(r, t.storeDir, assignments, condition) }
+            .getOrElse(u)
+        case m: MergeIntoTable if m.resolved =>
+          graftRelation(m.targetTable)
+            .map { case (r, t) =>
+              if (m.withSchemaEvolution)
+                throw new UnsupportedOperationException(
+                  "graft: MERGE WITH SCHEMA EVOLUTION is not supported — " +
+                    "evolve explicitly with MergeSink.addColumns first")
+              GraftMergeCommand(r, t.storeDir, m.sourceTable,
+                m.mergeCondition, m.matchedActions, m.notMatchedActions,
+                m.notMatchedBySourceActions)
+            }
+            .getOrElse(m)
+      }
+  }
+
+  /** Shared CDC commit: the batch carries (key, _op, _ver=0, values…);
+    * duplicate keys are refused (one CDC row per key per commit — the
+    * MERGE multiple-source-rows rule and the atomicity guarantee). */
+  private def commitCdc(spark: SparkSession, dir: String,
+      batch: org.apache.spark.sql.DataFrame, keyName: String,
+      valueNames: Seq[String], verb: String): Unit = {
+    val nB = MergeSink.storedNBuckets(dir).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: $dir is not a bucketed store — only bucketed stores " +
+          "accept SQL DML")).toInt
+    val cached = graft.operators.Checkpoint(batch)
+    val dup = cached.groupBy(keyName).count()
+      .filter(new Column("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft: $verb on $dir produces key '${dup.head.get(0)}' more than " +
+          "once — a keyed store commits one row per key (for MERGE this is " +
+          "the standard multiple-source-rows error)")
+    if (cached.limit(1).collect().isEmpty) return // no-op: nothing matched
+    MergeSink.applyBucketedBatchOcc(cached, batchId = 0L, dir, keyName,
+      "_op", "_ver", valueNames, nBuckets = nB, writer = "sql",
+      replayGuard = false)
+  }
+
+  case class GraftUpdateCommand(rel: DataSourceV2Relation, dir: String,
+      assignments: Seq[Assignment], condition: Option[Expression])
+      extends LeafRunnableCommand {
+    override def run(sparkApi: SparkSession): Seq[Row] = {
+      val spark = sparkApi.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val fields = rel.schema.fields
+      val keyName = fields.head.name
+      val byName = assignments
+        .map(a => assignName(a.key) -> a.value).toMap
+      require(!byName.contains(keyName),
+        s"graft: UPDATE may not reassign the key column '$keyName' — a " +
+          "keyed store's row identity is immutable; DELETE + INSERT " +
+          "expresses a re-key explicitly")
+      val target = Dataset.ofRows(spark, rel)
+      val matched = condition.map(c => target.filter(Bridge.column(c)))
+        .getOrElse(target)
+      val attrOf = rel.output.map(a => a.name -> a).toMap
+      val updated = matched.select(
+        Bridge.column(attrOf(keyName)).as(keyName) +:
+          lit("upsert").as("_op") +: lit(0L).as("_ver") +:
+          fields.tail.toSeq.map { f =>
+            byName.get(f.name)
+              .map(e => Bridge.column(e).cast(f.dataType))
+              .getOrElse(Bridge.column(attrOf(f.name)))
+              .as(f.name)
+          }: _*)
+      commitCdc(spark, dir, updated, keyName,
+        fields.tail.map(_.name).toSeq, "UPDATE")
+      Seq.empty
+    }
+  }
+
+  case class GraftMergeCommand(rel: DataSourceV2Relation, dir: String,
+      source: LogicalPlan, cond: Expression,
+      matchedActions: Seq[MergeAction], notMatchedActions: Seq[MergeAction],
+      notMatchedBySourceActions: Seq[MergeAction])
+      extends LeafRunnableCommand {
+
+    /** First-action-wins chains: `_op` and each value column fold the
+      * arm's actions right-to-left so the FIRST action's `when` sits
+      * outermost; a row matching no action yields a null `_op` and is
+      * filtered out (no CDC row = untouched). */
+    private def armColumns(actions: Seq[MergeAction],
+        fields: Seq[org.apache.spark.sql.types.StructField],
+        current: String => Column): (Column, Seq[Column]) = {
+      def condOf(c: Option[Expression]): Column =
+        c.map(Bridge.column).getOrElse(lit(true))
+      val op = actions.foldRight(lit(null).cast("string")) { (a, els) =>
+        a match {
+          case d: DeleteAction => when(condOf(d.condition), lit("delete")).otherwise(els)
+          case u: UpdateAction => when(condOf(u.condition), lit("upsert")).otherwise(els)
+          case i: InsertAction => when(condOf(i.condition), lit("upsert")).otherwise(els)
+          case other => throw new UnsupportedOperationException(
+            s"graft: unsupported MERGE action $other")
+        }
+      }
+      val values = fields.map { f =>
+        actions.foldRight(lit(null).cast(f.dataType)) { (a, els) =>
+          a match {
+            case d: DeleteAction =>
+              when(condOf(d.condition), lit(null).cast(f.dataType)).otherwise(els)
+            case u: UpdateAction =>
+              val am = u.assignments.map(x => assignName(x.key) -> x.value).toMap
+              val v = am.get(f.name).map(e => Bridge.column(e).cast(f.dataType))
+                .getOrElse(current(f.name))
+              when(condOf(u.condition), v).otherwise(els)
+            case i: InsertAction =>
+              val am = i.assignments.map(x => assignName(x.key) -> x.value).toMap
+              val v = am.get(f.name).map(e => Bridge.column(e).cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType))
+              when(condOf(i.condition), v).otherwise(els)
+            case other => throw new UnsupportedOperationException(
+              s"graft: unsupported MERGE action $other")
+          }
+        }
+      }
+      (op, values)
+    }
+
+    override def run(sparkApi: SparkSession): Seq[Row] = {
+      val spark = sparkApi.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val fields = rel.schema.fields.toSeq
+      val keyName = fields.head.name
+      val valueNames = fields.tail.map(_.name)
+      val attrOf = rel.output.map(a => a.name -> a).toMap
+      val keyCol = Bridge.column(attrOf(keyName))
+      val target = Dataset.ofRows(spark, rel)
+      val src = Dataset.ofRows(spark, source)
+      val condCol = Bridge.column(cond)
+      def cdcSelect(df: org.apache.spark.sql.DataFrame, key: Column,
+          op: Column, values: Seq[Column]) =
+        df.select(key.as(keyName) +: op.as("_op") +: lit(0L).as("_ver") +:
+          values.zip(valueNames).map { case (c, n) => c.as(n) }: _*)
+          .filter(new Column("_op").isNotNull)
+      // matched arm: inner join; the multiple-source-rows check is the
+      // commit-level duplicate-key refusal in commitCdc
+      val matchedCdc =
+        if (matchedActions.isEmpty) None
+        else {
+          val pairs = target.join(src, condCol, "inner")
+          val (op, values) = armColumns(matchedActions, fields.tail,
+            n => Bridge.column(attrOf(n)))
+          Some(cdcSelect(pairs, keyCol, op, values))
+        }
+      // not-matched arm (inserts): source rows with no target match;
+      // the key comes from the insert assignments
+      val notMatchedCdc =
+        if (notMatchedActions.isEmpty) None
+        else {
+          val lone = src.join(target, condCol, "left_anti")
+          val keyFromInsert = notMatchedActions.foldRight(
+            lit(null).cast(fields.head.dataType)) { (a, els) =>
+            a match {
+              case i: InsertAction =>
+                val am = i.assignments.map(x => assignName(x.key) -> x.value).toMap
+                val v = am.get(keyName).map(e =>
+                  Bridge.column(e).cast(fields.head.dataType)).getOrElse(
+                  throw new UnsupportedOperationException(
+                    s"graft: MERGE INSERT must assign the key column '$keyName'"))
+                when(i.condition.map(Bridge.column).getOrElse(lit(true)), v)
+                  .otherwise(els)
+              case other => throw new UnsupportedOperationException(
+                s"graft: only INSERT actions are valid WHEN NOT MATCHED (got $other)")
+            }
+          }
+          val (op, values) = armColumns(notMatchedActions, fields.tail,
+            _ => lit(null))
+          Some(cdcSelect(lone, keyFromInsert, op, values))
+        }
+      // not-matched-by-source arm: target rows with no source match
+      val nmbsCdc =
+        if (notMatchedBySourceActions.isEmpty) None
+        else {
+          val lone = target.join(src, condCol, "left_anti")
+          val (op, values) = armColumns(notMatchedBySourceActions, fields.tail,
+            n => Bridge.column(attrOf(n)))
+          Some(cdcSelect(lone, keyCol, op, values))
+        }
+      val arms = Seq(matchedCdc, notMatchedCdc, nmbsCdc).flatten
+      if (arms.nonEmpty)
+        commitCdc(spark, dir, arms.reduce(_ unionByName _), keyName,
+          valueNames, "MERGE")
+      Seq.empty
+    }
+  }
+}

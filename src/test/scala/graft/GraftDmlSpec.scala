@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.MergeSink
+
+/** UPDATE / MERGE INTO over graft stores (GraftDml): the last SQL DML
+  * verbs, rewritten by the extension rule into one-CDC-batch OCC
+  * commits. Needs a session with GraftExtensions — same pattern as
+  * SqlFrontDoorSpec. */
+class GraftDmlSpec extends SparkTestBase {
+
+  private lazy val s: SparkSession = {
+    SparkTestBase.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val sess = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-dml")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    sess.sparkContext.setLogLevel("ERROR")
+    sess
+  }
+
+  private def mkStore(dir: String): String = {
+    val store = s"$dir/store"
+    val sess = s
+    import sess.implicits._
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L), (2L, "upsert", 1L, "b", 20L),
+        (3L, "upsert", 1L, "c", 30L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    store
+  }
+
+  private def rows(table: String) = s.sql(s"SELECT * FROM $table").collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("UPDATE rewrites matching rows as one CDC commit; key reassignment refused") {
+    val dir = Files.createTempDirectory("graft_dml_update").toString
+    val store = mkStore(dir)
+    s.sql("DROP TABLE IF EXISTS dml_u")
+    s.sql(s"CREATE TABLE dml_u USING graft LOCATION '$store'")
+    try {
+      val head0 = MergeSink.latestVersion(store).get
+      s.sql("UPDATE dml_u SET v = v + 100, name = concat(name, '!') WHERE k <= 2")
+      assert(rows("dml_u") == Set((1L, "a!", 110L), (2L, "b!", 120L), (3L, "c", 30L)))
+      // one commit; time travel sees the pre-UPDATE state
+      assert(MergeSink.latestVersion(store).contains(head0 + 1))
+      assert(MergeSink.bucketedSnapshotAt(s, store, head0)
+        .filter("k = 1").select("v").head().getLong(0) == 10L)
+      // no matches -> no commit
+      s.sql("UPDATE dml_u SET v = 0 WHERE k > 999")
+      assert(MergeSink.latestVersion(store).contains(head0 + 1))
+      // the key column is identity, not data
+      val e = intercept[Exception] { s.sql("UPDATE dml_u SET k = 9") }
+      assert(e.getMessage.contains("key column"))
+    } finally s.sql("DROP TABLE IF EXISTS dml_u")
+  }
+
+  test("MERGE INTO: three-arm semantics land as ONE atomic commit") {
+    val dir = Files.createTempDirectory("graft_dml_merge").toString
+    val store = mkStore(dir)
+    val sess = s
+    import sess.implicits._
+    Seq((2L, "B2", 200L), (9L, "I9", 900L), (3L, "DEL", 0L))
+      .toDF("k", "name", "v").createOrReplaceTempView("dml_src")
+    s.sql("DROP TABLE IF EXISTS dml_m")
+    s.sql(s"CREATE TABLE dml_m USING graft LOCATION '$store'")
+    try {
+      val head0 = MergeSink.latestVersion(store).get
+      s.sql("""MERGE INTO dml_m t USING dml_src s ON t.k = s.k
+        |WHEN MATCHED AND s.name = 'DEL' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, name, v) VALUES (s.k, s.name, s.v)
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN UPDATE SET v = t.v * 2
+        |""".stripMargin)
+      // k=1: not matched by source, doubled; k=2: updated from source;
+      // k=3: matched the DELETE arm (first-action-wins); k=9: inserted
+      assert(rows("dml_m") == Set((1L, "a", 20L), (2L, "B2", 200L), (9L, "I9", 900L)))
+      assert(MergeSink.latestVersion(store).contains(head0 + 1),
+        "all three arms must land as ONE commit")
+      // multiple source rows per target key: the standard MERGE error
+      Seq((2L, "x", 1L), (2L, "y", 2L)).toDF("k", "name", "v")
+        .createOrReplaceTempView("dml_dup")
+      val e = intercept[Exception] {
+        s.sql("""MERGE INTO dml_m t USING dml_dup s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      }
+      assert(e.getMessage.contains("more than once"))
+      assert(MergeSink.latestVersion(store).contains(head0 + 1),
+        "a refused MERGE must not commit")
+    } finally s.sql("DROP TABLE IF EXISTS dml_m")
+  }
+
+  test("MERGE with only a matched UPDATE arm leaves unmatched rows untouched") {
+    val dir = Files.createTempDirectory("graft_dml_merge2").toString
+    val store = mkStore(dir)
+    val sess = s
+    import sess.implicits._
+    Seq((1L, 1000L)).toDF("k", "nv").createOrReplaceTempView("dml_src2")
+    s.sql("DROP TABLE IF EXISTS dml_m2")
+    s.sql(s"CREATE TABLE dml_m2 USING graft LOCATION '$store'")
+    try {
+      s.sql("""MERGE INTO dml_m2 t USING dml_src2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+      assert(rows("dml_m2") == Set((1L, "a", 1000L), (2L, "b", 20L), (3L, "c", 30L)))
+    } finally s.sql("DROP TABLE IF EXISTS dml_m2")
+  }
+}
