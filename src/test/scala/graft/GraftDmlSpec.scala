@@ -100,6 +100,24 @@ class GraftDmlSpec extends SparkTestBase {
     } finally s.sql("DROP TABLE IF EXISTS dml_m")
   }
 
+  test("UPDATE works across a schema evolution: assign the new column, others carry") {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val dir = Files.createTempDirectory("graft_dml_evo").toString
+    val store = mkStore(dir)
+    MergeSink.addColumns(store, Seq(StructField("score", LongType)))
+    s.sql("DROP TABLE IF EXISTS dml_e")
+    s.sql(s"CREATE TABLE dml_e USING graft LOCATION '$store'")
+    try {
+      s.sql("UPDATE dml_e SET score = v * 2 WHERE k <= 2")
+      val got = s.sql("SELECT k, name, v, score FROM dml_e").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(got == Set((1L, "a", 10L, 20L), (2L, "b", 20L, 40L),
+        (3L, "c", 30L, -1L)),
+        s"evolved column assigned, untouched rows stay null-backfilled: $got")
+    } finally s.sql("DROP TABLE IF EXISTS dml_e")
+  }
+
   test("MERGE with only a matched UPDATE arm leaves unmatched rows untouched") {
     val dir = Files.createTempDirectory("graft_dml_merge2").toString
     val store = mkStore(dir)
