@@ -69,7 +69,13 @@ object GraftDml {
         case u @ UpdateTable(rel, assignments, condition) if u.resolved =>
           graftRelation(rel)
             .map { case (r, t) =>
-              GraftUpdateCommand(r, t.storeDir, assignments, condition) }
+              // the condition is baked into a FILTER plan (held as a
+              // field, not a child): subquery expressions are only
+              // legal inside whitelisted node types, and the filtered
+              // plan was fully analyzed before this rewrite fired
+              GraftUpdateCommand(t.storeDir, r.output,
+                condition.map(Filter(_, r)).getOrElse(r), assignments)
+            }
             .getOrElse(u)
         case m: MergeIntoTable if m.resolved =>
           graftRelation(m.targetTable)
@@ -110,34 +116,34 @@ object GraftDml {
       replayGuard = false)
   }
 
-  case class GraftUpdateCommand(rel: DataSourceV2Relation, dir: String,
-      assignments: Seq[Assignment], condition: Option[Expression])
+  case class GraftUpdateCommand(dir: String,
+      relOutput: Seq[Attribute], matchedPlan: LogicalPlan,
+      assignments: Seq[Assignment])
       extends LeafRunnableCommand {
+    override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+      Seq(matchedPlan)
     override def run(sparkApi: SparkSession): Seq[Row] = {
       val spark = sparkApi.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      val fields = rel.schema.fields
-      val keyName = fields.head.name
+      val keyName = relOutput.head.name
       val byName = assignments
         .map(a => assignName(a.key) -> a.value).toMap
       require(!byName.contains(keyName),
         s"graft: UPDATE may not reassign the key column '$keyName' — a " +
           "keyed store's row identity is immutable; DELETE + INSERT " +
           "expresses a re-key explicitly")
-      val target = Dataset.ofRows(spark, rel)
-      val matched = condition.map(c => target.filter(Bridge.column(c)))
-        .getOrElse(target)
-      val attrOf = rel.output.map(a => a.name -> a).toMap
+      val matched = Dataset.ofRows(spark, matchedPlan)
+      val attrOf = relOutput.map(a => a.name -> a).toMap
       val updated = matched.select(
         Bridge.column(attrOf(keyName)).as(keyName) +:
           lit("upsert").as("_op") +: lit(0L).as("_ver") +:
-          fields.tail.toSeq.map { f =>
+          relOutput.tail.map { f =>
             byName.get(f.name)
               .map(e => Bridge.column(e).cast(f.dataType))
               .getOrElse(Bridge.column(attrOf(f.name)))
               .as(f.name)
           }: _*)
       commitCdc(spark, dir, updated, keyName,
-        fields.tail.map(_.name).toSeq, "UPDATE")
+        relOutput.tail.map(_.name), "UPDATE")
       Seq.empty
     }
   }

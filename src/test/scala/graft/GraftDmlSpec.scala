@@ -118,6 +118,20 @@ class GraftDmlSpec extends SparkTestBase {
     } finally s.sql("DROP TABLE IF EXISTS dml_e")
   }
 
+  test("UPDATE with a subquery condition resolves inside the rewritten command") {
+    val dir = Files.createTempDirectory("graft_dml_subq").toString
+    val store = mkStore(dir)
+    val sess = s
+    import sess.implicits._
+    Seq(1L, 3L).toDF("sel").createOrReplaceTempView("dml_sel")
+    s.sql("DROP TABLE IF EXISTS dml_sq")
+    s.sql(s"CREATE TABLE dml_sq USING graft LOCATION '$store'")
+    try {
+      s.sql("UPDATE dml_sq SET v = -1 WHERE k IN (SELECT sel FROM dml_sel)")
+      assert(rows("dml_sq") == Set((1L, "a", -1L), (2L, "b", 20L), (3L, "c", -1L)))
+    } finally s.sql("DROP TABLE IF EXISTS dml_sq")
+  }
+
   test("MERGE with only a matched UPDATE arm leaves unmatched rows untouched") {
     val dir = Files.createTempDirectory("graft_dml_merge2").toString
     val store = mkStore(dir)
