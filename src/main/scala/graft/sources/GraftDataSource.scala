@@ -278,20 +278,23 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     // head at restart time — recomputing would leave the committed-to-
     // head gap undelivered until (unless!) a new commit arrives, since
     // getOffset would report nothing available below the new floor.
-    val startFile = java.nio.file.Paths.get(metadataPath, "graft_start")
+    // metadataPath arrives as a Hadoop-style URI (file:/…): normalize,
+    // or Paths.get would create a literal "file:" directory in the CWD
+    val metaDir = GraftDataSource.localPath(metadataPath)
+    val startFile = java.nio.file.Paths.get(metaDir, "graft_start")
     val starting =
       if (java.nio.file.Files.exists(startFile))
         new String(java.nio.file.Files.readAllBytes(startFile), "UTF-8")
           .trim.toLong
       else {
         java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(metadataPath))
+          java.nio.file.Paths.get(metaDir))
         java.nio.file.Files.write(startFile,
           requested.toString.getBytes("UTF-8"))
         requested
       }
     new GraftChangeFeedSource(sqlContext.sparkSession, dir, starting,
-      maxVersions, MergeSink.changeFeedSchemaAt(dir), metadataPath)
+      maxVersions, MergeSink.changeFeedSchemaAt(dir), metaDir)
   }
 }
 
