@@ -192,17 +192,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     v.map { s =>
       s.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft: versionAsOf must be a version number (got '$s')"))
-    }.orElse(t.map { s =>
-      val millis = s.toLongOption.orElse(
-        try Some(java.time.Instant.parse(s).toEpochMilli)
-        catch { case _: Exception =>
-          try Some(java.sql.Timestamp.valueOf(s).getTime)
-          catch { case _: Exception => None }
-        }).getOrElse(throw new IllegalArgumentException(
-          "graft: timestampAsOf must be epoch millis, an ISO-8601 " +
-            s"instant, or 'yyyy-MM-dd HH:mm:ss' (got '$s')"))
-      MergeSink.versionAtTimestamp(dir, millis)
-    })
+    }.orElse(t.map(s =>
+      MergeSink.versionAtTimestamp(dir,
+        GraftDataSource.parseTimestampMillis(s))))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -307,6 +299,21 @@ object GraftDataSource {
     else if (p.contains("://")) throw new IllegalArgumentException(
       s"graft: only local filesystem stores are supported (got '$p')")
     else p
+
+  /** THE timestampAsOf grammar — one parser for every read path (the
+    * provider's load-time options AND the catalog table's read-time
+    * options), so `spark.read.format("graft")` and
+    * `spark.read.table(...)` accept the same strings: epoch millis,
+    * an ISO-8601 instant, or `yyyy-MM-dd HH:mm:ss`. */
+  private[sources] def parseTimestampMillis(s: String): Long =
+    s.toLongOption.orElse(
+      try Some(java.time.Instant.parse(s).toEpochMilli)
+      catch { case _: Exception =>
+        try Some(java.sql.Timestamp.valueOf(s).getTime)
+        catch { case _: Exception => None }
+      }).getOrElse(throw new IllegalArgumentException(
+        "graft: timestampAsOf must be epoch millis, an ISO-8601 " +
+          s"instant, or 'yyyy-MM-dd HH:mm:ss' (got '$s')"))
 }
 
 /** The DSv2 table. Reads: snapshot/time-travel scans with bucket
@@ -377,7 +384,7 @@ class GraftTable(dir: String, tableSchema: StructType,
     val v = Option(options.get("versionasof")).map(_.toLong)
       .orElse(Option(options.get("timestampasof")).map(t =>
         MergeSink.versionAtTimestamp(dir,
-          t.toLongOption.getOrElse(java.sql.Timestamp.valueOf(t).getTime))))
+          GraftDataSource.parseTimestampMillis(t))))
       .orElse(tableVersion)
     new GraftScanBuilder(dir, tableSchema, v)
   }

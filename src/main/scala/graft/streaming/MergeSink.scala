@@ -150,6 +150,32 @@ object MergeSink {
   private final case class Claim(marker: Path, content: String,
       version: Long, storeDir: String)
 
+  /** Thrown by [[applyBucketedBatchOcc]] when the caller's declared
+    * snapshot read point (`readVersion`) no longer owns every touched
+    * bucket — the batch's VALUES were derived from reads another commit
+    * has since superseded, so committing would be a lost update. The
+    * caller must RECOMPUTE the batch from the new head and retry
+    * (GraftDml and sqlDelete do exactly that); no internal retry can
+    * help because the batch itself is what's stale. */
+  final class StaleReadException(msg: String)
+      extends java.util.ConcurrentModificationException(msg)
+
+  /** Release a claim WE hold on an UNPUBLISHED slot, so a failed
+    * attempt never wedges overlapping writers for a takeover lease.
+    * Verified on content (the nonce decides ours vs a usurper's) and
+    * refused once `_latest` reached the version — a published commit's
+    * marker is history and only [[pruneCommitMarkers]] may fold it into
+    * the horizon (a bare delete would let a stale writer re-claim a
+    * committed slot). */
+  private def releaseOwnClaim(claim: Claim): Unit =
+    try {
+      if (readLong(latestPath(claim.storeDir)).getOrElse(-1L) < claim.version &&
+        Files.exists(claim.marker) &&
+        new String(Files.readAllBytes(claim.marker),
+          StandardCharsets.UTF_8).trim == claim.content)
+        Files.deleteIfExists(claim.marker)
+    } catch { case _: java.io.IOException => () }
+
   /** Concurrent-writer guard (CAS via exclusive marker creation): a
     * version is only allowed to swap `_latest` after durably claiming
     * `_commits/<version>` (content = "<parent> <batchId> <nonce>";
@@ -1151,8 +1177,10 @@ object MergeSink {
   /** AUTO-OPTIMIZE — one policy-driven maintenance pass: measure
     * ([[bucketFileStats]]), compact if a threshold is violated
     * (key-clustered rewrite when fragmentation is WITHIN one version —
-    * plain compaction would no-op there), then vacuum past the
-    * policy's retention. REFUSES under a live claim: an in-flight
+    * plain compaction would no-op there), then — on a TRIGGERED pass
+    * only — vacuum past the policy's retention (a within-policy pass
+    * touches nothing, so the default zero retention cannot silently
+    * destroy history). REFUSES under a live claim: an in-flight
     * writer (lease-fresh commit marker beyond the head — heartbeats
     * keep a long rewrite fresh) owns the store right now, and a
     * maintenance job barging in would only lose the CAS after doing
@@ -1203,8 +1231,17 @@ object MergeSink {
               s"MergeSink: no recorded schema for v$latest of $storeDir"))
         optimizeStore(spark, storeDir, Seq(col(keyName)))
       } else compactBucketedStore(spark, storeDir)
-    val vacuumed = vacuumBucketedStore(storeDir, policy.retainLast,
-      policy.retainMillis)
+    // vacuum ONLY on a triggered pass: the default policy retains
+    // nothing (retainLast=0/retainMillis=0), so an unconditional vacuum
+    // on a within-policy store would reclaim every historical version —
+    // destroying time travel and lagging feed subscribers — while the
+    // report said "triggered=false". A cron-friendly no-op must be a
+    // REAL no-op; reclaim history explicitly via vacuumBucketedStore
+    // when that is what you mean.
+    val vacuumed =
+      if (!triggered) Seq.empty[Long]
+      else vacuumBucketedStore(storeDir, policy.retainLast,
+        policy.retainMillis)
     val reason =
       if (!triggered) "within policy"
       else if (fragmented.nonEmpty)
@@ -1451,10 +1488,19 @@ object MergeSink {
           "one row per key; deduplicate the source first")
     val batch = data.select(col(keyName) +: lit("upsert").as("_op") +:
       lit(0L).as("_ver") +: valueCols.map(col): _*)
-    applyBucketedBatchOcc(batch, batchId = 0L, storeDir, keyName,
+    applyBucketedBatchOcc(batch, batchId = statementId(), storeDir, keyName,
       "_op", "_ver", valueCols, nBuckets = nB, writer = "sql",
       replayGuard = false)
   }
+
+  /** A fresh identity for one ad-hoc SQL statement's commit: with no
+    * replay lineage (replayGuard=false), two concurrent statements
+    * sharing a batchId would look like each other's crash replay to
+    * the OCC claim/conflict checks — the clobber the claim protocol
+    * exists to prevent. A random 63-bit id keeps every statement
+    * distinct. */
+  private def statementId(): Long =
+    java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
 
   /** The SQL door's DELETE half (`DELETE FROM obs WHERE …`): a HEAD
     * delete — the matching keys are retracted by ONE CDC delete commit
@@ -1470,19 +1516,38 @@ object MergeSink {
       throw new IllegalStateException(
         s"MergeSink: $storeDir is not a bucketed store — only bucketed " +
           "stores accept SQL deletes")).toInt
-    val schema = snapshotSchemaAt(storeDir, None)
-    val keyName = schema.fields.head.name
-    val victims = predicates
-      .foldLeft(snapshotPruned(spark, storeDir, None, None))(_ filter _)
-      .select(col(keyName))
-    if (victims.limit(1).collect().isEmpty) return // nothing matches
-    val valueFields = schema.fields.tail.toSeq
-    val batch = victims.select(col(keyName) +: lit("delete").as("_op") +:
-      lit(0L).as("_ver") +:
-      valueFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
-    applyBucketedBatchOcc(batch, batchId = 0L, storeDir, keyName,
-      "_op", "_ver", valueFields.map(_.name), nBuckets = nB,
-      writer = "sql", replayGuard = false)
+    // RECOMPUTE-ON-STALE loop: the victim set is derived from a head
+    // snapshot read; if a concurrent commit moves any touched bucket
+    // between that read and the claim, the OCC read-set check (keyed on
+    // readVersion) refuses the commit and the predicate re-evaluates
+    // against the new head — a retracted or re-valued row is never
+    // deleted on stale evidence (a statement-level serializable retry,
+    // not just a manifest re-read).
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val readV = readLong(latestPath(storeDir)).getOrElse(-1L)
+      val pin = if (readV >= 0) Some(readV) else None // empty store: the
+      // unpinned read throws the store's own "nothing to read" error
+      val schema = snapshotSchemaAt(storeDir, pin)
+      val keyName = schema.fields.head.name
+      val victims = predicates
+        .foldLeft(snapshotPruned(spark, storeDir, pin, None))(_ filter _)
+        .select(col(keyName))
+      if (victims.limit(1).collect().isEmpty) return // nothing matches
+      val valueFields = schema.fields.tail.toSeq
+      val batch = victims.select(col(keyName) +: lit("delete").as("_op") +:
+        lit(0L).as("_ver") +:
+        valueFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      try {
+        applyBucketedBatchOcc(batch, batchId = statementId(), storeDir,
+          keyName, "_op", "_ver", valueFields.map(_.name), nBuckets = nB,
+          writer = "sql", replayGuard = false, readVersion = Some(readV))
+        return
+      } catch {
+        case e: StaleReadException => if (attempt >= 8) throw e
+      }
+    }
   }
 
   /** The evolution-aware write plan shared by the serialized and OCC
@@ -1619,11 +1684,20 @@ object MergeSink {
   }
 
   /** CREATE_NEW claim for an OCC slot. Adopts an existing marker only
-    * on a FULL identity match (parent, batchId, writer) — two writers'
-    * batchIds can collide, the writer name disambiguates. Any other
+    * on a FULL identity match (parent, batchId, writer) AND only for a
+    * REPLAYABLE caller (a streaming checkpoint lineage — exactly one
+    * live writer per (writer, batchId) by the checkpoint contract, so
+    * a matching marker can only be this writer's own crashed attempt).
+    * A replayable=false caller (ad-hoc SQL — no replay lineage, each
+    * statement carries a fresh random batchId) NEVER adopts: before
+    * this guard two concurrent statements sharing writer="sql" each
+    * treated the other's live claim as their own crash replay, both
+    * passed the gate, and both overwrote the SAME version dir — the
+    * mid-write clobber the claim protocol exists to prevent. Any other
     * occupant throws; the caller's retry loop re-reads and rebases. */
   private def claimOcc(storeDir: String, version: Long, parent: Long,
-      batchId: Long, writer: String, buckets: Seq[Long]): Claim = {
+      batchId: Long, writer: String, buckets: Seq[Long],
+      replayable: Boolean): Claim = {
     val dir = commitsDir(storeDir)
     Files.createDirectories(dir)
     readLong(dir.resolve("_horizon")).foreach { h =>
@@ -1646,7 +1720,7 @@ object MergeSink {
       case _: FileAlreadyExistsException =>
         markerClaimInfo(storeDir, version) match {
           case Some((pv, bv, Some(w), _))
-              if pv == parent && bv == batchId && w == writer =>
+              if replayable && pv == parent && bv == batchId && w == writer =>
             // our own crash replay: adopt the surviving marker
             val body = new String(Files.readAllBytes(marker),
               StandardCharsets.UTF_8).trim
@@ -1661,7 +1735,8 @@ object MergeSink {
                 s"MergeSink: another recoverer took over the abandoned OCC " +
                   s"claim on v$version of $storeDir first (or its writer " +
                   "is live again) — retry")
-            claimOcc(storeDir, version, parent, batchId, writer, buckets)
+            claimOcc(storeDir, version, parent, batchId, writer, buckets,
+              replayable)
           case _ =>
             throw new java.util.ConcurrentModificationException(
               s"MergeSink: v$version of $storeDir is already claimed — " +
@@ -1682,7 +1757,8 @@ object MergeSink {
   def applyBucketedBatchOcc(batch: DataFrame, batchId: Long, storeDir: String,
       key: String, opCol: String, verCol: String, valueCols: Seq[String],
       nBuckets: Int = 64, writer: String = "w0",
-      maxRetries: Int = 32, replayGuard: Boolean = true): Unit = {
+      maxRetries: Int = 32, replayGuard: Boolean = true,
+      readVersion: Option[Long] = None): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     require(writer.nonEmpty && !writer.startsWith("_") &&
       !writer.exists(c => c == '/' || c == '\\' || c.isWhitespace),
@@ -1703,6 +1779,25 @@ object MergeSink {
       attempt += 1
       val latest = readLong(latestPath(storeDir))
       val baseManifest = latest.map(readManifest(storeDir, _)).getOrElse(Map.empty)
+      // OCC READ-SET vs the SNAPSHOT THE BATCH VALUES CAME FROM: a
+      // caller that derived its CDC rows from a store read (SQL
+      // UPDATE/DELETE/MERGE) passes the version it read; if any bucket
+      // this batch touches changed owners since, the batch's VALUES are
+      // stale — validating against the re-read head alone would commit
+      // a lost update. The batch itself must be recomputed, so this is
+      // the caller's retry, not ours.
+      readVersion.foreach { rv =>
+        val readM =
+          if (rv < 0) Map.empty[Long, Long] else readManifest(storeDir, rv)
+        val movedSinceRead = touched.filter(b =>
+          baseManifest.get(b) != readM.get(b))
+        if (movedSinceRead.nonEmpty)
+          throw new StaleReadException(
+            s"MergeSink: bucket(s) ${movedSinceRead.mkString(", ")} of " +
+              s"$storeDir changed owners since this statement's snapshot " +
+              s"read at v$rv — recompute the batch from the new head and " +
+              "retry")
+      }
       val readParentSchema = latest.flatMap(readSchema(storeDir, _))
       val (batchEff, effValueCols, target) =
         evolutionPlan(batch, key, valueCols, readParentSchema, storeDir)
@@ -1732,8 +1827,11 @@ object MergeSink {
       }
       val conflicts = inflight.filter { v =>
         markerClaimInfo(storeDir, v) match {
-          case Some((_, bv, Some(w), _)) if w == writer && bv == batchId =>
+          case Some((_, bv, Some(w), _))
+              if replayGuard && w == writer && bv == batchId =>
             false // our own crash-replay slot: claimOcc will adopt it
+            // (replayGuard=false callers have no replay lineage — a
+            // matching marker is ANOTHER statement's live claim)
           case Some((_, _, _, Some(bs))) => bs.exists(touched.contains)
           case _ => true // unparsable / serialized claim: assume overlap
         }
@@ -1749,7 +1847,8 @@ object MergeSink {
         val version = (head :: inflight).max + 1
         val parent = version - 1
         val claim =
-          try claimOcc(storeDir, version, parent, batchId, writer, touched)
+          try claimOcc(storeDir, version, parent, batchId, writer, touched,
+            replayable = replayGuard)
           catch {
             case e: java.util.ConcurrentModificationException =>
               if (attempt >= maxRetries) throw e
@@ -1760,19 +1859,27 @@ object MergeSink {
           try {
             occPublish(spark, storeDir, claim, version, parent, batchId,
               writer, batchEff, key, opCol, verCol, effValueCols, target,
-              baseManifest, readParentSchema, touched, nBuckets)
+              baseManifest, readParentSchema, touched, nBuckets, replayGuard)
             return
           } catch {
             case _: OccRebase =>
               // parent chain resolved differently than our read —
               // clean up this slot and rebase from the new head
-              Files.deleteIfExists(claim.marker)
+              releaseOwnClaim(claim)
               if (attempt >= maxRetries)
                 throw new java.util.ConcurrentModificationException(
                   s"MergeSink: OCC writer '$writer' batch $batchId on " +
                     s"$storeDir could not validate its read set after " +
                     s"$attempt attempts")
               Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 500L)
+            case e: Throwable =>
+              // a failed merge job (or anything else) must not leave
+              // the claim wedging overlapping writers for a full
+              // takeover lease — the slot holds no published state yet,
+              // so releasing OUR OWN marker (content-verified; a
+              // usurper's claim is left alone) is always safe
+              releaseOwnClaim(claim)
+              throw e
           }
         }
       }
@@ -1792,7 +1899,7 @@ object MergeSink {
       batchEff: DataFrame, key: String, opCol: String, verCol: String,
       effValueCols: Seq[String], target: StructType,
       baseManifest: Map[Long, Long], readParentSchema: Option[StructType],
-      touched: Seq[Long], nBuckets: Int): Unit =
+      touched: Seq[Long], nBuckets: Int, replayGuard: Boolean): Unit =
     withClaimHeartbeat(claim) {
       val survivors =
         if (touched.isEmpty) Seq.empty[Long]
@@ -1839,7 +1946,11 @@ object MergeSink {
       writeSchema(storeDir, version, target)
       verifyClaim(claim)
       writeLongAtomic(latestPath(storeDir), version)
-      writeLongAtomic(occLastBatchPath(storeDir, writer), batchId)
+      // ad-hoc statements (replayGuard=false) carry a random per-
+      // statement batchId and no replay lineage — recording it in
+      // `_lastBatch.<writer>` would be meaningless and misleading
+      if (replayGuard)
+        writeLongAtomic(occLastBatchPath(storeDir, writer), batchId)
       pruneCommitMarkers(storeDir)
     }
 

@@ -94,27 +94,55 @@ object GraftDml {
 
   /** Shared CDC commit: the batch carries (key, _op, _ver=0, values…);
     * duplicate keys are refused (one CDC row per key per commit — the
-    * MERGE multiple-source-rows rule and the atomicity guarantee). */
+    * MERGE multiple-source-rows rule and the atomicity guarantee).
+    *
+    * STATEMENT-LEVEL OCC: `derive` rebuilds the CDC batch from a FRESH
+    * head read each attempt. The head version is captured BEFORE the
+    * batch materializes and handed to the commit as its declared read
+    * point — if any touched bucket changes owners between that read
+    * and the claim (a concurrent writer landing mid-statement, or an
+    * OccRebase re-validating against a moved head), the commit refuses
+    * with [[MergeSink.StaleReadException]] and the WHOLE statement
+    * re-derives. Values computed from a superseded snapshot are never
+    * committed (no lost update / stale DELETE) — the statement
+    * serializes on bucket overlap, as documented. */
   private def commitCdc(spark: SparkSession, dir: String,
-      batch: org.apache.spark.sql.DataFrame, keyName: String,
+      derive: () => org.apache.spark.sql.DataFrame, keyName: String,
       valueNames: Seq[String], verb: String): Unit = {
     val nB = MergeSink.storedNBuckets(dir).getOrElse(
       throw new IllegalStateException(
         s"MergeSink: $dir is not a bucketed store — only bucketed stores " +
           "accept SQL DML")).toInt
-    val cached = graft.operators.Checkpoint(batch)
-    val dup = cached.groupBy(keyName).count()
-      .filter(new Column("count") > 1).limit(1).collect()
-    if (dup.nonEmpty)
-      throw new IllegalArgumentException(
-        s"graft: $verb on $dir produces key '${dup.head.get(0)}' more than " +
-          "once — a keyed store commits one row per key (for MERGE this is " +
-          "the standard multiple-source-rows error)")
-    if (cached.limit(1).collect().isEmpty) return // no-op: nothing matched
-    MergeSink.applyBucketedBatchOcc(cached, batchId = 0L, dir, keyName,
-      "_op", "_ver", valueNames, nBuckets = nB, writer = "sql",
-      replayGuard = false)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val readV = MergeSink.latestVersion(dir).getOrElse(-1L)
+      val cached = graft.operators.Checkpoint(derive())
+      val dup = cached.groupBy(keyName).count()
+        .filter(new Column("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"graft: $verb on $dir produces key '${dup.head.get(0)}' more than " +
+            "once — a keyed store commits one row per key (for MERGE this is " +
+            "the standard multiple-source-rows error)")
+      if (cached.limit(1).collect().isEmpty) return // no-op: nothing matched
+      try {
+        MergeSink.applyBucketedBatchOcc(cached, batchId = statementId(), dir,
+          keyName, "_op", "_ver", valueNames, nBuckets = nB, writer = "sql",
+          replayGuard = false, readVersion = Some(readV))
+        return
+      } catch {
+        case e: MergeSink.StaleReadException => if (attempt >= 8) throw e
+      }
+    }
   }
+
+  /** One fresh 63-bit identity per ad-hoc statement — see
+    * [[MergeSink.applyBucketedBatchOcc]]'s replayGuard notes: with no
+    * replay lineage, a SHARED batchId would make two concurrent
+    * statements look like each other's crash replay. */
+  private def statementId(): Long =
+    java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
 
   case class GraftUpdateCommand(dir: String,
       relOutput: Seq[Attribute], matchedPlan: LogicalPlan,
@@ -131,9 +159,8 @@ object GraftDml {
         s"graft: UPDATE may not reassign the key column '$keyName' — a " +
           "keyed store's row identity is immutable; DELETE + INSERT " +
           "expresses a re-key explicitly")
-      val matched = Dataset.ofRows(spark, matchedPlan)
       val attrOf = relOutput.map(a => a.name -> a).toMap
-      val updated = matched.select(
+      def updated() = Dataset.ofRows(spark, matchedPlan).select(
         Bridge.column(attrOf(keyName)).as(keyName) +:
           lit("upsert").as("_op") +: lit(0L).as("_ver") +:
           relOutput.tail.map { f =>
@@ -142,7 +169,7 @@ object GraftDml {
               .getOrElse(Bridge.column(attrOf(f.name)))
               .as(f.name)
           }: _*)
-      commitCdc(spark, dir, updated, keyName,
+      commitCdc(spark, dir, () => updated(), keyName,
         relOutput.tail.map(_.name), "UPDATE")
       Seq.empty
     }
@@ -195,6 +222,46 @@ object GraftDml {
       (op, values)
     }
 
+    /** UPDATE actions may not RE-KEY a row (same contract plain UPDATE
+      * enforces loudly). `SET *` legitimately assigns the key column —
+      * under the usual `ON t.k = s.k` it is an identity assignment — so
+      * the refusal is a per-row RUNTIME check on the FIRING action's
+      * assigned value, not a static throw that would break `SET *`:
+      * folding first-action-wins, the key the actions would write is
+      * compared (null-safely) with the row's actual key, and any
+      * difference raises the same "key column is immutable" error. */
+    private def guardedKey(actions: Seq[MergeAction], keyName: String,
+        keyType: org.apache.spark.sql.types.DataType,
+        keyCol: Column): Column = {
+      val assignsKey = actions.exists {
+        case u: UpdateAction =>
+          u.assignments.exists(a => assignName(a.key) == keyName)
+        case _ => false
+      }
+      if (!assignsKey) keyCol
+      else {
+        val assigned = actions.foldRight(keyCol) { (a, els) =>
+          a match {
+            case u: UpdateAction =>
+              val am = u.assignments.map(x => assignName(x.key) -> x.value).toMap
+              val v = am.get(keyName).map(e => Bridge.column(e).cast(keyType))
+                .getOrElse(keyCol)
+              when(u.condition.map(Bridge.column).getOrElse(lit(true)), v)
+                .otherwise(els)
+            case d: DeleteAction =>
+              when(d.condition.map(Bridge.column).getOrElse(lit(true)), keyCol)
+                .otherwise(els)
+            case _ => els
+          }
+        }
+        when(!(assigned <=> keyCol), org.apache.spark.sql.functions.raise_error(
+          lit(s"graft: MERGE may not reassign the key column '$keyName' — " +
+            "a keyed store's row identity is immutable; DELETE + INSERT " +
+            "expresses a re-key explicitly")).cast(keyType))
+          .otherwise(keyCol)
+      }
+    }
+
     override def run(sparkApi: SparkSession): Seq[Row] = {
       val spark = sparkApi.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       val fields = rel.schema.fields.toSeq
@@ -202,62 +269,68 @@ object GraftDml {
       val valueNames = fields.tail.map(_.name)
       val attrOf = rel.output.map(a => a.name -> a).toMap
       val keyCol = Bridge.column(attrOf(keyName))
-      val target = Dataset.ofRows(spark, rel)
-      val src = Dataset.ofRows(spark, source)
       val condCol = Bridge.column(cond)
       def cdcSelect(df: org.apache.spark.sql.DataFrame, key: Column,
           op: Column, values: Seq[Column]) =
         df.select(key.as(keyName) +: op.as("_op") +: lit(0L).as("_ver") +:
           values.zip(valueNames).map { case (c, n) => c.as(n) }: _*)
           .filter(new Column("_op").isNotNull)
-      // matched arm: inner join; the multiple-source-rows check is the
-      // commit-level duplicate-key refusal in commitCdc
-      val matchedCdc =
-        if (matchedActions.isEmpty) None
-        else {
-          val pairs = target.join(src, condCol, "inner")
-          val (op, values) = armColumns(matchedActions, fields.tail,
-            n => Bridge.column(attrOf(n)))
-          Some(cdcSelect(pairs, keyCol, op, values))
-        }
-      // not-matched arm (inserts): source rows with no target match;
-      // the key comes from the insert assignments
-      val notMatchedCdc =
-        if (notMatchedActions.isEmpty) None
-        else {
-          val lone = src.join(target, condCol, "left_anti")
-          val keyFromInsert = notMatchedActions.foldRight(
-            lit(null).cast(fields.head.dataType)) { (a, els) =>
-            a match {
-              case i: InsertAction =>
-                val am = i.assignments.map(x => assignName(x.key) -> x.value).toMap
-                val v = am.get(keyName).map(e =>
-                  Bridge.column(e).cast(fields.head.dataType)).getOrElse(
-                  throw new UnsupportedOperationException(
-                    s"graft: MERGE INSERT must assign the key column '$keyName'"))
-                when(i.condition.map(Bridge.column).getOrElse(lit(true)), v)
-                  .otherwise(els)
-              case other => throw new UnsupportedOperationException(
-                s"graft: only INSERT actions are valid WHEN NOT MATCHED (got $other)")
-            }
+      // the whole CDC batch is a CLOSURE: commitCdc re-derives it from
+      // a fresh head read when its declared read point goes stale
+      def deriveCdc(): org.apache.spark.sql.DataFrame = {
+        val target = Dataset.ofRows(spark, rel)
+        val src = Dataset.ofRows(spark, source)
+        // matched arm: inner join; the multiple-source-rows check is the
+        // commit-level duplicate-key refusal in commitCdc
+        val matchedCdc =
+          if (matchedActions.isEmpty) None
+          else {
+            val pairs = target.join(src, condCol, "inner")
+            val (op, values) = armColumns(matchedActions, fields.tail,
+              n => Bridge.column(attrOf(n)))
+            Some(cdcSelect(pairs, guardedKey(matchedActions, keyName,
+              fields.head.dataType, keyCol), op, values))
           }
-          val (op, values) = armColumns(notMatchedActions, fields.tail,
-            _ => lit(null))
-          Some(cdcSelect(lone, keyFromInsert, op, values))
-        }
-      // not-matched-by-source arm: target rows with no source match
-      val nmbsCdc =
-        if (notMatchedBySourceActions.isEmpty) None
-        else {
-          val lone = target.join(src, condCol, "left_anti")
-          val (op, values) = armColumns(notMatchedBySourceActions, fields.tail,
-            n => Bridge.column(attrOf(n)))
-          Some(cdcSelect(lone, keyCol, op, values))
-        }
-      val arms = Seq(matchedCdc, notMatchedCdc, nmbsCdc).flatten
-      if (arms.nonEmpty)
-        commitCdc(spark, dir, arms.reduce(_ unionByName _), keyName,
-          valueNames, "MERGE")
+        // not-matched arm (inserts): source rows with no target match;
+        // the key comes from the insert assignments
+        val notMatchedCdc =
+          if (notMatchedActions.isEmpty) None
+          else {
+            val lone = src.join(target, condCol, "left_anti")
+            val keyFromInsert = notMatchedActions.foldRight(
+              lit(null).cast(fields.head.dataType)) { (a, els) =>
+              a match {
+                case i: InsertAction =>
+                  val am = i.assignments.map(x => assignName(x.key) -> x.value).toMap
+                  val v = am.get(keyName).map(e =>
+                    Bridge.column(e).cast(fields.head.dataType)).getOrElse(
+                    throw new UnsupportedOperationException(
+                      s"graft: MERGE INSERT must assign the key column '$keyName'"))
+                  when(i.condition.map(Bridge.column).getOrElse(lit(true)), v)
+                    .otherwise(els)
+                case other => throw new UnsupportedOperationException(
+                  s"graft: only INSERT actions are valid WHEN NOT MATCHED (got $other)")
+              }
+            }
+            val (op, values) = armColumns(notMatchedActions, fields.tail,
+              _ => lit(null))
+            Some(cdcSelect(lone, keyFromInsert, op, values))
+          }
+        // not-matched-by-source arm: target rows with no source match
+        val nmbsCdc =
+          if (notMatchedBySourceActions.isEmpty) None
+          else {
+            val lone = target.join(src, condCol, "left_anti")
+            val (op, values) = armColumns(notMatchedBySourceActions, fields.tail,
+              n => Bridge.column(attrOf(n)))
+            Some(cdcSelect(lone, guardedKey(notMatchedBySourceActions, keyName,
+              fields.head.dataType, keyCol), op, values))
+          }
+        Seq(matchedCdc, notMatchedCdc, nmbsCdc).flatten.reduce(_ unionByName _)
+      }
+      if (matchedActions.nonEmpty || notMatchedActions.nonEmpty ||
+        notMatchedBySourceActions.nonEmpty)
+        commitCdc(spark, dir, () => deriveCdc(), keyName, valueNames, "MERGE")
       Seq.empty
     }
   }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 import graft.streaming.MergeSink
@@ -130,6 +132,77 @@ class GraftDmlSpec extends SparkTestBase {
       s.sql("UPDATE dml_sq SET v = -1 WHERE k IN (SELECT sel FROM dml_sel)")
       assert(rows("dml_sq") == Set((1L, "a", -1L), (2L, "b", 20L), (3L, "c", -1L)))
     } finally s.sql("DROP TABLE IF EXISTS dml_sq")
+  }
+
+  test("MERGE refuses to RE-KEY a row, but SET * (identity key assignment) works") {
+    val dir = Files.createTempDirectory("graft_dml_rekey").toString
+    val store = mkStore(dir)
+    val sess = s
+    import sess.implicits._
+    Seq((2L, "B2", 200L)).toDF("k", "name", "v")
+      .createOrReplaceTempView("dml_rk_src")
+    s.sql("DROP TABLE IF EXISTS dml_rk")
+    s.sql(s"CREATE TABLE dml_rk USING graft LOCATION '$store'")
+    try {
+      val head0 = MergeSink.latestVersion(store).get
+      // an UPDATE action assigning a DIFFERENT key: the same
+      // "key column is immutable" refusal plain UPDATE raises —
+      // previously this silently kept the old key while claiming success
+      val e = intercept[Exception] {
+        s.sql("""MERGE INTO dml_rk t USING dml_rk_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET k = t.k + 10, v = s.v""".stripMargin)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("key column")),
+        s"expected the key-immutability error, got: $e")
+      assert(MergeSink.latestVersion(store).contains(head0),
+        "a refused MERGE must not commit")
+      assert(rows("dml_rk") == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+      // SET * assigns the key too — under ON t.k = s.k it is an
+      // identity assignment and must keep working
+      s.sql("""MERGE INTO dml_rk t USING dml_rk_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      assert(rows("dml_rk") == Set((1L, "a", 10L), (2L, "B2", 200L), (3L, "c", 30L)))
+    } finally s.sql("DROP TABLE IF EXISTS dml_rk")
+  }
+
+  test("concurrent SQL INSERT statements serialize — neither adopts the other's claim") {
+    val dir = Files.createTempDirectory("graft_dml_conc").toString
+    val store = mkStore(dir)
+    s.sql("DROP TABLE IF EXISTS dml_c")
+    s.sql(s"CREATE TABLE dml_c USING graft LOCATION '$store'")
+    try {
+      // same-bucket keys force the statements onto overlapping claims:
+      // before per-statement identities, both carried (writer=sql,
+      // batchId=0) and each adopted the other's live claim — both then
+      // overwrote ONE version dir and a row vanished
+      def bucketOf(k: Long): Long = s.range(1)
+        .select(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.lit(k)),
+          org.apache.spark.sql.functions.lit(4L))).head().getLong(0)
+      val base = 100L
+      (0 until 3).foreach { rep =>
+        val k1 = (base + rep * 200 until base + rep * 200 + 100)
+          .find(k => bucketOf(k) == 0L).get
+        val k2 = (k1 + 1 until k1 + 100).find(k => bucketOf(k) == 0L).get
+        val head0 = MergeSink.latestVersion(store).get
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = Seq(k1, k2).map { k =>
+          new Thread(() =>
+            try s.sql(s"INSERT INTO dml_c VALUES ($k, 'n$k', $k)")
+            catch { case t: Throwable => errs.add(t) })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join(120000))
+        assert(errs.isEmpty, s"rep $rep: ${errs.asScala.toSeq}")
+        val got = rows("dml_c")
+        assert(got.contains((k1, s"n$k1", k1)) && got.contains((k2, s"n$k2", k2)),
+          s"rep $rep: both inserts must land (got $got)")
+        assert(MergeSink.latestVersion(store).contains(head0 + 2),
+          s"rep $rep: two statements = two commits")
+      }
+    } finally s.sql("DROP TABLE IF EXISTS dml_c")
   }
 
   test("MERGE with only a matched UPDATE arm leaves unmatched rows untouched") {

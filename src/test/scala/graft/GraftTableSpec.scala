@@ -85,6 +85,30 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("timestampAsOf accepts the SAME grammar on a catalog-table read as on a path load") {
+    val dir = Files.createTempDirectory("graft_dsv2_tsof_cat").toString
+    val store = s"$dir/store"
+    put(store, 1L, 1L, "a", 0L)   // v0
+    put(store, 1L, 2L, "a2", 1L)  // v1
+    val t0 = 1700000000000L
+    Seq(0L -> t0, 1L -> (t0 + 60000L)).foreach { case (v, t) =>
+      Files.setLastModifiedTime(Paths.get(store, "_manifests", v.toString),
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    }
+    val iso = java.time.Instant.ofEpochMilli(t0 + 1000L).toString
+    // the provider's load-time parse accepted ISO-8601, but the same
+    // option ALSO reaches GraftTable.newScanBuilder (whose read-time
+    // parse runs FIRST) — which used only toLong/Timestamp.valueOf and
+    // threw an unexplained IllegalArgumentException on the very string
+    // the door advertises; both paths now share one parser
+    assert(rows(spark.read.format("graft")
+      .option("timestampAsOf", iso).load(store)) == Set((1L, "a", 10L)),
+      "ISO-8601 timestampAsOf must resolve through the scan builder")
+    assert(rows(spark.read.format("graft")
+      .option("timestampAsOf", "2023-11-14 22:14:01").load(store))
+      == Set((1L, "a", 10L)), "yyyy-MM-dd HH:mm:ss form too")
+  }
+
   test("CREATE TABLE ... USING graft LOCATION: plain SQL over the store") {
     val dir = Files.createTempDirectory("graft_dsv2_sql").toString
     val store = s"$dir/store"

@@ -1812,4 +1812,96 @@ class SinkSpec extends SparkTestBase {
         s"approx $approx vs exact $exact")
     }
   }
+
+  test("ST10 OCC: an ad-hoc (replayGuard=false) commit never adopts a foreign live claim sharing its identity") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_occ_adopt").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    val head = MergeSink.latestVersion(store).get
+    val b1 = spark.range(1)
+      .select(pmod(xxhash64(lit(1L)), lit(4L))).head().getLong(0)
+    // a LIVE (lease-fresh) claim by ANOTHER ad-hoc statement that
+    // happens to share (parent, batchId, writer) — before the
+    // replayable guard, the second statement adopted it as its own
+    // crash replay and overwrote the version dir mid-write
+    val marker = java.nio.file.Paths.get(store, "_commits", (head + 1).toString)
+    val foreign = s"$head 7 424242 w=sql b=$b1"
+    Files.write(marker, foreign.getBytes("UTF-8"))
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        MergeSink.applyBucketedBatchOcc(
+          Seq((1L, "upsert", 1L, "CLOBBER", 99L))
+            .toDF("k", "op", "ver", "name", "v"),
+          batchId = 7L, store, "k", "op", "ver", vcols, nBuckets = 4,
+          writer = "sql", maxRetries = 2, replayGuard = false)
+      }
+      assert(e.getMessage.contains("conflict") || e.getMessage.contains("claimed"),
+        s"expected a claim conflict, got: ${e.getMessage}")
+      // the foreign claim was neither adopted nor disturbed, and the
+      // store's content is untouched
+      assert(new String(Files.readAllBytes(marker), "UTF-8") == foreign)
+      val got = MergeSink.currentBucketedSnapshot(spark, store).get
+        .select("name").head().getString(0)
+      assert(got == "a", "the foreign claim's slot must not be overwritten")
+    } finally Files.deleteIfExists(marker)
+  }
+
+  test("ST10 OCC: a commit declaring a stale snapshot read point is refused; a disjoint one lands") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_occ_stale").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(8L))).head().getLong(0)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 8)
+    val readV = MergeSink.latestVersion(store).get
+    // a concurrent writer supersedes key 1's bucket after our read
+    MergeSink.applyBucketedBatchOcc(
+      Seq((1L, "upsert", 2L, "fresh", 11L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 8, writer = "other")
+    // values derived from v<readV> touching the MOVED bucket: refused
+    // (committing them would silently overwrite 'fresh' — a lost update)
+    intercept[MergeSink.StaleReadException] {
+      MergeSink.applyBucketedBatchOcc(
+        Seq((1L, "upsert", 1L, "stale", 12L)).toDF("k", "op", "ver", "name", "v"),
+        batchId = 5L, store, "k", "op", "ver", vcols, nBuckets = 8,
+        writer = "sql", replayGuard = false, readVersion = Some(readV))
+    }
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get
+      .filter(col("k") === 1L).select("name").head().getString(0) == "fresh")
+    // the SAME stale read point is fine for a batch touching only
+    // buckets that never moved — bucket-overlap granularity, as specced
+    val k2 = (2L to 99L).find(k => bucketOf(k) != bucketOf(1L)).get
+    MergeSink.applyBucketedBatchOcc(
+      Seq((k2, "upsert", 1L, "disjoint", 20L)).toDF("k", "op", "ver", "name", "v"),
+      batchId = 6L, store, "k", "op", "ver", vcols, nBuckets = 8,
+      writer = "sql", replayGuard = false, readVersion = Some(readV))
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 2)
+  }
+
+  test("ST10 maintain: a within-policy pass is a REAL no-op — default retention must not reclaim history") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_maintain_noop").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    // two commits, both within the default policy's thresholds
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 2L, "b", 20L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    val r = MergeSink.maintainStore(spark, store)
+    assert(!r.triggered && r.vacuumed.isEmpty,
+      s"a default-policy no-op pass must not vacuum: $r")
+    // time travel to v0 survives the no-op pass
+    assert(MergeSink.bucketedSnapshotAt(spark, store, 0L)
+      .select("name").head().getString(0) == "a")
+  }
 }
