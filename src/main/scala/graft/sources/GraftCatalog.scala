@@ -28,15 +28,18 @@ import graft.streaming.MergeSink
   *
   * Identifiers map to store directories under the warehouse
   * (`graft.ns.obs` → `<warehouse>/ns/obs`); a table EXISTS iff the dir
-  * is a committed store (`_latest` present). Tables are CREATED by
-  * writing (the MERGE sink, `writeStream.format("graft")`, or a first
-  * `df.write.format("graft")` batch) — `CREATE TABLE` only ADOPTS an
-  * existing store (external-table registration semantics); schema
-  * changes go through the store's own evolution
+  * is a committed store (`_latest` present). `CREATE TABLE` with a
+  * column list (or CTAS) CREATES a store — an empty v0 committed
+  * through the normal claim protocol, `key`/`nBuckets` as table
+  * properties — and without one ADOPTS an existing store
+  * (external-table registration semantics); stores are equally created
+  * by a first write (the MERGE sink, `writeStream.format("graft")`).
+  * Schema changes go through the store's own evolution
   * ([[MergeSink.addColumns]]), never `ALTER TABLE` (the registry, not
-  * the catalog, is the source of truth); DROP/RENAME are refused — a
-  * store's lifecycle (vacuum, erasure, clone) is deliberately not a
-  * one-line SQL away. */
+  * the catalog, is the source of truth); RENAME is refused and DROP
+  * only reverts a created-but-never-written store (CTAS failure
+  * cleanup) — a data-bearing store's lifecycle (vacuum, erasure,
+  * clone) is deliberately not a one-line SQL away. */
 class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = _
@@ -105,6 +108,21 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(dir, MergeSink.snapshotSchemaAt(dir, version), version)
   }
 
+  /** CREATE TABLE: adopts an existing store (external-table
+    * registration — the registry is the schema authority), or, given
+    * an explicit schema, CREATES one by committing an empty v0 through
+    * the store's normal claim protocol — so the whole lifecycle is
+    * SQL-operable:
+    *
+    * {{{
+    * CREATE TABLE graft.obs (k BIGINT, name STRING, v BIGINT)
+    *   TBLPROPERTIES (key = 'k', nBuckets = '8')
+    * CREATE TABLE graft.obs2 AS SELECT ...   -- CTAS: create + INSERT
+    * }}}
+    *
+    * `key` defaults to the first column (which it must be — the
+    * snapshot convention every reader shares); `nBuckets` defaults
+    * to 64. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String])
       : Table = {
@@ -115,12 +133,19 @@ class GraftCatalog extends TableCatalog {
       new GraftTable(dir, MergeSink.snapshotSchemaAt(dir, None), None)
     } else if (tableExists(ident)) {
       throw new TableAlreadyExistsException(ident)
+    } else if (schema.fields.nonEmpty) {
+      require(partitions.isEmpty,
+        "graft: PARTITIONED BY is not supported — the store buckets by key")
+      val props = new CaseInsensitiveStringMap(properties)
+      val key = Option(props.get("key")).getOrElse(schema.fields.head.name)
+      val nBuckets = Option(props.get("nbuckets")).map(_.toInt).getOrElse(64)
+      MergeSink.createEmptyStore(dir, schema, key, nBuckets)
+      new GraftTable(dir, MergeSink.snapshotSchemaAt(dir, None), None)
     } else throw new UnsupportedOperationException(
-      s"graft: catalog '$catalogName' cannot create an EMPTY store at " +
-        s"$dir — stores are created by their first committed write " +
-        "(the MERGE sink, writeStream.format(\"graft\"), or " +
-        "df.write.format(\"graft\").mode(\"append\")); CREATE TABLE " +
-        "adopts a store that already exists")
+      s"graft: catalog '$catalogName' cannot create a store at $dir " +
+        "without a schema — declare columns (CREATE TABLE t (k BIGINT, " +
+        "…) with optional TBLPROPERTIES key/nBuckets), run CTAS, or " +
+        "adopt a store an earlier write created")
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -130,11 +155,24 @@ class GraftCatalog extends TableCatalog {
         "time-travel-aware evolution the registry records); the catalog " +
         "serves whatever the registry says")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "graft: DROP TABLE is refused — a store's lifecycle runs through " +
-        "vacuumBucketedStore / eraseKeys / releaseClone, never a " +
-        "one-line SQL drop")
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    // the ONE droppable state: a created-but-never-written store (the
+    // empty v0 bootstrap) — this is CTAS's failure cleanup (Spark
+    // drops the created table when the backing write fails); anything
+    // ever written stays refused
+    if (isStore(dir) && MergeSink.isEmptyCreatedStore(dir)) {
+      val s0 = Files.walk(Paths.get(dir))
+      try s0.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s0.close()
+      true
+    } else throw new UnsupportedOperationException(
+      "graft: DROP TABLE is refused once a store holds data — its " +
+        "lifecycle runs through vacuumBucketedStore / eraseKeys / " +
+        "releaseClone, never a one-line SQL drop (only a created-but-" +
+        "never-written store may be dropped)")
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

@@ -340,7 +340,15 @@ class GraftTable(dir: String, tableSchema: StructType,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(tableVersion.isEmpty,
       s"graft: cannot DELETE from a time-travel read of $dir")
-    MergeSink.sqlDelete(dir, filters.flatMap(GraftFilters.toColumn).toSeq)
+    // key-literal evidence prunes the victim scan to the owning
+    // buckets — the same mapping the read path uses
+    val keyName = MergeSink.storedKeyName(dir)
+      .getOrElse(tableSchema.fields.head.name)
+    val buckets = tableSchema.fields.find(_.name == keyName)
+      .flatMap(kf => MergeSink.storedNBuckets(dir).flatMap(nb =>
+        GraftFilters.prunedBuckets(filters, keyName, kf.dataType, nb)))
+    MergeSink.sqlDelete(dir, filters.flatMap(GraftFilters.toColumn).toSeq,
+      buckets)
   }
 
   override def name(): String =
@@ -403,8 +411,18 @@ class GraftScanBuilder(dir: String, tableSchema: StructType,
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
 
-  private val keyName = tableSchema.fields.head.name
-  private val keyType = tableSchema.fields.head.dataType
+  // the REGISTRY's key name governs pruning (the writers' routing
+  // column); first-field is only the pre-registry store's convention.
+  // A recorded key missing from the schema is refused loudly — pruning
+  // on a guessed column would silently drop rows.
+  private val keyName = MergeSink.storedKeyName(dir)
+    .getOrElse(tableSchema.fields.head.name)
+  private val keyType = tableSchema.fields.find(_.name == keyName)
+    .getOrElse(throw new IllegalStateException(
+      s"graft: store $dir records key column '$keyName' but the table " +
+        s"schema has only ${tableSchema.fieldNames.mkString(", ")} — " +
+        "the registry and the schema disagree; refusing to prune"))
+    .dataType
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftFilters.toColumn(_).isDefined)
@@ -418,27 +436,8 @@ class GraftScanBuilder(dir: String, tableSchema: StructType,
 
   /** The pruned bucket set implied by the pushed filters (conjunctive):
     * None = no key-equality evidence, scan all buckets. */
-  private def prunedBuckets(nBuckets: Long): Option[Set[Long]] = {
-    def ofValues(vs: Seq[Any]): Option[Set[Long]] = {
-      val nonNull = vs.filter(_ != null)
-      if (nonNull.isEmpty) None // =NULL matches nothing; stay conservative
-      else try Some(nonNull.map(v =>
-        MergeSink.bucketForKeyLiteral(v, keyType, nBuckets)).toSet)
-      catch { case _: Exception => None } // unconvertible literal: no pruning
-    }
-    def walk(f: Filter): Option[Set[Long]] = f match {
-      case EqualTo(a, v) if a == keyName => ofValues(Seq(v))
-      case EqualNullSafe(a, v) if a == keyName => ofValues(Seq(v))
-      case In(a, vs) if a == keyName => ofValues(vs.toSeq)
-      case And(l, r) => (walk(l), walk(r)) match {
-        case (Some(a), Some(b)) => Some(a intersect b)
-        case (a, b) => a.orElse(b)
-      }
-      case Or(l, r) => for { a <- walk(l); b <- walk(r) } yield a union b
-      case _ => None
-    }
-    pushed.flatMap(walk).reduceOption(_ intersect _)
-  }
+  private def prunedBuckets(nBuckets: Long): Option[Set[Long]] =
+    GraftFilters.prunedBuckets(pushed, keyName, keyType, nBuckets)
 
   override def build(): Scan = new V1Scan {
     override def readSchema(): StructType = required
@@ -486,6 +485,34 @@ class GraftRelation(context: SQLContext, dir: String, version: Option[Long],
   * inside the wrapped plan (parquet row-group pushdown). Partial on
   * purpose: anything untranslated stays a residual Spark evaluates. */
 private[sources] object GraftFilters {
+
+  /** The bucket set a conjunctive filter array pins the key to —
+    * shared by the scan builder and DELETE's victim scan. None = no
+    * key-equality evidence, scan all buckets. */
+  def prunedBuckets(filters: Array[Filter], keyName: String,
+      keyType: org.apache.spark.sql.types.DataType,
+      nBuckets: Long): Option[Set[Long]] = {
+    def ofValues(vs: Seq[Any]): Option[Set[Long]] = {
+      val nonNull = vs.filter(_ != null)
+      if (nonNull.isEmpty) None // =NULL matches nothing; stay conservative
+      else try Some(nonNull.map(v =>
+        MergeSink.bucketForKeyLiteral(v, keyType, nBuckets)).toSet)
+      catch { case _: Exception => None } // unconvertible literal: no pruning
+    }
+    def walk(f: Filter): Option[Set[Long]] = f match {
+      case EqualTo(a, v) if a == keyName => ofValues(Seq(v))
+      case EqualNullSafe(a, v) if a == keyName => ofValues(Seq(v))
+      case In(a, vs) if a == keyName => ofValues(vs.toSeq)
+      case And(l, r) => (walk(l), walk(r)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) => for { a <- walk(l); b <- walk(r) } yield a union b
+      case _ => None
+    }
+    filters.flatMap(walk).reduceOption(_ intersect _)
+  }
+
   def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))

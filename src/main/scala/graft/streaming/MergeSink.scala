@@ -656,6 +656,42 @@ object MergeSink {
     }
   }
 
+  private def keyNamePath(storeDir: String) = Paths.get(storeDir, "_key")
+
+  /** The store's recorded KEY COLUMN NAME. Persisted on the first
+    * batch, like `_nbuckets`: every consumer that routes or prunes by
+    * key (the scan builder's bucket pruning, the DML rewrites) reads
+    * THIS name instead of assuming "the schema's first field" — an
+    * implicit convention that was true by construction but enforced
+    * three files away; recording it makes a future schema reordering
+    * unable to silently mis-prune. A writer declaring a different key
+    * is refused loudly (it would route every row to the wrong bucket).
+    * Stores created before this registry entry fall back to the
+    * first-field convention (their schemas do lead with the key). */
+  def storedKeyName(storeDir: String): Option[String] = {
+    val p = keyNamePath(storeDir)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  private def requireKeyName(storeDir: String, key: String): Unit =
+    storedKeyName(storeDir) match {
+      case Some(stored) if stored != key =>
+        throw new IllegalArgumentException(
+          s"MergeSink: $storeDir is keyed by column '$stored' but this " +
+            s"writer declared key '$key' — a mismatched writer would " +
+            "route every row to the wrong bucket; pass the recorded key")
+      case Some(_) => ()
+      case None =>
+        val tmp = keyNamePath(storeDir).resolveSibling(s"._key.tmp." +
+          (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+            & Long.MaxValue))
+        Files.write(tmp, key.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, keyNamePath(storeDir), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+
   /** The store's current contents under the bucketed protocol. Buckets
     * are grouped by owning version, so the read costs one pruned scan
     * per LIVE version (old versions age out as their buckets move).
@@ -719,6 +755,16 @@ object MergeSink {
   def bucketedSnapshotAt(spark: SparkSession, storeDir: String,
       version: Long): DataFrame =
     snapshotPruned(spark, storeDir, Some(version), None)
+
+  /** The HEAD snapshot restricted to `buckets` — the scan builder's
+    * bucket-pruned read, exposed for the DML rewrites (which live
+    * outside this package tree): a MERGE/UPDATE whose key evidence
+    * names the touched buckets reads O(those buckets), not the whole
+    * store. Pruning only SHRINKS the scan; the caller still applies
+    * its full predicate. */
+  def prunedSnapshot(spark: SparkSession, storeDir: String,
+      buckets: Set[Long]): DataFrame =
+    snapshotPruned(spark, storeDir, None, Some(buckets))
 
   // ------------------------------------------------------------------
   // SQL front door hooks — the store behind spark.read.format("graft")
@@ -1423,6 +1469,7 @@ object MergeSink {
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     Files.createDirectories(Paths.get(storeDir))
     requireNBuckets(storeDir, nBuckets)
+    requireKeyName(storeDir, key)
     if (alreadyApplied(storeDir, batchId)) return
     val spark = batch.sparkSession
     val latest = readLong(latestPath(storeDir))
@@ -1473,8 +1520,8 @@ object MergeSink {
         s"MergeSink: $storeDir is not a bucketed store — only bucketed " +
           "stores accept SQL writes")).toInt
     val schema = snapshotSchemaAt(storeDir, None)
-    val keyName = schema.fields.head.name
-    val valueCols = schema.fields.tail.map(_.name).toSeq
+    val keyName = storedKeyName(storeDir).getOrElse(schema.fields.head.name)
+    val valueCols = schema.fields.map(_.name).filterNot(_ == keyName).toSeq
     val missing = (keyName +: valueCols).filterNot(data.columns.contains)
     require(missing.isEmpty,
       s"MergeSink: INSERT into $storeDir is missing column(s) " +
@@ -1510,7 +1557,7 @@ object MergeSink {
     * evaluates against the head snapshot; only (key) columns shuffle.
     * No-op (no commit) when nothing matches. */
   private[graft] def sqlDelete(storeDir: String,
-      predicates: Seq[Column]): Unit = {
+      predicates: Seq[Column], buckets: Option[Set[Long]] = None): Unit = {
     val spark = SparkSession.active
     val nB = storedNBuckets(storeDir).getOrElse(
       throw new IllegalStateException(
@@ -1530,12 +1577,15 @@ object MergeSink {
       val pin = if (readV >= 0) Some(readV) else None // empty store: the
       // unpinned read throws the store's own "nothing to read" error
       val schema = snapshotSchemaAt(storeDir, pin)
-      val keyName = schema.fields.head.name
+      val keyName = storedKeyName(storeDir).getOrElse(schema.fields.head.name)
+      // key-literal predicates prune the victim scan to the owning
+      // buckets (derived by the caller via the scan builder's own
+      // mapping); the full predicate still applies on top
       val victims = predicates
-        .foldLeft(snapshotPruned(spark, storeDir, pin, None))(_ filter _)
+        .foldLeft(snapshotPruned(spark, storeDir, pin, buckets))(_ filter _)
         .select(col(keyName))
       if (victims.limit(1).collect().isEmpty) return // nothing matches
-      val valueFields = schema.fields.tail.toSeq
+      val valueFields = schema.fields.filterNot(_.name == keyName).toSeq
       val batch = victims.select(col(keyName) +: lit("delete").as("_op") +:
         lit(0L).as("_ver") +:
         valueFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
@@ -1765,6 +1815,7 @@ object MergeSink {
       s"writer must be a plain name (got '$writer')")
     Files.createDirectories(Paths.get(storeDir))
     requireNBuckets(storeDir, nBuckets)
+    requireKeyName(storeDir, key)
     // replayGuard=false: one-shot callers with no replay lineage (the
     // SQL INSERT path) — no checkpoint redelivers them, and a monotone-
     // batchId assumption would make two ad-hoc INSERTs silently no-op
@@ -1953,6 +2004,49 @@ object MergeSink {
         writeLongAtomic(occLastBatchPath(storeDir, writer), batchId)
       pruneCommitMarkers(storeDir)
     }
+
+  /** CREATE TABLE's store bootstrap: commit an EMPTY v0 (empty
+    * manifest + recorded schema/key/nBuckets) through the NORMAL claim
+    * protocol, so a SQL-only user can `CREATE TABLE … USING graft`
+    * (and CTAS) without ever touching the Scala API — the one
+    * previously-missing step in the store's SQL lifecycle. The key
+    * must be the schema's FIRST column (the snapshot convention every
+    * reader shares); two racing creators serialize on the v0 claim
+    * like any other commit. */
+  def createEmptyStore(storeDir: String, schema: StructType, key: String,
+      nBuckets: Int): Unit = {
+    require(schema.fields.nonEmpty, "createEmptyStore needs a schema")
+    require(schema.fieldNames.contains(key),
+      s"MergeSink: key column '$key' is not in the schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    require(schema.fields.head.name == key,
+      s"MergeSink: declare the key column '$key' FIRST — a store's " +
+        "snapshot schema leads with its key")
+    require(schema.fields.length >= 2,
+      s"MergeSink: a store needs at least one value column besides '$key'")
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    if (readLong(latestPath(storeDir)).isDefined)
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir is already a committed store — CREATE " +
+          "TABLE adopts it instead")
+    Files.createDirectories(Paths.get(storeDir))
+    requireNBuckets(storeDir, nBuckets)
+    requireKeyName(storeDir, key)
+    val claim = claimCommit(storeDir, 0L, -1L, -1L)
+    writeManifest(storeDir, 0L, Map.empty)
+    writeSchema(storeDir, 0L, schema)
+    verifyClaim(claim)
+    writeLongAtomic(latestPath(storeDir), 0L)
+    pruneCommitMarkers(storeDir)
+  }
+
+  /** True iff `storeDir` is a created-but-never-written store (head is
+    * the empty v0 bootstrap commit) — the only state CREATE TABLE's
+    * failure cleanup (CTAS write failed after create) may drop. */
+  def isEmptyCreatedStore(storeDir: String): Boolean =
+    readLong(latestPath(storeDir)).contains(0L) &&
+      Files.exists(manifestsDir(storeDir).resolve("0")) &&
+      readManifest(storeDir, 0L).isEmpty
 
   /** SCHEMA EVOLUTION — ADD COLUMNS as a METADATA-ONLY maintenance
     * commit (a table format's `ALTER TABLE ... ADD COLUMNS`; the

@@ -77,6 +77,16 @@ object GraftDml {
                 condition.map(Filter(_, r)).getOrElse(r), assignments)
             }
             .getOrElse(u)
+        case d @ DeleteFromTable(rel, condition) if d.resolved =>
+          // ANY predicate deletes — subqueries and UDFs included: the
+          // DSv2 SupportsDelete door only admits translatable filters
+          // (canDeleteWhere), so conditions beyond it rewrite here the
+          // same way UPDATE does, committing one delete-CDC batch
+          graftRelation(rel)
+            .map { case (r, t) =>
+              GraftDeleteCommand(t.storeDir, r.output, Filter(condition, r))
+            }
+            .getOrElse(d)
         case m: MergeIntoTable if m.resolved =>
           graftRelation(m.targetTable)
             .map { case (r, t) =>
@@ -137,12 +147,91 @@ object GraftDml {
     }
   }
 
+  /** The store's key column for a DML rewrite: the REGISTRY's recorded
+    * name (the writers' routing column), first-field convention only
+    * for pre-registry stores; a recorded key absent from the relation
+    * is refused loudly rather than guessed around. */
+  private def keyNameOf(dir: String, cols: Seq[String]): String = {
+    val k = MergeSink.storedKeyName(dir).getOrElse(cols.head)
+    require(cols.contains(k),
+      s"graft: store $dir records key column '$k' but the relation has " +
+        s"only ${cols.mkString(", ")} — the registry and the schema " +
+        "disagree; refusing DML")
+    k
+  }
+
   /** One fresh 63-bit identity per ad-hoc statement — see
     * [[MergeSink.applyBucketedBatchOcc]]'s replayGuard notes: with no
     * replay lineage, a SHARED batchId would make two concurrent
     * statements look like each other's crash replay. */
   private def statementId(): Long =
     java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
+
+  // ---- DML bucket pruning --------------------------------------------
+  // A DML statement whose key evidence names the touched buckets must
+  // not scan the whole store: a 10-row MERGE against a 100 TB target
+  // rewrites O(touched buckets) — the read should cost the same. The
+  // evidence is either literal key predicates (UPDATE/DELETE WHERE
+  // k = …/k IN …) or a key-equality merge conjunct whose source side
+  // hashes to a bounded bucket set (≤ nBuckets values, one map-side-
+  // combined distinct over the source). Pruning only ever SHRINKS the
+  // scan — the full condition still applies on top — so no evidence
+  // simply means the former full-snapshot read.
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The writers' own routing hash for one INTERNAL-typed literal. */
+  private def bucketOfLiteral(value: Any,
+      dt: org.apache.spark.sql.types.DataType, nBuckets: Long): Long = {
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(value, dt)))
+      .eval(null).asInstanceOf[Long]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  /** Buckets pinned by LITERAL key predicates among `cond`'s conjuncts
+    * (the DML twin of the scan builder's pruning walk). Conservative:
+    * any shape beyond a foldable `k = v` / `k IN (…)` on the bare key
+    * attribute yields no evidence, never a wrong bucket. */
+  private def literalKeyBuckets(cond: Expression, keyAttr: Attribute,
+      nBuckets: Long): Option[Set[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, In}
+    def ofExprs(es: Seq[Expression]): Option[Set[Long]] =
+      if (!es.forall(e => e.foldable && e.dataType == keyAttr.dataType)) None
+      else {
+        val vals = es.map(_.eval(null)).filter(_ != null)
+        if (vals.isEmpty) None // = NULL matches nothing; stay conservative
+        else Some(vals.map(bucketOfLiteral(_, keyAttr.dataType, nBuckets)).toSet)
+      }
+    val sets = conjuncts(cond).flatMap {
+      case EqualTo(a: Attribute, v) if a.exprId == keyAttr.exprId =>
+        ofExprs(Seq(v))
+      case EqualTo(v, a: Attribute) if a.exprId == keyAttr.exprId =>
+        ofExprs(Seq(v))
+      case In(a: Attribute, vs) if a.exprId == keyAttr.exprId => ofExprs(vs)
+      case _ => None
+    }
+    sets.reduceOption(_ intersect _)
+  }
+
+  /** The target relation replaced by its BUCKET-PRUNED snapshot read,
+    * with `rel`'s output exprIds preserved (aliasing each pruned column
+    * back to the original attribute id), so every analyzed condition /
+    * assignment expression keeps resolving unchanged. */
+  private def prunedRelPlan(spark: org.apache.spark.sql.classic.SparkSession,
+      dir: String, rel: DataSourceV2Relation,
+      buckets: Set[Long]): LogicalPlan = {
+    val pruned = MergeSink.prunedSnapshot(spark, dir, buckets)
+      .asInstanceOf[Dataset[Row]].queryExecution.analyzed
+    val byName = pruned.output.map(a => a.name -> a).toMap
+    Project(rel.output.map(a =>
+      org.apache.spark.sql.catalyst.expressions.Alias(
+        byName(a.name), a.name)(exprId = a.exprId)), pruned)
+  }
 
   case class GraftUpdateCommand(dir: String,
       relOutput: Seq[Attribute], matchedPlan: LogicalPlan,
@@ -152,7 +241,7 @@ object GraftDml {
       Seq(matchedPlan)
     override def run(sparkApi: SparkSession): Seq[Row] = {
       val spark = sparkApi.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      val keyName = relOutput.head.name
+      val keyName = GraftDml.keyNameOf(dir, relOutput.map(_.name))
       val byName = assignments
         .map(a => assignName(a.key) -> a.value).toMap
       require(!byName.contains(keyName),
@@ -160,17 +249,61 @@ object GraftDml {
           "keyed store's row identity is immutable; DELETE + INSERT " +
           "expresses a re-key explicitly")
       val attrOf = relOutput.map(a => a.name -> a).toMap
-      def updated() = Dataset.ofRows(spark, matchedPlan).select(
+      val valueAttrs = relOutput.filterNot(_.name == keyName)
+      // literal key predicates prune the matched-row scan to the owning
+      // buckets — the condition still applies in full on top
+      def sourcePlan(): LogicalPlan = matchedPlan match {
+        case f @ Filter(c, r: DataSourceV2Relation) =>
+          MergeSink.storedNBuckets(dir)
+            .flatMap(nb => literalKeyBuckets(c, attrOf(keyName), nb))
+            .map(bs => Filter(c, prunedRelPlan(spark, dir, r, bs)): LogicalPlan)
+            .getOrElse(f)
+        case other => other
+      }
+      def updated() = Dataset.ofRows(spark, sourcePlan()).select(
         Bridge.column(attrOf(keyName)).as(keyName) +:
           lit("upsert").as("_op") +: lit(0L).as("_ver") +:
-          relOutput.tail.map { f =>
+          valueAttrs.map { f =>
             byName.get(f.name)
               .map(e => Bridge.column(e).cast(f.dataType))
               .getOrElse(Bridge.column(attrOf(f.name)))
               .as(f.name)
           }: _*)
       commitCdc(spark, dir, () => updated(), keyName,
-        relOutput.tail.map(_.name), "UPDATE")
+        valueAttrs.map(_.name), "UPDATE")
+      Seq.empty
+    }
+  }
+
+  /** `DELETE FROM … WHERE <any condition>` — a HEAD delete (one CDC
+    * retraction commit; history keeps the rows), with the same
+    * statement-level OCC, literal-key bucket pruning and key-registry
+    * handling as UPDATE. Subsumes the DSv2 `SupportsDelete` path in
+    * extension sessions; that door remains for translatable filters
+    * without the extensions. */
+  case class GraftDeleteCommand(dir: String, relOutput: Seq[Attribute],
+      matchedPlan: LogicalPlan) extends LeafRunnableCommand {
+    override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+      Seq(matchedPlan)
+    override def run(sparkApi: SparkSession): Seq[Row] = {
+      val spark = sparkApi.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val keyName = GraftDml.keyNameOf(dir, relOutput.map(_.name))
+      val attrOf = relOutput.map(a => a.name -> a).toMap
+      val valueAttrs = relOutput.filterNot(_.name == keyName)
+      def sourcePlan(): LogicalPlan = matchedPlan match {
+        case f @ Filter(c, r: DataSourceV2Relation) =>
+          MergeSink.storedNBuckets(dir)
+            .flatMap(nb => literalKeyBuckets(c, attrOf(keyName), nb))
+            .map(bs => Filter(c, prunedRelPlan(spark, dir, r, bs)): LogicalPlan)
+            .getOrElse(f)
+        case other => other
+      }
+      def victims() = Dataset.ofRows(spark, sourcePlan()).select(
+        Bridge.column(attrOf(keyName)).as(keyName) +:
+          lit("delete").as("_op") +: lit(0L).as("_ver") +:
+          valueAttrs.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      commitCdc(spark, dir, () => victims(), keyName,
+        valueAttrs.map(_.name), "DELETE")
       Seq.empty
     }
   }
@@ -264,9 +397,11 @@ object GraftDml {
 
     override def run(sparkApi: SparkSession): Seq[Row] = {
       val spark = sparkApi.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      val fields = rel.schema.fields.toSeq
-      val keyName = fields.head.name
-      val valueNames = fields.tail.map(_.name)
+      val allFields = rel.schema.fields.toSeq
+      val keyName = GraftDml.keyNameOf(dir, allFields.map(_.name))
+      val keyField = allFields.find(_.name == keyName).get
+      val valueFields = allFields.filterNot(_.name == keyName)
+      val valueNames = valueFields.map(_.name)
       val attrOf = rel.output.map(a => a.name -> a).toMap
       val keyCol = Bridge.column(attrOf(keyName))
       val condCol = Bridge.column(cond)
@@ -275,35 +410,70 @@ object GraftDml {
         df.select(key.as(keyName) +: op.as("_op") +: lit(0L).as("_ver") +:
           values.zip(valueNames).map { case (c, n) => c.as(n) }: _*)
           .filter(new Column("_op").isNotNull)
+      // source-side key expression from a top-level `t.key = <src>`
+      // merge conjunct: the evidence that bounds the touched buckets
+      val srcKeyExpr: Option[Expression] = {
+        import org.apache.spark.sql.catalyst.expressions.EqualTo
+        val srcOut = org.apache.spark.sql.catalyst.expressions
+          .AttributeSet(source.output)
+        val keyAttr = attrOf(keyName)
+        conjuncts(cond).collectFirst {
+          case EqualTo(a: Attribute, e)
+              if a.exprId == keyAttr.exprId && e.references.subsetOf(srcOut) => e
+          case EqualTo(e, a: Attribute)
+              if a.exprId == keyAttr.exprId && e.references.subsetOf(srcOut) => e
+        }
+      }
       // the whole CDC batch is a CLOSURE: commitCdc re-derives it from
       // a fresh head read when its declared read point goes stale
       def deriveCdc(): org.apache.spark.sql.DataFrame = {
-        val target = Dataset.ofRows(spark, rel)
         val src = Dataset.ofRows(spark, source)
+        // the buckets this MERGE can touch on the equi-matched arms:
+        // hash the source's key expression with the writers' own
+        // routing (one map-side-combined distinct, ≤ nBuckets values),
+        // so a small-source MERGE reads O(owning buckets) of the
+        // target, not the whole store
+        val touched: Option[Set[Long]] = for {
+          nB <- MergeSink.storedNBuckets(dir)
+          ke <- srcKeyExpr
+        } yield src.select(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(Bridge.column(ke)),
+            lit(nB)).as("_b"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        // matched/not-matched arms only ever see target rows whose key
+        // equals some source key — the pruned read is exact for them;
+        // the BY SOURCE arm classifies every target row and keeps the
+        // full snapshot
+        val prunedTarget = touched match {
+          case Some(bs) =>
+            Dataset.ofRows(spark, prunedRelPlan(spark, dir, rel, bs))
+          case None => Dataset.ofRows(spark, rel)
+        }
+        def fullTarget = Dataset.ofRows(spark, rel)
         // matched arm: inner join; the multiple-source-rows check is the
         // commit-level duplicate-key refusal in commitCdc
         val matchedCdc =
           if (matchedActions.isEmpty) None
           else {
-            val pairs = target.join(src, condCol, "inner")
-            val (op, values) = armColumns(matchedActions, fields.tail,
+            val pairs = prunedTarget.join(src, condCol, "inner")
+            val (op, values) = armColumns(matchedActions, valueFields,
               n => Bridge.column(attrOf(n)))
             Some(cdcSelect(pairs, guardedKey(matchedActions, keyName,
-              fields.head.dataType, keyCol), op, values))
+              keyField.dataType, keyCol), op, values))
           }
         // not-matched arm (inserts): source rows with no target match;
         // the key comes from the insert assignments
         val notMatchedCdc =
           if (notMatchedActions.isEmpty) None
           else {
-            val lone = src.join(target, condCol, "left_anti")
+            val lone = src.join(prunedTarget, condCol, "left_anti")
             val keyFromInsert = notMatchedActions.foldRight(
-              lit(null).cast(fields.head.dataType)) { (a, els) =>
+              lit(null).cast(keyField.dataType)) { (a, els) =>
               a match {
                 case i: InsertAction =>
                   val am = i.assignments.map(x => assignName(x.key) -> x.value).toMap
                   val v = am.get(keyName).map(e =>
-                    Bridge.column(e).cast(fields.head.dataType)).getOrElse(
+                    Bridge.column(e).cast(keyField.dataType)).getOrElse(
                     throw new UnsupportedOperationException(
                       s"graft: MERGE INSERT must assign the key column '$keyName'"))
                   when(i.condition.map(Bridge.column).getOrElse(lit(true)), v)
@@ -312,7 +482,7 @@ object GraftDml {
                   s"graft: only INSERT actions are valid WHEN NOT MATCHED (got $other)")
               }
             }
-            val (op, values) = armColumns(notMatchedActions, fields.tail,
+            val (op, values) = armColumns(notMatchedActions, valueFields,
               _ => lit(null))
             Some(cdcSelect(lone, keyFromInsert, op, values))
           }
@@ -320,11 +490,11 @@ object GraftDml {
         val nmbsCdc =
           if (notMatchedBySourceActions.isEmpty) None
           else {
-            val lone = target.join(src, condCol, "left_anti")
-            val (op, values) = armColumns(notMatchedBySourceActions, fields.tail,
+            val lone = fullTarget.join(src, condCol, "left_anti")
+            val (op, values) = armColumns(notMatchedBySourceActions, valueFields,
               n => Bridge.column(attrOf(n)))
             Some(cdcSelect(lone, guardedKey(notMatchedBySourceActions, keyName,
-              fields.head.dataType, keyCol), op, values))
+              keyField.dataType, keyCol), op, values))
           }
         Seq(matchedCdc, notMatchedCdc, nmbsCdc).flatten.reduce(_ unionByName _)
       }

@@ -205,6 +205,81 @@ class GraftDmlSpec extends SparkTestBase {
     } finally s.sql("DROP TABLE IF EXISTS dml_c")
   }
 
+  test("DML reads are bucket-pruned — physically proven by deleting an un-owning version dir") {
+    val dir = Files.createTempDirectory("graft_dml_prune").toString
+    val store = s"$dir/store"
+    val sess = s
+    import sess.implicits._
+    def bucketOf(k: Long): Long = s.range(1)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit(k)),
+        org.apache.spark.sql.functions.lit(4L))).head().getLong(0)
+    val kA = 1L
+    val kB = (2L to 99L).find(k => bucketOf(k) != bucketOf(kA)).get
+    // two commits → the manifest references TWO version dirs, one per key
+    MergeSink.applyBucketedBatch(
+      Seq((kA, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((kB, "upsert", 1L, "b", 20L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    // poison kA's bucket: delete v0's data dir — ANY read that touches
+    // it now fails loudly, so a DML that succeeds provably never read it
+    val v0 = java.nio.file.Paths.get(store, "v0")
+    Files.walk(v0).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    s.sql("DROP TABLE IF EXISTS dml_p")
+    s.sql(s"CREATE TABLE dml_p USING graft LOCATION '$store'")
+    try {
+      intercept[Exception] { s.sql("SELECT * FROM dml_p").collect() }
+      def readB() = s.sql(s"SELECT name, v FROM dml_p WHERE k = $kB").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // UPDATE with a literal key predicate: prunes to kB's bucket
+      s.sql(s"UPDATE dml_p SET v = v + 1 WHERE k = $kB")
+      assert(readB() == Set(("b", 21L)))
+      // MERGE keyed on an equi conjunct: the source's keys bound the scan
+      Seq((kB, "B!", 99L)).toDF("k", "name", "v")
+        .createOrReplaceTempView("dml_p_src")
+      s.sql("""MERGE INTO dml_p t USING dml_p_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, name, v) VALUES (s.k, s.name, s.v)
+        |""".stripMargin)
+      assert(readB() == Set(("B!", 99L)))
+      // DELETE with a literal key predicate
+      s.sql(s"DELETE FROM dml_p WHERE k = $kB")
+      assert(readB().isEmpty)
+    } finally s.sql("DROP TABLE IF EXISTS dml_p")
+  }
+
+  test("DELETE accepts ANY condition in an extensions session — subqueries included") {
+    val dir = Files.createTempDirectory("graft_dml_del").toString
+    val store = mkStore(dir)
+    val sess = s
+    import sess.implicits._
+    Seq(1L, 3L).toDF("sel").createOrReplaceTempView("dml_del_sel")
+    s.sql("DROP TABLE IF EXISTS dml_d")
+    s.sql(s"CREATE TABLE dml_d USING graft LOCATION '$store'")
+    try {
+      val head0 = MergeSink.latestVersion(store).get
+      // a subquery condition fails canDeleteWhere — the rewrite handles it
+      s.sql("DELETE FROM dml_d WHERE k IN (SELECT sel FROM dml_del_sel)")
+      assert(rows("dml_d") == Set((2L, "b", 20L)))
+      assert(MergeSink.latestVersion(store).contains(head0 + 1),
+        "one CDC commit")
+      // history keeps the rows (HEAD delete, not erasure)
+      assert(MergeSink.bucketedSnapshotAt(s, store, head0).count() == 3)
+      // a correlated-aggregate condition too
+      s.sql("INSERT INTO dml_d VALUES (7, 'z', 700)")
+      s.sql("DELETE FROM dml_d WHERE v > (SELECT avg(v) FROM dml_d)")
+      assert(rows("dml_d") == Set((2L, "b", 20L)))
+      // no matches -> no commit
+      val h = MergeSink.latestVersion(store).get
+      s.sql("DELETE FROM dml_d WHERE k > 999")
+      assert(MergeSink.latestVersion(store).contains(h))
+    } finally s.sql("DROP TABLE IF EXISTS dml_d")
+  }
+
   test("MERGE with only a matched UPDATE arm leaves unmatched rows untouched") {
     val dir = Files.createTempDirectory("graft_dml_merge2").toString
     val store = mkStore(dir)

@@ -309,6 +309,53 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("GraftCatalog: CREATE TABLE creates a store (empty v0); CTAS creates and fills; round-trips") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_catalog_create").toString
+    spark.conf.set("spark.sql.catalog.gc2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc2.warehouse", dir)
+    try {
+      // CREATE TABLE with a column list: an empty v0 through the
+      // normal claim protocol, key/nBuckets as table properties
+      spark.sql("""CREATE TABLE gc2.fresh (k BIGINT, name STRING, v BIGINT)
+        |TBLPROPERTIES (key = 'k', nBuckets = '8')""".stripMargin)
+      val store = s"$dir/fresh"
+      assert(MergeSink.latestVersion(store).contains(0L), "empty v0 committed")
+      assert(MergeSink.storedNBuckets(store).contains(8L))
+      assert(MergeSink.storedKeyName(store).contains("k"))
+      assert(spark.sql("SELECT * FROM gc2.fresh").count() == 0,
+        "a created store reads as an empty, typed table")
+      // the SQL lifecycle continues without any Scala API
+      spark.sql("INSERT INTO gc2.fresh VALUES (1, 'a', 10), (2, 'b', 20)")
+      assert(rows(spark.sql("SELECT * FROM gc2.fresh")) ==
+        Set((1L, "a", 10L), (2L, "b", 20L)))
+      spark.sql("DELETE FROM gc2.fresh WHERE k = 2")
+      assert(rows(spark.sql("SELECT * FROM gc2.fresh")) == Set((1L, "a", 10L)))
+      assert(rows(spark.sql("SELECT * FROM gc2.fresh VERSION AS OF 1")) ==
+        Set((1L, "a", 10L), (2L, "b", 20L)), "history starts at the INSERT")
+      // CTAS: create + the V1Write INSERT path, one statement
+      spark.sql("""CREATE TABLE gc2.ctas TBLPROPERTIES (nBuckets = '4')
+        |AS SELECT k, name, v * 10 AS v10 FROM gc2.fresh""".stripMargin)
+      assert(spark.sql("SELECT k, name, v10 FROM gc2.ctas").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+        Set((1L, "a", 100L)))
+      assert(MergeSink.storedKeyName(s"$dir/ctas").contains("k"),
+        "CTAS keys by the first column")
+      // a data-bearing store still refuses DROP; double-create refused
+      intercept[Exception] { spark.sql("DROP TABLE gc2.fresh") }
+      intercept[Exception] {
+        spark.sql("CREATE TABLE gc2.fresh2 (k BIGINT) USING graft") }
+      // key must lead the schema — loud, not silent mis-keying
+      val e = intercept[Exception] {
+        spark.sql("""CREATE TABLE gc2.bad (a BIGINT, k BIGINT)
+          |TBLPROPERTIES (key = 'k')""".stripMargin) }
+      assert(e.getMessage.contains("FIRST"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gc2")
+      spark.conf.unset("spark.sql.catalog.gc2.warehouse")
+    }
+  }
+
   test("writeStream.format(\"graft\"): the MERGE sink as a named streaming sink, exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

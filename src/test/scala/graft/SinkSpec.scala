@@ -1885,6 +1885,36 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 2)
   }
 
+  test("ST10 registry: the key column name is recorded; a mismatched writer is refused; legacy stores fall back") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_keyreg").toString
+    val store = s"$dir/store"
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    assert(MergeSink.storedKeyName(store).contains("k"),
+      "the first batch records the key name in the registry")
+    // a writer declaring a different key would route every row to the
+    // wrong bucket — refused loudly, like a mismatched _nbuckets
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.applyBucketedBatch(
+        Seq((11L, "upsert", 1L, "x", 1L)).toDF("v", "op", "ver", "name", "k"),
+        1L, store, "v", "op", "ver", Seq("name", "k"), nBuckets = 4)
+    }
+    assert(e.getMessage.contains("keyed by column 'k'"))
+    // legacy stores (no _key file): first-field convention still works,
+    // including the pruned read path
+    Files.delete(java.nio.file.Paths.get(store, "_key"))
+    assert(MergeSink.storedKeyName(store).isEmpty)
+    val snap = spark.read.format("graft").load(store).filter(col("k") === 1L)
+    assert(snap.select("name").head().getString(0) == "a")
+    // and the next write re-records it
+    MergeSink.applyBucketedBatch(
+      Seq((2L, "upsert", 1L, "b", 20L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    assert(MergeSink.storedKeyName(store).contains("k"))
+  }
+
   test("ST10 maintain: a within-policy pass is a REAL no-op — default retention must not reclaim history") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_maintain_noop").toString
