@@ -1,8 +1,10 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
 import scala.jdk.CollectionConverters._
+
+// the store's path layer: local java.nio semantics for plain paths,
+// org.apache.hadoop.fs for scheme'd warehouses (hdfs://, s3a://, …)
+import graft.store.{StoreFiles => Files, StorePaths => Paths}
 
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
@@ -51,7 +53,7 @@ class GraftCatalog extends TableCatalog {
     val w = options.get("warehouse")
     require(w != null && w.nonEmpty,
       s"graft: catalog '$name' needs spark.sql.catalog.$name.warehouse")
-    warehouse = GraftDataSource.localPath(w)
+    warehouse = GraftDataSource.storePath(w)
   }
 
   override def name(): String = catalogName
@@ -68,6 +70,11 @@ class GraftCatalog extends TableCatalog {
         "identifiers name directories under the warehouse")
     (warehouse +: parts).mkString("/")
   }
+
+  /** The store directory an identifier names — the SQL maintenance
+    * verbs' resolution hook (org.apache.spark.sql.graft
+    * .GraftMaintenanceSql lives outside this package tree). */
+  def storeDirOf(ident: Identifier): String = dirOf(ident)
 
   private def isStore(dir: String): Boolean =
     Files.exists(Paths.get(dir, "_latest"))
@@ -162,10 +169,7 @@ class GraftCatalog extends TableCatalog {
     // drops the created table when the backing write fails); anything
     // ever written stays refused
     if (isStore(dir) && MergeSink.isEmptyCreatedStore(dir)) {
-      val s0 = Files.walk(Paths.get(dir))
-      try s0.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally s0.close()
+      Files.deleteTree(Paths.get(dir))
       true
     } else throw new UnsupportedOperationException(
       "graft: DROP TABLE is refused once a store holds data — its " +

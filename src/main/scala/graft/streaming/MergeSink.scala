@@ -1,9 +1,21 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, StandardCopyOption, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
+
+// The store's PATH LAYER (graft.store.StoreIO): StoreFiles/StorePath/
+// StorePaths mirror the java.nio.file subset this protocol uses, so the
+// protocol below reads exactly as written — but every call dispatches
+// per path: local paths keep byte-identical java.nio semantics (O_EXCL
+// claim create, rename(2) pointer swap), scheme'd paths (hdfs://,
+// s3a://, …) route through org.apache.hadoop.fs.FileSystem with the
+// documented CAS analogues. Missing files still surface as
+// java.nio.file.NoSuchFileException and occupied claims as
+// FileAlreadyExistsException from both backends, so every catch site
+// below is backend-blind.
+import graft.store.{StoreFiles => Files, StorePath => Path, StorePaths => Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, pmod, when, xxhash64}
@@ -786,7 +798,7 @@ object MergeSink {
 
   /** The snapshot schema at `version` (head when None) — what the
     * table reports to the catalog. Key column = first field. */
-  private[graft] def snapshotSchemaAt(storeDir: String,
+  def snapshotSchemaAt(storeDir: String,
       version: Option[Long]): StructType = {
     val latest = headVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(
@@ -834,7 +846,7 @@ object MergeSink {
     * same clock [[vacuumBucketedStore]]'s retainMillis window reads.
     * Bounded by retention like every historical read: a timestamp
     * before the oldest RETAINED commit refuses loudly. */
-  private[graft] def versionAtTimestamp(storeDir: String, millis: Long): Long = {
+  def versionAtTimestamp(storeDir: String, millis: Long): Long = {
     val latest = headVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"MergeSink: $storeDir has no committed version to time-travel to"))
@@ -2337,7 +2349,7 @@ object MergeSink {
       writeLongAtomic(cd.resolve("_horizon"), horizon)
     }
     dead.foreach { v =>
-      def rm(path: java.nio.file.Path): Unit = {
+      def rm(path: Path): Unit = {
         if (Files.isDirectory(path)) {
           val s = Files.list(path)
           try s.iterator().asScala.toList.foreach(rm) finally s.close()
