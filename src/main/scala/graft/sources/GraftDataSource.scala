@@ -83,7 +83,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val dir = GraftDataSource.localPath(
+    val dir = GraftDataSource.storePath(
       params.getOrElse("path", throw new IllegalArgumentException(
         "graft: a store path is required — writeStream.format(\"graft\")" +
           ".start(<storeDir>)")))
@@ -151,7 +151,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def createRelation(sqlContext: SQLContext,
       mode: org.apache.spark.sql.SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
-    val dir = GraftDataSource.localPath(
+    val dir = GraftDataSource.storePath(
       parameters.map { case (k, v) => k.toLowerCase -> v }
         .getOrElse("path", throw new IllegalArgumentException(
           "graft: a store path is required")))
@@ -176,7 +176,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     require(p != null && p.nonEmpty,
       "graft: a store path is required — spark.read.format(\"graft\")" +
         ".load(<storeDir>) or CREATE TABLE ... USING graft LOCATION <storeDir>")
-    GraftDataSource.localPath(p)
+    GraftDataSource.storePath(p)
   }
 
   /** Resolve the AS-OF read options: `versionAsOf` (a store version) or
@@ -234,7 +234,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val dir = GraftDataSource.localPath(
+    val dir = GraftDataSource.storePath(
       params.getOrElse("path", throw new IllegalArgumentException(
         "graft: a store path is required — spark.readStream.format(\"graft\")" +
           ".load(<storeDir>)")))
@@ -245,7 +245,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val dir = GraftDataSource.localPath(
+    val dir = GraftDataSource.storePath(
       params.getOrElse("path", throw new IllegalArgumentException(
         "graft: a store path is required")))
     val maxVersions = params.get("maxversionspertrigger")
@@ -270,18 +270,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     // head at restart time — recomputing would leave the committed-to-
     // head gap undelivered until (unless!) a new commit arrives, since
     // getOffset would report nothing available below the new floor.
-    // metadataPath arrives as a Hadoop-style URI (file:/…): normalize,
-    // or Paths.get would create a literal "file:" directory in the CWD
-    val metaDir = GraftDataSource.localPath(metadataPath)
-    val startFile = java.nio.file.Paths.get(metaDir, "graft_start")
+    // metadataPath arrives as a Hadoop-style URI (file:/…): normalize
+    // local ones (a literal "file:" directory in the CWD otherwise);
+    // remote checkpoints pass through to the Hadoop path layer
+    val metaDir = GraftDataSource.storePath(metadataPath)
+    val startFile = graft.store.StorePaths.get(metaDir, "graft_start")
     val starting =
-      if (java.nio.file.Files.exists(startFile))
-        new String(java.nio.file.Files.readAllBytes(startFile), "UTF-8")
+      if (graft.store.StoreFiles.exists(startFile))
+        new String(graft.store.StoreFiles.readAllBytes(startFile), "UTF-8")
           .trim.toLong
       else {
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(metaDir))
-        java.nio.file.Files.write(startFile,
+        graft.store.StoreFiles.createDirectories(
+          graft.store.StorePaths.get(metaDir))
+        graft.store.StoreFiles.write(startFile,
           requested.toString.getBytes("UTF-8"))
         requested
       }
@@ -291,13 +292,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 }
 
 object GraftDataSource {
-  /** The catalog qualifies LOCATION into a URI (`file:/tmp/x`); the
-    * store layer speaks plain local paths (java.nio) — strip the
-    * file scheme, refuse remote schemes loudly. */
-  private[sources] def localPath(p: String): String =
+  /** Normalize a store LOCATION for the path layer: the catalog
+    * qualifies local paths into `file:` URIs — strip those back to
+    * plain local paths (the store's local backend speaks java.nio, and
+    * artifacts must not grow literal `file:` dirs); any OTHER scheme
+    * (`hdfs://`, `s3a://`, a custom `fs.<scheme>.impl` binding) passes
+    * through verbatim and routes through the Hadoop path layer
+    * ([[graft.store.StoreFiles]]). */
+  def storePath(p: String): String =
     if (p.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(p)).toString
-    else if (p.contains("://")) throw new IllegalArgumentException(
-      s"graft: only local filesystem stores are supported (got '$p')")
     else p
 
   /** THE timestampAsOf grammar — one parser for every read path (the
@@ -305,7 +308,7 @@ object GraftDataSource {
     * options), so `spark.read.format("graft")` and
     * `spark.read.table(...)` accept the same strings: epoch millis,
     * an ISO-8601 instant, or `yyyy-MM-dd HH:mm:ss`. */
-  private[sources] def parseTimestampMillis(s: String): Long =
+  def parseTimestampMillis(s: String): Long =
     s.toLongOption.orElse(
       try Some(java.time.Instant.parse(s).toEpochMilli)
       catch { case _: Exception =>
@@ -566,21 +569,21 @@ class GraftChangeFeedSource(spark: SparkSession, dir: String,
   // committed offset — Spark would then re-run already-committed
   // ranges (duplicate delivery) as the pacing re-climbed. Persist is
   // after-hand-out, so a crash in between merely re-hands the same end.
-  private val paceFile = java.nio.file.Paths.get(metadataPath, "graft_pace")
+  private val paceFile = graft.store.StorePaths.get(metadataPath, "graft_pace")
   private var lastEnd: Option[Long] =
-    if (java.nio.file.Files.exists(paceFile))
-      Some(new String(java.nio.file.Files.readAllBytes(paceFile), "UTF-8")
+    if (graft.store.StoreFiles.exists(paceFile))
+      Some(new String(graft.store.StoreFiles.readAllBytes(paceFile), "UTF-8")
         .trim.toLong)
     else None
 
   private def advanceLastEnd(to: Long): Unit =
     if (lastEnd.forall(_ < to)) {
       lastEnd = Some(to)
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(metadataPath))
+      graft.store.StoreFiles.createDirectories(
+        graft.store.StorePaths.get(metadataPath))
       val tmp = paceFile.resolveSibling(".graft_pace.tmp")
-      java.nio.file.Files.write(tmp, to.toString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, paceFile,
+      graft.store.StoreFiles.write(tmp, to.toString.getBytes("UTF-8"))
+      graft.store.StoreFiles.move(tmp, paceFile,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -606,6 +609,26 @@ class GraftChangeFeedSource(spark: SparkSession, dir: String,
     }
   }
 
+  /** MID-STREAM SCHEMA EVOLUTION GRACE: a streaming source's schema is
+    * immutable for the life of the query (the engine's own contract —
+    * every downstream operator was planned against it), but the store
+    * underneath may evolve (addColumns) while a subscriber runs. Rather
+    * than failing the query, each delivered range is PROJECTED to the
+    * stream-start schema: columns added after the start are withheld
+    * (their `_old`/`_new` pairs appear on the next restart, which
+    * re-resolves the widened shape), and ranges read from BEFORE a
+    * column existed null-fill it — exactly how time travel types those
+    * versions. Nothing is lost: the feed is a range diff, so a restart
+    * re-delivers nothing, and the widened columns' values are in the
+    * store for any later read. */
+  private def alignToSource(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val to = offsetValue(end)
     advanceLastEnd(to)
@@ -615,7 +638,7 @@ class GraftChangeFeedSource(spark: SparkSession, dir: String,
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)
       else if (from < 0) MergeSink.insertShaped(spark, dir, to)
       else MergeSink.storeChangesBetween(spark, dir, from, to)
-    Bridge.asStreaming(batch)
+    Bridge.asStreaming(alignToSource(batch))
   }
 
   override def stop(): Unit = ()

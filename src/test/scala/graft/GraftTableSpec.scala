@@ -650,4 +650,55 @@ class GraftTableSpec extends SparkTestBase {
       assert(got == Set((2L, "insert")))
     } finally q.stop()
   }
+
+  test("a running feed SURVIVES mid-stream schema evolution (start-schema projection); restart widens") {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_feed_evo").toString
+    val store = s"$dir/store"
+    put(store, 1L, 1L, "a", 0L)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Seq[String], Set[(Long, String)])]()
+    def startFeed() = spark.readStream.format("graft").load(store)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          batches.add((b.columns.toSeq, b.select("k", "change").collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSet)): Unit
+      }.start()
+    val startCols = Seq("k", "change", "name_old", "name_new", "v_old", "v_new")
+    val q1 = startFeed()
+    try {
+      // the store EVOLVES while the subscriber runs...
+      MergeSink.addColumns(store, Seq(StructField("score", LongType)))
+      // ...and a post-evolution commit carries the new column
+      MergeSink.applyBucketedBatch(
+        Seq((2L, "upsert", 2L, "b", 20L, 5L))
+          .toDF("k", "op", "ver", "name", "v", "score"),
+        1L, store, "k", "op", "ver", Seq("name", "v", "score"), nBuckets = 4)
+      // the stream must DELIVER, projected to its start schema — a
+      // streaming source's shape is immutable for the query's life
+      q1.processAllAvailable()
+      val delivered = batches.asScala.toList
+      assert(delivered.nonEmpty, "the post-evolution commit must deliver")
+      assert(delivered.forall(_._1 == startCols),
+        s"mid-stream deliveries keep the start schema: $delivered")
+      assert(delivered.flatMap(_._2).contains((2L, "insert")))
+    } finally q1.stop()
+    // a RESTART re-resolves the schema: the feed now carries the
+    // evolved column's change pairs
+    batches.clear()
+    val q2 = startFeed()
+    try {
+      put(store, 3L, 3L, "c", 2L)
+      q2.processAllAvailable()
+      val delivered = batches.asScala.toList
+      assert(delivered.nonEmpty)
+      assert(delivered.forall(_._1 ==
+        startCols ++ Seq("score_old", "score_new")),
+        s"the restarted feed must serve the widened shape: $delivered")
+      assert(delivered.flatMap(_._2).contains((3L, "insert")))
+    } finally q2.stop()
+  }
 }
