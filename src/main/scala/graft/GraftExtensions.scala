@@ -95,6 +95,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DML verbs over graft stores: UPDATE / MERGE INTO rewrite into
     // CDC commits through the store's OCC protocol (GraftDml scaladoc)
     ext.injectResolutionRule(org.apache.spark.sql.graft.GraftDml.GraftDmlRule)
+    // maintenance verbs (DESCRIBE HISTORY / OPTIMIZE / VACUUM /
+    // RESTORE TABLE): a delegating parser recognizing exactly those
+    // statements — none of which vanilla Spark parses — and handing
+    // everything else through verbatim (GraftMaintenanceSql scaladoc)
+    ext.injectParser((_, delegate) =>
+      new org.apache.spark.sql.graft.GraftSqlParser(delegate))
     ext.injectFunction(two("graft_cosine")(CosineSimExpr(_, _)))
     ext.injectFunction(two("graft_dot")(DotProductExpr(_, _)))
     ext.injectFunction(one("graft_simhash60")(SimHash60Expr(_)))

@@ -1,0 +1,245 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, ShortType, StringType, StructType}
+
+import graft.sources.{GraftCatalog, GraftDataSource}
+import graft.streaming.MergeSink
+
+/** SQL MAINTENANCE VERBS over MERGE stores — the last store-lifecycle
+  * steps that previously needed the Scala API (the reference's declared
+  * query interface is ad-hoc SQL, `/root/reference/ssidentity.c:17-18`;
+  * a store OPERATOR is a SQL user too). Injected as a thin parser
+  * delegate ([[GraftSqlParser]], via `graft.GraftExtensions`) that
+  * recognizes exactly four statements and hands everything else to
+  * Spark's parser verbatim:
+  *
+  * {{{
+  * DESCRIBE HISTORY graft.obs               -- one row per retained commit
+  * OPTIMIZE graft.obs                       -- compact live buckets
+  * OPTIMIZE graft.obs ZORDER BY (ts)        -- compact + cluster
+  * VACUUM graft.obs RETAIN 48 HOURS         -- reclaim dead versions
+  * VACUUM graft.obs RETAIN 10 VERSIONS DRY RUN
+  * RESTORE TABLE graft.obs TO VERSION AS OF 2
+  * RESTORE TABLE graft.obs TO TIMESTAMP AS OF '2026-08-15 12:00:00'
+  * }}}
+  *
+  * The target is either a catalog-qualified identifier whose FIRST part
+  * names a registered [[GraftCatalog]] (`graft.obs`, `graft.ns.obs`) or
+  * a quoted store path (`VACUUM '/data/stores/obs'` — also `hdfs://`/
+  * `s3a://` paths through the store's Hadoop path layer). Each verb is
+  * a driver-side command over store METADATA plus the store's own
+  * maintenance jobs — the same CAS-claimed maintenance commits the
+  * Scala API makes, so SQL-issued maintenance serializes with live
+  * writers exactly like everything else. Each statement returns its
+  * evidence as rows (reclaimed versions, the new commit's version, the
+  * history listing) — maintenance you can audit from the query shell. */
+object GraftMaintenanceSql {
+
+  /** Resolve a statement target to a store directory: a quoted path
+    * verbatim (normalized like every store LOCATION), or a multipart
+    * identifier whose head names a registered GraftCatalog. */
+  private[graft] def resolveDir(spark: SparkSession,
+      target: Either[String, Seq[String]]): String = target match {
+    case Left(path) => GraftDataSource.storePath(path)
+    case Right(parts) =>
+      require(parts.length >= 2,
+        s"graft: a maintenance target needs a catalog-qualified name " +
+          s"(<catalog>.<table>) or a quoted path (got '${parts.mkString(".")}')")
+      val catalog =
+        try spark.sessionState.catalogManager.catalog(parts.head)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"graft: '${parts.head}' is not a registered catalog — " +
+              "maintenance verbs address stores as <graftCatalog>.<table> " +
+              "or by quoted path", e)
+        }
+      catalog match {
+        case g: GraftCatalog =>
+          g.storeDirOf(Identifier.of(parts.tail.init.toArray, parts.last))
+        case other => throw new IllegalArgumentException(
+          s"graft: catalog '${parts.head}' is ${other.getClass.getName}, " +
+            "not a GraftCatalog — maintenance verbs only run on MERGE stores")
+      }
+  }
+
+  /** `DESCRIBE HISTORY` — [[MergeSink.storeHistory]] as a command;
+    * rows are bounded by retained history (driver-side metadata). */
+  case class GraftDescribeHistoryCommand(target: Either[String, Seq[String]])
+      extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("kind", StringType, nullable = false)(),
+      AttributeReference("batch_id", LongType, nullable = true)(),
+      AttributeReference("n_live_buckets", LongType, nullable = false)(),
+      AttributeReference("has_data_dir", BooleanType, nullable = false)(),
+      AttributeReference("is_latest", BooleanType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      MergeSink.storeHistory(spark, resolveDir(spark, target))
+        .collect().toSeq
+  }
+
+  /** `OPTIMIZE [ZORDER BY (…)]` — compaction ([[MergeSink
+    * .compactBucketedStore]]; no-op row when already compact) or a
+    * clustered rewrite ([[MergeSink.optimizeStore]]). ZORDER BY of
+    * exactly two integral columns interleaves bits (the true z-curve,
+    * [[graft.operators.ZOrder.zValue]]); any other column list
+    * clusters lexicographically in the given order. */
+  case class GraftOptimizeCommand(target: Either[String, Seq[String]],
+      zorderBy: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("compacted_version", LongType, nullable = true)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dir = resolveDir(spark, target)
+      val result =
+        if (zorderBy.isEmpty) MergeSink.compactBucketedStore(spark, dir)
+        else {
+          val schema = MergeSink.snapshotSchemaAt(dir, None)
+          val missing = zorderBy.filterNot(schema.fieldNames.contains)
+          require(missing.isEmpty,
+            s"graft: ZORDER BY column(s) ${missing.mkString(", ")} not in " +
+              s"$dir's schema (${schema.fieldNames.mkString(", ")})")
+          def integral(c: String) = schema(c).dataType match {
+            case LongType | IntegerType | ShortType => true
+            case _ => false
+          }
+          val orderCols =
+            if (zorderBy.length == 2 && zorderBy.forall(integral))
+              Seq(graft.operators.ZOrder.zValue(
+                col(zorderBy.head).cast("long"), col(zorderBy(1)).cast("long")))
+            else zorderBy.map(col)
+          MergeSink.optimizeStore(spark, dir, orderCols)
+        }
+      Seq(Row(result.map(java.lang.Long.valueOf).orNull))
+    }
+  }
+
+  /** `VACUUM [RETAIN n VERSIONS] [RETAIN h HOURS] [DRY RUN]` — one row
+    * per reclaimed (or reclaimable, under DRY RUN) version. The
+    * default retains nothing beyond liveness — same contract as the
+    * Scala API; size the windows to the slowest time-travel reader or
+    * feed subscriber. */
+  case class GraftVacuumCommand(target: Either[String, Seq[String]],
+      retainVersions: Int, retainHours: Double, dryRun: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference(if (dryRun) "reclaimable_version" else "reclaimed_version",
+        LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      MergeSink.vacuumBucketedStore(resolveDir(spark, target),
+        retainLast = retainVersions,
+        retainMillis = (retainHours * 3600L * 1000L).toLong,
+        dryRun = dryRun).map(Row(_))
+  }
+
+  /** `RESTORE TABLE … TO VERSION|TIMESTAMP AS OF …` —
+    * [[MergeSink.restoreStore]]: a zero-copy maintenance commit whose
+    * manifest re-references the restore point; returns the new head
+    * version (the rollback is itself history — diff it with the
+    * change feed). */
+  case class GraftRestoreCommand(target: Either[String, Seq[String]],
+      version: Option[Long], timestamp: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("restored_to_version", LongType, nullable = false)(),
+      AttributeReference("new_version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dir = resolveDir(spark, target)
+      val v = version.getOrElse(MergeSink.versionAtTimestamp(dir,
+        GraftDataSource.parseTimestampMillis(timestamp.get)))
+      Seq(Row(v, MergeSink.restoreStore(spark, dir, v)))
+    }
+  }
+}
+
+/** The delegating parser: four regex-recognized maintenance statements
+  * (none of which vanilla Spark parses — they would be ParseExceptions
+  * otherwise), everything else verbatim to the session's parser,
+  * including parameterized plans. Identifier targets are re-parsed
+  * with the DELEGATE's `parseMultipartIdentifier`, so backticks and
+  * quoting behave exactly like every other Spark identifier. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftMaintenanceSql._
+
+  private val DescHistory =
+    """(?is)^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val Optimize =
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  private val Vacuum =
+    """(?is)^\s*VACUUM\s+(.+?)((?:\s+RETAIN\s+\S+\s+(?:VERSIONS|HOURS))*)(\s+DRY\s+RUN)?\s*;?\s*$""".r
+  private val Retain = """(?i)RETAIN\s+(\S+)\s+(VERSIONS|HOURS)""".r
+  private val RestoreV =
+    """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreT =
+    """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+
+  /** A statement target: `'quoted/path'` or a multipart identifier
+    * (parsed by the delegate, so backticks work). */
+  private def target(raw: String): Either[String, Seq[String]] = {
+    val t = raw.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      Left(t.substring(1, t.length - 1))
+    else Right(delegate.parseMultipartIdentifier(t))
+  }
+
+  private def maintenancePlan(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case DescHistory(t) => Some(GraftDescribeHistoryCommand(target(t)))
+      case RestoreV(t, v) => Some(GraftRestoreCommand(target(t),
+        Some(v.toLong), None))
+      case RestoreT(t, ts) => Some(GraftRestoreCommand(target(t),
+        None, Some(ts)))
+      case Optimize(t, z) => Some(GraftOptimizeCommand(target(t),
+        Option(z).map(_.split(',').map(c =>
+          delegate.parseMultipartIdentifier(c.trim).last).toSeq)
+          .getOrElse(Nil)))
+      case Vacuum(t, retains, dry) =>
+        var versions = 0
+        var hours = 0.0
+        Retain.findAllMatchIn(Option(retains).getOrElse("")).foreach { m =>
+          val n = m.group(1)
+          m.group(2).toUpperCase match {
+            case "VERSIONS" => versions = n.toIntOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"graft: RETAIN $n VERSIONS needs an integer (got '$n')"))
+            case _ => hours = n.toDoubleOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"graft: RETAIN $n HOURS needs a number (got '$n')"))
+          }
+        }
+        Some(GraftVacuumCommand(target(t), versions, hours, dry != null))
+      case _ => None
+    }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    maintenancePlan(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}

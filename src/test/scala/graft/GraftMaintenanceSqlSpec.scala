@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.MergeSink
+
+/** SQL maintenance verbs (GraftMaintenanceSql / GraftSqlParser): the
+  * store-operator half of the SQL surface — DESCRIBE HISTORY,
+  * OPTIMIZE [ZORDER BY], VACUUM [RETAIN …] [DRY RUN], RESTORE TABLE.
+  * Needs a GraftExtensions session (the parser is injected); targets
+  * resolve through a GraftCatalog or as quoted paths. */
+class GraftMaintenanceSqlSpec extends SparkTestBase {
+
+  private lazy val s: SparkSession = {
+    SparkTestBase.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val sess = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-maintenance-sql")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    sess.sparkContext.setLogLevel("ERROR")
+    sess
+  }
+
+  /** A store with a multi-version manifest: k1/k2 in different buckets,
+    * then k1 rewritten — bucket(k2) still owned by v0. */
+  private def mkStore(dir: String): String = {
+    val store = s"$dir/store"
+    val sess = s
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    import sess.implicits._
+    def bucketOf(k: Long): Long = sess.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val k2 = (2L to 64L).find(k => bucketOf(k) != bucketOf(1L)).get
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L), (k2, "upsert", 1L, "b", 20L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 2L, "a2", 11L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    store
+  }
+
+  private def snap(store: String) =
+    MergeSink.currentBucketedSnapshot(s, store).get
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("DESCRIBE HISTORY lists retained commits newest-first, via catalog and via path") {
+    val wh = Files.createTempDirectory("graft_msql_hist").toString
+    mkStore(wh)
+    // identifier target through a registered GraftCatalog
+    s.conf.set("spark.sql.catalog.graftm", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftm.warehouse", wh)
+    try {
+      val hist = s.sql("DESCRIBE HISTORY graftm.store").collect()
+      assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 0L), "newest first")
+      assert(hist.forall(_.getString(1) == "batch"))
+      assert(hist.head.getBoolean(5), "head row flagged is_latest")
+      // path target, same rows
+      val byPath = s.sql(s"DESCRIBE HISTORY '$wh/store'").collect()
+      assert(byPath.map(_.getLong(0)).toSeq == Seq(1L, 0L))
+    } finally {
+      s.conf.unset("spark.sql.catalog.graftm")
+      s.conf.unset("spark.sql.catalog.graftm.warehouse")
+    }
+  }
+
+  test("OPTIMIZE compacts a multi-version store; content is bit-identical; ZORDER re-clusters") {
+    val dir = Files.createTempDirectory("graft_msql_opt").toString
+    val store = mkStore(dir)
+    val before = snap(store)
+    val compacted = s.sql(s"OPTIMIZE '$store'").collect()
+    assert(compacted.map(_.getLong(0)).toSeq == Seq(2L),
+      "compaction commits the next version")
+    assert(snap(store) == before, "compaction is a layout change only")
+    // already compact: plain OPTIMIZE no-ops (null row), ZORDER never does
+    assert(s.sql(s"OPTIMIZE '$store'").collect().head.isNullAt(0))
+    val z = s.sql(s"OPTIMIZE '$store' ZORDER BY (k, v)").collect()
+    assert(z.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(snap(store) == before, "a clustered rewrite is a permutation")
+    // single non-integral column clusters lexicographically
+    assert(s.sql(s"OPTIMIZE '$store' ZORDER BY (name)").collect()
+      .head.getLong(0) == 4L)
+    // unknown column refused loudly
+    val e = intercept[Exception] {
+      s.sql(s"OPTIMIZE '$store' ZORDER BY (nope)").collect()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("VACUUM DRY RUN reports without touching; VACUUM reclaims; RETAIN holds read points") {
+    val dir = Files.createTempDirectory("graft_msql_vac").toString
+    val store = mkStore(dir)
+    s.sql(s"OPTIMIZE '$store'") // v2 — makes v0/v1's dirs dead
+    val dry = s.sql(s"VACUUM '$store' DRY RUN").collect().map(_.getLong(0)).toSet
+    assert(dry == Set(0L, 1L), s"both superseded dirs reclaimable: $dry")
+    assert(MergeSink.bucketedSnapshotAt(s, store, 0L).count() == 2,
+      "DRY RUN must not reclaim anything")
+    // retention: RETAIN 10 VERSIONS keeps every read point
+    assert(s.sql(s"VACUUM '$store' RETAIN 10 VERSIONS").collect().isEmpty)
+    assert(MergeSink.bucketedSnapshotAt(s, store, 1L).count() == 2)
+    // no retention: both reclaimed, old read point now fails loudly
+    val gone = s.sql(s"VACUUM '$store'").collect().map(_.getLong(0)).toSet
+    assert(gone == Set(0L, 1L))
+    intercept[IllegalStateException] {
+      MergeSink.bucketedSnapshotAt(s, store, 0L).count()
+    }
+    assert(snap(store).size == 2, "the head stays intact")
+  }
+
+  test("RESTORE TABLE TO VERSION AS OF rolls the head back as a new commit") {
+    val dir = Files.createTempDirectory("graft_msql_restore").toString
+    val store = mkStore(dir)
+    val before = MergeSink.bucketedSnapshotAt(s, store, 0L)
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val restored = s.sql(s"RESTORE TABLE '$store' TO VERSION AS OF 0").collect()
+    assert(restored.head.getLong(0) == 0L && restored.head.getLong(1) == 2L)
+    assert(snap(store) == before, "head == the restore point's state")
+    // and the rolled-over history is still readable (restore is a commit)
+    assert(MergeSink.bucketedSnapshotAt(s, store, 1L)
+      .filter("k = 1").select("name").head().getString(0) == "a2")
+  }
+
+  test("everything else still parses verbatim; non-catalog targets fail loudly") {
+    assert(s.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+    assert(s.range(3).count() == 3)
+    val e = intercept[Exception] {
+      s.sql("OPTIMIZE not_a_catalog.obs").collect()
+    }
+    assert(e.getMessage.contains("catalog"))
+    val e2 = intercept[Exception] { s.sql("VACUUM bare_name").collect() }
+    assert(e2.getMessage.toLowerCase.contains("catalog-qualified") ||
+      e2.getMessage.contains("catalog"))
+  }
+}
