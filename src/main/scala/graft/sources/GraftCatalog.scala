@@ -155,12 +155,43 @@ class GraftCatalog extends TableCatalog {
         "adopt a store an earlier write created")
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft: ALTER TABLE is not the store's evolution path — use " +
-        "MergeSink.addColumns (a metadata-only, CAS-committed, " +
-        "time-travel-aware evolution the registry records); the catalog " +
-        "serves whatever the registry says")
+  /** `ALTER TABLE … ADD COLUMNS (…)` routes to the store's OWN
+    * metadata-only evolution ([[MergeSink.addColumns]]): one
+    * CAS-claimed commit, no data moves, time travel keeps the
+    * then-current schema, old writers keep committing (added columns
+    * are optional). The registry stays the source of truth — the
+    * catalog never stores a schema of its own. Position clauses are
+    * refused (store schemas are strictly append-only: every reader
+    * aligns columns by NAME, but the key column must stay first);
+    * every other ALTER (drop, retype, rename) stays refused —
+    * destructive changes rewrite the store explicitly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isStore(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.isEmpty || adds.length != changes.length)
+      throw new UnsupportedOperationException(
+        "graft: only ALTER TABLE ... ADD COLUMNS evolves a store (a " +
+          "metadata-only, CAS-committed, time-travel-aware commit the " +
+          "registry records) — dropping, retyping or renaming rewrites " +
+          "the store explicitly")
+    val fields = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        s"graft: nested column '${a.fieldNames.mkString(".")}' — stores " +
+          "evolve by adding TOP-LEVEL columns")
+      require(a.position == null,
+        s"graft: FIRST/AFTER positions are not supported — store schemas " +
+          "append new columns (readers align by name)")
+      val meta = Option(a.comment)
+        .map(c => new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("comment", c).build())
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, nullable = true, metadata = meta)
+    }
+    MergeSink.addColumns(dir, fields.toSeq)
+    loadAt(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

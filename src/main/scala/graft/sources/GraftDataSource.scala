@@ -364,6 +364,21 @@ class GraftTable(dir: String, tableSchema: StructType,
 
   override def schema(): StructType = tableSchema
 
+  /** Surface the store's registry facts (key column, bucket count,
+    * head version) to `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`
+    * — the operator-facing identity of the table, read live from the
+    * store, never cached in the catalog. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("format", "graft")
+    m.put("location", dir)
+    MergeSink.storedKeyName(dir).foreach(m.put("key", _))
+    MergeSink.storedNBuckets(dir).foreach(n => m.put("nBuckets", n.toString))
+    MergeSink.latestVersion(dir).foreach(v => m.put("latestVersion", v.toString))
+    tableVersion.foreach(v => m.put("versionAsOf", v.toString))
+    m
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE)

@@ -29,6 +29,7 @@ import graft.streaming.MergeSink
   * VACUUM graft.obs RETAIN 10 VERSIONS DRY RUN
   * RESTORE TABLE graft.obs TO VERSION AS OF 2
   * RESTORE TABLE graft.obs TO TIMESTAMP AS OF '2026-08-15 12:00:00'
+  * CREATE TABLE graft.branch SHALLOW CLONE graft.obs
   * }}}
   *
   * The target is either a catalog-qualified identifier whose FIRST part
@@ -139,6 +140,20 @@ object GraftMaintenanceSql {
         dryRun = dryRun).map(Row(_))
   }
 
+  /** `CREATE TABLE <dst> SHALLOW CLONE <src>` —
+    * [[MergeSink.cloneStore]]: a zero-copy branch referencing the
+    * source's immutable version dirs (registered against the source's
+    * vacuum until released); branch and source then evolve
+    * independently. Returns the clone-point version. */
+  case class GraftCloneCommand(dst: Either[String, Seq[String]],
+      src: Either[String, Seq[String]]) extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("clone_point_version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(MergeSink.cloneStore(spark,
+        resolveDir(spark, src), resolveDir(spark, dst))))
+  }
+
   /** `RESTORE TABLE … TO VERSION|TIMESTAMP AS OF …` —
     * [[MergeSink.restoreStore]]: a zero-copy maintenance commit whose
     * manifest re-references the restore point; returns the new head
@@ -179,6 +194,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val RestoreT =
     """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  private val Clone =
+    """(?is)^\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)\s*;?\s*$""".r
 
   /** A statement target: `'quoted/path'` or a multipart identifier
     * (parsed by the delegate, so backticks work). */
@@ -196,6 +213,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(v.toLong), None))
       case RestoreT(t, ts) => Some(GraftRestoreCommand(target(t),
         None, Some(ts)))
+      case Clone(dst, src) => Some(GraftCloneCommand(target(dst), target(src)))
       case Optimize(t, z) => Some(GraftOptimizeCommand(target(t),
         Option(z).map(_.split(',').map(c =>
           delegate.parseMultipartIdentifier(c.trim).last).toSeq)

@@ -131,6 +131,65 @@ class GraftMaintenanceSqlSpec extends SparkTestBase {
       .filter("k = 1").select("name").head().getString(0) == "a2")
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE branches zero-copy; branch and source evolve independently") {
+    val wh = Files.createTempDirectory("graft_msql_clone").toString
+    val store = mkStore(wh)
+    s.conf.set("spark.sql.catalog.graftc", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftc.warehouse", wh)
+    try {
+      val point = s.sql("CREATE TABLE graftc.branch SHALLOW CLONE graftc.store")
+        .collect().head.getLong(0)
+      assert(point == 1L, "branch head = the source's clone point")
+      val branch = s"$wh/branch"
+      assert(snap(branch) == snap(store), "the branch reads the clone point")
+      // independent evolution: a branch commit is invisible to the source
+      val sess = s
+      import sess.implicits._
+      MergeSink.applyBucketedBatch(
+        Seq((99L, "upsert", 9L, "z", 90L)).toDF("k", "op", "ver", "name", "v"),
+        0L, branch, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+      assert(snap(branch).contains((99L, "z", 90L)))
+      assert(!snap(store).contains((99L, "z", 90L)))
+      // the pin holds the source's vacuum off the clone point's dirs
+      assert(MergeSink.releaseClone(store, branch),
+        "the clone registered a pin with its source")
+    } finally {
+      s.conf.unset("spark.sql.catalog.graftc")
+      s.conf.unset("spark.sql.catalog.graftc.warehouse")
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMNS routes to the store's metadata-only evolution") {
+    val wh = Files.createTempDirectory("graft_msql_alter").toString
+    mkStore(wh)
+    s.conf.set("spark.sql.catalog.grafta", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.grafta.warehouse", wh)
+    try {
+      s.sql("ALTER TABLE grafta.store ADD COLUMNS (score BIGINT)")
+      assert(s.table("grafta.store").columns.toSeq ==
+        Seq("k", "name", "v", "score"))
+      assert(s.sql("SELECT score FROM grafta.store").collect()
+        .forall(_.isNullAt(0)), "old rows null-backfill")
+      // the evolution is a COMMIT: time travel keeps the old shape
+      assert(s.sql("SELECT * FROM grafta.store VERSION AS OF 1").columns.toSeq ==
+        Seq("k", "name", "v"))
+      // destructive ALTERs stay refused
+      val e = intercept[Exception] {
+        s.sql("ALTER TABLE grafta.store DROP COLUMN v")
+      }
+      assert(e.getMessage.contains("ADD COLUMNS"))
+      // table properties surface the registry facts
+      val props = s.sql("SHOW TBLPROPERTIES grafta.store").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("key").contains("k"))
+      assert(props.get("nBuckets").contains("4"))
+      assert(props.get("latestVersion").contains("2"))
+    } finally {
+      s.conf.unset("spark.sql.catalog.grafta")
+      s.conf.unset("spark.sql.catalog.grafta.warehouse")
+    }
+  }
+
   test("everything else still parses verbatim; non-catalog targets fail loudly") {
     assert(s.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     assert(s.range(3).count() == 3)
