@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   * said nothing?"). The standard telemetry densification that turns an
   * irregular event log into a regular series for downstream windows.
   *
-  * Shape: per-key bucket counts (map-combined), per-key [min, max]
-  * bounds (same aggregate pass shape), a sequence() explode bounded by
-  * each key's own span — never a global calendar cross join — and ONE
-  * key-partitioned window whose ignoreNulls last() is the forward
-  * fill. State per row is one carried value; a key with a year-long
-  * span costs its own rows only. */
+  * Shape: per-key bucket counts (map-combined), then ONE key window
+  * whose lead() names each observed hour's successor, and a sequence()
+  * explode of the half-open gap [hr, next) — the filled value IS the
+  * gap opener's count, so the forward fill falls out of the explode
+  * itself. Two exchanges total (the bucket agg, the key window); the
+  * earlier grid-join formulation built the dense calendar in a
+  * separate frame and shuffled it back against the observations (a
+  * bounds aggregate + an equi join + a carry window — five exchanges),
+  * paying a join whose right side the gap explode reproduces for free.
+  * Never a global calendar cross join; a key with a year-long span
+  * costs its own rows only. */
 object Resample {
 
   /** Dense per-`keyCol` hourly series over [min observed hour, max
@@ -25,16 +30,16 @@ object Resample {
     val hourly = events
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hr"))
       .agg(count(lit(1)).as("n"))
-    val bounds = hourly.groupBy(col(keyCol))
-      .agg(min(col("hr")).as("_lo"), max(col("hr")).as("_hi"))
-    val grid = bounds.select(col(keyCol),
-      explode(sequence(col("_lo"), col("_hi"), expr("interval 1 hour"))).as("hr"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("hr"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    grid.join(hourly, Seq(keyCol, "hr"), "left_outer")
+    hourly
+      .withColumn("_next", lead(col("hr"), 1).over(w))
+      .select(col(keyCol), col("n"), col("hr").as("_hr"),
+        explode(sequence(col("hr"),
+          coalesce(col("_next") - expr("interval 1 hour"), col("hr")),
+          expr("interval 1 hour"))).as("hr"))
       .select(col(keyCol), col("hr"),
-        coalesce(col("n"), lit(0L)).as("n_obs"),
-        last(col("n"), ignoreNulls = true).over(w).as("n_filled"))
+        when(col("hr") === col("_hr"), col("n")).otherwise(lit(0L)).as("n_obs"),
+        col("n").as("n_filled"))
   }
 
   /** W12 — linear interpolation of an irregular series at arbitrary

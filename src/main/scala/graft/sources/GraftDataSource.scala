@@ -120,16 +120,29 @@ class GraftDataSource extends TableProvider with DataSourceRegister
             // can cost this serialized batch its claim — that is a
             // RETRYABLE condition (applyBucketedBatch re-derives from
             // the new head per call, and replay dedup keys on
-            // batchId), not a reason to fail the whole stream
-            val deadline = System.currentTimeMillis() + 60000L
+            // batchId), not a reason to fail the whole stream.
+            // `claimTimeoutMs` tunes how long a batch waits out the
+            // contention before failing with the remedy named.
+            val timeoutMs = params.get("claimtimeoutms")
+              .map(_.toLong).getOrElse(60000L)
+            val deadline = System.currentTimeMillis() + timeoutMs
             var backoff = 50L
             var done = false
             while (!done) {
               try { MergeSink.applyBucketedBatch(batch, batchId, dir, key,
                 opCol, verCol, valueCols, nBuckets); done = true }
               catch {
-                case _: java.util.ConcurrentModificationException
-                    if System.currentTimeMillis() < deadline =>
+                case e: java.util.ConcurrentModificationException =>
+                  if (System.currentTimeMillis() >= deadline)
+                    throw new java.util.ConcurrentModificationException(
+                      s"graft: the serialized streaming sink on $dir lost " +
+                        s"its commit claim to concurrent writers for " +
+                        s"${timeoutMs / 1000}s (batch $batchId) — under " +
+                        "sustained multi-writer pressure give this stream " +
+                        "its own OCC lineage with .option(\"writer\", " +
+                        "<name>) (disjoint-bucket commits then proceed in " +
+                        "parallel), or raise .option(\"claimTimeoutMs\", " +
+                        s"…). Last conflict: ${e.getMessage}")
                   // the racing commit holds the claim for the length
                   // of its write job — wait it out, re-derive, retry
                   Thread.sleep(backoff)

@@ -155,19 +155,34 @@ object StressSf1 {
       catch { case _: Throwable => () }
       Array(mShufRead.get, mShufWrite.get, mSpillDisk.get, mCpuNs.get / 1000000L)
     }
+    // two runs, keep the faster (Bench's own policy, same reason: this
+    // host's vCPUs are overcommitted and a single measurement randomly
+    // inflates several-fold under steal bursts — a one-shot sf1 number
+    // can read as a fake 2× regression of unchanged code). Bytes come
+    // from the kept run, so wall and shuffle accounting stay paired.
     val results = Heavy.map { name =>
       val fn = graft.SparkEntry.queries(name)
-      val before = snap()
-      val t0 = System.nanoTime()
-      val wall = try {
-        fn(spark, dst).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
-        System.err.println(s"[sf1] $name failed: ${e.getMessage}")
-        None
+      def once(): (Option[Double], Array[Long]) = {
+        val before = snap()
+        val t0 = System.nanoTime()
+        val wall = try {
+          fn(spark, dst).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[sf1] $name failed: ${e.getMessage}")
+          None
+        }
+        val after = snap()
+        (wall, after.zip(before).map { case (a, b) => a - b })
       }
-      val after = snap()
-      val delta = after.zip(before).map { case (a, b) => a - b }
+      // side-effectful pipelines (store builds) replay as no-ops —
+      // a second run would measure the replay guard, not the work
+      val rerunnable = name != "capstone_ingest_store"
+      val first = once()
+      val (wall, delta) = if (first._1.isEmpty || !rerunnable) first else {
+        val second = once()
+        if (second._1.exists(s => first._1.exists(s < _))) second else first
+      }
       System.err.println(f"[sf1] $name%-24s ${wall.getOrElse(-1.0)}%8.2f s  " +
         f"shufR=${delta(0) / 1048576}%6d MiB  cpu=${delta(3) / 1000}%6d s*ms")
       (name, wall, delta)

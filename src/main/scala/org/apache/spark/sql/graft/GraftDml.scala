@@ -128,14 +128,23 @@ object GraftDml {
       attempt += 1
       val readV = MergeSink.latestVersion(dir).getOrElse(-1L)
       val cached = graft.operators.Checkpoint(derive())
-      val dup = cached.groupBy(keyName).count()
-        .filter(new Column("count") > 1).limit(1).collect()
-      if (dup.nonEmpty)
+      // ONE driver action probes both gates: any duplicated key (the
+      // MERGE multiple-source-rows rule) and emptiness (statement
+      // no-op) — folded into a single aggregate over the checkpointed
+      // changeset instead of two separate jobs
+      val F = org.apache.spark.sql.functions
+      val probe = cached.groupBy(new Column(keyName))
+        .agg(F.count(F.lit(1)).as("_n"))
+        .agg(F.count(F.lit(1)),
+          F.first(F.when(new Column("_n") > 1, new Column(keyName)),
+            ignoreNulls = true))
+        .head()
+      if (!probe.isNullAt(1))
         throw new IllegalArgumentException(
-          s"graft: $verb on $dir produces key '${dup.head.get(0)}' more than " +
+          s"graft: $verb on $dir produces key '${probe.get(1)}' more than " +
             "once — a keyed store commits one row per key (for MERGE this is " +
             "the standard multiple-source-rows error)")
-      if (cached.limit(1).collect().isEmpty) return // no-op: nothing matched
+      if (probe.getLong(0) == 0L) return // no-op: nothing matched
       try {
         MergeSink.applyBucketedBatchOcc(cached, batchId = statementId(), dir,
           keyName, "_op", "_ver", valueNames, nBuckets = nB, writer = "sql",
