@@ -23,6 +23,7 @@ import graft.streaming.MergeSink
   *
   * {{{
   * DESCRIBE HISTORY graft.obs               -- one row per retained commit
+  * DESCRIBE DETAIL graft.obs                -- one row per live bucket
   * OPTIMIZE graft.obs                       -- compact live buckets
   * OPTIMIZE graft.obs ZORDER BY (ts)        -- compact + cluster
   * VACUUM graft.obs RETAIN 48 HOURS         -- reclaim dead versions
@@ -85,6 +86,21 @@ object GraftMaintenanceSql {
     override def run(spark: SparkSession): Seq[Row] =
       MergeSink.storeHistory(spark, resolveDir(spark, target))
         .collect().toSeq
+  }
+
+  /** `DESCRIBE DETAIL` — [[MergeSink.storeStats]] as a command: one
+    * row per live bucket (owner version, file count, bytes), the
+    * numbers an operator reads BEFORE paying for OPTIMIZE/VACUUM.
+    * Driver-side file metadata, O(live buckets). */
+  case class GraftDescribeDetailCommand(target: Either[String, Seq[String]])
+      extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("bucket", LongType, nullable = false)(),
+      AttributeReference("owner_version", LongType, nullable = false)(),
+      AttributeReference("n_files", LongType, nullable = false)(),
+      AttributeReference("bytes", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      MergeSink.storeStats(spark, resolveDir(spark, target)).collect().toSeq
   }
 
   /** `OPTIMIZE [ZORDER BY (…)]` — compaction ([[MergeSink
@@ -185,6 +201,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val DescHistory =
     """(?is)^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val DescDetail =
+    """(?is)^\s*(?:DESCRIBE|DESC)\s+DETAIL\s+(.+?)\s*;?\s*$""".r
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val Vacuum =
@@ -209,6 +227,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case DescHistory(t) => Some(GraftDescribeHistoryCommand(target(t)))
+      case DescDetail(t) => Some(GraftDescribeDetailCommand(target(t)))
       case RestoreV(t, v) => Some(GraftRestoreCommand(target(t),
         Some(v.toLong), None))
       case RestoreT(t, ts) => Some(GraftRestoreCommand(target(t),

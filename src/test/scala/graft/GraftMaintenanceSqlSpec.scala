@@ -68,6 +68,11 @@ class GraftMaintenanceSqlSpec extends SparkTestBase {
       // path target, same rows
       val byPath = s.sql(s"DESCRIBE HISTORY '$wh/store'").collect()
       assert(byPath.map(_.getLong(0)).toSeq == Seq(1L, 0L))
+      // DESCRIBE DETAIL: one row per live bucket, with real bytes
+      val detail = s.sql("DESCRIBE DETAIL graftm.store").collect()
+      assert(detail.length == 2, "two live buckets (k1's and k2's)")
+      assert(detail.forall(r => r.getLong(2) >= 1 && r.getLong(3) > 0),
+        "every live bucket reports files and bytes")
     } finally {
       s.conf.unset("spark.sql.catalog.graftm")
       s.conf.unset("spark.sql.catalog.graftm.warehouse")
