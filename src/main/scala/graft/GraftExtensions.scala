@@ -99,8 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // RESTORE TABLE): a delegating parser recognizing exactly those
     // statements — none of which vanilla Spark parses — and handing
     // everything else through verbatim (GraftMaintenanceSql scaladoc)
-    ext.injectParser((_, delegate) =>
-      new org.apache.spark.sql.graft.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new org.apache.spark.sql.graft.GraftSqlParser(session, delegate))
     ext.injectFunction(two("graft_cosine")(CosineSimExpr(_, _)))
     ext.injectFunction(two("graft_dot")(DotProductExpr(_, _)))
     ext.injectFunction(one("graft_simhash60")(SimHash60Expr(_)))

@@ -199,8 +199,10 @@ class GraftCatalog extends TableCatalog {
     // empty v0 bootstrap) — this is CTAS's failure cleanup (Spark
     // drops the created table when the backing write fails); anything
     // ever written stays refused
-    if (isStore(dir) && MergeSink.isEmptyCreatedStore(dir)) {
-      Files.deleteTree(Paths.get(dir))
+    // serialized against a racing first write through the store's own
+    // claim protocol (a bare check-then-delete could destroy a commit
+    // that landed in between — MergeSink.dropEmptyCreatedStore)
+    if (isStore(dir) && MergeSink.dropEmptyCreatedStore(dir)) {
       true
     } else throw new UnsupportedOperationException(
       "graft: DROP TABLE is refused once a store holds data — its " +

@@ -344,6 +344,14 @@ class GraftTable(dir: String, tableSchema: StructType,
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
+  // the registry facts are IMMUTABLE once a store exists (`_key` and
+  // `_nbuckets` are first-batch writes; rebucketStore's change arrives
+  // with a fresh table load) — read once per table handle, not once
+  // per scan/DESCRIBE: on an hdfs://-or-s3a:// store each read is a
+  // driver-side metadata round trip in the planning path
+  private lazy val storedKey: Option[String] = MergeSink.storedKeyName(dir)
+  private lazy val storedNB: Option[Long] = MergeSink.storedNBuckets(dir)
+
   /** `DELETE FROM obs WHERE …` — a HEAD delete, not erasure: the
     * matching keys are retracted by one CDC delete commit (time travel
     * still shows them; `eraseKeys` is the history-destroying path).
@@ -358,10 +366,9 @@ class GraftTable(dir: String, tableSchema: StructType,
       s"graft: cannot DELETE from a time-travel read of $dir")
     // key-literal evidence prunes the victim scan to the owning
     // buckets — the same mapping the read path uses
-    val keyName = MergeSink.storedKeyName(dir)
-      .getOrElse(tableSchema.fields.head.name)
+    val keyName = storedKey.getOrElse(tableSchema.fields.head.name)
     val buckets = tableSchema.fields.find(_.name == keyName)
-      .flatMap(kf => MergeSink.storedNBuckets(dir).flatMap(nb =>
+      .flatMap(kf => storedNB.flatMap(nb =>
         GraftFilters.prunedBuckets(filters, keyName, kf.dataType, nb)))
     MergeSink.sqlDelete(dir, filters.flatMap(GraftFilters.toColumn).toSeq,
       buckets)
@@ -385,8 +392,9 @@ class GraftTable(dir: String, tableSchema: StructType,
     val m = new java.util.HashMap[String, String]()
     m.put("format", "graft")
     m.put("location", dir)
-    MergeSink.storedKeyName(dir).foreach(m.put("key", _))
-    MergeSink.storedNBuckets(dir).foreach(n => m.put("nBuckets", n.toString))
+    storedKey.foreach(m.put("key", _))
+    storedNB.foreach(n => m.put("nBuckets", n.toString))
+    // the head moves with every commit — this one stays a live read
     MergeSink.latestVersion(dir).foreach(v => m.put("latestVersion", v.toString))
     tableVersion.foreach(v => m.put("versionAsOf", v.toString))
     m
@@ -425,7 +433,7 @@ class GraftTable(dir: String, tableSchema: StructType,
         MergeSink.versionAtTimestamp(dir,
           GraftDataSource.parseTimestampMillis(t))))
       .orElse(tableVersion)
-    new GraftScanBuilder(dir, tableSchema, v)
+    new GraftScanBuilder(dir, tableSchema, v, storedKey, storedNB)
   }
 }
 
@@ -436,18 +444,19 @@ class GraftTable(dir: String, tableSchema: StructType,
   * so the parquet reader sees them, and key-equality shapes drive
   * bucket pruning. */
 class GraftScanBuilder(dir: String, tableSchema: StructType,
-    version: Option[Long]) extends ScanBuilder
+    version: Option[Long], storedKey: Option[String],
+    storedNB: Option[Long]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
 
   // the REGISTRY's key name governs pruning (the writers' routing
-  // column); first-field is only the pre-registry store's convention.
-  // A recorded key missing from the schema is refused loudly — pruning
-  // on a guessed column would silently drop rows.
-  private val keyName = MergeSink.storedKeyName(dir)
-    .getOrElse(tableSchema.fields.head.name)
+  // column; read once by the TABLE handle, not per scan) — first-field
+  // is only the pre-registry store's convention. A recorded key
+  // missing from the schema is refused loudly — pruning on a guessed
+  // column would silently drop rows.
+  private val keyName = storedKey.getOrElse(tableSchema.fields.head.name)
   private val keyType = tableSchema.fields.find(_.name == keyName)
     .getOrElse(throw new IllegalStateException(
       s"graft: store $dir records key column '$keyName' but the table " +
@@ -470,17 +479,44 @@ class GraftScanBuilder(dir: String, tableSchema: StructType,
   private def prunedBuckets(nBuckets: Long): Option[Set[Long]] =
     GraftFilters.prunedBuckets(pushed, keyName, keyType, nBuckets)
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
+
+    /** Planner cost estimate through the DSv2 interface: the on-disk
+      * bytes of exactly the buckets this scan resolves — version- and
+      * pruning-aware. Absent when the metadata is unreadable (Spark
+      * keeps its conservative default — never a too-small guess).
+      *
+      * KNOWN ENGINE LIMIT: Spark's `V1ScanWrapper` (the node
+      * V2ScanRelationPushDown wraps a V1Scan in) implements only
+      * `Scan`, so these statistics do not reach the LOGICAL plan's
+      * `computeStats` today and the static join planner keeps its
+      * conservative default. The broadcast still happens — AQE's
+      * runtime re-planning sees the true (tiny) shuffle sizes and
+      * converts the join to a broadcast hash join (pinned by
+      * GraftTableSpec) — and the estimate here is correct-by-contract
+      * for any engine version that forwards it, plus the V1 relation
+      * below reports the same bytes ([[GraftRelation.sizeInBytes]]). */
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        private val bytes = MergeSink.scanBytes(dir, version,
+          storedNB.flatMap(prunedBuckets))
+        override def sizeInBytes(): java.util.OptionalLong =
+          bytes.map(b => java.util.OptionalLong.of(math.max(1L, b)))
+            .getOrElse(java.util.OptionalLong.empty())
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
       new GraftRelation(context, dir, version, required,
-        MergeSink.storedNBuckets(dir).flatMap(prunedBuckets),
+        storedNB.flatMap(prunedBuckets),
         pushed).asInstanceOf[T]
 
     override def description(): String = {
-      val b = MergeSink.storedNBuckets(dir).flatMap(prunedBuckets)
+      val b = storedNB.flatMap(prunedBuckets)
         .map(s => s" prunedBuckets=${s.toSeq.sorted.mkString("[", ",", "]")}")
         .getOrElse("")
       s"GraftStore $dir${version.map(v => s"@v$v").getOrElse("")}$b"
@@ -499,6 +535,19 @@ class GraftRelation(context: SQLContext, dir: String, version: Option[Long],
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
   override def needConversion: Boolean = false
+
+  /** Planner cost estimate: the on-disk bytes of exactly the buckets
+    * this scan resolves (version- and pruning-aware), scaled by
+    * `spark.sql.sources.fileCompressionFactor` — the same convention
+    * Spark's file relations use — so a dimension-sized store (or a
+    * point read pruned to one bucket) broadcasts in joins instead of
+    * forcing a shuffle of both sides. Falls back to the conservative
+    * session default when the store's metadata is unreadable. */
+  override def sizeInBytes: Long =
+    MergeSink.scanBytes(dir, version, buckets)
+      .map(b => math.max(1L,
+        (b * context.sparkSession.sessionState.conf.fileCompressionFactor).toLong))
+      .getOrElse(super.sizeInBytes)
 
   override def buildScan(): RDD[Row] = {
     val spark = context.sparkSession

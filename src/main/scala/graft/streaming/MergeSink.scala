@@ -834,12 +834,26 @@ object MergeSink {
     * with placement. `value` is an external-type literal from a pushed
     * [[org.apache.spark.sql.sources.Filter]]. */
   private[graft] def bucketForKeyLiteral(value: Any,
-      keyType: org.apache.spark.sql.types.DataType, nBuckets: Long): Long = {
-    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      keyType: org.apache.spark.sql.types.DataType, nBuckets: Long): Long =
+    bucketOfHash(new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
       org.apache.spark.sql.catalyst.expressions.Literal.create(value, keyType)))
-      .eval(null).asInstanceOf[Long]
+      .eval(null).asInstanceOf[Long], nBuckets)
+
+  /** [[bucketForKeyLiteral]]'s INTERNAL-typed twin — for values
+    * obtained by eval'ing foldable catalyst expressions (the DML
+    * rewrites' literal walk): `Literal(value, dt)` takes the internal
+    * form as-is where `Literal.create` converts from external. One
+    * shared hash+mod so routing and pruning can never diverge. */
+  def bucketForInternalLiteral(value: Any,
+      dt: org.apache.spark.sql.types.DataType, nBuckets: Long): Long =
+    bucketOfHash(new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(value, dt)))
+      .eval(null).asInstanceOf[Long], nBuckets)
+
+  /** The writers' modular routing step, shared by both literal twins
+    * (Catalyst's XxHash64 with its default seed = [[bucketOf]]). */
+  private def bucketOfHash(h: Long, nBuckets: Long): Long =
     ((h % nBuckets) + nBuckets) % nBuckets
-  }
 
   /** TIMESTAMP AS OF resolution: the newest version committed at or
     * before `millis` — commit time = the manifest file's mtime, the
@@ -868,6 +882,42 @@ object MergeSink {
           s"${stamped.headOption.map(_._2).getOrElse(-1L)}) — " +
           "timestamp time travel is bounded by vacuum retention")
     at.map(_._1).max
+  }
+
+  /** The on-disk bytes a [[snapshotPruned]] scan will read — the SQL
+    * front door's COST ESTIMATE (BaseRelation.sizeInBytes), so a small
+    * store (or a bucket-pruned point read) sits UNDER the broadcast
+    * threshold and joins hash-broadcast instead of shuffling both
+    * sides. Driver-side file metadata, O(scanned buckets) listings —
+    * the same planning-time cost class as Spark's own file index on a
+    * parquet relation. None when the estimate cannot be computed (the
+    * caller keeps the conservative default — never a too-small guess
+    * from a half-readable store). */
+  private[graft] def scanBytes(storeDir: String, version: Option[Long],
+      buckets: Option[Set[Long]]): Option[Long] =
+    try {
+      val latest = headVersion(storeDir).getOrElse(return None)
+      val v = version.getOrElse(latest)
+      if (Files.exists(manifestsDir(storeDir).resolve(v.toString))) {
+        val manifest0 = readManifest(storeDir, v)
+        val manifest = buckets match {
+          case Some(bs) => manifest0.view.filterKeys(bs).toMap
+          case None => manifest0
+        }
+        Some(manifest.toSeq.map { case (b, owner) =>
+          resolveDataDir(storeDir, owner)
+            .map(_.resolve(s"_bucket=$b")).filter(Files.exists(_))
+            .map(parquetBytesIn).getOrElse(0L)
+        }.sum)
+      } else resolveDataDir(storeDir, v).map(parquetBytesIn)
+    } catch { case _: Exception => None }
+
+  private def parquetBytesIn(dir: Path): Long = {
+    val s0 = Files.list(dir)
+    try s0.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size(_)).sum
+    finally s0.close()
   }
 
   /** Snapshot read with OPTIONAL version pin and OPTIONAL bucket
@@ -1557,8 +1607,9 @@ object MergeSink {
     * sharing a batchId would look like each other's crash replay to
     * the OCC claim/conflict checks — the clobber the claim protocol
     * exists to prevent. A random 63-bit id keeps every statement
-    * distinct. */
-  private def statementId(): Long =
+    * distinct. Public: the DML rewrite commands (org.apache.spark.sql
+    * .graft) share this one definition. */
+  def statementId(): Long =
     java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
 
   /** The SQL door's DELETE half (`DELETE FROM obs WHERE …`): a HEAD
@@ -2045,10 +2096,16 @@ object MergeSink {
     requireNBuckets(storeDir, nBuckets)
     requireKeyName(storeDir, key)
     val claim = claimCommit(storeDir, 0L, -1L, -1L)
-    writeManifest(storeDir, 0L, Map.empty)
-    writeSchema(storeDir, 0L, schema)
-    verifyClaim(claim)
-    writeLongAtomic(latestPath(storeDir), 0L)
+    // release our own claim on any failure before the pointer lands —
+    // a crashed CREATE TABLE must not wedge the retried CREATE (or the
+    // first write) behind the takeover lease (same discipline as the
+    // OCC writer's failure path)
+    try {
+      writeManifest(storeDir, 0L, Map.empty)
+      writeSchema(storeDir, 0L, schema)
+      verifyClaim(claim)
+      writeLongAtomic(latestPath(storeDir), 0L)
+    } catch { case e: Throwable => releaseOwnClaim(claim); throw e }
     pruneCommitMarkers(storeDir)
   }
 
@@ -2059,6 +2116,27 @@ object MergeSink {
     readLong(latestPath(storeDir)).contains(0L) &&
       Files.exists(manifestsDir(storeDir).resolve("0")) &&
       readManifest(storeDir, 0L).isEmpty
+
+  /** DROP TABLE's deletion, serialized against first writes through
+    * the claim protocol: a bare check-then-delete is a TOCTOU — a
+    * writer can publish v1 between the emptiness check and the
+    * recursive delete, and the delete would destroy committed data
+    * (exactly what DROP promises can never happen). Claiming the v1
+    * slot FIRST excludes any such commit (the writer's own claim
+    * fails loudly), the emptiness re-check under the claim is then
+    * stable, and the tree delete takes the marker down with the rest.
+    * Returns false (nothing deleted) when the store is not in the
+    * empty-created state or the v1 slot is contested. */
+  def dropEmptyCreatedStore(storeDir: String): Boolean = {
+    if (!isEmptyCreatedStore(storeDir)) return false
+    val claim =
+      try claimCommit(storeDir, 1L, 0L, -1L)
+      catch { case _: java.util.ConcurrentModificationException => return false }
+    try {
+      if (!isEmptyCreatedStore(storeDir)) { releaseOwnClaim(claim); false }
+      else { Files.deleteTree(Paths.get(storeDir)); true }
+    } catch { case e: Throwable => releaseOwnClaim(claim); throw e }
+  }
 
   /** SCHEMA EVOLUTION — ADD COLUMNS as a METADATA-ONLY maintenance
     * commit (a table format's `ALTER TABLE ... ADD COLUMNS`; the

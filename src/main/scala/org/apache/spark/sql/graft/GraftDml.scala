@@ -133,18 +133,24 @@ object GraftDml {
       // no-op) — folded into a single aggregate over the checkpointed
       // changeset instead of two separate jobs
       val F = org.apache.spark.sql.functions
+      // max(_n) is the duplicate GATE (a duplicated NULL key must trip
+      // it too — groupBy folds NULLs into one group, and an ignoreNulls
+      // first() over the key alone would discard exactly that group);
+      // the flagged key is best-effort for the message.
       val probe = cached.groupBy(new Column(keyName))
         .agg(F.count(F.lit(1)).as("_n"))
-        .agg(F.count(F.lit(1)),
+        .agg(F.count(F.lit(1)), F.max(new Column("_n")),
           F.first(F.when(new Column("_n") > 1, new Column(keyName)),
             ignoreNulls = true))
         .head()
-      if (!probe.isNullAt(1))
+      if (probe.getLong(0) == 0L) return // no-op: nothing matched
+      if (probe.getLong(1) > 1L) {
+        val dupKey = if (probe.isNullAt(2)) "NULL" else s"'${probe.get(2)}'"
         throw new IllegalArgumentException(
-          s"graft: $verb on $dir produces key '${probe.get(1)}' more than " +
+          s"graft: $verb on $dir produces key $dupKey more than " +
             "once — a keyed store commits one row per key (for MERGE this is " +
             "the standard multiple-source-rows error)")
-      if (probe.getLong(0) == 0L) return // no-op: nothing matched
+      }
       try {
         MergeSink.applyBucketedBatchOcc(cached, batchId = statementId(), dir,
           keyName, "_op", "_ver", valueNames, nBuckets = nB, writer = "sql",
@@ -172,9 +178,9 @@ object GraftDml {
   /** One fresh 63-bit identity per ad-hoc statement — see
     * [[MergeSink.applyBucketedBatchOcc]]'s replayGuard notes: with no
     * replay lineage, a SHARED batchId would make two concurrent
-    * statements look like each other's crash replay. */
-  private def statementId(): Long =
-    java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
+    * statements look like each other's crash replay. One definition
+    * for every ad-hoc path (MergeSink's SQL INSERT/DELETE share it). */
+  private def statementId(): Long = MergeSink.statementId()
 
   // ---- DML bucket pruning --------------------------------------------
   // A DML statement whose key evidence names the touched buckets must
@@ -193,14 +199,13 @@ object GraftDml {
     case other => Seq(other)
   }
 
-  /** The writers' own routing hash for one INTERNAL-typed literal. */
+  /** The writers' own routing hash for one INTERNAL-typed literal —
+    * ONE definition with the scan builder's external-literal twin
+    * ([[MergeSink.bucketForKeyLiteral]]), so routing and pruning can
+    * never diverge. */
   private def bucketOfLiteral(value: Any,
-      dt: org.apache.spark.sql.types.DataType, nBuckets: Long): Long = {
-    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-      org.apache.spark.sql.catalyst.expressions.Literal(value, dt)))
-      .eval(null).asInstanceOf[Long]
-    ((h % nBuckets) + nBuckets) % nBuckets
-  }
+      dt: org.apache.spark.sql.types.DataType, nBuckets: Long): Long =
+    MergeSink.bucketForInternalLiteral(value, dt, nBuckets)
 
   /** Buckets pinned by LITERAL key predicates among `cond`'s conjuncts
     * (the DML twin of the scan builder's pruning walk). Conservative:
@@ -242,6 +247,21 @@ object GraftDml {
         byName(a.name), a.name)(exprId = a.exprId)), pruned)
   }
 
+  /** UPDATE's and DELETE's shared matched-row plan: literal key
+    * predicates among the analyzed condition's conjuncts prune the
+    * target scan to the owning buckets; the condition still applies
+    * in full on top, and any other shape keeps the original plan. */
+  private def prunedMatchedPlan(spark: org.apache.spark.sql.classic.SparkSession,
+      dir: String, matchedPlan: LogicalPlan,
+      keyAttr: Attribute): LogicalPlan = matchedPlan match {
+    case f @ Filter(c, r: DataSourceV2Relation) =>
+      MergeSink.storedNBuckets(dir)
+        .flatMap(nb => literalKeyBuckets(c, keyAttr, nb))
+        .map(bs => Filter(c, prunedRelPlan(spark, dir, r, bs)): LogicalPlan)
+        .getOrElse(f)
+    case other => other
+  }
+
   case class GraftUpdateCommand(dir: String,
       relOutput: Seq[Attribute], matchedPlan: LogicalPlan,
       assignments: Seq[Assignment])
@@ -259,17 +279,8 @@ object GraftDml {
           "expresses a re-key explicitly")
       val attrOf = relOutput.map(a => a.name -> a).toMap
       val valueAttrs = relOutput.filterNot(_.name == keyName)
-      // literal key predicates prune the matched-row scan to the owning
-      // buckets — the condition still applies in full on top
-      def sourcePlan(): LogicalPlan = matchedPlan match {
-        case f @ Filter(c, r: DataSourceV2Relation) =>
-          MergeSink.storedNBuckets(dir)
-            .flatMap(nb => literalKeyBuckets(c, attrOf(keyName), nb))
-            .map(bs => Filter(c, prunedRelPlan(spark, dir, r, bs)): LogicalPlan)
-            .getOrElse(f)
-        case other => other
-      }
-      def updated() = Dataset.ofRows(spark, sourcePlan()).select(
+      def updated() = Dataset.ofRows(spark,
+        prunedMatchedPlan(spark, dir, matchedPlan, attrOf(keyName))).select(
         Bridge.column(attrOf(keyName)).as(keyName) +:
           lit("upsert").as("_op") +: lit(0L).as("_ver") +:
           valueAttrs.map { f =>
@@ -299,15 +310,8 @@ object GraftDml {
       val keyName = GraftDml.keyNameOf(dir, relOutput.map(_.name))
       val attrOf = relOutput.map(a => a.name -> a).toMap
       val valueAttrs = relOutput.filterNot(_.name == keyName)
-      def sourcePlan(): LogicalPlan = matchedPlan match {
-        case f @ Filter(c, r: DataSourceV2Relation) =>
-          MergeSink.storedNBuckets(dir)
-            .flatMap(nb => literalKeyBuckets(c, attrOf(keyName), nb))
-            .map(bs => Filter(c, prunedRelPlan(spark, dir, r, bs)): LogicalPlan)
-            .getOrElse(f)
-        case other => other
-      }
-      def victims() = Dataset.ofRows(spark, sourcePlan()).select(
+      def victims() = Dataset.ofRows(spark,
+        prunedMatchedPlan(spark, dir, matchedPlan, attrOf(keyName))).select(
         Bridge.column(attrOf(keyName)).as(keyName) +:
           lit("delete").as("_op") +: lit(0L).as("_ver") +:
           valueAttrs.map(f => lit(null).cast(f.dataType).as(f.name)): _*)

@@ -190,13 +190,24 @@ object GraftMaintenanceSql {
   }
 }
 
-/** The delegating parser: four regex-recognized maintenance statements
-  * (none of which vanilla Spark parses — they would be ParseExceptions
-  * otherwise), everything else verbatim to the session's parser,
-  * including parameterized plans. Identifier targets are re-parsed
-  * with the DELEGATE's `parseMultipartIdentifier`, so backticks and
-  * quoting behave exactly like every other Spark identifier. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+/** The delegating parser: the maintenance statements above, everything
+  * else verbatim to the session's parser, including parameterized
+  * plans. Identifier targets are re-parsed with the DELEGATE's
+  * `parseMultipartIdentifier`, so backticks and quoting behave exactly
+  * like every other Spark identifier.
+  *
+  * INTERCEPTION IS CLAIM-CHECKED, never grabby: a statement is only
+  * taken when its target is provably ours — a quoted path, or a
+  * multipart identifier whose FIRST part names a catalog registered as
+  * a [[GraftCatalog]] in THIS session (checked at parse time). Any
+  * other shape — `DESCRIBE history some_col` (a table literally named
+  * history), another lakehouse's `OPTIMIZE`/`VACUUM`/`RESTORE` on its
+  * own catalog, a CTAS whose query merely CONTAINS the words "SHALLOW
+  * CLONE", an unparsable target — falls through to the delegate
+  * verbatim, so installing the extension never changes the meaning or
+  * the error of a statement that wasn't addressed to a graft store. */
+class GraftSqlParser(session: => org.apache.spark.sql.SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
   import GraftMaintenanceSql._
 
   private val DescHistory =
@@ -215,29 +226,39 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Clone =
     """(?is)^\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)\s*;?\s*$""".r
 
-  /** A statement target: `'quoted/path'` or a multipart identifier
-    * (parsed by the delegate, so backticks work). */
-  private def target(raw: String): Either[String, Seq[String]] = {
+  /** A PROVABLY-OURS statement target, or None (→ delegate): a
+    * `'quoted/path'`, or a ≥2-part identifier whose head names a
+    * registered [[GraftCatalog]] in this session. Unparsable targets
+    * and foreign catalogs are None — never an error at parse time. */
+  private def target(raw: String): Option[Either[String, Seq[String]]] = {
     val t = raw.trim
     if (t.length >= 2 && t.head == '\'' && t.last == '\'')
-      Left(t.substring(1, t.length - 1))
-    else Right(delegate.parseMultipartIdentifier(t))
+      Some(Left(t.substring(1, t.length - 1)))
+    else
+      try {
+        val parts = delegate.parseMultipartIdentifier(t)
+        if (parts.length >= 2 &&
+          session.sessionState.catalogManager.catalog(parts.head)
+            .isInstanceOf[GraftCatalog]) Some(Right(parts))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case DescHistory(t) => Some(GraftDescribeHistoryCommand(target(t)))
-      case DescDetail(t) => Some(GraftDescribeDetailCommand(target(t)))
-      case RestoreV(t, v) => Some(GraftRestoreCommand(target(t),
+      case DescHistory(t) => target(t).map(GraftDescribeHistoryCommand)
+      case DescDetail(t) => target(t).map(GraftDescribeDetailCommand)
+      case RestoreV(t, v) => target(t).map(GraftRestoreCommand(_,
         Some(v.toLong), None))
-      case RestoreT(t, ts) => Some(GraftRestoreCommand(target(t),
+      case RestoreT(t, ts) => target(t).map(GraftRestoreCommand(_,
         None, Some(ts)))
-      case Clone(dst, src) => Some(GraftCloneCommand(target(dst), target(src)))
-      case Optimize(t, z) => Some(GraftOptimizeCommand(target(t),
+      case Clone(dst, src) => for { d <- target(dst); s <- target(src) }
+        yield GraftCloneCommand(d, s)
+      case Optimize(t, z) => target(t).map(GraftOptimizeCommand(_,
         Option(z).map(_.split(',').map(c =>
           delegate.parseMultipartIdentifier(c.trim).last).toSeq)
           .getOrElse(Nil)))
-      case Vacuum(t, retains, dry) =>
+      case Vacuum(t, retains, dry) => target(t).map { tgt =>
         var versions = 0
         var hours = 0.0
         Retain.findAllMatchIn(Option(retains).getOrElse("")).foreach { m =>
@@ -251,7 +272,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
                 s"graft: RETAIN $n HOURS needs a number (got '$n')"))
           }
         }
-        Some(GraftVacuumCommand(target(t), versions, hours, dry != null))
+        GraftVacuumCommand(tgt, versions, hours, dry != null)
+      }
       case _ => None
     }
 

@@ -167,6 +167,58 @@ class GraftDmlSpec extends SparkTestBase {
     } finally s.sql("DROP TABLE IF EXISTS dml_rk")
   }
 
+  test("a duplicated NULL key trips the multiple-source-rows gate too") {
+    val dir = Files.createTempDirectory("graft_dml_nulldup").toString
+    val sess = s
+    import sess.implicits._
+    // a NULLABLE-key store (SQL DDL columns are nullable by default;
+    // non-nullable stores already refuse a NULL key at the cast): the
+    // gate below is the only thing standing between two NULL-keyed CDC
+    // rows and a one-row-per-key store
+    val store = s"$dir/store"
+    val nullableSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("ver",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val seed = sess.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "upsert", 1L, "a", 10L),
+      org.apache.spark.sql.Row(2L, "upsert", 1L, "b", 20L),
+      org.apache.spark.sql.Row(3L, "upsert", 1L, "c", 30L)), nullableSchema)
+    MergeSink.applyBucketedBatch(seed, 0L, store, "k", "op", "ver",
+      Seq("name", "v"), nBuckets = 4)
+    // two unmatched source rows both INSERTing key = NULL: groupBy
+    // folds NULLs into one group, and the gate must flag it — an
+    // ignoreNulls probe over the key alone would discard exactly the
+    // NULL group and commit two rows for one (null) key
+    Seq((100L, "x", 1L), (200L, "y", 2L)).toDF("sk", "name", "v")
+      .createOrReplaceTempView("dml_null_src")
+    s.sql("DROP TABLE IF EXISTS dml_nd")
+    s.sql(s"CREATE TABLE dml_nd USING graft LOCATION '$store'")
+    try {
+      assert(s.table("dml_nd").schema("k").nullable,
+        s"rig: the key must be nullable here (got ${s.table("dml_nd").schema})")
+      val head0 = MergeSink.latestVersion(store).get
+      val e = intercept[Exception] {
+        s.sql("""MERGE INTO dml_nd t USING dml_null_src s ON t.k = s.sk
+          |WHEN NOT MATCHED THEN INSERT (k, name, v)
+          |VALUES (CAST(NULL AS BIGINT), s.name, s.v)""".stripMargin)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("more than")),
+        s"expected the multiple-source-rows error, got: $e")
+      assert(MergeSink.latestVersion(store).contains(head0),
+        "a refused MERGE must not commit")
+    } finally s.sql("DROP TABLE IF EXISTS dml_nd")
+  }
+
   test("concurrent SQL INSERT statements serialize — neither adopts the other's claim") {
     val dir = Files.createTempDirectory("graft_dml_conc").toString
     val store = mkStore(dir)

@@ -195,15 +195,28 @@ class GraftMaintenanceSqlSpec extends SparkTestBase {
     }
   }
 
-  test("everything else still parses verbatim; non-catalog targets fail loudly") {
+  test("interception is claim-checked: foreign targets and look-alike statements delegate verbatim") {
     assert(s.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     assert(s.range(3).count() == 3)
-    val e = intercept[Exception] {
-      s.sql("OPTIMIZE not_a_catalog.obs").collect()
+    val parser = s.sessionState.sqlParser
+    // a table literally named `history`: DESCRIBE must stay vanilla
+    // (DescribeColumn/Relation from the delegate, never our command)
+    val desc = parser.parsePlan("DESCRIBE history some_col")
+    assert(!desc.getClass.getName.contains("Graft"), desc.getClass.getName)
+    // a CTAS whose QUERY merely contains the words: stays a CTAS
+    val ctas = parser.parsePlan(
+      "CREATE TABLE sct AS SELECT 'a SHALLOW CLONE b' AS c")
+    assert(!ctas.getClass.getName.contains("Graft"), ctas.getClass.getName)
+    // non-graft-catalog identifiers delegate: vanilla Spark has no
+    // OPTIMIZE/VACUUM, so the pre-extension ParseException comes back
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      parser.parsePlan("OPTIMIZE not_a_catalog.obs")
     }
-    assert(e.getMessage.contains("catalog"))
-    val e2 = intercept[Exception] { s.sql("VACUUM bare_name").collect() }
-    assert(e2.getMessage.toLowerCase.contains("catalog-qualified") ||
-      e2.getMessage.contains("catalog"))
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      parser.parsePlan("VACUUM bare_name")
+    }
+    // quoted paths are unambiguous and stay ours
+    assert(parser.parsePlan("VACUUM '/tmp/x' DRY RUN")
+      .getClass.getName.contains("GraftVacuumCommand"))
   }
 }

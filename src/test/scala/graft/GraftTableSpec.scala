@@ -651,6 +651,37 @@ class GraftTableSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("the scan reports REAL bytes: a dimension-sized store broadcasts in joins") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_stats").toString
+    val store = s"$dir/store"
+    put(store, 1L, 1L, "a", 0L)
+    put(store, 2L, 2L, "b", 1L)
+    val table = spark.read.format("graft").load(store)
+    // the byte estimate itself: real parquet bytes, pruning-aware
+    val full = MergeSink.scanBytes(store, None, None)
+    assert(full.exists(b => b > 0 && b < 10L * 1024 * 1024),
+      s"a 2-row store must estimate dimension-sized bytes: $full")
+    val oneBucket = MergeSink.scanBytes(store, None,
+      Some(Set(bucketOf(1L))))
+    assert(oneBucket.exists(b => b > 0 && b <= full.get),
+      s"a pruned estimate covers only the owning bucket: $oneBucket vs $full")
+    // the V1 relation reports it (Spark's V1ScanWrapper does not yet
+    // forward DSv2 statistics to the logical plan — see the scaladoc)
+    val rel = new graft.sources.GraftRelation(spark.sqlContext, store, None,
+      table.schema, None, Array.empty)
+    assert(rel.sizeInBytes == full.get)
+    // end to end: AQE's runtime re-planning sees the true sizes and
+    // broadcasts the store side of the join
+    val facts = spark.range(50000).select(col("id").as("k"),
+      (col("id") * 2).as("fv"))
+    val joined = facts.join(table, "k")
+    assert(joined.count() == 2)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the store side broadcast:\n$plan")
+  }
+
   test("a running feed SURVIVES mid-stream schema evolution (start-schema projection); restart widens") {
     import org.apache.spark.sql.types.{LongType, StructField}
     import scala.jdk.CollectionConverters._

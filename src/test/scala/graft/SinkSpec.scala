@@ -1934,4 +1934,31 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.bucketedSnapshotAt(spark, store, 0L)
       .select("name").head().getString(0) == "a")
   }
+
+  test("a failed CREATE TABLE bootstrap releases its claim — the retry never waits out a lease") {
+    import graft.streaming.MergeSink
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("sink_create_release").toString
+    val store = s"$dir/store"
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType)))
+    // sabotage the manifest dir (a FILE where the directory goes):
+    // createEmptyStore claims v0, then fails writing the manifest
+    Files.createDirectories(java.nio.file.Paths.get(store))
+    Files.write(java.nio.file.Paths.get(store, "_manifests"),
+      "not a dir".getBytes("UTF-8"))
+    intercept[Exception] {
+      MergeSink.createEmptyStore(store, schema, "k", nBuckets = 4)
+    }
+    // remove the obstruction; the retry must succeed IMMEDIATELY —
+    // before the release fix, the crashed attempt's v0 claim wedged
+    // every retry behind the 10-minute takeover lease
+    Files.delete(java.nio.file.Paths.get(store, "_manifests"))
+    MergeSink.createEmptyStore(store, schema, "k", nBuckets = 4)
+    assert(MergeSink.latestVersion(store).contains(0L))
+    assert(MergeSink.isEmptyCreatedStore(store))
+    // and the serialized drop takes it back down
+    assert(MergeSink.dropEmptyCreatedStore(store))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
+  }
 }
