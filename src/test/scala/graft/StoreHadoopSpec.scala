@@ -210,6 +210,44 @@ class StoreHadoopSpec extends SparkTestBase {
     }
   }
 
+  test("streaming writes land on a Hadoop-layer store: writeStream in, change feed out") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = remoteTmp("graft_hstream") + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hstream_ck").toString
+    val in = MemoryStream[(Long, String, Long, String, Long)]
+    val writer = in.toDF().toDF("k", "op", "ver", "name", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$ckpt/in")
+      .option("key", "k").option("nBuckets", "4")
+      .start(store)
+    try {
+      in.addData((1L, "upsert", 1L, "a", 10L), (2L, "upsert", 1L, "b", 20L))
+      writer.processAllAvailable()
+      assert(snap(store) == Set((1L, "a", 10L), (2L, "b", 20L)))
+      // the change feed reads back off the remote store
+      val seen = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Long, String)]()
+      val reader = spark.readStream.format("graft")
+        .option("startingVersion", "earliest").load(store)
+        .writeStream.option("checkpointLocation", s"$ckpt/out")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("k", "change").collect()
+            .foreach(r => seen.add((r.getLong(0), r.getString(1)))): Unit
+        }.start()
+      try {
+        in.addData((1L, "delete", 2L, null, 0L))
+        writer.processAllAvailable()
+        reader.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(seen.asScala.toSet == Set((1L, "insert"), (2L, "insert"),
+          (1L, "delete")), s"the remote hub must relay every change: $seen")
+      } finally reader.stop()
+    } finally writer.stop()
+  }
+
   test("local paths keep local semantics: a plain path never routes remote") {
     assert(!StorePath("/tmp/x/store").isRemote)
     assert(!StorePath("file:/tmp/x/store").isRemote)
