@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 // org.apache.hadoop.fs for scheme'd warehouses (hdfs://, s3a://, …)
 import graft.store.{StoreFiles => Files, StorePaths => Paths}
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -136,10 +136,37 @@ class GraftCatalog extends TableCatalog {
     val dir = dirOf(ident)
     if (isStore(dir)) {
       // adoption of an existing store (external-table registration):
-      // the store's own registry is the schema authority
-      new GraftTable(dir, MergeSink.snapshotSchemaAt(dir, None), None)
-    } else if (tableExists(ident)) {
-      throw new TableAlreadyExistsException(ident)
+      // the store's own registry is the schema authority. A DECLARED
+      // schema/key/bucket count must MATCH the registry — silently
+      // adopting under a conflicting declaration would mask a mistyped
+      // table name or a genuine schema conflict (the user asked for a
+      // table shaped one way and got another without a word).
+      val live = MergeSink.snapshotSchemaAt(dir, None)
+      if (schema.fields.nonEmpty) {
+        val declared = schema.fields.map(f => (f.name, f.dataType)).toSeq
+        val actual = live.fields.map(f => (f.name, f.dataType)).toSeq
+        require(declared == actual,
+          s"graft: CREATE TABLE declares (${declared.map(c =>
+            s"${c._1} ${c._2.simpleString}").mkString(", ")}) but the " +
+            s"existing store at $dir records (${actual.map(c =>
+            s"${c._1} ${c._2.simpleString}").mkString(", ")}) — adopt " +
+            "with no column list, or declare the store's actual shape")
+        val props = new CaseInsensitiveStringMap(properties)
+        Option(props.get("key")).foreach { k =>
+          val stored = MergeSink.storedKeyName(dir)
+            .getOrElse(live.fields.head.name)
+          require(k == stored,
+            s"graft: CREATE TABLE declares key '$k' but the store at " +
+              s"$dir is keyed by '$stored'")
+        }
+        Option(props.get("nbuckets")).map(_.toLong).foreach { n =>
+          MergeSink.storedNBuckets(dir).foreach(stored =>
+            require(n == stored,
+              s"graft: CREATE TABLE declares nBuckets=$n but the store " +
+                s"at $dir is bucketed into $stored"))
+        }
+      }
+      new GraftTable(dir, live, None)
     } else if (schema.fields.nonEmpty) {
       require(partitions.isEmpty,
         "graft: PARTITIONED BY is not supported — the store buckets by key")

@@ -28,6 +28,14 @@ object Tables {
     * specs), so the NTZ→LTZ cast is wall-value-identical to DuckDB's
     * naive read and every downstream query sees one ts type. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // DELIBERATELY session-global and never restored: the conf gates
+    // schema CONVERSION at load, but the vectorized reader consults it
+    // again at execution from the captured session state — restoring
+    // it after load() would make the returned (lazy) frame fail at
+    // materialization. Sessions in this engine treat nanos-as-long as
+    // a standing contract (Verify/Bench/specs all set UTC + read
+    // through here); a session that needs TIMESTAMP(NANOS) rejected
+    // must not read the events table first.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = apply(spark, dir, "events")
     df.schema("ts").dataType match {

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, from_csv, from_json, lit}
+import org.apache.spark.sql.functions.{broadcast, col, from_csv, from_json, lit, min, monotonically_increasing_id}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Text-format ingestion with a QUARANTINE channel — the S2 stance
@@ -55,17 +55,37 @@ object TextSources {
   }
 
   /** CSV with optional header: same split. A row with the wrong arity
-    * or an uncastable cell quarantines whole, raw text preserved; the
-    * header line (reconstructed from the schema's field names) is
-    * excluded from both channels. */
+    * or an uncastable cell quarantines whole, raw text preserved; with
+    * `header = true` exactly ONE line per file — the file's FIRST
+    * header-shaped line — is excluded from both channels. A DATA row
+    * that happens to equal the header string ("name,city" in a
+    * name/city table) stays data: a bare equality filter would vanish
+    * it from both channels, the exact silent loss this module exists
+    * to prevent. The header lines are found per file over the
+    * header-EQUAL candidates only (a corpus-tiny set), so the
+    * exclusion is one broadcast anti join, never a full-scan window. */
   def csv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true, delimiter: String = ","): (DataFrame, DataFrame) = {
     val s = withCorrupt(schema)
     val raw = spark.read.text(path)
     val body =
-      if (header) raw.filter(col("value") =!=
-        lit(schema.fieldNames.mkString(delimiter)))
-      else raw
+      if (!header) raw
+      else {
+        // line identity = (file, monotonic id): ids ascend in read
+        // order within a file's splits, so min(id) over the
+        // header-equal lines of a file IS its leading header (the
+        // header contract puts one on line 1 of every file)
+        val lines = raw.select(col("value"),
+          col("_metadata.file_path").as("_file"),
+          monotonically_increasing_id().as("_mid"))
+        val hdr = lit(schema.fieldNames.mkString(delimiter))
+        val firsts = lines.filter(col("value") === hdr)
+          .groupBy(col("_file")).agg(min(col("_mid")).as("_hmid"))
+        lines.join(broadcast(firsts),
+            lines("_file") === firsts("_file") &&
+              lines("_mid") === firsts("_hmid"), "left_anti")
+          .select(col("value"))
+      }
     val parsed = body.select(col("value"),
       from_csv(col("value"), s, ParseOpts ++ Map("delimiter" -> delimiter)).as("_s"))
     split(parsed, schema)

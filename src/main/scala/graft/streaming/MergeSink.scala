@@ -117,8 +117,19 @@ object MergeSink {
     val fresh = (System.currentTimeMillis() -
       Files.getLastModifiedTime(captured).toMillis) < TakeoverLeaseMs
     if (fresh) {
-      try Files.move(captured, marker, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.io.IOException => Files.deleteIfExists(captured) }
+      // restore via EXCLUSIVE create of the same content — NOT a move:
+      // rename(2) silently REPLACES an existing destination on Linux,
+      // so a claim re-created between our capture and this restore
+      // would be clobbered by the restored one (two claimants, one
+      // slot — the exact clobber this protocol exists to prevent). If
+      // the slot was re-claimed meanwhile, the captured claim is
+      // dropped; its holder's pre-swap verify then aborts LOUDLY.
+      try {
+        val body = Files.readAllBytes(captured)
+        try Files.write(marker, body, StandardOpenOption.CREATE_NEW)
+        catch { case _: FileAlreadyExistsException => () } // re-claimed: drop
+      } catch { case _: java.io.IOException => () }
+      Files.deleteIfExists(captured)
       false
     } else {
       Files.deleteIfExists(captured)
@@ -373,11 +384,57 @@ object MergeSink {
           "re-read the store and retry")
   }
 
+  /** STAGE-THEN-EXCLUSIVE-RENAME publish of one version DATA dir: the
+    * merge job writes into a private `.stage_v<version>_<nonce>` dir,
+    * the claim is re-verified, and the stage RENAMES into
+    * `v<version>` — a rename that FAILS if the destination exists
+    * (rename(2) on a non-empty dir locally; FileSystem.rename on
+    * HDFS). This closes the residual the pre-swap [[verifyClaim]]
+    * alone could not: a writer stalled past its takeover lease used
+    * to run its `mode("overwrite")` parquet write IN PLACE, so on
+    * resume it could interleave files into a version dir a usurper
+    * had already published — verifyClaim only refused the POINTER
+    * swap, after the data was already clobbered. With staging, the
+    * stalled writer's resume lands in its own stage dir and its
+    * publish rename is refused by the existing destination; the
+    * verify then aborts loudly and the usurper's files are untouched.
+    *
+    * A destination that exists under OUR OWN verified claim is stale
+    * un-pointed-at data this claim now owns — our crash replay's
+    * earlier publish, or an abandoned (rebased/released) attempt's
+    * orphan — and is REPLACED with the freshly re-derived content
+    * (claims serialize the slot, so nobody else can be publishing this
+    * version while our lease-fresh claim stands; a USURPER's takeover
+    * fails the verify before anything is deleted). `list` runs against
+    * the STAGE (callers read survivors/buckets before publication).
+    * Orphaned stage dirs (a writer crashed between write and rename)
+    * are swept by [[pruneCommitMarkers]] once lease-stale. */
+  private def publishVersionDir[T](storeDir: String, version: Long,
+      claim: Claim)(write: String => T): T = {
+    val stage = Paths.get(storeDir, s".stage_v${version}_" +
+      (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        & Long.MaxValue))
+    try {
+      val result = write(stage.toString)
+      val dst = Paths.get(storeDir, s"v$version")
+      verifyClaim(claim)
+      try Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.io.IOException =>
+          verifyClaim(claim) // a usurper's publish aborts loudly HERE
+          if (!Files.exists(dst)) throw e // genuine IO failure
+          Files.deleteTree(dst) // stale owned data: replace it
+          Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+      }
+      result
+    } finally if (Files.exists(stage)) Files.deleteTree(stage)
+  }
+
   /** Fold markers older than the last [[RetainMarkers]] into the
     * `_horizon` watermark. Run by the committed writer after its swap;
     * keeps `_commits` O(1) for an unbounded stream (the plain sink
     * previously accumulated one marker per batch forever). */
-  private def pruneCommitMarkers(storeDir: String): Unit = {
+  private[graft] def pruneCommitMarkers(storeDir: String): Unit = {
     val dir = commitsDir(storeDir)
     if (!Files.exists(dir)) return
     // sweep orphaned takeover captures (a recoverer that crashed
@@ -393,10 +450,33 @@ object MergeSink {
       catch { case _: java.io.IOException => () }
       finally s0.close()
     }
+    // sweep orphaned STAGE dirs (a writer that crashed between its
+    // merge-job write and the publish rename): lease-stale stages are
+    // garbage — a live writer's stage is younger than the lease, and
+    // its replay writes a fresh nonce'd stage anyway
+    locally {
+      val s0 = Files.list(Paths.get(storeDir))
+      try s0.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".stage_v"))
+        .filter(p =>
+          try System.currentTimeMillis() -
+            Files.getLastModifiedTime(p).toMillis >= TakeoverLeaseMs
+          catch { case _: java.nio.file.NoSuchFileException => false })
+        .foreach(Files.deleteTree(_))
+      catch { case _: java.io.IOException => () }
+      finally s0.close()
+    }
+    // only COMMITTED history (versions at or below the published head)
+    // is prunable: markers beyond the head are LIVE in-flight OCC
+    // claims — deleting one would abort its writer at verifyClaim,
+    // free the slot for a second claimant mid-write, and fold a
+    // never-committed version into the horizon (head < horizon wedges
+    // every later writer's parent check until manual repair).
+    val head = readLong(latestPath(storeDir)).getOrElse(return)
     val versions = {
       val s = Files.list(dir)
       try s.iterator().asScala.map(_.getFileName.toString)
-        .flatMap(_.toLongOption).toList.sorted
+        .flatMap(_.toLongOption).filter(_ <= head).toList.sorted
       finally s.close()
     }
     val prune = versions.dropRight(RetainMarkers)
@@ -538,7 +618,9 @@ object MergeSink {
       .getOrElse(batch.select((key +: valueCols).map(col): _*).limit(0))
     val next = Snapshot.applyChanges(base, batch, key, opCol, verCol, valueCols)
     withClaimHeartbeat(claim) {
-      next.write.mode("overwrite").parquet(s"$storeDir/v$version")
+      publishVersionDir(storeDir, version, claim) { stage =>
+        next.write.mode("overwrite").parquet(stage)
+      }
     }
     writeSchema(storeDir, version, target)
     verifyClaim(claim)
@@ -656,15 +738,28 @@ object MergeSink {
     * loudly instead). [[rebucketStore]] is the one sanctioned way to
     * change it. */
   private def requireNBuckets(storeDir: String, nBuckets: Int): Unit = {
+    def refuse(stored: Long): Nothing =
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir is bucketed into $stored buckets but this " +
+          s"writer was configured with nBuckets=$nBuckets — a mismatched " +
+          "writer would route keys to the wrong buckets; pass the stored " +
+          "count, or migrate with rebucketStore first")
     readLong(nBucketsPath(storeDir)) match {
-      case Some(stored) if stored != nBuckets =>
-        throw new IllegalArgumentException(
-          s"MergeSink: $storeDir is bucketed into $stored buckets but this " +
-            s"writer was configured with nBuckets=$nBuckets — a mismatched " +
-            "writer would route keys to the wrong buckets; pass the stored " +
-            "count, or migrate with rebucketStore first")
+      case Some(stored) if stored != nBuckets => refuse(stored)
       case Some(_) => ()
-      case None => writeLongAtomic(nBucketsPath(storeDir), nBuckets.toLong)
+      case None =>
+        // FIRST-WRITER-WINS CAS: two differently-configured first
+        // writers racing here must not leave the LOSER's count
+        // recorded (a replacing write lets writer B overwrite A's
+        // registration, then pass this gate and route against A's
+        // layout with B's modulus — silent key duplication). Exclusive
+        // create decides one winner; the loser re-reads and must match.
+        try Files.write(nBucketsPath(storeDir),
+          nBuckets.toLong.toString.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        catch { case _: FileAlreadyExistsException => () }
+        readLong(nBucketsPath(storeDir))
+          .filter(_ != nBuckets.toLong).foreach(refuse)
     }
   }
 
@@ -687,22 +782,23 @@ object MergeSink {
     else None
   }
 
-  private def requireKeyName(storeDir: String, key: String): Unit =
+  private def requireKeyName(storeDir: String, key: String): Unit = {
+    def refuse(stored: String): Nothing =
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir is keyed by column '$stored' but this " +
+          s"writer declared key '$key' — a mismatched writer would " +
+          "route every row to the wrong bucket; pass the recorded key")
     storedKeyName(storeDir) match {
-      case Some(stored) if stored != key =>
-        throw new IllegalArgumentException(
-          s"MergeSink: $storeDir is keyed by column '$stored' but this " +
-            s"writer declared key '$key' — a mismatched writer would " +
-            "route every row to the wrong bucket; pass the recorded key")
+      case Some(stored) if stored != key => refuse(stored)
       case Some(_) => ()
       case None =>
-        val tmp = keyNamePath(storeDir).resolveSibling(s"._key.tmp." +
-          (java.util.concurrent.ThreadLocalRandom.current().nextLong()
-            & Long.MaxValue))
-        Files.write(tmp, key.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, keyNamePath(storeDir), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        // first-writer-wins CAS, same argument as requireNBuckets
+        try Files.write(keyNamePath(storeDir),
+          key.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+        catch { case _: FileAlreadyExistsException => () }
+        storedKeyName(storeDir).filter(_ != key).foreach(refuse)
     }
+  }
 
   /** The store's current contents under the bucketed protocol. Buckets
     * are grouped by owning version, so the read costs one pruned scan
@@ -1433,7 +1529,8 @@ object MergeSink {
     }
     val version = latest + 1
     val claim = claimCommit(storeDir, version, latest, -1L) // maintenance commit
-    // the request's buckets: bounded by min(|request|, nBuckets)
+    // the request's buckets UNDER THE CURRENT COUNT: bounded by
+    // min(|request|, nBuckets)
     val affected = keys.select(bucketOf(keyField.name, nB.toInt).as("_b"))
       .distinct().collect().map(_.getLong(0)).toSet
     val versionDirs = {
@@ -1442,13 +1539,38 @@ object MergeSink {
         .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption).toList.sorted
       finally s0.close()
     }
-    def rmTree(path: Path): Unit = {
-      if (Files.isDirectory(path)) {
-        val s0 = Files.list(path)
-        try s0.iterator().asScala.toList.foreach(rmTree) finally s0.close()
+    // REBUCKET-AWARE scope: a version dir written under a DIFFERENT
+    // bucket count routes the subject's keys to different bucket ids —
+    // pruning those dirs with the CURRENT modulus would leave the
+    // subject's rows in history (a silent retention-law violation).
+    // rebucketStore records `_rebucket_floor` (the first version on
+    // the new layout); dirs below it — and any dir holding a bucket id
+    // outside the current count, the shrink-migration signature —
+    // rewrite EVERY bucket they have. Scope includes the crash
+    // artifacts (`.erase_old_b*`/`.erase_tmp_b*`) of an interrupted
+    // previous run, so its recovery steps still execute.
+    val rebucketFloor = readLong(Paths.get(storeDir, "_rebucket_floor"))
+    def bucketScope(v: Long): Set[Long] = {
+      val d = Paths.get(storeDir, s"v$v")
+      if (!Files.exists(d)) return Set.empty
+      val names = {
+        val s0 = Files.list(d)
+        try s0.iterator().asScala.map(_.getFileName.toString).toList
+        finally s0.close()
       }
-      Files.deleteIfExists(path)
+      val present = names.flatMap { n =>
+        if (n.startsWith("_bucket=")) n.stripPrefix("_bucket=").toLongOption
+        else if (n.startsWith(".erase_old_b"))
+          n.stripPrefix(".erase_old_b").toLongOption
+        else if (n.startsWith(".erase_tmp_b"))
+          n.stripPrefix(".erase_tmp_b").toLongOption
+        else None
+      }.toSet
+      if (rebucketFloor.exists(v < _) || present.exists(_ >= nB)) present
+      else present.intersect(affected)
     }
+    def rmTree(path: Path): Unit =
+      if (Files.exists(path)) Files.deleteTree(path)
     val erased = org.apache.spark.sql.functions.broadcast(keys)
     // per-version RECORDED schemas, read once up front: a bucket whose
     // every row was erased by a previous (possibly interrupted) run
@@ -1464,7 +1586,8 @@ object MergeSink {
     // maintenance-fleet shape (many small independent jobs in flight),
     // and it collapses the per-job scheduling round trips that would
     // otherwise serialize versions × buckets tiny rewrites.
-    val tasks = for (v <- versionDirs; b <- affected.toSeq.sorted) yield (v, b)
+    val tasks = for (v <- versionDirs; b <- bucketScope(v).toSeq.sorted)
+      yield (v, b)
     if (tasks.nonEmpty) withClaimHeartbeat(claim) {
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(math.min(tasks.size, 8))
@@ -1550,7 +1673,7 @@ object MergeSink {
       if (touched.isEmpty) Seq.empty[Long]
       else withClaimHeartbeat(claim) {
         mergeTouched(spark, batchEff, key, opCol, verCol, effValueCols,
-          target, manifest, touched, nBuckets, storeDir, version)
+          target, manifest, touched, nBuckets, storeDir, version, claim)
       }
     // untouched buckets keep their old version; a touched bucket whose
     // merged content is EMPTY (all keys deleted) leaves the manifest
@@ -1706,7 +1829,8 @@ object MergeSink {
   private def mergeTouched(spark: SparkSession, batchEff: DataFrame,
       key: String, opCol: String, verCol: String, effValueCols: Seq[String],
       target: StructType, manifest: Map[Long, Long], touched: Seq[Long],
-      nBuckets: Int, storeDir: String, version: Long): Seq[Long] = {
+      nBuckets: Int, storeDir: String, version: Long,
+      claim: Claim): Seq[Long] = {
     val emptyBase = batchEff.select((key +: effValueCols).map(col): _*).limit(0)
     val base = touched.flatMap(b => manifest.get(b).map(v => (v, b)))
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -1726,10 +1850,13 @@ object MergeSink {
     // compactBucketedStore exists to collapse. Re-clustering here
     // would bill every micro-batch an extra exchange to save the
     // maintenance job its batched cleanup.
-    next.write.mode("overwrite").partitionBy("_bucket")
-      .parquet(s"$storeDir/v$version")
-    touched.filter(b => Files.exists(
-      Paths.get(storeDir, s"v$version", s"_bucket=$b")))
+    publishVersionDir(storeDir, version, claim) { stage =>
+      next.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+      // survivors read from the STAGE (pre-publication): a touched
+      // bucket whose merged content is empty writes no dir
+      touched.filter(b =>
+        Files.exists(Paths.get(stage, s"_bucket=$b")))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -2018,7 +2145,7 @@ object MergeSink {
       val survivors =
         if (touched.isEmpty) Seq.empty[Long]
         else mergeTouched(spark, batchEff, key, opCol, verCol, effValueCols,
-          target, baseManifest, touched, nBuckets, storeDir, version)
+          target, baseManifest, touched, nBuckets, storeDir, version, claim)
       // wait for the parent slot to publish (it may still be merging —
       // its heartbeat keeps its marker fresh; a stale or vanished
       // parent claim means its writer died → rebase cleanly)
@@ -2272,20 +2399,26 @@ object MergeSink {
     val clustered = current.repartition(col("_bucket"))
     val out = if (sortCols.isEmpty) clustered
       else clustered.sortWithinPartitions(col("_bucket") +: sortCols: _*)
-    withClaimHeartbeat(claim) {
-      out.write.mode("overwrite").partitionBy("_bucket")
-        .parquet(s"$storeDir/v$version")
-    }
-    val buckets = {
-      val s = Files.list(Paths.get(storeDir, s"v$version"))
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toLong)
-        .toList.sorted
-      finally s.close()
+    val buckets = withClaimHeartbeat(claim) {
+      publishVersionDir(storeDir, version, claim) { stage =>
+        out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+        val s = Files.list(Paths.get(stage))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toLong)
+          .toList.sorted
+        finally s.close()
+      }
     }
     writeManifest(storeDir, version, buckets.map(_ -> version).toMap)
     writeSchema(storeDir, version, target)
-    newNBuckets.foreach(n => writeLongAtomic(nBucketsPath(storeDir), n.toLong))
+    newNBuckets.foreach { n =>
+      writeLongAtomic(nBucketsPath(storeDir), n.toLong)
+      // erasure's rebucket-aware scope: dirs BELOW this version were
+      // written under the old bucket count and must rewrite every
+      // bucket they have (monotone max — floors never move back)
+      val fl = Paths.get(storeDir, "_rebucket_floor")
+      if (readLong(fl).forall(_ < version)) writeLongAtomic(fl, version)
+    }
     verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
     pruneCommitMarkers(storeDir)
@@ -2427,14 +2560,8 @@ object MergeSink {
       writeLongAtomic(cd.resolve("_horizon"), horizon)
     }
     dead.foreach { v =>
-      def rm(path: Path): Unit = {
-        if (Files.isDirectory(path)) {
-          val s = Files.list(path)
-          try s.iterator().asScala.toList.foreach(rm) finally s.close()
-        }
-        Files.deleteIfExists(path)
-      }
-      rm(Paths.get(storeDir, s"v$v"))
+      val p = Paths.get(storeDir, s"v$v")
+      if (Files.exists(p)) Files.deleteTree(p)
       Files.deleteIfExists(manifestsDir(storeDir).resolve(v.toString))
       Files.deleteIfExists(schemasDir(storeDir).resolve(v.toString))
       Files.deleteIfExists(commitsDir(storeDir).resolve(v.toString))

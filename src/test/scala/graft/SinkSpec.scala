@@ -1961,4 +1961,112 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.dropEmptyCreatedStore(store))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
   }
+
+  test("ST10 erasure is REBUCKET-AWARE: pre-rebucket history dirs lose the subject too") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("sink_erase_rebucket").toString
+    val store = s"$dir/store"
+    // v0 under 4 buckets; rebucket to 8 (v1 on the new layout). The
+    // subject's bucket under 8 usually differs from its bucket under 4
+    // — erasure pruned with the CURRENT modulus alone used to leave
+    // the subject readable at v0 (a silent retention-law violation).
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L), (2L, "upsert", 1L, "b", 20L),
+        (3L, "upsert", 1L, "c", 30L), (4L, "upsert", 1L, "d", 40L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    assert(MergeSink.rebucketStore(spark, store, 8).contains(1L))
+    val audit = MergeSink.eraseKeys(spark, store, Seq(1L, 2L, 3L, 4L).toDF("k"))
+    assert(audit.contains(2L))
+    // EVERY retained read point — including the pre-rebucket v0 —
+    // reads back empty of the subjects
+    (0L to 2L).foreach { v =>
+      val keys = MergeSink.bucketedSnapshotAt(spark, store, v)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(keys.isEmpty, s"v$v still holds erased subject(s): $keys")
+    }
+  }
+
+  test("ST10 marker pruning spares IN-FLIGHT claims beyond the head") {
+    import graft.streaming.MergeSink
+    import java.nio.file.{Files => NioFiles, Paths => NioPaths}
+    val dir = Files.createTempDirectory("sink_prune_inflight").toString
+    val store = s"$dir/store"
+    // enough committed versions that pruning has work to do
+    (0 until 20).foreach { i =>
+      MergeSink.applyBucketedBatch(
+        Seq((1L, "upsert", i.toLong + 1, s"a$i", 10L))
+          .toDF("k", "op", "ver", "name", "v"),
+        i.toLong, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    }
+    val head = MergeSink.latestVersion(store).get
+    // a LIVE in-flight OCC claim beyond the head (fresh mtime)
+    val marker = NioPaths.get(store, "_commits", (head + 1).toString)
+    val content = s"$head 7 123 w=wX b=0"
+    NioFiles.write(marker, content.getBytes("UTF-8"))
+    // pruning folds only COMMITTED history: the in-flight claim must
+    // survive untouched and the horizon must never pass the head —
+    // before the fix, dropRight over ALL markers deleted live claims
+    // (aborting their writers mid-merge and freeing claimed slots)
+    // and raised the horizon past _latest, wedging every new writer
+    MergeSink.pruneCommitMarkers(store)
+    assert(NioFiles.exists(marker) &&
+      new String(NioFiles.readAllBytes(marker), "UTF-8") == content,
+      "the live in-flight claim was pruned")
+    val horizon = NioPaths.get(store, "_commits", "_horizon")
+    assert(NioFiles.exists(horizon), "20 commits leave pruned history")
+    val h = new String(NioFiles.readAllBytes(horizon), "UTF-8").trim.toLong
+    assert(h <= head,
+      s"horizon $h passed the published head $head — never prunable")
+    // committed-history markers DID prune (the invariant is targeted,
+    // not a no-op): only the newest RetainMarkers at or below head stay
+    val kept = {
+      val s0 = NioFiles.list(NioPaths.get(store, "_commits"))
+      try {
+        val it = s0.iterator()
+        var n = 0
+        while (it.hasNext) {
+          val f = it.next().getFileName.toString
+          if (f.forall(_.isDigit) && f.toLong <= head) n += 1
+        }
+        n
+      } finally s0.close()
+    }
+    assert(kept <= 16, s"committed markers were not folded: $kept")
+  }
+
+  test("ST10 publish replaces an ORPHANED version dir instead of interleaving into it") {
+    import graft.streaming.MergeSink
+    import java.nio.file.{Files => NioFiles, Paths => NioPaths}
+    val dir = Files.createTempDirectory("sink_orphan_vdir").toString
+    val store = s"$dir/store"
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    // an abandoned attempt's data dir squats on the NEXT version slot
+    // (its claim was released; the dir remained) — with in-place
+    // overwrite writes, the next committer's files could interleave
+    // with the orphan's; the staged publish must REPLACE it wholesale
+    val orphan = NioPaths.get(store, "v1", "_bucket=0")
+    NioFiles.createDirectories(orphan)
+    NioFiles.write(orphan.resolve("garbage.parquet"), "junk".getBytes("UTF-8"))
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 2L, "a2", 11L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    assert(MergeSink.latestVersion(store).contains(1L))
+    val rows = MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a2")))
+    // the junk file did not survive into the published dir
+    val junk = {
+      val s0 = java.nio.file.Files.walk(NioPaths.get(store, "v1"))
+      try {
+        val it = s0.iterator()
+        var found = false
+        while (it.hasNext) { if (it.next().getFileName.toString == "garbage.parquet") found = true }
+        found
+      } finally s0.close()
+    }
+    assert(!junk, "the orphan's file leaked into the published version dir")
+  }
 }

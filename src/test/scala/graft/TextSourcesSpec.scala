@@ -47,6 +47,29 @@ class TextSourcesSpec extends SparkTestBase {
     assert(q == Set("not_a_number,world"))
   }
 
+  test("csv: a DATA row equal to the header string stays data; one header drops per file") {
+    val strSchema = StructType(Seq(
+      StructField("name", StringType), StructField("city", StringType)))
+    val dir = Files.createTempDirectory("graft_csv_hdr").toString
+    // file A: a real data row spells exactly "name,city" mid-file —
+    // it must parse as data, never vanish from both channels
+    Files.write(java.nio.file.Paths.get(dir, "a.csv"),
+      ("name,city\n" +
+        "alice,berlin\n" +
+        "name,city\n" +         // DATA (a person named "name" in "city")
+        "bob,tokyo\n").getBytes("UTF-8"))
+    // file B: its own header must also drop (one per file)
+    Files.write(java.nio.file.Paths.get(dir, "b.csv"),
+      ("name,city\n" + "carol,oslo\n").getBytes("UTF-8"))
+    val (good, quarantine) = TextSources.csv(spark, dir, strSchema)
+    val g = good.collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(g == Map(("alice", "berlin") -> 1, ("name", "city") -> 1,
+      ("bob", "tokyo") -> 1, ("carol", "oslo") -> 1),
+      s"the header-shaped data row must survive exactly once: $g")
+    assert(quarantine.count() == 0)
+  }
+
   test("schema colliding with the corrupt column is rejected up front") {
     val bad = StructType(Seq(StructField(TextSources.CorruptCol, StringType)))
     intercept[IllegalArgumentException](
