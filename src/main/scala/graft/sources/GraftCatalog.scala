@@ -151,20 +151,23 @@ class GraftCatalog extends TableCatalog {
             s"existing store at $dir records (${actual.map(c =>
             s"${c._1} ${c._2.simpleString}").mkString(", ")}) — adopt " +
             "with no column list, or declare the store's actual shape")
-        val props = new CaseInsensitiveStringMap(properties)
-        Option(props.get("key")).foreach { k =>
-          val stored = MergeSink.storedKeyName(dir)
-            .getOrElse(live.fields.head.name)
-          require(k == stored,
-            s"graft: CREATE TABLE declares key '$k' but the store at " +
-              s"$dir is keyed by '$stored'")
-        }
-        Option(props.get("nbuckets")).map(_.toLong).foreach { n =>
-          MergeSink.storedNBuckets(dir).foreach(stored =>
-            require(n == stored,
-              s"graft: CREATE TABLE declares nBuckets=$n but the store " +
-                s"at $dir is bucketed into $stored"))
-        }
+      }
+      // the key/nBuckets properties are checked on EVERY adoption —
+      // with or without a column list: a bare CREATE TABLE declaring
+      // a conflicting key must refuse just as loudly
+      val props = new CaseInsensitiveStringMap(properties)
+      Option(props.get("key")).foreach { k =>
+        val stored = MergeSink.storedKeyName(dir)
+          .getOrElse(live.fields.head.name)
+        require(k == stored,
+          s"graft: CREATE TABLE declares key '$k' but the store at " +
+            s"$dir is keyed by '$stored'")
+      }
+      Option(props.get("nbuckets")).map(_.toLong).foreach { n =>
+        MergeSink.storedNBuckets(dir).foreach(stored =>
+          require(n == stored,
+            s"graft: CREATE TABLE declares nBuckets=$n but the store " +
+              s"at $dir is bucketed into $stored"))
       }
       new GraftTable(dir, live, None)
     } else if (schema.fields.nonEmpty) {

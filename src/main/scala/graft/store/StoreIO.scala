@@ -121,6 +121,7 @@ private[store] trait StoreBackend {
   def size(p: StorePath): Long
   def readAllBytes(p: StorePath): Array[Byte]
   def write(p: StorePath, bytes: Array[Byte], createNew: Boolean): Unit
+  def createExclusive(p: StorePath, bytes: Array[Byte]): Unit
   def move(src: StorePath, dst: StorePath, replaceExisting: Boolean): Unit
   def deleteIfExists(p: StorePath): Boolean
   def createDirectories(p: StorePath): Unit
@@ -147,6 +148,23 @@ private[store] object LocalStoreIO extends StoreBackend {
     if (createNew)
       java.nio.file.Files.write(nio(p), bytes, StandardOpenOption.CREATE_NEW)
     else java.nio.file.Files.write(nio(p), bytes)
+  def createExclusive(p: StorePath, bytes: Array[Byte]): Unit = {
+    // hard-link publish: the FULL content lands under a temp name and
+    // the link() either creates the destination complete or fails on
+    // an existing one — no created-but-empty window for readers (the
+    // two-step CREATE_NEW write exposes length-0 between create and
+    // write; for a registry file that window reads as corruption)
+    val tmp = nio(p).resolveSibling(s".${nio(p).getFileName}.x." +
+      (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        & Long.MaxValue))
+    java.nio.file.Files.write(tmp, bytes)
+    try java.nio.file.Files.createLink(nio(p), tmp)
+    catch {
+      case _: UnsupportedOperationException =>
+        // no hard links on this filesystem: fall back to CREATE_NEW
+        java.nio.file.Files.write(nio(p), bytes, StandardOpenOption.CREATE_NEW)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
   def move(src: StorePath, dst: StorePath, replaceExisting: Boolean): Unit =
     if (replaceExisting)
       java.nio.file.Files.move(nio(src), nio(dst),
@@ -253,13 +271,35 @@ private[store] object HadoopStoreIO extends StoreBackend {
     try out.write(bytes) finally out.close()
   }
 
+  def createExclusive(p: StorePath, bytes: Array[Byte]): Unit =
+    // HDFS exposes the file at create (length 0) and the content at
+    // close — a reader racing this window sees an empty registry file;
+    // the store-side readers retry/refuse loudly on empty content (the
+    // same documented window as the claim markers)
+    write(p, bytes, createNew = true)
+
   def move(src: StorePath, dst: StorePath, replaceExisting: Boolean): Unit =
     if (!replaceExisting) {
-      // exclusive move: FileSystem.rename refuses an existing dst (and
-      // a missing src) — atomic at the HDFS NameNode, one mover wins
+      // exclusive move. CAUTION: FileSystem.rename(src, dst) with dst
+      // an EXISTING DIRECTORY moves src INTO dst (the Hadoop FS spec's
+      // posix-style rename) and returns true — silently NESTING the
+      // source where the protocol expects a refusal. Probe dst first;
+      // the probe-to-rename window is covered by the claim protocol
+      // (only one claimant publishes a given version at a time), and
+      // the post-rename nesting check turns any remaining surprise
+      // into a loud error instead of a divergent directory.
+      if (fs(dst).exists(h(dst)))
+        throw new java.io.IOException(
+          s"rename $src -> $dst refused: destination exists")
       if (!fs(src).rename(h(src), h(dst)))
         throw new java.io.IOException(
           s"rename $src -> $dst failed (destination exists or source is gone)")
+      val nested = new HPath(h(dst), h(src).getName)
+      if (fs(dst).exists(nested))
+        throw new java.io.IOException(
+          s"rename $src -> $dst NESTED the source into an existing " +
+            "directory — destination was created concurrently; the store " +
+            s"dir needs manual repair ($nested)")
     } else fileContext(dst) match {
       case Some(fc) =>
         try fc.rename(h(src), h(dst), Options.Rename.OVERWRITE)
@@ -323,6 +363,14 @@ object StoreFiles {
       replaceExisting = opts.contains(StandardCopyOption.REPLACE_EXISTING))
     dst
   }
+
+  /** EXCLUSIVE create with ATOMIC content (registry files): either the
+    * destination appears with its full bytes or the call throws
+    * [[java.nio.file.FileAlreadyExistsException]] — locally a
+    * hard-link publish (no created-but-empty window), remotely the
+    * backend's create-exclusive. */
+  def createExclusive(p: StorePath, bytes: Array[Byte]): Unit =
+    io(p).createExclusive(p, bytes)
 
   def deleteIfExists(p: StorePath): Boolean = io(p).deleteIfExists(p)
   def createDirectories(p: StorePath): StorePath = {

@@ -451,9 +451,13 @@ object MergeSink {
       finally s0.close()
     }
     // sweep orphaned STAGE dirs (a writer that crashed between its
-    // merge-job write and the publish rename): lease-stale stages are
-    // garbage — a live writer's stage is younger than the lease, and
-    // its replay writes a fresh nonce'd stage anyway
+    // merge-job write and the publish rename). LIVENESS IS THE CLAIM,
+    // not the stage mtime: a long merge job touches the stage's top
+    // level only at job start/commit, so a >lease rewrite (routine at
+    // scale — withClaimHeartbeat exists for exactly that) has a stale-
+    // looking stage while its heartbeated claim marker is perfectly
+    // fresh. A stage is garbage only when BOTH its mtime is lease-old
+    // AND the claim on its version is gone or lease-stale.
     locally {
       val s0 = Files.list(Paths.get(storeDir))
       try s0.iterator().asScala
@@ -462,6 +466,14 @@ object MergeSink {
           try System.currentTimeMillis() -
             Files.getLastModifiedTime(p).toMillis >= TakeoverLeaseMs
           catch { case _: java.nio.file.NoSuchFileException => false })
+        .filter { p =>
+          val v = p.getFileName.toString.stripPrefix(".stage_v")
+            .takeWhile(_.isDigit).toLongOption
+          v.forall { version =>
+            val m = dir.resolve(version.toString)
+            !Files.exists(m) || markerLeaseExpired(m)
+          }
+        }
         .foreach(Files.deleteTree(_))
       catch { case _: java.io.IOException => () }
       finally s0.close()
@@ -754,9 +766,8 @@ object MergeSink {
         // registration, then pass this gate and route against A's
         // layout with B's modulus — silent key duplication). Exclusive
         // create decides one winner; the loser re-reads and must match.
-        try Files.write(nBucketsPath(storeDir),
-          nBuckets.toLong.toString.getBytes(StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE_NEW)
+        try Files.createExclusive(nBucketsPath(storeDir),
+          nBuckets.toLong.toString.getBytes(StandardCharsets.UTF_8))
         catch { case _: FileAlreadyExistsException => () }
         readLong(nBucketsPath(storeDir))
           .filter(_ != nBuckets.toLong).foreach(refuse)
@@ -793,8 +804,8 @@ object MergeSink {
       case Some(_) => ()
       case None =>
         // first-writer-wins CAS, same argument as requireNBuckets
-        try Files.write(keyNamePath(storeDir),
-          key.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+        try Files.createExclusive(keyNamePath(storeDir),
+          key.getBytes(StandardCharsets.UTF_8))
         catch { case _: FileAlreadyExistsException => () }
         storedKeyName(storeDir).filter(_ != key).foreach(refuse)
     }
@@ -1483,7 +1494,19 @@ object MergeSink {
     * retry (and the abandoned claim expires via the takeover lease).
     * Filtering is idempotent, so re-running an interrupted erasure
     * always converges. Returns the audit version, or None on a store
-    * with no commits. */
+    * with no commits.
+    *
+    * REBUCKET HISTORY: dirs below `_rebucket_floor` (recorded by
+    * [[rebucketStore]]) — and any dir holding bucket ids outside the
+    * current count, the shrink-migration signature — rewrite EVERY
+    * bucket they have, since the current modulus does not locate the
+    * subject in an old layout. KNOWN RESIDUAL: a store GROW-rebucketed
+    * by a build that predates the floor file has old-layout dirs this
+    * scoping cannot detect (all their ids are inside the new count
+    * too); run one [[compactBucketedStore]] + [[vacuumBucketedStore]]
+    * on such a store first — that rewrites history onto the current
+    * layout — or re-run [[rebucketStore]] once, which records the
+    * floor. */
   def eraseKeys(spark: SparkSession, storeDir: String,
       keys: DataFrame): Option[Long] = {
     val latest = readLong(latestPath(storeDir)).getOrElse(return None)
@@ -1558,16 +1581,23 @@ object MergeSink {
         try s0.iterator().asScala.map(_.getFileName.toString).toList
         finally s0.close()
       }
-      val present = names.flatMap { n =>
+      val buckets = names.flatMap(n =>
         if (n.startsWith("_bucket=")) n.stripPrefix("_bucket=").toLongOption
-        else if (n.startsWith(".erase_old_b"))
+        else None).toSet
+      // an interrupted PREVIOUS erasure's artifacts join the scope
+      // UNCONDITIONALLY — their recovery steps (restore the backup /
+      // roll the tmp forward) must run even when the current request's
+      // keys hash elsewhere, or the crashed bucket stays invisible
+      val artifacts = names.flatMap(n =>
+        if (n.startsWith(".erase_old_b"))
           n.stripPrefix(".erase_old_b").toLongOption
         else if (n.startsWith(".erase_tmp_b"))
           n.stripPrefix(".erase_tmp_b").toLongOption
-        else None
-      }.toSet
-      if (rebucketFloor.exists(v < _) || present.exists(_ >= nB)) present
-      else present.intersect(affected)
+        else None).toSet
+      val scoped =
+        if (rebucketFloor.exists(v < _) || buckets.exists(_ >= nB)) buckets
+        else buckets.intersect(affected)
+      scoped ++ artifacts
     }
     def rmTree(path: Path): Unit =
       if (Files.exists(path)) Files.deleteTree(path)
@@ -2411,6 +2441,15 @@ object MergeSink {
     }
     writeManifest(storeDir, version, buckets.map(_ -> version).toMap)
     writeSchema(storeDir, version, target)
+    // registry writes sit BETWEEN the verify and the swap: writing the
+    // new bucket count before the verify left a usurped rebucket's
+    // registry on the NEW count while `_latest` stayed on the OLD
+    // layout (readers then prune with the wrong modulus). The count
+    // and the pointer still cannot move in one atomic step — the
+    // residual window is the few metadata writes between them, not
+    // the whole rewrite; per-version counts in the manifest would
+    // close it fully (a protocol-format change, noted in the survey).
+    verifyClaim(claim)
     newNBuckets.foreach { n =>
       writeLongAtomic(nBucketsPath(storeDir), n.toLong)
       // erasure's rebucket-aware scope: dirs BELOW this version were
@@ -2419,7 +2458,6 @@ object MergeSink {
       val fl = Paths.get(storeDir, "_rebucket_floor")
       if (readLong(fl).forall(_ < version)) writeLongAtomic(fl, version)
     }
-    verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
     pruneCommitMarkers(storeDir)
     Some(version)
@@ -2776,7 +2814,13 @@ object MergeSink {
     val parent = readLong(latestPath(viewDir))
     val version = parent.getOrElse(-1L) + 1
     val claim = claimCommit(viewDir, version, parent.getOrElse(-1L), to)
-    next.write.mode("overwrite").parquet(s"$viewDir/v$version")
+    // staged publish like every other version-dir write — doubly so
+    // here: incrementalAgg is NOT idempotent, so a stalled maintainer
+    // interleaving files into a taken-over view version would corrupt
+    // counts/sums silently, not just duplicate bytes
+    publishVersionDir(viewDir, version, claim) { stage =>
+      next.write.mode("overwrite").parquet(stage)
+    }
     writeSchema(viewDir, version, next.schema)
     verifyClaim(claim)
     writeLongAtomic(latestPath(viewDir), version)
