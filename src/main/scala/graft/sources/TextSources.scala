@@ -71,15 +71,23 @@ object TextSources {
     val body =
       if (!header) raw
       else {
-        // line identity = (file, monotonic id): ids ascend in read
-        // order within a file's splits, so min(id) over the
-        // header-equal lines of a file IS its leading header (the
-        // header contract puts one on line 1 of every file)
+        // line identity = (file, monotonic id), SCOPED TO THE FILE'S
+        // OFFSET-0 SPLIT: the leading header (line 1 of every file, by
+        // the header contract) lives in the split whose
+        // `file_block_start` is 0, and that one split is read as a
+        // single contiguous run, within which monotonic ids ascend in
+        // row order BY CONSTRUCTION (partitionId << 33 + per-partition
+        // counter). min(id) over the header-equal lines of that split
+        // is therefore the file's first line — with NO dependence on
+        // how Spark orders splits across partitions (an unscoped
+        // min(id) over the whole file assumed the offset-0 split got
+        // the lowest partition index, an internal ordering detail).
         val lines = raw.select(col("value"),
           col("_metadata.file_path").as("_file"),
+          col("_metadata.file_block_start").as("_bstart"),
           monotonically_increasing_id().as("_mid"))
         val hdr = lit(schema.fieldNames.mkString(delimiter))
-        val firsts = lines.filter(col("value") === hdr)
+        val firsts = lines.filter(col("value") === hdr && col("_bstart") === 0)
           .groupBy(col("_file")).agg(min(col("_mid")).as("_hmid"))
         lines.join(broadcast(firsts),
             lines("_file") === firsts("_file") &&

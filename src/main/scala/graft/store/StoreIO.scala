@@ -160,8 +160,16 @@ private[store] object LocalStoreIO extends StoreBackend {
     java.nio.file.Files.write(tmp, bytes)
     try java.nio.file.Files.createLink(nio(p), tmp)
     catch {
-      case _: UnsupportedOperationException =>
-        // no hard links on this filesystem: fall back to CREATE_NEW
+      // an EXISTING destination is the CAS refusal — propagate it
+      // (FileAlreadyExistsException IS a FileSystemException, so it
+      // must be re-thrown before the filesystem-limitation fallback)
+      case e: java.nio.file.FileAlreadyExistsException => throw e
+      // hard-link refusal surfaces as UnsupportedOperationException on
+      // some filesystems but as FileSystemException on many others
+      // (FAT/exFAT, FUSE/overlay mounts, EPERM policies): both mean
+      // "this fs can't link" — fall back to CREATE_NEW rather than
+      // failing first-batch registry creation with an opaque error
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
         java.nio.file.Files.write(nio(p), bytes, StandardOpenOption.CREATE_NEW)
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
@@ -322,9 +330,26 @@ private[store] object HadoopStoreIO extends StoreBackend {
   def getLastModifiedTime(p: StorePath): FileTime =
     try FileTime.fromMillis(fs(p).getFileStatus(h(p)).getModificationTime)
     catch { case _: java.io.FileNotFoundException => throw noSuchFile(p) }
-  def setLastModifiedTime(p: StorePath, t: FileTime): Unit =
-    try fs(p).setTimes(h(p), t.toMillis, -1)
-    catch { case _: java.io.FileNotFoundException => throw noSuchFile(p) }
+  def setLastModifiedTime(p: StorePath, t: FileTime): Unit = {
+    // `FileSystem.setTimes` is a SILENT NO-OP on object stores (S3A
+    // and any fs that keeps the base-class default): trusting it
+    // would silently stop the claim heartbeat from refreshing leases
+    // there — any rewrite longer than the takeover lease would look
+    // abandoned and get usurped. VERIFY the mtime actually moved by
+    // read-back; when it did not, re-PUT the file's own bytes (the
+    // CAS table's documented refresh — an object PUT is the one
+    // mtime-moving primitive every object store has). The re-PUT is
+    // an overwrite, not atomic: a reader racing it can see partial
+    // content, which the marker readers already treat as a detected
+    // race/corruption — loud, never a silent clobber.
+    try {
+      fs(p).setTimes(h(p), t.toMillis, -1)
+      val moved = fs(p).getFileStatus(h(p)).getModificationTime
+      // 2 s slack absorbs second-granularity mtimes; a no-op'd
+      // heartbeat refresh (minutes stale) is far outside it
+      if (moved + 2000L < t.toMillis) write(p, readAllBytes(p), createNew = false)
+    } catch { case _: java.io.FileNotFoundException => throw noSuchFile(p) }
+  }
 
   def deleteTree(p: StorePath): Unit = { fs(p).delete(h(p), true); () }
 }

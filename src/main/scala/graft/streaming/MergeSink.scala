@@ -126,7 +126,18 @@ object MergeSink {
       // dropped; its holder's pre-swap verify then aborts LOUDLY.
       try {
         val body = Files.readAllBytes(captured)
-        try Files.write(marker, body, StandardOpenOption.CREATE_NEW)
+        val mtime = Files.getLastModifiedTime(captured)
+        try {
+          Files.write(marker, body, StandardOpenOption.CREATE_NEW)
+          // restore the CAPTURED mtime too: CREATE_NEW stamps "now",
+          // which would hand the restored claim a FULL fresh lease on
+          // every failed takeover probe — and probes cluster exactly
+          // when the marker is near-stale, so a dead writer's claim
+          // could be deferred indefinitely. The lease clock must
+          // survive the capture/restore round trip.
+          try Files.setLastModifiedTime(marker, mtime)
+          catch { case _: java.io.IOException => () }
+        }
         catch { case _: FileAlreadyExistsException => () } // re-claimed: drop
       } catch { case _: java.io.IOException => () }
       Files.deleteIfExists(captured)

@@ -138,22 +138,35 @@ object GraftMaintenanceSql {
     }
   }
 
-  /** `VACUUM [RETAIN n VERSIONS] [RETAIN h HOURS] [DRY RUN]` — one row
-    * per reclaimed (or reclaimable, under DRY RUN) version. The
-    * default retains nothing beyond liveness — same contract as the
-    * Scala API; size the windows to the slowest time-travel reader or
-    * feed subscriber. */
+  /** `VACUUM RETAIN n VERSIONS | RETAIN h HOURS [DRY RUN]` — one row
+    * per reclaimed (or reclaimable, under DRY RUN) version. The SQL
+    * verb REQUIRES an explicit RETAIN clause (except under DRY RUN,
+    * which touches nothing): the lakehouse verb this mirrors defaults
+    * to a retention floor with a safety check, so a bare
+    * `VACUUM graft.obs` silently destroying all reclaimable
+    * time-travel history would be exactly the surprise an operator
+    * doesn't expect. `RETAIN 0 VERSIONS` states the
+    * liveness-only intent explicitly; the Scala API
+    * ([[MergeSink.vacuumBucketedStore]]) keeps its documented zero
+    * default for programmatic callers. */
   case class GraftVacuumCommand(target: Either[String, Seq[String]],
-      retainVersions: Int, retainHours: Double, dryRun: Boolean)
-      extends LeafRunnableCommand {
+      retainVersions: Int, retainHours: Double, dryRun: Boolean,
+      retainSpecified: Boolean) extends LeafRunnableCommand {
     override val output: Seq[AttributeReference] = Seq(
       AttributeReference(if (dryRun) "reclaimable_version" else "reclaimed_version",
         LongType, nullable = false)())
-    override def run(spark: SparkSession): Seq[Row] =
+    override def run(spark: SparkSession): Seq[Row] = {
+      require(retainSpecified || dryRun,
+        "graft: VACUUM with no RETAIN clause would immediately reclaim " +
+          "ALL dead time-travel history — state the retention explicitly " +
+          "(VACUUM … RETAIN 48 HOURS / RETAIN 10 VERSIONS; RETAIN 0 " +
+          "VERSIONS for liveness-only reclamation), or preview with " +
+          "DRY RUN")
       MergeSink.vacuumBucketedStore(resolveDir(spark, target),
         retainLast = retainVersions,
         retainMillis = (retainHours * 3600L * 1000L).toLong,
         dryRun = dryRun).map(Row(_))
+    }
   }
 
   /** `CREATE TABLE <dst> SHALLOW CLONE <src>` —
@@ -261,7 +274,9 @@ class GraftSqlParser(session: => org.apache.spark.sql.SparkSession,
       case Vacuum(t, retains, dry) => target(t).map { tgt =>
         var versions = 0
         var hours = 0.0
+        var specified = false
         Retain.findAllMatchIn(Option(retains).getOrElse("")).foreach { m =>
+          specified = true
           val n = m.group(1)
           m.group(2).toUpperCase match {
             case "VERSIONS" => versions = n.toIntOption.getOrElse(
@@ -272,7 +287,7 @@ class GraftSqlParser(session: => org.apache.spark.sql.SparkSession,
                 s"graft: RETAIN $n HOURS needs a number (got '$n')"))
           }
         }
-        GraftVacuumCommand(tgt, versions, hours, dry != null)
+        GraftVacuumCommand(tgt, versions, hours, dry != null, specified)
       }
       case _ => None
     }

@@ -113,8 +113,17 @@ class GraftMaintenanceSqlSpec extends SparkTestBase {
     // retention: RETAIN 10 VERSIONS keeps every read point
     assert(s.sql(s"VACUUM '$store' RETAIN 10 VERSIONS").collect().isEmpty)
     assert(MergeSink.bucketedSnapshotAt(s, store, 1L).count() == 2)
-    // no retention: both reclaimed, old read point now fails loudly
-    val gone = s.sql(s"VACUUM '$store'").collect().map(_.getLong(0)).toSet
+    // a bare VACUUM (no RETAIN clause) is refused — the SQL verb
+    // demands the retention be stated before destroying history
+    val bare = intercept[IllegalArgumentException] {
+      s.sql(s"VACUUM '$store'").collect()
+    }
+    assert(bare.getMessage.contains("RETAIN"), bare.getMessage)
+    assert(MergeSink.bucketedSnapshotAt(s, store, 1L).count() == 2,
+      "a refused VACUUM must not reclaim anything")
+    // explicit zero retention: both reclaimed, old read point fails loudly
+    val gone = s.sql(s"VACUUM '$store' RETAIN 0 VERSIONS").collect()
+      .map(_.getLong(0)).toSet
     assert(gone == Set(0L, 1L))
     intercept[IllegalStateException] {
       MergeSink.bucketedSnapshotAt(s, store, 0L).count()
