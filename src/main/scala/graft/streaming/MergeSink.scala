@@ -150,15 +150,22 @@ object MergeSink {
 
   /** A missing pointer file is an absent state; an EXISTING but
     * unparsable one is damage — fail loudly rather than read the store
-    * as empty (a truncated `_latest` must never look like "no store"). */
+    * as empty (a truncated `_latest` must never look like "no store").
+    * The read races pointer swaps: on a delete-then-rename backend the
+    * file can vanish BETWEEN the exists probe and the read, so a
+    * NoSuchFileException from the read IS the absent state (the
+    * [[readHead]] retry then covers the swap window). */
   private def readLong(p: Path): Option[Long] =
-    if (Files.exists(p)) {
-      val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
-      Some(body.toLongOption.getOrElse(throw new IllegalStateException(
-        s"MergeSink: pointer file $p is corrupted (content: '$body') — " +
-          "restore it from the highest _commits marker / version dir " +
-          "before using this store")))
-    } else None
+    try {
+      if (!Files.exists(p)) None
+      else {
+        val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
+        Some(body.toLongOption.getOrElse(throw new IllegalStateException(
+          s"MergeSink: pointer file $p is corrupted (content: '$body') — " +
+            "restore it from the highest _commits marker / version dir " +
+            "before using this store")))
+      }
+    } catch { case _: java.nio.file.NoSuchFileException => None }
 
   private def writeLongAtomic(p: Path, v: Long): Unit = {
     // tmp name carries a nonce: CONCURRENT writers of the same pointer
@@ -174,6 +181,59 @@ object MergeSink {
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** The head pointer (`_latest`) with the MISSING-POINTER READER
+    * RETRY the path layer's CAS table documents
+    * ([[graft.store.StorePath]]): on a backend whose overwrite-rename
+    * is delete-then-rename (no `AbstractFileSystem` binding — the S3A
+    * shape), every pointer swap has a sub-millisecond window where
+    * `_latest` does not exist. A store that demonstrably committed
+    * before (see [[committedEvidence]]) therefore re-polls a missing
+    * pointer briefly instead of reading as "no store" — and if the
+    * pointer stays gone past the window, fails LOUDLY naming the
+    * repair (a crashed mid-swap writer or a deleted file, never a
+    * silently empty store). A store with no commit evidence keeps the
+    * plain semantics: missing pointer = not yet committed. */
+  private def readHead(storeDir: String): Option[Long] =
+    readLong(latestPath(storeDir)) match {
+      case s @ Some(_) => s
+      case None if !committedEvidence(storeDir) => None
+      case None =>
+        var r: Option[Long] = None
+        var i = 0
+        while (r.isEmpty && i < 25) {
+          Thread.sleep(20L)
+          r = readLong(latestPath(storeDir))
+          i += 1
+        }
+        if (r.isEmpty)
+          throw new IllegalStateException(
+            s"MergeSink: $storeDir has committed history (replay guards / " +
+              "commit horizon / subscribers exist) but no `_latest` pointer " +
+              "— a non-atomic pointer swap crashed mid-window or the file " +
+              "was deleted; restore `_latest` from the highest _commits " +
+              "marker / manifest before using this store")
+        r
+    }
+
+  /** Proof a store committed at least once, readable WITHOUT the head
+    * pointer — every artifact here is only ever written AFTER a
+    * successful `_latest` swap: the serialized replay guard
+    * (`_lastBatch`), any per-writer OCC lineage (`_lastBatch.<w>`),
+    * the pruning horizon, a subscriber offset. Only consulted when the
+    * pointer is missing (never on the hot path). */
+  private def committedEvidence(storeDir: String): Boolean =
+    Files.exists(lastBatchPath(storeDir)) ||
+      Files.exists(commitsDir(storeDir).resolve("_horizon")) ||
+      Files.exists(Paths.get(storeDir, "_subscribers")) || {
+        val dir = Paths.get(storeDir)
+        Files.exists(dir) && {
+          val s0 = Files.list(dir)
+          try s0.iterator().asScala
+            .exists(_.getFileName.toString.startsWith("_lastBatch."))
+          finally s0.close()
+        }
+      }
 
   /** A held commit claim: the marker path plus the EXACT content this
     * writer wrote (or adopted, for a streaming crash-replay). The
@@ -203,6 +263,9 @@ object MergeSink {
     * committed slot). */
   private def releaseOwnClaim(claim: Claim): Unit =
     try {
+      // raw pointer read, NOT readHead: this is failure-path cleanup —
+      // a missing-pointer IllegalStateException here would mask the
+      // original error; an unreleased claim merely waits out its lease
       if (readLong(latestPath(claim.storeDir)).getOrElse(-1L) < claim.version &&
         Files.exists(claim.marker) &&
         new String(Files.readAllBytes(claim.marker),
@@ -301,7 +364,7 @@ object MergeSink {
           // [[withClaimHeartbeat]]), so genuine two-writer races
           // stay loud.
           val stale = prevParent == parent &&
-            readLong(latestPath(storeDir)).getOrElse(-1L) == parent &&
+            readHead(storeDir).getOrElse(-1L) == parent &&
             (System.currentTimeMillis() -
               (try Files.getLastModifiedTime(marker).toMillis
                catch { case _: java.nio.file.NoSuchFileException => vanished() })
@@ -495,7 +558,7 @@ object MergeSink {
     // free the slot for a second claimant mid-write, and fold a
     // never-committed version into the horizon (head < horizon wedges
     // every later writer's parent check until manual repair).
-    val head = readLong(latestPath(storeDir)).getOrElse(return)
+    val head = readHead(storeDir).getOrElse(return)
     val versions = {
       val s = Files.list(dir)
       try s.iterator().asScala.map(_.getFileName.toString)
@@ -566,7 +629,7 @@ object MergeSink {
   /** The store's current contents (empty-but-typed before any batch). */
   def currentSnapshot(spark: SparkSession,
       storeDir: String, key: String, valueCols: Seq[String]): Option[DataFrame] = {
-    readLong(latestPath(storeDir)).map { v =>
+    readHead(storeDir).map { v =>
       spark.read.parquet(s"$storeDir/v$v")
     }
   }
@@ -585,7 +648,7 @@ object MergeSink {
       case Some(last) => last >= batchId
       case None =>
         if (Files.exists(schemasDir(storeDir))) false
-        else readLong(latestPath(storeDir)).exists(_ >= batchId)
+        else readHead(storeDir).exists(_ >= batchId)
     }
 
   /** The batchId a version's commit marker records (markers are
@@ -612,7 +675,7 @@ object MergeSink {
       key: String, opCol: String, verCol: String,
       valueCols: Seq[String]): Unit = {
     if (alreadyApplied(storeDir, batchId)) return
-    applyBatchFrom(readLong(latestPath(storeDir)), batch, batchId, storeDir,
+    applyBatchFrom(readHead(storeDir), batch, batchId, storeDir,
       key, opCol, verCol, valueCols)
   }
 
@@ -831,7 +894,7 @@ object MergeSink {
     * typed by its recorded schema, not an error. */
   def currentBucketedSnapshot(spark: SparkSession,
       storeDir: String): Option[DataFrame] = {
-    readLong(latestPath(storeDir)).map { latest =>
+    readHead(storeDir).map { latest =>
       val manifest = readManifest(storeDir, latest)
       val target = readSchema(storeDir, latest).getOrElse {
         // pre-schema-registry store: recover the shape from a live dir
@@ -906,7 +969,7 @@ object MergeSink {
 
   /** Head version, if any commit exists. */
   private[graft] def headVersion(storeDir: String): Option[Long] =
-    readLong(latestPath(storeDir))
+    readHead(storeDir)
 
   /** The store's recorded bucket count (None = plain-protocol store).
     * Public: the DML extension rules (org.apache.spark.sql.graft —
@@ -1106,7 +1169,7 @@ object MergeSink {
     * time-travel read would not). */
   def storeChangesBetween(spark: SparkSession, storeDir: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
-    val latest = readLong(latestPath(storeDir)).getOrElse(
+    val latest = readHead(storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"MergeSink: $storeDir has no committed version to diff"))
     require(fromVersion >= 0 && fromVersion < toVersion && toVersion <= latest,
@@ -1170,7 +1233,7 @@ object MergeSink {
     * version. */
   def restoreStore(spark: SparkSession, storeDir: String,
       version: Long): Long = {
-    val latest = readLong(latestPath(storeDir)).getOrElse(
+    val latest = readHead(storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"MergeSink: $storeDir has no committed version to restore"))
     require(version >= 0 && version <= latest,
@@ -1203,7 +1266,7 @@ object MergeSink {
     * resolve and the upper bound of [[bucketedSnapshotAt]]'s history.
     * None before the first commit. */
   def latestVersion(storeDir: String): Option[Long] =
-    readLong(latestPath(storeDir))
+    readHead(storeDir)
 
   /** SHALLOW CLONE — zero-copy branch of a bucketed store (a table
     * format's `CREATE TABLE ... SHALLOW CLONE`): `dstDir` starts life
@@ -1224,7 +1287,7 @@ object MergeSink {
     * branch — which [[eraseKeys]] requires before erasing on one.
     * Returns the branch head version (= the source's clone point). */
   def cloneStore(spark: SparkSession, srcDir: String, dstDir: String): Long = {
-    val latest = readLong(latestPath(srcDir)).getOrElse(
+    val latest = readHead(srcDir).getOrElse(
       throw new IllegalArgumentException(
         s"MergeSink: $srcDir has no committed version to clone"))
     if (!Files.exists(manifestsDir(srcDir).resolve(latest.toString)))
@@ -1263,7 +1326,7 @@ object MergeSink {
     // the pin is released and the caller retries against the new head.
     Files.createDirectories(clonesDir(srcDir))
     writeLongAtomic(clonesDir(srcDir).resolve(cloneId(dstDir)), latest)
-    if (!readLong(latestPath(srcDir)).contains(latest)) {
+    if (!readHead(srcDir).contains(latest)) {
       Files.deleteIfExists(clonesDir(srcDir).resolve(cloneId(dstDir)))
       throw new java.util.ConcurrentModificationException(
         s"MergeSink: $srcDir committed past v$latest while cloneStore was " +
@@ -1314,7 +1377,7 @@ object MergeSink {
     * by retained history, never by data. */
   def storeHistory(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
-    val latest = readLong(latestPath(storeDir)).getOrElse(-1L)
+    val latest = readHead(storeDir).getOrElse(-1L)
     val versions =
       if (!Files.exists(manifestsDir(storeDir))) Seq.empty[Long]
       else {
@@ -1368,7 +1431,7 @@ object MergeSink {
     * [[maintainStore]] policy so the advisor and the actor can never
     * disagree on the numbers. */
   private def bucketFileStats(storeDir: String): Seq[(Long, Long, Long, Long)] = {
-    val latest = readLong(latestPath(storeDir)).getOrElse(-1L)
+    val latest = readHead(storeDir).getOrElse(-1L)
     val manifest = if (latest < 0) Map.empty[Long, Long]
       else readManifest(storeDir, latest)
     manifest.toSeq.sorted.map { case (b, v) =>
@@ -1417,7 +1480,7 @@ object MergeSink {
       policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
     require(policy.maxFilesPerBucket >= 1 && policy.maxLiveVersions >= 1,
       "policy thresholds must be >= 1")
-    val latest = readLong(latestPath(storeDir)).getOrElse(
+    val latest = readHead(storeDir).getOrElse(
       return MaintenanceReport(triggered = false, "empty store", None, Nil))
     val liveClaims = {
       val dir = commitsDir(storeDir)
@@ -1520,7 +1583,7 @@ object MergeSink {
     * floor. */
   def eraseKeys(spark: SparkSession, storeDir: String,
       keys: DataFrame): Option[Long] = {
-    val latest = readLong(latestPath(storeDir)).getOrElse(return None)
+    val latest = readHead(storeDir).getOrElse(return None)
     val target = readSchema(storeDir, latest).getOrElse(
       throw new IllegalStateException(
         s"MergeSink: $storeDir has no recorded schema — only schema-registry " +
@@ -1698,7 +1761,7 @@ object MergeSink {
     requireKeyName(storeDir, key)
     if (alreadyApplied(storeDir, batchId)) return
     val spark = batch.sparkSession
-    val latest = readLong(latestPath(storeDir))
+    val latest = readHead(storeDir)
     val parent = latest.getOrElse(-1L)
     val version = parent + 1
     val manifest = latest.map(readManifest(storeDir, _)).getOrElse(Map.empty)
@@ -1800,7 +1863,7 @@ object MergeSink {
     var attempt = 0
     while (true) {
       attempt += 1
-      val readV = readLong(latestPath(storeDir)).getOrElse(-1L)
+      val readV = readHead(storeDir).getOrElse(-1L)
       val pin = if (readV >= 0) Some(readV) else None // empty store: the
       // unpinned read throws the store's own "nothing to read" error
       val schema = snapshotSchemaAt(storeDir, pin)
@@ -2007,7 +2070,7 @@ object MergeSink {
               StandardCharsets.UTF_8).trim
             Claim(marker, body, version, storeDir)
           case _
-              if readLong(latestPath(storeDir)).getOrElse(-1L) < version &&
+              if readHead(storeDir).getOrElse(-1L) < version &&
                 markerLeaseExpired(marker) =>
             // abandoned in-flight claim (writer died; a live one
             // heartbeats): ATOMIC capture-takeover, as claimCommit
@@ -2059,7 +2122,7 @@ object MergeSink {
     var backoffMs = 20L
     while (true) {
       attempt += 1
-      val latest = readLong(latestPath(storeDir))
+      val latest = readHead(storeDir)
       val baseManifest = latest.map(readManifest(storeDir, _)).getOrElse(Map.empty)
       // OCC READ-SET vs the SNAPSHOT THE BATCH VALUES CAME FROM: a
       // caller that derived its CDC rows from a store read (SQL
@@ -2190,7 +2253,7 @@ object MergeSink {
       // wait for the parent slot to publish (it may still be merging —
       // its heartbeat keeps its marker fresh; a stale or vanished
       // parent claim means its writer died → rebase cleanly)
-      while (readLong(latestPath(storeDir)).getOrElse(-1L) < parent) {
+      while (readHead(storeDir).getOrElse(-1L) < parent) {
         val pm = commitsDir(storeDir).resolve(parent.toString)
         val parentAlive =
           try Files.exists(pm) && (System.currentTimeMillis() -
@@ -2256,7 +2319,7 @@ object MergeSink {
     require(schema.fields.length >= 2,
       s"MergeSink: a store needs at least one value column besides '$key'")
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
-    if (readLong(latestPath(storeDir)).isDefined)
+    if (readHead(storeDir).isDefined)
       throw new IllegalStateException(
         s"MergeSink: $storeDir is already a committed store — CREATE " +
           "TABLE adopts it instead")
@@ -2281,7 +2344,7 @@ object MergeSink {
     * the empty v0 bootstrap commit) — the only state CREATE TABLE's
     * failure cleanup (CTAS write failed after create) may drop. */
   def isEmptyCreatedStore(storeDir: String): Boolean =
-    readLong(latestPath(storeDir)).contains(0L) &&
+    readHead(storeDir).contains(0L) &&
       Files.exists(manifestsDir(storeDir).resolve("0")) &&
       readManifest(storeDir, 0L).isEmpty
 
@@ -2324,7 +2387,7 @@ object MergeSink {
     * the store explicitly. Returns the evolution commit's version. */
   def addColumns(storeDir: String, newFields: Seq[StructField]): Long = {
     require(newFields.nonEmpty, "addColumns needs at least one new column")
-    val latest = readLong(latestPath(storeDir)).getOrElse(
+    val latest = readHead(storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"MergeSink: $storeDir has no committed version to evolve"))
     if (!Files.exists(manifestsDir(storeDir).resolve(latest.toString)))
@@ -2403,7 +2466,7 @@ object MergeSink {
     * key column recorded in the schema's FIRST field. */
   private def rewriteAll(spark: SparkSession, storeDir: String,
       newNBuckets: Option[Int], sortCols: Seq[Column] = Nil): Option[Long] = {
-    val latest = readLong(latestPath(storeDir)).getOrElse {
+    val latest = readHead(storeDir).getOrElse {
       newNBuckets.foreach(n => writeLongAtomic(nBucketsPath(storeDir), n.toLong))
       return None
     }
@@ -2507,7 +2570,7 @@ object MergeSink {
       retainMillis: Long = 0L, dryRun: Boolean = false): Seq[Long] = {
     require(retainLast >= 0, s"retainLast must be >= 0 (got $retainLast)")
     require(retainMillis >= 0, s"retainMillis must be >= 0 (got $retainMillis)")
-    val latest = readLong(latestPath(storeDir)).getOrElse(return Seq.empty)
+    val latest = readHead(storeDir).getOrElse(return Seq.empty)
     // SOURCE-side clone protection: a registered shallow clone
     // references this store's dirs by number — retain every dir its
     // clone-point manifest names (plus the manifest itself) until
@@ -2678,7 +2741,7 @@ object MergeSink {
     require(subscriber.nonEmpty && !subscriber.startsWith("_") &&
       !subscriber.exists(c => c == '/' || c == '\\'),
       s"subscriber must be a plain name (got '$subscriber')")
-    val latest = readLong(latestPath(storeDir)).getOrElse(return false)
+    val latest = readHead(storeDir).getOrElse(return false)
     val offsetPath = subscribersDir(storeDir).resolve(subscriber)
     val from = readLong(offsetPath) match {
       case Some(v) => v
@@ -2769,7 +2832,7 @@ object MergeSink {
   /** The maintained view's current contents (None before the first
     * maintained trigger). */
   def currentViewState(spark: SparkSession, viewDir: String): Option[DataFrame] =
-    readLong(latestPath(viewDir)).map(v => spark.read.parquet(s"$viewDir/v$v"))
+    readHead(viewDir).map(v => spark.read.parquet(s"$viewDir/v$v"))
 
   /** One feed range applied to the view store — package-private so the
     * spec can replay crash/redelivery interleavings directly. */
@@ -2787,7 +2850,7 @@ object MergeSink {
     // a head whose marker already covers `to` proves the range landed;
     // heal `_lastBatch` forward and no-op. (Markers for the head are
     // never pruned — pruneCommitMarkers keeps the newest RetainMarkers.)
-    val markerCovers = readLong(latestPath(viewDir))
+    val markerCovers = readHead(viewDir)
       .flatMap(v => markerBatchId(viewDir, v)).filter(_ >= to)
     if (markerCovers.isDefined) {
       writeLongAtomic(lastBatchPath(viewDir), markerCovers.get)
@@ -2803,7 +2866,7 @@ object MergeSink {
       .unionByName(feed.filter(col("change") =!= "delete")
         .select(col(s"${groupCol}_new").as(groupCol),
           col(s"${valueCol}_new").as("_v"), lit(1L).as("_sgn")))
-    val base = readLong(latestPath(viewDir)) match {
+    val base = readHead(viewDir) match {
       case Some(v) => spark.read.parquet(s"$viewDir/v$v")
       case None if from < 0 =>
         // from-before-history subscription: the feed itself carries the
@@ -2822,7 +2885,7 @@ object MergeSink {
               .cast("long").as("vsum"))
     }
     val next = Snapshot.incrementalAgg(base, deltas, Seq(groupCol), "_v", "_sgn")
-    val parent = readLong(latestPath(viewDir))
+    val parent = readHead(viewDir)
     val version = parent.getOrElse(-1L) + 1
     val claim = claimCommit(viewDir, version, parent.getOrElse(-1L), to)
     // staged publish like every other version-dir write — doubly so
