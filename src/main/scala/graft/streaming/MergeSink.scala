@@ -798,15 +798,39 @@ object MergeSink {
   private def readManifest(storeDir: String, version: Long): Map[Long, Long] = {
     val p = manifestsDir(storeDir).resolve(version.toString)
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).map { l =>
+      .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
         val Array(b, v) = l.split(' '); (b.toLong, v.toLong)
       }.toMap
   }
 
+  /** The LAYOUT SIGNATURE a version's manifest records: the bucket
+    * count its commit routed by (`#nbuckets <n>` header — comment
+    * lines, so any older parser skips them). This is what makes every
+    * version dir's layout self-describing: erasure prunes each
+    * historical dir with the modulus IT was written under, restore
+    * across a rebucket reverts the layout coherently, and the
+    * usurped-rebucket registry window closes (the manifest and the
+    * data publish atomically with the version — the `_nbuckets`
+    * registry file is a convenience cache the published head heals).
+    * None on pre-signature manifests (legacy stores) — their layout is
+    * UNKNOWN and consumers must stay conservative. */
+  def manifestNBuckets(storeDir: String, version: Long): Option[Long] = {
+    val p = manifestsDir(storeDir).resolve(version.toString)
+    if (!Files.exists(p)) return None
+    try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.collectFirst {
+        case l if l.startsWith("#nbuckets ") =>
+          l.stripPrefix("#nbuckets ").trim.toLongOption
+      }.flatten
+    catch { case _: java.nio.file.NoSuchFileException => None }
+  }
+
   private def writeManifest(storeDir: String, version: Long,
-      m: Map[Long, Long]): Unit = {
+      m: Map[Long, Long], nBuckets: Option[Long]): Unit = {
     Files.createDirectories(manifestsDir(storeDir))
-    val body = m.toSeq.sorted.map { case (b, v) => s"$b $v" }.mkString("\n")
+    val header = nBuckets.map(n => s"#nbuckets $n\n").getOrElse("")
+    val body = header +
+      m.toSeq.sorted.map { case (b, v) => s"$b $v" }.mkString("\n")
     val tmp = manifestsDir(storeDir).resolve(s".$version.tmp." +
       (java.util.concurrent.ThreadLocalRandom.current().nextLong()
         & Long.MaxValue))
@@ -818,11 +842,30 @@ object MergeSink {
   private def bucketOf(key: String, nBuckets: Int) =
     pmod(xxhash64(col(key)), lit(nBuckets.toLong))
 
+  /** The store's bucket count as the PUBLISHED HEAD records it: the
+    * head manifest's layout signature when present (the count and the
+    * data commit atomically — a version is only live once `_latest`
+    * reaches it), falling back to the `_nbuckets` registry file for
+    * pre-signature stores. Readers prefer the published value but
+    * never write; [[requireNBuckets]] (a writer path) HEALS a
+    * disagreeing registry — the residual the old protocol documented,
+    * where a usurped rebucket could leave `_nbuckets` recorded against
+    * a layout that never published. */
+  private def effectiveNBuckets(storeDir: String): Option[Long] = {
+    val published = for {
+      h <- readHead(storeDir)
+      c <- manifestNBuckets(storeDir, h)
+    } yield c
+    published.orElse(readLong(nBucketsPath(storeDir)))
+  }
+
   /** The store's recorded bucket count. Persisted on the first batch;
     * every later writer must agree (a mismatched writer would route
     * keys to the wrong buckets and silently corrupt merges — refuse
     * loudly instead). [[rebucketStore]] is the one sanctioned way to
-    * change it. */
+    * change it. The PUBLISHED head manifest's layout signature
+    * outranks the `_nbuckets` registry file (see
+    * [[effectiveNBuckets]]); a stale registry heals here. */
   private def requireNBuckets(storeDir: String, nBuckets: Int): Unit = {
     def refuse(stored: Long): Nothing =
       throw new IllegalArgumentException(
@@ -830,7 +873,15 @@ object MergeSink {
           s"writer was configured with nBuckets=$nBuckets — a mismatched " +
           "writer would route keys to the wrong buckets; pass the stored " +
           "count, or migrate with rebucketStore first")
-    readLong(nBucketsPath(storeDir)) match {
+    val published = for {
+      h <- readHead(storeDir); c <- manifestNBuckets(storeDir, h)
+    } yield c
+    published.foreach { p =>
+      if (!readLong(nBucketsPath(storeDir)).contains(p))
+        writeLongAtomic(nBucketsPath(storeDir), p) // heal the registry cache
+      if (p != nBuckets) refuse(p)
+    }
+    if (published.isEmpty) readLong(nBucketsPath(storeDir)) match {
       case Some(stored) if stored != nBuckets => refuse(stored)
       case Some(_) => ()
       case None =>
@@ -971,11 +1022,13 @@ object MergeSink {
   private[graft] def headVersion(storeDir: String): Option[Long] =
     readHead(storeDir)
 
-  /** The store's recorded bucket count (None = plain-protocol store).
+  /** The store's recorded bucket count (None = plain-protocol store),
+    * preferring the PUBLISHED head manifest's layout signature over
+    * the `_nbuckets` registry cache (see [[effectiveNBuckets]]).
     * Public: the DML extension rules (org.apache.spark.sql.graft —
     * outside this package tree) commit through it. */
   def storedNBuckets(storeDir: String): Option[Long] =
-    readLong(nBucketsPath(storeDir))
+    effectiveNBuckets(storeDir)
 
   /** The snapshot schema at `version` (head when None) — what the
     * table reports to the catalog. Key column = first field. */
@@ -1254,9 +1307,19 @@ object MergeSink {
     }
     val newVersion = latest + 1
     val claim = claimCommit(storeDir, newVersion, latest, -1L) // maintenance commit
-    writeManifest(storeDir, newVersion, manifest)
+    // the restore point's LAYOUT travels with its manifest: restoring
+    // across a rebucket reverts the bucket count too (the old dirs are
+    // old-modulus dirs — publishing them under the new count would
+    // mis-route every later writer and mis-prune every key lookup)
+    val restoredLayout = manifestNBuckets(storeDir, version)
+      .orElse(effectiveNBuckets(storeDir))
+    writeManifest(storeDir, newVersion, manifest, restoredLayout)
     writeSchema(storeDir, newVersion, target)
     verifyClaim(claim)
+    restoredLayout.foreach { c =>
+      if (!readLong(nBucketsPath(storeDir)).contains(c))
+        writeLongAtomic(nBucketsPath(storeDir), c) // heal the registry cache
+    }
     writeLongAtomic(latestPath(storeDir), newVersion)
     pruneCommitMarkers(storeDir)
     newVersion
@@ -1335,7 +1398,8 @@ object MergeSink {
     }
     val srcAbs = Paths.get(srcDir).toAbsolutePath.normalize.toString
     Files.write(originPath(dstDir), srcAbs.getBytes(StandardCharsets.UTF_8))
-    writeManifest(dstDir, latest, readManifest(srcDir, latest))
+    writeManifest(dstDir, latest, readManifest(srcDir, latest),
+      manifestNBuckets(srcDir, latest).orElse(readLong(nBucketsPath(srcDir))))
     readSchema(srcDir, latest).foreach(writeSchema(dstDir, latest, _))
     readLong(nBucketsPath(srcDir)).foreach(writeLongAtomic(nBucketsPath(dstDir), _))
     // the clone lands in the branch's own history as a maintenance
@@ -1626,26 +1690,35 @@ object MergeSink {
     }
     val version = latest + 1
     val claim = claimCommit(storeDir, version, latest, -1L) // maintenance commit
-    // the request's buckets UNDER THE CURRENT COUNT: bounded by
-    // min(|request|, nBuckets)
-    val affected = keys.select(bucketOf(keyField.name, nB.toInt).as("_b"))
-      .distinct().collect().map(_.getLong(0)).toSet
+    // the request's buckets UNDER ONE LAYOUT: bounded by
+    // min(|request|, count). Computed lazily per DISTINCT historical
+    // count (one model-sized job per rebucket the history retains —
+    // a handful over a store's lifetime), so each version dir is
+    // pruned with the modulus IT was written under.
+    val affectedUnder = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    def affectedFor(count: Long): Set[Long] =
+      affectedUnder.getOrElseUpdate(count,
+        keys.select(bucketOf(keyField.name, count.toInt).as("_b"))
+          .distinct().collect().map(_.getLong(0)).toSet)
     val versionDirs = {
       val s0 = Files.list(Paths.get(storeDir))
       try s0.iterator().asScala.map(_.getFileName.toString)
         .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption).toList.sorted
       finally s0.close()
     }
-    // REBUCKET-AWARE scope: a version dir written under a DIFFERENT
+    // LAYOUT-AWARE scope: a version dir written under a DIFFERENT
     // bucket count routes the subject's keys to different bucket ids —
     // pruning those dirs with the CURRENT modulus would leave the
     // subject's rows in history (a silent retention-law violation).
-    // rebucketStore records `_rebucket_floor` (the first version on
-    // the new layout); dirs below it — and any dir holding a bucket id
-    // outside the current count, the shrink-migration signature —
-    // rewrite EVERY bucket they have. Scope includes the crash
-    // artifacts (`.erase_old_b*`/`.erase_tmp_b*`) of an interrupted
-    // previous run, so its recovery steps still execute.
+    // Each version's manifest records its layout signature
+    // ([[manifestNBuckets]]), so every dir is pruned with ITS OWN
+    // modulus — grow- and shrink-rebucketed history alike, with or
+    // without the legacy `_rebucket_floor` file. A dir whose layout is
+    // UNKNOWN (pre-signature manifest, or manifest gone) rewrites
+    // EVERY bucket it has: the only scope that can never leave the
+    // subject readable. Scope includes the crash artifacts
+    // (`.erase_old_b*`/`.erase_tmp_b*`) of an interrupted previous
+    // run, so its recovery steps still execute.
     val rebucketFloor = readLong(Paths.get(storeDir, "_rebucket_floor"))
     def bucketScope(v: Long): Set[Long] = {
       val d = Paths.get(storeDir, s"v$v")
@@ -1668,9 +1741,17 @@ object MergeSink {
         else if (n.startsWith(".erase_tmp_b"))
           n.stripPrefix(".erase_tmp_b").toLongOption
         else None).toSet
-      val scoped =
-        if (rebucketFloor.exists(v < _) || buckets.exists(_ >= nB)) buckets
-        else buckets.intersect(affected)
+      val scoped = manifestNBuckets(storeDir, v) match {
+        case Some(count) => buckets.intersect(affectedFor(count))
+        case None =>
+          // legacy dir with no recorded layout: the floor file and the
+          // out-of-range-id signature catch what they can; a dir that
+          // passes both under an UNRECORDED layout still rewrites in
+          // full only when the floor proves it pre-dates a rebucket —
+          // the residual the layout signature exists to close forward
+          if (rebucketFloor.exists(v < _) || buckets.exists(_ >= nB)) buckets
+          else buckets.intersect(affectedFor(nB))
+      }
       scoped ++ artifacts
     }
     def rmTree(path: Path): Unit =
@@ -1737,8 +1818,9 @@ object MergeSink {
       finally pool.shutdown()
     }
     // audit commit: same data layout as the parent (files rewrote in
-    // place), so the manifest carries over unchanged
-    writeManifest(storeDir, version, readManifest(storeDir, latest))
+    // place), so the manifest — and its layout signature — carry over
+    writeManifest(storeDir, version, readManifest(storeDir, latest),
+      manifestNBuckets(storeDir, latest).orElse(Some(nB)))
     writeSchema(storeDir, version, target)
     verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
@@ -1782,7 +1864,7 @@ object MergeSink {
     // untouched buckets keep their old version; a touched bucket whose
     // merged content is EMPTY (all keys deleted) leaves the manifest
     val merged = manifest -- touched ++ survivors.map(b => b -> version)
-    writeManifest(storeDir, version, merged)
+    writeManifest(storeDir, version, merged, Some(nBuckets.toLong))
     writeSchema(storeDir, version, target)
     verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
@@ -2287,7 +2369,7 @@ object MergeSink {
         throw new OccRebase(s"the schema of $storeDir evolved since this " +
           "writer's read")
       val merged = parentManifest -- touched ++ survivors.map(b => b -> version)
-      writeManifest(storeDir, version, merged)
+      writeManifest(storeDir, version, merged, Some(nBuckets.toLong))
       writeSchema(storeDir, version, target)
       verifyClaim(claim)
       writeLongAtomic(latestPath(storeDir), version)
@@ -2332,7 +2414,7 @@ object MergeSink {
     // first write) behind the takeover lease (same discipline as the
     // OCC writer's failure path)
     try {
-      writeManifest(storeDir, 0L, Map.empty)
+      writeManifest(storeDir, 0L, Map.empty, Some(nBuckets.toLong))
       writeSchema(storeDir, 0L, schema)
       verifyClaim(claim)
       writeLongAtomic(latestPath(storeDir), 0L)
@@ -2408,7 +2490,8 @@ object MergeSink {
     val next = StructType(parent.fields ++ marked)
     val version = latest + 1
     val claim = claimCommit(storeDir, version, latest, -1L)
-    writeManifest(storeDir, version, readManifest(storeDir, latest))
+    writeManifest(storeDir, version, readManifest(storeDir, latest),
+      manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
     writeSchema(storeDir, version, next)
     verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
@@ -2513,16 +2596,18 @@ object MergeSink {
         finally s.close()
       }
     }
-    writeManifest(storeDir, version, buckets.map(_ -> version).toMap)
+    writeManifest(storeDir, version, buckets.map(_ -> version).toMap,
+      newNBuckets.map(_.toLong).orElse(effectiveNBuckets(storeDir)))
     writeSchema(storeDir, version, target)
     // registry writes sit BETWEEN the verify and the swap: writing the
     // new bucket count before the verify left a usurped rebucket's
     // registry on the NEW count while `_latest` stayed on the OLD
-    // layout (readers then prune with the wrong modulus). The count
-    // and the pointer still cannot move in one atomic step — the
-    // residual window is the few metadata writes between them, not
-    // the whole rewrite; per-version counts in the manifest would
-    // close it fully (a protocol-format change, noted in the survey).
+    // layout. The residual window this once carried is CLOSED by the
+    // layout signature: the manifest written above records the new
+    // count and publishes atomically with the version, readers and
+    // writers prefer the PUBLISHED head's signature over `_nbuckets`
+    // (effectiveNBuckets), and requireNBuckets heals a registry the
+    // swap outran — `_nbuckets` is now a cache, not an authority.
     verifyClaim(claim)
     newNBuckets.foreach { n =>
       writeLongAtomic(nBucketsPath(storeDir), n.toLong)

@@ -151,7 +151,8 @@ class SinkSpec extends SparkTestBase {
     // untouched buckets still map to version 0 in the live manifest
     val manifest = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(store, "_manifests", "1")), "UTF-8")
-      .linesIterator.map { l => val a = l.split(' '); (a(0).toLong, a(1).toLong) }.toMap
+      .linesIterator.filterNot(_.startsWith("#"))
+      .map { l => val a = l.split(' '); (a(0).toLong, a(1).toLong) }.toMap
     val seedBuckets = (1L to 8L).map(bucketOf).toSet // a bucket may be unoccupied
     seedBuckets.foreach { b =>
       val expected = if (touched(s"_bucket=$b")) 1L else 0L
@@ -167,7 +168,8 @@ class SinkSpec extends SparkTestBase {
     MergeSink.applyBucketedBatch(b2, 2L, store, "k", "op", "ver", vcols, nBuckets = 4)
     val manifest2 = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(store, "_manifests", "2")), "UTF-8")
-      .linesIterator.map(_.split(' ')(0).toLong).toSet
+      .linesIterator.filterNot(_.startsWith("#"))
+      .map(_.split(' ')(0).toLong).toSet
     assert(!manifest2.contains(bucketOf(3L)), "emptied bucket must leave the manifest")
     val prev = (3L to 8L).map(k => (k, s"n$k", k * 10L)).toSet + ((1L, "n1b", 11L))
     val want = prev.filterNot { case (k, _, _) => allOfB0.contains(k) }
@@ -300,7 +302,8 @@ class SinkSpec extends SparkTestBase {
     }
     def manifest(v: Long) = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(store, "_manifests", v.toString)), "UTF-8")
-      .linesIterator.map { l => val a = l.split(' '); (a(0).toLong, a(1).toLong) }.toMap
+      .linesIterator.filterNot(_.startsWith("#"))
+      .map { l => val a = l.split(' '); (a(0).toLong, a(1).toLong) }.toMap
     val before = MergeSink.currentBucketedSnapshot(spark, store).get
       .collect().map(_.toString).toSet
     val liveBefore = manifest(5L).values.toSet
