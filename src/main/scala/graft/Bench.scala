@@ -17,6 +17,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's full SQL surface (DML rewrite rules, maintenance
+      // parser, native function registry) — the session config every
+      // graft deployment ships
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/shuffle machinery once so the first timed

@@ -852,6 +852,18 @@ object SparkEntry {
         .select("mac", "ssid", "rssi", "freq", "tag")
         .orderBy("mac")),
 
+    // ---- CAPSTONE (r14, VERDICT r13 #3): MERGE WITH SCHEMA
+    //      EVOLUTION through the catalog door — one statement, two
+    //      commits (metadata-only addColumns + the CDC batch). The
+    //      oracle replays the base CDC apply overridden by the merge
+    //      arms, with the evolved column null-backfilled elsewhere.
+    //      Every-17th slice, cached as pipeline ----
+    "capstone_store_merge_evolve" -> ((s, d) =>
+      graft.streaming.MergeSink
+        .currentBucketedSnapshot(s, mergeEvolveCapstoneStore(s, d)).get
+        .select("mac", "ssid", "rssi", "freq", "note")
+        .orderBy("mac")),
+
     // ---- domain: MAC↔SSID network tree (ssidentity.c:36) ----
     "net_tree_edges" -> ((s, d) =>
       graft.operators.NetworkTree.edges(
@@ -3396,6 +3408,36 @@ object SparkEntry {
         |        WHEN e.mac IS NOT NULL THEN e.mac ELSE NULL END)::VARCHAR AS tag
         |FROM allm a LEFT JOIN base b ON a.mac = b.mac
         |  LEFT JOIN e ON a.mac = e.mac LEFT JOIN o ON a.mac = o.mac
+        |ORDER BY a.mac""".stripMargin,
+
+    // MERGE evolution: base winner-per-key CDC apply; every merge key
+    // gains note = 'm:'||mac (matched via UPDATE, unmatched — CDC
+    // winner was a delete — via the INSERT arm, which also stamps
+    // ssid/rssi/freq); everything else carries with note NULL (the
+    // evolution null-backfill).
+    "capstone_store_merge_evolve" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id % 17 = 0),
+        |cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        |  (2412 + (event_id % 13) * 5)::BIGINT AS freq
+        |FROM src),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |      FROM cdc),
+        |base AS (SELECT mac, ssid, rssi, freq FROM w WHERE rn = 1 AND op = 'upsert'),
+        |m AS (SELECT DISTINCT printf('%012X', user_id) AS mac FROM src
+        |      WHERE user_id % 4 = 0),
+        |allm AS (SELECT mac FROM base UNION SELECT mac FROM m)
+        |SELECT a.mac,
+        |  CASE WHEN b.mac IS NULL THEN 'ins' ELSE b.ssid END AS ssid,
+        |  (CASE WHEN b.mac IS NULL THEN -7 ELSE b.rssi END)::BIGINT AS rssi,
+        |  (CASE WHEN b.mac IS NULL THEN 0 ELSE b.freq END)::BIGINT AS freq,
+        |  (CASE WHEN m.mac IS NOT NULL THEN 'm:' || a.mac
+        |        ELSE NULL END)::VARCHAR AS note
+        |FROM allm a LEFT JOIN base b ON a.mac = b.mac
+        |  LEFT JOIN m ON a.mac = m.mac
         |ORDER BY a.mac""".stripMargin,
 
     // SQL-door delete: base winner-per-key CDC apply minus the
@@ -7031,6 +7073,50 @@ object SparkEntry {
         s.sql(s"CREATE TABLE graft_del_capstone USING graft LOCATION '$store'")
         try s.sql("DELETE FROM graft_del_capstone WHERE rssi < -120")
         finally s.sql("DROP TABLE IF EXISTS graft_del_capstone")
+        store
+      })
+    }
+
+  /** The MERGE-evolution capstone's store (r14): the every-17th slice
+    * store, then ONE `MERGE WITH SCHEMA EVOLUTION` statement through a
+    * GraftCatalog door — the analyzer routes the source-only `note`
+    * column through the catalog's alterTable (= the store's
+    * metadata-only addColumns commit) and the CDC batch commits
+    * against the widened schema: two commits, one statement. Matched
+    * keys (user ≡ 0 mod 4) set the evolved column; keys whose CDC
+    * winner was a delete re-enter via the NOT MATCHED arm. Cached as
+    * pipeline; the capstone query is a pure head read. */
+  private def mergeEvolveCapstoneStore(s: SparkSession, d: String): String =
+    capstoneCache.synchronized {
+      capstoneCache.getOrElseUpdate((d, 17L, false), {
+        val store = buildCapstoneStoreUncached(s, d, 17L)
+        val wh = java.nio.file.Paths.get(store).getParent.toString
+        val slice = ev(s, d).filter(col("event_id") % 17 === 0)
+        val macOf = upper(lpad(hex(col("user_id")), 12, "0"))
+        // Spark's auto-evolution only engages when every assignment to
+        // a NOT-YET-EXISTING column is the bare `col = s.col` form
+        // (MergeIntoTable.canEvaluateSchemaEvolution: an unresolved
+        // assignment key needs a name-equal source attribute as its
+        // value) — so the evolved value is COMPUTED IN THE SOURCE and
+        // both arms assign `note = s.note`; existing-column
+        // assignments stay free to use literals
+        slice.filter(col("user_id") % 4 === 0)
+          .select(macOf.as("mac")).distinct()
+          .select(col("mac"), concat(lit("m:"), col("mac")).as("note"))
+          .createOrReplaceTempView("graft_mev_src")
+        s.conf.set("spark.sql.catalog.graft_mev",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_mev.warehouse", wh)
+        try s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_mev.store t
+          |USING graft_mev_src s ON t.mac = s.mac
+          |WHEN MATCHED THEN UPDATE SET note = s.note
+          |WHEN NOT MATCHED THEN INSERT (mac, ssid, rssi, freq, note)
+          |  VALUES (s.mac, 'ins', -7, 0, s.note)""".stripMargin)
+        finally {
+          s.conf.unset("spark.sql.catalog.graft_mev")
+          s.conf.unset("spark.sql.catalog.graft_mev.warehouse")
+          s.catalog.dropTempView("graft_mev_src")
+        }
         store
       })
     }

@@ -112,7 +112,11 @@ class GraftCatalog extends TableCatalog {
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
     val dir = dirOf(ident)
     if (!isStore(dir)) throw new NoSuchTableException(ident)
-    new GraftTable(dir, MergeSink.snapshotSchemaAt(dir, version), version)
+    // autoEvolve: a catalog-loaded table may advertise AUTOMATIC_SCHEMA_
+    // EVOLUTION — the analyzer's MERGE evolution routes back through
+    // THIS catalog's alterTable, i.e. the store's own addColumns commit
+    new GraftTable(dir, MergeSink.snapshotSchemaAt(dir, version), version,
+      autoEvolve = true)
   }
 
   /** CREATE TABLE: adopts an existing store (external-table
@@ -169,7 +173,7 @@ class GraftCatalog extends TableCatalog {
             s"graft: CREATE TABLE declares nBuckets=$n but the store " +
               s"at $dir is bucketed into $stored"))
       }
-      new GraftTable(dir, live, None)
+      new GraftTable(dir, live, None, autoEvolve = true)
     } else if (schema.fields.nonEmpty) {
       require(partitions.isEmpty,
         "graft: PARTITIONED BY is not supported — the store buckets by key")
@@ -177,7 +181,8 @@ class GraftCatalog extends TableCatalog {
       val key = Option(props.get("key")).getOrElse(schema.fields.head.name)
       val nBuckets = Option(props.get("nbuckets")).map(_.toInt).getOrElse(64)
       MergeSink.createEmptyStore(dir, schema, key, nBuckets)
-      new GraftTable(dir, MergeSink.snapshotSchemaAt(dir, None), None)
+      new GraftTable(dir, MergeSink.snapshotSchemaAt(dir, None), None,
+        autoEvolve = true)
     } else throw new UnsupportedOperationException(
       s"graft: catalog '$catalogName' cannot create a store at $dir " +
         "without a schema — declare columns (CREATE TABLE t (k BIGINT, " +

@@ -340,7 +340,7 @@ object GraftDataSource {
   * store's exactly-once machinery. INSERT OVERWRITE and time-travel
   * writes are refused. */
 class GraftTable(dir: String, tableSchema: StructType,
-    tableVersion: Option[Long]) extends Table
+    tableVersion: Option[Long], autoEvolve: Boolean = false) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -400,9 +400,33 @@ class GraftTable(dir: String, tableSchema: StructType,
     m
   }
 
+  /** `AUTOMATIC_SCHEMA_EVOLUTION` (GraftCatalog-loaded tables only) opts
+    * the table into Spark's own
+    * `MERGE … WITH SCHEMA EVOLUTION` resolution: the analyzer computes
+    * the source-only columns, routes them through the CATALOG's
+    * `alterTable` — which is [[graft.sources.GraftCatalog.alterTable]],
+    * i.e. the store's metadata-only [[MergeSink.addColumns]] commit —
+    * and re-resolves the MERGE against the widened table. One
+    * statement, two commits (the evolution commit, then the CDC
+    * commit), each individually atomic: the documented non-atomic seam
+    * is that a MERGE failing AFTER the evolution leaves the columns
+    * added — exactly the semantics of running addColumns then MERGE by
+    * hand, which this replaces. GATED on the loading catalog being a
+    * [[graft.sources.GraftCatalog]]: a session-catalog table
+    * (`CREATE TABLE t USING graft LOCATION …`) would route the
+    * analyzer's alterTable to the SESSION catalog, which widens the
+    * catalog metadata but not the store registry — the reload would
+    * then still report the unevolved store schema and the analyzer
+    * would spin; those tables refuse WITH SCHEMA EVOLUTION loudly in
+    * the DML rule instead. */
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+    if (autoEvolve)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

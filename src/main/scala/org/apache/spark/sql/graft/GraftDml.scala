@@ -90,10 +90,29 @@ object GraftDml {
         case m: MergeIntoTable if m.resolved =>
           graftRelation(m.targetTable)
             .map { case (r, t) =>
-              if (m.withSchemaEvolution)
+              // WITH SCHEMA EVOLUTION is handled by the ANALYZER
+              // (ResolveMergeIntoSchemaEvolution): the store's
+              // AUTOMATIC_SCHEMA_EVOLUTION capability routes
+              // source-only columns through the catalog's alterTable
+              // (= the store's metadata-only addColumns commit) and
+              // re-resolves against the widened relation — by the time
+              // this rewrite sees a RESOLVED plan, the evolution has
+              // already committed. The shapes that CANNOT evolve — a
+              // path-addressed relation (no catalog to alter) and a
+              // session-catalog table (whose alterTable would widen
+              // catalog metadata, not the store registry) — advertise
+              // no AUTOMATIC_SCHEMA_EVOLUTION capability: refuse them
+              // loudly rather than silently dropping the source-only
+              // columns the user asked to keep.
+              if (m.withSchemaEvolution && !r.autoSchemaEvolution)
                 throw new UnsupportedOperationException(
-                  "graft: MERGE WITH SCHEMA EVOLUTION is not supported — " +
-                    "evolve explicitly with MergeSink.addColumns first")
+                  "graft: MERGE WITH SCHEMA EVOLUTION needs a " +
+                    "GraftCatalog-addressed target (MERGE INTO " +
+                    "<graftCatalog>.<table> …) — the analyzer evolves the " +
+                    "store through that catalog's alterTable; on a path- " +
+                    "or session-catalog table evolve explicitly (ALTER " +
+                    "TABLE … ADD COLUMNS / MergeSink.addColumns), then " +
+                    "MERGE")
               GraftMergeCommand(r, t.storeDir, m.sourceTable,
                 m.mergeCondition, m.matchedActions, m.notMatchedActions,
                 m.notMatchedBySourceActions)

@@ -332,6 +332,72 @@ class GraftDmlSpec extends SparkTestBase {
     } finally s.sql("DROP TABLE IF EXISTS dml_d")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: one statement evolves the store through the GraftCatalog and commits the CDC batch") {
+    val dir = Files.createTempDirectory("graft_dml_msev").toString
+    val wh = s"$dir/wh"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/obs"))
+    // the store lives under the warehouse so the catalog can name it
+    val sess = s
+    import sess.implicits._
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L), (2L, "upsert", 1L, "b", 20L))
+        .toDF("k", "op", "ver", "name", "v"),
+      0L, s"$wh/obs", "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    s.conf.set("spark.sql.catalog.graftme", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftme.warehouse", wh)
+    try {
+      Seq((1L, 111L, "x1"), (9L, 999L, "x9"))
+        .toDF("k", "v", "extra").createOrReplaceTempView("msev_src")
+      val head0 = MergeSink.latestVersion(s"$wh/obs").get
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graftme.obs t
+        |USING msev_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v, extra = s.extra
+        |WHEN NOT MATCHED THEN INSERT (k, v, extra) VALUES (s.k, s.v, s.extra)
+        |""".stripMargin)
+      // two commits: the metadata-only evolution, then the CDC batch
+      assert(MergeSink.latestVersion(s"$wh/obs").contains(head0 + 2))
+      val got = s.sql("SELECT k, name, v, extra FROM graftme.obs").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"),
+          r.getLong(2), Option(r.getString(3)).getOrElse("-"))).toSet
+      assert(got == Set((1L, "a", 111L, "x1"), (2L, "b", 20L, "-"),
+        (9L, "-", 999L, "x9")), s"evolved MERGE result: $got")
+      // the evolution commit is real store history: the pre-MERGE
+      // read point still has the narrow schema
+      assert(!MergeSink.bucketedSnapshotAt(s, s"$wh/obs", head0)
+        .columns.contains("extra"))
+      // the added column is stamped optional (graft.evolved): an
+      // old-shape writer keeps committing without it
+      MergeSink.applyBucketedBatch(
+        Seq((3L, "upsert", 2L, "c", 30L)).toDF("k", "op", "ver", "name", "v"),
+        1L, s"$wh/obs", "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+      assert(s.sql("SELECT extra FROM graftme.obs WHERE k = 3")
+        .head().isNullAt(0))
+    } finally {
+      s.conf.unset("spark.sql.catalog.graftme")
+      s.conf.unset("spark.sql.catalog.graftme.warehouse")
+    }
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION on a session-catalog table is refused with the catalog remedy named") {
+    val dir = Files.createTempDirectory("graft_dml_msev_refuse").toString
+    val store = mkStore(dir)
+    val sess = s
+    import sess.implicits._
+    Seq((1L, 111L, "x1")).toDF("k", "v", "extra")
+      .createOrReplaceTempView("msev_src2")
+    s.sql("DROP TABLE IF EXISTS dml_msev")
+    s.sql(s"CREATE TABLE dml_msev USING graft LOCATION '$store'")
+    try {
+      val e = intercept[Exception] {
+        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO dml_msev t
+          |USING msev_src2 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      }
+      assert(e.getMessage.contains("GraftCatalog") ||
+        e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
+    } finally s.sql("DROP TABLE IF EXISTS dml_msev")
+  }
+
   test("MERGE with only a matched UPDATE arm leaves unmatched rows untouched") {
     val dir = Files.createTempDirectory("graft_dml_merge2").toString
     val store = mkStore(dir)
