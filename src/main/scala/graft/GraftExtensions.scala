@@ -95,6 +95,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DML verbs over graft stores: UPDATE / MERGE INTO rewrite into
     // CDC commits through the store's OCC protocol (GraftDml scaladoc)
     ext.injectResolutionRule(org.apache.spark.sql.graft.GraftDml.GraftDmlRule)
+    // store-scan statistics for the STATIC join planner: forward the
+    // graft scan's true (pruning-aware) bytes past V1ScanWrapper so a
+    // dim-sized store read plans broadcast without waiting for AQE
+    // (GraftStats scaladoc)
+    ext.injectPreCBORule(org.apache.spark.sql.graft.GraftStatsRule)
     // maintenance verbs (DESCRIBE HISTORY / OPTIMIZE / VACUUM /
     // RESTORE TABLE): a delegating parser recognizing exactly those
     // statements — none of which vanilla Spark parses — and handing

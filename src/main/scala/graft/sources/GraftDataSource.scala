@@ -93,6 +93,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val verCol = params.getOrElse("ver", "ver")
     val nBuckets = params.get("nbuckets").map(_.toInt).getOrElse(64)
     val occWriter = params.get("writer")
+    // opt-in post-commit auto-maintenance (MergeSink.maybeMaintain):
+    // .option("maintenanceEvery", N) runs the policy pass every N
+    // committed batches; the remaining options tune the policy
+    val maintEvery = params.get("maintenanceevery").map(_.toInt).getOrElse(0)
+    val maintPolicy: Option[MergeSink.MaintenancePolicy] =
+      if (maintEvery <= 0) None
+      else Some(MergeSink.MaintenancePolicy(
+        maxFilesPerBucket =
+          params.get("maintainmaxfiles").map(_.toInt).getOrElse(8),
+        maxLiveVersions =
+          params.get("maintainmaxversions").map(_.toInt).getOrElse(8),
+        retainLast = params.get("maintainretainversions").map(_.toInt)
+          .getOrElse(math.max(2 * maintEvery, 16)),
+        retainMillis = params.get("maintainretainhours")
+          .map(h => (h.toDouble * 3600 * 1000).toLong).getOrElse(0L)))
     require(partitionColumns.isEmpty,
       "graft: partitionBy is not supported — the store buckets by key")
     if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -115,6 +130,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
             // protocol itself retries claim races and rebases
             MergeSink.applyBucketedBatchOcc(batch, batchId, dir, key,
               opCol, verCol, valueCols, nBuckets, writer = w)
+            MergeSink.maybeMaintain(data.sparkSession, dir, batchId,
+              maintEvery, maintPolicy)
           case None =>
             // a racing ad-hoc writer (SQL INSERT commits through OCC)
             // can cost this serialized batch its claim — that is a
@@ -129,8 +146,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
             var backoff = 50L
             var done = false
             while (!done) {
-              try { MergeSink.applyBucketedBatch(batch, batchId, dir, key,
-                opCol, verCol, valueCols, nBuckets); done = true }
+              try {
+                MergeSink.applyBucketedBatch(batch, batchId, dir, key,
+                  opCol, verCol, valueCols, nBuckets)
+                MergeSink.maybeMaintain(data.sparkSession, dir, batchId,
+                  maintEvery, maintPolicy)
+                done = true
+              }
               catch {
                 case e: java.util.ConcurrentModificationException =>
                   if (System.currentTimeMillis() >= deadline)

@@ -228,11 +228,24 @@ object GraftDml {
 
   /** Buckets pinned by LITERAL key predicates among `cond`'s conjuncts
     * (the DML twin of the scan builder's pruning walk). Conservative:
-    * any shape beyond a foldable `k = v` / `k IN (…)` on the bare key
-    * attribute yields no evidence, never a wrong bucket. */
+    * any shape beyond a foldable `k = v` / `k IN (…)` on the key
+    * attribute — bare, or under a LOSSLESS WIDENING cast — yields no
+    * evidence, never a wrong bucket.
+    *
+    * CAST TOLERANCE: type coercion rewrites `WHERE k = 5L` on an INT
+    * key into `CAST(k AS BIGINT) = 5` — the key attribute hides under
+    * an analyzer-inserted up-cast and the bare-attribute walk loses
+    * the evidence. When the cast is a lossless widening
+    * (`Cast.canUpCast` — injective by definition), the comparison
+    * inverts exactly: the literal TRY-casts back to the key's own
+    * type (`null` = no preimage = predicate matches nothing; stay
+    * conservative) and the bucket comes from the same routing hash as
+    * always. Narrowing/lossy casts (an explicit `CAST(k AS INT)` on a
+    * BIGINT key) are NOT inverted — truncation makes multiple keys
+    * collide on one literal, so pruning there could drop rows. */
   private def literalKeyBuckets(cond: Expression, keyAttr: Attribute,
       nBuckets: Long): Option[Set[Long]] = {
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo, In}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, EvalMode, In, Literal}
     def ofExprs(es: Seq[Expression]): Option[Set[Long]] =
       if (!es.forall(e => e.foldable && e.dataType == keyAttr.dataType)) None
       else {
@@ -240,12 +253,39 @@ object GraftDml {
         if (vals.isEmpty) None // = NULL matches nothing; stay conservative
         else Some(vals.map(bucketOfLiteral(_, keyAttr.dataType, nBuckets)).toSet)
       }
+    // `cast(k as T) = v` with keyType →lossless→ T: map v back into the
+    // key's type; the bucket of the preimage is the pruning evidence
+    def ofUpcast(vs: Seq[Expression], castType: org.apache.spark.sql.types.DataType)
+        : Option[Set[Long]] =
+      if (!vs.forall(v => v.foldable && v.dataType == castType)) None
+      else {
+        val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        val backs = vs.flatMap { v =>
+          Option(v.eval(null)).flatMap(value => Option(
+            Cast(Literal(value, castType), keyAttr.dataType, tz, EvalMode.TRY)
+              .eval(null)))
+        }
+        if (backs.isEmpty) None // no preimage: matches nothing; conservative
+        else Some(backs.map(bucketOfLiteral(_, keyAttr.dataType, nBuckets)).toSet)
+      }
+    object KeyUpcast {
+      def unapply(e: Expression): Option[org.apache.spark.sql.types.DataType] =
+        e match {
+          case c @ Cast(a: Attribute, _, _, _)
+              if a.exprId == keyAttr.exprId &&
+                Cast.canUpCast(keyAttr.dataType, c.dataType) => Some(c.dataType)
+          case _ => None
+        }
+    }
     val sets = conjuncts(cond).flatMap {
       case EqualTo(a: Attribute, v) if a.exprId == keyAttr.exprId =>
         ofExprs(Seq(v))
       case EqualTo(v, a: Attribute) if a.exprId == keyAttr.exprId =>
         ofExprs(Seq(v))
       case In(a: Attribute, vs) if a.exprId == keyAttr.exprId => ofExprs(vs)
+      case EqualTo(KeyUpcast(dt), v) => ofUpcast(Seq(v), dt)
+      case EqualTo(v, KeyUpcast(dt)) => ofUpcast(Seq(v), dt)
+      case In(KeyUpcast(dt), vs) => ofUpcast(vs, dt)
       case _ => None
     }
     sets.reduceOption(_ intersect _)

@@ -31,6 +31,7 @@ import graft.streaming.MergeSink
   * RESTORE TABLE graft.obs TO VERSION AS OF 2
   * RESTORE TABLE graft.obs TO TIMESTAMP AS OF '2026-08-15 12:00:00'
   * CREATE TABLE graft.branch SHALLOW CLONE graft.obs
+  * CONVERT TO GRAFT '/data/plain_parquet' KEY (mac) NBUCKETS 64
   * }}}
   *
   * The target is either a catalog-qualified identifier whose FIRST part
@@ -183,6 +184,21 @@ object GraftMaintenanceSql {
         resolveDir(spark, src), resolveDir(spark, dst))))
   }
 
+  /** `CONVERT TO GRAFT <target> KEY (<col>) [NBUCKETS n]` —
+    * [[MergeSink.convertToStore]]: adopt a flat parquet directory in
+    * place as a v0 store commit through the normal claim protocol
+    * (key-unique, key-first, bucketed rewrite, originals swept);
+    * refuses a directory that is already a store. Returns the head
+    * version. */
+  case class GraftConvertCommand(target: Either[String, Seq[String]],
+      key: String, nBuckets: Option[Int]) extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("converted_version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(MergeSink.convertToStore(spark, resolveDir(spark, target),
+        key, nBuckets.getOrElse(64))))
+  }
+
   /** `RESTORE TABLE … TO VERSION|TIMESTAMP AS OF …` —
     * [[MergeSink.restoreStore]]: a zero-copy maintenance commit whose
     * manifest re-references the restore point; returns the new head
@@ -238,6 +254,8 @@ class GraftSqlParser(session: => org.apache.spark.sql.SparkSession,
     """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
   private val Clone =
     """(?is)^\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)\s*;?\s*$""".r
+  private val Convert =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(.+?)\s+KEY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+NBUCKETS\s+(\d+))?\s*;?\s*$""".r
 
   /** A PROVABLY-OURS statement target, or None (→ delegate): a
     * `'quoted/path'`, or a ≥2-part identifier whose head names a
@@ -267,6 +285,8 @@ class GraftSqlParser(session: => org.apache.spark.sql.SparkSession,
         None, Some(ts)))
       case Clone(dst, src) => for { d <- target(dst); s <- target(src) }
         yield GraftCloneCommand(d, s)
+      case Convert(t, key, nb) => target(t).map(GraftConvertCommand(_,
+        key, Option(nb).map(_.toInt)))
       case Optimize(t, z) => target(t).map(GraftOptimizeCommand(_,
         Option(z).map(_.split(',').map(c =>
           delegate.parseMultipartIdentifier(c.trim).last).toSeq)

@@ -304,6 +304,46 @@ class GraftDmlSpec extends SparkTestBase {
     } finally s.sql("DROP TABLE IF EXISTS dml_p")
   }
 
+  test("cast-tolerant DML pruning: a coercion-upcast key predicate keeps the pruned read (deleted-unowned-dir proof)") {
+    val dir = Files.createTempDirectory("graft_dml_castprune").toString
+    val store = s"$dir/store"
+    val sess = s
+    import sess.implicits._
+    def bucketOf(k: Int): Long = s.range(1)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit(k)),
+        org.apache.spark.sql.functions.lit(4L))).head().getLong(0)
+    val kA = 1
+    val kB = (2 to 99).find(k => bucketOf(k) != bucketOf(kA)).get
+    // INT key: a BIGINT literal in the predicate makes the analyzer
+    // wrap the KEY side in CAST(k AS BIGINT) — the shape that used to
+    // lose the pruning evidence
+    MergeSink.applyBucketedBatch(
+      Seq((kA, "upsert", 1L, 10L)).toDF("k", "op", "ver", "v"),
+      0L, store, "k", "op", "ver", Seq("v"), nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((kB, "upsert", 1L, 20L)).toDF("k", "op", "ver", "v"),
+      1L, store, "k", "op", "ver", Seq("v"), nBuckets = 4)
+    val v0 = java.nio.file.Paths.get(store, "v0")
+    Files.walk(v0).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    s.sql("DROP TABLE IF EXISTS dml_cp")
+    s.sql(s"CREATE TABLE dml_cp USING graft LOCATION '$store'")
+    try {
+      intercept[Exception] { s.sql("SELECT * FROM dml_cp").collect() }
+      // the coercion shape: k (INT) = <BIGINT literal> — succeeding
+      // proves the poisoned dir was never read
+      s.sql(s"UPDATE dml_cp SET v = v + 1 WHERE k = CAST($kB AS BIGINT)")
+      val got = s.sql(s"SELECT v FROM dml_cp WHERE k = $kB").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(21L), s"got $got")
+      // IN with widened literals keeps the evidence too
+      s.sql(s"DELETE FROM dml_cp WHERE k IN (CAST($kB AS BIGINT))")
+      assert(s.sql(s"SELECT v FROM dml_cp WHERE k = $kB").collect().isEmpty)
+    } finally s.sql("DROP TABLE IF EXISTS dml_cp")
+  }
+
   test("DELETE accepts ANY condition in an extensions session — subqueries included") {
     val dir = Files.createTempDirectory("graft_dml_del").toString
     val store = mkStore(dir)
@@ -396,6 +436,26 @@ class GraftDmlSpec extends SparkTestBase {
       assert(e.getMessage.contains("GraftCatalog") ||
         e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
     } finally s.sql("DROP TABLE IF EXISTS dml_msev")
+  }
+
+  test("store-scan statistics reach the STATIC planner: broadcast store-dim join with AQE off, no hint") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_dml_stats").toString
+    val store = mkStore(dir)
+    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val table = s.read.format("graft").load(store)
+      val facts = s.range(50000).select(col("id").as("k"),
+        (col("id") * 2).as("fv"))
+      val joined = facts.join(table, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("AdaptiveSparkPlan"), "AQE must be off for this pin")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"the dim-sized store must broadcast at STATIC planning time " +
+          s"(GraftStatsRule forwards the scan's true bytes):\n$plan")
+      assert(joined.count() == 3)
+    } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
 
   test("MERGE with only a matched UPDATE arm leaves unmatched rows untouched") {

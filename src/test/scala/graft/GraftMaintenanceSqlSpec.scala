@@ -204,6 +204,53 @@ class GraftMaintenanceSqlSpec extends SparkTestBase {
     }
   }
 
+  test("CONVERT TO GRAFT adopts a flat parquet dir in place: store verbs work, originals swept, re-convert refused") {
+    val sess = s
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft_msql_convert").toString
+    val plain = s"$dir/plain"
+    // a plain parquet table from some non-graft producer, with the
+    // key deliberately NOT first (CONVERT reorders it to the front)
+    Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L))
+      .toDF("name", "k", "v")
+      .write.parquet(plain)
+    val converted = s.sql(s"CONVERT TO GRAFT '$plain' KEY (k) NBUCKETS 4")
+      .head().getLong(0)
+    assert(converted == 0L)
+    // loose originals swept; the dir is now a store
+    val loose = java.nio.file.Files.list(java.nio.file.Paths.get(plain))
+      .toArray.map(_.toString.split('/').last)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".") && !n.startsWith("v"))
+    assert(loose.isEmpty, s"originals must be swept: ${loose.mkString(", ")}")
+    // every store verb works on the converted dir; key-first snapshot
+    val got = MergeSink.currentBucketedSnapshot(s, plain).get
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    s.sql("DROP TABLE IF EXISTS conv_t")
+    s.sql(s"CREATE TABLE conv_t USING graft LOCATION '$plain'")
+    try {
+      s.sql("DELETE FROM conv_t WHERE k = 2")
+      assert(s.sql("SELECT k FROM conv_t").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 3L))
+      // time travel back to the conversion commit
+      assert(MergeSink.bucketedSnapshotAt(s, plain, 0L).count() == 3)
+      assert(s.sql(s"DESCRIBE HISTORY '$plain'").collect().length == 2)
+    } finally s.sql("DROP TABLE IF EXISTS conv_t")
+    // a directory that is already a store refuses
+    val e = intercept[IllegalStateException] {
+      s.sql(s"CONVERT TO GRAFT '$plain' KEY (k)").collect()
+    }
+    assert(e.getMessage.contains("already a committed store"), e.getMessage)
+    // duplicate keys refuse with a sample named
+    val dupDir = s"$dir/dup"
+    Seq((1L, 10L), (1L, 20L)).toDF("k", "v").write.parquet(dupDir)
+    val e2 = intercept[IllegalArgumentException] {
+      s.sql(s"CONVERT TO GRAFT '$dupDir' KEY (k) NBUCKETS 4").collect()
+    }
+    assert(e2.getMessage.contains("more than once"), e2.getMessage)
+  }
+
   test("interception is claim-checked: foreign targets and look-alike statements delegate verbatim") {
     assert(s.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     assert(s.range(3).count() == 3)

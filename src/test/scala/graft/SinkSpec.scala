@@ -1990,6 +1990,58 @@ class SinkSpec extends SparkTestBase {
     }
   }
 
+  test("ST10 streaming auto-maintenance: a 50-batch stream ends within policy bounds, replay untouched") {
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("sink_auto_maint").toString
+    val store = s"$dir/store"
+    // the REAL sink (createSink's addBatch is the streaming engine's
+    // exact entry point), with the opt-in post-commit policy trigger
+    val sink = new graft.sources.GraftDataSource().createSink(
+      spark.sqlContext,
+      Map("path" -> store, "key" -> "k", "nBuckets" -> "4",
+        "maintenanceEvery" -> "10", "maintainMaxVersions" -> "2",
+        "maintainRetainVersions" -> "4"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    (0 until 50).foreach { i =>
+      sink.addBatch(i.toLong,
+        Seq((i.toLong % 7, "upsert", i.toLong + 1, s"n$i", i.toLong))
+          .toDF("k", "op", "ver", "name", "v"))
+    }
+    // without maintenance this store would hold 50+ version dirs and a
+    // wide manifest forever; the policy trigger compacts AND vacuums,
+    // so both the manifest fan-out and the on-disk dir count stay
+    // bounded by the policy + retention windows
+    val liveVersions = MergeSink.storeStats(spark, store)
+      .select("owner_version").collect().map(_.getLong(0)).distinct
+    assert(liveVersions.length <= 2,
+      s"policy must bound live versions (got ${liveVersions.length})")
+    val diskDirs = {
+      val s0 = java.nio.file.Files.list(java.nio.file.Paths.get(store))
+      try s0.iterator().asScala.map(_.getFileName.toString)
+        .count(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      finally s0.close()
+    }
+    assert(diskDirs <= 20,
+      s"vacuum must bound on-disk version dirs (got $diskDirs of ~55)")
+    // maintenance commits are real history
+    val kinds = MergeSink.storeHistory(spark, store)
+      .select("kind").collect().map(_.getString(0)).toSet
+    assert(kinds.contains("maintenance"), s"expected maintenance commits: $kinds")
+    // exactly-once replay unaffected: a redelivered batch no-ops
+    val head = MergeSink.latestVersion(store).get
+    sink.addBatch(49L,
+      Seq((49L % 7, "upsert", 50L, "n49", 49L)).toDF("k", "op", "ver", "name", "v"))
+    assert(MergeSink.latestVersion(store).contains(head),
+      "a replayed batch must not commit")
+    // content is the last-writer-wins fold of all 50 batches
+    val got = MergeSink.currentBucketedSnapshot(spark, store).get
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (0 until 50).groupBy(_ % 7)
+      .map { case (k, is) => (k.toLong, is.max.toLong) }.toSet
+    assert(got == expect, s"got $got")
+  }
+
   test("ST10 marker pruning spares IN-FLIGHT claims beyond the head") {
     import graft.streaming.MergeSink
     import java.nio.file.{Files => NioFiles, Paths => NioPaths}

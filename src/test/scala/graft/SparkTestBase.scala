@@ -18,6 +18,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's full SQL surface, exactly as Verify/Bench (and
+      // any production session) configure it — catalog-wide sweeps
+      // (PlanSpec) drive queries that need the DML rewrite rules
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
