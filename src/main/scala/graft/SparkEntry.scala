@@ -6979,7 +6979,8 @@ object SparkEntry {
     "build_store_erased" -> ((s, d) => { erasedCapstoneStore(s, d); () }),
     "build_store_evolved" -> ((s, d) => { evolvedCapstoneStore(s, d); () }),
     "build_store_sqlwrite" -> ((s, d) => { sqlWriteCapstoneStore(s, d); () }),
-    "build_store_sqldelete" -> ((s, d) => { sqlDeleteCapstoneStore(s, d); () }))
+    "build_store_sqldelete" -> ((s, d) => { sqlDeleteCapstoneStore(s, d); () }),
+    "build_store_mergevolve" -> ((s, d) => { mergeEvolveCapstoneStore(s, d); () }))
 
   private def buildCapstoneStore(s: SparkSession, d: String,
       everyNth: Long): String = capstoneCache.synchronized {

@@ -534,16 +534,18 @@ class GraftScanBuilder(dir: String, tableSchema: StructType,
       * pruning-aware. Absent when the metadata is unreadable (Spark
       * keeps its conservative default — never a too-small guess).
       *
-      * KNOWN ENGINE LIMIT: Spark's `V1ScanWrapper` (the node
+      * ENGINE GAP, SHIMMED: Spark's `V1ScanWrapper` (the node
       * V2ScanRelationPushDown wraps a V1Scan in) implements only
-      * `Scan`, so these statistics do not reach the LOGICAL plan's
-      * `computeStats` today and the static join planner keeps its
-      * conservative default. The broadcast still happens — AQE's
-      * runtime re-planning sees the true (tiny) shuffle sizes and
-      * converts the join to a broadcast hash join (pinned by
-      * GraftTableSpec) — and the estimate here is correct-by-contract
-      * for any engine version that forwards it, plus the V1 relation
-      * below reports the same bytes ([[GraftRelation.sizeInBytes]]). */
+      * `Scan`, so by itself these statistics would not reach the
+      * LOGICAL plan's `computeStats`. In an extensions session,
+      * [[org.apache.spark.sql.graft.GraftStatsRule]] swaps the wrapper
+      * for a `SupportsReportStatistics`-forwarding subclass after
+      * push-down, so the STATIC join planner sees the true bytes and a
+      * dim-sized store read broadcasts without waiting for AQE
+      * (GraftDmlSpec pins the AQE-off BroadcastHashJoin). Without the
+      * extensions, AQE's runtime re-planning still converts the join
+      * (pinned by GraftTableSpec), and the V1 relation below reports
+      * the same bytes ([[GraftRelation.sizeInBytes]]). */
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
       new org.apache.spark.sql.connector.read.Statistics {
         private val bytes = MergeSink.scanBytes(dir, version,

@@ -1574,15 +1574,14 @@ object MergeSink {
     val triggered = fragmented.nonEmpty || fanout
     val compacted =
       if (!triggered) None
-      else if (liveVersions.size <= 1) {
-        // fragmentation inside ONE version: plain compaction would
-        // no-op; a key-clustered rewrite collapses the small files AND
-        // leaves row groups range-prunable on the key
-        val keyName = readSchema(storeDir, latest)
-          .map(_.fields.head.name).getOrElse(
-            throw new IllegalStateException(
-              s"MergeSink: no recorded schema for v$latest of $storeDir"))
-        optimizeStore(spark, storeDir, Seq(col(keyName)))
+      else if (!fanout) {
+        // fragmentation WITHOUT manifest fan-out: one hot bucket's
+        // small files are the problem, not the version spread — the
+        // BUCKET-SCOPED rewrite pays O(fragmented buckets), not
+        // O(store), and key-sorts the rewritten files (row-group
+        // prunable) — at fleet scale this is the difference between a
+        // minutes-long maintenance pass and a full-store rewrite
+        compactBuckets(spark, storeDir, fragmented.map(_._1).toSet)
       } else compactBucketedStore(spark, storeDir)
     // vacuum ONLY on a triggered pass: the default policy retains
     // nothing (retainLast=0/retainMillis=0), so an unconditional vacuum
@@ -2615,6 +2614,71 @@ object MergeSink {
     * lands concurrently, and refuses the batch if compaction wins. */
   def compactBucketedStore(spark: SparkSession, storeDir: String): Option[Long] =
     rewriteAll(spark, storeDir, None)
+
+  /** BUCKET-SCOPED compaction — rewrite ONLY `buckets` into one new
+    * version (each to a single key-sorted file), leaving every other
+    * bucket on its current owner: the 100 TB answer to ONE hot bucket
+    * accumulating small files while ten thousand cold ones are
+    * perfectly compact. [[compactBucketedStore]] pays O(store) for
+    * that; this pays O(selected buckets) — the same partial-rewrite
+    * economics as the batch path itself, and what [[maintainStore]]
+    * now uses when fragmentation (not manifest fan-out) is the
+    * trigger. Rows sort by the key within each rewritten bucket, so
+    * parquet row-group min/max statistics prune key ranges inside the
+    * new file. Content is bit-identical; a normal CAS-claimed
+    * maintenance commit. Returns the new version, or None when no
+    * selected bucket is live. */
+  def compactBuckets(spark: SparkSession, storeDir: String,
+      buckets: Set[Long]): Option[Long] = {
+    require(buckets.nonEmpty, "compactBuckets needs at least one bucket")
+    val latest = readHead(storeDir).getOrElse(return None)
+    val manifest = readManifest(storeDir, latest)
+    val selected = buckets.intersect(manifest.keySet)
+    if (selected.isEmpty) return None
+    val target = readSchema(storeDir, latest).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir has no recorded schema — only stores written " +
+          "by the schema-registry protocol can be compacted"))
+    val keyCol = target.fields.head.name
+    val version = latest + 1
+    val claim = claimCommit(storeDir, version, latest, -1L) // maintenance commit
+    try {
+      val byVersion = manifest.view.filterKeys(selected).toMap
+        .groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+      // bucket membership is hash-determined and UNCHANGED — rows keep
+      // the `_bucket` their dir assigned (pure compaction, like
+      // rewriteAll's newNBuckets=None path; no per-row re-hash)
+      val current = byVersion.toSeq.sortBy(_._1).map { case (v, bs) =>
+        val df = readVersionDir(spark, storeDir, v)
+          .filter(col("_bucket").isin(bs: _*))
+        val have = df.columns.toSet
+        df.select(target.fields.toSeq.map { f =>
+          if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+        } :+ col("_bucket").cast("long").as("_bucket"): _*)
+      }.reduce(_ unionByName _)
+      // one file per rewritten bucket, key-clustered inside it
+      val out = current.repartition(col("_bucket"))
+        .sortWithinPartitions(col("_bucket"), col(keyCol))
+      val survivors = withClaimHeartbeat(claim) {
+        publishVersionDir(storeDir, version, claim) { stage =>
+          out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+          val s0 = Files.list(Paths.get(stage))
+          try s0.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("_bucket="))
+            .map(_.stripPrefix("_bucket=").toLong).toList.sorted
+          finally s0.close()
+        }
+      }
+      writeManifest(storeDir, version,
+        manifest -- selected ++ survivors.map(_ -> version),
+        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+      writeSchema(storeDir, version, target)
+      verifyClaim(claim)
+      writeLongAtomic(latestPath(storeDir), version)
+    } catch { case e: Throwable => releaseOwnClaim(claim); throw e }
+    pruneCommitMarkers(storeDir)
+    Some(version)
+  }
 
   /** Maintenance: re-hash every key into `newNBuckets` buckets and
     * rewrite the store as one new version — the sanctioned migration

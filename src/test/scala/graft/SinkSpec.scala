@@ -1918,6 +1918,74 @@ class SinkSpec extends SparkTestBase {
     assert(MergeSink.storedKeyName(store).contains("k"))
   }
 
+  test("ST10 maintain: bucket-scoped compaction rewrites ONLY the fragmented bucket; cold buckets keep their files") {
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_maintain_scoped").toString
+    val store = s"$dir/store"
+    val vcols = Seq("name", "v")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val hotBucket = bucketOf(1L)
+    val hotKeys = (1L to 400L).filter(bucketOf(_) == hotBucket).take(8)
+    val coldKey = (1L to 400L).find(bucketOf(_) != hotBucket).get
+    // cold bucket: one tidy commit
+    MergeSink.applyBucketedBatch(
+      Seq((coldKey, "upsert", 1L, "cold", 1L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    // hot bucket: one commit whose rows span several write tasks →
+    // several small files inside ONE bucket dir (AQE's tiny-shuffle
+    // coalescing would fold them back into one task — switch it off
+    // for the setup write only)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try MergeSink.applyBucketedBatch(
+      hotKeys.map(k => (k, "upsert", 2L, s"h$k", k)).toDF("k", "op", "ver", "name", "v")
+        .repartition(4),
+      1L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val statsBefore = MergeSink.storeStats(spark, store).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(statsBefore(hotBucket)._2 > 2,
+      s"setup: the hot bucket must be fragmented: $statsBefore")
+    val coldBucket = bucketOf(coldKey)
+    val coldOwnerBefore = statsBefore(coldBucket)._1
+    val coldFiles = {
+      val d = java.nio.file.Paths.get(store, s"v$coldOwnerBefore", s"_bucket=$coldBucket")
+      java.nio.file.Files.list(d).iterator().asScala.map(_.toString).toSet
+    }
+    val before = MergeSink.currentBucketedSnapshot(spark, store).get
+      .collect().map(_.toString).toSet
+    // fragmentation without fan-out → the SCOPED path
+    val r = MergeSink.maintainStore(spark, store,
+      MergeSink.MaintenancePolicy(maxFilesPerBucket = 2, maxLiveVersions = 8))
+    assert(r.triggered && r.compactedVersion.isDefined, s"$r")
+    val statsAfter = MergeSink.storeStats(spark, store).collect()
+      .map(r0 => r0.getLong(0) -> (r0.getLong(1), r0.getLong(2))).toMap
+    // the hot bucket moved to the new version, ONE file
+    assert(statsAfter(hotBucket)._1 == r.compactedVersion.get &&
+      statsAfter(hotBucket)._2 == 1, s"hot bucket must compact: $statsAfter")
+    // the cold bucket kept its owner AND its very files
+    assert(statsAfter(coldBucket)._1 == coldOwnerBefore,
+      s"cold bucket must keep its owner: $statsAfter")
+    val coldFilesAfter = {
+      val d = java.nio.file.Paths.get(store, s"v$coldOwnerBefore", s"_bucket=$coldBucket")
+      java.nio.file.Files.list(d).iterator().asScala.map(_.toString).toSet
+    }
+    assert(coldFilesAfter == coldFiles, "cold bucket files must be untouched")
+    // content identical; history intact
+    val after = MergeSink.currentBucketedSnapshot(spark, store).get
+      .collect().map(_.toString).toSet
+    assert(after == before, "scoped compaction must not change content")
+    // the cold owner's read point survives (it is still live); the
+    // superseded hot version was reclaimed by the triggered pass's
+    // vacuum like any other dead dir
+    assert(MergeSink.bucketedSnapshotAt(spark, store, 0L)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(coldKey))
+    // direct API: a non-live bucket selection no-ops
+    assert(MergeSink.compactBuckets(spark, store, Set(99L)).isEmpty)
+  }
+
   test("ST10 maintain: a within-policy pass is a REAL no-op — default retention must not reclaim history") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_maintain_noop").toString
