@@ -76,8 +76,17 @@ class GraftCatalog extends TableCatalog {
     * .GraftMaintenanceSql lives outside this package tree). */
   def storeDirOf(ident: Identifier): String = dirOf(ident)
 
+  // through the store's own head read, not a bare `_latest` probe:
+  // on a delete-then-rename backend the pointer vanishes for the
+  // swap window, and a table must not flicker out of existence
+  // mid-swap (MergeSink.latestVersion carries the reader retry). A
+  // store whose pointer is GONE past the retry but whose commit
+  // evidence survives still EXISTS — reading it then fails loudly
+  // with the repair named, which is the right place for that error
+  // (a SHOW TABLES must not hide a damaged store, nor blow up on it).
   private def isStore(dir: String): Boolean =
-    Files.exists(Paths.get(dir, "_latest"))
+    try MergeSink.latestVersion(dir).isDefined
+    catch { case _: IllegalStateException => true }
 
   override def tableExists(ident: Identifier): Boolean = isStore(dirOf(ident))
 
