@@ -26,6 +26,7 @@ import graft.streaming.MergeSink
   * DESCRIBE DETAIL graft.obs                -- one row per live bucket
   * OPTIMIZE graft.obs                       -- compact live buckets
   * OPTIMIZE graft.obs ZORDER BY (ts)        -- compact + cluster
+  * OPTIMIZE graft.obs WHERE mac = 'AB'      -- compact that key's bucket only
   * VACUUM graft.obs RETAIN 48 HOURS         -- reclaim dead versions
   * VACUUM graft.obs RETAIN 10 VERSIONS DRY RUN
   * RESTORE TABLE graft.obs TO VERSION AS OF 2
@@ -104,20 +105,100 @@ object GraftMaintenanceSql {
       MergeSink.storeStats(spark, resolveDir(spark, target)).collect().toSeq
   }
 
-  /** `OPTIMIZE [ZORDER BY (…)]` — compaction ([[MergeSink
-    * .compactBucketedStore]]; no-op row when already compact) or a
-    * clustered rewrite ([[MergeSink.optimizeStore]]). ZORDER BY of
-    * exactly two integral columns interleaves bits (the true z-curve,
+  /** `OPTIMIZE [WHERE <key predicate>] [ZORDER BY (…)]` — compaction
+    * ([[MergeSink.compactBucketedStore]]; no-op row when already
+    * compact), a clustered rewrite ([[MergeSink.optimizeStore]]), or —
+    * with a WHERE of literal key predicates — the BUCKET-SCOPED
+    * rewrite ([[MergeSink.compactBuckets]]): only the named keys'
+    * owning buckets compact (each to one key-sorted file), O(owning
+    * buckets) instead of O(store) — the Delta `OPTIMIZE … WHERE`
+    * analogue with buckets in place of partitions. The predicate must
+    * pin the KEY to literals (`key = v`, `key IN (…)`, AND of those;
+    * widened literals TRY-cast to the key's type) — anything else
+    * refuses loudly rather than silently scanning the store to decide
+    * what to compact. WHERE and ZORDER BY together are refused (the
+    * scoped rewrite already key-sorts its buckets; curve-clustering is
+    * a whole-store layout decision). ZORDER BY of exactly two integral
+    * columns interleaves bits (the true z-curve,
     * [[graft.operators.ZOrder.zValue]]); any other column list
     * clusters lexicographically in the given order. */
   case class GraftOptimizeCommand(target: Either[String, Seq[String]],
-      zorderBy: Seq[String]) extends LeafRunnableCommand {
+      zorderBy: Seq[String], where: Option[String] = None)
+      extends LeafRunnableCommand {
     override val output: Seq[AttributeReference] = Seq(
       AttributeReference("compacted_version", LongType, nullable = true)())
+
+    /** The owning buckets a WHERE of literal key predicates pins —
+      * parsed with the session's own expression parser, walked for
+      * `key = lit` / `key IN (lits)` conjuncts only. Throws (never
+      * guesses) on any other shape. */
+    private def whereBuckets(spark: SparkSession, dir: String,
+        cond: String): Set[Long] = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, EvalMode, In, Literal}
+      val schema = MergeSink.snapshotSchemaAt(dir, None)
+      val keyName = MergeSink.storedKeyName(dir)
+        .getOrElse(schema.fields.head.name)
+      val keyType = schema(keyName).dataType
+      val nB = MergeSink.storedNBuckets(dir).getOrElse(
+        throw new IllegalStateException(
+          s"graft: $dir is not a bucketed store — OPTIMIZE WHERE needs " +
+            "the bucketed layout"))
+      def refuse(what: String): Nothing = throw new IllegalArgumentException(
+        s"graft: OPTIMIZE WHERE only accepts literal predicates on the " +
+          s"key column '$keyName' ($what) — key = <literal>, key IN " +
+          "(<literals>), AND of those; for anything else run a full " +
+          "OPTIMIZE")
+      def isKey(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        e match {
+          case a: UnresolvedAttribute =>
+            a.nameParts.length == 1 &&
+              a.nameParts.head.equalsIgnoreCase(keyName)
+          case _ => false
+        }
+      val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      // a parsed WHERE's values arrive UNRESOLVED — a bare Literal or
+      // explicit CASTs stacked over one; fold them by re-building each
+      // cast step as a RESOLVED TRY-cast (null anywhere = refuse loudly)
+      def litValue(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Option[Literal] = e match {
+        case l: Literal => Some(l)
+        case Cast(child, dt, _, _) => litValue(child).flatMap(l =>
+          Option(Cast(l, dt, tz, EvalMode.TRY).eval(null))
+            .map(Literal(_, dt)))
+        case _ => None
+      }
+      def bucketOfLit(l: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Long = litValue(l) match {
+        case Some(lit) =>
+          val v =
+            if (lit.dataType == keyType) lit.value
+            else Cast(lit, keyType, tz, EvalMode.TRY).eval(null)
+          if (v == null) refuse(s"literal ${l.sql} does not cast to the " +
+            s"key type ${keyType.simpleString}")
+          MergeSink.bucketForInternalLiteral(v, keyType, nB)
+        case None => refuse(s"non-literal ${l.sql}")
+      }
+      def walk(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Set[Long] = e match {
+        case And(l, r) => walk(l) ++ walk(r)
+        case EqualTo(k, v) if isKey(k) => Set(bucketOfLit(v))
+        case EqualTo(v, k) if isKey(k) => Set(bucketOfLit(v))
+        case In(k, vs) if isKey(k) => vs.map(bucketOfLit).toSet
+        case other => refuse(s"unsupported shape ${other.sql}")
+      }
+      walk(spark.sessionState.sqlParser.parseExpression(cond))
+    }
+
     override def run(spark: SparkSession): Seq[Row] = {
       val dir = resolveDir(spark, target)
+      require(where.isEmpty || zorderBy.isEmpty,
+        "graft: OPTIMIZE WHERE and ZORDER BY are mutually exclusive — " +
+          "the scoped rewrite already key-sorts its buckets")
       val result =
-        if (zorderBy.isEmpty) MergeSink.compactBucketedStore(spark, dir)
+        if (where.isDefined)
+          MergeSink.compactBuckets(spark, dir, whereBuckets(spark, dir, where.get))
+        else if (zorderBy.isEmpty) MergeSink.compactBucketedStore(spark, dir)
         else {
           val schema = MergeSink.snapshotSchemaAt(dir, None)
           val missing = zorderBy.filterNot(schema.fieldNames.contains)
@@ -244,7 +325,7 @@ class GraftSqlParser(session: => org.apache.spark.sql.SparkSession,
   private val DescDetail =
     """(?is)^\s*(?:DESCRIBE|DESC)\s+DETAIL\s+(.+?)\s*;?\s*$""".r
   private val Optimize =
-    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val Vacuum =
     """(?is)^\s*VACUUM\s+(.+?)((?:\s+RETAIN\s+\S+\s+(?:VERSIONS|HOURS))*)(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val Retain = """(?i)RETAIN\s+(\S+)\s+(VERSIONS|HOURS)""".r
@@ -287,10 +368,10 @@ class GraftSqlParser(session: => org.apache.spark.sql.SparkSession,
         yield GraftCloneCommand(d, s)
       case Convert(t, key, nb) => target(t).map(GraftConvertCommand(_,
         key, Option(nb).map(_.toInt)))
-      case Optimize(t, z) => target(t).map(GraftOptimizeCommand(_,
+      case Optimize(t, w, z) => target(t).map(GraftOptimizeCommand(_,
         Option(z).map(_.split(',').map(c =>
           delegate.parseMultipartIdentifier(c.trim).last).toSeq)
-          .getOrElse(Nil)))
+          .getOrElse(Nil), Option(w).map(_.trim)))
       case Vacuum(t, retains, dry) => target(t).map { tgt =>
         var versions = 0
         var hours = 0.0

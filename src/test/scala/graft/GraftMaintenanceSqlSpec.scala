@@ -204,6 +204,45 @@ class GraftMaintenanceSqlSpec extends SparkTestBase {
     }
   }
 
+  test("OPTIMIZE WHERE compacts only the named key's bucket; non-literal shapes and WHERE+ZORDER refuse") {
+    val sess = s
+    import sess.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val dir = Files.createTempDirectory("graft_msql_optwhere").toString
+    val store = s"$dir/store"
+    def bucketOf(k: Long): Long = sess.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(4L))).head().getLong(0)
+    val kA = 1L
+    val kB = (2L to 99L).find(k => bucketOf(k) != bucketOf(kA)).get
+    MergeSink.applyBucketedBatch(
+      Seq((kA, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    MergeSink.applyBucketedBatch(
+      Seq((kB, "upsert", 1L, "b", 20L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    val ownersBefore = MergeSink.storeStats(s, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scoped: only kA's bucket moves to the new version (widened
+    // literal exercises the TRY-cast normalization too)
+    val v = s.sql(s"OPTIMIZE '$store' WHERE k = CAST($kA AS INT)")
+      .head().getLong(0)
+    val ownersAfter = MergeSink.storeStats(s, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ownersAfter(bucketOf(kA)) == v, s"$ownersAfter")
+    assert(ownersAfter(bucketOf(kB)) == ownersBefore(bucketOf(kB)),
+      "the un-named key's bucket must keep its owner")
+    assert(snap(store) == Set((kA, "a", 10L), (kB, "b", 20L)))
+    // refusals: non-literal shapes, and WHERE with ZORDER BY
+    val e1 = intercept[Exception] {
+      s.sql(s"OPTIMIZE '$store' WHERE v > 5").collect()
+    }
+    assert(e1.getMessage.contains("literal predicates on the key"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      s.sql(s"OPTIMIZE '$store' WHERE k = $kA ZORDER BY (v)").collect()
+    }
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+  }
+
   test("CONVERT TO GRAFT adopts a flat parquet dir in place: store verbs work, originals swept, re-convert refused") {
     val sess = s
     import sess.implicits._
