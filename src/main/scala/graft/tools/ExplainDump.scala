@@ -103,10 +103,14 @@ object ExplainDump {
     "l2q_setsim_join" -> ("EXACT set-similarity join via prefix filtering: "
       + "candidates come from a self-join on each doc's PREFIX postings "
       + "only — its |s|−⌈t·|s|⌉+1 rarest grams under the global (df, gram) "
-      + "order — so hot grams never generate candidates; verification "
-      + "re-joins the full gram lists keyed by doc_id. Grams travel as "
-      + "xxhash64 longs; every join is a shuffled/broadcast EQUI join, no "
-      + "nested loop anywhere, and recall is 100% by theorem."),
+      + "order — so hot grams never generate candidates. Verification (r13 "
+      + "rewrite): each doc's gram set folds ONCE into a sorted long array; "
+      + "candidate pairs equi-join those compact array payloads and the "
+      + "overlap comes from the native codegen'd SortedLongIntersectCount — "
+      + "a linear two-pointer merge per pair, no per-gram explode on the "
+      + "verify side, so no exchange scales with pairs×doc-length. Grams "
+      + "travel as xxhash64 longs; every join is a shuffled/broadcast EQUI "
+      + "join, no nested loop anywhere, and recall is 100% by theorem."),
     "w12_interpolate" -> ("Linear interpolation at query instants: samples "
       + "and query points UNION into one per-key ordered stream, and ONE "
       + "Window exec (two frames over the same sort) carries both "
