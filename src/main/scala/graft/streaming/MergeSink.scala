@@ -856,8 +856,18 @@ object MergeSink {
       h <- readHead(storeDir)
       c <- manifestNBuckets(storeDir, h)
     } yield c
-    published.orElse(readLong(nBucketsPath(storeDir)))
+    published.orElse(readNBucketsRegistry(storeDir))
   }
+
+  /** `_nbuckets` through the created-but-empty-tolerant registry read
+    * ([[readRegistry]]); unparsable non-empty content stays the loud
+    * corruption error. */
+  private def readNBucketsRegistry(storeDir: String): Option[Long] =
+    readRegistry(nBucketsPath(storeDir)).map(b => b.toLongOption.getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: registry file ${nBucketsPath(storeDir)} is corrupted " +
+          s"(content: '$b') — restore it from the head manifest's layout " +
+          "signature before using this store")))
 
   /** The store's recorded bucket count. Persisted on the first batch;
     * every later writer must agree (a mismatched writer would route
@@ -881,7 +891,7 @@ object MergeSink {
         writeLongAtomic(nBucketsPath(storeDir), p) // heal the registry cache
       if (p != nBuckets) refuse(p)
     }
-    if (published.isEmpty) readLong(nBucketsPath(storeDir)) match {
+    if (published.isEmpty) readNBucketsRegistry(storeDir) match {
       case Some(stored) if stored != nBuckets => refuse(stored)
       case Some(_) => ()
       case None =>
@@ -894,12 +904,41 @@ object MergeSink {
         try Files.createExclusive(nBucketsPath(storeDir),
           nBuckets.toLong.toString.getBytes(StandardCharsets.UTF_8))
         catch { case _: FileAlreadyExistsException => () }
-        readLong(nBucketsPath(storeDir))
+        readNBucketsRegistry(storeDir)
           .filter(_ != nBuckets.toLong).foreach(refuse)
     }
   }
 
   private def keyNamePath(storeDir: String) = Paths.get(storeDir, "_key")
+
+  /** Read a CAS-created registry file (`_key` / `_nbuckets`) tolerant
+    * of the created-but-empty window: HDFS exposes the file at create
+    * and the content at close, so a reader racing the winning
+    * creator's close can observe EMPTY content — which must read as
+    * "in flight, re-poll", never as a recorded empty value (a
+    * `_key`='' would refuse every writer forever) and never as
+    * corruption while the window is plausibly open. Still-empty past
+    * the retries IS damage and fails loudly. None = file absent. */
+  private def readRegistry(p: Path): Option[String] = {
+    var attempt = 0
+    while (true) {
+      val body =
+        try {
+          if (!Files.exists(p)) return None
+          Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+        } catch { case _: java.nio.file.NoSuchFileException => return None }
+      body match {
+        case Some(b) if b.nonEmpty => return Some(b)
+        case _ if attempt < 5 => attempt += 1; Thread.sleep(20L)
+        case _ => throw new IllegalStateException(
+          s"MergeSink: registry file $p is EMPTY — its creator crashed " +
+            "between create and close, or the file was truncated; verify " +
+            "no writer is live, delete the file, and let the next writer " +
+            "re-register it")
+      }
+    }
+    None // unreachable
+  }
 
   /** The store's recorded KEY COLUMN NAME. Persisted on the first
     * batch, like `_nbuckets`: every consumer that routes or prunes by
@@ -911,12 +950,8 @@ object MergeSink {
     * is refused loudly (it would route every row to the wrong bucket).
     * Stores created before this registry entry fall back to the
     * first-field convention (their schemas do lead with the key). */
-  def storedKeyName(storeDir: String): Option[String] = {
-    val p = keyNamePath(storeDir)
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
-    else None
-  }
+  def storedKeyName(storeDir: String): Option[String] =
+    readRegistry(keyNamePath(storeDir))
 
   private def requireKeyName(storeDir: String, key: String): Unit = {
     def refuse(stored: String): Nothing =
@@ -2297,6 +2332,18 @@ object MergeSink {
                   s"MergeSink: OCC writer '$writer' batch $batchId on " +
                     s"$storeDir could not validate its read set after " +
                     s"$attempt attempts")
+              Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 500L)
+            case e: java.util.ConcurrentModificationException =>
+              // a USURPED claim (verifyClaim's pre-swap refusal — this
+              // writer looked abandoned to a recoverer, or lost a
+              // first-slot race): nothing published, the usurper's
+              // commit stands, and this batch is still VALID against
+              // whatever head emerges — rebase and retry like any
+              // other conflict instead of killing the hosting stream.
+              // (The claim is already not ours; releaseOwnClaim's
+              // content check makes the cleanup a safe no-op.)
+              releaseOwnClaim(claim)
+              if (attempt >= maxRetries) throw e
               Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 500L)
             case e: Throwable =>
               // a failed merge job (or anything else) must not leave

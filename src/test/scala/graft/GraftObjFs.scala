@@ -47,6 +47,41 @@ class GraftObjFileSystem extends RawLocalFileSystem {
     getFileStatus(p) // existence check still throws like the real call
     () // silent no-op — the S3A shape the heartbeat must survive
   }
+
+  /** ATOMIC create-if-absent for `overwrite = false` — the S3
+    * conditional-PUT (If-None-Match) semantics the CAS-analogue table
+    * REQUIRES of a production deployment
+    * (`fs.s3a.create.conditional.enabled`). Two S3 realities modeled
+    * faithfully: (a) RawLocalFileSystem's default is check-then-create
+    * — a TOCTOU two racing claimants can both pass, the second
+    * silently truncating the first's claim; the conditional PUT
+    * refuses exactly one. (b) an S3 object NEVER appears empty — the
+    * PUT (and its If-None-Match evaluation) happens when the stream
+    * CLOSES, so the content buffers here and the atomic
+    * publish-or-refuse fires at close, complete-or-nothing.
+    * (`overwrite = true` keeps the parent behavior.) */
+  override def create(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (overwrite)
+      return super.create(f, permission, overwrite, bufferSize, replication,
+        blockSize, progress)
+    val local = pathToFile(f).toPath
+    Option(local.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val buffered = new java.io.ByteArrayOutputStream() {
+      override def close(): Unit = {
+        super.close()
+        try java.nio.file.Files.write(local, toByteArray(),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException => throw e
+        }
+      }
+    }
+    new org.apache.hadoop.fs.FSDataOutputStream(buffered, null)
+  }
 }
 
 object GraftObjFileSystem {
