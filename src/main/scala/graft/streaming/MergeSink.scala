@@ -887,8 +887,12 @@ object MergeSink {
       h <- readHead(storeDir); c <- manifestNBuckets(storeDir, h)
     } yield c
     published.foreach { p =>
-      if (!readLong(nBucketsPath(storeDir)).contains(p))
-        writeLongAtomic(nBucketsPath(storeDir), p) // heal the registry cache
+      // heal the registry cache toward the published value — an empty
+      // or corrupt cache heals too (the published head is authoritative)
+      val cached =
+        try readNBucketsRegistry(storeDir)
+        catch { case _: IllegalStateException => None }
+      if (!cached.contains(p)) writeLongAtomic(nBucketsPath(storeDir), p)
       if (p != nBuckets) refuse(p)
     }
     if (published.isEmpty) readNBucketsRegistry(storeDir) match {
