@@ -2987,6 +2987,48 @@ object MergeSink {
     dead
   }
 
+  /** Vacuum for PLAIN-protocol stores ([[applyBatch]] /
+    * [[applyFeedToView]]'s view stores — every version dir is the FULL
+    * state, so any dir below the head is pure history): delete version
+    * dirs older than the newest `retainLast`, with their schemas and
+    * commit markers folded into the pruning horizon exactly like the
+    * bucketed vacuum. The gap this closes is UNBOUNDED VIEW GROWTH —
+    * a months-running IVM view writes one full snapshot per delivered
+    * range and nothing ever reclaimed them ([[maintainAggView]] now
+    * takes a retention knob that calls this per trigger). `retainLast`
+    * ≥ 1 always — the head IS the store; the HEAD's marker is also
+    * always kept (the view-apply crash guard reads it). Refuses
+    * bucketed stores (their dirs stay live through manifests — use
+    * [[vacuumBucketedStore]]). Returns the versions reclaimed. */
+  def vacuumPlainStore(storeDir: String, retainLast: Int = 1): Seq[Long] = {
+    require(retainLast >= 1, s"retainLast must be >= 1 (got $retainLast)")
+    val latest = readHead(storeDir).getOrElse(return Seq.empty)
+    if (Files.exists(manifestsDir(storeDir)))
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir is a bucketed store — its old dirs may be " +
+          "LIVE through manifests; use vacuumBucketedStore")
+    val versions = {
+      val s = Files.list(Paths.get(storeDir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption).toList
+      finally s.close()
+    }
+    val dead = versions.filter(v => v <= latest - retainLast).sorted
+    if (dead.isEmpty) return dead
+    val cd = commitsDir(storeDir)
+    Files.createDirectories(cd)
+    val horizon = math.max(dead.max,
+      readLong(cd.resolve("_horizon")).getOrElse(Long.MinValue))
+    writeLongAtomic(cd.resolve("_horizon"), horizon)
+    dead.foreach { v =>
+      val p = Paths.get(storeDir, s"v$v")
+      if (Files.exists(p)) Files.deleteTree(p)
+      Files.deleteIfExists(schemasDir(storeDir).resolve(v.toString))
+      Files.deleteIfExists(cd.resolve(v.toString))
+    }
+    dead
+  }
+
   // ------------------------------------------------------------------
   // Store as a STREAMING SOURCE: the change-feed subscription
   // ------------------------------------------------------------------
@@ -3129,10 +3171,17 @@ object MergeSink {
   def maintainAggView(spark: SparkSession, storeDir: String,
       subscriber: String, viewDir: String, checkpoint: String,
       groupCol: String, valueCol: String, versionsPerTrigger: Int = 10,
-      clock: Option[DataFrame] = None): DataStreamWriter[Row] =
+      clock: Option[DataFrame] = None,
+      retainViewVersions: Int = 0): DataStreamWriter[Row] =
     changeFeedStream(spark, storeDir, subscriber, checkpoint,
       versionsPerTrigger, startAtVersion = Some(-1L), clock) { (feed, from, to) =>
       applyFeedToView(spark, storeDir, feed, from, to, viewDir, groupCol, valueCol)
+      // opt-in view retention: without it a long-running view grows one
+      // full snapshot per delivered range FOREVER (the plain-protocol
+      // unbounded-growth gap vacuumPlainStore exists to close). The
+      // head and its crash-guard marker always survive; redelivery
+      // dedup reads `_lastBatch` + the head marker, both retained.
+      if (retainViewVersions > 0) vacuumPlainStore(viewDir, retainViewVersions)
     }
 
   /** The maintained view's current contents (None before the first

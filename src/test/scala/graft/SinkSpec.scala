@@ -1156,6 +1156,59 @@ class SinkSpec extends SparkTestBase {
     assert(view() == before, "redelivered range must not double-apply")
   }
 
+  test("ST10 view retention: a retained IVM view stays bounded on disk; redelivery dedup survives the vacuum") {
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_view_retain").toString
+    val store = s"$dir/store"
+    val viewDir = s"$dir/view"
+    val vcols = Seq("name", "v")
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "x", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", vcols, nBuckets = 4)
+    val clock = MemoryStream[Int]
+    // retention 2: the view never holds more than 2 snapshot dirs no
+    // matter how many ranges deliver — the unbounded-growth gap closed
+    val q = MergeSink.maintainAggView(spark, store, "ivmret", viewDir,
+      s"$dir/ckpt", "name", "v", clock = Some(clock.toDF()),
+      retainViewVersions = 2).start()
+    def viewDirs(): Int = {
+      val s0 = java.nio.file.Files.list(java.nio.file.Paths.get(viewDir))
+      try s0.iterator().asScala.map(_.getFileName.toString)
+        .count(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      finally s0.close()
+    }
+    try {
+      (1 to 6).foreach { i =>
+        MergeSink.applyBucketedBatch(
+          Seq((1L, "upsert", i.toLong + 1, "x", 10L + i)).toDF("k", "op", "ver", "name", "v"),
+          i.toLong, store, "k", "op", "ver", vcols, nBuckets = 4)
+        clock.addData(i); q.processAllAvailable()
+      }
+      assert(viewDirs() <= 2, s"view must stay bounded (got ${viewDirs()} dirs)")
+      val got = MergeSink.currentViewState(spark, viewDir).get
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("x", 1L, 16L)), s"view content: $got")
+    } finally q.stop()
+    // redelivery dedup reads `_lastBatch` + the HEAD marker — both
+    // survive the vacuum, so a replayed range is still a no-op
+    val before = MergeSink.currentViewState(spark, viewDir).get
+      .collect().map(_.toString).toSet
+    val feed = MergeSink.storeChangesBetween(spark, store, 5L, 6L)
+    MergeSink.applyFeedToView(spark, store, feed, 5L, 6L, viewDir, "name", "v")
+    assert(MergeSink.currentViewState(spark, viewDir).get
+      .collect().map(_.toString).toSet == before,
+      "redelivered range must not double-apply after vacuum")
+    // guard rails: plain-store vacuum refuses bucketed stores and
+    // always keeps the head
+    intercept[IllegalArgumentException] {
+      MergeSink.vacuumPlainStore(store)
+    }
+    intercept[IllegalArgumentException] {
+      MergeSink.vacuumPlainStore(viewDir, retainLast = 0)
+    }
+  }
+
   test("ST10 bucketed: vacuum retention windows hold read points; liveness still rules") {
     import graft.streaming.MergeSink
     val dir = Files.createTempDirectory("graft_vacuum_retain").toString
