@@ -3000,7 +3000,8 @@ object MergeSink {
     * always kept (the view-apply crash guard reads it). Refuses
     * bucketed stores (their dirs stay live through manifests — use
     * [[vacuumBucketedStore]]). Returns the versions reclaimed. */
-  def vacuumPlainStore(storeDir: String, retainLast: Int = 1): Seq[Long] = {
+  def vacuumPlainStore(storeDir: String, retainLast: Int = 1,
+      dryRun: Boolean = false): Seq[Long] = {
     require(retainLast >= 1, s"retainLast must be >= 1 (got $retainLast)")
     val latest = readHead(storeDir).getOrElse(return Seq.empty)
     if (Files.exists(manifestsDir(storeDir)))
@@ -3014,7 +3015,7 @@ object MergeSink {
       finally s.close()
     }
     val dead = versions.filter(v => v <= latest - retainLast).sorted
-    if (dead.isEmpty) return dead
+    if (dead.isEmpty || dryRun) return dead
     val cd = commitsDir(storeDir)
     Files.createDirectories(cd)
     val horizon = math.max(dead.max,

@@ -244,7 +244,20 @@ object GraftMaintenanceSql {
           "(VACUUM … RETAIN 48 HOURS / RETAIN 10 VERSIONS; RETAIN 0 " +
           "VERSIONS for liveness-only reclamation), or preview with " +
           "DRY RUN")
-      MergeSink.vacuumBucketedStore(resolveDir(spark, target),
+      val dir = resolveDir(spark, target)
+      // PLAIN-protocol stores (IVM view stores, the unbucketed sink)
+      // have no manifests — their vacuum is version-count-only, and
+      // the head always survives (retain floor 1)
+      val plain = !graft.store.StoreFiles.exists(
+        graft.store.StorePaths.get(dir, "_manifests"))
+      if (plain) {
+        require(retainHours == 0.0,
+          "graft: RETAIN … HOURS is not supported on a plain-protocol " +
+            "store (no commit-time manifests to date versions by) — " +
+            "use RETAIN n VERSIONS")
+        MergeSink.vacuumPlainStore(dir,
+          retainLast = math.max(1, retainVersions), dryRun = dryRun).map(Row(_))
+      } else MergeSink.vacuumBucketedStore(dir,
         retainLast = retainVersions,
         retainMillis = (retainHours * 3600L * 1000L).toLong,
         dryRun = dryRun).map(Row(_))

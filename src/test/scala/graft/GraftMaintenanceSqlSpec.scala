@@ -131,6 +131,33 @@ class GraftMaintenanceSqlSpec extends SparkTestBase {
     assert(snap(store).size == 2, "the head stays intact")
   }
 
+  test("VACUUM routes plain-protocol stores (IVM views) to the version-count vacuum; head always survives") {
+    val sess = s
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft_msql_vacplain").toString
+    val plain = s"$dir/view"
+    // a plain-protocol store: applyBatch full snapshots, no manifests
+    (0 until 5).foreach { i =>
+      MergeSink.applyBatch(
+        Seq((1L, "upsert", i.toLong + 1, s"n$i", i.toLong))
+          .toDF("k", "op", "ver", "name", "v"),
+        i.toLong, plain, "k", "op", "ver", Seq("name", "v"))
+    }
+    val dry = s.sql(s"VACUUM '$plain' DRY RUN").collect().map(_.getLong(0)).toSet
+    assert(dry == Set(0L, 1L, 2L, 3L), s"reclaimable below the head: $dry")
+    val gone = s.sql(s"VACUUM '$plain' RETAIN 2 VERSIONS").collect()
+      .map(_.getLong(0)).toSet
+    assert(gone == Set(0L, 1L, 2L))
+    // the head (and the retained predecessor) still read
+    assert(MergeSink.currentSnapshot(s, plain, "k", Seq("name", "v")).get
+      .select("name").head().getString(0) == "n4")
+    // hour-based retention has no commit-time source on a plain store
+    val e = intercept[Exception] {
+      s.sql(s"VACUUM '$plain' RETAIN 1 HOURS").collect()
+    }
+    assert(e.getMessage.contains("RETAIN n VERSIONS"), e.getMessage)
+  }
+
   test("RESTORE TABLE TO VERSION AS OF rolls the head back as a new commit") {
     val dir = Files.createTempDirectory("graft_msql_restore").toString
     val store = mkStore(dir)

@@ -259,6 +259,29 @@ class StoreObjSpec extends SparkTestBase {
       "a replayed (writer, batch) must not commit")
   }
 
+  test("CONVERT TO GRAFT on graftobj://: in-place adoption, originals swept, store verbs follow — all through the object-store layer") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val (obj, local) = objTmp("graft_obj_convert")
+    val plain = obj + "/plain"
+    Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L))
+      .toDF("name", "k", "v").coalesce(1).write.parquet(plain)
+    assert(MergeSink.convertToStore(spark, plain, "k", nBuckets = 4) == 0L)
+    // originals swept through the Hadoop layer; the dir is now a store
+    val loose = java.nio.file.Files.list(
+        java.nio.file.Paths.get(local, "plain")).iterator()
+      .asScala.map(_.getFileName.toString)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".") && !n.startsWith("v"))
+      .toList
+    assert(loose.isEmpty, s"originals must be swept: $loose")
+    assert(snap(plain) == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    // a follow-up batch and time travel work on the adopted store
+    put(plain, Seq((2L, "upsert", 2L, "b2", 21L)), 0L)
+    assert(snap(plain) == Set((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L)))
+    assert(MergeSink.bucketedSnapshotAt(spark, plain, 0L)
+      .filter("k = 2").select("v").head().getLong(0) == 20L)
+  }
+
   test("change-feed subscriber across vacuum on graftobj://: delivery continues, aged-out start fails loudly") {
     import spark.implicits._
     val (obj, _) = objTmp("graft_obj_sub")
