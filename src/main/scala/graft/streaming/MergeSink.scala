@@ -1481,14 +1481,23 @@ object MergeSink {
   def storeHistory(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
     val latest = readHead(storeDir).getOrElse(-1L)
+    val bucketed = Files.exists(manifestsDir(storeDir))
     val versions =
-      if (!Files.exists(manifestsDir(storeDir))) Seq.empty[Long]
-      else {
+      if (bucketed) {
         val s0 = Files.list(manifestsDir(storeDir))
         try s0.iterator().asScala.map(_.getFileName.toString)
           .flatMap(_.toLongOption).toList.sorted
         finally s0.close()
-      }
+      } else if (latest >= 0) {
+        // PLAIN-protocol store (full snapshot per version, no
+        // manifests — the IVM view shape): history = the surviving
+        // version dirs; bucket count reads 0 (there are no buckets)
+        val s0 = Files.list(Paths.get(storeDir))
+        try s0.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption)
+          .toList.sorted
+        finally s0.close()
+      } else Seq.empty[Long]
     versions.map { v =>
       val marker = commitsDir(storeDir).resolve(v.toString)
       val (kind, batchId) =
@@ -1505,7 +1514,8 @@ object MergeSink {
             }
             case _ => ("unknown", None)
           }
-      (v, kind, batchId, readManifest(storeDir, v).size.toLong,
+      (v, kind, batchId,
+        if (bucketed) readManifest(storeDir, v).size.toLong else 0L,
         Files.exists(Paths.get(storeDir, s"v$v")), v == latest)
     }.sortBy(-_._1)
       .toDF("version", "kind", "batch_id", "n_live_buckets",

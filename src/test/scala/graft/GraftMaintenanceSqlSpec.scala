@@ -156,6 +156,11 @@ class GraftMaintenanceSqlSpec extends SparkTestBase {
       s.sql(s"VACUUM '$plain' RETAIN 1 HOURS").collect()
     }
     assert(e.getMessage.contains("RETAIN n VERSIONS"), e.getMessage)
+    // DESCRIBE HISTORY reads the plain store's surviving versions too
+    val hist = s.sql(s"DESCRIBE HISTORY '$plain'").collect()
+      .map(r => (r.getLong(0), r.getBoolean(5)))
+    assert(hist.map(_._1).toSet == Set(3L, 4L), s"history: ${hist.toSeq}")
+    assert(hist.find(_._2).map(_._1).contains(4L), "head flagged")
   }
 
   test("RESTORE TABLE TO VERSION AS OF rolls the head back as a new commit") {
