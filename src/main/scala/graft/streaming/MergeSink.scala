@@ -2528,7 +2528,13 @@ object MergeSink {
       val s0 = Files.list(dir)
       try {
         val names = s0.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => !n.startsWith("_") && !n.startsWith(".")).toList.sorted
+          .filter(n => (!n.startsWith("_") && !n.startsWith(".")) ||
+            // the source JOB's own markers are original data-job
+            // residue, not store metadata — sweep them with the data
+            // (they are listed BEFORE the conversion writes anything)
+            n == "_SUCCESS" || n.startsWith("_started_") ||
+            n.startsWith("_committed_"))
+          .toList.sorted
         names.partition(n => !Files.isDirectory(dir.resolve(n)))
       } finally s0.close()
     }
