@@ -342,6 +342,15 @@ private[store] object HadoopStoreIO extends StoreBackend {
     // an overwrite, not atomic: a reader racing it can see partial
     // content, which the marker readers already treat as a detected
     // race/corruption — loud, never a silent clobber.
+    //
+    // FORWARD-ONLY on object stores: a re-PUT stamps "now", so it can
+    // only repair refreshes that move the clock FORWARD (the
+    // heartbeat case). Restoring an OLDER mtime (captureStaleMarker's
+    // lease-clock restore) silently keeps "now" there — the restored
+    // claim gets one fresh lease. That restore path is only reached
+    // for a writer that heartbeated during the capture race, so the
+    // cost is bounded to one extra lease per race (documented at the
+    // call site); backward restores are exact on local/HDFS only.
     try {
       fs(p).setTimes(h(p), t.toMillis, -1)
       val moved = fs(p).getFileStatus(h(p)).getModificationTime

@@ -135,6 +135,17 @@ object MergeSink {
           // when the marker is near-stale, so a dead writer's claim
           // could be deferred indefinitely. The lease clock must
           // survive the capture/restore round trip.
+          // LOCAL/HDFS-ONLY: on object stores setTimes cannot move an
+          // mtime BACKWARD (StoreIO's read-back re-PUT fallback stamps
+          // "now" — it only repairs FORWARD heartbeat refreshes), so
+          // there the restored claim does get one fresh lease. That is
+          // BOUNDED, not the indefinite deferral above: this branch is
+          // reached only when the holder heartbeat-refreshed BETWEEN
+          // the expired probe and the capture (fresh == true requires
+          // a live-moments-ago writer), so the extra lease goes to a
+          // live writer once per capture-vs-heartbeat race — a dead
+          // writer's marker never heartbeats, captures stale, and is
+          // swept without entering this branch.
           try Files.setLastModifiedTime(marker, mtime)
           catch { case _: java.io.IOException => () }
         }
@@ -804,8 +815,13 @@ object MergeSink {
   }
 
   /** The LAYOUT SIGNATURE a version's manifest records: the bucket
-    * count its commit routed by (`#nbuckets <n>` header — comment
-    * lines, so any older parser skips them). This is what makes every
+    * count its commit routed by (`#nbuckets <n>` header — a comment
+    * line, which THIS parser and every r14+ reader skip;
+    * compatibility is FORWARD-ONLY: a pre-r14 binary's readManifest
+    * split every non-empty line into `bucket version` and would crash
+    * on the header, so a downgrade cannot read post-r14 manifests —
+    * r14 is a manifest format bump, noted in SURVEY §2 ST10z).
+    * This is what makes every
     * version dir's layout self-describing: erasure prunes each
     * historical dir with the modulus IT was written under, restore
     * across a rebucket reverts the layout coherently, and the
@@ -1346,20 +1362,31 @@ object MergeSink {
     }
     val newVersion = latest + 1
     val claim = claimCommit(storeDir, newVersion, latest, -1L) // maintenance commit
-    // the restore point's LAYOUT travels with its manifest: restoring
-    // across a rebucket reverts the bucket count too (the old dirs are
-    // old-modulus dirs — publishing them under the new count would
-    // mis-route every later writer and mis-prune every key lookup)
-    val restoredLayout = manifestNBuckets(storeDir, version)
-      .orElse(effectiveNBuckets(storeDir))
-    writeManifest(storeDir, newVersion, manifest, restoredLayout)
-    writeSchema(storeDir, newVersion, target)
-    verifyClaim(claim)
-    restoredLayout.foreach { c =>
-      if (!readLong(nBucketsPath(storeDir)).contains(c))
-        writeLongAtomic(nBucketsPath(storeDir), c) // heal the registry cache
-    }
-    writeLongAtomic(latestPath(storeDir), newVersion)
+    try {
+      // the restore point's LAYOUT travels with its manifest: restoring
+      // across a rebucket reverts the bucket count too (the old dirs are
+      // old-modulus dirs — publishing them under the new count would
+      // mis-route every later writer and mis-prune every key lookup)
+      val restoredLayout = manifestNBuckets(storeDir, version)
+        .orElse(effectiveNBuckets(storeDir))
+      writeManifest(storeDir, newVersion, manifest, restoredLayout)
+      writeSchema(storeDir, newVersion, target)
+      verifyClaim(claim)
+      restoredLayout.foreach { c =>
+        // heal through the empty-tolerant registry read: a
+        // created-but-still-closing `_nbuckets` (another writer's
+        // in-flight writeLongAtomic on a non-atomic backend) reads as
+        // None — heal proceeds — rather than tripping readLong's
+        // "pointer file is corrupted" mid-commit and wedging the slot
+        // for a full lease
+        val cached =
+          try readNBucketsRegistry(storeDir)
+          catch { case _: IllegalStateException => None }
+        if (!cached.contains(c))
+          writeLongAtomic(nBucketsPath(storeDir), c) // heal the registry cache
+      }
+      writeLongAtomic(latestPath(storeDir), newVersion)
+    } catch { case e: Throwable => releaseOwnClaim(claim); throw e }
     pruneCommitMarkers(storeDir)
     newVersion
   }
@@ -2497,9 +2524,13 @@ object MergeSink {
     * the key lands as the snapshot's FIRST column regardless of its
     * source position. Refuses a directory that is already a store.
     * CRASH-SAFE by breadcrumb: the original file list is recorded in
-    * `_convert` BEFORE any write, so a conversion that crashed after
-    * the pointer swap but before the sweep finishes the sweep on
-    * re-run (and returns the committed head) instead of refusing.
+    * `_convert` BEFORE any write. A conversion that crashed AFTER the
+    * pointer swap but before the sweep finishes the sweep on re-run
+    * (and returns the committed head); one that crashed BEFORE the
+    * swap (breadcrumb present, no head) RESUMES — the breadcrumb is
+    * the originals list, the crashed attempt's own residue (`v0`,
+    * manifest/schema 0) is excluded from the flat-directory refusal
+    * and re-published over under a fresh claim.
     * Returns the store's head version (0 for a fresh conversion). */
   def convertToStore(spark: SparkSession, storeDir: String, key: String,
       nBuckets: Int = 64): Long = {
@@ -2521,23 +2552,39 @@ object MergeSink {
             "adopts plain parquet directories only")
       case None => ()
     }
+    // `_convert` present with NO head = a conversion crashed BETWEEN
+    // writing the breadcrumb and the `_latest` swap (the post-swap
+    // crash is the sweep-resume branch above). The breadcrumb is the
+    // authoritative originals list — recorded before anything was
+    // written — so RESUME from it: the crashed attempt's own residue
+    // (a published-but-unswapped `v0`, `_manifests/0`, `_schemas/0`)
+    // is excluded from the flat-directory refusal and simply
+    // re-published over (every conversion write below is
+    // REPLACE_EXISTING-safe under the re-acquired claim).
+    val resuming = Files.exists(convertMark)
     // the ORIGINAL data files, recorded BEFORE anything is written:
     // only these are swept after the commit (metadata written by the
     // conversion itself is never deleted by its own cleanup)
-    val (originals, subdirs) = {
-      val s0 = Files.list(dir)
-      try {
-        val names = s0.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => (!n.startsWith("_") && !n.startsWith(".")) ||
-            // the source JOB's own markers are original data-job
-            // residue, not store metadata — sweep them with the data
-            // (they are listed BEFORE the conversion writes anything)
-            n == "_SUCCESS" || n.startsWith("_started_") ||
-            n.startsWith("_committed_"))
+    val (originals, subdirs) =
+      if (resuming) {
+        val names = new String(Files.readAllBytes(convertMark),
+          StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty)
           .toList.sorted
-        names.partition(n => !Files.isDirectory(dir.resolve(n)))
-      } finally s0.close()
-    }
+        (names.filterNot(n => Files.isDirectory(dir.resolve(n))), Nil)
+      } else {
+        val s0 = Files.list(dir)
+        try {
+          val names = s0.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => (!n.startsWith("_") && !n.startsWith(".")) ||
+              // the source JOB's own markers are original data-job
+              // residue, not store metadata — sweep them with the data
+              // (they are listed BEFORE the conversion writes anything)
+              n == "_SUCCESS" || n.startsWith("_started_") ||
+              n.startsWith("_committed_"))
+            .toList.sorted
+          names.partition(n => !Files.isDirectory(dir.resolve(n)))
+        } finally s0.close()
+      }
     // a hive-partitioned source (subdirectories) would be READ by the
     // conversion but its files live outside the top-level sweep —
     // refuse rather than leave duplicate loose data behind
@@ -2548,7 +2595,16 @@ object MergeSink {
         "write a fresh store through the session instead")
     require(originals.nonEmpty,
       s"MergeSink: $storeDir holds no data files to convert")
-    val src0 = spark.read.parquet(storeDir)
+    // on resume, read EXACTLY the breadcrumb's files — the directory
+    // now also holds the crashed attempt's v0 dir, which a whole-dir
+    // read would misparse as a partition column
+    val dataFiles = originals.filter(n =>
+      !(n == "_SUCCESS" || n.startsWith("_started_") ||
+        n.startsWith("_committed_")))
+    val src0 =
+      if (resuming)
+        spark.read.parquet(dataFiles.map(n => dir.resolve(n).toString): _*)
+      else spark.read.parquet(storeDir)
     require(src0.columns.contains(key),
       s"MergeSink: convert key '$key' is not a column of $storeDir " +
         s"(${src0.columns.mkString(", ")})")

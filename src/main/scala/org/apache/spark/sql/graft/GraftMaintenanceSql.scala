@@ -255,6 +255,18 @@ object GraftMaintenanceSql {
           "graft: RETAIN … HOURS is not supported on a plain-protocol " +
             "store (no commit-time manifests to date versions by) — " +
             "use RETAIN n VERSIONS")
+        // REFUSE rather than silently clamp: a plain store's head IS
+        // its only full snapshot (no manifests re-referencing older
+        // version dirs), so the head version dir must survive every
+        // vacuum — "RETAIN 0 VERSIONS" (liveness-only) cannot be
+        // honored as stated here, and clamping it to 1 without a
+        // signal would hand the operator a different retention than
+        // they asked for.
+        require(!(retainSpecified && retainVersions == 0),
+          "graft: RETAIN 0 VERSIONS is not honorable on a " +
+            "plain-protocol store — the head version dir is the only " +
+            "full snapshot and must survive (retention floor is 1); " +
+            "state RETAIN 1 VERSIONS explicitly")
         MergeSink.vacuumPlainStore(dir,
           retainLast = math.max(1, retainVersions), dryRun = dryRun).map(Row(_))
       } else MergeSink.vacuumBucketedStore(dir,

@@ -161,6 +161,66 @@ class GraftMaintenanceSqlSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getBoolean(5)))
     assert(hist.map(_._1).toSet == Set(3L, 4L), s"history: ${hist.toSeq}")
     assert(hist.find(_._2).map(_._1).contains(4L), "head flagged")
+    // RETAIN 0 VERSIONS cannot be honored on a plain store (the head
+    // dir is the only full snapshot) — REFUSED, never silently clamped
+    val e0 = intercept[Exception] {
+      s.sql(s"VACUUM '$plain' RETAIN 0 VERSIONS").collect()
+    }
+    assert(e0.getMessage.contains("retention floor is 1"), e0.getMessage)
+    assert(MergeSink.currentSnapshot(s, plain, "k", Seq("name", "v")).get
+      .select("name").head().getString(0) == "n4",
+      "a refused plain VACUUM must not reclaim anything")
+  }
+
+  test("CONVERT resumes a pre-swap crash: breadcrumb present, v0 residue, no head") {
+    val sess = s
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft_msql_convresume").toString
+    val plain = s"$dir/plain"
+    Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L))
+      .toDF("name", "k", "v").write.parquet(plain)
+    val p = java.nio.file.Paths.get(plain)
+    // the crashed attempt's breadcrumb: the original top-level names,
+    // recorded before anything was written (data files + job markers)
+    val s0 = java.nio.file.Files.list(p)
+    val originals =
+      try s0.toArray.map(_.toString.split('/').last)
+        .filter(n => (!n.startsWith("_") && !n.startsWith(".")) ||
+          n == "_SUCCESS").sorted
+      finally s0.close()
+    java.nio.file.Files.write(p.resolve("_convert"),
+      originals.mkString("\n").getBytes("UTF-8"))
+    // the crashed attempt's residue: a published-but-unswapped v0
+    // (stale content the resume must replace) and its slot-0 manifest
+    // — and NO `_latest` (the crash hit before the pointer swap)
+    java.nio.file.Files.createDirectories(p.resolve("v0").resolve("_bucket=0"))
+    java.nio.file.Files.write(
+      p.resolve("v0").resolve("_bucket=0").resolve("stale.bin"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.createDirectories(p.resolve("_manifests"))
+    java.nio.file.Files.write(p.resolve("_manifests").resolve("0"),
+      "#nbuckets 4\n0 0".getBytes("UTF-8"))
+    // re-running the same CONVERT resumes instead of refusing with the
+    // misleading flat-directory message
+    val converted = s.sql(s"CONVERT TO GRAFT '$plain' KEY (k) NBUCKETS 4")
+      .head().getLong(0)
+    assert(converted == 0L)
+    val got = MergeSink.currentBucketedSnapshot(s, plain).get
+      .select("k", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)),
+      s"resumed conversion must re-publish over the stale v0: $got")
+    // originals swept, breadcrumb gone, stale residue replaced
+    assert(!java.nio.file.Files.exists(p.resolve("_convert")))
+    assert(!java.nio.file.Files.exists(
+      p.resolve("v0").resolve("_bucket=0").resolve("stale.bin")))
+    val s1 = java.nio.file.Files.list(p)
+    val loose =
+      try s1.toArray.map(_.toString.split('/').last)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+          !n.startsWith("v"))
+      finally s1.close()
+    assert(loose.isEmpty, s"originals must be swept: ${loose.mkString(", ")}")
   }
 
   test("RESTORE TABLE TO VERSION AS OF rolls the head back as a new commit") {
