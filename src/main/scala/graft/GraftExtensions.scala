@@ -96,10 +96,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CDC commits through the store's OCC protocol (GraftDml scaladoc)
     ext.injectResolutionRule(org.apache.spark.sql.graft.GraftDml.GraftDmlRule)
     // store-scan statistics for the STATIC join planner: forward the
-    // graft scan's true (pruning-aware) bytes past V1ScanWrapper so a
-    // dim-sized store read plans broadcast without waiting for AQE
-    // (GraftStats scaladoc)
-    ext.injectPreCBORule(org.apache.spark.sql.graft.GraftStatsRule)
+    // graft scan's true (pruning-aware) bytes + row counts past
+    // V1ScanWrapper so a dim-sized store read plans broadcast without
+    // waiting for AQE (GraftStats scaladoc). The swap must run AFTER
+    // V2ScanRelationPushDown creates the wrapper, but every
+    // extension-injectable logical batch ("Pre CBO Rules" included)
+    // sits BEFORE "Early Filter and Projection Push-Down" in this
+    // Spark — so the builder registers the rule in the
+    // end-of-optimizer "User Provided Optimizers" batch through the
+    // public ExperimentalMethods API (once per session), and the
+    // pre-CBO slot keeps a no-op-until-pushdown copy for plan shapes
+    // that already carry a scan relation.
+    ext.injectPreCBORule { session =>
+      val already = session.experimental.extraOptimizations
+        .exists(_.isInstanceOf[org.apache.spark.sql.graft.GraftStatsRule])
+      if (!already)
+        session.experimental.extraOptimizations ++=
+          Seq(org.apache.spark.sql.graft.GraftStatsRule(session))
+      org.apache.spark.sql.graft.GraftStatsRule(session)
+    }
     // maintenance verbs (DESCRIBE HISTORY / OPTIMIZE / VACUUM /
     // RESTORE TABLE): a delegating parser recognizing exactly those
     // statements — none of which vanilla Spark parses — and handing

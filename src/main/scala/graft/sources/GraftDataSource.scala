@@ -553,8 +553,13 @@ class GraftScanBuilder(dir: String, tableSchema: StructType,
         override def sizeInBytes(): java.util.OptionalLong =
           bytes.map(b => java.util.OptionalLong.of(math.max(1L, b)))
             .getOrElse(java.util.OptionalLong.empty())
+        /** Summed `_stats` sidecar row counts of exactly the live
+          * files this scan resolves — absent unless every live file
+          * has a recorded count (never an understated guess). */
         override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.empty()
+          MergeSink.scanRows(dir, version, storedNB.flatMap(prunedBuckets))
+            .map(java.util.OptionalLong.of)
+            .getOrElse(java.util.OptionalLong.empty())
       }
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -599,7 +604,13 @@ class GraftRelation(context: SQLContext, dir: String, version: Option[Long],
 
   override def buildScan(): RDD[Row] = {
     val spark = context.sparkSession
-    val snap = MergeSink.snapshotPruned(spark, dir, version, buckets)
+    // pushed predicates reach the snapshot plan twice: here as FILE
+    // PRUNING evidence (the `_stats` sidecars skip files whose
+    // recorded ranges exclude them — before any footer read), and
+    // below re-applied as row filters inside the wrapped plan (parquet
+    // row-group pushdown + exactness; pruning only ever SHRINKS).
+    val snap = MergeSink.snapshotPruned(spark, dir, version, buckets,
+      pushed.toSeq)
     val filtered = pushed.flatMap(GraftFilters.toColumn)
       .foldLeft(snap)(_ filter _)
     val projected =

@@ -501,6 +501,14 @@ object MergeSink {
         & Long.MaxValue))
     try {
       val result = write(stage.toString)
+      // DATA-SKIPPING STATS, recorded at the single choke point every
+      // version-dir writer publishes through: footer-read exactly the
+      // files this commit wrote (metadata-only — no data re-read) into
+      // the `_stats/<version>` sidecar the scan path prunes by
+      // ([[FileStats]]). ADVISORY: a failure here loses skipping for
+      // this version, never the commit.
+      try writeFileStatsSidecar(storeDir, version, stage)
+      catch { case scala.util.control.NonFatal(_) => () }
       val dst = Paths.get(storeDir, s"v$version")
       verifyClaim(claim)
       try Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
@@ -770,6 +778,41 @@ object MergeSink {
   private def manifestsDir(storeDir: String) = Paths.get(storeDir, "_manifests")
   private def originPath(storeDir: String) = Paths.get(storeDir, "_origin")
   private def clonesDir(storeDir: String) = Paths.get(storeDir, "_clones")
+  private def statsDir(storeDir: String) = Paths.get(storeDir, "_stats")
+
+  /** Record the data-skipping sidecar for a version dir about to
+    * publish (see [[FileStats]]): footer-read the staged files, write
+    * `_stats/<version>` atomically (REPLACE_EXISTING — a re-claimed
+    * slot's re-publish replaces the stale sidecar with its own). */
+  private def writeFileStatsSidecar(storeDir: String, version: Long,
+      dataRoot: Path): Unit = {
+    val entries = FileStats.collect(dataRoot)
+    Files.createDirectories(statsDir(storeDir))
+    val tmp = statsDir(storeDir).resolve(s".$version.tmp." +
+      (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        & Long.MaxValue))
+    FileStats.write(statsDir(storeDir).resolve(version.toString), tmp, entries)
+  }
+
+  /** `_stats/<v>` up the origin chain, keyed by file path relative to
+    * the version dir. The sidecar lives WHERE THE DIR LIVES (a clone's
+    * origin-referenced dirs keep their stats in the source store);
+    * None = no sidecar, no skipping. */
+  private def resolveFileStats(storeDir: String,
+      v: Long): Option[Map[String, FileStats.FileEntry]] = {
+    var dir = storeDir
+    var hops = 0
+    while (hops < 64) {
+      if (Files.exists(Paths.get(dir, s"v$v")))
+        return FileStats.read(statsDir(dir).resolve(v.toString))
+          .map(_.map(e => e.rel -> e).toMap)
+      val o = originPath(dir)
+      if (!Files.exists(o)) return None
+      dir = new String(Files.readAllBytes(o), StandardCharsets.UTF_8).trim
+      hops += 1
+    }
+    None
+  }
 
   /** Resolve version dir `v` for possibly-CLONED stores: the local dir
     * when it exists, else up the `_origin` chain (a clone references
@@ -1031,15 +1074,70 @@ object MergeSink {
   }
 
   /** The manifest fold both snapshot readers share: buckets grouped by
-    * owning version → one partition-pruned scan per referenced dir. */
+    * owning version → one partition-pruned scan per referenced dir.
+    * With `filters` given (the SQL front door's pushed predicates),
+    * each dir's scan is additionally FILE-PRUNED through its
+    * `_stats` sidecar ([[FileStats]]) — files whose recorded ranges
+    * provably exclude the predicates never reach the reader, so not
+    * even their footers are fetched. */
   private def snapshotFromManifest(spark: SparkSession, storeDir: String,
-      manifest: Map[Long, Long], target: StructType): DataFrame = {
+      manifest: Map[Long, Long], target: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
     val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
-    byVersion.toSeq.sortBy(_._1).map { case (v, buckets) =>
-      alignTo(readVersionDir(spark, storeDir, v)
-        .filter(col("_bucket").isin(buckets: _*)), target) // partition-pruned
+    byVersion.toSeq.sortBy(_._1).flatMap { case (v, buckets) =>
+      versionDirScan(spark, storeDir, v, buckets, filters)
+        .map(df => alignTo(df, target))
     }.foldLeft(spark.createDataFrame(
       new java.util.ArrayList[Row](), target))(_ unionByName _)
+  }
+
+  /** One referenced dir's scan: partition-pruned to `buckets`, and —
+    * when predicates and a stats sidecar exist — file-pruned. None =
+    * every file of every selected bucket is provably predicate-free
+    * (the dir contributes nothing). Conservative fallbacks everywhere:
+    * no sidecar, an unlisted file, or nothing actually skipped all
+    * yield the plain dir scan. */
+  private def versionDirScan(spark: SparkSession, storeDir: String,
+      v: Long, buckets: Seq[Long],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[DataFrame] = {
+    def dirScan = Some(readVersionDir(spark, storeDir, v)
+      .filter(col("_bucket").isin(buckets: _*))) // partition-pruned
+    if (filters.isEmpty) return dirScan
+    val stats = resolveFileStats(storeDir, v).getOrElse(return dirScan)
+    val dataDir = resolveDataDir(storeDir, v).getOrElse(return dirScan)
+    val kept = scala.collection.mutable.ListBuffer.empty[Path]
+    var listed = 0
+    buckets.sorted.foreach { b =>
+      val bd = dataDir.resolve(s"_bucket=$b")
+      if (Files.exists(bd)) {
+        val s0 = Files.list(bd)
+        try s0.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { f =>
+            listed += 1
+            // a file the sidecar does not know is ALWAYS scanned
+            // (erasure rewrites bucket dirs in place with new names)
+            val skip = stats.get(s"_bucket=$b/${f.getFileName}")
+              .exists(e => filters.exists(FileStats.canSkip(e, _)))
+            if (!skip) kept += f
+          }
+        finally s0.close()
+      }
+    }
+    if (kept.size == listed) dirScan // nothing skipped: keep the dir plan
+    else if (kept.isEmpty) None // whole dir provably predicate-free
+    else {
+      val reader = resolveSchema(storeDir, v) match {
+        case Some(sc) => spark.read
+          .schema(sc.add("_bucket", org.apache.spark.sql.types.LongType))
+        case None => spark.read
+      }
+      // basePath keeps `_bucket=` parsing as the partition column on
+      // an explicit file list, exactly as the dir scan types it
+      Some(reader.option("basePath", dataDir.toString)
+        .parquet(kept.toSeq.map(_.toString): _*)
+        .filter(col("_bucket").isin(buckets: _*)))
+    }
   }
 
   /** TIME TRAVEL — the store AS OF `version` (a table format's
@@ -1209,6 +1307,58 @@ object MergeSink {
     finally s0.close()
   }
 
+  /** Planner row-count estimate from the `_stats` sidecars: the summed
+    * recorded row counts of exactly the LIVE files this scan resolves
+    * (version- and bucket-pruning-aware) — the CBO companion of
+    * [[scanBytes]]. None unless EVERY live file has a recorded count
+    * (a partial sum would understate and mis-broadcast); a count can
+    * only overstate after in-place erasure (deletes rows, dir names
+    * refresh the sidecar), which is the safe direction for a planner
+    * estimate. */
+  private[graft] def scanRows(storeDir: String, version: Option[Long],
+      buckets: Option[Set[Long]]): Option[Long] =
+    try {
+      val latest = headVersion(storeDir).getOrElse(return None)
+      val v = version.getOrElse(latest)
+      if (!Files.exists(manifestsDir(storeDir).resolve(v.toString)))
+        return None
+      val manifest0 = readManifest(storeDir, v)
+      val manifest = buckets match {
+        case Some(bs) => manifest0.view.filterKeys(bs).toMap
+        case None => manifest0
+      }
+      var sum = 0L
+      manifest.groupBy(_._2).foreach { case (owner, entries) =>
+        val stats = resolveFileStats(storeDir, owner).getOrElse(return None)
+        val dataDir = resolveDataDir(storeDir, owner).getOrElse(return None)
+        entries.keys.foreach { b =>
+          sum += bucketRowCount(stats, dataDir, b).getOrElse(return None)
+        }
+      }
+      Some(sum)
+    } catch { case _: Exception => None }
+
+  /** One bucket's recorded row count: the sidecar sum over the files
+    * ACTUALLY on disk. None when any listed file lacks a recorded
+    * count (a partial sum would understate). */
+  private def bucketRowCount(stats: Map[String, FileStats.FileEntry],
+      dataDir: Path, b: Long): Option[Long] = {
+    val bd = dataDir.resolve(s"_bucket=$b")
+    if (!Files.exists(bd)) return Some(0L)
+    var sum = 0L
+    val s0 = Files.list(bd)
+    try s0.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { f =>
+        stats.get(s"_bucket=$b/${f.getFileName}") match {
+          case Some(e) => sum += e.rows
+          case None => return None // unknown file: refuse a partial count
+        }
+      }
+    finally s0.close()
+    Some(sum)
+  }
+
   /** Snapshot read with OPTIONAL version pin and OPTIONAL bucket
     * pruning — the SQL front door's scan body. With `buckets` given,
     * only those buckets' manifest entries are resolved and scanned: a
@@ -1218,7 +1368,8 @@ object MergeSink {
     * (no manifest — every version dir is the full state) read their
     * version dir directly; bucket pruning needs the bucketed layout. */
   private[graft] def snapshotPruned(spark: SparkSession, storeDir: String,
-      version: Option[Long], buckets: Option[Set[Long]]): DataFrame = {
+      version: Option[Long], buckets: Option[Set[Long]],
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
     val latest = headVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"MergeSink: $storeDir has no committed version to read"))
@@ -1241,7 +1392,7 @@ object MergeSink {
               "which vacuum has reclaimed — this read point is no longer " +
               "materializable")
       }
-      snapshotFromManifest(spark, storeDir, manifest, target)
+      snapshotFromManifest(spark, storeDir, manifest, target, filters)
     } else if (Files.exists(Paths.get(storeDir, s"v$v"))) {
       // plain-protocol store: the version dir IS the full state
       readSchema(storeDir, v) match {
@@ -1562,8 +1713,14 @@ object MergeSink {
     * O(live buckets), no data read. */
   def storeStats(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
-    bucketFileStats(storeDir)
-      .toDF("bucket", "owner_version", "n_files", "bytes")
+    bucketFileStats(storeDir).map { case (b, v, n, bytes) =>
+      // recorded rows from the `_stats` sidecar — NULL when any of the
+      // bucket's files lacks a count (pre-stats store, failed refresh)
+      val rows = try resolveFileStats(storeDir, v).flatMap(st =>
+        resolveDataDir(storeDir, v).flatMap(d => bucketRowCount(st, d, b)))
+      catch { case scala.util.control.NonFatal(_) => None }
+      (b, v, n, bytes, rows)
+    }.toDF("bucket", "owner_version", "n_files", "bytes", "rows")
   }
 
   /** Driver-side core of [[storeStats]]: per live bucket, its owner
@@ -1892,6 +2049,29 @@ object MergeSink {
       }.foreach(_.get()) // propagate the first failure
       finally pool.shutdown()
     }
+    // refresh the rewritten buckets' DATA-SKIPPING sidecars: the
+    // in-place rewrite gave surviving rows NEW file names, so the old
+    // entries are dead and the new files unknown (= never skipped —
+    // correct but skipping-blind). Advisory like all stats: a failure
+    // here loses skipping for those buckets, never the erasure.
+    try tasks.groupBy(_._1).foreach { case (v, vb) =>
+      val statsPath = statsDir(storeDir).resolve(v.toString)
+      FileStats.read(statsPath).foreach { entries =>
+        val rewritten = vb.map(_._2).toSet
+        val kept = entries.filterNot(e =>
+          rewritten.exists(b => e.rel.startsWith(s"_bucket=$b/")))
+        val fresh = rewritten.toSeq.sorted.flatMap { b =>
+          val bd = Paths.get(storeDir, s"v$v", s"_bucket=$b")
+          if (!Files.exists(bd)) Nil
+          else FileStats.collect(bd)
+            .map(e => e.copy(rel = s"_bucket=$b/${e.rel}"))
+        }
+        val tmp = statsDir(storeDir).resolve(s".$v.tmp." +
+          (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+            & Long.MaxValue))
+        FileStats.write(statsPath, tmp, kept ++ fresh)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // audit commit: same data layout as the parent (files rewrote in
     // place), so the manifest — and its layout signature — carry over
     writeManifest(storeDir, version, readManifest(storeDir, latest),
@@ -3055,6 +3235,7 @@ object MergeSink {
       Files.deleteIfExists(manifestsDir(storeDir).resolve(v.toString))
       Files.deleteIfExists(schemasDir(storeDir).resolve(v.toString))
       Files.deleteIfExists(commitsDir(storeDir).resolve(v.toString))
+      Files.deleteIfExists(statsDir(storeDir).resolve(v.toString))
     }
     dead
   }
@@ -3098,6 +3279,7 @@ object MergeSink {
       if (Files.exists(p)) Files.deleteTree(p)
       Files.deleteIfExists(schemasDir(storeDir).resolve(v.toString))
       Files.deleteIfExists(cd.resolve(v.toString))
+      Files.deleteIfExists(statsDir(storeDir).resolve(v.toString))
     }
     dead
   }

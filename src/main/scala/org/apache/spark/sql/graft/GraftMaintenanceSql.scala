@@ -100,7 +100,8 @@ object GraftMaintenanceSql {
       AttributeReference("bucket", LongType, nullable = false)(),
       AttributeReference("owner_version", LongType, nullable = false)(),
       AttributeReference("n_files", LongType, nullable = false)(),
-      AttributeReference("bytes", LongType, nullable = false)())
+      AttributeReference("bytes", LongType, nullable = false)(),
+      AttributeReference("rows", LongType, nullable = true)())
     override def run(spark: SparkSession): Seq[Row] =
       MergeSink.storeStats(spark, resolveDir(spark, target)).collect().toSeq
   }

@@ -40,6 +40,22 @@ class GraftStatsV1ScanWrapper(scan: V1Scan,
     with SupportsReportStatistics {
   override def estimateStatistics(): V2Statistics =
     scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+
+  // V1ScanWrapper is a CASE CLASS, so the subclass inherits structural
+  // equality — and Catalyst's transform() drops a rewrite whose result
+  // `==` the original node (TreeNode.fastEquals), which silently made
+  // the swap a NO-OP: the rule returned an equal-looking node and the
+  // plan kept the stats-less wrapper (caught by FileSkippingSpec's
+  // rowCount pin — the r14 broadcast spec passed with the FACT side
+  // broadcasting). Class-aware equality makes the swapped node
+  // distinguishable, so transform actually installs it.
+  override def canEqual(that: Any): Boolean =
+    that.isInstanceOf[GraftStatsV1ScanWrapper]
+  override def equals(that: Any): Boolean = that match {
+    case g: GraftStatsV1ScanWrapper => super.equals(g)
+    case _ => false
+  }
+  override def hashCode(): Int = super.hashCode() * 31 + 1
 }
 
 case class GraftStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {

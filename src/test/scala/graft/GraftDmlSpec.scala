@@ -443,7 +443,16 @@ class GraftDmlSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft_dml_stats").toString
     val store = mkStore(dir)
     val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val oldThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    // 10 KB threshold: the 50k-row fact side is far ABOVE it, so the
+    // ONLY way a BroadcastHashJoin appears is the STORE side's true
+    // bytes reaching the static planner — the r14 form of this pin
+    // passed with the FACT side broadcasting under the default 10 MB
+    // threshold while the rule's swap was silently dropped by
+    // transform()'s structural-equality check (FileSkippingSpec pins
+    // the swap itself; this pins the planner consequence).
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
     try {
       val table = s.read.format("graft").load(store)
       val facts = s.range(50000).select(col("id").as("k"),
@@ -455,7 +464,10 @@ class GraftDmlSpec extends SparkTestBase {
         s"the dim-sized store must broadcast at STATIC planning time " +
           s"(GraftStatsRule forwards the scan's true bytes):\n$plan")
       assert(joined.count() == 3)
-    } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    }
   }
 
   test("MERGE with only a matched UPDATE arm leaves unmatched rows untouched") {
