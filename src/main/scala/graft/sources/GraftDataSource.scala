@@ -696,7 +696,8 @@ private[sources] object GraftFilters {
   * point whose manifest aged out fails loudly on first resolution. */
 class GraftChangeFeedSource(spark: SparkSession, dir: String,
     startingVersion: Long, maxVersionsPerTrigger: Long,
-    override val schema: StructType, metadataPath: String) extends Source {
+    override val schema: StructType, metadataPath: String) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // The highest version this source has HANDED OUT (not yet necessarily
   // committed); rate limiting paces from here. PERSISTED to the
@@ -731,19 +732,65 @@ class GraftChangeFeedSource(spark: SparkSession, dir: String,
       s"graft: unexpected offset type ${other.getClass.getName}")
   }
 
-  override def getOffset: Option[OffsetV1] = {
-    val latest = MergeSink.headVersion(dir).getOrElse(return None)
+  /** The pacing step every offset API shares: advance the handed-out
+    * end toward `ceiling` under maxVersionsPerTrigger. None = nothing
+    * new at or below the ceiling. */
+  private def nextEnd(ceiling: Long): Option[Long] = {
     val floor = lastEnd.getOrElse(startingVersion)
-    if (latest <= floor) lastEnd.map(LongOffset.apply)
+    if (ceiling <= floor) None
     else {
       // saturating: floor + maxVersions overflows for unbounded pacing
       val end =
-        if (maxVersionsPerTrigger >= latest - floor) latest
+        if (maxVersionsPerTrigger >= ceiling - floor) ceiling
         else floor + math.max(1L, maxVersionsPerTrigger)
       advanceLastEnd(end)
-      Some(LongOffset(end))
+      Some(end)
     }
   }
+
+  override def getOffset: Option[OffsetV1] = {
+    val latest = MergeSink.headVersion(dir).getOrElse(return None)
+    nextEnd(latest).orElse(lastEnd).map(LongOffset.apply)
+  }
+
+  // ----- Trigger.AvailableNow (VERDICT r14 #3) -----
+  // The backfill-then-stop consumer: capture the head at query start,
+  // drain ranges to EXACTLY that version under the normal
+  // maxVersionsPerTrigger pacing, then terminate. Implementing
+  // SupportsTriggerAvailableNow directly gets first-class engine
+  // dispatch (prepare + admission control); without it Spark 3.4+
+  // either demands the opt-in wrapper conf or silently falls back to
+  // ONE unpaced batch of the whole backlog. With admission control in
+  // place, latestOffset becomes the live offset path for EVERY
+  // trigger (the engine checks SupportsAdmissionControl before the
+  // plain Source contract), so it mirrors getOffset's pacing exactly;
+  // a concurrent writer's post-capture commits stay for the next run.
+
+  @volatile private var availableNowCeiling: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeiling = Some(MergeSink.headVersion(dir)
+      .getOrElse(lastEnd.getOrElse(startingVersion)))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val head = MergeSink.headVersion(dir) match {
+      case Some(h) => h
+      case None => return lastEnd.map(LongOffset.apply).orNull
+    }
+    val ceiling = availableNowCeiling.fold(head)(math.min(head, _))
+    nextEnd(ceiling).orElse(lastEnd).map(LongOffset.apply).orNull
+  }
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    MergeSink.headVersion(dir).map(LongOffset.apply).orNull
 
   /** MID-STREAM SCHEMA EVOLUTION GRACE: a streaming source's schema is
     * immutable for the life of the query (the engine's own contract —

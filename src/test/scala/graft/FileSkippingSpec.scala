@@ -186,6 +186,63 @@ class FileSkippingSpec extends SparkTestBase {
     assert(det == Map(0L -> 3L, 1L -> 2L), s"detail rows: $det")
   }
 
+  test("runtime bloom probe lands on the graft fact side of a selective dim join") {
+    // VERDICT r14 #2: a selective dim join over a graft-backed fact
+    // table must not shuffle the full fact slice — Spark's
+    // InjectRuntimeFilter plants a bloom `might_contain` built from
+    // the dim's join keys as a PRE-SHUFFLE predicate above the store
+    // scan (the V1 wrapper does not block the logical injection), so
+    // non-matching fact rows die before the exchange. Local data is
+    // tiny; the thresholds pin the 100 TB shape the optimizer must see.
+    val sess = s
+    import sess.implicits._
+    val dir = JFiles.createTempDirectory("graft_fileskip_bloom").toString
+    val store = s"$dir/store"
+    val nB = 4
+    val ks = (0L until nB.toLong).flatMap(b => keysFor(b, 25, nB))
+    MergeSink.applyBucketedBatch(
+      ks.map(k => (k, "upsert", 1L, k * 10)).toDF("k", "op", "ver", "v"),
+      0L, store, "k", "op", "ver", Seq("v"), nBuckets = nB)
+    // the dim must be FILE-backed: a local relation's filter constant-
+    // folds away before the injection rule sees a selective predicate
+    ks.map(k => (k, k % 10)).toDF("d_k", "d_class")
+      .write.parquet(s"$dir/dim")
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val fact = s.read.format("graft").load(store)
+      val dim = s.read.parquet(s"$dir/dim").filter($"d_class" === 3L)
+      val j = fact.join(dim, $"k" === $"d_k")
+      // the probe exists AND sits on the STORE side (a probe on the
+      // dim side would protect the wrong scan)
+      val probeSides = j.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.collectFirst {
+              case _: org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain => ()
+            }.isDefined =>
+          f.child.collectLeaves().exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation])
+      }
+      assert(probeSides.contains(true),
+        s"expected a bloom might_contain probe above the graft scan in:\n" +
+          j.queryExecution.optimizedPlan.toString.take(2500))
+      val withBloom = j.collect().map(_.getLong(0)).sorted.toSeq
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = fact.join(dim, $"k" === $"d_k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(withBloom == plain && withBloom.nonEmpty,
+        "bloom-probed join must equal the plain join")
+    } finally restore()
+  }
+
   test("erasure refreshes the rewritten bucket's sidecar; vacuum reclaims dead sidecars") {
     val sess = s
     import sess.implicits._
