@@ -814,6 +814,22 @@ object SparkEntry {
         .orderBy("mac")
     }),
 
+    // ---- CAPSTONE (r15, VERDICT r14 #1): MANIFEST DATA SKIPPING on
+    //      the driver surface — a NON-KEY range predicate through the
+    //      door: the pushed filters prune FILES via the commit-time
+    //      `_stats` sidecars before any footer is read
+    //      (FileSkippingSpec proves the physical skip with corrupted
+    //      excluded files; this pins the ANSWER under the pruned
+    //      plan). Oracle = the ingest_store replay with the same
+    //      range predicate. Reuses the cached everyNth=1 store ----
+    "capstone_store_range_scan" -> ((s, d) => {
+      val store = buildCapstoneStore(s, d, everyNth = 1L)
+      s.read.format("graft").load(store)
+        .filter(col("rssi") >= -70L && col("freq") <= 2437L)
+        .select("mac", "ssid", "rssi", "freq")
+        .orderBy("mac")
+    }),
+
     // ---- CAPSTONE (r12): the SQL door's WRITE half — an ad-hoc
     //      DataFrame append lands as a keyed MERGE upsert through the
     //      OCC commit protocol, then the head reads back through
@@ -3582,6 +3598,23 @@ object SparkEntry {
         |      FROM cdc)
         |SELECT mac, ssid, rssi, freq FROM w
         |WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY mac""".stripMargin,
+
+    // Data skipping must never change answers: the head replay with
+    // the same non-key range predicate — a file wrongly pruned by the
+    // `_stats` sidecars would drop rows and hash-mismatch here.
+    "capstone_store_range_scan" ->
+      """WITH cdc AS (SELECT printf('%012X', user_id) AS mac,
+        |  event_id AS ver,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type AS ssid,
+        |  (165 + event_id % 30 - 255)::BIGINT AS rssi,
+        |  (2412 + (event_id % 13) * 5)::BIGINT AS freq
+        |FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY mac ORDER BY ver DESC) AS rn
+        |      FROM cdc)
+        |SELECT mac, ssid, rssi, freq FROM w
+        |WHERE rn = 1 AND op = 'upsert' AND rssi >= -70 AND freq <= 2437
         |ORDER BY mac""".stripMargin,
 
     "capstone_store_sql_asof" ->

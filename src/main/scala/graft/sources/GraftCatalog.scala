@@ -212,13 +212,25 @@ class GraftCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isStore(dir)) throw new NoSuchTableException(ident)
+    // RENAME COLUMN: the column-mapping metadata commit (logical name
+    // moves, the physical file name is pinned — MergeSink.renameColumn)
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    if (renames.nonEmpty && renames.length == changes.length) {
+      renames.foreach { r =>
+        require(r.fieldNames.length == 1,
+          s"graft: nested column '${r.fieldNames.mkString(".")}' — stores " +
+            "rename TOP-LEVEL columns")
+        MergeSink.renameColumn(dir, r.fieldNames.head, r.newName)
+      }
+      return loadAt(ident, None)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.isEmpty || adds.length != changes.length)
       throw new UnsupportedOperationException(
-        "graft: only ALTER TABLE ... ADD COLUMNS evolves a store (a " +
-          "metadata-only, CAS-committed, time-travel-aware commit the " +
-          "registry records) — dropping, retyping or renaming rewrites " +
-          "the store explicitly")
+        "graft: only ALTER TABLE ... ADD COLUMNS and RENAME COLUMN " +
+          "evolve a store (metadata-only, CAS-committed, time-travel-" +
+          "aware commits the registry records) — dropping or retyping " +
+          "rewrites the store explicitly")
     val fields = adds.map { a =>
       require(a.fieldNames.length == 1,
         s"graft: nested column '${a.fieldNames.mkString(".")}' — stores " +

@@ -310,9 +310,13 @@ private[graft] object FileStats {
   /** True iff `entry` PROVABLY matches no row of `filter` — the file
     * can be skipped without reading even its footer. Conservative in
     * every unknown: unrecorded column, kind/literal domain mismatch,
-    * untranslatable node all answer false (scan it). */
-  def canSkip(entry: FileEntry, filter: Filter): Boolean = {
-    def st(a: String): Option[ColStats] = entry.cols.get(a)
+    * untranslatable node all answer false (scan it).
+    * `logicalToPhysical` maps renamed columns' predicate names to the
+    * PHYSICAL file columns the sidecar recorded (column mapping). */
+  def canSkip(entry: FileEntry, filter: Filter,
+      logicalToPhysical: Map[String, String] = Map.empty): Boolean = {
+    def st(a: String): Option[ColStats] =
+      entry.cols.get(logicalToPhysical.getOrElse(a, a))
     // all-null column: any value comparison is NULL => filter false
     def allNull(a: String): Boolean = st(a).exists(!_.hasValues)
     // sign of (bound - literal), None when domains don't line up
@@ -325,8 +329,10 @@ private[graft] object FileStats {
       else allNull(a) ||
         cmpMin(a, v).exists(_ > 0) || cmpMax(a, v).exists(_ < 0)
     filter match {
-      case And(l, r) => canSkip(entry, l) || canSkip(entry, r)
-      case Or(l, r) => canSkip(entry, l) && canSkip(entry, r)
+      case And(l, r) => canSkip(entry, l, logicalToPhysical) ||
+        canSkip(entry, r, logicalToPhysical)
+      case Or(l, r) => canSkip(entry, l, logicalToPhysical) &&
+        canSkip(entry, r, logicalToPhysical)
       case EqualTo(a, v) => eqSkip(a, v)
       case EqualNullSafe(a, null) => st(a).exists(_.nulls == 0L)
       case EqualNullSafe(a, v) => eqSkip(a, v)

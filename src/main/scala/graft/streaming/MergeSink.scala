@@ -638,12 +638,71 @@ object MergeSink {
   /** NULL-fill any `target` columns a stored file predates (added by a
     * later evolution step); types of shared columns are guaranteed
     * identical by [[requireCompatible]] across the whole history. */
+  // ----- COLUMN MAPPING (metadata-only RENAME, VERDICT r14 #4) -----
+  // Delta's column-mapping pattern: every field of a recorded snapshot
+  // schema may carry a `graft.physical` metadata entry naming the
+  // column AS IT LIVES IN PARQUET FILES. Physical names are STABLE
+  // IDENTITIES — assigned at a column's first appearance (= its then-
+  // logical name) and never changed; a RENAME is one metadata-only
+  // schema commit that moves the LOGICAL name while the physical name
+  // (and every data file) stays put. Writers always write files under
+  // physical names; readers project physical → logical through the
+  // read point's schema. Pre-mapping stores have no metadata and
+  // physical == logical everywhere, so every path below degenerates to
+  // the old by-name behavior.
+
+  private[graft] val PhysicalMark = "graft.physical"
+
+  /** The parquet-file column name backing a logical field. */
+  private[graft] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalMark)) f.metadata.getString(PhysicalMark)
+    else f.name
+
+  /** The recorded (logical) schema re-keyed to its file names — what
+    * parquet readers and writers of a version dir speak. */
+  private def physicalize(sc: StructType): StructType =
+    StructType(sc.fields.map(f => f.copy(name = physicalName(f))))
+
+  /** logical → physical for the fields where they differ. */
+  private[graft] def renameMap(sc: StructType): Map[String, String] =
+    sc.fields.iterator.filter(f => physicalName(f) != f.name)
+      .map(f => f.name -> physicalName(f)).toMap
+
+  /** Align a PHYSICALLY-named version-dir read to the read point's
+    * logical schema: match by PHYSICAL name (the stable identity — a
+    * rename between the dir's commit and the read point moves only
+    * the logical name), null-fill columns the dir predates, output
+    * logical names. */
   private def alignTo(df: DataFrame, target: StructType): DataFrame = {
     val have = df.columns.toSet
     df.select(target.fields.toSeq.map { f =>
-      if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+      val phys = physicalName(f)
+      if (have(phys)) col(phys).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
     }: _*)
   }
+
+  /** [[alignTo]] plus a `_bucket` column (an expression over the raw
+    * physically-named read — the identity `col("_bucket")` or a
+    * rebucket re-hash) — the rewrite paths' logical view, so sort and
+    * ZORDER expressions keep speaking logical names. */
+  private def alignToWith(df: DataFrame, target: StructType,
+      bucket: Column): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toSeq.map { f =>
+      val phys = physicalName(f)
+      if (have(phys)) col(phys).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } :+ bucket.cast("long").as("_bucket"): _*)
+  }
+
+  /** Logical → physical projection for a fresh write plan whose
+    * columns carry logical names (the merge writers' output). A single
+    * select, so even a swap-rename (a↔b) maps correctly. */
+  private def toPhysical(df: DataFrame, target: StructType,
+      extra: Seq[String] = Seq("_bucket")): DataFrame =
+    df.select(target.fields.toSeq.map(f =>
+      col(f.name).as(physicalName(f))) ++ extra.map(col): _*)
 
   /** The store's current contents (empty-but-typed before any batch). */
   def currentSnapshot(spark: SparkSession,
@@ -1066,8 +1125,10 @@ object MergeSink {
       v: Long): DataFrame = {
     val path = resolveDataDir(storeDir, v).getOrElse(Paths.get(storeDir, s"v$v"))
     resolveSchema(storeDir, v) match {
+      // files speak PHYSICAL names (column mapping) — the returned
+      // frame does too; [[alignTo]]/[[projectPhysical]] translate
       case Some(sc) => spark.read
-        .schema(sc.add("_bucket", org.apache.spark.sql.types.LongType))
+        .schema(physicalize(sc).add("_bucket", org.apache.spark.sql.types.LongType))
         .parquet(path.toString)
       case None => spark.read.parquet(path.toString)
     }
@@ -1084,8 +1145,11 @@ object MergeSink {
       manifest: Map[Long, Long], target: StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
     val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    // pushed predicates name LOGICAL columns; sidecars record PHYSICAL
+    // file columns — translate through the read point's mapping
+    val logicalToPhysical = renameMap(target)
     byVersion.toSeq.sortBy(_._1).flatMap { case (v, buckets) =>
-      versionDirScan(spark, storeDir, v, buckets, filters)
+      versionDirScan(spark, storeDir, v, buckets, filters, logicalToPhysical)
         .map(df => alignTo(df, target))
     }.foldLeft(spark.createDataFrame(
       new java.util.ArrayList[Row](), target))(_ unionByName _)
@@ -1099,7 +1163,8 @@ object MergeSink {
     * yield the plain dir scan. */
   private def versionDirScan(spark: SparkSession, storeDir: String,
       v: Long, buckets: Seq[Long],
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[DataFrame] = {
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      logicalToPhysical: Map[String, String] = Map.empty): Option[DataFrame] = {
     def dirScan = Some(readVersionDir(spark, storeDir, v)
       .filter(col("_bucket").isin(buckets: _*))) // partition-pruned
     if (filters.isEmpty) return dirScan
@@ -1118,7 +1183,8 @@ object MergeSink {
             // a file the sidecar does not know is ALWAYS scanned
             // (erasure rewrites bucket dirs in place with new names)
             val skip = stats.get(s"_bucket=$b/${f.getFileName}")
-              .exists(e => filters.exists(FileStats.canSkip(e, _)))
+              .exists(e => filters.exists(
+                FileStats.canSkip(e, _, logicalToPhysical)))
             if (!skip) kept += f
           }
         finally s0.close()
@@ -1129,7 +1195,7 @@ object MergeSink {
     else {
       val reader = resolveSchema(storeDir, v) match {
         case Some(sc) => spark.read
-          .schema(sc.add("_bucket", org.apache.spark.sql.types.LongType))
+          .schema(physicalize(sc).add("_bucket", org.apache.spark.sql.types.LongType))
         case None => spark.read
       }
       // basePath keeps `_bucket=` parsing as the partition column on
@@ -2033,8 +2099,12 @@ object MergeSink {
                 finally s0.close()
               }
               if (hasParts) {
+                // files speak PHYSICAL names; the rewrite reads and
+                // writes them unchanged (the key's physical name ==
+                // its logical name — key renames are refused)
                 val src = schemaByVersion(v) match {
-                  case Some(sc) => spark.read.schema(sc).parquet(bucketDir.toString)
+                  case Some(sc) =>
+                    spark.read.schema(physicalize(sc)).parquet(bucketDir.toString)
                   case None => spark.read.parquet(bucketDir.toString)
                 }
                 val kept = src.join(erased, Seq(keyField.name), "left_anti")
@@ -2105,6 +2175,9 @@ object MergeSink {
     val (batchEff, effValueCols, target) =
       evolutionPlan(batch, key, valueCols,
         latest.flatMap(readSchema(storeDir, _)), storeDir)
+    // the CHECK gate fires BEFORE the claim: a violating batch leaves
+    // no marker, no files, no replay-state advance
+    enforceConstraints(batchEff, opCol, storeDir)
     // claim-first, for the same same-parent-same-dir reason as
     // applyBatchFrom: refuse a racing writer before any file moves
     val claim = claimCommit(storeDir, version, parent, batchId)
@@ -2245,10 +2318,22 @@ object MergeSink {
           f.metadata.contains(EvolvedMark)))
     val target = parentSchema match {
       case Some(ps) =>
-        // carry evolution marks (and widened nullability) through
-        // writers that DO supply the column, so the registry never
-        // forgets a column is optional
+        // carry evolution marks, column-mapping physical names (and
+        // widened nullability) through writers that DO supply the
+        // column, so the registry never forgets either
         val pByName = ps.fields.map(f => f.name -> f).toMap
+        // a batch-added column re-using a PHYSICAL name a rename freed
+        // would collide in every future data file — refuse with the
+        // metadata-commit remedy (addColumns stamps a fresh physical)
+        val freedPhysical = ps.fields.filter(f => physicalName(f) != f.name)
+          .map(physicalName).toSet
+        val clash = declared.fields.map(_.name)
+          .filter(n => !pByName.contains(n) && freedPhysical.contains(n))
+        require(clash.isEmpty,
+          s"MergeSink: batch column(s) ${clash.mkString(", ")} collide " +
+            s"with PHYSICAL file names freed by a rename on $storeDir — " +
+            "add them with addColumns (ALTER TABLE … ADD COLUMNS), which " +
+            "assigns a non-colliding physical name, then retry the batch")
         StructType(declared.fields.map(f => pByName.get(f.name)
           .map(pf => f.copy(nullable = f.nullable || pf.nullable,
             metadata = pf.metadata)).getOrElse(f)) ++ evolvedMissing)
@@ -2280,9 +2365,10 @@ object MergeSink {
           .filter(col("_bucket").isin(bs.map(_._2): _*)), target)
       }
       .foldLeft(emptyBase)(_ unionByName _)
-    val next = Snapshot.applyChanges(base, batchEff, key, opCol, verCol,
-        effValueCols)
-      .withColumn("_bucket", bucketOf(key, nBuckets))
+    val next = toPhysical(
+      Snapshot.applyChanges(base, batchEff, key, opCol, verCol, effValueCols)
+        .withColumn("_bucket", bucketOf(key, nBuckets)),
+      target) // files speak physical names (column mapping)
     // applyChanges leaves the rows partitioned by JOIN key, which is
     // uncorrelated with `_bucket` — but a dynamic-partition write is
     // still safe unshuffled: FileFormatWriter sorts each task by the
@@ -2483,6 +2569,9 @@ object MergeSink {
       val readParentSchema = latest.flatMap(readSchema(storeDir, _))
       val (batchEff, effValueCols, target) =
         evolutionPlan(batch, key, valueCols, readParentSchema, storeDir)
+      // the CHECK gate fires BEFORE any claim (every attempt re-reads
+      // the registry — a constraint added between retries enforces)
+      enforceConstraints(batchEff, opCol, storeDir)
       // in-flight claims beyond the committed head; abandoned ones
       // (writer died between claim and publish — live writers
       // heartbeat) are lease-expired and CAS-swept here so the slot
@@ -2892,11 +2981,20 @@ object MergeSink {
     val clash = newFields.map(_.name).filter(parent.fieldNames.contains)
     require(clash.isEmpty,
       s"column(s) already exist on $storeDir: ${clash.mkString(", ")}")
-    val marked = newFields.map(f => f.copy(nullable = true,
-      metadata = new MetadataBuilder()
-        .withMetadata(f.metadata).putBoolean(EvolvedMark, true).build()))
-    val next = StructType(parent.fields ++ marked)
     val version = latest + 1
+    // PHYSICAL-collision guard (column mapping): a rename frees a
+    // LOGICAL name but its files keep the physical one — a new column
+    // re-using that name would collide in every future data file.
+    // Stamp such a column with a fresh unique physical name instead.
+    val parentPhysical = parent.fields.map(physicalName).toSet
+    val marked = newFields.map { f =>
+      val mb = new MetadataBuilder()
+        .withMetadata(f.metadata).putBoolean(EvolvedMark, true)
+      if (parentPhysical.contains(f.name))
+        mb.putString(PhysicalMark, s"${f.name}__c$version")
+      f.copy(nullable = true, metadata = mb.build())
+    }
+    val next = StructType(parent.fields ++ marked)
     val claim = claimCommit(storeDir, version, latest, -1L)
     writeManifest(storeDir, version, readManifest(storeDir, latest),
       manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
@@ -2905,6 +3003,233 @@ object MergeSink {
     writeLongAtomic(latestPath(storeDir), version)
     pruneCommitMarkers(storeDir)
     version
+  }
+
+  /** COLUMN MAPPING — metadata-only RENAME (a table format's
+    * `ALTER TABLE … RENAME COLUMN`, the Delta column-mapping pattern;
+    * VERDICT r14 #4): one CAS-claimed commit whose manifest is a COPY
+    * of the parent's and whose schema moves the LOGICAL name while the
+    * field's `graft.physical` metadata pins the name its data files
+    * keep — so NO data moves at any store size. Time travel before the
+    * rename shows the then-current name (the old schemas are
+    * untouched); every read at or after it projects the stable
+    * physical column to the new logical name ([[alignTo]]); the change
+    * feed's row shape follows the read point's schema, and a RUNNING
+    * feed subscriber keeps its stream-start shape until restart (the
+    * ST10f evolution-grace pattern — the renamed column reads as the
+    * withheld new name only after re-resolution). Writers at or after
+    * the rename speak the new logical name; version dirs written
+    * before it keep reading through their own schemas.
+    *
+    * Refused: renaming the KEY column (the bucketing contract and the
+    * `_key` registry are keyed on it — rewrite the store explicitly
+    * for that migration), renaming to an existing logical name, and
+    * renaming a column that does not exist. DROP COLUMN stays refused
+    * everywhere — rename covers the evolution story; a drop is a
+    * rewrite (compactBucketedStore after an explicit projection).
+    * Returns the rename commit's version. */
+  def renameColumn(storeDir: String, oldName: String, newName: String): Long = {
+    require(oldName != newName, "rename needs two different names")
+    val latest = readHead(storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir has no committed version to evolve"))
+    if (!Files.exists(manifestsDir(storeDir).resolve(latest.toString)))
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir@v$latest has no manifest — only bucketed " +
+          "stores support metadata-only evolution")
+    val parent = readSchema(storeDir, latest).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: no recorded schema for v$latest of $storeDir"))
+    require(parent.fieldNames.contains(oldName),
+      s"MergeSink: no column '$oldName' on $storeDir " +
+        s"(${parent.fieldNames.mkString(", ")})")
+    require(!parent.fieldNames.contains(newName),
+      s"MergeSink: column '$newName' already exists on $storeDir")
+    val keyName = storedKeyName(storeDir).getOrElse(parent.fields.head.name)
+    require(oldName != keyName,
+      s"MergeSink: '$oldName' is the store's KEY column — bucketing and " +
+        "the key registry are keyed on it; a key migration is a rewrite " +
+        "(read, re-key, write a fresh store), not a metadata commit")
+    val next = StructType(parent.fields.map { f =>
+      if (f.name != oldName) f
+      else f.copy(name = newName, metadata = new MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(PhysicalMark, physicalName(f)).build())
+    })
+    // a CHECK constraint's expression text references logical names —
+    // a rename underneath it would silently disarm (or break) the
+    // gate; refuse with the order-of-operations remedy
+    val constrained = readConstraints(storeDir).filter { case (_, expr) =>
+      try exprColumnNames(expr).contains(oldName)
+      catch { case scala.util.control.NonFatal(_) => true } // unparsable: conservative
+    }
+    require(constrained.isEmpty,
+      s"MergeSink: column '$oldName' is referenced by CHECK constraint(s) " +
+        s"${constrained.map(_._1).mkString(", ")} on $storeDir — drop the " +
+        "constraint, rename, then re-add it against the new name")
+    val version = latest + 1
+    val claim = claimCommit(storeDir, version, latest, -1L)
+    try {
+      writeManifest(storeDir, version, readManifest(storeDir, latest),
+        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+      writeSchema(storeDir, version, next)
+      verifyClaim(claim)
+      writeLongAtomic(latestPath(storeDir), version)
+    } catch { case e: Throwable => releaseOwnClaim(claim); throw e }
+    pruneCommitMarkers(storeDir)
+    version
+  }
+
+  // ----- WRITE-PATH CONSTRAINTS (VERDICT r14 #5) -----
+  // The reference enforces P5 validity AT INGEST (rssi/range gates,
+  // ssidentity.c:155-156); the store promotes that to a declared,
+  // registry-recorded CHECK gate VALIDATED INSIDE EVERY COMMIT: a
+  // violating batch refuses atomically — no claim survives, nothing
+  // publishes, the first offending row is named. SQL standard NULL
+  // semantics: a CHECK is violated only when its expression is FALSE
+  // (NULL passes — state NOT NULL explicitly: CHECK (c IS NOT NULL)).
+  // Delete rows are exempt (their value columns are tombstone nulls by
+  // protocol; a delete stores nothing). ADD CONSTRAINT is itself a
+  // CAS-claimed commit that first proves the EXISTING data satisfies
+  // the gate under the claim — so a concurrent batch either landed
+  // before (the scan sees it) or claims after (the gate enforces it);
+  // there is no window where a violating row slips past activation.
+
+  private def constraintsPath(storeDir: String) =
+    Paths.get(storeDir, "_constraints")
+
+  private def encTok(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def decTok(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** (name, CHECK expression SQL text), in declaration order. */
+  def readConstraints(storeDir: String): Seq[(String, String)] = {
+    val p = constraintsPath(storeDir)
+    if (!Files.exists(p)) return Nil
+    try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val Array(n, e) = l.split(' ')
+        (decTok(n), decTok(e))
+      }.toSeq
+    catch { case _: java.nio.file.NoSuchFileException => Nil }
+  }
+
+  private def writeConstraints(storeDir: String,
+      cs: Seq[(String, String)]): Unit = {
+    val body = "#constraints 1\n" + cs.map { case (n, e) =>
+      s"${encTok(n)} ${encTok(e)}" }.mkString("\n")
+    val tmp = constraintsPath(storeDir).resolveSibling(".constraints.tmp." +
+      (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        & Long.MaxValue))
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, constraintsPath(storeDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Violated iff the expression is FALSE (SQL constraint semantics). */
+  private def violationCond(expr: String): Column =
+    !coalesce(org.apache.spark.sql.functions.expr(expr), lit(true))
+
+  /** Top-level column names an expression text references. */
+  private def exprColumnNames(expr: String): Set[String] =
+    SparkSession.active.sessionState.sqlParser.parseExpression(expr)
+      .collect { case a: org.apache.spark.sql.catalyst.analysis
+        .UnresolvedAttribute => a.nameParts.head }.toSet
+
+  /** `ALTER TABLE … ADD CONSTRAINT <name> CHECK (<expr>)`: validate
+    * the head snapshot under a CAS claim, record the gate, publish a
+    * metadata commit (visible in history like any evolution). Refuses
+    * when existing data violates (first offending row named), when the
+    * name is taken, or when the expression does not parse/resolve. */
+  def addConstraint(spark: SparkSession, storeDir: String, name: String,
+      checkExpr: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be a plain identifier (got '$name')")
+    val existing = readConstraints(storeDir)
+    require(!existing.exists(_._1 == name),
+      s"MergeSink: constraint '$name' already exists on $storeDir")
+    val latest = readHead(storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir has no committed version to constrain"))
+    if (!Files.exists(manifestsDir(storeDir).resolve(latest.toString)))
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir@v$latest has no manifest — only bucketed " +
+          "stores support constraints")
+    val version = latest + 1
+    val claim = claimCommit(storeDir, version, latest, -1L)
+    try {
+      // the EXISTING data must already satisfy the gate — scanned
+      // under the claim, so no concurrent commit can slip a violating
+      // row between this proof and the activation
+      val bad = snapshotPruned(spark, storeDir, Some(latest), None)
+        .filter(violationCond(checkExpr)).limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"MergeSink: existing row ${bad.head} of $storeDir violates " +
+            s"CHECK ($checkExpr) — constraint '$name' not added; clean " +
+            "the data (or state a weaker gate) first")
+      writeConstraints(storeDir, existing :+ (name -> checkExpr))
+      writeManifest(storeDir, version, readManifest(storeDir, latest),
+        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+      writeSchema(storeDir, version, readSchema(storeDir, latest).getOrElse(
+        throw new IllegalStateException(
+          s"MergeSink: no recorded schema for v$latest of $storeDir")))
+      verifyClaim(claim)
+      writeLongAtomic(latestPath(storeDir), version)
+    } catch { case e: Throwable => releaseOwnClaim(claim); throw e }
+    pruneCommitMarkers(storeDir)
+    version
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT <name>` — a metadata commit (the
+    * deactivation is part of history). Refuses an unknown name. */
+  def dropConstraint(storeDir: String, name: String): Long = {
+    val existing = readConstraints(storeDir)
+    require(existing.exists(_._1 == name),
+      s"MergeSink: no constraint '$name' on $storeDir " +
+        s"(have: ${existing.map(_._1).mkString(", ")})")
+    val latest = readHead(storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir has no committed version"))
+    val version = latest + 1
+    val claim = claimCommit(storeDir, version, latest, -1L)
+    try {
+      writeConstraints(storeDir, existing.filterNot(_._1 == name))
+      writeManifest(storeDir, version, readManifest(storeDir, latest),
+        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+      writeSchema(storeDir, version, readSchema(storeDir, latest).getOrElse(
+        throw new IllegalStateException(
+          s"MergeSink: no recorded schema for v$latest of $storeDir")))
+      verifyClaim(claim)
+      writeLongAtomic(latestPath(storeDir), version)
+    } catch { case e: Throwable => releaseOwnClaim(claim); throw e }
+    pruneCommitMarkers(storeDir)
+    version
+  }
+
+  /** The commit-side gate: refuse a batch whose UPSERT rows violate
+    * any recorded constraint — BEFORE any claim, so nothing publishes
+    * and replay state is untouched. One combined O(batch) pass on the
+    * no-violation path; the per-constraint walk to NAME the offender
+    * runs only on failure. */
+  private def enforceConstraints(batchEff: DataFrame, opCol: String,
+      storeDir: String): Unit = {
+    val cs = readConstraints(storeDir)
+    if (cs.isEmpty) return
+    val upserts = batchEff.filter(col(opCol) === "upsert")
+    val combined = cs.map(c => violationCond(c._2)).reduce(_ || _)
+    if (upserts.filter(combined).limit(1).collect().nonEmpty) {
+      cs.foreach { case (n, e) =>
+        val bad = upserts.filter(violationCond(e)).limit(1).collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"MergeSink: batch row ${bad.head} violates constraint " +
+              s"'$n' (CHECK ($e)) on $storeDir — the commit was refused " +
+              "atomically; nothing was published")
+      }
+    }
   }
 
   /** Maintenance: rewrite every live bucket into ONE new version, so
@@ -2952,16 +3277,12 @@ object MergeSink {
       // the `_bucket` their dir assigned (pure compaction, like
       // rewriteAll's newNBuckets=None path; no per-row re-hash)
       val current = byVersion.toSeq.sortBy(_._1).map { case (v, bs) =>
-        val df = readVersionDir(spark, storeDir, v)
-          .filter(col("_bucket").isin(bs: _*))
-        val have = df.columns.toSet
-        df.select(target.fields.toSeq.map { f =>
-          if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
-        } :+ col("_bucket").cast("long").as("_bucket"): _*)
+        alignToWith(readVersionDir(spark, storeDir, v)
+          .filter(col("_bucket").isin(bs: _*)), target, col("_bucket"))
       }.reduce(_ unionByName _)
       // one file per rewritten bucket, key-clustered inside it
-      val out = current.repartition(col("_bucket"))
-        .sortWithinPartitions(col("_bucket"), col(keyCol))
+      val out = toPhysical(current.repartition(col("_bucket"))
+        .sortWithinPartitions(col("_bucket"), col(keyCol)), target)
       val survivors = withClaimHeartbeat(claim) {
         publishVersionDir(storeDir, version, claim) { stage =>
           out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
@@ -3045,20 +3366,21 @@ object MergeSink {
     val claim = claimCommit(storeDir, version, latest, -1L) // maintenance commit
     val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
     val current = byVersion.toSeq.sortBy(_._1).map { case (v, buckets) =>
-      val df = readVersionDir(spark, storeDir, v)
-        .filter(col("_bucket").isin(buckets: _*))
-      val have = df.columns.toSet
+      // keyCol == its physical name (key renames refused), so the
+      // rebucket hash reads it off the raw physical frame directly
       val bucket = newNBuckets.map(n => bucketOf(keyCol, n)).getOrElse(col("_bucket"))
-      df.select(target.fields.toSeq.map { f =>
-        if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
-      } :+ bucket.cast("long").as("_bucket"): _*)
+      alignToWith(readVersionDir(spark, storeDir, v)
+        .filter(col("_bucket").isin(buckets: _*)), target, bucket)
     }.reduce(_ unionByName _)
     // cluster by `_bucket` so the rewrite lands as ONE file per bucket
     // — defragmenting is the point of compaction, and rebucketing's
-    // re-derived `_bucket` is uncorrelated with the input file layout
+    // re-derived `_bucket` is uncorrelated with the input file layout.
+    // Sort expressions speak LOGICAL names (the user's OPTIMIZE ZORDER
+    // columns); the physical projection happens at the write boundary.
     val clustered = current.repartition(col("_bucket"))
-    val out = if (sortCols.isEmpty) clustered
-      else clustered.sortWithinPartitions(col("_bucket") +: sortCols: _*)
+    val out = toPhysical(if (sortCols.isEmpty) clustered
+      else clustered.sortWithinPartitions(col("_bucket") +: sortCols: _*),
+      target)
     val buckets = withClaimHeartbeat(claim) {
       publishVersionDir(storeDir, version, claim) { stage =>
         out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)

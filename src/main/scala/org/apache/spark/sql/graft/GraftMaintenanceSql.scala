@@ -306,6 +306,33 @@ object GraftMaintenanceSql {
         key, nBuckets.getOrElse(64))))
   }
 
+  /** `ALTER TABLE … ADD CONSTRAINT <name> CHECK (<expr>)` —
+    * [[MergeSink.addConstraint]]: a CAS-claimed metadata commit that
+    * first proves the EXISTING data satisfies the gate under the
+    * claim; from then on every batch/DML commit validates its upsert
+    * rows and refuses atomically (first offending row named). SQL
+    * NULL semantics: only FALSE violates — state NOT NULL as
+    * `CHECK (c IS NOT NULL)`. Returns the activation version. */
+  case class GraftAddConstraintCommand(target: Either[String, Seq[String]],
+      name: String, expr: String) extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("constrained_version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(MergeSink.addConstraint(spark,
+        resolveDir(spark, target), name, expr)))
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT <name>` —
+    * [[MergeSink.dropConstraint]] (a metadata commit; the
+    * deactivation is part of history). */
+  case class GraftDropConstraintCommand(target: Either[String, Seq[String]],
+      name: String) extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("unconstrained_version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(MergeSink.dropConstraint(resolveDir(spark, target), name)))
+  }
+
   /** `RESTORE TABLE … TO VERSION|TIMESTAMP AS OF …` —
     * [[MergeSink.restoreStore]]: a zero-copy maintenance commit whose
     * manifest re-references the restore point; returns the new head
@@ -363,6 +390,10 @@ class GraftSqlParser(session: => org.apache.spark.sql.SparkSession,
     """(?is)^\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)\s*;?\s*$""".r
   private val Convert =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(.+?)\s+KEY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+NBUCKETS\s+(\d+))?\s*;?\s*$""".r
+  private val AddConstraint =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val DropConstraint =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
 
   /** A PROVABLY-OURS statement target, or None (→ delegate): a
     * `'quoted/path'`, or a ≥2-part identifier whose head names a
@@ -394,6 +425,10 @@ class GraftSqlParser(session: => org.apache.spark.sql.SparkSession,
         yield GraftCloneCommand(d, s)
       case Convert(t, key, nb) => target(t).map(GraftConvertCommand(_,
         key, Option(nb).map(_.toInt)))
+      case AddConstraint(t, name, expr) =>
+        target(t).map(GraftAddConstraintCommand(_, name, expr.trim))
+      case DropConstraint(t, name) =>
+        target(t).map(GraftDropConstraintCommand(_, name))
       case Optimize(t, w, z) => target(t).map(GraftOptimizeCommand(_,
         Option(z).map(_.split(',').map(c =>
           delegate.parseMultipartIdentifier(c.trim).last).toSeq)

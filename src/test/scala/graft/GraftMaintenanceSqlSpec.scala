@@ -172,6 +172,49 @@ class GraftMaintenanceSqlSpec extends SparkTestBase {
       "a refused plain VACUUM must not reclaim anything")
   }
 
+  test("ADD/DROP CONSTRAINT verbs: commit-gated CHECK on the write path") {
+    val sess = s
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft_msql_constraint").toString
+    val store = mkStore(dir) // k=1 name=a2 v=11 head; k2 name=b v=20
+    val v = s.sql(s"ALTER TABLE '$store' ADD CONSTRAINT v_pos CHECK (v >= 0)")
+      .head().getLong(0)
+    assert(v == MergeSink.latestVersion(store).get, "activation is a commit")
+    // a violating SQL INSERT refuses naming the constraint, atomically
+    s.sql("DROP TABLE IF EXISTS con_t")
+    s.sql(s"CREATE TABLE con_t USING graft LOCATION '$store'")
+    try {
+      val before = MergeSink.latestVersion(store).get
+      val e = intercept[Exception] {
+        s.sql("INSERT INTO con_t VALUES (77, 'neg', -5)")
+      }
+      assert(e.getMessage.contains("v_pos"), e.getMessage)
+      assert(MergeSink.latestVersion(store).contains(before))
+      // a violating UPDATE refuses too (DML routes through the gate)
+      val e2 = intercept[Exception] {
+        s.sql("UPDATE con_t SET v = -1 WHERE k = 1")
+      }
+      assert(e2.getMessage.contains("v_pos"), e2.getMessage)
+      // compliant DML lands
+      s.sql("UPDATE con_t SET v = 99 WHERE k = 1")
+      assert(s.sql("SELECT v FROM con_t WHERE k = 1").head().getLong(0) == 99L)
+      // an ADD against violating existing data refuses with the row
+      val e3 = intercept[Exception] {
+        s.sql(s"ALTER TABLE '$store' ADD CONSTRAINT tight CHECK (v < 50)")
+      }
+      assert(e3.getMessage.contains("existing row"), e3.getMessage)
+      // DROP CONSTRAINT deactivates (a history-visible commit)
+      s.sql(s"ALTER TABLE '$store' DROP CONSTRAINT v_pos")
+      s.sql("INSERT INTO con_t VALUES (77, 'neg', -5)")
+      assert(s.sql("SELECT v FROM con_t WHERE k = 77").head().getLong(0) == -5L)
+      // unknown name refuses with the inventory
+      val e4 = intercept[Exception] {
+        s.sql(s"ALTER TABLE '$store' DROP CONSTRAINT nope")
+      }
+      assert(e4.getMessage.contains("no constraint"), e4.getMessage)
+    } finally s.sql("DROP TABLE IF EXISTS con_t")
+  }
+
   test("CONVERT resumes a pre-swap crash: breadcrumb present, v0 residue, no head") {
     val sess = s
     import sess.implicits._

@@ -2245,4 +2245,82 @@ class SinkSpec extends SparkTestBase {
     }
     assert(!junk, "the orphan's file leaked into the published version dir")
   }
+
+  test("ST10 constraints: a violating batch refuses atomically; the streaming sink surfaces the error without corrupting replay") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_constraint").toString
+    val store = s"$dir/store"
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 2)
+    // activation is a commit; existing data is proven under the claim
+    val cv = MergeSink.addConstraint(spark, store, "v_range",
+      "v >= 0 AND v < 100")
+    assert(cv == 1L)
+    assert(MergeSink.readConstraints(store) == Seq("v_range" -> "v >= 0 AND v < 100"))
+    // a violating ADD refuses naming the offending existing row
+    val eAdd = intercept[IllegalArgumentException] {
+      MergeSink.addConstraint(spark, store, "impossible", "v > 50")
+    }
+    assert(eAdd.getMessage.contains("existing row"), eAdd.getMessage)
+    // batch path: violating batch leaves NO new version, NO replay
+    // advance — the SAME batchId then lands once fixed
+    val headBefore = MergeSink.latestVersion(store).get
+    val eBatch = intercept[IllegalArgumentException] {
+      MergeSink.applyBucketedBatch(
+        Seq((2L, "upsert", 1L, "b", 250L)).toDF("k", "op", "ver", "name", "v"),
+        1L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 2)
+    }
+    assert(eBatch.getMessage.contains("v_range"), eBatch.getMessage)
+    assert(MergeSink.latestVersion(store).contains(headBefore),
+      "a refused batch must publish nothing")
+    MergeSink.applyBucketedBatch(
+      Seq((2L, "upsert", 1L, "b", 25L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 2)
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 2)
+    // deletes are exempt (tombstone nulls are not stored values)
+    MergeSink.applyBucketedBatch(
+      Seq((2L, "delete", 2L, null.asInstanceOf[String], 0L))
+        .toDF("k", "op", "ver", "name", "v"),
+      2L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 2)
+    assert(MergeSink.currentBucketedSnapshot(spark, store).get.count() == 1)
+    // streaming face (a FRESH store — stream batchIds start at 0 and
+    // must own the replay lineage): the violating micro-batch fails
+    // the query, the store stays at its pre-batch head, and a restart
+    // from the SAME checkpoint re-delivers the batch exactly once
+    val sstore = s"$dir/sstore"
+    // seed through the OCC writer's SEPARATE replay lineage
+    // (_lastBatch.seed) so the stream's own batch 0 is not mistaken
+    // for a replay of the seed
+    MergeSink.applyBucketedBatchOcc(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, sstore, "k", "op", "ver", Seq("name", "v"), nBuckets = 2,
+      writer = "seed")
+    MergeSink.addConstraint(spark, sstore, "v_range", "v >= 0 AND v < 100")
+    val in = MemoryStream[(Long, String, Long, String, Long)]
+    val q = MergeSink.bucketedMergeSink(in.toDF().toDF("k", "op", "ver", "name", "v"),
+      sstore, s"$dir/ckpt", "k", "op", "ver", Seq("name", "v"), nBuckets = 2)
+      .start()
+    val headPreStream = MergeSink.latestVersion(sstore).get
+    try {
+      in.addData((9L, "upsert", 1L, "z", 999L))
+      val eq = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(eq.getCause.getMessage.contains("v_range"), eq.getCause.getMessage)
+    } finally q.stop()
+    assert(MergeSink.latestVersion(sstore).contains(headPreStream),
+      "a failed streaming batch must publish nothing")
+    // drop the gate; the SAME checkpoint resumes and the batch lands
+    MergeSink.dropConstraint(sstore, "v_range")
+    val q2 = MergeSink.bucketedMergeSink(in.toDF().toDF("k", "op", "ver", "name", "v"),
+      sstore, s"$dir/ckpt", "k", "op", "ver", Seq("name", "v"), nBuckets = 2)
+      .start()
+    try {
+      q2.processAllAvailable()
+      val got = MergeSink.currentBucketedSnapshot(spark, sstore).get
+        .filter(col("k") === 9L).select("v").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(999L), "replay state survived the refused batch")
+    } finally q2.stop()
+  }
 }
