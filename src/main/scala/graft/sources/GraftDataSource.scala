@@ -419,6 +419,11 @@ class GraftTable(dir: String, tableSchema: StructType,
     // the head moves with every commit — this one stays a live read
     MergeSink.latestVersion(dir).foreach(v => m.put("latestVersion", v.toString))
     tableVersion.foreach(v => m.put("versionAsOf", v.toString))
+    // write-path gates, surfaced where operators look for table facts
+    // (SHOW TBLPROPERTIES): one property per constraint
+    MergeSink.readConstraints(dir).foreach { case (n, e) =>
+      m.put(s"constraint.$n", s"CHECK ($e)")
+    }
     m
   }
 
@@ -548,17 +553,17 @@ class GraftScanBuilder(dir: String, tableSchema: StructType,
       * the same bytes ([[GraftRelation.sizeInBytes]]). */
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
       new org.apache.spark.sql.connector.read.Statistics {
-        private val bytes = MergeSink.scanBytes(dir, version,
+        /** bytes + recorded rows in ONE metadata pass (each live
+          * bucket dir listed once per planning). Rows come from the
+          * `_stats` sidecars and are absent unless every live file
+          * has a recorded count (never an understated guess). */
+        private val est = MergeSink.scanEstimate(dir, version,
           storedNB.flatMap(prunedBuckets))
         override def sizeInBytes(): java.util.OptionalLong =
-          bytes.map(b => java.util.OptionalLong.of(math.max(1L, b)))
+          est._1.map(b => java.util.OptionalLong.of(math.max(1L, b)))
             .getOrElse(java.util.OptionalLong.empty())
-        /** Summed `_stats` sidecar row counts of exactly the live
-          * files this scan resolves — absent unless every live file
-          * has a recorded count (never an understated guess). */
         override def numRows(): java.util.OptionalLong =
-          MergeSink.scanRows(dir, version, storedNB.flatMap(prunedBuckets))
-            .map(java.util.OptionalLong.of)
+          est._2.map(java.util.OptionalLong.of)
             .getOrElse(java.util.OptionalLong.empty())
       }
 

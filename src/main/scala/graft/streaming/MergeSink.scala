@@ -1383,26 +1383,56 @@ object MergeSink {
     * estimate. */
   private[graft] def scanRows(storeDir: String, version: Option[Long],
       buckets: Option[Set[Long]]): Option[Long] =
+    scanEstimate(storeDir, version, buckets)._2
+
+  /** (bytes, rows) in ONE metadata pass — every live bucket dir is
+    * listed exactly once per planning, not once per statistic (at
+    * thousands of buckets that is the difference between one and two
+    * full rounds of driver-side list calls per query plan). Bytes
+    * degrade independently of rows: an unrecorded file loses the row
+    * count (None) but its on-disk size still sums. */
+  private[graft] def scanEstimate(storeDir: String, version: Option[Long],
+      buckets: Option[Set[Long]]): (Option[Long], Option[Long]) =
     try {
-      val latest = headVersion(storeDir).getOrElse(return None)
+      val latest = headVersion(storeDir).getOrElse(return (None, None))
       val v = version.getOrElse(latest)
       if (!Files.exists(manifestsDir(storeDir).resolve(v.toString)))
-        return None
+        return (resolveDataDir(storeDir, v).map(parquetBytesIn), None)
       val manifest0 = readManifest(storeDir, v)
       val manifest = buckets match {
         case Some(bs) => manifest0.view.filterKeys(bs).toMap
         case None => manifest0
       }
-      var sum = 0L
+      var bytes = 0L
+      var rows = 0L
+      var rowsKnown = true
       manifest.groupBy(_._2).foreach { case (owner, entries) =>
-        val stats = resolveFileStats(storeDir, owner).getOrElse(return None)
-        val dataDir = resolveDataDir(storeDir, owner).getOrElse(return None)
-        entries.keys.foreach { b =>
-          sum += bucketRowCount(stats, dataDir, b).getOrElse(return None)
+        val stats =
+          if (rowsKnown) resolveFileStats(storeDir, owner) else None
+        if (stats.isEmpty) rowsKnown = false
+        resolveDataDir(storeDir, owner) match {
+          case None => rowsKnown = false // bytes: dir gone counts zero
+          case Some(dataDir) => entries.keys.foreach { b =>
+            val bd = dataDir.resolve(s"_bucket=$b")
+            if (Files.exists(bd)) {
+              val s0 = Files.list(bd)
+              try s0.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+                .foreach { f =>
+                  bytes += Files.size(f)
+                  if (rowsKnown)
+                    stats.flatMap(_.get(s"_bucket=$b/${f.getFileName}")) match {
+                      case Some(e) => rows += e.rows
+                      case None => rowsKnown = false // unknown file: no partial count
+                    }
+                }
+              finally s0.close()
+            }
+          }
         }
       }
-      Some(sum)
-    } catch { case _: Exception => None }
+      (Some(bytes), if (rowsKnown) Some(rows) else None)
+    } catch { case _: Exception => (None, None) }
 
   /** One bucket's recorded row count: the sidecar sum over the files
     * ACTUALLY on disk. None when any listed file lacks a recorded
