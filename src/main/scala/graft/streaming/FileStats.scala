@@ -77,10 +77,13 @@ private[graft] object FileStats {
   /** Walk `root` recursively and footer-read every `*.parquet` file.
     * Any per-file failure drops THAT file's entry (it will simply
     * never be skipped); the caller wraps the whole collection so a
-    * stats failure can never fail a commit. */
+    * stats failure can never fail a commit. Footers read from a small
+    * bounded pool — the reads are independent metadata GETs and a
+    * commit should not serialize on them (the pass bills every store
+    * build otherwise; deterministic output via the final sort). */
   def collect(root: Path): Seq[FileEntry] = {
     val conf = hadoopConf()
-    def walk(dir: Path, prefix: String): Seq[FileEntry] = {
+    def files(dir: Path, prefix: String): Seq[(Path, String)] = {
       val children =
         try {
           val s0 = Files.list(dir)
@@ -88,14 +91,23 @@ private[graft] object FileStats {
         } catch { case _: java.io.IOException => return Seq.empty }
       children.sortBy(_.toString).flatMap { c =>
         val name = c.getFileName.toString
-        if (Files.isDirectory(c)) walk(c, s"$prefix$name/")
-        else if (name.endsWith(".parquet"))
-          try Some(fromFooter(c, s"$prefix$name", conf))
-          catch { case scala.util.control.NonFatal(_) => None }
-        else None
+        if (Files.isDirectory(c)) files(c, s"$prefix$name/")
+        else if (name.endsWith(".parquet")) Seq((c, s"$prefix$name"))
+        else Nil
       }
     }
-    walk(root, "")
+    val fs = files(root, "")
+    if (fs.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(8, fs.size))
+    try fs.map { case (p, rel) =>
+      pool.submit(new java.util.concurrent.Callable[Option[FileEntry]] {
+        def call(): Option[FileEntry] =
+          try Some(fromFooter(p, rel, conf))
+          catch { case scala.util.control.NonFatal(_) => None }
+      })
+    }.flatMap(_.get()).sortBy(_.rel)
+    finally pool.shutdown()
   }
 
   /** One file's footer → entry. Row-group stats merge per column;

@@ -2546,16 +2546,18 @@ object MergeSink {
     * exactly-once per (writer, batchId), but commits whose touched
     * buckets are disjoint proceed in parallel (see the OCC protocol
     * notes above). `writer` names this writer's replay lineage — one
-    * per streaming checkpoint. Retries claim races and in-flight
-    * overlaps up to `maxRetries` with short backoff; a conflict that
-    * persists (a hot bucket contested by a live writer) eventually
-    * lands because every wait is bounded by the winner's commit or
-    * its lease expiry. */
+    * per streaming checkpoint. CAS losses (claim races, read-set
+    * rebases) retry up to `maxRetries` with short backoff; WAITING on
+    * a live contender's in-flight claim is bounded by TIME instead —
+    * the takeover lease — because a hot bucket's winning merge may
+    * legitimately run for minutes while a dead contender's claim
+    * lease-expires and is captured within exactly that window. */
   def applyBucketedBatchOcc(batch: DataFrame, batchId: Long, storeDir: String,
       key: String, opCol: String, verCol: String, valueCols: Seq[String],
       nBuckets: Int = 64, writer: String = "w0",
       maxRetries: Int = 32, replayGuard: Boolean = true,
-      readVersion: Option[Long] = None): Unit = {
+      readVersion: Option[Long] = None,
+      conflictWaitMs: Long = TakeoverLeaseMs): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     require(writer.nonEmpty && !writer.startsWith("_") &&
       !writer.exists(c => c == '/' || c == '\\' || c.isWhitespace),
@@ -2573,6 +2575,16 @@ object MergeSink {
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
     var attempt = 0
     var backoffMs = 20L
+    // Waiting on a LIVE contender is bounded by TIME (the lease
+    // clock), not the CAS-loss attempt budget: a contended bucket's
+    // in-flight merge legitimately runs for minutes at scale (and
+    // under an overcommitted test host), while a DEAD contender's
+    // claim lease-expires and is captured within TakeoverLeaseMs —
+    // so the lease is exactly the longest a healthy wait can need.
+    // Attempt-counting the wait (the pre-r15 behavior) declared
+    // livelock after ~15 s of 500 ms backoffs, killing writers that
+    // were merely queued behind a slow-but-alive peer.
+    val conflictDeadline = System.currentTimeMillis() + conflictWaitMs
     while (true) {
       attempt += 1
       val latest = readHead(storeDir)
@@ -2638,12 +2650,16 @@ object MergeSink {
         }
       }
       if (conflicts.nonEmpty) {
-        if (attempt >= maxRetries)
+        if (System.currentTimeMillis() > conflictDeadline)
           throw new java.util.ConcurrentModificationException(
             s"MergeSink: OCC writer '$writer' batch $batchId on $storeDir " +
               s"kept conflicting with in-flight claims ${conflicts.mkString(", ")} " +
-              s"after $attempt attempts — a live writer contests these buckets")
-        Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 500L)
+              s"for longer than the configured conflict wait " +
+              s"($conflictWaitMs ms; default = the takeover lease) — the " +
+              "contending claim is still heartbeat-fresh; investigate the " +
+              "slow writer or raise conflictWaitMs")
+        attempt -= 1 // waiting on a live peer spends time, not CAS budget
+        Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 2000L)
       } else {
         val version = (head :: inflight).max + 1
         val parent = version - 1

@@ -1893,7 +1893,11 @@ class SinkSpec extends SparkTestBase {
           Seq((1L, "upsert", 1L, "CLOBBER", 99L))
             .toDF("k", "op", "ver", "name", "v"),
           batchId = 7L, store, "k", "op", "ver", vcols, nBuckets = 4,
-          writer = "sql", maxRetries = 2, replayGuard = false)
+          writer = "sql", maxRetries = 2, replayGuard = false,
+          // bounded conflict wait: the planted claim stays lease-fresh
+          // for this test's purposes — waiting it out (the r15 default,
+          // a full takeover lease) would legitimately capture it
+          conflictWaitMs = 1500L)
       }
       assert(e.getMessage.contains("conflict") || e.getMessage.contains("claimed"),
         s"expected a claim conflict, got: ${e.getMessage}")
