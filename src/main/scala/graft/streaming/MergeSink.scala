@@ -1172,22 +1172,15 @@ object MergeSink {
     val dataDir = resolveDataDir(storeDir, v).getOrElse(return dirScan)
     val kept = scala.collection.mutable.ListBuffer.empty[Path]
     var listed = 0
-    buckets.sorted.foreach { b =>
-      val bd = dataDir.resolve(s"_bucket=$b")
-      if (Files.exists(bd)) {
-        val s0 = Files.list(bd)
-        try s0.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .foreach { f =>
-            listed += 1
-            // a file the sidecar does not know is ALWAYS scanned
-            // (erasure rewrites bucket dirs in place with new names)
-            val skip = stats.get(s"_bucket=$b/${f.getFileName}")
-              .exists(e => filters.exists(
-                FileStats.canSkip(e, _, logicalToPhysical)))
-            if (!skip) kept += f
-          }
-        finally s0.close()
+    listBucketFiles(dataDir, buckets).foreach { case (b, files) =>
+      files.foreach { f =>
+        listed += 1
+        // a file the sidecar does not know is ALWAYS scanned
+        // (erasure rewrites bucket dirs in place with new names)
+        val skip = stats.get(s"_bucket=$b/${f.getFileName}")
+          .exists(e => filters.exists(
+            FileStats.canSkip(e, _, logicalToPhysical)))
+        if (!skip) kept += f
       }
     }
     if (kept.size == listed) dirScan // nothing skipped: keep the dir plan
@@ -1412,27 +1405,50 @@ object MergeSink {
         if (stats.isEmpty) rowsKnown = false
         resolveDataDir(storeDir, owner) match {
           case None => rowsKnown = false // bytes: dir gone counts zero
-          case Some(dataDir) => entries.keys.foreach { b =>
-            val bd = dataDir.resolve(s"_bucket=$b")
-            if (Files.exists(bd)) {
-              val s0 = Files.list(bd)
-              try s0.iterator().asScala
-                .filter(_.getFileName.toString.endsWith(".parquet"))
-                .foreach { f =>
-                  bytes += Files.size(f)
-                  if (rowsKnown)
-                    stats.flatMap(_.get(s"_bucket=$b/${f.getFileName}")) match {
-                      case Some(e) => rows += e.rows
-                      case None => rowsKnown = false // unknown file: no partial count
-                    }
-                }
-              finally s0.close()
+          case Some(dataDir) =>
+            listBucketFiles(dataDir, entries.keys.toSeq).foreach {
+              case (b, files) => files.foreach { f =>
+                bytes += Files.size(f)
+                if (rowsKnown)
+                  stats.flatMap(_.get(s"_bucket=$b/${f.getFileName}")) match {
+                    case Some(e) => rows += e.rows
+                    case None => rowsKnown = false // unknown file: no partial count
+                  }
+              }
             }
-          }
         }
       }
       (Some(bytes), if (rowsKnown) Some(rows) else None)
     } catch { case _: Exception => (None, None) }
+
+  /** The selected buckets' parquet files, one listing per bucket dir —
+    * listings go PARALLEL past a threshold: they are independent
+    * metadata calls at ~tens of ms each on an object store, and a
+    * thousand-bucket scan would otherwise serialize minutes of pure
+    * list latency on the driver. Missing dirs yield empty lists. */
+  private def listBucketFiles(dataDir: Path,
+      buckets: Seq[Long]): Seq[(Long, Seq[Path])] = {
+    def one(b: Long): (Long, Seq[Path]) = {
+      val bd = dataDir.resolve(s"_bucket=$b")
+      if (!Files.exists(bd)) (b, Nil)
+      else {
+        val s0 = Files.list(bd)
+        try (b, s0.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toList)
+        finally s0.close()
+      }
+    }
+    val sorted = buckets.sorted
+    if (sorted.size <= 32) sorted.map(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try sorted.map(b => pool.submit(
+        new java.util.concurrent.Callable[(Long, Seq[Path])] {
+          def call(): (Long, Seq[Path]) = one(b)
+        })).map(_.get())
+      finally pool.shutdown()
+    }
+  }
 
   /** One bucket's recorded row count: the sidecar sum over the files
     * ACTUALLY on disk. None when any listed file lacks a recorded
@@ -1809,11 +1825,19 @@ object MergeSink {
     * O(live buckets), no data read. */
   def storeStats(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
+    // sidecars memoized PER OWNER VERSION — a naive per-bucket read
+    // re-parses the same sidecar once per bucket (O(buckets) metadata
+    // reads where O(live versions) suffice)
+    val statsByOwner = scala.collection.mutable.Map
+      .empty[Long, Option[Map[String, FileStats.FileEntry]]]
+    val dirByOwner = scala.collection.mutable.Map.empty[Long, Option[Path]]
     bucketFileStats(storeDir).map { case (b, v, n, bytes) =>
       // recorded rows from the `_stats` sidecar — NULL when any of the
       // bucket's files lacks a count (pre-stats store, failed refresh)
-      val rows = try resolveFileStats(storeDir, v).flatMap(st =>
-        resolveDataDir(storeDir, v).flatMap(d => bucketRowCount(st, d, b)))
+      val rows = try statsByOwner.getOrElseUpdate(v,
+          resolveFileStats(storeDir, v)).flatMap(st =>
+        dirByOwner.getOrElseUpdate(v, resolveDataDir(storeDir, v))
+          .flatMap(d => bucketRowCount(st, d, b)))
       catch { case scala.util.control.NonFatal(_) => None }
       (b, v, n, bytes, rows)
     }.toDF("bucket", "owner_version", "n_files", "bytes", "rows")
