@@ -267,6 +267,18 @@ object ExplainDump {
       + "proves it physically); versionAsOf/timestampAsOf map to time "
       + "travel; INSERT INTO upserts through the OCC commit."),
 
+    "capstone_store_range_scan" -> ("Manifest data skipping (r15): a "
+      + "NON-KEY range predicate through the door. The plan shows the "
+      + "opaque GraftRelation scan; the structure that matters runs at "
+      + "its buildScan: the pushed rssi/freq range filters prune FILES "
+      + "against the commit-time `_stats/<version>` sidecars before any "
+      + "parquet footer is fetched (FileSkippingSpec proves the skip "
+      + "physically with corrupted excluded files), and the survivors' "
+      + "scan re-applies the same predicates for row-group pushdown. "
+      + "At 100 TB this turns a time/measure-window query from millions "
+      + "of footer GETs into one driver-side sidecar read per live "
+      + "version."),
+
     "capstone_ingest_store" -> ("Ingest→store→query capstone (r9): "
       + "the plan shown is the final read — a partition-discovered "
       + "scan of the bucketed MERGE store's current version dirs. The "
