@@ -186,6 +186,54 @@ class FileSkippingSpec extends SparkTestBase {
     assert(det == Map(0L -> 3L, 1L -> 2L), s"detail rows: $det")
   }
 
+  test("date and timestamp ranges skip physically (TIMESTAMP_MICROS files)") {
+    val sess = s
+    import sess.implicits._
+    // INT96 footer stats are unusable by design (kindOf refuses them);
+    // pin the MICROS physical type so the `t` domain records
+    val oldTs = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val dir = JFiles.createTempDirectory("graft_fileskip_time").toString
+      val store = s"$dir/store"
+      val nB = 2
+      def row(k: Long, day: String) = (k, "upsert", 1L,
+        java.sql.Date.valueOf(day),
+        java.sql.Timestamp.valueOf(s"$day 12:00:00"))
+      // bucket 0 holds January, bucket 1 holds June
+      val rows = keysFor(0, 2, nB).map(row(_, "2026-01-15")) ++
+        keysFor(1, 2, nB).map(row(_, "2026-06-15"))
+      MergeSink.applyBucketedBatch(rows.toDF("k", "op", "ver", "d", "ts"),
+        0L, store, "k", "op", "ver", Seq("d", "ts"), nBuckets = nB)
+      // corrupt the January file: any read that opens it fails loudly
+      val bd = JPaths.get(store, "v0", "_bucket=0")
+      val s0 = JFiles.list(bd)
+      try s0.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => JFiles.write(p, Array[Byte](0, 0, 0)))
+      finally s0.close()
+      // date range: January provably excluded via the `dt` domain
+      val byDate = s.read.format("graft").load(store)
+        .filter($"d" >= org.apache.spark.sql.functions.lit(
+          java.sql.Date.valueOf("2026-03-01")))
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(byDate == keysFor(1, 2, nB).toSet, s"date skip: $byDate")
+      // timestamp range: same files excluded via the `t` domain
+      val byTs = s.read.format("graft").load(store)
+        .filter($"ts" >= org.apache.spark.sql.functions.lit(
+          java.sql.Timestamp.valueOf("2026-03-01 00:00:00")))
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(byTs == keysFor(1, 2, nB).toSet, s"timestamp skip: $byTs")
+      // the corruption is real
+      intercept[Exception] {
+        s.read.format("graft").load(store).collect()
+      }
+    } finally oldTs match {
+      case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   test("runtime bloom probe lands on the graft fact side of a selective dim join") {
     // VERDICT r14 #2: a selective dim join over a graft-backed fact
     // table must not shuffle the full fact slice — Spark's
