@@ -817,6 +817,43 @@ class GraftChangeFeedSource(spark: SparkSession, dir: String,
     }: _*)
   }
 
+  /** The snapshot schema at STREAM START — the physical-identity map
+    * for mid-stream RENAMES (column mapping): a range committed after
+    * a rename delivers its value columns under the NEW logical names,
+    * but this query was planned against the START names; projecting by
+    * name alone ([[alignToSource]]) would null-withhold the renamed
+    * column's REAL change values — and unlike a genuinely-new column's
+    * (which are null in old ranges and re-readable from the store), a
+    * delivered range is never re-delivered, so that would be silent
+    * loss. [[renamedToStart]] remaps by the stable physical identity
+    * first; a restart re-resolves to the new names like any evolution
+    * (the ST10f grace). */
+  private val startSnapshotSchema: StructType =
+    MergeSink.snapshotSchemaAt(dir, None)
+
+  /** Rename a delivered range's `<c>_old`/`<c>_new` columns back to
+    * the stream-start logical names wherever the TO-version schema's
+    * field shares a physical identity with a start-schema field under
+    * a different name. One select (swap-renames stay correct). */
+  private def renamedToStart(df: DataFrame, to: Long): DataFrame = {
+    val toSchema =
+      try MergeSink.snapshotSchemaAt(dir, Some(to))
+      catch { case scala.util.control.NonFatal(_) => return df }
+    val physToStart = startSnapshotSchema.fields
+      .map(f => MergeSink.physicalName(f) -> f.name).toMap
+    val renames: Map[String, String] = toSchema.fields.flatMap { f =>
+      physToStart.get(MergeSink.physicalName(f)) match {
+        case Some(startName) if startName != f.name =>
+          Seq(s"${f.name}_old" -> s"${startName}_old",
+            s"${f.name}_new" -> s"${startName}_new")
+        case _ => Nil
+      }
+    }.toMap
+    if (renames.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      df(c).as(renames.getOrElse(c, c))): _*)
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val to = offsetValue(end)
     advanceLastEnd(to)
@@ -824,8 +861,9 @@ class GraftChangeFeedSource(spark: SparkSession, dir: String,
     val batch =
       if (from >= to) // restart replay of an empty range
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else if (from < 0) MergeSink.insertShaped(spark, dir, to)
-      else MergeSink.storeChangesBetween(spark, dir, from, to)
+      else if (from < 0)
+        renamedToStart(MergeSink.insertShaped(spark, dir, to), to)
+      else renamedToStart(MergeSink.storeChangesBetween(spark, dir, from, to), to)
     Bridge.asStreaming(alignToSource(batch))
   }
 

@@ -779,4 +779,59 @@ class GraftTableSpec extends SparkTestBase {
       assert(delivered.flatMap(_._2).contains((3L, "insert")))
     } finally q2.stop()
   }
+
+  test("a running feed SURVIVES a mid-stream RENAME: real values deliver under the start name; restart adopts the new one") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_feed_rename").toString
+    val store = s"$dir/store"
+    put(store, 1L, 1L, "a", 0L)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Seq[String], Set[(Long, String, String)])]()
+    def startFeed(newCol: String) = spark.readStream.format("graft").load(store)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          batches.add((b.columns.toSeq,
+            b.select("k", "change", newCol).collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+              .toSet)): Unit
+      }.start()
+    val q1 = startFeed("name_new")
+    try {
+      q1.processAllAvailable() // drain the pre-rename range
+      // the column RENAMES while the subscriber runs; a post-rename
+      // commit carries values under the NEW logical name
+      MergeSink.renameColumn(store, "name", "label")
+      MergeSink.applyBucketedBatch(
+        Seq((2L, "upsert", 2L, "b", 20L)).toDF("k", "op", "ver", "label", "v"),
+        1L, store, "k", "op", "ver", Seq("label", "v"), nBuckets = 4)
+      q1.processAllAvailable()
+      val delivered = batches.asScala.toList
+      assert(delivered.nonEmpty, "the post-rename commit must deliver")
+      assert(delivered.forall(_._1 ==
+        Seq("k", "change", "name_old", "name_new", "v_old", "v_new")),
+        s"mid-stream deliveries keep the start shape: ${delivered.map(_._1)}")
+      // the REAL value arrives under the start name — a rename is an
+      // identity move, not a new column; null-withholding here would
+      // be silent loss (ranges are never re-delivered)
+      assert(delivered.flatMap(_._2).contains((2L, "insert", "b")),
+        s"renamed column's values must deliver: ${delivered.flatMap(_._2)}")
+    } finally q1.stop()
+    // a restart re-resolves to the new logical name
+    batches.clear()
+    val q2 = startFeed("label_new")
+    try {
+      MergeSink.applyBucketedBatch(
+        Seq((3L, "upsert", 3L, "c", 30L)).toDF("k", "op", "ver", "label", "v"),
+        2L, store, "k", "op", "ver", Seq("label", "v"), nBuckets = 4)
+      q2.processAllAvailable()
+      val delivered = batches.asScala.toList
+      assert(delivered.nonEmpty)
+      assert(delivered.forall(_._1 ==
+        Seq("k", "change", "label_old", "label_new", "v_old", "v_new")),
+        s"the restarted feed must serve the renamed shape: ${delivered.map(_._1)}")
+      assert(delivered.flatMap(_._2).contains((3L, "insert", "c")))
+    } finally q2.stop()
+  }
 }
