@@ -393,7 +393,7 @@ class GraftTable(dir: String, tableSchema: StructType,
       .flatMap(kf => storedNB.flatMap(nb =>
         GraftFilters.prunedBuckets(filters, keyName, kf.dataType, nb)))
     MergeSink.sqlDelete(dir, filters.flatMap(GraftFilters.toColumn).toSeq,
-      buckets)
+      buckets, filters.toSeq) // V1 filters double as file-skipping evidence
   }
 
   override def name(): String =

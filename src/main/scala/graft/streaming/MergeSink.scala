@@ -1168,8 +1168,29 @@ object MergeSink {
     def dirScan = Some(readVersionDir(spark, storeDir, v)
       .filter(col("_bucket").isin(buckets: _*))) // partition-pruned
     if (filters.isEmpty) return dirScan
-    val stats = resolveFileStats(storeDir, v).getOrElse(return dirScan)
-    val dataDir = resolveDataDir(storeDir, v).getOrElse(return dirScan)
+    // the whole pruning attempt is BEST-EFFORT: any listing failure —
+    // a bucket dir deleted in the TOCTOU window by a concurrent
+    // erasure/vacuum, a transient metadata error, a pool task's wrapped
+    // IOException — falls back to the conservative plain dir scan
+    // instead of failing the query (scanEstimate already degrades the
+    // same way; the pre-skipping read path took no listing at all)
+    try {
+      val stats = resolveFileStats(storeDir, v).getOrElse(return dirScan)
+      val dataDir = resolveDataDir(storeDir, v).getOrElse(return dirScan)
+      versionDirScanPruned(spark, storeDir, v, buckets, filters,
+        logicalToPhysical, stats, dataDir, dirScan)
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException |
+          _: java.util.concurrent.ExecutionException => dirScan
+    }
+  }
+
+  private def versionDirScanPruned(spark: SparkSession, storeDir: String,
+      v: Long, buckets: Seq[Long],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      logicalToPhysical: Map[String, String],
+      stats: Map[String, FileStats.FileEntry], dataDir: Path,
+      dirScan: => Option[DataFrame]): Option[DataFrame] = {
     val kept = scala.collection.mutable.ListBuffer.empty[Path]
     var listed = 0
     listBucketFiles(dataDir, buckets).foreach { case (b, files) =>
@@ -1212,6 +1233,18 @@ object MergeSink {
       version: Long): DataFrame =
     snapshotPruned(spark, storeDir, Some(version), None)
 
+  /** [[bucketedSnapshotAt]] with FILE-SKIPPING evidence — the Scala-API
+    * twin of the SQL front door's pushed-filter pruning (the r15
+    * asymmetry: `format("graft")` reads pruned, the Scala snapshot
+    * readers did not). `filters` are conjunctive V1 predicates used
+    * ONLY to skip files whose `_stats` ranges provably exclude them —
+    * the caller still applies its full predicate on the returned frame
+    * (pruning shrinks the scan, it never stands in for a filter). */
+  def bucketedSnapshotAt(spark: SparkSession, storeDir: String,
+      version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame =
+    snapshotPruned(spark, storeDir, Some(version), None, filters)
+
   /** The HEAD snapshot restricted to `buckets` — the scan builder's
     * bucket-pruned read, exposed for the DML rewrites (which live
     * outside this package tree): a MERGE/UPDATE whose key evidence
@@ -1221,6 +1254,16 @@ object MergeSink {
   def prunedSnapshot(spark: SparkSession, storeDir: String,
       buckets: Set[Long]): DataFrame =
     snapshotPruned(spark, storeDir, None, Some(buckets))
+
+  /** [[prunedSnapshot]] with FILE-SKIPPING evidence: translated V1
+    * predicates prune individual files through the `_stats` sidecars
+    * before any footer read — so a DML victim scan (DELETE/UPDATE/
+    * MERGE) prunes files exactly like a SELECT through the SQL front
+    * door does. Conjunctive; pruning only ever SHRINKS the scan. */
+  def prunedSnapshot(spark: SparkSession, storeDir: String,
+      buckets: Set[Long],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame =
+    snapshotPruned(spark, storeDir, None, Some(buckets), filters)
 
   // ------------------------------------------------------------------
   // SQL front door hooks — the store behind spark.read.format("graft")
@@ -1625,6 +1668,14 @@ object MergeSink {
     }
     val newVersion = latest + 1
     val claim = claimCommit(storeDir, newVersion, latest, -1L) // maintenance commit
+    // CHECK-constraint state travels with the restore (versioned-
+    // history stores only): enforcement resets to exactly the gates in
+    // force at the restore point, so a rolled-back-over ADD/DROP
+    // CONSTRAINT rolls its enforcement back too. Stores whose gates all
+    // predate the versioned history keep the singleton untouched.
+    val priorConstraints = readConstraints(storeDir)
+    val restoredConstraints = constraintsAt(storeDir, version)
+    var gateMoved = false
     try {
       // the restore point's LAYOUT travels with its manifest: restoring
       // across a rebucket reverts the bucket count too (the old dirs are
@@ -1634,6 +1685,11 @@ object MergeSink {
         .orElse(effectiveNBuckets(storeDir))
       writeManifest(storeDir, newVersion, manifest, restoredLayout)
       writeSchema(storeDir, newVersion, target)
+      restoredConstraints.filter(_ != priorConstraints).foreach { cs =>
+        writeConstraints(storeDir, cs)
+        gateMoved = true
+        writeConstraintsAt(storeDir, newVersion, cs, priorConstraints)
+      }
       verifyClaim(claim)
       restoredLayout.foreach { c =>
         // heal through the empty-tolerant registry read: a
@@ -1649,7 +1705,17 @@ object MergeSink {
           writeLongAtomic(nBucketsPath(storeDir), c) // heal the registry cache
       }
       writeLongAtomic(latestPath(storeDir), newVersion)
-    } catch { case e: Throwable => releaseOwnClaim(claim); throw e }
+    } catch {
+      case e: Throwable =>
+        if (gateMoved) { // unpublished gate reset: roll enforcement back
+          try writeConstraints(storeDir, priorConstraints)
+          catch { case _: java.io.IOException => () }
+          try Files.deleteIfExists(
+            constraintsVersionsDir(storeDir).resolve(newVersion.toString))
+          catch { case _: java.io.IOException => () }
+        }
+        releaseOwnClaim(claim); throw e
+    }
     pruneCommitMarkers(storeDir)
     newVersion
   }
@@ -2311,7 +2377,8 @@ object MergeSink {
     * evaluates against the head snapshot; only (key) columns shuffle.
     * No-op (no commit) when nothing matches. */
   private[graft] def sqlDelete(storeDir: String,
-      predicates: Seq[Column], buckets: Option[Set[Long]] = None): Unit = {
+      predicates: Seq[Column], buckets: Option[Set[Long]] = None,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Unit = {
     val spark = SparkSession.active
     val nB = storedNBuckets(storeDir).getOrElse(
       throw new IllegalStateException(
@@ -2334,9 +2401,13 @@ object MergeSink {
       val keyName = storedKeyName(storeDir).getOrElse(schema.fields.head.name)
       // key-literal predicates prune the victim scan to the owning
       // buckets (derived by the caller via the scan builder's own
-      // mapping); the full predicate still applies on top
+      // mapping), and the caller's translated V1 filters prune FILES
+      // through the `_stats` sidecars — a time-range DELETE opens only
+      // the footers a SELECT with the same predicate would. The full
+      // predicate still applies on top.
       val victims = predicates
-        .foldLeft(snapshotPruned(spark, storeDir, pin, buckets))(_ filter _)
+        .foldLeft(snapshotPruned(spark, storeDir, pin, buckets, filters))(
+          _ filter _)
         .select(col(keyName))
       if (victims.limit(1).collect().isEmpty) return // nothing matches
       val valueFields = schema.fields.filterNot(_.name == keyName).toSeq
@@ -3167,6 +3238,8 @@ object MergeSink {
 
   private def constraintsPath(storeDir: String) =
     Paths.get(storeDir, "_constraints")
+  private def constraintsVersionsDir(storeDir: String) =
+    Paths.get(storeDir, "_constraintsv")
 
   private def encTok(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -3196,6 +3269,63 @@ object MergeSink {
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, constraintsPath(storeDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** VERSIONED constraint state — `_constraintsv/<version>` records the
+    * full gate list as of each constraint-CHANGING commit, so RESTORE
+    * can reset enforcement to exactly what history shows at the restore
+    * point (a table format keeps constraints in versioned table
+    * metadata; the singleton `_constraints` alone made the gate
+    * invisible to time travel). Records are written only when the list
+    * changes — the state at any version v is the newest record ≤ v.
+    * LEGACY BACKFILL: the first versioned record on a store that
+    * already carries singleton constraints also writes their list at
+    * version 0 ("always present") — conservative in the armed
+    * direction, since their true add-version predates the history. */
+  private def writeConstraintsAt(storeDir: String, version: Long,
+      cs: Seq[(String, String)], legacyExisting: Seq[(String, String)]): Unit = {
+    val dir = constraintsVersionsDir(storeDir)
+    val first = !Files.exists(dir)
+    Files.createDirectories(dir)
+    if (first && legacyExisting.nonEmpty && version > 0)
+      Files.write(dir.resolve("0"), constraintsBody(legacyExisting))
+    val tmp = dir.resolve(s".${version}.tmp." +
+      (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        & Long.MaxValue))
+    Files.write(tmp, constraintsBody(cs))
+    Files.move(tmp, dir.resolve(version.toString),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def constraintsBody(cs: Seq[(String, String)]): Array[Byte] =
+    ("#constraints 1\n" + cs.map { case (n, e) =>
+      s"${encTok(n)} ${encTok(e)}" }.mkString("\n"))
+      .getBytes(StandardCharsets.UTF_8)
+
+  /** The constraint list in force AT `version`: the newest versioned
+    * record at or before it (Nil = records exist but none that early —
+    * the store provably had no gates then). None = the store has no
+    * versioned constraint history at all (every gate predates it);
+    * callers leave the singleton untouched. */
+  private[graft] def constraintsAt(storeDir: String,
+      version: Long): Option[Seq[(String, String)]] = {
+    val dir = constraintsVersionsDir(storeDir)
+    if (!Files.exists(dir)) return None
+    val s0 = Files.list(dir)
+    val at = try s0.iterator().asScala.map(_.getFileName.toString)
+      .flatMap(_.toLongOption).filter(_ <= version).maxOption
+    finally s0.close()
+    Some(at match {
+      case None => Nil
+      case Some(v) =>
+        new String(Files.readAllBytes(dir.resolve(v.toString)),
+          StandardCharsets.UTF_8)
+          .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map { l =>
+            val Array(n, e) = l.split(' ')
+            (decTok(n), decTok(e))
+          }.toSeq
+    })
   }
 
   /** Violated iff the expression is FALSE (SQL constraint semantics). */
@@ -3229,26 +3359,53 @@ object MergeSink {
           "stores support constraints")
     val version = latest + 1
     val claim = claimCommit(storeDir, version, latest, -1L)
+    var registryMoved = false
     try {
-      // the EXISTING data must already satisfy the gate — scanned
-      // under the claim, so no concurrent commit can slip a violating
-      // row between this proof and the activation
-      val bad = snapshotPruned(spark, storeDir, Some(latest), None)
-        .filter(violationCond(checkExpr)).limit(1).collect()
-      if (bad.nonEmpty)
-        throw new IllegalArgumentException(
-          s"MergeSink: existing row ${bad.head} of $storeDir violates " +
-            s"CHECK ($checkExpr) — constraint '$name' not added; clean " +
-            "the data (or state a weaker gate) first")
-      writeConstraints(storeDir, existing :+ (name -> checkExpr))
-      writeManifest(storeDir, version, readManifest(storeDir, latest),
-        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
-      writeSchema(storeDir, version, readSchema(storeDir, latest).getOrElse(
-        throw new IllegalStateException(
-          s"MergeSink: no recorded schema for v$latest of $storeDir")))
-      verifyClaim(claim)
-      writeLongAtomic(latestPath(storeDir), version)
-    } catch { case e: Throwable => releaseOwnClaim(claim); throw e }
+      // the validation scan can exceed the takeover lease on a large
+      // store — HEARTBEAT like every other long-holding commit, so the
+      // slot is never captured out from under a live adder
+      withClaimHeartbeat(claim) {
+        // the EXISTING data must already satisfy the gate — scanned
+        // under the claim, so no concurrent commit can slip a violating
+        // row between this proof and the activation
+        val bad = snapshotPruned(spark, storeDir, Some(latest), None)
+          .filter(violationCond(checkExpr)).limit(1).collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"MergeSink: existing row ${bad.head} of $storeDir violates " +
+              s"CHECK ($checkExpr) — constraint '$name' not added; clean " +
+              "the data (or state a weaker gate) first")
+        // re-verify BEFORE any REPLACE_EXISTING metadata write: a scan
+        // stalled past the lease despite the heartbeat (GC/VM freeze)
+        // must not overwrite a usurper's already-published
+        // _manifests/<v> and _schemas/<v> with the parent's content
+        verifyClaim(claim)
+        val next = existing :+ (name -> checkExpr)
+        writeConstraints(storeDir, next)
+        registryMoved = true
+        writeConstraintsAt(storeDir, version, next, existing)
+        writeManifest(storeDir, version, readManifest(storeDir, latest),
+          manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+        writeSchema(storeDir, version, readSchema(storeDir, latest).getOrElse(
+          throw new IllegalStateException(
+            s"MergeSink: no recorded schema for v$latest of $storeDir")))
+        verifyClaim(claim)
+        writeLongAtomic(latestPath(storeDir), version)
+      }
+    } catch {
+      case e: Throwable =>
+        // a failed activation must not leave the gate armed with no
+        // published commit — restore the prior registry state (and the
+        // unpublished versioned record) before rethrowing
+        if (registryMoved) {
+          try writeConstraints(storeDir, existing)
+          catch { case _: java.io.IOException => () }
+          try Files.deleteIfExists(
+            constraintsVersionsDir(storeDir).resolve(version.toString))
+          catch { case _: java.io.IOException => () }
+        }
+        releaseOwnClaim(claim); throw e
+    }
     pruneCommitMarkers(storeDir)
     version
   }
@@ -3265,8 +3422,12 @@ object MergeSink {
         s"MergeSink: $storeDir has no committed version"))
     val version = latest + 1
     val claim = claimCommit(storeDir, version, latest, -1L)
+    var registryMoved = false
     try {
-      writeConstraints(storeDir, existing.filterNot(_._1 == name))
+      val next = existing.filterNot(_._1 == name)
+      writeConstraints(storeDir, next)
+      registryMoved = true
+      writeConstraintsAt(storeDir, version, next, existing)
       writeManifest(storeDir, version, readManifest(storeDir, latest),
         manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
       writeSchema(storeDir, version, readSchema(storeDir, latest).getOrElse(
@@ -3274,7 +3435,20 @@ object MergeSink {
           s"MergeSink: no recorded schema for v$latest of $storeDir")))
       verifyClaim(claim)
       writeLongAtomic(latestPath(storeDir), version)
-    } catch { case e: Throwable => releaseOwnClaim(claim); throw e }
+    } catch {
+      case e: Throwable =>
+        // a drop whose commit failed must not leave the gate DISARMED
+        // while history still shows the constraint — restore the prior
+        // registry state before rethrowing
+        if (registryMoved) {
+          try writeConstraints(storeDir, existing)
+          catch { case _: java.io.IOException => () }
+          try Files.deleteIfExists(
+            constraintsVersionsDir(storeDir).resolve(version.toString))
+          catch { case _: java.io.IOException => () }
+        }
+        releaseOwnClaim(claim); throw e
+    }
     pruneCommitMarkers(storeDir)
     version
   }

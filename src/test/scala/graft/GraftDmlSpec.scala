@@ -470,6 +470,100 @@ class GraftDmlSpec extends SparkTestBase {
     }
   }
 
+  // ---- DML file skipping (VERDICT r15 #1): the victim scan prunes
+  // files through the `_stats` sidecars exactly like a SELECT — proven
+  // physically with the FileSkippingSpec corrupted-file trick: a file
+  // whose recorded range excludes the DML predicate is garbage on disk;
+  // the pruned statement survives, the evidence-free twin trips.
+
+  /** `n` long keys routing to `bucket` under the store's own hash. */
+  private def keysFor(bucket: Long, n: Int, nBuckets: Long): Seq[Long] =
+    (1L to 100000L).iterator.filter(k =>
+      MergeSink.bucketForInternalLiteral(k,
+        org.apache.spark.sql.types.LongType, nBuckets) == bucket)
+      .take(n).toSeq
+
+  /** 4-bucket store, 2 keys per bucket, bucket b holds v in
+    * [b*1000, b*1000+1] — per-bucket value ranges are disjoint, so a
+    * range predicate on v provably excludes whole files. */
+  private def mkRangedStore(dir: String, sess: SparkSession): String = {
+    import sess.implicits._
+    val store = s"$dir/store"
+    val rows = (0L until 4L).flatMap { b =>
+      keysFor(b, 2, 4).zipWithIndex.map { case (k, i) =>
+        (k, "upsert", 1L, s"n$k", b * 1000L + i)
+      }
+    }
+    assert(rows.size == 8, "every bucket must be populated")
+    MergeSink.applyBucketedBatch(rows.toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    store
+  }
+
+  private def corruptBucket(store: String, b: Int): Unit = {
+    val bd = java.nio.file.Paths.get(store, "v0", s"_bucket=$b")
+    assert(Files.exists(bd), s"bucket $b dir must exist")
+    val s0 = Files.list(bd)
+    try s0.iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach(p => Files.write(p, Array[Byte](9, 9, 9, 9)))
+    finally s0.close()
+  }
+
+  test("DELETE file-skips its victim scan (SupportsDelete door): corrupted excluded files never open") {
+    val plain = SparkTestBase.session // no extensions: the DSv2 deleteWhere route
+    val dir = Files.createTempDirectory("graft_dml_skipdel").toString
+    val store = mkRangedStore(dir, plain)
+    for (b <- 0 until 3) corruptBucket(store, b) // v < 3000 lives here
+    // the evidence-free twin trips: without file-skipping filters the
+    // victim scan opens a corrupted file — and nothing commits
+    intercept[Exception] {
+      MergeSink.sqlDelete(store,
+        Seq(org.apache.spark.sql.functions.col("v") >= 3000L), None, Nil)
+    }
+    assert(MergeSink.latestVersion(store).contains(0L),
+      "the failed twin must not have committed")
+    plain.sql("DROP TABLE IF EXISTS dml_skip_d")
+    plain.sql(s"CREATE TABLE dml_skip_d USING graft LOCATION '$store'")
+    try {
+      // the same DELETE through the SQL door passes its translated
+      // filters as file-skipping evidence: buckets 0..2's recorded v
+      // ranges exclude v >= 3000, so their corrupted files never open
+      plain.sql("DELETE FROM dml_skip_d WHERE v >= 3000")
+      assert(MergeSink.latestVersion(store).contains(1L),
+        "the pruned DELETE must have committed")
+      assert(plain.sql("SELECT k FROM dml_skip_d WHERE v >= 3000")
+        .collect().isEmpty, "the matching rows must be retracted")
+    } finally plain.sql("DROP TABLE IF EXISTS dml_skip_d")
+  }
+
+  test("UPDATE with key evidence file-skips INSIDE the pruned buckets (GraftDml route)") {
+    val sess = s // extensions session: UPDATE rewrites through GraftDml
+    val dir = Files.createTempDirectory("graft_dml_skipupd").toString
+    val store = mkRangedStore(dir, sess)
+    val kA = keysFor(3, 1, 4).head // bucket 3, v = 3000 (clean)
+    val kB = keysFor(2, 1, 4).head // bucket 2, v = 2000 (corrupted below)
+    corruptBucket(store, 2)
+    s.sql("DROP TABLE IF EXISTS dml_skip_u")
+    s.sql(s"CREATE TABLE dml_skip_u USING graft LOCATION '$store'")
+    try {
+      // key evidence prunes to buckets {2, 3}; the v-range conjunct
+      // then FILE-prunes bucket 2's only file (recorded max v = 2001),
+      // so the statement survives the corruption and updates kA only
+      s.sql(s"UPDATE dml_skip_u SET v = v + 5 WHERE k IN ($kA, $kB) AND v >= 3000")
+      assert(s.sql(s"SELECT v FROM dml_skip_u WHERE k = $kA")
+        .head().getLong(0) == 3005L)
+      val head1 = MergeSink.latestVersion(store).get
+      // the twin WITHOUT a file-prunable conjunct reads bucket 2 and
+      // trips on the real corruption — nothing commits
+      intercept[Exception] {
+        s.sql(s"UPDATE dml_skip_u SET v = v + 5 WHERE k IN ($kA, $kB)")
+      }
+      assert(MergeSink.latestVersion(store).contains(head1),
+        "the tripped twin must not have committed")
+    } finally s.sql("DROP TABLE IF EXISTS dml_skip_u")
+  }
+
   test("MERGE with only a matched UPDATE arm leaves unmatched rows untouched") {
     val dir = Files.createTempDirectory("graft_dml_merge2").toString
     val store = mkStore(dir)
