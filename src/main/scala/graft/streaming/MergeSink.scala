@@ -99,15 +99,54 @@ object MergeSink {
     * re-claimed meanwhile, dropped — its holder's pre-swap verify then
     * aborts LOUDLY; a spurious abort, never a silent clobber).
     * Returns true iff the slot was freed for the caller to re-claim. */
+  /** A marker's lease-clock token: claims stamp `hb<millis>` into the
+    * marker CONTENT at creation, and the heartbeat rewrites it — so the
+    * clock survives capture/restore round trips EXACTLY on every
+    * backend (VERDICT r15 #6: object stores cannot move an mtime
+    * backward, so the pre-token restore granted the restored claim one
+    * fresh lease; the token restores with the bytes). */
+  private def hbToken(t: String): Option[Long] =
+    if (t.length > 2 && t.startsWith("hb") && t.drop(2).forall(_.isDigit))
+      t.drop(2).toLongOption
+    else None
+
+  /** The claim's identity — its content with any lease-clock token
+    * stripped: (parent, batchId, nonce[, w=, b=]). The nonce decides
+    * ours-vs-usurper; the clock token is MUTABLE (heartbeats advance
+    * it), so ownership checks must ignore it. */
+  private def claimIdentity(content: String): String =
+    content.split("\\s+").filterNot(t => hbToken(t).isDefined).mkString(" ")
+
+  /** The marker's effective lease clock: min(mtime, content hb token).
+    * min is the conservative direction — every life-granting event
+    * (creation, heartbeat) moves BOTH (a content write stamps mtime
+    * too); a restore-after-capture moves only the mtime (CREATE_NEW
+    * stamps "now" and object stores refuse backward setTimes), and min
+    * keeps the token's exact original clock there. Specs that age a
+    * marker by mtime alone keep working for the same reason. Legacy
+    * markers (no token) read their mtime. Throws NoSuchFileException
+    * like the raw mtime read — callers keep their existing handling. */
+  private[graft] def markerClockMillis(marker: Path): Long = {
+    val mtime = Files.getLastModifiedTime(marker).toMillis
+    val hb =
+      try new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+        .trim.split("\\s+").flatMap(hbToken).lastOption
+      catch {
+        case _: java.nio.file.NoSuchFileException => None
+        case _: java.io.IOException => None
+      }
+    hb.fold(mtime)(math.min(mtime, _))
+  }
+
   /** Lease check tolerant of the marker vanishing between the exists
-    * probe and the mtime read (a concurrent takeover/prune): a gone
+    * probe and the clock read (a concurrent takeover/prune): a gone
     * marker reads as NOT expired — the caller re-observes and retries. */
   private def markerLeaseExpired(marker: Path): Boolean =
     try Files.exists(marker) && (System.currentTimeMillis() -
-      Files.getLastModifiedTime(marker).toMillis) >= TakeoverLeaseMs
+      markerClockMillis(marker)) >= TakeoverLeaseMs
     catch { case _: java.nio.file.NoSuchFileException => false }
 
-  private def captureStaleMarker(marker: Path): Boolean = {
+  private[graft] def captureStaleMarker(marker: Path): Boolean = {
     val captured = marker.resolveSibling(
       s".takeover_${marker.getFileName}_" +
         (java.util.concurrent.ThreadLocalRandom.current().nextLong()
@@ -115,7 +154,7 @@ object MergeSink {
     try Files.move(marker, captured, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.io.IOException => return false }
     val fresh = (System.currentTimeMillis() -
-      Files.getLastModifiedTime(captured).toMillis) < TakeoverLeaseMs
+      markerClockMillis(captured)) < TakeoverLeaseMs
     if (fresh) {
       // restore via EXCLUSIVE create of the same content — NOT a move:
       // rename(2) silently REPLACES an existing destination on Linux,
@@ -129,23 +168,20 @@ object MergeSink {
         val mtime = Files.getLastModifiedTime(captured)
         try {
           Files.write(marker, body, StandardOpenOption.CREATE_NEW)
-          // restore the CAPTURED mtime too: CREATE_NEW stamps "now",
-          // which would hand the restored claim a FULL fresh lease on
-          // every failed takeover probe — and probes cluster exactly
-          // when the marker is near-stale, so a dead writer's claim
-          // could be deferred indefinitely. The lease clock must
-          // survive the capture/restore round trip.
-          // LOCAL/HDFS-ONLY: on object stores setTimes cannot move an
-          // mtime BACKWARD (StoreIO's read-back re-PUT fallback stamps
-          // "now" — it only repairs FORWARD heartbeat refreshes), so
-          // there the restored claim does get one fresh lease. That is
-          // BOUNDED, not the indefinite deferral above: this branch is
-          // reached only when the holder heartbeat-refreshed BETWEEN
-          // the expired probe and the capture (fresh == true requires
-          // a live-moments-ago writer), so the extra lease goes to a
-          // live writer once per capture-vs-heartbeat race — a dead
-          // writer's marker never heartbeats, captures stale, and is
-          // swept without entering this branch.
+          // the lease clock must survive the capture/restore round
+          // trip: CREATE_NEW stamps "now", which would otherwise hand
+          // the restored claim a FULL fresh lease on every failed
+          // takeover probe — and probes cluster exactly when the
+          // marker is near-stale, so a dead writer's claim could be
+          // deferred indefinitely. For token-bearing claims (every
+          // claim since the hb-token protocol) the restore is EXACT on
+          // ALL backends: the `hb<millis>` token travels with the
+          // bytes and [[markerClockMillis]]'s min() ignores the fresh
+          // mtime. The mtime restore below now only serves LEGACY
+          // markers (no token) — where it stays exact on local/HDFS
+          // and forward-only on object stores (bounded: this branch
+          // needs a live-moments-ago heartbeat, so the one extra lease
+          // goes to a live writer once per capture-vs-heartbeat race).
           try Files.setLastModifiedTime(marker, mtime)
           catch { case _: java.io.IOException => () }
         }
@@ -279,8 +315,8 @@ object MergeSink {
       // original error; an unreleased claim merely waits out its lease
       if (readLong(latestPath(claim.storeDir)).getOrElse(-1L) < claim.version &&
         Files.exists(claim.marker) &&
-        new String(Files.readAllBytes(claim.marker),
-          StandardCharsets.UTF_8).trim == claim.content)
+        claimIdentity(new String(Files.readAllBytes(claim.marker),
+          StandardCharsets.UTF_8).trim) == claimIdentity(claim.content))
         Files.deleteIfExists(claim.marker)
     } catch { case _: java.io.IOException => () }
 
@@ -327,7 +363,9 @@ object MergeSink {
     val marker = dir.resolve(version.toString)
     val nonce =
       java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
-    val content = s"$parent $batchId $nonce"
+    // the trailing hb token is the claim's lease clock (see
+    // [[markerClockMillis]]); heartbeats rewrite it, identity ignores it
+    val content = s"$parent $batchId $nonce hb${System.currentTimeMillis()}"
     def create(): Option[Claim] =
       try {
         Files.write(marker, content.getBytes(StandardCharsets.UTF_8),
@@ -377,7 +415,7 @@ object MergeSink {
           val stale = prevParent == parent &&
             readHead(storeDir).getOrElse(-1L) == parent &&
             (System.currentTimeMillis() -
-              (try Files.getLastModifiedTime(marker).toMillis
+              (try markerClockMillis(marker)
                catch { case _: java.nio.file.NoSuchFileException => vanished() })
               ) >= TakeoverLeaseMs
           if (stale) {
@@ -428,11 +466,17 @@ object MergeSink {
     claim
   }
 
-  /** Keep a held claim visibly ALIVE across a long rewrite: refresh
-    * the marker's mtime on a schedule (4× per lease) so compaction /
-    * optimize / erasure holding the claim for longer than the takeover
-    * lease — routine at the 100 TB scale the store targets — never
-    * looks abandoned to a concurrent writer's staleness check. */
+  /** Keep a held claim visibly ALIVE across a long rewrite: rewrite
+    * the marker's `hb<millis>` lease-clock token on a schedule (4× per
+    * lease) so compaction / optimize / erasure holding the claim for
+    * longer than the takeover lease — routine at the 100 TB scale the
+    * store targets — never looks abandoned to a concurrent writer's
+    * staleness check. The rewrite is IDENTITY-GUARDED: the current
+    * marker must still be OURS (nonce decides) — a writer waking from
+    * a stall after its claim was taken over must not restore its own
+    * content over the usurper's (the pre-token setTimes refresh was
+    * naturally harmless there; a content write is not). The write also
+    * stamps a fresh mtime, so legacy readers agree. */
   private def withClaimHeartbeat[T](claim: Claim)(body: => T): T = {
     val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => {
@@ -441,9 +485,15 @@ object MergeSink {
       })
     exec.scheduleAtFixedRate(new Runnable {
       def run(): Unit =
-        try Files.setLastModifiedTime(claim.marker,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        catch { case _: Throwable => () } // marker gone → verifyClaim refuses the swap
+        try {
+          val body = new String(Files.readAllBytes(claim.marker),
+            StandardCharsets.UTF_8).trim
+          if (claimIdentity(body) == claimIdentity(claim.content))
+            Files.write(claim.marker,
+              (claimIdentity(claim.content) +
+                s" hb${System.currentTimeMillis()}")
+                .getBytes(StandardCharsets.UTF_8))
+        } catch { case _: Throwable => () } // marker gone → verifyClaim refuses the swap
     }, TakeoverLeaseMs / 4, TakeoverLeaseMs / 4,
       java.util.concurrent.TimeUnit.MILLISECONDS)
     try body finally exec.shutdownNow()
@@ -457,9 +507,12 @@ object MergeSink {
     * the usurper's commit stands, our work is abandoned un-pointed-at,
     * and no two writers ever publish the same version. */
   private def verifyClaim(claim: Claim): Unit = {
+    // identity comparison (nonce-bearing, hb-token-blind): our own
+    // heartbeat legitimately advances the clock token, so an exact
+    // content match would refuse our own live claim
     val ok = Files.exists(claim.marker) &&
-      new String(Files.readAllBytes(claim.marker), StandardCharsets.UTF_8)
-        .trim == claim.content
+      claimIdentity(new String(Files.readAllBytes(claim.marker),
+        StandardCharsets.UTF_8).trim) == claimIdentity(claim.content)
     if (!ok)
       throw new java.util.ConcurrentModificationException(
         s"MergeSink: the commit claim on v${claim.version} of " +
@@ -2603,7 +2656,8 @@ object MergeSink {
     val nonce =
       java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
     val content =
-      s"$parent $batchId $nonce w=$writer b=${buckets.sorted.mkString(",")}"
+      s"$parent $batchId $nonce w=$writer b=${buckets.sorted.mkString(",")} " +
+        s"hb${System.currentTimeMillis()}"
     try {
       Files.write(marker, content.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW)
@@ -2836,7 +2890,7 @@ object MergeSink {
         val pm = commitsDir(storeDir).resolve(parent.toString)
         val parentAlive =
           try Files.exists(pm) && (System.currentTimeMillis() -
-            Files.getLastModifiedTime(pm).toMillis) < TakeoverLeaseMs
+            markerClockMillis(pm)) < TakeoverLeaseMs
           catch { case _: java.nio.file.NoSuchFileException => false }
         if (!parentAlive)
           throw new OccRebase(s"parent claim v$parent of $storeDir died " +

@@ -2327,4 +2327,37 @@ class SinkSpec extends SparkTestBase {
       assert(got == Seq(999L), "replay state survived the refused batch")
     } finally q2.stop()
   }
+
+  test("ST10 constraints are VERSIONED: RESTORE resets enforcement to the restore point's gates") {
+    import graft.streaming.MergeSink
+    val dir = Files.createTempDirectory("graft_constraint_restore").toString
+    val store = s"$dir/store"
+    MergeSink.applyBucketedBatch(
+      Seq((1L, "upsert", 1L, "a", 10L)).toDF("k", "op", "ver", "name", "v"),
+      0L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 2) // v0
+    val preAdd = MergeSink.latestVersion(store).get
+    val cv = MergeSink.addConstraint(spark, store, "v_range", "v < 100") // v1
+    // restore to BEFORE the add: the rollback disarms the gate too —
+    // enforcement tracks history, not just the singleton registry
+    MergeSink.restoreStore(spark, store, preAdd) // v2
+    assert(MergeSink.readConstraints(store).isEmpty,
+      "restoring past an ADD CONSTRAINT must disarm the gate")
+    // a batch the gate would have refused now lands
+    MergeSink.applyBucketedBatch(
+      Seq((2L, "upsert", 1L, "b", 250L)).toDF("k", "op", "ver", "name", "v"),
+      1L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 2) // v3
+    // restoring to the constrained point RE-ARMS the gate (and the
+    // restored snapshot is the one that was proven under it)
+    MergeSink.restoreStore(spark, store, cv) // v4
+    assert(MergeSink.readConstraints(store) == Seq("v_range" -> "v < 100"),
+      "restoring to a constrained point must re-arm the gate")
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.applyBucketedBatch(
+        Seq((3L, "upsert", 1L, "c", 500L)).toDF("k", "op", "ver", "name", "v"),
+        2L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 2)
+    }
+    assert(e.getMessage.contains("v_range"), e.getMessage)
+    // time travel still shows the rolled-back-over state
+    assert(MergeSink.bucketedSnapshotAt(spark, store, 3L).count() == 2)
+  }
 }

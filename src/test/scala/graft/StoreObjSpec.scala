@@ -196,6 +196,36 @@ class StoreObjSpec extends SparkTestBase {
     assert(MergeSink.latestVersion(store).contains(1L))
   }
 
+  test("capture/restore on graftobj:// preserves the ORIGINAL lease deadline (hb token carries the clock)") {
+    val (obj, _) = objTmp("graft_obj_clock")
+    val commits = StorePath(obj).resolve("_commits")
+    StoreFiles.createDirectories(commits)
+    val marker = commits.resolve("5")
+    // a live writer's claim, 4 min into its 10-min lease, carried by
+    // the content hb token (as every claim since the token protocol)
+    val t0 = System.currentTimeMillis() - 4L * 60 * 1000
+    StoreFiles.write(marker, s"4 7 123456789 hb$t0".getBytes("UTF-8"))
+    // a takeover probe racing the heartbeat captures the marker, finds
+    // it FRESH, and must restore it — on the object store the restored
+    // file's mtime is "now" (CREATE_NEW; setTimes cannot go backward),
+    // so the hb token is the only exact carrier of the lease clock
+    assert(!MergeSink.captureStaleMarker(marker),
+      "a fresh claim must be restored, not freed")
+    assert(StoreFiles.exists(marker), "the restored marker must exist")
+    assert(new String(StoreFiles.readAllBytes(marker), "UTF-8")
+      .contains(s"hb$t0"), "the restore must carry the original hb token")
+    assert(MergeSink.markerClockMillis(marker) == t0,
+      "the restored lease clock must be EXACTLY the original — no " +
+        "fresh lease from the capture/restore round trip")
+    // and a token aged past the lease IS captured despite a fresh
+    // mtime: the clock is min(mtime, token)
+    val t1 = System.currentTimeMillis() - 20L * 60 * 1000
+    StoreFiles.write(marker, s"4 7 123456789 hb$t1".getBytes("UTF-8"))
+    assert(MergeSink.captureStaleMarker(marker),
+      "a token-stale claim must be freed even with a fresh mtime")
+    assert(!StoreFiles.exists(marker))
+  }
+
   test("concurrent OCC writers on graftobj://: disjoint keys all land, a contended bucket serializes — no lost update on the no-atomic-rename backend") {
     import spark.implicits._
     val (obj, _) = objTmp("graft_obj_occ")
