@@ -199,16 +199,17 @@ class GraftCatalog extends TableCatalog {
         "adopt a store an earlier write created")
   }
 
-  /** `ALTER TABLE … ADD COLUMNS (…)` routes to the store's OWN
-    * metadata-only evolution ([[MergeSink.addColumns]]): one
-    * CAS-claimed commit, no data moves, time travel keeps the
+  /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN` route
+    * to the store's OWN metadata-only evolution commits
+    * ([[MergeSink.addColumns]] / renameColumn / dropColumn): one
+    * CAS-claimed commit each, no data moves, time travel keeps the
     * then-current schema, old writers keep committing (added columns
-    * are optional). The registry stays the source of truth — the
-    * catalog never stores a schema of its own. Position clauses are
-    * refused (store schemas are strictly append-only: every reader
-    * aligns columns by NAME, but the key column must stay first);
-    * every other ALTER (drop, retype, rename) stays refused —
-    * destructive changes rewrite the store explicitly. */
+    * are optional; a dropped column's physical name is retired). The
+    * registry stays the source of truth — the catalog never stores a
+    * schema of its own. Position clauses are refused (store schemas
+    * are strictly append-only: every reader aligns columns by NAME,
+    * but the key column must stay first); retyping stays refused —
+    * a type change rewrites the store explicitly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isStore(dir)) throw new NoSuchTableException(ident)
@@ -224,12 +225,25 @@ class GraftCatalog extends TableCatalog {
       }
       return loadAt(ident, None)
     }
+    // DROP COLUMN: the column-mapping metadata commit (the field leaves
+    // the schema; the orphaned physical file column is never projected
+    // again and its name is retired — MergeSink.dropColumn)
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    if (drops.nonEmpty && drops.length == changes.length) {
+      drops.foreach { d =>
+        require(d.fieldNames.length == 1,
+          s"graft: nested column '${d.fieldNames.mkString(".")}' — stores " +
+            "drop TOP-LEVEL columns")
+        MergeSink.dropColumn(dir, d.fieldNames.head)
+      }
+      return loadAt(ident, None)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.isEmpty || adds.length != changes.length)
       throw new UnsupportedOperationException(
-        "graft: only ALTER TABLE ... ADD COLUMNS and RENAME COLUMN " +
-          "evolve a store (metadata-only, CAS-committed, time-travel-" +
-          "aware commits the registry records) — dropping or retyping " +
+        "graft: only ALTER TABLE ... ADD COLUMNS, RENAME COLUMN and " +
+          "DROP COLUMN evolve a store (metadata-only, CAS-committed, " +
+          "time-travel-aware commits the registry records) — retyping " +
           "rewrites the store explicitly")
     val fields = adds.map { a =>
       require(a.fieldNames.length == 1,

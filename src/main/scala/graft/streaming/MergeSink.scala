@@ -2501,17 +2501,20 @@ object MergeSink {
         // column, so the registry never forgets either
         val pByName = ps.fields.map(f => f.name -> f).toMap
         // a batch-added column re-using a PHYSICAL name a rename freed
-        // would collide in every future data file — refuse with the
-        // metadata-commit remedy (addColumns stamps a fresh physical)
+        // — or one a DROP retired — would collide in (or resolve to)
+        // old data files — refuse with the metadata-commit remedy
+        // (addColumns stamps a fresh physical). This is also the gate
+        // that refuses an old writer still supplying a DROPPED column.
         val freedPhysical = ps.fields.filter(f => physicalName(f) != f.name)
-          .map(physicalName).toSet
+          .map(physicalName).toSet ++ readDroppedPhysical(storeDir)
         val clash = declared.fields.map(_.name)
           .filter(n => !pByName.contains(n) && freedPhysical.contains(n))
         require(clash.isEmpty,
           s"MergeSink: batch column(s) ${clash.mkString(", ")} collide " +
-            s"with PHYSICAL file names freed by a rename on $storeDir — " +
-            "add them with addColumns (ALTER TABLE … ADD COLUMNS), which " +
-            "assigns a non-colliding physical name, then retry the batch")
+            s"with PHYSICAL file names freed by a rename or retired by a " +
+            s"drop on $storeDir — add them with addColumns (ALTER TABLE " +
+            "… ADD COLUMNS), which assigns a non-colliding physical " +
+            "name, then retry the batch")
         StructType(declared.fields.map(f => pByName.get(f.name)
           .map(pf => f.copy(nullable = f.nullable || pf.nullable,
             metadata = pf.metadata)).getOrElse(f)) ++ evolvedMissing)
@@ -3157,8 +3160,9 @@ object MergeSink {
     * schema. Added columns are stamped OPTIONAL (`graft.evolved`):
     * writers predating the evolution keep committing without them —
     * their upserts null-fill (batch rows are full-row replacements).
-    * Dropping or retyping stays refused; destructive changes rewrite
-    * the store explicitly. Returns the evolution commit's version. */
+    * DROP COLUMN is the sibling metadata commit ([[dropColumn]]);
+    * retyping stays refused — a type change rewrites the store
+    * explicitly. Returns the evolution commit's version. */
   def addColumns(storeDir: String, newFields: Seq[StructField]): Long = {
     require(newFields.nonEmpty, "addColumns needs at least one new column")
     val latest = readHead(storeDir).getOrElse(
@@ -3178,10 +3182,13 @@ object MergeSink {
       s"column(s) already exist on $storeDir: ${clash.mkString(", ")}")
     val version = latest + 1
     // PHYSICAL-collision guard (column mapping): a rename frees a
-    // LOGICAL name but its files keep the physical one — a new column
-    // re-using that name would collide in every future data file.
-    // Stamp such a column with a fresh unique physical name instead.
-    val parentPhysical = parent.fields.map(physicalName).toSet
+    // LOGICAL name but its files keep the physical one — and a DROP
+    // retires its physical name forever (old files still carry the
+    // orphan's data). A new column re-using either would collide in or
+    // resolve to old data files. Stamp such a column with a fresh
+    // unique physical name instead.
+    val parentPhysical =
+      parent.fields.map(physicalName).toSet ++ readDroppedPhysical(storeDir)
     val marked = newFields.map { f =>
       val mb = new MetadataBuilder()
         .withMetadata(f.metadata).putBoolean(EvolvedMark, true)
@@ -3219,9 +3226,8 @@ object MergeSink {
     * Refused: renaming the KEY column (the bucketing contract and the
     * `_key` registry are keyed on it — rewrite the store explicitly
     * for that migration), renaming to an existing logical name, and
-    * renaming a column that does not exist. DROP COLUMN stays refused
-    * everywhere — rename covers the evolution story; a drop is a
-    * rewrite (compactBucketedStore after an explicit projection).
+    * renaming a column that does not exist. DROP COLUMN is the sibling
+    * metadata-only commit ([[dropColumn]]).
     * Returns the rename commit's version. */
   def renameColumn(storeDir: String, oldName: String, newName: String): Long = {
     require(oldName != newName, "rename needs two different names")
@@ -3265,6 +3271,109 @@ object MergeSink {
     val version = latest + 1
     val claim = claimCommit(storeDir, version, latest, -1L)
     try {
+      writeManifest(storeDir, version, readManifest(storeDir, latest),
+        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+      writeSchema(storeDir, version, next)
+      verifyClaim(claim)
+      writeLongAtomic(latestPath(storeDir), version)
+    } catch { case e: Throwable => releaseOwnClaim(claim); throw e }
+    pruneCommitMarkers(storeDir)
+    version
+  }
+
+  // ----- DROP COLUMN (VERDICT r15 #2) -----
+  // With column mapping in place, physical names are stable identities
+  // — so a DROP is metadata-only, exactly like Delta's column-mapping
+  // drop: remove the field from the schema, keep every data file. The
+  // orphaned PHYSICAL column is simply never projected again (alignTo
+  // selects by the read point's schema); time travel before the drop
+  // still shows it (old schemas are untouched, the data never moved);
+  // compaction/erasure rewrites materialize the narrower schema and so
+  // absorb the debt over time. The one global invariant: an orphaned
+  // physical name may NEVER be reused — retained dirs still carry its
+  // data, and a new column under that file name would read the
+  // orphan's values. `_dropped` records every such name forever.
+
+  private def droppedPath(storeDir: String) = Paths.get(storeDir, "_dropped")
+
+  /** Physical file-column names orphaned by [[dropColumn]] — permanently
+    * retired (see the invariant above). Append-only, tiny: one line per
+    * drop over the store's lifetime. */
+  private[graft] def readDroppedPhysical(storeDir: String): Set[String] = {
+    val p = droppedPath(storeDir)
+    if (!Files.exists(p)) return Set.empty
+    try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(decTok).toSet
+    catch { case _: java.nio.file.NoSuchFileException => Set.empty }
+  }
+
+  private def appendDroppedPhysical(storeDir: String, name: String): Unit = {
+    val next = readDroppedPhysical(storeDir) + name
+    val body = "#dropped 1\n" + next.toSeq.sorted.map(encTok).mkString("\n")
+    val tmp = droppedPath(storeDir).resolveSibling(".dropped.tmp." +
+      (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        & Long.MaxValue))
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, droppedPath(storeDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** COLUMN MAPPING — metadata-only DROP COLUMN (`ALTER TABLE … DROP
+    * COLUMN`; the reference's own planned obs reshape, ssidentity.c:
+    * 25-26, is a drop-and-re-add migration): one CAS-claimed commit
+    * whose manifest is a COPY of the parent's and whose schema omits
+    * the field — NO data moves at any store size. Readers at or after
+    * the drop never project the orphaned physical column; time travel
+    * before it still shows the column with its data; the change feed's
+    * row shape follows the read point's schema. The freed LOGICAL name
+    * is immediately re-addable — [[addColumns]] assigns a fresh
+    * physical name because the orphaned one is retired in `_dropped`
+    * (readers of old files must never resolve a NEW column to OLD
+    * data). Old writers still supplying the dropped column are refused
+    * with the re-add remedy (the batch-evolution collision guard).
+    *
+    * Refused: dropping the KEY column (row identity — rewrite the
+    * store for that migration), dropping a column a CHECK constraint
+    * references (drop the constraint first), and unknown columns.
+    * Returns the drop commit's version. */
+  def dropColumn(storeDir: String, name: String): Long = {
+    val latest = readHead(storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"MergeSink: $storeDir has no committed version to evolve"))
+    if (!Files.exists(manifestsDir(storeDir).resolve(latest.toString)))
+      throw new IllegalStateException(
+        s"MergeSink: $storeDir@v$latest has no manifest — only bucketed " +
+          "stores support metadata-only evolution")
+    val parent = readSchema(storeDir, latest).getOrElse(
+      throw new IllegalStateException(
+        s"MergeSink: no recorded schema for v$latest of $storeDir"))
+    require(parent.fieldNames.contains(name),
+      s"MergeSink: no column '$name' on $storeDir " +
+        s"(${parent.fieldNames.mkString(", ")})")
+    val keyName = storedKeyName(storeDir).getOrElse(parent.fields.head.name)
+    require(name != keyName,
+      s"MergeSink: '$name' is the store's KEY column — row identity is " +
+        "immutable; a key migration is a rewrite (read, re-key, write a " +
+        "fresh store), not a metadata commit")
+    val constrained = readConstraints(storeDir).filter { case (_, expr) =>
+      try exprColumnNames(expr).contains(name)
+      catch { case scala.util.control.NonFatal(_) => true } // unparsable: conservative
+    }
+    require(constrained.isEmpty,
+      s"MergeSink: column '$name' is referenced by CHECK constraint(s) " +
+        s"${constrained.map(_._1).mkString(", ")} on $storeDir — drop the " +
+        "constraint(s) first, then the column")
+    val dropee = parent.fields.find(_.name == name).get
+    val next = StructType(parent.fields.filterNot(_.name == name))
+    val version = latest + 1
+    val claim = claimCommit(storeDir, version, latest, -1L)
+    try {
+      // retire the orphaned physical name BEFORE the commit publishes:
+      // a crash between the append and the swap leaves a retired-but-
+      // live name — conservative (a future add gets a fresh physical
+      // where none was strictly needed), never the reverse
+      appendDroppedPhysical(storeDir, physicalName(dropee))
       writeManifest(storeDir, version, readManifest(storeDir, latest),
         manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
       writeSchema(storeDir, version, next)

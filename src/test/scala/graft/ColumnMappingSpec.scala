@@ -151,6 +151,91 @@ class ColumnMappingSpec extends SparkTestBase {
       s"label carries old+new data, re-added name only new: $rows")
   }
 
+  test("DROP COLUMN is metadata-only: file identity, time travel, re-add with fresh physical, CDF, refusals") {
+    val sess = s
+    import sess.implicits._
+    val dir = JFiles.createTempDirectory("graft_colmap_drop").toString
+    val store = s"$dir/store"
+    put(store, Seq((1L, "upsert", 1L, "a", 10L), (2L, "upsert", 1L, "b", 20L)), 0L) // v0
+    put(store, Seq((1L, "upsert", 2L, "a2", 11L)), 1L) // v1
+    val before = fileIdentity(store)
+    assert(before.nonEmpty)
+
+    assert(MergeSink.dropColumn(store, "name") == 2L)
+    assert(fileIdentity(store) == before, "a drop must move ZERO data")
+
+    // head reads omit the column; remaining values untouched
+    val head = s.read.format("graft").load(store)
+    assert(head.columns.toSeq == Seq("k", "v"))
+    assert(head.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 11L), (2L, 20L)))
+
+    // time travel BEFORE the drop still shows the column WITH its data
+    val asOf = MergeSink.bucketedSnapshotAt(s, store, 1L)
+    assert(asOf.columns.toSeq == Seq("k", "name", "v"))
+    assert(asOf.filter($"k" === 1L).head().getString(1) == "a2",
+      "the dropped column's data must survive at old read points")
+
+    // an old writer still supplying the dropped column is refused with
+    // the re-add remedy (its physical name is retired)
+    val eOld = intercept[IllegalArgumentException] {
+      MergeSink.applyBucketedBatch(
+        Seq((3L, "upsert", 1L, "c", 30L)).toDF("k", "op", "ver", "name", "v"),
+        2L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4)
+    }
+    assert(eOld.getMessage.contains("addColumns"), eOld.getMessage)
+
+    // the freed LOGICAL name is re-addable with a FRESH physical name —
+    // pre-drop rows read NULL, never the orphaned column's data
+    MergeSink.addColumns(store,
+      Seq(org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType))) // v3
+    val sc = MergeSink.snapshotSchemaAt(store, None)
+    assert(sc.fieldNames.toSeq == Seq("k", "v", "name"))
+    val readded = sc.fields.find(_.name == "name").get
+    assert(MergeSink.physicalName(readded) != "name",
+      s"re-added 'name' must carry a fresh physical name " +
+        s"(got ${MergeSink.physicalName(readded)})")
+    val afterReadd = s.read.format("graft").load(store)
+      .select("k", "name").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(afterReadd == Set((1L, None), (2L, None)),
+      s"pre-drop rows must read NULL in the re-added column: $afterReadd")
+    MergeSink.applyBucketedBatch(
+      Seq((3L, "upsert", 1L, "c", 30L)).toDF("k", "op", "ver", "name", "v"),
+      2L, store, "k", "op", "ver", Seq("name", "v"), nBuckets = 4) // v4
+    // the change feed across the drop boundary follows the read
+    // point's schema (which includes the RE-ADDED name, ordered by the
+    // last writer's declaration) — old rows null-fill
+    val feed = MergeSink.storeChangesBetween(s, store, 0L,
+      MergeSink.latestVersion(store).get)
+    assert(feed.columns.toSeq ==
+      Seq("k", "change", "name_old", "name_new", "v_old", "v_new"))
+    val changes = feed.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(3)))).toSet
+    assert(changes == Set((1L, "update", None), (3L, "insert", Some("c"))),
+      s"feed across the drop: ${changes.mkString(", ")}")
+
+    // refusals: the key column, and a constraint-referenced column
+    val eKey = intercept[IllegalArgumentException] {
+      MergeSink.dropColumn(store, "k")
+    }
+    assert(eKey.getMessage.contains("KEY column"), eKey.getMessage)
+    MergeSink.addConstraint(s, store, "v_pos", "v >= 0")
+    val eCon = intercept[IllegalArgumentException] {
+      MergeSink.dropColumn(store, "v")
+    }
+    assert(eCon.getMessage.contains("constraint"), eCon.getMessage)
+
+    // compaction materializes the narrower schema (absorbing the
+    // orphaned physical column); reads hold
+    assert(MergeSink.compactBucketedStore(s, store).isDefined)
+    val post = s.read.format("graft").load(store)
+      .select("k", "name").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(post == Set((1L, None), (2L, None), (3L, Some("c"))))
+  }
+
   test("SQL RENAME COLUMN via the catalog; refusals name their remedies") {
     val sess = s
     import sess.implicits._
@@ -166,7 +251,7 @@ class ColumnMappingSpec extends SparkTestBase {
       // chained rename keeps projecting the same physical column
       s.sql("ALTER TABLE graftcm.store RENAME COLUMN score TO points")
       assert(s.sql("SELECT points FROM graftcm.store").head().getLong(0) == 10L)
-      // refusals: key column, existing name, DROP
+      // refusals: key column (rename AND drop), existing name
       val eKey = intercept[Exception] {
         s.sql("ALTER TABLE graftcm.store RENAME COLUMN k TO kk")
       }
@@ -175,11 +260,14 @@ class ColumnMappingSpec extends SparkTestBase {
         s.sql("ALTER TABLE graftcm.store RENAME COLUMN name TO points")
       }
       assert(eDup.getMessage.contains("already exists"), eDup.getMessage)
-      val eDrop = intercept[Exception] {
-        s.sql("ALTER TABLE graftcm.store DROP COLUMN name")
+      val eKeyDrop = intercept[Exception] {
+        s.sql("ALTER TABLE graftcm.store DROP COLUMN k")
       }
-      assert(eDrop.getMessage.contains("RENAME COLUMN") ||
-        eDrop.getMessage.contains("ADD COLUMNS"), eDrop.getMessage)
+      assert(eKeyDrop.getMessage.contains("KEY column"), eKeyDrop.getMessage)
+      // DROP COLUMN is the metadata-only sibling: the column leaves
+      // the schema through the catalog verb, the files stay
+      s.sql("ALTER TABLE graftcm.store DROP COLUMN name")
+      assert(s.table("graftcm.store").columns.toSeq == Seq("k", "points"))
       // a CHECK constraint pins the names it references: rename refuses
       s.sql("ALTER TABLE graftcm.store ADD CONSTRAINT pos CHECK (points >= 0)")
       val eCon = intercept[Exception] {
