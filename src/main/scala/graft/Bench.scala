@@ -239,6 +239,11 @@ object Bench {
     // — the stdout line still carries the filtered timings for iteration.
     if (sys.env.contains("SPARK_GRAFT_ONLY"))
       System.err.println("[bench] SPARK_GRAFT_ONLY set — not overwriting bench_full.json")
+    else if (sys.env.contains("SPARK_GRAFT_NO_ARTIFACT"))
+      // a full run at a NON-CONTRACT scale factor (the sf1 full-suite
+      // evidence run) must not replace the committed sf0.1 artifact —
+      // its JSON goes to stdout only, captured by the caller
+      System.err.println("[bench] SPARK_GRAFT_NO_ARTIFACT set — not writing bench_full.json")
     else try {
       // preserve the sf1 stress section (graft.tools.StressSf1) across
       // full-bench rewrites — it is measured on a different cadence

@@ -607,13 +607,17 @@ object MergeSink {
     locally {
       val s0 = Files.list(Paths.get(storeDir))
       try s0.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(".stage_v"))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".stage_v") || n.startsWith(".stage_dv")
+        }
         .filter(p =>
           try System.currentTimeMillis() -
             Files.getLastModifiedTime(p).toMillis >= TakeoverLeaseMs
           catch { case _: java.nio.file.NoSuchFileException => false })
         .filter { p =>
-          val v = p.getFileName.toString.stripPrefix(".stage_v")
+          val v = p.getFileName.toString
+            .stripPrefix(".stage_dv").stripPrefix(".stage_v")
             .takeWhile(_.isDigit).toLongOption
           v.forall { version =>
             val m = dir.resolve(version.toString)
@@ -961,11 +965,159 @@ object MergeSink {
     None
   }
 
+  // ----- DELETION VECTORS (VERDICT r15 #4) -----
+  // A point retraction on a fat bucket used to pay O(bucket): the
+  // delete-CDC commit rewrote the whole owning bucket's version dir.
+  // With deletion vectors a DELETE-ONLY commit moves O(metadata): it
+  // writes the retracted keys into `_dv/<version>/_bucket=<b>` (tiny
+  // parquet, one spark write for the whole batch), keeps every owner
+  // dir untouched, and records a `d<version>` token on the bucket's
+  // manifest line. Every reader anti-joins the bucket's owner scan
+  // against its recorded DV (the Delta deletion-vector analogue, keyed
+  // by the store's row identity instead of file/row-position — the
+  // natural form for a keyed store). DVs are CUMULATIVE per bucket
+  // (each new DV carries the prior one's keys too, so exactly ONE DV
+  // applies per bucket per read point); any REWRITE of the bucket
+  // (upsert merge, compaction, optimize, rebucket) materializes
+  // through the DV and clears the token — compaction absorbs the
+  // debt. Erasure stays the physical path (a DV is retraction, not
+  // erasure) and additionally scrubs the subject's keys from retained
+  // DV files (the key itself may be the PII). Vacuum reclaims `_dv`
+  // dirs by the same liveness rule as data dirs; a read point whose
+  // DV aged out fails LOUDLY, never silently resurrects deleted rows.
+
+  private def dvRootDir(storeDir: String) = Paths.get(storeDir, "_dv")
+
+  /** `_dv/<w>` up the origin chain (clones reference their source's
+    * immutable DV dirs exactly like its data dirs). */
+  private def resolveDvDir(storeDir: String, w: Long): Option[Path] = {
+    var dir = storeDir
+    var hops = 0
+    while (hops < 64) {
+      val p = Paths.get(dir, "_dv", w.toString)
+      if (Files.exists(p)) return Some(p)
+      val o = originPath(dir)
+      if (!Files.exists(o)) return None
+      dir = new String(Files.readAllBytes(o), StandardCharsets.UTF_8).trim
+      hops += 1
+    }
+    None
+  }
+
+  /** The retracted-key frame for `entries` (bucket → dv version):
+    * (physKey, _bucket), one partition-pruned scan per referenced DV
+    * dir. Read with an EXPLICIT schema so an erased-to-empty DV dir
+    * still types as an empty frame. A reclaimed DV dir fails loudly
+    * (the read point is no longer materializable — same contract as a
+    * vacuumed data dir). */
+  private def dvKeysFrame(spark: SparkSession, storeDir: String,
+      entries: Map[Long, Long], physKey: String,
+      keyType: org.apache.spark.sql.types.DataType): Option[DataFrame] =
+    if (entries.isEmpty) None
+    else Some(entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (w, bm) =>
+      val d = resolveDvDir(storeDir, w).getOrElse(
+        throw new IllegalStateException(
+          s"MergeSink: deletion-vector dir _dv/$w of $storeDir has been " +
+            "reclaimed by vacuum — this read point is no longer " +
+            "materializable"))
+      spark.read.schema(StructType(Seq(
+          StructField(physKey, keyType),
+          StructField("_bucket", org.apache.spark.sql.types.LongType))))
+        .parquet(d.toString)
+        .filter(col("_bucket").isin(bm.keys.toSeq: _*))
+    }.reduce(_ unionByName _))
+
+  /** Anti-join a PHYSICALLY-named owner-dir scan against its retracted
+    * keys. The DV side is tiny by construction (point retractions), so
+    * the planner broadcasts it from its file size. */
+  private def applyDv(df: DataFrame, dvKeys: Option[DataFrame],
+      physKey: String): DataFrame =
+    dvKeys.fold(df)(k => df.join(k.select(physKey), Seq(physKey), "left_anti"))
+
+  /** Stage-then-exclusive-rename publish of one `_dv/<version>` dir —
+    * the DV twin of [[publishVersionDir]], same claim discipline, same
+    * orphan replacement, swept by the same stage-dir GC. */
+  private def publishDvDir[T](storeDir: String, version: Long,
+      claim: Claim)(write: String => T): T = {
+    val stage = Paths.get(storeDir, s".stage_dv${version}_" +
+      (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        & Long.MaxValue))
+    try {
+      val result = write(stage.toString)
+      Files.createDirectories(dvRootDir(storeDir))
+      val dst = dvRootDir(storeDir).resolve(version.toString)
+      verifyClaim(claim)
+      try Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.io.IOException =>
+          verifyClaim(claim) // a usurper's publish aborts loudly HERE
+          if (!Files.exists(dst)) throw e // genuine IO failure
+          Files.deleteTree(dst) // stale owned data: replace it
+          Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+      }
+      result
+    } finally if (Files.exists(stage)) Files.deleteTree(stage)
+  }
+
+  /** The DELETE-ONLY commit's data half: write `_dv/<version>` holding,
+    * per touched LIVE bucket, the cumulative retracted keys (parent DV
+    * ∪ this batch's delete keys). Returns the new (bucket → version)
+    * DV entries; empty when no touched bucket is live (deletes of
+    * absent keys retract nothing). */
+  private def writeDvForDeletes(spark: SparkSession, storeDir: String,
+      version: Long, claim: Claim, batchEff: DataFrame, key: String,
+      opCol: String, target: StructType, baseManifest: Map[Long, Long],
+      baseDv: Map[Long, Long], touched: Seq[Long],
+      nBuckets: Int): Map[Long, Long] = {
+    // the deleteOnly contract is load-bearing: an upsert row silently
+    // dropped here would be a lost update — refuse loudly instead
+    val stray = batchEff.filter(col(opCol) =!= "delete").limit(1).collect()
+    require(stray.isEmpty,
+      s"MergeSink: deleteOnly commit on $storeDir carries a non-delete " +
+        s"row ${stray.headOption.getOrElse("")} — the deletion-vector " +
+        "path accepts pure retraction batches only")
+    val live = touched.filter(baseManifest.contains)
+    if (live.isEmpty) return Map.empty
+    val keyField = target.fields.head
+    val physKey = physicalName(keyField)
+    val newKeys = batchEff
+      .select(col(key).cast(keyField.dataType).as(physKey),
+        bucketOf(key, nBuckets).as("_bucket"))
+      .filter(col("_bucket").isin(live: _*))
+    val prior = dvKeysFrame(spark, storeDir,
+      baseDv.view.filterKeys(live.toSet).toMap, physKey, keyField.dataType)
+    val all = prior.fold(newKeys)(_ unionByName newKeys).distinct()
+    publishDvDir(storeDir, version, claim) { stage =>
+      all.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+    }
+    live.map(_ -> version).toMap
+  }
+
   private def readManifest(storeDir: String, version: Long): Map[Long, Long] = {
     val p = manifestsDir(storeDir).resolve(version.toString)
+    // tolerate trailing per-line tokens: `b v [d<dvv>]` — the r16
+    // deletion-vector reference rides as a third token (a manifest
+    // format bump like r14's #nbuckets header; forward-only compat)
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
-        val Array(b, v) = l.split(' '); (b.toLong, v.toLong)
+        val t = l.split(' '); (t(0).toLong, t(1).toLong)
+      }.toMap
+  }
+
+  /** The DELETION-VECTOR references a manifest records: bucket → the
+    * commit whose `_dv/<v>` dir holds the bucket's retracted keys
+    * (applied on top of the bucket's owner dir by every reader).
+    * Buckets without a `d<dvv>` token have no retractions pending. */
+  private[graft] def readManifestDv(storeDir: String,
+      version: Long): Map[Long, Long] = {
+    val p = manifestsDir(storeDir).resolve(version.toString)
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        val t = l.split(' ')
+        if (t.length >= 3 && t(2).startsWith("d"))
+          t(2).drop(1).toLongOption.map(t(0).toLong -> _)
+        else None
       }.toMap
   }
 
@@ -996,12 +1148,18 @@ object MergeSink {
     catch { case _: java.nio.file.NoSuchFileException => None }
   }
 
+  /** `dv` (bucket → dv version) rides as a per-line `d<dvv>` token —
+    * REQUIRED at every call site (no default) so a manifest-copying
+    * commit can never silently drop its parent's pending retractions. */
   private def writeManifest(storeDir: String, version: Long,
-      m: Map[Long, Long], nBuckets: Option[Long]): Unit = {
+      m: Map[Long, Long], nBuckets: Option[Long],
+      dv: Map[Long, Long]): Unit = {
     Files.createDirectories(manifestsDir(storeDir))
     val header = nBuckets.map(n => s"#nbuckets $n\n").getOrElse("")
     val body = header +
-      m.toSeq.sorted.map { case (b, v) => s"$b $v" }.mkString("\n")
+      m.toSeq.sorted.map { case (b, v) =>
+        s"$b $v" + dv.get(b).map(w => s" d$w").getOrElse("")
+      }.mkString("\n")
     val tmp = manifestsDir(storeDir).resolve(s".$version.tmp." +
       (java.util.concurrent.ThreadLocalRandom.current().nextLong()
         & Long.MaxValue))
@@ -1196,16 +1354,29 @@ object MergeSink {
     * even their footers are fetched. */
   private def snapshotFromManifest(spark: SparkSession, storeDir: String,
       manifest: Map[Long, Long], target: StructType,
-      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
-    val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      dv: Map[Long, Long] = Map.empty): DataFrame = {
+    // buckets group by (owner, dv): one partition-pruned scan per
+    // referenced dir per DV generation, each anti-joined against its
+    // retracted keys before projecting to the read point's schema
+    val byGroup = manifest.groupBy { case (b, o) => (o, dv.get(b)) }
     // pushed predicates name LOGICAL columns; sidecars record PHYSICAL
     // file columns — translate through the read point's mapping
     val logicalToPhysical = renameMap(target)
-    byVersion.toSeq.sortBy(_._1).flatMap { case (v, buckets) =>
-      versionDirScan(spark, storeDir, v, buckets, filters, logicalToPhysical)
-        .map(df => alignTo(df, target))
-    }.foldLeft(spark.createDataFrame(
-      new java.util.ArrayList[Row](), target))(_ unionByName _)
+    val keyField = target.fields.head
+    val physKey = physicalName(keyField)
+    byGroup.toSeq.sortBy { case ((v, w), _) => (v, w.getOrElse(-1L)) }
+      .flatMap { case ((v, dvv), entries) =>
+        val buckets = entries.keys.toSeq
+        versionDirScan(spark, storeDir, v, buckets, filters, logicalToPhysical)
+          .map { df0 =>
+            val df = dvv.fold(df0)(w => applyDv(df0,
+              dvKeysFrame(spark, storeDir, buckets.map(_ -> w).toMap,
+                physKey, keyField.dataType), physKey))
+            alignTo(df, target)
+          }
+      }.foldLeft(spark.createDataFrame(
+        new java.util.ArrayList[Row](), target))(_ unionByName _)
   }
 
   /** One referenced dir's scan: partition-pruned to `buckets`, and —
@@ -1600,7 +1771,16 @@ object MergeSink {
               "which vacuum has reclaimed — this read point is no longer " +
               "materializable")
       }
-      snapshotFromManifest(spark, storeDir, manifest, target, filters)
+      val dvm = readManifestDv(storeDir, v).view
+        .filterKeys(manifest.keySet).toMap
+      dvm.values.toSeq.distinct.sorted.foreach { w =>
+        if (resolveDvDir(storeDir, w).isEmpty)
+          throw new IllegalStateException(
+            s"MergeSink: v$v of $storeDir references deletion-vector dir " +
+              s"_dv/$w, which vacuum has reclaimed — this read point is " +
+              "no longer materializable")
+      }
+      snapshotFromManifest(spark, storeDir, manifest, target, filters, dvm)
     } else if (Files.exists(Paths.get(storeDir, s"v$v"))) {
       // plain-protocol store: the version dir IS the full state
       readSchema(storeDir, v) match {
@@ -1651,14 +1831,18 @@ object MergeSink {
     }
     val m1 = readManifest(storeDir, fromVersion)
     val m2 = readManifest(storeDir, toVersion)
+    val d1 = readManifestDv(storeDir, fromVersion)
+    val d2 = readManifestDv(storeDir, toVersion)
     val target = readSchema(storeDir, toVersion).getOrElse(
       throw new IllegalStateException(
         s"MergeSink: no recorded schema for v$toVersion of $storeDir"))
     val keyName = target.fields.head.name
     val valueCols = target.fields.tail.map(_.name).toSeq
-    // the prune: identical owner ⇒ identical bytes ⇒ no possible change
+    // the prune: identical (owner, dv) ⇒ identical logical content ⇒
+    // no possible change (a new deletion vector IS a row change even
+    // when the owner dir never moved)
     val changed = (m1.keySet ++ m2.keySet)
-      .filter(b => m1.get(b) != m2.get(b))
+      .filter(b => m1.get(b) != m2.get(b) || d1.get(b) != d2.get(b))
     val p1 = m1.filter { case (b, _) => changed(b) }
     val p2 = m2.filter { case (b, _) => changed(b) }
     (p1.values.toSeq ++ p2.values.toSeq).distinct.sorted.foreach { v =>
@@ -1667,8 +1851,10 @@ object MergeSink {
           s"MergeSink: the change feed v$fromVersion→v$toVersion of " +
             s"$storeDir needs data dir v$v, which vacuum has reclaimed")
     }
-    val s1 = snapshotFromManifest(spark, storeDir, p1, target)
-    val s2 = snapshotFromManifest(spark, storeDir, p2, target)
+    val s1 = snapshotFromManifest(spark, storeDir, p1, target,
+      dv = d1.view.filterKeys(changed).toMap)
+    val s2 = snapshotFromManifest(spark, storeDir, p2, target,
+      dv = d2.view.filterKeys(changed).toMap)
     val o = s1.select(col(keyName).as("_k") +:
       valueCols.map(c => col(c).as(s"_o_$c")): _*)
     val n = s2.select(col(keyName).as("_k2") +:
@@ -1736,7 +1922,8 @@ object MergeSink {
       // mis-route every later writer and mis-prune every key lookup)
       val restoredLayout = manifestNBuckets(storeDir, version)
         .orElse(effectiveNBuckets(storeDir))
-      writeManifest(storeDir, newVersion, manifest, restoredLayout)
+      writeManifest(storeDir, newVersion, manifest, restoredLayout,
+        readManifestDv(storeDir, version))
       writeSchema(storeDir, newVersion, target)
       restoredConstraints.filter(_ != priorConstraints).foreach { cs =>
         writeConstraints(storeDir, cs)
@@ -1847,7 +2034,8 @@ object MergeSink {
     val srcAbs = Paths.get(srcDir).toAbsolutePath.normalize.toString
     Files.write(originPath(dstDir), srcAbs.getBytes(StandardCharsets.UTF_8))
     writeManifest(dstDir, latest, readManifest(srcDir, latest),
-      manifestNBuckets(srcDir, latest).orElse(readLong(nBucketsPath(srcDir))))
+      manifestNBuckets(srcDir, latest).orElse(readLong(nBucketsPath(srcDir))),
+      readManifestDv(srcDir, latest))
     readSchema(srcDir, latest).foreach(writeSchema(dstDir, latest, _))
     readLong(nBucketsPath(srcDir)).foreach(writeLongAtomic(nBucketsPath(dstDir), _))
     // the clone lands in the branch's own history as a maintenance
@@ -2244,53 +2432,98 @@ object MergeSink {
     // otherwise serialize versions × buckets tiny rewrites.
     val tasks = for (v <- versionDirs; b <- bucketScope(v).toSeq.sorted)
       yield (v, b)
-    if (tasks.nonEmpty) withClaimHeartbeat(claim) {
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(tasks.size, 8))
-      try tasks.map { case (v, b) =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = {
-            val bucketDir = Paths.get(storeDir, s"v$v", s"_bucket=$b")
-            val tmp = Paths.get(storeDir, s"v$v", s".erase_tmp_b$b")
-            val backup = Paths.get(storeDir, s"v$v", s".erase_old_b$b")
-            // crash recovery from a previous interrupted run of THIS step
-            if (Files.exists(tmp) && !Files.exists(tmp.resolve("_SUCCESS"))) rmTree(tmp)
-            if (!Files.exists(bucketDir) && Files.exists(backup))
-              Files.move(backup, bucketDir, StandardCopyOption.ATOMIC_MOVE)
-            else if (!Files.exists(bucketDir) && Files.exists(tmp))
-              Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
-            if (Files.exists(bucketDir)) {
-              if (Files.exists(backup)) rmTree(backup)
-              if (Files.exists(tmp)) rmTree(tmp)
-              // an already-empty bucket holds nothing of the subject's:
-              // skip the rewrite instead of re-writing emptiness (and,
-              // on a pre-registry version, instead of failing inference)
-              val hasParts = {
-                val s0 = Files.list(bucketDir)
-                try s0.iterator().asScala
-                  .exists(_.getFileName.toString.endsWith(".parquet"))
-                finally s0.close()
-              }
-              if (hasParts) {
-                // files speak PHYSICAL names; the rewrite reads and
-                // writes them unchanged (the key's physical name ==
-                // its logical name — key renames are refused)
-                val src = schemaByVersion(v) match {
-                  case Some(sc) =>
-                    spark.read.schema(physicalize(sc)).parquet(bucketDir.toString)
-                  case None => spark.read.parquet(bucketDir.toString)
-                }
-                val kept = src.join(erased, Seq(keyField.name), "left_anti")
-                kept.write.mode("overwrite").parquet(tmp.toString)
-                Files.move(bucketDir, backup, StandardCopyOption.ATOMIC_MOVE)
-                Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
-                rmTree(backup)
-              }
-            }
+    // DELETION-VECTOR dirs hold the subject's KEY VALUES (a MAC/user
+    // id IS the PII) — retained `_dv/<w>` bucket files scrub with the
+    // same crash-safe rewrite, scoped by the dv commit's own recorded
+    // layout. The surviving dv keys still retract only rows erasure
+    // leaves behind, so read semantics are unchanged.
+    val dvDirsOnDisk: List[Long] =
+      if (!Files.exists(dvRootDir(storeDir))) Nil
+      else {
+        val s0 = Files.list(dvRootDir(storeDir))
+        try s0.iterator().asScala.map(_.getFileName.toString)
+          .flatMap(_.toLongOption).toList.sorted
+        finally s0.close()
+      }
+    val dvTasks = dvDirsOnDisk.flatMap { w =>
+      val d = dvRootDir(storeDir).resolve(w.toString)
+      val names = {
+        val s0 = Files.list(d)
+        try s0.iterator().asScala.map(_.getFileName.toString).toList
+        finally s0.close()
+      }
+      val present = names.flatMap(n =>
+        if (n.startsWith("_bucket=")) n.stripPrefix("_bucket=").toLongOption
+        else None).toSet
+      val artifacts = names.flatMap(n =>
+        if (n.startsWith(".erase_old_b")) n.stripPrefix(".erase_old_b").toLongOption
+        else if (n.startsWith(".erase_tmp_b")) n.stripPrefix(".erase_tmp_b").toLongOption
+        else None).toSet
+      val scoped = manifestNBuckets(storeDir, w) match {
+        case Some(count) => present.intersect(affectedFor(count))
+        case None => present // unknown layout: scrub everything it has
+      }
+      (scoped ++ artifacts).toSeq.sorted.map(b => (w, b))
+    }
+    val dvSchema = StructType(Seq(keyField.copy(name = physicalName(keyField))))
+    def eraseBucketIn(container: Path, b: Long,
+        schema: Option[StructType]): Unit = {
+      val bucketDir = container.resolve(s"_bucket=$b")
+      val tmp = container.resolve(s".erase_tmp_b$b")
+      val backup = container.resolve(s".erase_old_b$b")
+      // crash recovery from a previous interrupted run of THIS step
+      if (Files.exists(tmp) && !Files.exists(tmp.resolve("_SUCCESS"))) rmTree(tmp)
+      if (!Files.exists(bucketDir) && Files.exists(backup))
+        Files.move(backup, bucketDir, StandardCopyOption.ATOMIC_MOVE)
+      else if (!Files.exists(bucketDir) && Files.exists(tmp))
+        Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(bucketDir)) {
+        if (Files.exists(backup)) rmTree(backup)
+        if (Files.exists(tmp)) rmTree(tmp)
+        // an already-empty bucket holds nothing of the subject's:
+        // skip the rewrite instead of re-writing emptiness (and,
+        // on a pre-registry version, instead of failing inference)
+        val hasParts = {
+          val s0 = Files.list(bucketDir)
+          try s0.iterator().asScala
+            .exists(_.getFileName.toString.endsWith(".parquet"))
+          finally s0.close()
+        }
+        if (hasParts) {
+          // files speak PHYSICAL names; the rewrite reads and
+          // writes them unchanged (the key's physical name ==
+          // its logical name — key renames are refused)
+          val src = schema match {
+            case Some(sc) =>
+              spark.read.schema(sc).parquet(bucketDir.toString)
+            case None => spark.read.parquet(bucketDir.toString)
           }
-        })
-      }.foreach(_.get()) // propagate the first failure
-      finally pool.shutdown()
+          val kept = src.join(erased, Seq(keyField.name), "left_anti")
+          kept.write.mode("overwrite").parquet(tmp.toString)
+          Files.move(bucketDir, backup, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
+          rmTree(backup)
+        }
+      }
+    }
+    if (tasks.nonEmpty || dvTasks.nonEmpty) withClaimHeartbeat(claim) {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(tasks.size + dvTasks.size, 8))
+      try {
+        val submitted =
+          tasks.map { case (v, b) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = eraseBucketIn(Paths.get(storeDir, s"v$v"), b,
+                schemaByVersion(v).map(physicalize))
+            })
+          } ++ dvTasks.map { case (w, b) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = eraseBucketIn(
+                dvRootDir(storeDir).resolve(w.toString), b, Some(dvSchema))
+            })
+          }
+        submitted.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdown()
     }
     // refresh the rewritten buckets' DATA-SKIPPING sidecars: the
     // in-place rewrite gave surviving rows NEW file names, so the old
@@ -2318,7 +2551,8 @@ object MergeSink {
     // audit commit: same data layout as the parent (files rewrote in
     // place), so the manifest — and its layout signature — carry over
     writeManifest(storeDir, version, readManifest(storeDir, latest),
-      manifestNBuckets(storeDir, latest).orElse(Some(nB)))
+      manifestNBuckets(storeDir, latest).orElse(Some(nB)),
+      readManifestDv(storeDir, latest))
     writeSchema(storeDir, version, target)
     verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
@@ -2356,16 +2590,21 @@ object MergeSink {
     val claim = claimCommit(storeDir, version, parent, batchId)
     val touched = batch.select(bucketOf(key, nBuckets).as("_bucket"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val parentDv = latest.map(readManifestDv(storeDir, _)).getOrElse(Map.empty)
     val survivors =
       if (touched.isEmpty) Seq.empty[Long]
       else withClaimHeartbeat(claim) {
         mergeTouched(spark, batchEff, key, opCol, verCol, effValueCols,
-          target, manifest, touched, nBuckets, storeDir, version, claim)
+          target, manifest, touched, nBuckets, storeDir, version, claim,
+          parentDv)
       }
     // untouched buckets keep their old version; a touched bucket whose
-    // merged content is EMPTY (all keys deleted) leaves the manifest
+    // merged content is EMPTY (all keys deleted) leaves the manifest.
+    // Rewritten buckets materialized through their deletion vectors,
+    // so their dv tokens clear; untouched buckets keep theirs.
     val merged = manifest -- touched ++ survivors.map(b => b -> version)
-    writeManifest(storeDir, version, merged, Some(nBuckets.toLong))
+    writeManifest(storeDir, version, merged, Some(nBuckets.toLong),
+      parentDv -- touched)
     writeSchema(storeDir, version, target)
     verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
@@ -2468,9 +2707,12 @@ object MergeSink {
         lit(0L).as("_ver") +:
         valueFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
       try {
+        // deleteOnly: the commit lands as a DELETION-VECTOR sidecar —
+        // O(metadata) — instead of rewriting the owning buckets
         applyBucketedBatchOcc(batch, batchId = statementId(), storeDir,
           keyName, "_op", "_ver", valueFields.map(_.name), nBuckets = nB,
-          writer = "sql", replayGuard = false, readVersion = Some(readV))
+          writer = "sql", replayGuard = false, readVersion = Some(readV),
+          deleteOnly = true)
         return
       } catch {
         case e: StaleReadException => if (attempt >= 8) throw e
@@ -2537,13 +2779,23 @@ object MergeSink {
       key: String, opCol: String, verCol: String, effValueCols: Seq[String],
       target: StructType, manifest: Map[Long, Long], touched: Seq[Long],
       nBuckets: Int, storeDir: String, version: Long,
-      claim: Claim): Seq[Long] = {
+      claim: Claim, dv: Map[Long, Long] = Map.empty): Seq[Long] = {
     val emptyBase = batchEff.select((key +: effValueCols).map(col): _*).limit(0)
+    val keyField = target.fields.head
+    val physKey = physicalName(keyField)
+    // base reads go THROUGH the deletion vectors: a merge from a
+    // DV-retracted row would silently resurrect it in the rewrite
     val base = touched.flatMap(b => manifest.get(b).map(v => (v, b)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (v, bs) =>
-        alignTo(readVersionDir(spark, storeDir, v)
-          .filter(col("_bucket").isin(bs.map(_._2): _*)), target)
+      .groupBy { case (v, b) => (v, dv.get(b)) }.toSeq
+      .sortBy { case ((v, w), _) => (v, w.getOrElse(-1L)) }
+      .map { case ((v, dvv), vb) =>
+        val bs = vb.map(_._2)
+        val df0 = readVersionDir(spark, storeDir, v)
+          .filter(col("_bucket").isin(bs: _*))
+        val df = dvv.fold(df0)(w => applyDv(df0,
+          dvKeysFrame(spark, storeDir, bs.map(_ -> w).toMap,
+            physKey, keyField.dataType), physKey))
+        alignTo(df, target)
       }
       .foldLeft(emptyBase)(_ unionByName _)
     val next = toPhysical(
@@ -2709,7 +2961,8 @@ object MergeSink {
       nBuckets: Int = 64, writer: String = "w0",
       maxRetries: Int = 32, replayGuard: Boolean = true,
       readVersion: Option[Long] = None,
-      conflictWaitMs: Long = TakeoverLeaseMs): Unit = {
+      conflictWaitMs: Long = TakeoverLeaseMs,
+      deleteOnly: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     require(writer.nonEmpty && !writer.startsWith("_") &&
       !writer.exists(c => c == '/' || c == '\\' || c.isWhitespace),
@@ -2741,6 +2994,8 @@ object MergeSink {
       attempt += 1
       val latest = readHead(storeDir)
       val baseManifest = latest.map(readManifest(storeDir, _)).getOrElse(Map.empty)
+      val baseDv = latest.map(readManifestDv(storeDir, _))
+        .getOrElse(Map.empty[Long, Long])
       // OCC READ-SET vs the SNAPSHOT THE BATCH VALUES CAME FROM: a
       // caller that derived its CDC rows from a store read (SQL
       // UPDATE/DELETE/MERGE) passes the version it read; if any bucket
@@ -2751,14 +3006,19 @@ object MergeSink {
       readVersion.foreach { rv =>
         val readM =
           if (rv < 0) Map.empty[Long, Long] else readManifest(storeDir, rv)
+        val readD =
+          if (rv < 0) Map.empty[Long, Long] else readManifestDv(storeDir, rv)
+        // a changed DELETION VECTOR is a row change too: victim rows /
+        // assignment values derived before it may include keys a
+        // concurrent delete-only commit has since retracted
         val movedSinceRead = touched.filter(b =>
-          baseManifest.get(b) != readM.get(b))
+          baseManifest.get(b) != readM.get(b) || baseDv.get(b) != readD.get(b))
         if (movedSinceRead.nonEmpty)
           throw new StaleReadException(
             s"MergeSink: bucket(s) ${movedSinceRead.mkString(", ")} of " +
-              s"$storeDir changed owners since this statement's snapshot " +
-              s"read at v$rv — recompute the batch from the new head and " +
-              "retry")
+              s"$storeDir changed owners or deletion vectors since this " +
+              s"statement's snapshot read at v$rv — recompute the batch " +
+              "from the new head and retry")
       }
       val readParentSchema = latest.flatMap(readSchema(storeDir, _))
       val (batchEff, effValueCols, target) =
@@ -2828,7 +3088,8 @@ object MergeSink {
           try {
             occPublish(spark, storeDir, claim, version, parent, batchId,
               writer, batchEff, key, opCol, verCol, effValueCols, target,
-              baseManifest, readParentSchema, touched, nBuckets, replayGuard)
+              baseManifest, baseDv, readParentSchema, touched, nBuckets,
+              replayGuard, deleteOnly)
             return
           } catch {
             case _: OccRebase =>
@@ -2879,13 +3140,24 @@ object MergeSink {
       version: Long, parent: Long, batchId: Long, writer: String,
       batchEff: DataFrame, key: String, opCol: String, verCol: String,
       effValueCols: Seq[String], target: StructType,
-      baseManifest: Map[Long, Long], readParentSchema: Option[StructType],
-      touched: Seq[Long], nBuckets: Int, replayGuard: Boolean): Unit =
+      baseManifest: Map[Long, Long], baseDv: Map[Long, Long],
+      readParentSchema: Option[StructType],
+      touched: Seq[Long], nBuckets: Int, replayGuard: Boolean,
+      deleteOnly: Boolean): Unit =
     withClaimHeartbeat(claim) {
+      // the DELETION-VECTOR fast path: a delete-only commit writes the
+      // retracted keys as a `_dv/<version>` sidecar — O(metadata) —
+      // and every owner dir stays put; anything with an upsert rewrites
+      val dvNew =
+        if (deleteOnly && touched.nonEmpty)
+          writeDvForDeletes(spark, storeDir, version, claim, batchEff, key,
+            opCol, target, baseManifest, baseDv, touched, nBuckets)
+        else Map.empty[Long, Long]
       val survivors =
-        if (touched.isEmpty) Seq.empty[Long]
+        if (touched.isEmpty || deleteOnly) Seq.empty[Long]
         else mergeTouched(spark, batchEff, key, opCol, verCol, effValueCols,
-          target, baseManifest, touched, nBuckets, storeDir, version, claim)
+          target, baseManifest, touched, nBuckets, storeDir, version, claim,
+          baseDv)
       // wait for the parent slot to publish (it may still be merging —
       // its heartbeat keeps its marker fresh; a stale or vanished
       // parent claim means its writer died → rebase cleanly)
@@ -2902,14 +3174,22 @@ object MergeSink {
       }
       val parentManifest =
         if (parent >= 0) readManifest(storeDir, parent) else Map.empty[Long, Long]
+      val parentDv =
+        if (parent >= 0) readManifestDv(storeDir, parent)
+        else Map.empty[Long, Long]
       // OCC read-set validation: every bucket WE touched must still be
       // owned by the version we read it from — an overlapping commit
-      // could only have slipped in through a takeover chain
+      // could only have slipped in through a takeover chain. The
+      // DELETION-VECTOR reference is part of the read set too: a new
+      // DV on our bucket with an unchanged owner still means our merge
+      // base (or cumulative DV) is stale — rewriting from it would
+      // resurrect the retracted rows.
       val moved = touched.filter(b =>
-        parentManifest.get(b) != baseManifest.get(b))
+        parentManifest.get(b) != baseManifest.get(b) ||
+          parentDv.get(b) != baseDv.get(b))
       if (moved.nonEmpty)
         throw new OccRebase(s"buckets ${moved.mkString(", ")} of $storeDir " +
-          "changed owners since this writer's read")
+          "changed owners (or deletion vectors) since this writer's read")
       // SCHEMA re-validation: a concurrent disjoint writer (or an
       // addColumns that slipped past a takeover) may have WIDENED the
       // schema since our read — publishing our narrower target would
@@ -2922,8 +3202,16 @@ object MergeSink {
       if (shape(parentSchemaNow) != shape(readParentSchema))
         throw new OccRebase(s"the schema of $storeDir evolved since this " +
           "writer's read")
-      val merged = parentManifest -- touched ++ survivors.map(b => b -> version)
-      writeManifest(storeDir, version, merged, Some(nBuckets.toLong))
+      // deleteOnly: owners stay put, the new DV references land;
+      // rewrite: touched buckets move to this version and their DV
+      // tokens clear (the rewrite materialized through them)
+      val merged =
+        if (deleteOnly) parentManifest
+        else parentManifest -- touched ++ survivors.map(b => b -> version)
+      val mergedDv =
+        if (deleteOnly) parentDv ++ dvNew
+        else parentDv -- touched
+      writeManifest(storeDir, version, merged, Some(nBuckets.toLong), mergedDv)
       writeSchema(storeDir, version, target)
       verifyClaim(claim)
       writeLongAtomic(latestPath(storeDir), version)
@@ -2968,7 +3256,8 @@ object MergeSink {
     // first write) behind the takeover lease (same discipline as the
     // OCC writer's failure path)
     try {
-      writeManifest(storeDir, 0L, Map.empty, Some(nBuckets.toLong))
+      writeManifest(storeDir, 0L, Map.empty, Some(nBuckets.toLong),
+        Map.empty)
       writeSchema(storeDir, 0L, schema)
       verifyClaim(claim)
       writeLongAtomic(latestPath(storeDir), 0L)
@@ -3107,7 +3396,7 @@ object MergeSink {
         }
       }
       writeManifest(storeDir, 0L, buckets.map(_ -> 0L).toMap,
-        Some(nBuckets.toLong))
+        Some(nBuckets.toLong), Map.empty)
       writeSchema(storeDir, 0L, target)
       verifyClaim(claim)
       writeLongAtomic(latestPath(storeDir), 0L)
@@ -3199,7 +3488,8 @@ object MergeSink {
     val next = StructType(parent.fields ++ marked)
     val claim = claimCommit(storeDir, version, latest, -1L)
     writeManifest(storeDir, version, readManifest(storeDir, latest),
-      manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+      manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)),
+      readManifestDv(storeDir, latest))
     writeSchema(storeDir, version, next)
     verifyClaim(claim)
     writeLongAtomic(latestPath(storeDir), version)
@@ -3272,7 +3562,8 @@ object MergeSink {
     val claim = claimCommit(storeDir, version, latest, -1L)
     try {
       writeManifest(storeDir, version, readManifest(storeDir, latest),
-        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)),
+        readManifestDv(storeDir, latest))
       writeSchema(storeDir, version, next)
       verifyClaim(claim)
       writeLongAtomic(latestPath(storeDir), version)
@@ -3375,7 +3666,8 @@ object MergeSink {
       // where none was strictly needed), never the reverse
       appendDroppedPhysical(storeDir, physicalName(dropee))
       writeManifest(storeDir, version, readManifest(storeDir, latest),
-        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)),
+        readManifestDv(storeDir, latest))
       writeSchema(storeDir, version, next)
       verifyClaim(claim)
       writeLongAtomic(latestPath(storeDir), version)
@@ -3548,7 +3840,8 @@ object MergeSink {
         registryMoved = true
         writeConstraintsAt(storeDir, version, next, existing)
         writeManifest(storeDir, version, readManifest(storeDir, latest),
-          manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+          manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)),
+          readManifestDv(storeDir, latest))
         writeSchema(storeDir, version, readSchema(storeDir, latest).getOrElse(
           throw new IllegalStateException(
             s"MergeSink: no recorded schema for v$latest of $storeDir")))
@@ -3592,7 +3885,8 @@ object MergeSink {
       registryMoved = true
       writeConstraintsAt(storeDir, version, next, existing)
       writeManifest(storeDir, version, readManifest(storeDir, latest),
-        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)),
+        readManifestDv(storeDir, latest))
       writeSchema(storeDir, version, readSchema(storeDir, latest).getOrElse(
         throw new IllegalStateException(
           s"MergeSink: no recorded schema for v$latest of $storeDir")))
@@ -3678,15 +3972,26 @@ object MergeSink {
     val version = latest + 1
     val claim = claimCommit(storeDir, version, latest, -1L) // maintenance commit
     try {
-      val byVersion = manifest.view.filterKeys(selected).toMap
-        .groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+      val dvm = readManifestDv(storeDir, latest)
+      val physKey = physicalName(target.fields.head)
+      val byGroup = manifest.view.filterKeys(selected).toMap
+        .groupBy { case (b, o) => (o, dvm.get(b)) }
       // bucket membership is hash-determined and UNCHANGED — rows keep
       // the `_bucket` their dir assigned (pure compaction, like
-      // rewriteAll's newNBuckets=None path; no per-row re-hash)
-      val current = byVersion.toSeq.sortBy(_._1).map { case (v, bs) =>
-        alignToWith(readVersionDir(spark, storeDir, v)
-          .filter(col("_bucket").isin(bs: _*)), target, col("_bucket"))
-      }.reduce(_ unionByName _)
+      // rewriteAll's newNBuckets=None path; no per-row re-hash). The
+      // read goes THROUGH the deletion vectors — compaction is exactly
+      // where the DV debt materializes and clears.
+      val current = byGroup.toSeq
+        .sortBy { case ((v, w), _) => (v, w.getOrElse(-1L)) }
+        .map { case ((v, dvv), entries) =>
+          val bs = entries.keys.toSeq
+          val df0 = readVersionDir(spark, storeDir, v)
+            .filter(col("_bucket").isin(bs: _*))
+          val df = dvv.fold(df0)(w => applyDv(df0,
+            dvKeysFrame(spark, storeDir, bs.map(_ -> w).toMap,
+              physKey, target.fields.head.dataType), physKey))
+          alignToWith(df, target, col("_bucket"))
+        }.reduce(_ unionByName _)
       // one file per rewritten bucket, key-clustered inside it
       val out = toPhysical(current.repartition(col("_bucket"))
         .sortWithinPartitions(col("_bucket"), col(keyCol)), target)
@@ -3702,7 +4007,8 @@ object MergeSink {
       }
       writeManifest(storeDir, version,
         manifest -- selected ++ survivors.map(_ -> version),
-        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)))
+        manifestNBuckets(storeDir, latest).orElse(effectiveNBuckets(storeDir)),
+        dvm -- selected) // rewritten buckets materialized through their DVs
       writeSchema(storeDir, version, target)
       verifyClaim(claim)
       writeLongAtomic(latestPath(storeDir), version)
@@ -3757,8 +4063,11 @@ object MergeSink {
     val manifest = readManifest(storeDir, latest)
     val liveVersions = manifest.values.toSet
     // plain compaction no-ops when already compact; an OPTIMIZE (sort)
-    // rewrite never does — re-clustering compact files is its job
-    if (newNBuckets.isEmpty && sortCols.isEmpty && liveVersions.size <= 1)
+    // rewrite never does — re-clustering compact files is its job.
+    // Pending DELETION VECTORS also force the rewrite: materializing
+    // (and clearing) them is exactly the debt compaction absorbs.
+    if (newNBuckets.isEmpty && sortCols.isEmpty && liveVersions.size <= 1 &&
+        readManifestDv(storeDir, latest).isEmpty)
       return None
     val target = readSchema(storeDir, latest).getOrElse(
       throw new IllegalStateException(
@@ -3771,14 +4080,25 @@ object MergeSink {
     }
     val version = latest + 1
     val claim = claimCommit(storeDir, version, latest, -1L) // maintenance commit
-    val byVersion = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
-    val current = byVersion.toSeq.sortBy(_._1).map { case (v, buckets) =>
-      // keyCol == its physical name (key renames refused), so the
-      // rebucket hash reads it off the raw physical frame directly
-      val bucket = newNBuckets.map(n => bucketOf(keyCol, n)).getOrElse(col("_bucket"))
-      alignToWith(readVersionDir(spark, storeDir, v)
-        .filter(col("_bucket").isin(buckets: _*)), target, bucket)
-    }.reduce(_ unionByName _)
+    val dvm = readManifestDv(storeDir, latest)
+    val physKey = physicalName(target.fields.head)
+    val byGroup = manifest.groupBy { case (b, o) => (o, dvm.get(b)) }
+    val current = byGroup.toSeq
+      .sortBy { case ((v, w), _) => (v, w.getOrElse(-1L)) }
+      .map { case ((v, dvv), entries) =>
+        val buckets = entries.keys.toSeq
+        // keyCol == its physical name (key renames refused), so the
+        // rebucket hash reads it off the raw physical frame directly.
+        // The read goes THROUGH the deletion vectors (the rewrite
+        // materializes them; the new manifest carries none).
+        val bucket = newNBuckets.map(n => bucketOf(keyCol, n)).getOrElse(col("_bucket"))
+        val df0 = readVersionDir(spark, storeDir, v)
+          .filter(col("_bucket").isin(buckets: _*))
+        val df = dvv.fold(df0)(w => applyDv(df0,
+          dvKeysFrame(spark, storeDir, buckets.map(_ -> w).toMap,
+            physKey, target.fields.head.dataType), physKey))
+        alignToWith(df, target, bucket)
+      }.reduce(_ unionByName _)
     // cluster by `_bucket` so the rewrite lands as ONE file per bucket
     // — defragmenting is the point of compaction, and rebucketing's
     // re-derived `_bucket` is uncorrelated with the input file layout.
@@ -3799,7 +4119,8 @@ object MergeSink {
       }
     }
     writeManifest(storeDir, version, buckets.map(_ -> version).toMap,
-      newNBuckets.map(_.toLong).orElse(effectiveNBuckets(storeDir)))
+      newNBuckets.map(_.toLong).orElse(effectiveNBuckets(storeDir)),
+      Map.empty) // the full rewrite materialized every deletion vector
     writeSchema(storeDir, version, target)
     // registry writes sit BETWEEN the verify and the swap: writing the
     // new bucket count before the verify left a usurped rebucket's
@@ -3876,7 +4197,8 @@ object MergeSink {
           finally s0.close()
         val (readable, unreadable) = points.partition(k =>
           Files.exists(manifestsDir(storeDir).resolve(k.toString)))
-        (readable.flatMap(k => readManifest(storeDir, k).values.toSet + k).toSet,
+        (readable.flatMap(k => readManifest(storeDir, k).values.toSet ++
+            readManifestDv(storeDir, k).values + k).toSet,
           if (unreadable.isEmpty) Long.MinValue else unreadable.max)
       }
     }
@@ -3920,9 +4242,14 @@ object MergeSink {
         manifestVersions
           .filter(v => v < latest &&
             (v > latest - retainLast || youngerThanWindow(v)))
-          .flatMap(v => readManifest(storeDir, v).values.toSet + v).toSet
+          .flatMap(v => readManifest(storeDir, v).values.toSet ++
+            readManifestDv(storeDir, v).values + v).toSet
       }
-    val live = readManifest(storeDir, latest).values.toSet + latest ++
+    // `live` carries BOTH data-dir owners and deletion-vector versions:
+    // the two number spaces never collide (a commit either wrote a
+    // v-dir or a _dv dir, never both), so one set serves both sweeps
+    val live = readManifest(storeDir, latest).values.toSet ++
+      readManifestDv(storeDir, latest).values + latest ++
       cloneKeep ++ protectedKeep
     val dead = versions.filter(v => v < latest && !live.contains(v) &&
       v > cloneFloor &&
@@ -3965,6 +4292,29 @@ object MergeSink {
       Files.deleteIfExists(schemasDir(storeDir).resolve(v.toString))
       Files.deleteIfExists(commitsDir(storeDir).resolve(v.toString))
       Files.deleteIfExists(statsDir(storeDir).resolve(v.toString))
+    }
+    // DELETION-VECTOR dirs reclaim by the SAME liveness rule: a
+    // `_dv/<w>` no retained read point references (head, protected
+    // windows, clone points — all folded into `live` above) is dead
+    // with its commit's metadata. A lingering unprotected manifest
+    // that still names it fails LOUDLY on read, exactly like a
+    // reclaimed data dir.
+    if (Files.exists(dvRootDir(storeDir))) {
+      val dvDirsAll = {
+        val s0 = Files.list(dvRootDir(storeDir))
+        try s0.iterator().asScala.map(_.getFileName.toString)
+          .flatMap(_.toLongOption).toList
+        finally s0.close()
+      }
+      dvDirsAll.filter(w => w < latest && !live.contains(w) &&
+          w > cloneFloor &&
+          w <= latest - retainLast && !youngerThanWindow(w)).sorted
+        .foreach { w =>
+          Files.deleteTree(dvRootDir(storeDir).resolve(w.toString))
+          Files.deleteIfExists(manifestsDir(storeDir).resolve(w.toString))
+          Files.deleteIfExists(schemasDir(storeDir).resolve(w.toString))
+          Files.deleteIfExists(commitsDir(storeDir).resolve(w.toString))
+        }
     }
     dead
   }

@@ -137,7 +137,8 @@ object GraftDml {
     * serializes on bucket overlap, as documented. */
   private def commitCdc(spark: SparkSession, dir: String,
       derive: () => org.apache.spark.sql.DataFrame, keyName: String,
-      valueNames: Seq[String], verb: String): Unit = {
+      valueNames: Seq[String], verb: String,
+      deleteOnly: Boolean = false): Unit = {
     val nB = MergeSink.storedNBuckets(dir).getOrElse(
       throw new IllegalStateException(
         s"MergeSink: $dir is not a bucketed store — only bucketed stores " +
@@ -173,7 +174,8 @@ object GraftDml {
       try {
         MergeSink.applyBucketedBatchOcc(cached, batchId = statementId(), dir,
           keyName, "_op", "_ver", valueNames, nBuckets = nB, writer = "sql",
-          replayGuard = false, readVersion = Some(readV))
+          replayGuard = false, readVersion = Some(readV),
+          deleteOnly = deleteOnly)
         return
       } catch {
         case e: MergeSink.StaleReadException => if (attempt >= 8) throw e
@@ -413,8 +415,10 @@ object GraftDml {
         Bridge.column(attrOf(keyName)).as(keyName) +:
           lit("delete").as("_op") +: lit(0L).as("_ver") +:
           valueAttrs.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      // a DELETE's CDC batch is pure retraction — it commits as a
+      // deletion-vector sidecar (O(metadata)), never a bucket rewrite
       commitCdc(spark, dir, () => victims(), keyName,
-        valueAttrs.map(_.name), "DELETE")
+        valueAttrs.map(_.name), "DELETE", deleteOnly = true)
       Seq.empty
     }
   }

@@ -322,17 +322,21 @@ class GraftMaintenanceSqlSpec extends SparkTestBase {
       // the evolution is a COMMIT: time travel keeps the old shape
       assert(s.sql("SELECT * FROM grafta.store VERSION AS OF 1").columns.toSeq ==
         Seq("k", "name", "v"))
-      // destructive ALTERs stay refused
+      // DROP COLUMN is the metadata-only sibling since r16; retyping
+      // stays refused (a type change rewrites the store)
+      s.sql("ALTER TABLE grafta.store DROP COLUMN score")
+      assert(s.table("grafta.store").columns.toSeq == Seq("k", "name", "v"))
       val e = intercept[Exception] {
-        s.sql("ALTER TABLE grafta.store DROP COLUMN v")
+        s.sql("ALTER TABLE grafta.store ALTER COLUMN v TYPE STRING")
       }
-      assert(e.getMessage.contains("ADD COLUMNS"))
+      assert(e.getMessage.contains("ADD COLUMNS") ||
+        e.getMessage.contains("retyping"), e.getMessage)
       // table properties surface the registry facts
       val props = s.sql("SHOW TBLPROPERTIES grafta.store").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(props.get("key").contains("k"))
       assert(props.get("nBuckets").contains("4"))
-      assert(props.get("latestVersion").contains("2"))
+      assert(props.get("latestVersion").contains("3")) // v3 = the DROP
     } finally {
       s.conf.unset("spark.sql.catalog.grafta")
       s.conf.unset("spark.sql.catalog.grafta.warehouse")
