@@ -830,6 +830,19 @@ object SparkEntry {
         .orderBy("mac")
     }),
 
+    // ---- CAPSTONE (r16, VERDICT r15 #3): COMPOUND MERGE KEY — the
+    //      store keyed on (mac, ssid), routing hashed over the full
+    //      tuple; an UPDATE rewrite and a deletion-vector DELETE land
+    //      through the SQL door; the head reads back via
+    //      format("graft"). Oracle replays the aggregate + the two
+    //      DML layers ----
+    "capstone_store_compound" -> ((s, d) => {
+      val store = compoundCapstoneStore(s, d)
+      s.read.format("graft").load(store)
+        .select("mac", "ssid", "rssi", "freq")
+        .orderBy("mac", "ssid")
+    }),
+
     // ---- CAPSTONE (r12): the SQL door's WRITE half — an ad-hoc
     //      DataFrame append lands as a keyed MERGE upsert through the
     //      OCC commit protocol, then the head reads back through
@@ -3475,6 +3488,21 @@ object SparkEntry {
 
     // SQL-door write: base winner-per-key CDC apply, overridden by the
     // INSERT layer (each inserted key's row fully replaced).
+    // Compound key (mac, ssid): the head = the per-pair aggregate,
+    // overridden by the UPDATE layer, minus the DELETE predicate
+    // (which committed as a deletion vector on the Spark side).
+    "capstone_store_compound" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id % 19 = 0),
+        |l1 AS (SELECT printf('%012X', user_id) AS mac, event_type AS ssid,
+        |  max((165 + event_id % 30 - 255)::BIGINT) AS rssi,
+        |  min((2412 + (event_id % 13) * 5)::BIGINT) AS freq
+        | FROM src GROUP BY 1, 2)
+        |SELECT mac, ssid,
+        |  CASE WHEN ssid = 'click' THEN rssi - 1000 ELSE rssi END AS rssi,
+        |  freq
+        |FROM l1 WHERE NOT (freq >= 2467)
+        |ORDER BY mac, ssid""".stripMargin,
+
     "capstone_store_sql_write" ->
       """WITH src AS (SELECT * FROM events WHERE event_id % 11 = 0),
         |cdc AS (SELECT printf('%012X', user_id) AS mac,
@@ -7013,7 +7041,45 @@ object SparkEntry {
     "build_store_evolved" -> ((s, d) => { evolvedCapstoneStore(s, d); () }),
     "build_store_sqlwrite" -> ((s, d) => { sqlWriteCapstoneStore(s, d); () }),
     "build_store_sqldelete" -> ((s, d) => { sqlDeleteCapstoneStore(s, d); () }),
-    "build_store_mergevolve" -> ((s, d) => { mergeEvolveCapstoneStore(s, d); () }))
+    "build_store_mergevolve" -> ((s, d) => { mergeEvolveCapstoneStore(s, d); () }),
+    "build_store_compound" -> ((s, d) => { compoundCapstoneStore(s, d); () }))
+
+  /** The COMPOUND-KEY capstone's store (r16, VERDICT r15 #3): one row
+    * per (mac, ssid) — the fleet-table shape the reference README
+    * implies ("which SSIDs has this MAC probed") — written through
+    * applyBucketedBatch under the compound key "mac,ssid" (routing
+    * hashes the full tuple), then one UPDATE and one DELETE through
+    * the SQL door: the UPDATE rewrites its buckets, the DELETE commits
+    * as a DELETION VECTOR over the compound key. Cached as pipeline;
+    * the capstone query is a pure head read through format("graft"). */
+  private def compoundCapstoneStore(s: SparkSession, d: String): String =
+    capstoneCache.synchronized {
+      capstoneCache.getOrElseUpdate((d, 19L, true), {
+        val work = java.nio.file.Files.createTempDirectory("graft_capstone_cmp")
+        val store = work.resolve("store").toString
+        val slice = ev(s, d).filter(col("event_id") % 19 === 0)
+        val l1 = slice.groupBy(
+            upper(lpad(hex(col("user_id")), 12, "0")).as("mac"),
+            col("event_type").as("ssid"))
+          .agg(max((lit(165) + col("event_id") % 30 - 255).cast("long"))
+              .as("rssi"),
+            min((lit(2412) + (col("event_id") % 13) * 5).cast("long"))
+              .as("freq"))
+        graft.streaming.MergeSink.applyBucketedBatch(
+          l1.select(col("mac"), col("ssid"), lit("upsert").as("op"),
+            lit(1L).as("ver"), col("rssi"), col("freq")),
+          0L, store, "mac,ssid", "op", "ver", Seq("rssi", "freq"),
+          nBuckets = 8)
+        s.sql("DROP TABLE IF EXISTS graft_cmp_capstone")
+        s.sql(s"CREATE TABLE graft_cmp_capstone USING graft LOCATION '$store'")
+        try {
+          s.sql("UPDATE graft_cmp_capstone SET rssi = rssi - 1000 " +
+            "WHERE ssid = 'click'")
+          s.sql("DELETE FROM graft_cmp_capstone WHERE freq >= 2467")
+        } finally s.sql("DROP TABLE IF EXISTS graft_cmp_capstone")
+        store
+      })
+    }
 
   private def buildCapstoneStore(s: SparkSession, d: String,
       everyNth: Long): String = capstoneCache.synchronized {

@@ -80,14 +80,19 @@ object Snapshot {
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
       opCol: String, verCol: String, valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "applyChanges needs at least one value column")
-    val winners = changes.select(col(key).as("_k"),
+    // `key` may be COMPOUND (a comma-joined column list): the winner
+    // reduction groups and the merge joins on the full tuple — a
+    // single-key call degenerates to exactly the old per-column plan
+    val ks = key.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val winners = changes.select(struct(ks.map(col): _*).as("_k"),
         struct(col(verCol).as("_v"), col(opCol).as("_op"),
           struct(valueCols.map(col): _*).as("_vals")).as("_c"))
       .groupBy("_k").agg(max("_c").as("_c"))
       .select(col("_k"), col("_c._op").as("_op"), col("_c._vals").as("_vals"))
-    base.join(winners, base(key) === winners("_k"), "full_outer")
+    base.join(winners,
+        struct(ks.map(base(_)): _*) === winners("_k"), "full_outer")
       .filter(col("_op").isNull || col("_op") === "upsert")
-      .select(coalesce(base(key), col("_k")).as(key) +:
+      .select(ks.map(k => coalesce(base(k), col(s"_k.$k")).as(k)) ++
         valueCols.map(c => when(col("_op") === "upsert",
           col(s"_vals.$c")).otherwise(base(c)).as(c)): _*)
   }

@@ -387,11 +387,15 @@ class GraftTable(dir: String, tableSchema: StructType,
     require(tableVersion.isEmpty,
       s"graft: cannot DELETE from a time-travel read of $dir")
     // key-literal evidence prunes the victim scan to the owning
-    // buckets — the same mapping the read path uses
-    val keyName = storedKey.getOrElse(tableSchema.fields.head.name)
-    val buckets = tableSchema.fields.find(_.name == keyName)
-      .flatMap(kf => storedNB.flatMap(nb =>
-        GraftFilters.prunedBuckets(filters, keyName, kf.dataType, nb)))
+    // buckets — the same (compound-aware) mapping the read path uses
+    val keyNames = storedKey.map(MergeSink.keyCols)
+      .getOrElse(Seq(tableSchema.fields.head.name))
+    val keyFields = keyNames.flatMap(n =>
+      tableSchema.fields.find(_.name == n).map(f => n -> f.dataType))
+    val buckets =
+      if (keyFields.size != keyNames.size) None
+      else storedNB.flatMap(nb =>
+        GraftFilters.prunedBucketsCompound(filters.toArray, keyFields, nb))
     MergeSink.sqlDelete(dir, filters.flatMap(GraftFilters.toColumn).toSeq,
       buckets, filters.toSeq) // V1 filters double as file-skipping evidence
   }
@@ -502,18 +506,22 @@ class GraftScanBuilder(dir: String, tableSchema: StructType,
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
 
-  // the REGISTRY's key name governs pruning (the writers' routing
-  // column; read once by the TABLE handle, not per scan) — first-field
-  // is only the pre-registry store's convention. A recorded key
-  // missing from the schema is refused loudly — pruning on a guessed
-  // column would silently drop rows.
-  private val keyName = storedKey.getOrElse(tableSchema.fields.head.name)
-  private val keyType = tableSchema.fields.find(_.name == keyName)
-    .getOrElse(throw new IllegalStateException(
-      s"graft: store $dir records key column '$keyName' but the table " +
-        s"schema has only ${tableSchema.fieldNames.mkString(", ")} — " +
-        "the registry and the schema disagree; refusing to prune"))
-    .dataType
+  // the REGISTRY's key (possibly COMPOUND — a comma-joined list)
+  // governs pruning (the writers' routing columns; read once by the
+  // TABLE handle, not per scan) — first-field is only the pre-registry
+  // store's convention. A recorded component missing from the schema
+  // is refused loudly — pruning on a guessed column would silently
+  // drop rows.
+  private val keyFields: Seq[(String, org.apache.spark.sql.types.DataType)] =
+    storedKey.map(MergeSink.keyCols).getOrElse(Seq(tableSchema.fields.head.name))
+      .map { n =>
+        n -> tableSchema.fields.find(_.name == n)
+          .getOrElse(throw new IllegalStateException(
+            s"graft: store $dir records key column '$n' but the table " +
+              s"schema has only ${tableSchema.fieldNames.mkString(", ")} — " +
+              "the registry and the schema disagree; refusing to prune"))
+          .dataType
+      }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftFilters.toColumn(_).isDefined)
@@ -526,9 +534,9 @@ class GraftScanBuilder(dir: String, tableSchema: StructType,
     required = requiredSchema
 
   /** The pruned bucket set implied by the pushed filters (conjunctive):
-    * None = no key-equality evidence, scan all buckets. */
+    * None = no full-key equality evidence, scan all buckets. */
   private def prunedBuckets(nBuckets: Long): Option[Set[Long]] =
-    GraftFilters.prunedBuckets(pushed, keyName, keyType, nBuckets)
+    GraftFilters.prunedBucketsCompound(pushed, keyFields, nBuckets)
 
   override def build(): Scan = new V1Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -655,6 +663,40 @@ private[sources] object GraftFilters {
       case _ => None
     }
     filters.flatMap(walk).reduceOption(_ intersect _)
+  }
+
+  /** [[prunedBuckets]] for a (possibly COMPOUND) key: with one
+    * component it delegates verbatim; with several, buckets are pinned
+    * only when EVERY component has bounded equality evidence among the
+    * TOP-LEVEL conjuncts — the bucket set is the routing hash of the
+    * literal cross product (capped at 64 tuples; anything wider scans
+    * unpruned, never wrong). */
+  def prunedBucketsCompound(filters: Array[Filter],
+      keyFields: Seq[(String, org.apache.spark.sql.types.DataType)],
+      nBuckets: Long): Option[Set[Long]] = {
+    if (keyFields.size == 1)
+      return prunedBuckets(filters, keyFields.head._1, keyFields.head._2,
+        nBuckets)
+    def candidates(name: String): Option[Seq[Any]] = {
+      val sets = filters.toSeq.flatMap {
+        case EqualTo(a, v) if a == name => Some(Seq(v).filter(_ != null))
+        case EqualNullSafe(a, v) if a == name => Some(Seq(v).filter(_ != null))
+        case In(a, vs) if a == name => Some(vs.toSeq.filter(_ != null))
+        case _ => None
+      }
+      // conjunctive evidence intersects; no evidence (or a
+      // null-only literal) = unbounded component, no pruning
+      sets.reduceOption(_ intersect _).filter(_.nonEmpty)
+    }
+    val per = keyFields.map { case (n, _) => candidates(n) }
+    if (per.exists(_.isEmpty)) return None
+    val lists = per.map(_.get)
+    if (lists.map(_.size.toLong).product > 64L) return None
+    val tuples = lists.foldLeft(Seq(Seq.empty[Any]))((acc, l) =>
+      for { t <- acc; v <- l } yield t :+ v)
+    try Some(tuples.map(t =>
+      MergeSink.bucketForKeyTuple(t.zip(keyFields.map(_._2)), nBuckets)).toSet)
+    catch { case _: Exception => None } // unconvertible literal: no pruning
   }
 
   def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {

@@ -823,7 +823,7 @@ object MergeSink {
       batchId: Long, storeDir: String, key: String, opCol: String,
       verCol: String, valueCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    val target = batch.select((key +: valueCols).map(col): _*).schema
+    val target = batch.select((keyCols(key) ++ valueCols).map(col): _*).schema
     parent.foreach { pv =>
       readSchema(storeDir, pv).foreach(requireCompatible(_, target, storeDir))
     }
@@ -836,7 +836,7 @@ object MergeSink {
     // bytes.
     val claim = claimCommit(storeDir, version, parent.getOrElse(-1L), batchId)
     val base = parent.map(v => alignTo(spark.read.parquet(s"$storeDir/v$v"), target))
-      .getOrElse(batch.select((key +: valueCols).map(col): _*).limit(0))
+      .getOrElse(batch.select((keyCols(key) ++ valueCols).map(col): _*).limit(0))
     val next = Snapshot.applyChanges(base, batch, key, opCol, verCol, valueCols)
     withClaimHeartbeat(claim) {
       publishVersionDir(storeDir, version, claim) { stage =>
@@ -1011,8 +1011,8 @@ object MergeSink {
     * (the read point is no longer materializable — same contract as a
     * vacuumed data dir). */
   private def dvKeysFrame(spark: SparkSession, storeDir: String,
-      entries: Map[Long, Long], physKey: String,
-      keyType: org.apache.spark.sql.types.DataType): Option[DataFrame] =
+      entries: Map[Long, Long],
+      keyFields: Seq[StructField]): Option[DataFrame] =
     if (entries.isEmpty) None
     else Some(entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (w, bm) =>
       val d = resolveDvDir(storeDir, w).getOrElse(
@@ -1020,19 +1020,21 @@ object MergeSink {
           s"MergeSink: deletion-vector dir _dv/$w of $storeDir has been " +
             "reclaimed by vacuum — this read point is no longer " +
             "materializable"))
-      spark.read.schema(StructType(Seq(
-          StructField(physKey, keyType),
-          StructField("_bucket", org.apache.spark.sql.types.LongType))))
+      spark.read.schema(StructType(
+          keyFields.map(f => StructField(physicalName(f), f.dataType)) :+
+          StructField("_bucket", org.apache.spark.sql.types.LongType)))
         .parquet(d.toString)
         .filter(col("_bucket").isin(bm.keys.toSeq: _*))
     }.reduce(_ unionByName _))
 
   /** Anti-join a PHYSICALLY-named owner-dir scan against its retracted
-    * keys. The DV side is tiny by construction (point retractions), so
-    * the planner broadcasts it from its file size. */
+    * keys — on the FULL key tuple for compound keys. The DV side is
+    * tiny by construction (point retractions), so the planner
+    * broadcasts it from its file size. */
   private def applyDv(df: DataFrame, dvKeys: Option[DataFrame],
-      physKey: String): DataFrame =
-    dvKeys.fold(df)(k => df.join(k.select(physKey), Seq(physKey), "left_anti"))
+      physKeys: Seq[String]): DataFrame =
+    dvKeys.fold(df)(k =>
+      df.join(k.select(physKeys.map(col): _*), physKeys, "left_anti"))
 
   /** Stage-then-exclusive-rename publish of one `_dv/<version>` dir —
     * the DV twin of [[publishVersionDir]], same claim discipline, same
@@ -1078,14 +1080,14 @@ object MergeSink {
         "path accepts pure retraction batches only")
     val live = touched.filter(baseManifest.contains)
     if (live.isEmpty) return Map.empty
-    val keyField = target.fields.head
-    val physKey = physicalName(keyField)
+    val keyFields = storedKeyFields(storeDir, target)
     val newKeys = batchEff
-      .select(col(key).cast(keyField.dataType).as(physKey),
-        bucketOf(key, nBuckets).as("_bucket"))
+      .select(keyFields.map(f =>
+          col(f.name).cast(f.dataType).as(physicalName(f))) :+
+        bucketOf(key, nBuckets).as("_bucket"): _*)
       .filter(col("_bucket").isin(live: _*))
     val prior = dvKeysFrame(spark, storeDir,
-      baseDv.view.filterKeys(live.toSet).toMap, physKey, keyField.dataType)
+      baseDv.view.filterKeys(live.toSet).toMap, keyFields)
     val all = prior.fold(newKeys)(_ unionByName newKeys).distinct()
     publishDvDir(storeDir, version, claim) { stage =>
       all.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
@@ -1168,8 +1170,31 @@ object MergeSink {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** A writer-declared key may be COMPOUND: a comma-joined column list
+    * (`"sensor_id,mac"` — VERDICT r15 #3). ONE definition of the split
+    * everywhere a key name is consumed; a plain name splits to itself,
+    * so every single-key path is byte-identical to before. */
+  def keyCols(key: String): Seq[String] =
+    key.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The store's key FIELDS at a read point: the registry's recorded
+    * (possibly compound) key resolved against the schema; pre-registry
+    * stores keep the first-field convention. A recorded component
+    * missing from the schema falls back to first-field — the
+    * pre-registry semantics, never a partial tuple. */
+  private def storedKeyFields(storeDir: String,
+      target: StructType): Seq[StructField] = {
+    val names = storedKeyName(storeDir).map(keyCols)
+      .getOrElse(Seq(target.fields.head.name))
+    val found = names.flatMap(n => target.fields.find(_.name == n))
+    if (found.size == names.size) found else Seq(target.fields.head)
+  }
+
+  /** The writers' routing hash — over the FULL key tuple for compound
+    * keys (Catalyst's XxHash64 left-folds its children, exactly what
+    * the literal twins replay). */
   private def bucketOf(key: String, nBuckets: Int) =
-    pmod(xxhash64(col(key)), lit(nBuckets.toLong))
+    pmod(xxhash64(keyCols(key).map(col): _*), lit(nBuckets.toLong))
 
   /** The store's bucket count as the PUBLISHED HEAD records it: the
     * head manifest's layout signature when present (the count and the
@@ -1363,8 +1388,8 @@ object MergeSink {
     // pushed predicates name LOGICAL columns; sidecars record PHYSICAL
     // file columns — translate through the read point's mapping
     val logicalToPhysical = renameMap(target)
-    val keyField = target.fields.head
-    val physKey = physicalName(keyField)
+    lazy val keyFields = storedKeyFields(storeDir, target)
+    lazy val physKeys = keyFields.map(physicalName)
     byGroup.toSeq.sortBy { case ((v, w), _) => (v, w.getOrElse(-1L)) }
       .flatMap { case ((v, dvv), entries) =>
         val buckets = entries.keys.toSeq
@@ -1372,7 +1397,7 @@ object MergeSink {
           .map { df0 =>
             val df = dvv.fold(df0)(w => applyDv(df0,
               dvKeysFrame(spark, storeDir, buckets.map(_ -> w).toMap,
-                physKey, keyField.dataType), physKey))
+                keyFields), physKeys))
             alignTo(df, target)
           }
       }.foldLeft(spark.createDataFrame(
@@ -1529,15 +1554,16 @@ object MergeSink {
     * lockstep with [[storeChangesBetween]]'s select. */
   private[graft] def changeFeedSchemaAt(storeDir: String): StructType = {
     val sc = snapshotSchemaAt(storeDir, None)
-    val key = sc.fields.head
-    StructType(key.copy(nullable = true) +:
-      org.apache.spark.sql.types.StructField("change",
+    val keyFields = storedKeyFields(storeDir, sc)
+    val keyNames = keyFields.map(_.name).toSet
+    StructType(keyFields.map(_.copy(nullable = true)) ++
+      (org.apache.spark.sql.types.StructField("change",
         org.apache.spark.sql.types.StringType, nullable = false) +:
-      sc.fields.tail.flatMap(f => Seq(
+      sc.fields.filterNot(f => keyNames(f.name)).flatMap(f => Seq(
         org.apache.spark.sql.types.StructField(
           s"${f.name}_old", f.dataType, nullable = true),
         org.apache.spark.sql.types.StructField(
-          s"${f.name}_new", f.dataType, nullable = true))))
+          s"${f.name}_new", f.dataType, nullable = true)))))
   }
 
   /** Driver-side twin of [[bucketOf]] for ONE key literal: the bucket a
@@ -1548,8 +1574,17 @@ object MergeSink {
     * [[org.apache.spark.sql.sources.Filter]]. */
   private[graft] def bucketForKeyLiteral(value: Any,
       keyType: org.apache.spark.sql.types.DataType, nBuckets: Long): Long =
-    bucketOfHash(new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-      org.apache.spark.sql.catalyst.expressions.Literal.create(value, keyType)))
+    bucketForKeyTuple(Seq(value -> keyType), nBuckets)
+
+  /** [[bucketForKeyLiteral]] over a FULL compound-key tuple (one
+    * external-typed literal per component, in key order) — XxHash64
+    * left-folds children exactly like the writers' `xxhash64(c1, c2)`. */
+  private[graft] def bucketForKeyTuple(
+      values: Seq[(Any, org.apache.spark.sql.types.DataType)],
+      nBuckets: Long): Long =
+    bucketOfHash(new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      values.map { case (v, dt) =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt) })
       .eval(null).asInstanceOf[Long], nBuckets)
 
   /** [[bucketForKeyLiteral]]'s INTERNAL-typed twin — for values
@@ -1559,8 +1594,15 @@ object MergeSink {
     * shared hash+mod so routing and pruning can never diverge. */
   def bucketForInternalLiteral(value: Any,
       dt: org.apache.spark.sql.types.DataType, nBuckets: Long): Long =
-    bucketOfHash(new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-      org.apache.spark.sql.catalyst.expressions.Literal(value, dt)))
+    bucketForInternalTuple(Seq(value -> dt), nBuckets)
+
+  /** [[bucketForInternalLiteral]] over a FULL compound-key tuple. */
+  def bucketForInternalTuple(
+      values: Seq[(Any, org.apache.spark.sql.types.DataType)],
+      nBuckets: Long): Long =
+    bucketOfHash(new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      values.map { case (v, dt) =>
+        org.apache.spark.sql.catalyst.expressions.Literal(v, dt) })
       .eval(null).asInstanceOf[Long], nBuckets)
 
   /** The writers' modular routing step, shared by both literal twins
@@ -1836,8 +1878,10 @@ object MergeSink {
     val target = readSchema(storeDir, toVersion).getOrElse(
       throw new IllegalStateException(
         s"MergeSink: no recorded schema for v$toVersion of $storeDir"))
-    val keyName = target.fields.head.name
-    val valueCols = target.fields.tail.map(_.name).toSeq
+    // key may be COMPOUND: the diff joins on the full tuple (packed as
+    // one struct so null-handling mirrors the single-key shape)
+    val keyNames = storedKeyFields(storeDir, target).map(_.name)
+    val valueCols = target.fields.map(_.name).filterNot(keyNames.contains).toSeq
     // the prune: identical (owner, dv) ⇒ identical logical content ⇒
     // no possible change (a new deletion vector IS a row change even
     // when the owner dir never moved)
@@ -1855,9 +1899,11 @@ object MergeSink {
       dv = d1.view.filterKeys(changed).toMap)
     val s2 = snapshotFromManifest(spark, storeDir, p2, target,
       dv = d2.view.filterKeys(changed).toMap)
-    val o = s1.select(col(keyName).as("_k") +:
+    val o = s1.select(
+      org.apache.spark.sql.functions.struct(keyNames.map(col): _*).as("_k") +:
       valueCols.map(c => col(c).as(s"_o_$c")): _*)
-    val n = s2.select(col(keyName).as("_k2") +:
+    val n = s2.select(
+      org.apache.spark.sql.functions.struct(keyNames.map(col): _*).as("_k2") +:
       valueCols.map(c => col(c).as(s"_n_$c")): _*)
     val same = valueCols.map(c => col(s"_o_$c") <=> col(s"_n_$c"))
       .reduce(_ && _)
@@ -1868,9 +1914,11 @@ object MergeSink {
           .otherwise(lit("update")))
       // a rewritten bucket's untouched keys are not changes
       .filter(col("_k").isNull || col("_k2").isNull || !same)
-      .select(coalesce(col("_k"), col("_k2")).as(keyName) +: col("change") +:
+      .select(keyNames.map(k =>
+          coalesce(col(s"_k.$k"), col(s"_k2.$k")).as(k)) ++
+        (col("change") +:
         valueCols.flatMap(c => Seq(
-          col(s"_o_$c").as(s"${c}_old"), col(s"_n_$c").as(s"${c}_new"))): _*)
+          col(s"_o_$c").as(s"${c}_old"), col(s"_n_$c").as(s"${c}_new")))): _*)
   }
 
   /** RESTORE — roll the store's head back to `version` (a table
@@ -2311,15 +2359,16 @@ object MergeSink {
       throw new IllegalStateException(
         s"MergeSink: $storeDir has no recorded schema — only schema-registry " +
           "stores support erasure"))
-    val keyField = target.fields.head
+    val keyFields = storedKeyFields(storeDir, target)
     val nB = readLong(nBucketsPath(storeDir)).getOrElse(
       throw new IllegalStateException(
         s"MergeSink: $storeDir is not a bucketed store — erasure needs the " +
           "bucketed layout to locate the subject's files"))
-    require(keys.columns.toSeq == Seq(keyField.name) &&
-      keys.schema.fields.head.dataType == keyField.dataType,
-      s"MergeSink: erasure keys must be a single column " +
-        s"'${keyField.name}: ${keyField.dataType.simpleString}' (got " +
+    require(keys.columns.toSeq == keyFields.map(_.name) &&
+      keys.schema.fields.map(_.dataType).toSeq == keyFields.map(_.dataType),
+      s"MergeSink: erasure keys must be the store's key column(s) " +
+        s"${keyFields.map(f => s"${f.name}: ${f.dataType.simpleString}")
+          .mkString("(", ", ", ")")} in order (got " +
         s"${keys.schema.fields.map(f => s"${f.name}: ${f.dataType.simpleString}")
           .mkString(", ")})")
     // A CLONE references its SOURCE's dirs by number; erasure must not
@@ -2357,7 +2406,8 @@ object MergeSink {
     val affectedUnder = scala.collection.mutable.Map.empty[Long, Set[Long]]
     def affectedFor(count: Long): Set[Long] =
       affectedUnder.getOrElseUpdate(count,
-        keys.select(bucketOf(keyField.name, count.toInt).as("_b"))
+        keys.select(bucketOf(keyFields.map(_.name).mkString(","),
+            count.toInt).as("_b"))
           .distinct().collect().map(_.getLong(0)).toSet)
     val versionDirs = {
       val s0 = Files.list(Paths.get(storeDir))
@@ -2465,7 +2515,8 @@ object MergeSink {
       }
       (scoped ++ artifacts).toSeq.sorted.map(b => (w, b))
     }
-    val dvSchema = StructType(Seq(keyField.copy(name = physicalName(keyField))))
+    val dvSchema = StructType(
+      keyFields.map(f => f.copy(name = physicalName(f))))
     def eraseBucketIn(container: Path, b: Long,
         schema: Option[StructType]): Unit = {
       val bucketDir = container.resolve(s"_bucket=$b")
@@ -2498,7 +2549,7 @@ object MergeSink {
               spark.read.schema(sc).parquet(bucketDir.toString)
             case None => spark.read.parquet(bucketDir.toString)
           }
-          val kept = src.join(erased, Seq(keyField.name), "left_anti")
+          val kept = src.join(erased, keyFields.map(_.name), "left_anti")
           kept.write.mode("overwrite").parquet(tmp.toString)
           Files.move(bucketDir, backup, StandardCopyOption.ATOMIC_MOVE)
           Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
@@ -2632,20 +2683,23 @@ object MergeSink {
           "stores accept SQL writes")).toInt
     val schema = snapshotSchemaAt(storeDir, None)
     val keyName = storedKeyName(storeDir).getOrElse(schema.fields.head.name)
-    val valueCols = schema.fields.map(_.name).filterNot(_ == keyName).toSeq
-    val missing = (keyName +: valueCols).filterNot(data.columns.contains)
+    val keyNames = keyCols(keyName)
+    val valueCols =
+      schema.fields.map(_.name).filterNot(keyNames.contains).toSeq
+    val missing = (keyNames ++ valueCols).filterNot(data.columns.contains)
     require(missing.isEmpty,
       s"MergeSink: INSERT into $storeDir is missing column(s) " +
         s"${missing.mkString(", ")}")
-    val dup = data.groupBy(col(keyName)).count()
+    val dup = data.groupBy(keyNames.map(col): _*).count()
       .filter(col("count") > 1).limit(1).collect()
     if (dup.nonEmpty)
       throw new IllegalArgumentException(
         s"MergeSink: INSERT into $storeDir carries key " +
-          s"'${dup.head.get(0)}' more than once — a keyed store upserts " +
-          "one row per key; deduplicate the source first")
-    val batch = data.select(col(keyName) +: lit("upsert").as("_op") +:
-      lit(0L).as("_ver") +: valueCols.map(col): _*)
+          s"'${dup.head.toSeq.dropRight(1).mkString(",")}' more than once " +
+          "— a keyed store upserts one row per key; deduplicate the " +
+          "source first")
+    val batch = data.select(keyNames.map(col) ++ (lit("upsert").as("_op") +:
+      lit(0L).as("_ver") +: valueCols.map(col)): _*)
     applyBucketedBatchOcc(batch, batchId = statementId(), storeDir, keyName,
       "_op", "_ver", valueCols, nBuckets = nB, writer = "sql",
       replayGuard = false)
@@ -2691,6 +2745,7 @@ object MergeSink {
       // unpinned read throws the store's own "nothing to read" error
       val schema = snapshotSchemaAt(storeDir, pin)
       val keyName = storedKeyName(storeDir).getOrElse(schema.fields.head.name)
+      val keyNames = keyCols(keyName)
       // key-literal predicates prune the victim scan to the owning
       // buckets (derived by the caller via the scan builder's own
       // mapping), and the caller's translated V1 filters prune FILES
@@ -2700,12 +2755,13 @@ object MergeSink {
       val victims = predicates
         .foldLeft(snapshotPruned(spark, storeDir, pin, buckets, filters))(
           _ filter _)
-        .select(col(keyName))
+        .select(keyNames.map(col): _*)
       if (victims.limit(1).collect().isEmpty) return // nothing matches
-      val valueFields = schema.fields.filterNot(_.name == keyName).toSeq
-      val batch = victims.select(col(keyName) +: lit("delete").as("_op") +:
-        lit(0L).as("_ver") +:
-        valueFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      val valueFields =
+        schema.fields.filterNot(f => keyNames.contains(f.name)).toSeq
+      val batch = victims.select(keyNames.map(col) ++
+        (lit("delete").as("_op") +: lit(0L).as("_ver") +:
+        valueFields.map(f => lit(null).cast(f.dataType).as(f.name))): _*)
       try {
         // deleteOnly: the commit lands as a DELETION-VECTOR sidecar —
         // O(metadata) — instead of rewriting the owning buckets
@@ -2731,7 +2787,7 @@ object MergeSink {
   private def evolutionPlan(batch: DataFrame, key: String,
       valueCols: Seq[String], parentSchema: Option[StructType],
       storeDir: String): (DataFrame, Seq[String], StructType) = {
-    val declared = batch.select((key +: valueCols).map(col): _*).schema
+    val declared = batch.select((keyCols(key) ++ valueCols).map(col): _*).schema
     val evolvedMissing: Seq[StructField] =
       parentSchema.toSeq.flatMap(_.fields.filter(f =>
         !declared.fieldNames.contains(f.name) &&
@@ -2780,9 +2836,10 @@ object MergeSink {
       target: StructType, manifest: Map[Long, Long], touched: Seq[Long],
       nBuckets: Int, storeDir: String, version: Long,
       claim: Claim, dv: Map[Long, Long] = Map.empty): Seq[Long] = {
-    val emptyBase = batchEff.select((key +: effValueCols).map(col): _*).limit(0)
-    val keyField = target.fields.head
-    val physKey = physicalName(keyField)
+    val emptyBase =
+      batchEff.select((keyCols(key) ++ effValueCols).map(col): _*).limit(0)
+    lazy val keyFields = storedKeyFields(storeDir, target)
+    lazy val physKeys = keyFields.map(physicalName)
     // base reads go THROUGH the deletion vectors: a merge from a
     // DV-retracted row would silently resurrect it in the rewrite
     val base = touched.flatMap(b => manifest.get(b).map(v => (v, b)))
@@ -2794,7 +2851,7 @@ object MergeSink {
           .filter(col("_bucket").isin(bs: _*))
         val df = dvv.fold(df0)(w => applyDv(df0,
           dvKeysFrame(spark, storeDir, bs.map(_ -> w).toMap,
-            physKey, keyField.dataType), physKey))
+            keyFields), physKeys))
         alignTo(df, target)
       }
       .foldLeft(emptyBase)(_ unionByName _)
@@ -3234,13 +3291,15 @@ object MergeSink {
   def createEmptyStore(storeDir: String, schema: StructType, key: String,
       nBuckets: Int): Unit = {
     require(schema.fields.nonEmpty, "createEmptyStore needs a schema")
-    require(schema.fieldNames.contains(key),
-      s"MergeSink: key column '$key' is not in the schema " +
-        s"(${schema.fieldNames.mkString(", ")})")
-    require(schema.fields.head.name == key,
-      s"MergeSink: declare the key column '$key' FIRST — a store's " +
-        "snapshot schema leads with its key")
-    require(schema.fields.length >= 2,
+    val ks = keyCols(key)
+    val missingKey = ks.filterNot(schema.fieldNames.contains)
+    require(missingKey.isEmpty,
+      s"MergeSink: key column(s) ${missingKey.mkString(", ")} not in the " +
+        s"schema (${schema.fieldNames.mkString(", ")})")
+    require(schema.fields.take(ks.size).map(_.name).toSeq == ks,
+      s"MergeSink: declare the key column(s) '$key' FIRST (in key order) " +
+        "— a store's snapshot schema leads with its key")
+    require(schema.fields.length >= ks.size + 1,
       s"MergeSink: a store needs at least one value column besides '$key'")
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     if (readHead(storeDir).isDefined)
@@ -3361,15 +3420,17 @@ object MergeSink {
       if (resuming)
         spark.read.parquet(dataFiles.map(n => dir.resolve(n).toString): _*)
       else spark.read.parquet(storeDir)
-    require(src0.columns.contains(key),
-      s"MergeSink: convert key '$key' is not a column of $storeDir " +
-        s"(${src0.columns.mkString(", ")})")
-    require(src0.columns.length >= 2,
+    val convKeys = keyCols(key)
+    val missingKey = convKeys.filterNot(src0.columns.contains)
+    require(missingKey.isEmpty,
+      s"MergeSink: convert key column(s) ${missingKey.mkString(", ")} not " +
+        s"in $storeDir (${src0.columns.mkString(", ")})")
+    require(src0.columns.length >= convKeys.size + 1,
       s"MergeSink: a store needs at least one value column besides '$key'")
     // key first — the snapshot convention every reader shares
-    val valueCols = src0.columns.filterNot(_ == key).toSeq
-    val src = src0.select((key +: valueCols).map(col): _*)
-    val dup = src.groupBy(col(key)).count()
+    val valueCols = src0.columns.filterNot(convKeys.contains).toSeq
+    val src = src0.select((convKeys ++ valueCols).map(col): _*)
+    val dup = src.groupBy(convKeys.map(col): _*).count()
       .filter(col("count") > 1).limit(1).collect()
     if (dup.nonEmpty)
       throw new IllegalArgumentException(
@@ -3537,7 +3598,7 @@ object MergeSink {
     require(!parent.fieldNames.contains(newName),
       s"MergeSink: column '$newName' already exists on $storeDir")
     val keyName = storedKeyName(storeDir).getOrElse(parent.fields.head.name)
-    require(oldName != keyName,
+    require(!keyCols(keyName).contains(oldName),
       s"MergeSink: '$oldName' is the store's KEY column — bucketing and " +
         "the key registry are keyed on it; a key migration is a rewrite " +
         "(read, re-key, write a fresh store), not a metadata commit")
@@ -3643,7 +3704,7 @@ object MergeSink {
       s"MergeSink: no column '$name' on $storeDir " +
         s"(${parent.fieldNames.mkString(", ")})")
     val keyName = storedKeyName(storeDir).getOrElse(parent.fields.head.name)
-    require(name != keyName,
+    require(!keyCols(keyName).contains(name),
       s"MergeSink: '$name' is the store's KEY column — row identity is " +
         "immutable; a key migration is a rewrite (read, re-key, write a " +
         "fresh store), not a metadata commit")
@@ -3968,12 +4029,13 @@ object MergeSink {
       throw new IllegalStateException(
         s"MergeSink: $storeDir has no recorded schema — only stores written " +
           "by the schema-registry protocol can be compacted"))
-    val keyCol = target.fields.head.name
+    val keyNames = storedKeyFields(storeDir, target).map(_.name)
     val version = latest + 1
     val claim = claimCommit(storeDir, version, latest, -1L) // maintenance commit
     try {
       val dvm = readManifestDv(storeDir, latest)
-      val physKey = physicalName(target.fields.head)
+      val keyFields = storedKeyFields(storeDir, target)
+      val physKeys = keyFields.map(physicalName)
       val byGroup = manifest.view.filterKeys(selected).toMap
         .groupBy { case (b, o) => (o, dvm.get(b)) }
       // bucket membership is hash-determined and UNCHANGED — rows keep
@@ -3989,12 +4051,13 @@ object MergeSink {
             .filter(col("_bucket").isin(bs: _*))
           val df = dvv.fold(df0)(w => applyDv(df0,
             dvKeysFrame(spark, storeDir, bs.map(_ -> w).toMap,
-              physKey, target.fields.head.dataType), physKey))
+              keyFields), physKeys))
           alignToWith(df, target, col("_bucket"))
         }.reduce(_ unionByName _)
       // one file per rewritten bucket, key-clustered inside it
       val out = toPhysical(current.repartition(col("_bucket"))
-        .sortWithinPartitions(col("_bucket"), col(keyCol)), target)
+        .sortWithinPartitions(col("_bucket") +: keyNames.map(col): _*),
+        target)
       val survivors = withClaimHeartbeat(claim) {
         publishVersionDir(storeDir, version, claim) { stage =>
           out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
@@ -4073,7 +4136,11 @@ object MergeSink {
       throw new IllegalStateException(
         s"MergeSink: $storeDir has no recorded schema — only stores written " +
           "by the schema-registry protocol can be compacted/rebucketed"))
-    val keyCol = target.fields.head.name
+    // the REBUCKET hash must cover the full (possibly compound) key
+    // tuple — the registry records it; pre-registry stores are
+    // first-field single-key by construction
+    val keyCol = storedKeyName(storeDir)
+      .getOrElse(target.fields.head.name)
     if (manifest.isEmpty) {
       newNBuckets.foreach(n => writeLongAtomic(nBucketsPath(storeDir), n.toLong))
       return None
@@ -4081,7 +4148,8 @@ object MergeSink {
     val version = latest + 1
     val claim = claimCommit(storeDir, version, latest, -1L) // maintenance commit
     val dvm = readManifestDv(storeDir, latest)
-    val physKey = physicalName(target.fields.head)
+    val keyFields = storedKeyFields(storeDir, target)
+    val physKeys = keyFields.map(physicalName)
     val byGroup = manifest.groupBy { case (b, o) => (o, dvm.get(b)) }
     val current = byGroup.toSeq
       .sortBy { case ((v, w), _) => (v, w.getOrElse(-1L)) }
@@ -4096,7 +4164,7 @@ object MergeSink {
           .filter(col("_bucket").isin(buckets: _*))
         val df = dvv.fold(df0)(w => applyDv(df0,
           dvKeysFrame(spark, storeDir, buckets.map(_ -> w).toMap,
-            physKey, target.fields.head.dataType), physKey))
+            keyFields), physKeys))
         alignToWith(df, target, bucket)
       }.reduce(_ unionByName _)
     // cluster by `_bucket` so the rewrite lands as ONE file per bucket
@@ -4453,12 +4521,12 @@ object MergeSink {
   private[graft] def insertShaped(spark: SparkSession, storeDir: String,
       version: Long): DataFrame = {
     val snap = bucketedSnapshotAt(spark, storeDir, version)
-    val keyName = snap.columns.head
-    val valueCols = snap.columns.tail.toSeq
-    snap.select(col(keyName) +: lit("insert").as("change") +:
+    val keyNames = storedKeyFields(storeDir, snap.schema).map(_.name)
+    val valueCols = snap.columns.filterNot(keyNames.contains).toSeq
+    snap.select(keyNames.map(col) ++ (lit("insert").as("change") +:
       valueCols.flatMap(c => Seq(
         lit(null).cast(snap.schema(c).dataType).as(s"${c}_old"),
-        col(c).as(s"${c}_new"))): _*)
+        col(c).as(s"${c}_new")))): _*)
   }
 
   /** The change feed as a LIVE Structured Streaming subscription: a

@@ -157,10 +157,12 @@ object GraftDml {
       // it too — groupBy folds NULLs into one group, and an ignoreNulls
       // first() over the key alone would discard exactly that group);
       // the flagged key is best-effort for the message.
-      val probe = cached.groupBy(new Column(keyName))
+      val keyNames = MergeSink.keyCols(keyName)
+      val probe = cached.groupBy(keyNames.map(new Column(_)): _*)
         .agg(F.count(F.lit(1)).as("_n"))
         .agg(F.count(F.lit(1)), F.max(new Column("_n")),
-          F.first(F.when(new Column("_n") > 1, new Column(keyName)),
+          F.first(F.when(new Column("_n") > 1,
+            F.concat_ws(",", keyNames.map(new Column(_)): _*)),
             ignoreNulls = true))
         .head()
       if (probe.getLong(0) == 0L) return // no-op: nothing matched
@@ -189,10 +191,11 @@ object GraftDml {
     * is refused loudly rather than guessed around. */
   private def keyNameOf(dir: String, cols: Seq[String]): String = {
     val k = MergeSink.storedKeyName(dir).getOrElse(cols.head)
-    require(cols.contains(k),
-      s"graft: store $dir records key column '$k' but the relation has " +
-        s"only ${cols.mkString(", ")} — the registry and the schema " +
-        "disagree; refusing DML")
+    val missing = MergeSink.keyCols(k).filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"graft: store $dir records key column(s) '$k' but the relation " +
+        s"is missing ${missing.mkString(", ")} (has ${cols.mkString(", ")}) " +
+        "— the registry and the schema disagree; refusing DML")
     k
   }
 
@@ -245,20 +248,20 @@ object GraftDml {
     * always. Narrowing/lossy casts (an explicit `CAST(k AS INT)` on a
     * BIGINT key) are NOT inverted — truncation makes multiple keys
     * collide on one literal, so pruning there could drop rows. */
-  private def literalKeyBuckets(cond: Expression, keyAttr: Attribute,
-      nBuckets: Long): Option[Set[Long]] = {
+  private def literalKeyValues(cond: Expression,
+      keyAttr: Attribute): Option[Seq[Any]] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, EvalMode, In, Literal}
-    def ofExprs(es: Seq[Expression]): Option[Set[Long]] =
+    def ofExprs(es: Seq[Expression]): Option[Seq[Any]] =
       if (!es.forall(e => e.foldable && e.dataType == keyAttr.dataType)) None
       else {
         val vals = es.map(_.eval(null)).filter(_ != null)
         if (vals.isEmpty) None // = NULL matches nothing; stay conservative
-        else Some(vals.map(bucketOfLiteral(_, keyAttr.dataType, nBuckets)).toSet)
+        else Some(vals)
       }
     // `cast(k as T) = v` with keyType →lossless→ T: map v back into the
-    // key's type; the bucket of the preimage is the pruning evidence
+    // key's type; the preimage is the pruning evidence
     def ofUpcast(vs: Seq[Expression], castType: org.apache.spark.sql.types.DataType)
-        : Option[Set[Long]] =
+        : Option[Seq[Any]] =
       if (!vs.forall(v => v.foldable && v.dataType == castType)) None
       else {
         val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
@@ -268,7 +271,7 @@ object GraftDml {
               .eval(null)))
         }
         if (backs.isEmpty) None // no preimage: matches nothing; conservative
-        else Some(backs.map(bucketOfLiteral(_, keyAttr.dataType, nBuckets)).toSet)
+        else Some(backs)
       }
     object KeyUpcast {
       def unapply(e: Expression): Option[org.apache.spark.sql.types.DataType] =
@@ -290,7 +293,26 @@ object GraftDml {
       case In(KeyUpcast(dt), vs) => ofUpcast(vs, dt)
       case _ => None
     }
-    sets.reduceOption(_ intersect _)
+    // conjunctive evidence intersects (internal-typed value equality)
+    sets.map(_.distinct).reduceOption(_ intersect _)
+  }
+
+  /** Buckets pinned by literal key evidence — over the FULL (possibly
+    * compound) key tuple: every component needs bounded equality
+    * evidence among the conjuncts; the bucket set is the routing hash
+    * of the cross product (capped at 64 tuples — wider scans unpruned,
+    * never wrong). An intersection proven EMPTY for some component
+    * prunes to the empty scan (the predicate matches nothing). */
+  private def literalKeyBuckets(cond: Expression, keyAttrs: Seq[Attribute],
+      nBuckets: Long): Option[Set[Long]] = {
+    val per = keyAttrs.map(a => literalKeyValues(cond, a))
+    if (per.exists(_.isEmpty)) return None
+    val lists = per.map(_.get)
+    if (lists.map(_.size.toLong).product > 64L) return None
+    val tuples = lists.foldLeft(Seq(Seq.empty[Any]))((acc, l) =>
+      for { t <- acc; v <- l } yield t :+ v)
+    Some(tuples.map(t => MergeSink.bucketForInternalTuple(
+      t.zip(keyAttrs.map(_.dataType)), nBuckets)).toSet)
   }
 
   /** The analyzed condition's conjuncts translated to V1 filters — the
@@ -349,10 +371,10 @@ object GraftDml {
     * the scan builder there, so that path file-prunes already. */
   private def prunedMatchedPlan(spark: org.apache.spark.sql.classic.SparkSession,
       dir: String, matchedPlan: LogicalPlan,
-      keyAttr: Attribute): LogicalPlan = matchedPlan match {
+      keyAttrs: Seq[Attribute]): LogicalPlan = matchedPlan match {
     case f @ Filter(c, r: DataSourceV2Relation) =>
       MergeSink.storedNBuckets(dir)
-        .flatMap(nb => literalKeyBuckets(c, keyAttr, nb))
+        .flatMap(nb => literalKeyBuckets(c, keyAttrs, nb))
         .map { bs =>
           val skip = fileSkipFilters(c,
             org.apache.spark.sql.catalyst.expressions.AttributeSet(r.output))
@@ -371,24 +393,27 @@ object GraftDml {
     override def run(sparkApi: SparkSession): Seq[Row] = {
       val spark = sparkApi.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       val keyName = GraftDml.keyNameOf(dir, relOutput.map(_.name))
+      val keyNames = MergeSink.keyCols(keyName)
       val byName = assignments
         .map(a => assignName(a.key) -> a.value).toMap
-      require(!byName.contains(keyName),
-        s"graft: UPDATE may not reassign the key column '$keyName' — a " +
-          "keyed store's row identity is immutable; DELETE + INSERT " +
-          "expresses a re-key explicitly")
+      val reKeyed = keyNames.filter(byName.contains)
+      require(reKeyed.isEmpty,
+        s"graft: UPDATE may not reassign key column(s) " +
+          s"${reKeyed.mkString(", ")} — a keyed store's row identity is " +
+          "immutable; DELETE + INSERT expresses a re-key explicitly")
       val attrOf = relOutput.map(a => a.name -> a).toMap
-      val valueAttrs = relOutput.filterNot(_.name == keyName)
+      val valueAttrs = relOutput.filterNot(a => keyNames.contains(a.name))
       def updated() = Dataset.ofRows(spark,
-        prunedMatchedPlan(spark, dir, matchedPlan, attrOf(keyName))).select(
-        Bridge.column(attrOf(keyName)).as(keyName) +:
-          lit("upsert").as("_op") +: lit(0L).as("_ver") +:
+        prunedMatchedPlan(spark, dir, matchedPlan,
+          keyNames.map(attrOf))).select(
+        keyNames.map(k => Bridge.column(attrOf(k)).as(k)) ++
+          (lit("upsert").as("_op") +: lit(0L).as("_ver") +:
           valueAttrs.map { f =>
             byName.get(f.name)
               .map(e => Bridge.column(e).cast(f.dataType))
               .getOrElse(Bridge.column(attrOf(f.name)))
               .as(f.name)
-          }: _*)
+          }): _*)
       commitCdc(spark, dir, () => updated(), keyName,
         valueAttrs.map(_.name), "UPDATE")
       Seq.empty
@@ -408,13 +433,15 @@ object GraftDml {
     override def run(sparkApi: SparkSession): Seq[Row] = {
       val spark = sparkApi.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       val keyName = GraftDml.keyNameOf(dir, relOutput.map(_.name))
+      val keyNames = MergeSink.keyCols(keyName)
       val attrOf = relOutput.map(a => a.name -> a).toMap
-      val valueAttrs = relOutput.filterNot(_.name == keyName)
+      val valueAttrs = relOutput.filterNot(a => keyNames.contains(a.name))
       def victims() = Dataset.ofRows(spark,
-        prunedMatchedPlan(spark, dir, matchedPlan, attrOf(keyName))).select(
-        Bridge.column(attrOf(keyName)).as(keyName) +:
-          lit("delete").as("_op") +: lit(0L).as("_ver") +:
-          valueAttrs.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+        prunedMatchedPlan(spark, dir, matchedPlan,
+          keyNames.map(attrOf))).select(
+        keyNames.map(k => Bridge.column(attrOf(k)).as(k)) ++
+          (lit("delete").as("_op") +: lit(0L).as("_ver") +:
+          valueAttrs.map(f => lit(null).cast(f.dataType).as(f.name))): _*)
       // a DELETE's CDC batch is pure retraction — it commits as a
       // deletion-vector sidecar (O(metadata)), never a bucket rewrite
       commitCdc(spark, dir, () => victims(), keyName,
@@ -514,30 +541,36 @@ object GraftDml {
       val spark = sparkApi.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       val allFields = rel.schema.fields.toSeq
       val keyName = GraftDml.keyNameOf(dir, allFields.map(_.name))
-      val keyField = allFields.find(_.name == keyName).get
-      val valueFields = allFields.filterNot(_.name == keyName)
+      val keyNames = MergeSink.keyCols(keyName)
+      val keyFields = keyNames.map(n => allFields.find(_.name == n).get)
+      val valueFields = allFields.filterNot(f => keyNames.contains(f.name))
       val valueNames = valueFields.map(_.name)
       val attrOf = rel.output.map(a => a.name -> a).toMap
-      val keyCol = Bridge.column(attrOf(keyName))
+      val keyColsOf = keyNames.map(n => Bridge.column(attrOf(n)))
       val condCol = Bridge.column(cond)
-      def cdcSelect(df: org.apache.spark.sql.DataFrame, key: Column,
+      def cdcSelect(df: org.apache.spark.sql.DataFrame, keys: Seq[Column],
           op: Column, values: Seq[Column]) =
-        df.select(key.as(keyName) +: op.as("_op") +: lit(0L).as("_ver") +:
-          values.zip(valueNames).map { case (c, n) => c.as(n) }: _*)
+        df.select(keys.zip(keyNames).map { case (c, n) => c.as(n) } ++
+          (op.as("_op") +: lit(0L).as("_ver") +:
+          values.zip(valueNames).map { case (c, n) => c.as(n) }): _*)
           .filter(new Column("_op").isNotNull)
-      // source-side key expression from a top-level `t.key = <src>`
-      // merge conjunct: the evidence that bounds the touched buckets
-      val srcKeyExpr: Option[Expression] = {
+      // source-side key expressions from top-level `t.k_i = <src>`
+      // merge conjuncts — bucket evidence exists only when EVERY key
+      // component has one (the routing hash covers the full tuple)
+      val srcKeyExprs: Option[Seq[Expression]] = {
         import org.apache.spark.sql.catalyst.expressions.EqualTo
         val srcOut = org.apache.spark.sql.catalyst.expressions
           .AttributeSet(source.output)
-        val keyAttr = attrOf(keyName)
-        conjuncts(cond).collectFirst {
-          case EqualTo(a: Attribute, e)
-              if a.exprId == keyAttr.exprId && e.references.subsetOf(srcOut) => e
-          case EqualTo(e, a: Attribute)
-              if a.exprId == keyAttr.exprId && e.references.subsetOf(srcOut) => e
+        val per = keyNames.map { n =>
+          val keyAttr = attrOf(n)
+          conjuncts(cond).collectFirst {
+            case EqualTo(a: Attribute, e)
+                if a.exprId == keyAttr.exprId && e.references.subsetOf(srcOut) => e
+            case EqualTo(e, a: Attribute)
+                if a.exprId == keyAttr.exprId && e.references.subsetOf(srcOut) => e
+          }
         }
+        if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
       }
       // the whole CDC batch is a CLOSURE: commitCdc re-derives it from
       // a fresh head read when its declared read point goes stale
@@ -550,9 +583,10 @@ object GraftDml {
         // target, not the whole store
         val touched: Option[Set[Long]] = for {
           nB <- MergeSink.storedNBuckets(dir)
-          ke <- srcKeyExpr
+          kes <- srcKeyExprs
         } yield src.select(org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.xxhash64(Bridge.column(ke)),
+            org.apache.spark.sql.functions.xxhash64(
+              kes.map(Bridge.column): _*),
             lit(nB)).as("_b"))
           .distinct().collect().map(_.getLong(0)).toSet
         // matched/not-matched arms only ever see target rows whose key
@@ -579,8 +613,10 @@ object GraftDml {
             val pairs = prunedTarget.join(src, condCol, "inner")
             val (op, values) = armColumns(matchedActions, valueFields,
               n => Bridge.column(attrOf(n)))
-            Some(cdcSelect(pairs, guardedKey(matchedActions, keyName,
-              keyField.dataType, keyCol), op, values))
+            val guarded = keyNames.zip(keyFields).zip(keyColsOf).map {
+              case ((n, f), c) => guardedKey(matchedActions, n, f.dataType, c)
+            }
+            Some(cdcSelect(pairs, guarded, op, values))
           }
         // not-matched arm (inserts): source rows with no target match;
         // the key comes from the insert assignments
@@ -588,24 +624,27 @@ object GraftDml {
           if (notMatchedActions.isEmpty) None
           else {
             val lone = src.join(prunedTarget, condCol, "left_anti")
-            val keyFromInsert = notMatchedActions.foldRight(
-              lit(null).cast(keyField.dataType)) { (a, els) =>
-              a match {
-                case i: InsertAction =>
-                  val am = i.assignments.map(x => assignName(x.key) -> x.value).toMap
-                  val v = am.get(keyName).map(e =>
-                    Bridge.column(e).cast(keyField.dataType)).getOrElse(
-                    throw new UnsupportedOperationException(
-                      s"graft: MERGE INSERT must assign the key column '$keyName'"))
-                  when(i.condition.map(Bridge.column).getOrElse(lit(true)), v)
-                    .otherwise(els)
-                case other => throw new UnsupportedOperationException(
-                  s"graft: only INSERT actions are valid WHEN NOT MATCHED (got $other)")
+            def keyFromInsert(n: String,
+                f: org.apache.spark.sql.types.StructField): Column =
+              notMatchedActions.foldRight(lit(null).cast(f.dataType)) {
+                (a, els) => a match {
+                  case i: InsertAction =>
+                    val am = i.assignments.map(x => assignName(x.key) -> x.value).toMap
+                    val v = am.get(n).map(e =>
+                      Bridge.column(e).cast(f.dataType)).getOrElse(
+                      throw new UnsupportedOperationException(
+                        s"graft: MERGE INSERT must assign the key column '$n'"))
+                    when(i.condition.map(Bridge.column).getOrElse(lit(true)), v)
+                      .otherwise(els)
+                  case other => throw new UnsupportedOperationException(
+                    s"graft: only INSERT actions are valid WHEN NOT MATCHED (got $other)")
+                }
               }
-            }
             val (op, values) = armColumns(notMatchedActions, valueFields,
               _ => lit(null))
-            Some(cdcSelect(lone, keyFromInsert, op, values))
+            Some(cdcSelect(lone,
+              keyNames.zip(keyFields).map { case (n, f) => keyFromInsert(n, f) },
+              op, values))
           }
         // not-matched-by-source arm: target rows with no source match
         val nmbsCdc =
@@ -614,8 +653,11 @@ object GraftDml {
             val lone = fullTarget.join(src, condCol, "left_anti")
             val (op, values) = armColumns(notMatchedBySourceActions, valueFields,
               n => Bridge.column(attrOf(n)))
-            Some(cdcSelect(lone, guardedKey(notMatchedBySourceActions, keyName,
-              keyField.dataType, keyCol), op, values))
+            val guarded = keyNames.zip(keyFields).zip(keyColsOf).map {
+              case ((n, f), c) =>
+                guardedKey(notMatchedBySourceActions, n, f.dataType, c)
+            }
+            Some(cdcSelect(lone, guarded, op, values))
           }
         Seq(matchedCdc, notMatchedCdc, nmbsCdc).flatten.reduce(_ unionByName _)
       }
