@@ -1938,7 +1938,9 @@ object SparkEntry {
     //      so the scoring pass is map-only. Micro-quantized per-bucket
     //      log-ratios make doc scores exact integers ----
     "mix_dsir" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // spread: 3 md5-per-bigram passes (two histograms, the scoring
+      // pass) over a single-row-group parquet otherwise run on ONE core
+      val docs = Tables.spread(Tables.documents(s, d))
       graft.operators.Mixing
         .dsirSelect(docs, docs.filter(col("lang") === "en"), "text",
           nBuckets = 64, minScoreMicro = 0L)

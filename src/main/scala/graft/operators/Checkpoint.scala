@@ -30,4 +30,24 @@ object Checkpoint {
       df.checkpoint()
     } else df.localCheckpoint()
   }
+
+  /** Non-eager variant (r16, guide §1/§2: fewer actions = fewer
+    * sequential job barriers). Same lineage cut — the plan downstream
+    * of this call is a shallow scan-of-blocks either way — but the
+    * materialization happens inside the CALLER'S next action instead of
+    * an extra job here. Use when an action immediately follows (a
+    * convergence checksum, a final aggregate): an iterative loop then
+    * costs ONE job per round instead of two, and a fixed unroll
+    * (kCoreFixed, bfsHops) collapses to a single job whose stages
+    * materialize each round's blocks exactly once. Semantics are
+    * identical; only job-boundary placement changes. */
+  def lazily(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption(ReliableConfKey).exists(_.toBoolean)) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableConfKey=true needs sparkContext.setCheckpointDir " +
+          "(an HDFS/object-store path the whole cluster can reach)")
+      df.checkpoint(eager = false)
+    } else df.localCheckpoint(eager = false)
+  }
 }

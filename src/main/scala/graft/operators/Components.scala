@@ -46,13 +46,16 @@ object Components {
     // round, and their lineage (e.g. dedupClusters' blocked O(n²)
     // Jaccard self-join) is usually the most expensive stage of all —
     // without this the pair generation re-executes once per round
+    // lazily: the round-1 join materializes these inside its own job —
+    // an eager checkpoint here would spend two extra sequential jobs on
+    // block writes nothing reads until that join anyway
     val sym = edges.select(col(srcC).as("_n"), col(dstC).as("_m"))
       .union(edges.select(col(dstC).as("_n"), col(srcC).as("_m")))
-      .transform(Checkpoint.apply)
+      .transform(Checkpoint.lazily)
     val nodeC = nodes.columns.head
     var labels = nodes.select(col(nodeC).as("_n"), col(nodeC).as("_lab"))
       .union(sym.select(col("_n"), col("_n").as("_lab"))).distinct()
-      .transform(Checkpoint.apply)
+      .transform(Checkpoint.lazily)
     // labels only ever decrease, so the (node, label) multiset changes on
     // every non-converged round: a stable checksum IS convergence — one
     // scalar aggregate per round instead of a change-counting join.
@@ -66,8 +69,10 @@ object Components {
     var round = 0
     while (!converged && round < maxRounds) {
       val msgs = sym.join(labels, "_n").select(col("_m").as("_n"), col("_lab"))
+      // lazily + checksum = ONE job per round (the checksum action
+      // materializes the round's blocks), halving the loop's job count
       val next = labels.union(msgs).groupBy("_n").agg(min("_lab").as("_lab"))
-        .transform(Checkpoint.apply)
+        .transform(Checkpoint.lazily)
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
@@ -102,6 +107,10 @@ object Components {
     require(maxHops >= 0, s"maxHops must be >= 0 (got $maxHops)")
     require(seeds.columns.contains("node"),
       "seeds must have a 'node' column (hop-0 set)")
+    // eager checkpoints here, deliberately (measured r16): each hop's
+    // `reached` feeds BOTH the accumulating union and the next hop's
+    // join/anti-join — a fully lazy unroll let parallel stages race to
+    // compute the same un-cached blocks twice (min-of-5 0.89 → 1.19 s)
     val e = edges.select(col(src).as("_s"), col(dst).as("_d")).distinct()
       .repartition(col("_s")).transform(Checkpoint.apply)
     var dist = seeds.select(col("node")).distinct()
@@ -149,7 +158,7 @@ object Components {
       .filter(col("_a") =!= col("_b")).distinct()
 
     var e = canon(edges.select(col(srcC).as("_a"), col(dstC).as("_b")))
-      .transform(Checkpoint.apply)
+      .transform(Checkpoint.lazily) // materialized by the first checksum
 
     def checksum(df: DataFrame): Long =
       df.agg(coalesce(expr("bit_xor(xxhash64(_a, _b))"), lit(0L)))
@@ -179,7 +188,7 @@ object Components {
     var converged = prev == 0L // empty edge set: nothing to contract
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).transform(Checkpoint.apply)
+      val next = smallStar(largeStar(e)).transform(Checkpoint.lazily)
       val cur = checksum(next)
       converged = cur == prev
       prev = cur

@@ -42,10 +42,10 @@ object LabelPropagation {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val e = edges.select(col(src).as("src"), col(dst).as("dst"),
         col(weight).cast("long").as("w"))
-      .repartition(col("src")).transform(Checkpoint.apply)
+      .repartition(col("src")).transform(Checkpoint.lazily)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .transform(Checkpoint.apply)
+      .transform(Checkpoint.lazily)
     var labels = nodes.withColumn("lab", col("node"))
     for (_ <- 1 to iters) {
       val best = e
@@ -91,7 +91,7 @@ object LabelPropagation {
       labels: DataFrame): DataFrame = {
     val e = und.select(col(src).as("src"), col(dst).as("dst"),
       col(weight).cast("long").as("w"))
-    val lab = labels.select(col("node"), col("lab")).transform(Checkpoint.apply)
+    val lab = labels.select(col("node"), col("lab")).transform(Checkpoint.lazily)
     // 1-row bounded model collect (the DSIR-λ idiom): the total weight
     val totalW = e.agg(coalesce(sum("w"), lit(0L)).as("tw")).head().getLong(0)
     val win = e

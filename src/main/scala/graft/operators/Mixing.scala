@@ -230,8 +230,15 @@ object Mixing {
       .select(explode(dsirBuckets(col(textCol), nBuckets)).as("_b"))
       .groupBy("_b").agg(count(lit(1)).as("_n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val tgt = histogram(target)
+    // the two model collects are independent jobs — submit them from
+    // two threads so one's straggler tail backfills with the other's
+    // tasks (guide §2.6 overlap) instead of running strictly serially
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val tgtF = Future(histogram(target))
     val raw = histogram(corpus)
+    val tgt = Await.result(tgtF, Duration.Inf)
     val tTot = tgt.values.sum
     val rTot = raw.values.sum
     // λ_b in micro-units; the double products stay exact below 2^53

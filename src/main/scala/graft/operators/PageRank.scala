@@ -55,7 +55,7 @@ object PageRank {
       col(weight).cast("long").as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .transform(Checkpoint.apply)
+      .transform(Checkpoint.lazily)
     // out-weight per source, attached to the edge once (reused verbatim
     // by every unrolled iteration)
     val outW = e.groupBy("src").agg(sum("w").as("wout"))
@@ -63,7 +63,7 @@ object PageRank {
     // checkpoint (localCheckpoint preserves partitioning metadata):
     // every unrolled iteration then shuffles only the |V|-sized rank
     // table into place — the big side never re-exchanges
-    val ew = e.join(outW, "src").repartition(col("src")).transform(Checkpoint.apply)
+    val ew = e.join(outW, "src").repartition(col("src")).transform(Checkpoint.lazily)
     val baseU = math.floor((1.0 - damping) * 1000000.0).toLong
 
     var ranks = nodes.withColumn("pr_u", lit(1000000L))
@@ -115,9 +115,9 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .join(broadcast(sd), Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("_seed"), lit(false)).as("is_seed"))
-      .transform(Checkpoint.apply)
+      .transform(Checkpoint.lazily)
     val outW = e.groupBy("src").agg(sum("w").as("wout"))
-    val ew = e.join(outW, "src").repartition(col("src")).transform(Checkpoint.apply)
+    val ew = e.join(outW, "src").repartition(col("src")).transform(Checkpoint.lazily)
     val baseU = math.floor((1.0 - damping) * 1000000.0).toLong
 
     var ranks = nodes.select(col("node"),
