@@ -2608,14 +2608,18 @@ object SparkEntry {
     //      unknown 100 TB drop): per-column nulls, EXACT distincts,
     //      typed min/max — one aggregate, one scan ----
     "q3_profile" -> ((s, d) =>
-      graft.operators.Profile.profile(Tables.events(s, d))
+      // spread: N exact countDistincts expand the scan ×N through ONE
+      // single-row-group split — the whole aggregate ran on one core
+      graft.operators.Profile.profile(Tables.spread(Tables.events(s, d)))
         .orderBy("col_name")),
 
     // ---- Q7: auto-generated expectation suite — bounds learned from
     //      the even-id reference half gate the dirtied odd-id target
     //      (event_type's planted nulls must FAIL, the rest pass) ----
     "q7_auto_expectations" -> ((s, d) => {
-      val e = ev(s, d).select("event_type", "value", "user_id", "event_id")
+      // spread: same ×N-expand profile aggregates as q3_profile
+      val e = Tables.spread(
+        ev(s, d).select("event_type", "value", "user_id", "event_id"))
       val reference = e.filter(col("event_id") % 2 === 0)
       val target = e.filter(col("event_id") % 2 === 1)
         .withColumn("event_type",
@@ -2654,7 +2658,9 @@ object SparkEntry {
     //      is dirtied in-query (nulled event_types for one user cohort)
     //      so the null-rate delta actually fires ----
     "q3b_profile_drift" -> ((s, d) => {
-      val e = ev(s, d).select("event_type", "value", "user_id", "event_id")
+      // spread: same ×N-expand profile aggregates as q3_profile
+      val e = Tables.spread(
+        ev(s, d).select("event_type", "value", "user_id", "event_id"))
       val before = e.filter(col("event_id") % 2 === 0)
       val after = e.filter(col("event_id") % 2 === 1)
         .withColumn("event_type",
@@ -7247,7 +7253,11 @@ object SparkEntry {
       lit("0" * 38),
       lpad(hex(length(col("event_type"))), 2, "0"),
       upper(hex(encode(col("event_type"), "US-ASCII"))))
-    val lines = e.select(
+    // spread BEFORE the encode: hex/lpad/concat/base64 per row is the
+    // map-heavy shape Tables.spread exists for — the events parquet is
+    // one row group, so the unspread encode (the persist job below)
+    // ran on one core (measured 3.4 s of the build)
+    val lines = Tables.spread(e).select(
       concat_ws(":", col("event_id"), unix_millis(col("ts")),
         // Spark's base64 MIME-wraps at 76 chars — a wrapped payload
         // would split one upload line across two text rows; strip
@@ -7286,21 +7296,30 @@ object SparkEntry {
     // time (5 passes → 1 + 4 cached scans)
     lines.persist()
     val maxId = lines.agg(max(col("eid"))).head.getLong(0)
-    (0 until 4).foreach { i =>
-      val lo = (maxId + 1) * i / 4; val hi = (maxId + 1) * (i + 1) / 4
-      val stage = work.resolve(s"stage$i")
-      lines.filter(col("eid") >= lo && col("eid") < hi)
-        .select("value").coalesce(1).write.text(stage.toString)
-      val part = {
-        val st = JFiles.list(stage)
-        try st.iterator().asScala
-          .find(_.getFileName.toString.startsWith("part-")).get
-        finally st.close()
-      }
-      val dst = landing.resolve(f"upload_$i%02d.txt")
-      JFiles.move(part, dst)
-      JFiles.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    // the four quarter writes are independent single-file jobs over the
+    // persisted cache — submit them concurrently (guide §2.6) so each
+    // coalesce(1) writer's single-task tail overlaps the others'
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = (0 until 4).map { i => Future {
+        val lo = (maxId + 1) * i / 4; val hi = (maxId + 1) * (i + 1) / 4
+        val stage = work.resolve(s"stage$i")
+        lines.filter(col("eid") >= lo && col("eid") < hi)
+          .select("value").coalesce(1).write.text(stage.toString)
+        val part = {
+          val st = JFiles.list(stage)
+          try st.iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-")).get
+          finally st.close()
+        }
+        val dst = landing.resolve(f"upload_$i%02d.txt")
+        JFiles.move(part, dst)
+        JFiles.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }}
+      writes.foreach(Await.result(_, Duration.Inf))
     }
     lines.unpersist()
     val store = work.resolve("store").toString

@@ -409,8 +409,12 @@ object Linkage {
       val vw = valueWeights.filter(col("field") === lit(n))
         .select(col("value").as(s"_vwv_$n"),
           col("w_agree_micro").as(s"_vwa_$n"))
+      // explicit broadcast (guide §3.1): the per-field weight table is
+      // comparison-vocabulary-sized (the scale argument above), but its
+      // size ESTIMATE — an aggregate behind a filter — is opaque to the
+      // planner, which fell back to 4 shuffle joins of the record table
       enriched = enriched
-        .join(vw, c.cast("string") <=> col(s"_vwv_$n"), "left")
+        .join(broadcast(vw), c.cast("string") <=> col(s"_vwv_$n"), "left")
         .drop(s"_vwv_$n")
       (s"vw_$n", col(s"_vwa_$n"))
     }

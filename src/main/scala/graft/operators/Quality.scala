@@ -137,13 +137,19 @@ object Quality {
     require(edges.map(_._1).distinct.size == edges.size,
       "edge names must be unique")
     edges.map { case (name, child, childKey, parent, parentKey) =>
+      // aggregate the child BEFORE the join (guide §2.3): the exchange
+      // and the probe side carry one (key, count) row per DISTINCT
+      // child key — O(keys), not O(child rows); the map-side partial
+      // aggregate absorbs the fact-table row count
       child.select(col(childKey).as("_k"))
-        .join(parent.select(col(parentKey).as("_k"), lit(1).as("_hit"))
-          .distinct(), Seq("_k"), "left")
-        .agg(count(lit(1)).as("n_rows"),
-          count(when(col("_k").isNull, 1)).as("n_null_keys"),
-          count(when(col("_k").isNotNull && col("_hit").isNull, 1))
-            .as("n_orphans"))
+        .groupBy("_k").agg(count(lit(1)).as("_cn"))
+        .join(parent.select(col(parentKey).as("_k")).distinct()
+          .withColumn("_hit", lit(1)), Seq("_k"), "left")
+        .agg(coalesce(sum("_cn"), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("_k").isNull, col("_cn"))), lit(0L))
+            .as("n_null_keys"),
+          coalesce(sum(when(col("_k").isNotNull && col("_hit").isNull,
+            col("_cn"))), lit(0L)).as("n_orphans"))
         .select(lit(name).as("fk"), col("n_rows"), col("n_null_keys"),
           col("n_orphans"), (col("n_orphans") === 0L).as("pass"))
     }.reduce(_.unionByName(_))
