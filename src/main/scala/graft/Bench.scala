@@ -21,6 +21,18 @@ object Bench {
       // parser, native function registry) — the session config every
       // graft deployment ships
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // AQE coalescing sizes partitions from COMPRESSED map-output
+      // bytes with a 1 MB floor — this engine's post-shuffle stages
+      // (sketch verify, salted pair scoring) are CPU-dense per byte,
+      // so a few-MB shuffle coalesced to ≤8 partitions serializes the
+      // expensive stage on a sliver of the cluster (measured r16:
+      // l2b candidate verify on 1 core, pair scoring on 6 of 32).
+      // A lower floor keeps parallelismFirst's bytes/parallelism
+      // target in charge at every scale (large shuffles unaffected);
+      // env-overridable so deployments with byte-bound operators can
+      // restore the 1m default.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/shuffle machinery once so the first timed

@@ -16,6 +16,9 @@ object Verify {
       // parser, native function registry) — the session config every
       // graft deployment ships
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // match Bench: low AQE coalesce floor for CPU-dense stages (r16)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -22,6 +22,9 @@ object JobProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // match Bench: low AQE coalesce floor for CPU-dense stages (r16)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
     // A/B experiment knob: GRAFT_PROBE_CONF="k=v;k=v" applies extra
     // session confs so a hypothesis (AQE off? bigger advisory size?)
     // is one env var, not a recompile.

@@ -20,6 +20,9 @@ object TimePipeline {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // match Bench: low AQE coalesce floor for CPU-dense stages (r16)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // GRAFT_PROBE_JOBS: per-job wall/gap breakdown (guide §1 — a store
