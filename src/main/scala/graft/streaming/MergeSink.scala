@@ -2517,12 +2517,16 @@ object MergeSink {
     }
     val dvSchema = StructType(
       keyFields.map(f => f.copy(name = physicalName(f))))
-    def eraseBucketIn(container: Path, b: Long,
-        schema: Option[StructType]): Unit = {
+    // Crash recovery from a previous interrupted run, per bucket —
+    // pure file moves, run BEFORE any rewrite so the batched read
+    // below sees every bucket's true current content. The artifact
+    // contract (.erase_tmp_b<b> with _SUCCESS / .erase_old_b<b>) is
+    // unchanged from the per-bucket rewrite era: crash at any point
+    // still recovers with exactly these steps.
+    def recoverBucket(container: Path, b: Long): Unit = {
       val bucketDir = container.resolve(s"_bucket=$b")
       val tmp = container.resolve(s".erase_tmp_b$b")
       val backup = container.resolve(s".erase_old_b$b")
-      // crash recovery from a previous interrupted run of THIS step
       if (Files.exists(tmp) && !Files.exists(tmp.resolve("_SUCCESS"))) rmTree(tmp)
       if (!Files.exists(bucketDir) && Files.exists(backup))
         Files.move(backup, bucketDir, StandardCopyOption.ATOMIC_MOVE)
@@ -2531,48 +2535,95 @@ object MergeSink {
       if (Files.exists(bucketDir)) {
         if (Files.exists(backup)) rmTree(backup)
         if (Files.exists(tmp)) rmTree(tmp)
-        // an already-empty bucket holds nothing of the subject's:
-        // skip the rewrite instead of re-writing emptiness (and,
-        // on a pre-registry version, instead of failing inference)
-        val hasParts = {
-          val s0 = Files.list(bucketDir)
-          try s0.iterator().asScala
-            .exists(_.getFileName.toString.endsWith(".parquet"))
-          finally s0.close()
+      }
+    }
+    def hasParts(dir: Path): Boolean = {
+      val s0 = Files.list(dir)
+      try s0.iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".parquet"))
+      finally s0.close()
+    }
+    // ONE Spark job per container (version dir / dv dir) instead of one
+    // per (container, bucket) — r16, guide §1.2/§2.6: the per-bucket
+    // rewrites were dozens of tiny anti-join jobs whose scheduling and
+    // planning round trips dominated the erasure (the erased-capstone
+    // build spent more driver time sequencing jobs than erasing). The
+    // batched job reads the affected bucket dirs THROUGH the partition
+    // column (basePath), anti-joins the broadcast key set once, and
+    // writes all buckets' survivors partitioned by _bucket to one
+    // staging dir; the crash-safe swap then proceeds per bucket with
+    // the exact artifact sequence of the old path (tmp+_SUCCESS →
+    // backup → move → cleanup), so interruption at any bucket recovers
+    // identically. An all-rows-erased bucket gets an EMPTY tmp dir
+    // with _SUCCESS — byte-equivalent to the old empty-frame write.
+    def eraseContainer(container: Path, bs: Seq[Long],
+        schema: Option[StructType]): Unit = {
+      // a previous run's crashed staging dir is garbage by definition
+      // (per-bucket tmp/backup artifacts carry ALL recovery state)
+      locally {
+        val s0 = Files.list(container)
+        try s0.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".erase_stage_"))
+          .toList.foreach(rmTree)
+        finally s0.close()
+      }
+      bs.foreach(recoverBucket(container, _))
+      val live = bs.filter { b =>
+        val d = container.resolve(s"_bucket=$b")
+        Files.exists(d) && hasParts(d)
+      }
+      if (live.isEmpty) return
+      val staging = container.resolve(".erase_stage_" +
+        (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+          & Long.MaxValue))
+      try {
+        val paths = live.map(b => container.resolve(s"_bucket=$b").toString)
+        val rd = spark.read.option("basePath", container.toString)
+        val src = schema match {
+          case Some(sc) => rd.schema(sc.add(StructField("_bucket",
+            org.apache.spark.sql.types.LongType))).parquet(paths: _*)
+          case None => rd.parquet(paths: _*)
         }
-        if (hasParts) {
-          // files speak PHYSICAL names; the rewrite reads and
-          // writes them unchanged (the key's physical name ==
-          // its logical name — key renames are refused)
-          val src = schema match {
-            case Some(sc) =>
-              spark.read.schema(sc).parquet(bucketDir.toString)
-            case None => spark.read.parquet(bucketDir.toString)
-          }
-          val kept = src.join(erased, keyFields.map(_.name), "left_anti")
-          kept.write.mode("overwrite").parquet(tmp.toString)
+        val kept = src.join(erased, keyFields.map(_.name), "left_anti")
+        kept.write.mode("overwrite").partitionBy("_bucket")
+          .parquet(staging.toString)
+        live.foreach { b =>
+          val bucketDir = container.resolve(s"_bucket=$b")
+          val tmp = container.resolve(s".erase_tmp_b$b")
+          val backup = container.resolve(s".erase_old_b$b")
+          val stagedBucket = staging.resolve(s"_bucket=$b")
+          if (Files.exists(stagedBucket))
+            Files.move(stagedBucket, tmp, StandardCopyOption.ATOMIC_MOVE)
+          else Files.createDirectories(tmp) // every row erased
+          // the per-bucket completeness marker the recovery step keys on
+          val m = tmp.resolve("_SUCCESS")
+          if (!Files.exists(m)) Files.write(m, Array.emptyByteArray)
           Files.move(bucketDir, backup, StandardCopyOption.ATOMIC_MOVE)
           Files.move(tmp, bucketDir, StandardCopyOption.ATOMIC_MOVE)
           rmTree(backup)
         }
-      }
+      } finally rmTree(staging)
     }
     if (tasks.nonEmpty || dvTasks.nonEmpty) withClaimHeartbeat(claim) {
+      val byContainer =
+        tasks.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, vb) =>
+          (Paths.get(storeDir, s"v$v"), vb.map(_._2),
+            schemaByVersion(v).map(physicalize))
+        } ++ dvTasks.groupBy(_._1).toSeq.sortBy(_._1).map { case (w, wb) =>
+          (dvRootDir(storeDir).resolve(w.toString), wb.map(_._2),
+            Some(dvSchema))
+        }
+      // containers are disjoint dir trees — rewrite them concurrently
+      // from a bounded pool (the maintenance-fleet shape, now one job
+      // per container instead of per bucket)
       val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(tasks.size + dvTasks.size, 8))
+        .newFixedThreadPool(math.min(byContainer.size, 8).max(1))
       try {
-        val submitted =
-          tasks.map { case (v, b) =>
-            pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = eraseBucketIn(Paths.get(storeDir, s"v$v"), b,
-                schemaByVersion(v).map(physicalize))
-            })
-          } ++ dvTasks.map { case (w, b) =>
-            pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = eraseBucketIn(
-                dvRootDir(storeDir).resolve(w.toString), b, Some(dvSchema))
-            })
-          }
+        val submitted = byContainer.map { case (dir, bs, sc) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = eraseContainer(dir, bs.sorted, sc)
+          })
+        }
         submitted.foreach(_.get()) // propagate the first failure
       } finally pool.shutdown()
     }
