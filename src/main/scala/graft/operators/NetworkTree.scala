@@ -67,8 +67,12 @@ object NetworkTree {
     * symmetric edge lists should canonicalize ((least, greatest) +
     * distinct) first. */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .filter(col("a") < col("b"))
+    // three self-join branches, each keyed differently (b, a, (a,b)) —
+    // exchange reuse cannot fire across them, so without a checkpoint
+    // the whole upstream pair generation (for the co-probe graph, a
+    // self-join + degree filter of its own) executes three times
+    val e = Checkpoint(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") < col("b")))
     val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
       .join(e.as("e3"),
@@ -89,8 +93,12 @@ object NetworkTree {
     * (id breaks degree ties), so every triangle still counts exactly
     * once. */
   def degreeOrientedEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .filter(col("a") < col("b"))
+    // e0 feeds the degree aggregate AND the twice-joined edge stream —
+    // checkpoint so the caller's (possibly expensive) pair generation
+    // runs once; lazily, so a single-consumer caller pays no extra job
+    val e0 = Checkpoint.lazily(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .filter(col("a") < col("b")))
     val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val ra = struct(col("da").as("d"), col("a").as("v"))
@@ -112,7 +120,9 @@ object NetworkTree {
     * aggregate and two key-side joins of the (v, deg) table. */
   def triangleCountsDegreeOrdered(pairs: DataFrame, aCol: String,
       bCol: String): DataFrame = {
-    val e = degreeOrientedEdges(pairs, aCol, bCol)
+    // same three-branch shape as triangleCounts — materialize the
+    // oriented edges once before the fan-out
+    val e = Checkpoint(degreeOrientedEdges(pairs, aCol, bCol))
     val tri = e.as("e1").join(e.as("e2"), col("e1.hi") === col("e2.lo"))
       .select(col("e1.lo").as("ta"), col("e1.hi").as("tb"), col("e2.hi").as("tc"))
       .join(e.as("e3"),
@@ -135,11 +145,15 @@ object NetworkTree {
     * beyond the triangle pass itself. */
   def clusteringCoefficient(pairs: DataFrame, aCol: String,
       bCol: String): DataFrame = {
-    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .filter(col("a") < col("b"))
+    // the pair generation feeds this degree aggregate AND the whole
+    // triangle pass — one eager materialization, every consumer reads
+    // blocks (previously the co-probe self-join executed ~5x here)
+    val p = Checkpoint(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") < col("b")))
+    val e = p
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("degree"))
-    val tri = triangleCountsDegreeOrdered(pairs, aCol, bCol)
+    val tri = triangleCountsDegreeOrdered(p, "a", "b")
     deg.join(tri, Seq("v"), "left_outer")
       .select(col("v"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
