@@ -347,8 +347,20 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5,
       md5Family: Boolean = false, maxBucket: Int = 4096): DataFrame = {
-    val sh = hashedShingleSets(docs, k)
-    minHashCandidatePairs(docs, k, numHashes, bands, md5Family, maxBucket)
+    // r16: the two verify joins key on a_id vs b_id — different
+    // subtrees, no exchange reuse — so the corpus-wide shingling ran
+    // TWICE. Shingle only the candidate ids (the incrementalNearDups
+    // shape: semi join by key, never a second corpus pass) and
+    // checkpoint both the candidate set (3 consumers) and the shingle
+    // table (2 consumers); non-candidates never matched the verify
+    // joins anyway, so the output is unchanged.
+    val cand = Checkpoint(
+      minHashCandidatePairs(docs, k, numHashes, bands, md5Family, maxBucket))
+    val candIds = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+    val needed = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val sh = Checkpoint(hashedShingleSets(needed, k))
+    cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"),
@@ -428,17 +440,28 @@ object Dedup {
         tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("blk"), ngramsOfTokens(col("toks"), n).as("ngs"))
       .select(col("doc_id"), col("blk"), hashedSortedSet(col("ngs")).as("ng"))
-    val i = graft.functions.TextFunctions
-      .sortedIntersectCount(col("a.ng"), col("b.ng")).cast("double")
-    def c(side: String) = when(size(col(s"$side.ng")) === 0, lit(0.0))
-      .otherwise(i / size(col(s"$side.ng")).cast("double"))
+    // r16: one merge-count per pair instead of four — the threshold
+    // filter's greatest(c_ab, c_ba) and the two projected ratios each
+    // re-evaluated the O(|ng|) intersect. Computing `_i` once in an
+    // intermediate projection leaves at most one pushed-filter copy
+    // (CollapseProject keeps the split: a non-cheap alias referenced
+    // more than once is not inlined). Same IEEE step order as before.
+    def cOf(i: Column, n: Column) =
+      when(n === 0.0, lit(0.0)).otherwise(i / n)
     g.as("a").join(g.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .filter(greatest(c("a"), c("b")) >= threshold)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        size(col("a.ng")).cast("long").as("n_a"),
-        size(col("b.ng")).cast("long").as("n_b"),
-        round(c("a"), 4).as("c_ab"), round(c("b"), 4).as("c_ba"))
+        graft.functions.TextFunctions
+          .sortedIntersectCount(col("a.ng"), col("b.ng")).cast("double")
+          .as("_i"),
+        size(col("a.ng")).cast("double").as("_na"),
+        size(col("b.ng")).cast("double").as("_nb"))
+      .filter(greatest(cOf(col("_i"), col("_na")),
+        cOf(col("_i"), col("_nb"))) >= threshold)
+      .select(col("a_id"), col("b_id"),
+        col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
+        round(cOf(col("_i"), col("_na")), 4).as("c_ab"),
+        round(cOf(col("_i"), col("_nb")), 4).as("c_ba"))
   }
 
   /** L2 — embedding-cosine near-dups, exact all-pairs via a broadcast
@@ -951,22 +974,40 @@ object Dedup {
       length(col("text")).cast("long").as("len"),
       simHash60(toks).as("sh"),
       hashedSortedSet(ngramsOfTokens(toks, n)).as("ng"))
-    val i = graft.functions.TextFunctions
-      .sortedIntersectCount(col("a.ng"), col("b.ng")).cast("double")
-    def c(side: String) = when(size(col(s"$side.ng")) === 0, lit(0.0))
-      .otherwise(i / size(col(s"$side.ng")).cast("double"))
+    // r16: ONE native merge-count per pair. jaccard + both containments
+    // each referenced the O(|ng|) sorted-intersect; codegen does not
+    // eliminate the common subexpression across a projection's CASE
+    // branches, so every pair paid the merge loop three times (this was
+    // the bench's top task-CPU query). The two-step projection computes
+    // `_i` once and derives the three ratios with the SAME IEEE step
+    // order as before (i/u with u = |A|+|B|−i; i/|side| guarded on 0),
+    // so outputs are bit-identical.
     g.as("a").join(g.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        round(hashedJaccard(col("a.ng"), col("b.ng")), 4).as("jaccard"),
-        round(c("a"), 4).as("c_ab"), round(c("b"), 4).as("c_ba"),
-        when(greatest(col("a.len"), col("b.len")) === 0, lit(1000L))
-          .otherwise(floor(least(col("a.len"), col("b.len")).cast("double")
-            * 1000.0 / greatest(col("a.len"), col("b.len")).cast("double"))
+        graft.functions.TextFunctions
+          .sortedIntersectCount(col("a.ng"), col("b.ng")).cast("double")
+          .as("_i"),
+        size(col("a.ng")).cast("double").as("_na"),
+        size(col("b.ng")).cast("double").as("_nb"),
+        col("a.len").as("_la"), col("b.len").as("_lb"),
+        col("a.sh").as("_sha"), col("b.sh").as("_shb"),
+        col("a.fp").as("_fpa"), col("b.fp").as("_fpb"))
+      .select(col("a_id"), col("b_id"),
+        round(when(col("_na") + col("_nb") - col("_i") === 0.0, lit(0.0))
+          .otherwise(col("_i") / (col("_na") + col("_nb") - col("_i"))), 4)
+          .as("jaccard"),
+        round(when(col("_na") === 0.0, lit(0.0))
+          .otherwise(col("_i") / col("_na")), 4).as("c_ab"),
+        round(when(col("_nb") === 0.0, lit(0.0))
+          .otherwise(col("_i") / col("_nb")), 4).as("c_ba"),
+        when(greatest(col("_la"), col("_lb")) === 0, lit(1000L))
+          .otherwise(floor(least(col("_la"), col("_lb")).cast("double")
+            * 1000.0 / greatest(col("_la"), col("_lb")).cast("double"))
             .cast("long")).as("len_ratio_milli"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+        bit_count(col("_sha").bitwiseXOR(col("_shb"))).cast("long")
           .as("sh_hamming"),
-        (col("a.fp") === col("b.fp")).as("exact_dup"))
+        (col("_fpa") === col("_fpb")).as("exact_dup"))
   }
 
   /** L2u — LSH banding parameter planner: the s-curve table an engineer
