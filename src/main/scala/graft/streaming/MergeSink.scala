@@ -2677,41 +2677,48 @@ object MergeSink {
     requireKeyName(storeDir, key)
     if (alreadyApplied(storeDir, batchId)) return
     val spark = batch.sparkSession
-    val latest = readHead(storeDir)
-    val parent = latest.getOrElse(-1L)
-    val version = parent + 1
-    val manifest = latest.map(readManifest(storeDir, _)).getOrElse(Map.empty)
-    val (batchEff, effValueCols, target) =
-      evolutionPlan(batch, key, valueCols,
-        latest.flatMap(readSchema(storeDir, _)), storeDir)
-    // the CHECK gate fires BEFORE the claim: a violating batch leaves
-    // no marker, no files, no replay-state advance
-    enforceConstraints(batchEff, opCol, storeDir)
-    // claim-first, for the same same-parent-same-dir reason as
-    // applyBatchFrom: refuse a racing writer before any file moves
-    val claim = claimCommit(storeDir, version, parent, batchId)
-    val touched = batch.select(bucketOf(key, nBuckets).as("_bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted.toSeq
-    val parentDv = latest.map(readManifestDv(storeDir, _)).getOrElse(Map.empty)
-    val survivors =
-      if (touched.isEmpty) Seq.empty[Long]
-      else withClaimHeartbeat(claim) {
-        mergeTouched(spark, batchEff, key, opCol, verCol, effValueCols,
-          target, manifest, touched, nBuckets, storeDir, version, claim,
-          parentDv)
-      }
-    // untouched buckets keep their old version; a touched bucket whose
-    // merged content is EMPTY (all keys deleted) leaves the manifest.
-    // Rewritten buckets materialized through their deletion vectors,
-    // so their dv tokens clear; untouched buckets keep theirs.
-    val merged = manifest -- touched ++ survivors.map(b => b -> version)
-    writeManifest(storeDir, version, merged, Some(nBuckets.toLong),
-      parentDv -- touched)
-    writeSchema(storeDir, version, target)
-    verifyClaim(claim)
-    writeLongAtomic(latestPath(storeDir), version)
-    writeLongAtomic(lastBatchPath(storeDir), batchId)
-    pruneCommitMarkers(storeDir)
+    // the batch plan executes at least twice (touched-bucket collect,
+    // then the merge) — for a streaming micro-batch that plan includes
+    // the whole parse pipeline, so persist for the commit's scope
+    // (r16; commit-scoped, not a cross-run cache)
+    batch.persist()
+    try {
+      val latest = readHead(storeDir)
+      val parent = latest.getOrElse(-1L)
+      val version = parent + 1
+      val manifest = latest.map(readManifest(storeDir, _)).getOrElse(Map.empty)
+      val (batchEff, effValueCols, target) =
+        evolutionPlan(batch, key, valueCols,
+          latest.flatMap(readSchema(storeDir, _)), storeDir)
+      // the CHECK gate fires BEFORE the claim: a violating batch leaves
+      // no marker, no files, no replay-state advance
+      enforceConstraints(batchEff, opCol, storeDir)
+      // claim-first, for the same same-parent-same-dir reason as
+      // applyBatchFrom: refuse a racing writer before any file moves
+      val claim = claimCommit(storeDir, version, parent, batchId)
+      val touched = batch.select(bucketOf(key, nBuckets).as("_bucket"))
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      val parentDv = latest.map(readManifestDv(storeDir, _)).getOrElse(Map.empty)
+      val survivors =
+        if (touched.isEmpty) Seq.empty[Long]
+        else withClaimHeartbeat(claim) {
+          mergeTouched(spark, batchEff, key, opCol, verCol, effValueCols,
+            target, manifest, touched, nBuckets, storeDir, version, claim,
+            parentDv)
+        }
+      // untouched buckets keep their old version; a touched bucket whose
+      // merged content is EMPTY (all keys deleted) leaves the manifest.
+      // Rewritten buckets materialized through their deletion vectors,
+      // so their dv tokens clear; untouched buckets keep theirs.
+      val merged = manifest -- touched ++ survivors.map(b => b -> version)
+      writeManifest(storeDir, version, merged, Some(nBuckets.toLong),
+        parentDv -- touched)
+      writeSchema(storeDir, version, target)
+      verifyClaim(claim)
+      writeLongAtomic(latestPath(storeDir), version)
+      writeLongAtomic(lastBatchPath(storeDir), batchId)
+      pruneCommitMarkers(storeDir)
+    } finally batch.unpersist()
   }
 
   /** The SQL front door's WRITE half ([[graft.sources.GraftDataSource]]
@@ -3084,6 +3091,12 @@ object MergeSink {
     if (replayGuard &&
       readLong(occLastBatchPath(storeDir, writer)).exists(_ >= batchId)) return
     val spark = batch.sparkSession
+    // commit-scoped persist (r16), as in applyBucketedBatch: the batch
+    // plan executes for the touched collect, per-attempt evolution/
+    // constraint checks, and the merge itself — and a streaming batch's
+    // plan includes its whole parse pipeline
+    batch.persist()
+    try {
     val touched = batch.select(bucketOf(key, nBuckets).as("_bucket"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
     var attempt = 0
@@ -3234,6 +3247,7 @@ object MergeSink {
         }
       }
     }
+    } finally batch.unpersist()
   }
 
   /** Internal: a committed-chain shape forcing an OCC rebase (parent
