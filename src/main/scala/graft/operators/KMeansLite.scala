@@ -30,9 +30,31 @@ object KMeansLite {
     val dim = sample.head.length
     val rnd = new scala.util.Random(seed)
     var centroids = Array(sample(rnd.nextInt(sample.length)).clone())
-    while (centroids.length < math.min(k, sample.length)) {
-      val far = sample.maxBy(p => centroids.map(c => dist2(p, c)).min)
-      centroids :+= far.clone()
+    // farthest-point init, INCREMENTAL (r16): keep each point's
+    // min-distance-to-chosen and update it as centroids are added —
+    // O(n·k) instead of the O(n·k²) re-scan (which also allocated a
+    // distance array per point per step; measured ~2 s of driver gap
+    // per PQ training at m=16, k=64). Selection is identical: the
+    // running minima equal the re-scan's minima, and the first-max
+    // scan matches maxBy's first-wins tie-break.
+    locally {
+      val n = sample.length
+      val minD = new Array[Double](n)
+      var i = 0
+      while (i < n) { minD(i) = dist2(sample(i), centroids(0)); i += 1 }
+      val kEff = math.min(k, n)
+      while (centroids.length < kEff) {
+        var bi = 0; var bv = minD(0); i = 1
+        while (i < n) { if (minD(i) > bv) { bv = minD(i); bi = i }; i += 1 }
+        val far = sample(bi).clone()
+        centroids :+= far
+        i = 0
+        while (i < n) {
+          val d = dist2(sample(i), far)
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
+      }
     }
     var it = 0
     while (it < iters) {

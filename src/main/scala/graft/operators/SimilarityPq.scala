@@ -55,11 +55,19 @@ object SimilarityPq {
     val sample = raw.map(unitNorm)
     val dim = sample.head.length
     require(m <= dim, s"m=$m subquantizers need at least m dims (got $dim)")
-    (0 until m).map { i =>
+    // the m subquantizers are independent (seed + i) — train them
+    // concurrently on the driver (r16; the serial loop was ~2 s of
+    // pure driver gap per PQ query). Futures preserve index order, so
+    // the result is byte-identical to the serial loop.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val trained = (0 until m).map { i => Future {
       val lo = dim * i / m
       val hi = dim * (i + 1) / m
       KMeansLite.lloyd(sample.map(_.slice(lo, hi)), k, iters, seed + i)
-    }.toArray
+    }}
+    trained.map(Await.result(_, Duration.Inf)).toArray
   }
 
   private def unitNorm(v: Array[Float]): Array[Float] = {
