@@ -32,18 +32,21 @@ object KCore {
       rounds: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
-    // fixed unroll, no per-round driver decision: lazy checkpoints keep
-    // the lineage cut (each round's plan is a scan of the previous
-    // round's blocks) but defer ALL materialization to the caller's one
-    // action — 1 job instead of rounds+1 sequential checkpoint jobs
+    // EAGER checkpoints, deliberately (measured r16): each round's edge
+    // set feeds THREE consumers (the degree aggregate and both semi-join
+    // probe sides), and a lazy unroll let those stages race to compute
+    // the same un-cached blocks repeatedly inside the one final job —
+    // min-of-4 6.68 s lazy vs 2.74 s eager. The bfsHops lesson applies
+    // wherever a lazily-checkpointed frame has >1 consumer in the same
+    // action.
     var e = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .repartition(col("src")).transform(Checkpoint.lazily)
+      .repartition(col("src")).transform(Checkpoint.apply)
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("_deg"))
         .filter(col("_deg") >= k).select("src")
       e = e.join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .transform(Checkpoint.lazily)
+        .transform(Checkpoint.apply)
       ()
     }
     // one more degree pass decides stability: a node below k after the

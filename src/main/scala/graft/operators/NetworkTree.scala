@@ -94,9 +94,10 @@ object NetworkTree {
     * once. */
   def degreeOrientedEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // e0 feeds the degree aggregate AND the twice-joined edge stream —
-    // checkpoint so the caller's (possibly expensive) pair generation
-    // runs once; lazily, so a single-consumer caller pays no extra job
-    val e0 = Checkpoint.lazily(
+    // EAGER checkpoint (the kCore lesson, measured r16): three
+    // consumers in one materializing action race to compute un-cached
+    // lazy blocks, re-running the caller's pair generation
+    val e0 = Checkpoint(
       pairs.select(col(aCol).as("a"), col(bCol).as("b"))
         .filter(col("a") < col("b")))
     val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
