@@ -33,6 +33,19 @@ object Bench {
       // restore the 1m default.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // The whole-stage-codegen compilation cache (static conf) holds
+      // 100 entries by default — any session running more than a
+      // handful of distinct queries (a Thrift server, a streaming
+      // driver, this 250-query surface) thrashes it and re-pays Janino
+      // compilation for every stage of every query, forever. 8192
+      // entries keeps steady-state execution compile-free at the cost
+      // of driver metaspace only (measured r16: full-surface bench
+      // 218 s → 155 s, 183 queries faster, zero slower; every store
+      // build faster — the micro-batch MERGE plan recompiled per
+      // commit before). Scale-neutral: the cache is per-driver and
+      // entry sources are partition-count-independent.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/shuffle machinery once so the first timed

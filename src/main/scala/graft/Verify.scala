@@ -19,6 +19,11 @@ object Verify {
       // match Bench: low AQE coalesce floor for CPU-dense stages (r16)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // match Bench: codegen compile cache sized for a multi-query
+      // session (default 100 thrashes across this surface — see
+      // Bench.scala for the measured rationale)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** javax.imageio defaults to useCache=true: every `ImageIO.read`
+    * over a stream spins up a FileCacheImageInputStream — a TEMP FILE
+    * created, written and deleted PER DECODE CALL. Under 32 concurrent
+    * decode tasks that is disk I/O plus temp-dir contention for
+    * payloads that are already in memory (task metrics showed run-time
+    * ≫ CPU-time on the decode stages — tasks blocked, not computing).
+    * Memory-cached streams decode byte-identically; set once per JVM,
+    * referenced from every ImageIO entry point in this object. */
+  private[operators] lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, media_type: String,
       n_bytes: Int, width: Int, height: Int, mean_luma: Double)
@@ -40,7 +51,8 @@ object Multimodal {
     /** Real image decode (JDK ImageIO): true width/height and mean
       * luminance (band-averaged for multi-band rasters). None when the
       * bytes do not decode — corrupt payloads degrade, never throw. */
-    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+      imageIoMemCache
       try Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))).map { img =>
         val r = img.getRaster
@@ -60,6 +72,7 @@ object Multimodal {
         }
         (w, h, sum / (w.toLong * h).toDouble)
       } catch { case _: Throwable => None }
+    }
 
     /** Deterministic pseudo-features for media types whose codec the
       * container does not ship (audio/video): byte-derived dimensions +
@@ -121,7 +134,8 @@ object Multimodal {
     * and uniform brightness shifts (gradients survive both), which is
     * exactly what byte-level dedup misses for images. None when the
     * payload does not decode. */
-  def dHash64(payload: Array[Byte]): Option[Long] =
+  def dHash64(payload: Array[Byte]): Option[Long] = {
+    imageIoMemCache
     (try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload)))
      catch { case _: Throwable => None }).map { img =>
@@ -171,6 +185,7 @@ object Multimodal {
       }
       hash
     }
+  }
 
   /** Per-image fingerprints over a media table — map-only batched per
     * partition (the codec boundary shape); non-image / undecodable

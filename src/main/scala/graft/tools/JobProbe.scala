@@ -25,6 +25,9 @@ object JobProbe {
       // match Bench: low AQE coalesce floor for CPU-dense stages (r16)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // match Bench: codegen compile cache sized for a multi-query session
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
     // A/B experiment knob: GRAFT_PROBE_CONF="k=v;k=v" applies extra
     // session confs so a hypothesis (AQE off? bigger advisory size?)
     // is one env var, not a recompile.

@@ -23,6 +23,9 @@ object TimePipeline {
       // match Bench: low AQE coalesce floor for CPU-dense stages (r16)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // match Bench: codegen compile cache sized for a multi-query session
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // GRAFT_PROBE_JOBS: per-job wall/gap breakdown (guide §1 — a store
