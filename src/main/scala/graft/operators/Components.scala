@@ -56,27 +56,31 @@ object Components {
     var labels = nodes.select(col(nodeC).as("_n"), col(nodeC).as("_lab"))
       .union(sym.select(col("_n"), col("_n").as("_lab"))).distinct()
       .transform(Checkpoint.lazily)
-    // labels only ever decrease, so the (node, label) multiset changes on
-    // every non-converged round: a stable checksum IS convergence — one
-    // scalar aggregate per round instead of a change-counting join.
-    // bit_xor (not sum) is order-insensitive AND cannot overflow under
-    // ANSI mode; xxhash64 folds non-numeric node ids in.
-    def checksum(df: DataFrame): Long =
-      df.agg(coalesce(expr("bit_xor(xxhash64(_n, _lab))"), lit(0L)))
-        .head.getLong(0)
-    var prev = checksum(labels)
+    val labType = labels.schema("_lab").dataType
+    // Convergence = a round in which no label changed. The change count
+    // is FOLDED INTO the round's own aggregate (r16): each node's
+    // previous label rides along as `_old` (labels rows carry it, the
+    // O(E) message rows carry null — max() recovers the unique non-null
+    // per node), so one scalar action per round both materializes the
+    // round's checkpointed blocks AND decides convergence. This drops
+    // the separate round-0 checksum job the previous stable-checksum
+    // scheme needed as its reference point, and the per-row xxhash64
+    // with it; equality of rounds is exactly "zero labels changed"
+    // because labels only ever decrease.
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val msgs = sym.join(labels, "_n").select(col("_m").as("_n"), col("_lab"))
-      // lazily + checksum = ONE job per round (the checksum action
-      // materializes the round's blocks), halving the loop's job count
-      val next = labels.union(msgs).groupBy("_n").agg(min("_lab").as("_lab"))
+      val msgs = sym.join(labels, "_n").select(col("_m").as("_n"),
+        col("_lab"), lit(null).cast(labType).as("_old"))
+      val next = labels.withColumn("_old", col("_lab")).union(msgs)
+        .groupBy("_n").agg(min("_lab").as("_lab"), max("_old").as("_old"))
         .transform(Checkpoint.lazily)
-      val cur = checksum(next)
-      converged = cur == prev
-      prev = cur
-      labels = next
+      val changed = next
+        .agg(coalesce(sum(when(!(col("_lab") <=> col("_old")), 1L)
+          .otherwise(0L)), lit(0L)))
+        .head.getLong(0)
+      converged = changed == 0L
+      labels = next.select("_n", "_lab")
       round += 1
     }
     if (!converged) throw new IllegalStateException(
