@@ -456,8 +456,22 @@ object TextAnalysis {
   def unigramKl(docs: DataFrame, sourceCol: String = "source"): DataFrame = {
     val tok = docs.select(col(sourceCol).as("src"),
       explode(tokens(col("text"))).as("t"))
-    val st = tok.groupBy("src", "t").agg(count(lit(1)).as("c_st"))
-    val ct = tok.groupBy("t").agg(count(lit(1)).as("c_ct"))
+    // EAGER checkpoint (r16): st feeds three consumers (the pooled ct
+    // fold, the per-source totals, and the final join), and each
+    // acquires different pushed isnotnull filters — the subtrees stop
+    // being canonically equal, so runtime exchange reuse does NOT fire
+    // and the corpus-wide tokenize+explode+aggregate executed once per
+    // consumer (seen in executed-plan metrics). The table is bounded
+    // (sources × vocab), so materializing it once is the scale-safe
+    // trade; eager because multiple AQE stages racing a lazy
+    // checkpoint recompute the same blocks (the kCore lesson).
+    val st = Checkpoint(
+      tok.groupBy("src", "t").agg(count(lit(1)).as("c_st")))
+    // pooled per-token counts FOLD the per-source aggregate instead of
+    // re-exploding the corpus (r16, guide §2.3): Σ_src c_st ≡ c_ct by
+    // definition, so the second pass shuffles O(sources × vocab)
+    // pre-aggregated rows, not O(corpus tokens) exploded ones
+    val ct = st.groupBy("t").agg(sum("c_st").as("c_ct"))
     val ns = st.groupBy("src").agg(sum("c_st").as("n_s"),
       count(lit(1)).as("n_distinct_toks"))
     val scal = ct.agg(sum("c_ct").as("n_c"), count(lit(1)).as("v"))
@@ -495,10 +509,24 @@ object TextAnalysis {
     val grams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => concat(a, lit(" "), b))
     val refG = reference.select(explode(grams).as("g"))
-    val big = refG.groupBy("g").agg(count(lit(1)).as("cb"))
-    val uni = refG
+    // EAGER checkpoint (r16): big feeds both the doc-gram join (which
+    // pushes isnotnull(g) into it) and the unigram-context fold below
+    // (which pushes isnotnull on the w1 prefix) — the differing pushed
+    // filters break canonical subtree equality, so the reference-wide
+    // bigram explode+aggregate executed TWICE at runtime (executed-plan
+    // metrics: two 28k-row exchanges over two Generate nodes, only the
+    // scan exchange reused). The distinct-bigram table is
+    // vocab²-bounded; materialize it once for both consumers.
+    val big = Checkpoint(refG.groupBy("g").agg(count(lit(1)).as("cb")))
+    // unigram-context counts FOLD the bigram aggregate instead of
+    // re-tokenizing the reference (r16, guide §2.3): Σ_{g: w1(g)=w}
+    // cb ≡ count of bigram instances starting with w (tokens carry no
+    // spaces, so the prefix split is exact). The reference corpus is
+    // now exploded for bigrams ONCE, and this shuffle carries
+    // O(distinct bigrams), not O(reference tokens)
+    val uni = big
       .groupBy(element_at(split(col("g"), " ", 2), 1).as("w1"))
-      .agg(count(lit(1)).as("cu"))
+      .agg(sum("cb").as("cu"))
     val vocab = reference.select(explode(toks).as("t")).distinct()
       .agg((count(lit(1)) + lit(1L)).as("v")) // +1 = the UNK type
     val docG = corpus
