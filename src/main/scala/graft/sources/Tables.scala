@@ -61,8 +61,22 @@ object Tables {
     * default readers: at fleet scale the scan has thousands of natural
     * splits and an unconditional round-robin exchange is a pure tax —
     * round-5 bench showed it costing 2-4× on map-light queries
-    * (f11/f12/f13). Call it only from a driver program that knows its
-    * input is under-split relative to the per-row CPU cost. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * (f11/f12/f13).
+    *
+    * SPLIT-AWARE since r17 (VERDICT r16 #3): the repartition now fires
+    * only when the PLANNED scan has fewer partitions than the session's
+    * parallelism, so a declared query is scale-safe without per-site
+    * judgment — over a well-split fleet table this is the identity (no
+    * Exchange in the plan), over the single-split testdata it spreads
+    * exactly as before. The probe builds the pre-AQE physical plan and
+    * counts its RDD partitions — planning only, no job (every call site
+    * passes a scan-shaped frame; a probe failure conservatively assumes
+    * under-split and keeps the old unconditional behavior). */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val planned =
+      try df.queryExecution.sparkPlan.execute().getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    if (planned >= target) df else df.repartition(target)
+  }
 }

@@ -184,6 +184,34 @@ class PlanSpec extends SparkTestBase {
       .findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("spread is split-aware: spreads a single-split scan, identity over a well-split one") {
+    // VERDICT r16 #3: the repartition must fire only when the planned
+    // scan is under-split relative to the session parallelism — a
+    // fleet-scale table with thousands of natural splits must NOT pay
+    // a round-robin exchange of raw scan rows
+    import org.apache.spark.sql.functions.col
+    val target = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
+    // single file, single row group -> 1 planned partition < target
+    spark.range(0, 1000, 1, 1).selectExpr("id", "id * 2 AS v")
+      .write.mode("overwrite").parquet(s"$dir/one")
+    val one = spark.read.parquet(s"$dir/one")
+    val spreadOne = graft.sources.Tables.spread(one)
+    assert(spreadOne.rdd.getNumPartitions == target,
+      "under-split scan must spread to defaultParallelism")
+    // well-split input: >= target files -> identity, NO added Exchange
+    spark.range(0, 1000, 1, target).selectExpr("id", "id * 2 AS v")
+      .write.mode("overwrite").parquet(s"$dir/many")
+    val many = spark.read.parquet(s"$dir/many")
+    val spreadMany = graft.sources.Tables.spread(many)
+    assert(spreadMany.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "well-split scan must not gain an Exchange")
+    // results identical either way
+    assert(spreadMany.select(col("id")).collect().map(_.getLong(0)).sorted
+      .sameElements(many.select(col("id")).collect().map(_.getLong(0)).sorted))
+  }
+
   test("a8 percentiles: exact percentile aggregates with a map-side partial phase") {
     val p = plan("a8_percentiles")
     assert(p.contains("partial_percentile"), p.take(2000))
