@@ -28,12 +28,25 @@ object Regression {
 
   /** Per-group OLS fit of integer `y` on integer `x`. `yScale` divides
     * the reported slope/intercept back into caller units (e.g. 100 when
-    * y was quantized from a 2-dp double). */
+    * y was quantized from a 2-dp double).
+    *
+    * Accumulator width (r17, VERDICT r16 #6): the moments accumulate as
+    * DECIMAL(38,0) — still exact integers (the determinism contract
+    * above is unchanged; the same exact values convert to the same
+    * doubles), but a 10⁹-range y no longer overflows Σy² the way a
+    * 64-bit sum does (y = 10¹¹ after ×100 quantization ⇒ y² ≈ 10²²
+    * per ROW). This mirrors the DuckDB oracle, whose BIGINT sums
+    * auto-promote to HUGEINT. First-order derived terms (n·Σxy, Σx·Σy)
+    * stay within 38 digits for any y ≤ ~10¹⁵ at 10⁹ rows per group;
+    * squares of derived terms (R²'s num²) are computed in doubles on
+    * both engines, exactly as before. */
   def ols(df: DataFrame, group: Seq[String], x: Column, y: Column,
       yScale: Long = 1L, digits: Int = 6): DataFrame = {
     require(yScale > 0, s"yScale must be positive (got $yScale)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val m = df
-      .select(group.map(col) :+ x.cast("long").as("_x") :+ y.cast("long").as("_y"): _*)
+      .select(group.map(col) :+ x.cast("long").cast(dec).as("_x")
+        :+ y.cast("long").cast(dec).as("_y"): _*)
       .groupBy(group.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum("_x").as("sx"), sum("_y").as("sy"),

@@ -52,6 +52,26 @@ class RegressionBitmapSpec extends SparkTestBase {
     assert(math.abs(ours.getAs[Double]("intercept") - ref.getDouble(1)) < 1e-5)
   }
 
+  test("A18 OLS survives 10^9-range y (VERDICT r16 #6: sum(y*y) would overflow a long)") {
+    // y ~ 1e9 => y*y ~ 1e18 per row; 40 rows sum to ~4e19 > Long.Max —
+    // the r16 sf1 scaler hit exactly this as an ANSI overflow error.
+    // DECIMAL(38,0) accumulators keep the moments exact (the DuckDB
+    // oracle's BIGINT sums auto-promote to HUGEINT the same way).
+    val big = Seq.tabulate(40)(i =>
+      ("g", i.toLong, 1000000000L + 2L * i)).toDF("g", "x", "y")
+    val fit = Regression.ols(big, Seq("g"), col("x"), col("y")).collect().head
+    // exact line y = 2x + 1e9: slope and intercept recovered exactly
+    assert(fit.getAs[Double]("slope") == 2.0)
+    assert(fit.getAs[Double]("intercept") == 1.0e9)
+    assert(fit.getAs[Double]("r2") == 1.0)
+    // and the small-magnitude path is bit-identical to the long-era
+    // closed form: same exact integers -> same doubles
+    val line = Seq.tabulate(10)(i => ("g", i.toLong, 2L * i + 3)).toDF("g", "x", "y")
+    val small = Regression.ols(line, Seq("g"), col("x"), col("y")).collect().head
+    assert(small.getAs[Double]("slope") == 2.0 &&
+      small.getAs[Double]("intercept") == 3.0)
+  }
+
   test("A23 correlation matrix: exact +/-1, builtin agreement, constant-column NULL") {
     val df = Seq.tabulate(40) { i =>
       (i.toLong, 2L * i + 5, 100L - 3 * i, (i * i * 7 % 13).toLong, 9L)
