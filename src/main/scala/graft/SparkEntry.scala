@@ -7240,6 +7240,17 @@ object SparkEntry {
   private def buildCapstoneStoreUncached(s: SparkSession, d: String,
       everyNth: Long): String = {
     import java.nio.file.{Files => JFiles}
+    // measurement hook (guide §1): GRAFT_PROBE_PHASES=1 prints the
+    // build's phase walls to stderr; zero cost when unset
+    val probePhases = sys.env.contains("GRAFT_PROBE_PHASES")
+    @inline def phase[T](name: String)(body: => T): T =
+      if (!probePhases) body
+      else {
+        val t0 = System.nanoTime()
+        try body
+        finally System.err.println(
+          f"[phase] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     val e0 = ev(s, d)
     val e = if (everyNth > 1L) e0.filter(col("event_id") % everyNth === 0) else e0
     // the s2 synthetic frame (layout per ssidentity.h:36-42)
@@ -7295,7 +7306,21 @@ object SparkEntry {
     // the max() read the cache instead of re-encoding the slice each
     // time (5 passes → 1 + 4 cached scans)
     lines.persist()
-    val maxId = lines.agg(max(col("eid"))).head.getLong(0)
+    // materialize the cache and take max(eid) in ONE single-stage job
+    // (r17): the aggregate's exchange + AQE stage round bought nothing
+    // for a scalar over ≤32 cached partitions — fold per partition,
+    // max on the driver
+    val maxId = phase("synth.materialize") {
+      val parts = lines.select(col("eid")).rdd
+        .mapPartitions { it =>
+          var m = Long.MinValue
+          it.foreach(r => m = math.max(m, r.getLong(0)))
+          Iterator.single(m)
+        }.collect()
+      require(parts.nonEmpty && parts.max != Long.MinValue,
+        "capstone build: empty events slice")
+      parts.max
+    }
     // the four quarter writes are independent single-file jobs over the
     // persisted cache — submit them concurrently (guide §2.6) so each
     // coalesce(1) writer's single-task tail overlaps the others'
@@ -7319,7 +7344,7 @@ object SparkEntry {
         JFiles.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
       }}
-      writes.foreach(Await.result(_, Duration.Inf))
+      phase("synth.quarterWrites") { writes.foreach(Await.result(_, Duration.Inf)) }
     }
     lines.unpersist()
     val store = work.resolve("store").toString
@@ -7333,14 +7358,18 @@ object SparkEntry {
         col("sensorId").as("ver"), col("ssid"),
         col("rssi").cast("long").as("rssi"),
         col("freq").cast("long").as("freq"))
-    val q = cdc.writeStream
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.streaming.MergeSink.applyBucketedBatch(batch, batchId,
-          store, "mac", "op", "ver", Seq("ssid", "rssi", "freq"),
-          nBuckets = 16)
-      }.start()
-    try q.processAllAvailable() finally q.stop()
+    phase("stream.total") {
+      val q = cdc.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          phase(s"batch$batchId.total") {
+            graft.streaming.MergeSink.applyBucketedBatch(batch, batchId,
+              store, "mac", "op", "ver", Seq("ssid", "rssi", "freq"),
+              nBuckets = 16)
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
     store
   }
 

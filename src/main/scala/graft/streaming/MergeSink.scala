@@ -62,6 +62,18 @@ import graft.operators.Snapshot
   */
 object MergeSink {
 
+  /** Measurement hook (guide §1): GRAFT_PROBE_PHASES=1 prints each
+    * commit phase's wall to stderr. Zero cost when unset. */
+  private val probePhases = sys.env.contains("GRAFT_PROBE_PHASES")
+  @inline private def phase[T](name: String)(body: => T): T =
+    if (!probePhases) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[phase] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
   private def latestPath(storeDir: String) = Paths.get(storeDir, "_latest")
   /** Registry metadata key marking a column ADDED by [[addColumns]]
     * (optional in writes — see applyBucketedBatch's write-old path). */
@@ -553,14 +565,14 @@ object MergeSink {
       (java.util.concurrent.ThreadLocalRandom.current().nextLong()
         & Long.MaxValue))
     try {
-      val result = write(stage.toString)
+      val result = phase("publish.write") { write(stage.toString) }
       // DATA-SKIPPING STATS, recorded at the single choke point every
       // version-dir writer publishes through: footer-read exactly the
       // files this commit wrote (metadata-only — no data re-read) into
       // the `_stats/<version>` sidecar the scan path prunes by
       // ([[FileStats]]). ADVISORY: a failure here loses skipping for
       // this version, never the commit.
-      try writeFileStatsSidecar(storeDir, version, stage)
+      try phase("publish.stats") { writeFileStatsSidecar(storeDir, version, stage) }
       catch { case scala.util.control.NonFatal(_) => () }
       val dst = Paths.get(storeDir, s"v$version")
       verifyClaim(claim)
@@ -1195,6 +1207,24 @@ object MergeSink {
     * the literal twins replay). */
   private def bucketOf(key: String, nBuckets: Int) =
     pmod(xxhash64(keyCols(key).map(col): _*), lit(nBuckets.toLong))
+
+  /** The commit's touched-bucket set in ONE single-stage job: the
+    * bucket-id domain is ≤ nBuckets, so each task folds its partition
+    * into a tiny Long set and the driver unions them — no exchange, no
+    * AQE stage round (r17; the previous `.distinct().collect()` paid
+    * an exchange plus a stage-materialization round per micro-batch
+    * for a ≤nBuckets-row answer). Strictly better at any scale: the
+    * per-task result is bounded by the bucket count, not the data.
+    * This is also the action that materializes the commit-scoped
+    * persist, exactly as the distinct was. */
+  private def collectTouched(batch: DataFrame, key: String,
+      nBuckets: Int): Seq[Long] =
+    batch.select(bucketOf(key, nBuckets).as("_bucket")).rdd
+      .mapPartitions { it =>
+        val s = scala.collection.mutable.LongMap.empty[Unit]
+        it.foreach(r => s(r.getLong(0)) = ())
+        Iterator(s.keys.toArray)
+      }.collect().flatten.distinct.sorted.toSeq
 
   /** The store's bucket count as the PUBLISHED HEAD records it: the
     * head manifest's layout signature when present (the count and the
@@ -2687,37 +2717,39 @@ object MergeSink {
       val parent = latest.getOrElse(-1L)
       val version = parent + 1
       val manifest = latest.map(readManifest(storeDir, _)).getOrElse(Map.empty)
-      val (batchEff, effValueCols, target) =
+      val (batchEff, effValueCols, target) = phase("evolutionPlan") {
         evolutionPlan(batch, key, valueCols,
           latest.flatMap(readSchema(storeDir, _)), storeDir)
+      }
       // the CHECK gate fires BEFORE the claim: a violating batch leaves
       // no marker, no files, no replay-state advance
-      enforceConstraints(batchEff, opCol, storeDir)
+      phase("constraints") { enforceConstraints(batchEff, opCol, storeDir) }
       // claim-first, for the same same-parent-same-dir reason as
       // applyBatchFrom: refuse a racing writer before any file moves
       val claim = claimCommit(storeDir, version, parent, batchId)
-      val touched = batch.select(bucketOf(key, nBuckets).as("_bucket"))
-        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      val touched = phase("touched") { collectTouched(batch, key, nBuckets) }
       val parentDv = latest.map(readManifestDv(storeDir, _)).getOrElse(Map.empty)
       val survivors =
         if (touched.isEmpty) Seq.empty[Long]
-        else withClaimHeartbeat(claim) {
+        else withClaimHeartbeat(claim) { phase("merge") {
           mergeTouched(spark, batchEff, key, opCol, verCol, effValueCols,
             target, manifest, touched, nBuckets, storeDir, version, claim,
             parentDv)
-        }
+        } }
       // untouched buckets keep their old version; a touched bucket whose
       // merged content is EMPTY (all keys deleted) leaves the manifest.
       // Rewritten buckets materialized through their deletion vectors,
       // so their dv tokens clear; untouched buckets keep theirs.
       val merged = manifest -- touched ++ survivors.map(b => b -> version)
-      writeManifest(storeDir, version, merged, Some(nBuckets.toLong),
-        parentDv -- touched)
-      writeSchema(storeDir, version, target)
-      verifyClaim(claim)
-      writeLongAtomic(latestPath(storeDir), version)
-      writeLongAtomic(lastBatchPath(storeDir), batchId)
-      pruneCommitMarkers(storeDir)
+      phase("bookkeeping") {
+        writeManifest(storeDir, version, merged, Some(nBuckets.toLong),
+          parentDv -- touched)
+        writeSchema(storeDir, version, target)
+        verifyClaim(claim)
+        writeLongAtomic(latestPath(storeDir), version)
+        writeLongAtomic(lastBatchPath(storeDir), batchId)
+        pruneCommitMarkers(storeDir)
+      }
     } finally batch.unpersist()
   }
 
@@ -3097,8 +3129,7 @@ object MergeSink {
     // plan includes its whole parse pipeline
     batch.persist()
     try {
-    val touched = batch.select(bucketOf(key, nBuckets).as("_bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val touched = phase("occ.touched") { collectTouched(batch, key, nBuckets) }
     var attempt = 0
     var backoffMs = 20L
     // Waiting on a LIVE contender is bounded by TIME (the lease
@@ -3142,11 +3173,12 @@ object MergeSink {
               "from the new head and retry")
       }
       val readParentSchema = latest.flatMap(readSchema(storeDir, _))
-      val (batchEff, effValueCols, target) =
+      val (batchEff, effValueCols, target) = phase("occ.evolutionPlan") {
         evolutionPlan(batch, key, valueCols, readParentSchema, storeDir)
+      }
       // the CHECK gate fires BEFORE any claim (every attempt re-reads
       // the registry — a constraint added between retries enforces)
-      enforceConstraints(batchEff, opCol, storeDir)
+      phase("occ.constraints") { enforceConstraints(batchEff, opCol, storeDir) }
       // in-flight claims beyond the committed head; abandoned ones
       // (writer died between claim and publish — live writers
       // heartbeat) are lease-expired and CAS-swept here so the slot
@@ -3207,10 +3239,12 @@ object MergeSink {
           }
         if (claim != null) {
           try {
-            occPublish(spark, storeDir, claim, version, parent, batchId,
-              writer, batchEff, key, opCol, verCol, effValueCols, target,
-              baseManifest, baseDv, readParentSchema, touched, nBuckets,
-              replayGuard, deleteOnly)
+            phase("occ.publish") {
+              occPublish(spark, storeDir, claim, version, parent, batchId,
+                writer, batchEff, key, opCol, verCol, effValueCols, target,
+                baseManifest, baseDv, readParentSchema, touched, nBuckets,
+                replayGuard, deleteOnly)
+            }
             return
           } catch {
             case _: OccRebase =>
