@@ -202,10 +202,12 @@ object Bench {
     // gracefully: full 1-decimal timings; then integer timings for the
     // >=10s outliers only (steal-noise width, where the decimal carries
     // no signal anyway); then integers everywhere; then keep only the
-    // SLOWEST entries that fit (largest k by time — they carry the
-    // baseline-comparison signal; "n_qdropped" counts the fast tail so
+    // SLOWEST entries that fit at 1 decimal (ranked by the integer-
+    // quantized value with a name tiebreak, so the kept SET is stable
+    // across same-tree runs — r17; "n_qdropped" counts the fast tail so
     // the omission is explicit, and every dropped entry is ≤ the
-    // smallest kept value); last resort, totals only (still parses).
+    // smallest kept value at integer precision); last resort, totals
+    // only (still parses).
     val allKeys = ok.keySet
     val budget = 1922
     val fullPrec = Iterator[Double => String](
@@ -218,18 +220,31 @@ object Bench {
     // the timed stdout set must be detectable by identity, not count)
     var keptChosen: Set[String] = allKeys
     val out = fullPrec.getOrElse {
-      val intFmt = (v: Double) => fmt(v, 0)
-      val byTimeDesc = ok.toSeq.sortBy { case (k, v) => (-v, k) }.map(_._1)
+      // Kept-set stabilization (r17, VERDICT r16 #5): rank by the
+      // INTEGER-quantized value with a name tiebreak, not the raw
+      // measurement — at the kept/dropped boundary the exact values
+      // are pure host-steal noise (a 0.9 s ↔ 1.1 s flip reshuffled
+      // ~19 entries per round and the driver read them as dropped
+      // queries), while the integer class flips only when a query
+      // crosses a 0.5 s rounding edge. Within one class membership is
+      // alphabetical — deterministic across same-tree runs. Kept
+      // entries carry 1 decimal (the driver's speedup math was losing
+      // real 2x wins to integer flattening); the dropped fast tail is
+      // still counted by n_qdropped and listed by name in
+      // bench_full.json's "dropped".
+      val oneDp = (v: Double) => fmt(v, 1)
+      val byTimeDesc = ok.toSeq
+        .sortBy { case (k, v) => (-math.round(v), k) }.map(_._1)
       // NOT monotone in k at the top boundary (dropping the first entry
       // ADDS the n_qdropped field, which can outweigh a short entry), so
       // every k is tested rather than binary-searched. k = |ok| was
       // already proven too long by fullPrec's integer attempt — start
       // below it.
       ((byTimeDesc.size - 1) to 0 by -1).iterator
-        .map(k => (byTimeDesc.take(k).toSet, line(intFmt, byTimeDesc.take(k).toSet)))
+        .map(k => (byTimeDesc.take(k).toSet, line(oneDp, byTimeDesc.take(k).toSet)))
         .find(_._2.length <= budget)
         .map { case (kept, l) => keptChosen = kept; l }
-        .getOrElse { keptChosen = Set.empty; line(intFmt, Set.empty) }
+        .getOrElse { keptChosen = Set.empty; line(oneDp, Set.empty) }
     }
     // Full-resolution artifact: the stdout line above is tail-budgeted
     // (integer-rounded, slowest-k-only in bad rounds), which blunts
