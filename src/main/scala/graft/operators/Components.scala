@@ -49,6 +49,15 @@ object Components {
     // lazily: the round-1 join materializes these inside its own job —
     // an eager checkpoint here would spend two extra sequential jobs on
     // block writes nothing reads until that join anyway
+    // NOT pre-partitioned by `_n` (r17, measured): hash-partitioning
+    // sym once up front would let every SMJ round reuse the exchange
+    // (guide §2.4) — but in the broadcast regime (labels ≪ edges, the
+    // common dedup-cluster shape at every scale until the vocabulary
+    // itself is huge) the rounds never shuffle sym at all, and the
+    // up-front exchange is a pure add: min-of-3 A/B read er_fs_link
+    // 1.94→2.36 s, l2g_dedup_clusters 1.72→1.85 s, all four probes
+    // worse. A deployment whose labels outgrow broadcast should
+    // repartition the EDGE input by src before calling.
     val sym = edges.select(col(srcC).as("_n"), col(dstC).as("_m"))
       .union(edges.select(col(dstC).as("_n"), col(srcC).as("_m")))
       .transform(Checkpoint.lazily)
