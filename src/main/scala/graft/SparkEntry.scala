@@ -1081,6 +1081,8 @@ object SparkEntry {
     "l2t_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.spread(Tables.documents(s, d)), "source",
           n = 3, threshold = 0.5)
+        // lineage barrier before the total sort (r17)
+        .transform(graft.operators.Checkpoint.apply)
         .orderBy("a_id", "b_id")),
 
     // ---- L2u: LSH banding planner — the s-curve table that picks
@@ -1096,6 +1098,10 @@ object SparkEntry {
     //      what a learned dedup adjudicator trains and serves on ----
     "l2w_pair_features" -> ((s, d) =>
       Dedup.pairFeatures(Tables.spread(Tables.documents(s, d)), "source", n = 3)
+        // lineage barrier before the total sort: the range sampler
+        // otherwise re-runs the fused per-pair feature stage — the
+        // bench's top task-CPU stage (r17; see er_fs_value_link)
+        .transform(graft.operators.Checkpoint.apply)
         .orderBy("a_id", "b_id")),
 
     // ---- L2v: the DATA half of threshold planning — the exact
@@ -1208,6 +1214,10 @@ object SparkEntry {
     "l2q_setsim_join" -> ((s, d) =>
       Dedup.setSimJoin(Tables.spread(Tables.documents(s, d)),
           n = 3, tNum = 1, tDen = 2)
+        // lineage barrier before the total sort: the range sampler
+        // otherwise re-runs the fused prefix-filter verify stage
+        // (r17; see er_fs_value_link)
+        .transform(graft.operators.Checkpoint.apply)
         .orderBy("a_id", "b_id")),
 
     // ---- L2g: near-dup pairs → transitive dedup CLUSTERS (hash-min
@@ -2225,6 +2235,15 @@ object SparkEntry {
       graft.operators.Linkage.scoreValuePairs(recs, col("p_partkey"),
           blk, col("entity_id"), FsFields, w, vw)
         .filter(col("score_micro") >= 0L)
+        // materialize the scored pairs before the declared total sort
+        // (r17, guide §2.4): orderBy's RangePartitioner SAMPLES its
+        // input, and the sampler re-executed the whole fused 6.6M-pair
+        // scoring stage (executed-plan metrics: the pair exchange read
+        // 2x its written rows; JobProbe: two 28-task stages of 11.5 s
+        // and 14.2 s task time for one scoring pass of declared work).
+        // The checkpoint is rows-out-sized and recomputed per run —
+        // a lineage barrier, not a cross-run cache.
+        .transform(graft.operators.Checkpoint.apply)
         .orderBy("a_id", "b_id")
     }),
 
