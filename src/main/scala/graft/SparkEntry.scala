@@ -1039,6 +1039,8 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 === 0),
           docs.filter(col("doc_id") % 10 =!= 0),
           threshold = 0.5, md5Family = true)
+        // lineage barrier before the total sort (r17)
+        .transform(graft.operators.Checkpoint.apply)
         .orderBy("doc_id")
     }),
 
