@@ -225,6 +225,10 @@ object Components {
     * candidacy: edges from `Dedup.ngramJaccardPairs` (blocked on
     * `blockCol`), components over ALL docs (singletons keep their own
     * id), plus the cluster size — the "what would dedup delete" report.
+    * Scale note: the edge stage inherits ngramJaccardPairs'
+    * block-quadratic semantics (11-17x at 10x data, r16 sf1) — at
+    * corpus scale generate edges from `Dedup.minHashNearDups` (banded
+    * candidates + exact verify) and cluster those instead.
     */
   def dedupClusters(docs: DataFrame, blockCol: String, n: Int = 3,
       threshold: Double = 0.2, star: Boolean = false): DataFrame = {

@@ -411,7 +411,14 @@ object Dedup {
 
   /** L2 — exact word-n-gram Jaccard over block-bounded pairs (equi-join
     * on the block column keeps the pair space co-partitioned; at 100 TB
-    * the block is an LSH band or length bucket, never the whole corpus). */
+    * the block is an LSH band or length bucket, never the whole corpus).
+    *
+    * SCALE NOTE (measured, r16 sf1 artifact): pair count is quadratic
+    * in block size by declared semantics — 10x data under a fixed
+    * low-cardinality block scaled 41.7x. The at-scale path is the
+    * banded twin [[minHashNearDups]] / [[minHashCandidatePairs]]
+    * (sublinear candidates, 3.9x at the same 10x), with this operator
+    * applied as the exact verify inside each band. */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, n: Int = 3,
       threshold: Double = 0.2): DataFrame = {
     val g = docs.select(col("doc_id"), col(blockCol).as("blk"),
@@ -433,7 +440,9 @@ object Dedup {
     * The dedup policy layer decides which side survives; this operator
     * just measures. Same blocked-pair shape and hashed-sorted-set
     * verification as [[ngramJaccardPairs]] — co-partitioned equi join
-    * on the block key, one native merge-count per pair. */
+    * on the block key, one native merge-count per pair; the same scale
+    * note applies (block-quadratic by declared semantics, 21.9x at 10x
+    * data — band with [[minHashCandidatePairs]] first at scale). */
   def containmentPairs(docs: DataFrame, blockCol: String, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val g = docs.select(col("doc_id"), col(blockCol).as("blk"),
@@ -966,7 +975,11 @@ object Dedup {
     * artifacts (sha-256 fingerprint, length, simhash, hashed gram set)
     * compute ONCE inside the scan and every feature derives from the
     * single blocked self-join. Blocked, never all-pairs (the l2c
-    * shape); slim artifacts join, text never does. */
+    * shape); slim artifacts join, text never does. Same scale note as
+    * [[ngramJaccardPairs]]: block-quadratic by declared semantics
+    * (33.8x at 10x data, r16 sf1) — at corpus scale feed it the
+    * [[minHashCandidatePairs]] band as the block key so the pair space
+    * is sublinear before features are computed. */
   def pairFeatures(docs: DataFrame, blockCol: String, n: Int = 3): DataFrame = {
     val toks = tokens(col("text"))
     val g = docs.select(col("doc_id"), col(blockCol).as("blk"),
