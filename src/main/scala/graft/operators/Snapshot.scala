@@ -76,7 +76,18 @@ object Snapshot {
     * before it meets the store), then a single co-partitioned full
     * outer join on the key the base is bucketed by — the base is never
     * windowed, never broadcast, never rewritten outside the touched
-    * partitions when the writer is partition-aware. */
+    * partitions when the writer is partition-aware.
+    *
+    * Measured and REJECTED (r17): rewriting the full outer as
+    * anti-join ∪ upsert-winners (equivalent under this operator's
+    * one-row-per-key base contract, and it lets the winner keys
+    * broadcast so the base side skips its exchange). A/B on the store
+    * builds read consistently WORSE locally (publish.write
+    * 3.09-3.19 → 3.32-3.86 s per build): the extra broadcast round and
+    * the union's second write branch cost more than the saved exchange,
+    * which only ever carries the TOUCHED buckets' rows — the merge job
+    * is already partition-pruned, so the exchange is batch-scale, not
+    * store-scale, at any size. */
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
       opCol: String, verCol: String, valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "applyChanges needs at least one value column")
