@@ -8,8 +8,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitioned by (date, sensor) — see `graft.streaming.IngestPipeline`.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-(dir, table) parquet schema, inferred ONCE per JVM (r17):
+    * every `spark.read.parquet` without an explicit schema runs a
+    * footer-inference job, and a session running many queries re-paid
+    * it on every read of the same immutable file (the bench: ~2 tables
+    * x 2-3 passes x 250 queries of 40-60 ms jobs). A production
+    * deployment reads through a catalog that serves the schema; this
+    * cache is that catalog's stand-in — METADATA only, the data path
+    * is untouched (first read still infers from the file). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cached = schemaCache.get((dir, name))
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.putIfAbsent((dir, name), df.schema)
+      df
+    }
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
