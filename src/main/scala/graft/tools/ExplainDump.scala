@@ -110,7 +110,10 @@ object ExplainDump {
       + "a linear two-pointer merge per pair, no per-gram explode on the "
       + "verify side, so no exchange scales with pairs×doc-length. Grams "
       + "travel as xxhash64 longs; every join is a shuffled/broadcast EQUI "
-      + "join, no nested loop anywhere, and recall is 100% by theorem."),
+      + "join, no nested loop anywhere, and recall is 100% by theorem. "
+      + "r17: the verified pairs materialize (Scan ExistingRDD below the "
+      + "sort) before the declared total order — the range partitioner's "
+      + "sampling pass otherwise re-executed the fused verify stage."),
     "w12_interpolate" -> ("Linear interpolation at query instants: samples "
       + "and query points UNION into one per-key ordered stream, and ONE "
       + "Window exec (two frames over the same sort) carries both "
@@ -254,7 +257,10 @@ object ExplainDump {
       + "arithmetic: per-field CASE over struct fields plus the 1-row "
       + "field-weight broadcast. No O(pairs) join anywhere; the "
       + "pair-free star-link path deliberately keeps field-level "
-      + "weights (monotonicity argument in Linkage.scoreValuePairs)."),
+      + "weights (monotonicity argument in Linkage.scoreValuePairs). "
+      + "r17: the scored pairs materialize (Scan ExistingRDD below the "
+      + "sort) before the declared total order — the range partitioner's "
+      + "sampling pass otherwise re-executed the 6.6M-pair scoring."),
 
     "capstone_store_sql_door" -> ("SQL front door (r12): the same "
       + "store state read through spark.read.format(\"graft\") — a DSv2 "
